@@ -1,0 +1,211 @@
+"""IntervalsDF — interval algebra over a Spark DataFrame.
+
+Each row is a time interval ``[start_ts, end_ts)`` with ``series_ids``
+dimension columns and a metric/observation payload (reference:
+python/tempo/intervals.py:41-137).
+
+``make_disjoint`` here is a **native Spark rewrite** of the reference's
+O(n²)-per-series pandas kernel (reference: python/tempo/intervals.py:383-1331,
+executed via applyInPandas at :263-271). The algorithm:
+
+1. explode every interval's boundaries, distinct them per series, and pair
+   consecutive boundaries into *elementary segments* (lead over a window),
+2. join each segment to the intervals covering it (overlap =
+   ``seg_start < i.end AND seg_end > i.start``),
+3. per segment, merge the payload: for every column, take the value from the
+   **latest-starting covering interval with a non-null value** — exactly the
+   reference's "later interval's non-null metric overwrites" merge rule
+   (reference: python/tempo/intervals.py:684-713),
+4. coalesce adjacent contiguous segments with identical payloads back into
+   maximal intervals (the reference's equivalent-metrics boundary-extension
+   rule, reference: python/tempo/intervals.py:817-826).
+
+Complexity: O(n log n) per series via shuffle+sort instead of O(n²) Python,
+no Arrow round-trip, and whole-stage codegen end to end. The segment↔interval
+join is per-series and range-predicated; with heavily-overlapping giant
+series it can widen, but elementary segments are bounded by 2n-1 per series.
+"""
+
+from __future__ import annotations
+
+from functools import cached_property, reduce
+from typing import Optional, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.types import BooleanType, NumericType
+
+
+def is_metric_col(field) -> bool:
+    return isinstance(field.dataType, (NumericType, BooleanType))
+
+
+class IntervalsDF:
+    def __init__(
+        self,
+        df: DataFrame,
+        start_ts: str = "start_ts",
+        end_ts: str = "end_ts",
+        series_ids: Optional[Sequence[str]] = None,
+    ):
+        self.df = df
+        self.start_ts = start_ts
+        self.end_ts = end_ts
+        self.series_ids: list[str] = list(series_ids or [])
+        for c in [start_ts, end_ts, *self.series_ids]:
+            if c not in df.columns:
+                raise ValueError(f"column {c!r} not in DataFrame columns {df.columns}")
+
+    # ---------------------------------------------------------------- props
+
+    @property
+    def interval_boundaries(self) -> list[str]:
+        return [self.start_ts, self.end_ts]
+
+    @property
+    def structural_columns(self) -> list[str]:
+        return self.interval_boundaries + self.series_ids
+
+    @property
+    def observational_columns(self) -> list[str]:
+        s = set(self.structural_columns)
+        return [c for c in self.df.columns if c not in s]
+
+    @property
+    def metric_columns(self) -> list[str]:
+        obs = set(self.observational_columns)
+        return [f.name for f in self.df.schema.fields if f.name in obs and is_metric_col(f)]
+
+    def window(self):
+        return Window.partitionBy(*self.series_ids).orderBy(self.start_ts, self.end_ts)
+
+    def _with_df(self, df: DataFrame) -> "IntervalsDF":
+        return IntervalsDF(df, self.start_ts, self.end_ts, self.series_ids)
+
+    # ------------------------------------------------------------ constructors
+
+    @classmethod
+    def fromStackedMetrics(
+        cls,
+        df: DataFrame,
+        start_ts: str,
+        end_ts: str,
+        series: Sequence[str],
+        metrics_name_col: str,
+        metrics_value_col: str,
+        metric_names: Optional[Sequence[str]] = None,
+    ) -> "IntervalsDF":
+        """Pivot long (metric_name, metric_value) rows into wide interval rows
+        (reference: python/tempo/intervals.py:139-221). Pass ``metric_names``
+        to skip Spark's eager distinct-values job."""
+        pivot = df.groupBy(start_ts, end_ts, *series).pivot(
+            metrics_name_col, values=list(metric_names) if metric_names else None
+        )
+        wide = pivot.max(metrics_value_col)
+        return cls(wide, start_ts, end_ts, list(series))
+
+    # ----------------------------------------------------------------- ops
+
+    def union(self, other: "IntervalsDF") -> "IntervalsDF":
+        return self._with_df(self.df.union(other.df))
+
+    def unionByName(self, other: "IntervalsDF") -> "IntervalsDF":
+        return self._with_df(self.df.unionByName(other.df))
+
+    def toDF(self, stack: bool = False) -> DataFrame:
+        """Unpivot wide metrics back to (metric_name, metric_value) rows via
+        STACK (reference: python/tempo/intervals.py:341-380)."""
+        if not stack:
+            return self.df
+        metrics = self.metric_columns
+        n = len(metrics)
+        pairs = ", ".join(f"'{m}', `{m}`" for m in metrics)
+        stacked = self.df.select(
+            *self.structural_columns,
+            F.expr(f"stack({n}, {pairs}) AS (metric_name, metric_value)"),
+        )
+        return stacked.dropna(subset=["metric_value"])
+
+    # ------------------------------------------------------------ disjoint
+
+    def make_disjoint(self) -> "IntervalsDF":
+        df = self.df
+        s, e = self.start_ts, self.end_ts
+        series = self.series_ids
+        payload = self.observational_columns
+
+        seg_s, seg_e = "__seg_start", "__seg_end"
+
+        # 1. elementary segments from distinct sorted boundaries
+        boundaries = (
+            df.select(*series, F.explode(F.array(F.col(s), F.col(e))).alias("__b"))
+            .distinct()
+        )
+        wb = Window.partitionBy(*series).orderBy("__b")
+        segments = (
+            boundaries.withColumn(seg_e, F.lead(F.col("__b")).over(wb))
+            .where(F.col(seg_e).isNotNull())
+            .withColumnRenamed("__b", seg_s)
+        )
+
+        # 2. pair each segment with its covering intervals (per-series range join)
+        cond = reduce(
+            lambda a, b: a & b,
+            [segments[c] == df[c] for c in series],
+            (segments[seg_s] < df[e]) & (segments[seg_e] > df[s]),
+        )
+        paired = segments.join(df, on=cond, how="inner").select(
+            *[segments[c].alias(c) for c in series],
+            segments[seg_s].alias(seg_s),
+            segments[seg_e].alias(seg_e),
+            df[s].alias("__i_start"),
+            df[e].alias("__i_end"),
+            *[df[c].alias(c) for c in payload],
+        )
+
+        # 3. merge payloads: latest-starting covering interval's non-null wins
+        merged = paired.groupBy(*series, seg_s, seg_e).agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.struct(
+                            F.col("__i_start").alias("s"),
+                            F.col("__i_end").alias("e"),
+                            F.col(c).alias("v"),
+                        ),
+                    )
+                )
+                .getField("v")
+                .alias(c)
+                for c in payload
+            ]
+        )
+
+        # 4. coalesce adjacent contiguous segments with identical payloads
+        wseg = Window.partitionBy(*series).orderBy(seg_s)
+        prev_end = F.lag(F.col(seg_e)).over(wseg)
+        same_payload = reduce(
+            lambda a, b: a & b,
+            [F.col(c).eqNullSafe(F.lag(F.col(c)).over(wseg)) for c in payload],
+            F.lit(True),
+        )
+        contiguous = prev_end.isNotNull() & (prev_end == F.col(seg_s))
+        new_group = F.when(contiguous & same_payload, 0).otherwise(1)
+        grouped = merged.withColumn(
+            "__gid",
+            F.sum(new_group).over(
+                wseg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        out = (
+            grouped.groupBy(*series, "__gid")
+            .agg(
+                F.min(F.col(seg_s)).alias(s),
+                F.max(F.col(seg_e)).alias(e),
+                *[F.first(F.col(c)).alias(c) for c in payload],
+            )
+            .drop("__gid")
+            .select(*df.columns)
+        )
+        return self._with_df(out)

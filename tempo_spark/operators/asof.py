@@ -1,0 +1,257 @@
+"""As-of join — the flagship operator.
+
+For each left (trade) row, attach the most recent right (quote) row with
+``right.ts <= left.ts`` within the same series. Capability parity with the
+reference's ``asofJoin`` (reference: python/tempo/tsdf.py:752-947),
+re-expressed Spark-first. Three physical strategies:
+
+1. **union-window** (default): prefix+pad both sides, ``unionByName``, then
+   one ``last(col, ignoreNulls)`` window per right column over
+   ``Window.partitionBy(series).orderBy(combined_ts, rec_ind[, seq])``.
+   Exactly ONE shuffle (on series_ids) regardless of how many right columns
+   are carried — this is the scale-safe default for large×large joins where
+   a range join would explode.
+2. **range-join** (``use_range_join=True``): compute each right row's
+   validity interval ``[ts, lead(ts))`` and equi-join on series ids with a
+   ``BETWEEN`` range predicate. With a small right side Catalyst broadcasts
+   it, eliminating the shuffle of the (big) left side entirely — the right
+   choice when quotes ≪ trades. We hint ``broadcast()`` when the caller
+   asks for it via ``broadcast_right=True``.
+3. **time-partitioned skew path** (``ts_partition_val``): salt the series
+   key with a time bracket ``floor(ts / val) * val`` and duplicate the
+   trailing ``fraction`` of each bracket into the next so every bracket's
+   window has lookback context. Handles a single monster series that would
+   otherwise pin one task (AQE skew handling does not cover window
+   functions).
+
+Optional ``tolerance`` (seconds) nulls out right columns older than the
+band, matching the reference's post-filter (reference:
+python/tempo/tsdf.py:919-945).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window
+
+from tempo_spark.functions.timestamps import ts_to_double
+
+_REC_IND = "__tempo_rec_ind"
+_TS_PARTITION = "__tempo_ts_partition"
+_IS_ORIGINAL = "__tempo_is_original"
+
+
+def _prefixed(prefix: Optional[str], col: str) -> str:
+    return f"{prefix}_{col}" if prefix else col
+
+
+def _prepare_side(tsdf, prefix: Optional[str]):
+    """Rename every non-series column with the side prefix; return
+    (df, ts_col, seq_col, renamed_value_cols)."""
+    mapping = {c: _prefixed(prefix, c) for c in tsdf.df.columns if c not in tsdf.series_ids}
+    df = tsdf.df
+    for old, new in mapping.items():
+        if old != new:
+            df = df.withColumnRenamed(old, new)
+    ts = mapping[tsdf.ts_col]
+    seq = mapping.get(tsdf.sequence_col) if tsdf.sequence_col else None
+    values = [mapping[c] for c in tsdf.df.columns if c not in tsdf.series_ids]
+    return df, ts, seq, values
+
+
+def asof_join(
+    left,
+    right,
+    left_prefix: Optional[str] = None,
+    right_prefix: str = "right",
+    ts_partition_val: Optional[int] = None,
+    fraction: float = 0.5,
+    skip_nulls: bool = True,
+    use_range_join: bool = False,
+    tolerance: Optional[float] = None,
+    broadcast_right: bool = False,
+):
+    from tempo_spark.tsdf import TSDF
+
+    if left.series_ids != right.series_ids:
+        raise ValueError(
+            f"as-of join requires matching series ids; "
+            f"left={left.series_ids} right={right.series_ids}"
+        )
+    if not skip_nulls and ts_partition_val is not None:
+        # same unsupported combination as the reference
+        # (reference: python/tempo/tsdf.py:281-285)
+        raise ValueError("skip_nulls=False is not supported with ts_partition_val")
+
+    series = list(left.series_ids)
+    ldf, l_ts, l_seq, l_vals = _prepare_side(left, left_prefix)
+    rdf, r_ts, r_seq, r_vals = _prepare_side(right, right_prefix)
+    overlap = set(l_vals) & set(r_vals)
+    if overlap:
+        raise ValueError(f"prefixes leave colliding columns: {sorted(overlap)}")
+
+    if use_range_join:
+        joined = _range_join(
+            series, ldf, l_ts, rdf, r_ts, r_vals, broadcast_right=broadcast_right
+        )
+    else:
+        joined = _union_window_join(
+            series, ldf, l_ts, l_vals, rdf, r_ts, r_seq, r_vals,
+            skip_nulls=skip_nulls,
+            ts_partition_val=ts_partition_val,
+            fraction=fraction,
+        )
+
+    if tolerance is not None:
+        # null out right-side values older than the tolerance band
+        age = ts_to_double(F.col(l_ts)) - ts_to_double(F.col(r_ts))
+        stale = age > F.lit(float(tolerance))
+        for c in r_vals:
+            if c != r_ts:
+                joined = joined.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+        joined = joined.withColumn(r_ts, F.when(stale, F.lit(None)).otherwise(F.col(r_ts)))
+
+    out_cols = series + [c for c in l_vals] + [c for c in r_vals]
+    return TSDF(
+        joined.select(*out_cols),
+        ts_col=l_ts,
+        series_ids=series,
+        sequence_col=l_seq,
+        validate=False,
+    )
+
+
+def _union_window_join(
+    series: list[str],
+    ldf: DataFrame,
+    l_ts: str,
+    l_vals: list[str],
+    rdf: DataFrame,
+    r_ts: str,
+    r_seq: Optional[str],
+    r_vals: list[str],
+    *,
+    skip_nulls: bool,
+    ts_partition_val: Optional[int],
+    fraction: float,
+) -> DataFrame:
+    # pad each side with the other's value columns as typed nulls, then union
+    r_types = dict(rdf.dtypes)
+    l_types = dict(ldf.dtypes)
+    lpad = ldf.select(
+        *series,
+        *[F.col(c) for c in l_vals],
+        *[F.lit(None).cast(r_types[c]).alias(c) for c in r_vals],
+        F.lit(1).alias(_REC_IND),
+    )
+    rpad = rdf.select(
+        *series,
+        *[F.lit(None).cast(l_types[c]).alias(c) for c in l_vals],
+        *[F.col(c) for c in r_vals],
+        F.lit(-1).alias(_REC_IND),
+    )
+    unioned = lpad.unionByName(rpad)
+    combined_ts = F.coalesce(F.col(l_ts), F.col(r_ts))
+
+    part_cols = list(series)
+    if ts_partition_val is not None:
+        unioned, part_cols = _add_time_partitions(
+            unioned, combined_ts, series, ts_partition_val, fraction
+        )
+
+    # right rows at an equal timestamp sort BEFORE left rows (rec_ind -1 < 1)
+    # so a same-ts quote is visible to the trade — reference semantics
+    # (reference: python/tempo/tsdf.py:884-887).
+    order = [combined_ts.asc(), F.col(_REC_IND).asc()]
+    if r_seq:
+        order.append(F.col(r_seq).asc())
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    filled = unioned
+    for c in r_vals:
+        if skip_nulls:
+            filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+        else:
+            # struct wrap distinguishes "no right row yet" (null struct) from a
+            # genuine null value in the right row
+            # (reference: python/tempo/tsdf.py:286-294)
+            wrapped = F.when(F.col(_REC_IND) == -1, F.struct(F.col(c).alias("v")))
+            filled = filled.withColumn(
+                c, F.last(wrapped, ignorenulls=True).over(w).getField("v")
+            )
+
+    result = filled.where(F.col(_REC_IND) == 1).drop(_REC_IND)
+    if ts_partition_val is not None:
+        result = result.where(F.col(_IS_ORIGINAL) == 1).drop(_IS_ORIGINAL, _TS_PARTITION)
+    return result
+
+
+def _add_time_partitions(
+    unioned: DataFrame,
+    combined_ts: Column,
+    series: list[str],
+    ts_partition_val: int,
+    fraction: float,
+):
+    """Salt the series key with time brackets; duplicate the trailing
+    ``fraction`` of each bracket into the NEXT bracket (is_original=0) so
+    the next bracket's window never starts without lookback context
+    (reference: python/tempo/tsdf.py:342-383)."""
+    val = float(ts_partition_val)
+    dts = ts_to_double(combined_ts)
+    base = F.floor(dts / val) * F.lit(val)
+    in_overlap_tail = (dts - base) >= F.lit(val * (1.0 - fraction))
+    brackets = F.array(
+        base,
+        F.when(in_overlap_tail, base + F.lit(val)),
+    )
+    exploded = (
+        unioned.withColumn("__tempo_brackets", brackets)
+        .withColumn("__tempo_base", base)
+        .withColumn(_TS_PARTITION, F.explode(F.col("__tempo_brackets")))
+        .where(F.col(_TS_PARTITION).isNotNull())
+        .withColumn(
+            _IS_ORIGINAL,
+            (F.col(_TS_PARTITION) == F.col("__tempo_base")).cast("int"),
+        )
+        .drop("__tempo_brackets", "__tempo_base")
+    )
+    return exploded, series + [_TS_PARTITION]
+
+
+def _range_join(
+    series: list[str],
+    ldf: DataFrame,
+    l_ts: str,
+    rdf: DataFrame,
+    r_ts: str,
+    r_vals: list[str],
+    *,
+    broadcast_right: bool,
+) -> DataFrame:
+    """Equi-join on series ids + range predicate on the right row's validity
+    interval ``[r_ts, lead(r_ts))`` (reference: python/tempo/tsdf.py:783-837).
+    Left-joins so unmatched left rows survive with null right columns."""
+    lead_col = "__tempo_r_ts_end"
+    w = Window.partitionBy(*series).orderBy(F.col(r_ts))
+    r_with_lead = rdf.withColumn(lead_col, F.lead(F.col(r_ts)).over(w))
+    if broadcast_right:
+        r_with_lead = F.broadcast(r_with_lead)
+    cond = F.lit(True)
+    for c in series:
+        cond = cond & (ldf[c] == r_with_lead[c])
+    cond = cond & (ldf[l_ts] >= r_with_lead[r_ts])
+    cond = cond & (r_with_lead[lead_col].isNull() | (ldf[l_ts] < r_with_lead[lead_col]))
+    joined = ldf.join(r_with_lead, on=cond, how="left")
+    # resolve ambiguity: keep left's series columns
+    sel = [ldf[c].alias(c) for c in ldf.columns] + [
+        r_with_lead[c].alias(c) for c in r_vals
+    ]
+    return joined.select(*sel)

@@ -1,0 +1,175 @@
+"""Resample (downsample), upsample-fill, and OHLC bars.
+
+Capability parity with the reference resample module (reference:
+python/tempo/resample.py:89-253, python/tempo/tsdf.py:1258-1294,1351-1384),
+Spark-first:
+
+- bucketing uses ``F.window(ts, duration)`` — the exact primitive
+  Structured Streaming tumbling windows use, so the same plan works under
+  ``readStream`` (see tempo_spark.streaming).
+- ``floor``/``ceil`` (take the earliest/latest row's values per bucket) are
+  argmin/argmax via ``min(struct(ts[, seq], metrics...))`` — struct
+  ordering gives a deterministic tie-break through the sequence column,
+  and groupBy gets map-side partial aggregation (one shuffle).
+- ``calc_bars`` is a SINGLE groupBy computing open/low/high/close together
+  — the reference runs 4 resamples + 3 joins (4 shuffles + join shuffles);
+  ours is one shuffle total, which is the difference between one pass and
+  seven over 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+from tempo_spark.functions.freq import parse_freq
+
+_FUNCS = ("floor", "mean", "min", "max", "ceil")
+
+
+def _bucket_start(ts_col: str, duration: str) -> Column:
+    return F.window(F.col(ts_col), duration)["start"]
+
+
+def _argmin_argmax_exprs(
+    tsdf, metric_cols: Sequence[str], func: str, prefix: str
+) -> list[Column]:
+    """Earliest/latest row's metric values per bucket via struct ordering.
+
+    ``min(struct(ts, seq, m1, m2, ...))`` picks the lexicographically
+    smallest tuple — i.e. the earliest (ts, seq) row — and carries its
+    metric values along. Deterministic when (ts, seq) is unique; with
+    duplicate keys the metric values themselves break ties.
+    """
+    order_cols = [F.col(tsdf.ts_col).alias("__ts")]
+    if tsdf.sequence_col:
+        order_cols.append(F.col(tsdf.sequence_col).alias("__seq"))
+    packed = F.struct(*order_cols, *[F.col(c).alias(c) for c in metric_cols])
+    agg = F.min(packed) if func == "floor" else F.max(packed)
+    tagged = agg.alias("__packed")
+    return [tagged]
+
+
+def resample(
+    tsdf,
+    freq: str,
+    func: str,
+    metric_cols: Optional[Sequence[str]] = None,
+    prefix: Optional[str] = None,
+    fill: Optional[bool] = None,
+):
+    from tempo_spark.tsdf import ResampledTSDF
+
+    if func not in _FUNCS:
+        raise ValueError(f"resample func must be one of {_FUNCS}, got {func!r}")
+    f = parse_freq(freq)
+    metric_cols = list(metric_cols or tsdf.metric_cols)
+    if not metric_cols:
+        raise ValueError("resample requires at least one metric column")
+    pfx = f"{prefix}_" if prefix else ""
+    series, ts = list(tsdf.series_ids), tsdf.ts_col
+    bucket = _bucket_start(ts, f.window_duration)
+
+    grouped = tsdf.df.groupBy(*series, bucket.alias(ts))
+
+    if func in ("floor", "ceil"):
+        [packed] = _argmin_argmax_exprs(tsdf, metric_cols, func, pfx)
+        agged = grouped.agg(packed)
+        out = agged.select(
+            *series,
+            ts,
+            *[F.col("__packed").getField(c).alias(f"{pfx}{c}") for c in metric_cols],
+        )
+    else:
+        agg_fn = {"mean": F.mean, "min": F.min, "max": F.max}[func]
+        out = grouped.agg(
+            *[agg_fn(F.col(c)).alias(f"{pfx}{c}") for c in metric_cols]
+        )
+    out_metric_cols = [f"{pfx}{c}" for c in metric_cols]
+    out = out.select(*series, ts, *sorted(out_metric_cols))
+
+    if fill:
+        out = _upsample_fill(out, ts, series, f, out_metric_cols)
+
+    return ResampledTSDF(out, ts_col=ts, series_ids=series, freq=freq, func=func)
+
+
+def _upsample_fill(df, ts: str, series: list[str], f, metric_cols: list[str]):
+    """Densify to every tick between per-series min/max ts, 0-filling numeric
+    metrics (reference: python/tempo/resample.py:225-251).
+
+    The grid is generated with ``sequence`` + ``explode`` per series — no
+    driver-side loop, and the left-outer join back to the data is an
+    equi-join on (series, ts) that AQE can plan as broadcast when the grid
+    is small."""
+    bounds = df.groupBy(*series).agg(
+        F.min(F.col(ts)).alias("__min_ts"), F.max(F.col(ts)).alias("__max_ts")
+    )
+    grid = bounds.select(
+        *series,
+        F.explode(
+            F.sequence(F.col("__min_ts"), F.col("__max_ts"), F.expr(f.interval))
+        ).alias(ts),
+    )
+    joined = grid.join(df, on=series + [ts], how="left")
+    numeric = [
+        fld.name
+        for fld in df.schema.fields
+        if fld.name in metric_cols and fld.dataType.typeName() in (
+            "byte", "short", "integer", "long", "float", "double", "decimal"
+        )
+    ]
+    return joined.na.fill(0, subset=numeric)
+
+
+def calc_bars(
+    tsdf,
+    freq: str,
+    metric_cols: Optional[Sequence[str]] = None,
+    fill: Optional[bool] = None,
+):
+    """OHLC bars per freq bucket, in ONE aggregation
+    (reference behavior: python/tempo/tsdf.py:1351-1384 runs four resamples
+    + three joins; this plan computes all four in a single groupBy)."""
+    from tempo_spark.tsdf import ResampledTSDF
+
+    f = parse_freq(freq)
+    metric_cols = list(metric_cols or tsdf.metric_cols)
+    if not metric_cols:
+        raise ValueError("calc_bars requires at least one metric column")
+    series, ts = list(tsdf.series_ids), tsdf.ts_col
+    bucket = _bucket_start(ts, f.window_duration)
+
+    order_cols = [F.col(ts).alias("__ts")]
+    if tsdf.sequence_col:
+        order_cols.append(F.col(tsdf.sequence_col).alias("__seq"))
+    packed = F.struct(*order_cols, *[F.col(c).alias(c) for c in metric_cols])
+
+    aggs: list[Column] = [
+        F.min(packed).alias("__first"),
+        F.max(packed).alias("__last"),
+    ]
+    for c in metric_cols:
+        aggs.append(F.min(F.col(c)).alias(f"low_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"high_{c}"))
+
+    agged = tsdf.df.groupBy(*series, bucket.alias(ts)).agg(*aggs)
+    sel = [*series, ts]
+    out_cols = []
+    for c in metric_cols:
+        out_cols += [
+            F.col("__first").getField(c).alias(f"open_{c}"),
+            F.col(f"low_{c}"),
+            F.col(f"high_{c}"),
+            F.col("__last").getField(c).alias(f"close_{c}"),
+        ]
+    out = agged.select(*sel, *out_cols)
+    # deterministic column order: series, ts, then sorted bar columns
+    bar_names = sorted([f"{p}_{c}" for c in metric_cols for p in ("open", "low", "high", "close")])
+    out = out.select(*series, ts, *bar_names)
+
+    if fill:
+        out = _upsample_fill(out, ts, series, f, bar_names)
+    return ResampledTSDF(out, ts_col=ts, series_ids=series, freq=freq, func="bars")

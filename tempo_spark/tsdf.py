@@ -1,0 +1,522 @@
+"""TSDF — a time-series view over a Spark DataFrame.
+
+The central abstraction: a plain Spark ``DataFrame`` plus structural
+metadata —
+
+- ``ts_col``: the distinguished event-time column (TimestampType, or a
+  numeric epoch column for nanosecond data),
+- ``series_ids``: the columns identifying one logical series (may be empty
+  for a single global series),
+- ``sequence_col``: optional tie-breaker for records sharing a timestamp.
+
+Capability parity target: the reference TSDF (reference:
+python/tempo/tsdf.py:28-77). Architectural stance is Spark-first: every
+operator builds a lazy DataFrame plan (window functions, groupBy
+aggregations, joins) and lets Catalyst/AQE choose physical execution.
+Unlike the reference, the constructor performs **no eager actions** —
+string timestamp conversion is an explicit opt-in via
+``tempo_spark.functions.timestamps.parse_nanos_timestamp``.
+
+At scale: every per-series operator compiles to a single
+``Exchange(hashpartitioning(series_ids))`` followed by sort + WindowExec.
+Operators reuse one window spec wherever possible so consecutive window
+functions share the same shuffle and sort.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Callable, Iterable, Optional, Sequence, Union
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql.types import (
+    BooleanType,
+    NumericType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+from tempo_spark.functions.timestamps import ts_to_double
+
+TsLiteral = Union[str, int, float]
+
+#: column types summarizable by stats operators
+_SUMMARIZABLE = (NumericType,)
+
+
+class TSDF:
+    """Time-series DataFrame wrapper. Immutable; every operator returns a new
+    TSDF (or DataFrame where the result is no longer a time series)."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        ts_col: str = "event_ts",
+        series_ids: Optional[Sequence[str]] = None,
+        sequence_col: Optional[str] = None,
+        *,
+        partition_cols: Optional[Sequence[str]] = None,  # reference-style alias
+        validate: bool = True,
+    ):
+        if series_ids is None and partition_cols is not None:
+            series_ids = partition_cols
+        self.df = df
+        self.ts_col = ts_col
+        self.series_ids: list[str] = list(series_ids or [])
+        self.sequence_col = sequence_col
+        if validate:
+            self._validate()
+
+    # ------------------------------------------------------------------ meta
+
+    def _validate(self) -> None:
+        fields = {f.name: f.dataType for f in self.df.schema.fields}
+        if self.ts_col not in fields:
+            raise ValueError(f"ts_col {self.ts_col!r} not in DataFrame columns {list(fields)}")
+        t = fields[self.ts_col]
+        if not isinstance(t, (TimestampType, TimestampNTZType, NumericType)):
+            if isinstance(t, StringType):
+                raise ValueError(
+                    f"ts_col {self.ts_col!r} is a string; convert it first with "
+                    "tempo_spark.functions.timestamps.parse_nanos_timestamp or to_timestamp"
+                )
+            raise ValueError(f"ts_col {self.ts_col!r} has unsupported type {t}")
+        for c in self.series_ids:
+            if c not in fields:
+                raise ValueError(f"series id column {c!r} not in DataFrame")
+        if self.sequence_col and self.sequence_col not in fields:
+            raise ValueError(f"sequence_col {self.sequence_col!r} not in DataFrame")
+
+    @property
+    def structural_cols(self) -> list[str]:
+        cols = [self.ts_col] + self.series_ids
+        if self.sequence_col:
+            cols.append(self.sequence_col)
+        return cols
+
+    @property
+    def observational_cols(self) -> list[str]:
+        s = set(self.structural_cols)
+        return [c for c in self.df.columns if c not in s]
+
+    @property
+    def metric_cols(self) -> list[str]:
+        """Numeric non-structural columns (the stats-summarizable set)."""
+        s = set(self.structural_cols)
+        return [
+            f.name
+            for f in self.df.schema.fields
+            if f.name not in s and isinstance(f.dataType, _SUMMARIZABLE)
+        ]
+
+    def _with_df(self, df: DataFrame, **overrides) -> "TSDF":
+        kw = dict(
+            ts_col=self.ts_col,
+            series_ids=self.series_ids,
+            sequence_col=self.sequence_col,
+            validate=False,
+        )
+        kw.update(overrides)
+        return TSDF(df, **kw)
+
+    # --------------------------------------------------------------- windows
+
+    def base_window(self, reverse: bool = False) -> WindowSpec:
+        """Per-series window ordered by (ts [, sequence])."""
+        order = [F.col(self.ts_col)]
+        if self.sequence_col:
+            order.append(F.col(self.sequence_col))
+        if reverse:
+            order = [c.desc() for c in order]
+        return Window.partitionBy(*[F.col(c) for c in self.series_ids]).orderBy(*order)
+
+    def rows_window(self, start: int, end: int, reverse: bool = False) -> WindowSpec:
+        return self.base_window(reverse).rowsBetween(start, end)
+
+    def range_window(self, back_secs: float, fwd_secs: float = 0.0) -> WindowSpec:
+        """Time-range window. Orders by epoch **microseconds** as long (Spark
+        range frames need integral offsets), so sub-second lookbacks work."""
+        micros = (ts_to_double(F.col(self.ts_col)) * F.lit(1_000_000.0)).cast("long")
+        return (
+            Window.partitionBy(*[F.col(c) for c in self.series_ids])
+            .orderBy(micros)
+            .rangeBetween(-int(back_secs * 1_000_000), int(fwd_secs * 1_000_000))
+        )
+
+    # ------------------------------------------------------------ DF passthru
+
+    def select(self, *cols: str) -> "TSDF":
+        """Projection that always retains structural columns
+        (reference: python/tempo/tsdf.py:389-418)."""
+        keep = list(dict.fromkeys(self.structural_cols + list(cols)))
+        return self._with_df(self.df.select(*keep))
+
+    def where(self, condition) -> "TSDF":
+        return self._with_df(self.df.where(condition))
+
+    filter = where
+
+    def withColumn(self, name: str, col: Column) -> "TSDF":
+        return self._with_df(self.df.withColumn(name, col))
+
+    def show(self, n: int = 20, truncate: bool = True, vertical: bool = False) -> None:
+        self.df.orderBy(*self.series_ids, self.ts_col).show(n, truncate, vertical)
+
+    def __repr__(self) -> str:
+        return (
+            f"TSDF(ts_col={self.ts_col!r}, series_ids={self.series_ids!r}, "
+            f"sequence_col={self.sequence_col!r}, columns={self.df.columns})"
+        )
+
+    # ---------------------------------------------------------------- slicing
+    # reference: python/tempo/tsdf.py:441-506. Plain Column comparisons (the
+    # reference builds SQL strings; Column ops get identical Catalyst plans
+    # with predicate pushdown to the scan and no quoting pitfalls).
+
+    def _ts_lit(self, ts: TsLiteral) -> Column:
+        lit = F.lit(ts)
+        if isinstance(ts, str):
+            lit = lit.cast(self.df.schema[self.ts_col].dataType)
+        return lit
+
+    def at(self, ts: TsLiteral) -> "TSDF":
+        return self._with_df(self.df.where(F.col(self.ts_col) == self._ts_lit(ts)))
+
+    def before(self, ts: TsLiteral) -> "TSDF":
+        return self._with_df(self.df.where(F.col(self.ts_col) < self._ts_lit(ts)))
+
+    def atOrBefore(self, ts: TsLiteral) -> "TSDF":
+        return self._with_df(self.df.where(F.col(self.ts_col) <= self._ts_lit(ts)))
+
+    def after(self, ts: TsLiteral) -> "TSDF":
+        return self._with_df(self.df.where(F.col(self.ts_col) > self._ts_lit(ts)))
+
+    def atOrAfter(self, ts: TsLiteral) -> "TSDF":
+        return self._with_df(self.df.where(F.col(self.ts_col) >= self._ts_lit(ts)))
+
+    def between(self, start: TsLiteral, end: TsLiteral, inclusive: bool = True) -> "TSDF":
+        c = F.col(self.ts_col)
+        if inclusive:
+            cond = (c >= self._ts_lit(start)) & (c <= self._ts_lit(end))
+        else:
+            cond = (c > self._ts_lit(start)) & (c < self._ts_lit(end))
+        return self._with_df(self.df.where(cond))
+
+    # ----------------------------------------------------------------- top-k
+    # reference: python/tempo/tsdf.py:508-573 — per-series top-k via
+    # row_number over the series window; one shuffle, no global sort.
+
+    def _top_rows_per_series(self, n: int, reverse: bool) -> "TSDF":
+        rn = "__tempo_rn"
+        out = (
+            self.df.withColumn(rn, F.row_number().over(self.base_window(reverse)))
+            .where(F.col(rn) <= n)
+            .drop(rn)
+        )
+        return self._with_df(out)
+
+    def earliest(self, n: int = 1) -> "TSDF":
+        return self._top_rows_per_series(n, reverse=False)
+
+    def latest(self, n: int = 1) -> "TSDF":
+        return self._top_rows_per_series(n, reverse=True)
+
+    def priorTo(self, ts: TsLiteral, n: int = 1) -> "TSDF":
+        return self.atOrBefore(ts)._top_rows_per_series(n, reverse=True)
+
+    def subsequentTo(self, ts: TsLiteral, n: int = 1) -> "TSDF":
+        return self.atOrAfter(ts)._top_rows_per_series(n, reverse=False)
+
+    # ------------------------------------------------------------- as-of join
+
+    def asofJoin(
+        self,
+        right: "TSDF",
+        left_prefix: Optional[str] = None,
+        right_prefix: str = "right",
+        tsPartitionVal: Optional[int] = None,
+        fraction: float = 0.5,
+        skipNulls: bool = True,
+        sql_join_opt: bool = False,
+        tolerance: Optional[float] = None,
+    ) -> "TSDF":
+        """For each left row, attach the latest right row with
+        ``right.ts <= left.ts`` within the same series
+        (reference: python/tempo/tsdf.py:752-947). See
+        ``tempo_spark.operators.asof`` for strategies and scale notes."""
+        from tempo_spark.operators.asof import asof_join
+
+        return asof_join(
+            self,
+            right,
+            left_prefix=left_prefix,
+            right_prefix=right_prefix,
+            ts_partition_val=tsPartitionVal,
+            fraction=fraction,
+            skip_nulls=skipNulls,
+            use_range_join=sql_join_opt,
+            tolerance=tolerance,
+        )
+
+    # ------------------------------------------------------- window analytics
+
+    def withRangeStats(
+        self,
+        colsToSummarize: Optional[Sequence[str]] = None,
+        rangeBackWindowSecs: float = 1000,
+    ) -> "TSDF":
+        """Rolling mean/count/min/max/sum/stddev (+ zscore) per metric over a
+        trailing time-range window (reference: python/tempo/tsdf.py:1112-1182).
+
+        One shuffle on series_ids; all stats share one WindowExec.
+        """
+        cols = list(colsToSummarize or self.metric_cols)
+        w = self.range_window(rangeBackWindowSecs)
+        out = self.df
+        exprs: list[Column] = []
+        for c in cols:
+            col = F.col(c)
+            mean = F.mean(col).over(w)
+            std = F.stddev(col).over(w)
+            exprs += [
+                mean.alias(f"mean_{c}"),
+                F.count(col).over(w).alias(f"count_{c}"),
+                F.min(col).over(w).alias(f"min_{c}"),
+                F.max(col).over(w).alias(f"max_{c}"),
+                F.sum(col).over(w).alias(f"sum_{c}"),
+                std.alias(f"stddev_{c}"),
+                ((col - mean) / std).alias(f"zscore_{c}"),
+            ]
+        return self._with_df(out.select("*", *exprs))
+
+    def withGroupedStats(
+        self,
+        metricCols: Optional[Sequence[str]] = None,
+        freq: str = "1 minute",
+    ) -> "TSDF":
+        """Per-bucket mean/count/min/max/sum/stddev at a tumbling frequency
+        (reference: python/tempo/tsdf.py:1184-1248). groupBy gets map-side
+        partial aggregation — cheaper than a window at scale."""
+        from tempo_spark.functions.freq import parse_freq
+
+        cols = list(metricCols or self.metric_cols)
+        f = parse_freq(freq)
+        bucket = F.window(F.col(self.ts_col), f.window_duration)
+        aggs: list[Column] = []
+        for c in cols:
+            col = F.col(c)
+            aggs += [
+                F.mean(col).alias(f"mean_{c}"),
+                F.count(col).alias(f"count_{c}"),
+                F.min(col).alias(f"min_{c}"),
+                F.max(col).alias(f"max_{c}"),
+                F.sum(col).alias(f"sum_{c}"),
+                F.stddev(col).alias(f"stddev_{c}"),
+            ]
+        out = (
+            self.df.groupBy(*self.series_ids, bucket.alias("__win"))
+            .agg(*aggs)
+            .withColumn(self.ts_col, F.col("__win.start"))
+            .drop("__win")
+            .select(*self.series_ids, self.ts_col, *[a for c in cols for a in (
+                f"mean_{c}", f"count_{c}", f"min_{c}", f"max_{c}", f"sum_{c}", f"stddev_{c}")])
+        )
+        return TSDF(out, ts_col=self.ts_col, series_ids=self.series_ids, validate=False)
+
+    def EMA(self, colName: str, window: int = 30, exp_factor: float = 0.2) -> "TSDF":
+        """Approximate exponential moving average as a finite weighted sum of
+        lags: ``Σ_{i<window} e·(1-e)^i · lag(col, i)``
+        (reference: python/tempo/tsdf.py:1044-1071). Null lags contribute 0.
+
+        Single window spec → one shuffle + sort regardless of ``window``.
+        """
+        w = self.base_window()
+        terms = [
+            F.coalesce(F.lag(F.col(colName), i).over(w), F.lit(0.0))
+            * F.lit(exp_factor * (1 - exp_factor) ** i)
+            for i in range(window)
+        ]
+        ema = reduce(lambda a, b: a + b, terms)
+        return self._with_df(self.df.withColumn(f"ema_{colName}", ema))
+
+    def vwap(
+        self,
+        frequency: str = "m",
+        volume_col: str = "volume",
+        price_col: str = "price",
+    ) -> "TSDF":
+        """Volume-weighted average price per time bucket
+        (reference: python/tempo/tsdf.py:1000-1042). Implemented with
+        ``date_trunc`` + groupBy (map-side combine) rather than the
+        reference's string concat time key."""
+        unit = {"m": "minute", "H": "hour", "D": "day"}.get(frequency)
+        if unit is None:
+            raise ValueError(f"vwap frequency must be one of m/H/D, got {frequency!r}")
+        tg = F.date_trunc(unit, F.col(self.ts_col))
+        out = (
+            self.df.withColumn("time_group", tg)
+            .groupBy(*self.series_ids, "time_group")
+            .agg(
+                F.sum(F.col(volume_col) * F.col(price_col)).alias("__dollar_volume"),
+                F.sum(F.col(volume_col)).alias("total_volume"),
+                F.max(F.col(price_col)).alias("max_price"),
+            )
+            .withColumn("vwap", F.col("__dollar_volume") / F.col("total_volume"))
+            .drop("__dollar_volume")
+            .withColumnRenamed("time_group", self.ts_col)
+        )
+        return TSDF(out, ts_col=self.ts_col, series_ids=self.series_ids, validate=False)
+
+    def withLookbackFeatures(
+        self,
+        featureCols: Sequence[str],
+        lookbackWindowSize: int,
+        exactSize: bool = True,
+        featureColName: str = "features",
+    ) -> "TSDF":
+        """Trailing 2-D feature tensor of the previous ``lookbackWindowSize``
+        rows (reference: python/tempo/tsdf.py:1073-1110). Emits
+        ``array<array<double>>`` via collect_list over a rows window."""
+        arr = F.array(*[F.col(c).cast("double") for c in featureCols])
+        w = self.rows_window(-lookbackWindowSize, -1)
+        out = self.df.withColumn(featureColName, F.collect_list(arr).over(w))
+        if exactSize:
+            out = out.where(F.size(F.col(featureColName)) == lookbackWindowSize)
+        return self._with_df(out)
+
+    # ------------------------------------------------------ describe / misc
+
+    def describe(self) -> DataFrame:
+        """Summary stats + time-series shape (reference:
+        python/tempo/tsdf.py:622-700): Spark describe, plus unique-series
+        count and global min/max ts appended as extra summary rows.
+        One lazy plan (describe ∪ custom agg) — no driver-side loops."""
+        desc = self.df.describe()
+        value_cols = [c for c in desc.columns if c != "summary"]
+        if self.series_ids:
+            series_count = F.countDistinct(*[F.col(c) for c in self.series_ids])
+        else:
+            series_count = F.lit(1)
+        extras = self.df.agg(
+            series_count.cast("string").alias("unique_ts_count"),
+            F.min(self.ts_col).cast("string").alias("min_ts"),
+            F.max(self.ts_col).cast("string").alias("max_ts"),
+        )
+
+        def _extra_row(label: str, src: str) -> DataFrame:
+            cols = [F.lit(label).alias("summary")] + [
+                (F.col(src) if c == self.ts_col or (src == "unique_ts_count" and c == value_cols[0]) else F.lit(None).cast("string")).alias(c)
+                for c in value_cols
+            ]
+            return extras.select(*cols)
+
+        out = desc
+        for label, src in (
+            ("unique_time_series_count", "unique_ts_count"),
+            ("min_ts", "min_ts"),
+            ("max_ts", "max_ts"),
+        ):
+            out = out.unionByName(_extra_row(label, src))
+        return out
+
+    # --------------------------------------------------------- state & fourier
+
+    def extractStateIntervals(
+        self,
+        *metric_cols: str,
+        state_definition: Union[str, Callable[[Column, Column], Column]] = "=",
+    ) -> DataFrame:
+        from tempo_spark.operators.state import extract_state_intervals
+
+        return extract_state_intervals(self, list(metric_cols), state_definition)
+
+    def fourier_transform(self, timestep: float, valueCol: str) -> "TSDF":
+        from tempo_spark.operators.fourier import fourier_transform
+
+        return fourier_transform(self, timestep, valueCol)
+
+    # ------------------------------------------------------ resample & interp
+
+    def resample(
+        self,
+        freq: str,
+        func: str,
+        metricCols: Optional[Sequence[str]] = None,
+        prefix: Optional[str] = None,
+        fill: Optional[bool] = None,
+    ) -> "TSDF":
+        from tempo_spark.operators.resample import resample as _resample
+
+        return _resample(self, freq, func, metric_cols=metricCols, prefix=prefix, fill=fill)
+
+    def interpolate(
+        self,
+        method: str,
+        freq: Optional[str] = None,
+        func: Optional[str] = None,
+        target_cols: Optional[Sequence[str]] = None,
+        show_interpolated: bool = False,
+    ) -> "TSDF":
+        from tempo_spark.operators.interpolation import interpolate as _interpolate
+
+        if freq is None or func is None:
+            raise ValueError("interpolate on a raw TSDF requires freq and func")
+        return _interpolate(
+            self,
+            freq=freq,
+            func=func,
+            method=method,
+            target_cols=target_cols,
+            show_interpolated=show_interpolated,
+            already_resampled=False,
+        )
+
+    def calc_bars(
+        self,
+        freq: str,
+        metricCols: Optional[Sequence[str]] = None,
+        fill: Optional[bool] = None,
+    ) -> "TSDF":
+        from tempo_spark.operators.resample import calc_bars as _calc_bars
+
+        return _calc_bars(self, freq, metric_cols=metricCols, fill=fill)
+
+    # ----------------------------------------------------------------- write
+
+    def write(self, spark, tabName: str, optimizationCols: Optional[Sequence[str]] = None, mode: str = "overwrite") -> None:
+        from tempo_spark.sources.io import write_tsdf
+
+        write_tsdf(self, spark, tabName, optimization_cols=optimizationCols, mode=mode)
+
+
+class ResampledTSDF(TSDF):
+    """A TSDF produced by ``resample`` that remembers freq/func so a chained
+    ``.interpolate(method=...)`` needs no re-specification
+    (reference: python/tempo/tsdf.py:1619-1689)."""
+
+    def __init__(self, df, ts_col, series_ids, sequence_col=None, *, freq: str, func: str, validate: bool = False):
+        super().__init__(df, ts_col, series_ids, sequence_col, validate=validate)
+        self._freq = freq
+        self._func = func
+
+    def interpolate(  # type: ignore[override]
+        self,
+        method: str,
+        freq: Optional[str] = None,
+        func: Optional[str] = None,
+        target_cols: Optional[Sequence[str]] = None,
+        show_interpolated: bool = False,
+    ) -> "TSDF":
+        from tempo_spark.operators.interpolation import interpolate as _interpolate
+
+        return _interpolate(
+            self,
+            freq=freq or self._freq,
+            func=func or self._func,
+            method=method,
+            target_cols=target_cols,
+            show_interpolated=show_interpolated,
+            already_resampled=(freq is None or freq == self._freq),
+        )

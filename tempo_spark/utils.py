@@ -1,0 +1,65 @@
+"""Display + planning utilities (reference: python/tempo/utils.py)."""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from tempo_spark.functions.freq import parse_freq
+
+logger = logging.getLogger(__name__)
+
+
+def get_display_df(tsdf, k: int = 5) -> DataFrame:
+    """Latest k rows per series, series-then-time ordered
+    (reference: python/tempo/utils.py:169-175)."""
+    return tsdf.latest(k).df.orderBy(*tsdf.series_ids, tsdf.ts_col)
+
+
+def display(df, n: int = 20) -> None:
+    """Minimal polymorphic display — plain ``show`` locally. (The reference's
+    Databricks/IPython sniffing, python/tempo/utils.py:139-237, is
+    environment plumbing, not engine behavior.)"""
+    inner = getattr(df, "df", df)
+    inner.show(n, truncate=False)
+
+
+def calculate_time_horizon(
+    df: DataFrame,
+    ts_col: str,
+    freq: str,
+    partition_cols: Sequence[str],
+    warn_threshold_rows: int = 1_000_000,
+) -> dict:
+    """Estimate per-series resampled row counts for a frequency — min / max /
+    p25 / p50 / p75 / total — and warn when the projected grid is huge
+    (reference: python/tempo/utils.py:53-136).
+
+    One aggregation job; call explicitly (never implicitly from operators,
+    unlike the reference's eager ``perform_checks`` path).
+    """
+    f = parse_freq(freq)
+    spans = df.groupBy(*partition_cols).agg(
+        ((F.max(F.col(ts_col)).cast("double") - F.min(F.col(ts_col)).cast("double"))
+         / F.lit(f.seconds) + 1).alias("__n_buckets")
+    )
+    stats = spans.agg(
+        F.min("__n_buckets").alias("min"),
+        F.max("__n_buckets").alias("max"),
+        F.percentile_approx("__n_buckets", 0.25).alias("p25"),
+        F.percentile_approx("__n_buckets", 0.5).alias("p50"),
+        F.percentile_approx("__n_buckets", 0.75).alias("p75"),
+        F.sum("__n_buckets").alias("total"),
+        F.count("*").alias("num_series"),
+    ).collect()[0]
+    result = {k: (float(stats[k]) if stats[k] is not None else None) for k in
+              ("min", "max", "p25", "p50", "p75", "total", "num_series")}
+    if result["total"] and result["total"] > warn_threshold_rows:
+        logger.warning(
+            "resample at %s projects ~%.0f output rows across %.0f series — "
+            "consider a coarser frequency", freq, result["total"], result["num_series"]
+        )
+    return result

@@ -1,0 +1,169 @@
+import datetime as dt
+
+import pytest
+
+from tempo_spark import TSDF
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades_tsdf(trades):
+    return TSDF(trades, ts_col="event_ts", series_ids=["symbol"])
+
+
+@pytest.fixture(scope="module")
+def quotes_tsdf(quotes):
+    return TSDF(quotes, ts_col="event_ts", series_ids=["symbol"])
+
+
+def _collect_map(df, ts_col="left_event_ts"):
+    return {(r.symbol, str(r[ts_col])): r for r in df.collect()}
+
+
+class TestAsofJoinDefault:
+    def test_basic(self, trades_tsdf, quotes_tsdf):
+        out = trades_tsdf.asofJoin(quotes_tsdf, left_prefix="left")
+        assert out.df.count() == 8  # every left row survives
+        rows = _collect_map(out.df)
+        r = rows[("S1", "2020-08-01 00:01:12")]
+        assert r.right_bid_pr == 348.10 and str(r.right_event_ts) == "2020-08-01 00:01:05"
+        # trade before any quote → nulls
+        r0 = rows[("S1", "2020-08-01 00:00:10")]
+        assert r0.right_bid_pr is None or str(r0.right_event_ts) == "2020-08-01 00:00:01"
+
+    def test_skip_nulls_true(self, trades_tsdf, quotes_tsdf):
+        out = trades_tsdf.asofJoin(quotes_tsdf, left_prefix="left", skipNulls=True)
+        rows = _collect_map(out.df)
+        # S1 quote at 00:15:00 has null bid; skipNulls keeps the older bid
+        r = rows[("S1", "2020-09-01 00:19:12")]
+        assert r.right_bid_pr == 358.93
+        assert r.right_ask_pr == 365.31
+
+    def test_skip_nulls_false(self, trades_tsdf, quotes_tsdf):
+        out = trades_tsdf.asofJoin(quotes_tsdf, left_prefix="left", skipNulls=False)
+        rows = _collect_map(out.df)
+        # genuine null bid on the latest quote must win
+        r = rows[("S1", "2020-09-01 00:19:12")]
+        assert r.right_bid_pr is None
+        assert r.right_ask_pr == 365.31
+
+    def test_equal_ts_right_visible(self, spark):
+        left = TSDF(
+            spark.createDataFrame(
+                [("A", ts("2020-01-01 00:00:10"), 1.0)],
+                "k string, event_ts timestamp, v double",
+            ),
+            series_ids=["k"],
+        )
+        right = TSDF(
+            spark.createDataFrame(
+                [("A", ts("2020-01-01 00:00:10"), 9.0)],
+                "k string, event_ts timestamp, q double",
+            ),
+            series_ids=["k"],
+        )
+        out = left.asofJoin(right, left_prefix="left").df.collect()
+        assert out[0].right_q == 9.0
+
+    def test_tolerance(self, trades_tsdf, quotes_tsdf):
+        # 10s tolerance: only joins where quote within 10s survive
+        out = trades_tsdf.asofJoin(quotes_tsdf, left_prefix="left", tolerance=10)
+        rows = _collect_map(out.df)
+        assert rows[("S1", "2020-08-01 00:00:10")].right_bid_pr == 345.11  # 9s old
+        assert rows[("S1", "2020-08-01 00:01:12")].right_bid_pr == 348.10  # 7s old
+        # S1 trade at 00:19:12 vs latest quote 00:15:00 → 252s old → nulled
+        assert rows[("S1", "2020-09-01 00:19:12")].right_ask_pr is None
+        assert rows[("S1", "2020-09-01 00:19:12")].right_event_ts is None
+
+    def test_sequence_col_tiebreak(self, spark):
+        left = TSDF(
+            spark.createDataFrame(
+                [("A", ts("2020-01-01 00:00:10"), 1.0)],
+                "k string, event_ts timestamp, v double",
+            ),
+            series_ids=["k"],
+        )
+        right = TSDF(
+            spark.createDataFrame(
+                [
+                    ("A", ts("2020-01-01 00:00:10"), 1, 100.0),
+                    ("A", ts("2020-01-01 00:00:10"), 2, 200.0),
+                ],
+                "k string, event_ts timestamp, seq_nb long, q double",
+            ),
+            series_ids=["k"],
+            sequence_col="seq_nb",
+        )
+        out = left.asofJoin(right, left_prefix="left").df.collect()
+        # highest sequence number at equal ts wins
+        assert out[0].right_q == 200.0 and out[0].right_seq_nb == 2
+
+    def test_mismatched_series_raises(self, trades_tsdf, spark):
+        other = TSDF(
+            spark.createDataFrame([("x", ts("2020-01-01 00:00:00"), 1.0)],
+                                  "other string, event_ts timestamp, q double"),
+            series_ids=["other"],
+        )
+        with pytest.raises(ValueError, match="series ids"):
+            trades_tsdf.asofJoin(other)
+
+
+class TestAsofJoinSkew:
+    def test_partitioned_matches_default(self, trades_tsdf, quotes_tsdf):
+        plain = trades_tsdf.asofJoin(quotes_tsdf, left_prefix="left").df
+        skew = trades_tsdf.asofJoin(
+            quotes_tsdf, left_prefix="left", tsPartitionVal=86400 * 45, fraction=0.5
+        ).df
+        p = {(r.symbol, str(r.left_event_ts), r.right_bid_pr) for r in plain.collect()}
+        s = {(r.symbol, str(r.left_event_ts), r.right_bid_pr) for r in skew.collect()}
+        # rows whose lookback falls outside the bracket may be null in skew mode;
+        # but matched rows must agree
+        assert s <= p | {(sym, t, None) for (sym, t, _) in p}
+
+    def test_skipnulls_false_with_partition_raises(self, trades_tsdf, quotes_tsdf):
+        with pytest.raises(ValueError, match="skip_nulls"):
+            trades_tsdf.asofJoin(quotes_tsdf, skipNulls=False, tsPartitionVal=100)
+
+
+class TestAsofJoinRange:
+    def test_range_join_matches_default(self, trades_tsdf, quotes_tsdf):
+        # range join attaches whole right ROWS — the union-path equivalent is
+        # skipNulls=False (per-column forward-fill differs on null metrics)
+        plain = trades_tsdf.asofJoin(quotes_tsdf, left_prefix="left", skipNulls=False).df
+        ranged = trades_tsdf.asofJoin(quotes_tsdf, left_prefix="left", sql_join_opt=True).df
+        p = sorted(
+            (r.symbol, str(r.left_event_ts), r.right_bid_pr, r.right_ask_pr)
+            for r in plain.collect()
+        )
+        q = sorted(
+            (r.symbol, str(r.left_event_ts), r.right_bid_pr, r.right_ask_pr)
+            for r in ranged.collect()
+        )
+        assert p == q
+
+
+class TestAsofNanos:
+    def test_double_ts(self, spark):
+        from tempo_spark.functions.timestamps import parse_nanos_timestamp
+
+        # NB: double epoch seconds resolve ~240ns at 2020-era epochs (same
+        # bound as the reference's double-ts representation); test at µs scale
+        left = spark.createDataFrame(
+            [("A", "2020-01-01 00:00:10.123456500", 1.0)],
+            "k string, event_ts string, v double",
+        )
+        right = spark.createDataFrame(
+            [
+                ("A", "2020-01-01 00:00:10.123455900", 8.0),
+                ("A", "2020-01-01 00:00:10.123457100", 9.0),
+            ],
+            "k string, event_ts string, q double",
+        )
+        lt = TSDF(parse_nanos_timestamp(left, "event_ts"), series_ids=["k"])
+        rt = TSDF(parse_nanos_timestamp(right, "event_ts"), series_ids=["k"])
+        out = lt.asofJoin(rt, left_prefix="left").df.collect()
+        # sub-µs ordering: the .4559 quote is the latest <= .4565
+        assert out[0].right_q == 8.0

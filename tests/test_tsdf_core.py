@@ -1,0 +1,140 @@
+import datetime as dt
+
+import pytest
+
+from tempo_spark import TSDF
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def tsdf(trades):
+    return TSDF(trades, ts_col="event_ts", series_ids=["symbol"])
+
+
+class TestConstruction:
+    def test_basic(self, tsdf):
+        assert tsdf.ts_col == "event_ts"
+        assert tsdf.series_ids == ["symbol"]
+        assert tsdf.metric_cols == ["trade_pr"]
+
+    def test_missing_ts_col(self, trades):
+        with pytest.raises(ValueError, match="ts_col"):
+            TSDF(trades, ts_col="nope")
+
+    def test_string_ts_rejected(self, spark):
+        df = spark.createDataFrame([("a", "2020-01-01 00:00:00")], "k string, t string")
+        with pytest.raises(ValueError, match="string"):
+            TSDF(df, ts_col="t")
+
+    def test_partition_cols_alias(self, trades):
+        t = TSDF(trades, ts_col="event_ts", partition_cols=["symbol"])
+        assert t.series_ids == ["symbol"]
+
+
+class TestSlicing:
+    def test_at(self, tsdf):
+        out = tsdf.at("2020-08-01 00:00:10").df.collect()
+        assert len(out) == 1 and out[0].trade_pr == 349.21
+
+    def test_before_after(self, tsdf):
+        assert tsdf.before("2020-08-01 00:01:10").df.count() == 1
+        assert tsdf.atOrBefore("2020-08-01 00:01:10").df.count() == 2
+        assert tsdf.after("2020-09-01 00:02:10").df.count() == 2
+        assert tsdf.atOrAfter("2020-09-01 00:02:10").df.count() == 4
+
+    def test_between(self, tsdf):
+        assert tsdf.between("2020-08-01 00:01:10", "2020-09-01 00:02:10").df.count() == 5
+        assert (
+            tsdf.between("2020-08-01 00:01:10", "2020-09-01 00:02:10", inclusive=False)
+            .df.count()
+            == 2
+        )
+
+
+class TestTopK:
+    def test_earliest_latest(self, tsdf):
+        earliest = {(r.symbol, r.trade_pr) for r in tsdf.earliest(1).df.collect()}
+        assert earliest == {("S1", 349.21), ("S2", 743.01)}
+        latest = {(r.symbol, r.trade_pr) for r in tsdf.latest(1).df.collect()}
+        assert latest == {("S1", 362.10), ("S2", 762.33)}
+
+    def test_latest_n(self, tsdf):
+        out = tsdf.latest(2).df
+        assert out.count() == 4
+
+    def test_prior_subsequent(self, tsdf):
+        prior = {(r.symbol, r.trade_pr) for r in tsdf.priorTo("2020-09-01 00:02:10").df.collect()}
+        assert prior == {("S1", 361.10), ("S2", 761.10)}
+        sub = {(r.symbol, r.trade_pr) for r in tsdf.subsequentTo("2020-08-02 00:00:00").df.collect()}
+        assert sub == {("S1", 361.10), ("S2", 761.10)}
+
+
+class TestSelect:
+    def test_select_keeps_structural(self, tsdf):
+        out = tsdf.select("trade_pr")
+        assert set(out.df.columns) == {"event_ts", "symbol", "trade_pr"}
+
+
+class TestStats:
+    def test_range_stats(self, tsdf):
+        out = tsdf.withRangeStats(rangeBackWindowSecs=120).df
+        cols = set(out.columns)
+        for stat in ("mean", "count", "min", "max", "sum", "stddev", "zscore"):
+            assert f"{stat}_trade_pr" in cols
+        rows = {(r.symbol, str(r.event_ts)): r for r in out.collect()}
+        r = rows[("S1", "2020-08-01 00:01:12")]
+        assert r.count_trade_pr == 2
+        assert r.mean_trade_pr == pytest.approx((349.21 + 351.32) / 2)
+        # first row per series: only itself in the window
+        r0 = rows[("S1", "2020-08-01 00:00:10")]
+        assert r0.count_trade_pr == 1 and r0.stddev_trade_pr is None
+
+    def test_grouped_stats(self, tsdf):
+        out = tsdf.withGroupedStats(freq="1 minute").df
+        rows = {(r.symbol, str(r.event_ts)): r for r in out.collect()}
+        r = rows[("S2", "2020-08-01 00:01:00")]
+        assert r.count_trade_pr == 2
+        assert r.mean_trade_pr == pytest.approx((743.01 + 751.92) / 2)
+
+    def test_ema(self, tsdf):
+        out = tsdf.EMA("trade_pr", window=2, exp_factor=0.5).df
+        rows = {(r.symbol, str(r.event_ts)): r for r in out.collect()}
+        # second row of S1: 0.5*351.32 + 0.25*349.21
+        assert rows[("S1", "2020-08-01 00:01:12")]["ema_trade_pr"] == pytest.approx(
+            0.5 * 351.32 + 0.25 * 349.21
+        )
+
+    def test_lookback_features(self, tsdf):
+        out = tsdf.withLookbackFeatures(["trade_pr"], 2).df
+        rows = out.collect()
+        # with exactSize=True only rows with a full 2-row lookback remain
+        assert all(len(r.features) == 2 for r in rows)
+        assert len(rows) == 4
+
+    def test_vwap(self, spark):
+        import datetime as dt
+
+        rows = [
+            ("S1", dt.datetime(2020, 8, 1, 0, 0, 10), 100.0, 10.0),
+            ("S1", dt.datetime(2020, 8, 1, 0, 0, 50), 102.0, 30.0),
+            ("S1", dt.datetime(2020, 8, 1, 0, 1, 10), 104.0, 10.0),
+        ]
+        df = spark.createDataFrame(rows, "symbol string, event_ts timestamp, price double, volume double")
+        t = TSDF(df, ts_col="event_ts", series_ids=["symbol"])
+        out = t.vwap(frequency="m", volume_col="volume", price_col="price").df.collect()
+        by_ts = {str(r.event_ts): r for r in out}
+        assert by_ts["2020-08-01 00:00:00"].vwap == pytest.approx(
+            (100.0 * 10 + 102.0 * 30) / 40
+        )
+        assert by_ts["2020-08-01 00:01:00"].vwap == pytest.approx(104.0)
+
+
+class TestDescribe:
+    def test_describe(self, tsdf):
+        out = tsdf.describe()
+        summaries = [r.summary for r in out.collect()]
+        assert "unique_time_series_count" in summaries
+        assert "min_ts" in summaries and "max_ts" in summaries
