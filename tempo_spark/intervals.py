@@ -136,12 +136,17 @@ class IntervalsDF:
 
         seg_s, seg_e = "__seg_start", "__seg_end"
 
-        # 1. elementary segments from distinct sorted boundaries
+        # 1. elementary segments from distinct sorted boundaries (series cols
+        # renamed to avoid self-join ambiguity with the interval side)
+        seg_series = [f"__sk_{i}" for i in range(len(series))]
         boundaries = (
-            df.select(*series, F.explode(F.array(F.col(s), F.col(e))).alias("__b"))
+            df.select(
+                *[F.col(c).alias(a) for c, a in zip(series, seg_series)],
+                F.explode(F.array(F.col(s), F.col(e))).alias("__b"),
+            )
             .distinct()
         )
-        wb = Window.partitionBy(*series).orderBy("__b")
+        wb = Window.partitionBy(*seg_series).orderBy("__b")
         segments = (
             boundaries.withColumn(seg_e, F.lead(F.col("__b")).over(wb))
             .where(F.col(seg_e).isNotNull())
@@ -151,16 +156,16 @@ class IntervalsDF:
         # 2. pair each segment with its covering intervals (per-series range join)
         cond = reduce(
             lambda a, b: a & b,
-            [segments[c] == df[c] for c in series],
-            (segments[seg_s] < df[e]) & (segments[seg_e] > df[s]),
+            [F.col(a) == F.col(c) for a, c in zip(seg_series, series)],
+            (F.col(seg_s) < F.col(e)) & (F.col(seg_e) > F.col(s)),
         )
         paired = segments.join(df, on=cond, how="inner").select(
-            *[segments[c].alias(c) for c in series],
-            segments[seg_s].alias(seg_s),
-            segments[seg_e].alias(seg_e),
-            df[s].alias("__i_start"),
-            df[e].alias("__i_end"),
-            *[df[c].alias(c) for c in payload],
+            *series,
+            seg_s,
+            seg_e,
+            F.col(s).alias("__i_start"),
+            F.col(e).alias("__i_end"),
+            *payload,
         )
 
         # 3. merge payloads: latest-starting covering interval's non-null wins

@@ -63,13 +63,15 @@ def interpolate(
 
     w = Window.partitionBy(*series).orderBy(F.col(ts))
     next_ts = F.lead(F.col(ts)).over(w)
-    seq_end = F.when(
-        next_ts.isNotNull(), next_ts - F.expr(f.interval)
-    ).otherwise(F.col(ts))
-
+    # window fn must be materialized before it can feed a generator
     df = tsdf.df.withColumn(
-        "__new_ts", F.explode(F.sequence(F.col(ts), seq_end, F.expr(f.interval)))
+        "__seq_end",
+        F.when(next_ts.isNotNull(), next_ts - F.expr(f.interval)).otherwise(F.col(ts)),
     )
+    df = df.withColumn(
+        "__new_ts",
+        F.explode(F.sequence(F.col(ts), F.col("__seq_end"), F.expr(f.interval))),
+    ).drop("__seq_end")
     df = df.withColumn("is_ts_interpolated", F.col("__new_ts") != F.col(ts))
 
     # values only exist at original buckets; synthesized buckets start null

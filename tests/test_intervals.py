@@ -1,0 +1,169 @@
+import datetime as dt
+
+import pytest
+
+from tempo_spark import IntervalsDF
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def idf(spark, rows, schema="start_ts timestamp, end_ts timestamp, series_1 string, metric_1 int, metric_2 int"):
+    return IntervalsDF(spark.createDataFrame(rows, schema), "start_ts", "end_ts", ["series_1"])
+
+
+def collect_intervals(out):
+    return sorted(
+        (r.series_1, str(r.start_ts), str(r.end_ts), r.metric_1, r.metric_2)
+        for r in out.df.collect()
+    )
+
+
+class TestProps:
+    def test_columns(self, spark):
+        i = idf(spark, [(ts("2020-01-01 00:00:00"), ts("2020-01-01 00:01:00"), "a", 1, 2)])
+        assert i.interval_boundaries == ["start_ts", "end_ts"]
+        assert i.structural_columns == ["start_ts", "end_ts", "series_1"]
+        assert i.metric_columns == ["metric_1", "metric_2"]
+
+    def test_missing_col_raises(self, spark):
+        df = spark.createDataFrame([(1,)], "x int")
+        with pytest.raises(ValueError):
+            IntervalsDF(df, "start_ts", "end_ts", [])
+
+
+class TestMakeDisjoint:
+    def test_disjoint_input_unchanged(self, spark):
+        rows = [
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:01:00"), "a", 1, None),
+            (ts("2020-01-01 00:02:00"), ts("2020-01-01 00:03:00"), "a", 2, None),
+        ]
+        out = collect_intervals(idf(spark, rows).make_disjoint())
+        assert out == [
+            ("a", "2020-01-01 00:00:00", "2020-01-01 00:01:00", 1, None),
+            ("a", "2020-01-01 00:02:00", "2020-01-01 00:03:00", 2, None),
+        ]
+
+    def test_overlap_complementary_metrics(self, spark):
+        # two overlapping intervals with complementary nulls → 3 segments,
+        # overlap carries both metrics
+        rows = [
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:02:00"), "a", 1, None),
+            (ts("2020-01-01 00:01:00"), ts("2020-01-01 00:03:00"), "a", None, 5),
+        ]
+        out = collect_intervals(idf(spark, rows).make_disjoint())
+        assert out == [
+            ("a", "2020-01-01 00:00:00", "2020-01-01 00:01:00", 1, None),
+            ("a", "2020-01-01 00:01:00", "2020-01-01 00:02:00", 1, 5),
+            ("a", "2020-01-01 00:02:00", "2020-01-01 00:03:00", None, 5),
+        ]
+
+    def test_contained_interval(self, spark):
+        # containment → 3-way split; inner (later-starting) non-null wins inside
+        rows = [
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:04:00"), "a", 1, 1),
+            (ts("2020-01-01 00:01:00"), ts("2020-01-01 00:02:00"), "a", 9, None),
+        ]
+        out = collect_intervals(idf(spark, rows).make_disjoint())
+        assert out == [
+            ("a", "2020-01-01 00:00:00", "2020-01-01 00:01:00", 1, 1),
+            ("a", "2020-01-01 00:01:00", "2020-01-01 00:02:00", 9, 1),
+            ("a", "2020-01-01 00:02:00", "2020-01-01 00:04:00", 1, 1),
+        ]
+
+    def test_identical_boundaries_merge(self, spark):
+        rows = [
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:01:00"), "a", 1, None),
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:01:00"), "a", None, 2),
+        ]
+        out = collect_intervals(idf(spark, rows).make_disjoint())
+        assert out == [("a", "2020-01-01 00:00:00", "2020-01-01 00:01:00", 1, 2)]
+
+    def test_equivalent_metrics_coalesce(self, spark):
+        # overlapping intervals with identical metrics merge into one span
+        rows = [
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:02:00"), "a", 1, 2),
+            (ts("2020-01-01 00:01:00"), ts("2020-01-01 00:03:00"), "a", 1, 2),
+        ]
+        out = collect_intervals(idf(spark, rows).make_disjoint())
+        assert out == [("a", "2020-01-01 00:00:00", "2020-01-01 00:03:00", 1, 2)]
+
+    def test_series_isolated(self, spark):
+        rows = [
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:02:00"), "a", 1, None),
+            (ts("2020-01-01 00:01:00"), ts("2020-01-01 00:03:00"), "b", 2, None),
+        ]
+        out = collect_intervals(idf(spark, rows).make_disjoint())
+        assert out == [
+            ("a", "2020-01-01 00:00:00", "2020-01-01 00:02:00", 1, None),
+            ("b", "2020-01-01 00:01:00", "2020-01-01 00:03:00", 2, None),
+        ]
+
+    def test_shared_start(self, spark):
+        rows = [
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:02:00"), "a", 1, None),
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:03:00"), "a", None, 7),
+        ]
+        out = collect_intervals(idf(spark, rows).make_disjoint())
+        assert out == [
+            ("a", "2020-01-01 00:00:00", "2020-01-01 00:02:00", 1, 7),
+            ("a", "2020-01-01 00:02:00", "2020-01-01 00:03:00", None, 7),
+        ]
+
+    def test_issue_268_shape(self, spark):
+        # regression shape from the reference's issue-268 test: 4 metrics with
+        # staggered overlaps must not lose values
+        # (reference: python/tests/intervals_tests.py:404-414)
+        schema = ("start_timestamp timestamp, end_timestamp timestamp, id string, "
+                  "s1 int, s2 int, s3 int, s4 int")
+        rows = [
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:10:00"), "x", 1, None, None, None),
+            (ts("2020-01-01 00:02:00"), ts("2020-01-01 00:08:00"), "x", None, 2, None, None),
+            (ts("2020-01-01 00:04:00"), ts("2020-01-01 00:06:00"), "x", None, None, 3, None),
+            (ts("2020-01-01 00:05:00"), ts("2020-01-01 00:12:00"), "x", None, None, None, 4),
+        ]
+        i = IntervalsDF(spark.createDataFrame(rows, schema), "start_timestamp", "end_timestamp", ["id"])
+        out = i.make_disjoint()
+        rows_out = sorted(
+            (str(r.start_timestamp), str(r.end_timestamp), r.s1, r.s2, r.s3, r.s4)
+            for r in out.df.collect()
+        )
+        # disjointness + full coverage
+        for i_, (s, e, *_rest) in enumerate(rows_out[:-1]):
+            assert e <= rows_out[i_ + 1][0]
+        assert rows_out[0][0] == "2020-01-01 00:00:00"
+        assert rows_out[-1][1] == "2020-01-01 00:12:00"
+        seg = [r for r in rows_out if r[0] == "2020-01-01 00:05:00"][0]
+        assert seg[2:] == (1, 2, 3, 4)
+
+
+class TestStackedRoundtrip:
+    def test_from_stacked(self, spark):
+        rows = [
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:01:00"), "a", "m1", 5),
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:01:00"), "a", "m2", 6),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "start_ts timestamp, end_ts timestamp, series_1 string, metric_name string, metric_value int",
+        )
+        i = IntervalsDF.fromStackedMetrics(
+            df, "start_ts", "end_ts", ["series_1"], "metric_name", "metric_value",
+            metric_names=["m1", "m2"],
+        )
+        row = i.df.collect()[0]
+        assert row.m1 == 5 and row.m2 == 6
+
+    def test_to_stacked(self, spark):
+        i = idf(spark, [(ts("2020-01-01 00:00:00"), ts("2020-01-01 00:01:00"), "a", 1, None)])
+        out = i.toDF(stack=True).collect()
+        # null metric dropped
+        assert len(out) == 1
+        assert out[0].metric_name == "metric_1" and out[0].metric_value == 1
+
+    def test_union(self, spark):
+        a = idf(spark, [(ts("2020-01-01 00:00:00"), ts("2020-01-01 00:01:00"), "a", 1, 2)])
+        b = idf(spark, [(ts("2020-01-01 00:02:00"), ts("2020-01-01 00:03:00"), "b", 3, 4)])
+        assert a.union(b).df.count() == 2
+        assert a.unionByName(b).df.count() == 2

@@ -1,0 +1,185 @@
+import datetime as dt
+
+import pytest
+
+from tempo_spark import TSDF
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def metrics(spark):
+    rows = [
+        ("A", ts("2020-01-01 00:00:10"), 1.0, 10.0),
+        ("A", ts("2020-01-01 00:00:40"), 2.0, 20.0),
+        ("A", ts("2020-01-01 00:01:05"), 3.0, 30.0),
+        # gap: no data in 00:02 bucket
+        ("A", ts("2020-01-01 00:03:20"), 4.0, 40.0),
+        ("B", ts("2020-01-01 00:00:05"), 10.0, 100.0),
+        ("B", ts("2020-01-01 00:02:10"), 12.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, event_ts timestamp, v double, w double"
+    )
+    return TSDF(df, ts_col="event_ts", series_ids=["k"])
+
+
+class TestResample:
+    def test_mean(self, metrics):
+        out = metrics.resample("1 minute", "mean").df
+        rows = {(r.k, str(r.event_ts)): r for r in out.collect()}
+        assert rows[("A", "2020-01-01 00:00:00")].v == pytest.approx(1.5)
+        assert rows[("A", "2020-01-01 00:01:00")].v == pytest.approx(3.0)
+        assert ("A", "2020-01-01 00:02:00") not in rows  # empty bucket absent
+        assert rows[("B", "2020-01-01 00:02:00")].w is None  # null stays null
+
+    def test_min_max(self, metrics):
+        mn = metrics.resample("1 minute", "min").df.collect()
+        mx = metrics.resample("1 minute", "max").df.collect()
+        mnr = {(r.k, str(r.event_ts)): r.v for r in mn}
+        mxr = {(r.k, str(r.event_ts)): r.v for r in mx}
+        assert mnr[("A", "2020-01-01 00:00:00")] == 1.0
+        assert mxr[("A", "2020-01-01 00:00:00")] == 2.0
+
+    def test_floor_ceil(self, metrics):
+        fl = metrics.resample("1 minute", "floor").df
+        ce = metrics.resample("1 minute", "ceil").df
+        flr = {(r.k, str(r.event_ts)): (r.v, r.w) for r in fl.collect()}
+        cer = {(r.k, str(r.event_ts)): (r.v, r.w) for r in ce.collect()}
+        # floor takes the EARLIEST row's values, ceil the LATEST's
+        assert flr[("A", "2020-01-01 00:00:00")] == (1.0, 10.0)
+        assert cer[("A", "2020-01-01 00:00:00")] == (2.0, 20.0)
+
+    def test_prefix(self, metrics):
+        out = metrics.resample("1 minute", "mean", prefix="mean").df
+        assert "mean_v" in out.columns and "mean_w" in out.columns
+
+    def test_fill(self, metrics):
+        out = metrics.resample("1 minute", "mean", fill=True).df
+        rows = {(r.k, str(r.event_ts)): r for r in out.collect()}
+        # A spans 00:00–00:03 → 4 buckets; B spans 00:00–00:02 → 3 buckets
+        assert len([k for k in rows if k[0] == "A"]) == 4
+        assert len([k for k in rows if k[0] == "B"]) == 3
+        # synthesized bucket zero-filled
+        assert rows[("A", "2020-01-01 00:02:00")].v == 0.0
+
+    def test_bad_func(self, metrics):
+        with pytest.raises(ValueError, match="func"):
+            metrics.resample("1 minute", "median")
+
+    def test_millis(self, spark):
+        rows = [
+            ("A", ts("2020-01-01 00:00:10.000"), 1.0),
+            ("A", ts("2020-01-01 00:00:10.330"), 2.0),
+            ("A", ts("2020-01-01 00:00:10.600"), 3.0),
+        ]
+        t = TSDF(
+            spark.createDataFrame(rows, "k string, event_ts timestamp, v double"),
+            series_ids=["k"],
+        )
+        out = t.resample("500 ms", "mean").df.collect()
+        vals = {str(r.event_ts): r.v for r in out}
+        assert vals["2020-01-01 00:00:10"] == pytest.approx(1.5)
+        assert vals["2020-01-01 00:00:10.500000"] == pytest.approx(3.0)
+
+
+class TestBars:
+    def test_ohlc(self, metrics):
+        out = metrics.calc_bars("1 minute").df
+        rows = {(r.k, str(r.event_ts)): r for r in out.collect()}
+        r = rows[("A", "2020-01-01 00:00:00")]
+        assert (r.open_v, r.low_v, r.high_v, r.close_v) == (1.0, 1.0, 2.0, 2.0)
+        assert (r.open_w, r.low_w, r.high_w, r.close_w) == (10.0, 10.0, 20.0, 20.0)
+
+    def test_ohlc_single_row_bucket(self, metrics):
+        out = metrics.calc_bars("1 minute").df
+        rows = {(r.k, str(r.event_ts)): r for r in out.collect()}
+        r = rows[("A", "2020-01-01 00:03:00")]
+        assert (r.open_v, r.low_v, r.high_v, r.close_v) == (4.0, 4.0, 4.0, 4.0)
+
+
+class TestFreqParse:
+    def test_parse(self):
+        from tempo_spark.functions.freq import parse_freq
+
+        assert parse_freq("30 seconds").seconds == 30
+        assert parse_freq("sec").seconds == 1
+        assert parse_freq("5 min").seconds == 300
+        assert parse_freq("1 hr").seconds == 3600
+        assert parse_freq("day").seconds == 86400
+        assert parse_freq("30s").seconds == 30
+        assert parse_freq("500 ms").seconds == 0.5
+        with pytest.raises(ValueError):
+            parse_freq("fortnight")
+        with pytest.raises(ValueError):
+            parse_freq("-5 sec")
+
+
+class TestInterpolation:
+    def test_zero_fill(self, metrics):
+        out = metrics.resample("1 minute", "mean").interpolate("zero").df
+        rows = {(r.k, str(r.event_ts)): r for r in out.collect()}
+        assert rows[("A", "2020-01-01 00:02:00")].v == 0.0
+        assert rows[("B", "2020-01-01 00:01:00")].v == 0.0
+        # B's null w at 00:02 also zero-filled
+        assert rows[("B", "2020-01-01 00:02:00")].w == 0.0
+
+    def test_null_fill(self, metrics):
+        out = metrics.resample("1 minute", "mean").interpolate(
+            "null", show_interpolated=True
+        ).df
+        rows = {(r.k, str(r.event_ts)): r for r in out.collect()}
+        r = rows[("A", "2020-01-01 00:02:00")]
+        assert r.v is None and r.is_ts_interpolated and r.is_interpolated_v
+
+    def test_ffill(self, metrics):
+        out = metrics.resample("1 minute", "mean").interpolate("ffill").df
+        rows = {(r.k, str(r.event_ts)): r for r in out.collect()}
+        assert rows[("A", "2020-01-01 00:02:00")].v == pytest.approx(3.0)
+
+    def test_bfill(self, metrics):
+        out = metrics.resample("1 minute", "mean").interpolate("bfill").df
+        rows = {(r.k, str(r.event_ts)): r for r in out.collect()}
+        assert rows[("A", "2020-01-01 00:02:00")].v == pytest.approx(4.0)
+
+    def test_linear(self, metrics):
+        out = metrics.resample("1 minute", "mean").interpolate(
+            "linear", show_interpolated=True
+        ).df
+        rows = {(r.k, str(r.event_ts)): r for r in out.collect()}
+        # A: bucket means at 00:01 → 3.0, 00:03 → 4.0; 00:02 is midway → 3.5
+        r = rows[("A", "2020-01-01 00:02:00")]
+        assert r.v == pytest.approx(3.5)
+        assert r.is_ts_interpolated and r.is_interpolated_v
+        # edges stay null-free: original buckets untouched
+        assert rows[("A", "2020-01-01 00:01:00")].v == pytest.approx(3.0)
+
+    def test_linear_edge_stays_null(self, spark):
+        rows = [
+            ("A", ts("2020-01-01 00:00:30"), None),
+            ("A", ts("2020-01-01 00:01:30"), 2.0),
+        ]
+        t = TSDF(
+            spark.createDataFrame(rows, "k string, event_ts timestamp, v double"),
+            series_ids=["k"],
+        )
+        out = t.interpolate("linear", freq="1 minute", func="mean", show_interpolated=True).df
+        r = {str(r.event_ts): r for r in out.collect()}
+        # leading null has no prev value → stays null
+        assert r["2020-01-01 00:00:00"].v is None
+
+    def test_direct_interpolate_from_raw(self, metrics):
+        out = metrics.interpolate("ffill", freq="1 minute", func="mean").df
+        rows = {(r.k, str(r.event_ts)): r for r in out.collect()}
+        assert rows[("A", "2020-01-01 00:02:00")].v == pytest.approx(3.0)
+
+    def test_linear_requires_numeric(self, spark):
+        rows = [("A", ts("2020-01-01 00:00:30"), "x")]
+        df = spark.createDataFrame(rows, "k string, event_ts timestamp, s string")
+        t = TSDF(df, series_ids=["k"])
+        with pytest.raises(ValueError, match="numeric"):
+            from tempo_spark.operators.interpolation import interpolate
+
+            interpolate(t, "1 minute", "floor", "linear", target_cols=["s"])

@@ -1,0 +1,149 @@
+import datetime as dt
+
+import pytest
+
+from tempo_spark import TSDF
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def states(spark):
+    rows = [
+        ("A", ts("2020-01-01 00:00:00"), 1.0),
+        ("A", ts("2020-01-01 00:01:00"), 1.0),
+        ("A", ts("2020-01-01 00:02:00"), 1.0),
+        ("A", ts("2020-01-01 00:03:00"), 2.0),  # state change
+        ("A", ts("2020-01-01 00:04:00"), 2.0),
+        ("A", ts("2020-01-01 00:05:00"), 1.0),  # state change
+        ("B", ts("2020-01-01 00:00:30"), 5.0),
+        ("B", ts("2020-01-01 00:01:30"), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, event_ts timestamp, v double")
+    return TSDF(df, ts_col="event_ts", series_ids=["k"])
+
+
+class TestStateIntervals:
+    def test_equality_states(self, states):
+        out = states.extractStateIntervals("v").collect()
+        ivals = sorted((r.k, str(r.start_ts), str(r.end_ts)) for r in out)
+        assert ivals == [
+            ("A", "2020-01-01 00:00:00", "2020-01-01 00:02:00"),
+            ("A", "2020-01-01 00:02:00", "2020-01-01 00:04:00"),
+            ("A", "2020-01-01 00:04:00", "2020-01-01 00:05:00"),
+            ("B", "2020-01-01 00:00:30", "2020-01-01 00:01:30"),
+        ]
+
+    def test_increasing_states(self, spark):
+        rows = [
+            ("A", ts("2020-01-01 00:00:00"), 1.0),
+            ("A", ts("2020-01-01 00:01:00"), 2.0),
+            ("A", ts("2020-01-01 00:02:00"), 3.0),
+            ("A", ts("2020-01-01 00:03:00"), 1.0),  # drop breaks the run
+            ("A", ts("2020-01-01 00:04:00"), 5.0),
+        ]
+        t = TSDF(
+            spark.createDataFrame(rows, "k string, event_ts timestamp, v double"),
+            series_ids=["k"],
+        )
+        out = t.extractStateIntervals("v", state_definition=">=").collect()
+        ivals = sorted((str(r.start_ts), str(r.end_ts)) for r in out)
+        # the new run opens at the row where the comparison failed, so its
+        # interval starts at the PREVIOUS row's ts (reference contract)
+        assert ivals == [
+            ("2020-01-01 00:00:00", "2020-01-01 00:02:00"),
+            ("2020-01-01 00:02:00", "2020-01-01 00:04:00"),
+        ]
+
+    def test_callable_definition(self, states):
+        import pyspark.sql.functions as F
+
+        out = states.extractStateIntervals(
+            "v", state_definition=lambda cur, prev: F.abs(cur - prev) < F.lit(0.5)
+        ).collect()
+        assert len(out) == 4
+
+    def test_bad_operator(self, states):
+        with pytest.raises(ValueError):
+            states.extractStateIntervals("v", state_definition="~")
+
+    def test_null_safe_eq(self, spark):
+        rows = [
+            ("A", ts("2020-01-01 00:00:00"), 1.0),
+            ("A", ts("2020-01-01 00:01:00"), None),
+            ("A", ts("2020-01-01 00:02:00"), None),
+        ]
+        t = TSDF(
+            spark.createDataFrame(rows, "k string, event_ts timestamp, v double"),
+            series_ids=["k"],
+        )
+        out = t.extractStateIntervals("v", state_definition="<=>").collect()
+        # null <=> null is True → one run over the null rows; 1.0 vs null
+        # breaks, and the run's interval starts at the previous row's ts
+        ivals = sorted((str(r.start_ts), str(r.end_ts)) for r in out)
+        assert ivals == [("2020-01-01 00:00:00", "2020-01-01 00:02:00")]
+
+
+class TestFourier:
+    def test_fft_roundtrip(self, spark):
+        import math
+
+        n = 16
+        rows = [
+            ("A", i, math.sin(2 * math.pi * 2 * i / n)) for i in range(n)
+        ]
+        t = TSDF(
+            spark.createDataFrame(rows, "k string, time long, val double"),
+            ts_col="time",
+            series_ids=["k"],
+        )
+        out = t.fourier_transform(1.0, "val").df.collect()
+        assert len(out) == n
+        # energy concentrated at freq = ±2/16
+        mags = {r.freq: (r.ft_real ** 2 + r.ft_imag ** 2) ** 0.5 for r in out}
+        peak = max(mags, key=mags.get)
+        assert abs(abs(peak) - 2 / 16) < 1e-9
+
+    def test_no_series(self, spark):
+        rows = [(i, float(i)) for i in range(8)]
+        t = TSDF(spark.createDataFrame(rows, "time long, val double"), ts_col="time")
+        out = t.fourier_transform(1.0, "val").df
+        assert out.count() == 8
+        assert "freq" in out.columns and "__tempo_dummy_group" not in out.columns
+
+
+class TestChronologicalFolds:
+    def test_folds(self, spark):
+        from tempo_spark.ml import chronological_folds
+
+        rows = [("A", ts(f"2020-01-01 00:0{i}:00"), float(i)) for i in range(10)]
+        df = spark.createDataFrame(rows, "k string, event_ts timestamp, v double")
+        folds = chronological_folds(df, n_folds=4, ts_col="event_ts", series_ids=["k"])
+        assert len(folds) == 4
+        for train, test in folds:
+            max_train = max(r.event_ts for r in train.collect())
+            min_test = min(r.event_ts for r in test.collect())
+            assert max_train < min_test  # strictly chronological
+
+    def test_gap(self, spark):
+        from tempo_spark.ml import chronological_folds
+
+        rows = [("A", ts(f"2020-01-01 00:0{i}:00"), float(i)) for i in range(10)]
+        df = spark.createDataFrame(rows, "k string, event_ts timestamp, v double")
+        folds = chronological_folds(df, 2, "event_ts", ["k"], gap=1)
+        (train0, _), (train1, _) = folds
+        no_gap = chronological_folds(df, 2, "event_ts", ["k"], gap=0)
+        assert train0.count() == no_gap[0][0].count() - 1
+        assert train1.count() == no_gap[1][0].count() - 1
+
+
+class TestWrite:
+    def test_write_parquet_table(self, spark, trades):
+        t = TSDF(trades, ts_col="event_ts", series_ids=["symbol"])
+        t.write(spark, "trades_out")
+        assert spark.table("trades_out").count() == trades.count()
+        cols = spark.table("trades_out").columns
+        assert "event_dt" in cols and "event_time" in cols
+        spark.sql("DROP TABLE trades_out")
