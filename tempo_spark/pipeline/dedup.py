@@ -1,0 +1,331 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for 100 TB corpora:
+
+- **exact**: hash-groupBy on md5(text) — one shuffle on the digest, map-side
+  combine keeps it near-linear.
+- **MinHash + LSH**: shingle → k min-hashes (``xxhash64`` with per-seed
+  salt, all JVM-native array expressions — no Python workers) → band/bucket
+  → candidates only join within a bucket. Complexity ~O(n·k) + bucket-local
+  joins instead of O(n²) all-pairs.
+- **SimHash**: 64 per-bit weighted sums via map-side aggregation.
+- **n-gram Jaccard**: exact pairwise similarity restricted to candidate
+  pairs that share ≥1 (rare) shingle — the ubiquitous-shingle cutoff is the
+  standard trick that keeps the co-occurrence join from exploding.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+# --------------------------------------------------------------------- exact
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    keep: str = "min",
+) -> DataFrame:
+    """Keep one representative row per exact text duplicate group (digest of
+    the content), chosen as the min/max id. Returns the input schema plus
+    ``dup_count``."""
+    agg_id = F.min(F.col(id_col)) if keep == "min" else F.max(F.col(id_col))
+    winners = (
+        df.groupBy(F.md5(F.col(text_col)).alias("__digest"))
+        .agg(agg_id.alias(id_col), F.count("*").alias("dup_count"))
+        .drop("__digest")
+    )
+    return df.join(winners, on=id_col, how="inner")
+
+
+# ----------------------------------------------------------------- shingles
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles as an array expression (JVM-native):
+    ``transform(sequence(1, len-k+1), i -> substr(text, i, k))``."""
+    n = F.length(text)
+    return F.when(n < k, F.array(text)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: text.substr(i, F.lit(k)),
+            )
+        )
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles (n-grams joined by a space)."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - F.lit(k)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            )
+        )
+    )
+
+
+# ------------------------------------------------------------------ minhash
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as ``array<bigint>``: for seed j, the minimum of
+    ``xxhash64(shingle, j)`` over the shingle set. Entirely native array
+    expressions — evaluated once per row, no explode, no shuffle."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j))))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "minhash",
+    num_hashes: int = 16,
+    shingle_k: int = 5,
+    use_words: bool = False,
+) -> DataFrame:
+    sh = (word_shingles if use_words else char_shingles)(F.col(text_col), shingle_k)
+    return df.withColumn(out, minhash_signature(sh, num_hashes))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    minhash_col: str = "minhash",
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands, hash each
+    band, and emit candidate pairs that collide in ≥1 band.
+
+    Plan: explode to (band_id, band_hash) → self-join *within* the bucket
+    key — the join key (band_id, band_hash) means only near-duplicates
+    co-locate, so the shuffle is proportional to candidates, not n².
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    sig = F.col(minhash_col)
+    rows_per_band = F.size(sig) / bands  # driver knows num_hashes divides bands
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice(sig, (b * rows_per_band).cast("int") + 1,
+                                             rows_per_band.cast("int")))
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    use_words: bool = False,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only (array_intersect/union on the
+    shingle sets). The joins hash-partition on ids — candidate-proportional."""
+    sh = (word_shingles if use_words else char_shingles)(F.col(text_col), shingle_k)
+    shingled = df.select(F.col(id_col), sh.alias("__sh"))
+    out = (
+        candidates.join(
+            shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")),
+            "id_a",
+        )
+        .join(
+            shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_a", "__sh_b"))
+            / F.size(F.array_union("__sh_a", "__sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → Jaccard verify.
+    Returns verified duplicate pairs (id_a < id_b, jaccard)."""
+    with_sig = with_minhash(df, text_col, "minhash", num_hashes, shingle_k)
+    cands = minhash_lsh_candidates(with_sig, id_col, "minhash", bands)
+    return jaccard_verify(cands, df, id_col, text_col, shingle_k, threshold)
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out: str = "simhash", bits: int = 64
+) -> DataFrame:
+    """SimHash: per token, ``xxhash64``; for each bit, sum +1/-1 across
+    tokens; the fingerprint sets bits with positive sums.
+
+    Native implementation: the per-row fold aggregates the 64 bit-counters
+    as an array — no explode, no shuffle, no Python.
+    """
+    from functools import reduce
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    # one fold computes all bit counters as an array accumulator; the bit
+    # loop is unrolled driver-side (shift counts must be int literals)
+    zero = F.array(*[F.lit(0) for _ in range(bits)])
+    bit_sums = F.aggregate(
+        th,
+        zero,
+        lambda acc, h: F.array(
+            *[
+                acc[i]
+                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for i in range(bits)
+            ]
+        ),
+    )
+    tmp = "__simhash_bits"
+    with_bits = df.withColumn(tmp, bit_sums)
+    fingerprint = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.when(
+                F.col(tmp)[i] > 0,
+                # bit 63 is the sign bit in a signed 64-bit long
+                F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(bits)
+        ],
+    )
+    return with_bits.withColumn(out, fingerprint).drop(tmp)
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, simhash_col: str = "simhash", max_hamming: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs by SimHash: bucket on 4 × 16-bit chunks (a
+    pair within Hamming distance 3 must agree on ≥1 chunk), then verify the
+    exact Hamming distance with ``bit_count``."""
+    chunks = F.array(
+        *[
+            F.shiftright(F.col(simhash_col), s).bitwiseAND(F.lit(0xFFFF)).alias(f"c{s}")
+            for s in (0, 16, 32, 48)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col), F.col(simhash_col), F.posexplode(chunks).alias("chunk_id", "chunk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk_id") == F.col("b.chunk_id"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col(f"a.{simhash_col}").bitwiseXOR(F.col(f"b.{simhash_col}"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# ------------------------------------------------------------ ngram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: Optional[int] = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing at least one shingle.
+
+    Co-occurrence join on the shingle key; ``max_shingle_freq`` drops
+    ubiquitous shingles (stop-grams) that would otherwise produce quadratic
+    candidate blowup at scale."""
+    sh = word_shingles(F.col(text_col), shingle_k)
+    shingled = df.select(F.col(id_col), F.explode(sh).alias("__sh"))
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("__n"))
+    if max_shingle_freq is not None:
+        rare = (
+            shingled.groupBy("__sh").agg(F.count("*").alias("__f"))
+            .where(F.col("__f") <= max_shingle_freq)
+            .select("__sh")
+        )
+        shingled = shingled.join(rare, "__sh")
+    a, b = shingled.alias("a"), shingled.alias("b")
+    co = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__sh") == F.col("b.__sh"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("__co"))
+    )
+    out = (
+        co.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")), "id_b")
+        .withColumn(
+            "jaccard", F.col("__co") / (F.col("__na") + F.col("__nb") - F.col("__co"))
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out

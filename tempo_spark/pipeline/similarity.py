@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- **brute-force cosine top-k** — the exact baseline: broadcast the (small)
+  query set, compute cosine with native ``zip_with``/``aggregate`` (JVM,
+  codegen), per-query top-k via window. Cost O(|corpus|·|queries|) but
+  embarrassingly parallel and shuffle-free until the final top-k.
+- **LSH-bucketed top-k** — the scale path: random-hyperplane signatures
+  bucket the corpus; each query only scores its own bucket (+ optional
+  multi-probe neighbors). Recall < 1, cost ~O(n/2^planes) per query.
+
+Embedding-cosine near-dup detection reuses the same signature buckets.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query. The query side is broadcast — corpus
+    never shuffles until the per-query top-k window (which partitions by
+    query_id, a tiny key space)."""
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"), _as_double(F.col(corpus_vec)).alias("__cvec")
+    )
+    q = queries.select(
+        F.col(query_id).alias("__qid"), _as_double(F.col(query_vec)).alias("__qvec")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col("__qid").alias(query_id),
+        F.col("__cid").alias(corpus_id),
+        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .withColumnRenamed("__rank", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit hyperplanes (driver-side literals — tiny)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit i set iff vec·plane_i > 0. Evaluated as a
+    native expression over literal plane arrays."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec, plane) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: Optional[int] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    hyperplane bucket. Equi-join on the bucket id → hash join, shuffle
+    proportional to bucket sizes (~n/2^planes per query)."""
+    if dim is None:
+        first = corpus.select(F.size(F.col(corpus_vec)).alias("d")).head(1)
+        dim = first[0]["d"] if first else 0
+    planes = random_hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        _as_double(F.col(corpus_vec)).alias("__cvec"),
+    ).withColumn("__bucket", hyperplane_bucket(F.col("__cvec"), planes))
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        _as_double(F.col(query_vec)).alias("__qvec"),
+    ).withColumn("__bucket", hyperplane_bucket(F.col("__qvec"), planes))
+    scored = c.join(F.broadcast(q), "__bucket").select(
+        F.col("__qid").alias(query_id),
+        F.col("__cid").alias(corpus_id),
+        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .withColumnRenamed("__rank", "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: Optional[int] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via shared hyperplane bucket +
+    exact cosine verify. Returns (id_a < id_b, cosine ≥ threshold)."""
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).head(1)
+        dim = first[0]["d"] if first else 0
+    planes = random_hyperplanes(dim, n_planes, seed)
+    v = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__vec")
+    ).withColumn("__bucket", hyperplane_bucket(F.col("__vec"), planes))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.__bucket") == F.col("b.__bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.__vec"), F.col("b.__vec")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,108 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built from native ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen, no Python workers): tokenization via ``split``,
+language ID via stopword-hit counting with ``filter``/``array_contains``,
+fingerprinting via ``aggregate`` (a fold over characters). Every operator is
+embarrassingly parallel — no shuffle at all — so it scales linearly with
+input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# small, fixed stopword lists per language — deterministic and cheap to
+# broadcast as literals inside the plan
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "por", "con"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "eine", "mit", "zu"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "que", "pour", "dans"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens; empty text → empty array (not [''])."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.size(tokens_col(F.col(text_col))))
+
+
+def with_bpe_ish_token_count(
+    df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens"
+) -> DataFrame:
+    """Approximate subword token count: split on word boundaries,
+    punctuation, and digit runs (a BPE-ish regex), plus a length/4 floor for
+    long unbroken runs — a standard cheap estimator."""
+    pieces = F.size(
+        F.filter(
+            F.split(F.col(text_col), r"(?=[^\w])|(?<=[^\w])|(?=\d)(?<=\D)"),
+            lambda x: F.trim(x) != "",
+        )
+    )
+    return df.withColumn(out, F.greatest(pieces, (F.length(F.col(text_col)) / 4).cast("int")))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text", out: str = "quality_score") -> DataFrame:
+    """Composite quality heuristic in [0,1]: length band, punctuation ratio,
+    English-stopword ratio, mean word length band. Deterministic arithmetic —
+    reproducible in ANSI SQL for the correctness oracle."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_toks = F.size(toks)
+    n_chars = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    sw_ratio = F.when(n_toks > 0, sw_hits / n_toks).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+
+    length_score = F.least(n_toks / F.lit(100.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))
+    sw_score = F.least(sw_ratio * 4, F.lit(1.0))
+    wordlen_score = F.when(
+        (mean_word_len >= 3) & (mean_word_len <= 10), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    score = (length_score + punct_score + sw_score + wordlen_score) / 4
+    return df.withColumn(out, F.round(score, 6))
+
+
+def with_language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """n-gram/stopword language heuristic: count stopword hits per language,
+    predict the argmax (ties broken by language-code order, 'und' when no
+    hits at all). Pure per-row expression — no shuffle."""
+    toks = F.transform(tokens_col(F.col(text_col)), F.lower)
+    hit_cols = {}
+    for lang, words in STOPWORDS.items():
+        arr = F.array([F.lit(w) for w in words])
+        hit_cols[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[hit_cols[l] for l in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties via later overwrite
+        pred = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return df.withColumn(out, pred)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Deterministic document fingerprint: polynomial rolling hash
+    ``h = (h*31 + codepoint) mod 1_000_000_007`` over the characters.
+    Implemented as a native ``aggregate`` fold — stays in codegen, and is
+    reproducible in any SQL engine with a list-reduce (the DuckDB oracle
+    uses ``list_reduce``)."""
+    chars = F.split(F.col(text_col), "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(1_000_000_007),
+    )
+    return df.withColumn(out, fp)

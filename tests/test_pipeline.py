@@ -1,0 +1,190 @@
+import pytest
+import pyspark.sql.functions as F
+
+from tempo_spark.pipeline import dedup, similarity, text, multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+        (3, "completely different content about spark engines and scale"),
+        (4, "el rapido zorro marron salta sobre el perro perezoso y que"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]),  # close to 2
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestTextOps:
+    def test_token_count(self, docs):
+        out = {r.doc_id: r.n_tokens for r in text.with_token_count(docs).collect()}
+        assert out[0] == 9
+        assert out[5] == 0
+
+    def test_quality_score(self, docs):
+        out = {r.doc_id: r.quality_score for r in text.with_quality_score(docs).collect()}
+        assert 0.0 <= out[0] <= 1.0
+        assert out[0] > out[5]  # empty doc scores lower
+
+    def test_language_id(self, docs):
+        out = {r.doc_id: r.lang_pred for r in text.with_language_id(docs).collect()}
+        assert out[0] == "en"
+        assert out[4] == "es"
+        assert out[5] == "und"
+
+    def test_fingerprint_deterministic(self, docs):
+        out1 = {r.doc_id: r.fingerprint for r in text.with_fingerprint(docs).collect()}
+        out2 = {r.doc_id: r.fingerprint for r in text.with_fingerprint(docs).collect()}
+        assert out1 == out2
+        assert out1[0] == out1[1]  # identical text → identical fingerprint
+        assert out1[0] != out1[3]
+
+    def test_fingerprint_matches_python(self, docs):
+        out = {r.doc_id: r.fingerprint for r in text.with_fingerprint(docs).collect()}
+        def poly(s):
+            h = 0
+            for ch in s:
+                h = (h * 31 + ord(ch)) % 1_000_000_007
+            return h
+        assert out[0] == poly("the quick brown fox jumps over the lazy dog")
+
+    def test_bpe_ish_count(self, docs):
+        out = {r.doc_id: r.n_bpe_tokens for r in text.with_bpe_ish_token_count(docs).collect()}
+        assert out[0] >= 9
+
+
+class TestExactDedup:
+    def test_exact(self, docs):
+        out = dedup.exact_dedup(docs, "doc_id")
+        ids = {r.doc_id for r in out.collect()}
+        assert 0 in ids and 1 not in ids  # doc 1 is the dup, min id kept
+        counts = {r.doc_id: r.dup_count for r in out.collect()}
+        assert counts[0] == 2 and counts[3] == 1
+
+
+class TestMinhash:
+    def test_signature_shape(self, docs):
+        out = dedup.with_minhash(docs.where("doc_id < 5"), num_hashes=16).collect()
+        assert all(len(r.minhash) == 16 for r in out)
+
+    def test_identical_same_signature(self, docs):
+        rows = {r.doc_id: r.minhash for r in dedup.with_minhash(docs.where("doc_id < 2")).collect()}
+        assert rows[0] == rows[1]
+
+    def test_dedup_pipeline(self, docs):
+        pairs = dedup.minhash_dedup(
+            docs.where("length(text) > 0"), "doc_id", threshold=0.5
+        ).collect()
+        found = {(r.id_a, r.id_b) for r in pairs}
+        assert (0, 1) in found  # exact dup always found
+        for r in pairs:
+            assert r.jaccard >= 0.5
+
+    def test_near_dup_found(self, docs):
+        # fox/cat docs share most shingles — high bands makes collision likely
+        pairs = dedup.minhash_dedup(
+            docs.where("doc_id in (0, 2)"), "doc_id",
+            num_hashes=16, bands=8, threshold=0.5,
+        ).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} == {(0, 2)}
+
+
+class TestSimhash:
+    def test_simhash_deterministic(self, docs):
+        out = {r.doc_id: r.simhash for r in dedup.with_simhash(docs.where("doc_id < 5")).collect()}
+        assert out[0] == out[1]
+
+    def test_near_dups(self, docs):
+        hashed = dedup.with_simhash(docs.where("length(text) > 0"))
+        pairs = dedup.simhash_near_dups(hashed, "doc_id", max_hamming=16).collect()
+        found = {(r.id_a, r.id_b) for r in pairs}
+        assert (0, 1) in found
+        h = {(r.id_a, r.id_b): r.hamming for r in pairs}
+        assert h[(0, 1)] == 0
+
+
+class TestNgramJaccard:
+    def test_pairs(self, docs):
+        pairs = dedup.ngram_jaccard_pairs(
+            docs.where("length(text) > 0"), "doc_id", shingle_k=3, threshold=0.3
+        ).collect()
+        found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+        assert found[(0, 1)] == 1.0
+        assert (0, 2) in found
+
+
+class TestSimilarity:
+    def test_brute_force_topk(self, vectors):
+        queries = vectors.where("vec_id = 0").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = similarity.brute_force_topk(vectors, queries, k=3).collect()
+        ranked = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+        assert ranked[0] == 0  # self first (cosine 1.0)
+        assert ranked[1] == 1  # nearest neighbor
+        assert len(ranked) == 3
+
+    def test_lsh_topk_recalls_close_neighbor(self, vectors):
+        queries = vectors.where("vec_id = 0").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = similarity.lsh_topk(vectors, queries, k=3, n_planes=2).collect()
+        ids = {r.vec_id for r in out}
+        assert 0 in ids  # the query itself is always in its own bucket
+
+    def test_embedding_near_dups(self, vectors):
+        pairs = similarity.embedding_near_dups(vectors, threshold=0.95, n_planes=2).collect()
+        found = {(r.id_a, r.id_b) for r in pairs}
+        assert (0, 1) in found
+        assert (2, 3) in found
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [(1, bytearray(b"fake-image-bytes-1")), (2, bytearray(b"fake-image-2"))]
+        return spark.createDataFrame(rows, "media_id long, content binary")
+
+    def test_fake_decode(self, media):
+        out = multimodal.decode_images(media, fake=True).collect()
+        assert len(out) == 2
+        assert all(r.width >= 64 and r.height >= 64 and r.n_channels == 3 for r in out)
+        # deterministic
+        again = multimodal.decode_images(media, fake=True).collect()
+        assert sorted((r.media_id, r.width, r.height) for r in out) == sorted(
+            (r.media_id, r.width, r.height) for r in again
+        )
+
+    def test_real_decode_raises(self, media):
+        with pytest.raises(Exception):
+            multimodal.decode_images(media, fake=False).collect()
+
+    def test_frame_sampling(self, media):
+        out = multimodal.sample_video_frames(media, fake=True).collect()
+        assert len(out) >= 2
+        assert all(r.frame_ts_ms == r.frame_idx * 1000 for r in out)
+
+    def test_audio_features(self, media):
+        out = multimodal.extract_audio_features(media, fake=True).collect()
+        assert all(r.duration_ms == 2 * len(r.content) for r in out)
+
+    def test_meta_placeholder(self, media):
+        out = multimodal.with_media_meta_placeholder(media)
+        assert "media_meta" in out.columns
+        assert out.schema["media_meta"].dataType.fieldNames() == [
+            "media_type", "mime", "width", "height", "duration_ms", "sample_rate"
+        ]
