@@ -1,38 +1,844 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+(plus the pipeline operators); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for every SQL-expressible one. Column names and rounding are aligned on
+both sides so the driver's order-insensitive value-hash comparison is
+meaningful.
+
+Determinism strategy for cross-engine float comparison:
+- sums/means aggregate exact integer *cents* (``CAST(round(value*100) AS
+  BIGINT)``) so partial-aggregation order cannot change the result;
+- presentation columns are ``round(x, 6)`` in BOTH engines;
+- stddev/zscore (running-algorithm dependent) are rounded to 3 decimals;
+- top-k ranks order by the ROUNDED score with an id tie-break.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from tempo_spark import TSDF, IntervalsDF
+
+
+# --------------------------------------------------------------------- util
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
+        # default; read it as long nanos and truncate to µs (identical to
+        # DuckDB's ns→µs truncation of the same column)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # integer division — double division would lose precision at 1e18 ns
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events deduped to unique (user_id, ts) with exact integer cents."""
+    return (
+        _read(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+    )
+
+
+_DE_CTE = (
+    "de AS (SELECT user_id, ts, max(value) AS value, "
+    "CAST(round(max(value)*100) AS BIGINT) AS cents "
+    "FROM events GROUP BY user_id, ts)"
+)
+
+_R6 = lambda c: F.round(c, 6)
+
+
+def _HR6(c):
+    """Hardened cross-engine round-6: floor(x*1e6 + 0.5)/1e6 is a fixed
+    sequence of IEEE ops that both Spark and DuckDB evaluate bit-identically,
+    unlike round(), whose half-way behavior differs between engines exactly
+    when the value is a binary fraction on a decimal midpoint (which
+    exact-integer-cents arithmetic produces regularly)."""
+    return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+
+def _HR3(c):
+    return F.floor(c * 1_000 + F.lit(0.5)) / 1_000
+
+
+def _hr6(expr: str) -> str:
+    return f"floor(({expr}) * 1000000 + 0.5) / 1000000"
+
+
+def _hr3(expr: str) -> str:
+    return f"floor(({expr}) * 1000 + 0.5) / 1000"
+
+
+# ------------------------------------------------------------------ queries
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_value"))
+    )
+    left = TSDF(clicks, ts_col="ts", series_ids=["user_id"])
+    right = TSDF(purchases, ts_col="ts", series_ids=["user_id"])
+    out = left.asofJoin(right, left_prefix="left", right_prefix="right").df
+    return out.select(
+        "user_id",
+        F.col("left_ts").alias("click_ts"),
+        _R6(F.col("left_value")).alias("click_value"),
+        F.col("right_ts").alias("purchase_ts"),
+        _R6(F.col("right_p_value")).alias("purchase_value"),
+    )
+
+
+_ASOF_ORACLE = """
+WITH l AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, max(value) AS p_value FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT l.user_id, l.ts AS click_ts, round(l.value, 6) AS click_value,
+       r.ts AS purchase_ts, round(r.p_value, 6) AS purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_value"))
+    )
+    left = TSDF(clicks, ts_col="ts", series_ids=["user_id"])
+    right = TSDF(purchases, ts_col="ts", series_ids=["user_id"])
+    out = left.asofJoin(
+        right, left_prefix="left", right_prefix="right", tolerance=3600
+    ).df
+    return out.select(
+        "user_id",
+        F.col("left_ts").alias("click_ts"),
+        F.col("right_ts").alias("purchase_ts"),
+        _R6(F.col("right_p_value")).alias("purchase_value"),
+    )
+
+
+_ASOF_TOL_ORACLE = """
+WITH l AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, max(value) AS p_value FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id, ts),
+j AS (SELECT l.user_id, l.ts AS click_ts, r.ts AS r_ts, r.p_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts)
+SELECT user_id, click_ts,
+       CASE WHEN epoch(click_ts) - epoch(r_ts) > 3600 THEN NULL ELSE r_ts END AS purchase_ts,
+       CASE WHEN epoch(click_ts) - epoch(r_ts) > 3600 THEN NULL ELSE round(p_value, 6) END AS purchase_value
+FROM j
+"""
+
+
+def q_range_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.withRangeStats(colsToSummarize=["cents"], rangeBackWindowSecs=1000).df
+    return out.select(
+        "user_id",
+        "ts",
+        F.col("count_cents").alias("n"),
+        _HR6(F.col("mean_cents") / 100).alias("mean_v"),
+        _R6(F.col("min_cents") / 100).alias("min_v"),
+        _R6(F.col("max_cents") / 100).alias("max_v"),
+        _R6(F.col("sum_cents") / 100).alias("sum_v"),
+        _HR3(F.col("stddev_cents") / 100).alias("stddev_v"),
+        _HR3(F.col("zscore_cents")).alias("zscore_v"),
+    )
+
+
+_RANGE_STATS_ORACLE = f"""
+WITH {_DE_CTE}
+SELECT user_id, ts,
+       count(cents) OVER w AS n,
+       floor((avg(cents) OVER w / 100) * 1000000 + 0.5) / 1000000 AS mean_v,
+       round(min(cents) OVER w / 100.0, 6) AS min_v,
+       round(max(cents) OVER w / 100.0, 6) AS max_v,
+       round(sum(cents) OVER w / 100.0, 6) AS sum_v,
+       floor((stddev_samp(cents) OVER w / 100) * 1000 + 0.5) / 1000 AS stddev_v,
+       floor(((cents - avg(cents) OVER w) / stddev_samp(cents) OVER w) * 1000 + 0.5) / 1000 AS zscore_v
+FROM de
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.withGroupedStats(metricCols=["cents"], freq="1 hour").df
+    return out.select(
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        F.col("count_cents").alias("n"),
+        _HR6(F.col("mean_cents") / 100).alias("mean_v"),
+        _R6(F.col("min_cents") / 100).alias("min_v"),
+        _R6(F.col("max_cents") / 100).alias("max_v"),
+        _R6(F.col("sum_cents") / 100).alias("sum_v"),
+    )
+
+
+_GROUPED_STATS_ORACLE = f"""
+WITH {_DE_CTE}
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+       count(cents) AS n,
+       floor((avg(cents) / 100) * 1000000 + 0.5) / 1000000 AS mean_v,
+       round(min(cents) / 100.0, 6) AS min_v,
+       round(max(cents) / 100.0, 6) AS max_v,
+       round(sum(cents) / 100.0, 6) AS sum_v
+FROM de GROUP BY user_id, bucket_ts
+"""
+
+
+def q_resample_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.resample("15 minutes", "mean").df
+    return out.select(
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        _HR6(F.col("cents") / 100).alias("mean_v"),
+    )
+
+
+_RESAMPLE_MEAN_ORACLE = f"""
+WITH {_DE_CTE}
+SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts,
+       floor((avg(cents) / 100) * 1000000 + 0.5) / 1000000 AS mean_v
+FROM de GROUP BY user_id, bucket_ts
+"""
+
+
+def q_resample_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.resample("1 hour", "floor").df
+    return out.select(
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        _R6(F.col("value")).alias("first_v"),
+    )
+
+
+_RESAMPLE_FLOOR_ORACLE = f"""
+WITH {_DE_CTE},
+ranked AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, value,
+         row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+                            ORDER BY ts) AS rn
+  FROM de)
+SELECT user_id, bucket_ts, round(value, 6) AS first_v FROM ranked WHERE rn = 1
+"""
+
+
+def q_resample_ceil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.resample("1 hour", "ceil").df
+    return out.select(
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        _R6(F.col("value")).alias("last_v"),
+    )
+
+
+_RESAMPLE_CEIL_ORACLE = f"""
+WITH {_DE_CTE},
+ranked AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, value,
+         row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+                            ORDER BY ts DESC) AS rn
+  FROM de)
+SELECT user_id, bucket_ts, round(value, 6) AS last_v FROM ranked WHERE rn = 1
+"""
+
+
+def q_upsample_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.resample("1 hour", "mean", fill=True).df
+    return out.select(
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        _HR6(F.col("cents") / 100).alias("mean_v"),
+    )
+
+
+_UPSAMPLE_ORACLE = f"""
+WITH {_DE_CTE},
+agg AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS b,
+               avg(cents) / 100 AS v
+        FROM de GROUP BY user_id, b),
+bounds AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM agg GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS b
+         FROM bounds)
+SELECT g.user_id, g.b AS bucket_ts, floor((coalesce(a.v, 0)) * 1000000 + 0.5) / 1000000 AS mean_v
+FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.b = a.b
+"""
+
+
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.resample("30 minutes", "mean").interpolate("linear").df
+    return out.select(
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        _HR6(F.col("cents") / 100).alias("v"),
+    )
+
+
+_INTERP_LINEAR_ORACLE = f"""
+WITH {_DE_CTE},
+agg AS (SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS b,
+               avg(cents) AS v
+        FROM de GROUP BY user_id, b),
+bounds AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM agg GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '30 minutes')) AS b
+         FROM bounds),
+joined AS (SELECT g.user_id, g.b, a.v
+           FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.b = a.b),
+scaff AS (
+  SELECT user_id, b, v,
+         last_value(v IGNORE NULLS) OVER wb AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN epoch(b) END IGNORE NULLS) OVER wb AS prev_t,
+         first_value(v IGNORE NULLS) OVER wf AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN epoch(b) END IGNORE NULLS) OVER wf AS next_t
+  FROM joined
+  WINDOW wb AS (PARTITION BY user_id ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY b ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, b AS bucket_ts,
+       floor((CASE WHEN v IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+                  THEN (prev_v + (next_v - prev_v) * (epoch(b) - prev_t) / (next_t - prev_t)) / 100
+                  ELSE v / 100 END) * 1000000 + 0.5) / 1000000 AS v
+FROM scaff
+"""
+
+
+def q_interpolate_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.resample("30 minutes", "mean").interpolate("ffill").df
+    return out.select(
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        _HR6(F.col("cents") / 100).alias("v"),
+    )
+
+
+_INTERP_FFILL_ORACLE = f"""
+WITH {_DE_CTE},
+agg AS (SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS b,
+               avg(cents) AS v
+        FROM de GROUP BY user_id, b),
+bounds AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM agg GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '30 minutes')) AS b
+         FROM bounds),
+joined AS (SELECT g.user_id, g.b, a.v
+           FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.b = a.b)
+SELECT user_id, b AS bucket_ts,
+       floor((last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100) * 1000000 + 0.5) / 1000000 AS v
+FROM joined
+"""
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.calc_bars("1 hour").df
+    return out.select(
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        _R6(F.col("open_value")).alias("open_v"),
+        _R6(F.col("low_value")).alias("low_v"),
+        _R6(F.col("high_value")).alias("high_v"),
+        _R6(F.col("close_value")).alias("close_v"),
+    )
+
+
+_OHLC_ORACLE = f"""
+WITH {_DE_CTE}
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+       round(arg_min(value, ts), 6) AS open_v,
+       round(min(value), 6) AS low_v,
+       round(max(value), 6) AS high_v,
+       round(arg_max(value, ts), 6) AS close_v
+FROM de GROUP BY user_id, bucket_ts
+"""
+
+
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_shipdate").alias("ts"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    t = TSDF(li, ts_col="ts", series_ids=["flag"])
+    out = t.vwap(frequency="D", volume_col="qty", price_col="price_cents").df
+    return out.select(
+        "flag",
+        F.col("ts").alias("day_ts"),
+        _HR6(F.col("vwap") / 100).alias("vwap_v"),
+        F.col("total_volume").alias("total_qty"),
+        _R6(F.col("max_price") / 100).alias("max_price_v"),
+    )
+
+
+_VWAP_ORACLE = """
+WITH li AS (SELECT l_returnflag AS flag, l_shipdate AS ts,
+                   CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
+                   CAST(l_quantity AS BIGINT) AS qty
+            FROM lineitem)
+SELECT flag, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+       floor(((sum(qty * price_cents) / sum(qty)) / 100) * 1000000 + 0.5) / 1000000 AS vwap_v,
+       sum(qty) AS total_qty,
+       round(max(price_cents) / 100.0, 6) AS max_price_v
+FROM li GROUP BY flag, day_ts
+"""
+
+
+_EMA_WINDOW = 5
+_EMA_FACTOR = 0.2
+
+
+def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.EMA("cents", window=_EMA_WINDOW, exp_factor=_EMA_FACTOR).df
+    return out.select(
+        "user_id", "ts", _HR6(F.col("ema_cents") / 100).alias("ema_v")
+    )
+
+
+def _ema_oracle() -> str:
+    terms = []
+    for i in range(_EMA_WINDOW):
+        w = _EMA_FACTOR * (1 - _EMA_FACTOR) ** i
+        terms.append(
+            f"coalesce(CAST(lag(cents, {i}) OVER (PARTITION BY user_id ORDER BY ts) "
+            f"AS DOUBLE), 0.0) * {w!r}"
+        )
+    total = " + ".join(terms)
+    return f"""
+WITH {_DE_CTE}
+SELECT user_id, ts, floor((({total}) / 100) * 1000000 + 0.5) / 1000000 AS ema_v FROM de
+"""
+
+
+def q_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.extractStateIntervals("value", state_definition="<=")
+    return out.select("user_id", "start_ts", "end_ts")
+
+
+_STATE_ORACLE = f"""
+WITH {_DE_CTE},
+lagged AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER w AS prev_ts, lag(value) OVER w AS prev_v
+  FROM de WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+flagged AS (
+  SELECT *, CASE WHEN (value <= prev_v) IS FALSE THEN 1 ELSE 0 END AS chg
+  FROM lagged),
+sessions AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged)
+SELECT user_id, min(prev_ts) AS start_ts, max(ts) AS end_ts
+FROM sessions GROUP BY user_id, sid HAVING min(prev_ts) IS NOT NULL
+"""
+
+
+def q_latest_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    return t.latest(3).df.select("user_id", "ts", _R6(F.col("value")).alias("v"))
+
+
+_LATEST3_ORACLE = f"""
+WITH {_DE_CTE},
+ranked AS (SELECT user_id, ts, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+           FROM de)
+SELECT user_id, ts, round(value, 6) AS v FROM ranked WHERE rn <= 3
+"""
+
+
+def q_slice_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value")
+    t = TSDF(ev, ts_col="ts", series_ids=["user_id"])
+    out = t.between("2024-01-10 00:00:00", "2024-01-12 00:00:00").df
+    return out.select("user_id", "ts", "event_type", _R6(F.col("value")).alias("v"))
+
+
+_SLICE_ORACLE = """
+SELECT user_id, ts, event_type, round(value, 6) AS v FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-12 00:00:00'
+"""
+
+
+def q_make_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir)
+    iv = de.select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 2 hours")).alias("end_ts"),
+        F.col("cents").alias("metric"),
+    )
+    idf = IntervalsDF(iv, "start_ts", "end_ts", ["user_id"])
+    out = idf.make_disjoint().df
+    return out.select("user_id", "start_ts", "end_ts", "metric")
+
+
+_DISJOINT_ORACLE = f"""
+WITH {_DE_CTE},
+iv AS (SELECT user_id, ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts,
+              cents AS metric FROM de),
+b AS (SELECT DISTINCT user_id, b FROM
+      (SELECT user_id, unnest([start_ts, end_ts]) AS b FROM iv)),
+seg AS (SELECT user_id, b AS seg_start,
+               lead(b) OVER (PARTITION BY user_id ORDER BY b) AS seg_end
+        FROM b),
+seg2 AS (SELECT * FROM seg WHERE seg_end IS NOT NULL),
+paired AS (
+  SELECT s.user_id, s.seg_start, s.seg_end, i.start_ts, i.end_ts, i.metric
+  FROM seg2 s JOIN iv i
+    ON s.user_id = i.user_id AND s.seg_start < i.end_ts AND s.seg_end > i.start_ts),
+merged AS (
+  SELECT user_id, seg_start, seg_end,
+         max(CASE WHEN metric IS NOT NULL
+                  THEN struct_pack(s := start_ts, e := end_ts, v := metric) END).v AS metric
+  FROM paired GROUP BY user_id, seg_start, seg_end),
+flagged AS (
+  SELECT *,
+         CASE WHEN lag(seg_end) OVER w = seg_start
+                   AND (metric IS NOT DISTINCT FROM lag(metric) OVER w)
+              THEN 0 ELSE 1 END AS new_grp
+  FROM merged WINDOW w AS (PARTITION BY user_id ORDER BY seg_start)),
+grouped AS (
+  SELECT *, sum(new_grp) OVER (PARTITION BY user_id ORDER BY seg_start
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM flagged)
+SELECT user_id, min(seg_start) AS start_ts, max(seg_end) AS end_ts,
+       first(metric ORDER BY seg_start) AS metric
+FROM grouped GROUP BY user_id, gid
+"""
+
+
+def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    split = F.ntile(6).over(w)
+    return (
+        de.withColumn("split_id", split)
+        .groupBy("user_id", "split_id")
+        .agg(F.count("*").alias("n"), F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
+    )
+
+
+_CV_ORACLE = f"""
+WITH {_DE_CTE},
+ranked AS (SELECT user_id, ts,
+                  ntile(6) OVER (PARTITION BY user_id ORDER BY ts) AS split_id
+           FROM de)
+SELECT user_id, split_id, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts
+FROM ranked GROUP BY user_id, split_id
+"""
+
+
+# ------------------------------------------------------- pipeline queries
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tempo_spark.pipeline.dedup import exact_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    out = exact_dedup(docs, "doc_id", "text")
+    return out.select("doc_id", "dup_count")
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tempo_spark.pipeline.text import with_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_token_count(docs, "text").select("doc_id", "n_tokens")
+
+
+_TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tempo_spark.pipeline.text import with_quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_quality_score(docs, "text").select("doc_id", "quality_score")
+
+
+_QUALITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tok
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+         len(tok) AS n_toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         len(list_filter(tok, t -> list_contains(
+             ['the','a','and','of','to','in','is','that','it','for'], lower(t)))) AS sw_hits
+  FROM toks),
+scores AS (
+  SELECT doc_id,
+         least(n_toks / 100.0, 1.0) AS length_score,
+         1.0 - least((CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) * 10, 1.0) AS punct_score,
+         least((CASE WHEN n_toks > 0 THEN sw_hits / n_toks ELSE 0.0 END) * 4, 1.0) AS sw_score,
+         CASE WHEN n_toks > 0 AND (n_chars / n_toks) >= 3 AND (n_chars / n_toks) <= 10
+              THEN 1.0 ELSE 0.5 END AS wordlen_score
+  FROM feats)
+SELECT doc_id,
+       round((length_score + punct_score + sw_score + wordlen_score) / 4, 6) AS quality_score
+FROM scores
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tempo_spark.pipeline.text import with_language_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_language_id(docs, "text").select("doc_id", "lang_pred")
+
+
+_LANGID_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)) END AS tok
+  FROM documents),
+hits AS (
+  SELECT doc_id,
+         len(list_filter(tok, t -> list_contains(['der','die','das','und','nicht','ist','ein','eine','mit','zu'], t))) AS h_de,
+         len(list_filter(tok, t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t))) AS h_en,
+         len(list_filter(tok, t -> list_contains(['el','la','de','que','y','en','un','una','por','con'], t))) AS h_es,
+         len(list_filter(tok, t -> list_contains(['le','la','les','de','et','un','une','que','pour','dans'], t))) AS h_fr
+  FROM toks)
+SELECT doc_id,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+            WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+            WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM hits
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tempo_spark.pipeline.text import with_fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_filter(string_split(text, ''), c -> c != ''),
+                          c -> CAST(unicode(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tempo_spark.pipeline.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", "cosine", "rank")
+
+
+_ANN_ORACLE = """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(
+           list_reduce(list_prepend(0.0, list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])), (a,b) -> a + b)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(q.v, x -> x * x)), (a,b) -> a + b))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(c.v, x -> x * x)), (a,b) -> a + b))),
+           6) AS cosine
+  FROM c CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# rows-only queries (no SQL-expressible oracle: engine-specific hashing/FFT)
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tempo_spark.pipeline.dedup import minhash_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tempo_spark.pipeline.dedup import simhash_near_dups, with_simhash
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_dups(with_simhash(docs, "text"), "doc_id", max_hamming=6)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tempo_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.8)
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tempo_spark.pipeline.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=5, n_planes=6, dim=64)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tempo_spark.pipeline.similarity import embedding_near_dups
+
+    emb = _read(spark, sf_dir, "embeddings")
+    # synthetic embeddings top out around cosine 0.51 — 0.35 captures the
+    # near-dup tail (~270 true pairs; LSH bucketing recalls a subset)
+    return embedding_near_dups(emb, threshold=0.35, n_planes=4, dim=64)
+
+
+def q_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
+    small = de.where(F.col("user_id") < 10)
+    t = TSDF(
+        small.withColumn("tp", F.col("ts").cast("double")).drop("ts"),
+        ts_col="tp",
+        series_ids=["user_id"],
+    )
+    out = t.fourier_transform(1.0, "value").df
+    return out.select("user_id", "tp", F.round("freq", 6).alias("freq"),
+                      F.round("ft_real", 4).alias("ft_real"),
+                      F.round("ft_imag", 4).alias("ft_imag"))
+
+
+def q_lookback_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.withLookbackFeatures(["value"], 3).df
+    return out.select("user_id", "ts", F.size("features").alias("n_rows"))
+
+
+# ------------------------------------------------------------- entry points
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: as-of join of click events against purchase events."""
+    return q_asof_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "asof_join": q_asof_join,
+        "asof_tolerance": q_asof_tolerance,
+        "range_stats": q_range_stats,
+        "grouped_stats": q_grouped_stats,
+        "resample_mean": q_resample_mean,
+        "resample_floor": q_resample_floor,
+        "resample_ceil": q_resample_ceil,
+        "upsample_zero_fill": q_upsample_zero_fill,
+        "interpolate_linear": q_interpolate_linear,
+        "interpolate_ffill": q_interpolate_ffill,
+        "ohlc_bars": q_ohlc_bars,
+        "vwap": q_vwap,
+        "ema": q_ema,
+        "state_intervals": q_state_intervals,
+        "latest_3": q_latest_3,
+        "slice_between": q_slice_between,
+        "make_disjoint": q_make_disjoint,
+        "cv_folds": q_cv_folds,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "fourier": q_fourier,
+        "lookback_features": q_lookback_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "asof_join": _ASOF_ORACLE,
+        "asof_tolerance": _ASOF_TOL_ORACLE,
+        "range_stats": _RANGE_STATS_ORACLE,
+        "grouped_stats": _GROUPED_STATS_ORACLE,
+        "resample_mean": _RESAMPLE_MEAN_ORACLE,
+        "resample_floor": _RESAMPLE_FLOOR_ORACLE,
+        "resample_ceil": _RESAMPLE_CEIL_ORACLE,
+        "upsample_zero_fill": _UPSAMPLE_ORACLE,
+        "interpolate_linear": _INTERP_LINEAR_ORACLE,
+        "interpolate_ffill": _INTERP_FFILL_ORACLE,
+        "ohlc_bars": _OHLC_ORACLE,
+        "vwap": _VWAP_ORACLE,
+        "ema": _ema_oracle(),
+        "state_intervals": _STATE_ORACLE,
+        "latest_3": _LATEST3_ORACLE,
+        "slice_between": _SLICE_ORACLE,
+        "make_disjoint": _DISJOINT_ORACLE,
+        "cv_folds": _CV_ORACLE,
+        "dedup_exact": _DEDUP_EXACT_ORACLE,
+        "token_count": _TOKEN_COUNT_ORACLE,
+        "quality_score": _QUALITY_ORACLE,
+        "language_id": _LANGID_ORACLE,
+        "fingerprint": _FINGERPRINT_ORACLE,
+        "ann_cosine_topk": _ANN_ORACLE,
+    }

@@ -1,0 +1,116 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+on Spark and its oracle_sql() on DuckDB at the same sf, compare row count,
+column names, and order-insensitive values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sorted(sdf.columns)
+            sdata = sorted(
+                tuple(norm(r[c]) for c in scols) for r in srows
+            )
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: rows-only ({len(srows)} rows)")
+            if len(srows) == 0 and name not in ("simhash_near_dups",):
+                failures.append((name, "0 rows (rows-only check)"))
+            continue
+        try:
+            rel = con.execute(oracles[name])
+            ocols_raw = [d[0] for d in rel.description]
+            orows = rel.fetchall()
+            ocols_order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
+            ocols = sorted(ocols_raw)
+            odata = sorted(
+                tuple(norm(r[i]) for i in ocols_order) for r in orows
+            )
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            continue
+        if scols != ocols:
+            failures.append((name, f"schema mismatch: {scols} vs {ocols}"))
+            print(f"FAIL  {name}: schema {scols} vs {ocols}")
+            continue
+        if len(sdata) != len(odata):
+            failures.append((name, f"rowcount {len(sdata)} vs {len(odata)}"))
+            print(f"FAIL  {name}: rowcount {len(sdata)} vs {len(odata)}")
+            continue
+        mism = [
+            (a, b) for a, b in zip(sdata, odata) if a != b
+        ]
+        if mism:
+            failures.append((name, f"{len(mism)} value mismatches"))
+            print(f"FAIL  {name}: {len(mism)}/{len(sdata)} rows differ")
+            for a, b in mism[:3]:
+                print(f"      spark : {a}")
+                print(f"      duckdb: {b}")
+        else:
+            print(f"PASS  {name} ({len(sdata)} rows)")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {[f[0] for f in failures]}")
+        sys.exit(1)
+    print("all queries pass")
+
+
+if __name__ == "__main__":
+    main()
