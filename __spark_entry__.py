@@ -715,7 +715,12 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tempo_spark.pipeline.dedup import minhash_dedup
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_dedup(docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5)
+    # word 3-gram shingles: char shingles on this shared-vocabulary corpus
+    # have ~0.5 baseline Jaccard, which degenerates LSH into all-pairs
+    return minhash_dedup(
+        docs, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_k=3, threshold=0.5, use_words=True,
+    )
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

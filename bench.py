@@ -1,0 +1,105 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set mirrors BASELINE.md B1–B8 plus the pipeline operators. Each query
+is forced with a cheap count() action; timings are the median of 3 runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entry_mod
+from tempo_spark import TSDF
+
+
+def _skew_asof(spark, sf_dir):
+    ev = entry_mod._read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_value"))
+    )
+    left = TSDF(clicks, ts_col="ts", series_ids=["user_id"])
+    right = TSDF(purchases, ts_col="ts", series_ids=["user_id"])
+    return left.asofJoin(
+        right, left_prefix="left", right_prefix="right", tsPartitionVal=7 * 86400
+    ).df
+
+
+BENCH_QUERIES = {
+    "b1_asof_join": entry_mod.q_asof_join,
+    "b2_asof_skew": _skew_asof,
+    "b3_range_stats": entry_mod.q_range_stats,
+    "b4_resample_fill": entry_mod.q_upsample_zero_fill,
+    "b5_interpolate_linear": entry_mod.q_interpolate_linear,
+    "b6_ohlc_bars": entry_mod.q_ohlc_bars,
+    "b7_make_disjoint": entry_mod.q_make_disjoint,
+    "b8_latest_slices": entry_mod.q_latest_3,
+    "b9_vwap": entry_mod.q_vwap,
+    "b10_minhash_dedup": entry_mod.q_minhash_near_dups,
+    "b11_ann_topk": entry_mod.q_ann_cosine_topk,
+    "b12_text_analysis": entry_mod.q_quality_score,
+}
+
+RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("tempo_spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES.items():
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).count()
+            samples.append(time.monotonic() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

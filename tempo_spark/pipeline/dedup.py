@@ -97,8 +97,15 @@ def with_minhash(
     shingle_k: int = 5,
     use_words: bool = False,
 ) -> DataFrame:
+    # materialize the shingle array once; inlining it into all num_hashes
+    # min-hash expressions would recompute the (expensive) shingling per seed
     sh = (word_shingles if use_words else char_shingles)(F.col(text_col), shingle_k)
-    return df.withColumn(out, minhash_signature(sh, num_hashes))
+    tmp = "__tempo_shingles"
+    return (
+        df.withColumn(tmp, sh)
+        .withColumn(out, minhash_signature(F.col(tmp), num_hashes))
+        .drop(tmp)
+    )
 
 
 def minhash_lsh_candidates(
@@ -187,12 +194,17 @@ def minhash_dedup(
     bands: int = 4,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    use_words: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → Jaccard verify.
-    Returns verified duplicate pairs (id_a < id_b, jaccard)."""
-    with_sig = with_minhash(df, text_col, "minhash", num_hashes, shingle_k)
+    Returns verified duplicate pairs (id_a < id_b, jaccard).
+
+    Shingle choice is the scale lever: char shingles on low-entropy corpora
+    (shared vocabulary) have a high baseline Jaccard, which degrades LSH
+    toward all-pairs; word shingles (``use_words=True``) stay discriminative."""
+    with_sig = with_minhash(df, text_col, "minhash", num_hashes, shingle_k, use_words)
     cands = minhash_lsh_candidates(with_sig, id_col, "minhash", bands)
-    return jaccard_verify(cands, df, id_col, text_col, shingle_k, threshold)
+    return jaccard_verify(cands, df, id_col, text_col, shingle_k, threshold, use_words)
 
 
 # ------------------------------------------------------------------ simhash

@@ -1,0 +1,52 @@
+"""Plan inspection helpers.
+
+The reference picks its as-of strategy by regexing ``EXPLAIN COST`` output
+for ``sizeInBytes`` (reference: python/tempo/tsdf.py:702-750). These helpers
+expose the same signal through the public API, plus convenience checks used
+in perf tests (pushed filters, codegen coverage, exchange count).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+
+def plan_size_bytes(df: DataFrame) -> Optional[float]:
+    """Catalyst's estimated sizeInBytes for a DataFrame's optimized plan.
+    Returns None when no estimate is available."""
+    spark = df.sparkSession
+    name = "__tempo_plan_probe"
+    df.createOrReplaceTempView(name)
+    try:
+        rows = spark.sql(f"EXPLAIN COST SELECT * FROM {name}").head(1)
+        if not rows:
+            return None
+        text = rows[0][0]
+        m = re.search(r"sizeInBytes=([0-9.]+)\s*(B|KiB|MiB|GiB|TiB)", text)
+        if not m:
+            return None
+        mult = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}
+        return float(m.group(1)) * mult[m.group(2)]
+    finally:
+        spark.catalog.dropTempView(name)
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan — the main
+    scale lever to watch when composing operators."""
+    return len(re.findall(r"\bExchange hashpartitioning", formatted_plan(df)))
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    return "PushedFilters: [" in formatted_plan(df) and "PushedFilters: []" not in formatted_plan(df)
