@@ -357,6 +357,111 @@ FROM joined
 """
 
 
+def q_resample_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.resample("1 hour", "min").df
+    return out.select(
+        "user_id", F.col("ts").alias("bucket_ts"), _R6(F.col("value")).alias("min_v")
+    )
+
+
+_RESAMPLE_MIN_ORACLE = f"""
+WITH {_DE_CTE}
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+       round(min(value), 6) AS min_v
+FROM de GROUP BY user_id, bucket_ts
+"""
+
+
+def q_resample_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.resample("1 hour", "max").df
+    return out.select(
+        "user_id", F.col("ts").alias("bucket_ts"), _R6(F.col("value")).alias("max_v")
+    )
+
+
+_RESAMPLE_MAX_ORACLE = f"""
+WITH {_DE_CTE}
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+       round(max(value), 6) AS max_v
+FROM de GROUP BY user_id, bucket_ts
+"""
+
+
+def q_interpolate_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.resample("30 minutes", "mean").interpolate("zero").df
+    return out.select(
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        _HR6(F.col("cents") / 100).alias("v"),
+    )
+
+
+_INTERP_ZERO_ORACLE = f"""
+WITH {_DE_CTE},
+agg AS (SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS b,
+               avg(cents) AS v
+        FROM de GROUP BY user_id, b),
+bounds AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM agg GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '30 minutes')) AS b
+         FROM bounds),
+joined AS (SELECT g.user_id, g.b, a.v
+           FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.b = a.b)
+SELECT user_id, b AS bucket_ts,
+       floor((coalesce(v, 0) / 100) * 1000000 + 0.5) / 1000000 AS v
+FROM joined
+"""
+
+
+def q_interpolate_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.resample("30 minutes", "mean").interpolate("bfill").df
+    return out.select(
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        _HR6(F.col("cents") / 100).alias("v"),
+    )
+
+
+_INTERP_BFILL_ORACLE = f"""
+WITH {_DE_CTE},
+agg AS (SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS b,
+               avg(cents) AS v
+        FROM de GROUP BY user_id, b),
+bounds AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM agg GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '30 minutes')) AS b
+         FROM bounds),
+joined AS (SELECT g.user_id, g.b, a.v
+           FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.b = a.b)
+SELECT user_id, b AS bucket_ts,
+       floor((first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) / 100) * 1000000 + 0.5) / 1000000 AS v
+FROM joined
+"""
+
+
+def q_prior_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.priorTo("2024-01-15 00:00:00").df
+    return out.select("user_id", "ts", _R6(F.col("value")).alias("v"))
+
+
+_PRIOR_TO_ORACLE = f"""
+WITH {_DE_CTE},
+ranked AS (SELECT user_id, ts, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+           FROM de WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+SELECT user_id, ts, round(value, 6) AS v FROM ranked WHERE rn = 1
+"""
+
+
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
@@ -495,22 +600,27 @@ WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-12 00:00
 
 
 def q_make_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two metrics with complementary nulls exercise the "later-starting
+    # interval's non-null value wins, null does not overwrite" merge rule
     de = _dedup_events(spark, sf_dir)
     iv = de.select(
         "user_id",
         F.col("ts").alias("start_ts"),
         (F.col("ts") + F.expr("interval 2 hours")).alias("end_ts"),
-        F.col("cents").alias("metric"),
+        F.when(F.col("cents") % 2 == 0, F.col("cents")).alias("metric_a"),
+        F.when(F.col("cents") % 2 == 1, F.col("cents")).alias("metric_b"),
     )
     idf = IntervalsDF(iv, "start_ts", "end_ts", ["user_id"])
     out = idf.make_disjoint().df
-    return out.select("user_id", "start_ts", "end_ts", "metric")
+    return out.select("user_id", "start_ts", "end_ts", "metric_a", "metric_b")
 
 
 _DISJOINT_ORACLE = f"""
 WITH {_DE_CTE},
 iv AS (SELECT user_id, ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts,
-              cents AS metric FROM de),
+              CASE WHEN cents % 2 = 0 THEN cents END AS metric_a,
+              CASE WHEN cents % 2 = 1 THEN cents END AS metric_b
+       FROM de),
 b AS (SELECT DISTINCT user_id, b FROM
       (SELECT user_id, unnest([start_ts, end_ts]) AS b FROM iv)),
 seg AS (SELECT user_id, b AS seg_start,
@@ -518,18 +628,22 @@ seg AS (SELECT user_id, b AS seg_start,
         FROM b),
 seg2 AS (SELECT * FROM seg WHERE seg_end IS NOT NULL),
 paired AS (
-  SELECT s.user_id, s.seg_start, s.seg_end, i.start_ts, i.end_ts, i.metric
+  SELECT s.user_id, s.seg_start, s.seg_end, i.start_ts, i.end_ts,
+         i.metric_a, i.metric_b
   FROM seg2 s JOIN iv i
     ON s.user_id = i.user_id AND s.seg_start < i.end_ts AND s.seg_end > i.start_ts),
 merged AS (
   SELECT user_id, seg_start, seg_end,
-         max(CASE WHEN metric IS NOT NULL
-                  THEN struct_pack(s := start_ts, e := end_ts, v := metric) END).v AS metric
+         max(CASE WHEN metric_a IS NOT NULL
+                  THEN struct_pack(s := start_ts, e := end_ts, v := metric_a) END).v AS metric_a,
+         max(CASE WHEN metric_b IS NOT NULL
+                  THEN struct_pack(s := start_ts, e := end_ts, v := metric_b) END).v AS metric_b
   FROM paired GROUP BY user_id, seg_start, seg_end),
 flagged AS (
   SELECT *,
          CASE WHEN lag(seg_end) OVER w = seg_start
-                   AND (metric IS NOT DISTINCT FROM lag(metric) OVER w)
+                   AND (metric_a IS NOT DISTINCT FROM lag(metric_a) OVER w)
+                   AND (metric_b IS NOT DISTINCT FROM lag(metric_b) OVER w)
               THEN 0 ELSE 1 END AS new_grp
   FROM merged WINDOW w AS (PARTITION BY user_id ORDER BY seg_start)),
 grouped AS (
@@ -537,7 +651,8 @@ grouped AS (
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
   FROM flagged)
 SELECT user_id, min(seg_start) AS start_ts, max(seg_end) AS end_ts,
-       first(metric ORDER BY seg_start) AS metric
+       first(metric_a ORDER BY seg_start) AS metric_a,
+       first(metric_b ORDER BY seg_start) AS metric_b
 FROM grouped GROUP BY user_id, gid
 """
 
@@ -793,9 +908,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_mean": q_resample_mean,
         "resample_floor": q_resample_floor,
         "resample_ceil": q_resample_ceil,
+        "resample_min": q_resample_min,
+        "resample_max": q_resample_max,
         "upsample_zero_fill": q_upsample_zero_fill,
         "interpolate_linear": q_interpolate_linear,
         "interpolate_ffill": q_interpolate_ffill,
+        "interpolate_zero": q_interpolate_zero,
+        "interpolate_bfill": q_interpolate_bfill,
+        "prior_to": q_prior_to,
         "ohlc_bars": q_ohlc_bars,
         "vwap": q_vwap,
         "ema": q_ema,
@@ -829,9 +949,14 @@ def oracle_sql() -> dict[str, str]:
         "resample_mean": _RESAMPLE_MEAN_ORACLE,
         "resample_floor": _RESAMPLE_FLOOR_ORACLE,
         "resample_ceil": _RESAMPLE_CEIL_ORACLE,
+        "resample_min": _RESAMPLE_MIN_ORACLE,
+        "resample_max": _RESAMPLE_MAX_ORACLE,
         "upsample_zero_fill": _UPSAMPLE_ORACLE,
         "interpolate_linear": _INTERP_LINEAR_ORACLE,
         "interpolate_ffill": _INTERP_FFILL_ORACLE,
+        "interpolate_zero": _INTERP_ZERO_ORACLE,
+        "interpolate_bfill": _INTERP_BFILL_ORACLE,
+        "prior_to": _PRIOR_TO_ORACLE,
         "ohlc_bars": _OHLC_ORACLE,
         "vwap": _VWAP_ORACLE,
         "ema": _ema_oracle(),

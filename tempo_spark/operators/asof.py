@@ -94,10 +94,27 @@ def asof_join(
         raise ValueError(f"prefixes leave colliding columns: {sorted(overlap)}")
 
     if use_range_join:
-        joined = _range_join(
-            series, ldf, l_ts, rdf, r_ts, r_vals, broadcast_right=broadcast_right
-        )
-    else:
+        # reference behavior (python/tempo/tsdf.py:783-837): the range-join
+        # path is taken only when a side's estimated plan size is under the
+        # cutoff (30 MiB there); otherwise the union-window path is safer —
+        # a big×big range join can degenerate to a nested-loop explosion.
+        from tempo_spark.plans.inspect import plan_size_bytes
+
+        cutoff = 30 * 2**20
+        r_size = plan_size_bytes(rdf)
+        l_size = plan_size_bytes(ldf)
+        known = [s for s in (l_size, r_size) if s is not None]
+        # fall back to union-window only when sizes are KNOWN to be big;
+        # unknown stats honor the caller's explicit range-join request
+        if known and min(known) >= cutoff:
+            use_range_join = False
+        else:
+            joined = _range_join(
+                series, ldf, l_ts, rdf, r_ts, r_vals,
+                broadcast_right=broadcast_right
+                or (r_size is not None and r_size < cutoff),
+            )
+    if not use_range_join:
         joined = _union_window_join(
             series, ldf, l_ts, l_vals, rdf, r_ts, r_seq, r_vals,
             skip_nulls=skip_nulls,

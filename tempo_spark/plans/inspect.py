@@ -25,11 +25,15 @@ def plan_size_bytes(df: DataFrame) -> Optional[float]:
         if not rows:
             return None
         text = rows[0][0]
-        m = re.search(r"sizeInBytes=([0-9.]+)\s*(B|KiB|MiB|GiB|TiB)", text)
+        m = re.search(r"sizeInBytes=([0-9.]+)\s*(B|KiB|MiB|GiB|TiB|PiB|EiB)", text)
         if not m:
             return None
-        mult = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}
-        return float(m.group(1)) * mult[m.group(2)]
+        mult = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40,
+                "PiB": 2**50, "EiB": 2**60}
+        size = float(m.group(1)) * mult[m.group(2)]
+        if size >= 2**60:  # Spark's Long.Max-ish sentinel for "unknown"
+            return None
+        return size
     finally:
         spark.catalog.dropTempView(name)
 
@@ -45,7 +49,8 @@ def formatted_plan(df: DataFrame) -> str:
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the physical plan — the main
     scale lever to watch when composing operators."""
-    return len(re.findall(r"\bExchange hashpartitioning", formatted_plan(df)))
+    plan = formatted_plan(df)
+    return len(re.findall(r"Arguments: hashpartitioning", plan))
 
 
 def has_pushed_filters(df: DataFrame) -> bool:
