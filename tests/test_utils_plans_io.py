@@ -1,0 +1,121 @@
+import datetime as dt
+
+import pytest
+import pyspark.sql.functions as F
+
+from tempo_spark import TSDF
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+class TestTimeHorizon:
+    def test_horizon_stats(self, spark, trades):
+        from tempo_spark.utils import calculate_time_horizon
+
+        stats = calculate_time_horizon(trades, "event_ts", "1 minute", ["symbol"])
+        assert stats["num_series"] == 2
+        # S1 spans 2020-08-01 00:00:10 → 2020-09-01 00:19:12 ≈ 44660 minutes
+        assert stats["max"] > 40000
+        assert stats["total"] == pytest.approx(stats["min"] + stats["max"], rel=0.01)
+
+
+class TestDisplay:
+    def test_get_display_df(self, spark, trades):
+        from tempo_spark.utils import get_display_df
+
+        t = TSDF(trades, ts_col="event_ts", series_ids=["symbol"])
+        out = get_display_df(t, k=1).collect()
+        assert len(out) == 2
+
+
+class TestPlans:
+    def test_plan_size_parquet(self, spark, tmp_path):
+        from tempo_spark.plans.inspect import plan_size_bytes
+
+        p = str(tmp_path / "t.parquet")
+        spark.range(1000).write.mode("overwrite").parquet(p)
+        size = plan_size_bytes(spark.read.parquet(p))
+        assert size is not None and 0 < size < 10 * 2**20
+
+    def test_plan_size_unknown_for_local(self, spark):
+        from tempo_spark.plans.inspect import plan_size_bytes
+
+        df = spark.createDataFrame([(1,)], "a int")
+        assert plan_size_bytes(df) is None
+
+    def test_count_exchanges_single_shuffle_ops(self, spark, trades):
+        from tempo_spark.plans.inspect import count_exchanges
+
+        t = TSDF(trades, ts_col="event_ts", series_ids=["symbol"])
+        assert count_exchanges(t.latest(1).df) == 1
+        assert count_exchanges(t.withRangeStats(rangeBackWindowSecs=60).df) == 1
+        assert count_exchanges(t.calc_bars("1 minute").df) == 1
+        # as-of join: ONE shuffle despite two inputs
+        quotes = TSDF(
+            trades.withColumnRenamed("trade_pr", "q"),
+            ts_col="event_ts",
+            series_ids=["symbol"],
+        )
+        assert count_exchanges(t.asofJoin(quotes, left_prefix="l").df) == 1
+
+
+class TestReader:
+    def test_read_parquet_tsdf(self, spark, tmp_path, trades):
+        from tempo_spark.sources.io import read_parquet_tsdf
+
+        p = str(tmp_path / "trades.parquet")
+        trades.write.mode("overwrite").parquet(p)
+        t = read_parquet_tsdf(spark, p, ts_col="event_ts", series_ids=["symbol"])
+        assert t.df.count() == trades.count()
+        assert t.series_ids == ["symbol"]
+
+
+class TestNanosParse:
+    def test_parse_preserves_subsecond(self, spark):
+        from tempo_spark.functions.timestamps import parse_nanos_timestamp
+
+        df = spark.createDataFrame(
+            [("2020-01-01 00:00:01.123456789",), ("2020-01-01 00:00:02",)],
+            "event_ts string",
+        )
+        out = parse_nanos_timestamp(df, "event_ts", parsed_col="parsed_ts")
+        rows = sorted(out.collect(), key=lambda r: r.event_ts)
+        assert rows[0].event_ts == pytest.approx(1577836801.123456789, abs=1e-6)
+        assert rows[1].event_ts == 1577836802.0
+        assert str(rows[0].parsed_ts).startswith("2020-01-01 00:00:01")
+
+
+class TestCrossValidatorEndToEnd:
+    def test_cv_with_estimator(self, spark):
+        pytest.importorskip("numpy")
+        from pyspark.ml.evaluation import RegressionEvaluator
+        from pyspark.ml.regression import LinearRegression
+        from pyspark.ml.feature import VectorAssembler
+        from pyspark.ml import Pipeline
+        from pyspark.ml.tuning import ParamGridBuilder
+
+        from tempo_spark.ml import TimeSeriesCrossValidator
+
+        rows = [
+            ("A", ts(f"2020-01-01 00:{i:02d}:00"), float(i), 2.0 * i + 1)
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "k string, event_ts timestamp, x double, y double")
+        pipe = Pipeline(stages=[
+            VectorAssembler(inputCols=["x"], outputCol="features"),
+            LinearRegression(featuresCol="features", labelCol="y"),
+        ])
+        lr = pipe.getStages()[1]
+        cv = TimeSeriesCrossValidator(
+            timeSeriesCol="event_ts",
+            seriesIdCols=["k"],
+            estimator=pipe,
+            estimatorParamMaps=ParamGridBuilder().addGrid(lr.regParam, [0.0]).build(),
+            evaluator=RegressionEvaluator(labelCol="y"),
+            numFolds=3,
+        )
+        model = cv.fit(df)
+        # a perfectly linear series should fit near-exactly
+        assert min(model.avgMetrics) < 1e-3
