@@ -77,15 +77,29 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 # ------------------------------------------------------------------ minhash
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as ``array<bigint>``: for seed j, the minimum of
-    ``xxhash64(shingle, j)`` over the shingle set. Entirely native array
-    expressions — evaluated once per row, no explode, no shuffle."""
+def _signature_from_hashes(hashed: Column, num_hashes: int) -> Column:
+    """k-min signature from a (materialized) array of base hashes: seed j's
+    hash of a shingle is ``xxhash64(base_hash, j)`` — a fixed-width long
+    re-hash, so each shingle pays ONE variable-length string hash plus k
+    cheap 16-byte hashes (and no long overflow under ANSI mode, unlike
+    affine multiply families)."""
+
+    def seeded(j: int):
+        # single-parameter lambda: pyspark introspects lambda arity, so
+        # closure constants must not appear as default parameters
+        return lambda h: F.xxhash64(h, F.lit(j))
+
     return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j))))
-            for j in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(hashed, seeded(j))) for j in range(num_hashes)]
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as ``array<bigint>``. NB: when composing into a
+    DataFrame prefer ``with_minhash``, which materializes the base hash
+    array so it is computed once, not once per hash seed."""
+    return _signature_from_hashes(
+        F.transform(shingles, lambda s: F.xxhash64(s)), num_hashes
     )
 
 
@@ -97,13 +111,13 @@ def with_minhash(
     shingle_k: int = 5,
     use_words: bool = False,
 ) -> DataFrame:
-    # materialize the shingle array once; inlining it into all num_hashes
-    # min-hash expressions would recompute the (expensive) shingling per seed
+    # materialize shingling + base string-hash ONCE; inlining either into the
+    # num_hashes min expressions would recompute them per seed
     sh = (word_shingles if use_words else char_shingles)(F.col(text_col), shingle_k)
-    tmp = "__tempo_shingles"
+    tmp = "__tempo_sh_hashed"
     return (
-        df.withColumn(tmp, sh)
-        .withColumn(out, minhash_signature(F.col(tmp), num_hashes))
+        df.withColumn(tmp, F.transform(sh, lambda s: F.xxhash64(s)))
+        .withColumn(out, _signature_from_hashes(F.col(tmp), num_hashes))
         .drop(tmp)
     )
 
@@ -165,7 +179,15 @@ def jaccard_verify(
     """Exact Jaccard on candidate pairs only (array_intersect/union on the
     shingle sets). The joins hash-partition on ids — candidate-proportional."""
     sh = (word_shingles if use_words else char_shingles)(F.col(text_col), shingle_k)
-    shingled = df.select(F.col(id_col), sh.alias("__sh"))
+    # only docs that appear in some candidate pair need shingling
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shingled = df.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col), sh.alias("__sh")
+    )
     out = (
         candidates.join(
             shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")),
