@@ -1,0 +1,145 @@
+"""Property-based tests: random inputs, algebraic invariants.
+
+These cover the two algorithmically-hard operators — make_disjoint and the
+as-of join — by checking invariants against brute-force Python models on
+randomized inputs (the reference relies on hand-written goldens only;
+SURVEY.md §5 notes the gap)."""
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from tempo_spark import IntervalsDF, TSDF
+
+BASE = dt.datetime(2020, 1, 1)
+
+
+def minutes(m):
+    return BASE + dt.timedelta(minutes=m)
+
+
+interval_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 30),          # start minute
+        st.integers(1, 10),          # duration
+        st.one_of(st.none(), st.integers(0, 5)),   # metric_1
+        st.one_of(st.none(), st.integers(0, 5)),   # metric_2
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(interval_strategy)
+def test_make_disjoint_invariants(spark, ivals):
+    rows = [
+        (minutes(s), minutes(s + d), "k", m1, m2) for (s, d, m1, m2) in ivals
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "start_ts timestamp, end_ts timestamp, series_1 string, metric_1 int, metric_2 int",
+    )
+    out = (
+        IntervalsDF(df, "start_ts", "end_ts", ["series_1"])
+        .make_disjoint()
+        .df.collect()
+    )
+    segs = sorted((r.start_ts, r.end_ts, r.metric_1, r.metric_2) for r in out)
+
+    # 1. disjoint & ordered
+    for (s1, e1, *_), (s2, e2, *_) in zip(segs, segs[1:]):
+        assert e1 <= s2, f"overlap: {s1}-{e1} vs {s2}-{e2}"
+    # 2. positive length
+    assert all(s < e for s, e, *_ in segs)
+    # 3. coverage: union of outputs == union of inputs (as point sets)
+    def covered(point_sets, t):
+        return any(s <= t < e for s, e in point_sets)
+
+    in_spans = [(minutes(s), minutes(s + d)) for (s, d, *_i) in ivals]
+    out_spans = [(s, e) for s, e, *_ in segs]
+    probe_points = sorted({minutes(m) for m in range(0, 45)})
+    for t in probe_points:
+        assert covered(in_spans, t) == covered(out_spans, t), f"coverage differs at {t}"
+    # 4. merge rule: each output point's metric equals the non-null metric of
+    # the latest-starting covering input interval
+    for s, e, m1, m2 in segs:
+        mid = s  # segment start is inside the segment
+        for mi, value in ((2, m1), (3, m2)):
+            covering = [
+                (minutes(st_), minutes(st_ + d), row[mi])
+                for row, (st_, d, *_x) in zip(ivals, [(i[0], i[1]) for i in ivals])
+                for st_, d in [(row[0], row[1])]
+                if minutes(row[0]) <= mid < minutes(row[0] + row[1])
+                and row[mi] is not None
+            ]
+            if covering:
+                expected = max(covering, key=lambda c: (c[0], c[1]))[2]
+                assert value == expected, (
+                    f"metric_{mi-1} at {mid}: got {value}, expected {expected}"
+                )
+            else:
+                assert value is None
+
+
+asof_strategy = st.tuples(
+    st.lists(st.integers(0, 100), min_size=1, max_size=12, unique=True),  # left ts
+    st.lists(st.integers(0, 100), min_size=0, max_size=12, unique=True),  # right ts
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_strategy)
+def test_asof_join_matches_bruteforce(spark, data):
+    left_ts, right_ts = data
+    left = spark.createDataFrame(
+        [("k", minutes(m), float(m)) for m in left_ts],
+        "sym string, event_ts timestamp, v double",
+    )
+    right = spark.createDataFrame(
+        [("k", minutes(m), float(m) * 10) for m in right_ts],
+        "sym string, event_ts timestamp, q double",
+    ) if right_ts else spark.createDataFrame([], "sym string, event_ts timestamp, q double")
+
+    lt = TSDF(left, ts_col="event_ts", series_ids=["sym"])
+    rt = TSDF(right, ts_col="event_ts", series_ids=["sym"])
+    out = lt.asofJoin(rt, left_prefix="l").df.collect()
+
+    got = {r.l_event_ts: r.right_q for r in out}
+    assert len(got) == len(left_ts)
+    for m in left_ts:
+        eligible = [r for r in right_ts if r <= m]
+        expected = max(eligible) * 10.0 if eligible else None
+        assert got[minutes(m)] == expected, f"left={m}: {got[minutes(m)]} != {expected}"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 100)),
+        min_size=2, max_size=15, unique_by=lambda t: t[0],
+    )
+)
+def test_interpolation_linear_matches_model(spark, points):
+    """Linear interpolation on a 1-minute grid equals the closed-form line
+    between neighboring known buckets."""
+    rows = [("k", minutes(m), float(v)) for m, v in points]
+    df = spark.createDataFrame(rows, "sym string, event_ts timestamp, v double")
+    t = TSDF(df, ts_col="event_ts", series_ids=["sym"])
+    out = t.interpolate("linear", freq="1 minute", func="mean").df.collect()
+
+    known = sorted((m, float(v)) for m, v in points)
+    lo, hi = known[0][0], known[-1][0]
+    got = {r.event_ts: r.v for r in out}
+    assert set(got) == {minutes(m) for m in range(lo, hi + 1)}
+    for m in range(lo, hi + 1):
+        prevs = [(km, kv) for km, kv in known if km <= m]
+        nexts = [(km, kv) for km, kv in known if km >= m]
+        if any(km == m for km, _ in known):
+            expected = dict(known)[m]
+        else:
+            pm, pv = prevs[-1]
+            nm, nv = nexts[0]
+            expected = pv + (nv - pv) * (m - pm) / (nm - pm)
+        assert got[minutes(m)] == pytest.approx(expected), f"minute {m}"
