@@ -81,6 +81,19 @@ def asof_join(
             f"as-of join requires matching series ids; "
             f"left={left.series_ids} right={right.series_ids}"
         )
+    # ts dtype categories must match, or the union/compare is meaningless
+    # (reference: python/tempo/tsdf.py:198-204)
+    from pyspark.sql.types import NumericType
+
+    def _ts_kind(tsdf):
+        t = tsdf.df.schema[tsdf.ts_col].dataType
+        return "numeric" if isinstance(t, NumericType) else t.typeName()
+
+    if _ts_kind(left) != _ts_kind(right):
+        raise ValueError(
+            f"as-of join ts dtypes are incompatible: left {_ts_kind(left)}, "
+            f"right {_ts_kind(right)}"
+        )
     if not skip_nulls and ts_partition_val is not None:
         # same unsupported combination as the reference
         # (reference: python/tempo/tsdf.py:281-285)

@@ -399,10 +399,18 @@ class TSDF:
             series_count = F.countDistinct(*[F.col(c) for c in self.series_ids])
         else:
             series_count = F.lit(1)
+        ts_d = ts_to_double(F.col(self.ts_col))
+        granularity = (
+            F.when(F.max(ts_d % 60) > 0, "second")
+            .when(F.max(ts_d % 3600) > 0, "minute")
+            .when(F.max(ts_d % 86400) > 0, "hour")
+            .otherwise("day")
+        )
         extras = self.df.agg(
             series_count.cast("string").alias("unique_ts_count"),
             F.min(self.ts_col).cast("string").alias("min_ts"),
             F.max(self.ts_col).cast("string").alias("max_ts"),
+            granularity.alias("granularity"),
         )
 
         def _extra_row(label: str, src: str) -> DataFrame:
@@ -417,6 +425,7 @@ class TSDF:
             ("unique_time_series_count", "unique_ts_count"),
             ("min_ts", "min_ts"),
             ("max_ts", "max_ts"),
+            ("granularity", "granularity"),
         ):
             out = out.unionByName(_extra_row(label, src))
         return out
