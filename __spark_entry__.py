@@ -862,6 +862,17 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5, n_planes=6, dim=64)
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tempo_spark.pipeline.similarity import IVFIndex
+
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = IVFIndex.build(emb, n_centroids=8, seed=42)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return idx.topk(queries, k=5, nprobe=2)
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tempo_spark.pipeline.similarity import embedding_near_dups
 
@@ -934,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "fourier": q_fourier,
         "lookback_features": q_lookback_features,

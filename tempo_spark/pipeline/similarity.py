@@ -136,6 +136,87 @@ def lsh_topk(
     )
 
 
+class IVFIndex:
+    """Inverted-file ANN index: a coarse k-means quantizer partitions the
+    corpus into ``n_centroids`` cells; queries score only their ``nprobe``
+    nearest cells.
+
+    At scale: the assigned corpus can be written out partitioned/bucketed by
+    ``cell`` so a probe reads only matching files; the centroid table is a
+    driver-side literal (n_centroids × dim floats), never shuffled.
+    """
+
+    def __init__(self, assigned: DataFrame, centers: list[list[float]], id_col: str, vec_col: str):
+        self.assigned = assigned  # (id, __vec double[], cell int)
+        self.centers = centers
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_centroids: int = 16,
+        seed: int = 42,
+        max_iter: int = 5,
+    ) -> "IVFIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        featurized = corpus.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("__vec")
+        ).withColumn("__fv", array_to_vector(F.col("__vec")))
+        model = KMeans(
+            k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__fv",
+            predictionCol="cell",
+        ).fit(featurized)
+        assigned = model.transform(featurized).select(id_col, "__vec", "cell")
+        centers = [list(map(float, c)) for c in model.clusterCenters()]
+        return IVFIndex(assigned, centers, id_col, vec_col)
+
+    def _probe_cells(self, vec: Column, nprobe: int) -> Column:
+        """ids of the nprobe nearest centroids, as a native expression over
+        literal centroid arrays (no shuffle, no UDF)."""
+        scored = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(-2.0)
+                        * dot(vec, F.array(*[F.lit(x) for x in c]))
+                        + F.lit(sum(x * x for x in c))
+                    ).alias("d"),  # ||v-c||² − ||v||² = ||c||² − 2 v·c
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(self.centers)
+            ]
+        )
+        return F.slice(F.array_sort(scored), 1, nprobe).getField("cell")
+
+    def topk(
+        self,
+        queries: DataFrame,
+        query_id: str = "query_id",
+        query_vec: str = "embedding",
+        k: int = 5,
+        nprobe: int = 2,
+    ) -> DataFrame:
+        q = queries.select(
+            F.col(query_id).alias("__qid"), _as_double(F.col(query_vec)).alias("__qvec")
+        ).withColumn("cell", F.explode(self._probe_cells(F.col("__qvec"), nprobe)))
+        scored = self.assigned.join(F.broadcast(q), "cell").select(
+            F.col("__qid").alias(query_id),
+            F.col(self.id_col),
+            F.round(cosine(F.col("__qvec"), F.col("__vec")), 6).alias("cosine"),
+        )
+        w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(self.id_col))
+        return (
+            scored.withColumn("__rank", F.row_number().over(w))
+            .where(F.col("__rank") <= k)
+            .withColumnRenamed("__rank", "rank")
+        )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -188,3 +188,46 @@ class TestMultimodal:
         assert out.schema["media_meta"].dataType.fieldNames() == [
             "media_type", "mime", "width", "height", "duration_ms", "sample_rate"
         ]
+
+
+class TestIVF:
+    def test_ivf_topk_recall(self, spark):
+        import random
+        random.seed(7)
+        # two tight clusters far apart + noise
+        rows = []
+        for i in range(40):
+            base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+            rows.append((i, [b + random.gauss(0, 0.05) for b in base]))
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+        from tempo_spark.pipeline.similarity import IVFIndex, brute_force_topk
+        import pyspark.sql.functions as F
+
+        idx = IVFIndex.build(vecs, n_centroids=4, seed=1)
+        queries = vecs.where("vec_id in (0, 1)").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        approx = idx.topk(queries, k=5, nprobe=2).collect()
+        exact = brute_force_topk(vecs, queries, k=5).collect()
+
+        def tops(rows):
+            out = {}
+            for r in rows:
+                out.setdefault(r.query_id, set()).add(r.vec_id)
+            return out
+
+        a, e = tops(approx), tops(exact)
+        # with clearly-separated clusters and nprobe=2, recall should be full
+        for qid in e:
+            assert len(a[qid] & e[qid]) >= 4, (qid, a[qid], e[qid])
+
+    def test_ivf_cells_partition_corpus(self, spark):
+        rows = [(i, [float(i % 3), float((i + 1) % 3), 0.0]) for i in range(30)]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        from tempo_spark.pipeline.similarity import IVFIndex
+
+        idx = IVFIndex.build(vecs, n_centroids=3, seed=2)
+        assert idx.assigned.count() == 30
+        n_cells = idx.assigned.select("cell").distinct().count()
+        assert 1 <= n_cells <= 3
