@@ -1,0 +1,69 @@
+"""JSON golden-fixture harness, modeled on the reference's test strategy
+(reference: python/tests/base.py:19-211,306-355): each test module has a
+JSON file of named cases; a case holds input DataFrame specs (DDL schema +
+row literals + optional ts conversion + TSDF kwargs) and the expected
+output. Fixtures here are authored for this engine, not copied.
+
+Spec format:
+{
+  "case_name": {
+    "inputs": {"left": {"schema": "...", "rows": [[...]], "ts_convert": ["c"],
+                         "tsdf": {"ts_col": "...", "series_ids": [...]}}},
+    "expected": {"schema": "...", "rows": [[...]], "ts_convert": ["c"]}
+  }
+}
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from pathlib import Path
+
+GOLDEN_DIR = Path(__file__).parent / "goldens"
+
+
+def load_cases(name: str) -> dict:
+    with open(GOLDEN_DIR / f"{name}.json") as f:
+        return json.load(f)
+
+
+def build_df(spark, spec: dict):
+    rows = [tuple(r) for r in spec["rows"]]
+    df = spark.createDataFrame(rows, spec["schema"])
+    for c in spec.get("ts_convert", []):
+        import pyspark.sql.functions as F
+
+        df = df.withColumn(c, F.to_timestamp(F.col(c)))
+    return df
+
+
+def build_tsdf(spark, spec: dict):
+    from tempo_spark import TSDF
+
+    return TSDF(build_df(spark, spec), **spec.get("tsdf", {}))
+
+
+def assert_matches_golden(actual_df, expected_spec: dict, spark, sort_by=None):
+    expected = build_df(spark, expected_spec)
+    a_cols = sorted(actual_df.columns)
+    e_cols = sorted(expected.columns)
+    assert a_cols == e_cols, f"schema mismatch: {a_cols} vs {e_cols}"
+
+    def normalize(rows, cols):
+        out = []
+        for r in rows:
+            vals = []
+            for c in cols:
+                v = r[c]
+                if isinstance(v, float):
+                    v = round(v, 9)
+                if isinstance(v, dt.datetime):
+                    v = v.isoformat()
+                vals.append(v)
+            out.append(tuple(vals))
+        return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+    a = normalize(actual_df.collect(), a_cols)
+    e = normalize(expected.collect(), e_cols)
+    assert a == e, f"rows differ:\nactual  : {a}\nexpected: {e}"
