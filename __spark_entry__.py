@@ -657,6 +657,42 @@ FROM grouped GROUP BY user_id, gid
 """
 
 
+def q_composite_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained workload: as-of join clicks→purchases with 1-day tolerance,
+    then per-user funnel stats (match rate + mean click→purchase delay)."""
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_value"))
+    )
+    left = TSDF(clicks, ts_col="ts", series_ids=["user_id"])
+    right = TSDF(purchases, ts_col="ts", series_ids=["user_id"])
+    joined = left.asofJoin(
+        right, left_prefix="left", right_prefix="right", tolerance=86400
+    ).df
+    delay_us = F.unix_micros(F.col("left_ts")) - F.unix_micros(F.col("right_ts"))
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.count(F.col("right_ts")).alias("n_matched"),
+        _HR6(F.avg(delay_us) / 1_000_000).alias("mean_delay_sec"),
+    )
+
+
+_COMPOSITE_FUNNEL_ORACLE = """
+WITH l AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, max(value) AS p_value FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id, ts),
+j AS (SELECT l.user_id, l.ts AS click_ts,
+             CASE WHEN epoch(l.ts) - epoch(r.ts) > 86400 THEN NULL ELSE r.ts END AS purchase_ts
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts)
+SELECT user_id, count(*) AS n_clicks, count(purchase_ts) AS n_matched,
+       floor((avg(epoch_us(click_ts) - epoch_us(purchase_ts)) / 1000000) * 1000000 + 0.5) / 1000000 AS mean_delay_sec
+FROM j GROUP BY user_id
+"""
+
+
 def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -935,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_between": q_slice_between,
         "make_disjoint": q_make_disjoint,
         "cv_folds": q_cv_folds,
+        "composite_funnel": q_composite_funnel,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -977,6 +1014,7 @@ def oracle_sql() -> dict[str, str]:
         "slice_between": _SLICE_ORACLE,
         "make_disjoint": _DISJOINT_ORACLE,
         "cv_folds": _CV_ORACLE,
+        "composite_funnel": _COMPOSITE_FUNNEL_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "token_count": _TOKEN_COUNT_ORACLE,
         "quality_score": _QUALITY_ORACLE,

@@ -61,7 +61,8 @@ def main():
             srows = sdf.collect()
             scols = sorted(sdf.columns)
             sdata = sorted(
-                tuple(norm(r[c]) for c in scols) for r in srows
+                (tuple(norm(r[c]) for c in scols) for r in srows),
+                key=lambda t: tuple(str(x) for x in t),
             )
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
@@ -79,7 +80,8 @@ def main():
             ocols_order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
             ocols = sorted(ocols_raw)
             odata = sorted(
-                tuple(norm(r[i]) for i in ocols_order) for r in orows
+                (tuple(norm(r[i]) for i in ocols_order) for r in orows),
+                key=lambda t: tuple(str(x) for x in t),
             )
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
