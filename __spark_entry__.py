@@ -878,7 +878,9 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tempo_spark.pipeline.dedup import simhash_near_dups, with_simhash
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_dups(with_simhash(docs, "text"), "doc_id", max_hamming=6)
+    return simhash_near_dups(
+        with_simhash(docs, "text", id_col="doc_id"), "doc_id", max_hamming=6
+    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

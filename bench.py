@@ -54,6 +54,10 @@ BENCH_QUERIES = {
     "b10_minhash_dedup": entry_mod.q_minhash_near_dups,
     "b11_ann_topk": entry_mod.q_ann_cosine_topk,
     "b12_text_analysis": entry_mod.q_quality_score,
+    "b13_simhash_dedup": entry_mod.q_simhash_near_dups,
+    "b14_ngram_jaccard": entry_mod.q_ngram_jaccard,
+    "b15_ivf_ann_topk": entry_mod.q_ivf_ann_topk,
+    "b16_composite_funnel": entry_mod.q_composite_funnel,
 }
 
 RUNS = 3

@@ -161,6 +161,18 @@ class TSDF:
     def withColumn(self, name: str, col: Column) -> "TSDF":
         return self._with_df(self.df.withColumn(name, col))
 
+    def union(self, other: "TSDF") -> "TSDF":
+        return self._with_df(self.df.union(other.df))
+
+    def unionByName(self, other: "TSDF") -> "TSDF":
+        return self._with_df(self.df.unionByName(other.df))
+
+    def drop(self, *cols: str) -> "TSDF":
+        structural = set(self.structural_cols) & set(cols)
+        if structural:
+            raise ValueError(f"cannot drop structural columns {sorted(structural)}")
+        return self._with_df(self.df.drop(*cols))
+
     def show(self, n: int = 20, truncate: bool = True, vertical: bool = False) -> None:
         self.df.orderBy(*self.series_ids, self.ts_col).show(n, truncate, vertical)
 
