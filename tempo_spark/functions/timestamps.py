@@ -20,13 +20,24 @@ def is_time_like(dtype) -> bool:
     return isinstance(dtype, (TimestampType, TimestampNTZType, NumericType))
 
 
-def ts_to_double(col: Column) -> Column:
+def ts_to_double(col: Column, dtype=None) -> Column:
     """Epoch seconds (with fractional part) as double for any time-like column.
 
     Casting a Spark timestamp to double yields epoch seconds with microsecond
-    fraction; numeric columns pass through unchanged.
+    fraction; numeric columns pass through unchanged. TIMESTAMP_NTZ has no
+    direct double cast — route it through TIMESTAMP (session-tz interpretation;
+    sessions should pin UTC), which requires passing the ``dtype``.
     """
+    if dtype is not None and isinstance(dtype, TimestampNTZType):
+        return col.cast(TimestampType()).cast(DoubleType())
     return col.cast(DoubleType())
+
+
+def ts_double_from(df: DataFrame, col_name: str) -> Column:
+    """Schema-aware variant of :func:`ts_to_double`."""
+    import pyspark.sql.functions as F  # local alias; F already imported above
+
+    return ts_to_double(F.col(col_name), df.schema[col_name].dataType)
 
 
 def double_ts_expr(ts_str_col: Column) -> Column:

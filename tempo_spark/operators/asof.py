@@ -137,7 +137,10 @@ def asof_join(
 
     if tolerance is not None:
         # null out right-side values older than the tolerance band
-        age = ts_to_double(F.col(l_ts)) - ts_to_double(F.col(r_ts))
+        ts_dtype = joined.schema[l_ts].dataType
+        age = ts_to_double(F.col(l_ts), ts_dtype) - ts_to_double(
+            F.col(r_ts), joined.schema[r_ts].dataType
+        )
         stale = age > F.lit(float(tolerance))
         for c in r_vals:
             if c != r_ts:
@@ -189,7 +192,8 @@ def _union_window_join(
     part_cols = list(series)
     if ts_partition_val is not None:
         unioned, part_cols = _add_time_partitions(
-            unioned, combined_ts, series, ts_partition_val, fraction
+            unioned, combined_ts, series, ts_partition_val, fraction,
+            ts_dtype=unioned.schema[l_ts].dataType,
         )
 
     # right rows at an equal timestamp sort BEFORE left rows (rec_ind -1 < 1)
@@ -229,13 +233,14 @@ def _add_time_partitions(
     series: list[str],
     ts_partition_val: int,
     fraction: float,
+    ts_dtype=None,
 ):
     """Salt the series key with time brackets; duplicate the trailing
     ``fraction`` of each bracket into the NEXT bracket (is_original=0) so
     the next bracket's window never starts without lookback context
     (reference: python/tempo/tsdf.py:342-383)."""
     val = float(ts_partition_val)
-    dts = ts_to_double(combined_ts)
+    dts = ts_to_double(combined_ts, ts_dtype)
     base = F.floor(dts / val) * F.lit(val)
     in_overlap_tail = (dts - base) >= F.lit(val * (1.0 - fraction))
     brackets = F.array(

@@ -96,15 +96,18 @@ def interpolate(
         elif method == "bfill":
             new_val = F.first(val, ignorenulls=True).over(w_fwd)
         else:  # linear
+            ts_dtype = filled.schema[ts].dataType
             prev_v = F.last(val, ignorenulls=True).over(w_back)
             next_v = F.first(val, ignorenulls=True).over(w_fwd)
             prev_t = F.last(
-                F.when(val.isNotNull(), ts_to_double(F.col(ts))), ignorenulls=True
+                F.when(val.isNotNull(), ts_to_double(F.col(ts), ts_dtype)),
+                ignorenulls=True,
             ).over(w_back)
             next_t = F.first(
-                F.when(val.isNotNull(), ts_to_double(F.col(ts))), ignorenulls=True
+                F.when(val.isNotNull(), ts_to_double(F.col(ts), ts_dtype)),
+                ignorenulls=True,
             ).over(w_fwd)
-            t = ts_to_double(F.col(ts))
+            t = ts_to_double(F.col(ts), ts_dtype)
             interp = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
             new_val = F.when(
                 missing & prev_v.isNotNull() & next_v.isNotNull(), interp

@@ -138,7 +138,10 @@ class TSDF:
     def range_window(self, back_secs: float, fwd_secs: float = 0.0) -> WindowSpec:
         """Time-range window. Orders by epoch **microseconds** as long (Spark
         range frames need integral offsets), so sub-second lookbacks work."""
-        micros = (ts_to_double(F.col(self.ts_col)) * F.lit(1_000_000.0)).cast("long")
+        ts_dtype = self.df.schema[self.ts_col].dataType
+        micros = (
+            ts_to_double(F.col(self.ts_col), ts_dtype) * F.lit(1_000_000.0)
+        ).cast("long")
         return (
             Window.partitionBy(*[F.col(c) for c in self.series_ids])
             .orderBy(micros)

@@ -138,3 +138,19 @@ class TestDescribe:
         summaries = [r.summary for r in out.collect()]
         assert "unique_time_series_count" in summaries
         assert "min_ts" in summaries and "max_ts" in summaries
+
+
+class TestTimestampNTZ:
+    def test_ops_on_ntz(self, spark):
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [("A", "2020-01-01 00:00:10", 1.0), ("A", "2020-01-01 00:02:40", 2.0)],
+            "k string, ts string, v double",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        t = TSDF(df, ts_col="ts", series_ids=["k"])
+        assert t.latest(1).df.collect()[0].v == 2.0
+        res = t.resample("1 minute", "mean").df.collect()
+        assert len(res) == 2
+        stats = t.withRangeStats(rangeBackWindowSecs=300).df.collect()
+        assert {r.count_v for r in stats} == {1, 2}
