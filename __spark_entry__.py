@@ -693,6 +693,68 @@ FROM j GROUP BY user_id
 """
 
 
+def q_intervals_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_disjoint → toDF(stack=True) round trip (SURVEY §2 #27+#29)."""
+    de = _dedup_events(spark, sf_dir)
+    iv = de.select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 2 hours")).alias("end_ts"),
+        F.when(F.col("cents") % 2 == 0, F.col("cents")).alias("metric_a"),
+        F.when(F.col("cents") % 2 == 1, F.col("cents")).alias("metric_b"),
+    )
+    idf = IntervalsDF(iv, "start_ts", "end_ts", ["user_id"])
+    return idf.make_disjoint().toDF(stack=True).select(
+        "user_id", "start_ts", "end_ts", "metric_name", "metric_value"
+    )
+
+
+_INTERVALS_STACK_ORACLE_SUFFIX = '''
+, final AS (
+  SELECT user_id, min(seg_start) AS start_ts, max(seg_end) AS end_ts,
+         first(metric_a ORDER BY seg_start) AS metric_a,
+         first(metric_b ORDER BY seg_start) AS metric_b
+  FROM grouped GROUP BY user_id, gid)
+SELECT user_id, start_ts, end_ts, 'metric_a' AS metric_name, metric_a AS metric_value
+FROM final WHERE metric_a IS NOT NULL
+UNION ALL
+SELECT user_id, start_ts, end_ts, 'metric_b' AS metric_name, metric_b AS metric_value
+FROM final WHERE metric_b IS NOT NULL
+'''
+
+
+def q_from_stacked_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fromStackedMetrics pivot (SURVEY §2 #26): stack two event types into
+    (name, value) rows, pivot back to wide interval rows."""
+    de = _dedup_events(spark, sf_dir)
+    stacked = de.select(
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 1 hour")).alias("end_ts"),
+        "user_id",
+        F.when(F.col("cents") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("metric_name"),
+        F.col("cents").alias("metric_value"),
+    )
+    idf = IntervalsDF.fromStackedMetrics(
+        stacked, "start_ts", "end_ts", ["user_id"], "metric_name", "metric_value",
+        metric_names=["even", "odd"],
+    )
+    return idf.df.select("user_id", "start_ts", "end_ts", "even", "odd")
+
+
+_FROM_STACKED_ORACLE = f"""
+WITH {_DE_CTE},
+stacked AS (
+  SELECT ts AS start_ts, ts + INTERVAL 1 HOUR AS end_ts, user_id,
+         CASE WHEN cents % 2 = 0 THEN 'even' ELSE 'odd' END AS metric_name,
+         cents AS metric_value
+  FROM de)
+SELECT user_id, start_ts, end_ts,
+       max(CASE WHEN metric_name = 'even' THEN metric_value END) AS even,
+       max(CASE WHEN metric_name = 'odd' THEN metric_value END) AS odd
+FROM stacked GROUP BY user_id, start_ts, end_ts
+"""
+
+
 def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -935,10 +997,27 @@ def q_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lookback_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    out = t.withLookbackFeatures(["value"], 3).df
-    return out.select("user_id", "ts", F.size("features").alias("n_rows"))
+    out = t.withLookbackFeatures(["cents"], 3).df
+    # sum over the 2-D tensor is an exact integer → a true DuckDB oracle
+    feat_sum = F.aggregate(
+        F.flatten(F.col("features")), F.lit(0.0), lambda a, x: a + x
+    ).cast("long")
+    return out.select(
+        "user_id", "ts", F.size("features").alias("n_rows"), feat_sum.alias("feat_sum")
+    )
+
+
+_LOOKBACK_ORACLE = f"""
+WITH {_DE_CTE},
+ranked AS (
+  SELECT user_id, ts, cents,
+         row_number() OVER w AS rn,
+         lag(cents, 1) OVER w + lag(cents, 2) OVER w + lag(cents, 3) OVER w AS feat_sum
+  FROM de WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+SELECT user_id, ts, 3 AS n_rows, feat_sum FROM ranked WHERE rn > 3
+"""
 
 
 # ------------------------------------------------------------- entry points
@@ -973,6 +1052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_between": q_slice_between,
         "make_disjoint": q_make_disjoint,
         "cv_folds": q_cv_folds,
+        "intervals_stack": q_intervals_stack,
+        "from_stacked_metrics": q_from_stacked_metrics,
         "composite_funnel": q_composite_funnel,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -1016,6 +1097,10 @@ def oracle_sql() -> dict[str, str]:
         "slice_between": _SLICE_ORACLE,
         "make_disjoint": _DISJOINT_ORACLE,
         "cv_folds": _CV_ORACLE,
+        "intervals_stack": _DISJOINT_ORACLE.rsplit("SELECT user_id, min(seg_start)", 1)[0]
+            + _INTERVALS_STACK_ORACLE_SUFFIX,
+        "from_stacked_metrics": _FROM_STACKED_ORACLE,
+        "lookback_features": _LOOKBACK_ORACLE,
         "composite_funnel": _COMPOSITE_FUNNEL_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "token_count": _TOKEN_COUNT_ORACLE,
