@@ -16,7 +16,15 @@ Determinism strategy for cross-engine float comparison:
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+# ensure the repo root is importable even when this module is loaded by
+# file path (importlib spec) rather than from the working directory
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession

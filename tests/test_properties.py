@@ -143,3 +143,33 @@ def test_interpolation_linear_matches_model(spark, points):
             nm, nv = nexts[0]
             expected = pv + (nv - pv) * (m - pm) / (nm - pm)
         assert got[minutes(m)] == pytest.approx(expected), f"minute {m}"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_strategy)
+def test_skew_asof_matches_default_with_covering_bracket(spark, data):
+    """With a bracket larger than the data span (plus 50% overlap), the
+    time-partitioned as-of path must equal the default union-window path."""
+    left_ts, right_ts = data
+    left = spark.createDataFrame(
+        [("k", minutes(m), float(m)) for m in left_ts],
+        "sym string, event_ts timestamp, v double",
+    )
+    right = spark.createDataFrame(
+        [("k", minutes(m), float(m) * 10) for m in right_ts],
+        "sym string, event_ts timestamp, q double",
+    ) if right_ts else spark.createDataFrame([], "sym string, event_ts timestamp, q double")
+
+    lt = TSDF(left, ts_col="event_ts", series_ids=["sym"])
+    rt = TSDF(right, ts_col="event_ts", series_ids=["sym"])
+    default = {
+        (r.l_event_ts, r.right_q)
+        for r in lt.asofJoin(rt, left_prefix="l").df.collect()
+    }
+    skew = {
+        (r.l_event_ts, r.right_q)
+        for r in lt.asofJoin(
+            rt, left_prefix="l", tsPartitionVal=14 * 86400, fraction=0.9
+        ).df.collect()
+    }
+    assert skew == default

@@ -154,3 +154,18 @@ class TestTimestampNTZ:
         assert len(res) == 2
         stats = t.withRangeStats(rangeBackWindowSecs=300).df.collect()
         assert {r.count_v for r in stats} == {1, 2}
+
+
+class TestPassthroughs:
+    def test_union(self, tsdf):
+        u = tsdf.union(tsdf)
+        assert u.df.count() == 2 * tsdf.df.count()
+        ub = tsdf.unionByName(tsdf)
+        assert ub.df.count() == 2 * tsdf.df.count()
+
+    def test_drop_structural_raises(self, tsdf):
+        with pytest.raises(ValueError, match="structural"):
+            tsdf.drop("event_ts")
+
+    def test_drop_metric(self, tsdf):
+        assert "trade_pr" not in tsdf.drop("trade_pr").df.columns
