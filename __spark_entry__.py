@@ -763,6 +763,45 @@ FROM stacked GROUP BY user_id, start_ts, end_ts
 """
 
 
+def q_interval_point_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval–TSDF join: annotate each event with its covering disjoint
+    interval (roadmap-only in the reference)."""
+    de = _dedup_events(spark, sf_dir)
+    iv = de.select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 2 hours")).alias("end_ts"),
+        F.when(F.col("cents") % 2 == 0, F.col("cents")).alias("metric_a"),
+        F.when(F.col("cents") % 2 == 1, F.col("cents")).alias("metric_b"),
+    )
+    disjoint = IntervalsDF(iv, "start_ts", "end_ts", ["user_id"]).make_disjoint()
+    t = TSDF(de.select("user_id", "ts", "value"), ts_col="ts", series_ids=["user_id"])
+    out = disjoint.join_tsdf(t).df
+    return out.select(
+        "user_id",
+        "ts",
+        _R6(F.col("value")).alias("v"),
+        F.col("interval_start_ts"),
+        F.col("interval_end_ts"),
+        F.col("interval_metric_a"),
+        F.col("interval_metric_b"),
+    )
+
+
+_INTERVAL_JOIN_SUFFIX = """
+, final AS (
+  SELECT user_id, min(seg_start) AS start_ts, max(seg_end) AS end_ts,
+         first(metric_a ORDER BY seg_start) AS metric_a,
+         first(metric_b ORDER BY seg_start) AS metric_b
+  FROM grouped GROUP BY user_id, gid)
+SELECT d.user_id, d.ts, round(d.value, 6) AS v,
+       f.start_ts AS interval_start_ts, f.end_ts AS interval_end_ts,
+       f.metric_a AS interval_metric_a, f.metric_b AS interval_metric_b
+FROM de d JOIN final f
+  ON d.user_id = f.user_id AND d.ts >= f.start_ts AND d.ts < f.end_ts
+"""
+
+
 def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1062,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_folds": q_cv_folds,
         "intervals_stack": q_intervals_stack,
         "from_stacked_metrics": q_from_stacked_metrics,
+        "interval_point_join": q_interval_point_join,
         "composite_funnel": q_composite_funnel,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -1108,6 +1148,8 @@ def oracle_sql() -> dict[str, str]:
         "intervals_stack": _DISJOINT_ORACLE.rsplit("SELECT user_id, min(seg_start)", 1)[0]
             + _INTERVALS_STACK_ORACLE_SUFFIX,
         "from_stacked_metrics": _FROM_STACKED_ORACLE,
+        "interval_point_join": _DISJOINT_ORACLE.rsplit("SELECT user_id, min(seg_start)", 1)[0]
+            + _INTERVAL_JOIN_SUFFIX,
         "lookback_features": _LOOKBACK_ORACLE,
         "composite_funnel": _COMPOSITE_FUNNEL_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,

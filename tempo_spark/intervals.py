@@ -126,6 +126,51 @@ class IntervalsDF:
         )
         return stacked.dropna(subset=["metric_value"])
 
+    # -------------------------------------------------------- interval join
+
+    def join_tsdf(self, tsdf, how: str = "inner", prefix: str = "interval"):
+        """Annotate each TSDF row with the interval containing it
+        (``start_ts <= ts < end_ts``, same series) — the interval–TSDF join
+        the reference lists as future roadmap
+        (reference: docs/about/future-roadmap.rst:18-22).
+
+        Overlapping intervals yield one output row per covering interval;
+        call :meth:`make_disjoint` first for at-most-one semantics. The plan
+        is a series-equi join with a range predicate — AQE broadcasts the
+        interval side when small, and the equi keys keep it a hash join.
+        """
+        if list(tsdf.series_ids) != self.series_ids:
+            raise ValueError(
+                f"interval join requires matching series ids; "
+                f"intervals={self.series_ids} tsdf={tsdf.series_ids}"
+            )
+        from tempo_spark.tsdf import TSDF
+
+        renamed = self.df
+        mapping = {}
+        for c in self.df.columns:
+            if c not in self.series_ids:
+                mapping[c] = f"{prefix}_{c}"
+                renamed = renamed.withColumnRenamed(c, mapping[c])
+        s, e = mapping[self.start_ts], mapping[self.end_ts]
+        cond = reduce(
+            lambda a, b: a & b,
+            [tsdf.df[c] == renamed[c] for c in self.series_ids],
+            (tsdf.df[tsdf.ts_col] >= renamed[s])
+            & (tsdf.df[tsdf.ts_col] < renamed[e]),
+        )
+        joined = tsdf.df.join(renamed, on=cond, how=how)
+        sel = [tsdf.df[c].alias(c) for c in tsdf.df.columns] + [
+            renamed[v].alias(v) for v in mapping.values()
+        ]
+        return TSDF(
+            joined.select(*sel),
+            ts_col=tsdf.ts_col,
+            series_ids=list(self.series_ids),
+            sequence_col=tsdf.sequence_col,
+            validate=False,
+        )
+
     # ------------------------------------------------------------ disjoint
 
     def make_disjoint(self) -> "IntervalsDF":

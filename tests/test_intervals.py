@@ -167,3 +167,38 @@ class TestStackedRoundtrip:
         b = idf(spark, [(ts("2020-01-01 00:02:00"), ts("2020-01-01 00:03:00"), "b", 3, 4)])
         assert a.union(b).df.count() == 2
         assert a.unionByName(b).df.count() == 2
+
+
+class TestIntervalTsdfJoin:
+    def test_point_join(self, spark):
+        from tempo_spark import TSDF
+
+        iv = idf(spark, [
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:10:00"), "a", 1, None),
+            (ts("2020-01-01 00:10:00"), ts("2020-01-01 00:20:00"), "a", 2, None),
+        ])
+        events = spark.createDataFrame(
+            [("a", ts("2020-01-01 00:05:00"), 1.0),
+             ("a", ts("2020-01-01 00:10:00"), 2.0),   # boundary → second interval
+             ("a", ts("2020-01-01 00:25:00"), 3.0)],  # no interval
+            "series_1 string, event_ts timestamp, v double",
+        )
+        t = TSDF(events, ts_col="event_ts", series_ids=["series_1"])
+        out = iv.join_tsdf(t).df.collect()
+        got = {str(r.event_ts): r.interval_metric_1 for r in out}
+        assert got == {"2020-01-01 00:05:00": 1, "2020-01-01 00:10:00": 2}
+
+        left = iv.join_tsdf(t, how="left").df.collect()
+        assert len(left) == 3
+        nulls = [r for r in left if r.interval_start_ts is None]
+        assert len(nulls) == 1 and str(nulls[0].event_ts) == "2020-01-01 00:25:00"
+
+    def test_mismatched_series_raises(self, spark):
+        from tempo_spark import TSDF
+
+        iv = idf(spark, [(ts("2020-01-01 00:00:00"), ts("2020-01-01 00:10:00"), "a", 1, None)])
+        events = spark.createDataFrame(
+            [("a", ts("2020-01-01 00:05:00"))], "other string, event_ts timestamp"
+        )
+        with pytest.raises(ValueError, match="series ids"):
+            iv.join_tsdf(TSDF(events, ts_col="event_ts", series_ids=["other"]))
