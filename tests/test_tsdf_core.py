@@ -169,3 +169,61 @@ class TestPassthroughs:
 
     def test_drop_metric(self, tsdf):
         assert "trade_pr" not in tsdf.drop("trade_pr").df.columns
+
+
+class TestMultiSeriesIds:
+    @pytest.fixture(scope="class")
+    def multi(self, spark):
+        rows = [
+            ("X", "p1", ts("2020-01-01 00:00:10"), 1.0),
+            ("X", "p1", ts("2020-01-01 00:01:10"), 2.0),
+            ("X", "p2", ts("2020-01-01 00:00:20"), 3.0),
+            ("Y", "p1", ts("2020-01-01 00:00:30"), 4.0),
+            ("Y", "p1", ts("2020-01-01 00:02:30"), 5.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "a string, b string, event_ts timestamp, v double"
+        )
+        return TSDF(df, ts_col="event_ts", series_ids=["a", "b"])
+
+    def test_latest_per_composite_series(self, multi):
+        out = {(r.a, r.b): r.v for r in multi.latest(1).df.collect()}
+        assert out == {("X", "p1"): 2.0, ("X", "p2"): 3.0, ("Y", "p1"): 5.0}
+
+    def test_asof_two_ids(self, multi, spark):
+        quotes = spark.createDataFrame(
+            [("X", "p1", ts("2020-01-01 00:00:05"), 10.0),
+             ("Y", "p1", ts("2020-01-01 00:01:00"), 20.0)],
+            "a string, b string, event_ts timestamp, q double",
+        )
+        right = TSDF(quotes, ts_col="event_ts", series_ids=["a", "b"])
+        out = multi.asofJoin(right, left_prefix="l").df.collect()
+        got = {(r.a, r.b, str(r.l_event_ts)): r.right_q for r in out}
+        assert got[("X", "p1", "2020-01-01 00:00:10")] == 10.0
+        assert got[("X", "p2", "2020-01-01 00:00:20")] is None  # no X/p2 quote
+        assert got[("Y", "p1", "2020-01-01 00:02:30")] == 20.0
+
+    def test_resample_interpolate_two_ids(self, multi):
+        out = multi.resample("1 minute", "mean").interpolate("ffill").df
+        rows = {(r.a, r.b, str(r.event_ts)): r.v for r in out.collect()}
+        # Y/p1 has a gap at 00:01 → forward-filled from 00:00
+        assert rows[("Y", "p1", "2020-01-01 00:01:00")] == pytest.approx(4.0)
+
+    def test_disjoint_two_series_ids(self, spark):
+        from tempo_spark import IntervalsDF
+
+        rows = [
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:02:00"), "X", "p1", 1),
+            (ts("2020-01-01 00:01:00"), ts("2020-01-01 00:03:00"), "X", "p1", 2),
+            (ts("2020-01-01 00:01:00"), ts("2020-01-01 00:03:00"), "X", "p2", 9),
+        ]
+        df = spark.createDataFrame(
+            rows, "start_ts timestamp, end_ts timestamp, s1 string, s2 string, m int"
+        )
+        out = IntervalsDF(df, "start_ts", "end_ts", ["s1", "s2"]).make_disjoint().df
+        segs = sorted((r.s1, r.s2, str(r.start_ts), str(r.end_ts), r.m) for r in out.collect())
+        assert segs == [
+            ("X", "p1", "2020-01-01 00:00:00", "2020-01-01 00:01:00", 1),
+            ("X", "p1", "2020-01-01 00:01:00", "2020-01-01 00:03:00", 2),
+            ("X", "p2", "2020-01-01 00:01:00", "2020-01-01 00:03:00", 9),
+        ]
