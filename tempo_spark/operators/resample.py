@@ -100,20 +100,25 @@ def _upsample_fill(df, ts: str, series: list[str], f, metric_cols: list[str]):
     """Densify to every tick between per-series min/max ts, 0-filling numeric
     metrics (reference: python/tempo/resample.py:225-251).
 
-    The grid is generated with ``sequence`` + ``explode`` per series — no
-    driver-side loop, and the left-outer join back to the data is an
-    equi-join on (series, ts) that AQE can plan as broadcast when the grid
-    is small."""
-    bounds = df.groupBy(*series).agg(
-        F.min(F.col(ts)).alias("__min_ts"), F.max(F.col(ts)).alias("__max_ts")
+    Generated per GAP — ``explode(sequence(ts, next_ts - freq, freq))`` from
+    each row to its successor — not from per-series bounds. The per-gap form
+    needs no bounds aggregation and no join back (one window instead of a
+    groupBy + shuffle join), and grid generation is spread across all rows
+    of a series rather than concentrated in one task, which is what survives
+    a series spanning years at fine frequencies."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*series).orderBy(F.col(ts))
+    next_ts = F.lead(F.col(ts)).over(w)
+    dense = df.withColumn(
+        "__seq_end",
+        F.when(next_ts.isNotNull(), next_ts - F.expr(f.interval)).otherwise(F.col(ts)),
     )
-    grid = bounds.select(
-        *series,
-        F.explode(
-            F.sequence(F.col("__min_ts"), F.col("__max_ts"), F.expr(f.interval))
-        ).alias(ts),
-    )
-    joined = grid.join(df, on=series + [ts], how="left")
+    dense = dense.withColumn(
+        "__new_ts",
+        F.explode(F.sequence(F.col(ts), F.col("__seq_end"), F.expr(f.interval))),
+    ).drop("__seq_end")
+    synthetic = F.col("__new_ts") != F.col(ts)
     numeric = [
         fld.name
         for fld in df.schema.fields
@@ -121,7 +126,13 @@ def _upsample_fill(df, ts: str, series: list[str], f, metric_cols: list[str]):
             "byte", "short", "integer", "long", "float", "double", "decimal"
         )
     ]
-    return joined.na.fill(0, subset=numeric)
+    for c in numeric:
+        dense = dense.withColumn(c, F.when(synthetic, F.lit(0)).otherwise(F.col(c)))
+    for c in metric_cols:
+        if c not in numeric:
+            dense = dense.withColumn(c, F.when(synthetic, F.lit(None)).otherwise(F.col(c)))
+    out = dense.drop(ts).withColumnRenamed("__new_ts", ts)
+    return out.na.fill(0, subset=numeric).select(*df.columns)
 
 
 def calc_bars(
