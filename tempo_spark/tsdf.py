@@ -255,6 +255,7 @@ class TSDF:
         fraction: float = 0.5,
         skipNulls: bool = True,
         sql_join_opt: bool = False,
+        suppress_null_warning: bool = False,  # reference-API compat; no eager warning here
         tolerance: Optional[float] = None,
     ) -> "TSDF":
         """For each left row, attach the latest right row with
@@ -279,6 +280,7 @@ class TSDF:
 
     def withRangeStats(
         self,
+        type: str = "range",  # reference-API compat
         colsToSummarize: Optional[Sequence[str]] = None,
         rangeBackWindowSecs: float = 1000,
     ) -> "TSDF":
@@ -470,6 +472,7 @@ class TSDF:
         metricCols: Optional[Sequence[str]] = None,
         prefix: Optional[str] = None,
         fill: Optional[bool] = None,
+        perform_checks: bool = False,  # reference-API compat; horizon check is explicit here
     ) -> "TSDF":
         from tempo_spark.operators.resample import resample as _resample
 
@@ -481,10 +484,24 @@ class TSDF:
         freq: Optional[str] = None,
         func: Optional[str] = None,
         target_cols: Optional[Sequence[str]] = None,
+        ts_col: Optional[str] = None,
+        partition_cols: Optional[Sequence[str]] = None,
         show_interpolated: bool = False,
+        perform_checks: bool = False,  # reference-API compat
     ) -> "TSDF":
         from tempo_spark.operators.interpolation import interpolate as _interpolate
 
+        if ts_col is not None or partition_cols is not None:
+            base = TSDF(
+                self.df,
+                ts_col=ts_col or self.ts_col,
+                series_ids=partition_cols if partition_cols is not None else self.series_ids,
+                sequence_col=self.sequence_col,
+            )
+            return base.interpolate(
+                method, freq=freq, func=func, target_cols=target_cols,
+                show_interpolated=show_interpolated,
+            )
         if freq is None or func is None:
             raise ValueError("interpolate on a raw TSDF requires freq and func")
         return _interpolate(
