@@ -15,7 +15,10 @@ executed via applyInPandas at :263-271). The algorithm:
 3. per segment, merge the payload: for every column, take the value from the
    **latest-starting covering interval with a non-null value** — exactly the
    reference's "later interval's non-null metric overwrites" merge rule
-   (reference: python/tempo/intervals.py:684-713),
+   (reference: python/tempo/intervals.py:684-713). Intervals with identical
+   (start, end) boundaries and conflicting non-null values tie-break on the
+   greater value (struct ordering) — deterministic, where the reference's
+   pandas kernel depends on input row order,
 4. coalesce adjacent contiguous segments with identical payloads back into
    maximal intervals (the reference's equivalent-metrics boundary-extension
    rule, reference: python/tempo/intervals.py:817-826).
