@@ -31,7 +31,7 @@ interval_strategy = st.lists(
 )
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=12, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(interval_strategy)
 def test_make_disjoint_invariants(spark, ivals):
     rows = [
@@ -92,7 +92,7 @@ asof_strategy = st.tuples(
 )
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=12, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(asof_strategy)
 def test_asof_join_matches_bruteforce(spark, data):
     left_ts, right_ts = data
@@ -117,7 +117,7 @@ def test_asof_join_matches_bruteforce(spark, data):
         assert got[minutes(m)] == expected, f"left={m}: {got[minutes(m)]} != {expected}"
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
         st.tuples(st.integers(0, 60), st.integers(0, 100)),
@@ -148,7 +148,7 @@ def test_interpolation_linear_matches_model(spark, points):
         assert got[minutes(m)] == pytest.approx(expected), f"minute {m}"
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(asof_strategy)
 def test_skew_asof_matches_default_with_covering_bracket(spark, data):
     """With a bracket larger than the data span (plus 50% overlap), the
