@@ -167,3 +167,57 @@ class TestAsofNanos:
         out = lt.asofJoin(rt, left_prefix="left").df.collect()
         # sub-µs ordering: the .4559 quote is the latest <= .4565
         assert out[0].right_q == 8.0
+
+
+class TestAsofEdgeCases:
+    def test_column_collision_raises(self, spark):
+        # no prefixes + same value column name on both sides must error
+        left = TSDF(
+            spark.createDataFrame(
+                [("A", ts("2020-01-01 00:00:10"), 1.0)],
+                "k string, event_ts timestamp, v double",
+            ),
+            series_ids=["k"],
+        )
+        right = TSDF(
+            spark.createDataFrame(
+                [("A", ts("2020-01-01 00:00:05"), 2.0)],
+                "k string, ts2 timestamp, v double",
+            ),
+            ts_col="ts2",
+            series_ids=["k"],
+        )
+        with pytest.raises(ValueError, match="colliding"):
+            left.asofJoin(right, left_prefix=None, right_prefix=None)
+
+    def test_ts_dtype_mismatch_raises(self, spark):
+        left = TSDF(
+            spark.createDataFrame(
+                [("A", ts("2020-01-01 00:00:10"), 1.0)],
+                "k string, event_ts timestamp, v double",
+            ),
+            series_ids=["k"],
+        )
+        right = TSDF(
+            spark.createDataFrame(
+                [("A", 1577836805.0, 2.0)], "k string, event_ts double, q double"
+            ),
+            series_ids=["k"],
+        )
+        with pytest.raises(ValueError, match="incompatible"):
+            left.asofJoin(right, left_prefix="l")
+
+    def test_empty_right(self, spark):
+        left = TSDF(
+            spark.createDataFrame(
+                [("A", ts("2020-01-01 00:00:10"), 1.0)],
+                "k string, event_ts timestamp, v double",
+            ),
+            series_ids=["k"],
+        )
+        right = TSDF(
+            spark.createDataFrame([], "k string, event_ts timestamp, q double"),
+            series_ids=["k"],
+        )
+        out = left.asofJoin(right, left_prefix="l").df.collect()
+        assert len(out) == 1 and out[0].right_q is None

@@ -58,3 +58,26 @@ class TestInterpolGoldens:
         t = build_tsdf(spark, c["inputs"]["data"])
         out = t.interpolate("ffill", freq="1 minute", func="mean").df
         assert_matches_golden(out, c["expected"], spark)
+
+
+class TestAnalyticsGoldens:
+    cases = load_cases("analytics_tests")
+
+    def test_state_intervals_eq(self, spark):
+        c = self.cases["state_intervals_eq"]
+        t = build_tsdf(spark, c["inputs"]["data"])
+        out = t.extractStateIntervals("v", state_definition="=")
+        assert_matches_golden(out, c["expected"], spark)
+
+    def test_vwap_minute(self, spark):
+        c = self.cases["vwap_minute"]
+        t = build_tsdf(spark, c["inputs"]["data"])
+        out = t.vwap(frequency="m", volume_col="volume", price_col="price").df
+        assert_matches_golden(out, c["expected"], spark)
+
+    def test_ema_three_rows(self, spark):
+        # e=0.5, window=3: ema_t = 0.5*v_t + 0.25*v_{t-1} + 0.125*v_{t-2}
+        c = self.cases["ema_three_rows"]
+        t = build_tsdf(spark, c["inputs"]["data"])
+        out = t.EMA("v", window=3, exp_factor=0.5).df
+        assert_matches_golden(out, c["expected"], spark)

@@ -183,3 +183,22 @@ class TestInterpolation:
             from tempo_spark.operators.interpolation import interpolate
 
             interpolate(t, "1 minute", "floor", "linear", target_cols=["s"])
+
+
+class TestResampleSequenceTiebreak:
+    def test_floor_uses_sequence(self, spark):
+        rows = [
+            ("A", ts("2020-01-01 00:00:10"), 2, 200.0),
+            ("A", ts("2020-01-01 00:00:10"), 1, 100.0),  # same ts, lower seq
+        ]
+        t = TSDF(
+            spark.createDataFrame(
+                rows, "k string, event_ts timestamp, seq long, v double"
+            ),
+            series_ids=["k"],
+            sequence_col="seq",
+        )
+        fl = t.resample("1 minute", "floor").df.collect()
+        ce = t.resample("1 minute", "ceil").df.collect()
+        assert fl[0].v == 100.0  # lowest (ts, seq) wins for floor
+        assert ce[0].v == 200.0
