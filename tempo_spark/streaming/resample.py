@@ -54,6 +54,42 @@ def streaming_resample(
     return out
 
 
+def streaming_bars(
+    sdf: DataFrame,
+    ts_col: str,
+    series_ids: Sequence[str],
+    freq: str,
+    metric_cols: Sequence[str],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming OHLC bars: the same single-aggregation plan as the batch
+    ``calc_bars`` (struct-ordered min/max for open/close) under a watermark.
+    Emits one finalized bar per (series, bucket) once the watermark passes."""
+    f = parse_freq(freq)
+    packed = F.struct(
+        F.col(ts_col).alias("__ts"), *[F.col(c).alias(c) for c in metric_cols]
+    )
+    aggs = [F.min(packed).alias("__first"), F.max(packed).alias("__last")]
+    for c in metric_cols:
+        aggs += [F.min(F.col(c)).alias(f"low_{c}"), F.max(F.col(c)).alias(f"high_{c}")]
+    agged = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(*series_ids, F.window(F.col(ts_col), f.window_duration).alias("__win"))
+        .agg(*aggs)
+    )
+    out_cols = []
+    for c in metric_cols:
+        out_cols += [
+            F.col("__first").getField(c).alias(f"open_{c}"),
+            F.col(f"low_{c}"),
+            F.col(f"high_{c}"),
+            F.col("__last").getField(c).alias(f"close_{c}"),
+        ]
+    return agged.select(
+        *series_ids, F.col("__win.start").alias(ts_col), *out_cols
+    )
+
+
 def streaming_grouped_stats(
     sdf: DataFrame,
     ts_col: str,

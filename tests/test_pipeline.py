@@ -231,3 +231,58 @@ class TestIVF:
         assert idx.assigned.count() == 30
         n_cells = idx.assigned.select("cell").distinct().count()
         assert 1 <= n_cells <= 3
+
+
+class TestConnectedComponents:
+    def test_components_and_dedup(self, spark):
+        from tempo_spark.pipeline.components import connected_components, near_dedup
+
+        # clusters: {1,2,3} via chain, {5,6}; 9 isolated (no pairs)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+        )
+        comps = {r.id: r.component for r in connected_components(pairs).collect()}
+        assert comps == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+        docs = spark.createDataFrame(
+            [(i, f"doc{i}") for i in (1, 2, 3, 5, 6, 9)], "doc_id long, text string"
+        )
+        kept = sorted(r.doc_id for r in near_dedup(docs, pairs, "doc_id").collect())
+        assert kept == [1, 5, 9]
+
+    def test_long_chain_converges(self, spark):
+        from tempo_spark.pipeline.components import connected_components
+
+        # a chain 0-1-2-...-7: worst case for label propagation
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(7)], "id_a long, id_b long"
+        )
+        comps = {r.id: r.component for r in connected_components(pairs).collect()}
+        assert set(comps.values()) == {0}
+
+
+class TestStreamingBars:
+    def test_bars_stream(self, spark, tmp_path):
+        import datetime as dt
+
+        d = str(tmp_path / "bars_in")
+        rows = [
+            ("A", dt.datetime(2020, 1, 1, 0, 0, 10), 10.0),
+            ("A", dt.datetime(2020, 1, 1, 0, 0, 20), 5.0),
+            ("A", dt.datetime(2020, 1, 1, 0, 0, 50), 8.0),
+        ]
+        spark.createDataFrame(rows, "k string, event_ts timestamp, v double").write.mode(
+            "overwrite").parquet(d)
+        from tempo_spark.streaming.resample import streaming_bars
+
+        sdf = spark.readStream.schema("k string, event_ts timestamp, v double").parquet(d)
+        bars = streaming_bars(sdf, "event_ts", ["k"], "1 minute", ["v"])
+        q = (
+            bars.writeStream.format("memory").queryName("bars_out")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        out = spark.table("bars_out").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.open_v, r.low_v, r.high_v, r.close_v) == (10.0, 5.0, 10.0, 8.0)
