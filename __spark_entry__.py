@@ -992,6 +992,20 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: MinHash pairs → connected components →
+    canonical doc per cluster (rows-only: hash family is engine-specific)."""
+    from tempo_spark.pipeline.components import near_dedup
+    from tempo_spark.pipeline.dedup import minhash_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_dedup(
+        docs, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_k=3, threshold=0.5, use_words=True,
+    )
+    return near_dedup(docs, pairs, "doc_id").select("doc_id", "lang", "source")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tempo_spark.pipeline.dedup import ngram_jaccard_pairs
 
@@ -1110,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "minhash_near_dups": q_minhash_near_dups,
+        "near_dedup_canonical": q_near_dedup_canonical,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_ann_topk": q_lsh_ann_topk,

@@ -66,7 +66,10 @@ RUNS = 3
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = -1.0
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
