@@ -121,6 +121,20 @@ class TSDF:
         kw.update(overrides)
         return TSDF(df, **kw)
 
+    # ------------------------------------------------------- metadata setters
+
+    def withTsCol(self, ts_col: str) -> "TSDF":
+        return TSDF(self.df, ts_col=ts_col, series_ids=self.series_ids,
+                    sequence_col=self.sequence_col)
+
+    def withPartitionCols(self, series_ids: Sequence[str]) -> "TSDF":
+        return TSDF(self.df, ts_col=self.ts_col, series_ids=series_ids,
+                    sequence_col=self.sequence_col)
+
+    def withSequenceCol(self, sequence_col: Optional[str]) -> "TSDF":
+        return TSDF(self.df, ts_col=self.ts_col, series_ids=self.series_ids,
+                    sequence_col=sequence_col)
+
     # --------------------------------------------------------------- windows
 
     def base_window(self, reverse: bool = False) -> WindowSpec:
@@ -430,9 +444,17 @@ class TSDF:
             granularity.alias("granularity"),
         )
 
+        # Spark's describe() omits timestamp columns — land ts-derived rows
+        # under the ts column when present, else the first value column
+        target_col = self.ts_col if self.ts_col in value_cols else value_cols[0]
+
         def _extra_row(label: str, src: str) -> DataFrame:
             cols = [F.lit(label).alias("summary")] + [
-                (F.col(src) if c == self.ts_col or (src == "unique_ts_count" and c == value_cols[0]) else F.lit(None).cast("string")).alias(c)
+                (
+                    F.col(src)
+                    if c == target_col
+                    else F.lit(None).cast("string")
+                ).alias(c)
                 for c in value_cols
             ]
             return extras.select(*cols)

@@ -227,3 +227,25 @@ class TestMultiSeriesIds:
             ("X", "p1", "2020-01-01 00:01:00", "2020-01-01 00:03:00", 2),
             ("X", "p2", "2020-01-01 00:01:00", "2020-01-01 00:03:00", 9),
         ]
+
+
+class TestMetadataSetters:
+    def test_setters(self, trades):
+        t = TSDF(trades, ts_col="event_ts", series_ids=["symbol"])
+        t2 = t.withPartitionCols([])
+        assert t2.series_ids == [] and t2.ts_col == "event_ts"
+        t3 = t.withTsCol("event_ts")
+        assert t3.series_ids == ["symbol"]
+        with pytest.raises(ValueError):
+            t.withTsCol("nope")
+
+    def test_describe_granularity(self, tsdf):
+        out = {r.summary: r for r in tsdf.describe().collect()}
+        assert "granularity" in out
+        # describe() omits ts columns, so ts-derived rows land on the first
+        # value column; trades have second-level timestamps
+        row = out["granularity"]
+        values = [v for v in row[1:] if v is not None]
+        assert values == ["second"]
+        min_row = [v for v in out["min_ts"][1:] if v is not None]
+        assert min_row and min_row[0].startswith("2020-08-01")
