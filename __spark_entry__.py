@@ -470,6 +470,42 @@ SELECT user_id, ts, round(value, 6) AS v FROM ranked WHERE rn = 1
 """
 
 
+def q_interpolate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """show_interpolated contract: is_ts_interpolated marks synthesized
+    buckets; is_interpolated_<col> marks filled values."""
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.resample("30 minutes", "mean").interpolate(
+        "ffill", show_interpolated=True
+    ).df
+    return out.select(
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        _HR6(F.col("cents") / 100).alias("v"),
+        F.col("is_ts_interpolated"),
+        F.col("is_interpolated_cents").alias("is_filled"),
+    )
+
+
+_INTERP_FLAGS_ORACLE = f"""
+WITH {_DE_CTE},
+agg AS (SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS b,
+               avg(cents) AS v
+        FROM de GROUP BY user_id, b),
+bounds AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM agg GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '30 minutes')) AS b
+         FROM bounds),
+joined AS (SELECT g.user_id, g.b, a.v, a.v IS NULL AS missing
+           FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.b = a.b)
+SELECT user_id, b AS bucket_ts,
+       floor((last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100) * 1000000 + 0.5) / 1000000 AS v,
+       missing AS is_ts_interpolated,
+       missing AS is_filled
+FROM joined
+"""
+
+
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
@@ -1104,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_ffill": q_interpolate_ffill,
         "interpolate_zero": q_interpolate_zero,
         "interpolate_bfill": q_interpolate_bfill,
+        "interpolate_flags": q_interpolate_flags,
         "prior_to": q_prior_to,
         "ohlc_bars": q_ohlc_bars,
         "vwap": q_vwap,
@@ -1151,6 +1188,7 @@ def oracle_sql() -> dict[str, str]:
         "interpolate_ffill": _INTERP_FFILL_ORACLE,
         "interpolate_zero": _INTERP_ZERO_ORACLE,
         "interpolate_bfill": _INTERP_BFILL_ORACLE,
+        "interpolate_flags": _INTERP_FLAGS_ORACLE,
         "prior_to": _PRIOR_TO_ORACLE,
         "ohlc_bars": _OHLC_ORACLE,
         "vwap": _VWAP_ORACLE,
