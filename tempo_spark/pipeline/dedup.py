@@ -110,16 +110,20 @@ def with_minhash(
     num_hashes: int = 16,
     shingle_k: int = 5,
     use_words: bool = False,
+    keep_hashed_shingles: bool = False,
 ) -> DataFrame:
-    # materialize shingling + base string-hash ONCE; inlining either into the
-    # num_hashes min expressions would recompute them per seed
+    """Attach a MinHash signature column. Shingling + the base string hash
+    are materialized ONCE (inlining either into the num_hashes min
+    expressions would recompute them per seed). With
+    ``keep_hashed_shingles`` the distinct hashed-shingle array survives as
+    ``__tempo_sh_hashed`` so a downstream Jaccard verify can reuse it."""
     sh = (word_shingles if use_words else char_shingles)(F.col(text_col), shingle_k)
     tmp = "__tempo_sh_hashed"
-    return (
-        df.withColumn(tmp, F.transform(sh, lambda s: F.xxhash64(s)))
+    result = (
+        df.withColumn(tmp, F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))))
         .withColumn(out, _signature_from_hashes(F.col(tmp), num_hashes))
-        .drop(tmp)
     )
+    return result if keep_hashed_shingles else result.drop(tmp)
 
 
 def minhash_lsh_candidates(
@@ -223,10 +227,40 @@ def minhash_dedup(
 
     Shingle choice is the scale lever: char shingles on low-entropy corpora
     (shared vocabulary) have a high baseline Jaccard, which degrades LSH
-    toward all-pairs; word shingles (``use_words=True``) stay discriminative."""
-    with_sig = with_minhash(df, text_col, "minhash", num_hashes, shingle_k, use_words)
-    cands = minhash_lsh_candidates(with_sig, id_col, "minhash", bands)
-    return jaccard_verify(cands, df, id_col, text_col, shingle_k, threshold, use_words)
+    toward all-pairs; word shingles (``use_words=True``) stay discriminative.
+
+    Verification runs on the HASHED shingle sets already computed for the
+    signatures — one shingling pass total, and the intersect/union compares
+    longs instead of strings (hash collisions perturb Jaccard by ~2^-64)."""
+    with_sig = with_minhash(
+        df, text_col, "minhash", num_hashes, shingle_k, use_words,
+        keep_hashed_shingles=True,
+    )
+    # two consumers (banding + verify) — persist the projection or the whole
+    # shingling/signature computation runs twice
+    sig = with_sig.select(
+        F.col(id_col), F.col("minhash"), F.col("__tempo_sh_hashed")
+    ).persist()
+    cands = minhash_lsh_candidates(sig, id_col, "minhash", bands)
+    hashed = sig.select(F.col(id_col), F.col("__tempo_sh_hashed").alias("__sh"))
+    out = (
+        cands.join(
+            hashed.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")),
+            "id_a",
+        )
+        .join(
+            hashed.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_a", "__sh_b"))
+            / F.size(F.array_union("__sh_a", "__sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
 
 
 # ------------------------------------------------------------------ simhash
