@@ -88,6 +88,7 @@ def main() -> None:
     for name, fn in BENCH_QUERIES.items():
         samples = []
         for _ in range(RUNS):
+            spark.catalog.clearCache()  # operators may persist shared frames
             t0 = time.monotonic()
             fn(spark, sf_dir).count()
             samples.append(time.monotonic() - t0)

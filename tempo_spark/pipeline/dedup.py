@@ -357,6 +357,8 @@ def simhash_near_dups(
             for s in (0, 16, 32, 48)
         ]
     )
+    # both self-join sides are the same subtree — Spark's ReusedExchange
+    # dedupes the shuffle without caching
     banded = df.select(
         F.col(id_col), F.col(simhash_col), F.posexplode(chunks).alias("chunk_id", "chunk")
     )
