@@ -1049,6 +1049,40 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.8)
 
 
+# n-gram Jaccard is hash-free (unlike MinHash/SimHash) so it has a full
+# value oracle: distinct word 3-grams per doc, co-occurrence counts, and
+# jaccard = co / (|a| + |b| - co). Threshold compares the RAW ratio (one
+# IEEE divide — bit-identical in both engines); only the emitted column is
+# hardened-rounded. max_shingle_freq=1000 cannot bind at sf0.01 (shingle
+# doc-frequency is bounded by the 500-doc corpus), so the oracle omits it.
+_NGRAM_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+  FROM toks
+  UNION
+  SELECT doc_id, trim(text) AS sh FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) < 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       floor(c * 1.0 / (sa.n + sb.n - c) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM co
+JOIN sizes sa ON co.id_a = sa.doc_id
+JOIN sizes sb ON co.id_b = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+"""
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tempo_spark.pipeline.similarity import lsh_topk
 
@@ -1077,6 +1111,29 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic embeddings top out around cosine 0.51 — 0.35 captures the
     # near-dup tail (~270 true pairs; LSH bucketing recalls a subset)
     return embedding_near_dups(emb, threshold=0.35, n_planes=4, dim=64)
+
+
+def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tempo_spark.pipeline.similarity import embedding_near_dups
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.35, exact=True)
+
+
+# exact variant has full recall and no engine-specific hashing → full value
+# oracle. Threshold compares the RAW cosine (identical left-fold sum order in
+# both engines → bit-identical); emitted column is hardened-rounded.
+_EMB_NEAR_DUP_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])), (x,y) -> x + y)
+         / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, x -> x * x)), (x,y) -> x + y))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform(b.v, x -> x * x)), (x,y) -> x + y))) AS raw
+  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, floor(raw * 1000000 + 0.5) / 1000000 AS cosine
+FROM scored WHERE raw >= 0.35
+"""
 
 
 def q_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1167,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "fourier": q_fourier,
         "lookback_features": q_lookback_features,
     }
@@ -1211,4 +1269,6 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _LANGID_ORACLE,
         "fingerprint": _FINGERPRINT_ORACLE,
         "ann_cosine_topk": _ANN_ORACLE,
+        "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "embedding_near_dups_exact": _EMB_NEAR_DUP_ORACLE,
     }

@@ -22,6 +22,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 
+def _hardened_round6(c: Column) -> Column:
+    """floor(x*1e6+0.5)/1e6 — half-up for the non-negative similarity scores
+    emitted here, and a fixed IEEE op sequence every engine reproduces
+    bit-identically (``round()`` half-way behavior differs across engines)."""
+    return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+
 # --------------------------------------------------------------------- exact
 
 
@@ -207,7 +214,7 @@ def jaccard_verify(
             / F.size(F.array_union("__sh_a", "__sh_b")),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", _hardened_round6(F.col("jaccard")).alias("jaccard"))
     )
     return out
 
@@ -258,7 +265,7 @@ def minhash_dedup(
             / F.size(F.array_union("__sh_a", "__sh_b")),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", _hardened_round6(F.col("jaccard")).alias("jaccard"))
     )
     return out
 
@@ -460,6 +467,6 @@ def ngram_jaccard_pairs(
             "jaccard", F.col("__co") / (F.col("__na") + F.col("__nb") - F.col("__co"))
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", _hardened_round6(F.col("jaccard")).alias("jaccard"))
     )
     return out

@@ -217,6 +217,11 @@ class IVFIndex:
         )
 
 
+def _hardened_round6(c: Column) -> Column:
+    # fixed IEEE op sequence both Spark and DuckDB reproduce bit-identically
+    return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -225,9 +230,28 @@ def embedding_near_dups(
     n_planes: int = 8,
     dim: Optional[int] = None,
     seed: int = 42,
+    exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via shared hyperplane bucket +
-    exact cosine verify. Returns (id_a < id_b, cosine ≥ threshold)."""
+    exact cosine verify. Returns (id_a < id_b, cosine ≥ threshold).
+
+    ``exact=True`` scores ALL pairs (no bucketing): recall 1 at O(n²)
+    compare cost — the verification baseline for small corpora and the
+    oracle-checked path. The default bucketed path is the scale path:
+    candidate pairs ~n²/2^planes, each bucket joining independently."""
+    if exact:
+        v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__vec"))
+        a, b = v.alias("a"), v.alias("b")
+        raw = cosine(F.col("a.__vec"), F.col("b.__vec"))
+        return (
+            a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .where(raw >= threshold)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                _hardened_round6(raw).alias("cosine"),
+            )
+        )
     if dim is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).head(1)
         dim = first[0]["d"] if first else 0
