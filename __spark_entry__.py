@@ -615,6 +615,32 @@ FROM sessions GROUP BY user_id, sid HAVING min(prev_ts) IS NOT NULL
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts")
+    t = TSDF(ev, ts_col="ts", series_ids=["user_id"])
+    return t.sessionize(21600)
+
+
+# gaps-and-islands equivalent of session_window's merge rule (an event
+# exactly gap after the previous one joins the session -> <=)
+_SESSIONIZE_ORACLE = """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL 21600 SECOND
+              THEN 0 ELSE 1 END AS brk
+  FROM events),
+g AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM s)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
 def q_latest_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
@@ -1203,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vwap": q_vwap,
         "ema": q_ema,
         "state_intervals": q_state_intervals,
+        "sessionize": q_sessionize,
         "latest_3": q_latest_3,
         "slice_between": q_slice_between,
         "make_disjoint": q_make_disjoint,
@@ -1252,6 +1279,7 @@ def oracle_sql() -> dict[str, str]:
         "vwap": _VWAP_ORACLE,
         "ema": _ema_oracle(),
         "state_intervals": _STATE_ORACLE,
+        "sessionize": _SESSIONIZE_ORACLE,
         "latest_3": _LATEST3_ORACLE,
         "slice_between": _SLICE_ORACLE,
         "make_disjoint": _DISJOINT_ORACLE,

@@ -3,6 +3,7 @@ from tempo_spark.operators.interpolation import interpolate
 from tempo_spark.operators.resample import calc_bars, resample
 from tempo_spark.operators.state import extract_state_intervals
 from tempo_spark.operators.fourier import fourier_transform
+from tempo_spark.operators.sessions import sessionize
 
 __all__ = [
     "asof_join",
@@ -11,4 +12,5 @@ __all__ = [
     "calc_bars",
     "extract_state_intervals",
     "fourier_transform",
+    "sessionize",
 ]

@@ -480,6 +480,11 @@ class TSDF:
 
         return extract_state_intervals(self, list(metric_cols), state_definition)
 
+    def sessionize(self, gap_seconds: float) -> DataFrame:
+        from tempo_spark.operators.sessions import sessionize
+
+        return sessionize(self, gap_seconds)
+
     def fourier_transform(self, timestep: float, valueCol: str) -> "TSDF":
         from tempo_spark.operators.fourier import fourier_transform
 

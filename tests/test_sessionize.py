@@ -54,3 +54,69 @@ class TestStreamingSessionize:
             assert a1.n_events == 3
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestBatchSessionize:
+    def _rows(self):
+        base = dt.datetime(2024, 1, 1)
+        secs = {"A": (0, 10, 20, 50, 120, 121), "B": (5, 200)}
+        return [
+            (k, base + dt.timedelta(seconds=s))
+            for k, ss in secs.items()
+            for s in ss
+        ]
+
+    def test_timestamp_path(self, spark):
+        from tempo_spark import TSDF
+
+        df = spark.createDataFrame(self._rows(), "k string, ts timestamp")
+        out = TSDF(df, ts_col="ts", series_ids=["k"]).sessionize(30)
+        got = {
+            (r.k, r.session_start.second + r.session_start.minute * 60): (
+                r.session_end.second + r.session_end.minute * 60,
+                r.n_events,
+            )
+            for r in out.collect()
+        }
+        # event exactly gap (30 s) after the previous one joins the session
+        assert got == {
+            ("A", 0): (50, 4),
+            ("A", 120): (121, 2),
+            ("B", 5): (5, 1),
+            ("B", 200): (200, 1),
+        }
+
+    def test_numeric_path_matches_timestamp_path(self, spark):
+        import pyspark.sql.functions as F
+
+        from tempo_spark import TSDF
+
+        df = spark.createDataFrame(self._rows(), "k string, ts timestamp")
+        t_out = TSDF(df, ts_col="ts", series_ids=["k"]).sessionize(30)
+        n_df = df.withColumn("tsd", F.col("ts").cast("double")).drop("ts")
+        n_out = TSDF(n_df, ts_col="tsd", series_ids=["k"]).sessionize(30)
+        t_set = {
+            (r.k, r.session_start.timestamp(), r.session_end.timestamp(), r.n_events)
+            for r in t_out.collect()
+        }
+        n_set = {
+            (r.k, r.session_start, r.session_end, r.n_events)
+            for r in n_out.collect()
+        }
+        assert t_set == n_set
+
+    def test_one_shuffle(self, spark):
+        from tempo_spark import TSDF
+        from tempo_spark.plans.inspect import count_exchanges
+
+        df = spark.createDataFrame(self._rows(), "k string, ts timestamp")
+        assert count_exchanges(TSDF(df, ts_col="ts", series_ids=["k"]).sessionize(30)) == 1
+        ndf = df.withColumn("tsd", df.ts.cast("double")).drop("ts")
+        assert count_exchanges(TSDF(ndf, ts_col="tsd", series_ids=["k"]).sessionize(30)) == 1
+
+    def test_bad_gap_raises(self, spark):
+        from tempo_spark import TSDF
+
+        df = spark.createDataFrame(self._rows(), "k string, ts timestamp")
+        with pytest.raises(ValueError):
+            TSDF(df, ts_col="ts", series_ids=["k"]).sessionize(0)
