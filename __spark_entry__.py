@@ -118,6 +118,88 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def _asof_direction_frames(spark: SparkSession, sf_dir: str):
+    ev = _read(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_value"))
+    )
+    return (
+        TSDF(clicks, ts_col="ts", series_ids=["user_id"]),
+        TSDF(purchases, ts_col="ts", series_ids=["user_id"]),
+    )
+
+
+_ASOF_DIR_CTES = """
+l AS (SELECT user_id, ts, max(value) AS value FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts),
+r AS (SELECT user_id, ts, max(value) AS p_value FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id, ts)
+"""
+
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left, right = _asof_direction_frames(spark, sf_dir)
+    out = left.asofJoin(
+        right, left_prefix="left", right_prefix="right", direction="forward"
+    ).df
+    return out.select(
+        "user_id",
+        F.col("left_ts").alias("click_ts"),
+        F.col("right_ts").alias("purchase_ts"),
+        _R6(F.col("right_p_value")).alias("purchase_value"),
+    )
+
+
+_ASOF_FWD_ORACLE = f"""
+WITH {_ASOF_DIR_CTES}
+SELECT l.user_id, l.ts AS click_ts, r.ts AS purchase_ts,
+       round(r.p_value, 6) AS purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left, right = _asof_direction_frames(spark, sf_dir)
+    out = left.asofJoin(
+        right, left_prefix="left", right_prefix="right", direction="nearest"
+    ).df
+    return out.select(
+        "user_id",
+        F.col("left_ts").alias("click_ts"),
+        F.col("right_ts").alias("purchase_ts"),
+        _R6(F.col("right_p_value")).alias("purchase_value"),
+    )
+
+
+# nearest = closer of the backward/forward candidates, ties -> backward.
+# Both engines compare epoch-second doubles derived from the same integer
+# microseconds (one IEEE divide) -> identical tie behavior.
+_ASOF_NEAREST_ORACLE = f"""
+WITH {_ASOF_DIR_CTES},
+b AS (SELECT l.user_id, l.ts, r.ts AS b_ts, r.p_value AS b_v
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+f AS (SELECT l.user_id, l.ts, r.ts AS f_ts, r.p_value AS f_v
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts),
+n AS (
+  SELECT user_id, ts,
+         (b_ts IS NULL OR (f_ts IS NOT NULL
+            AND (epoch(ts) - epoch(b_ts)) > (epoch(f_ts) - epoch(ts)))) AS use_f,
+         b_ts, b_v, f_ts, f_v
+  FROM b JOIN f USING (user_id, ts))
+SELECT user_id, ts AS click_ts,
+       CASE WHEN use_f THEN f_ts ELSE b_ts END AS purchase_ts,
+       round(CASE WHEN use_f THEN f_v ELSE b_v END, 6) AS purchase_value
+FROM n
+"""
+
+
 def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
@@ -1211,6 +1293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "asof_join": q_asof_join,
         "asof_tolerance": q_asof_tolerance,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
         "range_stats": q_range_stats,
         "grouped_stats": q_grouped_stats,
         "resample_mean": q_resample_mean,
@@ -1261,6 +1345,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "asof_join": _ASOF_ORACLE,
         "asof_tolerance": _ASOF_TOL_ORACLE,
+        "asof_forward": _ASOF_FWD_ORACLE,
+        "asof_nearest": _ASOF_NEAREST_ORACLE,
         "range_stats": _RANGE_STATS_ORACLE,
         "grouped_stats": _GROUPED_STATS_ORACLE,
         "resample_mean": _RESAMPLE_MEAN_ORACLE,

@@ -26,7 +26,16 @@ re-expressed Spark-first. Three physical strategies:
 
 Optional ``tolerance`` (seconds) nulls out right columns older than the
 band, matching the reference's post-filter (reference:
-python/tempo/tsdf.py:919-945).
+python/tempo/tsdf.py:919-945). With ``direction="forward"``/``"nearest"``
+the band applies to ``abs(left_ts - right_ts)``.
+
+``direction`` extends beyond the reference (backward-only there) with the
+pandas ``merge_asof`` directions: ``"forward"`` attaches the earliest right
+row with ``right.ts >= left.ts``; ``"nearest"`` picks whichever of the
+backward/forward candidates is closer in time (ties -> backward). Both are
+union-window only: one shuffle on series_ids; ``nearest`` adds a second
+in-partition Sort (no extra exchange) because the two directions need
+opposite tie-orders.
 """
 
 from __future__ import annotations
@@ -73,8 +82,18 @@ def asof_join(
     use_range_join: bool = False,
     tolerance: Optional[float] = None,
     broadcast_right: bool = False,
+    direction: str = "backward",
 ):
     from tempo_spark.tsdf import TSDF
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
+    if direction != "backward" and (use_range_join or ts_partition_val is not None):
+        raise ValueError(
+            "forward/nearest as-of joins support only the union-window strategy"
+        )
 
     if left.series_ids != right.series_ids:
         raise ValueError(
@@ -133,15 +152,18 @@ def asof_join(
             skip_nulls=skip_nulls,
             ts_partition_val=ts_partition_val,
             fraction=fraction,
+            direction=direction,
         )
 
     if tolerance is not None:
-        # null out right-side values older than the tolerance band
+        # null out right-side values outside the tolerance band (backward
+        # matches are never in the future, so abs() preserves reference
+        # semantics there while also covering forward/nearest)
         ts_dtype = joined.schema[l_ts].dataType
         age = ts_to_double(F.col(l_ts), ts_dtype) - ts_to_double(
             F.col(r_ts), joined.schema[r_ts].dataType
         )
-        stale = age > F.lit(float(tolerance))
+        stale = F.abs(age) > F.lit(float(tolerance))
         for c in r_vals:
             if c != r_ts:
                 joined = joined.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
@@ -170,6 +192,7 @@ def _union_window_join(
     skip_nulls: bool,
     ts_partition_val: Optional[int],
     fraction: float,
+    direction: str = "backward",
 ) -> DataFrame:
     # pad each side with the other's value columns as typed nulls, then union
     r_types = dict(rdf.dtypes)
@@ -196,30 +219,62 @@ def _union_window_join(
             ts_dtype=unioned.schema[l_ts].dataType,
         )
 
-    # right rows at an equal timestamp sort BEFORE left rows (rec_ind -1 < 1)
-    # so a same-ts quote is visible to the trade — reference semantics
-    # (reference: python/tempo/tsdf.py:884-887).
-    order = [combined_ts.asc(), F.col(_REC_IND).asc()]
-    if r_seq:
-        order.append(F.col(r_seq).asc())
-    w = (
-        Window.partitionBy(*part_cols)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # Backward: right rows at an equal timestamp sort BEFORE left rows
+    # (rec_ind -1 < 1) so a same-ts quote is visible to the trade — reference
+    # semantics (reference: python/tempo/tsdf.py:884-887). Forward mirrors
+    # it: rights sort AFTER lefts at ties so the (currentRow, following)
+    # frame of a left row still sees a same-ts right row.
+    def _window(dirn: str):
+        if dirn == "backward":
+            order = [combined_ts.asc(), F.col(_REC_IND).asc()]
+            frame = (Window.unboundedPreceding, Window.currentRow)
+        else:
+            order = [combined_ts.asc(), F.col(_REC_IND).desc()]
+            frame = (Window.currentRow, Window.unboundedFollowing)
+        if r_seq:
+            order.append(F.col(r_seq).asc())
+        return Window.partitionBy(*part_cols).orderBy(*order).rowsBetween(*frame)
+
+    def _pick(c: str, dirn: str) -> Column:
+        w = _window(dirn)
+        agg = F.last if dirn == "backward" else F.first
+        if skip_nulls:
+            return agg(F.col(c), ignorenulls=True).over(w)
+        # struct wrap distinguishes "no right row yet" (null struct) from a
+        # genuine null value in the right row
+        # (reference: python/tempo/tsdf.py:286-294)
+        wrapped = F.when(F.col(_REC_IND) == -1, F.struct(F.col(c).alias("v")))
+        return agg(wrapped, ignorenulls=True).over(w).getField("v")
 
     filled = unioned
-    for c in r_vals:
-        if skip_nulls:
-            filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-        else:
-            # struct wrap distinguishes "no right row yet" (null struct) from a
-            # genuine null value in the right row
-            # (reference: python/tempo/tsdf.py:286-294)
-            wrapped = F.when(F.col(_REC_IND) == -1, F.struct(F.col(c).alias("v")))
+    if direction in ("backward", "forward"):
+        for c in r_vals:
+            filled = filled.withColumn(c, _pick(c, direction))
+    else:  # nearest: both candidates, then per-row choose the closer r_ts
+        ts_dtype = unioned.schema[l_ts].dataType
+        for c in r_vals:
+            filled = filled.withColumn(f"__tempo_b_{c}", _pick(c, "backward"))
+            filled = filled.withColumn(f"__tempo_f_{c}", _pick(c, "forward"))
+        l_d = ts_to_double(combined_ts, ts_dtype)
+        b_d = ts_to_double(F.col(f"__tempo_b_{r_ts}"), ts_dtype)
+        f_d = ts_to_double(F.col(f"__tempo_f_{r_ts}"), ts_dtype)
+        # materialize the choice before overwriting/dropping the r_ts temps
+        # it reads (a per-column drop would unresolve later columns)
+        filled = filled.withColumn(
+            "__tempo_choose_fwd",
+            b_d.isNull() | (f_d.isNotNull() & ((l_d - b_d) > (f_d - l_d))),
+        )
+        for c in r_vals:
             filled = filled.withColumn(
-                c, F.last(wrapped, ignorenulls=True).over(w).getField("v")
+                c,
+                F.when(F.col("__tempo_choose_fwd"), F.col(f"__tempo_f_{c}")).otherwise(
+                    F.col(f"__tempo_b_{c}")
+                ),
             )
+        filled = filled.drop(
+            "__tempo_choose_fwd",
+            *[f"__tempo_{d}_{c}" for c in r_vals for d in ("b", "f")],
+        )
 
     result = filled.where(F.col(_REC_IND) == 1).drop(_REC_IND)
     if ts_partition_val is not None:

@@ -271,11 +271,14 @@ class TSDF:
         sql_join_opt: bool = False,
         suppress_null_warning: bool = False,  # reference-API compat; no eager warning here
         tolerance: Optional[float] = None,
+        direction: str = "backward",
     ) -> "TSDF":
         """For each left row, attach the latest right row with
         ``right.ts <= left.ts`` within the same series
-        (reference: python/tempo/tsdf.py:752-947). See
-        ``tempo_spark.operators.asof`` for strategies and scale notes."""
+        (reference: python/tempo/tsdf.py:752-947); ``direction`` extends to
+        forward/nearest matches (pandas ``merge_asof`` semantics, beyond the
+        reference). See ``tempo_spark.operators.asof`` for strategies and
+        scale notes."""
         from tempo_spark.operators.asof import asof_join
 
         return asof_join(
@@ -288,6 +291,7 @@ class TSDF:
             skip_nulls=skipNulls,
             use_range_join=sql_join_opt,
             tolerance=tolerance,
+            direction=direction,
         )
 
     # ------------------------------------------------------- window analytics

@@ -221,3 +221,96 @@ class TestAsofEdgeCases:
         )
         out = left.asofJoin(right, left_prefix="l").df.collect()
         assert len(out) == 1 and out[0].right_q is None
+
+
+class TestAsofDirections:
+    @pytest.fixture(scope="class")
+    def lr(self, spark):
+        base = dt.datetime(2024, 1, 1)
+
+        def at(s):
+            return base + dt.timedelta(seconds=s)
+
+        left = spark.createDataFrame(
+            [("A", at(10), 1.0), ("A", at(20), 2.0), ("A", at(100), 3.0)],
+            "k string, ts timestamp, lv double",
+        )
+        right = spark.createDataFrame(
+            [("A", at(0), 10.0), ("A", at(15), 20.0), ("A", at(20), 30.0),
+             ("A", at(25), 40.0)],
+            "k string, ts timestamp, rv double",
+        )
+        return (
+            TSDF(left, ts_col="ts", series_ids=["k"]),
+            TSDF(right, ts_col="ts", series_ids=["k"]),
+        )
+
+    @staticmethod
+    def _vals(out):
+        return {
+            r.left_ts.second + (r.left_ts.minute * 60): r.right_rv
+            for r in out.df.collect()
+        }
+
+    def test_forward(self, lr):
+        left, right = lr
+        out = left.asofJoin(right, left_prefix="left", direction="forward")
+        # t=10 -> first right >= 10 is t=15; t=20 -> same-ts right visible;
+        # t=100 -> nothing ahead -> null
+        assert self._vals(out) == {10: 20.0, 20: 30.0, 100: None}
+
+    def test_nearest(self, lr):
+        left, right = lr
+        out = left.asofJoin(right, left_prefix="left", direction="nearest")
+        # t=10: back t=0 (10s) vs fwd t=15 (5s) -> forward wins
+        # t=20: same-ts -> distance 0 both ways -> backward tie-break
+        # t=100: back t=25 only
+        assert self._vals(out) == {10: 20.0, 20: 30.0, 100: 40.0}
+
+    def test_nearest_tie_prefers_backward(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        left = TSDF(
+            spark.createDataFrame(
+                [("A", base + dt.timedelta(seconds=10), 1.0)],
+                "k string, ts timestamp, lv double",
+            ),
+            ts_col="ts", series_ids=["k"],
+        )
+        right = TSDF(
+            spark.createDataFrame(
+                [("A", base + dt.timedelta(seconds=5), 1.0),
+                 ("A", base + dt.timedelta(seconds=15), 2.0)],
+                "k string, ts timestamp, rv double",
+            ),
+            ts_col="ts", series_ids=["k"],
+        )
+        out = left.asofJoin(right, left_prefix="left", direction="nearest")
+        assert out.df.collect()[0].right_rv == 1.0
+
+    def test_forward_tolerance_abs_band(self, lr):
+        left, right = lr
+        out = left.asofJoin(
+            right, left_prefix="left", direction="forward", tolerance=5
+        )
+        # t=10 -> fwd match at t=15 is within 5s; t=20 exact; t=100 null
+        assert self._vals(out) == {10: 20.0, 20: 30.0, 100: None}
+        out2 = left.asofJoin(
+            right, left_prefix="left", direction="forward", tolerance=3
+        )
+        assert self._vals(out2) == {10: None, 20: 30.0, 100: None}
+
+    def test_direction_validation(self, lr):
+        left, right = lr
+        with pytest.raises(ValueError):
+            left.asofJoin(right, direction="sideways")
+        with pytest.raises(ValueError):
+            left.asofJoin(right, direction="forward", tsPartitionVal=100)
+        with pytest.raises(ValueError):
+            left.asofJoin(right, direction="nearest", sql_join_opt=True)
+
+    def test_one_shuffle_nearest(self, lr):
+        from tempo_spark.plans.inspect import count_exchanges
+
+        left, right = lr
+        out = left.asofJoin(right, left_prefix="left", direction="nearest")
+        assert count_exchanges(out.df) == 1
