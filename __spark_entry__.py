@@ -723,6 +723,39 @@ FROM g GROUP BY user_id, sid
 """
 
 
+def q_granularity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # derive mixed granularities by truncating ts per user bucket (raw
+    # events are uniformly second-level, which would be a 1-row histogram)
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts")
+    bucket = F.col("user_id") % 3
+    ts2 = (
+        F.when(bucket == 0, F.date_trunc("minute", F.col("ts")))
+        .when(bucket == 1, F.date_trunc("hour", F.col("ts")))
+        .otherwise(F.date_trunc("day", F.col("ts")))
+    )
+    df = ev.select("user_id", ts2.alias("ts2"))
+    t = TSDF(df, ts_col="ts2", series_ids=["user_id"])
+    return t.granularity_histogram()
+
+
+_GRANULARITY_ORACLE = """
+WITH tr AS (
+  SELECT user_id,
+         CASE WHEN user_id % 3 = 0 THEN date_trunc('minute', ts)
+              WHEN user_id % 3 = 1 THEN date_trunc('hour', ts)
+              ELSE date_trunc('day', ts) END AS ts2
+  FROM events),
+per AS (
+  SELECT user_id,
+         CASE WHEN max(epoch(ts2) % 60) > 0 THEN 'second'
+              WHEN max(epoch(ts2) % 3600) > 0 THEN 'minute'
+              WHEN max(epoch(ts2) % 86400) > 0 THEN 'hour'
+              ELSE 'day' END AS granularity
+  FROM tr GROUP BY user_id)
+SELECT granularity, count(*) AS n_series FROM per GROUP BY granularity
+"""
+
+
 def q_latest_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
@@ -1314,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ema": q_ema,
         "state_intervals": q_state_intervals,
         "sessionize": q_sessionize,
+        "granularity_histogram": q_granularity_histogram,
         "latest_3": q_latest_3,
         "slice_between": q_slice_between,
         "make_disjoint": q_make_disjoint,
@@ -1366,6 +1400,7 @@ def oracle_sql() -> dict[str, str]:
         "ema": _ema_oracle(),
         "state_intervals": _STATE_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
+        "granularity_histogram": _GRANULARITY_ORACLE,
         "latest_3": _LATEST3_ORACLE,
         "slice_between": _SLICE_ORACLE,
         "make_disjoint": _DISJOINT_ORACLE,

@@ -473,6 +473,34 @@ class TSDF:
             out = out.unionByName(_extra_row(label, src))
         return out
 
+    def granularity_histogram(self) -> DataFrame:
+        """Per-series granularity histogram: classify each series by the
+        finest time unit its timestamps actually use (second/minute/hour/
+        day, same classification rule as ``describe``, reference:
+        python/tempo/tsdf.py:658-666 — but per series instead of global),
+        then count series per class. Returns (granularity, n_series).
+
+        One shuffle on series_ids with map-side partial max; the second
+        aggregation is over ≤4 keys."""
+        ts_d = ts_to_double(F.col(self.ts_col))
+        grp = [F.col(c) for c in self.series_ids] if self.series_ids else []
+        per_series = self.df.groupBy(*grp).agg(
+            F.max(ts_d % 60).alias("__m60"),
+            F.max(ts_d % 3600).alias("__m3600"),
+            F.max(ts_d % 86400).alias("__m86400"),
+        )
+        granularity = (
+            F.when(F.col("__m60") > 0, "second")
+            .when(F.col("__m3600") > 0, "minute")
+            .when(F.col("__m86400") > 0, "hour")
+            .otherwise("day")
+        )
+        return (
+            per_series.select(granularity.alias("granularity"))
+            .groupBy("granularity")
+            .agg(F.count("*").alias("n_series"))
+        )
+
     # --------------------------------------------------------- state & fourier
 
     def extractStateIntervals(

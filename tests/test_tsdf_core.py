@@ -249,3 +249,39 @@ class TestMetadataSetters:
         assert values == ["second"]
         min_row = [v for v in out["min_ts"][1:] if v is not None]
         assert min_row and min_row[0].startswith("2020-08-01")
+
+
+class TestGranularityHistogram:
+    def test_mixed_granularities(self, spark):
+        import datetime as dt
+
+        import pyspark.sql.functions as F
+
+        from tempo_spark import TSDF
+
+        rows = [
+            # series A: second-level
+            ("A", dt.datetime(2024, 1, 1, 0, 0, 7)),
+            ("A", dt.datetime(2024, 1, 1, 0, 1, 0)),
+            # series B: minute-level
+            ("B", dt.datetime(2024, 1, 1, 0, 5, 0)),
+            ("B", dt.datetime(2024, 1, 1, 1, 6, 0)),
+            # series C: day-level
+            ("C", dt.datetime(2024, 1, 2)),
+            ("C", dt.datetime(2024, 1, 3)),
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp")
+        out = TSDF(df, ts_col="ts", series_ids=["k"]).granularity_histogram()
+        got = {r.granularity: r.n_series for r in out.collect()}
+        assert got == {"second": 1, "minute": 1, "day": 1}
+
+    def test_no_series_ids_single_global_series(self, spark):
+        import datetime as dt
+
+        from tempo_spark import TSDF
+
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 0, 0, 1),)], "ts timestamp"
+        )
+        out = TSDF(df, ts_col="ts", series_ids=[]).granularity_histogram()
+        assert [(r.granularity, r.n_series) for r in out.collect()] == [("second", 1)]
