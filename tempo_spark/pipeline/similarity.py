@@ -175,6 +175,26 @@ class IVFIndex:
         centers = [list(map(float, c)) for c in model.clusterCenters()]
         return IVFIndex(assigned, centers, id_col, vec_col)
 
+    def save(self, path: str, mode: str = "overwrite") -> None:
+        """Persist the index: corpus parquet PARTITIONED BY cell (so a probe
+        of ``nprobe`` cells reads only those directories — dynamic partition
+        pruning fires on the broadcast cell join), centroids as a tiny
+        side parquet."""
+        self.assigned.write.mode(mode).partitionBy("cell").parquet(f"{path}/corpus")
+        spark = self.assigned.sparkSession
+        centers_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(self.centers)],
+            "cell int, center array<double>",
+        )
+        centers_df.coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
+
+    @staticmethod
+    def load(spark, path: str, id_col: str = "vec_id", vec_col: str = "embedding") -> "IVFIndex":
+        assigned = spark.read.parquet(f"{path}/corpus")
+        rows = spark.read.parquet(f"{path}/centroids").collect()
+        centers = [list(r.center) for r in sorted(rows, key=lambda r: r.cell)]
+        return IVFIndex(assigned, centers, id_col, vec_col)
+
     def _probe_cells(self, vec: Column, nprobe: int) -> Column:
         """ids of the nprobe nearest centroids, as a native expression over
         literal centroid arrays (no shuffle, no UDF)."""

@@ -286,3 +286,41 @@ class TestStreamingBars:
         assert len(out) == 1
         r = out[0]
         assert (r.open_v, r.low_v, r.high_v, r.close_v) == (10.0, 5.0, 10.0, 8.0)
+
+
+class TestIVFPersistence:
+    def test_save_load_roundtrip_and_pruning(self, spark, tmp_path):
+        import random
+
+        import pyspark.sql.functions as F
+
+        from tempo_spark.pipeline.similarity import IVFIndex
+
+        random.seed(11)
+        rows = []
+        for i in range(60):
+            base = [1.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0]
+            rows.append((i, [b + random.gauss(0, 0.05) for b in base]))
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        idx = IVFIndex.build(vecs, n_centroids=2, seed=3)
+        path = str(tmp_path / "ivf")
+        idx.save(path)
+
+        loaded = IVFIndex.load(spark, path)
+        assert loaded.centers == [list(map(float, c)) for c in idx.centers]
+
+        queries = vecs.where("vec_id in (0, 1)").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        mem = {(r.query_id, r.vec_id, r.rank) for r in idx.topk(queries, k=3, nprobe=1).collect()}
+        disk = {(r.query_id, r.vec_id, r.rank) for r in loaded.topk(queries, k=3, nprobe=1).collect()}
+        assert mem == disk and len(disk) == 6
+
+        # the corpus layout is hive-partitioned by cell -> an equality filter
+        # prunes to one directory
+        import os
+
+        dirs = [d for d in os.listdir(f"{path}/corpus") if d.startswith("cell=")]
+        assert len(dirs) == 2
+        plan = loaded.assigned.where(F.col("cell") == 0)._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(cell" in plan or "cell#" in plan
