@@ -8,13 +8,16 @@ Structured Streaming's native **stream-stream interval join** — watermarks
 bound both buffers, so state is O(rate × lookback) per series and the job
 runs indefinitely.
 
-Semantics note: the interval join emits ALL right rows in the lookback
-band; the per-left "latest right" reduction is applied with a keyed
-aggregation (max_by over the right timestamp) — in streaming this requires
-``update``/``complete`` output for the final dedup stage, or a
-``foreachBatch`` that applies the reduction per micro-batch. Both paths are
-provided: ``streaming_asof_candidates`` (pure append, all candidates) and
-``reduce_asof_candidates`` (batch-side reduction for foreachBatch).
+Three paths are provided:
+
+- ``streaming_asof_candidates``: pure append interval join, ALL right rows
+  in the lookback band per left row;
+- ``reduce_asof_candidates``: per-left latest-right reduction to apply
+  inside ``foreachBatch`` (or on static frames);
+- ``streaming_asof``: single-query append-mode as-of via a custom
+  ``applyInPandasWithState`` operator (Spark cannot chain a time-interval
+  join with another stateful operator, so the one-query form needs custom
+  state).
 """
 
 from __future__ import annotations
@@ -65,6 +68,157 @@ def streaming_asof_candidates(
         rw[c].alias(c) for c in r.columns if c not in series_ids
     ]
     return joined.select(*keep)
+
+
+def streaming_asof(
+    left: DataFrame,
+    right: DataFrame,
+    series_ids: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback_seconds: int = 3600,
+    watermark: str = "10 minutes",
+    right_prefix: str = "right",
+) -> DataFrame:
+    """End-to-end streaming as-of in ONE query (no foreachBatch), append
+    output: each left row emits exactly once — with the latest right row in
+    ``[left.ts - lookback, left.ts]`` — when the watermark passes its event
+    time.
+
+    Spark cannot chain a stream-stream *time-interval* join with another
+    stateful operator (the interval join's outputs arrive "late" at a
+    downstream aggregation and are dropped — verified on 4.1; the SS guide
+    lists the combination as unsupported), so this is a custom stateful
+    operator instead: pad + union the two streams, group by series, and run
+    ``applyInPandasWithState`` with event-time timeouts.
+
+    State per series is bounded: right rows newer than
+    ``watermark - lookback`` plus left rows still ahead of the watermark —
+    O(rate × (lookback + watermark delay)), the same bound the interval
+    join's buffers have.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    l_vals = [c for c in left.columns if c not in series_ids and c != left_ts]
+    r_vals = [c for c in right.columns if c not in series_ids and c != right_ts]
+    out_r_ts = f"{right_prefix}_{right_ts}"
+    out_r_vals = [f"{right_prefix}_{c}" for c in r_vals]
+
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    l_pad = lw.select(
+        *series_ids,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__rec"),
+        *[F.col(c) for c in l_vals],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in r_vals],
+    )
+    r_pad = rw.select(
+        *series_ids,
+        F.col(right_ts).alias("__ts"),
+        F.lit(-1).alias("__rec"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_vals],
+        *[F.col(c).alias(f"__r_{c}") for c in r_vals],
+    )
+    unioned = l_pad.unionByName(r_pad)
+
+    key_fields = [unioned.schema[c] for c in series_ids]
+    l_val_fields = [left.schema[c] for c in l_vals]
+    r_val_fields = [right.schema[c] for c in r_vals]
+    out_schema = StructType(
+        list(key_fields)
+        + [StructField(left_ts, left.schema[left_ts].dataType)]
+        + list(l_val_fields)
+        + [StructField(out_r_ts, right.schema[right_ts].dataType)]
+        + [StructField(f"{right_prefix}_{f.name}", f.dataType) for f in r_val_fields]
+    )
+    # state: pending left rows (ts_us + values) and the right-row buffer
+    left_struct = StructType(
+        [StructField("ts_us", LongType())] + list(l_val_fields)
+    )
+    right_struct = StructType(
+        [StructField("ts_us", LongType())] + list(r_val_fields)
+    )
+    state_schema = StructType(
+        [
+            StructField("lefts", ArrayType(left_struct)),
+            StructField("rights", ArrayType(right_struct)),
+        ]
+    )
+    lookback_us = int(lookback_seconds * 1_000_000)
+    key_names = [f.name for f in key_fields]
+
+    def fn(key, pdfs, state: GroupState):
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        lefts, rights = ([], []) if not state.exists else tuple(
+            [list(x) for x in state.get]
+        )
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_us = (
+                    pd.to_datetime(pdf["__ts"]).astype("int64") // 1000
+                ).tolist()
+                # .tolist() yields native Python scalars — numpy scalars
+                # break the state store's pickle round-trip
+                lcols = [pdf[c].tolist() for c in l_vals]
+                rcols = [pdf[f"__r_{c}"].tolist() for c in r_vals]
+                for i, rec in enumerate(pdf["__rec"].tolist()):
+                    if rec == 1:
+                        lefts.append(tuple([ts_us[i]] + [col[i] for col in lcols]))
+                    else:
+                        rights.append(tuple([ts_us[i]] + [col[i] for col in rcols]))
+        else:
+            # timeout invocations receive no data; drain the iterator anyway
+            for _ in pdfs:
+                pass
+
+        rights.sort(key=lambda r: r[0])
+        emit, pending = [], []
+        for lrow in sorted(lefts, key=lambda r: r[0]):
+            lt = lrow[0]
+            if lt > wm_us:
+                pending.append(lrow)
+                continue
+            best = None
+            for rrow in rights:  # sorted asc; last match wins
+                if lt - lookback_us <= rrow[0] <= lt:
+                    best = rrow
+                elif rrow[0] > lt:
+                    break
+            row = dict(zip(key_names, key))
+            row[left_ts] = pd.Timestamp(lt, unit="us")
+            for j, c in enumerate(l_vals):
+                row[c] = lrow[1 + j]
+            row[out_r_ts] = (
+                pd.Timestamp(best[0], unit="us") if best is not None else pd.NaT
+            )
+            for j, c in enumerate(out_r_vals):
+                row[c] = best[1 + j] if best is not None else None
+            emit.append(row)
+
+        # prune rights no pending-or-future left can reach
+        keep_from = wm_us - lookback_us
+        rights = [r for r in rights if r[0] >= keep_from]
+
+        if pending or rights:
+            state.update((pending, rights))
+            if pending:
+                # fire again once the watermark passes the oldest pending left
+                state.setTimeoutTimestamp(min(r[0] for r in pending) // 1000 + 1)
+        else:
+            state.remove()
+        if emit:
+            yield pd.DataFrame(emit, columns=[f.name for f in out_schema.fields])
+
+    return unioned.groupBy(*series_ids).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
 
 
 def reduce_asof_candidates(

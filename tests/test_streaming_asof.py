@@ -91,3 +91,5 @@ class TestStreamingAsof:
         )
         got = {(r.k, str(r.ts)): r.right_q for r in reduced.collect()}
         assert got == expected
+
+
