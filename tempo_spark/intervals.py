@@ -176,7 +176,19 @@ class IntervalsDF:
 
     # ------------------------------------------------------------ disjoint
 
-    def make_disjoint(self) -> "IntervalsDF":
+    def make_disjoint(self, bin_seconds: Optional[float] = None) -> "IntervalsDF":
+        """Split/merge overlapping intervals into a disjoint set (native
+        Spark; replaces the reference's O(n²)-per-series pandas kernel,
+        reference: python/tempo/intervals.py:223-278,383-1331).
+
+        ``bin_seconds`` bounds the segment↔interval pairing for a
+        pathological series (few series ids, many long-lived overlapping
+        intervals): both sides explode into the time bins they cover and the
+        join key becomes (series, bin), so compares scale with real coverage
+        instead of |segments|×|intervals| per series. Duplicate pairs from
+        multi-bin collisions are harmless — the payload merge is a max()
+        (idempotent). Pick ``bin_seconds`` near the typical interval length;
+        leave None (default) for the plain per-series range join."""
         df = self.df
         s, e = self.start_ts, self.end_ts
         series = self.series_ids
@@ -201,13 +213,38 @@ class IntervalsDF:
             .withColumnRenamed("__b", seg_s)
         )
 
-        # 2. pair each segment with its covering intervals (per-series range join)
-        cond = reduce(
-            lambda a, b: a & b,
-            [F.col(a) == F.col(c) for a, c in zip(seg_series, series)],
-            (F.col(seg_s) < F.col(e)) & (F.col(seg_e) > F.col(s)),
-        )
-        paired = segments.join(df, on=cond, how="inner").select(
+        # 2. pair each segment with its covering intervals (per-series range
+        # join; with bin_seconds the equi key gains a time-bin component)
+        overlap = (F.col(seg_s) < F.col(e)) & (F.col(seg_e) > F.col(s))
+        series_eq = [F.col(a) == F.col(c) for a, c in zip(seg_series, series)]
+        if bin_seconds is None:
+            cond = reduce(lambda a, b: a & b, series_eq, overlap)
+            paired_raw = segments.join(df, on=cond, how="inner")
+        else:
+            from tempo_spark.functions.timestamps import ts_to_double
+
+            def bins(lo: str, hi: str, frame: DataFrame) -> Column:
+                lo_d = ts_to_double(F.col(lo), frame.schema[lo].dataType)
+                hi_d = ts_to_double(F.col(hi), frame.schema[hi].dataType)
+                width = F.lit(float(bin_seconds))
+                return F.sequence(
+                    F.floor(lo_d / width), F.floor(hi_d / width)
+                )
+
+            seg_binned = segments.withColumn(
+                "__bin", F.explode(bins(seg_s, seg_e, segments))
+            )
+            ivl_binned = df.withColumn("__bin_r", F.explode(bins(s, e, df)))
+            paired_raw = seg_binned.join(
+                ivl_binned,
+                on=reduce(
+                    lambda a, b: a & b,
+                    series_eq + [F.col("__bin") == F.col("__bin_r")],
+                    overlap,
+                ),
+                how="inner",
+            )
+        paired = paired_raw.select(
             *series,
             seg_s,
             seg_e,

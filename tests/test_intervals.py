@@ -202,3 +202,29 @@ class TestIntervalTsdfJoin:
         )
         with pytest.raises(ValueError, match="series ids"):
             iv.join_tsdf(TSDF(events, ts_col="event_ts", series_ids=["other"]))
+
+
+class TestMakeDisjointBinned:
+    def test_binned_equals_unbinned(self, spark):
+        import random
+
+        from tempo_spark import IntervalsDF
+
+        random.seed(42)
+        rows = []
+        # pathological shape: one series, many overlapping intervals
+        # including a giant one spanning everything
+        for i in range(80):
+            start = random.randint(0, 5000)
+            rows.append(
+                ("S", float(start), float(start + random.randint(1, 400)),
+                 float(i % 7) if i % 3 else None)
+            )
+        rows.append(("S", 0.0, 6000.0, 99.0))
+        df = spark.createDataFrame(
+            rows, "k string, start_ts double, end_ts double, m double"
+        )
+        idf = IntervalsDF(df, start_ts="start_ts", end_ts="end_ts", series_ids=["k"])
+        plain = {tuple(r) for r in idf.make_disjoint().df.collect()}
+        binned = {tuple(r) for r in idf.make_disjoint(bin_seconds=300).df.collect()}
+        assert plain == binned and len(plain) > 50
