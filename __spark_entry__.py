@@ -267,6 +267,67 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
 """
 
 
+def q_range_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.withRangeStats(
+        colsToSummarize=["cents"], rangeBackWindowSecs=1000, percentiles=[0.5, 0.9]
+    ).df
+    return out.select(
+        "user_id",
+        "ts",
+        _HR6(F.col("p50_cents") / 100).alias("p50_v"),
+        _HR6(F.col("p90_cents") / 100).alias("p90_v"),
+    )
+
+
+# Spark percentile() and DuckDB quantile_cont() share the definition
+# value = a + (p*(n-1) - floor(..))*(b - a) over the sorted window; inputs
+# are exact integer cents, so no accumulation-order noise
+_RANGE_PCT_ORACLE = f"""
+WITH {_DE_CTE}
+SELECT user_id, ts,
+       floor((quantile_cont(cents, 0.5) OVER w / 100) * 1000000 + 0.5) / 1000000 AS p50_v,
+       floor((quantile_cont(cents, 0.9) OVER w / 100) * 1000000 + 0.5) / 1000000 AS p90_v
+FROM de
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.twap("1 hour", "value").df
+    # HR3: the weighted sum accumulates doubles, whose partial-agg order
+    # differs between engines; 3 decimals absorbs the ulp noise (same
+    # mitigation as stddev/zscore)
+    return out.select(
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        _HR3(F.col("twap")).alias("twap_v"),
+    )
+
+
+_TWAP_ORACLE = f"""
+WITH {_DE_CTE},
+lw AS (
+  SELECT user_id, ts, value,
+         time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+  FROM de),
+p AS (
+  SELECT user_id, bucket_ts, value,
+         epoch(least(coalesce(next_ts, bucket_ts + INTERVAL '1 hour'),
+                     bucket_ts + INTERVAL '1 hour')) - epoch(ts) AS w8
+  FROM lw)
+SELECT user_id, bucket_ts,
+       floor((CASE WHEN sum(w8) > 0 THEN sum(value * w8) / sum(w8)
+                   ELSE avg(value) END) * 1000 + 0.5) / 1000 AS twap_v
+FROM p GROUP BY user_id, bucket_ts
+"""
+
+
 def q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
@@ -309,6 +370,46 @@ _RESAMPLE_MEAN_ORACLE = f"""
 WITH {_DE_CTE}
 SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts,
        floor((avg(cents) / 100) * 1000000 + 0.5) / 1000000 AS mean_v
+FROM de GROUP BY user_id, bucket_ts
+"""
+
+
+def q_resample_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.resample("15 minutes", "sum").df
+    return out.select(
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        F.col("cents").alias("sum_cents"),
+    )
+
+
+_RESAMPLE_SUM_ORACLE = f"""
+WITH {_DE_CTE}
+SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts,
+       sum(cents) AS sum_cents
+FROM de GROUP BY user_id, bucket_ts
+"""
+
+
+def q_resample_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.resample("1 hour", "median").df
+    return out.select(
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        _HR6(F.col("cents") / 100).alias("median_v"),
+    )
+
+
+# Spark median() and DuckDB median() both linearly interpolate the two
+# middle values; cents are exact integers so the midpoint average is exact
+_RESAMPLE_MEDIAN_ORACLE = f"""
+WITH {_DE_CTE}
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+       floor((median(cents) / 100) * 1000000 + 0.5) / 1000000 AS median_v
 FROM de GROUP BY user_id, bucket_ts
 """
 
@@ -1329,8 +1430,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
         "range_stats": q_range_stats,
+        "range_percentiles": q_range_percentiles,
+        "twap": q_twap,
         "grouped_stats": q_grouped_stats,
         "resample_mean": q_resample_mean,
+        "resample_sum": q_resample_sum,
+        "resample_median": q_resample_median,
         "resample_floor": q_resample_floor,
         "resample_ceil": q_resample_ceil,
         "resample_min": q_resample_min,
@@ -1382,8 +1487,12 @@ def oracle_sql() -> dict[str, str]:
         "asof_forward": _ASOF_FWD_ORACLE,
         "asof_nearest": _ASOF_NEAREST_ORACLE,
         "range_stats": _RANGE_STATS_ORACLE,
+        "range_percentiles": _RANGE_PCT_ORACLE,
+        "twap": _TWAP_ORACLE,
         "grouped_stats": _GROUPED_STATS_ORACLE,
         "resample_mean": _RESAMPLE_MEAN_ORACLE,
+        "resample_sum": _RESAMPLE_SUM_ORACLE,
+        "resample_median": _RESAMPLE_MEDIAN_ORACLE,
         "resample_floor": _RESAMPLE_FLOOR_ORACLE,
         "resample_ceil": _RESAMPLE_CEIL_ORACLE,
         "resample_min": _RESAMPLE_MIN_ORACLE,

@@ -26,7 +26,9 @@ from pyspark.sql import Column
 
 from tempo_spark.functions.freq import parse_freq
 
-_FUNCS = ("floor", "mean", "min", "max", "ceil")
+# floor/mean/min/max/ceil are reference parity (python/tempo/resample.py:
+# 114-253); sum/count/median extend the same one-shuffle groupBy shape
+_FUNCS = ("floor", "mean", "min", "max", "ceil", "sum", "count", "median")
 
 
 def _bucket_start(ts_col: str, duration: str) -> Column:
@@ -83,7 +85,14 @@ def resample(
             *[F.col("__packed").getField(c).alias(f"{pfx}{c}") for c in metric_cols],
         )
     else:
-        agg_fn = {"mean": F.mean, "min": F.min, "max": F.max}[func]
+        agg_fn = {
+            "mean": F.mean,
+            "min": F.min,
+            "max": F.max,
+            "sum": F.sum,
+            "count": F.count,
+            "median": F.median,
+        }[func]
         out = grouped.agg(
             *[agg_fn(F.col(c)).alias(f"{pfx}{c}") for c in metric_cols]
         )

@@ -301,9 +301,12 @@ class TSDF:
         type: str = "range",  # reference-API compat
         colsToSummarize: Optional[Sequence[str]] = None,
         rangeBackWindowSecs: float = 1000,
+        percentiles: Optional[Sequence[float]] = None,
     ) -> "TSDF":
         """Rolling mean/count/min/max/sum/stddev (+ zscore) per metric over a
         trailing time-range window (reference: python/tempo/tsdf.py:1112-1182).
+        ``percentiles`` (beyond the reference) adds exact interpolated
+        rolling percentiles, e.g. ``[0.5, 0.95]`` -> ``p50_x``, ``p95_x``.
 
         One shuffle on series_ids; all stats share one WindowExec.
         """
@@ -324,6 +327,9 @@ class TSDF:
                 std.alias(f"stddev_{c}"),
                 ((col - mean) / std).alias(f"zscore_{c}"),
             ]
+            for p in percentiles or ():
+                name = f"p{int(round(p * 100)):02d}_{c}"
+                exprs.append(F.percentile(col, F.lit(float(p))).over(w).alias(name))
         return self._with_df(out.select("*", *exprs))
 
     def withGroupedStats(
@@ -401,6 +407,57 @@ class TSDF:
             .withColumn("vwap", F.col("__dollar_volume") / F.col("total_volume"))
             .drop("__dollar_volume")
             .withColumnRenamed("time_group", self.ts_col)
+        )
+        return TSDF(out, ts_col=self.ts_col, series_ids=self.series_ids, validate=False)
+
+    def twap(
+        self,
+        freq: str = "1 hour",
+        price_col: str = "price",
+    ) -> "TSDF":
+        """Time-weighted average price per tumbling bucket (beyond the
+        reference, which has only the volume-weighted vwap). Each
+        observation is weighted by how long it was the latest value:
+        ``min(next_ts, bucket_end) - ts``; the last observation in a bucket
+        holds to the bucket end. No carry-in from prior buckets (a bucket
+        with no observations emits no row). Zero-duration rows (ties) get
+        zero weight; an all-zero-weight bucket falls back to the plain mean.
+
+        One shuffle on series_ids serves both the lead() window and the
+        groupBy (same partitioning); map-side combine applies."""
+        from tempo_spark.functions.freq import parse_freq
+        from tempo_spark.functions.timestamps import ts_to_double
+
+        f = parse_freq(freq)
+        ts_dtype = self.df.schema[self.ts_col].dataType
+        win = F.window(F.col(self.ts_col), f.window_duration)
+        w = self.base_window()
+        next_ts = F.lead(F.col(self.ts_col)).over(w)
+        bucket_end = win["end"]
+        held_until = F.least(F.coalesce(next_ts, bucket_end), bucket_end)
+        weight = ts_to_double(held_until, ts_dtype) - ts_to_double(
+            F.col(self.ts_col), ts_dtype
+        )
+        prepared = self.df.select(
+            *self.series_ids,
+            win["start"].alias(self.ts_col),
+            F.col(price_col).alias("__price"),
+            weight.alias("__w"),
+        )
+        out = (
+            prepared.groupBy(*self.series_ids, self.ts_col)
+            .agg(
+                F.sum(F.col("__price") * F.col("__w")).alias("__pw"),
+                F.sum("__w").alias("__tw"),
+                F.mean("__price").alias("__mean"),
+            )
+            .withColumn(
+                "twap",
+                F.when(F.col("__tw") > 0, F.col("__pw") / F.col("__tw")).otherwise(
+                    F.col("__mean")
+                ),
+            )
+            .drop("__pw", "__tw", "__mean")
         )
         return TSDF(out, ts_col=self.ts_col, series_ids=self.series_ids, validate=False)
 

@@ -67,7 +67,7 @@ class TestResample:
 
     def test_bad_func(self, metrics):
         with pytest.raises(ValueError, match="func"):
-            metrics.resample("1 minute", "median")
+            metrics.resample("1 minute", "mode")
 
     def test_millis(self, spark):
         rows = [
@@ -202,3 +202,37 @@ class TestResampleSequenceTiebreak:
         ce = t.resample("1 minute", "ceil").df.collect()
         assert fl[0].v == 100.0  # lowest (ts, seq) wins for floor
         assert ce[0].v == 200.0
+
+
+class TestResampleExtraFuncs:
+    def test_sum_count_median(self, spark):
+        import datetime as dt
+
+        from tempo_spark import TSDF
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("A", base + dt.timedelta(seconds=s), float(v))
+            for s, v in [(0, 1.0), (10, 2.0), (20, 6.0), (70, 4.0)]
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, m double")
+        t = TSDF(df, ts_col="ts", series_ids=["k"])
+        got_sum = {r.ts.minute: r.m for r in t.resample("1 minute", "sum").df.collect()}
+        assert got_sum == {0: 9.0, 1: 4.0}
+        got_cnt = {r.ts.minute: r.m for r in t.resample("1 minute", "count").df.collect()}
+        assert got_cnt == {0: 3, 1: 1}
+        got_med = {r.ts.minute: r.m for r in t.resample("1 minute", "median").df.collect()}
+        assert got_med == {0: 2.0, 1: 4.0}
+
+    def test_bad_func_still_raises(self, spark):
+        import datetime as dt
+
+        import pytest as _pytest
+
+        from tempo_spark import TSDF
+
+        df = spark.createDataFrame(
+            [("A", dt.datetime(2024, 1, 1), 1.0)], "k string, ts timestamp, m double"
+        )
+        with _pytest.raises(ValueError):
+            TSDF(df, ts_col="ts", series_ids=["k"]).resample("1 minute", "mode")

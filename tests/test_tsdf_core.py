@@ -285,3 +285,60 @@ class TestGranularityHistogram:
         )
         out = TSDF(df, ts_col="ts", series_ids=[]).granularity_histogram()
         assert [(r.granularity, r.n_series) for r in out.collect()] == [("second", 1)]
+
+
+class TestRangeStatsPercentiles:
+    def test_rolling_percentiles(self, spark):
+        import datetime as dt
+
+        from tempo_spark import TSDF
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [("A", base + dt.timedelta(seconds=s), float(v))
+                for s, v in [(0, 10.0), (5, 20.0), (10, 30.0), (15, 40.0)]]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, m double")
+        t = TSDF(df, ts_col="ts", series_ids=["k"])
+        out = t.withRangeStats(
+            colsToSummarize=["m"], rangeBackWindowSecs=10, percentiles=[0.5]
+        ).df
+        got = {r.ts.second: r.p50_m for r in out.collect()}
+        # trailing 10s inclusive windows: [10]=10, [10,20]=15, [10,20,30]=20,
+        # [20,30,40]=30
+        assert got == {0: 10.0, 5: 15.0, 10: 20.0, 15: 30.0}
+
+
+class TestTwap:
+    def test_twap_holds_last_to_bucket_end(self, spark):
+        import datetime as dt
+
+        from tempo_spark import TSDF
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            # bucket 0: price 10 for 30s, price 20 for 30s -> twap 15
+            ("A", base, 10.0),
+            ("A", base + dt.timedelta(seconds=30), 20.0),
+            # bucket 1: single obs at :30 holding 30s -> twap 40
+            ("A", base + dt.timedelta(seconds=90), 40.0),
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, price double")
+        t = TSDF(df, ts_col="ts", series_ids=["k"])
+        got = {r.ts.minute: r.twap for r in t.twap("1 minute", "price").df.collect()}
+        assert got == {0: 15.0, 1: 40.0}
+
+    def test_twap_ties_first_gets_zero_weight(self, spark):
+        import datetime as dt
+
+        from tempo_spark import TSDF
+
+        base = dt.datetime(2024, 1, 1)
+        # two ties: the first is superseded instantly (weight 0), the last
+        # holds to bucket end -> twap equals the last price
+        rows = [
+            ("A", base + dt.timedelta(seconds=60), 10.0),
+            ("A", base + dt.timedelta(seconds=60), 30.0),
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, price double")
+        t = TSDF(df, ts_col="ts", series_ids=["k"])
+        rowz = t.twap("1 minute", "price").df.collect()
+        assert len(rowz) == 1 and rowz[0].twap == 30.0
