@@ -637,6 +637,51 @@ FROM joined
 """
 
 
+def q_resample_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.resample("1 hour", "count").df
+    return out.select(
+        "user_id", F.col("ts").alias("bucket_ts"), F.col("cents").alias("n")
+    )
+
+
+_RESAMPLE_COUNT_ORACLE = f"""
+WITH {_DE_CTE}
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+       count(cents) AS n
+FROM de GROUP BY user_id, bucket_ts
+"""
+
+
+def q_interpolate_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'null' fill: densify the grid but leave synthesized buckets null."""
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.resample("30 minutes", "mean").interpolate("null").df
+    return out.select(
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        _HR6(F.col("cents") / 100).alias("v"),
+    )
+
+
+_INTERP_NULL_ORACLE = f"""
+WITH {_DE_CTE},
+agg AS (SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS b,
+               avg(cents) AS v
+        FROM de GROUP BY user_id, b),
+bounds AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM agg GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '30 minutes')) AS b
+         FROM bounds),
+joined AS (SELECT g.user_id, g.b, a.v
+           FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.b = a.b)
+SELECT user_id, b AS bucket_ts,
+       floor((v / 100) * 1000000 + 0.5) / 1000000 AS v
+FROM joined
+"""
+
+
 def q_prior_to(spark: SparkSession, sf_dir: str) -> DataFrame:
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
@@ -1416,6 +1461,48 @@ SELECT user_id, ts, 3 AS n_rows, feat_sum FROM ranked WHERE rn > 3
 """
 
 
+def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSDF.describe(): Spark describe plus series-count / ts-extent /
+    granularity summary rows. Float-string stat rows are engine-internal, so
+    this entry takes the rows-only check."""
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    return t.describe()
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary content column → Arrow-batched mapInPandas
+    decode. The deterministic fake decoder derives dimensions from the md5
+    digest of the bytes, which DuckDB can replicate exactly — so the full
+    Spark-side pipeline (binary column, batching, UDF schema) is oracle-gated
+    even though the real codec is stubbed."""
+    from tempo_spark.pipeline.multimodal import decode_images
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    )
+    out = decode_images(docs, fake=True)
+    return out.select("doc_id", "width", "height", "n_channels")
+
+
+# md5 hex digits 1-2 / 3-4 are the first two digest bytes; the fake decoder
+# maps them to 64 + byte % 1024 (byte < 256, so % is a no-op)
+_MULTIMODAL_ORACLE = """
+WITH h AS (SELECT doc_id, md5(text) AS m FROM documents WHERE text IS NOT NULL),
+b AS (SELECT doc_id,
+        (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(m, 2, 1)) - 1 AS b0,
+        (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(m, 4, 1)) - 1 AS b1
+      FROM h)
+SELECT doc_id, CAST(64 + b0 AS INT) AS width, CAST(64 + b1 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels
+FROM b
+"""
+
+
 # ------------------------------------------------------------- entry points
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1436,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_mean": q_resample_mean,
         "resample_sum": q_resample_sum,
         "resample_median": q_resample_median,
+        "resample_count": q_resample_count,
         "resample_floor": q_resample_floor,
         "resample_ceil": q_resample_ceil,
         "resample_min": q_resample_min,
@@ -1445,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_ffill": q_interpolate_ffill,
         "interpolate_zero": q_interpolate_zero,
         "interpolate_bfill": q_interpolate_bfill,
+        "interpolate_null": q_interpolate_null,
         "interpolate_flags": q_interpolate_flags,
         "prior_to": q_prior_to,
         "ohlc_bars": q_ohlc_bars,
@@ -1477,6 +1566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "fourier": q_fourier,
         "lookback_features": q_lookback_features,
+        "describe": q_describe,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -1493,6 +1584,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_mean": _RESAMPLE_MEAN_ORACLE,
         "resample_sum": _RESAMPLE_SUM_ORACLE,
         "resample_median": _RESAMPLE_MEDIAN_ORACLE,
+        "resample_count": _RESAMPLE_COUNT_ORACLE,
         "resample_floor": _RESAMPLE_FLOOR_ORACLE,
         "resample_ceil": _RESAMPLE_CEIL_ORACLE,
         "resample_min": _RESAMPLE_MIN_ORACLE,
@@ -1502,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
         "interpolate_ffill": _INTERP_FFILL_ORACLE,
         "interpolate_zero": _INTERP_ZERO_ORACLE,
         "interpolate_bfill": _INTERP_BFILL_ORACLE,
+        "interpolate_null": _INTERP_NULL_ORACLE,
         "interpolate_flags": _INTERP_FLAGS_ORACLE,
         "prior_to": _PRIOR_TO_ORACLE,
         "ohlc_bars": _OHLC_ORACLE,
@@ -1520,6 +1613,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_point_join": _DISJOINT_ORACLE.rsplit("SELECT user_id, min(seg_start)", 1)[0]
             + _INTERVAL_JOIN_SUFFIX,
         "lookback_features": _LOOKBACK_ORACLE,
+        "multimodal_decode": _MULTIMODAL_ORACLE,
         "composite_funnel": _COMPOSITE_FUNNEL_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "token_count": _TOKEN_COUNT_ORACLE,
