@@ -930,6 +930,32 @@ WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-12 00:00
 """
 
 
+def q_intervals_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntervalsDF.unionByName (reference: python/tempo/intervals.py:280-339):
+    structural-metadata-checked by-name union of two interval frames."""
+    de = _dedup_events(spark, sf_dir)
+    iv = de.select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 1 hour")).alias("end_ts"),
+        F.col("cents").alias("metric_a"),
+    )
+    a = IntervalsDF(iv.where(F.col("user_id") % 2 == 0), "start_ts", "end_ts", ["user_id"])
+    b = IntervalsDF(iv.where(F.col("user_id") % 2 == 1), "start_ts", "end_ts", ["user_id"])
+    out = a.unionByName(b).df
+    return out.select("user_id", "start_ts", "end_ts", "metric_a")
+
+
+_INTERVALS_UNION_ORACLE = f"""
+WITH {_DE_CTE},
+iv AS (SELECT user_id, ts AS start_ts, ts + INTERVAL 1 HOUR AS end_ts,
+              cents AS metric_a FROM de)
+SELECT user_id, start_ts, end_ts, metric_a FROM iv WHERE user_id % 2 = 0
+UNION ALL
+SELECT user_id, start_ts, end_ts, metric_a FROM iv WHERE user_id % 2 = 1
+"""
+
+
 def q_make_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two metrics with complementary nulls exercise the "later-starting
     # interval's non-null value wins, null does not overwrite" merge rule
@@ -1545,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_3": q_latest_3,
         "slice_between": q_slice_between,
         "make_disjoint": q_make_disjoint,
+        "intervals_union": q_intervals_union,
         "cv_folds": q_cv_folds,
         "intervals_stack": q_intervals_stack,
         "from_stacked_metrics": q_from_stacked_metrics,
@@ -1606,6 +1633,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_3": _LATEST3_ORACLE,
         "slice_between": _SLICE_ORACLE,
         "make_disjoint": _DISJOINT_ORACLE,
+        "intervals_union": _INTERVALS_UNION_ORACLE,
         "cv_folds": _CV_ORACLE,
         "intervals_stack": _DISJOINT_ORACLE.rsplit("SELECT user_id, min(seg_start)", 1)[0]
             + _INTERVALS_STACK_ORACLE_SUFFIX,
