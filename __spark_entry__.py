@@ -833,13 +833,13 @@ lagged AS (
   FROM de WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
 flagged AS (
   SELECT *, CASE WHEN (value <= prev_v) IS FALSE THEN 1 ELSE 0 END AS chg
-  FROM lagged),
+  FROM lagged WHERE prev_ts IS NOT NULL),
 sessions AS (
   SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flagged)
 SELECT user_id, min(prev_ts) AS start_ts, max(ts) AS end_ts
-FROM sessions GROUP BY user_id, sid HAVING min(prev_ts) IS NOT NULL
+FROM sessions WHERE chg = 0 GROUP BY user_id, sid
 """
 
 

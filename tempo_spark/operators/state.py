@@ -50,25 +50,37 @@ def extract_state_intervals(
     for c in metric_cols:
         prev = F.lag(F.col(c)).over(w)
         compares.append(compare(F.col(c), prev))
-    # state change when ANY metric comparison is False (null compares — the
-    # first row per series — are not False, so they do not open a new state)
+    # State change when ANY metric comparison is False. The first row per
+    # series (null __prev_ts, null compares) is dropped before numbering —
+    # it can never attest that a state held (reference tsdf.py:1590-1592).
+    # Materialize the compare result BEFORE dropping the first row — the
+    # lag() must see the unfiltered frame or every series shifts by one.
     state_change = F.array_contains(F.array(*compares), False)
-    df = df.withColumn("__state_change", state_change)
+    df = df.withColumn("__state_change", state_change).where(
+        F.col("__prev_ts").isNotNull()
+    )
+    order_cols = [F.col(ts)] + (
+        [F.col(tsdf.sequence_col)] if tsdf.sequence_col else []
+    )
     df = df.withColumn(
         "__state_id",
-        F.sum(F.when(F.col("__state_change"), 1).otherwise(0)).over(
+        F.sum(F.col("__state_change").cast("int")).over(
             Window.partitionBy(*series)
-            .orderBy(*( [F.col(ts)] + ([F.col(tsdf.sequence_col)] if tsdf.sequence_col else []) ))
+            .orderBy(*order_cols)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    # Drop the state-change rows themselves: they belong to the NEW state's
+    # numbering but their __prev_ts points into the OLD state, so keeping
+    # them would pull start_ts back before the state actually held
+    # (reference tsdf.py:1600-1604).
     out = (
-        df.groupBy(*series, "__state_id")
+        df.where(~F.col("__state_change"))
+        .groupBy(*series, "__state_id")
         .agg(
             F.min("__prev_ts").alias("start_ts"),
             F.max(F.col(ts)).alias("end_ts"),
         )
-        .where(F.col("start_ts").isNotNull())
         .drop("__state_id")
         .select("start_ts", "end_ts", *series)
     )

@@ -29,10 +29,12 @@ class TestStateIntervals:
     def test_equality_states(self, states):
         out = states.extractStateIntervals("v").collect()
         ivals = sorted((r.k, str(r.start_ts), str(r.end_ts)) for r in out)
+        # intervals cover only spans where the state actually HELD between
+        # two rows; the trailing 00:05 singleton state emits nothing
+        # (reference ExtractStateIntervalsTest semantics)
         assert ivals == [
             ("A", "2020-01-01 00:00:00", "2020-01-01 00:02:00"),
-            ("A", "2020-01-01 00:02:00", "2020-01-01 00:04:00"),
-            ("A", "2020-01-01 00:04:00", "2020-01-01 00:05:00"),
+            ("A", "2020-01-01 00:03:00", "2020-01-01 00:04:00"),
             ("B", "2020-01-01 00:00:30", "2020-01-01 00:01:30"),
         ]
 
@@ -50,11 +52,41 @@ class TestStateIntervals:
         )
         out = t.extractStateIntervals("v", state_definition=">=").collect()
         ivals = sorted((str(r.start_ts), str(r.end_ts)) for r in out)
-        # the new run opens at the row where the comparison failed, so its
-        # interval starts at the PREVIOUS row's ts (reference contract)
+        # the comparison-failed row is excluded from its new run's span, so
+        # the second interval starts where the new state first HELD (the row
+        # before the first passing comparison) — reference contract
         assert ivals == [
             ("2020-01-01 00:00:00", "2020-01-01 00:02:00"),
-            ("2020-01-01 00:02:00", "2020-01-01 00:04:00"),
+            ("2020-01-01 00:03:00", "2020-01-01 00:04:00"),
+        ]
+
+    def test_reference_golden_eq(self, spark):
+        # golden input/output from the reference's
+        # ExtractStateIntervalsTest.test_eq_0
+        # (python/tests/unit_test_data/tsdf_tests.json)
+        rows = [
+            ("2020-08-01 00:00:09", 4.1),
+            ("2020-08-01 00:00:10", 4.1),
+            ("2020-08-01 00:00:11", 5.0),
+            ("2020-08-01 00:01:12", 10.7),
+            ("2020-08-01 00:01:13", 10.7),
+            ("2020-08-01 00:01:14", 10.7),
+            ("2020-08-01 00:01:15", 42.3),
+            ("2020-08-01 00:01:16", 37.6),
+            ("2020-08-01 00:01:17", 61.5),
+            ("2020-09-01 00:01:12", 28.9),
+            ("2020-09-01 00:19:12", 0.1),
+        ]
+        df = spark.createDataFrame(
+            [("v1", ts(t0), v) for t0, v in rows],
+            "k string, event_ts timestamp, v double",
+        )
+        t = TSDF(df, ts_col="event_ts", series_ids=["k"])
+        out = t.extractStateIntervals("v").collect()
+        ivals = sorted((str(r.start_ts), str(r.end_ts)) for r in out)
+        assert ivals == [
+            ("2020-08-01 00:00:09", "2020-08-01 00:00:10"),
+            ("2020-08-01 00:01:12", "2020-08-01 00:01:14"),
         ]
 
     def test_callable_definition(self, states):
@@ -63,7 +95,7 @@ class TestStateIntervals:
         out = states.extractStateIntervals(
             "v", state_definition=lambda cur, prev: F.abs(cur - prev) < F.lit(0.5)
         ).collect()
-        assert len(out) == 4
+        assert len(out) == 3
 
     def test_bad_operator(self, states):
         with pytest.raises(ValueError):
@@ -81,9 +113,9 @@ class TestStateIntervals:
         )
         out = t.extractStateIntervals("v", state_definition="<=>").collect()
         # null <=> null is True → one run over the null rows; 1.0 vs null
-        # breaks, and the run's interval starts at the previous row's ts
+        # breaks, so the null-state interval starts at the first null row
         ivals = sorted((str(r.start_ts), str(r.end_ts)) for r in out)
-        assert ivals == [("2020-01-01 00:00:00", "2020-01-01 00:02:00")]
+        assert ivals == [("2020-01-01 00:01:00", "2020-01-01 00:02:00")]
 
 
 class TestFourier:
