@@ -388,7 +388,7 @@ def q_resample_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RESAMPLE_SUM_ORACLE = f"""
 WITH {_DE_CTE}
 SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts,
-       sum(cents) AS sum_cents
+       CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM de GROUP BY user_id, bucket_ts
 """
 
@@ -784,7 +784,7 @@ WITH li AS (SELECT l_returnflag AS flag, l_shipdate AS ts,
             FROM lineitem)
 SELECT flag, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
        floor(((sum(qty * price_cents) / sum(qty)) / 100) * 1000000 + 0.5) / 1000000 AS vwap_v,
-       sum(qty) AS total_qty,
+       CAST(sum(qty) AS BIGINT) AS total_qty,
        round(max(price_cents) / 100.0, 6) AS max_price_v
 FROM li GROUP BY flag, day_ts
 """

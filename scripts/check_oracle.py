@@ -25,10 +25,21 @@ TABLES = [
 
 
 def norm(v):
+    """Normalize a cell for comparison, TYPE-AWARE.
+
+    int vs float are deliberately kept distinct (tagged tuples) even though
+    Python's 123 == 123.0: the driver hashes each engine's native value
+    representation, so a DuckDB HUGEINT (arrow-exported as float64) against
+    a Spark long is a real mismatch that fetchall()-based comparison hides.
+    """
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+            return ("f", "NaN")
+        return ("f", round(v, 9))
+    if isinstance(v, int):
+        return ("i", v)
     return v
 
 
@@ -74,13 +85,15 @@ def main():
                 failures.append((name, "0 rows (rows-only check)"))
             continue
         try:
-            rel = con.execute(oracles[name])
-            ocols_raw = [d[0] for d in rel.description]
-            orows = rel.fetchall()
-            ocols_order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
+            # Fetch via Arrow, not fetchall(): the driver reads the oracle's
+            # arrow-native types, where e.g. DuckDB HUGEINT (sum of BIGINT)
+            # exports as float64 — fetchall() hides that as a Python int.
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            ocols_raw = tbl.column_names
+            orows = tbl.to_pylist()
             ocols = sorted(ocols_raw)
             odata = sorted(
-                (tuple(norm(r[i]) for i in ocols_order) for r in orows),
+                (tuple(norm(r[c]) for c in ocols) for r in orows),
                 key=lambda t: tuple(str(x) for x in t),
             )
         except Exception as e:
