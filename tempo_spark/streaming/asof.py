@@ -206,7 +206,16 @@ def streaming_asof(
             state.update((pending, rights))
             if pending:
                 # fire again once the watermark passes the oldest pending left
-                state.setTimeoutTimestamp(min(r[0] for r in pending) // 1000 + 1)
+                timeout_ms = min(r[0] for r in pending) // 1000 + 1
+            else:
+                # rights-only state: fire once the watermark passes
+                # newest_right + lookback — by then the prune empties the
+                # buffer and the key is removed, so idle series don't leak
+                # state-store entries forever
+                timeout_ms = (
+                    max(r[0] for r in rights) + lookback_us
+                ) // 1000 + 1
+            state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
         else:
             state.remove()
         if emit:

@@ -7,6 +7,16 @@ closes when no event arrives within ``gap_seconds`` of the last one.
 Implemented with ``applyInPandasWithState`` (Arrow-batched per-group state),
 event-time timeouts, and a watermark bounding the state store — the
 canonical Structured Streaming custom-stateful-operator shape.
+
+Out-of-order events (any event newer than the watermark) are handled by
+keeping the OPEN sessions of each series as a set of disjoint intervals:
+an event within ``gap`` of an interval boundary extends it (possibly
+bridging two intervals into one); an event more than ``gap`` away opens
+its own interval. An interval is emitted only once the watermark passes
+``last_event + gap`` — from then on no admissible event can attach to
+either boundary, so the session is final. State per series is
+O(open intervals), which the watermark bounds to
+``ceil(watermark_delay / gap) + 1``.
 """
 
 from __future__ import annotations
@@ -18,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StructField,
     StructType,
@@ -35,10 +46,13 @@ def streaming_sessionize(
     """Returns a streaming DataFrame of closed sessions:
     ``(*series_ids, session_start, session_end, n_events)``.
 
-    Sessions are emitted when closed by a later event (gap exceeded) or by
-    event-time timeout once the watermark passes ``last_event + gap``.
-    State per series is three scalars — O(1) memory per active series.
+    A session is emitted when the watermark passes ``session_end + gap``
+    (by a data batch or by event-time timeout) — never earlier, so late
+    events allowed by the watermark can still extend a session backward
+    or forward, or merge two provisional sessions into one.
     """
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
     key_fields = [sdf.schema[c] for c in series_ids]
     out_schema = StructType(
         list(key_fields)
@@ -50,9 +64,9 @@ def streaming_sessionize(
     )
     state_schema = StructType(
         [
-            StructField("start_us", LongType()),
-            StructField("last_us", LongType()),
-            StructField("n", LongType()),
+            StructField("starts", ArrayType(LongType())),
+            StructField("lasts", ArrayType(LongType())),
+            StructField("ns", ArrayType(LongType())),
         ]
     )
     gap_us = gap_seconds * 1_000_000
@@ -72,40 +86,54 @@ def streaming_sessionize(
                 rows.append(row)
             return pd.DataFrame(rows)
 
-        if state.hasTimedOut:
-            start_us, last_us, n = state.get
-            state.remove()
-            out = emit([(start_us, last_us, n)])
-            if out is not None:
-                yield out
-            return
-
-        ts_values = []
-        for pdf in pdfs:
-            ts_values.extend(
-                int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col])
-            )
-        ts_values.sort()
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
 
         if state.exists:
-            start_us, last_us, n = state.get
+            starts, lasts, ns = state.get
+            sessions = sorted(zip(starts, lasts, ns))
         else:
-            start_us, last_us, n = None, None, 0
+            sessions = []
 
-        closed = []
-        for t in ts_values:
-            if last_us is None:
-                start_us, last_us, n = t, t, 1
-            elif t - last_us <= gap_us:
-                last_us = max(last_us, t)
-                n += 1
-            else:
-                closed.append((start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
+        if not state.hasTimedOut:
+            ts_values = []
+            for pdf in pdfs:
+                ts_values.extend(
+                    int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col])
+                )
+            # Sweep-merge open intervals with the new events: each event is a
+            # unit interval; anything within `gap` of the previous interval's
+            # end coalesces into it. This both extends session starts backward
+            # for late events and bridges two provisional sessions.
+            items = sessions + [(t, t, 1) for t in ts_values]
+            items.sort()
+            sessions = []
+            for s, l, n in items:
+                if sessions and s - sessions[-1][1] <= gap_us:
+                    ps, pl, pn = sessions[-1]
+                    sessions[-1] = (ps, max(pl, l), pn + n)
+                else:
+                    sessions.append((s, l, n))
 
-        if last_us is not None:
-            state.update((start_us, last_us, n))
-            state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        # Final once the watermark passes last + gap: no event >= watermark
+        # can be within `gap` of either boundary anymore.
+        closed = [x for x in sessions if x[1] + gap_us < wm_us]
+        open_ = [x for x in sessions if x[1] + gap_us >= wm_us]
+
+        if open_:
+            state.update(
+                (
+                    [s for s, _, _ in open_],
+                    [l for _, l, _ in open_],
+                    [n for _, _, n in open_],
+                )
+            )
+            close_ms = min(l for _, l, _ in open_) // 1000 + gap_seconds * 1000
+            # Spark requires the timeout to be strictly beyond the watermark.
+            state.setTimeoutTimestamp(max(close_ms, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+
         out = emit(closed)
         if out is not None:
             yield out

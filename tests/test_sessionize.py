@@ -48,10 +48,71 @@ class TestStreamingSessionize:
                 (r.k, str(r.session_start)): r
                 for r in spark.table("sessions_out").collect()
             }
-            # A's first burst was closed by the 02:00 event within the batch
+            # A's first burst closes once the watermark (pushed to
+            # 2020-01-02 by C's event) passes 00:10 + gap
             a1 = out[("A", "2020-01-01 00:00:00")]
             assert str(a1.session_end) == "2020-01-01 00:10:00"
             assert a1.n_events == 3
+            a2 = out[("A", "2020-01-01 02:00:00")]
+            assert str(a2.session_end) == "2020-01-01 02:01:00"
+            assert a2.n_events == 2
+            b = out[("B", "2020-01-01 01:00:00")]
+            assert b.n_events == 2
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_out_of_order_events_extend_or_split(self, spark):
+        """A late event within `gap` BEFORE the open session's start must
+        extend the session backward; one more than `gap` before it must open
+        its own session (ADVICE r1: the old code absorbed both into the
+        current session without moving session_start)."""
+        d = tempfile.mkdtemp(prefix="tempo_sess_ooo_")
+        try:
+            schema = "k string, event_ts timestamp"
+            # file 1 (first micro-batch): the "current" session
+            spark.createDataFrame(
+                [
+                    ("D", ts("2020-01-01 01:00:00")),
+                    ("D", ts("2020-01-01 01:10:00")),
+                ],
+                schema,
+            ).coalesce(1).write.mode("overwrite").parquet(d)
+            import time
+
+            time.sleep(1.1)  # file-source batches order by mod time
+            # file 2 (second micro-batch): two late events — one within gap
+            # of 01:00 (extends backward), one > gap before that (own
+            # session) — plus a far-future row to advance the watermark.
+            spark.createDataFrame(
+                [
+                    ("D", ts("2020-01-01 00:55:00")),
+                    ("D", ts("2020-01-01 00:10:00")),
+                    ("E", ts("2020-01-02 00:00:00")),
+                ],
+                schema,
+            ).coalesce(1).write.mode("append").parquet(d)
+            sdf = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(d)
+            )
+            sessions = streaming_sessionize(
+                sdf, "event_ts", ["k"], gap_seconds=1800, watermark="4 hours"
+            )
+            q = (
+                sessions.writeStream.format("memory")
+                .queryName("sessions_ooo")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            got = {
+                (r.k, str(r.session_start), str(r.session_end), r.n_events)
+                for r in spark.table("sessions_ooo").collect()
+            }
+            assert ("D", "2020-01-01 00:55:00", "2020-01-01 01:10:00", 3) in got
+            assert ("D", "2020-01-01 00:10:00", "2020-01-01 00:10:00", 1) in got
         finally:
             shutil.rmtree(d, ignore_errors=True)
 

@@ -80,6 +80,58 @@ class TestStreamingAsofSingleQuery:
         finally:
             q.stop()
 
+    def test_idle_rights_only_state_evicted(self, spark, tmp_path):
+        """A series that only ever received right rows must not leak a
+        state-store entry forever (ADVICE r1): once the watermark passes
+        newest_right + lookback, its timeout fires, the prune empties the
+        buffer, and the key is removed."""
+        ld = str(tmp_path / "l3")
+        rd = str(tmp_path / "r3")
+        ck = str(tmp_path / "ck3")
+        spark.createDataFrame(
+            [("L", ts("2020-01-01 00:00:00"), 1.0)],
+            "k string, ts timestamp, v double",
+        ).write.mode("overwrite").parquet(ld)
+        # series X: rights only, never any left
+        spark.createDataFrame(
+            [("X", ts("2020-01-01 00:00:00"), 9.0)],
+            "k string, ts timestamp, q double",
+        ).write.mode("overwrite").parquet(rd)
+        left = spark.readStream.schema("k string, ts timestamp, v double").parquet(ld)
+        right = spark.readStream.schema("k string, ts timestamp, q double").parquet(rd)
+        out = streaming_asof(left, right, ["k"], lookback_seconds=60, watermark="0 seconds")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("asof_state_evict")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            time.sleep(8)
+            # push the watermark far past X's newest right + lookback
+            for d, schema in ((ld, "k string, ts timestamp, v double"),
+                              (rd, "k string, ts timestamp, q double")):
+                spark.createDataFrame(
+                    [("Z", ts("2020-01-02 00:00:00"), 0.0)], schema
+                ).write.mode("append").parquet(d)
+            deadline = time.time() + 90
+            n_state = None
+            while time.time() < deadline:
+                p = q.lastProgress
+                if p and p.get("stateOperators"):
+                    n_state = p["stateOperators"][0]["numRowsTotal"]
+                    # X evicted; only Z's rights-only entry may remain
+                    if n_state is not None and n_state <= 1:
+                        break
+                time.sleep(2)
+            assert n_state is not None and n_state <= 1, (
+                f"rights-only state entry never evicted (numRowsTotal={n_state})"
+            )
+        finally:
+            q.stop()
+
     def test_no_match_emits_nulls(self, spark, tmp_path):
         ld = str(tmp_path / "l2")
         rd = str(tmp_path / "r2")
