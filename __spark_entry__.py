@@ -893,9 +893,9 @@ WITH tr AS (
   FROM events),
 per AS (
   SELECT user_id,
-         CASE WHEN max(epoch(ts2) % 60) > 0 THEN 'second'
-              WHEN max(epoch(ts2) % 3600) > 0 THEN 'minute'
-              WHEN max(epoch(ts2) % 86400) > 0 THEN 'hour'
+         CASE WHEN max(abs(epoch(ts2) % 60)) > 0 THEN 'second'
+              WHEN max(abs(epoch(ts2) % 3600)) > 0 THEN 'minute'
+              WHEN max(abs(epoch(ts2) % 86400)) > 0 THEN 'hour'
               ELSE 'day' END AS granularity
   FROM tr GROUP BY user_id)
 SELECT granularity, count(*) AS n_series FROM per GROUP BY granularity

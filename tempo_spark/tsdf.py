@@ -492,10 +492,14 @@ class TSDF:
         else:
             series_count = F.lit(1)
         ts_d = ts_to_double(F.col(self.ts_col))
+        # abs(): Spark's % keeps the dividend's sign, so pre-1970 (negative
+        # epoch) timestamps yield negative remainders that a > 0 test would
+        # misclassify as coarser granularity (reference uses != 0,
+        # python/tempo/tsdf.py:658-666)
         granularity = (
-            F.when(F.max(ts_d % 60) > 0, "second")
-            .when(F.max(ts_d % 3600) > 0, "minute")
-            .when(F.max(ts_d % 86400) > 0, "hour")
+            F.when(F.max(F.abs(ts_d % 60)) > 0, "second")
+            .when(F.max(F.abs(ts_d % 3600)) > 0, "minute")
+            .when(F.max(F.abs(ts_d % 86400)) > 0, "hour")
             .otherwise("day")
         )
         extras = self.df.agg(
@@ -506,7 +510,14 @@ class TSDF:
         )
 
         # Spark's describe() omits timestamp columns — land ts-derived rows
-        # under the ts column when present, else the first value column
+        # under the ts column when present, else the first value column; a
+        # frame with nothing describe-able still gets the ts-derived rows
+        if not value_cols:
+            value_cols = [self.ts_col]
+            desc = self.df.select(
+                F.lit(None).cast("string").alias("summary"),
+                F.lit(None).cast("string").alias(self.ts_col),
+            ).limit(0)
         target_col = self.ts_col if self.ts_col in value_cols else value_cols[0]
 
         def _extra_row(label: str, src: str) -> DataFrame:
@@ -541,10 +552,12 @@ class TSDF:
         aggregation is over ≤4 keys."""
         ts_d = ts_to_double(F.col(self.ts_col))
         grp = [F.col(c) for c in self.series_ids] if self.series_ids else []
+        # abs(): negative-epoch timestamps give negative remainders (see
+        # describe) — max(abs(r)) != 0 is sign-safe
         per_series = self.df.groupBy(*grp).agg(
-            F.max(ts_d % 60).alias("__m60"),
-            F.max(ts_d % 3600).alias("__m3600"),
-            F.max(ts_d % 86400).alias("__m86400"),
+            F.max(F.abs(ts_d % 60)).alias("__m60"),
+            F.max(F.abs(ts_d % 3600)).alias("__m3600"),
+            F.max(F.abs(ts_d % 86400)).alias("__m86400"),
         )
         granularity = (
             F.when(F.col("__m60") > 0, "second")

@@ -250,6 +250,23 @@ class TestMetadataSetters:
         min_row = [v for v in out["min_ts"][1:] if v is not None]
         assert min_row and min_row[0].startswith("2020-08-01")
 
+    def test_describe_ts_only_frame(self, spark):
+        """No describe-able columns besides the timestamp must not raise
+        (ADVICE r1: value_cols[0] IndexError) — the ts-derived rows still
+        come back."""
+        import datetime as dt
+
+        from tempo_spark import TSDF
+
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 0, 0, 5),), (dt.datetime(2024, 1, 1, 0, 0, 9),)],
+            "ts timestamp",
+        )
+        out = {r.summary: r for r in TSDF(df, ts_col="ts", series_ids=[]).describe().collect()}
+        assert out["granularity"].ts == "second"
+        assert out["min_ts"].ts.startswith("2024-01-01")
+        assert out["unique_time_series_count"].ts == "1"
+
 
 class TestGranularityHistogram:
     def test_mixed_granularities(self, spark):
@@ -284,6 +301,22 @@ class TestGranularityHistogram:
             [(dt.datetime(2024, 1, 1, 0, 0, 1),)], "ts timestamp"
         )
         out = TSDF(df, ts_col="ts", series_ids=[]).granularity_histogram()
+        assert [(r.granularity, r.n_series) for r in out.collect()] == [("second", 1)]
+
+    def test_negative_epoch_timestamps(self, spark):
+        """Pre-1970 timestamps give negative % remainders; classification
+        must still see second-level offsets (ADVICE r1: > 0 misclassified
+        them as coarser)."""
+        import datetime as dt
+
+        from tempo_spark import TSDF
+
+        rows = [
+            ("N", dt.datetime(1960, 1, 1, 0, 0, 7)),
+            ("N", dt.datetime(1960, 1, 1, 0, 0, 30)),
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp")
+        out = TSDF(df, ts_col="ts", series_ids=["k"]).granularity_histogram()
         assert [(r.granularity, r.n_series) for r in out.collect()] == [("second", 1)]
 
 
