@@ -81,6 +81,55 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+def with_hashed_shingles(
+    df: DataFrame,
+    text_col: str,
+    out: str,
+    k: int = 5,
+    use_words: bool = False,
+) -> DataFrame:
+    """Attach ``array<bigint>`` of the row's DISTINCT hashed k-shingles.
+
+    The scale-critical detail is what does NOT get recomputed: higher-order
+    function lambdas are interpreted and not CSE'd, so an expression like
+    ``transform(seq, i -> f(split(text), i))`` re-runs the split for every
+    element — O(tokens²) per row. Here the token array and its per-token
+    hashes are hoisted into intermediate columns (CollapseProject keeps
+    multiply-referenced non-cheap aliases materialized), and each word
+    shingle hash is just ``xxhash64`` of k consecutive token hashes —
+    fixed-width longs, no per-element string building."""
+    if not use_words:
+        return df.withColumn(
+            out,
+            F.array_distinct(
+                F.transform(
+                    char_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+                )
+            ),
+        )
+    toks_c, th_c = "__tempo_toks", "__tempo_tokh"
+    n = F.size(F.col(th_c))
+
+    def shingle_at_factory(k_: int):
+        # factory keeps the lambda single-parameter (pyspark introspects
+        # lambda arity; default-arg closures break)
+        return lambda i: F.xxhash64(
+            *[F.element_at(F.col(th_c), i + F.lit(j)) for j in range(1, k_ + 1)]
+        )
+
+    hashes = F.when(
+        n < k, F.array(F.xxhash64(F.concat_ws(" ", F.col(toks_c))))
+    ).otherwise(
+        F.transform(F.sequence(F.lit(0), n - F.lit(k)), shingle_at_factory(k))
+    )
+    return (
+        df.withColumn(toks_c, F.split(F.trim(F.col(text_col)), r"\s+"))
+        .withColumn(th_c, F.transform(F.col(toks_c), lambda t: F.xxhash64(t)))
+        .withColumn(out, F.array_distinct(hashes))
+        .drop(toks_c, th_c)
+    )
+
+
 # ------------------------------------------------------------------ minhash
 
 
@@ -119,17 +168,14 @@ def with_minhash(
     use_words: bool = False,
     keep_hashed_shingles: bool = False,
 ) -> DataFrame:
-    """Attach a MinHash signature column. Shingling + the base string hash
-    are materialized ONCE (inlining either into the num_hashes min
-    expressions would recompute them per seed). With
-    ``keep_hashed_shingles`` the distinct hashed-shingle array survives as
-    ``__tempo_sh_hashed`` so a downstream Jaccard verify can reuse it."""
-    sh = (word_shingles if use_words else char_shingles)(F.col(text_col), shingle_k)
+    """Attach a MinHash signature column. Shingling + the base hash are
+    materialized ONCE (inlining either into the num_hashes min expressions
+    would recompute them per seed). With ``keep_hashed_shingles`` the
+    distinct hashed-shingle array survives as ``__tempo_sh_hashed`` so a
+    downstream Jaccard verify can reuse it."""
     tmp = "__tempo_sh_hashed"
-    result = (
-        df.withColumn(tmp, F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))))
-        .withColumn(out, _signature_from_hashes(F.col(tmp), num_hashes))
-    )
+    result = with_hashed_shingles(df, text_col, tmp, shingle_k, use_words)
+    result = result.withColumn(out, _signature_from_hashes(F.col(tmp), num_hashes))
     return result if keep_hashed_shingles else result.drop(tmp)
 
 
@@ -188,17 +234,18 @@ def jaccard_verify(
     use_words: bool = False,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only (array_intersect/union on the
-    shingle sets). The joins hash-partition on ids — candidate-proportional."""
-    sh = (word_shingles if use_words else char_shingles)(F.col(text_col), shingle_k)
+    HASHED shingle sets — long compares; collisions perturb Jaccard by
+    ~2^-64). The joins hash-partition on ids — candidate-proportional."""
     # only docs that appear in some candidate pair need shingling
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .union(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    shingled = df.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col), sh.alias("__sh")
-    )
+    shingled = with_hashed_shingles(
+        df.join(cand_ids, id_col, "left_semi"), text_col, "__sh",
+        shingle_k, use_words,
+    ).select(F.col(id_col), F.col("__sh"))
     out = (
         candidates.join(
             shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")),
@@ -236,30 +283,41 @@ def minhash_dedup(
     (shared vocabulary) have a high baseline Jaccard, which degrades LSH
     toward all-pairs; word shingles (``use_words=True``) stay discriminative.
 
-    Verification runs on the HASHED shingle sets already computed for the
-    signatures — one shingling pass total, and the intersect/union compares
-    longs instead of strings (hash collisions perturb Jaccard by ~2^-64)."""
-    with_sig = with_minhash(
-        df, text_col, "minhash", num_hashes, shingle_k, use_words,
-        keep_hashed_shingles=True,
+    Verification compares HASHED shingle sets — the intersect/union compares
+    longs instead of strings (hash collisions perturb Jaccard by ~2^-64).
+
+    No caching: a 100 TB corpus's shingle arrays cannot be pinned in
+    executor memory, so the plan is structured to stay cheap fully lazy —
+    the candidate self-join is consumed exactly once (chained joins), and
+    the verify side recomputes the hashed-shingle projection per join,
+    which AQE turns into broadcast joins against the (small) candidate set:
+    linear scans, no corpus-wide shuffle, nothing persisted."""
+    base = df.select(F.col(id_col), F.col(text_col))
+    sigs = with_minhash(
+        base, text_col, "minhash", num_hashes, shingle_k, use_words
     )
-    # two consumers (banding + verify) — persist the projection or the whole
-    # shingling/signature computation runs twice
-    sig = with_sig.select(
-        F.col(id_col), F.col("minhash"), F.col("__tempo_sh_hashed")
-    ).persist()
-    cands = minhash_lsh_candidates(sig, id_col, "minhash", bands)
-    hashed = sig.select(F.col(id_col), F.col("__tempo_sh_hashed").alias("__sh"))
+    cands = minhash_lsh_candidates(
+        sigs.select(F.col(id_col), F.col("minhash")), id_col, "minhash", bands
+    )
+    hashed = with_hashed_shingles(
+        base, text_col, "__sh", shingle_k, use_words
+    ).select(F.col(id_col), F.col("__sh"))
+    # melt the pairs so the corpus is scanned ONCE for verification: each
+    # candidate id picks up its shingle set in a single (broadcast) join,
+    # then the pair reassembles in a candidate-sized shuffle
+    melted = cands.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias(id_col)
+    )
+    per_pair = (
+        melted.join(hashed, id_col)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min_by("__sh", F.col(id_col) == F.col("id_b")).alias("__sh_a"),
+            F.max_by("__sh", F.col(id_col) == F.col("id_b")).alias("__sh_b"),
+        )
+    )
     out = (
-        cands.join(
-            hashed.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")),
-            "id_a",
-        )
-        .join(
-            hashed.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")),
-            "id_b",
-        )
-        .withColumn(
+        per_pair.withColumn(
             "jaccard",
             F.size(F.array_intersect("__sh_a", "__sh_b"))
             / F.size(F.array_union("__sh_a", "__sh_b")),
