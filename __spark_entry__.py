@@ -144,6 +144,67 @@ r AS (SELECT user_id, ts, max(value) AS p_value FROM events
 """
 
 
+def q_asof_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew (time-partitioned) as-of path: series key salted with 7-day
+    brackets, trailing half of each bracket duplicated into the next.
+    Matches older than the bracket lookback are nulled BY DESIGN — the
+    oracle reproduces the bracket-visibility rule exactly."""
+    left, right = _asof_direction_frames(spark, sf_dir)
+    out = left.asofJoin(
+        right, left_prefix="left", right_prefix="right",
+        tsPartitionVal=604800, fraction=0.5,
+    ).df
+    return out.select(
+        "user_id",
+        F.col("left_ts").alias("click_ts"),
+        _R6(F.col("left_value")).alias("click_value"),
+        F.col("right_ts").alias("purchase_ts"),
+        _R6(F.col("right_p_value")).alias("purchase_value"),
+    )
+
+
+# a right row is visible iff it shares the left row's 7-day bracket, or sits
+# in the trailing `fraction` of the previous bracket (the overlap copy)
+_ASOF_SKEW_ORACLE = f"""
+WITH {_ASOF_DIR_CTES},
+cand AS (
+  SELECT l.user_id, l.ts AS click_ts, l.value AS lv, r.ts AS r_ts, r.p_value
+  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+   AND (floor(epoch(r.ts)/604800.0) = floor(epoch(l.ts)/604800.0)
+        OR (floor(epoch(r.ts)/604800.0) = floor(epoch(l.ts)/604800.0) - 1
+            AND epoch(r.ts) - floor(epoch(r.ts)/604800.0)*604800.0 >= 302400.0)))
+SELECT user_id, click_ts, round(lv, 6) AS click_value,
+       max(r_ts) AS purchase_ts,
+       round(arg_max(p_value, r_ts), 6) AS purchase_value
+FROM cand GROUP BY user_id, click_ts, lv
+"""
+
+
+def q_asof_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sql_join_opt as-of path (lead-interval range join) — same semantics
+    as the default union-window path, different physical strategy, checked
+    against the same oracle."""
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_value"))
+    )
+    left = TSDF(clicks, ts_col="ts", series_ids=["user_id"])
+    right = TSDF(purchases, ts_col="ts", series_ids=["user_id"])
+    out = left.asofJoin(
+        right, left_prefix="left", right_prefix="right", sql_join_opt=True
+    ).df
+    return out.select(
+        "user_id",
+        F.col("left_ts").alias("click_ts"),
+        _R6(F.col("left_value")).alias("click_value"),
+        F.col("right_ts").alias("purchase_ts"),
+        _R6(F.col("right_p_value")).alias("purchase_value"),
+    )
+
+
 def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     left, right = _asof_direction_frames(spark, sf_dir)
     out = left.asofJoin(
@@ -843,6 +904,36 @@ FROM sessions WHERE chg = 0 GROUP BY user_id, sid
 """
 
 
+def q_state_intervals_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extractStateIntervals with a CALLABLE state definition (the custom
+    Column-expression path): the state holds while consecutive values stay
+    within a 10-unit band of each other."""
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    out = t.extractStateIntervals(
+        "value", state_definition=lambda curr, prev: F.abs(curr - prev) < F.lit(10.0)
+    )
+    return out.select("user_id", "start_ts", "end_ts")
+
+
+_STATE_BAND_ORACLE = f"""
+WITH {_DE_CTE},
+lagged AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER w AS prev_ts, lag(value) OVER w AS prev_v
+  FROM de WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+flagged AS (
+  SELECT *, CASE WHEN (abs(value - prev_v) < 10.0) IS FALSE THEN 1 ELSE 0 END AS chg
+  FROM lagged WHERE prev_ts IS NOT NULL),
+sessions AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged)
+SELECT user_id, min(prev_ts) AS start_ts, max(ts) AS end_ts
+FROM sessions WHERE chg = 0 GROUP BY user_id, sid
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events").select("user_id", "ts")
     t = TSDF(ev, ts_col="ts", series_ids=["user_id"])
@@ -1318,6 +1409,47 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _lsh_oracle(n_planes: int = 6, dim: int = 64, seed: int = 42, k: int = 5) -> str:
+    """Full DuckDB oracle for the hyperplane-LSH top-k: the planes are
+    deterministic driver-side constants (random_hyperplanes), so the oracle
+    embeds them as list literals and reproduces bucket assignment (sign of
+    the left-fold dot product — the exact op order Spark's aggregate/zip_with
+    evaluates) and the bucket-restricted cosine ranking."""
+    from tempo_spark.pipeline.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+
+    def dot_sql(vexpr: str, plane: list) -> str:
+        lst = "[" + ",".join(repr(float(x)) for x in plane) + "]"
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(list_zip({vexpr}, {lst}), "
+            f"p -> p[1] * p[2])), (a,b) -> a + b)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql('v', p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id, v, ({bucket}) AS bucket FROM c),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM cb WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, cb.vec_id,
+         round(
+           list_reduce(list_prepend(0.0, list_transform(list_zip(qv, cb.v), p -> p[1] * p[2])), (a,b) -> a + b)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)), (a,b) -> a + b))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(cb.v, x -> x * x)), (a,b) -> a + b))),
+           6) AS cosine
+  FROM cb JOIN q ON cb.bucket = q.bucket),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 # rows-only queries (no SQL-expressible oracle: engine-specific hashing/FFT)
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1542,6 +1674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": q_asof_tolerance,
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
+        "asof_skew": q_asof_skew,
+        "asof_broadcast": q_asof_broadcast,
         "range_stats": q_range_stats,
         "range_percentiles": q_range_percentiles,
         "twap": q_twap,
@@ -1566,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vwap": q_vwap,
         "ema": q_ema,
         "state_intervals": q_state_intervals,
+        "state_intervals_band": q_state_intervals_band,
         "sessionize": q_sessionize,
         "granularity_histogram": q_granularity_histogram,
         "latest_3": q_latest_3,
@@ -1604,6 +1739,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_tolerance": _ASOF_TOL_ORACLE,
         "asof_forward": _ASOF_FWD_ORACLE,
         "asof_nearest": _ASOF_NEAREST_ORACLE,
+        "asof_skew": _ASOF_SKEW_ORACLE,
+        "asof_broadcast": _ASOF_ORACLE,
         "range_stats": _RANGE_STATS_ORACLE,
         "range_percentiles": _RANGE_PCT_ORACLE,
         "twap": _TWAP_ORACLE,
@@ -1628,6 +1765,7 @@ def oracle_sql() -> dict[str, str]:
         "vwap": _VWAP_ORACLE,
         "ema": _ema_oracle(),
         "state_intervals": _STATE_ORACLE,
+        "state_intervals_band": _STATE_BAND_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "granularity_histogram": _GRANULARITY_ORACLE,
         "latest_3": _LATEST3_ORACLE,
@@ -1651,4 +1789,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "embedding_near_dups_exact": _EMB_NEAR_DUP_ORACLE,
+        "lsh_ann_topk": _lsh_oracle(),
     }
