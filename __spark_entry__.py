@@ -1450,6 +1450,42 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def _emb_near_dup_lsh_oracle(
+    n_planes: int = 4, dim: int = 64, seed: int = 42, threshold: float = 0.35
+) -> str:
+    """Full oracle for the BUCKETED embedding near-dup path — same
+    deterministic-hyperplane replay as ``_lsh_oracle``, self-joined within
+    bucket with id_a < id_b and the rounded-cosine threshold filter."""
+    from tempo_spark.pipeline.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+
+    def dot_sql(vexpr: str, plane: list) -> str:
+        lst = "[" + ",".join(repr(float(x)) for x in plane) + "]"
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(list_zip({vexpr}, {lst}), "
+            f"p -> p[1] * p[2])), (a,b) -> a + b)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql('v', p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id, v, ({bucket}) AS bucket FROM c),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])), (a2,b2) -> a2 + b2)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, x -> x * x)), (a2,b2) -> a2 + b2))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(b.v, x -> x * x)), (a2,b2) -> a2 + b2))),
+           6) AS cosine
+  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+"""
+
+
 # rows-only queries (no SQL-expressible oracle: engine-specific hashing/FFT)
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1790,4 +1826,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "embedding_near_dups_exact": _EMB_NEAR_DUP_ORACLE,
         "lsh_ann_topk": _lsh_oracle(),
+        "embedding_near_dups": _emb_near_dup_lsh_oracle(),
     }
