@@ -1697,6 +1697,86 @@ FROM b
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode (fake) → aspect-preserving resize (fake): the geometry math is
+    pure integer arithmetic over the md5-derived dimensions, so DuckDB
+    replays the whole two-stage mapInPandas pipeline."""
+    from tempo_spark.pipeline.multimodal import decode_images, resize_images
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    )
+    out = resize_images(decode_images(docs, fake=True), max_dim=256, fake=True)
+    return out.select("doc_id", "width", "height", "resized_width", "resized_height")
+
+
+_MULTIMODAL_RESIZE_ORACLE = """
+WITH h AS (SELECT doc_id, md5(text) AS m FROM documents WHERE text IS NOT NULL),
+b AS (SELECT doc_id,
+        (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(m, 2, 1)) - 1 AS b0,
+        (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(m, 4, 1)) - 1 AS b1
+      FROM h),
+wh AS (SELECT doc_id, 64 + b0 AS w, 64 + b1 AS h FROM b)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(CASE WHEN greatest(w, h) <= 256 THEN w
+                 WHEN w >= h THEN 256 ELSE (w * 256) // h END AS INT) AS resized_width,
+       CAST(CASE WHEN greatest(w, h) <= 256 THEN h
+                 WHEN w >= h THEN (h * 256) // w ELSE 256 END AS INT) AS resized_height
+FROM wh
+"""
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature plumbing (fake codec): duration/rms derive from the
+    payload length only — exactly replayable as octet_length SQL."""
+    from tempo_spark.pipeline.multimodal import extract_audio_features
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    )
+    out = extract_audio_features(docs, fake=True)
+    return out.select("doc_id", "duration_ms", "rms")
+
+
+_AUDIO_FEATURES_ORACLE = """
+SELECT doc_id, CAST(octet_length(encode(text)) * 2 AS BIGINT) AS duration_ms,
+       CAST(octet_length(encode(text)) % 97 AS DOUBLE) / 97.0 AS rms
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (fake codec): each row explodes into
+    1 + len % 5 frame rows at 1000 ms spacing. Frame bytes are excluded
+    from the compare (binary repr differs across drivers); the explosion
+    shape is the contract."""
+    from tempo_spark.pipeline.multimodal import sample_video_frames
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    )
+    out = sample_video_frames(docs, every_n_ms=1000, fake=True)
+    return out.select("doc_id", "frame_idx", "frame_ts_ms")
+
+
+_VIDEO_FRAMES_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         UNNEST(generate_series(0, octet_length(encode(text)) % 5)) AS i
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 1000 AS BIGINT) AS frame_ts_ms
+FROM f
+"""
+
+
 # ------------------------------------------------------------- entry points
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1766,6 +1846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookback_features": q_lookback_features,
         "describe": q_describe,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
     }
 
 
@@ -1816,6 +1899,9 @@ def oracle_sql() -> dict[str, str]:
             + _INTERVAL_JOIN_SUFFIX,
         "lookback_features": _LOOKBACK_ORACLE,
         "multimodal_decode": _MULTIMODAL_ORACLE,
+        "multimodal_resize": _MULTIMODAL_RESIZE_ORACLE,
+        "audio_features": _AUDIO_FEATURES_ORACLE,
+        "video_frames": _VIDEO_FRAMES_ORACLE,
         "composite_funnel": _COMPOSITE_FUNNEL_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "token_count": _TOKEN_COUNT_ORACLE,

@@ -91,6 +91,51 @@ def decode_images(
     return df.mapInPandas(kernel, schema=out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    width_col: str = "width",
+    height_col: str = "height",
+    max_dim: int = 256,
+    content_col: str = "content",
+    fake: bool = False,
+) -> DataFrame:
+    """Aspect-preserving resize so the larger dimension is ≤ ``max_dim``:
+    appends (resized_width, resized_height) [and, with a real codec, would
+    rewrite the pixel payload]. The fake path computes the target geometry
+    with pure integer arithmetic — deterministic and engine-replicable —
+    and passes the binary payload through untouched."""
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["resized_width int", "resized_height int"]
+    )
+
+    def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def geom(w, h):
+            if w is None or h is None or w <= 0 or h <= 0:
+                return (0, 0)
+            if max(w, h) <= max_dim:
+                return (w, h)
+            if w >= h:
+                return (max_dim, (h * max_dim) // w)
+            return ((w * max_dim) // h, max_dim)
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            g = [geom(w, h) for w, h in zip(pdf[width_col], pdf[height_col])]
+            pdf["resized_width"] = [x[0] for x in g]
+            pdf["resized_height"] = [x[1] for x in g]
+            yield pdf
+
+    def real_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; integrate a "
+            "resampler (e.g. PIL.Image.resize) here, or pass fake=True for "
+            "the geometry-only deterministic stub"
+        )
+
+    return df.mapInPandas(fake_resize if fake else real_resize, schema=out_schema)
+
+
 def sample_video_frames(
     df: DataFrame,
     content_col: str = "content",

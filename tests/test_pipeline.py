@@ -173,6 +173,26 @@ class TestMultimodal:
         with pytest.raises(Exception):
             multimodal.decode_images(media, fake=False).collect()
 
+    def test_fake_resize(self, media):
+        decoded = multimodal.decode_images(media, fake=True)
+        out = multimodal.resize_images(decoded, max_dim=100, fake=True).collect()
+        assert len(out) == 2
+        for r in out:
+            assert max(r.resized_width, r.resized_height) <= 100
+            if max(r.width, r.height) > 100:
+                # aspect preserved under integer arithmetic
+                if r.width >= r.height:
+                    assert r.resized_width == 100
+                    assert r.resized_height == (r.height * 100) // r.width
+                else:
+                    assert r.resized_height == 100
+                    assert r.resized_width == (r.width * 100) // r.height
+
+    def test_real_resize_raises(self, media):
+        decoded = multimodal.decode_images(media, fake=True)
+        with pytest.raises(Exception):
+            multimodal.resize_images(decoded, fake=False).collect()
+
     def test_frame_sampling(self, media):
         out = multimodal.sample_video_frames(media, fake=True).collect()
         assert len(out) >= 2
