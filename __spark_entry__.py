@@ -36,13 +36,21 @@ from tempo_spark import TSDF, IntervalsDF
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-        # default; read it as long nanos and truncate to µs (identical to
-        # DuckDB's ns→µs truncation of the same column)
+        # events.ts has shipped as either parquet TIMESTAMP(NANOS) (rounds
+        # 1-2, Spark rejects by default) or TIMESTAMP(MICROS) (round 3+);
+        # adapt to whichever layout this testdata snapshot uses
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # integer division — double division would lose precision at 1e18 ns
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # nanos-as-long: integer division — double division would lose
+            # precision at 1e18 ns (same ns→µs truncation DuckDB applies)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "timestamp_ntz":
+            # NTZ→TS cast then collect under the same session tz is an
+            # identity on wall-clock values, matching DuckDB's naive read
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
