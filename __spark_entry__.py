@@ -16,6 +16,7 @@ Determinism strategy for cross-engine float comparison:
 
 from __future__ import annotations
 
+import itertools
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -40,18 +41,21 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # 1-2, Spark rejects by default) or TIMESTAMP(MICROS) (round 3+);
         # adapt to whichever layout this testdata snapshot uses
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        ts_type = dict(df.dtypes)["ts"]
-        if ts_type == "bigint":
-            # nanos-as-long: integer division — double division would lose
-            # precision at 1e18 ns (same ns→µs truncation DuckDB applies)
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        if ts_type == "timestamp_ntz":
-            # NTZ→TS cast then collect under the same session tz is an
-            # identity on wall-clock values, matching DuckDB's naive read
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return _normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        # nanos-as-long: integer division — double division would lose
+        # precision at 1e18 ns (same ns→µs truncation DuckDB applies)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        # NTZ→TS cast then collect under the same session tz is an
+        # identity on wall-clock values, matching DuckDB's naive read
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def _dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,106 +428,102 @@ FROM de GROUP BY user_id, bucket_ts
 """
 
 
-def q_resample_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
-    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    out = t.resample("15 minutes", "mean").df
-    return out.select(
-        "user_id",
-        F.col("ts").alias("bucket_ts"),
-        _HR6(F.col("cents") / 100).alias("mean_v"),
+def q_resample_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resample() across agg funcs (SURVEY §2 #17): mean/sum/median/count on
+    exact integer cents, min/max on the raw value column — union-tagged into
+    one frame so every func fits inside the driver's 50-query window while
+    each remains individually value-checked (the ``func`` tag keys rows)."""
+    de = _dedup_events(spark, sf_dir)
+    t_cents = TSDF(
+        de.select("user_id", "ts", "cents"), ts_col="ts", series_ids=["user_id"]
+    )
+    t_value = TSDF(
+        de.select("user_id", "ts", "value"), ts_col="ts", series_ids=["user_id"]
     )
 
+    def tag(df: DataFrame, name: str, col) -> DataFrame:
+        return df.select(
+            "user_id",
+            F.col("ts").alias("bucket_ts"),
+            F.lit(name).alias("func"),
+            col.alias("v"),
+        )
 
-_RESAMPLE_MEAN_ORACLE = f"""
+    parts = [
+        tag(t_cents.resample("15 minutes", "mean").df, "mean", _HR6(F.col("cents") / 100)),
+        tag(t_cents.resample("15 minutes", "sum").df, "sum", F.col("cents").cast("double")),
+        # Spark median() and DuckDB median() both average the two middle
+        # values; cents are exact integers so the midpoint average is exact
+        tag(t_cents.resample("1 hour", "median").df, "median", _HR6(F.col("cents") / 100)),
+        tag(t_cents.resample("1 hour", "count").df, "count", F.col("cents").cast("double")),
+        tag(t_value.resample("1 hour", "min").df, "min", _R6(F.col("value"))),
+        tag(t_value.resample("1 hour", "max").df, "max", _R6(F.col("value"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_RESAMPLE_FUNCS_ORACLE = f"""
 WITH {_DE_CTE}
-SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts,
-       floor((avg(cents) / 100) * 1000000 + 0.5) / 1000000 AS mean_v
+SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts, 'mean' AS func,
+       floor((avg(cents) / 100) * 1000000 + 0.5) / 1000000 AS v
+FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts, 'sum' AS func,
+       CAST(sum(cents) AS DOUBLE) AS v
+FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, 'median' AS func,
+       floor((median(cents) / 100) * 1000000 + 0.5) / 1000000 AS v
+FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, 'count' AS func,
+       CAST(count(cents) AS DOUBLE) AS v
+FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, 'min' AS func,
+       round(min(value), 6) AS v
+FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, 'max' AS func,
+       round(max(value), 6) AS v
 FROM de GROUP BY user_id, bucket_ts
 """
 
 
-def q_resample_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
-    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    out = t.resample("15 minutes", "sum").df
-    return out.select(
-        "user_id",
-        F.col("ts").alias("bucket_ts"),
-        F.col("cents").alias("sum_cents"),
-    )
-
-
-_RESAMPLE_SUM_ORACLE = f"""
-WITH {_DE_CTE}
-SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts,
-       CAST(sum(cents) AS BIGINT) AS sum_cents
-FROM de GROUP BY user_id, bucket_ts
-"""
-
-
-def q_resample_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
-    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    out = t.resample("1 hour", "median").df
-    return out.select(
-        "user_id",
-        F.col("ts").alias("bucket_ts"),
-        _HR6(F.col("cents") / 100).alias("median_v"),
-    )
-
-
-# Spark median() and DuckDB median() both linearly interpolate the two
-# middle values; cents are exact integers so the midpoint average is exact
-_RESAMPLE_MEDIAN_ORACLE = f"""
-WITH {_DE_CTE}
-SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
-       floor((median(cents) / 100) * 1000000 + 0.5) / 1000000 AS median_v
-FROM de GROUP BY user_id, bucket_ts
-"""
-
-
-def q_resample_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_resample_openclose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resample() argmin/argmax funcs (SURVEY §2 #17 floor/ceil): first and
+    last whole-row-by-ts per bucket, union-tagged."""
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    out = t.resample("1 hour", "floor").df
-    return out.select(
-        "user_id",
-        F.col("ts").alias("bucket_ts"),
-        _R6(F.col("value")).alias("first_v"),
+
+    def tag(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            "user_id",
+            F.col("ts").alias("bucket_ts"),
+            F.lit(name).alias("which"),
+            _R6(F.col("value")).alias("v"),
+        )
+
+    return tag(t.resample("1 hour", "floor").df, "first").unionByName(
+        tag(t.resample("1 hour", "ceil").df, "last")
     )
 
 
-_RESAMPLE_FLOOR_ORACLE = f"""
+_RESAMPLE_OPENCLOSE_ORACLE = f"""
 WITH {_DE_CTE},
 ranked AS (
   SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, value,
          row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
-                            ORDER BY ts) AS rn
-  FROM de)
-SELECT user_id, bucket_ts, round(value, 6) AS first_v FROM ranked WHERE rn = 1
-"""
-
-
-def q_resample_ceil(spark: SparkSession, sf_dir: str) -> DataFrame:
-    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
-    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    out = t.resample("1 hour", "ceil").df
-    return out.select(
-        "user_id",
-        F.col("ts").alias("bucket_ts"),
-        _R6(F.col("value")).alias("last_v"),
-    )
-
-
-_RESAMPLE_CEIL_ORACLE = f"""
-WITH {_DE_CTE},
-ranked AS (
-  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, value,
+                            ORDER BY ts) AS rn_a,
          row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
-                            ORDER BY ts DESC) AS rn
+                            ORDER BY ts DESC) AS rn_d
   FROM de)
-SELECT user_id, bucket_ts, round(value, 6) AS last_v FROM ranked WHERE rn = 1
+SELECT user_id, bucket_ts, 'first' AS which, round(value, 6) AS v FROM ranked WHERE rn_a = 1
+UNION ALL
+SELECT user_id, bucket_ts, 'last' AS which, round(value, 6) AS v FROM ranked WHERE rn_d = 1
 """
 
 
@@ -551,18 +551,30 @@ FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.b = a.b
 """
 
 
-def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_interpolate_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interpolate() across fill methods (SURVEY §2 #20-23): linear / ffill /
+    bfill / zero / null over the same 30-minute mean resample, union-tagged
+    into one frame so every method stays inside the driver's 50-query window
+    while each remains individually value-checked."""
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    out = t.resample("30 minutes", "mean").interpolate("linear").df
-    return out.select(
-        "user_id",
-        F.col("ts").alias("bucket_ts"),
-        _HR6(F.col("cents") / 100).alias("v"),
-    )
+    rs = t.resample("30 minutes", "mean")
+
+    def tag(method: str) -> DataFrame:
+        return rs.interpolate(method).df.select(
+            "user_id",
+            F.col("ts").alias("bucket_ts"),
+            F.lit(method).alias("method"),
+            _HR6(F.col("cents") / 100).alias("v"),
+        )
+
+    out = tag("linear")
+    for m in ("ffill", "bfill", "zero", "null"):
+        out = out.unionByName(tag(m))
+    return out
 
 
-_INTERP_LINEAR_ORACLE = f"""
+_INTERP_METHODS_ORACLE = f"""
 WITH {_DE_CTE},
 agg AS (SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS b,
                avg(cents) AS v
@@ -581,173 +593,27 @@ scaff AS (
   FROM joined
   WINDOW wb AS (PARTITION BY user_id ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          wf AS (PARTITION BY user_id ORDER BY b ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-SELECT user_id, b AS bucket_ts,
+SELECT user_id, b AS bucket_ts, 'linear' AS method,
        floor((CASE WHEN v IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
                   THEN (prev_v + (next_v - prev_v) * (epoch(b) - prev_t) / (next_t - prev_t)) / 100
                   ELSE v / 100 END) * 1000000 + 0.5) / 1000000 AS v
 FROM scaff
-"""
-
-
-def q_interpolate_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
-    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    out = t.resample("30 minutes", "mean").interpolate("ffill").df
-    return out.select(
-        "user_id",
-        F.col("ts").alias("bucket_ts"),
-        _HR6(F.col("cents") / 100).alias("v"),
-    )
-
-
-_INTERP_FFILL_ORACLE = f"""
-WITH {_DE_CTE},
-agg AS (SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS b,
-               avg(cents) AS v
-        FROM de GROUP BY user_id, b),
-bounds AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM agg GROUP BY user_id),
-grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '30 minutes')) AS b
-         FROM bounds),
-joined AS (SELECT g.user_id, g.b, a.v
-           FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.b = a.b)
-SELECT user_id, b AS bucket_ts,
-       floor((last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100) * 1000000 + 0.5) / 1000000 AS v
-FROM joined
-"""
-
-
-def q_resample_min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
-    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    out = t.resample("1 hour", "min").df
-    return out.select(
-        "user_id", F.col("ts").alias("bucket_ts"), _R6(F.col("value")).alias("min_v")
-    )
-
-
-_RESAMPLE_MIN_ORACLE = f"""
-WITH {_DE_CTE}
-SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
-       round(min(value), 6) AS min_v
-FROM de GROUP BY user_id, bucket_ts
-"""
-
-
-def q_resample_max(spark: SparkSession, sf_dir: str) -> DataFrame:
-    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
-    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    out = t.resample("1 hour", "max").df
-    return out.select(
-        "user_id", F.col("ts").alias("bucket_ts"), _R6(F.col("value")).alias("max_v")
-    )
-
-
-_RESAMPLE_MAX_ORACLE = f"""
-WITH {_DE_CTE}
-SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
-       round(max(value), 6) AS max_v
-FROM de GROUP BY user_id, bucket_ts
-"""
-
-
-def q_interpolate_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
-    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
-    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    out = t.resample("30 minutes", "mean").interpolate("zero").df
-    return out.select(
-        "user_id",
-        F.col("ts").alias("bucket_ts"),
-        _HR6(F.col("cents") / 100).alias("v"),
-    )
-
-
-_INTERP_ZERO_ORACLE = f"""
-WITH {_DE_CTE},
-agg AS (SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS b,
-               avg(cents) AS v
-        FROM de GROUP BY user_id, b),
-bounds AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM agg GROUP BY user_id),
-grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '30 minutes')) AS b
-         FROM bounds),
-joined AS (SELECT g.user_id, g.b, a.v
-           FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.b = a.b)
-SELECT user_id, b AS bucket_ts,
+UNION ALL
+SELECT user_id, b AS bucket_ts, 'ffill' AS method,
+       floor((prev_v / 100) * 1000000 + 0.5) / 1000000 AS v
+FROM scaff
+UNION ALL
+SELECT user_id, b AS bucket_ts, 'bfill' AS method,
+       floor((next_v / 100) * 1000000 + 0.5) / 1000000 AS v
+FROM scaff
+UNION ALL
+SELECT user_id, b AS bucket_ts, 'zero' AS method,
        floor((coalesce(v, 0) / 100) * 1000000 + 0.5) / 1000000 AS v
-FROM joined
-"""
-
-
-def q_interpolate_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
-    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    out = t.resample("30 minutes", "mean").interpolate("bfill").df
-    return out.select(
-        "user_id",
-        F.col("ts").alias("bucket_ts"),
-        _HR6(F.col("cents") / 100).alias("v"),
-    )
-
-
-_INTERP_BFILL_ORACLE = f"""
-WITH {_DE_CTE},
-agg AS (SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS b,
-               avg(cents) AS v
-        FROM de GROUP BY user_id, b),
-bounds AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM agg GROUP BY user_id),
-grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '30 minutes')) AS b
-         FROM bounds),
-joined AS (SELECT g.user_id, g.b, a.v
-           FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.b = a.b)
-SELECT user_id, b AS bucket_ts,
-       floor((first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
-              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) / 100) * 1000000 + 0.5) / 1000000 AS v
-FROM joined
-"""
-
-
-def q_resample_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
-    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    out = t.resample("1 hour", "count").df
-    return out.select(
-        "user_id", F.col("ts").alias("bucket_ts"), F.col("cents").alias("n")
-    )
-
-
-_RESAMPLE_COUNT_ORACLE = f"""
-WITH {_DE_CTE}
-SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
-       count(cents) AS n
-FROM de GROUP BY user_id, bucket_ts
-"""
-
-
-def q_interpolate_null(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'null' fill: densify the grid but leave synthesized buckets null."""
-    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
-    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    out = t.resample("30 minutes", "mean").interpolate("null").df
-    return out.select(
-        "user_id",
-        F.col("ts").alias("bucket_ts"),
-        _HR6(F.col("cents") / 100).alias("v"),
-    )
-
-
-_INTERP_NULL_ORACLE = f"""
-WITH {_DE_CTE},
-agg AS (SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS b,
-               avg(cents) AS v
-        FROM de GROUP BY user_id, b),
-bounds AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM agg GROUP BY user_id),
-grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '30 minutes')) AS b
-         FROM bounds),
-joined AS (SELECT g.user_id, g.b, a.v
-           FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.b = a.b)
-SELECT user_id, b AS bucket_ts,
+FROM scaff
+UNION ALL
+SELECT user_id, b AS bucket_ts, 'null' AS method,
        floor((v / 100) * 1000000 + 0.5) / 1000000 AS v
-FROM joined
+FROM scaff
 """
 
 
@@ -1150,16 +1016,25 @@ FROM j GROUP BY user_id
 
 
 def q_intervals_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """make_disjoint → toDF(stack=True) round trip (SURVEY §2 #27+#29)."""
+    """fromStackedMetrics → make_disjoint → toDF(stack=True) round trip
+    (SURVEY §2 #26+#27+#29). The pivot of one-(name,value)-per-(user,ts)
+    stacked rows reproduces the wide frame the prior standalone entry built
+    by hand (metric_a non-null iff cents even), so the oracle is unchanged
+    while the pivot is now inside the verified pipeline too."""
     de = _dedup_events(spark, sf_dir)
-    iv = de.select(
-        "user_id",
+    stacked = de.select(
         F.col("ts").alias("start_ts"),
         (F.col("ts") + F.expr("interval 2 hours")).alias("end_ts"),
-        F.when(F.col("cents") % 2 == 0, F.col("cents")).alias("metric_a"),
-        F.when(F.col("cents") % 2 == 1, F.col("cents")).alias("metric_b"),
+        "user_id",
+        F.when(F.col("cents") % 2 == 0, F.lit("metric_a"))
+        .otherwise(F.lit("metric_b"))
+        .alias("metric_name"),
+        F.col("cents").alias("metric_value"),
     )
-    idf = IntervalsDF(iv, "start_ts", "end_ts", ["user_id"])
+    idf = IntervalsDF.fromStackedMetrics(
+        stacked, "start_ts", "end_ts", ["user_id"], "metric_name", "metric_value",
+        metric_names=["metric_a", "metric_b"],
+    )
     return idf.make_disjoint().toDF(stack=True).select(
         "user_id", "start_ts", "end_ts", "metric_name", "metric_value"
     )
@@ -1177,38 +1052,6 @@ UNION ALL
 SELECT user_id, start_ts, end_ts, 'metric_b' AS metric_name, metric_b AS metric_value
 FROM final WHERE metric_b IS NOT NULL
 '''
-
-
-def q_from_stacked_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fromStackedMetrics pivot (SURVEY §2 #26): stack two event types into
-    (name, value) rows, pivot back to wide interval rows."""
-    de = _dedup_events(spark, sf_dir)
-    stacked = de.select(
-        F.col("ts").alias("start_ts"),
-        (F.col("ts") + F.expr("interval 1 hour")).alias("end_ts"),
-        "user_id",
-        F.when(F.col("cents") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("metric_name"),
-        F.col("cents").alias("metric_value"),
-    )
-    idf = IntervalsDF.fromStackedMetrics(
-        stacked, "start_ts", "end_ts", ["user_id"], "metric_name", "metric_value",
-        metric_names=["even", "odd"],
-    )
-    return idf.df.select("user_id", "start_ts", "end_ts", "even", "odd")
-
-
-_FROM_STACKED_ORACLE = f"""
-WITH {_DE_CTE},
-stacked AS (
-  SELECT ts AS start_ts, ts + INTERVAL 1 HOUR AS end_ts, user_id,
-         CASE WHEN cents % 2 = 0 THEN 'even' ELSE 'odd' END AS metric_name,
-         cents AS metric_value
-  FROM de)
-SELECT user_id, start_ts, end_ts,
-       max(CASE WHEN metric_name = 'even' THEN metric_value END) AS even,
-       max(CASE WHEN metric_name = 'odd' THEN metric_value END) AS odd
-FROM stacked GROUP BY user_id, start_ts, end_ts
-"""
 
 
 def q_interval_point_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1494,6 +1337,19 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
 """
 
 
+def _emb_near_dup_oracle() -> str:
+    """exact ∪ lsh, method-tagged — DuckDB allows CTEs inside derived
+    tables, so the two standalone WITH-queries compose directly."""
+    lsh = _emb_near_dup_lsh_oracle().replace(
+        "SELECT id_a, id_b, cosine FROM scored",
+        "SELECT id_a, id_b, cosine, 'lsh' AS method FROM scored",
+    )
+    return (
+        f"SELECT * FROM ({_EMB_NEAR_DUP_EXACT_SQL})\n"
+        f"UNION ALL\nSELECT * FROM ({lsh})"
+    )
+
+
 # rows-only queries (no SQL-expressible oracle: engine-specific hashing/FFT)
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1594,25 +1450,27 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact and LSH-bucketed paths union-tagged
+    (the ``method`` tag keys rows so both stay individually value-checked
+    inside the driver's 50-query window)."""
     from tempo_spark.pipeline.similarity import embedding_near_dups
 
     emb = _read(spark, sf_dir, "embeddings")
     # synthetic embeddings top out around cosine 0.51 — 0.35 captures the
     # near-dup tail (~270 true pairs; LSH bucketing recalls a subset)
-    return embedding_near_dups(emb, threshold=0.35, n_planes=4, dim=64)
-
-
-def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tempo_spark.pipeline.similarity import embedding_near_dups
-
-    emb = _read(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, threshold=0.35, exact=True)
+    lsh = embedding_near_dups(emb, threshold=0.35, n_planes=4, dim=64).withColumn(
+        "method", F.lit("lsh")
+    )
+    exact = embedding_near_dups(emb, threshold=0.35, exact=True).withColumn(
+        "method", F.lit("exact")
+    )
+    return exact.unionByName(lsh)
 
 
 # exact variant has full recall and no engine-specific hashing → full value
 # oracle. Threshold compares the RAW cosine (identical left-fold sum order in
 # both engines → bit-identical); emitted column is hardened-rounded.
-_EMB_NEAR_DUP_ORACLE = """
+_EMB_NEAR_DUP_EXACT_SQL = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1620,7 +1478,7 @@ scored AS (
          / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, x -> x * x)), (x,y) -> x + y))
             * sqrt(list_reduce(list_prepend(0.0, list_transform(b.v, x -> x * x)), (x,y) -> x + y))) AS raw
   FROM v a JOIN v b ON a.vec_id < b.vec_id)
-SELECT id_a, id_b, floor(raw * 1000000 + 0.5) / 1000000 AS cosine
+SELECT id_a, id_b, floor(raw * 1000000 + 0.5) / 1000000 AS cosine, 'exact' AS method
 FROM scored WHERE raw >= 0.35
 """
 
@@ -1673,20 +1531,24 @@ def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary content column → Arrow-batched mapInPandas
-    decode. The deterministic fake decoder derives dimensions from the md5
-    digest of the bytes, which DuckDB can replicate exactly — so the full
-    Spark-side pipeline (binary column, batching, UDF schema) is oracle-gated
-    even though the real codec is stubbed."""
-    from tempo_spark.pipeline.multimodal import decode_images
+    """Multimodal image plumbing: binary content column → Arrow-batched
+    mapInPandas decode → aspect-preserving resize. The deterministic fake
+    decoder derives dimensions from the md5 digest of the bytes and the
+    resize geometry is pure integer arithmetic, so DuckDB replays the whole
+    two-stage mapInPandas pipeline exactly — the Spark-side plumbing (binary
+    column, batching, UDF schemas) is oracle-gated even though the real
+    codec is stubbed."""
+    from tempo_spark.pipeline.multimodal import decode_images, resize_images
 
     docs = (
         _read(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .select("doc_id", F.encode("text", "UTF-8").alias("content"))
     )
-    out = decode_images(docs, fake=True)
-    return out.select("doc_id", "width", "height", "n_channels")
+    out = resize_images(decode_images(docs, fake=True), max_dim=256, fake=True)
+    return out.select(
+        "doc_id", "width", "height", "n_channels", "resized_width", "resized_height"
+    )
 
 
 # md5 hex digits 1-2 / 3-4 are the first two digest bytes; the fake decoder
@@ -1698,38 +1560,10 @@ b AS (SELECT doc_id,
           + strpos('0123456789abcdef', substr(m, 2, 1)) - 1 AS b0,
         (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
           + strpos('0123456789abcdef', substr(m, 4, 1)) - 1 AS b1
-      FROM h)
-SELECT doc_id, CAST(64 + b0 AS INT) AS width, CAST(64 + b1 AS INT) AS height,
-       CAST(3 AS INT) AS n_channels
-FROM b
-"""
-
-
-def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode (fake) → aspect-preserving resize (fake): the geometry math is
-    pure integer arithmetic over the md5-derived dimensions, so DuckDB
-    replays the whole two-stage mapInPandas pipeline."""
-    from tempo_spark.pipeline.multimodal import decode_images, resize_images
-
-    docs = (
-        _read(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull())
-        .select("doc_id", F.encode("text", "UTF-8").alias("content"))
-    )
-    out = resize_images(decode_images(docs, fake=True), max_dim=256, fake=True)
-    return out.select("doc_id", "width", "height", "resized_width", "resized_height")
-
-
-_MULTIMODAL_RESIZE_ORACLE = """
-WITH h AS (SELECT doc_id, md5(text) AS m FROM documents WHERE text IS NOT NULL),
-b AS (SELECT doc_id,
-        (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
-          + strpos('0123456789abcdef', substr(m, 2, 1)) - 1 AS b0,
-        (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
-          + strpos('0123456789abcdef', substr(m, 4, 1)) - 1 AS b1
       FROM h),
 wh AS (SELECT doc_id, 64 + b0 AS w, 64 + b1 AS h FROM b)
 SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
        CAST(CASE WHEN greatest(w, h) <= 256 THEN w
                  WHEN w >= h THEN 256 ELSE (w * 256) // h END AS INT) AS resized_width,
        CAST(CASE WHEN greatest(w, h) <= 256 THEN h
@@ -1738,50 +1572,106 @@ FROM wh
 """
 
 
-def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio feature plumbing (fake codec): duration/rms derive from the
-    payload length only — exactly replayable as octet_length SQL."""
-    from tempo_spark.pipeline.multimodal import extract_audio_features
+def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio + video plumbing (fake codecs), modality-tagged union: audio
+    rows carry duration/rms derived from payload length; video rows are the
+    1 + len % 5 frame explosion at 1000 ms spacing (frame bytes excluded —
+    binary repr differs across drivers; the shape is the contract)."""
+    from tempo_spark.pipeline.multimodal import (
+        extract_audio_features,
+        sample_video_frames,
+    )
 
     docs = (
         _read(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .select("doc_id", F.encode("text", "UTF-8").alias("content"))
     )
-    out = extract_audio_features(docs, fake=True)
-    return out.select("doc_id", "duration_ms", "rms")
+    audio = extract_audio_features(docs, fake=True).select(
+        "doc_id",
+        F.lit("audio").alias("modality"),
+        "duration_ms",
+        "rms",
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.lit(None).cast("long").alias("frame_ts_ms"),
+    )
+    video = sample_video_frames(docs, every_n_ms=1000, fake=True).select(
+        "doc_id",
+        F.lit("video").alias("modality"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("double").alias("rms"),
+        "frame_idx",
+        "frame_ts_ms",
+    )
+    return audio.unionByName(video)
 
 
-_AUDIO_FEATURES_ORACLE = """
-SELECT doc_id, CAST(octet_length(encode(text)) * 2 AS BIGINT) AS duration_ms,
-       CAST(octet_length(encode(text)) % 97 AS DOUBLE) / 97.0 AS rms
+_MULTIMODAL_AV_ORACLE = """
+SELECT doc_id, 'audio' AS modality,
+       CAST(octet_length(encode(text)) * 2 AS BIGINT) AS duration_ms,
+       CAST(octet_length(encode(text)) % 97 AS DOUBLE) / 97.0 AS rms,
+       CAST(NULL AS INT) AS frame_idx, CAST(NULL AS BIGINT) AS frame_ts_ms
 FROM documents WHERE text IS NOT NULL
-"""
-
-
-def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing (fake codec): each row explodes into
-    1 + len % 5 frame rows at 1000 ms spacing. Frame bytes are excluded
-    from the compare (binary repr differs across drivers); the explosion
-    shape is the contract."""
-    from tempo_spark.pipeline.multimodal import sample_video_frames
-
-    docs = (
-        _read(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull())
-        .select("doc_id", F.encode("text", "UTF-8").alias("content"))
-    )
-    out = sample_video_frames(docs, every_n_ms=1000, fake=True)
-    return out.select("doc_id", "frame_idx", "frame_ts_ms")
-
-
-_VIDEO_FRAMES_ORACLE = """
-WITH f AS (
+UNION ALL
+SELECT doc_id, 'video' AS modality,
+       CAST(NULL AS BIGINT) AS duration_ms, CAST(NULL AS DOUBLE) AS rms,
+       CAST(i AS INT) AS frame_idx, CAST(i * 1000 AS BIGINT) AS frame_ts_ms
+FROM (
   SELECT doc_id,
          UNNEST(generate_series(0, octet_length(encode(text)) % 5)) AS i
   FROM documents WHERE text IS NOT NULL)
-SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 1000 AS BIGINT) AS frame_ts_ms
-FROM f
+"""
+
+
+_STREAM_SEQ = itertools.count()
+
+
+def q_streaming_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window resample over a bounded replay of
+    the events table: readStream → streaming_resample (the same F.window plan
+    the batch path builds, plus a watermark) → availableNow trigger into a
+    memory sink. Complete output mode emits every window, so the result
+    equals the batch hourly resample exactly — a FULL value oracle on a
+    streaming query. The unbounded-production path is append mode +
+    watermark-driven state eviction (tests/test_streaming.py covers it)."""
+    from tempo_spark.streaming import streaming_resample
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file stream source requires a directory basePath — stream the
+    # sf_dir and glob-filter down to the events table
+    src = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = _normalize_event_ts(src).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = streaming_resample(
+        ev, "ts", ["user_id"], "1 hour", agg="mean", metric_cols=["cents"]
+    )
+    qname = f"q_streaming_resample_{next(_STREAM_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        _HR6(F.col("cents") / 100).alias("mean_v"),
+    )
+
+
+# raw events (no dedup — chaining a dedup agg before the windowed agg would
+# be a second stateful operator); per-row integer cents keep avg() exact
+_STREAMING_RESAMPLE_ORACLE = """
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+       floor((avg(CAST(round(value * 100) AS BIGINT)) / 100) * 1000000 + 0.5) / 1000000 AS mean_v
+FROM events GROUP BY user_id, bucket_ts
 """
 
 
@@ -1793,6 +1683,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EXACTLY 50 entries — the driver's correctness gate runs only the
+    first 50 in dict order (verified: CORRECTNESS_r01/r02 each hold exactly
+    the first 50 keys of the then-current dict). Round-3 consolidation
+    union-tags sibling variants (resample funcs, interpolate methods,
+    embedding near-dup paths, multimodal stages) so every implemented
+    operator stays inside the gated window; the merged entries keep each
+    variant individually value-checked via a tag column."""
     return {
         "asof_join": q_asof_join,
         "asof_tolerance": q_asof_tolerance,
@@ -1804,20 +1701,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_percentiles": q_range_percentiles,
         "twap": q_twap,
         "grouped_stats": q_grouped_stats,
-        "resample_mean": q_resample_mean,
-        "resample_sum": q_resample_sum,
-        "resample_median": q_resample_median,
-        "resample_count": q_resample_count,
-        "resample_floor": q_resample_floor,
-        "resample_ceil": q_resample_ceil,
-        "resample_min": q_resample_min,
-        "resample_max": q_resample_max,
+        "resample_funcs": q_resample_funcs,
+        "resample_openclose": q_resample_openclose,
         "upsample_zero_fill": q_upsample_zero_fill,
-        "interpolate_linear": q_interpolate_linear,
-        "interpolate_ffill": q_interpolate_ffill,
-        "interpolate_zero": q_interpolate_zero,
-        "interpolate_bfill": q_interpolate_bfill,
-        "interpolate_null": q_interpolate_null,
+        "interpolate_methods": q_interpolate_methods,
         "interpolate_flags": q_interpolate_flags,
         "prior_to": q_prior_to,
         "ohlc_bars": q_ohlc_bars,
@@ -1833,7 +1720,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals_union": q_intervals_union,
         "cv_folds": q_cv_folds,
         "intervals_stack": q_intervals_stack,
-        "from_stacked_metrics": q_from_stacked_metrics,
         "interval_point_join": q_interval_point_join,
         "composite_funnel": q_composite_funnel,
         "dedup_exact": q_dedup_exact,
@@ -1849,14 +1735,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
-        "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "fourier": q_fourier,
         "lookback_features": q_lookback_features,
         "describe": q_describe,
         "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "audio_features": q_audio_features,
-        "video_frames": q_video_frames,
+        "multimodal_av": q_multimodal_av,
+        "streaming_resample": q_streaming_resample,
     }
 
 
@@ -1872,20 +1756,10 @@ def oracle_sql() -> dict[str, str]:
         "range_percentiles": _RANGE_PCT_ORACLE,
         "twap": _TWAP_ORACLE,
         "grouped_stats": _GROUPED_STATS_ORACLE,
-        "resample_mean": _RESAMPLE_MEAN_ORACLE,
-        "resample_sum": _RESAMPLE_SUM_ORACLE,
-        "resample_median": _RESAMPLE_MEDIAN_ORACLE,
-        "resample_count": _RESAMPLE_COUNT_ORACLE,
-        "resample_floor": _RESAMPLE_FLOOR_ORACLE,
-        "resample_ceil": _RESAMPLE_CEIL_ORACLE,
-        "resample_min": _RESAMPLE_MIN_ORACLE,
-        "resample_max": _RESAMPLE_MAX_ORACLE,
+        "resample_funcs": _RESAMPLE_FUNCS_ORACLE,
+        "resample_openclose": _RESAMPLE_OPENCLOSE_ORACLE,
         "upsample_zero_fill": _UPSAMPLE_ORACLE,
-        "interpolate_linear": _INTERP_LINEAR_ORACLE,
-        "interpolate_ffill": _INTERP_FFILL_ORACLE,
-        "interpolate_zero": _INTERP_ZERO_ORACLE,
-        "interpolate_bfill": _INTERP_BFILL_ORACLE,
-        "interpolate_null": _INTERP_NULL_ORACLE,
+        "interpolate_methods": _INTERP_METHODS_ORACLE,
         "interpolate_flags": _INTERP_FLAGS_ORACLE,
         "prior_to": _PRIOR_TO_ORACLE,
         "ohlc_bars": _OHLC_ORACLE,
@@ -1902,14 +1776,11 @@ def oracle_sql() -> dict[str, str]:
         "cv_folds": _CV_ORACLE,
         "intervals_stack": _DISJOINT_ORACLE.rsplit("SELECT user_id, min(seg_start)", 1)[0]
             + _INTERVALS_STACK_ORACLE_SUFFIX,
-        "from_stacked_metrics": _FROM_STACKED_ORACLE,
         "interval_point_join": _DISJOINT_ORACLE.rsplit("SELECT user_id, min(seg_start)", 1)[0]
             + _INTERVAL_JOIN_SUFFIX,
         "lookback_features": _LOOKBACK_ORACLE,
         "multimodal_decode": _MULTIMODAL_ORACLE,
-        "multimodal_resize": _MULTIMODAL_RESIZE_ORACLE,
-        "audio_features": _AUDIO_FEATURES_ORACLE,
-        "video_frames": _VIDEO_FRAMES_ORACLE,
+        "multimodal_av": _MULTIMODAL_AV_ORACLE,
         "composite_funnel": _COMPOSITE_FUNNEL_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "token_count": _TOKEN_COUNT_ORACLE,
@@ -1918,7 +1789,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _FINGERPRINT_ORACLE,
         "ann_cosine_topk": _ANN_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
-        "embedding_near_dups_exact": _EMB_NEAR_DUP_ORACLE,
         "lsh_ann_topk": _lsh_oracle(),
-        "embedding_near_dups": _emb_near_dup_lsh_oracle(),
+        "embedding_near_dups": _emb_near_dup_oracle(),
+        "streaming_resample": _STREAMING_RESAMPLE_ORACLE,
     }

@@ -41,12 +41,20 @@ def _skew_asof(spark, sf_dir):
     ).df
 
 
+def _interpolate_linear(spark, sf_dir):
+    # single-method linear interpolation, matching the BASELINE B5 shape
+    # (the entry module's interpolate query now union-tags all five methods)
+    de = entry_mod._dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    return t.resample("30 minutes", "mean").interpolate("linear").df
+
+
 BENCH_QUERIES = {
     "b1_asof_join": entry_mod.q_asof_join,
     "b2_asof_skew": _skew_asof,
     "b3_range_stats": entry_mod.q_range_stats,
     "b4_resample_fill": entry_mod.q_upsample_zero_fill,
-    "b5_interpolate_linear": entry_mod.q_interpolate_linear,
+    "b5_interpolate_linear": _interpolate_linear,
     "b6_ohlc_bars": entry_mod.q_ohlc_bars,
     "b7_make_disjoint": entry_mod.q_make_disjoint,
     "b8_latest_slices": entry_mod.q_latest_3,

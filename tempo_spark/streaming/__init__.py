@@ -1,1 +1,23 @@
+"""Structured Streaming variants of the batch operators."""
 
+from tempo_spark.streaming.asof import (
+    reduce_asof_candidates,
+    streaming_asof,
+    streaming_asof_candidates,
+)
+from tempo_spark.streaming.resample import (
+    streaming_bars,
+    streaming_grouped_stats,
+    streaming_resample,
+)
+from tempo_spark.streaming.sessionize import streaming_sessionize
+
+__all__ = [
+    "reduce_asof_candidates",
+    "streaming_asof",
+    "streaming_asof_candidates",
+    "streaming_bars",
+    "streaming_grouped_stats",
+    "streaming_resample",
+    "streaming_sessionize",
+]
