@@ -1350,9 +1350,12 @@ def _emb_near_dup_oracle() -> str:
     )
 
 
-# rows-only queries (no SQL-expressible oracle: engine-specific hashing/FFT)
-
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup with the engine-neutral md5_32 hash family
+    (tempo_spark.pipeline.dedup.md5_32), which DuckDB replays bit-exactly —
+    the FULL pipeline (shingle → 16 seeded min-hashes → 4-band bucketing →
+    candidate join → exact-Jaccard verify) is value-oracle-gated. The
+    production default stays xxhash64 (bench.py measures that path)."""
     from tempo_spark.pipeline.dedup import minhash_dedup
 
     docs = _read(spark, sf_dir, "documents")
@@ -1361,21 +1364,111 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(
         docs, "doc_id", "text",
         num_hashes=16, bands=4, shingle_k=3, threshold=0.5, use_words=True,
+        hash_family="md5_32",
     )
 
 
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """Full DuckDB replay of the md5_32 MinHash+LSH pipeline: distinct word
+    3-gram shingles → base hash → per-seed min → band keys (comma-joined
+    signature slices) → bucket self-join → exact Jaccard on hashed shingle
+    sets. Null-text docs produce no shingles on either side (their Spark
+    pairs die on a NULL jaccard)."""
+    rows_per_band = num_hashes // bands
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+  FROM toks
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') AS sh FROM toks WHERE len(w) < 3),
+hashes AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM grams),
+seeded AS (
+  SELECT g.doc_id, s.j,
+         min(('0x' || substr(md5(g.h::VARCHAR || ':' || s.j::VARCHAR), 1, 8))::BIGINT) AS mh
+  FROM hashes g CROSS JOIN (SELECT unnest(range(0, {num_hashes})) AS j) s
+  GROUP BY g.doc_id, s.j),
+bandkeys AS (
+  SELECT doc_id, j // {rows_per_band} AS band_id,
+         string_agg(mh::VARCHAR, ',' ORDER BY j) AS band_key
+  FROM seeded GROUP BY doc_id, j // {rows_per_band}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM hashes GROUP BY doc_id),
+co AS (
+  SELECT c.id_a, c.id_b, count(*) AS co
+  FROM cand c
+  JOIN hashes ha ON ha.doc_id = c.id_a
+  JOIN hashes hb ON hb.doc_id = c.id_b AND hb.h = ha.h
+  GROUP BY c.id_a, c.id_b),
+scored AS (
+  SELECT co.id_a, co.id_b, CAST(co.co AS DOUBLE) / (sa.n + sb.n - co.co) AS raw
+  FROM co
+  JOIN sizes sa ON sa.doc_id = co.id_a
+  JOIN sizes sb ON sb.doc_id = co.id_b)
+SELECT id_a, id_b, floor(raw * 1000000 + 0.5) / 1000000 AS jaccard
+FROM scored WHERE raw >= {threshold}
+"""
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with the engine-neutral md5_32 token hash and a
+    32-bit fingerprint, so DuckDB replays bit-sums, fingerprint assembly,
+    4×8-bit chunk bucketing, and the bit_count Hamming verify exactly
+    (hamming ≤ 3 with 4 chunks keeps the pigeonhole full-recall guarantee).
+    Production default stays xxhash64/64-bit (bench.py measures that)."""
     from tempo_spark.pipeline.dedup import simhash_near_dups, with_simhash
 
     docs = _read(spark, sf_dir, "documents")
     return simhash_near_dups(
-        with_simhash(docs, "text", id_col="doc_id"), "doc_id", max_hamming=6
+        with_simhash(docs, "text", id_col="doc_id", bits=32, hash_family="md5_32"),
+        "doc_id", max_hamming=3, bits=32,
     )
 
 
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    w = bits // 4
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    # CASE WHEN NULL THEN … ELSE 0 → 0, so null-text docs (absent from
+    # bitsums) fold to fingerprint 0, matching Spark's na.fill(0)
+    fp_sum = " + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits))
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents WHERE text IS NOT NULL),
+th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tk),
+bitsums AS (
+  SELECT doc_id, {bit_sums}
+  FROM th GROUP BY doc_id),
+fp AS (
+  SELECT d.doc_id, CAST({fp_sum} AS BIGINT) AS f
+  FROM documents d LEFT JOIN bitsums b ON b.doc_id = d.doc_id),
+ch AS (
+  SELECT doc_id, f, c.chunk_id, (f >> (c.chunk_id * {w})) & {(1 << w) - 1} AS chunk
+  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk_id) c),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+  FROM ch a JOIN ch b
+    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
 def q_near_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-dedup: MinHash pairs → connected components →
-    canonical doc per cluster (rows-only: hash family is engine-specific)."""
+    """End-to-end near-dedup: MinHash pairs (md5_32 family) → connected
+    components → canonical min-id doc per cluster. The oracle replays the
+    pair generation and closes components with a recursive CTE."""
     from tempo_spark.pipeline.components import near_dedup
     from tempo_spark.pipeline.dedup import minhash_dedup
 
@@ -1383,8 +1476,34 @@ def q_near_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_dedup(
         docs, "doc_id", "text",
         num_hashes=16, bands=4, shingle_k=3, threshold=0.5, use_words=True,
+        hash_family="md5_32",
     )
     return near_dedup(docs, pairs, "doc_id").select("doc_id", "lang", "source")
+
+
+def _near_dedup_oracle() -> str:
+    """Reuses the minhash pair replay, then closes components exactly with a
+    recursive transitive-closure CTE (edges are bidirectional, so every node
+    seeds; min reachable id = the label-propagation fixpoint)."""
+    pair_sql = _minhash_oracle()
+    # strip the final projection: keep pairs above the threshold
+    body = pair_sql.rsplit("SELECT id_a, id_b,", 1)[0]
+    return f"""WITH RECURSIVE {body.split("WITH", 1)[1]},
+pair2 AS (SELECT id_a, id_b FROM scored WHERE raw >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pair2
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pair2),
+reach(a, b) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+canon AS (SELECT a AS id, min(b) AS keep FROM reach GROUP BY a),
+losers AS (SELECT id FROM canon WHERE keep < id)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM losers)
+"""
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1484,6 +1603,9 @@ FROM scored WHERE raw >= 0.35
 
 
 def q_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series FFT (scipy kernel via applyInPandas). The oracle replays
+    it as an O(n²) naive DFT in SQL — FFT vs naive-DFT float error is
+    ~1e-10 absolute, far inside the 4-decimal comparison rounding."""
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
     small = de.where(F.col("user_id") < 10)
     t = TSDF(
@@ -1495,6 +1617,33 @@ def q_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "tp", F.round("freq", 6).alias("freq"),
                       F.round("ft_real", 4).alias("ft_real"),
                       F.round("ft_imag", 4).alias("ft_imag"))
+
+
+# X_k = Σ_n x_n·e^{-2πikn/N} expanded to cos/sin sums; fftfreq(N, 1.0) is
+# k/N for k ≤ (N-1)//2 else (k-N)/N. tp replays Spark's timestamp→double
+# cast as epoch_us/1e6 (the identical IEEE division).
+_FOURIER_ORACLE = f"""
+WITH {_DE_CTE},
+s AS (
+  SELECT user_id, epoch_us(ts) / 1000000.0 AS tp, value
+  FROM de WHERE user_id < 10),
+idx AS (
+  SELECT user_id, tp, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY tp) - 1 AS n,
+         count(*) OVER (PARTITION BY user_id) AS nn
+  FROM s),
+dft AS (
+  SELECT a.user_id, a.n AS k, a.tp, a.nn,
+         sum(b.value * cos(2 * pi() * a.n * b.n / a.nn)) AS re,
+         sum(-b.value * sin(2 * pi() * a.n * b.n / a.nn)) AS im
+  FROM idx a JOIN idx b ON a.user_id = b.user_id
+  GROUP BY a.user_id, a.n, a.tp, a.nn)
+SELECT user_id, tp,
+       round(CASE WHEN k <= (nn - 1) // 2 THEN CAST(k AS DOUBLE) / nn
+                  ELSE CAST(k - nn AS DOUBLE) / nn END, 6) AS freq,
+       round(re, 4) AS ft_real, round(im, 4) AS ft_imag
+FROM dft
+"""
 
 
 def q_lookback_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1792,4 +1941,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_oracle(),
         "embedding_near_dups": _emb_near_dup_oracle(),
         "streaming_resample": _STREAMING_RESAMPLE_ORACLE,
+        "minhash_near_dups": _minhash_oracle(),
+        "simhash_near_dups": _simhash_oracle(),
+        "near_dedup_canonical": _near_dedup_oracle(),
+        "fourier": _FOURIER_ORACLE,
     }

@@ -29,6 +29,23 @@ def _hardened_round6(c: Column) -> Column:
     return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
 
 
+def md5_32(c: Column) -> Column:
+    """Engine-neutral 32-bit hash: first 8 hex digits of md5, as a long.
+
+    ~6× slower than ``xxhash64`` (string digest + hex parse), but every
+    engine with an md5() reproduces it bit-identically — DuckDB:
+    ``('0x' || substr(md5(s), 1, 8))::BIGINT``. Used by the
+    ``hash_family="md5_32"`` variants so the full MinHash/SimHash pipelines
+    are cross-engine value-checkable; production paths keep xxhash64."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def _md5_32_seeded(h: Column, j: int) -> Column:
+    """Seed-j re-hash of a base hash in the md5_32 family: md5 of the
+    decimal-rendered hash plus ':{j}' (both engines render longs the same)."""
+    return md5_32(F.concat(h.cast("string"), F.lit(f":{j}")))
+
+
 # --------------------------------------------------------------------- exact
 
 
@@ -87,6 +104,7 @@ def with_hashed_shingles(
     out: str,
     k: int = 5,
     use_words: bool = False,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Attach ``array<bigint>`` of the row's DISTINCT hashed k-shingles.
 
@@ -97,7 +115,18 @@ def with_hashed_shingles(
     hashes are hoisted into intermediate columns (CollapseProject keeps
     multiply-referenced non-cheap aliases materialized), and each word
     shingle hash is just ``xxhash64`` of k consecutive token hashes —
-    fixed-width longs, no per-element string building."""
+    fixed-width longs, no per-element string building.
+
+    ``hash_family="md5_32"`` hashes the shingle STRINGS with the
+    engine-neutral md5_32 (slower — string shingles are materialized — but
+    DuckDB-replayable; used by the oracle-gated entries)."""
+    if hash_family == "md5_32":
+        sh = (
+            word_shingles(F.col(text_col), k)
+            if use_words
+            else char_shingles(F.col(text_col), k)
+        )
+        return df.withColumn(out, F.array_distinct(F.transform(sh, md5_32)))
     if not use_words:
         return df.withColumn(
             out,
@@ -133,16 +162,20 @@ def with_hashed_shingles(
 # ------------------------------------------------------------------ minhash
 
 
-def _signature_from_hashes(hashed: Column, num_hashes: int) -> Column:
+def _signature_from_hashes(
+    hashed: Column, num_hashes: int, hash_family: str = "xxhash64"
+) -> Column:
     """k-min signature from a (materialized) array of base hashes: seed j's
     hash of a shingle is ``xxhash64(base_hash, j)`` — a fixed-width long
     re-hash, so each shingle pays ONE variable-length string hash plus k
     cheap 16-byte hashes (and no long overflow under ANSI mode, unlike
-    affine multiply families)."""
+    affine multiply families). md5_32 family: seeded md5 re-hash instead."""
 
     def seeded(j: int):
         # single-parameter lambda: pyspark introspects lambda arity, so
         # closure constants must not appear as default parameters
+        if hash_family == "md5_32":
+            return lambda h: _md5_32_seeded(h, j)
         return lambda h: F.xxhash64(h, F.lit(j))
 
     return F.array(
@@ -167,6 +200,7 @@ def with_minhash(
     shingle_k: int = 5,
     use_words: bool = False,
     keep_hashed_shingles: bool = False,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Attach a MinHash signature column. Shingling + the base hash are
     materialized ONCE (inlining either into the num_hashes min expressions
@@ -174,8 +208,10 @@ def with_minhash(
     distinct hashed-shingle array survives as ``__tempo_sh_hashed`` so a
     downstream Jaccard verify can reuse it."""
     tmp = "__tempo_sh_hashed"
-    result = with_hashed_shingles(df, text_col, tmp, shingle_k, use_words)
-    result = result.withColumn(out, _signature_from_hashes(F.col(tmp), num_hashes))
+    result = with_hashed_shingles(df, text_col, tmp, shingle_k, use_words, hash_family)
+    result = result.withColumn(
+        out, _signature_from_hashes(F.col(tmp), num_hashes, hash_family)
+    )
     return result if keep_hashed_shingles else result.drop(tmp)
 
 
@@ -184,6 +220,7 @@ def minhash_lsh_candidates(
     id_col: str,
     minhash_col: str = "minhash",
     bands: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands, hash each
     band, and emit candidate pairs that collide in ≥1 band.
@@ -192,19 +229,24 @@ def minhash_lsh_candidates(
     key — the join key (band_id, band_hash) means only near-duplicates
     co-locate, so the shuffle is proportional to candidates, not n².
     Returns distinct (id_a, id_b) with id_a < id_b.
+
+    md5_32 family: the band key stays the raw comma-joined signature slice
+    (a string) — equality-equivalent to hashing it, and DuckDB-replayable.
     """
     sig = F.col(minhash_col)
     rows_per_band = F.size(sig) / bands  # driver knows num_hashes divides bands
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",",
+            F.slice(sig, (b * rows_per_band).cast("int") + 1, rows_per_band.cast("int")),
+        )
+        return joined if hash_family == "md5_32" else F.xxhash64(joined)
+
     banded = df.select(
         F.col(id_col),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice(sig, (b * rows_per_band).cast("int") + 1,
-                                             rows_per_band.cast("int")))
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("band_id", "band_hash"),
     )
     a = banded.alias("a")
@@ -232,6 +274,7 @@ def jaccard_verify(
     shingle_k: int = 5,
     threshold: float = 0.7,
     use_words: bool = False,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only (array_intersect/union on the
     HASHED shingle sets — long compares; collisions perturb Jaccard by
@@ -244,7 +287,7 @@ def jaccard_verify(
     )
     shingled = with_hashed_shingles(
         df.join(cand_ids, id_col, "left_semi"), text_col, "__sh",
-        shingle_k, use_words,
+        shingle_k, use_words, hash_family,
     ).select(F.col(id_col), F.col("__sh"))
     out = (
         candidates.join(
@@ -275,6 +318,7 @@ def minhash_dedup(
     shingle_k: int = 5,
     threshold: float = 0.7,
     use_words: bool = False,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → Jaccard verify.
     Returns verified duplicate pairs (id_a < id_b, jaccard).
@@ -294,13 +338,15 @@ def minhash_dedup(
     linear scans, no corpus-wide shuffle, nothing persisted."""
     base = df.select(F.col(id_col), F.col(text_col))
     sigs = with_minhash(
-        base, text_col, "minhash", num_hashes, shingle_k, use_words
+        base, text_col, "minhash", num_hashes, shingle_k, use_words,
+        hash_family=hash_family,
     )
     cands = minhash_lsh_candidates(
-        sigs.select(F.col(id_col), F.col("minhash")), id_col, "minhash", bands
+        sigs.select(F.col(id_col), F.col("minhash")), id_col, "minhash", bands,
+        hash_family,
     )
     hashed = with_hashed_shingles(
-        base, text_col, "__sh", shingle_k, use_words
+        base, text_col, "__sh", shingle_k, use_words, hash_family
     ).select(F.col(id_col), F.col("__sh"))
     # melt the pairs so the corpus is scanned ONCE for verification: each
     # candidate id picks up its shingle set in a single (broadcast) join,
@@ -337,9 +383,12 @@ def with_simhash(
     out: str = "simhash",
     bits: int = 64,
     id_col: Optional[str] = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash: per token ``xxhash64``; per bit, sum +1/-1 across tokens;
-    the fingerprint sets bits with positive sums.
+    the fingerprint sets bits with positive sums. ``hash_family="md5_32"``
+    (pair with ``bits=32``) uses the engine-neutral token hash so DuckDB
+    can replay the fingerprint bit-exactly.
 
     Two physical strategies:
     - ``id_col`` given (preferred at scale): explode tokens → 64 codegen'd
@@ -355,11 +404,13 @@ def with_simhash(
         # bit 63 is the sign bit in a signed 64-bit long
         return F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
 
+    tok_hash = md5_32 if hash_family == "md5_32" else F.xxhash64
+
     if id_col is not None:
         toks = df.select(
             F.col(id_col),
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"),
-        ).withColumn("__h", F.xxhash64("__t"))
+        ).withColumn("__h", tok_hash(F.col("__t")))
         bit_aggs = [
             F.sum(
                 F.when(
@@ -385,7 +436,7 @@ def with_simhash(
         return df.join(sig, id_col, "left").na.fill({out: 0})
 
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    th = F.transform(toks, lambda t: tok_hash(t))
     zero = F.array(*[F.lit(0) for _ in range(bits)])
     bit_sums = F.aggregate(
         th,
@@ -411,15 +462,22 @@ def with_simhash(
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, simhash_col: str = "simhash", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    simhash_col: str = "simhash",
+    max_hamming: int = 3,
+    bits: int = 64,
 ) -> DataFrame:
-    """Candidate near-dup pairs by SimHash: bucket on 4 × 16-bit chunks (a
-    pair within Hamming distance 3 must agree on ≥1 chunk), then verify the
-    exact Hamming distance with ``bit_count``."""
+    """Candidate near-dup pairs by SimHash: bucket on 4 × (bits/4)-wide
+    chunks (a pair within Hamming distance 3 must agree on ≥1 chunk), then
+    verify the exact Hamming distance with ``bit_count``."""
+    w = bits // 4
     chunks = F.array(
         *[
-            F.shiftright(F.col(simhash_col), s).bitwiseAND(F.lit(0xFFFF)).alias(f"c{s}")
-            for s in (0, 16, 32, 48)
+            F.shiftright(F.col(simhash_col), s)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .alias(f"c{s}")
+            for s in (0, w, 2 * w, 3 * w)
         ]
     )
     # both self-join sides are the same subtree — Spark's ReusedExchange
