@@ -103,6 +103,50 @@ class TestMinhash:
         assert {(r.id_a, r.id_b) for r in pairs} == {(0, 2)}
 
 
+class TestMd5HashFamily:
+    """Engine-neutral md5_32 family: bit-identical across Spark / DuckDB /
+    Python, so the driver's DuckDB oracle can replay the full MinHash and
+    SimHash pipelines (see __spark_entry__._minhash_oracle)."""
+
+    def test_md5_32_matches_python(self, spark):
+        import hashlib
+
+        df = spark.createDataFrame([("hello world",), ("",)], "s string")
+        got = {r.s: r.h for r in df.select("s", dedup.md5_32(F.col("s")).alias("h")).collect()}
+        for s in ("hello world", ""):
+            assert got[s] == int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def test_minhash_md5_family_finds_dups(self, docs):
+        pairs = dedup.minhash_dedup(
+            docs.where("length(text) > 0"), "doc_id", threshold=0.5,
+            hash_family="md5_32",
+        ).collect()
+        found = {(r.id_a, r.id_b) for r in pairs}
+        assert (0, 1) in found
+        for r in pairs:
+            assert r.jaccard >= 0.5
+
+    def test_simhash_md5_family_32bit(self, docs):
+        hashed = dedup.with_simhash(
+            docs.where("length(text) > 0"), id_col="doc_id",
+            bits=32, hash_family="md5_32",
+        )
+        fps = {r.doc_id: r.simhash for r in hashed.collect()}
+        assert fps[0] == fps[1]
+        assert all(0 <= f < (1 << 32) for f in fps.values())
+        pairs = dedup.simhash_near_dups(hashed, "doc_id", max_hamming=3, bits=32).collect()
+        assert (0, 1) in {(r.id_a, r.id_b) for r in pairs}
+
+    def test_streaming_package_exports(self):
+        from tempo_spark.streaming import (  # noqa: F401
+            streaming_asof,
+            streaming_bars,
+            streaming_grouped_stats,
+            streaming_resample,
+            streaming_sessionize,
+        )
+
+
 class TestSimhash:
     def test_simhash_deterministic(self, docs):
         out = {r.doc_id: r.simhash for r in dedup.with_simhash(docs.where("doc_id < 5")).collect()}
