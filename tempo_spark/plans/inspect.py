@@ -53,5 +53,23 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"Arguments: hashpartitioning", plan))
 
 
+def count_python_evals(df: DataFrame) -> int:
+    """Number of Python-worker operators (row/Arrow UDF eval, pandas
+    group-map / map-iter) in the physical plan. The repo invariant is ZERO
+    for every operator except FFT, multimodal decode, and the custom
+    stateful streaming kernels — everything else must stay JVM-side."""
+    plan = formatted_plan(df)
+    # match only the details-section headers ("(4) FlatMapGroupsInPandas");
+    # the tree section repeats each node name with the number trailing
+    return len(
+        re.findall(
+            r"^\(\d+\) (?:BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas"
+            r"|MapInPandas|FlatMapGroupsWithStateInPandas)",
+            plan,
+            re.MULTILINE,
+        )
+    )
+
+
 def has_pushed_filters(df: DataFrame) -> bool:
     return "PushedFilters: [" in formatted_plan(df) and "PushedFilters: []" not in formatted_plan(df)

@@ -61,6 +61,39 @@ class TestPlans:
         assert count_exchanges(t.asofJoin(quotes, left_prefix="l").df) == 1
 
 
+class TestPythonFreePlans:
+    """Invariant: Python workers appear ONLY in FFT, multimodal decode, and
+    stateful streaming kernels — dedup/similarity/text stay JVM-side."""
+
+    def test_dedup_pipeline_is_jvm_only(self, spark):
+        from tempo_spark.pipeline.dedup import (
+            minhash_dedup,
+            ngram_jaccard_pairs,
+            simhash_near_dups,
+            with_simhash,
+        )
+        from tempo_spark.plans.inspect import count_python_evals
+
+        docs = spark.createDataFrame(
+            [(0, "a b c d e"), (1, "a b c d f")], "doc_id long, text string"
+        )
+        assert count_python_evals(minhash_dedup(docs, "doc_id")) == 0
+        assert count_python_evals(ngram_jaccard_pairs(docs, "doc_id")) == 0
+        assert count_python_evals(
+            simhash_near_dups(with_simhash(docs, id_col="doc_id"), "doc_id")
+        ) == 0
+
+    def test_fourier_uses_one_pandas_kernel(self, spark, trades):
+        from tempo_spark.plans.inspect import count_python_evals
+
+        t = TSDF(
+            trades.withColumn("tp", F.col("event_ts").cast("double")).drop("event_ts"),
+            ts_col="tp",
+            series_ids=["symbol"],
+        )
+        assert count_python_evals(t.fourier_transform(1.0, "trade_pr").df) == 1
+
+
 class TestReader:
     def test_read_parquet_tsdf(self, spark, tmp_path, trades):
         from tempo_spark.sources.io import read_parquet_tsdf
