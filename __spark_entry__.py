@@ -36,6 +36,11 @@ from tempo_spark import TSDF, IntervalsDF
 # --------------------------------------------------------------------- util
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # tumbling-window bucketing (F.window/date_trunc) of TIMESTAMP values
+    # follows the session timezone; DuckDB buckets naive timestamps
+    # timezone-free. Pin UTC so both agree regardless of how the driver
+    # configured its session (no-op when the session is already UTC).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts has shipped as either parquet TIMESTAMP(NANOS) (rounds
         # 1-2, Spark rejects by default) or TIMESTAMP(MICROS) (round 3+);
@@ -46,6 +51,7 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
         # nanos-as-long: integer division — double division would lose
