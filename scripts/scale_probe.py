@@ -1,0 +1,125 @@
+"""Measured-scaling probe: runs the core operators on synthetic series data
+at increasing row counts and prints rows/sec, so SCALE.md's linearity claims
+are backed by numbers instead of assertions.
+
+Generates events-shaped data with ``spark.range`` (no driver-side data), a
+configurable number of series, and an optional monster-series skew fraction.
+
+Usage:
+    python scripts/scale_probe.py            # 1M / 4M / 16M rows
+    python scripts/scale_probe.py --skew     # 16M rows, 50% in one series
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from tempo_spark import TSDF
+
+
+def synth_events(spark, n_rows: int, n_series: int, skew_frac: float = 0.0):
+    """events-shaped frame from spark.range: ts strides 1s per series tick;
+    with skew_frac, that fraction of rows lands in series 0."""
+    df = spark.range(n_rows)
+    if skew_frac > 0:
+        series = F.when(
+            (F.col("id") % 1_000_000) < int(skew_frac * 1_000_000), F.lit(0)
+        ).otherwise(F.col("id") % n_series)
+    else:
+        series = F.col("id") % n_series
+    return df.select(
+        series.alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") / n_series).cast("long")
+        ).alias("ts"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(100_000)) / 100.0).alias("value"),
+    )
+
+
+def probe(spark, n_rows: int, n_series: int, skew_frac: float = 0.0) -> dict:
+    def fresh():
+        ev = synth_events(spark, n_rows, n_series, skew_frac)
+        right = synth_events(spark, max(n_rows // 4, 1), n_series, skew_frac).select(
+            "user_id", "ts", F.col("value").alias("q")
+        )
+        return (
+            TSDF(ev, ts_col="ts", series_ids=["user_id"]),
+            TSDF(right, ts_col="ts", series_ids=["user_id"]),
+        )
+
+    out: dict = {"rows": n_rows, "series": n_series, "skew_frac": skew_frac}
+
+    def timed(label, build):
+        # count() would let Catalyst prune the computed columns (a window
+        # operator keeps row counts, so its projections are dead code for
+        # count): checksum every column to force full materialization.
+        # The plan is REBUILT per run — re-collecting the same DataFrame
+        # would silently reuse the warm-up's shuffle files and time only
+        # the post-shuffle stages.
+        def force():
+            df = build(*fresh())
+            # pmod keeps the per-row term < 2^30 so the ANSI-mode sum of
+            # tens of millions of terms stays far from long overflow
+            return df.agg(
+                F.sum(F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(1 << 30)))
+            )
+
+        force().collect()  # warm-up: JIT + codegen compile out of the timing
+        t0 = time.monotonic()
+        force().collect()
+        dt = time.monotonic() - t0
+        out[label] = {"sec": round(dt, 2), "mrows_per_sec": round(n_rows / dt / 1e6, 1)}
+
+    timed("asof_join", lambda t, r: t.asofJoin(r, left_prefix="l", right_prefix="r").df)
+    if skew_frac > 0:
+        timed(
+            "asof_join_ts_partitioned",
+            lambda t, r: t.asofJoin(
+                r, left_prefix="l", right_prefix="r", tsPartitionVal=3600
+            ).df,
+        )
+    timed("range_stats", lambda t, r: t.withRangeStats(rangeBackWindowSecs=600).df)
+    timed(
+        "range_stats_prefix",
+        lambda t, r: t.withRangeStats(rangeBackWindowSecs=600, strategy="prefix").df,
+    )
+    timed("resample_mean", lambda t, r: t.resample("5 minutes", "mean").df)
+    timed("calc_bars", lambda t, r: t.calc_bars("5 minutes").df)
+    return out
+
+
+def main():
+    skew = "--skew" in sys.argv
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("tempo_spark-scale-probe")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results = []
+    if skew:
+        for frac in (0.0, 0.5):
+            results.append(probe(spark, 16_000_000, 10_000, skew_frac=frac))
+            print(json.dumps(results[-1]))
+    else:
+        for n in (1_000_000, 4_000_000, 16_000_000):
+            results.append(probe(spark, n, 10_000))
+            print(json.dumps(results[-1]))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -340,6 +340,67 @@ class TestRangeStatsPercentiles:
         assert got == {0: 10.0, 5: 15.0, 10: 20.0, 15: 30.0}
 
 
+class TestRangeStatsPrefixStrategy:
+    """strategy='prefix' must agree with the sliding default to 6 decimals,
+    including constant frames (stddev 0 → null zscore), all-null frames,
+    and single-row series. The payoff is O(n) vs O(n × frame_rows): a
+    measured 7× at 8M rows / 600-row frames (scripts/scale_probe.py)."""
+
+    def test_prefix_matches_sliding(self, spark):
+        import math
+        import random
+
+        import pyspark.sql.functions as F
+
+        from tempo_spark import TSDF
+
+        random.seed(7)
+        rows = []
+        for uid in range(3):
+            for i in range(120):
+                rows.append(
+                    (uid, 1_700_000_000 + i * random.randint(1, 400),
+                     float(random.randint(0, 10000)) / 7)
+                )
+        rows += [(10, 1_700_000_000 + i * 100, 42.0) for i in range(40)]  # constant
+        rows.append((11, 1_700_000_000, 5.0))                             # singleton
+        rows += [(12, 1_700_000_000 + i * 100, None if i % 3 else 1.5)
+                 for i in range(30)]                                      # nulls
+        df = spark.createDataFrame(rows, "uid long, tsec long, v double").select(
+            "uid", F.timestamp_seconds("tsec").alias("ts"), "v"
+        )
+        t = TSDF(df, ts_col="ts", series_ids=["uid"])
+
+        def canon(frame):
+            cols = sorted(frame.columns)
+            out = []
+            for r in frame.select(*cols).collect():
+                out.append(tuple(
+                    ("NaN" if math.isnan(v) else round(v, 6))
+                    if isinstance(v, float) else v
+                    for v in r
+                ))
+            return sorted(out, key=str)
+
+        sliding = canon(t.withRangeStats(rangeBackWindowSecs=600).df)
+        prefix = canon(t.withRangeStats(rangeBackWindowSecs=600, strategy="prefix").df)
+        assert sliding == prefix
+
+    def test_prefix_single_shuffle(self, spark):
+        import datetime as dt
+
+        from tempo_spark import TSDF
+        from tempo_spark.plans.inspect import count_exchanges
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [("A", base + dt.timedelta(seconds=s), float(s)) for s in range(10)]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, m double")
+        t = TSDF(df, ts_col="ts", series_ids=["k"])
+        assert count_exchanges(
+            t.withRangeStats(rangeBackWindowSecs=5, strategy="prefix").df
+        ) == 1
+
+
 class TestTwap:
     def test_twap_holds_last_to_bucket_end(self, spark):
         import datetime as dt
