@@ -86,6 +86,21 @@ def probe(spark, n_rows: int, n_series: int, skew_frac: float = 0.0) -> dict:
                 r, left_prefix="l", right_prefix="r", tsPartitionVal=3600
             ).df,
         )
+        # sliding range stats on a monster series = one task doing
+        # O(series_rows × frame_rows) — hours, deliberately not probed;
+        # prefix still pays sliding min/max, sum-family-only does not
+        timed(
+            "range_stats_prefix",
+            lambda t, r: t.withRangeStats(rangeBackWindowSecs=600, strategy="prefix").df,
+        )
+        timed(
+            "range_stats_prefix_sum_family",
+            lambda t, r: t.withRangeStats(
+                rangeBackWindowSecs=600, strategy="prefix",
+                stats=("mean", "count", "sum", "stddev", "zscore"),
+            ).df,
+        )
+        return out
     timed("range_stats", lambda t, r: t.withRangeStats(rangeBackWindowSecs=600).df)
     timed(
         "range_stats_prefix",

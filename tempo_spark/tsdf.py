@@ -316,6 +316,7 @@ class TSDF:
         rangeBackWindowSecs: float = 1000,
         percentiles: Optional[Sequence[float]] = None,
         strategy: str = "sliding",
+        stats: Optional[Sequence[str]] = None,
     ) -> "TSDF":
         """Rolling mean/count/min/max/sum/stddev (+ zscore) per metric over a
         trailing time-range window (reference: python/tempo/tsdf.py:1112-1182).
@@ -336,11 +337,24 @@ class TSDF:
           keep the sliding frame. stddev via the sum-of-squares identity:
           fine when means don't dwarf deviations; prefer "sliding" when
           |mean| / stddev ≳ 1e6 (catastrophic cancellation).
+
+        ``stats`` restricts the emitted stats (default: all of mean/count/
+        min/max/sum/stddev/zscore). Under heavy series skew, requesting only
+        the sum family with strategy="prefix" eliminates EVERY sliding frame
+        from the plan — the monster series then costs O(its rows), not
+        O(its rows × frame_rows) (measured: 180 s → seconds at 8M skewed
+        rows, scripts/scale_probe.py --skew).
         """
+        wanted = set(stats) if stats is not None else {
+            "mean", "count", "min", "max", "sum", "stddev", "zscore",
+        }
         cols = list(colsToSummarize or self.metric_cols)
         w = self.range_window(rangeBackWindowSecs)
         out = self.df
         exprs: list[Column] = []
+
+        def keep(pairs):
+            return [e.alias(n) for n, e in pairs if n.split("_", 1)[0] in wanted]
         if strategy == "prefix":
             back_micros = int(rangeBackWindowSecs * 1_000_000)
             w_run = self._growing_window(0)
@@ -366,18 +380,18 @@ class TSDF:
                     cnt > 1, F.greatest(s2 - sm * sm / cnt, F.lit(0.0)) / (cnt - 1)
                 )
                 std = F.sqrt(var)
-                exprs += [
-                    mean.alias(f"mean_{c}"),
-                    cnt.alias(f"count_{c}"),
-                    F.min(col).over(w).alias(f"min_{c}"),
-                    F.max(col).over(w).alias(f"max_{c}"),
-                    sm.alias(f"sum_{c}"),
-                    std.alias(f"stddev_{c}"),
+                exprs += keep([
+                    (f"mean_{c}", mean),
+                    (f"count_{c}", cnt),
+                    (f"min_{c}", F.min(col).over(w)),
+                    (f"max_{c}", F.max(col).over(w)),
+                    (f"sum_{c}", sm),
+                    (f"stddev_{c}", std),
                     # constant frame -> stddev exactly 0.0; ANSI mode throws
                     # on the double division, non-ANSI Spark (and the
                     # reference) yields null -- make null explicit
-                    F.when(std != 0.0, (col - mean) / std).alias(f"zscore_{c}"),
-                ]
+                    (f"zscore_{c}", F.when(std != 0.0, (col - mean) / std)),
+                ])
                 for p in percentiles or ():
                     name = f"p{int(round(p * 100)):02d}_{c}"
                     exprs.append(F.percentile(col, F.lit(float(p))).over(w).alias(name))
@@ -386,15 +400,15 @@ class TSDF:
             col = F.col(c)
             mean = F.mean(col).over(w)
             std = F.stddev(col).over(w)
-            exprs += [
-                mean.alias(f"mean_{c}"),
-                F.count(col).over(w).alias(f"count_{c}"),
-                F.min(col).over(w).alias(f"min_{c}"),
-                F.max(col).over(w).alias(f"max_{c}"),
-                F.sum(col).over(w).alias(f"sum_{c}"),
-                std.alias(f"stddev_{c}"),
-                F.when(std != 0.0, (col - mean) / std).alias(f"zscore_{c}"),
-            ]
+            exprs += keep([
+                (f"mean_{c}", mean),
+                (f"count_{c}", F.count(col).over(w)),
+                (f"min_{c}", F.min(col).over(w)),
+                (f"max_{c}", F.max(col).over(w)),
+                (f"sum_{c}", F.sum(col).over(w)),
+                (f"stddev_{c}", std),
+                (f"zscore_{c}", F.when(std != 0.0, (col - mean) / std)),
+            ])
             for p in percentiles or ():
                 name = f"p{int(round(p * 100)):02d}_{c}"
                 exprs.append(F.percentile(col, F.lit(float(p))).over(w).alias(name))

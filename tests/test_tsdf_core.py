@@ -386,6 +386,28 @@ class TestRangeStatsPrefixStrategy:
         prefix = canon(t.withRangeStats(rangeBackWindowSecs=600, strategy="prefix").df)
         assert sliding == prefix
 
+    def test_stats_selector_drops_sliding_frames(self, spark):
+        import datetime as dt
+
+        from tempo_spark import TSDF
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [("A", base + dt.timedelta(seconds=s), float(s)) for s in range(10)]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, m double")
+        t = TSDF(df, ts_col="ts", series_ids=["k"])
+        out = t.withRangeStats(
+            rangeBackWindowSecs=5, strategy="prefix",
+            stats=("mean", "count", "sum", "stddev", "zscore"),
+        ).df
+        assert "min_m" not in out.columns and "max_m" not in out.columns
+        # no sliding frame left in the plan — only growing frames
+        from tempo_spark.plans.inspect import formatted_plan
+
+        plan = formatted_plan(out)
+        assert "unboundedpreceding" in plan.lower()
+        got = {r.ts.second: (r.sum_m, r.count_m) for r in out.collect()}
+        assert got[9] == (sum(range(4, 10)), 6)  # trailing 5s inclusive
+
     def test_prefix_single_shuffle(self, spark):
         import datetime as dt
 
