@@ -176,3 +176,46 @@ def test_skew_asof_matches_default_with_covering_bracket(spark, data):
         ).df.collect()
     }
     assert skew == default
+
+
+range_stats_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),                                   # series id
+        st.integers(0, 2000),                                # ts offset sec
+        st.one_of(st.none(), st.integers(-1000, 1000)),      # value (or null)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(range_stats_strategy, st.integers(1, 900))
+def test_range_stats_prefix_matches_sliding(spark, rows, back_secs):
+    """strategy='prefix' (growing-frame differences) must agree with the
+    reference-exact sliding strategy on arbitrary data, frames, nulls, and
+    duplicate timestamps — to 6 decimals."""
+    import math
+
+    data = [(uid, minutes(0) + dt.timedelta(seconds=s),
+             float(v) / 7 if v is not None else None)
+            for uid, s, v in rows]
+    df = spark.createDataFrame(data, "uid long, ts timestamp, v double")
+    t = TSDF(df, ts_col="ts", series_ids=["uid"])
+
+    def canon(frame):
+        cols = sorted(frame.columns)
+        out = []
+        for r in frame.select(*cols).collect():
+            out.append(tuple(
+                ("NaN" if math.isnan(x) else round(x, 6))
+                if isinstance(x, float) else x
+                for x in r
+            ))
+        return sorted(out, key=str)
+
+    sliding = canon(t.withRangeStats(rangeBackWindowSecs=back_secs).df)
+    prefix = canon(
+        t.withRangeStats(rangeBackWindowSecs=back_secs, strategy="prefix").df
+    )
+    assert sliding == prefix
