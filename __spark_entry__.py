@@ -1484,18 +1484,24 @@ def q_near_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=16, bands=4, shingle_k=3, threshold=0.5, use_words=True,
         hash_family="md5_32",
     )
-    return near_dedup(docs, pairs, "doc_id").select("doc_id", "lang", "source")
+    # max_iter=50 ≥ any cluster diameter at gate scale (500 docs, ~25
+    # pairs), so label propagation reaches the same fixpoint the oracle's
+    # exact transitive closure computes
+    return near_dedup(docs, pairs, "doc_id", max_iter=50).select(
+        "doc_id", "lang", "source"
+    )
 
 
-def _near_dedup_oracle() -> str:
-    """Reuses the minhash pair replay, then closes components exactly with a
-    recursive transitive-closure CTE (edges are bidirectional, so every node
-    seeds; min reachable id = the label-propagation fixpoint)."""
-    pair_sql = _minhash_oracle()
+def _near_dedup_oracle(threshold: float = 0.5) -> str:
+    """Reuses the minhash pair replay (same threshold as the Spark entry),
+    then closes components exactly with a recursive transitive-closure CTE
+    (edges are bidirectional, so every node seeds; min reachable id = the
+    label-propagation fixpoint)."""
+    pair_sql = _minhash_oracle(threshold=threshold)
     # strip the final projection: keep pairs above the threshold
     body = pair_sql.rsplit("SELECT id_a, id_b,", 1)[0]
     return f"""WITH RECURSIVE {body.split("WITH", 1)[1]},
-pair2 AS (SELECT id_a, id_b FROM scored WHERE raw >= 0.5),
+pair2 AS (SELECT id_a, id_b FROM scored WHERE raw >= {threshold}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pair2
   UNION
@@ -1611,9 +1617,17 @@ FROM scored WHERE raw >= 0.35
 def q_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series FFT (scipy kernel via applyInPandas). The oracle replays
     it as an O(n²) naive DFT in SQL — FFT vs naive-DFT float error is
-    ~1e-10 absolute, far inside the 4-decimal comparison rounding."""
+    ~1e-10 absolute, far inside the 4-decimal comparison rounding. Series
+    are capped at their latest 128 points so the error bound (∝ n·ε·|X|)
+    holds at ANY scale factor, not just the sf0.01 the gate runs."""
+    from pyspark.sql import Window
+
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
     small = de.where(F.col("user_id") < 10)
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    )
+    small = small.withColumn("__rn", rn).where(F.col("__rn") <= 128).drop("__rn")
     t = TSDF(
         small.withColumn("tp", F.col("ts").cast("double")).drop("ts"),
         ts_col="tp",
@@ -1630,9 +1644,13 @@ def q_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cast as epoch_us/1e6 (the identical IEEE division).
 _FOURIER_ORACLE = f"""
 WITH {_DE_CTE},
+latest AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+  FROM de WHERE user_id < 10),
 s AS (
   SELECT user_id, epoch_us(ts) / 1000000.0 AS tp, value
-  FROM de WHERE user_id < 10),
+  FROM latest WHERE rn <= 128),
 idx AS (
   SELECT user_id, tp, value,
          row_number() OVER (PARTITION BY user_id ORDER BY tp) - 1 AS n,
@@ -1791,6 +1809,10 @@ def q_streaming_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark-driven state eviction (tests/test_streaming.py covers it)."""
     from tempo_spark.streaming import streaming_resample
 
+    # same layout-adaptivity as _read: a TIMESTAMP(NANOS) snapshot fails
+    # schema inference without the legacy conf (this entry may run before
+    # any _read call sets it)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     # the file stream source requires a directory basePath — stream the
     # sf_dir and glob-filter down to the events table

@@ -80,8 +80,10 @@ def main():
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             continue
         if name not in oracles:
+            # rows-only entries (ivf_ann_topk, describe — see
+            # tests/test_entry_contract.py) must at least return rows
             print(f"ok?   {name}: rows-only ({len(srows)} rows)")
-            if len(srows) == 0 and name not in ("simhash_near_dups",):
+            if len(srows) == 0:
                 failures.append((name, "0 rows (rows-only check)"))
             continue
         try:

@@ -71,14 +71,20 @@ def near_dedup(
     pairs: DataFrame,
     id_col: str,
     keep: str = "min",
+    max_iter: int = 20,
 ) -> DataFrame:
     """Drop all but one canonical row per near-duplicate cluster.
 
     ``pairs`` is any (id_a, id_b) near-dup relation (from minhash_dedup,
     simhash_near_dups, ngram_jaccard_pairs, or embedding_near_dups). The
     canonical representative is the min (or max) id of the connected
-    component. Rows not in any pair are kept untouched."""
-    comps = connected_components(pairs)
+    component. Rows not in any pair are kept untouched.
+
+    ``max_iter`` bounds the label-propagation rounds; propagation moves the
+    min id ONE hop per round, so it must be ≥ the largest cluster's
+    diameter or far-end members keep non-minimal labels (boilerplate-heavy
+    corpora can chain near-dups — raise it when cluster diameters grow)."""
+    comps = connected_components(pairs, max_iter=max_iter)
     agg = F.min("id") if keep == "min" else F.max("id")
     canonical = comps.groupBy("component").agg(agg.alias("__keep"))
     losers = (

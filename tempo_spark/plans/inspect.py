@@ -64,7 +64,7 @@ def count_python_evals(df: DataFrame) -> int:
     return len(
         re.findall(
             r"^\(\d+\) (?:BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas"
-            r"|MapInPandas|FlatMapGroupsWithStateInPandas)",
+            r"|MapInPandas|FlatMapGroupsInPandasWithState)",
             plan,
             re.MULTILINE,
         )

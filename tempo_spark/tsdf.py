@@ -345,9 +345,12 @@ class TSDF:
         O(its rows × frame_rows) (measured: 180 s → seconds at 8M skewed
         rows, scripts/scale_probe.py --skew).
         """
-        wanted = set(stats) if stats is not None else {
-            "mean", "count", "min", "max", "sum", "stddev", "zscore",
-        }
+        known = {"mean", "count", "min", "max", "sum", "stddev", "zscore"}
+        wanted = set(stats) if stats is not None else known
+        if wanted - known:
+            raise ValueError(
+                f"unknown stats {sorted(wanted - known)}; choose from {sorted(known)}"
+            )
         cols = list(colsToSummarize or self.metric_cols)
         w = self.range_window(rangeBackWindowSecs)
         out = self.df
@@ -361,9 +364,13 @@ class TSDF:
             w_bound = self._growing_window(-(back_micros + 1))
             for c in cols:
                 col = F.col(c)
+                # squares in double: an integral col*col overflows (and
+                # throws under ANSI) for any value ≥ sqrt(Long.MAX) ≈ 3.04e9,
+                # and the RUNNING sum of squares is unbounded besides
+                col_d = col.cast("double")
                 run_c = F.count(col).over(w_run)
                 run_s = F.sum(col).over(w_run)
-                run_s2 = F.sum(col * col).over(w_run)
+                run_s2 = F.sum(col_d * col_d).over(w_run)
                 cnt = run_c - F.count(col).over(w_bound)
                 sm = F.when(
                     cnt > 0,
@@ -371,14 +378,27 @@ class TSDF:
                 )
                 s2 = F.when(
                     cnt > 0,
-                    run_s2 - F.coalesce(F.sum(col * col).over(w_bound), F.lit(0.0)),
+                    run_s2 - F.coalesce(F.sum(col_d * col_d).over(w_bound), F.lit(0.0)),
                 )
                 # cnt = 0 when every frame value is null — guard the long
                 # divisions (ANSI mode throws DIVIDE_BY_ZERO)
                 mean = F.when(cnt > 0, sm / cnt)
-                var = F.when(
-                    cnt > 1, F.greatest(s2 - sm * sm / cnt, F.lit(0.0)) / (cnt - 1)
+                sm_d = sm.cast("double")
+                var_raw = F.when(
+                    cnt > 1,
+                    F.greatest(s2 - sm_d * sm_d / cnt, F.lit(0.0)) / (cnt - 1),
                 )
+                # cancellation residue: a CONSTANT frame leaves var ≈ ε·mean²
+                # (~1e-17 relative) instead of the exact 0.0 sliding/Welford
+                # produces — clamp relative to the mean-square magnitude
+                # (s2/cnt = var + mean² ≥ var) so stddev is exactly 0.0 and
+                # zscore is null, matching the sliding strategy
+                # greatest(cnt, 1): the comparison is evaluated even when
+                # cnt = 0 (s2 is null there, so the branch result is null
+                # either way) and ANSI would throw on the division
+                var = F.when(
+                    var_raw > s2 / F.greatest(cnt, F.lit(1)) * F.lit(1e-12), var_raw
+                ).otherwise(F.when(var_raw.isNotNull(), F.lit(0.0)))
                 std = F.sqrt(var)
                 exprs += keep([
                     (f"mean_{c}", mean),

@@ -137,14 +137,12 @@ class TestMd5HashFamily:
         pairs = dedup.simhash_near_dups(hashed, "doc_id", max_hamming=3, bits=32).collect()
         assert (0, 1) in {(r.id_a, r.id_b) for r in pairs}
 
+class TestStreamingExports:
     def test_streaming_package_exports(self):
-        from tempo_spark.streaming import (  # noqa: F401
-            streaming_asof,
-            streaming_bars,
-            streaming_grouped_stats,
-            streaming_resample,
-            streaming_sessionize,
-        )
+        import tempo_spark.streaming as streaming
+
+        for name in streaming.__all__:
+            assert callable(getattr(streaming, name)), name
 
 
 class TestSimhash:
