@@ -188,7 +188,12 @@ class IntervalsDF:
         instead of |segments|×|intervals| per series. Duplicate pairs from
         multi-bin collisions are harmless — the payload merge is a max()
         (idempotent). Pick ``bin_seconds`` near the typical interval length;
-        leave None (default) for the plain per-series range join."""
+        leave None (default) for the plain per-series range join.
+
+        Intervals are half-open ``[start, end)``: a zero-length input
+        interval (start == end) denotes the empty set and is dropped --
+        represent instantaneous events as points in a TSDF, not as empty
+        intervals."""
         df = self.df
         s, e = self.start_ts, self.end_ts
         series = self.series_ids
@@ -254,23 +259,29 @@ class IntervalsDF:
         )
 
         # 3. merge payloads: latest-starting covering interval's non-null wins
-        merged = paired.groupBy(*series, seg_s, seg_e).agg(
-            *[
-                F.max(
-                    F.when(
-                        F.col(c).isNotNull(),
-                        F.struct(
-                            F.col("__i_start").alias("s"),
-                            F.col("__i_end").alias("e"),
-                            F.col(c).alias("v"),
-                        ),
+        if not payload:
+            # no observational columns: nothing to merge — the disjoint
+            # result is just the distinct covered segments (an empty agg()
+            # list is rejected by pyspark)
+            merged = paired.select(*series, seg_s, seg_e).distinct()
+        else:
+            merged = paired.groupBy(*series, seg_s, seg_e).agg(
+                *[
+                    F.max(
+                        F.when(
+                            F.col(c).isNotNull(),
+                            F.struct(
+                                F.col("__i_start").alias("s"),
+                                F.col("__i_end").alias("e"),
+                                F.col(c).alias("v"),
+                            ),
+                        )
                     )
-                )
-                .getField("v")
-                .alias(c)
-                for c in payload
-            ]
-        )
+                    .getField("v")
+                    .alias(c)
+                    for c in payload
+                ]
+            )
 
         # 4. coalesce adjacent contiguous segments with identical payloads
         wseg = Window.partitionBy(*series).orderBy(seg_s)

@@ -16,6 +16,9 @@ Two physical strategies, both ONE shuffle on series_ids:
   an event exactly ``gap`` after the previous one joins its session).
 - numeric (epoch double/long, e.g. nanos) ts: gaps-and-islands — ``lag`` diff
   → running sum of session breaks → groupBy. Same ``<=`` semantics.
+  NB the gap is compared in the ts column's OWN units here — for an
+  epoch-nanos long column pass ``gap_seconds`` in nanoseconds (the
+  function cannot know a numeric column's unit).
 """
 
 from __future__ import annotations

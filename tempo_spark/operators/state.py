@@ -50,7 +50,11 @@ def extract_state_intervals(
     for c in metric_cols:
         prev = F.lag(F.col(c)).over(w)
         compares.append(compare(F.col(c), prev))
-    # State change when ANY metric comparison is False. The first row per
+    # State change when ANY metric comparison is False. A NULL metric mid-
+    # series yields a null compare, which (like the reference's identical
+    # array_contains construction) does NOT increment the state id — nulls
+    # neither attest nor break a state; use <=> to treat them as values.
+    # The first row per
     # series (null __prev_ts, null compares) is dropped before numbering —
     # it can never attest that a state held (reference tsdf.py:1590-1592).
     # Materialize the compare result BEFORE dropping the first row — the

@@ -17,8 +17,12 @@ from pyspark.sql import DataFrame
 def plan_size_bytes(df: DataFrame) -> Optional[float]:
     """Catalyst's estimated sizeInBytes for a DataFrame's optimized plan.
     Returns None when no estimate is available."""
+    import uuid
+
     spark = df.sparkSession
-    name = "__tempo_plan_probe"
+    # unique per call: a fixed name races when two threads probe the same
+    # session concurrently (each would size — or drop — the other's view)
+    name = f"__tempo_plan_probe_{uuid.uuid4().hex}"
     df.createOrReplaceTempView(name)
     try:
         rows = spark.sql(f"EXPLAIN COST SELECT * FROM {name}").head(1)

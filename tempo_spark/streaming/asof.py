@@ -22,6 +22,7 @@ Three paths are provided:
 
 from __future__ import annotations
 
+import bisect
 from typing import Sequence
 
 import pyspark.sql.functions as F
@@ -96,6 +97,14 @@ def streaming_asof(
     ``watermark - lookback`` plus left rows still ahead of the watermark —
     O(rate × (lookback + watermark delay)), the same bound the interval
     join's buffers have.
+
+    Watermark boundary: a left row emits once ``left.ts <= watermark`` —
+    the same convention as Spark's append-mode windows (which close at
+    ``window.end <= watermark``). A right row arriving LATER with event
+    time exactly equal to the watermark is admitted by Spark but can no
+    longer match an already-emitted left row at that boundary; holding
+    lefts one tick longer instead would strand rows at the final watermark
+    forever on bounded replays.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -105,6 +114,14 @@ def streaming_asof(
     r_vals = [c for c in right.columns if c not in series_ids and c != right_ts]
     out_r_ts = f"{right_prefix}_{right_ts}"
     out_r_vals = [f"{right_prefix}_{c}" for c in r_vals]
+    collisions = ({out_r_ts, *out_r_vals} & {left_ts, *l_vals}) | (
+        {out_r_ts, *out_r_vals} & set(series_ids)
+    )
+    if collisions:
+        raise ValueError(
+            f"right_prefix {right_prefix!r} leaves colliding output columns: "
+            f"{sorted(collisions)}"
+        )
 
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -175,18 +192,22 @@ def streaming_asof(
                 pass
 
         rights.sort(key=lambda r: r[0])
+        rts = [r[0] for r in rights]
         emit, pending = [], []
         for lrow in sorted(lefts, key=lambda r: r[0]):
             lt = lrow[0]
             if lt > wm_us:
                 pending.append(lrow)
                 continue
-            best = None
-            for rrow in rights:  # sorted asc; last match wins
-                if lt - lookback_us <= rrow[0] <= lt:
-                    best = rrow
-                elif rrow[0] > lt:
-                    break
+            # last right with ts <= lt, if within the lookback band —
+            # bisect keeps a hot series O(lefts·log rights) per batch
+            # instead of O(lefts·rights)
+            j = bisect.bisect_right(rts, lt) - 1
+            best = (
+                rights[j]
+                if j >= 0 and rights[j][0] >= lt - lookback_us
+                else None
+            )
             row = dict(zip(key_names, key))
             row[left_ts] = pd.Timestamp(lt, unit="us")
             for j, c in enumerate(l_vals):
@@ -236,10 +257,24 @@ def reduce_asof_candidates(
     left_ts: str = "ts",
     right_ts_prefixed: str = "right_ts",
     left_cols: Sequence[str] | None = None,
+    right_prefix: str | None = None,
 ) -> DataFrame:
     """Per left row, keep the candidate with the greatest right timestamp —
-    apply inside ``foreachBatch`` (or on any static candidates frame)."""
-    right_cols = [c for c in candidates.columns if c.startswith(right_ts_prefixed.split("_")[0] + "_")]
+    apply inside ``foreachBatch`` (or on any static candidates frame).
+
+    ``right_prefix`` names the prefix marking right-side columns
+    explicitly; when omitted it falls back to everything before the first
+    underscore of ``right_ts_prefixed`` (ambiguous if a LEFT column shares
+    that prefix — pass it explicitly then)."""
+    prefix = (
+        right_prefix if right_prefix is not None
+        else right_ts_prefixed.split("_")[0]
+    ) + "_"
+    left_set = set(left_cols or [])
+    right_cols = [
+        c for c in candidates.columns
+        if c.startswith(prefix) and c not in left_set
+    ]
     group_cols = list(series_ids) + [left_ts] + [
         c for c in (left_cols or []) if c not in series_ids and c != left_ts
     ]

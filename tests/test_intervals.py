@@ -138,6 +138,28 @@ class TestMakeDisjoint:
         assert seg[2:] == (1, 2, 3, 4)
 
 
+class TestMakeDisjointNoPayload:
+    def test_coverage_only_intervals(self, spark):
+        # no observational columns at all: make_disjoint degrades to a
+        # coverage merge (used to crash on an empty agg() list)
+        rows = [
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:02:00"), "a"),
+            (ts("2020-01-01 00:01:00"), ts("2020-01-01 00:03:00"), "a"),
+            (ts("2020-01-01 00:05:00"), ts("2020-01-01 00:06:00"), "a"),
+        ]
+        out = IntervalsDF(
+            spark.createDataFrame(
+                rows, "start_ts timestamp, end_ts timestamp, series_1 string"
+            ),
+            "start_ts", "end_ts", ["series_1"],
+        ).make_disjoint()
+        got = sorted((r.series_1, str(r.start_ts), str(r.end_ts)) for r in out.df.collect())
+        assert got == [
+            ("a", "2020-01-01 00:00:00", "2020-01-01 00:03:00"),
+            ("a", "2020-01-01 00:05:00", "2020-01-01 00:06:00"),
+        ]
+
+
 class TestStackedRoundtrip:
     def test_from_stacked(self, spark):
         rows = [
