@@ -1570,14 +1570,71 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF build → probe → top-k with the deterministic quantizer
+    (``init="first"``: centroids are the 8 smallest-id vectors, no Lloyd
+    iterations), so the full IVF machinery — argmin cell assignment, nprobe
+    cell pruning, bucket-restricted cosine ranking — is value-checked by a
+    DuckDB replay. The production default stays ``init="kmeans"``
+    (bench.py b15 measures that path; pytest covers it)."""
     from tempo_spark.pipeline.similarity import IVFIndex
 
     emb = _read(spark, sf_dir, "embeddings")
-    idx = IVFIndex.build(emb, n_centroids=8, seed=42)
+    idx = IVFIndex.build(emb, n_centroids=8, init="first")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return idx.topk(queries, k=5, nprobe=2)
+
+
+def _ivf_oracle(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
+    """DuckDB replay of the deterministic-IVF top-k. Centroids are the
+    ``n_centroids`` smallest-id embedding vectors; every distance surrogate
+    is ``(-2.0 * v·c) + ||c||²`` with left-fold dot products — the exact
+    IEEE op order ``_cell_scores`` evaluates — so cell assignment, probe
+    selection, and the rounded cosine all reproduce bit-identically."""
+    fold = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        "p -> p[1] * p[2])), (x,y) -> x + y)"
+    )
+    sq = (
+        "list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)), "
+        "(x,y) -> x + y)"
+    )
+    d_assign = f"(-2.0 * {fold.format(a='c.v', b='n.cv')}) + n.cn2"
+    d_probe = f"(-2.0 * {fold.format(a='q.qv', b='n.cv')}) + n.cn2"
+    cos = (
+        f"{fold.format(a='p.qv', b='a.v')} / "
+        f"(sqrt({sq.format(a='p.qv')}) * sqrt({sq.format(a='a.v')}))"
+    )
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM c ORDER BY vec_id LIMIT {n_centroids}),
+centn AS (SELECT cell, cv, {sq.format(a='cv')} AS cn2 FROM cent),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT c.vec_id, c.v, n.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {d_assign}, n.cell) AS rn
+    FROM c CROSS JOIN centn n) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+probe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, n.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {d_probe}, n.cell) AS rn
+    FROM q CROSS JOIN centn n) WHERE rn <= {nprobe}),
+scored AS (
+  SELECT p.query_id, a.vec_id, round({cos}, 6) AS cosine
+  FROM assign a JOIN probe p ON a.cell = p.cell),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1617,9 +1674,13 @@ FROM scored WHERE raw >= 0.35
 def q_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series FFT (scipy kernel via applyInPandas). The oracle replays
     it as an O(n²) naive DFT in SQL — FFT vs naive-DFT float error is
-    ~1e-10 absolute, far inside the 4-decimal comparison rounding. Series
-    are capped at their latest 128 points so the error bound (∝ n·ε·|X|)
-    holds at ANY scale factor, not just the sf0.01 the gate runs."""
+    ~3e-11 absolute (measured at sf0.01; bounded ∝ n·ε·|X| by the 128-point
+    series cap, so it holds at ANY scale factor). Comparison rounding is the
+    hardened floor-scale at 3 decimals on BOTH engines: plain ``round()``
+    half-way behavior differs between Spark (BigDecimal HALF_UP) and DuckDB
+    (float) — it cost round 3 its one hash failure — while the hardened form
+    only diverges when the two engines' values straddle a 5e-4 boundary,
+    a ~1.6e7× margin over the measured FFT-vs-DFT error."""
     from pyspark.sql import Window
 
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
@@ -1634,9 +1695,9 @@ def q_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
         series_ids=["user_id"],
     )
     out = t.fourier_transform(1.0, "value").df
-    return out.select("user_id", "tp", F.round("freq", 6).alias("freq"),
-                      F.round("ft_real", 4).alias("ft_real"),
-                      F.round("ft_imag", 4).alias("ft_imag"))
+    return out.select("user_id", "tp", _HR6(F.col("freq")).alias("freq"),
+                      _HR3(F.col("ft_real")).alias("ft_real"),
+                      _HR3(F.col("ft_imag")).alias("ft_imag"))
 
 
 # X_k = Σ_n x_n·e^{-2πikn/N} expanded to cos/sin sums; fftfreq(N, 1.0) is
@@ -1663,9 +1724,9 @@ dft AS (
   FROM idx a JOIN idx b ON a.user_id = b.user_id
   GROUP BY a.user_id, a.n, a.tp, a.nn)
 SELECT user_id, tp,
-       round(CASE WHEN k <= (nn - 1) // 2 THEN CAST(k AS DOUBLE) / nn
-                  ELSE CAST(k - nn AS DOUBLE) / nn END, 6) AS freq,
-       round(re, 4) AS ft_real, round(im, 4) AS ft_imag
+       {_hr6('CASE WHEN k <= (nn - 1) // 2 THEN CAST(k AS DOUBLE) / nn '
+             'ELSE CAST(k - nn AS DOUBLE) / nn END')} AS freq,
+       {_hr3('re')} AS ft_real, {_hr3('im')} AS ft_imag
 FROM dft
 """
 
@@ -1695,12 +1756,59 @@ SELECT user_id, ts, 3 AS n_rows, feat_sum FROM ranked WHERE rn > 3
 
 
 def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TSDF.describe(): Spark describe plus series-count / ts-extent /
-    granularity summary rows. Float-string stat rows are engine-internal, so
-    this entry takes the rows-only check."""
+    """TSDF.describe() with a FULL value oracle: the operator's formatted
+    stat strings are engine-internal (Java double formatting), so the entry
+    parses them back to typed values — Double.toString round-trips exactly —
+    and emits engine-neutral columns: numeric stats hardened-rounded at 3
+    decimals (stddev algorithms differ across engines by ~1e-9; the 5e-4
+    boundary gives a huge margin), ts extents as exact epoch-microsecond
+    doubles, granularity as the classification string."""
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    return t.describe()
+    d = t.describe()  # columns: summary, user_id, value (strings)
+    is_ts = F.col("summary").isin("min_ts", "max_ts")
+    is_gran = F.col("summary") == "granularity"
+    uid_v = (
+        F.when(is_ts, F.unix_micros(F.to_timestamp("user_id")).cast("double"))
+        .when(is_gran, F.lit(None).cast("double"))
+        .otherwise(_HR3(F.expr("try_cast(user_id AS DOUBLE)")))
+    )
+    return d.select(
+        "summary",
+        uid_v.alias("user_id_v"),
+        _HR3(F.expr("try_cast(value AS DOUBLE)")).alias("value_v"),
+        F.when(is_gran, F.col("user_id")).alias("str_v"),
+    )
+
+
+# replays every describe() row from the same deduped events: Spark-describe
+# stats (count/mean/stddev/min/max per summarizable column) plus the TSDF
+# extras (series count, ts extent, granularity classification — fmod of
+# epoch-seconds doubles is exact in IEEE, so the class boundaries agree)
+_DESCRIBE_ORACLE = f"""
+WITH {_DE_CTE},
+tsd AS (SELECT epoch_us(ts) / 1000000.0 AS td FROM de)
+SELECT 'count' AS summary,
+       {_hr3('CAST(count(user_id) AS DOUBLE)')} AS user_id_v,
+       {_hr3('CAST(count(value) AS DOUBLE)')} AS value_v,
+       CAST(NULL AS VARCHAR) AS str_v FROM de
+UNION ALL SELECT 'mean', {_hr3('avg(user_id)')}, {_hr3('avg(value)')}, NULL FROM de
+UNION ALL SELECT 'stddev', {_hr3('stddev_samp(user_id)')},
+                 {_hr3('stddev_samp(value)')}, NULL FROM de
+UNION ALL SELECT 'min', {_hr3('CAST(min(user_id) AS DOUBLE)')},
+                 {_hr3('min(value)')}, NULL FROM de
+UNION ALL SELECT 'max', {_hr3('CAST(max(user_id) AS DOUBLE)')},
+                 {_hr3('max(value)')}, NULL FROM de
+UNION ALL SELECT 'unique_time_series_count',
+                 {_hr3('CAST(count(DISTINCT user_id) AS DOUBLE)')}, NULL, NULL FROM de
+UNION ALL SELECT 'min_ts', CAST(epoch_us(min(ts)) AS DOUBLE), NULL, NULL FROM de
+UNION ALL SELECT 'max_ts', CAST(epoch_us(max(ts)) AS DOUBLE), NULL, NULL FROM de
+UNION ALL SELECT 'granularity', NULL, NULL,
+       CASE WHEN max(abs(mod(td, 60))) > 0 THEN 'second'
+            WHEN max(abs(mod(td, 3600))) > 0 THEN 'minute'
+            WHEN max(abs(mod(td, 86400))) > 0 THEN 'hour'
+            ELSE 'day' END FROM tsd
+"""
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1956,6 +2064,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_point_join": _DISJOINT_ORACLE.rsplit("SELECT user_id, min(seg_start)", 1)[0]
             + _INTERVAL_JOIN_SUFFIX,
         "lookback_features": _LOOKBACK_ORACLE,
+        "describe": _DESCRIBE_ORACLE,
         "multimodal_decode": _MULTIMODAL_ORACLE,
         "multimodal_av": _MULTIMODAL_AV_ORACLE,
         "composite_funnel": _COMPOSITE_FUNNEL_ORACLE,
@@ -1967,6 +2076,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "lsh_ann_topk": _lsh_oracle(),
+        "ivf_ann_topk": _ivf_oracle(),
         "embedding_near_dups": _emb_near_dup_oracle(),
         "streaming_resample": _STREAMING_RESAMPLE_ORACLE,
         "minhash_near_dups": _minhash_oracle(),

@@ -37,7 +37,10 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "NaN")
-        return ("f", round(v, 9))
+        # FULL precision: the driver hashes each engine's exact value, so
+        # any normalization here makes the local gate laxer than the real
+        # one — a round(v, 9) masked the round-3 fourier hash failure.
+        return ("f", v)
     if isinstance(v, int):
         return ("i", v)
     return v

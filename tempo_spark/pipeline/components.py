@@ -11,12 +11,26 @@ real corpora; the loop detects convergence and stops early.
 Each round is two shuffles (join + groupBy min) with map-side combine —
 at 100 TB the edge set (near-dup pairs) is orders of magnitude smaller
 than the corpus, so rounds are cheap relative to pair generation.
+
+Scale-critical loop hygiene (an unpersisted iterative loop is quadratic):
+
+- the edge set is persisted once — every round joins against it, and
+  without pinning each round would rescan and re-shuffle the raw pairs;
+- each round's labels are **checkpointed** (``localCheckpoint``, or a
+  reliable ``checkpoint()`` when the session has a checkpoint dir), so
+  round k's plan reads round k-1's materialized partitions instead of
+  re-executing the whole accumulated lineage — O(k) total work, not O(k²);
+- the convergence test is **folded into the label aggregation** (an
+  ``own``-tagged union lets ``min(CASE WHEN own …)`` recover the previous
+  label inside the same groupBy), then read back as a cheap ``max()`` over
+  the just-checkpointed frame — no driver-side recomputation of the round.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 
 def connected_components(
@@ -29,40 +43,64 @@ def connected_components(
     minimum id. Returns (id, component).
 
     ``pairs`` must have two id columns; undirectedness is handled here.
-    """
+
+    Min-label propagation moves the minimum one hop per round, so rounds
+    needed = cluster diameter (near-dup clusters are shallow; the loop
+    stops as soon as a round changes nothing). Each round materializes the
+    label frame via ``localCheckpoint`` — executor-local blocks, recomputed
+    from the persisted edges on executor loss; call
+    ``spark.sparkContext.setCheckpointDir(...)`` first to get durable
+    ``checkpoint()`` snapshots instead (preferred for long jobs on real
+    clusters)."""
+    spark = pairs.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    for _ in range(max_iter):
-        # propagate: candidate label for dst = src's current label
-        prop = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .select(F.col("dst").alias("id"), F.col("component"))
-        )
-        new_labels = (
-            labels.select("id", "component")
-            .union(prop)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-        )
-        # convergence check: any label changed this round?
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    try:
+        for _ in range(max_iter):
+            # propagate: candidate label for dst = src's current label
+            prop = (
+                edges.join(labels, edges["src"] == labels["id"])
+                .select(F.col("dst").alias("id"), F.col("component"))
+            )
+            # own=true marks the node's previous label so one groupBy yields
+            # BOTH the new min-label and whether it changed this round
+            new_labels = (
+                labels.select("id", "component", F.lit(True).alias("__own"))
+                .union(prop.select("id", "component", F.lit(False).alias("__own")))
+                .groupBy("id")
+                .agg(
+                    F.min("component").alias("component"),
+                    (
+                        F.min("component")
+                        != F.min(F.when(F.col("__own"), F.col("component")))
+                    ).alias("__changed"),
+                )
+            )
+            # materialize THIS round; later rounds (and the convergence agg)
+            # read the snapshot, never the accumulated lineage
+            new_labels = (
+                new_labels.checkpoint(eager=True)
+                if reliable
+                else new_labels.localCheckpoint(eager=True)
+            )
+            changed = new_labels.agg(F.max("__changed")).first()[0]
+            # the previous round's checkpoint blocks are released by the
+            # ContextCleaner once the old `labels` reference is dropped here
+            labels = new_labels.drop("__changed")
+            if not changed:
+                break
+    finally:
+        edges.unpersist()
     return labels
 
 

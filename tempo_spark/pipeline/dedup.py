@@ -471,6 +471,11 @@ def simhash_near_dups(
     """Candidate near-dup pairs by SimHash: bucket on 4 × (bits/4)-wide
     chunks (a pair within Hamming distance 3 must agree on ≥1 chunk), then
     verify the exact Hamming distance with ``bit_count``."""
+    if bits % 4 != 0:
+        # chunks at shifts 0/w/2w/3w would silently drop the top bits%4
+        # bits from every chunk, voiding the pigeonhole full-recall
+        # guarantee for max_hamming <= 3
+        raise ValueError(f"bits must be a multiple of 4 (use 32 or 64), got {bits}")
     w = bits // 4
     chunks = F.array(
         *[
@@ -518,6 +523,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: Optional[int] = 1000,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing at least one shingle.
 
@@ -528,7 +534,13 @@ def ngram_jaccard_pairs(
     Shingles are generated with posexplode + ``lead`` windows (whole-stage
     codegen) rather than per-row array HOFs — ~3× faster, and the exploded
     form is what the co-occurrence join needs anyway. Documents shorter than
-    ``shingle_k`` tokens contribute their whole text as one shingle."""
+    ``shingle_k`` tokens contribute their whole text as one shingle.
+
+    ``hash_shingles`` (default on) replaces each shingle string with its
+    ``xxhash64`` long BEFORE the dedup/frequency/co-occurrence shuffles —
+    the exploded shingle relation is the biggest shuffle in this pipeline,
+    and 8-byte keys cut its width severalfold vs k-word strings. Jaccard is
+    count arithmetic, so results are identical up to 2⁻⁶⁴ hash collisions."""
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__pos", "__w"),
@@ -553,7 +565,12 @@ def ngram_jaccard_pairs(
         .where(F.col("__n") < shingle_k)
         .drop("__n")
     )
-    shingled = grams.unionByName(short_docs).distinct()
+    shingled = grams.unionByName(short_docs)
+    if hash_shingles:
+        shingled = shingled.select(
+            F.col(id_col), F.xxhash64("__sh").alias("__sh")
+        )
+    shingled = shingled.distinct()
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("__n"))
     if max_shingle_freq is not None:
         rare = (

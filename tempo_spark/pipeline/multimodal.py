@@ -40,9 +40,24 @@ def with_media_meta_placeholder(df: DataFrame, content_col: str = "content") -> 
 
 
 def repartition_by_bytes(
-    df: DataFrame, size_col: str, total_bytes: int, target_partition_bytes: int = 128 << 20
+    df: DataFrame,
+    size_col: Optional[str] = None,
+    total_bytes: Optional[int] = None,
+    target_partition_bytes: int = 128 << 20,
 ) -> DataFrame:
-    """Spread large binary rows so each partition holds ~target bytes."""
+    """Spread large binary rows so each partition holds ~target bytes.
+
+    Pass ``total_bytes`` when the caller already knows the corpus size
+    (stays fully lazy), or ``size_col`` (a per-row byte count, e.g.
+    ``F.length(content)`` materialized as a column) to measure it here —
+    that path runs ONE eager sum over the column, which parquet statistics
+    usually answer without reading data pages."""
+    if total_bytes is None:
+        if size_col is None:
+            raise ValueError("pass total_bytes or size_col")
+        total_bytes = (
+            df.agg(F.sum(F.col(size_col).cast("long"))).first()[0] or 0
+        )
     n = max(1, int(total_bytes / target_partition_bytes))
     return df.repartition(n)
 
@@ -152,13 +167,16 @@ def sample_video_frames(
     )
 
     def fake_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # stub-only kernel: the row explosion is fine here because frame
+        # counts are tiny and fake; a REAL codec path must decode per-row via
+        # the codec's own batch API, not per-row pandas iteration
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                content = r[content_col]
+            col_lists = {c: pdf[c].tolist() for c in id_cols}
+            for ridx, content in enumerate(pdf[content_col].tolist()):
                 n_frames = 1 + (len(content) % 5 if content is not None else 0)
                 for i in range(n_frames):
-                    row = {c: r[c] for c in id_cols}
+                    row = {c: col_lists[c][ridx] for c in id_cols}
                     row["frame_idx"] = i
                     row["frame_ts_ms"] = i * every_n_ms
                     row["frame"] = bytes(content[:16]) if content is not None else None

@@ -110,10 +110,16 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
     hyperplane bucket. Equi-join on the bucket id → hash join, shuffle
-    proportional to bucket sizes (~n/2^planes per query)."""
+    proportional to bucket sizes (~n/2^planes per query).
+
+    ``dim`` (the embedding width) is required: the hyperplanes are
+    plan-build-time literals, and inferring the width would mean an eager
+    scan of the corpus inside what should be a lazy plan constructor."""
     if dim is None:
-        first = corpus.select(F.size(F.col(corpus_vec)).alias("d")).head(1)
-        dim = first[0]["d"] if first else 0
+        raise ValueError(
+            "pass dim= (the embedding width); hyperplanes are plan-time "
+            "literals, so the width cannot be inferred lazily"
+        )
     planes = random_hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(corpus_id).alias("__cid"),
@@ -133,6 +139,27 @@ def lsh_topk(
         scored.withColumn("__rank", F.row_number().over(w))
         .where(F.col("__rank") <= k)
         .withColumnRenamed("__rank", "rank")
+    )
+
+
+def _cell_scores(vec: Column, centers: list[list[float]]) -> Column:
+    """array<struct<d,cell>> of squared-distance surrogates to each centroid,
+    as a native expression over literal centroid arrays (no shuffle, no UDF).
+    d = ||c||² − 2 v·c = ||v−c||² − ||v||² (the ||v||² term is rank-invariant).
+    ``||c||²`` is folded left-to-right driver-side — the same IEEE op order
+    as a SQL ``list_reduce``, so an external engine can replay d bit-exactly.
+    """
+    return F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(-2.0) * dot(vec, F.array(*[F.lit(x) for x in c]))
+                    + F.lit(sum(x * x for x in c))
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centers)
+        ]
     )
 
 
@@ -160,7 +187,29 @@ class IVFIndex:
         n_centroids: int = 16,
         seed: int = 42,
         max_iter: int = 5,
+        init: str = "kmeans",
     ) -> "IVFIndex":
+        """``init="kmeans"`` (default): MLlib k-means quantizer — best cell
+        balance, engine-specific initialization. ``init="first"``: centroids
+        are the vectors of the ``n_centroids`` smallest ids, no Lloyd
+        iterations — fully deterministic and replayable by any engine (an
+        id-ordered LIMIT + the ``_cell_scores`` argmin), so results can be
+        value-checked cross-engine; cell balance depends on the data.
+        Both are eager at build time (an index build materializes by
+        definition); the "first" collect is n_centroids rows."""
+        if init == "first":
+            proj = corpus.select(
+                F.col(id_col), _as_double(F.col(vec_col)).alias("__vec")
+            )
+            rows = proj.orderBy(id_col).limit(n_centroids).collect()
+            centers = [[float(x) for x in r["__vec"]] for r in rows]
+            nearest = F.element_at(
+                F.array_sort(_cell_scores(F.col("__vec"), centers)), 1
+            ).getField("cell")
+            assigned = proj.withColumn("cell", nearest)
+            return IVFIndex(assigned, centers, id_col, vec_col)
+        if init != "kmeans":
+            raise ValueError(f"unknown init {init!r}; use 'kmeans' or 'first'")
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -198,19 +247,7 @@ class IVFIndex:
     def _probe_cells(self, vec: Column, nprobe: int) -> Column:
         """ids of the nprobe nearest centroids, as a native expression over
         literal centroid arrays (no shuffle, no UDF)."""
-        scored = F.array(
-            *[
-                F.struct(
-                    (
-                        F.lit(-2.0)
-                        * dot(vec, F.array(*[F.lit(x) for x in c]))
-                        + F.lit(sum(x * x for x in c))
-                    ).alias("d"),  # ||v-c||² − ||v||² = ||c||² − 2 v·c
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(self.centers)
-            ]
-        )
+        scored = _cell_scores(vec, self.centers)
         return F.slice(F.array_sort(scored), 1, nprobe).getField("cell")
 
     def topk(
@@ -273,8 +310,10 @@ def embedding_near_dups(
             )
         )
     if dim is None:
-        first = df.select(F.size(F.col(vec_col)).alias("d")).head(1)
-        dim = first[0]["d"] if first else 0
+        raise ValueError(
+            "pass dim= (the embedding width); hyperplanes are plan-time "
+            "literals, so the width cannot be inferred lazily"
+        )
     planes = random_hyperplanes(dim, n_planes, seed)
     v = df.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__vec")

@@ -336,7 +336,11 @@ class TSDF:
           with frame size. min/max/percentiles (not prefix-invertible)
           keep the sliding frame. stddev via the sum-of-squares identity:
           fine when means don't dwarf deviations; prefer "sliding" when
-          |mean| / stddev ≳ 1e6 (catastrophic cancellation).
+          |mean| / stddev ≳ 1e6 (catastrophic cancellation). Integral
+          columns accumulate their running sum in decimal(38,0) — the
+          prefix sum is unbounded even when every frame sum fits a long
+          (ANSI would throw) — and difference back to the same long dtype
+          the sliding strategy emits.
 
         ``stats`` restricts the emitted stats (default: all of mean/count/
         min/max/sum/stddev/zscore). Under heavy series skew, requesting only
@@ -359,9 +363,12 @@ class TSDF:
         def keep(pairs):
             return [e.alias(n) for n, e in pairs if n.split("_", 1)[0] in wanted]
         if strategy == "prefix":
+            from pyspark.sql.types import IntegralType
+
             back_micros = int(rangeBackWindowSecs * 1_000_000)
             w_run = self._growing_window(0)
             w_bound = self._growing_window(-(back_micros + 1))
+            dtypes = {f.name: f.dataType for f in self.df.schema.fields}
             for c in cols:
                 col = F.col(c)
                 # squares in double: an integral col*col overflows (and
@@ -369,13 +376,31 @@ class TSDF:
                 # and the RUNNING sum of squares is unbounded besides
                 col_d = col.cast("double")
                 run_c = F.count(col).over(w_run)
-                run_s = F.sum(col).over(w_run)
                 run_s2 = F.sum(col_d * col_d).over(w_run)
                 cnt = run_c - F.count(col).over(w_bound)
-                sm = F.when(
-                    cnt > 0,
-                    run_s - F.coalesce(F.sum(col).over(w_bound), F.lit(0.0)),
-                )
+                if isinstance(dtypes.get(c), IntegralType):
+                    # the RUNNING prefix sum is unbounded even when every
+                    # sliding-frame sum fits a long (ANSI throws on
+                    # overflow) — accumulate in decimal(38,0) (exact,
+                    # effectively unbounded), difference back to the long
+                    # the sliding strategy emits
+                    acc = col.cast("decimal(28,0)")
+                    sm = F.when(
+                        cnt > 0,
+                        (
+                            F.sum(acc).over(w_run)
+                            - F.coalesce(
+                                F.sum(acc).over(w_bound),
+                                F.lit(0).cast("decimal(38,0)"),
+                            )
+                        ).cast("long"),
+                    )
+                else:
+                    run_s = F.sum(col).over(w_run)
+                    sm = F.when(
+                        cnt > 0,
+                        run_s - F.coalesce(F.sum(col).over(w_bound), F.lit(0.0)),
+                    )
                 s2 = F.when(
                     cnt > 0,
                     run_s2 - F.coalesce(F.sum(col_d * col_d).over(w_bound), F.lit(0.0)),

@@ -14,7 +14,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 entry_mod = importlib.import_module("__spark_entry__")
 
-ROWS_ONLY = {"ivf_ann_topk", "describe"}
+ROWS_ONLY = set()  # every gated entry has a full DuckDB value oracle
 
 
 def test_exactly_fifty_entries():

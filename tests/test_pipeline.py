@@ -184,12 +184,18 @@ class TestSimilarity:
         queries = vectors.where("vec_id = 0").select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        out = similarity.lsh_topk(vectors, queries, k=3, n_planes=2).collect()
+        out = similarity.lsh_topk(vectors, queries, k=3, n_planes=2, dim=3).collect()
         ids = {r.vec_id for r in out}
         assert 0 in ids  # the query itself is always in its own bucket
 
+    def test_lsh_topk_requires_dim(self, vectors):
+        with pytest.raises(ValueError, match="dim"):
+            similarity.lsh_topk(vectors, vectors, k=3, n_planes=2)
+
     def test_embedding_near_dups(self, vectors):
-        pairs = similarity.embedding_near_dups(vectors, threshold=0.95, n_planes=2).collect()
+        pairs = similarity.embedding_near_dups(
+            vectors, threshold=0.95, n_planes=2, dim=3
+        ).collect()
         found = {(r.id_a, r.id_b) for r in pairs}
         assert (0, 1) in found
         assert (2, 3) in found
@@ -321,6 +327,47 @@ class TestConnectedComponents:
         )
         comps = {r.id: r.component for r in connected_components(pairs).collect()}
         assert set(comps.values()) == {0}
+
+    def test_lineage_bounded_across_rounds(self, spark):
+        """The iterative loop must checkpoint each round: the returned frame
+        reads the LAST round's materialized snapshot, not the accumulated
+        join/union lineage (which would be O(k²) total work at scale)."""
+        from tempo_spark.pipeline.components import connected_components
+
+        # 12-hop chain → ≥12 propagation rounds at max_iter=20
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+        )
+        labels = connected_components(pairs, max_iter=20)
+        plan = labels._jdf.queryExecution().analyzed().toString()
+        # a checkpointed result is a scan (+ projection) — no join/aggregate
+        # chain may survive into the final plan regardless of round count
+        assert "Join" not in plan and "Aggregate" not in plan, plan
+        comps = {r.id: r.component for r in labels.collect()}
+        assert set(comps.values()) == {0} and len(comps) == 13
+
+    def test_reliable_checkpoint_dir_used(self, spark, tmp_path):
+        from tempo_spark.pipeline.components import connected_components
+
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        try:
+            pairs = spark.createDataFrame(
+                [(1, 2), (2, 3)], "id_a long, id_b long"
+            )
+            comps = {
+                r.id: r.component for r in connected_components(pairs).collect()
+            }
+            assert comps == {1: 1, 2: 1, 3: 1}
+            # the reliable path actually wrote snapshot files
+            assert any((tmp_path / "ckpt").rglob("*"))
+        finally:
+            # clear the dir (tmp_path is deleted after this test; leaving it
+            # set would break later checkpoints) — Scala var setter via py4j
+            sc = spark.sparkContext
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.empty()
+            )
+            assert sc.getCheckpointDir() is None
 
 
 class TestStreamingBars:
