@@ -1907,56 +1907,145 @@ FROM (
 _STREAM_SEQ = itertools.count()
 
 
-def q_streaming_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming tumbling-window resample over a bounded replay of
-    the events table: readStream → streaming_resample (the same F.window plan
-    the batch path builds, plus a watermark) → availableNow trigger into a
-    memory sink. Complete output mode emits every window, so the result
-    equals the batch hourly resample exactly — a FULL value oracle on a
-    streaming query. The unbounded-production path is append mode +
-    watermark-driven state eviction (tests/test_streaming.py covers it)."""
+def _stream_events_src(spark: SparkSession, sf_dir: str, raw_schema) -> DataFrame:
+    """File-stream the events table (the file source requires a directory
+    basePath — stream the sf_dir, glob-filtered down to events.parquet)."""
+    return _normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO Structured Streaming operators over a bounded replay of the
+    events table, union-tagged, each with a FULL value oracle:
+
+    - ``resample``: readStream → streaming_resample (the same F.window plan
+      the batch path builds, plus a watermark) → availableNow into a memory
+      sink. Complete output mode emits every window, so the result equals
+      the batch hourly resample exactly.
+    - ``asof``: the single-query append-mode streaming as-of
+      (``applyInPandasWithState``) with watermark delay 0. Append mode emits
+      a left row once the watermark passes its event time; availableNow's
+      end-of-stream no-data batch fires the remaining event-time timeouts,
+      so the emitted set is EXACTLY the batch as-of join restricted to
+      ``l.ts <= min(max left ts, max right ts)`` (the final global
+      watermark = min over sources of max event time). The right stream is
+      pre-deduped to max(value) per (user_id, ts) — the in-state tie-break
+      for duplicate right timestamps follows arrival order, which no
+      engine-neutral oracle could replay.
+
+    The unbounded-production paths (append windows, state eviction,
+    out-of-order arrival) are covered in tests/test_streaming*.py."""
+    import tempfile
+
     from tempo_spark.streaming import streaming_resample
+    from tempo_spark.streaming.asof import streaming_asof
 
     # same layout-adaptivity as _read: a TIMESTAMP(NANOS) snapshot fails
     # schema inference without the legacy conf (this entry may run before
     # any _read call sets it)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # the file stream source requires a directory basePath — stream the
-    # sf_dir and glob-filter down to the events table
-    src = (
-        spark.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = _normalize_event_ts(src).withColumn(
+    seq = next(_STREAM_SEQ)
+
+    ev = _stream_events_src(spark, sf_dir, raw.schema).withColumn(
         "cents", F.round(F.col("value") * 100).cast("long")
     )
-    out = streaming_resample(
+    rs_out = streaming_resample(
         ev, "ts", ["user_id"], "1 hour", agg="mean", metric_cols=["cents"]
     )
-    qname = f"q_streaming_resample_{next(_STREAM_SEQ)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(qname)
+    qn_rs = f"q_streaming_resample_{seq}"
+    q_rs = (
+        rs_out.writeStream.format("memory")
+        .queryName(qn_rs)
         .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    return spark.table(qname).select(
-        "user_id",
-        F.col("ts").alias("bucket_ts"),
-        _HR6(F.col("cents") / 100).alias("mean_v"),
+
+    # deterministic right side for the as-of: dedupe purchases batch-side
+    # and replay the result as its own file stream
+    rdir = tempfile.mkdtemp(prefix="tempo_stream_asof_right_")
+    (
+        _normalize_event_ts(raw)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("q"))
+        .write.mode("overwrite")
+        .parquet(rdir)
     )
+    left = _stream_events_src(spark, sf_dir, raw.schema).where(
+        F.col("event_type") == "click"
+    ).select("user_id", "ts", "value")
+    right = spark.readStream.schema(
+        spark.read.parquet(rdir).schema
+    ).parquet(rdir)
+    asof_out = streaming_asof(
+        left, right, ["user_id"], left_ts="ts", right_ts="ts",
+        lookback_seconds=7200, watermark="0 seconds",
+    )
+    qn_asof = f"q_streaming_asof_{seq}"
+    q_asof = (
+        asof_out.writeStream.format("memory")
+        .queryName(qn_asof)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_rs.awaitTermination()
+    q_asof.awaitTermination()
+
+    rs = spark.table(qn_rs).select(
+        F.lit("resample").alias("tag"),
+        "user_id",
+        F.col("ts").alias("ts"),
+        F.lit(None).cast("timestamp").alias("rts"),
+        F.lit(None).cast("double").alias("lv"),
+        _HR6(F.col("cents") / 100).alias("v"),
+    )
+    asf = spark.table(qn_asof).select(
+        F.lit("asof").alias("tag"),
+        "user_id",
+        "ts",
+        F.col("right_ts").alias("rts"),
+        F.col("value").alias("lv"),
+        F.col("right_q").alias("v"),
+    )
+    return rs.unionByName(asf)
 
 
-# raw events (no dedup — chaining a dedup agg before the windowed agg would
-# be a second stateful operator); per-row integer cents keep avg() exact
-_STREAMING_RESAMPLE_ORACLE = """
-SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
-       floor((avg(CAST(round(value * 100) AS BIGINT)) / 100) * 1000000 + 0.5) / 1000000 AS mean_v
-FROM events GROUP BY user_id, bucket_ts
+# resample: raw events (no dedup — chaining a dedup agg before the windowed
+# agg would be a second stateful operator); per-row integer cents keep avg()
+# exact. asof: DuckDB ASOF JOIN against the deduped purchase side, lookback
+# band applied post-join, restricted to the final streaming watermark.
+_STREAMING_OPS_ORACLE = """
+WITH l AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, max(value) AS q FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id, ts),
+wm AS (
+  -- NULL (no emission) when either stream is empty: its watermark never
+  -- advances. DuckDB's least() skips NULLs, so guard explicitly.
+  SELECT CASE WHEN (SELECT max(ts) FROM l) IS NULL
+                OR (SELECT max(ts) FROM r) IS NULL THEN NULL
+              ELSE least((SELECT max(ts) FROM l), (SELECT max(ts) FROM r))
+         END AS w)
+SELECT 'resample' AS tag, user_id,
+       time_bucket(INTERVAL '1 hour', ts) AS ts,
+       CAST(NULL AS TIMESTAMP) AS rts, CAST(NULL AS DOUBLE) AS lv,
+       floor((avg(CAST(round(value * 100) AS BIGINT)) / 100) * 1000000 + 0.5) / 1000000 AS v
+FROM events GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
+UNION ALL
+SELECT 'asof' AS tag, user_id, ts,
+       CASE WHEN in_band THEN rts END AS rts, lv,
+       CASE WHEN in_band THEN q END AS v
+FROM (
+  SELECT l.user_id, l.ts, l.value AS lv, r.ts AS rts, r.q,
+         r.ts IS NOT NULL AND r.ts >= l.ts - INTERVAL 7200 SECONDS AS in_band
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+  WHERE l.ts <= (SELECT w FROM wm))
 """
 
 
@@ -2025,7 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe": q_describe,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_av": q_multimodal_av,
-        "streaming_resample": q_streaming_resample,
+        "streaming_ops": q_streaming_ops,
     }
 
 
@@ -2078,7 +2167,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_oracle(),
         "ivf_ann_topk": _ivf_oracle(),
         "embedding_near_dups": _emb_near_dup_oracle(),
-        "streaming_resample": _STREAMING_RESAMPLE_ORACLE,
+        "streaming_ops": _STREAMING_OPS_ORACLE,
         "minhash_near_dups": _minhash_oracle(),
         "simhash_near_dups": _simhash_oracle(),
         "near_dedup_canonical": _near_dedup_oracle(),

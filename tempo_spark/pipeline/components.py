@@ -38,20 +38,33 @@ def connected_components(
     max_iter: int = 10,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    algorithm: str = "pointer",
 ) -> DataFrame:
     """Label each node reachable through pair edges with its component's
     minimum id. Returns (id, component).
 
     ``pairs`` must have two id columns; undirectedness is handled here.
 
-    Min-label propagation moves the minimum one hop per round, so rounds
-    needed = cluster diameter (near-dup clusters are shallow; the loop
-    stops as soon as a round changes nothing). Each round materializes the
-    label frame via ``localCheckpoint`` — executor-local blocks, recomputed
-    from the persisted edges on executor loss; call
+    ``algorithm``:
+
+    - ``"pointer"`` (default): each round propagates min labels one hop and
+      then SHORTCUTS every label through its own label
+      (``component := component[component]``, the classic pointer-jumping
+      step), roughly halving remaining chain depth per round — fixpoint in
+      O(log diameter) rounds. The safe default: boilerplate-heavy corpora
+      chain near-dups into long paths, and ``max_iter=10`` already covers
+      diameters ~2¹⁰.
+    - ``"label"``: plain one-hop min-label propagation — one join less per
+      round, rounds = diameter. Fine when clusters are known-shallow.
+
+    The loop stops as soon as a round changes nothing. Each round
+    materializes the label frame via ``localCheckpoint`` — executor-local
+    blocks, recomputed from the persisted edges on executor loss; call
     ``spark.sparkContext.setCheckpointDir(...)`` first to get durable
     ``checkpoint()`` snapshots instead (preferred for long jobs on real
     clusters)."""
+    if algorithm not in ("pointer", "label"):
+        raise ValueError(f"algorithm must be 'pointer' or 'label', got {algorithm!r}")
     spark = pairs.sparkSession
     reliable = spark.sparkContext.getCheckpointDir() is not None
     edges = (
@@ -80,11 +93,26 @@ def connected_components(
                 .groupBy("id")
                 .agg(
                     F.min("component").alias("component"),
-                    (
-                        F.min("component")
-                        != F.min(F.when(F.col("__own"), F.col("component")))
-                    ).alias("__changed"),
+                    F.min(F.when(F.col("__own"), F.col("component"))).alias("__old"),
                 )
+            )
+            if algorithm == "pointer":
+                # shortcut: component := component[component]. Every
+                # component value is itself a node id, so the self-join is
+                # total; min-labels only ever decrease, so following the
+                # pointer stays within the component and roughly halves the
+                # remaining chain depth
+                hop = new_labels.select(
+                    F.col("id").alias("__cid"), F.col("component").alias("__cc")
+                )
+                new_labels = (
+                    new_labels.join(hop, new_labels["component"] == hop["__cid"])
+                    .select("id", F.col("__cc").alias("component"), "__old")
+                )
+            new_labels = new_labels.select(
+                "id",
+                "component",
+                (F.col("component") != F.col("__old")).alias("__changed"),
             )
             # materialize THIS round; later rounds (and the convergence agg)
             # read the snapshot, never the accumulated lineage
@@ -118,10 +146,9 @@ def near_dedup(
     canonical representative is the min (or max) id of the connected
     component. Rows not in any pair are kept untouched.
 
-    ``max_iter`` bounds the label-propagation rounds; propagation moves the
-    min id ONE hop per round, so it must be ≥ the largest cluster's
-    diameter or far-end members keep non-minimal labels (boilerplate-heavy
-    corpora can chain near-dups — raise it when cluster diameters grow)."""
+    ``max_iter`` bounds the propagation rounds. The default pointer-jumping
+    algorithm converges in O(log diameter) rounds, so 20 covers any
+    realistic cluster (diameter ~2²⁰); the loop early-exits at fixpoint."""
     comps = connected_components(pairs, max_iter=max_iter)
     agg = F.min("id") if keep == "min" else F.max("id")
     canonical = comps.groupBy("component").agg(agg.alias("__keep"))

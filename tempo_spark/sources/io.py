@@ -46,9 +46,14 @@ def write_tsdf(
     ts, series = tsdf.ts_col, list(tsdf.series_ids)
     opt_cols = list(optimization_cols or []) + [ts]
 
+    # event_time matches the reference's table schema exactly: the time-of-day
+    # digits as an HHMMSS.ffffff double (reference: python/tempo/io.py:33-39),
+    # so tables written by either library diff clean
     df = tsdf.df.withColumn("event_dt", F.to_date(F.col(ts))).withColumn(
         "event_time",
-        F.date_format(F.col(ts), "HH:mm:ss.SSS"),
+        F.translate(F.split(F.col(ts).cast("string"), " ")[1], ":", "").cast(
+            "double"
+        ),
     )
 
     use_delta = _delta_available(spark)

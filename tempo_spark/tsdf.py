@@ -121,6 +121,44 @@ class TSDF:
         kw.update(overrides)
         return TSDF(df, **kw)
 
+    # ------------------------------------------------------- constructors
+
+    @classmethod
+    def fromStringTs(
+        cls,
+        df: DataFrame,
+        ts_col: str = "event_ts",
+        series_ids: Optional[Sequence[str]] = None,
+        sequence_col: Optional[str] = None,
+        *,
+        nanos: bool = False,
+        partition_cols: Optional[Sequence[str]] = None,
+    ) -> "TSDF":
+        """Construct a TSDF from a frame whose ``ts_col`` is a STRING — the
+        reference constructor's implicit string→timestamp conversion
+        (reference: python/tempo/tsdf.py:70,131-161), made explicit and LAZY:
+        the conversion is a column expression in the returned plan
+        (``to_timestamp``, or the nanosecond-preserving double parse with
+        ``nanos=True``), never an eager scan.
+
+        A ``ts_col`` that is already time-like passes through unchanged, so
+        reference idioms like ``TSDF(df, "string_timestamp", ...)`` port as
+        ``TSDF.fromStringTs(df, "string_timestamp", ...)`` regardless of the
+        incoming column type.
+        """
+        if series_ids is None and partition_cols is not None:
+            series_ids = partition_cols
+        dtype = df.schema[ts_col].dataType if ts_col in df.columns else None
+        if isinstance(dtype, StringType):
+            if nanos:
+                from tempo_spark.functions.timestamps import parse_nanos_timestamp
+
+                df = parse_nanos_timestamp(df, ts_col)
+            else:
+                df = df.withColumn(ts_col, F.to_timestamp(F.col(ts_col)))
+        return cls(df, ts_col=ts_col, series_ids=series_ids,
+                   sequence_col=sequence_col)
+
     # ------------------------------------------------------- metadata setters
 
     def withTsCol(self, ts_col: str) -> "TSDF":
@@ -203,8 +241,17 @@ class TSDF:
             raise ValueError(f"cannot drop structural columns {sorted(structural)}")
         return self._with_df(self.df.drop(*cols))
 
-    def show(self, n: int = 20, truncate: bool = True, vertical: bool = False) -> None:
-        self.df.orderBy(*self.series_ids, self.ts_col).show(n, truncate, vertical)
+    def show(
+        self, n: int = 20, k: int = 5, truncate: bool = True, vertical: bool = False
+    ) -> None:
+        """Show the ``k`` most recent records per series (reference:
+        python/tempo/tsdf.py:579-618 — same ``k <= n`` contract), series-
+        then-time ordered."""
+        if k > n:
+            raise ValueError(f"Parameter k {k} cannot be greater than parameter n {n}")
+        from tempo_spark.utils import get_display_df
+
+        get_display_df(self, k).show(n, truncate, vertical)
 
     def __repr__(self) -> str:
         return (
@@ -282,19 +329,29 @@ class TSDF:
         fraction: float = 0.5,
         skipNulls: bool = True,
         sql_join_opt: bool = False,
-        suppress_null_warning: bool = False,  # reference-API compat; no eager warning here
+        suppress_null_warning: bool = False,  # reference-API compat; see below
         tolerance: Optional[float] = None,
         direction: str = "backward",
+        check_null_lookback: bool = False,
     ) -> "TSDF":
         """For each left row, attach the latest right row with
         ``right.ts <= left.ts`` within the same series
         (reference: python/tempo/tsdf.py:752-947); ``direction`` extends to
         forward/nearest matches (pandas ``merge_asof`` semantics, beyond the
         reference). See ``tempo_spark.operators.asof`` for strategies and
-        scale notes."""
+        scale notes.
+
+        The reference's skew path EAGERLY warns when a right column has no
+        values inside the lookback window (reference:
+        python/tempo/tsdf.py:300-338, gated by ``suppress_null_warning``).
+        Operators here never run eager actions, so that check is opt-in:
+        pass ``check_null_lookback=True`` to run ONE aggregate over the
+        join result (a deliberate action) and log a warning for each right
+        column that matched nothing; ``suppress_null_warning`` is accepted
+        for API compatibility and implies nothing when the check is off."""
         from tempo_spark.operators.asof import asof_join
 
-        return asof_join(
+        result = asof_join(
             self,
             right,
             left_prefix=left_prefix,
@@ -306,6 +363,25 @@ class TSDF:
             tolerance=tolerance,
             direction=direction,
         )
+        if check_null_lookback and not suppress_null_warning:
+            import logging
+
+            right_cols = [
+                c for c in result.df.columns
+                if c.startswith(f"{right_prefix}_")
+            ]
+            if right_cols:
+                counts = result.df.agg(
+                    *[F.count(F.col(c)).alias(c) for c in right_cols]
+                ).first()
+                for c in right_cols:
+                    if counts[c] == 0:
+                        logging.getLogger(__name__).warning(
+                            "column %s had no values within the lookback "
+                            "window — all as-of matches are null",
+                            c,
+                        )
+        return result
 
     # ------------------------------------------------------- window analytics
 

@@ -222,6 +222,41 @@ class TestAsofEdgeCases:
         out = left.asofJoin(right, left_prefix="l").df.collect()
         assert len(out) == 1 and out[0].right_q is None
 
+    def test_null_lookback_warning_opt_in(self, spark, caplog):
+        """check_null_lookback=True replays the reference's empty-lookback
+        warning (reference python/tempo/tsdf.py:300-338) as an explicit
+        opt-in action; default stays fully lazy."""
+        import logging
+
+        left = TSDF(
+            spark.createDataFrame(
+                [("A", ts("2020-01-01 00:00:10"), 1.0)],
+                "k string, event_ts timestamp, v double",
+            ),
+            series_ids=["k"],
+        )
+        right = TSDF(
+            spark.createDataFrame(
+                [("A", ts("2020-06-01 00:00:00"), 9.0)],  # only AFTER left
+                "k string, event_ts timestamp, q double",
+            ),
+            series_ids=["k"],
+        )
+        with caplog.at_level(logging.WARNING, logger="tempo_spark.tsdf"):
+            out = left.asofJoin(
+                right, left_prefix="l", check_null_lookback=True
+            ).df.collect()
+        assert out[0].right_q is None
+        assert any("no values within the lookback" in r.message for r in caplog.records)
+        # suppress flag mutes it
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger="tempo_spark.tsdf"):
+            left.asofJoin(
+                right, left_prefix="l",
+                check_null_lookback=True, suppress_null_warning=True,
+            ).df.collect()
+        assert not caplog.records
+
 
 class TestAsofDirections:
     @pytest.fixture(scope="class")

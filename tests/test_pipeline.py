@@ -328,6 +328,27 @@ class TestConnectedComponents:
         comps = {r.id: r.component for r in connected_components(pairs).collect()}
         assert set(comps.values()) == {0}
 
+    def test_pointer_jumping_log_rounds(self, spark):
+        """Pointer jumping must close a 31-hop chain in ≤6 rounds (log
+        diameter); one-hop label propagation provably cannot."""
+        from tempo_spark.pipeline.components import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(31)], "id_a long, id_b long"
+        )
+        comps = {
+            r.id: r.component
+            for r in connected_components(pairs, max_iter=6).collect()
+        }
+        assert set(comps.values()) == {0} and len(comps) == 32
+        lab = {
+            r.id: r.component
+            for r in connected_components(
+                pairs, max_iter=6, algorithm="label"
+            ).collect()
+        }
+        assert set(lab.values()) != {0}
+
     def test_lineage_bounded_across_rounds(self, spark):
         """The iterative loop must checkpoint each round: the returned frame
         reads the LAST round's materialized snapshot, not the accumulated

@@ -33,6 +33,38 @@ class TestConstruction:
         t = TSDF(trades, ts_col="event_ts", partition_cols=["symbol"])
         assert t.series_ids == ["symbol"]
 
+    def test_from_string_ts(self, spark):
+        # the reference's string_timestamp construction idiom, ported 1:1
+        df = spark.createDataFrame(
+            [("a", "2020-09-01 14:30:00", 1.0), ("a", "2020-09-01 15:00:00", 2.0)],
+            "k string, string_timestamp string, v double",
+        )
+        t = TSDF.fromStringTs(df, "string_timestamp", series_ids=["k"])
+        assert dict(t.df.dtypes)["string_timestamp"] == "timestamp"
+        rows = t.latest(1).df.collect()
+        assert len(rows) == 1 and rows[0].v == 2.0
+
+    def test_from_string_ts_nanos(self, spark):
+        df = spark.createDataFrame(
+            [("a", "2020-01-01 00:00:00.123456789")], "k string, t string"
+        )
+        t = TSDF.fromStringTs(df, "t", series_ids=["k"], nanos=True)
+        assert dict(t.df.dtypes)["t"] == "double"
+        [row] = t.df.collect()
+        # sub-microsecond digits survive (to_timestamp would truncate)
+        assert abs(row.t - 1577836800.123456789) < 1e-9
+
+    def test_from_string_ts_passthrough(self, trades):
+        t = TSDF.fromStringTs(trades, "event_ts", series_ids=["symbol"])
+        assert dict(t.df.dtypes)["event_ts"] == "timestamp"
+
+    def test_show_k_validation(self, tsdf, capsys):
+        with pytest.raises(ValueError, match="cannot be greater"):
+            tsdf.show(n=3, k=5)
+        tsdf.show(n=10, k=1)  # k most-recent per series
+        out = capsys.readouterr().out
+        assert "362.1" in out and "349.21" not in out
+
 
 class TestSlicing:
     def test_at(self, tsdf):

@@ -94,6 +94,27 @@ class TestPythonFreePlans:
         assert count_python_evals(t.fourier_transform(1.0, "trade_pr").df) == 1
 
 
+class TestWriter:
+    def test_write_tsdf_reference_table_shape(self, spark, trades):
+        from tempo_spark import TSDF
+        from tempo_spark.sources.io import write_tsdf
+
+        t = TSDF(trades, ts_col="event_ts", series_ids=["symbol"])
+        write_tsdf(t, spark, "t_evt_shape")
+        try:
+            out = spark.table("t_evt_shape")
+            dtypes = dict(out.dtypes)
+            # reference table schema: event_dt date partition + event_time
+            # HHMMSS.ffffff double (reference: python/tempo/io.py:33-39)
+            assert dtypes["event_dt"] == "date"
+            assert dtypes["event_time"] == "double"
+            row = out.where("symbol = 'S1'").orderBy("event_ts").first()
+            assert row.event_time == 10.0  # 00:00:10 -> 000010 -> 10.0
+            assert out.count() == trades.count()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_evt_shape")
+
+
 class TestReader:
     def test_read_parquet_tsdf(self, spark, tmp_path, trades):
         from tempo_spark.sources.io import read_parquet_tsdf
