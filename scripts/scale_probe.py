@@ -8,6 +8,9 @@ configurable number of series, and an optional monster-series skew fraction.
 Usage:
     python scripts/scale_probe.py            # 1M / 4M / 16M rows
     python scripts/scale_probe.py --skew     # 16M rows, 50% in one series
+    python scripts/scale_probe.py --cc       # connected components: pointer
+                                             # jumping vs label propagation
+                                             # on 2M nodes in 64-hop chains
 """
 
 from __future__ import annotations
@@ -111,8 +114,48 @@ def probe(spark, n_rows: int, n_series: int, skew_frac: float = 0.0) -> dict:
     return out
 
 
+def cc_probe(spark, n_nodes: int, chain_len: int) -> dict:
+    """Connected components on the label-propagation worst case: id-ordered
+    chains (the min label moves ONE hop per plain round). Reports
+    wall-clock to fixpoint for pointer jumping (O(log chain) rounds) vs
+    one-hop label propagation (O(chain) rounds), verifying both resolved
+    the full chain depth."""
+    from tempo_spark.pipeline.components import connected_components
+
+    edges = (
+        spark.range(n_nodes)
+        .where((F.col("id") + 1) % chain_len != 0)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    out: dict = {"nodes": n_nodes, "chain_len": chain_len}
+    for algo, iters in (("pointer", 20), ("label", chain_len + 1)):
+        t0 = time.monotonic()
+        comps = connected_components(edges, max_iter=iters, algorithm=algo)
+        depth = comps.agg(F.max(F.col("id") - F.col("component"))).first()[0]
+        dt = time.monotonic() - t0
+        out[algo] = {
+            "sec": round(dt, 1),
+            "max_depth_resolved": int(depth),
+            "converged": depth == chain_len - 1,
+        }
+    return out
+
+
 def main():
     skew = "--skew" in sys.argv
+    if "--cc" in sys.argv:
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "64")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "24g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps(cc_probe(spark, 2_000_000, 64)))
+        spark.stop()
+        return
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("tempo_spark-scale-probe")
