@@ -1918,7 +1918,7 @@ def _stream_events_src(spark: SparkSession, sf_dir: str, raw_schema) -> DataFram
 
 
 def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TWO Structured Streaming operators over a bounded replay of the
+    """THREE Structured Streaming operators over a bounded replay of the
     events table, union-tagged, each with a FULL value oracle:
 
     - ``resample``: readStream → streaming_resample (the same F.window plan
@@ -1935,12 +1935,22 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       pre-deduped to max(value) per (user_id, ts) — the in-state tie-break
       for duplicate right timestamps follows arrival order, which no
       engine-neutral oracle could replay.
+    - ``interp``: streaming interpolation (``applyInPandasWithState``
+      gap-filled grid): 6-hour mean buckets finalize as the watermark
+      passes their end; empty interior grid buckets emit linearly
+      interpolated values. Exact-integer cents keep the bucket means
+      bit-replayable; the linear fill is a fixed IEEE op sequence over
+      epoch-microsecond doubles.
+
+    Spark's watermark is the max event time TRUNCATED TO MILLISECONDS
+    (``getCurrentWatermarkMs``), so both append-mode oracles truncate the
+    same way before gating on it.
 
     The unbounded-production paths (append windows, state eviction,
     out-of-order arrival) are covered in tests/test_streaming*.py."""
     import tempfile
 
-    from tempo_spark.streaming import streaming_resample
+    from tempo_spark.streaming import streaming_interpolate, streaming_resample
     from tempo_spark.streaming.asof import streaming_asof
 
     # same layout-adaptivity as _read: a TIMESTAMP(NANOS) snapshot fails
@@ -1995,8 +2005,25 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+
+    interp_src = _stream_events_src(spark, sf_dir, raw.schema).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    interp_out = streaming_interpolate(
+        interp_src, "ts", ["user_id"], freq="6 hours", metric_col="cents",
+        agg="mean", method="linear", watermark="0 seconds",
+    )
+    qn_interp = f"q_streaming_interp_{seq}"
+    q_interp = (
+        interp_out.writeStream.format("memory")
+        .queryName(qn_interp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
     q_rs.awaitTermination()
     q_asof.awaitTermination()
+    q_interp.awaitTermination()
 
     rs = spark.table(qn_rs).select(
         F.lit("resample").alias("tag"),
@@ -2005,6 +2032,7 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("rts"),
         F.lit(None).cast("double").alias("lv"),
         _HR6(F.col("cents") / 100).alias("v"),
+        F.lit(None).cast("boolean").alias("flag"),
     )
     asf = spark.table(qn_asof).select(
         F.lit("asof").alias("tag"),
@@ -2013,14 +2041,28 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("right_ts").alias("rts"),
         F.col("value").alias("lv"),
         F.col("right_q").alias("v"),
+        F.lit(None).cast("boolean").alias("flag"),
     )
-    return rs.unionByName(asf)
+    itp = spark.table(qn_interp).select(
+        F.lit("interp").alias("tag"),
+        "user_id",
+        F.col("bucket_ts").alias("ts"),
+        F.lit(None).cast("timestamp").alias("rts"),
+        F.lit(None).cast("double").alias("lv"),
+        _HR6(F.col("cents") / 100).alias("v"),
+        F.col("is_interpolated").alias("flag"),
+    )
+    return rs.unionByName(asf).unionByName(itp)
 
 
 # resample: raw events (no dedup — chaining a dedup agg before the windowed
 # agg would be a second stateful operator); per-row integer cents keep avg()
 # exact. asof: DuckDB ASOF JOIN against the deduped purchase side, lookback
 # band applied post-join, restricted to the final streaming watermark.
+# interp: observed 6h buckets gated on the watermark passing their end,
+# interior gaps linearly interpolated over epoch-microsecond positions.
+# Append-mode watermarks are MILLISECOND-truncated (epoch_us // 1000 * 1000)
+# to match Spark's getCurrentWatermarkMs exactly at the boundary.
 _STREAMING_OPS_ORACLE = """
 WITH l AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
 r AS (SELECT user_id, ts, max(value) AS q FROM events
@@ -2030,22 +2072,55 @@ wm AS (
   -- advances. DuckDB's least() skips NULLs, so guard explicitly.
   SELECT CASE WHEN (SELECT max(ts) FROM l) IS NULL
                 OR (SELECT max(ts) FROM r) IS NULL THEN NULL
-              ELSE least((SELECT max(ts) FROM l), (SELECT max(ts) FROM r))
-         END AS w)
+              ELSE epoch_us(least((SELECT max(ts) FROM l),
+                                  (SELECT max(ts) FROM r))) // 1000 * 1000
+         END AS w_us),
+ec AS (SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+iwm AS (SELECT epoch_us(max(ts)) // 1000 * 1000 AS w_us FROM events),
+obs AS (
+  SELECT user_id, time_bucket(INTERVAL '6 hours', ts) AS b,
+         CAST(sum(cents) AS DOUBLE) / count(*) AS bv
+  FROM ec GROUP BY user_id, time_bucket(INTERVAL '6 hours', ts)
+  HAVING epoch_us(time_bucket(INTERVAL '6 hours', ts)) + 21600000000
+         <= (SELECT w_us FROM iwm)),
+seq AS (
+  SELECT user_id, b, bv,
+         lead(b) OVER (PARTITION BY user_id ORDER BY b) AS nb,
+         lead(bv) OVER (PARTITION BY user_id ORDER BY b) AS nbv
+  FROM obs)
 SELECT 'resample' AS tag, user_id,
        time_bucket(INTERVAL '1 hour', ts) AS ts,
        CAST(NULL AS TIMESTAMP) AS rts, CAST(NULL AS DOUBLE) AS lv,
-       floor((avg(CAST(round(value * 100) AS BIGINT)) / 100) * 1000000 + 0.5) / 1000000 AS v
+       floor((avg(CAST(round(value * 100) AS BIGINT)) / 100) * 1000000 + 0.5) / 1000000 AS v,
+       CAST(NULL AS BOOLEAN) AS flag
 FROM events GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
 UNION ALL
 SELECT 'asof' AS tag, user_id, ts,
        CASE WHEN in_band THEN rts END AS rts, lv,
-       CASE WHEN in_band THEN q END AS v
+       CASE WHEN in_band THEN q END AS v,
+       CAST(NULL AS BOOLEAN) AS flag
 FROM (
   SELECT l.user_id, l.ts, l.value AS lv, r.ts AS rts, r.q,
          r.ts IS NOT NULL AND r.ts >= l.ts - INTERVAL 7200 SECONDS AS in_band
   FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-  WHERE l.ts <= (SELECT w FROM wm))
+  WHERE epoch_us(l.ts) <= (SELECT w_us FROM wm))
+UNION ALL
+SELECT 'interp' AS tag, user_id, b AS ts,
+       CAST(NULL AS TIMESTAMP) AS rts, CAST(NULL AS DOUBLE) AS lv,
+       floor((bv / 100) * 1000000 + 0.5) / 1000000 AS v,
+       false AS flag
+FROM obs
+UNION ALL
+SELECT 'interp' AS tag, user_id, g AS ts,
+       CAST(NULL AS TIMESTAMP) AS rts, CAST(NULL AS DOUBLE) AS lv,
+       floor(((bv + (nbv - bv) * (CAST(epoch_us(g) - epoch_us(b) AS DOUBLE)
+                                  / CAST(epoch_us(nb) - epoch_us(b) AS DOUBLE)))
+              / 100) * 1000000 + 0.5) / 1000000 AS v,
+       true AS flag
+FROM seq, UNNEST(generate_series(b + INTERVAL '6 hours',
+                                 nb - INTERVAL '6 hours',
+                                 INTERVAL '6 hours')) AS t(g)
+WHERE nb IS NOT NULL
 """
 
 

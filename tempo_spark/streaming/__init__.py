@@ -5,6 +5,7 @@ from tempo_spark.streaming.asof import (
     streaming_asof,
     streaming_asof_candidates,
 )
+from tempo_spark.streaming.interpolate import streaming_interpolate
 from tempo_spark.streaming.resample import (
     streaming_bars,
     streaming_grouped_stats,
@@ -18,6 +19,7 @@ __all__ = [
     "streaming_asof_candidates",
     "streaming_bars",
     "streaming_grouped_stats",
+    "streaming_interpolate",
     "streaming_resample",
     "streaming_sessionize",
 ]
