@@ -65,9 +65,17 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
 
 
 def _dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events deduped to unique (user_id, ts) with exact integer cents."""
+    """events deduped to unique (user_id, ts) with exact integer cents.
+
+    The up-front repartition on user_id is the one shuffle the whole
+    downstream chain needs: subset-hash partitioning satisfies the dedup
+    groupBy, any resample groupBy, and every per-series window, so entries
+    run scan → 1 exchange → aggregations/windows with zero further
+    exchanges (events has few duplicates, so shuffling raw rows costs the
+    same bytes as shuffling pre-combined ones)."""
     return (
         _read(spark, sf_dir, "events")
+        .repartition("user_id")
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("value"))
         .withColumn("cents", F.round(F.col("value") * 100).cast("long"))

