@@ -1583,7 +1583,8 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations), so the full IVF machinery — argmin cell assignment, nprobe
     cell pruning, bucket-restricted cosine ranking — is value-checked by a
     DuckDB replay. The production default stays ``init="kmeans"``
-    (bench.py b15 measures that path; pytest covers it)."""
+    (bench.py's ``_ivf_kmeans_topk`` measures that path; pytest covers
+    it)."""
     from tempo_spark.pipeline.similarity import IVFIndex
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -1807,6 +1808,10 @@ UNION ALL SELECT 'min', {_hr3('CAST(min(user_id) AS DOUBLE)')},
                  {_hr3('min(value)')}, NULL FROM de
 UNION ALL SELECT 'max', {_hr3('CAST(max(user_id) AS DOUBLE)')},
                  {_hr3('max(value)')}, NULL FROM de
+UNION ALL SELECT 'missing_vals_pct',
+                 {_hr3('100 * count(CASE WHEN user_id IS NULL THEN 1 END) / count(*)')},
+                 {_hr3('100 * count(CASE WHEN value IS NULL THEN 1 END) / count(*)')},
+                 NULL FROM de
 UNION ALL SELECT 'unique_time_series_count',
                  {_hr3('CAST(count(DISTINCT user_id) AS DOUBLE)')}, NULL, NULL FROM de
 UNION ALL SELECT 'min_ts', CAST(epoch_us(min(ts)) AS DOUBLE), NULL, NULL FROM de
@@ -2029,9 +2034,16 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q_rs.awaitTermination()
-    q_asof.awaitTermination()
-    q_interp.awaitTermination()
+    try:
+        q_rs.awaitTermination()
+        q_asof.awaitTermination()
+        q_interp.awaitTermination()
+    finally:
+        import shutil
+
+        # the memory sinks hold the results; the staged right-side parquet
+        # is no longer needed
+        shutil.rmtree(rdir, ignore_errors=True)
 
     rs = spark.table(qn_rs).select(
         F.lit("resample").alias("tag"),

@@ -59,10 +59,12 @@ def connected_components(
 
     The loop stops as soon as a round changes nothing. Each round
     materializes the label frame via ``localCheckpoint`` — executor-local
-    blocks, recomputed from the persisted edges on executor loss; call
-    ``spark.sparkContext.setCheckpointDir(...)`` first to get durable
-    ``checkpoint()`` snapshots instead (preferred for long jobs on real
-    clusters)."""
+    blocks that truncate lineage, so losing an executor loses its blocks
+    and fails the job (rerun from the persisted edges). On real clusters
+    call ``spark.sparkContext.setCheckpointDir(...)`` first: rounds then
+    write durable ``checkpoint()`` snapshots (each round's files are
+    deleted here as soon as the next round materializes, so the directory
+    holds at most two snapshots)."""
     if algorithm not in ("pointer", "label"):
         raise ValueError(f"algorithm must be 'pointer' or 'label', got {algorithm!r}")
     spark = pairs.sparkSession
@@ -78,6 +80,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    prev_ckpt = None
     try:
         for _ in range(max_iter):
             # propagate: candidate label for dst = src's current label
@@ -116,20 +119,56 @@ def connected_components(
             )
             # materialize THIS round; later rounds (and the convergence agg)
             # read the snapshot, never the accumulated lineage
-            new_labels = (
-                new_labels.checkpoint(eager=True)
-                if reliable
-                else new_labels.localCheckpoint(eager=True)
-            )
+            if reliable:
+                before = _list_checkpoint_rdd_dirs(spark)
+                new_labels = new_labels.checkpoint(eager=True)
+                # reliable checkpoint files are NOT auto-cleaned (the
+                # ContextCleaner only does so under
+                # spark.cleaner.referenceTracking.cleanCheckpoints=true,
+                # default false) — delete round k-1's snapshot now that
+                # round k has materialized and nothing reads it anymore
+                new_dirs = _list_checkpoint_rdd_dirs(spark) - before
+                if prev_ckpt:
+                    _delete_paths(spark, prev_ckpt)
+                prev_ckpt = new_dirs
+            else:
+                # localCheckpoint blocks are released by the ContextCleaner
+                # once the old `labels` reference is dropped below
+                new_labels = new_labels.localCheckpoint(eager=True)
             changed = new_labels.agg(F.max("__changed")).first()[0]
-            # the previous round's checkpoint blocks are released by the
-            # ContextCleaner once the old `labels` reference is dropped here
             labels = new_labels.drop("__changed")
             if not changed:
                 break
     finally:
         edges.unpersist()
     return labels
+
+
+def _list_checkpoint_rdd_dirs(spark) -> set:
+    """Paths of rdd-* snapshot dirs under the session checkpoint dir."""
+    try:
+        jvm = spark.sparkContext._jvm
+        base = jvm.org.apache.hadoop.fs.Path(spark.sparkContext.getCheckpointDir())
+        fs = base.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        return {
+            str(st.getPath())
+            for st in fs.listStatus(base)
+            if st.getPath().getName().startswith("rdd-")
+        }
+    except Exception:
+        return set()
+
+
+def _delete_paths(spark, paths) -> None:
+    """Best-effort recursive delete — cleanup must never fail the job."""
+    try:
+        jvm = spark.sparkContext._jvm
+        for p in paths:
+            path = jvm.org.apache.hadoop.fs.Path(p)
+            fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+            fs.delete(path, True)
+    except Exception:
+        pass
 
 
 def near_dedup(

@@ -215,6 +215,24 @@ def with_minhash(
     return result if keep_hashed_shingles else result.drop(tmp)
 
 
+def band_key_array(
+    sig: Column, bands: int, hash_family: str = "xxhash64"
+) -> Column:
+    """Array of per-band bucket keys for a MinHash signature: band b's key
+    is the hash (or, for md5_32, the raw comma-join — equality-equivalent
+    and replayable) of the signature slice belonging to that band."""
+    rows_per_band = F.size(sig) / bands  # driver knows num_hashes divides bands
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",",
+            F.slice(sig, (b * rows_per_band).cast("int") + 1, rows_per_band.cast("int")),
+        )
+        return joined if hash_family == "md5_32" else F.xxhash64(joined)
+
+    return F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -233,20 +251,10 @@ def minhash_lsh_candidates(
     md5_32 family: the band key stays the raw comma-joined signature slice
     (a string) — equality-equivalent to hashing it, and DuckDB-replayable.
     """
-    sig = F.col(minhash_col)
-    rows_per_band = F.size(sig) / bands  # driver knows num_hashes divides bands
-
-    def band_key(b):
-        joined = F.concat_ws(
-            ",",
-            F.slice(sig, (b * rows_per_band).cast("int") + 1, rows_per_band.cast("int")),
-        )
-        return joined if hash_family == "md5_32" else F.xxhash64(joined)
-
     banded = df.select(
         F.col(id_col),
         F.posexplode(
-            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
+            band_key_array(F.col(minhash_col), bands, hash_family)
         ).alias("band_id", "band_hash"),
     )
     a = banded.alias("a")

@@ -55,9 +55,14 @@ def repartition_by_bytes(
     if total_bytes is None:
         if size_col is None:
             raise ValueError("pass total_bytes or size_col")
-        total_bytes = (
-            df.agg(F.sum(F.col(size_col).cast("long"))).first()[0] or 0
-        )
+        total_bytes = df.agg(F.sum(F.col(size_col).cast("long"))).first()[0]
+        if total_bytes is None:
+            # an all-null size column would silently collapse a large
+            # binary corpus into ONE partition — surface the bad column
+            raise ValueError(
+                f"size_col {size_col!r} summed to NULL (no non-null sizes); "
+                "fix the column or pass total_bytes explicitly"
+            )
     n = max(1, int(total_bytes / target_partition_bytes))
     return df.repartition(n)
 

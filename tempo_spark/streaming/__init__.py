@@ -6,6 +6,7 @@ from tempo_spark.streaming.asof import (
     streaming_asof_candidates,
 )
 from tempo_spark.streaming.interpolate import streaming_interpolate
+from tempo_spark.streaming.lsh import streaming_lsh_dedup
 from tempo_spark.streaming.resample import (
     streaming_bars,
     streaming_grouped_stats,
@@ -20,6 +21,7 @@ __all__ = [
     "streaming_bars",
     "streaming_grouped_stats",
     "streaming_interpolate",
+    "streaming_lsh_dedup",
     "streaming_resample",
     "streaming_sessionize",
 ]

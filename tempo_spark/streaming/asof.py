@@ -123,11 +123,17 @@ def streaming_asof(
             f"{sorted(collisions)}"
         )
 
+    # event time crosses the Arrow boundary as session-timezone-NAIVE wall
+    # clock, while GroupState watermarks are true UTC epoch — so the kernel
+    # works exclusively in unix_micros computed JVM-side (true epoch in any
+    # session timezone) and the output timestamps are reconstructed
+    # JVM-side after the stateful operator.
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     l_pad = lw.select(
         *series_ids,
         F.col(left_ts).alias("__ts"),
+        F.unix_micros(F.col(left_ts)).alias("__ts_us"),
         F.lit(1).alias("__rec"),
         *[F.col(c) for c in l_vals],
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in r_vals],
@@ -135,6 +141,7 @@ def streaming_asof(
     r_pad = rw.select(
         *series_ids,
         F.col(right_ts).alias("__ts"),
+        F.unix_micros(F.col(right_ts)).alias("__ts_us"),
         F.lit(-1).alias("__rec"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_vals],
         *[F.col(c).alias(f"__r_{c}") for c in r_vals],
@@ -146,9 +153,9 @@ def streaming_asof(
     r_val_fields = [right.schema[c] for c in r_vals]
     out_schema = StructType(
         list(key_fields)
-        + [StructField(left_ts, left.schema[left_ts].dataType)]
+        + [StructField("__lts_us", LongType())]
         + list(l_val_fields)
-        + [StructField(out_r_ts, right.schema[right_ts].dataType)]
+        + [StructField("__rts_us", LongType())]
         + [StructField(f"{right_prefix}_{f.name}", f.dataType) for f in r_val_fields]
     )
     # state: pending left rows (ts_us + values) and the right-row buffer
@@ -174,11 +181,9 @@ def streaming_asof(
         )
         if not state.hasTimedOut:
             for pdf in pdfs:
-                ts_us = (
-                    pd.to_datetime(pdf["__ts"]).astype("int64") // 1000
-                ).tolist()
                 # .tolist() yields native Python scalars — numpy scalars
                 # break the state store's pickle round-trip
+                ts_us = pdf["__ts_us"].tolist()
                 lcols = [pdf[c].tolist() for c in l_vals]
                 rcols = [pdf[f"__r_{c}"].tolist() for c in r_vals]
                 for i, rec in enumerate(pdf["__rec"].tolist()):
@@ -209,12 +214,10 @@ def streaming_asof(
                 else None
             )
             row = dict(zip(key_names, key))
-            row[left_ts] = pd.Timestamp(lt, unit="us")
+            row["__lts_us"] = lt
             for j, c in enumerate(l_vals):
                 row[c] = lrow[1 + j]
-            row[out_r_ts] = (
-                pd.Timestamp(best[0], unit="us") if best is not None else pd.NaT
-            )
+            row["__rts_us"] = best[0] if best is not None else None
             for j, c in enumerate(out_r_vals):
                 row[c] = best[1 + j] if best is not None else None
             emit.append(row)
@@ -242,12 +245,19 @@ def streaming_asof(
         if emit:
             yield pd.DataFrame(emit, columns=[f.name for f in out_schema.fields])
 
-    return unioned.groupBy(*series_ids).applyInPandasWithState(
+    out = unioned.groupBy(*series_ids).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return out.select(
+        *series_ids,
+        F.timestamp_micros(F.col("__lts_us")).alias(left_ts),
+        *l_vals,
+        F.timestamp_micros(F.col("__rts_us")).alias(out_r_ts),
+        *out_r_vals,
     )
 
 

@@ -64,7 +64,6 @@ def streaming_interpolate(
         LongType,
         StructField,
         StructType,
-        TimestampType,
     )
 
     if method not in _METHODS:
@@ -75,16 +74,23 @@ def streaming_interpolate(
     freq_us = int(parse_freq(freq).seconds * 1_000_000)
     sids = list(series_ids)
 
+    # event time crosses the Arrow boundary as session-timezone-NAIVE wall
+    # clock, while GroupState watermarks are true UTC epoch — compare them
+    # directly and every bucket boundary shifts by the session offset. So
+    # the kernel works exclusively in unix_micros (computed JVM-side, true
+    # epoch regardless of session timezone) and the bucket timestamp is
+    # reconstructed JVM-side after the stateful operator.
     src = df.withWatermark(ts_col, watermark).select(
         *sids,
         F.col(ts_col).alias("__ts"),
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
         F.col(metric_col).cast("double").alias("__v"),
     )
     key_fields = [src.schema[c] for c in sids]
     out_schema = StructType(
         list(key_fields)
         + [
-            StructField("bucket_ts", TimestampType()),
+            StructField("bucket_us", LongType()),
             StructField(metric_col, DoubleType()),
             StructField("is_interpolated", BooleanType()),
         ]
@@ -124,7 +130,7 @@ def streaming_interpolate(
 
         if not state.hasTimedOut:
             for pdf in pdfs:
-                ts_us = (pd.to_datetime(pdf["__ts"]).astype("int64") // 1000).tolist()
+                ts_us = pdf["__ts_us"].tolist()
                 vals = pdf["__v"].tolist()
                 for t_us, v in zip(ts_us, vals):
                     if v is None or v != v:  # null/NaN rows don't contribute
@@ -182,16 +188,22 @@ def streaming_interpolate(
             rows = []
             for b, v, interp in emit:
                 row = dict(zip(key_names, key))
-                row["bucket_ts"] = pd.Timestamp(b, unit="us")
+                row["bucket_us"] = b
                 row[metric_col] = v
                 row["is_interpolated"] = interp
                 rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
-    return src.groupBy(*sids).applyInPandasWithState(
+    out = src.groupBy(*sids).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return out.select(
+        *sids,
+        F.timestamp_micros(F.col("bucket_us")).alias("bucket_ts"),
+        metric_col,
+        "is_interpolated",
     )

@@ -268,6 +268,11 @@ class TSDF:
         """Show the ``k`` most recent records per series (reference:
         python/tempo/tsdf.py:579-618 — same ``k <= n`` contract), series-
         then-time ordered."""
+        # strict validation: a caller positionally passing the OLD
+        # (n, truncate) signature would otherwise bind truncate into k and
+        # silently print 0 rows (bool is an int subclass — reject it too)
+        if isinstance(k, bool) or not isinstance(k, int) or k < 1:
+            raise ValueError(f"Parameter k must be a positive int, got {k!r}")
         if k > n:
             raise ValueError(f"Parameter k {k} cannot be greater than parameter n {n}")
         from tempo_spark.utils import get_display_df
@@ -755,7 +760,23 @@ class TSDF:
             ]
             return extras.select(*cols)
 
-        out = desc
+        # missing_vals_pct per summarizable column (reference:
+        # python/tempo/tsdf.py:634-646) — guarded count so an empty frame
+        # yields null instead of an ANSI divide-by-zero
+        n_rows = F.count(F.lit(1))
+        missing = self.df.agg(
+            *[
+                F.when(
+                    n_rows > 0,
+                    F.lit(100) * F.count(F.when(F.col(c).isNull(), c)) / n_rows,
+                )
+                .cast("string")
+                .alias(c)
+                for c in value_cols
+            ]
+        ).select(F.lit("missing_vals_pct").alias("summary"), *value_cols)
+
+        out = desc.unionByName(missing)
         for label, src in (
             ("unique_time_series_count", "unique_ts_count"),
             ("min_ts", "min_ts"),

@@ -87,6 +87,31 @@ class TestStreamingInterpolate:
         else:
             assert got == pytest.approx(expected)
 
+    def test_non_utc_session_timezone(self, spark, gap_dir):
+        """Event time crosses Arrow as session-tz-naive wall clock while
+        GroupState watermarks are UTC epoch; the kernel must work in
+        unix_micros or every bucket boundary shifts by the session offset
+        (review finding, round 4)."""
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            sdf = spark.readStream.schema(
+                "k string, event_ts timestamp, v double"
+            ).parquet(gap_dir)
+            out = streaming_interpolate(
+                sdf, "event_ts", ["k"], freq="1 minute", metric_col="v",
+                method="linear", watermark="0 seconds",
+            )
+            table = _run(spark, out, "interp_stream_tz")
+            rows = {
+                (r.k, str(r.bucket_ts)): (r.v, r.is_interpolated)
+                for r in table.collect()
+            }
+            assert rows[("A", "2020-01-01 00:00:00")] == (pytest.approx(2.0), False)
+            assert rows[("A", "2020-01-01 00:01:00")] == (pytest.approx(10.0 / 3), True)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+
     def test_bad_method_raises(self, spark, gap_dir):
         sdf = spark.readStream.schema("k string, event_ts timestamp, v double").parquet(gap_dir)
         with pytest.raises(ValueError, match="method"):

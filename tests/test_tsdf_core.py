@@ -167,9 +167,11 @@ class TestStats:
 class TestDescribe:
     def test_describe(self, tsdf):
         out = tsdf.describe()
-        summaries = [r.summary for r in out.collect()]
-        assert "unique_time_series_count" in summaries
-        assert "min_ts" in summaries and "max_ts" in summaries
+        rows = {r.summary: r for r in out.collect()}
+        assert "unique_time_series_count" in rows
+        assert "min_ts" in rows and "max_ts" in rows
+        # reference parity: per-column null percentage row
+        assert float(rows["missing_vals_pct"].trade_pr) == 0.0
 
 
 class TestTimestampNTZ:
