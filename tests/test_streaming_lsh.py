@@ -84,6 +84,52 @@ class TestStreamingLshDedup:
         for r in rows:
             assert r.dup_ts < r.ts
 
+    def test_multi_batch_state_and_late_arrival(self, spark, tmp_path):
+        """State persists across micro-batches, and a LATE-arriving document
+        with the earliest event time is never flagged (dup_of only points
+        backward in event time) while still joining the retained set."""
+        import time
+
+        d = str(tmp_path / "docs")
+        ck = str(tmp_path / "ck")
+        spark.createDataFrame(
+            [(1, ts("2020-01-01 00:10:00"), DOC), (2, ts("2020-01-01 00:20:00"), OTHER)],
+            "doc_id long, ts timestamp, text string",
+        ).write.mode("overwrite").parquet(d)
+        sdf = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(d)
+        out = streaming_lsh_dedup(
+            sdf, "doc_id", "text", "ts", threshold=0.5, watermark="0 seconds"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("lsh_stream_batches")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            time.sleep(6)
+            # batch 2: doc 3 duplicates doc 1; doc 0 is the same text but
+            # with the EARLIEST event time, arriving late
+            spark.createDataFrame(
+                [(3, ts("2020-01-01 00:30:00"), DOC), (0, ts("2020-01-01 00:01:00"), DOC)],
+                "doc_id long, ts timestamp, text string",
+            ).write.mode("append").parquet(d)
+            deadline = time.time() + 60
+            flagged = {}
+            while time.time() < deadline:
+                rows = spark.table("lsh_stream_batches").collect()
+                flagged = {r.doc_id: r.dup_of for r in rows}
+                if 3 in flagged:
+                    break
+                time.sleep(2)
+            assert flagged.get(3) == 1      # cross-batch match via state
+            assert 0 not in flagged         # nothing earlier than doc 0
+            assert 1 not in flagged and 2 not in flagged
+        finally:
+            q.stop()
+
     def test_unrelated_text_not_flagged(self, spark, doc_dir):
         sdf = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(
             doc_dir
