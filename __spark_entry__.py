@@ -91,6 +91,24 @@ _DE_CTE = (
 _R6 = lambda c: F.round(c, 6)
 
 
+def _embedding_dim(source=None) -> int:
+    """Embedding width of the testdata, discovered from the parquet (the
+    events ts layout has already changed between rounds — treat the
+    embedding dim as equally unstable). ``source`` is an sf_dir for the
+    Spark-side entries; the static ``oracle_sql()`` strings have no sf_dir
+    parameter, so they read the gate's fixed sf0.01 path. Falls back to 64
+    (every snapshot so far) if unreadable."""
+    path = f"{source or '/root/testdata/sf0.01'}/embeddings.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        tbl = pq.ParquetFile(path)
+        first = next(tbl.iter_batches(batch_size=1, columns=["embedding"]))
+        return len(first.column(0)[0])
+    except Exception:
+        return 64
+
+
 def _HR6(c):
     """Hardened cross-engine round-6: floor(x*1e6 + 0.5)/1e6 is a fixed
     sequence of IEEE ops that both Spark and DuckDB evaluate bit-identically,
@@ -1274,7 +1292,7 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
-def _lsh_oracle(n_planes: int = 6, dim: int = 64, seed: int = 42, k: int = 5) -> str:
+def _lsh_oracle(n_planes: int = 6, dim: int = None, seed: int = 42, k: int = 5) -> str:
     """Full DuckDB oracle for the hyperplane-LSH top-k: the planes are
     deterministic driver-side constants (random_hyperplanes), so the oracle
     embeds them as list literals and reproduces bucket assignment (sign of
@@ -1282,6 +1300,8 @@ def _lsh_oracle(n_planes: int = 6, dim: int = 64, seed: int = 42, k: int = 5) ->
     evaluates) and the bucket-restricted cosine ranking."""
     from tempo_spark.pipeline.similarity import random_hyperplanes
 
+    if dim is None:
+        dim = _embedding_dim()
     planes = random_hyperplanes(dim, n_planes, seed)
 
     def dot_sql(vexpr: str, plane: list) -> str:
@@ -1316,13 +1336,15 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
 
 
 def _emb_near_dup_lsh_oracle(
-    n_planes: int = 4, dim: int = 64, seed: int = 42, threshold: float = 0.35
+    n_planes: int = 4, dim: int = None, seed: int = 42, threshold: float = 0.35
 ) -> str:
     """Full oracle for the BUCKETED embedding near-dup path — same
     deterministic-hyperplane replay as ``_lsh_oracle``, self-joined within
     bucket with id_a < id_b and the rounded-cosine threshold filter."""
     from tempo_spark.pipeline.similarity import random_hyperplanes
 
+    if dim is None:
+        dim = _embedding_dim()
     planes = random_hyperplanes(dim, n_planes, seed)
 
     def dot_sql(vexpr: str, plane: list) -> str:
@@ -1574,7 +1596,7 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, k=5, n_planes=6, dim=64)
+    return lsh_topk(emb, queries, k=5, n_planes=6, dim=_embedding_dim(sf_dir))
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1655,7 +1677,9 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     # synthetic embeddings top out around cosine 0.51 — 0.35 captures the
     # near-dup tail (~270 true pairs; LSH bucketing recalls a subset)
-    lsh = embedding_near_dups(emb, threshold=0.35, n_planes=4, dim=64).withColumn(
+    lsh = embedding_near_dups(
+        emb, threshold=0.35, n_planes=4, dim=_embedding_dim(sf_dir)
+    ).withColumn(
         "method", F.lit("lsh")
     )
     exact = embedding_near_dups(emb, threshold=0.35, exact=True).withColumn(
