@@ -47,7 +47,10 @@ def synth_events(spark, n_rows: int, n_series: int, skew_frac: float = 0.0):
     )
 
 
-def probe(spark, n_rows: int, n_series: int, skew_frac: float = 0.0) -> dict:
+def probe(
+    spark, n_rows: int, n_series: int, skew_frac: float = 0.0,
+    skip_sliding: bool = False,
+) -> dict:
     def fresh():
         ev = synth_events(spark, n_rows, n_series, skew_frac)
         right = synth_events(spark, max(n_rows // 4, 1), n_series, skew_frac).select(
@@ -104,7 +107,8 @@ def probe(spark, n_rows: int, n_series: int, skew_frac: float = 0.0) -> dict:
             ).df,
         )
         return out
-    timed("range_stats", lambda t, r: t.withRangeStats(rangeBackWindowSecs=600).df)
+    if not skip_sliding:
+        timed("range_stats", lambda t, r: t.withRangeStats(rangeBackWindowSecs=600).df)
     timed(
         "range_stats_prefix",
         lambda t, r: t.withRangeStats(rangeBackWindowSecs=600, strategy="prefix").df,
@@ -172,6 +176,11 @@ def main():
         for frac in (0.0, 0.5):
             results.append(probe(spark, 16_000_000, 10_000, skew_frac=frac))
             print(json.dumps(results[-1]))
+    elif "--big" in sys.argv:
+        # 64M rows — linearity check for the O(n) operators; the sliding
+        # range frame is skipped (known O(rows × frame_rows): ~15 min here)
+        results.append(probe(spark, 64_000_000, 10_000, skip_sliding=True))
+        print(json.dumps(results[-1]))
     else:
         for n in (1_000_000, 4_000_000, 16_000_000):
             results.append(probe(spark, n, 10_000))
