@@ -106,6 +106,20 @@ def probe(
                 stats=("mean", "count", "sum", "stddev", "zscore"),
             ).df,
         )
+        # min/max under skew: block decomposition vs the sliding frame
+        timed(
+            "minmax_block",
+            lambda t, r: t.withRangeStats(
+                rangeBackWindowSecs=600, strategy="prefix",
+                stats=("min", "max"), minmax_strategy="block",
+            ).df,
+        )
+        timed(
+            "minmax_sliding",
+            lambda t, r: t.withRangeStats(
+                rangeBackWindowSecs=600, stats=("min", "max")
+            ).df,
+        )
         return out
     if not skip_sliding:
         timed("range_stats", lambda t, r: t.withRangeStats(rangeBackWindowSecs=600).df)

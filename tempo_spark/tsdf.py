@@ -419,6 +419,7 @@ class TSDF:
         percentiles: Optional[Sequence[float]] = None,
         strategy: str = "sliding",
         stats: Optional[Sequence[str]] = None,
+        minmax_strategy: str = "sliding",
     ) -> "TSDF":
         """Rolling mean/count/min/max/sum/stddev (+ zscore) per metric over a
         trailing time-range window (reference: python/tempo/tsdf.py:1112-1182).
@@ -450,9 +451,24 @@ class TSDF:
         from the plan — the monster series then costs O(its rows), not
         O(its rows × frame_rows) (measured: 180 s → seconds at 8M skewed
         rows, scripts/scale_probe.py --skew).
+
+        ``minmax_strategy`` (prefix strategy only): ``"sliding"`` (default)
+        keeps min/max on the sliding frame — Spark evaluates those cheaply
+        at moderate frames. ``"block"`` computes them exactly via width-B
+        block decomposition (a trailing width-B window spans ≤ 2 blocks, so
+        sliding min = min(own-block prefix min, previous-block suffix min
+        fetched with a union-window forward lookup)) — all O(n) growing
+        frames. Choose it when min/max frames hurt: monster-series skew
+        (measured 66 s → 25 s at 8M rows, 50%% skew, 600-row frames) or
+        very wide frames; at small frames on uniform data the extra
+        union+sort costs more than it saves.
         """
         known = {"mean", "count", "min", "max", "sum", "stddev", "zscore"}
         wanted = set(stats) if stats is not None else known
+        if minmax_strategy not in ("sliding", "block"):
+            raise ValueError(
+                f"minmax_strategy must be 'sliding' or 'block', got {minmax_strategy!r}"
+            )
         if wanted - known:
             raise ValueError(
                 f"unknown stats {sorted(wanted - known)}; choose from {sorted(known)}"
@@ -471,6 +487,49 @@ class TSDF:
             w_run = self._growing_window(0)
             w_bound = self._growing_window(-(back_micros + 1))
             dtypes = {f.name: f.dataType for f in self.df.schema.fields}
+            # min/max are not prefix-invertible, but a trailing window of
+            # width B spans AT MOST TWO width-B blocks, so the sliding
+            # min = min(prefix-min within own block up to t,
+            #           suffix-min within the previous block from t-B) —
+            # all three pieces are incremental growing frames plus one
+            # union-window forward lookup (below). Spark's
+            # [current, unboundedFollowing] frames re-aggregate per row
+            # (O(rows × tail)), so the suffix stats use a DESC-ordered
+            # unboundedPreceding frame instead, which IS incremental.
+            minmax = [s for s in ("min", "max") if s in wanted]
+            use_block = (
+                bool(minmax) and back_micros > 0 and minmax_strategy == "block"
+            )
+            helper_exprs: list[Column] = []
+            if use_block:
+                mi = self._micros_order()
+                bw = F.lit(back_micros)
+                # floor-division via pmod: `div` truncates toward zero,
+                # which misbuckets negative (pre-1970) epochs
+                blk = ((mi - F.pmod(mi, bw)) / bw).cast("long")
+                series_cols = [F.col(s) for s in self.series_ids]
+                w_blk_pre = (
+                    Window.partitionBy(*series_cols, blk)
+                    .orderBy(mi)
+                    .rangeBetween(Window.unboundedPreceding, 0)
+                )
+                w_blk_suf = (
+                    Window.partitionBy(*series_cols, blk)
+                    .orderBy(mi.desc())
+                    .rangeBetween(Window.unboundedPreceding, 0)
+                )
+                helper_exprs += [mi.alias("__mi"), blk.alias("__blk")]
+                for c in cols:
+                    if "min" in wanted:
+                        helper_exprs += [
+                            F.min(c).over(w_blk_pre).alias(f"__bpmin_{c}"),
+                            F.min(c).over(w_blk_suf).alias(f"__bsmin_{c}"),
+                        ]
+                    if "max" in wanted:
+                        helper_exprs += [
+                            F.max(c).over(w_blk_pre).alias(f"__bpmax_{c}"),
+                            F.max(c).over(w_blk_suf).alias(f"__bsmax_{c}"),
+                        ]
             for c in cols:
                 col = F.col(c)
                 # squares in double: an integral col*col overflows (and
@@ -527,7 +586,7 @@ class TSDF:
                     var_raw > s2 / F.greatest(cnt, F.lit(1)) * F.lit(1e-12), var_raw
                 ).otherwise(F.when(var_raw.isNotNull(), F.lit(0.0)))
                 std = F.sqrt(var)
-                exprs += keep([
+                pairs = [
                     (f"mean_{c}", mean),
                     (f"count_{c}", cnt),
                     (f"min_{c}", F.min(col).over(w)),
@@ -538,11 +597,33 @@ class TSDF:
                     # on the double division, non-ANSI Spark (and the
                     # reference) yields null -- make null explicit
                     (f"zscore_{c}", F.when(std != 0.0, (col - mean) / std)),
-                ])
+                ]
+                if use_block:
+                    # min/max come from the block decomposition after the
+                    # forward lookup below, not a sliding frame
+                    pairs = [p for p in pairs if p[0].split("_", 1)[0] not in ("min", "max")]
+                exprs += keep(pairs)
                 for p in percentiles or ():
                     name = f"p{int(round(p * 100)):02d}_{c}"
                     exprs.append(F.percentile(col, F.lit(float(p))).over(w).alias(name))
-            return self._with_df(out.select("*", *exprs))
+            base = out.select("*", *exprs, *helper_exprs)
+            if not use_block:
+                return self._with_df(base)
+            final_names = []
+            for c in cols:
+                final_names += [
+                    f"{s}_{c}"
+                    for s in ("mean", "count", "min", "max", "sum", "stddev", "zscore")
+                    if s in wanted
+                ]
+                final_names += [
+                    f"p{int(round(p * 100)):02d}_{c}" for p in percentiles or ()
+                ]
+            return self._with_df(
+                self._finish_block_minmax(
+                    base, cols, minmax, back_micros, final_names
+                )
+            )
         for c in cols:
             col = F.col(c)
             mean = F.mean(col).over(w)
@@ -560,6 +641,68 @@ class TSDF:
                 name = f"p{int(round(p * 100)):02d}_{c}"
                 exprs.append(F.percentile(col, F.lit(float(p))).over(w).alias(name))
         return self._with_df(out.select("*", *exprs))
+
+    def _finish_block_minmax(
+        self,
+        base: DataFrame,
+        cols: Sequence[str],
+        minmax: Sequence[str],
+        back_micros: int,
+        final_names: Sequence[str],
+    ) -> DataFrame:
+        """Resolve block-decomposed rolling min/max.
+
+        ``base`` carries, per metric, the own-block prefix stats
+        (``__bpmin/__bpmax``) and previous-block suffix stats
+        (``__bsmin/__bsmax``). The missing piece is a FORWARD as-of lookup:
+        for each row t, the suffix stats of the first row with
+        ``__mi >= t - B``. Implemented as the union-window pattern: union a
+        marker copy of the rows, order by (pos DESC, kind DESC) so markers
+        at equal positions precede probes, and take the running
+        ``last(payload, ignorenulls)`` — an incremental growing frame, not
+        a per-row rescan. The matched row's suffix stats apply only when it
+        lies in the PREVIOUS block (otherwise the trailing window never
+        leaves the own block and the prefix stats alone are exact)."""
+        payload_fields = [F.col("__blk").alias("blk")]
+        for c in cols:
+            for s in minmax:
+                payload_fields.append(F.col(f"__bs{s}_{c}").alias(f"s{s}_{c}"))
+        payload = F.struct(*payload_fields)
+        probes = (
+            base.withColumn("__pos", F.col("__mi") - F.lit(back_micros))
+            .withColumn("__kind", F.lit(0))
+            .withColumn("__payload", F.when(F.lit(False), payload))
+        )
+        markers = (
+            base.withColumn("__pos", F.col("__mi"))
+            .withColumn("__kind", F.lit(1))
+            .withColumn("__payload", payload)
+        )
+        w_fwd = (
+            Window.partitionBy(*[F.col(s) for s in self.series_ids])
+            .orderBy(F.col("__pos").desc(), F.col("__kind").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        resolved = (
+            probes.unionByName(markers)
+            .withColumn("__match", F.last("__payload", ignorenulls=True).over(w_fwd))
+            .where(F.col("__kind") == 0)
+        )
+        tail_ok = F.col("__match").getField("blk") == F.col("__blk") - 1
+        out_cols: list[Column] = [F.col(c) for c in self.df.columns]
+        for name in final_names:
+            stat = name.split("_", 1)[0]
+            if stat in minmax:
+                c = name.split("_", 1)[1]
+                own = F.col(f"__bp{stat}_{c}")
+                tail = F.when(tail_ok, F.col("__match").getField(f"s{stat}_{c}"))
+                comb = F.least if stat == "min" else F.greatest
+                # least/greatest skip nulls, matching sliding-frame
+                # null-ignoring min/max (all-null frame -> null)
+                out_cols.append(comb(own, tail).alias(name))
+            else:
+                out_cols.append(F.col(name))
+        return resolved.select(*out_cols)
 
     def withGroupedStats(
         self,

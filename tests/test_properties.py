@@ -219,3 +219,12 @@ def test_range_stats_prefix_matches_sliding(spark, rows, back_secs):
         t.withRangeStats(rangeBackWindowSecs=back_secs, strategy="prefix").df
     )
     assert sliding == prefix
+    # block-decomposed min/max (skew-safe O(n) path) must be exact too
+    block = canon(
+        t.withRangeStats(
+            rangeBackWindowSecs=back_secs,
+            strategy="prefix",
+            minmax_strategy="block",
+        ).df
+    )
+    assert sliding == block
