@@ -340,35 +340,53 @@ FROM j
 
 
 def q_range_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling range stats, BOTH physical strategies union-tagged so the
+    O(rows×frame) sliding frames AND the O(n) prefix/block rewrites
+    (decimal-accumulated sums, sum-of-squares stddev, block-decomposed
+    min/max) are individually value-gated against one strategy-agnostic
+    oracle."""
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    out = t.withRangeStats(colsToSummarize=["cents"], rangeBackWindowSecs=1000).df
-    return out.select(
-        "user_id",
-        "ts",
-        F.col("count_cents").alias("n"),
-        _HR6(F.col("mean_cents") / 100).alias("mean_v"),
-        _R6(F.col("min_cents") / 100).alias("min_v"),
-        _R6(F.col("max_cents") / 100).alias("max_v"),
-        _R6(F.col("sum_cents") / 100).alias("sum_v"),
-        _HR3(F.col("stddev_cents") / 100).alias("stddev_v"),
-        _HR3(F.col("zscore_cents")).alias("zscore_v"),
+
+    def run(strategy: str, minmax_strategy: str, tag: str) -> DataFrame:
+        out = t.withRangeStats(
+            colsToSummarize=["cents"], rangeBackWindowSecs=1000,
+            strategy=strategy, minmax_strategy=minmax_strategy,
+        ).df
+        return out.select(
+            F.lit(tag).alias("strat"),
+            "user_id",
+            "ts",
+            F.col("count_cents").alias("n"),
+            _HR6(F.col("mean_cents") / 100).alias("mean_v"),
+            _R6(F.col("min_cents") / 100).alias("min_v"),
+            _R6(F.col("max_cents") / 100).alias("max_v"),
+            _R6(F.col("sum_cents") / 100).alias("sum_v"),
+            _HR3(F.col("stddev_cents") / 100).alias("stddev_v"),
+            _HR3(F.col("zscore_cents")).alias("zscore_v"),
+        )
+
+    return run("sliding", "sliding", "sliding").unionByName(
+        run("prefix", "block", "prefix_block")
     )
 
 
 _RANGE_STATS_ORACLE = f"""
-WITH {_DE_CTE}
-SELECT user_id, ts,
-       count(cents) OVER w AS n,
-       floor((avg(cents) OVER w / 100) * 1000000 + 0.5) / 1000000 AS mean_v,
-       round(min(cents) OVER w / 100.0, 6) AS min_v,
-       round(max(cents) OVER w / 100.0, 6) AS max_v,
-       round(sum(cents) OVER w / 100.0, 6) AS sum_v,
-       floor((stddev_samp(cents) OVER w / 100) * 1000 + 0.5) / 1000 AS stddev_v,
-       floor(((cents - avg(cents) OVER w) / stddev_samp(cents) OVER w) * 1000 + 0.5) / 1000 AS zscore_v
-FROM de
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+WITH {_DE_CTE},
+s AS (
+  SELECT user_id, ts,
+         count(cents) OVER w AS n,
+         floor((avg(cents) OVER w / 100) * 1000000 + 0.5) / 1000000 AS mean_v,
+         round(min(cents) OVER w / 100.0, 6) AS min_v,
+         round(max(cents) OVER w / 100.0, 6) AS max_v,
+         round(sum(cents) OVER w / 100.0, 6) AS sum_v,
+         floor((stddev_samp(cents) OVER w / 100) * 1000 + 0.5) / 1000 AS stddev_v,
+         floor(((cents - avg(cents) OVER w) / stddev_samp(cents) OVER w) * 1000 + 0.5) / 1000 AS zscore_v
+  FROM de
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW))
+SELECT t.strat, s.* FROM s
+CROSS JOIN (VALUES ('sliding'), ('prefix_block')) AS t(strat)
 """
 
 

@@ -78,6 +78,16 @@ def _ivf_kmeans_topk(spark, sf_dir):
     return idx.topk(queries, k=5, nprobe=2)
 
 
+def _range_stats(spark, sf_dir):
+    # single-strategy production path (the gate entry union-tags BOTH the
+    # sliding and prefix+block strategies, doubling its work on purpose)
+    import pyspark.sql.functions as F
+
+    de = entry_mod._dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    return t.withRangeStats(colsToSummarize=["cents"], rangeBackWindowSecs=1000).df
+
+
 def _interpolate_linear(spark, sf_dir):
     # single-method linear interpolation, matching the BASELINE B5 shape
     # (the entry module's interpolate query now union-tags all five methods)
@@ -89,7 +99,7 @@ def _interpolate_linear(spark, sf_dir):
 BENCH_QUERIES = {
     "b1_asof_join": entry_mod.q_asof_join,
     "b2_asof_skew": _skew_asof,
-    "b3_range_stats": entry_mod.q_range_stats,
+    "b3_range_stats": _range_stats,
     "b4_resample_fill": entry_mod.q_upsample_zero_fill,
     "b5_interpolate_linear": _interpolate_linear,
     "b6_ohlc_bars": entry_mod.q_ohlc_bars,
