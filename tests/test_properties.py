@@ -228,3 +228,28 @@ def test_range_stats_prefix_matches_sliding(spark, rows, back_secs):
         ).df
     )
     assert sliding == block
+
+
+def test_block_minmax_pre_1970_epochs(spark):
+    """Negative epoch microseconds: block ids use pmod-floor division
+    (plain `div` truncates toward zero and misbuckets pre-1970 rows)."""
+    rows = [
+        ("k", dt.datetime(1969, 12, 31, 23, 58, s), float(v))
+        for s, v in [(0, 5.0), (30, 1.0), (50, 9.0)]
+    ] + [("k", dt.datetime(1970, 1, 1, 0, 0, 20), 3.0)]
+    df = spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+    t = TSDF(df, ts_col="ts", series_ids=["sym"])
+    sliding = sorted(
+        (r.ts, r.min_v, r.max_v)
+        for r in t.withRangeStats(
+            colsToSummarize=["v"], rangeBackWindowSecs=60, stats=("min", "max")
+        ).df.toDF("sym", "ts", "v", "min_v", "max_v").collect()
+    )
+    block = sorted(
+        (r.ts, r.min_v, r.max_v)
+        for r in t.withRangeStats(
+            colsToSummarize=["v"], rangeBackWindowSecs=60,
+            strategy="prefix", stats=("min", "max"), minmax_strategy="block",
+        ).df.toDF("sym", "ts", "v", "min_v", "max_v").collect()
+    )
+    assert sliding == block

@@ -112,6 +112,17 @@ class TestStreamingInterpolate:
         finally:
             spark.conf.set("spark.sql.session.timeZone", prev)
 
+    def test_sum_agg(self, spark, gap_dir):
+        sdf = spark.readStream.schema("k string, event_ts timestamp, v double").parquet(gap_dir)
+        out = streaming_interpolate(
+            sdf, "event_ts", ["k"], freq="1 minute", metric_col="v",
+            agg="sum", method="ffill", watermark="0 seconds",
+        )
+        table = _run(spark, out, "interp_stream_sum")
+        rows = {(r.k, str(r.bucket_ts)): r.v for r in table.collect()}
+        assert rows[("A", "2020-01-01 00:00:00")] == pytest.approx(4.0)  # 1+3
+        assert rows[("A", "2020-01-01 00:01:00")] == pytest.approx(4.0)  # ffill
+
     def test_bad_method_raises(self, spark, gap_dir):
         sdf = spark.readStream.schema("k string, event_ts timestamp, v double").parquet(gap_dir)
         with pytest.raises(ValueError, match="method"):
