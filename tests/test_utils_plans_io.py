@@ -94,6 +94,25 @@ class TestPlans:
         )
         assert count_exchanges(plain) == 3
 
+    def test_prefix_block_plan_has_no_sliding_frames(self, spark, trades):
+        """strategy='prefix' + minmax_strategy='block' with the FULL stat
+        set must compile to growing frames only — no [-B, current] sliding
+        range frame anywhere (the O(rows × frame_rows) shape) — so a
+        monster series costs O(its rows)."""
+        import re
+
+        t = TSDF(trades, ts_col="event_ts", series_ids=["symbol"])
+        df = t.withRangeStats(
+            rangeBackWindowSecs=600, strategy="prefix", minmax_strategy="block"
+        ).df
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        sliding = re.findall(r"RangeFrame, -\d+, currentrow", plan)
+        assert not sliding, sliding
+        # the default prefix plan keeps exactly the min/max sliding frames
+        df2 = t.withRangeStats(rangeBackWindowSecs=600, strategy="prefix").df
+        plan2 = df2._jdf.queryExecution().optimizedPlan().toString()
+        assert re.findall(r"RangeFrame, -\d+, currentrow", plan2)
+
 
 class TestPythonFreePlans:
     """Invariant: Python workers appear ONLY in FFT, multimodal decode, and
