@@ -1183,17 +1183,53 @@ FROM documents GROUP BY md5(text)
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tempo_spark.pipeline.text import with_token_count
+    """Token stats ∪ within-doc repetition ∪ deterministic split — three
+    per-row text-pipeline operators value-gated in one entry (the gate runs
+    only 50 entries; union-tagging keeps them all checked):
+
+    - ``with_token_count`` — whitespace token count;
+    - ``with_repetition_metrics(n=2)`` — Gopher-style duplicate-2gram
+      counts + hardened-rounded fraction (boilerplate/spam signal);
+    - ``with_split(hash_family='md5_32')`` — salted-hash train/val/test
+      assignment, replayed bit-exactly by the DuckDB oracle.
+    """
+    from tempo_spark.pipeline.sampling import with_split
+    from tempo_spark.pipeline.text import with_repetition_metrics, with_token_count
 
     docs = _read(spark, sf_dir, "documents")
-    return with_token_count(docs, "text").select("doc_id", "n_tokens")
+    out = with_token_count(docs, "text")
+    out = with_repetition_metrics(out, "text", n=2)
+    out = with_split(out, "doc_id", hash_family="md5_32")
+    return out.select(
+        "doc_id", "n_tokens", "n_2grams", "n_2grams_distinct", "dup_2gram_frac", "split"
+    )
 
 
 _TOKEN_COUNT_ORACLE = """
-SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
-FROM documents
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tok
+  FROM documents),
+grams AS (
+  SELECT doc_id, len(tok) AS n_tokens,
+         CASE WHEN len(tok) >= 2
+              THEN list_transform(generate_series(1, len(tok) - 1),
+                                  i -> tok[i] || ' ' || tok[i + 1])
+              ELSE []::VARCHAR[] END AS g
+  FROM toks)
+SELECT doc_id, n_tokens,
+       len(g) AS n_2grams,
+       len(list_distinct(g)) AS n_2grams_distinct,
+       CASE WHEN len(g) > 0
+            THEN floor((1.0 - len(list_distinct(g)) / len(g)) * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS dup_2gram_frac,
+       CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000000 < 980000 THEN 'train'
+            WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000000 < 990000 THEN 'val'
+            ELSE 'test' END AS split
+FROM grams
 """
 
 

@@ -1,0 +1,118 @@
+"""Deterministic sampling / splitting operators for corpus-scale pipelines.
+
+A 100 TB training corpus is never split with ``rand()``: re-runs must land
+every document in the SAME split (reproducibility, no train/test leakage
+across pipeline versions), and adding new documents must not move old ones.
+Both operators here are pure functions of a key hash:
+
+- ``with_split``: per-row expression, zero shuffle — scales with input
+  splits.
+- ``sample_per_key``: one shuffle on the key columns (the same invariant as
+  every per-series operator in this repo), then a per-key window over the
+  hash ordering. Deterministic "reservoir" semantics without a stateful
+  reservoir: the n kept rows per key are those with the n smallest hashes,
+  so the sample is stable under row reordering and incremental appends only
+  displace rows when a genuinely smaller hash arrives.
+
+Both default to ``xxhash64`` (JVM-side, no materialized strings in the
+shuffle); ``hash_family="md5_32"`` (tempo_spark.pipeline.dedup.md5_32)
+yields bit-identical assignments in any engine with md5() — that variant is
+what the DuckDB correctness oracle replays.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from tempo_spark.pipeline.dedup import md5_32
+
+#: modulus for split bucketing: weights resolve to integer bucket ranges so
+#: the assignment is exact rational arithmetic, not float-boundary-dependent
+SPLIT_BUCKETS = 1_000_000
+
+
+def _key_hash(key: Column, salt: str, hash_family: str) -> Column:
+    salted = F.concat(F.lit(f"{salt}:"), key.cast("string"))
+    if hash_family == "md5_32":
+        return md5_32(salted)
+    if hash_family == "xxhash64":
+        return F.xxhash64(salted)
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
+def split_bucket(key: Column, salt: str = "split", hash_family: str = "xxhash64") -> Column:
+    """Uniform bucket in [0, SPLIT_BUCKETS) from a salted key hash."""
+    return F.pmod(_key_hash(key, salt, hash_family), F.lit(SPLIT_BUCKETS))
+
+
+def with_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, float] | None = None,
+    out: str = "split",
+    salt: str = "split",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Assign each row a deterministic train/val/test split label.
+
+    ``weights`` maps label -> fraction (must sum to ~1); labels are applied
+    in the given order as cumulative bucket ranges over a salted key hash,
+    so the assignment is a pure per-row expression — no shuffle, no rand(),
+    stable across runs and engines (with ``hash_family="md5_32"``).
+    Changing ``salt`` yields an independent re-split (e.g. for k-fold
+    ablations) without touching the data.
+    """
+    weights = dict({"train": 0.98, "val": 0.01, "test": 0.01} if weights is None else weights)
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    bucket = split_bucket(F.col(key_col), salt, hash_family)
+    # integer cumulative thresholds; the last label absorbs rounding remainder
+    labels = list(weights)
+    cum, bounds = 0.0, []
+    for lbl in labels[:-1]:
+        cum += weights[lbl] / total
+        bounds.append(int(round(cum * SPLIT_BUCKETS)))
+    expr = F.lit(labels[-1])
+    for lbl, ub in zip(reversed(labels[:-1]), reversed(bounds)):
+        expr = F.when(bucket < ub, F.lit(lbl)).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
+def sample_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    n: int,
+    id_col: str,
+    salt: str = "sample",
+    hash_family: str = "xxhash64",
+    out_rank: str | None = None,
+) -> DataFrame:
+    """Keep a deterministic sample of at most ``n`` rows per key group.
+
+    Rows are ranked inside each key by a salted hash of ``id_col`` (which
+    must be unique per row — it is the tiebreak that makes the sample
+    exact); the ``n`` smallest hashes win. Equivalent in distribution to a
+    uniform reservoir sample but reproducible and incremental. One shuffle
+    on ``key_cols``; per-key state is a top-n heap inside the window sort,
+    so skewed keys cost O(group · log n), not a full group sort buffer
+    (Spark's TakeOrderedAndProject applies per-partition limits).
+
+    ``out_rank`` optionally exposes the 1-based rank column.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    from pyspark.sql import Window
+
+    h = _key_hash(F.col(id_col), salt, hash_family)
+    w = Window.partitionBy(*key_cols).orderBy(h.asc(), F.col(id_col).asc())
+    rank = F.row_number().over(w)
+    ranked = df.withColumn("__rank", rank).where(F.col("__rank") <= n)
+    if out_rank:
+        return ranked.withColumnRenamed("__rank", out_rank)
+    return ranked.drop("__rank")

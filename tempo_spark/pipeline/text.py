@@ -93,6 +93,70 @@ def with_language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pre
     return df.withColumn(out, pred)
 
 
+def with_repetition_metrics(
+    df: DataFrame, text_col: str = "text", n: int = 2, prefix: str | None = None
+) -> DataFrame:
+    """Within-document n-gram repetition (a Gopher-style quality signal):
+    emits ``n_{n}grams`` (total word n-grams), ``n_{n}grams_distinct``, and
+    ``dup_{n}gram_frac`` = 1 - distinct/total (0.0 when the doc has fewer
+    than ``n`` tokens). Highly repetitive boilerplate/spam scores near 1.
+
+    Pure per-row HOF expressions — no shuffle, no Python workers. The two
+    counts are exact integers; the fraction is hardened-rounded to 6
+    decimals (``floor(x*1e6+0.5)/1e6``) so any SQL engine reproduces it
+    bit-identically. Tokens are materialized into an intermediate column
+    first: HOFs are not CSE'd, so inlining the split into every consumer
+    would re-tokenize the document several times.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    p = prefix or f"{n}gram"
+    toks_c, grams_c = f"__toks_{p}", f"__grams_{p}"
+    out_total, out_distinct, out_frac = f"n_{p}s", f"n_{p}s_distinct", f"dup_{p}_frac"
+
+    def gram_at(i: Column) -> Column:  # factory: no default-arg lambda (arity introspection)
+        return F.concat_ws(" ", F.slice(F.col(toks_c), i, n))
+
+    stepped = df.withColumn(toks_c, tokens_col(F.col(text_col)))
+    n_toks = F.size(F.col(toks_c))
+    # guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not an empty array
+    grams = F.when(
+        n_toks >= n, F.transform(F.sequence(F.lit(1), n_toks - (n - 1)), gram_at)
+    ).otherwise(F.array().cast("array<string>"))
+    stepped = stepped.withColumn(grams_c, grams)
+    total = F.size(F.col(grams_c))
+    distinct = F.size(F.array_distinct(F.col(grams_c)))
+    frac = F.when(total > 0, F.lit(1.0) - distinct / total).otherwise(F.lit(0.0))
+    hardened = F.floor(frac * 1_000_000 + F.lit(0.5)) / 1_000_000
+    return (
+        stepped.withColumn(out_total, total)
+        .withColumn(out_distinct, distinct)
+        .withColumn(out_frac, hardened)
+        .drop(toks_c, grams_c)
+    )
+
+
+#: pattern library for with_pattern_counts; Java-regex flavored (the Spark
+#: side is authoritative — cross-engine regex dialects differ, so these
+#: columns are deliberately NOT oracle-gated)
+PATTERNS: dict[str, str] = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "urls": r"https?://[^\s]+",
+    "digit_runs": r"\d{6,}",
+}
+
+
+def with_pattern_counts(
+    df: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Per-row occurrence counts for a dict of regex patterns (default:
+    emails / URLs / long digit runs — the cheap PII-ish signals a corpus
+    filter wants). Native ``regexp_count`` — JVM codegen, no shuffle."""
+    for name, pat in (patterns or PATTERNS).items():
+        df = df.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+    return df
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
     """Deterministic document fingerprint: polynomial rolling hash
     ``h = (h*31 + codepoint) mod 1_000_000_007`` over the characters.

@@ -454,3 +454,162 @@ class TestIVFPersistence:
         assert len(dirs) == 2
         plan = loaded.assigned.where(F.col("cell") == 0)._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [isnotnull(cell" in plan or "cell#" in plan
+
+
+class TestRepetitionMetrics:
+    def test_counts_match_python(self, spark):
+        rows = [
+            (0, "the cat sat on the mat the cat sat"),
+            (1, "a b a b a b a b"),
+            (2, ""),
+            (3, "one"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for n in (2, 3):
+            out = {
+                r.doc_id: (r[f"n_{n}grams"], r[f"n_{n}grams_distinct"], r[f"dup_{n}gram_frac"])
+                for r in text.with_repetition_metrics(df, n=n).collect()
+            }
+            for doc_id, t in rows:
+                toks = t.split()
+                grams = [" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))]
+                frac = 1 - len(set(grams)) / len(grams) if grams else 0.0
+                import math
+
+                assert out[doc_id][0] == len(grams)
+                assert out[doc_id][1] == len(set(grams))
+                assert out[doc_id][2] == math.floor(frac * 1e6 + 0.5) / 1e6
+
+    def test_no_shuffle_no_python(self, docs):
+        from tempo_spark.plans.inspect import count_exchanges, count_python_evals
+
+        out = text.with_repetition_metrics(docs)
+        assert count_exchanges(out) == 0
+        assert count_python_evals(out) == 0
+
+    def test_bad_n(self, docs):
+        with pytest.raises(ValueError):
+            text.with_repetition_metrics(docs, n=0)
+
+
+class TestPatternCounts:
+    def test_counts(self, spark):
+        df = spark.createDataFrame(
+            [(0, "mail me@example.com or her@x.io, see https://a.b/c id 1234567890")],
+            "doc_id long, text string",
+        )
+        r = text.with_pattern_counts(df).first()
+        assert (r.n_emails, r.n_urls, r.n_digit_runs) == (2, 1, 1)
+
+
+class TestSampling:
+    def test_split_deterministic_and_stable(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.split for r in sampling.with_split(df, "doc_id").collect()}
+        b = {r.doc_id: r.split for r in sampling.with_split(df, "doc_id").collect()}
+        assert a == b
+        # appending rows must not move existing assignments
+        c = {
+            r.doc_id: r.split
+            for r in sampling.with_split(
+                spark.range(4000).withColumnRenamed("id", "doc_id"), "doc_id"
+            ).collect()
+        }
+        assert all(c[k] == v for k, v in a.items())
+
+    def test_split_distribution(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        df = spark.range(20000).withColumnRenamed("id", "doc_id")
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        counts = {
+            r.split: r["count"]
+            for r in sampling.with_split(df, "doc_id", weights=w).groupBy("split").count().collect()
+        }
+        assert abs(counts["train"] / 20000 - 0.8) < 0.02
+        assert abs(counts["val"] / 20000 - 0.1) < 0.01
+        assert abs(counts["test"] / 20000 - 0.1) < 0.01
+
+    def test_split_salt_independent(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        df = spark.range(5000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.split for r in sampling.with_split(df, "doc_id", salt="s1").collect()}
+        b = {r.doc_id: r.split for r in sampling.with_split(df, "doc_id", salt="s2").collect()}
+        assert a != b  # re-salting re-splits
+
+    def test_split_md5_matches_duckdb(self, spark):
+        import duckdb
+
+        from tempo_spark.pipeline import sampling
+
+        df = spark.range(500).withColumnRenamed("id", "doc_id")
+        got = {
+            r.doc_id: r.split
+            for r in sampling.with_split(df, "doc_id", hash_family="md5_32").collect()
+        }
+        want = dict(
+            duckdb.sql(
+                """
+                SELECT i, CASE
+                  WHEN ('0x' || substr(md5('split:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000000 < 980000 THEN 'train'
+                  WHEN ('0x' || substr(md5('split:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000000 < 990000 THEN 'val'
+                  ELSE 'test' END
+                FROM range(500) t(i)
+                """
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_split_no_shuffle(self, spark):
+        from tempo_spark.pipeline import sampling
+        from tempo_spark.plans.inspect import count_exchanges, count_python_evals
+
+        df = spark.range(100).withColumnRenamed("id", "doc_id")
+        out = sampling.with_split(df, "doc_id")
+        assert count_exchanges(out) == 0
+        assert count_python_evals(out) == 0
+
+    def test_split_validation(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        df = spark.range(10).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            sampling.with_split(df, "doc_id", weights={})
+        with pytest.raises(ValueError):
+            sampling.with_split(df, "doc_id", hash_family="city64")
+
+    def test_sample_per_key(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        df = spark.range(1000).withColumn("k", (F.col("id") % 7).cast("int"))
+        out = sampling.sample_per_key(df, ["k"], 5, "id", out_rank="rk")
+        counts = {r.k: r["count"] for r in out.groupBy("k").count().collect()}
+        assert all(v == 5 for v in counts.values()) and len(counts) == 7
+        again = sampling.sample_per_key(df, ["k"], 5, "id", out_rank="rk")
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+        # rank column is 1..n inside each key
+        rks = [r.rk for r in out.where("k = 3").collect()]
+        assert sorted(rks) == [1, 2, 3, 4, 5]
+        # small groups survive intact
+        tiny = spark.range(3).withColumn("k", F.lit(0))
+        assert sampling.sample_per_key(tiny, ["k"], 5, "id").count() == 3
+
+    def test_sample_per_key_one_shuffle(self, spark):
+        from tempo_spark.pipeline import sampling
+        from tempo_spark.plans.inspect import count_exchanges
+
+        df = spark.range(100).withColumn("k", (F.col("id") % 3).cast("int"))
+        out = sampling.sample_per_key(df, ["k"], 2, "id")
+        assert count_exchanges(out) == 1
+
+    def test_sample_validation(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        df = spark.range(10).withColumn("k", F.lit(0))
+        with pytest.raises(ValueError):
+            sampling.sample_per_key(df, ["k"], 0, "id")
