@@ -1169,16 +1169,35 @@ FROM ranked GROUP BY user_id, split_id
 # ------------------------------------------------------- pipeline queries
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tempo_spark.pipeline.dedup import exact_dedup
+    """Exact dedup ∪ incremental corpus dedup, union-tagged:
+
+    - ``exact``: one winner per identical-text group (min doc_id) with the
+      group size;
+    - ``vs_corpus``: ``dedup_against_corpus`` survivors — docs with
+      doc_id >= 250 (the "new shard") whose text does NOT already appear
+      among doc_id < 250 (the "existing corpus"); broadcast-pruned plan
+      (the corpus side is scanned, never shuffled)."""
+    from tempo_spark.pipeline.dedup import dedup_against_corpus, exact_dedup
 
     docs = _read(spark, sf_dir, "documents")
-    out = exact_dedup(docs, "doc_id", "text")
-    return out.select("doc_id", "dup_count")
+    exact = exact_dedup(docs, "doc_id", "text").select(
+        F.lit("exact").alias("tag"), "doc_id", "dup_count"
+    )
+    survivors = dedup_against_corpus(
+        docs.where(F.col("doc_id") >= 250), docs.where(F.col("doc_id") < 250), "text"
+    ).select(F.lit("vs_corpus").alias("tag"), "doc_id", F.lit(0).cast("long").alias("dup_count"))
+    return exact.unionByName(survivors)
 
 
 _DEDUP_EXACT_ORACLE = """
-SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+SELECT 'exact' AS tag, min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY md5(text)
+UNION ALL
+SELECT 'vs_corpus' AS tag, s.doc_id, CAST(0 AS BIGINT) AS dup_count
+FROM documents s
+WHERE s.doc_id >= 250
+  AND NOT EXISTS (SELECT 1 FROM documents c
+                  WHERE c.doc_id < 250 AND md5(c.text) = md5(s.text))
 """
 
 

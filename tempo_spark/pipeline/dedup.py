@@ -67,6 +67,47 @@ def exact_dedup(
     return df.join(winners, on=id_col, how="inner")
 
 
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    strategy: str = "broadcast",
+) -> DataFrame:
+    """Drop rows of ``new_df`` whose exact content already exists in
+    ``corpus_df`` — the incremental form of exact dedup ("dedup today's
+    crawl against the 100 TB corpus").
+
+    ``strategy="broadcast"`` (default) is the scale path when the new shard
+    is much smaller than the corpus — the usual case. The corpus is SCANNED
+    once but never shuffled:
+
+    1. broadcast the shard's distinct digests to every corpus scan task;
+    2. a broadcast LEFT-SEMI join emits only corpus digests that collide
+       (bounded by the shard size, however big the corpus is);
+    3. a broadcast LEFT-ANTI join removes those digests from the shard.
+
+    The only hash shuffles are the two shard-sized ``distinct``s; the
+    corpus subtree is scan → project → broadcast-join, so 100 TB flows
+    map-side with predicate/column pruning intact (tests pin the exchange
+    count). ``strategy="shuffle"`` is the plain sort-merge LEFT-ANTI join
+    for when the shard itself is too large to broadcast twice.
+    """
+    digest = F.md5(F.col(text_col)).alias("__digest")
+    nd = new_df.withColumn("__digest", F.md5(F.col(text_col)))
+    if strategy == "shuffle":
+        corpus_digests = corpus_df.select(digest).distinct()
+        return nd.join(corpus_digests, "__digest", "left_anti").drop("__digest")
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    new_digests = nd.select("__digest").distinct()
+    hits = (
+        corpus_df.select(digest)
+        .join(F.broadcast(new_digests), "__digest", "left_semi")
+        .distinct()
+    )
+    return nd.join(F.broadcast(hits), "__digest", "left_anti").drop("__digest")
+
+
 # ----------------------------------------------------------------- shingles
 
 

@@ -618,3 +618,50 @@ class TestSampling:
         df = spark.range(10).withColumn("k", F.lit(0))
         with pytest.raises(ValueError):
             sampling.sample_per_key(df, ["k"], 0, "id")
+
+
+class TestDedupAgainstCorpus:
+    @pytest.fixture(scope="class")
+    def shard_corpus(self, spark):
+        corpus = spark.createDataFrame(
+            [(0, "seen before"), (1, "also seen"), (2, "dup in corpus"), (3, "dup in corpus")],
+            "doc_id long, text string",
+        )
+        shard = spark.createDataFrame(
+            [(10, "seen before"), (11, "brand new"), (12, "also seen"), (13, "another new")],
+            "doc_id long, text string",
+        )
+        return shard, corpus
+
+    def test_survivors(self, shard_corpus):
+        shard, corpus = shard_corpus
+        out = sorted(
+            r.doc_id for r in dedup.dedup_against_corpus(shard, corpus).collect()
+        )
+        assert out == [11, 13]
+        assert dedup.dedup_against_corpus(shard, corpus).columns == ["doc_id", "text"]
+
+    def test_shuffle_strategy_same_result(self, shard_corpus):
+        shard, corpus = shard_corpus
+        a = sorted(r.doc_id for r in dedup.dedup_against_corpus(shard, corpus).collect())
+        b = sorted(
+            r.doc_id
+            for r in dedup.dedup_against_corpus(shard, corpus, strategy="shuffle").collect()
+        )
+        assert a == b
+
+    def test_corpus_never_shuffled(self, shard_corpus):
+        shard, corpus = shard_corpus
+        out = dedup.dedup_against_corpus(shard, corpus)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # two broadcast joins; the only hash exchanges are the shard-sized
+        # distincts (2), never the corpus subtree
+        assert plan.count("BroadcastHashJoin") == 2
+        from tempo_spark.plans.inspect import count_exchanges
+
+        assert count_exchanges(out) == 2
+
+    def test_bad_strategy(self, shard_corpus):
+        shard, corpus = shard_corpus
+        with pytest.raises(ValueError):
+            dedup.dedup_against_corpus(shard, corpus, strategy="bloom")
