@@ -226,3 +226,79 @@ class TestCrossValidatorEndToEnd:
         model = cv.fit(df)
         # a perfectly linear series should fit near-exactly
         assert min(model.avgMetrics) < 1e-3
+
+
+class TestBucketedIO:
+    def test_bucketed_table_elides_series_shuffles(self, spark, trades):
+        from tempo_spark import TSDF
+        from tempo_spark.plans.inspect import count_exchanges
+        from tempo_spark.sources.io import read_table_tsdf, write_tsdf_bucketed
+
+        t = TSDF(trades, ts_col="event_ts", series_ids=["symbol"])
+        write_tsdf_bucketed(t, spark, "trades_bucketed", n_buckets=4)
+        try:
+            tb = read_table_tsdf(spark, "trades_bucketed", "event_ts", ["symbol"])
+            # per-series operators need hashpartitioning(symbol) — the
+            # bucketed scan already provides it, so: zero exchanges
+            rs = tb.withRangeStats(colsToSummarize=["trade_pr"], rangeBackWindowSecs=60).df
+            assert count_exchanges(rs) == 0
+            res = tb.resample("1 minute", "mean").df
+            assert count_exchanges(res) == 0
+            # the same plans on a path-read frame pay the shuffle
+            plain = TSDF(trades, ts_col="event_ts", series_ids=["symbol"])
+            assert count_exchanges(
+                plain.withRangeStats(colsToSummarize=["trade_pr"], rangeBackWindowSecs=60).df
+            ) == 1
+            # values identical either way
+            a = sorted(map(tuple, rs.collect()))
+            b = sorted(
+                map(
+                    tuple,
+                    plain.withRangeStats(
+                        colsToSummarize=["trade_pr"], rangeBackWindowSecs=60
+                    ).df.collect(),
+                )
+            )
+            assert a == b
+        finally:
+            spark.sql("DROP TABLE IF EXISTS trades_bucketed")
+
+    def test_same_bucket_join_no_shuffle(self, spark, trades):
+        import pyspark.sql.functions as F
+
+        from tempo_spark import TSDF
+        from tempo_spark.plans.inspect import count_exchanges
+        from tempo_spark.sources.io import read_table_tsdf, write_tsdf_bucketed
+
+        t = TSDF(trades, ts_col="event_ts", series_ids=["symbol"])
+        write_tsdf_bucketed(t, spark, "tb_a", n_buckets=4)
+        write_tsdf_bucketed(t, spark, "tb_b", n_buckets=4)
+        try:
+            a = read_table_tsdf(spark, "tb_a", "event_ts", ["symbol"]).df
+            b = read_table_tsdf(spark, "tb_b", "event_ts", ["symbol"]).df
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                j = a.groupBy("symbol").agg(F.avg("trade_pr").alias("pa")).join(
+                    b.groupBy("symbol").agg(F.avg("trade_pr").alias("pb")), "symbol"
+                )
+                assert count_exchanges(j) == 0
+                assert j.count() > 0
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS tb_a")
+            spark.sql("DROP TABLE IF EXISTS tb_b")
+
+    def test_bucketed_validation(self, spark, trades):
+        import pytest as _pytest
+
+        from tempo_spark import TSDF
+        from tempo_spark.sources.io import write_tsdf_bucketed
+
+        t_noseries = TSDF(trades, ts_col="event_ts", series_ids=[])
+        with _pytest.raises(ValueError):
+            write_tsdf_bucketed(t_noseries, spark, "nope")
+        t = TSDF(trades, ts_col="event_ts", series_ids=["symbol"])
+        with _pytest.raises(ValueError):
+            write_tsdf_bucketed(t, spark, "nope", n_buckets=0)
