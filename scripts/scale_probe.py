@@ -11,6 +11,9 @@ Usage:
     python scripts/scale_probe.py --cc       # connected components: pointer
                                              # jumping vs label propagation
                                              # on 2M nodes in 64-hop chains
+    python scripts/scale_probe.py --corpus   # incremental dedup: broadcast
+                                             # (corpus never shuffled) vs
+                                             # sort-merge anti-join
 """
 
 from __future__ import annotations
@@ -159,8 +162,66 @@ def cc_probe(spark, n_nodes: int, chain_len: int) -> dict:
     return out
 
 
+def corpus_dedup_probe(spark, corpus_rows: int, shard_rows: int) -> dict:
+    """Incremental dedup at scale: a big synthetic corpus (~100-byte docs
+    from md5 strings, built with spark.range — no driver data), a shard
+    1-2 orders smaller with 50% overlap. Compares the broadcast-pruned
+    strategy (corpus scanned, never shuffled) against the sort-merge
+    anti-join, and checks both return exactly the non-overlapping half."""
+    from tempo_spark.pipeline.dedup import dedup_against_corpus
+
+    def doc_text(idc):
+        return F.concat_ws(
+            " ",
+            F.md5(idc.cast("string")),
+            F.md5((idc + 1).cast("string")),
+            F.md5((idc + 2).cast("string")),
+        )
+
+    corpus = spark.range(corpus_rows).select(
+        F.col("id").alias("doc_id"), doc_text(F.col("id")).alias("text")
+    )
+    # first half of the shard duplicates corpus docs; second half is new
+    # (ids beyond the corpus range produce unseen md5 chains)
+    shard = spark.range(shard_rows).select(
+        (F.col("id") + corpus_rows).alias("doc_id"),
+        doc_text(
+            F.when(F.col("id") < shard_rows // 2, F.col("id") * 2).otherwise(
+                F.col("id") + corpus_rows
+            )
+        ).alias("text"),
+    )
+    out: dict = {"corpus_rows": corpus_rows, "shard_rows": shard_rows}
+    expected = shard_rows - shard_rows // 2
+    for strategy in ("broadcast", "shuffle"):
+        t0 = time.monotonic()
+        n = dedup_against_corpus(shard, corpus, strategy=strategy).count()
+        dt = time.monotonic() - t0
+        out[strategy] = {
+            "sec": round(dt, 1),
+            "survivors": n,
+            "correct": n == expected,
+            "corpus_rows_per_sec": int(corpus_rows / dt),
+        }
+    return out
+
+
 def main():
     skew = "--skew" in sys.argv
+    if "--corpus" in sys.argv:
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "64")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "24g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        for corpus_rows in (8_000_000, 32_000_000):
+            print(json.dumps(corpus_dedup_probe(spark, corpus_rows, corpus_rows // 100)))
+        spark.stop()
+        return
     if "--cc" in sys.argv:
         spark = (
             SparkSession.builder.master("local[32]")
