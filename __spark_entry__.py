@@ -1318,20 +1318,42 @@ FROM hits
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint ∪ deterministic per-key sample, union-tagged:
+
+    - ``fingerprint``: rolling polynomial hash of the text (val = hash);
+    - ``sample``: ``sample_per_key`` keeps 5 docs per (lang, source) by
+      md5_32 hash order (val = 1-based rank) — the DuckDB oracle replays
+      the identical hash ordering, value-gating the sampling operator."""
+    from tempo_spark.pipeline.sampling import sample_per_key
     from tempo_spark.pipeline.text import with_fingerprint
 
     docs = _read(spark, sf_dir, "documents")
-    return with_fingerprint(docs, "text").select("doc_id", "fingerprint")
+    fp = with_fingerprint(docs, "text").select(
+        F.lit("fingerprint").alias("tag"), "doc_id", F.col("fingerprint").alias("val")
+    )
+    samp = sample_per_key(
+        docs, ["lang", "source"], 5, "doc_id", hash_family="md5_32", out_rank="rk"
+    ).select(F.lit("sample").alias("tag"), "doc_id", F.col("rk").cast("long").alias("val"))
+    return fp.unionByName(samp)
 
 
 _FINGERPRINT_ORACLE = """
-SELECT doc_id,
+SELECT 'fingerprint' AS tag, doc_id,
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
            list_transform(list_filter(string_split(text, ''), c -> c != ''),
                           c -> CAST(unicode(c) AS BIGINT))),
-         (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+         (a, b) -> (a * 31 + b) % 1000000007) AS val
 FROM documents
+UNION ALL
+SELECT 'sample' AS tag, doc_id, CAST(rk AS BIGINT) AS val
+FROM (SELECT doc_id,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                        doc_id) AS rk
+      FROM documents)
+WHERE rk <= 5
 """
 
 
