@@ -1197,7 +1197,8 @@ SELECT 'vs_corpus' AS tag, s.doc_id, CAST(0 AS BIGINT) AS dup_count
 FROM documents s
 WHERE s.doc_id >= 250
   AND NOT EXISTS (SELECT 1 FROM documents c
-                  WHERE c.doc_id < 250 AND md5(c.text) = md5(s.text))
+                  WHERE c.doc_id < 250
+                    AND md5(c.text) IS NOT DISTINCT FROM md5(s.text))
 """
 
 

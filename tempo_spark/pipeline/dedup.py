@@ -92,8 +92,13 @@ def dedup_against_corpus(
     count). ``strategy="shuffle"`` is the plain sort-merge LEFT-ANTI join
     for when the shard itself is too large to broadcast twice.
     """
-    digest = F.md5(F.col(text_col)).alias("__digest")
-    nd = new_df.withColumn("__digest", F.md5(F.col(text_col)))
+    # null-safe digest: md5(NULL) is NULL and join keys never match NULL,
+    # which would exempt null-text rows from dedup — while exact_dedup's
+    # groupBy DOES group nulls together. A sentinel keeps the two
+    # operators' notions of "identical content" consistent.
+    _digest = F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
+    digest = _digest.alias("__digest")
+    nd = new_df.withColumn("__digest", _digest)
     if strategy == "shuffle":
         corpus_digests = corpus_df.select(digest).distinct()
         return nd.join(corpus_digests, "__digest", "left_anti").drop("__digest")

@@ -35,7 +35,12 @@ SPLIT_BUCKETS = 1_000_000
 
 
 def _key_hash(key: Column, salt: str, hash_family: str) -> Column:
-    salted = F.concat(F.lit(f"{salt}:"), key.cast("string"))
+    # null keys hash as a sentinel so BOTH families agree (xxhash64 of a
+    # NULL concat degrades to the seed constant while md5_32 yields NULL,
+    # which would silently dump every null key into the last split label)
+    salted = F.concat(
+        F.lit(f"{salt}:"), F.coalesce(key.cast("string"), F.lit("\x00null"))
+    )
     if hash_family == "md5_32":
         return md5_32(salted)
     if hash_family == "xxhash64":

@@ -665,3 +665,30 @@ class TestDedupAgainstCorpus:
         shard, corpus = shard_corpus
         with pytest.raises(ValueError):
             dedup.dedup_against_corpus(shard, corpus, strategy="bloom")
+
+
+class TestNullKeys:
+    def test_split_null_key_consistent_across_families(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        df = spark.createDataFrame([(None,), ("a",)], "k string")
+        for fam in ("xxhash64", "md5_32"):
+            out = {
+                (r.k if r.k is not None else "<null>"): r.split
+                for r in sampling.with_split(
+                    df, "k", weights={"x": 0.5, "y": 0.5}, hash_family=fam
+                ).collect()
+            }
+            # null keys get a real (sentinel-hashed) assignment, not a
+            # silent fall-through to the last label
+            assert out["<null>"] in ("x", "y")
+
+    def test_null_text_dedups_like_exact(self, spark):
+        shard = spark.createDataFrame([(1, None), (2, "x")], "doc_id long, text string")
+        corpus = spark.createDataFrame([(0, None), (9, "y")], "doc_id long, text string")
+        survivors = sorted(
+            r.doc_id for r in dedup.dedup_against_corpus(shard, corpus).collect()
+        )
+        # doc 1's null text already exists in the corpus (doc 0) — dropped,
+        # matching exact_dedup's groupBy-null semantics
+        assert survivors == [2]
