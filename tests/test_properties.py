@@ -253,3 +253,57 @@ def test_block_minmax_pre_1970_epochs(spark):
         ).df.toDF("sym", "ts", "v", "min_v", "max_v").collect()
     )
     assert sliding == block
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet="ab xyz0", max_size=12)),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_split_matches_python_md5_model(spark, keys):
+    """with_split(md5_32) against a pure-Python md5 model on arbitrary
+    (including null/empty/whitespace) string keys."""
+    import hashlib
+
+    from tempo_spark.pipeline.sampling import SPLIT_BUCKETS, with_split
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    w = {"train": 0.6, "val": 0.2, "test": 0.2}
+    got = {r.k: r.split for r in with_split(df, "k", weights=w, hash_family="md5_32").collect()}
+
+    def model(k):
+        s = "split:" + (k if k is not None else "\x00null")
+        b = int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % SPLIT_BUCKETS
+        if b < int(round(0.6 * SPLIT_BUCKETS)):
+            return "train"
+        if b < int(round(0.8 * SPLIT_BUCKETS)):
+            return "val"
+        return "test"
+
+    assert got == {k: model(k) for k in keys}
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=10),
+    st.integers(1, 4),
+)
+def test_repetition_metrics_match_python_model(spark, texts, n):
+    import math
+
+    from tempo_spark.pipeline.text import with_repetition_metrics
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = {
+        r.doc_id: (r[f"n_{n}grams"], r[f"n_{n}grams_distinct"], r[f"dup_{n}gram_frac"])
+        for r in with_repetition_metrics(df, n=n).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split()
+        grams = [" ".join(toks[j : j + n]) for j in range(max(len(toks) - n + 1, 0))]
+        frac = 1 - len(set(grams)) / len(grams) if grams else 0.0
+        assert out[i] == (len(grams), len(set(grams)), math.floor(frac * 1e6 + 0.5) / 1e6)
