@@ -1254,14 +1254,50 @@ FROM grams
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score ∪ benchmark contamination, union-tagged:
+
+    - ``quality``: composite per-doc quality heuristic (val = score);
+    - ``contam``: ``ngram_contamination`` — docs (doc_id >= 20) sharing any
+      word 5-gram with the "benchmark" (doc_id < 20), val = contaminated
+      fraction of the doc's distinct 5-grams. md5_32 shingle hashes so the
+      DuckDB oracle replays hash-for-hash (including any collisions)."""
+    from tempo_spark.pipeline.dedup import ngram_contamination
     from tempo_spark.pipeline.text import with_quality_score
 
     docs = _read(spark, sf_dir, "documents")
-    return with_quality_score(docs, "text").select("doc_id", "quality_score")
+    quality = with_quality_score(docs, "text").select(
+        F.lit("quality").alias("tag"), "doc_id", F.col("quality_score").alias("val")
+    )
+    contam = ngram_contamination(
+        docs.where(F.col("doc_id") >= 20),
+        docs.where(F.col("doc_id") < 20),
+        n=5,
+        hash_family="md5_32",
+    ).select(F.lit("contam").alias("tag"), "doc_id", F.col("contam_frac").alias("val"))
+    return quality.unionByName(contam)
 
 
 _QUALITY_ORACLE = """
-WITH toks AS (
+WITH sh_toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tok
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
+                ELSE list_transform(generate_series(1, len(tok) - 4),
+                                    i -> array_to_string(tok[i:i+4], ' ')) END,
+           g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS hs
+  FROM sh_toks),
+bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id < 20),
+corp AS (SELECT doc_id, len(hs) AS tot, unnest(hs) AS h FROM sh WHERE doc_id >= 20),
+contam AS (
+  SELECT c.doc_id, count(*) AS hits, any_value(c.tot) AS tot
+  FROM corp c JOIN bench b USING (h)
+  GROUP BY c.doc_id),
+toks AS (
   SELECT doc_id, text,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
               ELSE regexp_split_to_array(trim(text), '\\s+') END AS tok
@@ -1282,9 +1318,13 @@ scores AS (
          CASE WHEN n_toks > 0 AND (n_chars / n_toks) >= 3 AND (n_chars / n_toks) <= 10
               THEN 1.0 ELSE 0.5 END AS wordlen_score
   FROM feats)
-SELECT doc_id,
-       round((length_score + punct_score + sw_score + wordlen_score) / 4, 6) AS quality_score
+SELECT 'quality' AS tag, doc_id,
+       round((length_score + punct_score + sw_score + wordlen_score) / 4, 6) AS val
 FROM scores
+UNION ALL
+SELECT 'contam' AS tag, doc_id,
+       floor((hits * 1.0 / tot) * 1000000 + 0.5) / 1000000 AS val
+FROM contam
 """
 
 

@@ -113,6 +113,63 @@ def dedup_against_corpus(
     return nd.join(F.broadcast(hits), "__digest", "left_anti").drop("__digest")
 
 
+def ngram_contamination(
+    corpus_df: DataFrame,
+    benchmark_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Benchmark contamination check: find corpus documents sharing any word
+    n-gram with a benchmark/test set (the GPT-3-style 13-gram decontamination
+    filter a pretraining pipeline runs before training).
+
+    Same scale shape as ``dedup_against_corpus``: the benchmark's distinct
+    shingle hashes broadcast into an inner join against the EXPLODED corpus
+    shingles, so the corpus is scanned once and only the MATCHING
+    (doc, shingle) rows — rare by construction — reach the per-doc count
+    shuffle. Docs shorter than ``n`` words contribute their whole
+    (whitespace-normalized) text as one shingle, i.e. an exact-match check.
+
+    Returns only the contaminated docs: ``(id_col, contam_ngrams, n_ngrams,
+    contam_frac)`` where ``contam_frac`` = hit fraction of the doc's
+    distinct n-grams (hardened 6-decimal rounding). Clean docs are absent —
+    left-anti join on the result to drop, or left join for flags.
+    """
+    sh = "__contam_sh"
+    corp = with_hashed_shingles(
+        corpus_df.select(id_col, text_col), text_col, sh,
+        k=n, use_words=True, hash_family=hash_family,
+    ).withColumn("__n_sh", F.size(F.col(sh)))
+    bench = (
+        with_hashed_shingles(
+            benchmark_df.select(text_col), text_col, sh,
+            k=n, use_words=True, hash_family=hash_family,
+        )
+        .select(F.explode(F.col(sh)).alias("__h"))
+        .distinct()
+    )
+    exploded = corp.select(
+        F.col(id_col), F.col("__n_sh"), F.explode(F.col(sh)).alias("__h")
+    )
+    hits = (
+        exploded.join(F.broadcast(bench), "__h", "inner")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("contam_ngrams"),
+            F.first("__n_sh").alias("n_ngrams"),
+        )
+    )
+    frac = F.col("contam_ngrams") / F.col("n_ngrams")
+    return hits.select(
+        id_col,
+        "contam_ngrams",
+        "n_ngrams",
+        _hardened_round6(frac).alias("contam_frac"),
+    )
+
+
 # ----------------------------------------------------------------- shingles
 
 

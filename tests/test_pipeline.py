@@ -692,3 +692,56 @@ class TestNullKeys:
         # doc 1's null text already exists in the corpus (doc 0) — dropped,
         # matching exact_dedup's groupBy-null semantics
         assert survivors == [2]
+
+
+class TestNgramContamination:
+    @pytest.fixture(scope="class")
+    def corpus_bench(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "completely unrelated text about engines"),
+                (3, "short doc"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [("benchmark says the quick brown fox jumps over everything",), ("short doc",)],
+            "text string",
+        )
+        return corpus, bench
+
+    def test_flags_and_fractions(self, corpus_bench):
+        corpus, bench = corpus_bench
+        out = {
+            r.doc_id: (r.contam_ngrams, r.n_ngrams, r.contam_frac)
+            for r in dedup.ngram_contamination(corpus, bench, n=5).collect()
+        }
+        # doc 1: 10 words -> 6 distinct 5-grams, 2 shared with the benchmark
+        assert out[1] == (2, 6, 0.333333)
+        # doc 3 is shorter than n -> whole-text shingle, exact match
+        assert out[3] == (1, 1, 1.0)
+        # clean docs are absent
+        assert 2 not in out
+
+    def test_md5_family_matches_xxhash_flags(self, corpus_bench):
+        corpus, bench = corpus_bench
+        a = {r.doc_id for r in dedup.ngram_contamination(corpus, bench, n=5).collect()}
+        b = {
+            r.doc_id
+            for r in dedup.ngram_contamination(
+                corpus, bench, n=5, hash_family="md5_32"
+            ).collect()
+        }
+        assert a == b
+
+    def test_corpus_side_stays_broadcast(self, corpus_bench):
+        corpus, bench = corpus_bench
+        out = dedup.ngram_contamination(corpus, bench, n=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        from tempo_spark.plans.inspect import count_exchanges
+
+        # benchmark distinct + per-doc hit count; the corpus subtree itself
+        # is scan -> shingle -> explode -> broadcast join, never shuffled
+        assert plan.count("BroadcastHashJoin") == 1
+        assert count_exchanges(out) == 2
