@@ -1211,17 +1211,21 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``with_repetition_metrics(n=2)`` — Gopher-style duplicate-2gram
       counts + hardened-rounded fraction (boilerplate/spam signal);
     - ``with_split(hash_family='md5_32')`` — salted-hash train/val/test
-      assignment, replayed bit-exactly by the DuckDB oracle.
+      assignment, replayed bit-exactly by the DuckDB oracle;
+    - ``assign_packs`` — sequence packing: 2048-token greedy packs per
+      split in md5_32 hash order (window cumsum replayed in SQL).
     """
-    from tempo_spark.pipeline.sampling import with_split
+    from tempo_spark.pipeline.sampling import assign_packs, with_split
     from tempo_spark.pipeline.text import with_repetition_metrics, with_token_count
 
     docs = _read(spark, sf_dir, "documents")
     out = with_token_count(docs, "text")
     out = with_repetition_metrics(out, "text", n=2)
     out = with_split(out, "doc_id", hash_family="md5_32")
+    out = assign_packs(out, "n_tokens", 2048, ["split"], "doc_id", hash_family="md5_32")
     return out.select(
-        "doc_id", "n_tokens", "n_2grams", "n_2grams_distinct", "dup_2gram_frac", "split"
+        "doc_id", "n_tokens", "n_2grams", "n_2grams_distinct", "dup_2gram_frac",
+        "split", "pack_id",
     )
 
 
@@ -1237,19 +1241,27 @@ grams AS (
               THEN list_transform(generate_series(1, len(tok) - 1),
                                   i -> tok[i] || ' ' || tok[i + 1])
               ELSE []::VARCHAR[] END AS g
-  FROM toks)
-SELECT doc_id, n_tokens,
-       len(g) AS n_2grams,
-       len(list_distinct(g)) AS n_2grams_distinct,
-       CASE WHEN len(g) > 0
-            THEN floor((1.0 - len(list_distinct(g)) / len(g)) * 1000000 + 0.5) / 1000000
-            ELSE 0.0 END AS dup_2gram_frac,
-       CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                 % 1000000 < 980000 THEN 'train'
-            WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                 % 1000000 < 990000 THEN 'val'
-            ELSE 'test' END AS split
-FROM grams
+  FROM toks),
+base AS (
+  SELECT doc_id, n_tokens,
+         len(g) AS n_2grams,
+         len(list_distinct(g)) AS n_2grams_distinct,
+         CASE WHEN len(g) > 0
+              THEN floor((1.0 - len(list_distinct(g)) / len(g)) * 1000000 + 0.5) / 1000000
+              ELSE 0.0 END AS dup_2gram_frac,
+         CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000000 < 980000 THEN 'train'
+              WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000000 < 990000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM grams)
+SELECT doc_id, n_tokens, n_2grams, n_2grams_distinct, dup_2gram_frac, split,
+       CAST(floor(
+         (sum(n_tokens) OVER (
+            PARTITION BY split
+            ORDER BY ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                     doc_id) - n_tokens) / 2048) AS BIGINT) AS pack_id
+FROM base
 """
 
 

@@ -89,6 +89,51 @@ def with_split(
     return df.withColumn(out, expr)
 
 
+def assign_packs(
+    df: DataFrame,
+    token_col: str,
+    max_tokens: int,
+    key_cols: Sequence[str],
+    id_col: str,
+    salt: str = "pack",
+    hash_family: str = "xxhash64",
+    out: str = "pack_id",
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training pack
+    (sequence packing — the step that turns a filtered corpus into
+    ~max_tokens concatenation groups for pretraining).
+
+    Greedy contiguous fill in deterministic order: within each ``key_cols``
+    group (shard/split — REQUIRED, it is what bounds the window so packing
+    scales out), docs are ordered by a salted hash of ``id_col`` and the
+    running token total is cut every ``max_tokens``: a doc joins the pack
+    where its cumulative start falls, so each pack holds < max_tokens +
+    one doc's tokens (downstream truncation/rollover is the consumer's
+    policy, as in standard packing pipelines). Deterministic, append-shift
+    only within the group, and ONE shuffle on ``key_cols``.
+
+    Emits ``out`` as the 0-based pack index within the key group.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not key_cols:
+        raise ValueError(
+            "key_cols is required: packing runs per shard/split group — a "
+            "global ordering would funnel the corpus through one partition"
+        )
+    from pyspark.sql import Window
+
+    h = _key_hash(F.col(id_col), salt, hash_family)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col(token_col).cast("long")).over(w)
+    start = running - F.col(token_col).cast("long")
+    return df.withColumn(out, F.floor(start / F.lit(max_tokens)))
+
+
 def sample_per_key(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -745,3 +745,68 @@ class TestNgramContamination:
         # is scan -> shingle -> explode -> broadcast join, never shuffled
         assert plan.count("BroadcastHashJoin") == 1
         assert count_exchanges(out) == 2
+
+
+class TestAssignPacks:
+    def test_matches_python_model(self, spark):
+        import hashlib
+
+        from tempo_spark.pipeline import sampling
+
+        rows = [(i, i % 3, 100 + (i * 37) % 500) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, shard int, n_tokens int")
+        out = {
+            r.doc_id: r.pack_id
+            for r in sampling.assign_packs(
+                df, "n_tokens", 1000, ["shard"], "doc_id", hash_family="md5_32"
+            ).collect()
+        }
+
+        def h(i):
+            return int(hashlib.md5(f"pack:{i}".encode()).hexdigest()[:8], 16)
+
+        for shard in range(3):
+            group = sorted(
+                [(i, t) for (i, s, t) in rows if s == shard], key=lambda x: (h(x[0]), x[0])
+            )
+            run = 0
+            for i, t in group:
+                assert out[i] == run // 1000, i
+                run += t
+
+    def test_pack_budget_respected(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        df = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).alias("shard"),
+            (F.pmod(F.col("id") * 7919, F.lit(300)) + 1).alias("n_tokens"),
+        )
+        packed = sampling.assign_packs(df, "n_tokens", 2048, ["shard"], "doc_id")
+        per_pack = packed.groupBy("shard", "pack_id").agg(
+            F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx")
+        )
+        # each pack holds < max_tokens + one doc's tokens
+        assert per_pack.where(F.col("tot") >= 2048 + F.col("mx")).count() == 0
+        # token mass is conserved — every doc lands in exactly one pack
+        assert (
+            per_pack.agg(F.sum("tot")).first()[0]
+            == df.agg(F.sum("n_tokens")).first()[0]
+        )
+
+    def test_one_shuffle_and_validation(self, spark):
+        from tempo_spark.pipeline import sampling
+        from tempo_spark.plans.inspect import count_exchanges
+
+        df = spark.range(10).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 2).alias("shard"),
+            F.lit(5).alias("n_tokens"),
+        )
+        assert count_exchanges(
+            sampling.assign_packs(df, "n_tokens", 100, ["shard"], "doc_id")
+        ) == 1
+        with pytest.raises(ValueError):
+            sampling.assign_packs(df, "n_tokens", 0, ["shard"], "doc_id")
+        with pytest.raises(ValueError):
+            sampling.assign_packs(df, "n_tokens", 100, [], "doc_id")
