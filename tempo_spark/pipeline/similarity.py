@@ -43,6 +43,81 @@ def _as_double(c: Column) -> Column:
     return c.cast("array<double>")
 
 
+def normalize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out: Optional[str] = None
+) -> DataFrame:
+    """L2-normalize an embedding column (``v / ||v||``); after this, dot
+    product IS cosine, so downstream ANN skips the per-row norm divide.
+    Zero vectors (and nulls) pass through unchanged rather than dividing by
+    zero. Pure per-row HOFs — no shuffle, no Python. The norm is hoisted
+    into an intermediate column: HOFs are not CSE'd, so an inline norm
+    would be recomputed once per element."""
+    out = out or vec_col
+    nc = "__l2norm"
+    stepped = df.withColumn(nc, norm(_as_double(F.col(vec_col))))
+
+    def scale(x: Column) -> Column:
+        return x / F.col(nc)
+
+    normalized = F.when(
+        F.col(nc) > 0, F.transform(_as_double(F.col(vec_col)), scale)
+    ).otherwise(_as_double(F.col(vec_col)))
+    return stepped.withColumn(out, normalized).drop(nc)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_q: str = "embedding_q8",
+    out_scale: str = "q8_scale",
+    keep: bool = False,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q = round(x / scale)`` as ``array<tinyint>`` — 4× smaller than float32
+    at rest and on the shuffle wire, the standard storage layout for
+    billion-vector corpora (dequantized error ≤ scale/2 per component).
+    Zero/null vectors get scale 0 and all-zero codes. Per-row HOFs only;
+    ``keep=False`` drops the float column (the point of quantizing)."""
+    mx = "__absmax"
+    stepped = df.withColumn(
+        mx,
+        F.aggregate(
+            _as_double(F.col(vec_col)),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, F.abs(x)),
+        ),
+    )
+
+    def q(x: Column) -> Column:
+        return F.round(x * 127.0 / F.col(mx)).cast("tinyint")
+
+    codes = F.when(
+        F.col(mx) > 0, F.transform(_as_double(F.col(vec_col)), q)
+    ).otherwise(F.transform(_as_double(F.col(vec_col)), lambda x: F.lit(0).cast("tinyint")))
+    stepped = (
+        stepped.withColumn(out_q, codes)
+        .withColumn(out_scale, F.col(mx) / 127.0)
+        .drop(mx)
+    )
+    return stepped if keep else stepped.drop(vec_col)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "embedding_q8",
+    scale_col: str = "q8_scale",
+    out: str = "embedding",
+    keep: bool = False,
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings``: ``x ≈ q * scale`` as
+    ``array<double>`` (error ≤ scale/2 per component)."""
+    def dq(c: Column) -> Column:
+        return c.cast("double") * F.col(scale_col)
+
+    stepped = df.withColumn(out, F.transform(F.col(q_col), dq))
+    return stepped if keep else stepped.drop(q_col, scale_col)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

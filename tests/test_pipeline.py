@@ -810,3 +810,54 @@ class TestAssignPacks:
             sampling.assign_packs(df, "n_tokens", 0, ["shard"], "doc_id")
         with pytest.raises(ValueError):
             sampling.assign_packs(df, "n_tokens", 100, [], "doc_id")
+
+
+class TestEmbeddingStorage:
+    def test_normalize(self, vectors):
+        out = {r.vec_id: r.embedding for r in similarity.normalize_embeddings(vectors).collect()}
+        import math
+
+        for vid, v in out.items():
+            n = math.sqrt(sum(x * x for x in v))
+            assert abs(n - 1.0) < 1e-9, (vid, n)
+        # direction preserved
+        assert out[0][0] > 0.99 and abs(out[4][0] + 1.0) < 1e-9
+
+    def test_normalize_zero_vector_passthrough(self, spark):
+        df = spark.createDataFrame([(0, [0.0, 0.0])], "vec_id long, embedding array<float>")
+        r = similarity.normalize_embeddings(df).first()
+        assert list(r.embedding) == [0.0, 0.0]
+
+    def test_quantize_roundtrip_error_bound(self, spark):
+        import random as _r
+
+        _r.seed(7)
+        rows = [(i, [_r.uniform(-2, 2) for _ in range(16)]) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = similarity.quantize_embeddings(df, keep=True)
+        assert dict(q.dtypes)["embedding_q8"] == "array<tinyint>"
+        dq = similarity.dequantize_embeddings(q, out="emb2", keep=True)
+        for r in dq.collect():
+            err = max(abs(a - b) for a, b in zip(r.embedding, r.emb2))
+            assert err <= r.q8_scale / 2 + 1e-9
+        # cosine survives quantization to ~1% on random vectors
+        import math
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+        got = dq.collect()
+        for r in got:
+            assert cos(r.embedding, r.emb2) > 0.99
+
+    def test_quantize_drops_float_by_default(self, vectors):
+        q = similarity.quantize_embeddings(vectors)
+        assert "embedding" not in q.columns and "embedding_q8" in q.columns
+
+    def test_no_shuffle_no_python(self, vectors):
+        from tempo_spark.plans.inspect import count_exchanges, count_python_evals
+
+        out = similarity.quantize_embeddings(similarity.normalize_embeddings(vectors), keep=True)
+        assert count_exchanges(out) == 0
+        assert count_python_evals(out) == 0
