@@ -43,6 +43,26 @@ def _skew_asof(spark, sf_dir):
     ).df
 
 
+def _text_analysis(spark, sf_dir):
+    # production quality-score path, matching the BASELINE B12 shape (the
+    # gate entry now union-tags quality ∪ md5_32 n-gram contamination,
+    # which deliberately multiplies its work for oracle replay)
+    from tempo_spark.pipeline.text import with_quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_quality_score(docs, "text").select("doc_id", "quality_score")
+
+
+def _contamination(spark, sf_dir):
+    # production xxhash64 contamination path (benchmark = first 20 docs)
+    from tempo_spark.pipeline.dedup import ngram_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_contamination(
+        docs.where(F.col("doc_id") >= 20), docs.where(F.col("doc_id") < 20), n=5
+    )
+
+
 def _minhash_dedup(spark, sf_dir):
     # production xxhash64 hash family (the oracle-gated entry uses the
     # engine-neutral md5_32 family, which trades speed for replayability)
@@ -108,7 +128,8 @@ BENCH_QUERIES = {
     "b9_vwap": entry_mod.q_vwap,
     "b10_minhash_dedup": _minhash_dedup,
     "b11_ann_topk": entry_mod.q_ann_cosine_topk,
-    "b12_text_analysis": entry_mod.q_quality_score,
+    "b12_text_analysis": _text_analysis,
+    "b17_contamination": _contamination,
     "b13_simhash_dedup": _simhash_dedup,
     "b14_ngram_jaccard": entry_mod.q_ngram_jaccard,
     "b15_ivf_ann_topk": _ivf_kmeans_topk,
