@@ -861,3 +861,31 @@ class TestEmbeddingStorage:
         out = similarity.quantize_embeddings(similarity.normalize_embeddings(vectors), keep=True)
         assert count_exchanges(out) == 0
         assert count_python_evals(out) == 0
+
+
+class TestExplodePushdownGuard:
+    def test_no_substituted_filter_below_generate(self, docs):
+        """explode's implied size>0 filter must not re-inline the shingle
+        chain: no Filter in the plan may contain an element_at (the
+        signature of the hoisted columns being substituted back in)."""
+        bench_docs = docs.where("doc_id < 2")
+        out = dedup.ngram_contamination(docs, bench_docs, n=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            ln
+            for ln in plan.splitlines()
+            if ln.strip().startswith(("Filter", "+- Filter", "*(")) and "element_at" in ln
+            and "Filter" in ln
+        ]
+        assert not bad, bad[:1]
+
+    def test_minhash_bands_no_substituted_filter(self, docs):
+        hashed = dedup.with_minhash(docs.where("length(text) > 0"), num_hashes=8)
+        cands = dedup.minhash_lsh_candidates(hashed, "doc_id", bands=4)
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            ln
+            for ln in plan.splitlines()
+            if "Filter" in ln and "array_min" in ln
+        ]
+        assert not bad, bad[:1]
