@@ -89,15 +89,18 @@ def streaming_lsh_dedup(
         shingle_k,
         use_words,
     )
+    # posexplode_OUTER + null filter: a plain posexplode implies a pushed
+    # size>0 filter with the full minhash chain alias-substituted into it
+    # (see pipeline/dedup.minhash_lsh_candidates) — per micro-batch here
     banded = sigs.select(
         F.col(id_col).cast("long").alias("__id"),
         F.col(ts_col).alias("__ts"),
         F.unix_micros(F.col(ts_col)).alias("__ts_us"),
         F.col("__sig"),
-        F.posexplode(band_key_array(F.col("__sig"), bands)).alias(
+        F.posexplode_outer(band_key_array(F.col("__sig"), bands)).alias(
             "band_id", "band_hash"
         ),
-    )
+    ).where(F.col("band_hash").isNotNull())
 
     out_schema = StructType(
         [
