@@ -1169,27 +1169,87 @@ FROM ranked GROUP BY user_id, split_id
 # ------------------------------------------------------- pipeline queries
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup ∪ incremental corpus dedup, union-tagged:
+    """Exact dedup ∪ incremental corpus dedup ∪ incremental NEAR-dup
+    corpus dedup, union-tagged:
 
     - ``exact``: one winner per identical-text group (min doc_id) with the
       group size;
     - ``vs_corpus``: ``dedup_against_corpus`` survivors — docs with
       doc_id >= 250 (the "new shard") whose text does NOT already appear
       among doc_id < 250 (the "existing corpus"); broadcast-pruned plan
-      (the corpus side is scanned, never shuffled)."""
-    from tempo_spark.pipeline.dedup import dedup_against_corpus, exact_dedup
+      (the corpus side is scanned, never shuffled);
+    - ``near_vs_corpus``: ``near_dedup_against_corpus`` hits — shard docs
+      whose text is a NEAR-duplicate (word-3-gram MinHash/LSH, Jaccard
+      >= 0.5) of ≥1 corpus doc, with the match count; md5_32 family so the
+      DuckDB oracle replays signatures + banding + verify bit-exactly
+      (production default stays xxhash64 — bench measures that)."""
+    from tempo_spark.pipeline.dedup import (
+        dedup_against_corpus,
+        exact_dedup,
+        near_dedup_against_corpus,
+    )
 
     docs = _read(spark, sf_dir, "documents")
     exact = exact_dedup(docs, "doc_id", "text").select(
         F.lit("exact").alias("tag"), "doc_id", "dup_count"
     )
-    survivors = dedup_against_corpus(
-        docs.where(F.col("doc_id") >= 250), docs.where(F.col("doc_id") < 250), "text"
-    ).select(F.lit("vs_corpus").alias("tag"), "doc_id", F.lit(0).cast("long").alias("dup_count"))
-    return exact.unionByName(survivors)
+    shard = docs.where(F.col("doc_id") >= 250)
+    corpus = docs.where(F.col("doc_id") < 250)
+    survivors = dedup_against_corpus(shard, corpus, "text").select(
+        F.lit("vs_corpus").alias("tag"), "doc_id", F.lit(0).cast("long").alias("dup_count")
+    )
+    near = (
+        near_dedup_against_corpus(
+            shard, corpus, "doc_id", "text",
+            num_hashes=16, bands=4, shingle_k=3, threshold=0.5,
+            use_words=True, hash_family="md5_32", mode="pairs",
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_count"))
+        .select(F.lit("near_vs_corpus").alias("tag"), "doc_id", "dup_count")
+    )
+    return exact.unionByName(survivors).unionByName(near)
 
 
 _DEDUP_EXACT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+  FROM toks
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') AS sh FROM toks WHERE len(w) < 3),
+hashes AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM grams),
+seeded AS (
+  SELECT g.doc_id, s.j,
+         min(('0x' || substr(md5(g.h::VARCHAR || ':' || s.j::VARCHAR), 1, 8))::BIGINT) AS mh
+  FROM hashes g CROSS JOIN (SELECT unnest(range(0, 16)) AS j) s
+  GROUP BY g.doc_id, s.j),
+bandkeys AS (
+  SELECT doc_id, j // 4 AS band_id,
+         string_agg(mh::VARCHAR, ',' ORDER BY j) AS band_key
+  FROM seeded GROUP BY doc_id, j // 4),
+cand AS (
+  SELECT DISTINCT s.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM bandkeys s JOIN bandkeys c
+    ON s.band_id = c.band_id AND s.band_key = c.band_key
+   AND s.doc_id >= 250 AND c.doc_id < 250),
+sizes AS (SELECT doc_id, count(*) AS n FROM hashes GROUP BY doc_id),
+co AS (
+  SELECT cd.new_id, cd.corpus_id, count(*) AS co
+  FROM cand cd
+  JOIN hashes ha ON ha.doc_id = cd.new_id
+  JOIN hashes hb ON hb.doc_id = cd.corpus_id AND hb.h = ha.h
+  GROUP BY cd.new_id, cd.corpus_id),
+scored AS (
+  SELECT co.new_id, CAST(co.co AS DOUBLE) / (sa.n + sb.n - co.co) AS raw
+  FROM co
+  JOIN sizes sa ON sa.doc_id = co.new_id
+  JOIN sizes sb ON sb.doc_id = co.corpus_id)
 SELECT 'exact' AS tag, min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY md5(text)
 UNION ALL
@@ -1199,6 +1259,9 @@ WHERE s.doc_id >= 250
   AND NOT EXISTS (SELECT 1 FROM documents c
                   WHERE c.doc_id < 250
                     AND md5(c.text) IS NOT DISTINCT FROM md5(s.text))
+UNION ALL
+SELECT 'near_vs_corpus' AS tag, new_id AS doc_id, count(*) AS dup_count
+FROM scored WHERE raw >= 0.5 GROUP BY new_id
 """
 
 

@@ -498,6 +498,112 @@ def minhash_dedup(
     return out
 
 
+def near_dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    use_words: bool = False,
+    hash_family: str = "xxhash64",
+    mode: str = "drop",
+    broadcast_shard: bool = True,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: find rows of ``new_df`` that are
+    near-duplicates (Jaccard >= ``threshold``) of ANY ``corpus_df`` row —
+    the fuzzy companion to ``dedup_against_corpus`` ("is today's crawl a
+    paraphrase of something already in the 100 TB corpus?"), so adding a
+    shard never re-near-dedups the whole corpus.
+
+    Scale shape — the corpus is scanned ONCE and never shuffled until only
+    colliding rows remain:
+
+    1. the shard's (band_id, band_hash) LSH keys — ``bands`` narrow rows per
+       shard doc — broadcast to every corpus scan task;
+    2. the corpus pipeline is scan → shingle/minhash → band-explode →
+       broadcast INNER join, all in one pipelined stage; the hashed-shingle
+       array (already computed for the signature) rides along, so the rare
+       surviving candidates carry their shingle sets out of the scan and no
+       second corpus pass is needed;
+    3. candidates dedupe per (new, corpus) pair and verify with exact
+       Jaccard on hashed shingle sets — both shuffles are candidate-sized.
+
+    ``mode``: ``"pairs"`` returns verified ``(<id_col>, corpus_id,
+    jaccard)`` pairs; ``"drop"`` (default) returns ``new_df`` minus flagged
+    rows; ``"flag"`` returns ``new_df`` plus ``is_near_dup``.
+
+    Both sides must share ``id_col``/``text_col`` names; shingle/minhash
+    parameters must match whatever the corpus was deduped with or recall
+    drops silently. ``broadcast_shard=False`` swaps the verify-side
+    broadcast (shard shingle ARRAYS — the only piece whose broadcast cost
+    grows with shard text size) for a shard-sized hash join; the band-key
+    broadcast stays (3 narrow columns, always cheap).
+    """
+    if mode not in ("pairs", "drop", "flag"):
+        raise ValueError(f"unknown mode {mode!r}")
+    shard_sig = with_minhash(
+        new_df.select(F.col(id_col), F.col(text_col)), text_col, "__mh",
+        num_hashes, shingle_k, use_words, keep_hashed_shingles=True,
+        hash_family=hash_family,
+    ).select(F.col(id_col).alias("__new_id"), F.col("__mh"),
+             F.col("__tempo_sh_hashed").alias("__sh_a"))
+    # posexplode_OUTER + post-Generate filter: plain posexplode implies a
+    # pushed-down size(arr)>0 filter that re-inlines the full minhash chain
+    # (see minhash_lsh_candidates)
+    shard_banded = shard_sig.select(
+        "__new_id",
+        F.posexplode_outer(band_key_array(F.col("__mh"), bands, hash_family))
+        .alias("band_id", "band_hash"),
+    ).where(F.col("band_hash").isNotNull())
+    corpus_sig = with_minhash(
+        corpus_df.select(F.col(id_col), F.col(text_col)), text_col, "__mh",
+        num_hashes, shingle_k, use_words, keep_hashed_shingles=True,
+        hash_family=hash_family,
+    ).select(F.col(id_col).alias("corpus_id"), F.col("__mh"),
+             F.col("__tempo_sh_hashed").alias("__sh_b"))
+    corpus_banded = corpus_sig.select(
+        "corpus_id", "__sh_b",
+        F.posexplode_outer(band_key_array(F.col("__mh"), bands, hash_family))
+        .alias("band_id", "band_hash"),
+    ).where(F.col("band_hash").isNotNull())
+    cand = (
+        corpus_banded.join(
+            F.broadcast(shard_banded), ["band_id", "band_hash"], "inner"
+        )
+        .select("__new_id", "corpus_id", "__sh_b")
+        .dropDuplicates(["__new_id", "corpus_id"])
+    )
+    shard_shingles = shard_sig.select("__new_id", "__sh_a")
+    if broadcast_shard:
+        shard_shingles = F.broadcast(shard_shingles)
+    pairs = (
+        cand.join(shard_shingles, "__new_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_a", "__sh_b"))
+            / F.size(F.array_union("__sh_a", "__sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("__new_id").alias(id_col),
+            "corpus_id",
+            _hardened_round6(F.col("jaccard")).alias("jaccard"),
+        )
+    )
+    if mode == "pairs":
+        return pairs
+    # flagged ids are bounded by the shard size — always broadcastable
+    flagged = pairs.select(id_col).distinct()
+    if mode == "drop":
+        return new_df.join(F.broadcast(flagged), id_col, "left_anti")
+    return new_df.join(
+        F.broadcast(flagged.withColumn("is_near_dup", F.lit(True))), id_col, "left"
+    ).withColumn("is_near_dup", F.coalesce(F.col("is_near_dup"), F.lit(False)))
+
+
 # ------------------------------------------------------------------ simhash
 
 

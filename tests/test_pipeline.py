@@ -667,6 +667,101 @@ class TestDedupAgainstCorpus:
             dedup.dedup_against_corpus(shard, corpus, strategy="bloom")
 
 
+class TestNearDedupAgainstCorpus:
+    @pytest.fixture(scope="class")
+    def shard_corpus(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (0, "the quick brown fox jumps over the lazy dog every day"),
+                (1, "completely different text about database engines"),
+            ],
+            "doc_id long, text string",
+        )
+        shard = spark.createDataFrame(
+            [
+                # near-dup of corpus doc 0 (one word changed)
+                (10, "the quick brown fox jumps over the lazy cat every day"),
+                (11, "brand new content with no overlap whatsoever here"),
+            ],
+            "doc_id long, text string",
+        )
+        return shard, corpus
+
+    def _kw(self):
+        return dict(
+            num_hashes=16, bands=8, shingle_k=2, threshold=0.3, use_words=True
+        )
+
+    def test_pairs_flag_drop(self, shard_corpus):
+        shard, corpus = shard_corpus
+        pairs = dedup.near_dedup_against_corpus(
+            shard, corpus, "doc_id", mode="pairs", **self._kw()
+        ).collect()
+        assert {(r.doc_id, r.corpus_id) for r in pairs} == {(10, 0)}
+        assert all(0.3 <= r.jaccard <= 1.0 for r in pairs)
+        kept = dedup.near_dedup_against_corpus(
+            shard, corpus, "doc_id", mode="drop", **self._kw()
+        )
+        assert sorted(r.doc_id for r in kept.collect()) == [11]
+        assert kept.columns == ["doc_id", "text"]
+        flags = {
+            r.doc_id: r.is_near_dup
+            for r in dedup.near_dedup_against_corpus(
+                shard, corpus, "doc_id", mode="flag", **self._kw()
+            ).collect()
+        }
+        assert flags == {10: True, 11: False}
+
+    def test_matches_batch_minhash_pairs(self, shard_corpus):
+        # cross-corpus pairs == the (shard-id, corpus-id) pairs of a full
+        # minhash_dedup over the union, restricted across the boundary
+        shard, corpus = shard_corpus
+        union = corpus.unionByName(shard)
+        full = dedup.minhash_dedup(
+            union, "doc_id", "text", bands=8, shingle_k=2, threshold=0.3,
+            use_words=True,
+        ).collect()
+        cross = {
+            (r.id_b, r.id_a, r.jaccard) for r in full if r.id_a < 10 <= r.id_b
+        }
+        got = {
+            (r.doc_id, r.corpus_id, r.jaccard)
+            for r in dedup.near_dedup_against_corpus(
+                shard, corpus, "doc_id", mode="pairs", **self._kw()
+            ).collect()
+        }
+        assert got == cross
+
+    def test_corpus_never_shuffled(self, shard_corpus):
+        shard, corpus = shard_corpus
+        pairs = dedup.near_dedup_against_corpus(
+            shard, corpus, "doc_id", mode="pairs", **self._kw()
+        )
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        # band join + verify join are both broadcast (corpus side streams)
+        assert plan.count("BroadcastHashJoin") == 2
+        from tempo_spark.plans.inspect import count_exchanges
+
+        # the only hash shuffle is the candidate-pair dedup
+        assert count_exchanges(pairs) == 1
+
+    def test_no_broadcast_shard_same_result(self, shard_corpus):
+        shard, corpus = shard_corpus
+        a = dedup.near_dedup_against_corpus(
+            shard, corpus, "doc_id", mode="pairs", **self._kw()
+        ).collect()
+        b = dedup.near_dedup_against_corpus(
+            shard, corpus, "doc_id", mode="pairs", broadcast_shard=False,
+            **self._kw()
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_bad_mode(self, shard_corpus):
+        shard, corpus = shard_corpus
+        with pytest.raises(ValueError):
+            dedup.near_dedup_against_corpus(shard, corpus, "doc_id", mode="x")
+
+
 class TestNullKeys:
     def test_split_null_key_consistent_across_families(self, spark):
         from tempo_spark.pipeline import sampling
