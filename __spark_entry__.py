@@ -1404,10 +1404,31 @@ FROM contam
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tempo_spark.pipeline.text import with_language_id
+    """Language ID ∪ TF-IDF keyword extraction, union-tagged:
+
+    - ``lang``: stopword-argmax language prediction (term = lang code);
+    - ``tfidf``: top-3 TF-IDF keywords per doc (``tfidf_keywords``) — the
+      gated columns are the integer rank/tf (the float score only ORDERS;
+      ranks flip only on exact (tf, df_t) ties, which tiebreak by term in
+      both engines, so ln() ulp differences can't surface)."""
+    from tempo_spark.pipeline.text import tfidf_keywords, with_language_id
 
     docs = _read(spark, sf_dir, "documents")
-    return with_language_id(docs, "text").select("doc_id", "lang_pred")
+    lang = with_language_id(docs, "text").select(
+        F.lit("lang").alias("tag"),
+        "doc_id",
+        F.col("lang_pred").alias("term"),
+        F.lit(0).cast("long").alias("rank"),
+        F.lit(0).cast("long").alias("tf"),
+    )
+    kw = tfidf_keywords(docs, "doc_id", "text", k=3).select(
+        F.lit("tfidf").alias("tag"),
+        "doc_id",
+        "term",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("tf").cast("long").alias("tf"),
+    )
+    return lang.unionByName(kw)
 
 
 _LANGID_ORACLE = """
@@ -1430,6 +1451,35 @@ SELECT doc_id,
             WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
             ELSE 'fr' END AS lang_pred
 FROM hits
+"""
+
+_LANGID_TFIDF_ORACLE = f"""
+WITH langid AS ({_LANGID_ORACLE}),
+tt AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)) END AS tok
+  FROM documents),
+tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tok) AS t FROM tt)
+  GROUP BY doc_id, t),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (ln((n.n_docs + 1.0) / (d.df_t + 1.0)) + 1.0) DESC,
+                    tf.term ASC) AS rank
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN n)
+SELECT 'lang' AS tag, doc_id, lang_pred AS term,
+       CAST(0 AS BIGINT) AS rank, CAST(0 AS BIGINT) AS tf
+FROM langid
+UNION ALL
+SELECT 'tfidf' AS tag, doc_id, term, CAST(rank AS BIGINT) AS rank,
+       CAST(tf AS BIGINT) AS tf
+FROM ranked WHERE rank <= 3
 """
 
 
@@ -2490,7 +2540,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "token_count": _TOKEN_COUNT_ORACLE,
         "quality_score": _QUALITY_ORACLE,
-        "language_id": _LANGID_ORACLE,
+        "language_id": _LANGID_TFIDF_ORACLE,
         "fingerprint": _FINGERPRINT_ORACLE,
         "ann_cosine_topk": _ANN_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,

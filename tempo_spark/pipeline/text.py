@@ -3,15 +3,16 @@
 All hot-path logic is built from native ``pyspark.sql.functions`` (JVM-side,
 whole-stage codegen, no Python workers): tokenization via ``split``,
 language ID via stopword-hit counting with ``filter``/``array_contains``,
-fingerprinting via ``aggregate`` (a fold over characters). Every operator is
-embarrassingly parallel — no shuffle at all — so it scales linearly with
-input splits at 100 TB.
+fingerprinting via ``aggregate`` (a fold over characters). Every per-row
+operator is embarrassingly parallel — no shuffle at all — so it scales
+linearly with input splits at 100 TB; the one corpus-level operator
+(``tfidf_keywords``) documents its own shuffle budget.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 # small, fixed stopword lists per language — deterministic and cheap to
 # broadcast as literals inside the plan
@@ -155,6 +156,85 @@ def with_pattern_counts(
     for name, pat in (patterns or PATTERNS).items():
         df = df.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
     return df
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    lowercase: bool = True,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the corpus-level companion
+    to the per-row quality signals above (keyword indexing, topic drift
+    monitoring, per-domain content profiling over a training corpus).
+
+    Returns ``(id_col, term, tf, df_t, tfidf, rank)``: raw term frequency,
+    document frequency, smoothed score ``tf * (ln((N+1)/(df_t+1)) + 1)``
+    (N = corpus row count, computed lazily as a broadcast 1-row aggregate —
+    no eager action at plan-build time), and the 1-based rank by
+    ``(tfidf DESC, term ASC)``.
+
+    Scale shape — ONE corpus scan, three shuffles, no skewed keys:
+
+    1. token explode → partial-aggregated ``groupBy(id, term)`` (the only
+       shuffle whose width is the token stream, and map-side combine
+       collapses it to per-(doc, term) counts first);
+    2. document frequency: vocabulary-sized ``groupBy(term)`` over the SAME
+       exchange — AQE's exchange reuse collapses the two branches, so the
+       corpus is scanned and tokenized once (see the pruning-guard comment
+       below), and the term shuffle carries only partial counts (map-side
+       combined — stopwords appearing in every doc do NOT make a hot
+       partition, unlike a window-over-term formulation);
+    3. the vocabulary (term, df_t) joins back via **broadcast** — the tf
+       frame never reshuffles — then one window shuffle on ``id_col`` where
+       Spark's WindowGroupLimit pushes the ``rank <= k`` filter partial,
+       pre-shuffle. Pass ``broadcast_vocab=False`` when the distinct-term
+       count is too large to broadcast (web-scale noise vocabularies):
+       the join becomes a term-keyed shuffle join instead.
+
+    ``explode_outer`` + post-Generate filter per the plan-pushdown gotcha
+    (plain ``explode`` re-inlines the tokenizer into a pushed size() test).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = tokens_col(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    tf = (
+        df.select(F.col(id_col), toks.alias("__tok"))
+        .select(id_col, F.explode_outer("__tok").alias("term"))
+        .where(F.col("term").isNotNull())
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # the tf > 0 filter is vacuously true (tf = count(1) >= 1) but Catalyst
+    # can't prove it, so it can't prune the tf aggregate out of this branch
+    # and rewrite it into an independent distinct-pairs scan; both subtrees
+    # stay bit-identical below the (id, term) exchange and ReuseExchange
+    # collapses them — ONE corpus scan/tokenization + one (id, term)
+    # shuffle instead of two of each (a plain count(*)/count(tf) here gets
+    # canonicalized and split back into a second full scan)
+    dfreq = tf.where(F.col("tf") > 0).groupBy("term").agg(F.count("*").alias("df_t"))
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
+    n_docs = F.broadcast(df.select(F.count(F.lit(1)).alias("__n_docs")))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(n_docs)
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("__n_docs") + 1) / (F.col("df_t") + 1)) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df_t", "tfidf", "rank")
+    )
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:

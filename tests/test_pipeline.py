@@ -67,6 +67,77 @@ class TestTextOps:
         assert out[0] >= 9
 
 
+class TestTfidfKeywords:
+    def _model(self, rows, k):
+        # brute-force python TF-IDF over the same corpus
+        import math
+
+        docs = {i: t.lower().split() for i, t in rows}
+        n = len(rows)
+        dfreq = {}
+        for toks in docs.values():
+            for t in set(toks):
+                dfreq[t] = dfreq.get(t, 0) + 1
+        out = {}
+        for i, toks in docs.items():
+            tf = {}
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+            scored = sorted(
+                ((t, c, c * (math.log((n + 1) / (dfreq[t] + 1)) + 1)) for t, c in tf.items()),
+                key=lambda x: (-x[2], x[0]),
+            )
+            out[i] = [(t, c, dfreq[t]) for t, c, _ in scored[:k]]
+        return out
+
+    def test_matches_python_model(self, docs):
+        rows = [(r.doc_id, r.text) for r in docs.collect()]
+        want = self._model(rows, k=3)
+        got = {}
+        for r in text.tfidf_keywords(docs, k=3).collect():
+            got.setdefault(r.doc_id, []).append((r.rank, r.term, r.tf, r.df_t))
+        for i in got:
+            got[i] = [(t, tf, dft) for _, t, tf, dft in sorted(got[i])]
+        # empty doc has no terms
+        assert 5 not in got
+        assert {i: v for i, v in want.items() if v} == got
+
+    def test_score_monotone_with_rank(self, docs):
+        for rows in (
+            text.tfidf_keywords(docs, k=10)
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.struct("rank", "tfidf")).alias("rs"))
+            .collect()
+        ):
+            ordered = sorted(rows.rs)
+            assert all(a.tfidf >= b.tfidf for a, b in zip(ordered, ordered[1:]))
+
+    def test_plan_shape(self, docs):
+        out = text.tfidf_keywords(docs, k=3)
+        out.collect()  # materialize so AQE finalizes exchange reuse
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the vocab branch reuses the tf branch's (id, term) exchange —
+        # one corpus scan/tokenization total (the tf > 0 pruning guard)
+        assert "ReusedExchange" in plan
+        # rank<=k runs partial pre-shuffle; vocab + corpus count broadcast
+        assert "WindowGroupLimit" in plan
+        # (the AQE plan string repeats nodes in its Initial Plan section,
+        # so membership, not counts)
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row N frame
+        assert "BroadcastHashJoin" in plan  # the vocab join
+
+    def test_no_broadcast_vocab_same_result(self, docs):
+        a = sorted(map(tuple, text.tfidf_keywords(docs, k=3).collect()))
+        b = sorted(
+            map(tuple, text.tfidf_keywords(docs, k=3, broadcast_vocab=False).collect())
+        )
+        assert a == b
+
+    def test_bad_k(self, docs):
+        with pytest.raises(ValueError):
+            text.tfidf_keywords(docs, k=0)
+
+
 class TestExactDedup:
     def test_exact(self, docs):
         out = dedup.exact_dedup(docs, "doc_id")
