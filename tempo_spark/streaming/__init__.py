@@ -5,6 +5,7 @@ from tempo_spark.streaming.asof import (
     streaming_asof,
     streaming_asof_candidates,
 )
+from tempo_spark.streaming.dedup import streaming_exact_dedup
 from tempo_spark.streaming.interpolate import streaming_interpolate
 from tempo_spark.streaming.lsh import streaming_lsh_dedup
 from tempo_spark.streaming.resample import (
@@ -19,6 +20,7 @@ __all__ = [
     "streaming_asof",
     "streaming_asof_candidates",
     "streaming_bars",
+    "streaming_exact_dedup",
     "streaming_grouped_stats",
     "streaming_interpolate",
     "streaming_lsh_dedup",
