@@ -1276,9 +1276,11 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``with_split(hash_family='md5_32')`` — salted-hash train/val/test
       assignment, replayed bit-exactly by the DuckDB oracle;
     - ``assign_packs`` — sequence packing: 2048-token greedy packs per
-      split in md5_32 hash order (window cumsum replayed in SQL).
+      split in md5_32 hash order (window cumsum replayed in SQL);
+    - ``with_shard(out_pos=...)`` — deterministic shuffle-shard export
+      assignment (8 shards) + position in the shard's hash order.
     """
-    from tempo_spark.pipeline.sampling import assign_packs, with_split
+    from tempo_spark.pipeline.sampling import assign_packs, with_shard, with_split
     from tempo_spark.pipeline.text import with_repetition_metrics, with_token_count
 
     docs = _read(spark, sf_dir, "documents")
@@ -1286,9 +1288,12 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = with_repetition_metrics(out, "text", n=2)
     out = with_split(out, "doc_id", hash_family="md5_32")
     out = assign_packs(out, "n_tokens", 2048, ["split"], "doc_id", hash_family="md5_32")
+    out = with_shard(out, "doc_id", 8, hash_family="md5_32", out_pos="shard_pos")
     return out.select(
         "doc_id", "n_tokens", "n_2grams", "n_2grams_distinct", "dup_2gram_frac",
         "split", "pack_id",
+        F.col("shard_id").cast("long").alias("shard_id"),
+        F.col("shard_pos").cast("long").alias("shard_pos"),
     )
 
 
@@ -1316,14 +1321,18 @@ base AS (
                    % 1000000 < 980000 THEN 'train'
               WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                    % 1000000 < 990000 THEN 'val'
-              ELSE 'test' END AS split
+              ELSE 'test' END AS split,
+         ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS shash
   FROM grams)
 SELECT doc_id, n_tokens, n_2grams, n_2grams_distinct, dup_2gram_frac, split,
        CAST(floor(
          (sum(n_tokens) OVER (
             PARTITION BY split
             ORDER BY ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
-                     doc_id) - n_tokens) / 2048) AS BIGINT) AS pack_id
+                     doc_id) - n_tokens) / 2048) AS BIGINT) AS pack_id,
+       CAST(shash % 8 AS BIGINT) AS shard_id,
+       CAST(row_number() OVER (PARTITION BY shash % 8 ORDER BY shash, doc_id) - 1
+            AS BIGINT) AS shard_pos
 FROM base
 """
 

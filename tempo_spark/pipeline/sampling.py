@@ -134,6 +134,74 @@ def assign_packs(
     return df.withColumn(out, F.floor(start / F.lit(max_tokens)))
 
 
+def with_shard(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shard",
+    hash_family: str = "xxhash64",
+    out_shard: str = "shard_id",
+    out_pos: str | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the export step
+    that turns a filtered corpus into N pseudo-randomly-ordered training
+    shards. ``out_shard`` = salted key hash mod ``n_shards`` (a pure
+    per-row expression, zero shuffle); ``out_pos`` optionally adds the
+    0-based position within the shard under the hash ordering — the global
+    shuffle order — at the cost of one shuffle on ``out_shard`` (Spark
+    computes rank via a per-shard window; shards are the parallelism unit,
+    so pick n_shards >> executor count).
+
+    Reproducible where ``df.orderBy(rand())`` is not: re-runs and engine
+    changes (``hash_family="md5_32"``) land every row in the same shard at
+    the same position, and appended rows never move earlier rows to a
+    different shard (positions within a shard can shift — a total order
+    must admit insertions).
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = _key_hash(F.col(id_col), salt, hash_family)
+    out = df.withColumn(out_shard, F.pmod(h, F.lit(n_shards)))
+    if out_pos is None:
+        return out
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(out_shard).orderBy(h.asc(), F.col(id_col).asc())
+    return out.withColumn(out_pos, F.row_number().over(w) - 1)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shard",
+    hash_family: str = "xxhash64",
+    format: str = "parquet",
+) -> None:
+    """Write ``df`` as ``n_shards`` hash-shuffled shard directories
+    (``shard_id=K/``), each file sorted in the deterministic shuffle order
+    (salted hash asc) so a sequential reader consumes a reproducible
+    pseudo-random permutation. ONE shuffle: rows repartition by shard (each
+    shard lands wholly in one task → one sorted file per shard), sort
+    within partitions, and write through ``partitionBy`` so readers prune
+    by shard directory."""
+    sharded = with_shard(df, id_col, n_shards, salt, hash_family)
+    h = _key_hash(F.col(id_col), salt, hash_family)
+    (
+        sharded.repartition(n_shards, F.col("shard_id"))
+        # shard_id leads the sort: several shards can hash into one write
+        # task, and the partitioned-file writer re-sorts by partition cols
+        # (NON-stably, destroying the hash order) unless the incoming
+        # ordering already starts with them
+        .sortWithinPartitions(F.col("shard_id"), h.asc(), F.col(id_col).asc())
+        .write.partitionBy("shard_id")
+        .format(format)
+        .mode("overwrite")
+        .save(path)
+    )
+
+
 def sample_per_key(
     df: DataFrame,
     key_cols: Sequence[str],

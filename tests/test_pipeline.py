@@ -573,6 +573,95 @@ class TestPatternCounts:
         assert (r.n_emails, r.n_urls, r.n_digit_runs) == (2, 1, 1)
 
 
+class TestShard:
+    def test_matches_python_md5_model(self, spark):
+        import hashlib
+
+        from tempo_spark.pipeline import sampling
+
+        df = spark.range(500).withColumnRenamed("id", "doc_id")
+        got = {
+            r.doc_id: (r.shard_id, r.pos)
+            for r in sampling.with_shard(
+                df, "doc_id", 8, hash_family="md5_32", out_pos="pos"
+            ).collect()
+        }
+
+        def h(i):
+            return int(hashlib.md5(f"shard:{i}".encode()).hexdigest()[:8], 16)
+
+        shards = {}
+        for i in range(500):
+            shards.setdefault(h(i) % 8, []).append(i)
+        want = {}
+        for s, ids in shards.items():
+            for pos, i in enumerate(sorted(ids, key=lambda i: (h(i), i))):
+                want[i] = (s, pos)
+        assert got == want
+
+    def test_positions_are_a_permutation(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        out = sampling.with_shard(
+            spark.range(1000).withColumnRenamed("id", "doc_id"),
+            "doc_id", 4, out_pos="pos",
+        )
+        per = {}
+        for r in out.collect():
+            per.setdefault(r.shard_id, []).append(r.pos)
+        assert set(per) == {0, 1, 2, 3}
+        for poss in per.values():
+            assert sorted(poss) == list(range(len(poss)))
+
+    def test_append_stable_shard(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        small = sampling.with_shard(
+            spark.range(300).withColumnRenamed("id", "doc_id"), "doc_id", 8
+        )
+        big = sampling.with_shard(
+            spark.range(600).withColumnRenamed("id", "doc_id"), "doc_id", 8
+        )
+        a = {r.doc_id: r.shard_id for r in small.collect()}
+        b = {r.doc_id: r.shard_id for r in big.collect()}
+        assert all(b[k] == v for k, v in a.items())
+
+    def test_write_training_shards(self, spark, tmp_path):
+        import glob
+        import hashlib
+
+        from tempo_spark.pipeline import sampling
+
+        df = spark.range(400).withColumnRenamed("id", "doc_id").withColumn(
+            "text", F.concat(F.lit("doc "), F.col("doc_id"))
+        )
+        path = str(tmp_path / "shards")
+        sampling.write_training_shards(df, path, "doc_id", 4, hash_family="md5_32")
+        dirs = sorted(glob.glob(path + "/shard_id=*"))
+        assert [d.rsplit("=", 1)[1] for d in dirs] == ["0", "1", "2", "3"]
+        # one sorted data file per shard; sequential read = the hash order
+        for d in dirs:
+            assert len(glob.glob(d + "/*.parquet")) == 1
+        back = spark.read.parquet(path)
+        assert back.count() == 400
+        shard0 = [
+            r.doc_id
+            for r in spark.read.parquet(dirs[0]).select("doc_id").collect()
+        ]
+
+        def h(i):
+            return int(hashlib.md5(f"shard:{i}".encode()).hexdigest()[:8], 16)
+
+        assert shard0 == sorted(shard0, key=lambda i: (h(i), i))
+        assert all(h(i) % 4 == 0 for i in shard0)
+
+    def test_bad_n_shards(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        with pytest.raises(ValueError):
+            sampling.with_shard(spark.range(5), "id", 0)
+
+
 class TestSampling:
     def test_split_deterministic_and_stable(self, spark):
         from tempo_spark.pipeline import sampling
