@@ -63,6 +63,28 @@ def _contamination(spark, sf_dir):
     )
 
 
+def _corpus_neardedup(spark, sf_dir):
+    # production xxhash64 incremental near-dup path: 10% "new shard" vs the
+    # other 90% "existing corpus" (the gate tag replays md5_32 instead)
+    from tempo_spark.pipeline.dedup import near_dedup_against_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_dedup_against_corpus(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+        "doc_id", "text",
+        num_hashes=16, bands=4, shingle_k=3, threshold=0.5, use_words=True,
+        mode="pairs",
+    )
+
+
+def _tfidf(spark, sf_dir):
+    from tempo_spark.pipeline.text import tfidf_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_keywords(docs, "doc_id", "text", k=5)
+
+
 def _minhash_dedup(spark, sf_dir):
     # production xxhash64 hash family (the oracle-gated entry uses the
     # engine-neutral md5_32 family, which trades speed for replayability)
@@ -134,6 +156,8 @@ BENCH_QUERIES = {
     "b14_ngram_jaccard": entry_mod.q_ngram_jaccard,
     "b15_ivf_ann_topk": _ivf_kmeans_topk,
     "b16_composite_funnel": entry_mod.q_composite_funnel,
+    "b18_corpus_neardedup": _corpus_neardedup,
+    "b19_tfidf": _tfidf,
 }
 
 RUNS = 3

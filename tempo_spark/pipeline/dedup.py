@@ -273,13 +273,38 @@ def with_hashed_shingles(
 
 
 def _signature_from_hashes(
-    hashed: Column, num_hashes: int, hash_family: str = "xxhash64"
+    hashed: Column | str, num_hashes: int, hash_family: str = "xxhash64"
 ) -> Column:
     """k-min signature from a (materialized) array of base hashes: seed j's
     hash of a shingle is ``xxhash64(base_hash, j)`` — a fixed-width long
     re-hash, so each shingle pays ONE variable-length string hash plus k
     cheap 16-byte hashes (and no long overflow under ANSI mode, unlike
-    affine multiply families). md5_32 family: seeded md5 re-hash instead."""
+    affine multiply families). md5_32 family: seeded md5 re-hash instead.
+
+    Pass a column NAME for the parsed-SQL fast path: k Column-API
+    ``array_min(transform(...))`` chains cost ~25 ms of driver py4j each at
+    plan-build (the simhash lesson — build latency is a real scale axis),
+    while one ``F.expr`` parse of the same k expressions is near-free and
+    bit-identical (a pytest pins equality per family). A nested
+    transform-over-sequence(0,k-1) would also build fast but executes ~4×
+    SLOWER: the variable seed defeats per-seed constant folding."""
+    if isinstance(hashed, str):
+        col_sql = f"`{hashed}`"
+        if hash_family == "md5_32":
+            items = [
+                f"array_min(transform({col_sql}, h -> "
+                f"cast(conv(substring(md5(cast(concat(cast(h as string), ':{j}') "
+                f"as binary)), 1, 8), 16, 10) as bigint)))"
+                for j in range(num_hashes)
+            ]
+        elif hash_family == "xxhash64":
+            items = [
+                f"array_min(transform({col_sql}, h -> xxhash64(h, {j})))"
+                for j in range(num_hashes)
+            ]
+        else:
+            raise ValueError(f"unknown hash_family {hash_family!r}")
+        return F.expr("array(" + ", ".join(items) + ")")
 
     def seeded(j: int):
         # single-parameter lambda: pyspark introspects lambda arity, so
@@ -320,7 +345,7 @@ def with_minhash(
     tmp = "__tempo_sh_hashed"
     result = with_hashed_shingles(df, text_col, tmp, shingle_k, use_words, hash_family)
     result = result.withColumn(
-        out, _signature_from_hashes(F.col(tmp), num_hashes, hash_family)
+        out, _signature_from_hashes(tmp, num_hashes, hash_family)
     )
     return result if keep_hashed_shingles else result.drop(tmp)
 

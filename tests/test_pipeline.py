@@ -197,6 +197,29 @@ class TestMd5HashFamily:
         for r in pairs:
             assert r.jaccard >= 0.5
 
+    def test_signature_sql_path_matches_column_path(self, docs):
+        """with_minhash builds signatures via one parsed-SQL expr (plan-
+        build latency); it must stay bit-identical to the Column-API chain
+        for BOTH hash families (the md5_32 one is oracle-replayed)."""
+        for fam in ("xxhash64", "md5_32"):
+            base = dedup.with_hashed_shingles(
+                docs.where("length(text) > 0"), "text", "__sh", 3, True, fam
+            )
+            a = {
+                r.doc_id: r.s
+                for r in base.select(
+                    "doc_id", dedup._signature_from_hashes("__sh", 8, fam).alias("s")
+                ).collect()
+            }
+            b = {
+                r.doc_id: r.s
+                for r in base.select(
+                    "doc_id",
+                    dedup._signature_from_hashes(F.col("__sh"), 8, fam).alias("s"),
+                ).collect()
+            }
+            assert a == b, fam
+
     def test_simhash_md5_family_32bit(self, docs):
         hashed = dedup.with_simhash(
             docs.where("length(text) > 0"), id_col="doc_id",
