@@ -1344,12 +1344,18 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``contam``: ``ngram_contamination`` — docs (doc_id >= 20) sharing any
       word 5-gram with the "benchmark" (doc_id < 20), val = contaminated
       fraction of the doc's distinct 5-grams. md5_32 shingle hashes so the
-      DuckDB oracle replays hash-for-hash (including any collisions)."""
+      DuckDB oracle replays hash-for-hash (including any collisions);
+    - ``src_filter``: ``filter_by_group_stats`` domain-level filtering —
+      docs from sources whose mean quality >= 0.70 survive, val = the
+      source's hardened-rounded mean (the nearest source mean sits ~3e-4
+      from the bar, so engine summation-order ulps can't flip a verdict)."""
     from tempo_spark.pipeline.dedup import ngram_contamination
+    from tempo_spark.pipeline.filtering import filter_by_group_stats
     from tempo_spark.pipeline.text import with_quality_score
 
     docs = _read(spark, sf_dir, "documents")
-    quality = with_quality_score(docs, "text").select(
+    scored = with_quality_score(docs, "text")
+    quality = scored.select(
         F.lit("quality").alias("tag"), "doc_id", F.col("quality_score").alias("val")
     )
     contam = ngram_contamination(
@@ -1358,7 +1364,14 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=5,
         hash_family="md5_32",
     ).select(F.lit("contam").alias("tag"), "doc_id", F.col("contam_frac").alias("val"))
-    return quality.unionByName(contam)
+    src = (
+        filter_by_group_stats(
+            scored, ["source"], "quality_score", min_mean=0.70, mode="flag"
+        )
+        .where("group_passes")
+        .select(F.lit("src_filter").alias("tag"), "doc_id", _HR6(F.col("group_mean")).alias("val"))
+    )
+    return quality.unionByName(contam).unionByName(src)
 
 
 _QUALITY_ORACLE = """
@@ -1401,14 +1414,27 @@ scores AS (
          least((CASE WHEN n_toks > 0 THEN sw_hits / n_toks ELSE 0.0 END) * 4, 1.0) AS sw_score,
          CASE WHEN n_toks > 0 AND (n_chars / n_toks) >= 3 AND (n_chars / n_toks) <= 10
               THEN 1.0 ELSE 0.5 END AS wordlen_score
-  FROM feats)
-SELECT 'quality' AS tag, doc_id,
-       round((length_score + punct_score + sw_score + wordlen_score) / 4, 6) AS val
-FROM scores
+  FROM feats),
+qvals AS (
+  SELECT doc_id,
+         round((length_score + punct_score + sw_score + wordlen_score) / 4, 6) AS val
+  FROM scores),
+gkeep AS (
+  SELECT d.source, avg(q.val) AS gm
+  FROM qvals q JOIN documents d USING (doc_id)
+  GROUP BY d.source
+  HAVING avg(q.val) >= 0.70)
+SELECT 'quality' AS tag, doc_id, val FROM qvals
 UNION ALL
 SELECT 'contam' AS tag, doc_id,
        floor((hits * 1.0 / tot) * 1000000 + 0.5) / 1000000 AS val
 FROM contam
+UNION ALL
+SELECT 'src_filter' AS tag, q.doc_id,
+       floor(g.gm * 1000000 + 0.5) / 1000000 AS val
+FROM qvals q
+JOIN documents d USING (doc_id)
+JOIN gkeep g ON d.source = g.source
 """
 
 

@@ -945,6 +945,79 @@ class TestNearDedupAgainstCorpus:
             dedup.near_dedup_against_corpus(shard, corpus, "doc_id", mode="x")
 
 
+class TestGroupFiltering:
+    @pytest.fixture(scope="class")
+    def grouped(self, spark):
+        rows = [
+            ("good", 0, 0.9), ("good", 1, 0.8), ("good", 2, 0.7),
+            ("bad", 3, 0.2), ("bad", 4, 0.3), ("bad", 5, 0.1),
+            ("tiny", 6, 0.95),
+            ("nully", 7, None), ("nully", 8, None),
+        ]
+        return spark.createDataFrame(rows, "source string, doc_id long, score double")
+
+    def test_drop_mode(self, grouped):
+        from tempo_spark.pipeline import filtering
+
+        kept = filtering.filter_by_group_stats(
+            grouped, ["source"], "score", min_mean=0.5
+        )
+        assert kept.columns == ["source", "doc_id", "score"]
+        assert sorted(r.doc_id for r in kept.collect()) == [0, 1, 2, 6]
+        # min_count drops the tiny group too
+        kept2 = filtering.filter_by_group_stats(
+            grouped, ["source"], "score", min_mean=0.5, min_count=2
+        )
+        assert sorted(r.doc_id for r in kept2.collect()) == [0, 1, 2]
+
+    def test_flag_mode_and_null_group(self, grouped):
+        from tempo_spark.pipeline import filtering
+
+        flagged = {
+            r.doc_id: (r.group_passes, r.group_count, r.group_mean)
+            for r in filtering.filter_by_group_stats(
+                grouped, ["source"], "score", min_mean=0.5, mode="flag"
+            ).collect()
+        }
+        assert flagged[0][0] is True and flagged[3][0] is False
+        assert flagged[3][1] == 3
+        # all-null metric group: mean is null -> fails any mean bar
+        assert flagged[7][0] is False and flagged[7][2] is None
+
+    def test_max_mean(self, grouped):
+        from tempo_spark.pipeline import filtering
+
+        kept = filtering.filter_by_group_stats(
+            grouped, ["source"], "score", max_mean=0.5
+        )
+        assert sorted(r.doc_id for r in kept.collect()) == [3, 4, 5]
+
+    def test_corpus_never_shuffled(self, grouped):
+        from tempo_spark.pipeline import filtering
+        from tempo_spark.plans.inspect import count_exchanges
+
+        kept = filtering.filter_by_group_stats(
+            grouped, ["source"], "score", min_mean=0.5
+        )
+        # the only hash shuffle is the vocabulary-sized group agg; the
+        # corpus side joins the verdicts by broadcast
+        assert count_exchanges(kept) == 1
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    def test_validation(self, grouped):
+        from tempo_spark.pipeline import filtering
+
+        with pytest.raises(ValueError):
+            filtering.filter_by_group_stats(grouped, ["source"], "score")
+        with pytest.raises(ValueError):
+            filtering.filter_by_group_stats(
+                grouped, ["source"], "score", min_mean=0.5, mode="x"
+            )
+        with pytest.raises(ValueError):
+            filtering.group_stats(grouped, [], "score")
+
+
 class TestNullKeys:
     def test_split_null_key_consistent_across_families(self, spark):
         from tempo_spark.pipeline import sampling
