@@ -1018,6 +1018,79 @@ class TestGroupFiltering:
             filtering.group_stats(grouped, [], "score")
 
 
+class TestBoilerplateLines:
+    @pytest.fixture(scope="class")
+    def multiline(self, spark):
+        footer = "(c) example corp - all rights reserved"
+        nav = "home | about | contact"
+        rows = [
+            (0, f"{nav}\nunique article one\n{footer}"),
+            (1, f"{nav}\nanother unique piece\nmore body text\n{footer}"),
+            (2, f"{nav}\nthird story\n{footer}"),
+            (3, "no boilerplate at all\njust content"),
+            (4, f"{footer}\n{footer}\nrepeated footer inside one doc"),
+            (5, None),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_strips_frequent_lines(self, multiline):
+        from tempo_spark.pipeline import filtering
+
+        got = {
+            r.doc_id: r.text
+            for r in filtering.remove_boilerplate_lines(
+                multiline, "doc_id", min_doc_freq=3
+            ).collect()
+        }
+        assert got[0] == "unique article one"
+        assert got[1] == "another unique piece\nmore body text"
+        assert got[2] == "third story"
+        assert got[3] == "no boilerplate at all\njust content"
+        # footer appears in docs 0,1,2,4 -> stripped from 4 too (both copies)
+        assert got[4] == "repeated footer inside one doc"
+        assert got[5] is None
+
+    def test_within_doc_repeat_counts_once(self, multiline):
+        from tempo_spark.pipeline import filtering
+
+        # nav is in docs 0,1,2 (3 docs); footer in 0,1,2,4 (4 docs — the
+        # doubled copy in doc 4 counts once). min_doc_freq=4 keeps nav.
+        got = {
+            r.doc_id: r.text
+            for r in filtering.remove_boilerplate_lines(
+                multiline, "doc_id", min_doc_freq=4
+            ).collect()
+        }
+        assert got[0] == "home | about | contact\nunique article one"
+        assert got[4] == "repeated footer inside one doc"
+
+    def test_out_column_and_validation(self, multiline):
+        from tempo_spark.pipeline import filtering
+
+        got = filtering.remove_boilerplate_lines(
+            multiline, "doc_id", min_doc_freq=3, out="clean"
+        )
+        assert "clean" in got.columns and "text" in got.columns
+        row = {r.doc_id: r for r in got.collect()}[0]
+        assert "home |" in row.text and row.clean == "unique article one"
+        with pytest.raises(ValueError):
+            filtering.remove_boilerplate_lines(multiline, "doc_id", min_doc_freq=1)
+
+    def test_all_lines_stripped_yields_empty(self, spark):
+        from tempo_spark.pipeline import filtering
+
+        df = spark.createDataFrame(
+            [(i, "only line") for i in range(3)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.text
+            for r in filtering.remove_boilerplate_lines(
+                df, "doc_id", min_doc_freq=3
+            ).collect()
+        }
+        assert got == {0: "", 1: "", 2: ""}
+
+
 class TestNullKeys:
     def test_split_null_key_consistent_across_families(self, spark):
         from tempo_spark.pipeline import sampling
