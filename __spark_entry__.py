@@ -1670,15 +1670,16 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
 
 
 def _emb_near_dup_oracle() -> str:
-    """exact ∪ lsh, method-tagged — DuckDB allows CTEs inside derived
-    tables, so the two standalone WITH-queries compose directly."""
+    """exact ∪ lsh ∪ vs_corpus, method-tagged — DuckDB allows CTEs inside
+    derived tables, so the standalone WITH-queries compose directly."""
     lsh = _emb_near_dup_lsh_oracle().replace(
         "SELECT id_a, id_b, cosine FROM scored",
         "SELECT id_a, id_b, cosine, 'lsh' AS method FROM scored",
     )
     return (
         f"SELECT * FROM ({_EMB_NEAR_DUP_EXACT_SQL})\n"
-        f"UNION ALL\nSELECT * FROM ({lsh})"
+        f"UNION ALL\nSELECT * FROM ({lsh})\n"
+        f"UNION ALL\nSELECT * FROM ({_EMB_VS_CORPUS_SQL})"
     )
 
 
@@ -1965,10 +1966,16 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup, exact and LSH-bucketed paths union-tagged
-    (the ``method`` tag keys rows so both stay individually value-checked
-    inside the driver's 50-query window)."""
-    from tempo_spark.pipeline.similarity import embedding_near_dups
+    """Embedding-cosine near-dup: exact ∪ LSH-bucketed ∪ incremental
+    vs-corpus paths union-tagged (the ``method`` tag keys rows so all three
+    stay individually value-checked inside the driver's 50-query window).
+    ``vs_corpus``: ``embedding_dedup_against_corpus`` exact path — shard
+    (vec_id >= 400) embeddings near-duplicating ANY corpus (vec_id < 400)
+    embedding; id_a = shard id, id_b = corpus id."""
+    from tempo_spark.pipeline.similarity import (
+        embedding_dedup_against_corpus,
+        embedding_near_dups,
+    )
 
     emb = _read(spark, sf_dir, "embeddings")
     # synthetic embeddings top out around cosine 0.51 — 0.35 captures the
@@ -1981,7 +1988,19 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = embedding_near_dups(emb, threshold=0.35, exact=True).withColumn(
         "method", F.lit("exact")
     )
-    return exact.unionByName(lsh)
+    vs_corpus = embedding_dedup_against_corpus(
+        emb.where(F.col("vec_id") >= 400),
+        emb.where(F.col("vec_id") < 400),
+        threshold=0.35,
+        exact=True,
+        mode="pairs",
+    ).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("corpus_id").alias("id_b"),
+        "cosine",
+        F.lit("vs_corpus").alias("method"),
+    )
+    return exact.unionByName(lsh).unionByName(vs_corpus)
 
 
 # exact variant has full recall and no engine-specific hashing → full value
@@ -1996,6 +2015,20 @@ scored AS (
             * sqrt(list_reduce(list_prepend(0.0, list_transform(b.v, x -> x * x)), (x,y) -> x + y))) AS raw
   FROM v a JOIN v b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b, floor(raw * 1000000 + 0.5) / 1000000 AS cosine, 'exact' AS method
+FROM scored WHERE raw >= 0.35
+"""
+
+# incremental vs-corpus exact path: shard (>= 400) against corpus (< 400)
+_EMB_VS_CORPUS_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])), (x,y) -> x + y)
+         / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, x -> x * x)), (x,y) -> x + y))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform(b.v, x -> x * x)), (x,y) -> x + y))) AS raw
+  FROM v a JOIN v b ON a.vec_id >= 400 AND b.vec_id < 400)
+SELECT id_a, id_b, floor(raw * 1000000 + 0.5) / 1000000 AS cosine,
+       'vs_corpus' AS method
 FROM scored WHERE raw >= 0.35
 """
 

@@ -409,3 +409,72 @@ def embedding_near_dups(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def embedding_dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: Optional[int] = None,
+    seed: int = 42,
+    exact: bool = False,
+    mode: str = "drop",
+) -> DataFrame:
+    """Incremental embedding-cosine near-dup dedup: find rows of ``new_df``
+    whose embedding is within ``threshold`` cosine of ANY ``corpus_df``
+    row — the semantic companion to ``near_dedup_against_corpus`` ("is
+    today's batch an embedding-level duplicate of the corpus?"), closing
+    the incremental-dedup family: exact text, fuzzy text, and now vectors.
+
+    Scale shape: the SHARD broadcasts (ids + vectors + bucket keys — the
+    small side by construction), the corpus pipeline is scan → bucket →
+    broadcast join → cosine filter in one stage, and the corpus is never
+    shuffled. ``exact=True`` drops the hyperplane bucketing (recall 1,
+    corpus × shard compares — fine when the shard is tiny; also the
+    oracle-checked path); the default bucketed path prunes compares by
+    2^n_planes and inherits hyperplane-LSH recall, and needs ``dim``
+    because planes are plan-time literals.
+
+    ``mode``: ``"pairs"`` → verified ``(<id_col>, corpus_id, cosine)``;
+    ``"drop"`` (default) → ``new_df`` minus flagged rows; ``"flag"`` →
+    ``new_df`` + ``is_near_dup``. Both sides must share column names.
+    """
+    if mode not in ("pairs", "drop", "flag"):
+        raise ValueError(f"unknown mode {mode!r}")
+    shard = new_df.select(
+        F.col(id_col).alias("__new_id"), _as_double(F.col(vec_col)).alias("__va")
+    )
+    corpus = corpus_df.select(
+        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("__vb")
+    )
+    if exact:
+        joined = corpus.join(F.broadcast(shard))
+    else:
+        if dim is None:
+            raise ValueError(
+                "pass dim= (the embedding width); hyperplanes are plan-time "
+                "literals, so the width cannot be inferred lazily"
+            )
+        planes = random_hyperplanes(dim, n_planes, seed)
+        shard = shard.withColumn("__bucket", hyperplane_bucket(F.col("__va"), planes))
+        corpus = corpus.withColumn(
+            "__bucket", hyperplane_bucket(F.col("__vb"), planes)
+        )
+        joined = corpus.join(F.broadcast(shard), "__bucket")
+    raw = cosine(F.col("__va"), F.col("__vb"))
+    pairs = joined.where(raw >= threshold).select(
+        F.col("__new_id").alias(id_col),
+        "corpus_id",
+        _hardened_round6(raw).alias("cosine"),
+    )
+    if mode == "pairs":
+        return pairs
+    flagged = pairs.select(id_col).distinct()
+    if mode == "drop":
+        return new_df.join(F.broadcast(flagged), id_col, "left_anti")
+    return new_df.join(
+        F.broadcast(flagged.withColumn("is_near_dup", F.lit(True))), id_col, "left"
+    ).withColumn("is_near_dup", F.coalesce(F.col("is_near_dup"), F.lit(False)))

@@ -295,6 +295,76 @@ class TestSimilarity:
         assert (2, 3) in found
 
 
+class TestEmbeddingDedupAgainstCorpus:
+    @pytest.fixture(scope="class")
+    def shard_corpus(self, spark):
+        corpus = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (4, [-1.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        shard = spark.createDataFrame(
+            [
+                (10, [0.9, 0.1, 0.0]),   # near corpus 0 (cos ~0.994)
+                (11, [0.0, 0.95, 0.05]), # near corpus 2 (cos ~0.999)
+                (12, [0.5, -0.5, 0.7]),  # near nothing
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        return shard, corpus
+
+    def test_exact_pairs_and_modes(self, shard_corpus):
+        shard, corpus = shard_corpus
+        pairs = similarity.embedding_dedup_against_corpus(
+            shard, corpus, threshold=0.99, exact=True, mode="pairs"
+        ).collect()
+        assert {(r.vec_id, r.corpus_id) for r in pairs} == {(10, 0), (11, 2)}
+        assert all(r.cosine >= 0.99 for r in pairs)
+        kept = similarity.embedding_dedup_against_corpus(
+            shard, corpus, threshold=0.99, exact=True
+        )
+        assert [r.vec_id for r in kept.collect()] == [12]
+        flags = {
+            r.vec_id: r.is_near_dup
+            for r in similarity.embedding_dedup_against_corpus(
+                shard, corpus, threshold=0.99, exact=True, mode="flag"
+            ).collect()
+        }
+        assert flags == {10: True, 11: True, 12: False}
+
+    def test_bucketed_subset_of_exact(self, shard_corpus):
+        shard, corpus = shard_corpus
+        exact = {
+            (r.vec_id, r.corpus_id)
+            for r in similarity.embedding_dedup_against_corpus(
+                shard, corpus, threshold=0.99, exact=True, mode="pairs"
+            ).collect()
+        }
+        lsh = {
+            (r.vec_id, r.corpus_id)
+            for r in similarity.embedding_dedup_against_corpus(
+                shard, corpus, threshold=0.99, dim=3, n_planes=2, mode="pairs"
+            ).collect()
+        }
+        assert lsh <= exact
+
+    def test_corpus_never_shuffled(self, shard_corpus):
+        from tempo_spark.plans.inspect import count_exchanges
+
+        shard, corpus = shard_corpus
+        pairs = similarity.embedding_dedup_against_corpus(
+            shard, corpus, threshold=0.99, exact=True, mode="pairs"
+        )
+        # scan -> broadcast join -> cosine filter: ZERO shuffles
+        assert count_exchanges(pairs) == 0
+
+    def test_validation(self, shard_corpus):
+        shard, corpus = shard_corpus
+        with pytest.raises(ValueError):
+            similarity.embedding_dedup_against_corpus(shard, corpus, mode="x")
+        with pytest.raises(ValueError):
+            similarity.embedding_dedup_against_corpus(shard, corpus)  # no dim
+
+
 class TestMultimodal:
     @pytest.fixture(scope="class")
     def media(self, spark):
