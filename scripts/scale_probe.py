@@ -249,32 +249,35 @@ def near_dedup_probe(spark, corpus_rows: int, shard_rows: int) -> dict:
     ).count()
 
     t0 = time.monotonic()
-    flagged = (
-        near_dedup_against_corpus(shard, corpus, "doc_id", "text", mode="pairs", **kw)
-        .select("doc_id").distinct().count()
-    )
+    inc_ids = {
+        r.doc_id
+        for r in near_dedup_against_corpus(
+            shard, corpus, "doc_id", "text", mode="pairs", **kw
+        ).select("doc_id").distinct().collect()
+    }
     dt = time.monotonic() - t0
     out["incremental_band_broadcast"] = {
-        "sec": round(dt, 1), "flagged": flagged,
-        "recall": round(flagged / expected, 4),
+        "sec": round(dt, 1), "flagged": len(inc_ids),
+        "recall": round(len(inc_ids) / expected, 4),
         "corpus_rows_per_sec": int(corpus_rows / dt),
     }
 
     t0 = time.monotonic()
-    naive = (
-        minhash_dedup(corpus.unionByName(shard), "doc_id", "text", **kw)
+    naive_ids = {
+        r.id_b
+        for r in minhash_dedup(corpus.unionByName(shard), "doc_id", "text", **kw)
         .where((F.col("id_a") < corpus_rows) & (F.col("id_b") >= corpus_rows))
-        .select("id_b").distinct().count()
-    )
+        .select("id_b").distinct().collect()
+    }
     dt = time.monotonic() - t0
     out["batch_union_minhash"] = {
-        "sec": round(dt, 1), "flagged": naive,
-        "recall": round(naive / expected, 4),
+        "sec": round(dt, 1), "flagged": len(naive_ids),
+        "recall": round(len(naive_ids) / expected, 4),
         "corpus_rows_per_sec": int(corpus_rows / dt),
     }
-    # both formulations must flag the SAME set (recall < 1 is LSH banding
+    # both formulations must flag the SAME id set (recall < 1 is LSH banding
     # probability, identical in both — 16 hashes / 4 bands ≈ 0.98 at J=0.8)
-    out["paths_agree"] = flagged == naive
+    out["paths_agree"] = inc_ids == naive_ids
     return out
 
 

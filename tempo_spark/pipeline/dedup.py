@@ -67,6 +67,32 @@ def exact_dedup(
     return df.join(winners, on=id_col, how="inner")
 
 
+def content_digest(c: Column) -> Column:
+    """Null-safe 128-bit content digest — THE single definition of
+    "identical content" shared by every exact-dedup surface (batch
+    ``dedup_against_corpus`` and ``streaming.dedup.streaming_exact_dedup``;
+    ``exact_dedup``'s groupBy agrees because groupBy groups nulls anyway):
+    md5(NULL) is NULL and NULL keys never join, which would silently exempt
+    null-text rows, so null digests to a sentinel instead."""
+    return F.coalesce(F.md5(c), F.lit("__null_text__"))
+
+
+def _apply_dedup_mode(
+    new_df: DataFrame, pairs: DataFrame, id_col: str, mode: str
+) -> DataFrame:
+    """Shared pairs → pairs/drop/flag tail for the *_against_corpus
+    operators (text and embedding variants must never drift apart).
+    Flagged ids are bounded by the shard size — always broadcastable."""
+    if mode == "pairs":
+        return pairs
+    flagged = pairs.select(id_col).distinct()
+    if mode == "drop":
+        return new_df.join(F.broadcast(flagged), id_col, "left_anti")
+    return new_df.join(
+        F.broadcast(flagged.withColumn("is_near_dup", F.lit(True))), id_col, "left"
+    ).withColumn("is_near_dup", F.coalesce(F.col("is_near_dup"), F.lit(False)))
+
+
 def dedup_against_corpus(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -92,11 +118,7 @@ def dedup_against_corpus(
     count). ``strategy="shuffle"`` is the plain sort-merge LEFT-ANTI join
     for when the shard itself is too large to broadcast twice.
     """
-    # null-safe digest: md5(NULL) is NULL and join keys never match NULL,
-    # which would exempt null-text rows from dedup — while exact_dedup's
-    # groupBy DOES group nulls together. A sentinel keeps the two
-    # operators' notions of "identical content" consistent.
-    _digest = F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
+    _digest = content_digest(F.col(text_col))
     digest = _digest.alias("__digest")
     nd = new_df.withColumn("__digest", _digest)
     if strategy == "shuffle":
@@ -618,15 +640,7 @@ def near_dedup_against_corpus(
             _hardened_round6(F.col("jaccard")).alias("jaccard"),
         )
     )
-    if mode == "pairs":
-        return pairs
-    # flagged ids are bounded by the shard size — always broadcastable
-    flagged = pairs.select(id_col).distinct()
-    if mode == "drop":
-        return new_df.join(F.broadcast(flagged), id_col, "left_anti")
-    return new_df.join(
-        F.broadcast(flagged.withColumn("is_near_dup", F.lit(True))), id_col, "left"
-    ).withColumn("is_near_dup", F.coalesce(F.col("is_near_dup"), F.lit(False)))
+    return _apply_dedup_mode(new_df, pairs, id_col, mode)
 
 
 # ------------------------------------------------------------------ simhash

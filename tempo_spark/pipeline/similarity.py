@@ -464,17 +464,18 @@ def embedding_dedup_against_corpus(
             "__bucket", hyperplane_bucket(F.col("__vb"), planes)
         )
         joined = corpus.join(F.broadcast(shard), "__bucket")
-    raw = cosine(F.col("__va"), F.col("__vb"))
-    pairs = joined.where(raw >= threshold).select(
-        F.col("__new_id").alias(id_col),
-        "corpus_id",
-        _hardened_round6(raw).alias("cosine"),
+    # materialize the O(dim) cosine fold once — inlined into both the
+    # filter and the rounded projection it would evaluate twice per pair
+    # (HOF folds are not CSE'd)
+    pairs = (
+        joined.withColumn("__raw", cosine(F.col("__va"), F.col("__vb")))
+        .where(F.col("__raw") >= threshold)
+        .select(
+            F.col("__new_id").alias(id_col),
+            "corpus_id",
+            _hardened_round6(F.col("__raw")).alias("cosine"),
+        )
     )
-    if mode == "pairs":
-        return pairs
-    flagged = pairs.select(id_col).distinct()
-    if mode == "drop":
-        return new_df.join(F.broadcast(flagged), id_col, "left_anti")
-    return new_df.join(
-        F.broadcast(flagged.withColumn("is_near_dup", F.lit(True))), id_col, "left"
-    ).withColumn("is_near_dup", F.coalesce(F.col("is_near_dup"), F.lit(False)))
+    from tempo_spark.pipeline.dedup import _apply_dedup_mode
+
+    return _apply_dedup_mode(new_df, pairs, id_col, mode)

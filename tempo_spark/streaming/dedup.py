@@ -16,9 +16,10 @@ deduplicated with bounded state, so the production contract is split:
 
 Semantics vs batch ``exact_dedup``: the FIRST arrival inside a horizon
 wins (arrival order, not the batch operator's min-id winner — a stream
-cannot know a smaller id arrives later), and null text deduplicates as a
-group via the same sentinel digest the batch operators share (md5(NULL)
-is NULL, and NULL state keys would otherwise exempt every null-text row).
+cannot know a smaller id arrives later), and "identical content" is
+``pipeline.dedup.content_digest`` — the SAME expression the batch
+operators use (null text dedups as a group via its sentinel), so batch
+and stream can never drift.
 
 The reference has no streaming surface (roadmap only); this extends the
 LLM-pipeline operators to continuous ingestion.
@@ -45,9 +46,10 @@ def streaming_exact_dedup(
     after which a re-occurrence is treated as new content (hand the
     long-horizon guarantee to ``dedup_against_corpus``).
     """
-    digest = F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
+    from tempo_spark.pipeline.dedup import content_digest
+
     out = (
-        df.withColumn("__digest", digest)
+        df.withColumn("__digest", content_digest(F.col(text_col)))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["__digest"])
     )

@@ -1054,6 +1054,24 @@ class TestGroupFiltering:
         # all-null metric group: mean is null -> fails any mean bar
         assert flagged[7][0] is False and flagged[7][2] is None
 
+    def test_null_group_key_kept_when_passing(self, spark):
+        from tempo_spark.pipeline import filtering
+
+        df = spark.createDataFrame(
+            [(None, 0, 0.9), (None, 1, 0.95), ("bad", 2, 0.1)],
+            "source string, doc_id long, score double",
+        )
+        # the NULL group's mean (0.925) passes — its rows must survive
+        kept = filtering.filter_by_group_stats(df, ["source"], "score", min_mean=0.5)
+        assert sorted(r.doc_id for r in kept.collect()) == [0, 1]
+        flags = {
+            r.doc_id: r.group_passes
+            for r in filtering.filter_by_group_stats(
+                df, ["source"], "score", min_mean=0.5, mode="flag"
+            ).collect()
+        }
+        assert flags == {0: True, 1: True, 2: False}
+
     def test_max_mean(self, grouped):
         from tempo_spark.pipeline import filtering
 
