@@ -1278,10 +1278,16 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``assign_packs`` — sequence packing: 2048-token greedy packs per
       split in md5_32 hash order (window cumsum replayed in SQL);
     - ``with_shard(out_pos=...)`` — deterministic shuffle-shard export
-      assignment (8 shards) + position in the shard's hash order.
+      assignment (8 shards) + position in the shard's hash order;
+    - ``with_ngram_char_fracs(n=2)`` — the Gopher character-level signals
+      (top-gram and duplicated-gram char fractions, hardened-rounded).
     """
     from tempo_spark.pipeline.sampling import assign_packs, with_shard, with_split
-    from tempo_spark.pipeline.text import with_repetition_metrics, with_token_count
+    from tempo_spark.pipeline.text import (
+        with_ngram_char_fracs,
+        with_repetition_metrics,
+        with_token_count,
+    )
 
     docs = _read(spark, sf_dir, "documents")
     out = with_token_count(docs, "text")
@@ -1289,11 +1295,13 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = with_split(out, "doc_id", hash_family="md5_32")
     out = assign_packs(out, "n_tokens", 2048, ["split"], "doc_id", hash_family="md5_32")
     out = with_shard(out, "doc_id", 8, hash_family="md5_32", out_pos="shard_pos")
+    out = with_ngram_char_fracs(out, "doc_id", "text", n=2)
     return out.select(
         "doc_id", "n_tokens", "n_2grams", "n_2grams_distinct", "dup_2gram_frac",
         "split", "pack_id",
         F.col("shard_id").cast("long").alias("shard_id"),
         F.col("shard_pos").cast("long").alias("shard_pos"),
+        "top_2gram_char_frac", "dup_2gram_char_frac",
     )
 
 
@@ -1323,17 +1331,36 @@ base AS (
                    % 1000000 < 990000 THEN 'val'
               ELSE 'test' END AS split,
          ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS shash
-  FROM grams)
-SELECT doc_id, n_tokens, n_2grams, n_2grams_distinct, dup_2gram_frac, split,
+  FROM grams),
+gcounts AS (
+  SELECT doc_id, gram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+  GROUP BY doc_id, gram),
+granked AS (
+  SELECT doc_id, cnt * length(gram) AS w,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, cnt * length(gram) DESC) AS rn
+  FROM gcounts),
+gdup AS (
+  SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dupw
+  FROM gcounts GROUP BY doc_id)
+SELECT b.doc_id, n_tokens, n_2grams, n_2grams_distinct, dup_2gram_frac, split,
        CAST(floor(
          (sum(n_tokens) OVER (
             PARTITION BY split
-            ORDER BY ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
-                     doc_id) - n_tokens) / 2048) AS BIGINT) AS pack_id,
+            ORDER BY ('0x' || substr(md5('pack:' || CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                     b.doc_id) - n_tokens) / 2048) AS BIGINT) AS pack_id,
        CAST(shash % 8 AS BIGINT) AS shard_id,
-       CAST(row_number() OVER (PARTITION BY shash % 8 ORDER BY shash, doc_id) - 1
-            AS BIGINT) AS shard_pos
-FROM base
+       CAST(row_number() OVER (PARTITION BY shash % 8 ORDER BY shash, b.doc_id) - 1
+            AS BIGINT) AS shard_pos,
+       coalesce(floor((t.w * 1.0 / length(d.text)) * 1000000 + 0.5) / 1000000, 0.0)
+         AS top_2gram_char_frac,
+       coalesce(floor((gd.dupw * 1.0 / length(d.text)) * 1000000 + 0.5) / 1000000, 0.0)
+         AS dup_2gram_char_frac
+FROM base b
+JOIN documents d ON d.doc_id = b.doc_id
+LEFT JOIN (SELECT doc_id, w FROM granked WHERE rn = 1) t ON t.doc_id = b.doc_id
+LEFT JOIN gdup gd ON gd.doc_id = b.doc_id
 """
 
 

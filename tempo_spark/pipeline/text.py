@@ -137,6 +137,86 @@ def with_repetition_metrics(
     )
 
 
+def with_ngram_char_fracs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 2,
+    broadcast_back: bool = False,
+) -> DataFrame:
+    """The two Gopher character-level repetition signals
+    ``with_repetition_metrics`` doesn't cover: ``top_{n}gram_char_frac``
+    (fraction of the document's characters inside its single most frequent
+    word n-gram, counting every occurrence) and ``dup_{n}gram_char_frac``
+    (fraction inside n-grams occurring more than once). Both are the
+    standard overlap-ignoring estimates (occurrences × gram length /
+    doc length — gram length includes its joining spaces). 0.0 for docs
+    with no n-grams.
+
+    Distinct-count-per-gram cannot be a per-row HOF without O(grams²)
+    work per document, so this is the distributed formulation: explode →
+    ``groupBy(id, gram)`` with map-side combine → one per-doc max/sum
+    aggregate → join the two numbers back on ``id_col``. The join back is
+    id-keyed (sort-merge/AQE by default; ``broadcast_back=True`` when the
+    doc count is small enough to broadcast two longs per doc). Ties for
+    the top gram (same count, same length) yield the same fraction, so
+    the output is deterministic regardless of which gram wins.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks_c, grams_c = "__cf_toks", "__cf_grams"
+
+    def gram_at(i: Column) -> Column:
+        return F.concat_ws(" ", F.slice(F.col(toks_c), i, n))
+
+    stepped = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        toks_c, tokens_col(F.col(text_col))
+    )
+    n_toks = F.size(F.col(toks_c))
+    grams = F.when(
+        n_toks >= n, F.transform(F.sequence(F.lit(1), n_toks - (n - 1)), gram_at)
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = (
+        stepped.withColumn(grams_c, grams)
+        .select(
+            id_col,
+            F.length(F.col(text_col)).alias("__chars"),
+            F.explode_outer(F.col(grams_c)).alias("__gram"),
+        )
+        .where(F.col("__gram").isNotNull())
+    )
+    counts = exploded.groupBy(id_col, "__chars", "__gram").agg(
+        F.count("*").alias("__cnt")
+    )
+    gl = F.length("__gram")
+    # Gopher picks the most FREQUENT gram; its char weight breaks count
+    # ties (equal count + equal length ties have equal fractions anyway)
+    per_doc = counts.groupBy(id_col).agg(
+        F.max(
+            F.struct(F.col("__cnt").alias("c"), (F.col("__cnt") * gl).alias("w"))
+        ).alias("__top"),
+        F.sum(F.when(F.col("__cnt") > 1, F.col("__cnt") * gl).otherwise(0)).alias(
+            "__dup"
+        ),
+        F.first("__chars").alias("__chars"),
+    )
+    hr6 = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    fracs = per_doc.select(
+        id_col,
+        hr6(F.col("__top.w") / F.col("__chars")).alias(f"top_{n}gram_char_frac"),
+        hr6(F.col("__dup") / F.col("__chars")).alias(f"dup_{n}gram_char_frac"),
+    )
+    if broadcast_back:
+        fracs = F.broadcast(fracs)
+    joined = df.join(fracs, id_col, "left")
+    zero = F.lit(0.0)
+    return joined.withColumn(
+        f"top_{n}gram_char_frac", F.coalesce(F.col(f"top_{n}gram_char_frac"), zero)
+    ).withColumn(
+        f"dup_{n}gram_char_frac", F.coalesce(F.col(f"dup_{n}gram_char_frac"), zero)
+    )
+
+
 #: pattern library for with_pattern_counts; Java-regex flavored (the Spark
 #: side is authoritative — cross-engine regex dialects differ, so these
 #: columns are deliberately NOT oracle-gated)

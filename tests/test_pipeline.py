@@ -656,6 +656,61 @@ class TestRepetitionMetrics:
             text.with_repetition_metrics(docs, n=0)
 
 
+class TestNgramCharFracs:
+    def _model(self, t, n):
+        import math
+        from collections import Counter
+
+        toks = t.split() if t and t.strip() else []
+        grams = (
+            [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if len(toks) >= n
+            else []
+        )
+        if not grams:
+            return (0.0, 0.0)
+        c = Counter(grams)
+        nch = len(t)
+        top = max(c.items(), key=lambda kv: (kv[1], kv[1] * len(kv[0])))
+        h = lambda x: math.floor(x * 1_000_000 + 0.5) / 1_000_000  # noqa: E731
+        return (
+            h(top[1] * len(top[0]) / nch),
+            h(sum(cnt * len(g) for g, cnt in c.items() if cnt > 1) / nch),
+        )
+
+    def test_matches_python_model(self, spark):
+        rows = [
+            (0, "a b a b a b c"),           # "a b" x3 dominates
+            (1, "x y z"),                   # no repeats
+            (2, "w w w w"),                 # "w w" x3 (overlapping grams)
+            (3, ""),                        # no grams
+            (4, "one two"),                 # single gram, not duplicated
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.top_2gram_char_frac, r.dup_2gram_char_frac)
+            for r in text.with_ngram_char_fracs(df, "doc_id", n=2).collect()
+        }
+        for i, t in rows:
+            assert got[i] == self._model(t, 2), (i, t)
+
+    def test_null_text_and_schema(self, spark):
+        df = spark.createDataFrame(
+            [(0, None), (1, "a a a")], "doc_id long, text string"
+        )
+        out = text.with_ngram_char_fracs(df, "doc_id", n=2)
+        assert out.columns == [
+            "doc_id", "text", "top_2gram_char_frac", "dup_2gram_char_frac"
+        ]
+        got = {r.doc_id: r.top_2gram_char_frac for r in out.collect()}
+        assert got[0] == 0.0 and got[1] > 0.5
+
+    def test_bad_n(self, spark):
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            text.with_ngram_char_fracs(df, "doc_id", n=0)
+
+
 class TestPatternCounts:
     def test_counts(self, spark):
         df = spark.createDataFrame(
