@@ -11,6 +11,8 @@ linearly with input splits at 100 TB; the one corpus-level operator
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -245,16 +247,23 @@ def tfidf_keywords(
     k: int = 5,
     lowercase: bool = True,
     broadcast_vocab: bool = True,
+    group_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Top-``k`` TF-IDF keywords per document — the corpus-level companion
     to the per-row quality signals above (keyword indexing, topic drift
     monitoring, per-domain content profiling over a training corpus).
 
-    Returns ``(id_col, term, tf, df_t, tfidf, rank)``: raw term frequency,
-    document frequency, smoothed score ``tf * (ln((N+1)/(df_t+1)) + 1)``
-    (N = corpus row count, computed lazily as a broadcast 1-row aggregate —
-    no eager action at plan-build time), and the 1-based rank by
-    ``(tfidf DESC, term ASC)``.
+    Returns ``(group_cols…, id_col, term, tf, df_t, tfidf, rank)``: raw
+    term frequency, document frequency, smoothed score
+    ``tf * (ln((N+1)/(df_t+1)) + 1)`` (N = corpus row count, computed
+    lazily as a broadcast aggregate — no eager action at plan-build time),
+    and the 1-based rank by ``(tfidf DESC, term ASC)``.
+
+    ``group_cols`` scopes the statistics: document frequency and N are
+    computed WITHIN each group (e.g. per language — "the" is background
+    noise in English but a signal in a Spanish document), at the cost of a
+    wider vocabulary frame (group × term) and a per-group N join instead
+    of the 1-row cross join.
 
     Scale shape — ONE corpus scan, three shuffles, no skewed keys:
 
@@ -279,14 +288,15 @@ def tfidf_keywords(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    groups = list(group_cols or [])
     toks = tokens_col(F.col(text_col))
     if lowercase:
         toks = F.transform(toks, F.lower)
     tf = (
-        df.select(F.col(id_col), toks.alias("__tok"))
-        .select(id_col, F.explode_outer("__tok").alias("term"))
+        df.select(*groups, F.col(id_col), toks.alias("__tok"))
+        .select(*groups, id_col, F.explode_outer("__tok").alias("term"))
         .where(F.col("term").isNotNull())
-        .groupBy(id_col, "term")
+        .groupBy(*groups, id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
     # the tf > 0 filter is vacuously true (tf = count(1) >= 1) but Catalyst
@@ -296,24 +306,50 @@ def tfidf_keywords(
     # collapses them — ONE corpus scan/tokenization + one (id, term)
     # shuffle instead of two of each (a plain count(*)/count(tf) here gets
     # canonicalized and split back into a second full scan)
-    dfreq = tf.where(F.col("tf") > 0).groupBy("term").agg(F.count("*").alias("df_t"))
-    if broadcast_vocab:
-        dfreq = F.broadcast(dfreq)
-    n_docs = F.broadcast(df.select(F.count(F.lit(1)).alias("__n_docs")))
-    scored = (
-        tf.join(dfreq, "term")
-        .crossJoin(n_docs)
-        .withColumn(
-            "tfidf",
-            F.col("tf")
-            * (F.log((F.col("__n_docs") + 1) / (F.col("df_t") + 1)) + F.lit(1.0)),
+    dfreq = (
+        tf.where(F.col("tf") > 0)
+        .groupBy(*groups, "term")
+        .agg(F.count("*").alias("df_t"))
+    )
+    if groups:
+        # eqNullSafe on the group keys (renamed to dodge the ambiguous-
+        # self-join check): a NULL-valued group (e.g. lang unknown) is a
+        # group like any other, and a plain equi-join would silently drop
+        # its documents from the output
+        dfr = dfreq.select(
+            *[F.col(c).alias(f"__g_{c}") for c in groups],
+            F.col("term").alias("__g_term"),
+            "df_t",
         )
+        if broadcast_vocab:
+            dfr = F.broadcast(dfr)
+        nd = F.broadcast(
+            df.groupBy(*groups)
+            .agg(F.count(F.lit(1)).alias("__n_docs"))
+            .select(*[F.col(c).alias(f"__n_{c}") for c in groups], "__n_docs")
+        )
+        scored = tf.join(
+            dfr,
+            [F.col(c).eqNullSafe(F.col(f"__g_{c}")) for c in groups]
+            + [F.col("term") == F.col("__g_term")],
+        ).join(
+            nd, [F.col(c).eqNullSafe(F.col(f"__n_{c}")) for c in groups]
+        )
+    else:
+        if broadcast_vocab:
+            dfreq = F.broadcast(dfreq)
+        n_docs = F.broadcast(df.select(F.count(F.lit(1)).alias("__n_docs")))
+        scored = tf.join(dfreq, ["term"]).crossJoin(n_docs)
+    scored = scored.withColumn(
+        "tfidf",
+        F.col("tf")
+        * (F.log((F.col("__n_docs") + 1) / (F.col("df_t") + 1)) + F.lit(1.0)),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(id_col, "term", "tf", "df_t", "tfidf", "rank")
+        .select(*groups, id_col, "term", "tf", "df_t", "tfidf", "rank")
     )
 
 

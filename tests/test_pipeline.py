@@ -126,6 +126,32 @@ class TestTfidfKeywords:
         assert "BroadcastNestedLoopJoin" in plan  # the 1-row N frame
         assert "BroadcastHashJoin" in plan  # the vocab join
 
+    def test_grouped_idf(self, spark):
+        import math
+
+        rows = [
+            (0, "en", "apple banana apple"),
+            (1, "en", "banana cherry"),
+            (2, "es", "manzana banana"),   # 'banana' common in en, unique-ish in es
+            (3, None, "apple solo"),       # NULL group must still get keywords
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got = {}
+        for r in text.tfidf_keywords(df, k=10, group_cols=["lang"]).collect():
+            got.setdefault(r.doc_id, {})[r.term] = (r.tf, r.df_t, r.tfidf)
+        # per-group stats: en has N=2; 'banana' df=2 in en but df=1 in es
+        assert got[0]["banana"][1] == 2 and got[2]["banana"][1] == 1
+        n_en, n_es = 2, 1
+        assert got[0]["banana"][2] == pytest.approx(
+            1 * (math.log((n_en + 1) / (2 + 1)) + 1)
+        )
+        assert got[2]["banana"][2] == pytest.approx(
+            1 * (math.log((n_es + 1) / (1 + 1)) + 1)
+        )
+        # the NULL-lang group is a group of its own, not silently dropped
+        assert set(got[3]) == {"apple", "solo"}
+        assert got[3]["apple"][1] == 1  # df within the null group only
+
     def test_no_broadcast_vocab_same_result(self, docs):
         a = sorted(map(tuple, text.tfidf_keywords(docs, k=3).collect()))
         b = sorted(
