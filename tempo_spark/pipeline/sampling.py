@@ -134,6 +134,26 @@ def assign_packs(
     return df.withColumn(out, F.floor(start / F.lit(max_tokens)))
 
 
+def sample_by_weight(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    salt: str = "wsample",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Keep each row with probability equal to its ``weight_col`` value in
+    [0, 1] — deterministically (CCNet-style quality-weighted downsampling:
+    high-quality documents survive at higher rates, and re-runs keep
+    EXACTLY the same rows). A row is kept iff its salted key hash bucket
+    falls below ``weight × SPLIT_BUCKETS``, so the decision is a pure
+    per-row expression: zero shuffle, stable under appends, independent
+    re-draws via ``salt``. Null/negative weights drop the row; weights
+    ≥ 1 always keep it."""
+    w = F.col(weight_col).cast("double")
+    bucket = split_bucket(F.col(key_col), salt, hash_family)
+    return df.where(bucket < F.coalesce(w, F.lit(0.0)) * SPLIT_BUCKETS)
+
+
 def with_shard(
     df: DataFrame,
     id_col: str,

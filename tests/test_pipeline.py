@@ -836,6 +836,92 @@ class TestShard:
             sampling.with_shard(spark.range(5), "id", 0)
 
 
+class TestSampleByWeight:
+    def test_matches_python_model_md5(self, spark):
+        import hashlib
+
+        from tempo_spark.pipeline import sampling
+
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 10 / 10.0).alias("q")
+        )
+        kept = {
+            r.doc_id
+            for r in sampling.sample_by_weight(
+                df, "doc_id", "q", hash_family="md5_32"
+            ).collect()
+        }
+
+        def bucket(i):
+            h = int(hashlib.md5(f"wsample:{i}".encode()).hexdigest()[:8], 16)
+            return h % 1_000_000
+
+        want = {i for i in range(2000) if bucket(i) < (i % 10) / 10.0 * 1_000_000}
+        assert kept == want
+        # weight 0 rows never survive; determinism across runs
+        assert not any(i % 10 == 0 for i in kept)
+
+    def test_rate_tracks_weight(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        df = spark.range(20000).select(
+            F.col("id").alias("doc_id"), F.lit(0.25).alias("q")
+        )
+        n = sampling.sample_by_weight(df, "doc_id", "q").count()
+        assert abs(n / 20000 - 0.25) < 0.02
+
+    def test_null_and_overflow_weights(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        df = spark.createDataFrame(
+            [(0, None), (1, 2.0), (2, -0.5)], "doc_id long, q double"
+        )
+        kept = sorted(
+            r.doc_id for r in sampling.sample_by_weight(df, "doc_id", "q").collect()
+        )
+        assert kept == [1]
+
+    def test_zero_shuffle(self, spark):
+        from tempo_spark.pipeline import sampling
+        from tempo_spark.plans.inspect import count_exchanges
+
+        df = spark.range(100).select(F.col("id").alias("doc_id"), F.lit(0.5).alias("q"))
+        assert count_exchanges(sampling.sample_by_weight(df, "doc_id", "q")) == 0
+
+
+class TestStatelessOpsOnStreams:
+    def test_text_ops_compose_with_streaming(self, spark, tmp_path):
+        """Every per-row text operator is stream-compatible by
+        construction (no shuffle, no state) — pin that contract."""
+        import datetime as dt
+
+        d = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(1, dt.datetime(2020, 1, 1), "the quick brown fox")],
+            "doc_id long, ts timestamp, text string",
+        ).write.mode("overwrite").parquet(d)
+        sdf = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(d)
+        out = text.with_language_id(
+            text.with_quality_score(text.with_token_count(sdf))
+        )
+        from tempo_spark.pipeline import sampling
+
+        out = sampling.sample_by_weight(
+            sampling.with_split(out, "doc_id"), "doc_id", "quality_score"
+        )
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stateless_text")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("stateless_text").collect()
+        assert all(r.n_tokens == 4 and r.lang_pred == "en" for r in rows)
+
+
 class TestSampling:
     def test_split_deterministic_and_stable(self, spark):
         from tempo_spark.pipeline import sampling
