@@ -163,6 +163,11 @@ def with_ngram_char_fracs(
     doc count is small enough to broadcast two longs per doc). Ties for
     the top gram (same count, same length) yield the same fraction, so
     the output is deterministic regardless of which gram wins.
+
+    ``id_col`` MUST be unique per row — rows sharing an id (including two
+    NULL ids) would pool their grams into one aggregate and receive
+    silently-wrong fractions. A single NULL id is handled (the join back
+    is null-safe).
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -202,15 +207,22 @@ def with_ngram_char_fracs(
         ),
         F.first("__chars").alias("__chars"),
     )
-    hr6 = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    # the ONE hardened-rounding recipe (cross-engine-critical) — never a
+    # local copy
+    from tempo_spark.pipeline.dedup import _hardened_round6 as hr6
+
     fracs = per_doc.select(
-        id_col,
+        F.col(id_col).alias("__cf_id"),
         hr6(F.col("__top.w") / F.col("__chars")).alias(f"top_{n}gram_char_frac"),
         hr6(F.col("__dup") / F.col("__chars")).alias(f"dup_{n}gram_char_frac"),
     )
     if broadcast_back:
         fracs = F.broadcast(fracs)
-    joined = df.join(fracs, id_col, "left")
+    # null-safe join back (renamed key dodges the ambiguous-self-join
+    # check): a single NULL-id row keeps its fractions
+    joined = df.join(
+        fracs, F.col(id_col).eqNullSafe(F.col("__cf_id")), "left"
+    ).drop("__cf_id")
     zero = F.lit(0.0)
     return joined.withColumn(
         f"top_{n}gram_char_frac", F.coalesce(F.col(f"top_{n}gram_char_frac"), zero)
@@ -323,11 +335,15 @@ def tfidf_keywords(
         )
         if broadcast_vocab:
             dfr = F.broadcast(dfr)
-        nd = F.broadcast(
+        nd = (
             df.groupBy(*groups)
             .agg(F.count(F.lit(1)).alias("__n_docs"))
             .select(*[F.col(c).alias(f"__n_{c}") for c in groups], "__n_docs")
         )
+        # the per-group N frame is group-cardinality-sized, same as the
+        # vocabulary — honor the same broadcast opt-out
+        if broadcast_vocab:
+            nd = F.broadcast(nd)
         scored = tf.join(
             dfr,
             [F.col(c).eqNullSafe(F.col(f"__g_{c}")) for c in groups]

@@ -720,6 +720,19 @@ class TestNgramCharFracs:
         for i, t in rows:
             assert got[i] == self._model(t, 2), (i, t)
 
+    def test_null_id_row_keeps_fractions(self, spark):
+        df = spark.createDataFrame(
+            [(None, "a a a a"), (1, "x y z")], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.top_2gram_char_frac
+            for r in text.with_ngram_char_fracs(df, "doc_id", n=2).collect()
+        }
+        # "a a" occurs 3x, len 3, doc len 7 -> 9/7 (null-safe join back)
+        assert got[None] == pytest.approx(1.285714, abs=1e-6)
+        # no repeats, but the top gram still exists: "x y" -> 3/5
+        assert got[1] == pytest.approx(0.6, abs=1e-6)
+
     def test_null_text_and_schema(self, spark):
         df = spark.createDataFrame(
             [(0, None), (1, "a a a")], "doc_id long, text string"
@@ -906,8 +919,13 @@ class TestStatelessOpsOnStreams:
         )
         from tempo_spark.pipeline import sampling
 
+        # weight 1.0 -> always kept: this test pins stream COMPOSABILITY,
+        # not the sampling decision (which legitimately drops rows whose
+        # hash bucket beats their quality score)
         out = sampling.sample_by_weight(
-            sampling.with_split(out, "doc_id"), "doc_id", "quality_score"
+            sampling.with_split(out, "doc_id").withColumn("keep_w", F.lit(1.0)),
+            "doc_id",
+            "keep_w",
         )
         assert out.isStreaming
         q = (
@@ -917,9 +935,12 @@ class TestStatelessOpsOnStreams:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         rows = spark.table("stateless_text").collect()
-        assert all(r.n_tokens == 4 and r.lang_pred == "en" for r in rows)
+        # the single doc must SURVIVE the weight sample (its quality score
+        # beats its hash bucket) — an empty result would pass vacuously
+        assert len(rows) == 1
+        assert rows[0].n_tokens == 4 and rows[0].lang_pred == "en"
 
 
 class TestSampling:
