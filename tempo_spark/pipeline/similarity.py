@@ -299,6 +299,33 @@ class IVFIndex:
         centers = [list(map(float, c)) for c in model.clusterCenters()]
         return IVFIndex(assigned, centers, id_col, vec_col)
 
+    def add(self, new_df: DataFrame) -> "IVFIndex":
+        """Incremental index growth: assign new vectors to the EXISTING
+        quantizer cells (centroid literals → argmin, a pure per-row
+        expression — no shuffle, no refit) and union them in. This is the
+        standard IVF ingestion path: the coarse quantizer is trained once
+        and shards stream in against it; re-train only when cell sizes
+        drift badly (monitor via ``cell_sizes``). Returns a NEW index —
+        the original is untouched. To persist incrementally, write just
+        the new assignments with ``append`` into ``<path>/corpus`` (same
+        partitioning) instead of re-saving the whole corpus."""
+        proj = new_df.select(
+            F.col(self.id_col), _as_double(F.col(self.vec_col)).alias("__vec")
+        )
+        nearest = F.element_at(
+            F.array_sort(_cell_scores(F.col("__vec"), self.centers)), 1
+        ).getField("cell")
+        assigned = proj.withColumn("cell", nearest)
+        return IVFIndex(
+            self.assigned.unionByName(assigned), self.centers,
+            self.id_col, self.vec_col,
+        )
+
+    def cell_sizes(self) -> DataFrame:
+        """Per-cell row counts — the drift signal that says when to
+        re-train the quantizer. One vocabulary-sized shuffle."""
+        return self.assigned.groupBy("cell").agg(F.count("*").alias("n"))
+
     def save(self, path: str, mode: str = "overwrite") -> None:
         """Persist the index: corpus parquet PARTITIONED BY cell (so a probe
         of ``nprobe`` cells reads only those directories — dynamic partition

@@ -646,6 +646,76 @@ class TestIVFPersistence:
         assert "PartitionFilters: [isnotnull(cell" in plan or "cell#" in plan
 
 
+class TestIVFIncremental:
+    def test_add_assigns_to_existing_cells(self, spark):
+        import random
+
+        from tempo_spark.pipeline.similarity import IVFIndex
+
+        random.seed(7)
+        rows = []
+        for i in range(40):
+            base = [1.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0]
+            rows.append((i, [b + random.gauss(0, 0.05) for b in base]))
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        idx = IVFIndex.build(vecs, n_centroids=2, seed=3)
+        before = {r.cell: r.n for r in idx.cell_sizes().collect()}
+
+        # new shard: clearly x-axis vectors must land in the x cluster's cell
+        new = spark.createDataFrame(
+            [(100, [0.98, 0.01, 0.0]), (101, [0.99, -0.02, 0.01])],
+            "vec_id long, embedding array<float>",
+        )
+        grown = idx.add(new)
+        # original untouched; quantizer unchanged; counts grew by 2
+        assert {r.cell: r.n for r in idx.cell_sizes().collect()} == before
+        assert grown.centers == idx.centers
+        after = {r.cell: r.n for r in grown.cell_sizes().collect()}
+        assert sum(after.values()) == sum(before.values()) + 2
+        cells = {
+            r.vec_id: r.cell
+            for r in grown.assigned.where("vec_id >= 100").collect()
+        }
+        x_cell = {
+            r.vec_id: r.cell for r in idx.assigned.where("vec_id = 0").collect()
+        }[0]
+        assert cells == {100: x_cell, 101: x_cell}
+
+    def test_add_then_topk_finds_new_vectors(self, spark):
+        from tempo_spark.pipeline.similarity import IVFIndex
+
+        vecs = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.9, 0.1, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        idx = IVFIndex.build(vecs, n_centroids=2, init="first")
+        grown = idx.add(
+            spark.createDataFrame(
+                [(10, [0.99, 0.0, 0.0])], "vec_id long, embedding array<float>"
+            )
+        )
+        q = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0])], "query_id long, embedding array<float>"
+        )
+        got = {r.vec_id for r in grown.topk(q, k=2, nprobe=1).collect()}
+        assert 10 in got
+
+    def test_add_is_shuffle_free(self, spark):
+        from tempo_spark.pipeline.similarity import IVFIndex
+        from tempo_spark.plans.inspect import count_exchanges, count_python_evals
+
+        vecs = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+        )
+        idx = IVFIndex.build(vecs, n_centroids=2, init="first")
+        new = spark.createDataFrame(
+            [(5, [0.5, 0.5])], "vec_id long, embedding array<float>"
+        )
+        grown = idx.add(new)
+        assert count_exchanges(grown.assigned) == 0
+        assert count_python_evals(grown.assigned) == 0
+
+
 class TestRepetitionMetrics:
     def test_counts_match_python(self, spark):
         rows = [
