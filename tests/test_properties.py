@@ -307,3 +307,66 @@ def test_repetition_metrics_match_python_model(spark, texts, n):
         grams = [" ".join(toks[j : j + n]) for j in range(max(len(toks) - n + 1, 0))]
         frac = 1 - len(set(grams)) / len(grams) if grams else 0.0
         assert out[i] == (len(grams), len(set(grams)), math.floor(frac * 1e6 + 0.5) / 1e6)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.text(alphabet="abc ", min_size=0, max_size=40), min_size=2, max_size=10),
+    st.integers(1, 4),
+)
+def test_incremental_near_dedup_equals_batch_cross_pairs(spark, texts, split_at):
+    """near_dedup_against_corpus on (shard, corpus) must emit exactly the
+    cross-boundary pairs of a full minhash_dedup over the union — the
+    incremental formulation is a plan optimization, never a semantic one."""
+    from tempo_spark.pipeline.dedup import minhash_dedup, near_dedup_against_corpus
+
+    split_at = min(split_at, len(texts) - 1)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    corpus = df.where(f"doc_id < {split_at}")
+    shard = df.where(f"doc_id >= {split_at}")
+    kw = dict(num_hashes=8, bands=4, shingle_k=2, threshold=0.3, use_words=True)
+    inc = {
+        (r.doc_id, r.corpus_id, r.jaccard)
+        for r in near_dedup_against_corpus(
+            shard, corpus, "doc_id", mode="pairs", **kw
+        ).collect()
+    }
+    full = minhash_dedup(df, "doc_id", "text", **kw).collect()
+    cross = {
+        (r.id_b, r.id_a, r.jaccard)
+        for r in full
+        if r.id_a < split_at <= r.id_b
+    }
+    assert inc == cross
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=8),
+    st.integers(1, 3),
+)
+def test_ngram_char_fracs_match_python_model(spark, texts, n):
+    import math
+    from collections import Counter
+
+    from tempo_spark.pipeline.text import with_ngram_char_fracs
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = {
+        r.doc_id: (r[f"top_{n}gram_char_frac"], r[f"dup_{n}gram_char_frac"])
+        for r in with_ngram_char_fracs(df, "doc_id", n=n).collect()
+    }
+    h = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    for i, t in enumerate(texts):
+        toks = t.split()
+        grams = [" ".join(toks[j : j + n]) for j in range(max(len(toks) - n + 1, 0))]
+        if not grams:
+            assert out[i] == (0.0, 0.0)
+            continue
+        c = Counter(grams)
+        top = max(c.items(), key=lambda kv: (kv[1], kv[1] * len(kv[0])))
+        want = (
+            h(top[1] * len(top[0]) / len(t)),
+            h(sum(cnt * len(g) for g, cnt in c.items() if cnt > 1) / len(t)),
+        )
+        assert out[i] == want, (i, t)
