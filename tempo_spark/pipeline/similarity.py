@@ -299,26 +299,40 @@ class IVFIndex:
         centers = [list(map(float, c)) for c in model.clusterCenters()]
         return IVFIndex(assigned, centers, id_col, vec_col)
 
-    def add(self, new_df: DataFrame) -> "IVFIndex":
-        """Incremental index growth: assign new vectors to the EXISTING
-        quantizer cells (centroid literals → argmin, a pure per-row
-        expression — no shuffle, no refit) and union them in. This is the
-        standard IVF ingestion path: the coarse quantizer is trained once
-        and shards stream in against it; re-train only when cell sizes
-        drift badly (monitor via ``cell_sizes``). Returns a NEW index —
-        the original is untouched. To persist incrementally, write just
-        the new assignments with ``append`` into ``<path>/corpus`` (same
-        partitioning) instead of re-saving the whole corpus."""
+    def assign(self, new_df: DataFrame) -> DataFrame:
+        """Assign new vectors to the EXISTING quantizer cells (centroid
+        literals → argmin, a pure per-row expression — no shuffle, no
+        refit, no Python). Returns just the assigned frame
+        ``(id, __vec, cell)`` — the unit of incremental persistence:
+        ``idx.assign(shard).write.mode("append").partitionBy("cell")
+        .parquet(f"{path}/corpus")`` grows a saved index without
+        rewriting the existing corpus (``save_shard`` wraps this)."""
         proj = new_df.select(
             F.col(self.id_col), _as_double(F.col(self.vec_col)).alias("__vec")
         )
         nearest = F.element_at(
             F.array_sort(_cell_scores(F.col("__vec"), self.centers)), 1
         ).getField("cell")
-        assigned = proj.withColumn("cell", nearest)
+        return proj.withColumn("cell", nearest)
+
+    def add(self, new_df: DataFrame) -> "IVFIndex":
+        """Incremental index growth in memory: ``assign`` + union. This is
+        the standard IVF ingestion path — the coarse quantizer is trained
+        once and shards stream in against it; re-train only when cell
+        sizes drift badly (monitor via ``cell_sizes``). Returns a NEW
+        index; the original is untouched."""
         return IVFIndex(
-            self.assigned.unionByName(assigned), self.centers,
+            self.assigned.unionByName(self.assign(new_df)), self.centers,
             self.id_col, self.vec_col,
+        )
+
+    def save_shard(self, path: str, new_df: DataFrame) -> None:
+        """Append a new shard's assignments into an index previously
+        written by ``save`` — only the shard is written; the existing
+        cell directories gain files, nothing is rewritten. Reload with
+        ``load`` to query the grown index."""
+        self.assign(new_df).write.mode("append").partitionBy("cell").parquet(
+            f"{path}/corpus"
         )
 
     def cell_sizes(self) -> DataFrame:

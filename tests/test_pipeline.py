@@ -700,6 +700,50 @@ class TestIVFIncremental:
         got = {r.vec_id for r in grown.topk(q, k=2, nprobe=1).collect()}
         assert 10 in got
 
+    def test_save_shard_appends_without_rewrite(self, spark, tmp_path):
+        import glob
+        import os
+
+        from tempo_spark.pipeline.similarity import IVFIndex
+
+        vecs = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.9, 0.1, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        idx = IVFIndex.build(vecs, n_centroids=2, init="first")
+        path = str(tmp_path / "ivf")
+        idx.save(path)
+        before = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(f"{path}/corpus/cell=*/*.parquet")
+        }
+        idx.save_shard(
+            path,
+            spark.createDataFrame(
+                [(10, [0.99, 0.0, 0.0])], "vec_id long, embedding array<float>"
+            ),
+        )
+        # existing files untouched; the grown index is query-identical to
+        # the in-memory add()
+        for f, mt in before.items():
+            assert os.path.getmtime(f) == mt
+        loaded = IVFIndex.load(spark, path)
+        q = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0])], "query_id long, embedding array<float>"
+        )
+        disk = {
+            (r.vec_id, r.rank) for r in loaded.topk(q, k=2, nprobe=1).collect()
+        }
+        mem = {
+            (r.vec_id, r.rank)
+            for r in idx.add(
+                spark.createDataFrame(
+                    [(10, [0.99, 0.0, 0.0])], "vec_id long, embedding array<float>"
+                )
+            ).topk(q, k=2, nprobe=1).collect()
+        }
+        assert disk == mem and 10 in {v for v, _ in disk}
+
     def test_add_is_shuffle_free(self, spark):
         from tempo_spark.pipeline.similarity import IVFIndex
         from tempo_spark.plans.inspect import count_exchanges, count_python_evals
