@@ -193,9 +193,12 @@ def corpus_dedup_probe(spark, corpus_rows: int, shard_rows: int) -> dict:
     )
     out: dict = {"corpus_rows": corpus_rows, "shard_rows": shard_rows}
     expected = shard_rows - shard_rows // 2
-    for strategy in ("broadcast", "shuffle"):
+    # bloom sized ~10 bits/item (~1% fpp at k=5)
+    bloom_kw = {"bloom_bits": max(64, corpus_rows * 10), "bloom_hashes": 5}
+    for strategy in ("broadcast", "shuffle", "bloom"):
+        kw = bloom_kw if strategy == "bloom" else {}
         t0 = time.monotonic()
-        n = dedup_against_corpus(shard, corpus, strategy=strategy).count()
+        n = dedup_against_corpus(shard, corpus, strategy=strategy, **kw).count()
         dt = time.monotonic() - t0
         out[strategy] = {
             "sec": round(dt, 1),

@@ -93,11 +93,57 @@ def _apply_dedup_mode(
     ).withColumn("is_near_dup", F.coalesce(F.col("is_near_dup"), F.lit(False)))
 
 
+def _bloom_positions(d: Column, m: int, k: int) -> Column:
+    return F.array(*[F.pmod(F.xxhash64(d, F.lit(i)), F.lit(m)) for i in range(k)])
+
+
+#: shiftleft's numBits arg is python-int-only in the Column API — the
+#: per-row bit shift goes through parsed expressions instead
+_BLOOM_WORD_MASK = [
+    "cast(__p / 64 as bigint) as __w",
+    "shiftleft(cast(1 as bigint), cast(__p % 64 as int)) as __m",
+]
+
+
+def build_content_bloom(
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    bloom_bits: int = 1 << 23,
+    bloom_hashes: int = 5,
+) -> DataFrame:
+    """Fold a corpus's content digests into a Bloom bitset as a DataFrame
+    of ``(__w, __bits)`` 64-bit words — built entirely with native ops
+    (explode k bit positions → ``bit_or`` per word, map-side combined, so
+    the shuffle is word-bounded, never corpus-row-bounded). Persist it
+    (parquet: ≤ bloom_bits/64 rows) and hand it to
+    ``dedup_against_corpus(strategy="bloom", bloom_df=...)`` so every
+    incoming shard skips the corpus-scan build — the amortization that
+    makes the bloom strategy pay (see the measured single-shot numbers in
+    that docstring). Size ``bloom_bits ≈ corpus_items × 10`` for ~1% fpp
+    at the default 5 hashes; parameters must match between build and
+    probe."""
+    digest = content_digest(F.col(text_col)).alias("__digest")
+    return (
+        corpus_df.select(digest)
+        .select(
+            F.explode(
+                _bloom_positions(F.col("__digest"), bloom_bits, bloom_hashes)
+            ).alias("__p")
+        )
+        .selectExpr(*_BLOOM_WORD_MASK)
+        .groupBy("__w")
+        .agg(F.bit_or("__m").alias("__bits"))
+    )
+
+
 def dedup_against_corpus(
     new_df: DataFrame,
     corpus_df: DataFrame,
     text_col: str = "text",
     strategy: str = "broadcast",
+    bloom_bits: int = 1 << 23,
+    bloom_hashes: int = 5,
+    bloom_df: DataFrame | None = None,
 ) -> DataFrame:
     """Drop rows of ``new_df`` whose exact content already exists in
     ``corpus_df`` — the incremental form of exact dedup ("dedup today's
@@ -117,6 +163,20 @@ def dedup_against_corpus(
     map-side with predicate/column pruning intact (tests pin the exchange
     count). ``strategy="shuffle"`` is the plain sort-merge LEFT-ANTI join
     for when the shard itself is too large to broadcast twice.
+
+    ``strategy="bloom"`` covers the remaining quadrant — shard too big to
+    broadcast AND the filter AMORTIZED across many shards: the corpus
+    digests fold into a Bloom bitset built entirely in DataFrame ops
+    (``build_content_bloom`` — explode k bit positions → ``bit_or`` per
+    64-bit word, map-side combined), the word table broadcasts to the
+    shard (size m ≈ items × 10 for ~1% fpp at k=5), and only
+    bloom-positive digests (true hits + false positives) go through the
+    exact broadcast verify; no false negatives, so definitely-new rows
+    never re-touch the corpus. Measured single-shot (scale_probe
+    --corpus, 32M rows): bloom 104 s vs broadcast 8.7 s / shuffle 25.6 s
+    — the build's two corpus passes dominate, so single-shot bloom LOSES;
+    pass a persisted ``bloom_df`` (built once, reused per daily shard) to
+    skip the build and make the strategy pay off.
     """
     _digest = content_digest(F.col(text_col))
     digest = _digest.alias("__digest")
@@ -124,6 +184,40 @@ def dedup_against_corpus(
     if strategy == "shuffle":
         corpus_digests = corpus_df.select(digest).distinct()
         return nd.join(corpus_digests, "__digest", "left_anti").drop("__digest")
+    if strategy == "bloom":
+        m, k = bloom_bits, bloom_hashes
+        if m < 64 or k < 1:
+            raise ValueError("bloom_bits must be >= 64 and bloom_hashes >= 1")
+        words = (
+            build_content_bloom(corpus_df, text_col, m, k)
+            if bloom_df is None
+            else bloom_df
+        )
+        probe = (
+            nd.select("__digest")
+            .distinct()
+            .select(
+                "__digest",
+                F.explode(_bloom_positions(F.col("__digest"), m, k)).alias("__p"),
+            )
+            .selectExpr("__digest", *_BLOOM_WORD_MASK)
+        )
+        hit = probe.join(F.broadcast(words), "__w", "left").withColumn(
+            "__hit",
+            F.coalesce(F.col("__bits").bitwiseAND(F.col("__m")) == F.col("__m"), F.lit(False)),
+        )
+        candidates = (
+            hit.groupBy("__digest")
+            .agg(F.min("__hit").alias("__maybe"))  # all k bits must be set
+            .where("__maybe")
+            .select("__digest")
+        )
+        confirmed = (
+            corpus_df.select(digest)
+            .join(F.broadcast(candidates), "__digest", "left_semi")
+            .distinct()
+        )
+        return nd.join(F.broadcast(confirmed), "__digest", "left_anti").drop("__digest")
     if strategy != "broadcast":
         raise ValueError(f"unknown strategy {strategy!r}")
     new_digests = nd.select("__digest").distinct()

@@ -1216,10 +1216,74 @@ class TestDedupAgainstCorpus:
 
         assert count_exchanges(out) == 2
 
+    def test_bloom_strategy_same_result(self, shard_corpus):
+        shard, corpus = shard_corpus
+        a = sorted(r.doc_id for r in dedup.dedup_against_corpus(shard, corpus).collect())
+        b = sorted(
+            r.doc_id
+            for r in dedup.dedup_against_corpus(
+                shard, corpus, strategy="bloom"
+            ).collect()
+        )
+        assert a == b
+        # a tiny, heavily-colliding filter still yields exact results —
+        # false positives only cost verify work, never correctness
+        c = sorted(
+            r.doc_id
+            for r in dedup.dedup_against_corpus(
+                shard, corpus, strategy="bloom", bloom_bits=64, bloom_hashes=2
+            ).collect()
+        )
+        assert a == c
+
+    def test_bloom_prebuilt_filter_reused(self, shard_corpus, tmp_path):
+        shard, corpus = shard_corpus
+        bloom = dedup.build_content_bloom(corpus, bloom_bits=1 << 10, bloom_hashes=3)
+        path = str(tmp_path / "bloom")
+        bloom.write.parquet(path)
+        loaded = shard.sparkSession.read.parquet(path)
+        a = sorted(r.doc_id for r in dedup.dedup_against_corpus(shard, corpus).collect())
+        b = sorted(
+            r.doc_id
+            for r in dedup.dedup_against_corpus(
+                shard, corpus, strategy="bloom",
+                bloom_bits=1 << 10, bloom_hashes=3, bloom_df=loaded,
+            ).collect()
+        )
+        assert a == b
+
+    def test_bloom_null_text(self, spark):
+        corpus = spark.createDataFrame([(0, None)], "doc_id long, text string")
+        shard = spark.createDataFrame(
+            [(1, None), (2, "fresh")], "doc_id long, text string"
+        )
+        out = sorted(
+            r.doc_id
+            for r in dedup.dedup_against_corpus(shard, corpus, strategy="bloom").collect()
+        )
+        assert out == [2]  # null content dedups via the sentinel digest
+
+    def test_bloom_build_never_shuffles_corpus_rows(self, shard_corpus):
+        import re
+
+        shard, corpus = shard_corpus
+        out = dedup.dedup_against_corpus(shard, corpus, strategy="bloom")
+        from tempo_spark.plans.inspect import formatted_plan
+
+        plan = formatted_plan(out)
+        # every hash exchange is keyed on internal bloom/digest columns
+        # (word id or digest) — corpus text/doc columns never shuffle
+        for m in re.finditer(r"Arguments: hashpartitioning\(([^,]+),", plan):
+            assert m.group(1).startswith("__"), m.group(1)
+
     def test_bad_strategy(self, shard_corpus):
         shard, corpus = shard_corpus
         with pytest.raises(ValueError):
-            dedup.dedup_against_corpus(shard, corpus, strategy="bloom")
+            dedup.dedup_against_corpus(shard, corpus, strategy="nope")
+        with pytest.raises(ValueError):
+            dedup.dedup_against_corpus(
+                shard, corpus, strategy="bloom", bloom_bits=32
+            )
 
 
 class TestNearDedupAgainstCorpus:
