@@ -98,9 +98,11 @@ def _bloom_positions(d: Column, m: int, k: int) -> Column:
 
 
 #: shiftleft's numBits arg is python-int-only in the Column API — the
-#: per-row bit shift goes through parsed expressions instead
+#: per-row bit shift goes through parsed expressions instead. `div` (not
+#: `/`): long `/` is DOUBLE division, exact only below 2^53 — the same
+#: trap as the µs-timestamp gotcha
 _BLOOM_WORD_MASK = [
-    "cast(__p / 64 as bigint) as __w",
+    "__p div 64 as __w",
     "shiftleft(cast(1 as bigint), cast(__p % 64 as int)) as __m",
 ]
 
@@ -112,16 +114,24 @@ def build_content_bloom(
     bloom_hashes: int = 5,
 ) -> DataFrame:
     """Fold a corpus's content digests into a Bloom bitset as a DataFrame
-    of ``(__w, __bits)`` 64-bit words — built entirely with native ops
-    (explode k bit positions → ``bit_or`` per word, map-side combined, so
-    the shuffle is word-bounded, never corpus-row-bounded). Persist it
-    (parquet: ≤ bloom_bits/64 rows) and hand it to
-    ``dedup_against_corpus(strategy="bloom", bloom_df=...)`` so every
-    incoming shard skips the corpus-scan build — the amortization that
-    makes the bloom strategy pay (see the measured single-shot numbers in
-    that docstring). Size ``bloom_bits ≈ corpus_items × 10`` for ~1% fpp
-    at the default 5 hashes; parameters must match between build and
-    probe."""
+    of ``(__w, __bits, __m_bits, __k)`` 64-bit words — built entirely
+    with native ops (explode k bit positions → ``bit_or`` per word,
+    map-side combined, so the shuffle is word-bounded, never
+    corpus-row-bounded). Persist it (parquet: ≤ bloom_bits/64 rows) and
+    hand it to ``dedup_against_corpus(strategy="bloom", bloom_df=...)``
+    so every incoming shard skips the corpus-scan build — the
+    amortization that makes the bloom strategy pay (see the measured
+    single-shot numbers in that docstring).
+
+    To GROW the filter as the corpus grows, append (or union) the bloom
+    of each new corpus batch into the same table — the probe re-aggregates
+    duplicate words with ``bit_or`` before joining, so overlapping word
+    rows combine instead of corrupting membership. The ``__m_bits``/``__k``
+    columns carry the build parameters; the probe asserts they match its
+    own (a mismatch silently computes different bit positions and would
+    otherwise disable dedup without any error). Size
+    ``bloom_bits ≈ corpus_items × 10`` for ~1% fpp at the default 5
+    hashes."""
     digest = content_digest(F.col(text_col)).alias("__digest")
     return (
         corpus_df.select(digest)
@@ -133,6 +143,11 @@ def build_content_bloom(
         .selectExpr(*_BLOOM_WORD_MASK)
         .groupBy("__w")
         .agg(F.bit_or("__m").alias("__bits"))
+        .select(
+            "__w", "__bits",
+            F.lit(bloom_bits).alias("__m_bits"),
+            F.lit(bloom_hashes).alias("__k"),
+        )
     )
 
 
@@ -188,11 +203,31 @@ def dedup_against_corpus(
         m, k = bloom_bits, bloom_hashes
         if m < 64 or k < 1:
             raise ValueError("bloom_bits must be >= 64 and bloom_hashes >= 1")
-        words = (
-            build_content_bloom(corpus_df, text_col, m, k)
-            if bloom_df is None
-            else bloom_df
-        )
+        if bloom_df is None:
+            words = build_content_bloom(corpus_df, text_col, m, k).select(
+                "__w", "__bits"
+            )
+        else:
+            # a prebuilt (possibly appended/unioned) filter: assert its
+            # build parameters match the probe's (a mismatch computes
+            # different bit positions and silently disables dedup —
+            # assert_true raises at execution, keeping the check lazy),
+            # then re-aggregate duplicate word rows (the append growth
+            # path) so overlapping words COMBINE instead of fanning the
+            # probe join out to stale copies
+            words = (
+                bloom_df.where(
+                    F.assert_true(
+                        (F.col("__m_bits") == m) & (F.col("__k") == k),
+                        F.lit(
+                            f"bloom_df was built with different bloom_bits/"
+                            f"bloom_hashes than the probe's ({m}, {k})"
+                        ),
+                    ).isNull()
+                )
+                .groupBy("__w")
+                .agg(F.bit_or("__bits").alias("__bits"))
+            )
         probe = (
             nd.select("__digest")
             .distinct()

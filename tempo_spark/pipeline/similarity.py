@@ -238,6 +238,19 @@ def _cell_scores(vec: Column, centers: list[list[float]]) -> Column:
     )
 
 
+def _assign_cells(
+    df: DataFrame, centers: list[list[float]], id_col: str, vec_col: str
+) -> DataFrame:
+    """THE cell-assignment expression (centroid literals → argmin) shared
+    by build(init='first') and IVFIndex.assign — build-time and
+    incrementally-added cells must never drift apart."""
+    proj = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__vec"))
+    nearest = F.element_at(
+        F.array_sort(_cell_scores(F.col("__vec"), centers)), 1
+    ).getField("cell")
+    return proj.withColumn("cell", nearest)
+
+
 class IVFIndex:
     """Inverted-file ANN index: a coarse k-means quantizer partitions the
     corpus into ``n_centroids`` cells; queries score only their ``nprobe``
@@ -278,10 +291,7 @@ class IVFIndex:
             )
             rows = proj.orderBy(id_col).limit(n_centroids).collect()
             centers = [[float(x) for x in r["__vec"]] for r in rows]
-            nearest = F.element_at(
-                F.array_sort(_cell_scores(F.col("__vec"), centers)), 1
-            ).getField("cell")
-            assigned = proj.withColumn("cell", nearest)
+            assigned = _assign_cells(corpus, centers, id_col, vec_col)
             return IVFIndex(assigned, centers, id_col, vec_col)
         if init != "kmeans":
             raise ValueError(f"unknown init {init!r}; use 'kmeans' or 'first'")
@@ -307,13 +317,7 @@ class IVFIndex:
         ``idx.assign(shard).write.mode("append").partitionBy("cell")
         .parquet(f"{path}/corpus")`` grows a saved index without
         rewriting the existing corpus (``save_shard`` wraps this)."""
-        proj = new_df.select(
-            F.col(self.id_col), _as_double(F.col(self.vec_col)).alias("__vec")
-        )
-        nearest = F.element_at(
-            F.array_sort(_cell_scores(F.col("__vec"), self.centers)), 1
-        ).getField("cell")
-        return proj.withColumn("cell", nearest)
+        return _assign_cells(new_df, self.centers, self.id_col, self.vec_col)
 
     def add(self, new_df: DataFrame) -> "IVFIndex":
         """Incremental index growth in memory: ``assign`` + union. This is

@@ -1252,6 +1252,37 @@ class TestDedupAgainstCorpus:
         )
         assert a == b
 
+    def test_bloom_appended_filter_stays_exact(self, shard_corpus, tmp_path):
+        """Growing the persisted filter by appending per-batch blooms
+        produces duplicate __w rows; the probe must re-aggregate them —
+        a raw join against duplicates yields FALSE NEGATIVES (dups kept)."""
+        shard, corpus = shard_corpus
+        kw = dict(bloom_bits=1 << 10, bloom_hashes=3)
+        path = str(tmp_path / "bloom")
+        half1 = corpus.where("doc_id < 2")
+        half2 = corpus.where("doc_id >= 2")
+        dedup.build_content_bloom(half1, **kw).write.parquet(path)
+        dedup.build_content_bloom(half2, **kw).write.mode("append").parquet(path)
+        loaded = shard.sparkSession.read.parquet(path)
+        a = sorted(r.doc_id for r in dedup.dedup_against_corpus(shard, corpus).collect())
+        b = sorted(
+            r.doc_id
+            for r in dedup.dedup_against_corpus(
+                shard, corpus, strategy="bloom", bloom_df=loaded, **kw
+            ).collect()
+        )
+        assert a == b
+
+    def test_bloom_param_mismatch_raises(self, shard_corpus):
+        shard, corpus = shard_corpus
+        bloom = dedup.build_content_bloom(corpus, bloom_bits=1 << 10, bloom_hashes=3)
+        with pytest.raises(Exception) as exc:
+            dedup.dedup_against_corpus(
+                shard, corpus, strategy="bloom",
+                bloom_bits=1 << 12, bloom_hashes=3, bloom_df=bloom,
+            ).collect()
+        assert "bloom" in str(exc.value)
+
     def test_bloom_null_text(self, spark):
         corpus = spark.createDataFrame([(0, None)], "doc_id long, text string")
         shard = spark.createDataFrame(
