@@ -1576,6 +1576,48 @@ class TestBoilerplateLines:
         assert got == {0: "", 1: "", 2: ""}
 
 
+class TestPrepareCorpus:
+    def test_end_to_end(self, spark):
+        from tempo_spark.pipeline.prepare import prepare_corpus
+
+        text_a = "the quick brown fox jumps over the lazy dog near the river"
+        rows = [
+            (0, text_a),
+            (1, text_a),                                 # exact dup of 0
+            (2, text_a.replace("river", "creek")),       # near dup of 0
+            (3, "completely different content about engines and data and scale"),
+            (4, "spam spam spam spam spam spam spam spam"),  # repetitive
+            (5, ""),                                     # empty -> low quality
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = prepare_corpus(
+            df,
+            min_quality=0.4,  # empty doc scores 0.375 (punct+wordlen floor)
+            max_dup_2gram_frac=0.5,
+            near_dedup_threshold=0.5,
+            pack_tokens=16,
+            n_shards=2,
+        )
+        got = {r.doc_id: r for r in out.collect()}
+        # 1 (exact dup), 2 (near dup), 4 (dup-2gram), 5 (quality) all gone
+        assert sorted(got) == [0, 3]
+        for r in got.values():
+            assert r.split in ("train", "val", "test")
+            assert r.pack_id >= 0 and 0 <= r.shard_id < 2
+            assert r.n_tokens > 0 and 0 <= r.quality_score <= 1
+
+    def test_all_stages_optional(self, spark):
+        from tempo_spark.pipeline.prepare import prepare_corpus
+
+        df = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "alpha beta")], "doc_id long, text string"
+        )
+        out = prepare_corpus(df, exact_dedup=False)
+        assert sorted(r.doc_id for r in out.collect()) == [0, 1]
+        assert "pack_id" not in out.columns and "shard_id" not in out.columns
+        assert "split" in out.columns
+
+
 class TestNullKeys:
     def test_split_null_key_consistent_across_families(self, spark):
         from tempo_spark.pipeline import sampling
