@@ -13,7 +13,11 @@ Usage:
                                              # on 2M nodes in 64-hop chains
     python scripts/scale_probe.py --corpus   # incremental dedup: broadcast
                                              # (corpus never shuffled) vs
-                                             # sort-merge anti-join
+                                             # sort-merge anti-join vs bloom
+    python scripts/scale_probe.py --neardedup  # incremental NEAR-dup:
+                                             # band-broadcast vs batch union
+    python scripts/scale_probe.py --text     # tfidf + boilerplate removal
+                                             # throughput
 """
 
 from __future__ import annotations
@@ -284,8 +288,78 @@ def near_dedup_probe(spark, corpus_rows: int, shard_rows: int) -> dict:
     return out
 
 
+def text_probe(spark, n_docs: int) -> dict:
+    """Corpus-text operators at scale: tfidf_keywords (zipf-ish vocab so
+    stopword-like hot terms exist) and remove_boilerplate_lines in its
+    WORST case (boilerplate in every doc → the final id join carries the
+    whole corpus). Backs the SCALE.md throughput numbers reproducibly."""
+    from tempo_spark.pipeline.filtering import remove_boilerplate_lines
+    from tempo_spark.pipeline.text import tfidf_keywords
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19)),
+                lambda i: F.substring(
+                    F.md5(
+                        F.pmod(F.xxhash64(F.col("id") * 20 + i), F.lit(5000)).cast("string")
+                    ),
+                    1, 6,
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    out: dict = {"n_docs": n_docs}
+    t0 = time.monotonic()
+    n_kw = tfidf_keywords(docs, "doc_id", "text", k=5).count()
+    dt = time.monotonic() - t0
+    out["tfidf_k5"] = {"sec": round(dt, 1), "rows": n_kw, "docs_per_sec": int(n_docs / dt)}
+
+    lined = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            chr(10),
+            F.lit("home | about | contact"),
+            F.md5(F.col("id").cast("string")),
+            F.md5((F.col("id") + n_docs).cast("string")),
+            F.md5((F.col("id") + 2 * n_docs).cast("string")),
+            F.md5((F.col("id") + 3 * n_docs).cast("string")),
+            F.lit("(c) example corp"),
+        ).alias("text"),
+    )
+    t0 = time.monotonic()
+    got = (
+        remove_boilerplate_lines(lined, "doc_id", min_doc_freq=1000)
+        .select(F.min(F.length("text")).alias("mn"), F.max(F.length("text")).alias("mx"))
+        .collect()[0]
+    )
+    dt = time.monotonic() - t0
+    out["boilerplate_worstcase"] = {
+        "sec": round(dt, 1),
+        "docs_per_sec": int(n_docs / dt),
+        "exact": got.mn == got.mx == 131,  # 4 md5 lines + 3 joins, both stripped
+    }
+    return out
+
+
 def main():
     skew = "--skew" in sys.argv
+    if "--text" in sys.argv:
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "64")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "24g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        for n in (1_000_000, 4_000_000):
+            print(json.dumps(text_probe(spark, n)))
+        spark.stop()
+        return
     if "--neardedup" in sys.argv:
         spark = (
             SparkSession.builder.master("local[32]")
