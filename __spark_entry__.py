@@ -1461,7 +1461,7 @@ SELECT 'src_filter' AS tag, q.doc_id,
        floor(g.gm * 1000000 + 0.5) / 1000000 AS val
 FROM qvals q
 JOIN documents d USING (doc_id)
-JOIN gkeep g ON d.source = g.source
+JOIN gkeep g ON d.source IS NOT DISTINCT FROM g.source
 """
 
 
@@ -1470,9 +1470,10 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - ``lang``: stopword-argmax language prediction (term = lang code);
     - ``tfidf``: top-3 TF-IDF keywords per doc (``tfidf_keywords``) — the
-      gated columns are the integer rank/tf (the float score only ORDERS;
-      ranks flip only on exact (tf, df_t) ties, which tiebreak by term in
-      both engines, so ln() ulp differences can't surface)."""
+      gated columns are the integer rank/tf (the float score only ORDERS,
+      and it orders QUANTIZED to 1e-6 with a fully discrete
+      (tf, df_t, term) tiebreak in both engines, so ln() ulp differences
+      between Spark and DuckDB can't flip a rank)."""
     from tempo_spark.pipeline.text import tfidf_keywords, with_language_id
 
     docs = _read(spark, sf_dir, "documents")
@@ -1532,8 +1533,9 @@ ranked AS (
   SELECT tf.doc_id, tf.term, tf.tf,
          row_number() OVER (
            PARTITION BY tf.doc_id
-           ORDER BY tf.tf * (ln((n.n_docs + 1.0) / (d.df_t + 1.0)) + 1.0) DESC,
-                    tf.term ASC) AS rank
+           ORDER BY floor(tf.tf * (ln((n.n_docs + 1.0) / (d.df_t + 1.0)) + 1.0)
+                          * 1000000 + 0.5) DESC,
+                    tf.tf DESC, d.df_t ASC, tf.term ASC) AS rank
   FROM tf JOIN dfreq d USING (term) CROSS JOIN n)
 SELECT 'lang' AS tag, doc_id, lang_pred AS term,
        CAST(0 AS BIGINT) AS rank, CAST(0 AS BIGINT) AS tf

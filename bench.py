@@ -184,7 +184,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    load_start = os.getloadavg()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
         samples = []
         for _ in range(RUNS):
@@ -192,9 +194,16 @@ def main() -> None:
             t0 = time.monotonic()
             fn(spark, sf_dir).count()
             samples.append(time.monotonic() - t0)
-        timings[name] = round(min(samples), 3)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        medians[name] = round(samples[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
+    # loadavg + min/median spread let a reader discount a loaded-host
+    # capture without re-running: a healthy capture has 1-min load ≈ the
+    # bench's own parallelism and median/min ratios near 1; the r4 driver
+    # artifact (30.7 s vs a clean 17 s replay) was only diagnosable by a
+    # full re-run because these fields were missing
     print(
         json.dumps(
             {
@@ -202,6 +211,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "sf": sf,
             }
         )

@@ -288,6 +288,47 @@ def near_dedup_probe(spark, corpus_rows: int, shard_rows: int) -> dict:
     return out
 
 
+def stopgram_probe(spark, n_docs: int) -> dict:
+    """ngram_jaccard_pairs under a 100%-document stop-gram: every doc ends
+    with the same 5-token phrase, so 3 of its word-3-grams appear in ALL
+    ``n_docs`` documents. The ``max_shingle_freq`` cutoff must drop them
+    WITHOUT first funnelling their rows into single tasks — the former
+    count()-over-Window.partitionBy(__sh) formulation did exactly that (no
+    map-side combine: one task per hot shingle received all n_docs rows
+    before the filter); the groupBy + broadcast-anti-join rewrite collapses
+    each hot key to one row per map task. Near-linear sec across sizes ⇒
+    no hot partition."""
+    from tempo_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(9)),
+                    lambda i: F.substring(
+                        F.md5((F.col("id") * 10 + i).cast("string")), 1, 6
+                    ),
+                ),
+                " ",
+            ),
+            F.lit(" common tail phrase every document shares"),
+        ).alias("text"),
+    )
+    out: dict = {"n_docs": n_docs, "stop_gram_doc_frac": 1.0}
+    t0 = time.monotonic()
+    n_pairs = ngram_jaccard_pairs(
+        docs, "doc_id", shingle_k=3, threshold=0.5, max_shingle_freq=1000
+    ).count()
+    dt = time.monotonic() - t0
+    out["ngram_jaccard_stopgram"] = {
+        "sec": round(dt, 1),
+        "pairs": n_pairs,
+        "docs_per_sec": int(n_docs / dt),
+    }
+    return out
+
+
 def text_probe(spark, n_docs: int) -> dict:
     """Corpus-text operators at scale: tfidf_keywords (zipf-ish vocab so
     stopword-like hot terms exist) and remove_boilerplate_lines in its
@@ -358,6 +399,20 @@ def main():
         spark.sparkContext.setLogLevel("ERROR")
         for n in (1_000_000, 4_000_000):
             print(json.dumps(text_probe(spark, n)))
+        spark.stop()
+        return
+    if "--stopgram" in sys.argv:
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "64")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "24g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        for n in (1_000_000, 4_000_000):
+            print(json.dumps(stopgram_probe(spark, n)))
         spark.stop()
         return
     if "--neardedup" in sys.argv:

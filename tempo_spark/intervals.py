@@ -174,6 +174,119 @@ class IntervalsDF:
             validate=False,
         )
 
+    def join_intervals(
+        self,
+        other: "IntervalsDF",
+        how: str = "inner",
+        prefix: str = "right",
+        bin_seconds: Optional[float] = None,
+    ) -> "IntervalsDF":
+        """Interval–interval overlap join — the second half of the
+        reference's roadmap item (reference:
+        docs/about/future-roadmap.rst:18-22; the first half is
+        :meth:`join_tsdf`). Each row of ``self`` pairs with every row of
+        ``other`` on the same series whose half-open interval OVERLAPS it
+        (``a.start < b.end AND a.end > b.start``).
+
+        The output keeps ``self``'s schema and boundaries (self is the
+        anchor frame, like the TSDF side of :meth:`join_tsdf`); ``other``'s
+        non-series columns arrive ``{prefix}_``-renamed, plus computed
+        ``overlap_start`` / ``overlap_end`` columns (the boundary
+        intersection — what duration-weighted downstream aggregation needs;
+        NULL on ``how="left"`` rows with no match).
+
+        Plan shape: series-equi hash join (null-safe on the series keys —
+        a NULL series id is a series like any other) with the overlap range
+        predicate applied post-join; AQE broadcasts the small side. For the
+        few-series/many-overlaps pathology the same ``bin_seconds``
+        bounding as :meth:`make_disjoint` applies: both sides explode into
+        the time bins they cover and the equi key gains the bin, so
+        compares scale with real temporal locality instead of
+        |left|×|right| per series. Exactly-once pairing under binning: a
+        pair is emitted only in the bin of the LATER start
+        (``greatest(floor(a.start/w), floor(b.start/w))``) — that bin is
+        covered by both sides of any overlapping pair, so no pair is lost
+        and none duplicates (``make_disjoint`` can tolerate duplicate bin
+        collisions because its merge is idempotent; a join cannot).
+        ``bin_seconds`` supports ``how="inner"`` only.
+        """
+        if how not in ("inner", "left"):
+            raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+        if list(other.series_ids) != self.series_ids:
+            raise ValueError(
+                f"interval join requires matching series ids; "
+                f"left={self.series_ids} right={other.series_ids}"
+            )
+        if bin_seconds is not None and how != "inner":
+            raise ValueError("bin_seconds supports how='inner' only")
+        renamed = other.df
+        rmap: dict[str, str] = {}
+        for c in other.df.columns:
+            rmap[c] = f"__ij_{c}" if c in other.series_ids else f"{prefix}_{c}"
+            renamed = renamed.withColumnRenamed(c, rmap[c])
+        clashes = [
+            v for v in list(rmap.values()) + ["overlap_start", "overlap_end"]
+            if v in self.df.columns
+        ]
+        if clashes:
+            raise ValueError(
+                f"prefixed right columns collide with left columns: {clashes}"
+            )
+        rs, re_ = rmap[other.start_ts], rmap[other.end_ts]
+        overlap = (F.col(self.start_ts) < F.col(re_)) & (
+            F.col(self.end_ts) > F.col(rs)
+        )
+        series_eq = [
+            F.col(c).eqNullSafe(F.col(f"__ij_{c}")) for c in self.series_ids
+        ]
+        if bin_seconds is None:
+            cond = reduce(lambda a, b: a & b, series_eq, overlap)
+            joined = self.df.join(renamed, on=cond, how=how)
+        else:
+            from tempo_spark.functions.timestamps import ts_to_double
+
+            width = F.lit(float(bin_seconds))
+
+            def bins(lo: str, hi: str, frame: DataFrame) -> Column:
+                lo_d = ts_to_double(F.col(lo), frame.schema[lo].dataType)
+                hi_d = ts_to_double(F.col(hi), frame.schema[hi].dataType)
+                return F.sequence(F.floor(lo_d / width), F.floor(hi_d / width))
+
+            def start_bin(col: str, frame: DataFrame) -> Column:
+                return F.floor(
+                    ts_to_double(F.col(col), frame.schema[col].dataType) / width
+                )
+
+            left_b = self.df.withColumn(
+                "__bin", F.explode(bins(self.start_ts, self.end_ts, self.df))
+            ).withColumn("__sb_l", start_bin(self.start_ts, self.df))
+            right_b = renamed.withColumn(
+                "__bin_r", F.explode(bins(rs, re_, renamed))
+            ).withColumn("__sb_r", start_bin(rs, renamed))
+            owner = F.col("__bin") == F.greatest(F.col("__sb_l"), F.col("__sb_r"))
+            cond = reduce(
+                lambda a, b: a & b,
+                series_eq + [F.col("__bin") == F.col("__bin_r"), owner],
+                overlap,
+            )
+            joined = left_b.join(right_b, on=cond, how="inner").drop(
+                "__bin", "__bin_r", "__sb_l", "__sb_r"
+            )
+        matched = F.col(rs).isNotNull() | F.col(re_).isNotNull()
+        out = joined.withColumn(
+            "overlap_start",
+            F.when(matched, F.greatest(F.col(self.start_ts), F.col(rs))),
+        ).withColumn(
+            "overlap_end",
+            F.when(matched, F.least(F.col(self.end_ts), F.col(re_))),
+        )
+        keep = (
+            list(self.df.columns)
+            + [v for k, v in rmap.items() if k not in other.series_ids]
+            + ["overlap_start", "overlap_end"]
+        )
+        return self._with_df(out.select(*keep))
+
     # ------------------------------------------------------------ disjoint
 
     def make_disjoint(self, bin_seconds: Optional[float] = None) -> "IntervalsDF":

@@ -83,6 +83,7 @@ def asof_join(
     tolerance: Optional[float] = None,
     broadcast_right: bool = False,
     direction: str = "backward",
+    range_join_bin_seconds: Optional[float] = None,
 ):
     from tempo_spark.tsdf import TSDF
 
@@ -113,6 +114,8 @@ def asof_join(
             f"as-of join ts dtypes are incompatible: left {_ts_kind(left)}, "
             f"right {_ts_kind(right)}"
         )
+    if range_join_bin_seconds is not None and not use_range_join:
+        raise ValueError("range_join_bin_seconds requires use_range_join=True")
     if not skip_nulls and ts_partition_val is not None:
         # same unsupported combination as the reference
         # (reference: python/tempo/tsdf.py:281-285)
@@ -125,7 +128,15 @@ def asof_join(
     if overlap:
         raise ValueError(f"prefixes leave colliding columns: {sorted(overlap)}")
 
-    if use_range_join:
+    if use_range_join and range_join_bin_seconds is not None:
+        # big×big path: the bucketized rewrite is correct at ANY size (the
+        # bin becomes the equi key), so the plan-size probe is moot
+        joined = _range_join(
+            series, ldf, l_ts, rdf, r_ts, r_vals,
+            broadcast_right=broadcast_right,
+            bin_seconds=range_join_bin_seconds,
+        )
+    elif use_range_join:
         # reference behavior (python/tempo/tsdf.py:783-837): the range-join
         # path is taken only when a side's estimated plan size is under the
         # cutoff (30 MiB there); otherwise the union-window path is safer —
@@ -325,23 +336,81 @@ def _range_join(
     r_vals: list[str],
     *,
     broadcast_right: bool,
+    bin_seconds: Optional[float] = None,
 ) -> DataFrame:
     """Equi-join on series ids + range predicate on the right row's validity
     interval ``[r_ts, lead(r_ts))`` (reference: python/tempo/tsdf.py:783-837).
-    Left-joins so unmatched left rows survive with null right columns."""
+    Left-joins so unmatched left rows survive with null right columns.
+
+    ``bin_seconds`` is the big×big rewrite (SURVEY §4 row 2): on OSS Spark
+    a large non-broadcast range join degrades — with no series ids it plans
+    a BroadcastNestedLoopJoin outright, and with hot series the sort-merge
+    group devolves to |lefts|×|rights| compares within the series. The
+    rewrite explodes each right validity interval into the ``bin_seconds``
+    time bins it covers and adds the bin to the equi key, so the join
+    hash-partitions on (series, bin) and each left row compares only
+    against rights valid somewhere in ITS bin. Exactly-once by
+    construction: validity intervals partition the timeline, so exactly
+    one exploded copy (the one in the left row's bin) can satisfy the
+    range predicate. Open-ended last intervals are clamped to the LEFT
+    side's per-series max ts (a per-series aggregate, broadcast into the
+    right scan) — beyond that no left row exists to match. Pick
+    ``bin_seconds`` near the typical right-row spacing: fan-out per right
+    row is ~interval_length / bin_seconds."""
     lead_col = "__tempo_r_ts_end"
     w = Window.partitionBy(*series).orderBy(F.col(r_ts))
     r_with_lead = rdf.withColumn(lead_col, F.lead(F.col(r_ts)).over(w))
+    if bin_seconds is None:
+        if broadcast_right:
+            r_with_lead = F.broadcast(r_with_lead)
+        cond = F.lit(True)
+        for c in series:
+            cond = cond & (ldf[c] == r_with_lead[c])
+        cond = cond & (ldf[l_ts] >= r_with_lead[r_ts])
+        cond = cond & (
+            r_with_lead[lead_col].isNull() | (ldf[l_ts] < r_with_lead[lead_col])
+        )
+        joined = ldf.join(r_with_lead, on=cond, how="left")
+        # resolve ambiguity: keep left's series columns
+        sel = [ldf[c].alias(c) for c in ldf.columns] + [
+            r_with_lead[c].alias(c) for c in r_vals
+        ]
+        return joined.select(*sel)
+
+    width = F.lit(float(bin_seconds))
+    l_dtype = ldf.schema[l_ts].dataType
+    r_dtype = rdf.schema[r_ts].dataType
+    l_max = ldf.groupBy(*series).agg(F.max(l_ts).alias("__tempo_l_max"))
+    if series:
+        r2 = r_with_lead.join(F.broadcast(l_max), on=series, how="left")
+    else:
+        r2 = r_with_lead.crossJoin(F.broadcast(l_max))
+    start_bin = F.floor(ts_to_double(F.col(r_ts), r_dtype) / width)
+    end_ts = F.coalesce(F.col(lead_col), F.col("__tempo_l_max"))
+    # a series with no left rows leaves end_ts null for its last interval:
+    # emit the start bin only (nothing can match it anyway); greatest()
+    # guards rights newer than every left (descending sequence would throw)
+    end_bin = F.greatest(
+        F.coalesce(F.floor(ts_to_double(end_ts, r_dtype) / width), start_bin),
+        start_bin,
+    )
+    r_binned = r2.withColumn(
+        "__tempo_bin", F.explode(F.sequence(start_bin, end_bin))
+    ).drop("__tempo_l_max")
     if broadcast_right:
-        r_with_lead = F.broadcast(r_with_lead)
-    cond = F.lit(True)
+        r_binned = F.broadcast(r_binned)
+    l_binned = ldf.withColumn(
+        "__tempo_bin_l", F.floor(ts_to_double(F.col(l_ts), l_dtype) / width)
+    )
+    cond = l_binned["__tempo_bin_l"] == r_binned["__tempo_bin"]
     for c in series:
-        cond = cond & (ldf[c] == r_with_lead[c])
-    cond = cond & (ldf[l_ts] >= r_with_lead[r_ts])
-    cond = cond & (r_with_lead[lead_col].isNull() | (ldf[l_ts] < r_with_lead[lead_col]))
-    joined = ldf.join(r_with_lead, on=cond, how="left")
-    # resolve ambiguity: keep left's series columns
-    sel = [ldf[c].alias(c) for c in ldf.columns] + [
-        r_with_lead[c].alias(c) for c in r_vals
+        cond = cond & (l_binned[c] == r_binned[c])
+    cond = cond & (l_binned[l_ts] >= r_binned[r_ts])
+    cond = cond & (
+        r_binned[lead_col].isNull() | (l_binned[l_ts] < r_binned[lead_col])
+    )
+    joined = l_binned.join(r_binned, on=cond, how="left")
+    sel = [l_binned[c].alias(c) for c in ldf.columns] + [
+        r_binned[c].alias(c) for c in r_vals
     ]
     return joined.select(*sel)

@@ -57,14 +57,23 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one representative row per exact text duplicate group (digest of
     the content), chosen as the min/max id. Returns the input schema plus
-    ``dup_count``."""
-    agg_id = F.min(F.col(id_col)) if keep == "min" else F.max(F.col(id_col))
-    winners = (
+    ``dup_count``.
+
+    ONE shuffle: ``groupBy(digest).agg(min_by(struct(*cols), id))`` carries
+    the whole winner row through the digest aggregation (partial map-side
+    combine keeps only one candidate struct per digest per task), instead of
+    the former groupBy + join-back which shuffled the frame twice. This is
+    the engine's most-called operator at scale, so the second full-frame
+    shuffle mattered."""
+    if keep not in ("min", "max"):
+        raise ValueError(f"keep must be 'min' or 'max', got {keep!r}")
+    pick = F.min_by if keep == "min" else F.max_by
+    rep = pick(F.struct(*[F.col(c) for c in df.columns]), F.col(id_col))
+    return (
         df.groupBy(F.md5(F.col(text_col)).alias("__digest"))
-        .agg(agg_id.alias(id_col), F.count("*").alias("dup_count"))
-        .drop("__digest")
+        .agg(rep.alias("__rep"), F.count("*").alias("dup_count"))
+        .select("__rep.*", "dup_count")
     )
-    return df.join(winners, on=id_col, how="inner")
 
 
 def content_digest(c: Column) -> Column:
@@ -519,12 +528,76 @@ def band_key_array(
     return F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
 
 
+def _bucket_capped_self_join(
+    banded: DataFrame,
+    bucket_cols,
+    id_col: str,
+    max_bucket_size: Optional[int],
+    make_pairs,
+) -> DataFrame:
+    """Bucket-local self-join with a hot-bucket guard, shared by the three
+    LSH candidate generators (MinHash bands, SimHash chunks, hyperplane
+    buckets).
+
+    Without a cap, a degenerate corpus (millions of empty / boilerplate-
+    identical docs hashing to one bucket) makes a single bucket's self-join
+    quadratic — the first pathological input a real 100 TB pipeline meets.
+    With ``max_bucket_size=cap``, buckets above the cap are rewired from
+    all-pairs to a STAR on the bucket's min id: N members emit N-1
+    (rep, member) edges instead of N(N-1)/2 pairs, so candidate volume is
+    bounded by O(rows) however skewed the bucketing. Downstream
+    connected-components still merges a fully-duplicated group (the star is
+    connected); what degrades is pairwise recall WITHIN a hot bucket — two
+    members similar to each other but not to the representative surface
+    only via other (non-hot) buckets. That trade is explicit, not silent:
+    the cap is opt-in and documented at every call site.
+
+    Plan shape: hot keys found with a map-side-combined groupBy (each task
+    contributes one row per bucket key no matter the skew), then broadcast
+    to split ``banded`` into cold (anti-join) and hot (semi-join) halves.
+    Representative ROWS (carrying whatever payload the verify step needs —
+    signatures, vectors) are recovered with a second broadcast semi-join on
+    (bucket, min id), and the star join broadcasts them, so the hot half is
+    never shuffled. ``make_pairs(joined)`` receives the a/b-aliased join
+    (condition: bucket equality + ``a.id < b.id``) and projects pair
+    columns; the min-id representative guarantees ``rep < member`` so the
+    star side needs no extra ordering logic.
+    """
+
+    def join_ab(a_df: DataFrame, b_df: DataFrame, broadcast_a: bool = False):
+        a, b = a_df.alias("a"), b_df.alias("b")
+        left = F.broadcast(a) if broadcast_a else a
+        cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
+        cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        return make_pairs(left.join(b, on=cond))
+
+    if max_bucket_size is None:
+        return join_ab(banded, banded)
+    if max_bucket_size < 1:
+        raise ValueError(f"max_bucket_size must be >= 1, got {max_bucket_size}")
+    keys = list(bucket_cols)
+    hot = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("__bn"))
+        .where(F.col("__bn") > max_bucket_size)
+        .select(*keys)
+    )
+    cold = banded.join(F.broadcast(hot), keys, "left_anti")
+    hot_members = banded.join(F.broadcast(hot), keys, "left_semi")
+    rep_ids = hot_members.groupBy(*keys).agg(F.min(id_col).alias(id_col))
+    rep_rows = hot_members.join(F.broadcast(rep_ids), keys + [id_col], "left_semi")
+    return join_ab(cold, cold).unionByName(
+        join_ab(rep_rows, hot_members, broadcast_a=True)
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
     minhash_col: str = "minhash",
     bands: int = 4,
     hash_family: str = "xxhash64",
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands, hash each
     band, and emit candidate pairs that collide in ≥1 band.
@@ -536,6 +609,10 @@ def minhash_lsh_candidates(
 
     md5_32 family: the band key stays the raw comma-joined signature slice
     (a string) — equality-equivalent to hashing it, and DuckDB-replayable.
+
+    ``max_bucket_size`` bounds hot buckets via the star rewiring of
+    ``_bucket_capped_self_join`` — candidate volume O(rows) on degenerate
+    corpora, at the cost of pairwise recall inside capped buckets.
     """
     # posexplode_OUTER + post-Generate null filter: a plain posexplode
     # implies a `size(arr) > 0` filter that predicate-pushdown inlines with
@@ -549,20 +626,15 @@ def minhash_lsh_candidates(
             band_key_array(F.col(minhash_col), bands, hash_family)
         ).alias("band_id", "band_hash"),
     ).where(F.col("band_hash").isNotNull())
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band_id") == F.col("b.band_id"),
-                F.col("a.band_hash") == F.col("b.band_hash"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    pairs = _bucket_capped_self_join(
+        banded,
+        ("band_id", "band_hash"),
+        id_col,
+        max_bucket_size,
+        lambda joined: joined.select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        ),
+    ).distinct()
     return pairs
 
 
@@ -619,6 +691,7 @@ def minhash_dedup(
     threshold: float = 0.7,
     use_words: bool = False,
     hash_family: str = "xxhash64",
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → Jaccard verify.
     Returns verified duplicate pairs (id_a < id_b, jaccard).
@@ -643,7 +716,7 @@ def minhash_dedup(
     )
     cands = minhash_lsh_candidates(
         sigs.select(F.col(id_col), F.col("minhash")), id_col, "minhash", bands,
-        hash_family,
+        hash_family, max_bucket_size=max_bucket_size,
     )
     hashed = with_hashed_shingles(
         base, text_col, "__sh", shingle_k, use_words, hash_family
@@ -864,10 +937,15 @@ def simhash_near_dups(
     simhash_col: str = "simhash",
     max_hamming: int = 3,
     bits: int = 64,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Candidate near-dup pairs by SimHash: bucket on 4 × (bits/4)-wide
     chunks (a pair within Hamming distance 3 must agree on ≥1 chunk), then
-    verify the exact Hamming distance with ``bit_count``."""
+    verify the exact Hamming distance with ``bit_count``.
+
+    ``max_bucket_size`` caps hot chunks via the star rewiring of
+    ``_bucket_capped_self_join`` (the verify still runs on the star edges —
+    the representative row carries its fingerprint through the join)."""
     if bits % 4 != 0:
         # chunks at shifts 0/w/2w/3w would silently drop the top bits%4
         # bits from every chunk, voiding the pigeonhole full-recall
@@ -887,22 +965,19 @@ def simhash_near_dups(
     banded = df.select(
         F.col(id_col), F.col(simhash_col), F.posexplode(chunks).alias("chunk_id", "chunk")
     )
-    a, b = banded.alias("a"), banded.alias("b")
     pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.chunk_id") == F.col("b.chunk_id"),
-                F.col("a.chunk") == F.col("b.chunk"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col(f"a.{simhash_col}").bitwiseXOR(F.col(f"b.{simhash_col}"))
-            ).alias("hamming"),
+        _bucket_capped_self_join(
+            banded,
+            ("chunk_id", "chunk"),
+            id_col,
+            max_bucket_size,
+            lambda joined: joined.select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(
+                    F.col(f"a.{simhash_col}").bitwiseXOR(F.col(f"b.{simhash_col}"))
+                ).alias("hamming"),
+            ),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
@@ -970,17 +1045,25 @@ def ngram_jaccard_pairs(
     shingled = shingled.distinct()
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("__n"))
     if max_shingle_freq is not None:
-        # per-shingle frequency via a count window rather than a
-        # groupBy + semi-join: one shuffle on __sh instead of two, and the
-        # filtered output stays hash-partitioned on __sh — exactly the
-        # partitioning the co-occurrence self-join below needs, so its
-        # exchange is reused (measured 1.6× on the b14 bench query)
-        fw = Window.partitionBy("__sh")
-        shingled = (
-            shingled.withColumn("__f", F.count("*").over(fw))
-            .where(F.col("__f") <= max_shingle_freq)
-            .drop("__f")
+        # over-limit shingles found with groupBy (PARTIAL aggregation
+        # collapses a stop-gram map-side — each task contributes one
+        # (hash, count) row no matter how many documents carry it), then
+        # broadcast anti-joined away. The former count()-over-
+        # Window.partitionBy(__sh) had NO map-side combine: a shingle in
+        # ~every document landed all its rows in ONE task BEFORE the
+        # cutoff could drop them — at 1B docs that is a 1B-row hot
+        # partition, exactly the skew this filter exists to prevent.
+        # Over-limit hashes are rare by construction (each needs
+        # > max_shingle_freq distinct docs), so the anti-join side stays
+        # broadcast-sized and the filter itself adds zero shuffles to
+        # `shingled`.
+        hot = (
+            shingled.groupBy("__sh")
+            .agg(F.count("*").alias("__f"))
+            .where(F.col("__f") > max_shingle_freq)
+            .select("__sh")
         )
+        shingled = shingled.join(F.broadcast(hot), "__sh", "left_anti")
     a, b = shingled.alias("a"), shingled.alias("b")
     co = (
         a.join(

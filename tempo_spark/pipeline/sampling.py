@@ -131,7 +131,12 @@ def assign_packs(
     )
     running = F.sum(F.col(token_col).cast("long")).over(w)
     start = running - F.col(token_col).cast("long")
-    return df.withColumn(out, F.floor(start / F.lit(max_tokens)))
+    # integral `div`, not floor(double /): past 2^53 cumulative tokens the
+    # double quotient silently loses exactness (same rule as the bloom
+    # word index); both operands are longs and non-negative here
+    return df.withColumn(out, start).withColumn(
+        out, F.expr(f"`{out}` div {int(max_tokens)}")
+    )
 
 
 def sample_by_weight(

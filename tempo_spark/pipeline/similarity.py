@@ -408,6 +408,7 @@ def embedding_near_dups(
     dim: Optional[int] = None,
     seed: int = 42,
     exact: bool = False,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via shared hyperplane bucket +
     exact cosine verify. Returns (id_a < id_b, cosine ≥ threshold).
@@ -415,7 +416,13 @@ def embedding_near_dups(
     ``exact=True`` scores ALL pairs (no bucketing): recall 1 at O(n²)
     compare cost — the verification baseline for small corpora and the
     oracle-checked path. The default bucketed path is the scale path:
-    candidate pairs ~n²/2^planes, each bucket joining independently."""
+    candidate pairs ~n²/2^planes, each bucket joining independently.
+
+    ``max_bucket_size`` caps a hot hyperplane bucket (e.g. millions of
+    zero/identical vectors) via the star rewiring of
+    ``dedup._bucket_capped_self_join`` — pair volume O(rows) instead of
+    quadratic; the representative row carries its vector through the join
+    so the cosine verify still runs on star edges."""
     if exact:
         v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__vec"))
         a, b = v.alias("a"), v.alias("b")
@@ -438,21 +445,18 @@ def embedding_near_dups(
     v = df.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__vec")
     ).withColumn("__bucket", hyperplane_bucket(F.col("__vec"), planes))
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.__bucket") == F.col("b.__bucket"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
+    from tempo_spark.pipeline.dedup import _bucket_capped_self_join
+
+    return _bucket_capped_self_join(
+        v,
+        ("__bucket",),
+        id_col,
+        max_bucket_size,
+        lambda joined: joined.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(cosine(F.col("a.__vec"), F.col("b.__vec")), 6).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+        ).where(F.col("cosine") >= threshold),
     )
 
 

@@ -269,7 +269,13 @@ def tfidf_keywords(
     term frequency, document frequency, smoothed score
     ``tf * (ln((N+1)/(df_t+1)) + 1)`` (N = corpus row count, computed
     lazily as a broadcast aggregate — no eager action at plan-build time),
-    and the 1-based rank by ``(tfidf DESC, term ASC)``.
+    and the 1-based rank by ``(tfidf DESC, tf DESC, df_t ASC, term ASC)``
+    where the score is compared QUANTIZED to 1e-6 (fixed floor(x·1e6+0.5)
+    both engines reproduce): near-equal doubles from *different* (tf, df_t)
+    pairs would otherwise reorder under Spark-vs-DuckDB ``ln()`` last-ulp
+    differences — a latent data-dependent flake for the integer rank; the
+    quantized compare collapses sub-1e-6 gaps into a tie that the fully
+    discrete (tf, df_t, term) key breaks identically in both engines.
 
     ``group_cols`` scopes the statistics: document frequency and N are
     computed WITHIN each group (e.g. per language — "the" is background
@@ -361,7 +367,15 @@ def tfidf_keywords(
         F.col("tf")
         * (F.log((F.col("__n_docs") + 1) / (F.col("df_t") + 1)) + F.lit(1.0)),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    # quantized primary key + discrete tiebreak — see the ranking note in
+    # the docstring (ln() ulp divergence between engines)
+    score_q = F.floor(F.col("tfidf") * 1_000_000 + F.lit(0.5))
+    w = Window.partitionBy(id_col).orderBy(
+        score_q.desc(),
+        F.col("tf").desc(),
+        F.col("df_t").asc(),
+        F.col("term").asc(),
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -14,8 +14,10 @@ from tempo_spark.streaming.resample import (
     streaming_resample,
 )
 from tempo_spark.streaming.sessionize import streaming_sessionize
+from tempo_spark.streaming.tsdf import StreamingTSDF
 
 __all__ = [
+    "StreamingTSDF",
     "reduce_asof_candidates",
     "streaming_asof",
     "streaming_asof_candidates",

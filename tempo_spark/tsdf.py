@@ -359,13 +359,17 @@ class TSDF:
         tolerance: Optional[float] = None,
         direction: str = "backward",
         check_null_lookback: bool = False,
+        range_join_bin_seconds: Optional[float] = None,
     ) -> "TSDF":
         """For each left row, attach the latest right row with
         ``right.ts <= left.ts`` within the same series
         (reference: python/tempo/tsdf.py:752-947); ``direction`` extends to
         forward/nearest matches (pandas ``merge_asof`` semantics, beyond the
         reference). See ``tempo_spark.operators.asof`` for strategies and
-        scale notes.
+        scale notes. ``range_join_bin_seconds`` (with ``sql_join_opt=True``)
+        switches the range join to the bucketized big×big rewrite: both
+        sides keyed by ``ts div bin`` so the plan stays a hash join at any
+        size instead of degrading to a nested-loop / hot sort-merge group.
 
         The reference's skew path EAGERLY warns when a right column has no
         values inside the lookback window (reference:
@@ -388,6 +392,7 @@ class TSDF:
             use_range_join=sql_join_opt,
             tolerance=tolerance,
             direction=direction,
+            range_join_bin_seconds=range_join_bin_seconds,
         )
         if check_null_lookback and not suppress_null_warning:
             import logging
@@ -852,11 +857,25 @@ class TSDF:
 
     # ------------------------------------------------------ describe / misc
 
-    def describe(self) -> DataFrame:
+    def describe(self, reference_layout: bool = False) -> DataFrame:
         """Summary stats + time-series shape (reference:
         python/tempo/tsdf.py:622-700): Spark describe, plus unique-series
         count and global min/max ts appended as extra summary rows.
-        One lazy plan (describe ∪ custom agg) — no driver-side loops."""
+        One lazy plan (describe ∪ custom agg) — no driver-side loops.
+
+        ``reference_layout=True`` emits the reference's EXACT row/column
+        shape instead (for users diffing against reference notebooks): a
+        leading ``global`` row carrying ``unique_time_series_count`` /
+        ``min_ts`` / ``max_ts`` / ``granularity`` columns (blank `` `` in
+        the stat rows), a ``{ts_col}_dbl`` double companion column included
+        in the stats, and the reference's five-level granularity scale
+        (millis/seconds/minutes/hours/days). Unlike the reference (three
+        eager ``count()``/``head()`` actions at call time,
+        python/tempo/tsdf.py:652-668), the global row is a lazy 1-row
+        aggregate unioned in — same output, zero jobs until the caller
+        acts."""
+        if reference_layout:
+            return self._describe_reference_layout()
         desc = self.df.describe()
         value_cols = [c for c in desc.columns if c != "summary"]
         if self.series_ids:
@@ -928,6 +947,68 @@ class TSDF:
         ):
             out = out.unionByName(_extra_row(label, src))
         return out
+
+    def _describe_reference_layout(self) -> DataFrame:
+        """The reference's describe shape (python/tempo/tsdf.py:622-700),
+        built lazily. Differences kept deliberately: the millis test uses
+        ``abs(ts % 1) > 0`` instead of the reference's
+        ``ts - cast(ts as integer)`` (an ANSI-mode integer cast overflows
+        for post-2038 epochs and the subtraction misclassifies pre-1970
+        fractions), and the remainder tests are ``!= 0`` like the
+        reference (sign-safe as-is)."""
+        dbl = f"{self.ts_col}_dbl"
+        ts_d = ts_to_double(F.col(self.ts_col))
+        this_df = self.df.withColumn(dbl, ts_d)
+
+        desc = this_df.describe()
+        value_cols = [c for c in desc.columns if c != "summary"]
+        n_rows = F.count(F.lit(1))
+        missing = this_df.agg(
+            *[
+                F.when(
+                    n_rows > 0,
+                    F.lit(100) * F.count(F.when(F.col(c).isNull(), c)) / n_rows,
+                )
+                .cast("string")
+                .alias(c)
+                for c in value_cols
+            ]
+        ).select(F.lit("missing_vals_pct").alias("summary"), *value_cols)
+        blank = F.lit(" ")
+        stat_rows = desc.unionByName(missing).select(
+            F.col("summary"),
+            blank.alias("unique_time_series_count"),
+            blank.alias("min_ts"),
+            blank.alias("max_ts"),
+            blank.alias("granularity"),
+            *value_cols,
+        )
+
+        if self.series_ids:
+            series_count = F.countDistinct(*[F.col(c) for c in self.series_ids])
+        else:
+            series_count = F.lit(1)
+        gran_case = (
+            F.when(F.abs(F.col(dbl) % 1) > 0, "1-millis")
+            .when(F.col(dbl) % 60 != 0, "2-seconds")
+            .when(F.col(dbl) % 3600 != 0, "3-minutes")
+            .when(F.col(dbl) % 86400 != 0, "4-hours")
+            .otherwise("5-days")
+        )
+        global_row = this_df.agg(
+            series_count.cast("string").alias("unique_time_series_count"),
+            F.min(self.ts_col).cast("string").alias("min_ts"),
+            F.max(self.ts_col).cast("string").alias("max_ts"),
+            F.substring(F.min(gran_case), 3, 16).alias("granularity"),
+        ).select(
+            F.lit("global").alias("summary"),
+            "unique_time_series_count",
+            "min_ts",
+            "max_ts",
+            "granularity",
+            *[blank.alias(c) for c in value_cols],
+        )
+        return global_row.unionByName(stat_rows)
 
     def granularity_histogram(self) -> DataFrame:
         """Per-series granularity histogram: classify each series by the

@@ -349,3 +349,87 @@ class TestAsofDirections:
         left, right = lr
         out = left.asofJoin(right, left_prefix="left", direction="nearest")
         assert count_exchanges(out.df) == 1
+
+
+class TestAsofRangeBinned:
+    """range_join_bin_seconds — the bucketized big×big rewrite: same
+    results as the plain range join at every bin width, hash join in the
+    plan even with no series ids (where the unbinned path degrades to a
+    BroadcastNestedLoopJoin)."""
+
+    def test_matches_plain_range_join(self, trades_tsdf, quotes_tsdf):
+        plain = trades_tsdf.asofJoin(
+            quotes_tsdf, left_prefix="left", sql_join_opt=True
+        ).df
+        key = lambda r: (r.symbol, str(r.left_event_ts), r.right_bid_pr, r.right_ask_pr)
+        want = sorted(map(key, plain.collect()))
+        for bins in (1.0, 37.0, 3600.0):
+            binned = trades_tsdf.asofJoin(
+                quotes_tsdf, left_prefix="left", sql_join_opt=True,
+                range_join_bin_seconds=bins,
+            ).df
+            assert sorted(map(key, binned.collect())) == want, bins
+
+    def test_no_nested_loop_without_series(self, spark):
+        import datetime as dt
+
+        mk = lambda rows: spark.createDataFrame(rows, "ts timestamp, v double")
+        t0 = dt.datetime(2020, 1, 1)
+        left = TSDF(
+            mk([(t0 + dt.timedelta(seconds=s), float(s)) for s in (5, 65, 200)]),
+            ts_col="ts", series_ids=[],
+        )
+        right_df = mk([(t0 + dt.timedelta(seconds=s), s * 10.0) for s in (0, 60, 120)])
+        right = TSDF(right_df, ts_col="ts", series_ids=[])
+
+        def plan(tsdf_out):
+            return tsdf_out.df._jdf.queryExecution().executedPlan().toString()
+
+        unbinned = left.asofJoin(right, left_prefix="l", sql_join_opt=True)
+        binned = left.asofJoin(
+            right, left_prefix="l", sql_join_opt=True, range_join_bin_seconds=60.0
+        )
+        assert "BroadcastNestedLoopJoin" in plan(unbinned)  # the degradation
+        p = plan(binned)
+        # the BIG join runs on the bin equi key (SortMergeJoin/HashJoin);
+        # the only BNLJ left is the legitimate 1-row l_max broadcast cross
+        big_join = [
+            ln for ln in p.splitlines()
+            if ("SortMergeJoin" in ln or "HashJoin" in ln) and "__tempo_bin" in ln
+        ]
+        assert big_join, p
+        bnlj = [ln for ln in p.splitlines() if "BroadcastNestedLoopJoin" in ln]
+        assert all("BuildRight, Cross" in ln for ln in bnlj), bnlj
+        # and the values are right: 5->0, 65->60, 200->120 (open last interval)
+        got = {r.l_v: r.right_v for r in binned.df.collect()}
+        assert got == {5.0: 0.0, 65.0: 600.0, 200.0: 1200.0}
+
+    def test_rights_after_all_lefts_and_empty_series(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2020, 1, 1)
+        left = TSDF(
+            spark.createDataFrame(
+                [("A", t0 + dt.timedelta(seconds=30), 1.0)],
+                "k string, ts timestamp, v double",
+            ),
+            ts_col="ts", series_ids=["k"],
+        )
+        # right rows AFTER every left (descending sequence guard) and a
+        # series ("B") with no left rows at all (null l_max clamp)
+        right = TSDF(
+            spark.createDataFrame(
+                [("A", t0, 10.0), ("A", t0 + dt.timedelta(seconds=3600), 99.0),
+                 ("B", t0, 7.0)],
+                "k string, ts timestamp, q double",
+            ),
+            ts_col="ts", series_ids=["k"],
+        )
+        out = left.asofJoin(
+            right, left_prefix="l", sql_join_opt=True, range_join_bin_seconds=10.0
+        ).df.collect()
+        assert len(out) == 1 and out[0].right_q == 10.0
+
+    def test_requires_range_join(self, trades_tsdf, quotes_tsdf):
+        with pytest.raises(ValueError):
+            trades_tsdf.asofJoin(quotes_tsdf, range_join_bin_seconds=60.0)

@@ -250,3 +250,74 @@ class TestMakeDisjointBinned:
         plain = {tuple(r) for r in idf.make_disjoint().df.collect()}
         binned = {tuple(r) for r in idf.make_disjoint(bin_seconds=300).df.collect()}
         assert plain == binned and len(plain) > 50
+
+
+class TestIntervalIntervalJoin:
+    def rows(self):
+        return [
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:02:00"), "a", 1, None),
+            (ts("2020-01-01 00:05:00"), ts("2020-01-01 00:06:00"), "a", 2, None),
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:02:00"), "b", 3, None),
+        ]
+
+    def right_rows(self):
+        return [
+            (ts("2020-01-01 00:01:00"), ts("2020-01-01 00:03:00"), "a", 10, None),
+            (ts("2020-01-01 00:02:00"), ts("2020-01-01 00:04:00"), "a", 20, None),  # touches, no overlap
+            (ts("2020-01-01 00:01:00"), ts("2020-01-01 00:03:00"), "b", 30, None),
+        ]
+
+    def test_inner_overlap(self, spark):
+        left, right = idf(spark, self.rows()), idf(spark, self.right_rows())
+        out = left.join_intervals(right).df.collect()
+        got = sorted(
+            (r.series_1, r.metric_1, r.right_metric_1, str(r.overlap_start), str(r.overlap_end))
+            for r in out
+        )
+        # half-open: [0,2) vs [2,4) share only the boundary point — NOT a match
+        assert got == [
+            ("a", 1, 10, "2020-01-01 00:01:00", "2020-01-01 00:02:00"),
+            ("b", 3, 30, "2020-01-01 00:01:00", "2020-01-01 00:02:00"),
+        ]
+
+    def test_left_keeps_unmatched(self, spark):
+        left, right = idf(spark, self.rows()), idf(spark, self.right_rows())
+        out = left.join_intervals(right, how="left").df.collect()
+        unmatched = [r for r in out if r.right_metric_1 is None]
+        assert {(r.series_1, r.metric_1) for r in unmatched} == {("a", 2)}
+        assert all(r.overlap_start is None and r.overlap_end is None for r in unmatched)
+
+    def test_binned_equals_plain(self, spark):
+        left, right = idf(spark, self.rows()), idf(spark, self.right_rows())
+        plain = left.join_intervals(right).df
+        binned = left.join_intervals(right, bin_seconds=30.0).df
+        key = lambda r: tuple(str(v) for v in r)
+        assert sorted(map(key, plain.collect())) == sorted(map(key, binned.collect()))
+
+    def test_binned_exactly_once_wide_overlap(self, spark):
+        # intervals spanning MANY bins must still pair exactly once
+        left = idf(spark, [(ts("2020-01-01 00:00:00"), ts("2020-01-01 02:00:00"), "a", 1, None)])
+        right = idf(spark, [(ts("2020-01-01 00:30:00"), ts("2020-01-01 03:00:00"), "a", 9, None)])
+        out = left.join_intervals(right, bin_seconds=60.0).df.collect()
+        assert len(out) == 1
+        assert str(out[0].overlap_start) == "2020-01-01 00:30:00"
+        assert str(out[0].overlap_end) == "2020-01-01 02:00:00"
+
+    def test_self_join_lineage(self, spark):
+        i = idf(spark, self.rows())
+        out = i.join_intervals(i).df
+        # every interval overlaps itself; disjoint 'a' intervals don't cross-match
+        assert out.count() == 3
+
+    def test_validation(self, spark):
+        left = idf(spark, self.rows())
+        other = IntervalsDF(left.df, "start_ts", "end_ts", [])
+        with pytest.raises(ValueError):
+            left.join_intervals(other)
+        with pytest.raises(ValueError):
+            left.join_intervals(left, how="outer")
+        with pytest.raises(ValueError):
+            left.join_intervals(left, how="left", bin_seconds=10.0)
+        clash = left._with_df(left.df.withColumn("right_metric_1", left.df.metric_1))
+        with pytest.raises(ValueError):
+            clash.join_intervals(left)  # prefixed right col collides with left

@@ -1840,3 +1840,103 @@ class TestExplodePushdownGuard:
             if "Filter" in ln and "array_min" in ln
         ]
         assert not bad, bad[:1]
+
+
+class TestHotBucketCap:
+    """_bucket_capped_self_join: a degenerate corpus (every doc identical →
+    one bucket) must emit O(N) candidate pairs (star on the bucket min id),
+    not N(N-1)/2, while full-duplicate groups stay CC-connected; with no
+    bucket over the cap the output is identical to the uncapped plan."""
+
+    @pytest.fixture(scope="class")
+    def clones(self, spark):
+        n = 40
+        rows = [(i, "same boilerplate text repeated in every document") for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, text string"), n
+
+    def test_minhash_star_bounds_candidates(self, clones):
+        df, n = clones
+        sigs = dedup.with_minhash(df, "text", "minhash", 16, 3, True)
+        capped = dedup.minhash_lsh_candidates(
+            sigs.select("doc_id", "minhash"), "doc_id", bands=4, max_bucket_size=8
+        )
+        pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+        assert pairs == {(0, i) for i in range(1, n)}  # N-1 star edges, not N(N-1)/2
+
+    def test_star_keeps_group_connected(self, clones):
+        from tempo_spark.pipeline.components import connected_components
+
+        df, n = clones
+        pairs = dedup.minhash_dedup(
+            df, "doc_id", threshold=0.5, shingle_k=3, use_words=True,
+            max_bucket_size=8,
+        )
+        comps = connected_components(pairs)
+        roots = {r.component for r in comps.collect()}
+        assert roots == {0} and comps.count() == n  # one component, min-id root
+
+    def test_cap_noop_when_buckets_small(self, docs):
+        base = docs.where("length(text) > 0")
+        uncapped = dedup.minhash_dedup(base, "doc_id", threshold=0.5)
+        capped = dedup.minhash_dedup(base, "doc_id", threshold=0.5, max_bucket_size=100)
+        key = lambda r: (r.id_a, r.id_b)
+        assert sorted(map(key, uncapped.collect())) == sorted(map(key, capped.collect()))
+
+    def test_simhash_star(self, clones):
+        df, n = clones
+        hashed = dedup.with_simhash(df, id_col="doc_id")
+        pairs = dedup.simhash_near_dups(
+            hashed, "doc_id", max_hamming=3, max_bucket_size=8
+        )
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert got == {(0, i) for i in range(1, n)}
+
+    def test_embedding_star(self, spark):
+        n = 30
+        df = spark.createDataFrame(
+            [(i, [1.0, 0.0, 0.0]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        out = similarity.embedding_near_dups(df, dim=3, max_bucket_size=5)
+        got = {(r.id_a, r.id_b) for r in out.collect()}
+        assert got == {(0, i) for i in range(1, n)}
+
+    def test_bad_cap(self, clones):
+        df, _ = clones
+        sigs = dedup.with_minhash(df, "text", "minhash", 16, 3, True)
+        with pytest.raises(ValueError):
+            dedup.minhash_lsh_candidates(
+                sigs.select("doc_id", "minhash"), "doc_id", max_bucket_size=0
+            ).collect()
+
+
+class TestExactDedupPlan:
+    def test_single_shuffle(self, docs):
+        from tempo_spark.plans.inspect import count_exchanges
+
+        out = dedup.exact_dedup(docs, "doc_id")
+        # one digest shuffle — the former groupBy + join-back paid two
+        assert count_exchanges(out) == 1
+
+    def test_keep_max_and_validation(self, docs):
+        out = {r.doc_id: r.dup_count for r in dedup.exact_dedup(docs, "doc_id", keep="max").collect()}
+        assert 1 in out and 0 not in out and out[1] == 2
+        with pytest.raises(ValueError):
+            dedup.exact_dedup(docs, "doc_id", keep="first")
+
+
+class TestBoilerplateNullId:
+    def test_null_id_doc_gets_cleaned(self, spark):
+        from tempo_spark.pipeline import filtering
+
+        rows = [(i, f"keep me {i}\nSUBSCRIBE NOW") for i in range(10)] + [
+            (None, "unique null-id text\nSUBSCRIBE NOW")
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.text for r in filtering.remove_boilerplate_lines(
+            df, "doc_id", min_doc_freq=5
+        ).collect()}
+        # the NULL-id doc contributed to the frequency count, so it must
+        # also receive the removal (a plain equi-join silently kept it)
+        assert out[None] == "unique null-id text"
+        assert out[0] == "keep me 0"

@@ -492,3 +492,82 @@ class TestTwap:
         t = TSDF(df, ts_col="ts", series_ids=["k"])
         rowz = t.twap("1 minute", "price").df.collect()
         assert len(rowz) == 1 and rowz[0].twap == 30.0
+
+
+class TestDescribeReferenceLayout:
+    """Golden test of describe(reference_layout=True) against the
+    reference's output shape (python/tempo/tsdf.py:622-700), hand-ported
+    for a 4-row fixture."""
+
+    def test_golden(self, spark):
+        rows = [
+            ("A", ts("2020-01-01 00:00:00"), 1.0),
+            ("A", ts("2020-01-01 00:01:30"), 3.0),
+            ("B", ts("2020-01-01 01:00:00"), None),
+            ("B", ts("2020-01-02 00:00:00"), 5.0),
+        ]
+        t = TSDF(
+            spark.createDataFrame(rows, "k string, event_ts timestamp, v double"),
+            ts_col="event_ts",
+            series_ids=["k"],
+        )
+        out = t.describe(reference_layout=True)
+        # reference column order: summary, 4 global cols, then the
+        # described columns (string series col, metric, ts_dbl companion)
+        assert out.columns == [
+            "summary", "unique_time_series_count", "min_ts", "max_ts",
+            "granularity", "k", "v", "event_ts_dbl",
+        ]
+        collected = out.collect()
+        # global row leads, exactly once
+        assert collected[0].summary == "global"
+        g = collected[0]
+        assert g.unique_time_series_count == "2"
+        assert g.min_ts == "2020-01-01 00:00:00"
+        assert g.max_ts == "2020-01-02 00:00:00"
+        assert g.granularity == "seconds"  # 00:01:30 trips the %60 test
+        assert g.k == " " and g.v == " "  # stat cells blank in the global row
+        by_summary = {r.summary: r for r in collected}
+        # spark describe rows + the reference's missing_vals_pct row
+        for s in ("count", "mean", "stddev", "min", "max", "missing_vals_pct"):
+            assert s in by_summary, s
+        stat = by_summary["count"]
+        assert stat.unique_time_series_count == " "  # global cells blank in stat rows
+        assert stat.v == "3"
+        assert float(by_summary["missing_vals_pct"].v) == 25.0
+        assert float(by_summary["missing_vals_pct"].k) == 0.0
+
+    def test_granularity_scale(self, spark):
+        def gran(stamps):
+            t = TSDF(
+                spark.createDataFrame(
+                    [("A", ts(s), 1.0) for s in stamps],
+                    "k string, event_ts timestamp, v double",
+                ),
+                ts_col="event_ts",
+                series_ids=["k"],
+            )
+            return t.describe(reference_layout=True).collect()[0].granularity
+
+        assert gran(["2020-01-01 00:00:00.123"]) == "millis"
+        assert gran(["2020-01-01 00:00:05"]) == "seconds"
+        assert gran(["2020-01-01 00:05:00"]) == "minutes"
+        assert gran(["2020-01-01 05:00:00"]) == "hours"
+        assert gran(["2020-01-02 00:00:00"]) == "days"
+
+    def test_lazy_no_jobs_at_build(self, spark):
+        from tempo_spark.plans.inspect import count_exchanges  # noqa: F401 (import parity)
+
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup() or [])
+        t = TSDF(
+            spark.createDataFrame(
+                [("A", ts("2020-01-01 00:00:00"), 1.0)],
+                "k string, event_ts timestamp, v double",
+            ),
+            ts_col="event_ts",
+            series_ids=["k"],
+        )
+        t.describe(reference_layout=True)  # plan only — reference runs 3 jobs here
+        after = len(tracker.getJobIdsForGroup() or [])
+        assert after == before
