@@ -161,6 +161,20 @@ SELECT l.user_id, l.ts AS click_ts, round(l.value, 6) AS click_value,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
+# the sql_join_opt entry runs BOTH physical range-join strategies against
+# this same logical result, once per tag
+_ASOF_BROADCAST_ORACLE = """
+WITH l AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, max(value) AS p_value FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id, ts),
+j AS (SELECT l.user_id, l.ts AS click_ts, round(l.value, 6) AS click_value,
+             r.ts AS purchase_ts, round(r.p_value, 6) AS purchase_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts)
+SELECT 'range' AS tag, * FROM j
+UNION ALL
+SELECT 'binned' AS tag, * FROM j
+"""
+
 
 def _asof_direction_frames(spark: SparkSession, sf_dir: str):
     ev = _read(spark, sf_dir, "events")
@@ -225,9 +239,14 @@ FROM cand GROUP BY user_id, click_ts, lv
 
 
 def q_asof_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sql_join_opt as-of path (lead-interval range join) — same semantics
-    as the default union-window path, different physical strategy, checked
-    against the same oracle."""
+    """sql_join_opt as-of paths, union-tagged — same semantics as the
+    default union-window path, different physical strategies, both checked
+    against the same oracle (emitted once per tag):
+
+    - ``range``: lead-interval range join (broadcast-able small right);
+    - ``binned``: the ``range_join_bin_seconds`` big×big rewrite — both
+      sides keyed by ``ts div bin`` so the join stays a hash join at any
+      size; its exactly-once interval binning is thereby value-gated."""
     ev = _read(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
     purchases = (
@@ -237,15 +256,22 @@ def q_asof_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     left = TSDF(clicks, ts_col="ts", series_ids=["user_id"])
     right = TSDF(purchases, ts_col="ts", series_ids=["user_id"])
-    out = left.asofJoin(
-        right, left_prefix="left", right_prefix="right", sql_join_opt=True
-    ).df
-    return out.select(
-        "user_id",
-        F.col("left_ts").alias("click_ts"),
-        _R6(F.col("left_value")).alias("click_value"),
-        F.col("right_ts").alias("purchase_ts"),
-        _R6(F.col("right_p_value")).alias("purchase_value"),
+
+    def run(tag: str, **kw) -> DataFrame:
+        out = left.asofJoin(
+            right, left_prefix="left", right_prefix="right", sql_join_opt=True, **kw
+        ).df
+        return out.select(
+            F.lit(tag).alias("tag"),
+            "user_id",
+            F.col("left_ts").alias("click_ts"),
+            _R6(F.col("left_value")).alias("click_value"),
+            F.col("right_ts").alias("purchase_ts"),
+            _R6(F.col("right_p_value")).alias("purchase_value"),
+        )
+
+    return run("range").unionByName(
+        run("binned", range_join_bin_seconds=6 * 3600.0)
     )
 
 
@@ -1105,8 +1131,15 @@ FROM final WHERE metric_b IS NOT NULL
 
 
 def q_interval_point_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval–TSDF join: annotate each event with its covering disjoint
-    interval (roadmap-only in the reference)."""
+    """Interval joins (both roadmap-only in the reference), union-tagged:
+
+    - ``point``: interval–TSDF join — each event annotated with its
+      covering disjoint interval;
+    - ``overlap``: interval–INTERVAL join (``join_intervals``) — the
+      disjoint set against per-event [ts+30min, ts+90min) probe intervals,
+      run through the ``bin_seconds`` bucketized path so its exactly-once
+      pairing (later-start-bin ownership) is value-gated; ts = overlap
+      start, v = overlap length in µs (exact integer in both engines)."""
     de = _dedup_events(spark, sf_dir)
     iv = de.select(
         "user_id",
@@ -1117,8 +1150,8 @@ def q_interval_point_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disjoint = IntervalsDF(iv, "start_ts", "end_ts", ["user_id"]).make_disjoint()
     t = TSDF(de.select("user_id", "ts", "value"), ts_col="ts", series_ids=["user_id"])
-    out = disjoint.join_tsdf(t).df
-    return out.select(
+    point = disjoint.join_tsdf(t).df.select(
+        F.lit("point").alias("tag"),
         "user_id",
         "ts",
         _R6(F.col("value")).alias("v"),
@@ -1127,6 +1160,29 @@ def q_interval_point_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("interval_metric_a"),
         F.col("interval_metric_b"),
     )
+    probes = IntervalsDF(
+        de.select(
+            "user_id",
+            (F.col("ts") + F.expr("interval 30 minutes")).alias("start_ts"),
+            (F.col("ts") + F.expr("interval 90 minutes")).alias("end_ts"),
+        ),
+        "start_ts",
+        "end_ts",
+        ["user_id"],
+    )
+    ov = disjoint.join_intervals(probes, prefix="r", bin_seconds=3600.0).df.select(
+        F.lit("overlap").alias("tag"),
+        "user_id",
+        F.col("overlap_start").alias("ts"),
+        (F.unix_micros("overlap_end") - F.unix_micros("overlap_start"))
+        .cast("double")
+        .alias("v"),
+        F.col("start_ts").alias("interval_start_ts"),
+        F.col("end_ts").alias("interval_end_ts"),
+        F.col("metric_a").alias("interval_metric_a"),
+        F.col("metric_b").alias("interval_metric_b"),
+    )
+    return point.unionByName(ov)
 
 
 _INTERVAL_JOIN_SUFFIX = """
@@ -1134,12 +1190,23 @@ _INTERVAL_JOIN_SUFFIX = """
   SELECT user_id, min(seg_start) AS start_ts, max(seg_end) AS end_ts,
          first(metric_a ORDER BY seg_start) AS metric_a,
          first(metric_b ORDER BY seg_start) AS metric_b
-  FROM grouped GROUP BY user_id, gid)
-SELECT d.user_id, d.ts, round(d.value, 6) AS v,
+  FROM grouped GROUP BY user_id, gid),
+rgt AS (
+  SELECT user_id, ts + INTERVAL 30 MINUTE AS rs, ts + INTERVAL 90 MINUTE AS re
+  FROM de)
+SELECT 'point' AS tag, d.user_id, d.ts, round(d.value, 6) AS v,
        f.start_ts AS interval_start_ts, f.end_ts AS interval_end_ts,
        f.metric_a AS interval_metric_a, f.metric_b AS interval_metric_b
 FROM de d JOIN final f
   ON d.user_id = f.user_id AND d.ts >= f.start_ts AND d.ts < f.end_ts
+UNION ALL
+SELECT 'overlap' AS tag, f.user_id, greatest(f.start_ts, r.rs) AS ts,
+       CAST(epoch_us(least(f.end_ts, r.re))
+            - epoch_us(greatest(f.start_ts, r.rs)) AS DOUBLE) AS v,
+       f.start_ts AS interval_start_ts, f.end_ts AS interval_end_ts,
+       f.metric_a AS interval_metric_a, f.metric_b AS interval_metric_b
+FROM final f JOIN rgt r
+  ON f.user_id = r.user_id AND f.start_ts < r.re AND f.end_ts > r.rs
 """
 
 
@@ -2602,7 +2669,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_forward": _ASOF_FWD_ORACLE,
         "asof_nearest": _ASOF_NEAREST_ORACLE,
         "asof_skew": _ASOF_SKEW_ORACLE,
-        "asof_broadcast": _ASOF_ORACLE,
+        "asof_broadcast": _ASOF_BROADCAST_ORACLE,
         "range_stats": _RANGE_STATS_ORACLE,
         "range_percentiles": _RANGE_PCT_ORACLE,
         "twap": _TWAP_ORACLE,
