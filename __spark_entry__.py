@@ -1249,9 +1249,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       whose text is a NEAR-duplicate (word-3-gram MinHash/LSH, Jaccard
       >= 0.5) of ≥1 corpus doc, with the match count; md5_32 family so the
       DuckDB oracle replays signatures + banding + verify bit-exactly
-      (production default stays xxhash64 — bench measures that)."""
+      (production default stays xxhash64 — bench measures that);
+    - ``para``: ``dedup_paragraphs`` keep-first sub-document dedup, run at
+      WORD granularity (``sep=" "`` — the gate docs are single-line, and
+      the 31-word vocabulary makes nearly every token a repeat, so winner
+      selection and in-place removal are exercised hard); dup_count = how
+      many tokens the doc lost to earlier occurrences."""
     from tempo_spark.pipeline.dedup import (
         dedup_against_corpus,
+        dedup_paragraphs,
         exact_dedup,
         near_dedup_against_corpus,
     )
@@ -1275,7 +1281,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("dup_count"))
         .select(F.lit("near_vs_corpus").alias("tag"), "doc_id", "dup_count")
     )
-    return exact.unionByName(survivors).unionByName(near)
+    para = dedup_paragraphs(
+        docs.select("doc_id", "text").where(F.length("text") > 0),
+        "doc_id", sep=" ", out="clean",
+    ).select(
+        F.lit("para").alias("tag"),
+        "doc_id",
+        (
+            F.size(F.split(F.col("text"), " "))
+            - F.when(F.length("clean") == 0, F.lit(0)).otherwise(
+                F.size(F.split(F.col("clean"), " "))
+            )
+        ).cast("long").alias("dup_count"),
+    )
+    return exact.unionByName(survivors).unionByName(near).unionByName(para)
 
 
 _DEDUP_EXACT_ORACLE = """
@@ -1329,6 +1348,19 @@ WHERE s.doc_id >= 250
 UNION ALL
 SELECT 'near_vs_corpus' AS tag, new_id AS doc_id, count(*) AS dup_count
 FROM scored WHERE raw >= 0.5 GROUP BY new_id
+UNION ALL
+SELECT 'para' AS tag, d.doc_id, CAST(coalesce(dr.dropped, 0) AS BIGINT) AS dup_count
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, count(*) AS dropped
+  FROM (SELECT doc_id, i, row_number() OVER (PARTITION BY w ORDER BY doc_id, i) AS rn
+        FROM (SELECT doc_id, i, arr[i] AS w
+              FROM (SELECT doc_id, unnest(generate_series(1, len(arr))) AS i, arr
+                    FROM (SELECT doc_id, string_split(text, ' ') AS arr
+                          FROM documents WHERE length(text) > 0))))
+  WHERE rn > 1 GROUP BY doc_id
+) dr ON d.doc_id = dr.doc_id
+WHERE length(d.text) > 0
 """
 
 
@@ -1347,9 +1379,18 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``with_shard(out_pos=...)`` — deterministic shuffle-shard export
       assignment (8 shards) + position in the shard's hash order;
     - ``with_ngram_char_fracs(n=2)`` — the Gopher character-level signals
-      (top-gram and duplicated-gram char fractions, hardened-rounded).
+      (top-gram and duplicated-gram char fractions, hardened-rounded);
+    - ``mix_by_group(mode='flag')`` — waterfilling corpus mixture over
+      ``lang`` (binary-fraction target shares; the rate arithmetic is the
+      same IEEE op sequence in both engines, so the md5_32 keep decision
+      replays bit-exactly).
     """
-    from tempo_spark.pipeline.sampling import assign_packs, with_shard, with_split
+    from tempo_spark.pipeline.sampling import (
+        assign_packs,
+        mix_by_group,
+        with_shard,
+        with_split,
+    )
     from tempo_spark.pipeline.text import (
         with_ngram_char_fracs,
         with_repetition_metrics,
@@ -1363,12 +1404,18 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = assign_packs(out, "n_tokens", 2048, ["split"], "doc_id", hash_family="md5_32")
     out = with_shard(out, "doc_id", 8, hash_family="md5_32", out_pos="shard_pos")
     out = with_ngram_char_fracs(out, "doc_id", "text", n=2)
+    out = mix_by_group(
+        out, "doc_id", "lang",
+        {"en": 0.5, "de": 0.25, "es": 0.125, "fr": 0.125},
+        hash_family="md5_32", mode="flag",
+    )
     return out.select(
         "doc_id", "n_tokens", "n_2grams", "n_2grams_distinct", "dup_2gram_frac",
         "split", "pack_id",
         F.col("shard_id").cast("long").alias("shard_id"),
         F.col("shard_pos").cast("long").alias("shard_pos"),
         "top_2gram_char_frac", "dup_2gram_char_frac",
+        "mix_keep",
     )
 
 
@@ -1410,7 +1457,16 @@ granked AS (
   FROM gcounts),
 gdup AS (
   SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dupw
-  FROM gcounts GROUP BY doc_id)
+  FROM gcounts GROUP BY doc_id),
+msz AS (SELECT lang, sum(1.0) AS avail FROM documents GROUP BY lang),
+mls AS (SELECT lang, avail,
+               CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25
+                    WHEN lang = 'es' THEN 0.125 WHEN lang = 'fr' THEN 0.125
+               END AS share
+        FROM msz),
+mrt AS (SELECT lang,
+               least(1.0, share * (min(avail / share) OVER ()) / avail) AS rate
+        FROM mls WHERE share IS NOT NULL AND share > 0 AND avail > 0)
 SELECT b.doc_id, n_tokens, n_2grams, n_2grams_distinct, dup_2gram_frac, split,
        CAST(floor(
          (sum(n_tokens) OVER (
@@ -1423,11 +1479,14 @@ SELECT b.doc_id, n_tokens, n_2grams, n_2grams_distinct, dup_2gram_frac, split,
        coalesce(floor((t.w * 1.0 / length(d.text)) * 1000000 + 0.5) / 1000000, 0.0)
          AS top_2gram_char_frac,
        coalesce(floor((gd.dupw * 1.0 / length(d.text)) * 1000000 + 0.5) / 1000000, 0.0)
-         AS dup_2gram_char_frac
+         AS dup_2gram_char_frac,
+       coalesce(('0x' || substr(md5('mix:' || CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 1000000 < r.rate * 1000000, FALSE) AS mix_keep
 FROM base b
 JOIN documents d ON d.doc_id = b.doc_id
 LEFT JOIN (SELECT doc_id, w FROM granked WHERE rn = 1) t ON t.doc_id = b.doc_id
 LEFT JOIN gdup gd ON gd.doc_id = b.doc_id
+LEFT JOIN mrt r ON d.lang IS NOT DISTINCT FROM r.lang
 """
 
 

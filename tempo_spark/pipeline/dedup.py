@@ -985,6 +985,88 @@ def simhash_near_dups(
     return pairs
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    sep: str = "\n\n",
+    out: Optional[str] = None,
+) -> DataFrame:
+    """Corpus-wide exact PARAGRAPH dedup, keep-first (the C4 recipe):
+    every repeated paragraph survives only at its first occurrence — the
+    smallest ``(id, position)`` — and is removed in place everywhere else,
+    including later repeats inside the same document. The granularity
+    between whole-document ``exact_dedup`` (misses partial copies) and
+    ``remove_boilerplate_lines`` (drops frequent lines from EVERY doc,
+    keeping none).
+
+    Scale shape (mirrors ``remove_boilerplate_lines`` — document text is
+    never re-aggregated from exploded rows):
+
+    1. explode to (id, pos, xxhash64(paragraph)) — narrow rows;
+    2. per-hash winner = ``min(struct(id, pos))`` with the occurrence
+       count, via ONE map-side-combined groupBy; only hashes with ≥ 2
+       occurrences (the actual duplicates — rare relative to the corpus)
+       survive as the join side;
+    3. occurrences re-join the winner table on the hash (AQE broadcasts it
+       when small; a paragraph repeated across millions of docs makes a hot
+       join key whose task does linear work — narrow rows, no blowup),
+       non-winners aggregate into per-doc bad-position lists, and the
+       positions drop from the paragraph ARRAY in place (null-safe id
+       join-back, same as the sibling operators).
+
+    ``sep`` splits as a Java regex and re-joins as a literal (fine for
+    plain separators like the blank-line default). ``id_col`` values must
+    be mutually orderable; ties are broken by position, so results are
+    deterministic whenever ``(id, pos)`` pairs are unique."""
+    paras_arr = F.split(F.col(text_col), sep)
+    # posexplode_outer + null filter per the explode-pushdown gotcha
+    occ = df.select(
+        F.col(id_col), F.posexplode_outer(paras_arr).alias("__pos", "__para")
+    ).where(F.col("__para").isNotNull())
+    hashed = occ.select(id_col, "__pos", F.xxhash64(F.col("__para")).alias("__ph"))
+    winners = (
+        hashed.groupBy("__ph")
+        .agg(
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))).alias(
+                "__w"
+            ),
+            F.count("*").alias("__n"),
+        )
+        .where(F.col("__n") >= 2)
+        .select("__ph", "__w")
+    )
+    is_winner = F.col(id_col).eqNullSafe(F.col("__w.i")) & (
+        F.col("__pos") == F.col("__w.p")
+    )
+    bad_pos = (
+        hashed.join(winners, "__ph")
+        .where(~is_winner)
+        .groupBy(id_col)
+        .agg(F.collect_list("__pos").alias("__bad"))
+        .select(F.col(id_col).alias("__pd_id"), "__bad")
+    )
+    target = out or text_col
+    cleaned = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.array_join(
+            F.filter(
+                paras_arr,
+                lambda para, i: ~F.coalesce(
+                    F.array_contains(F.col("__bad"), i), F.lit(False)
+                ),
+            ),
+            sep,
+        )
+    )
+    return (
+        df.join(bad_pos, F.col(id_col).eqNullSafe(F.col("__pd_id")), "left")
+        .withColumn(target, cleaned)
+        .drop("__pd_id", "__bad")
+    )
+
+
 # ------------------------------------------------------------ ngram jaccard
 
 

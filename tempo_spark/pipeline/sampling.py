@@ -139,6 +139,85 @@ def assign_packs(
     )
 
 
+def mix_by_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    target_shares: Mapping[object, float],
+    token_col: str | None = None,
+    salt: str = "mix",
+    hash_family: str = "xxhash64",
+    mode: str = "drop",
+) -> DataFrame:
+    """Downsample groups to a target mixture (curriculum / source mixing —
+    the step that turns "we crawled 80% web, 5% code, 15% books" into the
+    "50% web, 25% code, 25% books" a training run actually wants).
+
+    Waterfilling semantics: the bottleneck group (smallest
+    ``available/share`` ratio) is kept WHOLE and every other listed group
+    downsamples deterministically to match the target proportions — the
+    largest output satisfying the mixture without upsampling. With
+    ``token_col``, availability is measured in tokens (shares target token
+    mass; decisions stay whole-document, so the match is in expectation
+    over documents). Groups absent from ``target_shares`` are not part of
+    the mixture: dropped (``mode="drop"``) or flagged false
+    (``mode="flag"``, adds a ``mix_keep`` boolean instead of filtering).
+
+    Deterministic and append-stable like every sampler here: the keep
+    decision is ``salted_hash_bucket(key) < rate × SPLIT_BUCKETS``; re-runs
+    keep identical rows, new documents never move old decisions (the RATES
+    shift as availability grows — pin rates by reusing a frozen sizes
+    snapshot upstream if bit-stable membership across ingests matters).
+
+    Plan shape: one narrow group-size aggregation (map-side combined — a
+    group spanning the whole corpus still contributes one row per task)
+    joined back via **broadcast** (group-cardinality rows); the keep filter
+    is then a pure per-row expression. The corpus is scanned twice (sizes +
+    filter), never shuffled. NULL groups are groups like any other
+    (null-safe join; list them with a ``None`` key)."""
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if not target_shares:
+        raise ValueError("target_shares must be non-empty")
+    total = float(sum(target_shares.values()))
+    if total <= 0:
+        raise ValueError("target_shares must sum to a positive value")
+
+    share = F.lit(None).cast("double")
+    for k, v in target_shares.items():
+        if float(v) < 0:
+            raise ValueError(f"negative share for group {k!r}")
+        cond = F.col("__mix_g").isNull() if k is None else F.col("__mix_g").eqNullSafe(F.lit(k))
+        share = F.when(cond, F.lit(float(v) / total)).otherwise(share)
+
+    amount = F.col(token_col).cast("double") if token_col else F.lit(1.0)
+    sizes = (
+        df.groupBy(F.col(group_col).alias("__mix_g"))
+        .agg(F.sum(amount).alias("__avail"))
+        .withColumn("__share", share)
+        .where(F.col("__share").isNotNull() & (F.col("__share") > 0) & (F.col("__avail") > 0))
+    )
+    # bottleneck ratio via a GLOBAL window over the group-cardinality sizes
+    # frame (SinglePartition of a handful of rows) — a separate agg() +
+    # cross join is not CSE'd with the sizes subtree and would re-scan the
+    # corpus a third time
+    from pyspark.sql import Window
+
+    mr = F.min(F.col("__avail") / F.col("__share")).over(Window.partitionBy())
+    rates = sizes.select(
+        "__mix_g",
+        F.least(F.lit(1.0), F.col("__share") * mr / F.col("__avail")).alias("__rate"),
+    )
+    bucket = split_bucket(F.col(key_col), salt, hash_family)
+    joined = df.join(
+        F.broadcast(rates), F.col(group_col).eqNullSafe(F.col("__mix_g")), "left"
+    )
+    keep = F.col("__rate").isNotNull() & (bucket < F.col("__rate") * SPLIT_BUCKETS)
+    if mode == "flag":
+        return joined.withColumn("mix_keep", keep).drop("__mix_g", "__rate")
+    return joined.where(keep).drop("__mix_g", "__rate")
+
+
 def sample_by_weight(
     df: DataFrame,
     key_col: str,

@@ -252,6 +252,32 @@ def with_pattern_counts(
     return df
 
 
+def redact_patterns(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    replacement: str = "[{name}]",
+    out: str | None = None,
+) -> DataFrame:
+    """Replace every match of each pattern with a placeholder —
+    ``with_pattern_counts``'s acting sibling (count tells you HOW MUCH PII
+    a document carries; redact removes it before training). Default
+    patterns are the shared ``PATTERNS`` library; ``replacement`` is a
+    template over the pattern name (``"[{name}]"`` → ``[emails]``), or a
+    fixed string if it has no ``{name}`` slot. Chained native
+    ``regexp_replace`` — JVM codegen, zero shuffle, stream-composable.
+    Patterns apply in dict order; earlier replacements are visible to later
+    patterns (so a URL pattern never re-matches inside an already-redacted
+    email placeholder, and orderings that overlap should put the more
+    specific pattern first). Like the counts, deliberately NOT
+    oracle-gated: regex dialects differ across engines."""
+    target = out or text_col
+    col = F.col(text_col)
+    for name, pat in (patterns or PATTERNS).items():
+        col = F.regexp_replace(col, pat, replacement.format(name=name))
+    return df.withColumn(target, col)
+
+
 def tfidf_keywords(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1940,3 +1940,137 @@ class TestBoilerplateNullId:
         # also receive the removal (a plain equi-join silently kept it)
         assert out[None] == "unique null-id text"
         assert out[0] == "keep me 0"
+
+
+class TestMixByGroup:
+    def _df(self, spark):
+        from pyspark.sql import functions as SF
+
+        return (
+            spark.range(1250)
+            .select(
+                SF.col("id").alias("doc_id"),
+                SF.when(SF.col("id") < 1000, "web").otherwise("code").alias("src"),
+                SF.when(SF.col("id") < 1000, 100).otherwise(400).alias("n_tokens"),
+            )
+        )
+
+    def test_waterfill_rows(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        df = self._df(spark)  # 1000 web, 250 code
+        out = sampling.mix_by_group(df, "doc_id", "src", {"web": 0.5, "code": 0.5})
+        counts = {r.src: r["count"] for r in out.groupBy("src").count().collect()}
+        # code is the bottleneck (250/0.5 < 1000/0.5): kept WHOLE
+        assert counts["code"] == 250
+        # web downsamples to rate 0.25 -> ~250 (hash-binomial tolerance)
+        assert 150 <= counts["web"] <= 350
+
+    def test_token_weighting_shifts_rates(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        df = self._df(spark)  # token mass: web 100k, code 100k — balanced
+        out = sampling.mix_by_group(
+            df, "doc_id", "src", {"web": 0.5, "code": 0.5}, token_col="n_tokens"
+        )
+        counts = {r.src: r["count"] for r in out.groupBy("src").count().collect()}
+        # equal token mass at equal shares -> BOTH groups kept whole
+        assert counts == {"web": 1000, "code": 250}
+
+    def test_flag_matches_drop_and_unlisted_false(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        df = self._df(spark).withColumn(
+            "src", F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(F.col("src"))
+        )
+        shares = {"web": 0.6, "code": 0.4}  # NULL src unlisted
+        dropped = {r.doc_id for r in sampling.mix_by_group(df, "doc_id", "src", shares).collect()}
+        flagged = sampling.mix_by_group(df, "doc_id", "src", shares, mode="flag")
+        assert {r.doc_id for r in flagged.where("mix_keep").collect()} == dropped
+        assert all(
+            not r.mix_keep for r in flagged.collect() if r.src is None
+        )
+
+    def test_null_group_listable(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, "a")], "doc_id long, src string"
+        )
+        out = sampling.mix_by_group(df, "doc_id", "src", {None: 0.5, "a": 0.5})
+        srcs = {r.src for r in out.collect()}
+        assert None in srcs  # the NULL group participates in the mixture
+
+    def test_deterministic(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        df = self._df(spark)
+        a = {r.doc_id for r in sampling.mix_by_group(df, "doc_id", "src", {"web": 0.7, "code": 0.3}).collect()}
+        b = {r.doc_id for r in sampling.mix_by_group(df, "doc_id", "src", {"web": 0.7, "code": 0.3}).collect()}
+        assert a == b
+
+    def test_validation(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        df = self._df(spark)
+        for bad in ({}, {"web": -1.0}, {"web": 0.0}):
+            with pytest.raises(ValueError):
+                sampling.mix_by_group(df, "doc_id", "src", bad).collect()
+        with pytest.raises(ValueError):
+            sampling.mix_by_group(df, "doc_id", "src", {"web": 1.0}, mode="wat")
+
+    def test_big_side_never_shuffled(self, spark):
+        from tempo_spark.pipeline import sampling
+        from tempo_spark.plans.inspect import count_exchanges
+
+        out = sampling.mix_by_group(self._df(spark), "doc_id", "src", {"web": 1.0})
+        # only the narrow sizes branch exchanges; the corpus side is
+        # scan -> broadcast-join -> filter
+        assert count_exchanges(out) <= 1
+
+
+class TestRedactPatterns:
+    def test_default_patterns(self, spark):
+        df = spark.createDataFrame(
+            [(0, "mail me at a.b@example.com or see https://x.io/y now 1234567")],
+            "doc_id long, text string",
+        )
+        got = text.redact_patterns(df).collect()[0].text
+        assert got == "mail me at [emails] or see [urls] now [digit_runs]"
+
+    def test_custom_replacement_and_out(self, spark):
+        df = spark.createDataFrame([(0, "a@b.co here")], "doc_id long, text string")
+        out = text.redact_patterns(
+            df, patterns={"pii": r"[A-Za-z]+@[A-Za-z.]+"}, replacement="<X>", out="clean"
+        ).collect()[0]
+        assert out.clean == "<X> here" and out.text == "a@b.co here"
+
+
+class TestDedupParagraphs:
+    def test_keep_first_across_and_within_docs(self, spark):
+        rows = [
+            (0, "A\n\nB"),
+            (1, "A\n\nC"),
+            (2, "B\n\nB\n\nD"),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.text for r in dedup.dedup_paragraphs(df, "doc_id").collect()}
+        assert out[0] == "A\n\nB"   # both first occurrences
+        assert out[1] == "C"        # A deduped (first seen in doc 0)
+        assert out[2] == "D"        # B deduped twice (first seen in doc 0)
+        assert out[3] is None       # null text passes through
+
+    def test_within_doc_repeat(self, spark):
+        df = spark.createDataFrame([(0, "X\n\nY\n\nX")], "doc_id long, text string")
+        out = dedup.dedup_paragraphs(df, "doc_id").collect()[0].text
+        assert out == "X\n\nY"
+
+    def test_out_col_and_no_dups_noop(self, spark):
+        df = spark.createDataFrame(
+            [(0, "P\n\nQ"), (1, "R")], "doc_id long, text string"
+        )
+        out = {r.doc_id: (r.text, r.clean) for r in dedup.dedup_paragraphs(
+            df, "doc_id", out="clean"
+        ).collect()}
+        assert out[0] == ("P\n\nQ", "P\n\nQ") and out[1] == ("R", "R")
