@@ -288,6 +288,52 @@ def near_dedup_probe(spark, corpus_rows: int, shard_rows: int) -> dict:
     return out
 
 
+def asof_bin_probe(spark, n_rows: int, n_series: int) -> dict:
+    """Big×big as-of strategies head-to-head on FEW series (the shape where
+    an unbinned range join degenerates: each sort-merge series group
+    compares |lefts|×|rights|): union-window default vs the
+    ``range_join_bin_seconds`` bucketized rewrite. Both must agree exactly;
+    the honest question is the price of the range-join API at scale."""
+    from tempo_spark.tsdf import TSDF
+
+    def side(offset: float):
+        return spark.range(n_rows).select(
+            (F.col("id") % n_series).alias("k"),
+            ((F.col("id") / n_series).cast("long").cast("double") + offset).alias("ts"),
+            (F.col("id") % 997).cast("double").alias("v"),
+        )
+
+    left = TSDF(side(0.25), ts_col="ts", series_ids=["k"])
+    right = TSDF(
+        side(0.0).withColumnRenamed("v", "q").groupBy("k", "ts").agg(
+            F.max("q").alias("q")
+        ),
+        ts_col="ts",
+        series_ids=["k"],
+    )
+    out: dict = {"n_rows": n_rows, "n_series": n_series}
+
+    def run(label, **kw):
+        t0 = time.monotonic()
+        j = left.asofJoin(right, left_prefix="l", **kw).df
+        agg = j.agg(
+            F.count("*").alias("n"), F.sum(F.col("right_q")).alias("s")
+        ).collect()[0]
+        out[label] = {
+            "sec": round(time.monotonic() - t0, 1),
+            "rows": agg.n,
+            "checksum": float(agg.s),
+        }
+
+    run("union_window")
+    run("range_join_binned", sql_join_opt=True, range_join_bin_seconds=60.0)
+    out["paths_agree"] = (
+        out["union_window"]["rows"] == out["range_join_binned"]["rows"]
+        and out["union_window"]["checksum"] == out["range_join_binned"]["checksum"]
+    )
+    return out
+
+
 def stopgram_probe(spark, n_docs: int) -> dict:
     """ngram_jaccard_pairs under a 100%-document stop-gram: every doc ends
     with the same 5-token phrase, so 3 of its word-3-grams appear in ALL
@@ -399,6 +445,20 @@ def main():
         spark.sparkContext.setLogLevel("ERROR")
         for n in (1_000_000, 4_000_000):
             print(json.dumps(text_probe(spark, n)))
+        spark.stop()
+        return
+    if "--asofbin" in sys.argv:
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "64")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "24g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        for n in (2_000_000, 8_000_000):
+            print(json.dumps(asof_bin_probe(spark, n, 8)))
         spark.stop()
         return
     if "--stopgram" in sys.argv:

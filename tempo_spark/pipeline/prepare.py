@@ -36,10 +36,15 @@ def prepare_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
+    redact: bool = False,
     min_quality: float | None = None,
     max_dup_2gram_frac: float | None = None,
+    paragraph_dedup: bool = False,
+    paragraph_sep: str = "\n\n",
     exact_dedup: bool = True,
     near_dedup_threshold: float | None = None,
+    mix_group_col: str | None = None,
+    mix_shares: Mapping[object, float] | None = None,
     splits: Mapping[str, float] | None = None,
     pack_tokens: int | None = None,
     n_shards: int | None = None,
@@ -49,31 +54,52 @@ def prepare_corpus(
 
     Stage order and cost shape:
 
-    1. per-row signals + filters (token count, quality, dup-2gram) —
-       shuffle-free, prunes before anything expensive runs;
-    2. ``exact_dedup`` — one digest shuffle, min-id winner;
-    3. ``near_dedup_threshold`` — MinHash/LSH pairs (word 3-grams) →
+    1. per-row signals + filters (token count, quality, dup-2gram; with
+       ``redact=True``, PII pattern redaction FIRST so every downstream
+       hash/signal sees the cleaned text) — shuffle-free, prunes before
+       anything expensive runs;
+    2. ``paragraph_dedup`` — keep-first sub-document dedup (C4 recipe) on
+       ``paragraph_sep``-separated blocks, then re-derived token counts;
+    3. ``exact_dedup`` — one digest shuffle, min-id winner;
+    4. ``near_dedup_threshold`` — MinHash/LSH pairs (word 3-grams) →
        connected components → canonical min-id survivor;
-    4. ``with_split(splits)`` — per-row hash assignment;
-    5. ``pack_tokens`` — sequence packing per split group (window cumsum);
-    6. ``n_shards`` — shuffle-shard assignment for export.
+    5. ``mix_group_col``/``mix_shares`` — waterfilling source mixture
+       AFTER dedup (mixing before dedup would re-skew whenever one
+       source is more duplicated than another);
+    6. ``with_split(splits)`` — per-row hash assignment;
+    7. ``pack_tokens`` — sequence packing per split group (window cumsum);
+    8. ``n_shards`` — shuffle-shard assignment for export.
     """
     from tempo_spark.pipeline import dedup as d
     from tempo_spark.pipeline.components import near_dedup
-    from tempo_spark.pipeline.sampling import assign_packs, with_shard, with_split
+    from tempo_spark.pipeline.sampling import (
+        assign_packs,
+        mix_by_group,
+        with_shard,
+        with_split,
+    )
     from tempo_spark.pipeline.text import (
+        redact_patterns,
         with_quality_score,
         with_repetition_metrics,
         with_token_count,
     )
 
-    out = with_token_count(df, text_col)
+    out = df
+    if redact:
+        out = redact_patterns(out, text_col)
+    out = with_token_count(out, text_col)
     out = with_quality_score(out, text_col)
     out = with_repetition_metrics(out, text_col, n=2)
     if min_quality is not None:
         out = out.where(F.col("quality_score") >= min_quality)
     if max_dup_2gram_frac is not None:
         out = out.where(F.col("dup_2gram_frac") <= max_dup_2gram_frac)
+    if paragraph_dedup:
+        out = d.dedup_paragraphs(out, id_col, text_col, sep=paragraph_sep)
+        # token budget changed with the text — recount so packing and any
+        # downstream mixing weigh the SURVIVING tokens
+        out = with_token_count(out.drop("n_tokens"), text_col)
     if exact_dedup:
         out = d.exact_dedup(out, id_col, text_col).drop("dup_count")
     if near_dedup_threshold is not None:
@@ -82,6 +108,13 @@ def prepare_corpus(
             threshold=near_dedup_threshold, shingle_k=3, use_words=True,
         )
         out = near_dedup(out, pairs, id_col)
+    if mix_group_col is not None:
+        if mix_shares is None:
+            raise ValueError("mix_group_col requires mix_shares")
+        out = mix_by_group(
+            out, id_col, mix_group_col, mix_shares,
+            token_col="n_tokens", salt=f"{salt}:mix",
+        )
     out = with_split(out, id_col, weights=splits, salt=f"{salt}:split")
     if pack_tokens is not None:
         out = assign_packs(

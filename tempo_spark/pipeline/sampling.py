@@ -139,44 +139,18 @@ def assign_packs(
     )
 
 
-def mix_by_group(
+def mix_rates(
     df: DataFrame,
-    key_col: str,
     group_col: str,
     target_shares: Mapping[object, float],
     token_col: str | None = None,
-    salt: str = "mix",
-    hash_family: str = "xxhash64",
-    mode: str = "drop",
 ) -> DataFrame:
-    """Downsample groups to a target mixture (curriculum / source mixing —
-    the step that turns "we crawled 80% web, 5% code, 15% books" into the
-    "50% web, 25% code, 25% books" a training run actually wants).
-
-    Waterfilling semantics: the bottleneck group (smallest
-    ``available/share`` ratio) is kept WHOLE and every other listed group
-    downsamples deterministically to match the target proportions — the
-    largest output satisfying the mixture without upsampling. With
-    ``token_col``, availability is measured in tokens (shares target token
-    mass; decisions stay whole-document, so the match is in expectation
-    over documents). Groups absent from ``target_shares`` are not part of
-    the mixture: dropped (``mode="drop"``) or flagged false
-    (``mode="flag"``, adds a ``mix_keep`` boolean instead of filtering).
-
-    Deterministic and append-stable like every sampler here: the keep
-    decision is ``salted_hash_bucket(key) < rate × SPLIT_BUCKETS``; re-runs
-    keep identical rows, new documents never move old decisions (the RATES
-    shift as availability grows — pin rates by reusing a frozen sizes
-    snapshot upstream if bit-stable membership across ingests matters).
-
-    Plan shape: one narrow group-size aggregation (map-side combined — a
-    group spanning the whole corpus still contributes one row per task)
-    joined back via **broadcast** (group-cardinality rows); the keep filter
-    is then a pure per-row expression. The corpus is scanned twice (sizes +
-    filter), never shuffled. NULL groups are groups like any other
-    (null-safe join; list them with a ``None`` key)."""
-    if mode not in ("drop", "flag"):
-        raise ValueError(f"unknown mode {mode!r}")
+    """The per-group keep rates ``mix_by_group`` applies: one row per
+    LISTED group, columns ``(group_col, mix_rate)`` with
+    ``mix_rate = least(1, share × bottleneck_ratio / available)``.
+    Capture (and persist) this once per ingest epoch and pass it back via
+    ``mix_by_group(..., rates_df=...)`` to pin membership bit-stably
+    across corpus growth, or to apply the mixture to a STREAMING frame."""
     if not target_shares:
         raise ValueError("target_shares must be non-empty")
     total = float(sum(target_shares.values()))
@@ -204,9 +178,58 @@ def mix_by_group(
     from pyspark.sql import Window
 
     mr = F.min(F.col("__avail") / F.col("__share")).over(Window.partitionBy())
-    rates = sizes.select(
-        "__mix_g",
-        F.least(F.lit(1.0), F.col("__share") * mr / F.col("__avail")).alias("__rate"),
+    return sizes.select(
+        F.col("__mix_g").alias(group_col),
+        F.least(F.lit(1.0), F.col("__share") * mr / F.col("__avail")).alias("mix_rate"),
+    )
+
+
+def mix_by_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    target_shares: Mapping[object, float] | None,
+    token_col: str | None = None,
+    salt: str = "mix",
+    hash_family: str = "xxhash64",
+    mode: str = "drop",
+    rates_df: DataFrame | None = None,
+) -> DataFrame:
+    """Downsample groups to a target mixture (curriculum / source mixing —
+    the step that turns "we crawled 80% web, 5% code, 15% books" into the
+    "50% web, 25% code, 25% books" a training run actually wants).
+
+    Waterfilling semantics: the bottleneck group (smallest
+    ``available/share`` ratio) is kept WHOLE and every other listed group
+    downsamples deterministically to match the target proportions — the
+    largest output satisfying the mixture without upsampling. With
+    ``token_col``, availability is measured in tokens (shares target token
+    mass; decisions stay whole-document, so the match is in expectation
+    over documents). Groups absent from ``target_shares`` are not part of
+    the mixture: dropped (``mode="drop"``) or flagged false
+    (``mode="flag"``, adds a ``mix_keep`` boolean instead of filtering).
+
+    Deterministic and append-stable like every sampler here: the keep
+    decision is ``salted_hash_bucket(key) < rate × SPLIT_BUCKETS``; re-runs
+    keep identical rows, new documents never move old decisions (the RATES
+    shift as availability grows — pin them by capturing
+    ``mix_rates(df, …)`` once and passing the frozen frame back via
+    ``rates_df=``; bit-stable membership across ingests, and the apply
+    side becomes a pure per-row broadcast-join + filter that composes with
+    STREAMING frames, where the sizes aggregation cannot run).
+
+    Plan shape: one narrow group-size aggregation (map-side combined — a
+    group spanning the whole corpus still contributes one row per task)
+    joined back via **broadcast** (group-cardinality rows); the keep filter
+    is then a pure per-row expression. The corpus is scanned twice (sizes +
+    filter), never shuffled. NULL groups are groups like any other
+    (null-safe join; list them with a ``None`` key)."""
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if rates_df is None:
+        rates_df = mix_rates(df, group_col, target_shares, token_col)
+    rates = rates_df.select(
+        F.col(group_col).alias("__mix_g"), F.col("mix_rate").alias("__rate")
     )
     bucket = split_bucket(F.col(key_col), salt, hash_family)
     joined = df.join(

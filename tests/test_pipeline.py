@@ -2074,3 +2074,79 @@ class TestDedupParagraphs:
             df, "doc_id", out="clean"
         ).collect()}
         assert out[0] == ("P\n\nQ", "P\n\nQ") and out[1] == ("R", "R")
+
+
+class TestMixRatesFrozen:
+    def test_frozen_rates_match_and_stream_compose(self, spark, tmp_path):
+        import datetime as dt
+
+        from tempo_spark.pipeline import sampling
+
+        df = (
+            spark.range(500)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(F.col("id") < 400, "web").otherwise("code").alias("src"),
+            )
+        )
+        shares = {"web": 0.5, "code": 0.5}
+        rates = sampling.mix_rates(df, "src", shares)
+        got = {r.src: r.mix_rate for r in rates.collect()}
+        assert got["code"] == 1.0 and got["web"] == pytest.approx(0.25)
+        # frozen-rates membership == inline membership
+        inline = {r.doc_id for r in sampling.mix_by_group(df, "doc_id", "src", shares).collect()}
+        frozen = {r.doc_id for r in sampling.mix_by_group(
+            df, "doc_id", "src", None, rates_df=rates
+        ).collect()}
+        assert inline == frozen
+        # and the frozen apply side runs on a STREAMING frame
+        d = str(tmp_path / "mixdocs")
+        df.withColumn("ts", F.lit(dt.datetime(2020, 1, 1))).write.parquet(d)
+        sdf = spark.readStream.schema("doc_id long, src string, ts timestamp").parquet(d)
+        out = sampling.mix_by_group(sdf, "doc_id", "src", None, rates_df=rates)
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory").queryName("mix_stream")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        streamed = {r.doc_id for r in spark.table("mix_stream").collect()}
+        assert streamed == inline
+
+
+class TestPrepareCorpusNewStages:
+    def test_redact_paragraph_and_mix(self, spark):
+        from tempo_spark.pipeline.prepare import prepare_corpus
+
+        para = "shared boilerplate paragraph"
+        rows = [
+            (0, f"mail a@b.co today\n\n{para}", "web"),
+            (1, f"totally fresh prose here\n\n{para}", "web"),
+            (2, f"more unique words again\n\n{para}", "web"),
+            (3, "short code snippet content", "code"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+        out = prepare_corpus(df, redact=True, paragraph_dedup=True)
+        got = {r.doc_id: r for r in out.collect()}
+        # redaction ran before hashing/signals
+        assert "a@b.co" not in got[0].text and "[emails]" in got[0].text
+        # the shared paragraph survives only at its first occurrence
+        assert para in got[0].text
+        assert all(para not in got[i].text for i in got if i != 0)
+        # n_tokens recounted AFTER paragraph removal
+        assert got[1].n_tokens == len(got[1].text.split())
+
+        mixed = prepare_corpus(
+            df, mix_group_col="src", mix_shares={"web": 0.5, "code": 0.5}
+        )
+        srcs = {r.doc_id: r.src for r in mixed.collect()}
+        # code (1 doc) is the mixture bottleneck: kept whole; web downsamples
+        assert 3 in srcs
+        assert 1 <= sum(1 for s in srcs.values() if s == "web") < 3
+
+    def test_mix_requires_shares(self, spark):
+        from tempo_spark.pipeline.prepare import prepare_corpus
+
+        df = spark.createDataFrame([(0, "a b", "w")], "doc_id long, text string, src string")
+        with pytest.raises(ValueError):
+            prepare_corpus(df, mix_group_col="src")
