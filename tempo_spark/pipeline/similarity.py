@@ -149,6 +149,49 @@ def brute_force_topk(
     )
 
 
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    k: Optional[int] = None,
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the exact
+    one — the number every ANN knob (``n_planes``, ``nprobe``,
+    ``n_centroids``) is tuned against. Both inputs are result frames in the
+    shape the top-k operators emit (``query_id``, ``corpus_id``, optional
+    ``rank``); ``k`` truncates both sides to ``rank <= k`` first (requires
+    the rank column) so one exact run can score several depths.
+
+    Returns ``(query_id, n_exact, n_hit, recall)`` — feed it a
+    ``.agg(avg("recall"))`` for the headline number. Distributed: a
+    left-semi hit count plus a denominator count, both shuffling only
+    (query, id) pairs — run it over a million queries without collecting
+    anything."""
+    a = approx
+    e = exact
+    if k is not None:
+        for side, name in ((a, "approx"), (e, "exact")):
+            if "rank" not in side.columns:
+                raise ValueError(f"k= given but {name} frame has no 'rank' column")
+        a = a.where(F.col("rank") <= k)
+        e = e.where(F.col("rank") <= k)
+    a = a.select(query_id, corpus_id)
+    e = e.select(query_id, corpus_id)
+    hits = (
+        a.join(e, [query_id, corpus_id], "left_semi")
+        .groupBy(query_id)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    denom = e.groupBy(query_id).agg(F.count("*").alias("n_exact"))
+    return denom.join(hits, query_id, "left").select(
+        query_id,
+        "n_exact",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("recall"),
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic unit hyperplanes (driver-side literals — tiny)."""
     rng = random.Random(seed)

@@ -2150,3 +2150,39 @@ class TestPrepareCorpusNewStages:
         df = spark.createDataFrame([(0, "a b", "w")], "doc_id long, text string, src string")
         with pytest.raises(ValueError):
             prepare_corpus(df, mix_group_col="src")
+
+
+class TestAnnRecall:
+    def test_recall_math_and_k_trunc(self, spark):
+        approx = spark.createDataFrame(
+            [(0, 10, 1), (0, 11, 2), (1, 20, 1), (1, 99, 2)],
+            "query_id long, vec_id long, rank int",
+        )
+        exact = spark.createDataFrame(
+            [(0, 10, 1), (0, 11, 2), (1, 20, 1), (1, 21, 2), (2, 30, 1)],
+            "query_id long, vec_id long, rank int",
+        )
+        out = {r.query_id: r for r in similarity.ann_recall(approx, exact).collect()}
+        assert out[0].recall == 1.0
+        assert out[1].recall == 0.5 and out[1].n_hit == 1 and out[1].n_exact == 2
+        assert out[2].recall == 0.0  # query absent from approx entirely
+        top1 = {r.query_id: r.recall for r in similarity.ann_recall(
+            approx, exact, k=1
+        ).collect()}
+        assert top1 == {0: 1.0, 1: 1.0, 2: 0.0}
+
+    def test_end_to_end_with_lsh(self, vectors):
+        queries = vectors.select(F.col("vec_id").alias("query_id"), "embedding")
+        exact = similarity.brute_force_topk(vectors, queries, k=2)
+        approx = similarity.lsh_topk(vectors, queries, k=2, n_planes=2, dim=3)
+        overall = similarity.ann_recall(approx, exact).agg(
+            F.avg("recall").alias("r")
+        ).collect()[0].r
+        assert 0.0 <= overall <= 1.0
+        # self-match always lands in the query's own bucket -> recall > 0
+        assert overall > 0.0
+
+    def test_k_requires_rank(self, spark):
+        a = spark.createDataFrame([(0, 1)], "query_id long, vec_id long")
+        with pytest.raises(ValueError):
+            similarity.ann_recall(a, a, k=1)
