@@ -370,9 +370,37 @@ def q_range_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(rows×frame) sliding frames AND the O(n) prefix/block rewrites
     (decimal-accumulated sums, sum-of-squares stddev, block-decomposed
     min/max) are individually value-gated against one strategy-agnostic
-    oracle."""
+    oracle.
+
+    ``corr_sliding`` / ``corr_prefix`` tags additionally gate
+    ``withRangeCorr`` (rolling pairwise corr/covariance, x = cents,
+    y = cents %% 1000): integral inputs accumulate EXACT decimal sums in
+    Spark and exact hugeint sums in DuckDB, and both engines then apply
+    the identical closed-form IEEE op sequence — bit-equal before the
+    hardened rounding. Mapped onto the entry columns as mean_v = corr,
+    min_v = covar_pop/1e4, max_v = covar_samp/1e4."""
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    tc = TSDF(
+        de.withColumn("y", F.expr("cents % 1000")), ts_col="ts", series_ids=["user_id"]
+    )
+
+    def run_corr(strategy: str, tag: str) -> DataFrame:
+        out = tc.withRangeCorr(
+            "cents", "y", rangeBackWindowSecs=1000, strategy=strategy
+        ).df
+        return out.select(
+            F.lit(tag).alias("strat"),
+            "user_id",
+            "ts",
+            F.col("count_cents_y").alias("n"),
+            _HR6(F.col("corr_cents_y")).alias("mean_v"),
+            _HR6(F.col("covar_pop_cents_y") / 10000).alias("min_v"),
+            _HR6(F.col("covar_samp_cents_y") / 10000).alias("max_v"),
+            F.lit(0.0).alias("sum_v"),
+            F.lit(0.0).alias("stddev_v"),
+            F.lit(0.0).alias("zscore_v"),
+        )
 
     def run(strategy: str, minmax_strategy: str, tag: str) -> DataFrame:
         out = t.withRangeStats(
@@ -392,8 +420,11 @@ def q_range_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             _HR3(F.col("zscore_cents")).alias("zscore_v"),
         )
 
-    return run("sliding", "sliding", "sliding").unionByName(
-        run("prefix", "block", "prefix_block")
+    return (
+        run("sliding", "sliding", "sliding")
+        .unionByName(run("prefix", "block", "prefix_block"))
+        .unionByName(run_corr("sliding", "corr_sliding"))
+        .unionByName(run_corr("prefix", "corr_prefix"))
     )
 
 
@@ -413,6 +444,38 @@ s AS (
                RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW))
 SELECT t.strat, s.* FROM s
 CROSS JOIN (VALUES ('sliding'), ('prefix_block')) AS t(strat)
+UNION ALL
+SELECT t.strat, c.* FROM (
+  SELECT user_id, ts, n, mean_v, min_v, max_v, 0.0 AS sum_v,
+         0.0 AS stddev_v, 0.0 AS zscore_v
+  FROM (
+    SELECT user_id, ts, n,
+           CASE WHEN n > 1 AND varx > 0 AND vary > 0
+                THEN floor(greatest(-1.0, least(1.0, cov_num / sqrt(varx * vary)))
+                     * 1000000 + 0.5) / 1000000 END AS mean_v,
+           CASE WHEN n > 0
+                THEN floor((cov_num / nd) / 10000 * 1000000 + 0.5) / 1000000
+           END AS min_v,
+           CASE WHEN n > 1
+                THEN floor((cov_num / (nd - 1)) / 10000 * 1000000 + 0.5) / 1000000
+           END AS max_v
+    FROM (
+      SELECT user_id, ts, n, CAST(n AS DOUBLE) AS nd,
+             sxy - sx * sy / CAST(n AS DOUBLE) AS cov_num,
+             greatest(sx2 - sx * sx / CAST(n AS DOUBLE), 0.0) AS varx,
+             greatest(sy2 - sy * sy / CAST(n AS DOUBLE), 0.0) AS vary
+      FROM (
+        SELECT user_id, ts,
+               count(*) OVER w AS n,
+               CAST(sum(cents) OVER w AS DOUBLE) AS sx,
+               CAST(sum(y) OVER w AS DOUBLE) AS sy,
+               CAST(sum(cents * y) OVER w AS DOUBLE) AS sxy,
+               CAST(sum(cents * cents) OVER w AS DOUBLE) AS sx2,
+               CAST(sum(y * y) OVER w AS DOUBLE) AS sy2
+        FROM (SELECT user_id, ts, cents, cents % 1000 AS y FROM de)
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                     RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW))))) c
+CROSS JOIN (VALUES ('corr_sliding'), ('corr_prefix')) AS t(strat)
 """
 
 

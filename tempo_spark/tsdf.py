@@ -647,6 +647,118 @@ class TSDF:
                 exprs.append(F.percentile(col, F.lit(float(p))).over(w).alias(name))
         return self._with_df(out.select("*", *exprs))
 
+    def withRangeCorr(
+        self,
+        x_col: str,
+        y_col: str,
+        rangeBackWindowSecs: float = 1000,
+        strategy: str = "prefix",
+        stats: Optional[Sequence[str]] = None,
+    ) -> "TSDF":
+        """Rolling PAIRWISE statistics between two metrics over the trailing
+        time-range window (beyond the reference — ``withRangeStats`` is
+        single-column): ``corr``, ``covar_samp``, ``covar_pop``, ``count``
+        (the pairwise-complete row count: rows where BOTH metrics are
+        non-null, the same population Spark's ``corr``/``covar_*``
+        aggregates use). Output columns ``{stat}_{x}_{y}``.
+
+        One shuffle on series_ids, like every per-series operator.
+
+        ``strategy="prefix"`` (default): the five sufficient sums (Σx, Σy,
+        Σxy, Σx², Σy²) and n as differences of two GROWING frames —
+        incremental O(rows), where a sliding ``corr(...)`` frame
+        re-aggregates O(rows × frame_rows) (the same Spark behavior
+        ``withRangeStats(strategy="prefix")`` works around). INTEGRAL
+        metric pairs accumulate in exact ``decimal(38,0)`` (ANSI-safe,
+        unbounded prefix), so the doubles entering the closed-form
+        corr/covariance formulas are bit-exact integers — an engine
+        replaying the same formula over the same exact sums reproduces the
+        result to the last bit. The usual sum-of-squares caveat applies to
+        float inputs (|mean|/stddev ≳ 1e6 → prefer "sliding"); a
+        cancellation clamp floors tiny negative variances to zero, and a
+        zero variance on either side yields a null corr (Spark's sliding
+        ``corr`` emits NaN there — the null is deliberate, NaN poisons
+        downstream comparisons).
+
+        ``strategy="sliding"``: the SAME closed-form formulas over plain
+        sliding-frame sums — reference-style single frame, O(rows ×
+        frame_rows). (Not Spark's native ``corr``/``covar_*`` window
+        aggregates: under ANSI mode their internal division throws
+        DIVIDE_BY_ZERO on single-pair frames — the first row of every
+        series — where the formula path yields the intended null.)
+        """
+        known = {"corr", "covar_samp", "covar_pop", "count"}
+        wanted = set(stats) if stats is not None else known
+        if wanted - known:
+            raise ValueError(
+                f"unknown stats {sorted(wanted - known)}; choose from {sorted(known)}"
+            )
+        if strategy not in ("prefix", "sliding"):
+            raise ValueError(f"strategy must be 'prefix' or 'sliding', got {strategy!r}")
+        from pyspark.sql.types import IntegralType
+
+        x, y = F.col(x_col), F.col(y_col)
+        suffix = f"{x_col}_{y_col}"
+        both = x.isNotNull() & y.isNotNull()
+        dtypes = {f.name: f.dataType for f in self.df.schema.fields}
+        integral = isinstance(dtypes.get(x_col), IntegralType) and isinstance(
+            dtypes.get(y_col), IntegralType
+        )
+        if integral:
+            # exact integer accumulation: products fit decimal(38,0) for any
+            # long inputs whose squares fit ~1e27 — cents-scale data by miles
+            xa = F.when(both, x.cast("decimal(18,0)"))
+            ya = F.when(both, y.cast("decimal(18,0)"))
+        else:
+            xa = F.when(both, x.cast("double"))
+            ya = F.when(both, y.cast("double"))
+
+        if strategy == "sliding":
+            w = self.range_window(rangeBackWindowSecs)
+
+            def winsum(expr: Column) -> Column:
+                return F.sum(expr).over(w)
+
+            n = F.count(F.when(both, 1)).over(w)
+        else:
+            back_micros = int(rangeBackWindowSecs * 1_000_000)
+            w_run = self._growing_window(0)
+            w_bound = self._growing_window(-(back_micros + 1))
+
+            def winsum(expr: Column) -> Column:
+                zero = F.lit(0).cast("decimal(38,0)") if integral else F.lit(0.0)
+                return F.sum(expr).over(w_run) - F.coalesce(
+                    F.sum(expr).over(w_bound), zero
+                )
+
+            n = F.count(F.when(both, 1)).over(w_run) - F.count(
+                F.when(both, 1)
+            ).over(w_bound)
+        nd = n.cast("double")
+        sx = winsum(xa).cast("double")
+        sy = winsum(ya).cast("double")
+        sxy = winsum(xa * ya).cast("double")
+        sx2 = winsum(xa * xa).cast("double")
+        sy2 = winsum(ya * ya).cast("double")
+        cov_num = sxy - sx * sy / nd
+        # cancellation floor, same rationale as withRangeStats(prefix)
+        varx = F.greatest(sx2 - sx * sx / nd, F.lit(0.0))
+        vary = F.greatest(sy2 - sy * sy / nd, F.lit(0.0))
+        corr = F.when(
+            (n > 1) & (varx > 0) & (vary > 0),
+            F.greatest(
+                F.lit(-1.0), F.least(F.lit(1.0), cov_num / F.sqrt(varx * vary))
+            ),
+        )
+        pairs = [
+            (f"corr_{suffix}", corr),
+            (f"covar_samp_{suffix}", F.when(n > 1, cov_num / (nd - 1))),
+            (f"covar_pop_{suffix}", F.when(n > 0, cov_num / nd)),
+            (f"count_{suffix}", n),
+        ]
+        exprs = [e.alias(nm) for nm, e in pairs if nm[: -len(suffix) - 1] in wanted]
+        return self._with_df(self.df.select("*", *exprs))
+
     def _finish_block_minmax(
         self,
         base: DataFrame,

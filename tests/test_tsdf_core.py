@@ -571,3 +571,75 @@ class TestDescribeReferenceLayout:
         t.describe(reference_layout=True)  # plan only — reference runs 3 jobs here
         after = len(tracker.getJobIdsForGroup() or [])
         assert after == before
+
+
+class TestRangeCorr:
+    def _tsdf(self, spark, rows):
+        return TSDF(
+            spark.createDataFrame(rows, "k string, event_ts timestamp, x long, y long"),
+            ts_col="event_ts",
+            series_ids=["k"],
+        )
+
+    def _rows(self):
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for k in ("A", "B"):
+            t = dt.datetime(2020, 1, 1)
+            for i in range(60):
+                t += dt.timedelta(seconds=rng.randint(5, 40))
+                x = rng.randint(-50, 50)
+                y = 3 * x + rng.randint(-20, 20)
+                if rng.random() < 0.1:
+                    x = None
+                if rng.random() < 0.1:
+                    y = None
+                rows.append((k, t, x, y))
+        return rows
+
+    def test_prefix_matches_sliding(self, spark):
+        t = self._tsdf(spark, self._rows())
+        cols = ["corr_x_y", "covar_samp_x_y", "covar_pop_x_y", "count_x_y"]
+
+        def grab(strategy):
+            out = t.withRangeCorr("x", "y", rangeBackWindowSecs=120, strategy=strategy).df
+            return {
+                (r.k, str(r.event_ts)): tuple(
+                    None if r[c] is None else round(r[c], 6) for c in cols
+                )
+                for r in out.collect()
+            }
+
+        assert grab("prefix") == grab("sliding")
+
+    def test_correlated_series_and_constant_guard(self, spark):
+        base = dt.datetime(2020, 1, 1)
+        rows = [
+            ("A", base + dt.timedelta(seconds=i * 10), i, 2 * i + 1) for i in range(20)
+        ] + [
+            ("C", base + dt.timedelta(seconds=i * 10), 5, i) for i in range(10)
+        ]
+        t = self._tsdf(spark, rows)
+        out = t.withRangeCorr("x", "y", rangeBackWindowSecs=10_000).df
+        last_a = [r for r in out.collect() if r.k == "A"][-1]
+        assert last_a.corr_x_y == pytest.approx(1.0)
+        assert last_a.count_x_y == 20
+        # constant x -> zero variance -> null corr (not NaN) on BOTH paths
+        for strategy in ("prefix", "sliding"):
+            o = t.withRangeCorr("x", "y", strategy=strategy).df
+            cs = [r.corr_x_y for r in o.collect() if r.k == "C"]
+            assert all(c is None for c in cs)
+
+    def test_one_shuffle_and_stats_subset(self, spark):
+        from tempo_spark.plans.inspect import count_exchanges
+
+        t = self._tsdf(spark, self._rows())
+        out = t.withRangeCorr("x", "y", stats=["corr"])
+        assert count_exchanges(out.df) == 1
+        assert "corr_x_y" in out.df.columns and "covar_pop_x_y" not in out.df.columns
+        with pytest.raises(ValueError):
+            t.withRangeCorr("x", "y", stats=["wat"])
+        with pytest.raises(ValueError):
+            t.withRangeCorr("x", "y", strategy="wat")
