@@ -334,6 +334,40 @@ def asof_bin_probe(spark, n_rows: int, n_series: int) -> dict:
     return out
 
 
+def paradedup_probe(spark, n_docs: int) -> dict:
+    """dedup_paragraphs under a 100%-document hot paragraph: every doc ends
+    with the same block, so ONE paragraph hash carries n_docs occurrences
+    through the winner join. SCALE.md claims that join is linear narrow-row
+    work per hot key (no quadratic blowup) — this measures it. Expected
+    output: every doc except the min-id winner loses the shared block."""
+    from tempo_spark.pipeline.dedup import dedup_paragraphs
+
+    sep = chr(10) + chr(10)
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.md5(F.col("id").cast("string")),
+            F.lit(sep),
+            F.lit("shared footer paragraph in every document"),
+        ).alias("text"),
+    )
+    out: dict = {"n_docs": n_docs, "hot_para_doc_frac": 1.0}
+    t0 = time.monotonic()
+    changed = (
+        dedup_paragraphs(docs, "doc_id", out="clean")
+        .where(F.col("clean") != F.col("text"))
+        .count()
+    )
+    dt = time.monotonic() - t0
+    out["dedup_paragraphs_hot"] = {
+        "sec": round(dt, 1),
+        "docs_changed": changed,
+        "exact": changed == n_docs - 1,
+        "docs_per_sec": int(n_docs / dt),
+    }
+    return out
+
+
 def stopgram_probe(spark, n_docs: int) -> dict:
     """ngram_jaccard_pairs under a 100%-document stop-gram: every doc ends
     with the same 5-token phrase, so 3 of its word-3-grams appear in ALL
@@ -445,6 +479,20 @@ def main():
         spark.sparkContext.setLogLevel("ERROR")
         for n in (1_000_000, 4_000_000):
             print(json.dumps(text_probe(spark, n)))
+        spark.stop()
+        return
+    if "--paradedup" in sys.argv:
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "64")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "24g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        for n in (1_000_000, 4_000_000):
+            print(json.dumps(paradedup_probe(spark, n)))
         spark.stop()
         return
     if "--asofbin" in sys.argv:
