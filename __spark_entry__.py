@@ -1344,18 +1344,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("dup_count"))
         .select(F.lit("near_vs_corpus").alias("tag"), "doc_id", "dup_count")
     )
+    # out_dropped, not a split-length diff: a doc whose only surviving
+    # token is an empty string would make the diff ambiguous
     para = dedup_paragraphs(
         docs.select("doc_id", "text").where(F.length("text") > 0),
-        "doc_id", sep=" ", out="clean",
+        "doc_id", sep=" ", out="clean", out_dropped="n_dropped",
     ).select(
         F.lit("para").alias("tag"),
         "doc_id",
-        (
-            F.size(F.split(F.col("text"), " "))
-            - F.when(F.length("clean") == 0, F.lit(0)).otherwise(
-                F.size(F.split(F.col("clean"), " "))
-            )
-        ).cast("long").alias("dup_count"),
+        F.col("n_dropped").alias("dup_count"),
     )
     return exact.unionByName(survivors).unionByName(near).unionByName(para)
 

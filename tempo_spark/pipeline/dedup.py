@@ -67,8 +67,21 @@ def exact_dedup(
     shuffle mattered."""
     if keep not in ("min", "max"):
         raise ValueError(f"keep must be 'min' or 'max', got {keep!r}")
-    pick = F.min_by if keep == "min" else F.max_by
-    rep = pick(F.struct(*[F.col(c) for c in df.columns]), F.col(id_col))
+    # null-safe ordering key: min_by/max_by SKIP rows whose key is null, so
+    # a duplicate group whose every id is NULL would aggregate to a null
+    # struct and emit a phantom all-null row (the pre-rewrite join-back
+    # silently DROPPED such groups — also wrong). The isNull flag sorts
+    # null ids after (min) / before (max) real ones, so a real id wins when
+    # one exists and an all-null group still keeps a representative row.
+    if keep == "min":
+        pick, key = F.min_by, F.struct(
+            F.col(id_col).isNull().alias("n"), F.col(id_col).alias("i")
+        )
+    else:
+        pick, key = F.max_by, F.struct(
+            F.col(id_col).isNotNull().alias("n"), F.col(id_col).alias("i")
+        )
+    rep = pick(F.struct(*[F.col(c) for c in df.columns]), key)
     return (
         df.groupBy(F.md5(F.col(text_col)).alias("__digest"))
         .agg(rep.alias("__rep"), F.count("*").alias("dup_count"))
@@ -552,13 +565,15 @@ def _bucket_capped_self_join(
     only via other (non-hot) buckets. That trade is explicit, not silent:
     the cap is opt-in and documented at every call site.
 
-    Plan shape: hot keys found with a map-side-combined groupBy (each task
-    contributes one row per bucket key no matter the skew), then broadcast
-    to split ``banded`` into cold (anti-join) and hot (semi-join) halves.
-    Representative ROWS (carrying whatever payload the verify step needs —
-    signatures, vectors) are recovered with a second broadcast semi-join on
-    (bucket, min id), and the star join broadcasts them, so the hot half is
-    never shuffled. ``make_pairs(joined)`` receives the a/b-aliased join
+    Plan shape: ONE map-side-combined groupBy (each task contributes one
+    row per bucket key no matter the skew) finds hot buckets and carries
+    each one's representative ROW (min-id payload — signatures, vectors,
+    whatever the verify step needs) via ``min_by``; the tiny filtered
+    result is lazily persisted and broadcast to split ``banded`` into cold
+    (anti-join) and hot (semi-join) halves and to feed the star join's
+    broadcast side, so the hot half is never shuffled and the banded
+    subtree is not re-evaluated per consumer of the aggregate.
+    ``make_pairs(joined)`` receives the a/b-aliased join
     (condition: bucket equality + ``a.id < b.id``) and projects pair
     columns; the min-id representative guarantees ``rep < member`` so the
     star side needs no extra ordering logic.
@@ -576,16 +591,29 @@ def _bucket_capped_self_join(
     if max_bucket_size < 1:
         raise ValueError(f"max_bucket_size must be >= 1, got {max_bucket_size}")
     keys = list(bucket_cols)
-    hot = (
+    # ONE aggregate over `banded` finds hot buckets AND carries each one's
+    # representative ROW (min-id payload) through min_by — the naive
+    # hot-keys / rep-ids / rep-rows formulation re-evaluated the banded
+    # subtree (for minhash, the full per-row signature computation) ~6×.
+    # The aggregate output is bucket-cardinality-sized and filtered to the
+    # few over-cap buckets, so it is persisted (lazily — populated at first
+    # action) and broadcast to its three consumers; `banded` itself now
+    # evaluates ~3× (the agg, the cold self-join — whose two sides share
+    # one ReusedExchange — and the star member scan) and is never cached.
+    hot_agg = (
         banded.groupBy(*keys)
-        .agg(F.count("*").alias("__bn"))
+        .agg(
+            F.count("*").alias("__bn"),
+            F.min_by(
+                F.struct(*[F.col(c) for c in banded.columns]), F.col(id_col)
+            ).alias("__rep"),
+        )
         .where(F.col("__bn") > max_bucket_size)
-        .select(*keys)
-    )
-    cold = banded.join(F.broadcast(hot), keys, "left_anti")
-    hot_members = banded.join(F.broadcast(hot), keys, "left_semi")
-    rep_ids = hot_members.groupBy(*keys).agg(F.min(id_col).alias(id_col))
-    rep_rows = hot_members.join(F.broadcast(rep_ids), keys + [id_col], "left_semi")
+    ).persist()
+    hot_keys = hot_agg.select(*keys)
+    rep_rows = hot_agg.select("__rep.*")
+    cold = banded.join(F.broadcast(hot_keys), keys, "left_anti")
+    hot_members = banded.join(F.broadcast(hot_keys), keys, "left_semi")
     return join_ab(cold, cold).unionByName(
         join_ab(rep_rows, hot_members, broadcast_a=True)
     )
@@ -991,6 +1019,7 @@ def dedup_paragraphs(
     text_col: str = "text",
     sep: str = "\n\n",
     out: Optional[str] = None,
+    out_dropped: Optional[str] = None,
 ) -> DataFrame:
     """Corpus-wide exact PARAGRAPH dedup, keep-first (the C4 recipe):
     every repeated paragraph survives only at its first occurrence — the
@@ -1018,7 +1047,13 @@ def dedup_paragraphs(
     ``sep`` splits as a Java regex and re-joins as a literal (fine for
     plain separators like the blank-line default). ``id_col`` values must
     be mutually orderable; ties are broken by position, so results are
-    deterministic whenever ``(id, pos)`` pairs are unique."""
+    deterministic whenever ``(id, pos)`` pairs are unique.
+
+    ``out_dropped`` adds a long column with the exact number of removed
+    paragraph positions per document — prefer it over diffing
+    split-lengths of the rewritten text, which is ambiguous when a single
+    empty-string paragraph is all that survives (``array_join([""])`` and
+    ``array_join([])`` both render ``""``)."""
     paras_arr = F.split(F.col(text_col), sep)
     # posexplode_outer + null filter per the explode-pushdown gotcha
     occ = df.select(
@@ -1060,11 +1095,14 @@ def dedup_paragraphs(
             sep,
         )
     )
-    return (
-        df.join(bad_pos, F.col(id_col).eqNullSafe(F.col("__pd_id")), "left")
-        .withColumn(target, cleaned)
-        .drop("__pd_id", "__bad")
-    )
+    joined = df.join(
+        bad_pos, F.col(id_col).eqNullSafe(F.col("__pd_id")), "left"
+    ).withColumn(target, cleaned)
+    if out_dropped is not None:
+        joined = joined.withColumn(
+            out_dropped, F.coalesce(F.size("__bad"), F.lit(0)).cast("long")
+        )
+    return joined.drop("__pd_id", "__bad")
 
 
 # ------------------------------------------------------------ ngram jaccard

@@ -97,9 +97,16 @@ def prepare_corpus(
         out = out.where(F.col("dup_2gram_frac") <= max_dup_2gram_frac)
     if paragraph_dedup:
         out = d.dedup_paragraphs(out, id_col, text_col, sep=paragraph_sep)
-        # token budget changed with the text — recount so packing and any
-        # downstream mixing weigh the SURVIVING tokens
-        out = with_token_count(out.drop("n_tokens"), text_col)
+        # the text changed — re-derive EVERY per-row signal so the shipped
+        # columns describe the shipped text (the quality/dup filters above
+        # deliberately acted on the pre-dedup signals: cheap pruning first)
+        out = out.drop(
+            "n_tokens", "quality_score",
+            "n_2grams", "n_2grams_distinct", "dup_2gram_frac",
+        )
+        out = with_token_count(out, text_col)
+        out = with_quality_score(out, text_col)
+        out = with_repetition_metrics(out, text_col, n=2)
     if exact_dedup:
         out = d.exact_dedup(out, id_col, text_col).drop("dup_count")
     if near_dedup_threshold is not None:

@@ -176,8 +176,11 @@ def ann_recall(
                 raise ValueError(f"k= given but {name} frame has no 'rank' column")
         a = a.where(F.col("rank") <= k)
         e = e.where(F.col("rank") <= k)
-    a = a.select(query_id, corpus_id)
-    e = e.select(query_id, corpus_id)
+    # distinct BOTH sides: left_semi dedupes only the probe (right) side, so
+    # duplicate (query, id) rows in a non-deduped approx frame would each
+    # count as a hit and inflate recall past 1.0
+    a = a.select(query_id, corpus_id).distinct()
+    e = e.select(query_id, corpus_id).distinct()
     hits = (
         a.join(e, [query_id, corpus_id], "left_semi")
         .groupBy(query_id)

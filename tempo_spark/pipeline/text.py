@@ -274,7 +274,9 @@ def redact_patterns(
     target = out or text_col
     col = F.col(text_col)
     for name, pat in (patterns or PATTERNS).items():
-        col = F.regexp_replace(col, pat, replacement.format(name=name))
+        # plain replace, not str.format: a fixed replacement like
+        # "{REDACTED}" must pass through verbatim (format would KeyError)
+        col = F.regexp_replace(col, pat, replacement.replace("{name}", name))
     return df.withColumn(target, col)
 
 

@@ -994,7 +994,7 @@ class TSDF:
             series_count = F.countDistinct(*[F.col(c) for c in self.series_ids])
         else:
             series_count = F.lit(1)
-        ts_d = ts_to_double(F.col(self.ts_col))
+        ts_d = ts_to_double(F.col(self.ts_col), self.df.schema[self.ts_col].dataType)
         # abs(): Spark's % keeps the dividend's sign, so pre-1970 (negative
         # epoch) timestamps yield negative remainders that a > 0 test would
         # misclassify as coarser granularity (reference uses != 0,
@@ -1069,7 +1069,7 @@ class TSDF:
         fractions), and the remainder tests are ``!= 0`` like the
         reference (sign-safe as-is)."""
         dbl = f"{self.ts_col}_dbl"
-        ts_d = ts_to_double(F.col(self.ts_col))
+        ts_d = ts_to_double(F.col(self.ts_col), self.df.schema[self.ts_col].dataType)
         this_df = self.df.withColumn(dbl, ts_d)
 
         desc = this_df.describe()
@@ -1131,7 +1131,7 @@ class TSDF:
 
         One shuffle on series_ids with map-side partial max; the second
         aggregation is over ≤4 keys."""
-        ts_d = ts_to_double(F.col(self.ts_col))
+        ts_d = ts_to_double(F.col(self.ts_col), self.df.schema[self.ts_col].dataType)
         grp = [F.col(c) for c in self.series_ids] if self.series_ids else []
         # abs(): negative-epoch timestamps give negative remainders (see
         # describe) — max(abs(r)) != 0 is sign-safe

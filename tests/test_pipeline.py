@@ -2186,3 +2186,73 @@ class TestAnnRecall:
         a = spark.createDataFrame([(0, 1)], "query_id long, vec_id long")
         with pytest.raises(ValueError):
             similarity.ann_recall(a, a, k=1)
+
+
+class TestReviewFixesRound5:
+    def test_exact_dedup_all_null_id_group_keeps_row(self, spark):
+        df = spark.createDataFrame(
+            [(None, "dup text"), (None, "dup text"), (7, "other")],
+            "doc_id long, text string",
+        )
+        rows = {r.text: r for r in dedup.exact_dedup(df, "doc_id").collect()}
+        # the all-null-id group keeps a REAL representative (text intact)
+        assert rows["dup text"].dup_count == 2 and rows["dup text"].doc_id is None
+        assert rows["other"].doc_id == 7
+        # and a mixed group prefers the real id over the null one
+        df2 = spark.createDataFrame(
+            [(None, "d"), (3, "d")], "doc_id long, text string"
+        )
+        got = dedup.exact_dedup(df2, "doc_id").collect()
+        assert len(got) == 1 and got[0].doc_id == 3
+        got_max = dedup.exact_dedup(df2, "doc_id", keep="max").collect()
+        assert len(got_max) == 1 and got_max[0].doc_id == 3
+
+    def test_ann_recall_duplicate_approx_rows(self, spark):
+        approx = spark.createDataFrame(
+            [(0, 10), (0, 10)], "query_id long, vec_id long"
+        )
+        exact = spark.createDataFrame([(0, 10)], "query_id long, vec_id long")
+        out = similarity.ann_recall(approx, exact).collect()[0]
+        assert out.recall == 1.0 and out.n_hit == 1  # not 2.0
+
+    def test_dedup_paragraphs_dropped_count_empty_survivor(self, spark):
+        # doc 1's only survivor is an empty-string token: the split-length
+        # diff is ambiguous there; out_dropped is exact
+        df = spark.createDataFrame(
+            [(0, "a"), (1, "  a")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in dedup.dedup_paragraphs(
+            df, "doc_id", sep=" ", out="clean", out_dropped="nd"
+        ).collect()}
+        assert out[0].nd == 0
+        assert out[1].nd == 2  # the second "" and the repeated "a"
+
+    def test_redact_fixed_replacement_with_braces(self, spark):
+        df = spark.createDataFrame([(0, "a@b.co x")], "doc_id long, text string")
+        got = text.redact_patterns(
+            df, patterns={"e": r"[a-z]+@[a-z.]+"}, replacement="{REDACTED}"
+        ).collect()[0].text
+        assert got == "{REDACTED} x"
+
+    def test_prepare_signals_recomputed_after_paragraph_dedup(self, spark):
+        from tempo_spark.pipeline.prepare import prepare_corpus
+
+        dup = "x y x y x y x y"
+        rows = [(0, f"unique prose\n\n{dup}"), (1, f"other words\n\n{dup}")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in prepare_corpus(df, paragraph_dedup=True).collect()}
+        # doc 1 lost the duplicated paragraph; its repetition signal must
+        # describe the REWRITTEN text (no duplicated 2-grams left)
+        assert out[1].text == "other words"
+        assert out[1].dup_2gram_frac == 0.0
+        assert out[1].n_tokens == 2
+
+    def test_capped_lsh_still_correct_after_agg_rewrite(self, docs):
+        base = docs.where("length(text) > 0")
+        uncapped = dedup.minhash_dedup(base, "doc_id", threshold=0.5)
+        capped = dedup.minhash_dedup(base, "doc_id", threshold=0.5, max_bucket_size=1)
+        # with cap=1 every multi-doc bucket is a star on its min id; the
+        # exact-dup pair (0,1) must still surface and verify
+        got = {(r.id_a, r.id_b) for r in capped.collect()}
+        assert (0, 1) in got
+        assert got <= {(r.id_a, r.id_b) for r in uncapped.collect()}
