@@ -1561,10 +1561,15 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``src_filter``: ``filter_by_group_stats`` domain-level filtering —
       docs from sources whose mean quality >= 0.70 survive, val = the
       source's hardened-rounded mean (the nearest source mean sits ~3e-4
-      from the bar, so engine summation-order ulps can't flip a verdict)."""
+      from the bar, so engine summation-order ulps can't flip a verdict);
+    - ``gopher``: ``with_gopher_flags`` structural signals, val = the
+      alpha-word fraction (the one non-vacuous Gopher flag on single-line
+      gate docs; ``[A-Za-z]`` means the same thing in Java and RE2
+      regexes, so this one IS cross-engine gateable unlike the PII
+      patterns)."""
     from tempo_spark.pipeline.dedup import ngram_contamination
     from tempo_spark.pipeline.filtering import filter_by_group_stats
-    from tempo_spark.pipeline.text import with_quality_score
+    from tempo_spark.pipeline.text import with_gopher_flags, with_quality_score
 
     docs = _read(spark, sf_dir, "documents")
     scored = with_quality_score(docs, "text")
@@ -1584,7 +1589,10 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("group_passes")
         .select(F.lit("src_filter").alias("tag"), "doc_id", _HR6(F.col("group_mean")).alias("val"))
     )
-    return quality.unionByName(contam).unionByName(src)
+    gopher = with_gopher_flags(docs, "text").select(
+        F.lit("gopher").alias("tag"), "doc_id", F.col("alpha_word_frac").alias("val")
+    )
+    return quality.unionByName(contam).unionByName(src).unionByName(gopher)
 
 
 _QUALITY_ORACLE = """
@@ -1648,6 +1656,13 @@ SELECT 'src_filter' AS tag, q.doc_id,
 FROM qvals q
 JOIN documents d USING (doc_id)
 JOIN gkeep g ON d.source IS NOT DISTINCT FROM g.source
+UNION ALL
+SELECT 'gopher' AS tag, doc_id,
+       CASE WHEN len(tok) > 0
+            THEN floor((len(list_filter(tok, t -> regexp_matches(t, '[A-Za-z]')))
+                        * 1.0 / len(tok)) * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS val
+FROM toks
 """
 
 

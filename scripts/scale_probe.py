@@ -334,6 +334,47 @@ def asof_bin_probe(spark, n_rows: int, n_series: int) -> dict:
     return out
 
 
+def corr_probe(spark, n_rows: int, n_series: int) -> dict:
+    """withRangeCorr prefix vs sliding at a dense frame (~600 in-frame
+    rows): the sliding formulation re-aggregates every sum per row
+    (O(rows × frame_rows)); the prefix strategy's growing-frame
+    differences are O(rows). Same checksummed results both ways."""
+    from tempo_spark.tsdf import TSDF
+
+    df = spark.range(n_rows).select(
+        (F.col("id") % n_series).alias("k"),
+        (F.col("id") / n_series).cast("double").alias("ts"),
+        (F.col("id") % 997).alias("x"),
+        ((F.col("id") * 7) % 991).alias("y"),
+    )
+    t = TSDF(df, ts_col="ts", series_ids=["k"])
+    out: dict = {"n_rows": n_rows, "n_series": n_series, "frame_rows": 600}
+
+    def run(strategy):
+        t0 = time.monotonic()
+        agg = (
+            t.withRangeCorr("x", "y", rangeBackWindowSecs=600 // 1, strategy=strategy)
+            .df.agg(
+                F.count("corr_x_y").alias("n"),
+                F.sum(F.floor(F.col("corr_x_y") * 1e6)).alias("chk"),
+            )
+            .collect()[0]
+        )
+        return {
+            "sec": round(time.monotonic() - t0, 1),
+            "rows_scored": agg.n,
+            "checksum": int(agg.chk),
+        }
+
+    out["prefix"] = run("prefix")
+    out["sliding"] = run("sliding")
+    out["paths_agree"] = (
+        out["prefix"]["rows_scored"] == out["sliding"]["rows_scored"]
+        and out["prefix"]["checksum"] == out["sliding"]["checksum"]
+    )
+    return out
+
+
 def paradedup_probe(spark, n_docs: int) -> dict:
     """dedup_paragraphs under a 100%-document hot paragraph: every doc ends
     with the same block, so ONE paragraph hash carries n_docs occurrences
@@ -479,6 +520,20 @@ def main():
         spark.sparkContext.setLogLevel("ERROR")
         for n in (1_000_000, 4_000_000):
             print(json.dumps(text_probe(spark, n)))
+        spark.stop()
+        return
+    if "--corr" in sys.argv:
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "64")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "24g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        for n in (2_000_000, 8_000_000):
+            print(json.dumps(corr_probe(spark, n, 10_000)))
         spark.stop()
         return
     if "--paradedup" in sys.argv:

@@ -252,6 +252,49 @@ def with_pattern_counts(
     return df
 
 
+def with_gopher_flags(
+    df: DataFrame, text_col: str = "text", line_sep: str = "\n"
+) -> DataFrame:
+    """The Gopher structural-quality signals that ``with_quality_score``'s
+    composite doesn't cover — pure per-row expressions (zero shuffle,
+    stream-composable), emitted as fractions so the caller picks the
+    thresholds (Gopher's: ≥ 80%% alpha words, ≤ 90%% bullet lines, ≤ 30%%
+    ellipsis lines):
+
+    - ``alpha_word_frac``: words containing at least one A-Za-z character;
+    - ``bullet_line_frac``: lines starting with a bullet (``-``, ``*``,
+      ``•``) after leading whitespace;
+    - ``ellipsis_line_frac``: lines ending with ``...`` or ``…``;
+    - ``symbol_word_ratio``: ``#`` occurrences per word (Gopher's
+      symbol-to-word ratio; ellipses are already covered per line).
+
+    Empty/whitespace text yields 0.0 everywhere."""
+    toks = tokens_col(F.col(text_col))
+    n_words = F.size(toks)
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    lines = F.split(F.col(text_col), line_sep)
+    n_lines = F.size(lines)
+    bullets = F.size(
+        F.filter(lines, lambda ln: F.ltrim(ln).rlike("^[-*•]"))
+    )
+    ellipses = F.size(
+        F.filter(lines, lambda ln: ln.rlike("(\\.\\.\\.|…)$"))
+    )
+    hashes = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    from tempo_spark.pipeline.dedup import _hardened_round6 as hr6
+
+    def safe(num: Column, den: Column) -> Column:
+        return F.when(den > 0, hr6(num / den)).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("alpha_word_frac", safe(alpha, n_words))
+        .withColumn("bullet_line_frac", safe(bullets, n_lines))
+        .withColumn("ellipsis_line_frac", safe(ellipses, n_lines))
+        .withColumn("symbol_word_ratio", safe(hashes, n_words))
+    )
+
+
 def redact_patterns(
     df: DataFrame,
     text_col: str = "text",

@@ -2256,3 +2256,29 @@ class TestReviewFixesRound5:
         got = {(r.id_a, r.id_b) for r in capped.collect()}
         assert (0, 1) in got
         assert got <= {(r.id_a, r.id_b) for r in uncapped.collect()}
+
+
+class TestGopherFlags:
+    def test_fractions(self, spark):
+        rows = [
+            (0, "- item one\n- item two\nplain line..."),
+            (1, "abc 123 d4f 99"),
+            (2, "## tags ## here"),
+            (3, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in text.with_gopher_flags(df).collect()}
+        assert out[0].bullet_line_frac == pytest.approx(2 / 3, abs=1e-6)
+        assert out[0].ellipsis_line_frac == pytest.approx(1 / 3, abs=1e-6)
+        assert out[1].alpha_word_frac == pytest.approx(0.5, abs=1e-6)  # abc, d4f
+        assert out[2].symbol_word_ratio == pytest.approx(4 / 4, abs=1e-6)
+        for c in ("alpha_word_frac", "bullet_line_frac",
+                  "ellipsis_line_frac", "symbol_word_ratio"):
+            assert out[3][c] == 0.0
+
+    def test_no_shuffle_streamable(self, spark):
+        from tempo_spark.plans.inspect import count_exchanges, count_python_evals
+
+        df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        out = text.with_gopher_flags(df)
+        assert count_exchanges(out) == 0 and count_python_evals(out) == 0
