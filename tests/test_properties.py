@@ -370,3 +370,128 @@ def test_ngram_char_fracs_match_python_model(spark, texts, n):
             h(sum(cnt * len(g) for g, cnt in c.items() if cnt > 1) / len(t)),
         )
         assert out[i] == want, (i, t)
+
+
+# --------------------------------------------------------- round-5 operators
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(interval_strategy, interval_strategy, st.integers(60, 600))
+def test_join_intervals_binned_matches_plain_and_model(spark, livals, rivals, bin_secs):
+    """Binned overlap join == plain overlap join == python brute force,
+    for random interval sets and random bin widths."""
+    schema = "start_ts timestamp, end_ts timestamp, series_1 string, metric_1 int, metric_2 int"
+    ldf = spark.createDataFrame(
+        [(minutes(s), minutes(s + d), "k", m1, m2) for (s, d, m1, m2) in livals], schema
+    )
+    rdf = spark.createDataFrame(
+        [(minutes(s), minutes(s + d), "k", m1, m2) for (s, d, m1, m2) in rivals], schema
+    )
+    left = IntervalsDF(ldf, "start_ts", "end_ts", ["series_1"])
+    right = IntervalsDF(rdf, "start_ts", "end_ts", ["series_1"])
+    key = lambda r: tuple(str(v) for v in r)
+    plain = sorted(map(key, left.join_intervals(right).df.collect()))
+    binned = sorted(
+        map(key, left.join_intervals(right, bin_seconds=float(bin_secs)).df.collect())
+    )
+    assert plain == binned
+    # python model: count overlapping pairs
+    model = sum(
+        1
+        for (ls, ld, *_a) in livals
+        for (rs, rd, *_b) in rivals
+        if ls < rs + rd and ls + ld > rs
+    )
+    assert len(plain) == model
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 40), st.integers(0, 5)),
+        min_size=1, max_size=12,
+    ),
+    st.integers(10, 400),
+)
+def test_asof_binned_range_join_matches_union_window(spark, data, bin_secs):
+    """range_join_bin_seconds == union-window (skipNulls=False framing) on
+    random left/right timelines and random bin widths."""
+    lrows = [("k", minutes(s), float(v)) for (s, _d, v) in data]
+    rrows = [("k", minutes(s + d), float(v * 10)) for (s, d, v) in data]
+    left = TSDF(
+        spark.createDataFrame(lrows, "k string, ts timestamp, v double"),
+        ts_col="ts", series_ids=["k"],
+    )
+    right = TSDF(
+        spark.createDataFrame(rrows, "k string, ts timestamp, q double")
+        .groupBy("k", "ts").agg(__import__("pyspark.sql.functions", fromlist=["max"]).max("q").alias("q")),
+        ts_col="ts", series_ids=["k"],
+    )
+    key = lambda r: (str(r.l_ts), r.l_v, None if r.right_ts is None else str(r.right_ts), r.right_q)
+    plain = sorted(map(key, left.asofJoin(right, left_prefix="l", skipNulls=False).df.collect()))
+    binned = sorted(map(key, left.asofJoin(
+        right, left_prefix="l", sql_join_opt=True,
+        range_join_bin_seconds=float(bin_secs),
+    ).df.collect()))
+    assert plain == binned
+
+
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=6).map(" ".join),
+    st.lists(st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=6).map(" ".join), min_size=1, max_size=6),
+)
+def test_dedup_paragraphs_model_and_idempotent(spark, first, rest):
+    """dedup_paragraphs (word granularity) == python keep-first model, and
+    running it twice changes nothing (idempotence)."""
+    texts = [first] + rest
+    rows = [(i, t) for i, t in enumerate(texts) if t]
+    if not rows:
+        return
+    from tempo_spark.pipeline.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in dedup_paragraphs(df, "doc_id", sep=" ").collect()}
+    # python model
+    seen = set()
+    for i, t in rows:
+        kept = []
+        for w in t.split(" "):
+            if w not in seen:
+                seen.add(w)
+                kept.append(w)
+        assert out[i] == " ".join(kept), (i, t)
+    # idempotence
+    again = spark.createDataFrame([(i, out[i]) for i, _ in rows], "doc_id long, text string")
+    out2 = {r.doc_id: r.text for r in dedup_paragraphs(again, "doc_id", sep=" ").collect()}
+    assert out2 == out
+
+
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(1, 50)), min_size=3, max_size=40),
+)
+def test_mix_rates_waterfill_invariants(spark, rows):
+    """mix_rates: bottleneck group rate == 1, all rates in (0, 1], and
+    rate_g * avail_g proportional to the target shares."""
+    from tempo_spark.pipeline.sampling import mix_rates
+
+    df = spark.createDataFrame(
+        [(i, g, n) for i, (g, n) in enumerate(rows)],
+        "doc_id long, src string, n_tokens int",
+    )
+    shares = {"a": 0.5, "b": 0.3, "c": 0.2}
+    present = {g for g, _ in rows}
+    got = {r.src: r.mix_rate for r in mix_rates(df, "src", shares, token_col="n_tokens").collect()}
+    assert set(got) == present
+    assert all(0 < v <= 1.0 for v in got.values())
+    assert any(v == 1.0 for v in got.values())  # the bottleneck keeps everything
+    avail = {g: sum(n for gg, n in rows if gg == g) for g in present}
+    bottleneck = min(avail[x] / shares[x] for x in present)
+    for g in present:
+        if got[g] < 1.0:
+            # every downsampled group's expected output mass hits the
+            # target share exactly (the bottleneck group may undershoot)
+            assert got[g] * avail[g] == pytest.approx(
+                shares[g] * bottleneck, rel=1e-9
+            )
