@@ -569,10 +569,10 @@ def _bucket_capped_self_join(
     row per bucket key no matter the skew) finds hot buckets and carries
     each one's representative ROW (min-id payload — signatures, vectors,
     whatever the verify step needs) via ``min_by``; the tiny filtered
-    result is lazily persisted and broadcast to split ``banded`` into cold
-    (anti-join) and hot (semi-join) halves and to feed the star join's
-    broadcast side, so the hot half is never shuffled and the banded
-    subtree is not re-evaluated per consumer of the aggregate.
+    result broadcasts ONCE into a rep-marking left join, splitting
+    ``banded`` into cold rows and hot rows that already carry their star
+    pair — the hot half is never shuffled, nothing is cached, and the
+    banded subtree is not re-evaluated per consumer of the aggregate.
     ``make_pairs(joined)`` receives the a/b-aliased join
     (condition: bucket equality + ``a.id < b.id``) and projects pair
     columns; the min-id representative guarantees ``rep < member`` so the
@@ -595,11 +595,15 @@ def _bucket_capped_self_join(
     # representative ROW (min-id payload) through min_by — the naive
     # hot-keys / rep-ids / rep-rows formulation re-evaluated the banded
     # subtree (for minhash, the full per-row signature computation) ~6×.
-    # The aggregate output is bucket-cardinality-sized and filtered to the
-    # few over-cap buckets, so it is persisted (lazily — populated at first
-    # action) and broadcast to its three consumers; `banded` itself now
-    # evaluates ~3× (the agg, the cold self-join — whose two sides share
-    # one ReusedExchange — and the star member scan) and is never cached.
+    # The tiny filtered aggregate broadcasts ONCE into a left join that
+    # marks every row with its bucket's rep struct (null ⇒ cold bucket);
+    # the star side then needs NO second join — each hot row already
+    # carries its (rep, self) pair as two struct columns named a/b, and
+    # ``make_pairs``'s ``F.col("a.x")`` references resolve as struct FIELD
+    # access exactly as they would on join aliases. Nothing is persisted
+    # (a lazily-cached frame in a library function would leak for the
+    # session's lifetime); `banded` evaluates ~3× — the agg, the cold
+    # self-join (both sides share one ReusedExchange), and the star scan.
     hot_agg = (
         banded.groupBy(*keys)
         .agg(
@@ -609,14 +613,30 @@ def _bucket_capped_self_join(
             ).alias("__rep"),
         )
         .where(F.col("__bn") > max_bucket_size)
-    ).persist()
-    hot_keys = hot_agg.select(*keys)
-    rep_rows = hot_agg.select("__rep.*")
-    cold = banded.join(F.broadcast(hot_keys), keys, "left_anti")
-    hot_members = banded.join(F.broadcast(hot_keys), keys, "left_semi")
-    return join_ab(cold, cold).unionByName(
-        join_ab(rep_rows, hot_members, broadcast_a=True)
+        .select(
+            *[F.col(k).alias(f"__hk_{i}") for i, k in enumerate(keys)], "__rep"
+        )
     )
+    from functools import reduce
+
+    marked = banded.join(
+        F.broadcast(hot_agg),
+        on=reduce(
+            lambda a, b: a & b,
+            [F.col(k).eqNullSafe(F.col(f"__hk_{i}")) for i, k in enumerate(keys)],
+        ),
+        how="left",
+    )
+    cold = marked.where(F.col("__rep").isNull()).select(*banded.columns)
+    star_src = (
+        marked.where(F.col("__rep").isNotNull())
+        .select(
+            F.col("__rep").alias("a"),
+            F.struct(*[F.col(c) for c in banded.columns]).alias("b"),
+        )
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    return join_ab(cold, cold).unionByName(make_pairs(star_src))
 
 
 def minhash_lsh_candidates(

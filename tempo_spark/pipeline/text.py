@@ -268,30 +268,39 @@ def with_gopher_flags(
     - ``symbol_word_ratio``: ``#`` occurrences per word (Gopher's
       symbol-to-word ratio; ellipses are already covered per line).
 
-    Empty/whitespace text yields 0.0 everywhere."""
-    toks = tokens_col(F.col(text_col))
+    Empty/whitespace text yields 0.0 everywhere. ``line_sep`` is a Java
+    REGEX (same caveat as ``dedup_paragraphs``'s ``sep``): escape
+    metacharacters when the separator is a literal."""
+    # tokenize/line-split ONCE into materialized columns: HOFs are not
+    # CSE'd, so inlining `toks`/`lines` into every numerator, denominator
+    # and guard would re-split each document ~6× per row (the
+    # with_minhash / with_repetition_metrics gotcha)
+    from tempo_spark.pipeline.dedup import _hardened_round6 as hr6
+
+    staged = df.withColumn("__gf_toks", tokens_col(F.col(text_col))).withColumn(
+        "__gf_lines", F.split(F.col(text_col), line_sep)
+    )
+    toks, lines = F.col("__gf_toks"), F.col("__gf_lines")
     n_words = F.size(toks)
-    alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
-    lines = F.split(F.col(text_col), line_sep)
     n_lines = F.size(lines)
-    bullets = F.size(
-        F.filter(lines, lambda ln: F.ltrim(ln).rlike("^[-*•]"))
-    )
-    ellipses = F.size(
-        F.filter(lines, lambda ln: ln.rlike("(\\.\\.\\.|…)$"))
-    )
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    # \s* inside the anchor, not ltrim(): ltrim strips only spaces, so
+    # tab-indented bullets would never match
+    bullets = F.size(F.filter(lines, lambda ln: ln.rlike("^\\s*[-*•]")))
+    ellipses = F.size(F.filter(lines, lambda ln: ln.rlike("(\\.\\.\\.|…)$")))
     hashes = F.length(F.col(text_col)) - F.length(
         F.regexp_replace(F.col(text_col), "#", "")
     )
-    from tempo_spark.pipeline.dedup import _hardened_round6 as hr6
 
     def safe(num: Column, den: Column) -> Column:
         return F.when(den > 0, hr6(num / den)).otherwise(F.lit(0.0))
+
     return (
-        df.withColumn("alpha_word_frac", safe(alpha, n_words))
+        staged.withColumn("alpha_word_frac", safe(alpha, n_words))
         .withColumn("bullet_line_frac", safe(bullets, n_lines))
         .withColumn("ellipsis_line_frac", safe(ellipses, n_lines))
         .withColumn("symbol_word_ratio", safe(hashes, n_words))
+        .drop("__gf_toks", "__gf_lines")
     )
 
 

@@ -38,7 +38,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from tempo_spark.functions.timestamps import ts_to_double
+from tempo_spark.functions.timestamps import ts_double_from, ts_to_double
 
 TsLiteral = Union[str, int, float]
 
@@ -994,7 +994,7 @@ class TSDF:
             series_count = F.countDistinct(*[F.col(c) for c in self.series_ids])
         else:
             series_count = F.lit(1)
-        ts_d = ts_to_double(F.col(self.ts_col), self.df.schema[self.ts_col].dataType)
+        ts_d = ts_double_from(self.df, self.ts_col)
         # abs(): Spark's % keeps the dividend's sign, so pre-1970 (negative
         # epoch) timestamps yield negative remainders that a > 0 test would
         # misclassify as coarser granularity (reference uses != 0,
@@ -1069,7 +1069,7 @@ class TSDF:
         fractions), and the remainder tests are ``!= 0`` like the
         reference (sign-safe as-is)."""
         dbl = f"{self.ts_col}_dbl"
-        ts_d = ts_to_double(F.col(self.ts_col), self.df.schema[self.ts_col].dataType)
+        ts_d = ts_double_from(self.df, self.ts_col)
         this_df = self.df.withColumn(dbl, ts_d)
 
         desc = this_df.describe()
@@ -1131,7 +1131,7 @@ class TSDF:
 
         One shuffle on series_ids with map-side partial max; the second
         aggregation is over ≤4 keys."""
-        ts_d = ts_to_double(F.col(self.ts_col), self.df.schema[self.ts_col].dataType)
+        ts_d = ts_double_from(self.df, self.ts_col)
         grp = [F.col(c) for c in self.series_ids] if self.series_ids else []
         # abs(): negative-epoch timestamps give negative remainders (see
         # describe) — max(abs(r)) != 0 is sign-safe
