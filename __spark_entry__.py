@@ -276,23 +276,43 @@ def q_asof_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of ∪ STRICT variants (pandas ``allow_exact_matches=False``
+    — right rows at the left's exact timestamp skipped), union-tagged;
+    DuckDB's ASOF comparators (``<=``, ``<``, ``>``) replay all three."""
     left, right = _asof_direction_frames(spark, sf_dir)
-    out = left.asofJoin(
-        right, left_prefix="left", right_prefix="right", direction="forward"
-    ).df
-    return out.select(
-        "user_id",
-        F.col("left_ts").alias("click_ts"),
-        F.col("right_ts").alias("purchase_ts"),
-        _R6(F.col("right_p_value")).alias("purchase_value"),
+
+    def run(tag: str, **kw) -> DataFrame:
+        out = left.asofJoin(
+            right, left_prefix="left", right_prefix="right", **kw
+        ).df
+        return out.select(
+            F.lit(tag).alias("tag"),
+            "user_id",
+            F.col("left_ts").alias("click_ts"),
+            F.col("right_ts").alias("purchase_ts"),
+            _R6(F.col("right_p_value")).alias("purchase_value"),
+        )
+
+    return (
+        run("fwd", direction="forward")
+        .unionByName(run("fwd_strict", direction="forward", allowExactMatches=False))
+        .unionByName(run("bwd_strict", allowExactMatches=False))
     )
 
 
 _ASOF_FWD_ORACLE = f"""
 WITH {_ASOF_DIR_CTES}
-SELECT l.user_id, l.ts AS click_ts, r.ts AS purchase_ts,
+SELECT 'fwd' AS tag, l.user_id, l.ts AS click_ts, r.ts AS purchase_ts,
        round(r.p_value, 6) AS purchase_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+UNION ALL
+SELECT 'fwd_strict' AS tag, l.user_id, l.ts AS click_ts, r.ts AS purchase_ts,
+       round(r.p_value, 6) AS purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts < r.ts
+UNION ALL
+SELECT 'bwd_strict' AS tag, l.user_id, l.ts AS click_ts, r.ts AS purchase_ts,
+       round(r.p_value, 6) AS purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts > r.ts
 """
 
 

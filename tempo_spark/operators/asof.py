@@ -84,6 +84,7 @@ def asof_join(
     broadcast_right: bool = False,
     direction: str = "backward",
     range_join_bin_seconds: Optional[float] = None,
+    allow_exact_matches: bool = True,
 ):
     from tempo_spark.tsdf import TSDF
 
@@ -135,6 +136,7 @@ def asof_join(
             series, ldf, l_ts, rdf, r_ts, r_vals,
             broadcast_right=broadcast_right,
             bin_seconds=range_join_bin_seconds,
+            allow_exact_matches=allow_exact_matches,
         )
     elif use_range_join:
         # reference behavior (python/tempo/tsdf.py:783-837): the range-join
@@ -156,6 +158,7 @@ def asof_join(
                 series, ldf, l_ts, rdf, r_ts, r_vals,
                 broadcast_right=broadcast_right
                 or (r_size is not None and r_size < cutoff),
+                allow_exact_matches=allow_exact_matches,
             )
     if not use_range_join:
         joined = _union_window_join(
@@ -164,6 +167,7 @@ def asof_join(
             ts_partition_val=ts_partition_val,
             fraction=fraction,
             direction=direction,
+            allow_exact_matches=allow_exact_matches,
         )
 
     if tolerance is not None:
@@ -204,6 +208,7 @@ def _union_window_join(
     ts_partition_val: Optional[int],
     fraction: float,
     direction: str = "backward",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     # pad each side with the other's value columns as typed nulls, then union
     r_types = dict(rdf.dtypes)
@@ -236,11 +241,18 @@ def _union_window_join(
     # it: rights sort AFTER lefts at ties so the (currentRow, following)
     # frame of a left row still sees a same-ts right row.
     def _window(dirn: str):
+        # tie order decides same-timestamp visibility: with exact matches
+        # allowed (default, reference semantics) a right row at the left's
+        # own timestamp sorts INSIDE the frame; pandas-style
+        # allow_exact_matches=False flips the tie order so equal-ts rights
+        # fall outside it (strict right.ts < / > left.ts)
         if dirn == "backward":
-            order = [combined_ts.asc(), F.col(_REC_IND).asc()]
+            r_tie = F.col(_REC_IND).asc() if allow_exact_matches else F.col(_REC_IND).desc()
+            order = [combined_ts.asc(), r_tie]
             frame = (Window.unboundedPreceding, Window.currentRow)
         else:
-            order = [combined_ts.asc(), F.col(_REC_IND).desc()]
+            r_tie = F.col(_REC_IND).desc() if allow_exact_matches else F.col(_REC_IND).asc()
+            order = [combined_ts.asc(), r_tie]
             frame = (Window.currentRow, Window.unboundedFollowing)
         if r_seq:
             order.append(F.col(r_seq).asc())
@@ -337,6 +349,7 @@ def _range_join(
     *,
     broadcast_right: bool,
     bin_seconds: Optional[float] = None,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """Equi-join on series ids + range predicate on the right row's validity
     interval ``[r_ts, lead(r_ts))`` (reference: python/tempo/tsdf.py:783-837).
@@ -366,10 +379,19 @@ def _range_join(
         cond = F.lit(True)
         for c in series:
             cond = cond & (ldf[c] == r_with_lead[c])
-        cond = cond & (ldf[l_ts] >= r_with_lead[r_ts])
-        cond = cond & (
-            r_with_lead[lead_col].isNull() | (ldf[l_ts] < r_with_lead[lead_col])
-        )
+        # strict mode shifts the validity interval from [ts, lead) to
+        # (ts, lead]: a left row exactly at a right timestamp matches the
+        # PREVIOUS right row instead
+        if allow_exact_matches:
+            cond = cond & (ldf[l_ts] >= r_with_lead[r_ts])
+            cond = cond & (
+                r_with_lead[lead_col].isNull() | (ldf[l_ts] < r_with_lead[lead_col])
+            )
+        else:
+            cond = cond & (ldf[l_ts] > r_with_lead[r_ts])
+            cond = cond & (
+                r_with_lead[lead_col].isNull() | (ldf[l_ts] <= r_with_lead[lead_col])
+            )
         joined = ldf.join(r_with_lead, on=cond, how="left")
         # resolve ambiguity: keep left's series columns
         sel = [ldf[c].alias(c) for c in ldf.columns] + [
@@ -405,10 +427,16 @@ def _range_join(
     cond = l_binned["__tempo_bin_l"] == r_binned["__tempo_bin"]
     for c in series:
         cond = cond & (l_binned[c] == r_binned[c])
-    cond = cond & (l_binned[l_ts] >= r_binned[r_ts])
-    cond = cond & (
-        r_binned[lead_col].isNull() | (l_binned[l_ts] < r_binned[lead_col])
-    )
+    if allow_exact_matches:
+        cond = cond & (l_binned[l_ts] >= r_binned[r_ts])
+        cond = cond & (
+            r_binned[lead_col].isNull() | (l_binned[l_ts] < r_binned[lead_col])
+        )
+    else:
+        cond = cond & (l_binned[l_ts] > r_binned[r_ts])
+        cond = cond & (
+            r_binned[lead_col].isNull() | (l_binned[l_ts] <= r_binned[lead_col])
+        )
     joined = l_binned.join(r_binned, on=cond, how="left")
     sel = [l_binned[c].alias(c) for c in ldf.columns] + [
         r_binned[c].alias(c) for c in r_vals

@@ -360,6 +360,7 @@ class TSDF:
         direction: str = "backward",
         check_null_lookback: bool = False,
         range_join_bin_seconds: Optional[float] = None,
+        allowExactMatches: bool = True,
     ) -> "TSDF":
         """For each left row, attach the latest right row with
         ``right.ts <= left.ts`` within the same series
@@ -370,6 +371,9 @@ class TSDF:
         switches the range join to the bucketized big×big rewrite: both
         sides keyed by ``ts div bin`` so the plan stays a hash join at any
         size instead of degrading to a nested-loop / hot sort-merge group.
+        ``allowExactMatches=False`` (pandas ``merge_asof`` parity, beyond
+        the reference) makes the comparison STRICT — a right row at the
+        left's exact timestamp is skipped in every direction and strategy.
 
         The reference's skew path EAGERLY warns when a right column has no
         values inside the lookback window (reference:
@@ -393,6 +397,7 @@ class TSDF:
             tolerance=tolerance,
             direction=direction,
             range_join_bin_seconds=range_join_bin_seconds,
+            allow_exact_matches=allowExactMatches,
         )
         if check_null_lookback and not suppress_null_warning:
             import logging

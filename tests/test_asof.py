@@ -433,3 +433,71 @@ class TestAsofRangeBinned:
     def test_requires_range_join(self, trades_tsdf, quotes_tsdf):
         with pytest.raises(ValueError):
             trades_tsdf.asofJoin(quotes_tsdf, range_join_bin_seconds=60.0)
+
+
+class TestAllowExactMatches:
+    """allowExactMatches=False (pandas merge_asof parity): strict
+    comparison in every direction and physical strategy."""
+
+    def _lr(self, spark):
+        t0 = dt.datetime(2020, 1, 1)
+        sec = lambda s: t0 + dt.timedelta(seconds=s)
+        left = TSDF(
+            spark.createDataFrame(
+                [("A", sec(10), 1.0), ("A", sec(20), 2.0), ("A", sec(35), 3.0)],
+                "k string, ts timestamp, v double",
+            ),
+            ts_col="ts", series_ids=["k"],
+        )
+        right = TSDF(
+            spark.createDataFrame(
+                [("A", sec(10), 100.0), ("A", sec(20), 200.0), ("A", sec(30), 300.0)],
+                "k string, ts timestamp, q double",
+            ),
+            ts_col="ts", series_ids=["k"],
+        )
+        return left, right
+
+    def _vals(self, out):
+        return {int(r.l_v): r.right_q for r in out.df.collect()}
+
+    def test_backward_strict_union_window(self, spark):
+        left, right = self._lr(spark)
+        lax = self._vals(left.asofJoin(right, left_prefix="l"))
+        assert lax == {1: 100.0, 2: 200.0, 3: 300.0}
+        strict = self._vals(left.asofJoin(right, left_prefix="l", allowExactMatches=False))
+        # equal-ts rights skipped: left@10 has nothing strictly earlier
+        assert strict == {1: None, 2: 100.0, 3: 300.0}
+
+    def test_strict_range_join_paths_match(self, spark):
+        left, right = self._lr(spark)
+        want = self._vals(left.asofJoin(right, left_prefix="l", allowExactMatches=False))
+        ranged = self._vals(left.asofJoin(
+            right, left_prefix="l", sql_join_opt=True, allowExactMatches=False
+        ))
+        binned = self._vals(left.asofJoin(
+            right, left_prefix="l", sql_join_opt=True,
+            range_join_bin_seconds=7.0, allowExactMatches=False,
+        ))
+        assert ranged == want and binned == want
+
+    def test_strict_forward_and_nearest(self, spark):
+        left, right = self._lr(spark)
+        fwd = self._vals(left.asofJoin(
+            right, left_prefix="l", direction="forward", allowExactMatches=False
+        ))
+        # left@10 -> right@20 (not the equal-ts 10); left@35 -> nothing ahead
+        assert fwd == {1: 200.0, 2: 300.0, 3: None}
+        near = self._vals(left.asofJoin(
+            right, left_prefix="l", direction="nearest", allowExactMatches=False
+        ))
+        # left@10: candidates b=None f=20 -> 200; left@20: b=10 f=30 tie -> backward
+        assert near == {1: 200.0, 2: 100.0, 3: 300.0}
+
+    def test_strict_skew_path_matches_default(self, spark):
+        left, right = self._lr(spark)
+        want = self._vals(left.asofJoin(right, left_prefix="l", allowExactMatches=False))
+        skew = self._vals(left.asofJoin(
+            right, left_prefix="l", tsPartitionVal=60, allowExactMatches=False
+        ))
+        assert skew == want
