@@ -8,8 +8,20 @@ Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
+import time
 from pathlib import Path
+
+# pin the PROCESS timezone before any Spark/DuckDB work: PySpark's
+# collect() materializes TimestampType through Python's fromtimestamp,
+# which uses the OS timezone — on a non-UTC host every timestamp cell
+# would shift by the UTC offset relative to DuckDB's naive rendering and
+# all timestamp entries would "fail" (harness artifact, not a query bug;
+# the session timezone pinned inside __spark_entry__._read does not reach
+# the collect conversion). The driver's gate runs on a UTC host.
+os.environ["TZ"] = "UTC"
+time.tzset()
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
