@@ -287,6 +287,80 @@ class IntervalsDF:
         )
         return self._with_df(out.select(*keep))
 
+    # ----------------------------------------------------- coverage algebra
+
+    def _coverage_op(
+        self, other: "IntervalsDF", keep, bin_seconds: Optional[float]
+    ) -> "IntervalsDF":
+        """Shared machinery for subtract/intersect: union both frames with
+        presence masks (``__a_mask``/``__b_mask``), run the ordinary
+        :meth:`make_disjoint` (whose merge rule turns each mask into a
+        per-segment "is this side covering here?" flag — the mask is
+        non-null iff ≥1 interval from that side covers the segment), filter
+        segments by ``keep(a_mask, b_mask)``, and drop the masks. Payload
+        merge and adjacent-segment coalescing come from make_disjoint
+        unchanged (masks participate in the equality test, so segments are
+        never coalesced across a coverage-status change — boundaries stay
+        exact)."""
+        if list(other.series_ids) != self.series_ids:
+            raise ValueError(
+                f"coverage ops require matching series ids; "
+                f"left={self.series_ids} right={other.series_ids}"
+            )
+        for m in ("__a_mask", "__b_mask"):
+            if m in self.df.columns or m in other.df.columns:
+                raise ValueError(f"reserved column name {m} present in input")
+        a = self.df.withColumn("__a_mask", F.lit(1)).withColumn(
+            "__b_mask", F.lit(None).cast("int")
+        )
+        # B contributes COVERAGE only: its payload is dropped and A's
+        # payload columns arrive as typed nulls (so the merge rule can
+        # never pull a value from the subtrahend side)
+        a_types = dict(self.df.dtypes)
+        b = other.df.select(
+            F.col(other.start_ts).alias(self.start_ts),
+            F.col(other.end_ts).alias(self.end_ts),
+            *[F.col(c) for c in self.series_ids],
+            *[
+                F.lit(None).cast(a_types[c]).alias(c)
+                for c in self.observational_columns
+            ],
+            F.lit(None).cast("int").alias("__a_mask"),
+            F.lit(1).alias("__b_mask"),
+        ).select(*a.columns)
+        combined = IntervalsDF(
+            a.unionByName(b), self.start_ts, self.end_ts, self.series_ids
+        ).make_disjoint(bin_seconds=bin_seconds)
+        out = combined.df.where(
+            keep(F.col("__a_mask"), F.col("__b_mask"))
+        ).drop("__a_mask", "__b_mask")
+        return self._with_df(out)
+
+    def subtract_intervals(
+        self, other: "IntervalsDF", bin_seconds: Optional[float] = None
+    ) -> "IntervalsDF":
+        """Coverage subtraction: the disjoint set of time covered by ``self``
+        and NOT by ``other`` (uptime minus maintenance windows, corpus
+        validity minus embargo periods), payloads merged from the covering
+        ``self`` intervals by make_disjoint's rule. ``other``'s payload is
+        irrelevant — only its coverage counts. O(n log n) per series via the
+        boundary-segmentation machinery; ``bin_seconds`` bounds the
+        pathological few-series case exactly as in :meth:`make_disjoint`."""
+        return self._coverage_op(
+            other, lambda am, bm: am.isNotNull() & bm.isNull(), bin_seconds
+        )
+
+    def intersect_intervals(
+        self, other: "IntervalsDF", bin_seconds: Optional[float] = None
+    ) -> "IntervalsDF":
+        """Coverage intersection: the disjoint set of time covered by BOTH
+        frames, payloads merged from the covering ``self`` intervals. The
+        per-PAIR companion (which interval overlapped which, with both
+        payloads) is :meth:`join_intervals`; this is the set-algebra view."""
+        return self._coverage_op(
+            other, lambda am, bm: am.isNotNull() & bm.isNotNull(), bin_seconds
+        )
+
     # ------------------------------------------------------------ disjoint
 
     def make_disjoint(self, bin_seconds: Optional[float] = None) -> "IntervalsDF":

@@ -321,3 +321,63 @@ class TestIntervalIntervalJoin:
         clash = left._with_df(left.df.withColumn("right_metric_1", left.df.metric_1))
         with pytest.raises(ValueError):
             clash.join_intervals(left)  # prefixed right col collides with left
+
+
+class TestCoverageAlgebra:
+    def setup_frames(self, spark):
+        a = idf(spark, [
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 01:00:00"), "a", 1, None),
+            (ts("2020-01-01 02:00:00"), ts("2020-01-01 03:00:00"), "a", 2, None),
+        ])
+        b = idf(spark, [
+            (ts("2020-01-01 00:30:00"), ts("2020-01-01 00:45:00"), "a", 99, 99),
+            (ts("2020-01-01 02:30:00"), ts("2020-01-01 04:00:00"), "a", 99, 99),
+        ])
+        return a, b
+
+    def test_subtract(self, spark):
+        a, b = self.setup_frames(spark)
+        out = collect_intervals(a.subtract_intervals(b))
+        assert out == [
+            ("a", "2020-01-01 00:00:00", "2020-01-01 00:30:00", 1, None),
+            ("a", "2020-01-01 00:45:00", "2020-01-01 01:00:00", 1, None),
+            ("a", "2020-01-01 02:00:00", "2020-01-01 02:30:00", 2, None),
+        ]
+
+    def test_intersect(self, spark):
+        a, b = self.setup_frames(spark)
+        out = collect_intervals(a.intersect_intervals(b))
+        # payload comes from A; B's 99s never leak
+        assert out == [
+            ("a", "2020-01-01 00:30:00", "2020-01-01 00:45:00", 1, None),
+            ("a", "2020-01-01 02:30:00", "2020-01-01 03:00:00", 2, None),
+        ]
+
+    def test_binned_matches_plain(self, spark):
+        a, b = self.setup_frames(spark)
+        for op in ("subtract_intervals", "intersect_intervals"):
+            plain = collect_intervals(getattr(a, op)(b))
+            binned = collect_intervals(getattr(a, op)(b, bin_seconds=600.0))
+            assert plain == binned, op
+
+    def test_disjoint_sides_and_series_isolation(self, spark):
+        a = idf(spark, [(ts("2020-01-01 00:00:00"), ts("2020-01-01 01:00:00"), "a", 1, None)])
+        b = idf(spark, [
+            (ts("2020-01-01 05:00:00"), ts("2020-01-01 06:00:00"), "a", 9, 9),   # no overlap
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 01:00:00"), "zz", 9, 9),  # other series
+        ])
+        assert collect_intervals(a.subtract_intervals(b)) == [
+            ("a", "2020-01-01 00:00:00", "2020-01-01 01:00:00", 1, None)
+        ]
+        assert collect_intervals(a.intersect_intervals(b)) == []
+
+    def test_validation(self, spark):
+        a, b = self.setup_frames(spark)
+        other = IntervalsDF(b.df, "start_ts", "end_ts", [])
+        with pytest.raises(ValueError):
+            a.subtract_intervals(other)
+        clash = IntervalsDF(
+            a.df.withColumn("__a_mask", a.df.metric_1), "start_ts", "end_ts", ["series_1"]
+        )
+        with pytest.raises(ValueError):
+            clash.subtract_intervals(b)

@@ -495,3 +495,41 @@ def test_mix_rates_waterfill_invariants(spark, rows):
             assert got[g] * avail[g] == pytest.approx(
                 shares[g] * bottleneck, rel=1e-9
             )
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(interval_strategy, interval_strategy)
+def test_coverage_algebra_pointwise_model(spark, aivals, bivals):
+    """subtract/intersect against the pointwise set model: a minute t is
+    covered by (A - B) iff covered by A and not B; by (A ∩ B) iff both.
+    Outputs must also be disjoint."""
+    schema = "start_ts timestamp, end_ts timestamp, series_1 string, metric_1 int, metric_2 int"
+    mk = lambda ivals: IntervalsDF(
+        spark.createDataFrame(
+            [(minutes(s), minutes(s + d), "k", m1, m2) for (s, d, m1, m2) in ivals],
+            schema,
+        ),
+        "start_ts", "end_ts", ["series_1"],
+    )
+    A, B = mk(aivals), mk(bivals)
+
+    def spans(out):
+        rows = sorted((r.start_ts, r.end_ts) for r in out.df.collect())
+        for (s1, e1), (s2, e2) in zip(rows, rows[1:]):
+            assert e1 <= s2, "overlapping output"
+        return rows
+
+    sub = spans(A.subtract_intervals(B))
+    inter = spans(A.intersect_intervals(B))
+
+    def covered(ivals, t):
+        return any(s <= t < s + d for (s, d, *_x) in ivals)
+
+    def covered_out(rows, t):
+        tt = minutes(t)
+        return any(s <= tt < e for s, e in rows)
+
+    for t in range(0, 45):
+        in_a, in_b = covered(aivals, t), covered(bivals, t)
+        assert covered_out(sub, t) == (in_a and not in_b), t
+        assert covered_out(inter, t) == (in_a and in_b), t
