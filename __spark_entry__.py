@@ -618,6 +618,18 @@ def q_resample_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag(t_value.resample("1 hour", "min").df, "min", _R6(F.col("value"))),
         tag(t_value.resample("1 hour", "max").df, "max", _R6(F.col("value"))),
     ]
+    # per-column func MAPPING (pandas .agg idiom, one groupBy): sum(cents)
+    # and count(value) in the same pass, emitted as two tag rows so each
+    # mapped column is value-checked
+    t_both = TSDF(
+        de.select("user_id", "ts", "cents", "value"),
+        ts_col="ts", series_ids=["user_id"],
+    )
+    mixed = t_both.resample("1 hour", {"cents": "sum", "value": "count"}).df
+    parts += [
+        tag(mixed, "mixed_sum", F.col("cents").cast("double")),
+        tag(mixed, "mixed_count", F.col("value").cast("double")),
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -648,6 +660,14 @@ FROM de GROUP BY user_id, bucket_ts
 UNION ALL
 SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, 'max' AS func,
        round(max(value), 6) AS v
+FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, 'mixed_sum' AS func,
+       CAST(sum(cents) AS DOUBLE) AS v
+FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, 'mixed_count' AS func,
+       CAST(count(value) AS DOUBLE) AS v
 FROM de GROUP BY user_id, bucket_ts
 """
 

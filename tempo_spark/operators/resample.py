@@ -54,15 +54,67 @@ def _argmin_argmax_exprs(
     return [tagged]
 
 
+_SCALAR_AGGS = {
+    "mean": F.mean,
+    "min": F.min,
+    "max": F.max,
+    "sum": F.sum,
+    "count": F.count,
+    "median": F.median,
+}
+
+
 def resample(
     tsdf,
     freq: str,
-    func: str,
+    func,
     metric_cols: Optional[Sequence[str]] = None,
     prefix: Optional[str] = None,
     fill: Optional[bool] = None,
 ):
+    """``func`` is either one name from ``_FUNCS`` applied to every metric
+    column (reference semantics), or a ``{column: func}`` mapping for
+    per-column aggregation in the SAME single groupBy (e.g.
+    ``{"price": "mean", "volume": "sum"}`` — the pandas ``.agg`` idiom;
+    still one shuffle). Dict form supports the scalar aggregations only —
+    ``floor``/``ceil`` select whole rows, which contradicts per-column
+    choice — and ``metric_cols`` must be omitted (the dict's keys ARE the
+    metric columns)."""
+    from collections.abc import Mapping
+
     from tempo_spark.tsdf import ResampledTSDF
+
+    if isinstance(func, Mapping):
+        if not func:
+            raise ValueError("per-column func mapping must be non-empty")
+        bad = {f2 for f2 in func.values() if f2 not in _SCALAR_AGGS}
+        if bad:
+            raise ValueError(
+                f"per-column resample supports {sorted(_SCALAR_AGGS)}; got {sorted(bad)}"
+            )
+        if metric_cols is not None:
+            raise ValueError(
+                "pass per-column funcs OR metric_cols, not both — the "
+                "mapping's keys are the metric columns"
+            )
+        missing = [c for c in func if c not in tsdf.df.columns]
+        if missing:
+            raise ValueError(f"columns not in DataFrame: {missing}")
+        f = parse_freq(freq)
+        pfx = f"{prefix}_" if prefix else ""
+        series, ts = list(tsdf.series_ids), tsdf.ts_col
+        bucket = _bucket_start(ts, f.window_duration)
+        out = tsdf.df.groupBy(*series, bucket.alias(ts)).agg(
+            *[
+                _SCALAR_AGGS[f2](F.col(c)).alias(f"{pfx}{c}")
+                for c, f2 in func.items()
+            ]
+        )
+        out_metric_cols = [f"{pfx}{c}" for c in func]
+        out = out.select(*series, ts, *sorted(out_metric_cols))
+        if fill:
+            out = _upsample_fill(out, ts, series, f, out_metric_cols)
+        return ResampledTSDF(out, ts_col=ts, series_ids=series, freq=freq, func=func)
 
     if func not in _FUNCS:
         raise ValueError(f"resample func must be one of {_FUNCS}, got {func!r}")
@@ -85,14 +137,7 @@ def resample(
             *[F.col("__packed").getField(c).alias(f"{pfx}{c}") for c in metric_cols],
         )
     else:
-        agg_fn = {
-            "mean": F.mean,
-            "min": F.min,
-            "max": F.max,
-            "sum": F.sum,
-            "count": F.count,
-            "median": F.median,
-        }[func]
+        agg_fn = _SCALAR_AGGS[func]
         out = grouped.agg(
             *[agg_fn(F.col(c)).alias(f"{pfx}{c}") for c in metric_cols]
         )

@@ -1265,12 +1265,20 @@ class ResampledTSDF(TSDF):
         target_cols: Optional[Sequence[str]] = None,
         show_interpolated: bool = False,
     ) -> "TSDF":
+        from collections.abc import Mapping
+
         from tempo_spark.operators.interpolation import interpolate as _interpolate
 
+        resolved = func or self._func
+        if isinstance(resolved, Mapping):
+            raise ValueError(
+                "this frame was resampled with a per-column func mapping; "
+                "pass an explicit scalar func= to interpolate()"
+            )
         return _interpolate(
             self,
             freq=freq or self._freq,
-            func=func or self._func,
+            func=resolved,
             method=method,
             target_cols=target_cols,
             show_interpolated=show_interpolated,

@@ -236,3 +236,52 @@ class TestResampleExtraFuncs:
         )
         with _pytest.raises(ValueError):
             TSDF(df, ts_col="ts", series_ids=["k"]).resample("1 minute", "mode")
+
+
+class TestPerColumnFuncs:
+    def _tsdf(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2020, 1, 1)
+        rows = [
+            ("A", t0 + dt.timedelta(seconds=10), 10.0, 100.0),
+            ("A", t0 + dt.timedelta(seconds=40), 20.0, 300.0),
+            ("A", t0 + dt.timedelta(seconds=70), 30.0, 50.0),
+        ]
+        from tempo_spark import TSDF
+
+        return TSDF(
+            spark.createDataFrame(rows, "k string, ts timestamp, price double, vol double"),
+            ts_col="ts",
+            series_ids=["k"],
+        )
+
+    def test_dict_func_single_shuffle(self, spark):
+        from tempo_spark.plans.inspect import count_exchanges
+
+        t = self._tsdf(spark)
+        out = t.resample("1 minute", {"price": "mean", "vol": "sum"})
+        assert count_exchanges(out.df) == 1
+        rows = {str(r.ts): (r.price, r.vol) for r in out.df.collect()}
+        assert rows["2020-01-01 00:00:00"] == (15.0, 400.0)
+        assert rows["2020-01-01 00:01:00"] == (30.0, 50.0)
+
+    def test_dict_func_validation(self, spark):
+        t = self._tsdf(spark)
+        with pytest.raises(ValueError):
+            t.resample("1 minute", {})
+        with pytest.raises(ValueError):
+            t.resample("1 minute", {"price": "floor"})
+        with pytest.raises(ValueError):
+            t.resample("1 minute", {"nope": "mean"})
+        with pytest.raises(ValueError):
+            t.resample("1 minute", {"price": "mean"}, metricCols=["vol"])
+
+    def test_dict_then_interpolate_needs_explicit_func(self, spark):
+        t = self._tsdf(spark)
+        res = t.resample("1 minute", {"price": "mean"})
+        with pytest.raises(ValueError, match="per-column"):
+            res.interpolate("linear")
+        # explicit scalar func unblocks the chain
+        out = res.interpolate("linear", func="mean").df
+        assert out.count() >= 2
