@@ -860,13 +860,45 @@ class TSDF:
         )
         return TSDF(out, ts_col=self.ts_col, series_ids=self.series_ids, validate=False)
 
-    def EMA(self, colName: str, window: int = 30, exp_factor: float = 0.2) -> "TSDF":
+    def EMA(
+        self,
+        colName: str,
+        window: int = 30,
+        exp_factor: float = 0.2,
+        *,
+        span: Optional[float] = None,
+        halflife: Optional[float] = None,
+        com: Optional[float] = None,
+    ) -> "TSDF":
         """Approximate exponential moving average as a finite weighted sum of
         lags: ``Σ_{i<window} e·(1-e)^i · lag(col, i)``
         (reference: python/tempo/tsdf.py:1044-1071). Null lags contribute 0.
 
+        ``span`` / ``halflife`` / ``com`` (mutually exclusive, beyond the
+        reference) are the pandas ``ewm`` decay parameterizations, mapped to
+        the smoothing factor exactly as pandas does: ``α = 2/(span+1)``,
+        ``α = 1 − exp(ln(0.5)/halflife)``, ``α = 1/(1+com)``; pass at most
+        one, else ``exp_factor`` is α directly.
+
         Single window spec → one shuffle + sort regardless of ``window``.
         """
+        import math
+
+        given = [p for p in (span, halflife, com) if p is not None]
+        if len(given) > 1:
+            raise ValueError("pass at most one of span/halflife/com")
+        if span is not None:
+            if span < 1:
+                raise ValueError(f"span must be >= 1, got {span}")
+            exp_factor = 2.0 / (span + 1.0)
+        elif halflife is not None:
+            if halflife <= 0:
+                raise ValueError(f"halflife must be positive, got {halflife}")
+            exp_factor = 1.0 - math.exp(math.log(0.5) / halflife)
+        elif com is not None:
+            if com < 0:
+                raise ValueError(f"com must be >= 0, got {com}")
+            exp_factor = 1.0 / (1.0 + com)
         w = self.base_window()
         terms = [
             F.coalesce(F.lag(F.col(colName), i).over(w), F.lit(0.0))

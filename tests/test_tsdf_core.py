@@ -643,3 +643,35 @@ class TestRangeCorr:
             t.withRangeCorr("x", "y", stats=["wat"])
         with pytest.raises(ValueError):
             t.withRangeCorr("x", "y", strategy="wat")
+
+
+class TestEmaDecayParams:
+    def test_span_halflife_com_map_to_alpha(self, tsdf):
+        import math
+
+        # span=9 -> alpha 0.2 == the default exp_factor: identical output
+        base = {(r.symbol, str(r.event_ts)): r.ema_trade_pr
+                for r in tsdf.EMA("trade_pr").df.collect()}
+        spanned = {(r.symbol, str(r.event_ts)): r.ema_trade_pr
+                   for r in tsdf.EMA("trade_pr", span=9).df.collect()}
+        assert base == spanned
+        # com=4 -> alpha 0.2 as well
+        commed = {(r.symbol, str(r.event_ts)): r.ema_trade_pr
+                  for r in tsdf.EMA("trade_pr", com=4).df.collect()}
+        assert base == commed
+        # halflife: alpha = 1 - exp(ln(.5)/h); h chosen so alpha == 0.2
+        h = math.log(0.5) / math.log(0.8)
+        halved = {(r.symbol, str(r.event_ts)): r.ema_trade_pr
+                  for r in tsdf.EMA("trade_pr", halflife=h).df.collect()}
+        for k in base:
+            assert halved[k] == pytest.approx(base[k], rel=1e-12)
+
+    def test_validation(self, tsdf):
+        with pytest.raises(ValueError):
+            tsdf.EMA("trade_pr", span=9, com=4)
+        with pytest.raises(ValueError):
+            tsdf.EMA("trade_pr", span=0.5)
+        with pytest.raises(ValueError):
+            tsdf.EMA("trade_pr", halflife=0)
+        with pytest.raises(ValueError):
+            tsdf.EMA("trade_pr", com=-1)
