@@ -84,6 +84,8 @@ def resample(
 
     from tempo_spark.tsdf import ResampledTSDF
 
+    series, ts = list(tsdf.series_ids), tsdf.ts_col
+    per_col: Optional[dict] = None
     if isinstance(func, Mapping):
         if not func:
             raise ValueError("per-column func mapping must be non-empty")
@@ -100,35 +102,35 @@ def resample(
         missing = [c for c in func if c not in tsdf.df.columns]
         if missing:
             raise ValueError(f"columns not in DataFrame: {missing}")
-        f = parse_freq(freq)
-        pfx = f"{prefix}_" if prefix else ""
-        series, ts = list(tsdf.series_ids), tsdf.ts_col
-        bucket = _bucket_start(ts, f.window_duration)
-        out = tsdf.df.groupBy(*series, bucket.alias(ts)).agg(
-            *[
-                _SCALAR_AGGS[f2](F.col(c)).alias(f"{pfx}{c}")
-                for c, f2 in func.items()
-            ]
-        )
-        out_metric_cols = [f"{pfx}{c}" for c in func]
-        out = out.select(*series, ts, *sorted(out_metric_cols))
-        if fill:
-            out = _upsample_fill(out, ts, series, f, out_metric_cols)
-        return ResampledTSDF(out, ts_col=ts, series_ids=series, freq=freq, func=func)
-
-    if func not in _FUNCS:
+        structural = [c for c in func if c == ts or c in series]
+        if structural:
+            # a structural key would alias the bucket/series column in the
+            # same aggregation and die later as AMBIGUOUS_REFERENCE
+            raise ValueError(
+                f"per-column funcs cannot target structural columns: {structural}"
+            )
+        per_col = dict(func)
+        metric_cols = list(per_col)
+    elif func not in _FUNCS:
         raise ValueError(f"resample func must be one of {_FUNCS}, got {func!r}")
+    else:
+        metric_cols = list(metric_cols or tsdf.metric_cols)
+        if not metric_cols:
+            raise ValueError("resample requires at least one metric column")
     f = parse_freq(freq)
-    metric_cols = list(metric_cols or tsdf.metric_cols)
-    if not metric_cols:
-        raise ValueError("resample requires at least one metric column")
     pfx = f"{prefix}_" if prefix else ""
-    series, ts = list(tsdf.series_ids), tsdf.ts_col
     bucket = _bucket_start(ts, f.window_duration)
 
     grouped = tsdf.df.groupBy(*series, bucket.alias(ts))
 
-    if func in ("floor", "ceil"):
+    if per_col is not None:
+        out = grouped.agg(
+            *[
+                _SCALAR_AGGS[f2](F.col(c)).alias(f"{pfx}{c}")
+                for c, f2 in per_col.items()
+            ]
+        )
+    elif func in ("floor", "ceil"):
         [packed] = _argmin_argmax_exprs(tsdf, metric_cols, func, pfx)
         agged = grouped.agg(packed)
         out = agged.select(

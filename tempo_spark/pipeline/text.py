@@ -277,6 +277,9 @@ def with_gopher_flags(
     # with_minhash / with_repetition_metrics gotcha)
     from tempo_spark.pipeline.dedup import _hardened_round6 as hr6
 
+    for reserved in ("__gf_toks", "__gf_lines"):
+        if reserved in df.columns:
+            raise ValueError(f"reserved column name {reserved} present in input")
     staged = df.withColumn("__gf_toks", tokens_col(F.col(text_col))).withColumn(
         "__gf_lines", F.split(F.col(text_col), line_sep)
     )

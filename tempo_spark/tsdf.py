@@ -864,7 +864,7 @@ class TSDF:
         self,
         colName: str,
         window: int = 30,
-        exp_factor: float = 0.2,
+        exp_factor: Optional[float] = None,
         *,
         span: Optional[float] = None,
         halflife: Optional[float] = None,
@@ -874,19 +874,25 @@ class TSDF:
         lags: ``Σ_{i<window} e·(1-e)^i · lag(col, i)``
         (reference: python/tempo/tsdf.py:1044-1071). Null lags contribute 0.
 
-        ``span`` / ``halflife`` / ``com`` (mutually exclusive, beyond the
-        reference) are the pandas ``ewm`` decay parameterizations, mapped to
-        the smoothing factor exactly as pandas does: ``α = 2/(span+1)``,
-        ``α = 1 − exp(ln(0.5)/halflife)``, ``α = 1/(1+com)``; pass at most
-        one, else ``exp_factor`` is α directly.
+        ``span`` / ``halflife`` / ``com`` (mutually exclusive with each
+        other AND with an explicit ``exp_factor``, like pandas ``ewm``'s
+        conflicting-parameter rejection) are the pandas decay
+        parameterizations, mapped to the smoothing factor exactly as pandas
+        does: ``α = 2/(span+1)``, ``α = 1 − exp(ln(0.5)/halflife)``,
+        ``α = 1/(1+com)``; with none given, ``exp_factor`` defaults to the
+        reference's 0.2.
 
         Single window spec → one shuffle + sort regardless of ``window``.
         """
         import math
 
-        given = [p for p in (span, halflife, com) if p is not None]
+        given = [p for p in (exp_factor, span, halflife, com) if p is not None]
         if len(given) > 1:
-            raise ValueError("pass at most one of span/halflife/com")
+            raise ValueError(
+                "pass at most one of exp_factor/span/halflife/com"
+            )
+        if exp_factor is None and not given:
+            exp_factor = 0.2
         if span is not None:
             if span < 1:
                 raise ValueError(f"span must be >= 1, got {span}")

@@ -2282,3 +2282,10 @@ class TestGopherFlags:
         df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
         out = text.with_gopher_flags(df)
         assert count_exchanges(out) == 0 and count_python_evals(out) == 0
+
+
+class TestGopherReservedCols:
+    def test_reserved_staging_cols_rejected(self, spark):
+        df = spark.createDataFrame([(0, "a b", 1)], "doc_id long, text string, __gf_toks int")
+        with pytest.raises(ValueError, match="reserved"):
+            text.with_gopher_flags(df)

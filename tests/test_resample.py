@@ -285,3 +285,18 @@ class TestPerColumnFuncs:
         # explicit scalar func unblocks the chain
         out = res.interpolate("linear", func="mean").df
         assert out.count() >= 2
+
+
+class TestThirdReviewFixes:
+    def test_dict_func_rejects_structural_keys(self, spark):
+        import datetime as dt
+
+        from tempo_spark import TSDF
+
+        df = spark.createDataFrame(
+            [("A", dt.datetime(2020, 1, 1), 1.0)], "k string, ts timestamp, v double"
+        )
+        t = TSDF(df, ts_col="ts", series_ids=["k"])
+        for bad in ({"ts": "count"}, {"k": "count"}):
+            with pytest.raises(ValueError, match="structural"):
+                t.resample("1 minute", bad)

@@ -675,3 +675,13 @@ class TestEmaDecayParams:
             tsdf.EMA("trade_pr", halflife=0)
         with pytest.raises(ValueError):
             tsdf.EMA("trade_pr", com=-1)
+
+
+class TestEmaConflictingParams:
+    def test_explicit_alpha_plus_decay_param_raises(self, tsdf):
+        with pytest.raises(ValueError, match="at most one"):
+            tsdf.EMA("trade_pr", exp_factor=0.5, span=9)
+        # default alpha still 0.2 when nothing is given
+        a = {(r.symbol, str(r.event_ts)): r.ema_trade_pr for r in tsdf.EMA("trade_pr").df.collect()}
+        b = {(r.symbol, str(r.event_ts)): r.ema_trade_pr for r in tsdf.EMA("trade_pr", exp_factor=0.2).df.collect()}
+        assert a == b
