@@ -563,7 +563,12 @@ FROM p GROUP BY user_id, bucket_ts
 def q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    out = t.withGroupedStats(metricCols=["cents"], freq="1 hour").df
+    out = t.withGroupedStats(
+        metricCols=["cents"], freq="1 hour", percentiles=[0.5, 0.9]
+    ).df
+    # p50/p90: Spark percentile() and DuckDB quantile_cont() share the
+    # interpolated definition over exact integer cents (same as the
+    # range_percentiles entry)
     return out.select(
         "user_id",
         F.col("ts").alias("bucket_ts"),
@@ -572,6 +577,8 @@ def q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _R6(F.col("min_cents") / 100).alias("min_v"),
         _R6(F.col("max_cents") / 100).alias("max_v"),
         _R6(F.col("sum_cents") / 100).alias("sum_v"),
+        _HR6(F.col("p50_cents") / 100).alias("p50_v"),
+        _HR6(F.col("p90_cents") / 100).alias("p90_v"),
     )
 
 
@@ -582,7 +589,9 @@ SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
        floor((avg(cents) / 100) * 1000000 + 0.5) / 1000000 AS mean_v,
        round(min(cents) / 100.0, 6) AS min_v,
        round(max(cents) / 100.0, 6) AS max_v,
-       round(sum(cents) / 100.0, 6) AS sum_v
+       round(sum(cents) / 100.0, 6) AS sum_v,
+       floor((quantile_cont(cents, 0.5) / 100) * 1000000 + 0.5) / 1000000 AS p50_v,
+       floor((quantile_cont(cents, 0.9) / 100) * 1000000 + 0.5) / 1000000 AS p90_v
 FROM de GROUP BY user_id, bucket_ts
 """
 

@@ -830,16 +830,24 @@ class TSDF:
         self,
         metricCols: Optional[Sequence[str]] = None,
         freq: str = "1 minute",
+        percentiles: Optional[Sequence[float]] = None,
     ) -> "TSDF":
         """Per-bucket mean/count/min/max/sum/stddev at a tumbling frequency
         (reference: python/tempo/tsdf.py:1184-1248). groupBy gets map-side
-        partial aggregation — cheaper than a window at scale."""
+        partial aggregation — cheaper than a window at scale.
+        ``percentiles`` (beyond the reference, mirroring ``withRangeStats``)
+        adds exact interpolated per-bucket percentiles, e.g. ``[0.5, 0.95]``
+        → ``p50_x``, ``p95_x`` — note exact percentile is NOT map-side
+        combinable (values buffer per (series, bucket) group), so request
+        it only when buckets are bounded; use ``approx_percentile``
+        manually when they are not."""
         from tempo_spark.functions.freq import parse_freq
 
         cols = list(metricCols or self.metric_cols)
         f = parse_freq(freq)
         bucket = F.window(F.col(self.ts_col), f.window_duration)
         aggs: list[Column] = []
+        names: list[str] = []
         for c in cols:
             col = F.col(c)
             aggs += [
@@ -850,13 +858,20 @@ class TSDF:
                 F.sum(col).alias(f"sum_{c}"),
                 F.stddev(col).alias(f"stddev_{c}"),
             ]
+            names += [
+                f"mean_{c}", f"count_{c}", f"min_{c}", f"max_{c}",
+                f"sum_{c}", f"stddev_{c}",
+            ]
+            for p in percentiles or ():
+                name = f"p{int(round(p * 100)):02d}_{c}"
+                aggs.append(F.percentile(col, F.lit(float(p))).alias(name))
+                names.append(name)
         out = (
             self.df.groupBy(*self.series_ids, bucket.alias("__win"))
             .agg(*aggs)
             .withColumn(self.ts_col, F.col("__win.start"))
             .drop("__win")
-            .select(*self.series_ids, self.ts_col, *[a for c in cols for a in (
-                f"mean_{c}", f"count_{c}", f"min_{c}", f"max_{c}", f"sum_{c}", f"stddev_{c}")])
+            .select(*self.series_ids, self.ts_col, *names)
         )
         return TSDF(out, ts_col=self.ts_col, series_ids=self.series_ids, validate=False)
 

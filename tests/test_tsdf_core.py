@@ -685,3 +685,19 @@ class TestEmaConflictingParams:
         a = {(r.symbol, str(r.event_ts)): r.ema_trade_pr for r in tsdf.EMA("trade_pr").df.collect()}
         b = {(r.symbol, str(r.event_ts)): r.ema_trade_pr for r in tsdf.EMA("trade_pr", exp_factor=0.2).df.collect()}
         assert a == b
+
+
+class TestGroupedStatsPercentiles:
+    def test_percentiles(self, spark):
+        rows = [("A", ts(f"2020-01-01 00:00:{s:02d}"), float(v))
+                for s, v in [(1, 10), (2, 20), (3, 30), (4, 40)]]
+        t = TSDF(
+            spark.createDataFrame(rows, "k string, event_ts timestamp, v double"),
+            ts_col="event_ts", series_ids=["k"],
+        )
+        out = t.withGroupedStats(freq="1 minute", percentiles=[0.5, 0.95]).df.collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.p50_v == pytest.approx(25.0)   # interpolated median of 10..40
+        assert r.p95_v == pytest.approx(38.5)
+        assert r.mean_v == pytest.approx(25.0) and r.count_v == 4
