@@ -334,6 +334,55 @@ def asof_bin_probe(spark, n_rows: int, n_series: int) -> dict:
     return out
 
 
+def ivljoin_probe(spark, n_rows: int, n_series: int) -> dict:
+    """join_intervals plain vs bin_seconds on FEW series with long-lived
+    probes (the shape where the per-series range join widens): left = 1h
+    intervals, right = staggered 2h probes, 8 series. Checksummed-equal
+    outputs; the bin key bounds each sort-merge group to co-binned rows."""
+    from tempo_spark.intervals import IntervalsDF
+
+    def frame(width_s, offset):
+        return spark.range(n_rows).select(
+            (F.col("id") % n_series).alias("k"),
+            F.timestamp_seconds((F.col("id") / n_series).cast("long") * 60 + offset).alias("start_ts"),
+            F.timestamp_seconds(
+                (F.col("id") / n_series).cast("long") * 60 + offset + width_s
+            ).alias("end_ts"),
+            (F.col("id") % 997).alias("m"),
+        )
+
+    left = IntervalsDF(frame(3600, 0), "start_ts", "end_ts", ["k"])
+    right = IntervalsDF(
+        frame(7200, 30).withColumnRenamed("m", "rm"), "start_ts", "end_ts", ["k"]
+    )
+    out: dict = {"n_rows": n_rows, "n_series": n_series}
+
+    def run(label, **kw):
+        t0 = time.monotonic()
+        agg = (
+            left.join_intervals(right, **kw)
+            .df.agg(
+                F.count("*").alias("n"),
+                F.sum(F.unix_micros("overlap_end") - F.unix_micros("overlap_start")).alias("chk"),
+            )
+            .collect()[0]
+        )
+        out[label] = {"sec": round(time.monotonic() - t0, 1), "pairs": agg.n, "checksum": int(agg.chk)}
+
+    run("binned", bin_seconds=3600.0)
+    # the PLAIN per-series range join is the degeneration this probe
+    # documents: at 500k rows / 8 series each sort-merge group runs
+    # 62.5k × 62.5k range compares (~4B per series — a first attempt was
+    # killed after 9 minutes). Only run it at sizes where it terminates.
+    if n_rows <= 100_000:
+        run("plain")
+        out["paths_agree"] = (
+            out["plain"]["pairs"] == out["binned"]["pairs"]
+            and out["plain"]["checksum"] == out["binned"]["checksum"]
+        )
+    return out
+
+
 def corr_probe(spark, n_rows: int, n_series: int) -> dict:
     """withRangeCorr prefix vs sliding at a dense frame (~600 in-frame
     rows): the sliding formulation re-aggregates every sum per row
@@ -520,6 +569,20 @@ def main():
         spark.sparkContext.setLogLevel("ERROR")
         for n in (1_000_000, 4_000_000):
             print(json.dumps(text_probe(spark, n)))
+        spark.stop()
+        return
+    if "--ivljoin" in sys.argv:
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "64")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "24g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        for n in (100_000, 500_000, 2_000_000):
+            print(json.dumps(ivljoin_probe(spark, n, 8)))
         spark.stop()
         return
     if "--corr" in sys.argv:
