@@ -120,6 +120,34 @@ def _ivf_kmeans_topk(spark, sf_dir):
     return idx.topk(queries, k=5, nprobe=2)
 
 
+def _range_corr(spark, sf_dir):
+    # production prefix strategy (O(n) sufficient-sum differences)
+    de = entry_mod._dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    de = de.withColumn("y", F.expr("cents % 1000"))
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    return t.withRangeCorr("cents", "y", rangeBackWindowSecs=1000).df
+
+
+def _paragraph_dedup(spark, sf_dir):
+    # word-grain keep-first dedup (single-line docs; production xxhash64)
+    from tempo_spark.pipeline.dedup import dedup_paragraphs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_paragraphs(docs.select("doc_id", "text"), "doc_id", sep=" ")
+
+
+def _mix(spark, sf_dir):
+    from tempo_spark.pipeline.sampling import mix_by_group
+    from tempo_spark.pipeline.text import with_token_count
+
+    docs = with_token_count(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return mix_by_group(
+        docs, "doc_id", "lang",
+        {"en": 0.5, "de": 0.25, "es": 0.125, "fr": 0.125},
+        token_col="n_tokens",
+    )
+
+
 def _range_stats(spark, sf_dir):
     # single-strategy production path (the gate entry union-tags BOTH the
     # sliding and prefix+block strategies, doubling its work on purpose)
@@ -158,6 +186,9 @@ BENCH_QUERIES = {
     "b16_composite_funnel": entry_mod.q_composite_funnel,
     "b18_corpus_neardedup": _corpus_neardedup,
     "b19_tfidf": _tfidf,
+    "b20_range_corr": _range_corr,
+    "b21_paragraph_dedup": _paragraph_dedup,
+    "b22_mix": _mix,
 }
 
 RUNS = 3
