@@ -1615,10 +1615,17 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       alpha-word fraction (the one non-vacuous Gopher flag on single-line
       gate docs; ``[A-Za-z]`` means the same thing in Java and RE2
       regexes, so this one IS cross-engine gateable unlike the PII
-      patterns)."""
+      patterns);
+    - ``entropy``: ``with_char_entropy`` — distributed Shannon character
+      entropy in bits (gibberish detector), hardened-rounded (log2 ulps
+      across engines sit ~1e-15 against the 1e-6 grid)."""
     from tempo_spark.pipeline.dedup import ngram_contamination
     from tempo_spark.pipeline.filtering import filter_by_group_stats
-    from tempo_spark.pipeline.text import with_gopher_flags, with_quality_score
+    from tempo_spark.pipeline.text import (
+        with_char_entropy,
+        with_gopher_flags,
+        with_quality_score,
+    )
 
     docs = _read(spark, sf_dir, "documents")
     scored = with_quality_score(docs, "text")
@@ -1641,7 +1648,15 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     gopher = with_gopher_flags(docs, "text").select(
         F.lit("gopher").alias("tag"), "doc_id", F.col("alpha_word_frac").alias("val")
     )
-    return quality.unionByName(contam).unionByName(src).unionByName(gopher)
+    entropy = with_char_entropy(docs.select("doc_id", "text"), "doc_id").select(
+        F.lit("entropy").alias("tag"), "doc_id", F.col("char_entropy").alias("val")
+    )
+    return (
+        quality.unionByName(contam)
+        .unionByName(src)
+        .unionByName(gopher)
+        .unionByName(entropy)
+    )
 
 
 _QUALITY_ORACLE = """
@@ -1712,6 +1727,19 @@ SELECT 'gopher' AS tag, doc_id,
                         * 1.0 / len(tok)) * 1000000 + 0.5) / 1000000
             ELSE 0.0 END AS val
 FROM toks
+UNION ALL
+SELECT 'entropy' AS tag, d.doc_id, coalesce(e.h, 0.0) AS val
+FROM documents d LEFT JOIN (
+  SELECT doc_id,
+         floor(sum(-(c / n) * log2(c / n)) * 1000000 + 0.5) / 1000000 AS h
+  FROM (
+    SELECT doc_id, CAST(length(text) AS DOUBLE) AS n, ch,
+           CAST(count(*) AS DOUBLE) AS c
+    FROM (SELECT doc_id, text,
+                 unnest(list_filter(string_split(text, ''), x -> x != '')) AS ch
+          FROM documents)
+    GROUP BY doc_id, length(text), ch)
+  GROUP BY doc_id) e ON d.doc_id = e.doc_id
 """
 
 

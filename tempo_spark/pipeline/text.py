@@ -231,6 +231,48 @@ def with_ngram_char_fracs(
     )
 
 
+def with_char_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    out: str = "char_entropy",
+    broadcast_back: bool = False,
+) -> DataFrame:
+    """Shannon entropy of the document's character distribution, in bits —
+    the classic gibberish/low-diversity detector (``aaaaaaa`` ≈ 0 bits,
+    natural English ≈ 4–4.5 bits, base64 blobs ≈ 6): filter
+    ``out < 2`` for repeated-char spam and ``out > 5.5`` for binary junk.
+
+    Same distributed shape (and the same ``id_col`` uniqueness contract)
+    as ``with_ngram_char_fracs`` — an exact per-row HOF would be
+    O(alphabet × length) per document, so instead: explode characters →
+    map-side-combined ``groupBy(id, char)`` → one per-doc entropy
+    aggregate over the (tiny) per-character counts → null-safe join back.
+    Empty/null text yields 0.0. Hardened-rounded to 1e-6."""
+    chars = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__n"),
+        F.explode_outer(F.split(F.col(text_col), "")).alias("__ch"),
+    ).where(F.col("__ch").isNotNull() & (F.col("__ch") != ""))
+    counts = chars.groupBy(id_col, "__n", "__ch").agg(F.count("*").alias("__c"))
+    p = F.col("__c") / F.col("__n")
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum(-p * F.log2(p)).alias("__h")
+    )
+    from tempo_spark.pipeline.dedup import _hardened_round6 as hr6
+
+    ent = per_doc.select(
+        F.col(id_col).alias("__ce_id"), hr6(F.col("__h")).alias(out)
+    )
+    if broadcast_back:
+        ent = F.broadcast(ent)
+    return (
+        df.join(ent, F.col(id_col).eqNullSafe(F.col("__ce_id")), "left")
+        .drop("__ce_id")
+        .withColumn(out, F.coalesce(F.col(out), F.lit(0.0)))
+    )
+
+
 #: pattern library for with_pattern_counts; Java-regex flavored (the Spark
 #: side is authoritative — cross-engine regex dialects differ, so these
 #: columns are deliberately NOT oracle-gated)

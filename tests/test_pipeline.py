@@ -2289,3 +2289,38 @@ class TestGopherReservedCols:
         df = spark.createDataFrame([(0, "a b", 1)], "doc_id long, text string, __gf_toks int")
         with pytest.raises(ValueError, match="reserved"):
             text.with_gopher_flags(df)
+
+
+class TestCharEntropy:
+    def test_matches_python_model(self, spark):
+        import math
+        from collections import Counter
+
+        rows = [
+            (0, "aaaaaaaa"),
+            (1, "abababab"),
+            (2, "the quick brown fox"),
+            (3, ""),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.char_entropy for r in text.with_char_entropy(df, "doc_id").collect()}
+
+        def model(t):
+            if not t:
+                return 0.0
+            c = Counter(t)
+            n = len(t)
+            h = -sum((k / n) * math.log2(k / n) for k in c.values())
+            return math.floor(h * 1e6 + 0.5) / 1e6
+
+        for i, t in rows:
+            assert got[i] == pytest.approx(model(t), abs=2e-6), (i, t)
+        assert got[0] == 0.0 and got[1] == pytest.approx(1.0)
+        assert got[2] > 3.0
+
+    def test_no_python_workers(self, spark):
+        from tempo_spark.plans.inspect import count_python_evals
+
+        df = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+        assert count_python_evals(text.with_char_entropy(df, "doc_id")) == 0
