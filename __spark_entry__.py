@@ -133,32 +133,64 @@ def _hr3(expr: str) -> str:
 # ------------------------------------------------------------------ queries
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship as-of ∪ ``asofJoinMany``, union-tagged:
+
+    - ``single``: the plain backward as-of (view columns null);
+    - ``many``: clicks ← latest purchase AND latest view in ONE
+      shuffle/sort (``asofJoinMany``), replayed by two chained DuckDB
+      ASOF joins."""
     ev = _read(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
-    purchases = (
-        ev.where(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("p_value"))
-    )
+
+    def grouped(etype: str, alias: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias(alias))
+        )
+
     left = TSDF(clicks, ts_col="ts", series_ids=["user_id"])
-    right = TSDF(purchases, ts_col="ts", series_ids=["user_id"])
-    out = left.asofJoin(right, left_prefix="left", right_prefix="right").df
-    return out.select(
+    right = TSDF(grouped("purchase", "p_value"), ts_col="ts", series_ids=["user_id"])
+    views = TSDF(grouped("view", "w_value"), ts_col="ts", series_ids=["user_id"])
+    single = left.asofJoin(right, left_prefix="left", right_prefix="right").df.select(
+        F.lit("single").alias("tag"),
         "user_id",
         F.col("left_ts").alias("click_ts"),
         _R6(F.col("left_value")).alias("click_value"),
         F.col("right_ts").alias("purchase_ts"),
         _R6(F.col("right_p_value")).alias("purchase_value"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.lit(None).cast("double").alias("view_value"),
     )
+    many = left.asofJoinMany({"right": right, "view": views}).df.select(
+        F.lit("many").alias("tag"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        _R6(F.col("value")).alias("click_value"),
+        F.col("right_ts").alias("purchase_ts"),
+        _R6(F.col("right_p_value")).alias("purchase_value"),
+        F.col("view_ts"),
+        _R6(F.col("view_w_value")).alias("view_value"),
+    )
+    return single.unionByName(many)
 
 
 _ASOF_ORACLE = """
 WITH l AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
 r AS (SELECT user_id, ts, max(value) AS p_value FROM events
-      WHERE event_type = 'purchase' GROUP BY user_id, ts)
-SELECT l.user_id, l.ts AS click_ts, round(l.value, 6) AS click_value,
-       r.ts AS purchase_ts, round(r.p_value, 6) AS purchase_value
-FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      WHERE event_type = 'purchase' GROUP BY user_id, ts),
+w AS (SELECT user_id, ts, max(value) AS w_value FROM events
+      WHERE event_type = 'view' GROUP BY user_id, ts),
+j AS (SELECT l.user_id, l.ts AS click_ts, round(l.value, 6) AS click_value,
+             r.ts AS purchase_ts, round(r.p_value, 6) AS purchase_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts)
+SELECT 'single' AS tag, j.*, CAST(NULL AS TIMESTAMP) AS view_ts,
+       CAST(NULL AS DOUBLE) AS view_value
+FROM j
+UNION ALL
+SELECT 'many' AS tag, j.*, w.ts AS view_ts, round(w.w_value, 6) AS view_value
+FROM j ASOF LEFT JOIN w
+  ON j.user_id = w.user_id AND j.click_ts >= w.ts
 """
 
 # the sql_join_opt entry runs BOTH physical range-join strategies against

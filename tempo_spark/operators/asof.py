@@ -442,3 +442,126 @@ def _range_join(
         r_binned[c].alias(c) for c in r_vals
     ]
     return joined.select(*sel)
+
+
+def asof_join_many(
+    left,
+    rights: "dict[str, object]",
+    skip_nulls: bool = True,
+    allow_exact_matches: bool = True,
+):
+    """N backward as-of joins in ONE shuffle — the multi-source feature
+    join ("attach the latest quote AND the latest sentiment AND the latest
+    funding rate to every trade"). Chaining ``asofJoin`` N times costs N
+    shuffles and N sorts of the (growing) left side; this unions ALL sides
+    once, sorts once per series, and computes every right's last-match
+    with ``last(col, ignorenulls)`` over the same window — each right's
+    columns are null on every other side's rows, so the running last()
+    per column naturally tracks that right alone.
+
+    ``rights`` maps prefix -> TSDF (all must share the left's series ids
+    and ts dtype category). Left columns keep their names; each right's
+    non-series columns arrive ``{prefix}_``-renamed. Ties at equal
+    timestamps: every right row is visible to a left row at the same ts
+    (reference semantics), or strictly earlier only with
+    ``allow_exact_matches=False``. ``skip_nulls`` matches ``asofJoin``:
+    per-column forward fill by default; ``False`` wraps each right's
+    columns in structs so a right row's genuine null overwrites.
+
+    Sequence-column tie-breaking within one right side is not supported
+    here (sort keys are shared across sides) — use the single
+    :func:`asof_join` when a right needs ``sequence_col`` semantics.
+    """
+    from tempo_spark.tsdf import TSDF
+
+    if not rights:
+        raise ValueError("rights must be a non-empty {prefix: TSDF} mapping")
+    from pyspark.sql.types import NumericType
+
+    def _ts_kind(t):
+        dt = t.df.schema[t.ts_col].dataType
+        return "numeric" if isinstance(dt, NumericType) else dt.typeName()
+
+    series = list(left.series_ids)
+    for pfx, r in rights.items():
+        if list(r.series_ids) != series:
+            raise ValueError(
+                f"right {pfx!r}: series ids {r.series_ids} != left {series}"
+            )
+        if _ts_kind(r) != _ts_kind(left):
+            raise ValueError(
+                f"right {pfx!r}: ts dtype {_ts_kind(r)} != left {_ts_kind(left)}"
+            )
+        if r.sequence_col:
+            raise ValueError(
+                f"right {pfx!r} has a sequence_col; use asofJoin (single) "
+                "for sequence tie-breaking"
+            )
+
+    ldf, l_ts, l_seq, l_vals = _prepare_side(left, None)
+    sides = []  # (rec_ind, df, ts_name, value_names)
+    taken = set(l_vals)
+    for i, (pfx, r) in enumerate(rights.items(), start=1):
+        rdf, r_ts, _r_seq, r_vals = _prepare_side(r, pfx)
+        clash = taken & set(r_vals)
+        if clash:
+            raise ValueError(f"prefixes leave colliding columns: {sorted(clash)}")
+        taken |= set(r_vals)
+        sides.append((i, rdf, r_ts, r_vals))
+
+    types: dict[str, str] = dict(ldf.dtypes)
+    for _i, rdf, _ts, _vals in sides:
+        types.update(dict(rdf.dtypes))
+    all_value_cols = list(l_vals) + [c for _i, _d, _t, vals in sides for c in vals]
+
+    def pad(df, own: list[str], ind: int):
+        return df.select(
+            *series,
+            *[
+                (F.col(c) if c in own else F.lit(None).cast(types[c])).alias(c)
+                for c in all_value_cols
+            ],
+            F.lit(ind).alias(_REC_IND),
+        )
+
+    unioned = pad(ldf, l_vals, 0)
+    for i, rdf, _ts, vals in sides:
+        unioned = unioned.unionByName(pad(rdf, vals, i))
+
+    # MATERIALIZE the sort keys before any fill: the fills overwrite each
+    # right's ts column, and a coalesce-over-columns sort key re-resolved
+    # after that would order side N's rows by side N-1's FILLED timestamps
+    # (silently wrong matches). Named key columns pin the order; computing
+    # every fill in ONE select shares a single Sort + Window node.
+    combined_ts = F.coalesce(F.col(l_ts), *[F.col(t) for _i, _d, t, _v in sides])
+    # rights sort BEFORE the left at equal ts when exact matches are
+    # allowed (same-ts rows visible), AFTER it when strict
+    is_left = (F.col(_REC_IND) == 0).cast("int")
+    keyed = unioned.withColumn("__cts", combined_ts).withColumn("__tie", is_left)
+    tie = F.col("__tie").asc() if allow_exact_matches else F.col("__tie").desc()
+    w = (
+        Window.partitionBy(*series)
+        .orderBy(F.col("__cts").asc(), tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fill_for: dict[str, Column] = {}
+    for i, _rdf, _ts, vals in sides:
+        for c in vals:
+            if skip_nulls:
+                fill_for[c] = F.last(F.col(c), ignorenulls=True).over(w)
+            else:
+                wrapped = F.when(F.col(_REC_IND) == i, F.struct(F.col(c).alias("v")))
+                fill_for[c] = F.last(wrapped, ignorenulls=True).over(w).getField("v")
+    filled = keyed.select(
+        *series,
+        *[fill_for.get(c, F.col(c)).alias(c) for c in all_value_cols],
+        _REC_IND,
+    )
+    out = filled.where(F.col(_REC_IND) == 0).drop(_REC_IND)
+    return TSDF(
+        out.select(*series, *all_value_cols),
+        ts_col=l_ts,
+        series_ids=series,
+        sequence_col=l_seq,
+        validate=False,
+    )

@@ -419,6 +419,24 @@ class TSDF:
                         )
         return result
 
+    def asofJoinMany(
+        self,
+        rights: "dict[str, TSDF]",
+        skipNulls: bool = True,
+        allowExactMatches: bool = True,
+    ) -> "TSDF":
+        """N backward as-of joins in ONE shuffle (beyond the reference):
+        ``trades.asofJoinMany({"quote": quotes, "sent": sentiment})``
+        attaches each right's latest row per series with a single sort —
+        chaining ``asofJoin`` N times pays N shuffles of the growing left.
+        See ``tempo_spark.operators.asof.asof_join_many`` for semantics."""
+        from tempo_spark.operators.asof import asof_join_many
+
+        return asof_join_many(
+            self, rights,
+            skip_nulls=skipNulls, allow_exact_matches=allowExactMatches,
+        )
+
     # ------------------------------------------------------- window analytics
 
     def withRangeStats(

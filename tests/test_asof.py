@@ -501,3 +501,93 @@ class TestAllowExactMatches:
             right, left_prefix="l", tsPartitionVal=60, allowExactMatches=False
         ))
         assert skew == want
+
+
+class TestAsofJoinMany:
+    def _frames(self, spark):
+        t0 = dt.datetime(2020, 1, 1)
+        sec = lambda s: t0 + dt.timedelta(seconds=s)
+        left = TSDF(
+            spark.createDataFrame(
+                [("A", sec(10), 1.0), ("A", sec(25), 2.0), ("B", sec(10), 3.0)],
+                "k string, ts timestamp, v double",
+            ),
+            ts_col="ts", series_ids=["k"],
+        )
+        r1 = TSDF(
+            spark.createDataFrame(
+                [("A", sec(5), 100.0), ("A", sec(20), 200.0)],
+                "k string, ts timestamp, q double",
+            ),
+            ts_col="ts", series_ids=["k"],
+        )
+        r2 = TSDF(
+            spark.createDataFrame(
+                [("A", sec(10), 7.0), ("B", sec(4), 8.0)],
+                "k string, ts timestamp, s double",
+            ),
+            ts_col="ts", series_ids=["k"],
+        )
+        return left, r1, r2
+
+    def test_matches_chained_single_joins(self, spark):
+        left, r1, r2 = self._frames(spark)
+        many = left.asofJoinMany({"a": r1, "b": r2}).df
+        chained = left.asofJoin(r1, right_prefix="a").asofJoin(r2, right_prefix="b").df
+        key = lambda r: (r.k, str(r.ts), r.v, r.a_q, r.b_s,
+                         None if r.a_ts is None else str(r.a_ts),
+                         None if r.b_ts is None else str(r.b_ts))
+        assert sorted(map(key, many.collect())) == sorted(map(key, chained.collect()))
+
+    def test_one_shuffle_for_n_rights(self, spark):
+        from tempo_spark.plans.inspect import count_exchanges
+
+        left, r1, r2 = self._frames(spark)
+        many = left.asofJoinMany({"a": r1, "b": r2})
+        chained = left.asofJoin(r1, right_prefix="a").asofJoin(r2, right_prefix="b")
+        assert count_exchanges(many.df) == 1
+        assert count_exchanges(chained.df) == 2  # the cost this op removes
+
+    def test_strict_and_skipnulls(self, spark):
+        left, r1, r2 = self._frames(spark)
+        strict = {(r.k, str(r.ts)): r.b_s for r in left.asofJoinMany(
+            {"a": r1, "b": r2}, allowExactMatches=False
+        ).df.collect()}
+        # B@10 matched r2 B@4 (earlier) but A@10's equal-ts r2 row is skipped
+        assert strict[("A", "2020-01-01 00:00:10")] is None
+        assert strict[("B", "2020-01-01 00:00:10")] == 8.0
+        # skipNulls=False: a genuine null on the latest right row wins
+        r1n = TSDF(
+            left.df.sparkSession.createDataFrame(
+                [("A", dt.datetime(2020, 1, 1, 0, 0, 5), 100.0),
+                 ("A", dt.datetime(2020, 1, 1, 0, 0, 20), None)],
+                "k string, ts timestamp, q double",
+            ),
+            ts_col="ts", series_ids=["k"],
+        )
+        loose = {str(r.ts): r.a_q for r in left.asofJoinMany(
+            {"a": r1n}, skipNulls=False
+        ).df.collect() if r.k == "A"}
+        assert loose["2020-01-01 00:00:25"] is None  # null from the 00:20 row
+        ffill = {str(r.ts): r.a_q for r in left.asofJoinMany(
+            {"a": r1n}
+        ).df.collect() if r.k == "A"}
+        assert ffill["2020-01-01 00:00:25"] == 100.0
+
+    def test_validation(self, spark):
+        left, r1, r2 = self._frames(spark)
+        with pytest.raises(ValueError, match="non-empty"):
+            left.asofJoinMany({})
+        other = TSDF(r1.df, ts_col="ts", series_ids=[])
+        with pytest.raises(ValueError, match="series ids"):
+            left.asofJoinMany({"a": other})
+        seq = TSDF(r1.df.withColumn("sq", r1.df.q), ts_col="ts",
+                   series_ids=["k"], sequence_col="sq")
+        with pytest.raises(ValueError, match="sequence"):
+            left.asofJoinMany({"a": seq})
+        # a left value column named like a prefixed right column collides
+        clash_left = TSDF(
+            left.df.withColumn("a_q", left.df.v), ts_col="ts", series_ids=["k"]
+        )
+        with pytest.raises(ValueError, match="colliding"):
+            clash_left.asofJoinMany({"a": r1})
