@@ -533,3 +533,31 @@ def test_coverage_algebra_pointwise_model(spark, aivals, bivals):
         in_a, in_b = covered(aivals, t), covered(bivals, t)
         assert covered_out(sub, t) == (in_a and not in_b), t
         assert covered_out(inter, t) == (in_a and in_b), t
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 100), min_size=1, max_size=10, unique=True),
+    st.lists(st.integers(0, 100), min_size=0, max_size=10, unique=True),
+    st.lists(st.integers(0, 100), min_size=0, max_size=10, unique=True),
+    st.booleans(),
+)
+def test_asof_join_many_matches_chained(spark, left_ts, r1_ts, r2_ts, exact):
+    """asofJoinMany == the chain of single asofJoins, for random timelines
+    and both exact-match modes."""
+    mk = lambda ts_list, col: spark.createDataFrame(
+        [("k", minutes(m), float(m)) for m in ts_list], f"sym string, event_ts timestamp, {col} double"
+    ) if ts_list else spark.createDataFrame([], f"sym string, event_ts timestamp, {col} double")
+    lt = TSDF(mk(left_ts, "v"), ts_col="event_ts", series_ids=["sym"])
+    r1 = TSDF(mk(r1_ts, "q"), ts_col="event_ts", series_ids=["sym"])
+    r2 = TSDF(mk(r2_ts, "s"), ts_col="event_ts", series_ids=["sym"])
+    many = lt.asofJoinMany({"a": r1, "b": r2}, allowExactMatches=exact).df
+    chained = (
+        lt.asofJoin(r1, right_prefix="a", allowExactMatches=exact)
+        .asofJoin(r2, right_prefix="b", allowExactMatches=exact)
+        .df
+    )
+    key = lambda r: (str(r.event_ts), r.v,
+                     None if r.a_event_ts is None else str(r.a_event_ts), r.a_q,
+                     None if r.b_event_ts is None else str(r.b_event_ts), r.b_s)
+    assert sorted(map(key, many.collect())) == sorted(map(key, chained.collect()))
