@@ -28,6 +28,21 @@ import __spark_entry__ as entry_mod
 from tempo_spark import TSDF
 
 
+def _single_asof(spark, sf_dir):
+    # BASELINE-comparable single as-of (the gate entry now union-tags
+    # single ∪ asofJoinMany, which would double b1's work)
+    ev = entry_mod._read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_value"))
+    )
+    left = TSDF(clicks, ts_col="ts", series_ids=["user_id"])
+    right = TSDF(purchases, ts_col="ts", series_ids=["user_id"])
+    return left.asofJoin(right, left_prefix="left", right_prefix="right").df
+
+
 def _skew_asof(spark, sf_dir):
     ev = entry_mod._read(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
@@ -167,7 +182,7 @@ def _interpolate_linear(spark, sf_dir):
 
 
 BENCH_QUERIES = {
-    "b1_asof_join": entry_mod.q_asof_join,
+    "b1_asof_join": _single_asof,
     "b2_asof_skew": _skew_asof,
     "b3_range_stats": _range_stats,
     "b4_resample_fill": entry_mod.q_upsample_zero_fill,
