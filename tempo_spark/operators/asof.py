@@ -449,6 +449,7 @@ def asof_join_many(
     rights: "dict[str, object]",
     skip_nulls: bool = True,
     allow_exact_matches: bool = True,
+    tolerances: "Optional[dict[str, float]]" = None,
 ):
     """N backward as-of joins in ONE shuffle — the multi-source feature
     join ("attach the latest quote AND the latest sentiment AND the latest
@@ -468,6 +469,10 @@ def asof_join_many(
     per-column forward fill by default; ``False`` wraps each right's
     columns in structs so a right row's genuine null overwrites.
 
+    ``tolerances`` maps prefix -> seconds: that right's columns null out
+    where the match is older than the band (the same post-filter as the
+    single join's ``tolerance``, applied per right).
+
     Sequence-column tie-breaking within one right side is not supported
     here (sort keys are shared across sides) — use the single
     :func:`asof_join` when a right needs ``sequence_col`` semantics.
@@ -476,6 +481,9 @@ def asof_join_many(
 
     if not rights:
         raise ValueError("rights must be a non-empty {prefix: TSDF} mapping")
+    unknown_tol = set(tolerances or {}) - set(rights)
+    if unknown_tol:
+        raise ValueError(f"tolerances for unknown prefixes: {sorted(unknown_tol)}")
     from pyspark.sql.types import NumericType
 
     def _ts_kind(t):
@@ -507,12 +515,14 @@ def asof_join_many(
         if clash:
             raise ValueError(f"prefixes leave colliding columns: {sorted(clash)}")
         taken |= set(r_vals)
-        sides.append((i, rdf, r_ts, r_vals))
+        sides.append((i, pfx, rdf, r_ts, r_vals))
 
     types: dict[str, str] = dict(ldf.dtypes)
-    for _i, rdf, _ts, _vals in sides:
+    for _i, _p, rdf, _ts, _vals in sides:
         types.update(dict(rdf.dtypes))
-    all_value_cols = list(l_vals) + [c for _i, _d, _t, vals in sides for c in vals]
+    all_value_cols = list(l_vals) + [
+        c for _i, _p, _d, _t, vals in sides for c in vals
+    ]
 
     def pad(df, own: list[str], ind: int):
         return df.select(
@@ -525,7 +535,7 @@ def asof_join_many(
         )
 
     unioned = pad(ldf, l_vals, 0)
-    for i, rdf, _ts, vals in sides:
+    for i, _p, rdf, _ts, vals in sides:
         unioned = unioned.unionByName(pad(rdf, vals, i))
 
     # MATERIALIZE the sort keys before any fill: the fills overwrite each
@@ -533,7 +543,9 @@ def asof_join_many(
     # after that would order side N's rows by side N-1's FILLED timestamps
     # (silently wrong matches). Named key columns pin the order; computing
     # every fill in ONE select shares a single Sort + Window node.
-    combined_ts = F.coalesce(F.col(l_ts), *[F.col(t) for _i, _d, t, _v in sides])
+    combined_ts = F.coalesce(
+        F.col(l_ts), *[F.col(t) for _i, _p, _d, t, _v in sides]
+    )
     # rights sort BEFORE the left at equal ts when exact matches are
     # allowed (same-ts rows visible), AFTER it when strict
     is_left = (F.col(_REC_IND) == 0).cast("int")
@@ -545,7 +557,7 @@ def asof_join_many(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     fill_for: dict[str, Column] = {}
-    for i, _rdf, _ts, vals in sides:
+    for i, _p, _rdf, _ts, vals in sides:
         for c in vals:
             if skip_nulls:
                 fill_for[c] = F.last(F.col(c), ignorenulls=True).over(w)
@@ -558,6 +570,28 @@ def asof_join_many(
         _REC_IND,
     )
     out = filled.where(F.col(_REC_IND) == 0).drop(_REC_IND)
+    if tolerances:
+        l_dtype = ldf.schema[l_ts].dataType
+        for i, pfx, rdf, r_ts, vals in sides:
+            tol = tolerances.get(pfx)
+            if tol is None:
+                continue
+            age = ts_to_double(F.col(l_ts), l_dtype) - ts_to_double(
+                F.col(r_ts), rdf.schema[r_ts].dataType
+            )
+            stale = age > F.lit(float(tol))
+            # value columns first, the right ts LAST: `stale` reads r_ts,
+            # so nulling r_ts before the others would re-evaluate every
+            # later predicate against the already-nulled column (same
+            # ordering the single join's tolerance uses)
+            for c in vals:
+                if c != r_ts:
+                    out = out.withColumn(
+                        c, F.when(stale, F.lit(None)).otherwise(F.col(c))
+                    )
+            out = out.withColumn(
+                r_ts, F.when(stale, F.lit(None)).otherwise(F.col(r_ts))
+            )
     return TSDF(
         out.select(*series, *all_value_cols),
         ts_col=l_ts,

@@ -424,6 +424,7 @@ class TSDF:
         rights: "dict[str, TSDF]",
         skipNulls: bool = True,
         allowExactMatches: bool = True,
+        tolerances: Optional[dict] = None,
     ) -> "TSDF":
         """N backward as-of joins in ONE shuffle (beyond the reference):
         ``trades.asofJoinMany({"quote": quotes, "sent": sentiment})``
@@ -435,6 +436,7 @@ class TSDF:
         return asof_join_many(
             self, rights,
             skip_nulls=skipNulls, allow_exact_matches=allowExactMatches,
+            tolerances=tolerances,
         )
 
     # ------------------------------------------------------- window analytics

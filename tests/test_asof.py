@@ -591,3 +591,40 @@ class TestAsofJoinMany:
         )
         with pytest.raises(ValueError, match="colliding"):
             clash_left.asofJoinMany({"a": r1})
+
+
+class TestAsofJoinManyTolerances:
+    def test_per_right_bands(self, spark):
+        t0 = dt.datetime(2020, 1, 1)
+        sec = lambda s: t0 + dt.timedelta(seconds=s)
+        left = TSDF(
+            spark.createDataFrame([("A", sec(100), 1.0)], "k string, ts timestamp, v double"),
+            ts_col="ts", series_ids=["k"],
+        )
+        r1 = TSDF(
+            spark.createDataFrame([("A", sec(95), 5.0)], "k string, ts timestamp, q double"),
+            ts_col="ts", series_ids=["k"],
+        )
+        r2 = TSDF(
+            spark.createDataFrame([("A", sec(10), 9.0)], "k string, ts timestamp, s double"),
+            ts_col="ts", series_ids=["k"],
+        )
+        out = left.asofJoinMany(
+            {"a": r1, "b": r2}, tolerances={"a": 10.0, "b": 30.0}
+        ).df.collect()[0]
+        assert out.a_q == 5.0                       # 5s old, within 10s
+        assert out.b_s is None and out.b_ts is None  # 90s old, outside 30s
+        # matching chained equivalent
+        chained = left.asofJoin(r1, right_prefix="a", tolerance=10).asofJoin(
+            r2, right_prefix="b", tolerance=30
+        ).df.collect()[0]
+        assert (out.a_q, out.b_s) == (chained.a_q, chained.b_s)
+
+    def test_unknown_prefix_raises(self, spark):
+        t0 = dt.datetime(2020, 1, 1)
+        left = TSDF(
+            spark.createDataFrame([("A", t0, 1.0)], "k string, ts timestamp, v double"),
+            ts_col="ts", series_ids=["k"],
+        )
+        with pytest.raises(ValueError, match="unknown prefixes"):
+            left.asofJoinMany({"a": left}, tolerances={"zz": 5.0})
