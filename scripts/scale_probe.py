@@ -334,6 +334,61 @@ def asof_bin_probe(spark, n_rows: int, n_series: int) -> dict:
     return out
 
 
+def asofmany_probe(
+    spark, n_rows: int, n_series: int, n_rights: int, right_rows: int | None = None
+) -> dict:
+    """asofJoinMany vs the chain of single asofJoins: N rights attached to
+    one left. The chain re-shuffles and re-sorts the (widening) left per
+    right; the many-join pays one shuffle + one sort of the whole union.
+    ``right_rows`` sizes each right independently (the typical case:
+    feature sources much smaller than the event stream). Checksummed
+    equal."""
+    from tempo_spark.tsdf import TSDF
+
+    def side(col, offset, rows):
+        step = max(1, n_rows // max(rows, 1))
+        return TSDF(
+            spark.range(rows).select(
+                (F.col("id") % n_series).alias("k"),
+                (
+                    (F.col("id") / n_series).cast("long").cast("double") * step
+                    + offset
+                ).alias("ts"),
+                (F.col("id") % 997).cast("double").alias(col),
+            ),
+            ts_col="ts",
+            series_ids=["k"],
+        )
+
+    rr = right_rows if right_rows is not None else n_rows
+    left = side("v", 0.5, n_rows)
+    rights = {f"r{i}": side("q", 0.1 * i, rr) for i in range(n_rights)}
+    out: dict = {
+        "n_rows": n_rows,
+        "n_series": n_series,
+        "n_rights": n_rights,
+        "right_rows": rr,
+    }
+    chk_cols = [F.sum(F.col(f"r{i}_q")) for i in range(n_rights)]
+
+    def run(label, frame):
+        t0 = time.monotonic()
+        agg = frame.agg(F.count("*").alias("n"), *chk_cols).collect()[0]
+        out[label] = {
+            "sec": round(time.monotonic() - t0, 1),
+            "rows": agg.n,
+            "checksum": [float(agg[i + 1]) for i in range(n_rights)],
+        }
+
+    run("many", left.asofJoinMany(rights).df)
+    chained = left
+    for pfx, r in rights.items():
+        chained = chained.asofJoin(r, right_prefix=pfx)
+    run("chained", chained.df)
+    out["paths_agree"] = out["many"] == dict(out["chained"], sec=out["many"]["sec"])
+    return out
+
+
 def ivljoin_probe(spark, n_rows: int, n_series: int) -> dict:
     """join_intervals plain vs bin_seconds on FEW series with long-lived
     probes (the shape where the per-series range join widens): left = 1h
@@ -569,6 +624,22 @@ def main():
         spark.sparkContext.setLogLevel("ERROR")
         for n in (1_000_000, 4_000_000):
             print(json.dumps(text_probe(spark, n)))
+        spark.stop()
+        return
+    if "--asofmany" in sys.argv:
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "64")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "24g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        for n in (4_000_000, 16_000_000):
+            print(json.dumps(asofmany_probe(spark, n, 10_000, 4)))
+        # the typical shape: rights ≪ left (feature sources vs event stream)
+        print(json.dumps(asofmany_probe(spark, 16_000_000, 10_000, 4, 1_600_000)))
         spark.stop()
         return
     if "--ivljoin" in sys.argv:

@@ -460,6 +460,12 @@ def asof_join_many(
     columns are null on every other side's rows, so the running last()
     per column naturally tracks that right alone.
 
+    When it pays (measured, SCALE.md): the saving is N-1 fewer full-left
+    SHUFFLES — the network-bandwidth term a real cluster prices highest.
+    With rights comparable in size to the left, the single (N+1)·n-row
+    padded-union sort can spill where the chain's two-side stages fit —
+    on a memory-tight executor, chain huge rights instead.
+
     ``rights`` maps prefix -> TSDF (all must share the left's series ids
     and ts dtype category). Left columns keep their names; each right's
     non-series columns arrive ``{prefix}_``-renamed. Ties at equal
