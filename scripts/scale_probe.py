@@ -610,32 +610,31 @@ def text_probe(spark, n_docs: int) -> dict:
     return out
 
 
+def _probe_session():
+    """One shared probe configuration: every scenario must run under the
+    same session settings or cross-probe comparisons silently skew."""
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
 def main():
     skew = "--skew" in sys.argv
     if "--text" in sys.argv:
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "64")
-            .config("spark.ui.enabled", "false")
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.driver.memory", "24g")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
+        spark = _probe_session()
         for n in (1_000_000, 4_000_000):
             print(json.dumps(text_probe(spark, n)))
         spark.stop()
         return
     if "--asofmany" in sys.argv:
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "64")
-            .config("spark.ui.enabled", "false")
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.driver.memory", "24g")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
+        spark = _probe_session()
         for n in (4_000_000, 16_000_000):
             print(json.dumps(asofmany_probe(spark, n, 10_000, 4)))
         # the typical shape: rights ≪ left (feature sources vs event stream)
@@ -643,113 +642,49 @@ def main():
         spark.stop()
         return
     if "--ivljoin" in sys.argv:
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "64")
-            .config("spark.ui.enabled", "false")
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.driver.memory", "24g")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
+        spark = _probe_session()
         for n in (100_000, 500_000, 2_000_000):
             print(json.dumps(ivljoin_probe(spark, n, 8)))
         spark.stop()
         return
     if "--corr" in sys.argv:
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "64")
-            .config("spark.ui.enabled", "false")
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.driver.memory", "24g")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
+        spark = _probe_session()
         for n in (2_000_000, 8_000_000):
             print(json.dumps(corr_probe(spark, n, 10_000)))
         spark.stop()
         return
     if "--paradedup" in sys.argv:
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "64")
-            .config("spark.ui.enabled", "false")
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.driver.memory", "24g")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
+        spark = _probe_session()
         for n in (1_000_000, 4_000_000):
             print(json.dumps(paradedup_probe(spark, n)))
         spark.stop()
         return
     if "--asofbin" in sys.argv:
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "64")
-            .config("spark.ui.enabled", "false")
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.driver.memory", "24g")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
+        spark = _probe_session()
         for n in (2_000_000, 8_000_000):
             print(json.dumps(asof_bin_probe(spark, n, 8)))
         spark.stop()
         return
     if "--stopgram" in sys.argv:
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "64")
-            .config("spark.ui.enabled", "false")
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.driver.memory", "24g")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
+        spark = _probe_session()
         for n in (1_000_000, 4_000_000):
             print(json.dumps(stopgram_probe(spark, n)))
         spark.stop()
         return
     if "--neardedup" in sys.argv:
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "64")
-            .config("spark.ui.enabled", "false")
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.driver.memory", "24g")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
+        spark = _probe_session()
         for corpus_rows in (500_000, 2_000_000):
             print(json.dumps(near_dedup_probe(spark, corpus_rows, corpus_rows // 100)))
         spark.stop()
         return
     if "--corpus" in sys.argv:
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "64")
-            .config("spark.ui.enabled", "false")
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.driver.memory", "24g")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
+        spark = _probe_session()
         for corpus_rows in (8_000_000, 32_000_000):
             print(json.dumps(corpus_dedup_probe(spark, corpus_rows, corpus_rows // 100)))
         spark.stop()
         return
     if "--cc" in sys.argv:
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "64")
-            .config("spark.ui.enabled", "false")
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.driver.memory", "24g")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
+        spark = _probe_session()
         print(json.dumps(cc_probe(spark, 2_000_000, 64)))
         spark.stop()
         return

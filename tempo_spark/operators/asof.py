@@ -49,6 +49,8 @@ from pyspark.sql import Window
 from tempo_spark.functions.timestamps import ts_to_double
 
 _REC_IND = "__tempo_rec_ind"
+_CTS = "__tempo_cts"
+_TIE = "__tempo_tie"
 _TS_PARTITION = "__tempo_ts_partition"
 _IS_ORIGINAL = "__tempo_is_original"
 
@@ -69,6 +71,31 @@ def _prepare_side(tsdf, prefix: Optional[str]):
     seq = mapping.get(tsdf.sequence_col) if tsdf.sequence_col else None
     values = [mapping[c] for c in tsdf.df.columns if c not in tsdf.series_ids]
     return df, ts, seq, values
+
+
+def _ts_kind_of(tsdf) -> str:
+    """Timestamp dtype category for join compatibility checks: every
+    numeric type is one category (epoch numbers compare fine), otherwise
+    the exact type name."""
+    from pyspark.sql.types import NumericType
+
+    dt = tsdf.df.schema[tsdf.ts_col].dataType
+    return "numeric" if isinstance(dt, NumericType) else dt.typeName()
+
+
+def _null_outside_tolerance(df, l_ts, l_dtype, r_ts, r_dtype, r_vals, tol):
+    """Null one right side's columns where the match is older than ``tol``
+    seconds (|left_ts - right_ts| > tol — backward matches are never in
+    the future, so abs() preserves backward semantics while covering
+    forward/nearest). Value columns first, the right ts LAST: the stale
+    predicate reads r_ts, so nulling it first would disarm every later
+    column's check."""
+    age = ts_to_double(F.col(l_ts), l_dtype) - ts_to_double(F.col(r_ts), r_dtype)
+    stale = F.abs(age) > F.lit(float(tol))
+    for c in r_vals:
+        if c != r_ts:
+            df = df.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+    return df.withColumn(r_ts, F.when(stale, F.lit(None)).otherwise(F.col(r_ts)))
 
 
 def asof_join(
@@ -104,16 +131,10 @@ def asof_join(
         )
     # ts dtype categories must match, or the union/compare is meaningless
     # (reference: python/tempo/tsdf.py:198-204)
-    from pyspark.sql.types import NumericType
-
-    def _ts_kind(tsdf):
-        t = tsdf.df.schema[tsdf.ts_col].dataType
-        return "numeric" if isinstance(t, NumericType) else t.typeName()
-
-    if _ts_kind(left) != _ts_kind(right):
+    if _ts_kind_of(left) != _ts_kind_of(right):
         raise ValueError(
-            f"as-of join ts dtypes are incompatible: left {_ts_kind(left)}, "
-            f"right {_ts_kind(right)}"
+            f"as-of join ts dtypes are incompatible: left {_ts_kind_of(left)}, "
+            f"right {_ts_kind_of(right)}"
         )
     if range_join_bin_seconds is not None and not use_range_join:
         raise ValueError("range_join_bin_seconds requires use_range_join=True")
@@ -171,18 +192,12 @@ def asof_join(
         )
 
     if tolerance is not None:
-        # null out right-side values outside the tolerance band (backward
-        # matches are never in the future, so abs() preserves reference
-        # semantics there while also covering forward/nearest)
-        ts_dtype = joined.schema[l_ts].dataType
-        age = ts_to_double(F.col(l_ts), ts_dtype) - ts_to_double(
-            F.col(r_ts), joined.schema[r_ts].dataType
+        # reference post-filter (python/tempo/tsdf.py:919-945), shared with
+        # asofJoinMany's per-right tolerances
+        joined = _null_outside_tolerance(
+            joined, l_ts, joined.schema[l_ts].dataType,
+            r_ts, joined.schema[r_ts].dataType, r_vals, tolerance,
         )
-        stale = F.abs(age) > F.lit(float(tolerance))
-        for c in r_vals:
-            if c != r_ts:
-                joined = joined.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
-        joined = joined.withColumn(r_ts, F.when(stale, F.lit(None)).otherwise(F.col(r_ts)))
 
     out_cols = series + [c for c in l_vals] + [c for c in r_vals]
     return TSDF(
@@ -490,11 +505,6 @@ def asof_join_many(
     unknown_tol = set(tolerances or {}) - set(rights)
     if unknown_tol:
         raise ValueError(f"tolerances for unknown prefixes: {sorted(unknown_tol)}")
-    from pyspark.sql.types import NumericType
-
-    def _ts_kind(t):
-        dt = t.df.schema[t.ts_col].dataType
-        return "numeric" if isinstance(dt, NumericType) else dt.typeName()
 
     series = list(left.series_ids)
     for pfx, r in rights.items():
@@ -502,9 +512,9 @@ def asof_join_many(
             raise ValueError(
                 f"right {pfx!r}: series ids {r.series_ids} != left {series}"
             )
-        if _ts_kind(r) != _ts_kind(left):
+        if _ts_kind_of(r) != _ts_kind_of(left):
             raise ValueError(
-                f"right {pfx!r}: ts dtype {_ts_kind(r)} != left {_ts_kind(left)}"
+                f"right {pfx!r}: ts dtype {_ts_kind_of(r)} != left {_ts_kind_of(left)}"
             )
         if r.sequence_col:
             raise ValueError(
@@ -513,7 +523,7 @@ def asof_join_many(
             )
 
     ldf, l_ts, l_seq, l_vals = _prepare_side(left, None)
-    sides = []  # (rec_ind, df, ts_name, value_names)
+    sides = []  # (rec_ind, prefix, df, ts_name, value_names)
     taken = set(l_vals)
     for i, (pfx, r) in enumerate(rights.items(), start=1):
         rdf, r_ts, _r_seq, r_vals = _prepare_side(r, pfx)
@@ -522,6 +532,11 @@ def asof_join_many(
             raise ValueError(f"prefixes leave colliding columns: {sorted(clash)}")
         taken |= set(r_vals)
         sides.append((i, pfx, rdf, r_ts, r_vals))
+    # staging keys are namespaced like every other internal column; a user
+    # column with one of these names would be silently overwritten
+    reserved = {_REC_IND, _CTS, _TIE} & (taken | set(series))
+    if reserved:
+        raise ValueError(f"reserved column names present in input: {sorted(reserved)}")
 
     types: dict[str, str] = dict(ldf.dtypes)
     for _i, _p, rdf, _ts, _vals in sides:
@@ -555,24 +570,40 @@ def asof_join_many(
     # rights sort BEFORE the left at equal ts when exact matches are
     # allowed (same-ts rows visible), AFTER it when strict
     is_left = (F.col(_REC_IND) == 0).cast("int")
-    keyed = unioned.withColumn("__cts", combined_ts).withColumn("__tie", is_left)
-    tie = F.col("__tie").asc() if allow_exact_matches else F.col("__tie").desc()
-    w = (
-        Window.partitionBy(*series)
-        .orderBy(F.col("__cts").asc(), tie)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed = unioned.withColumn(_CTS, combined_ts).withColumn(_TIE, is_left)
+
+    # the fill expressions are PARSED SQL, not Column-API compositions:
+    # this operator's target shape is many rights × several columns each,
+    # and N windowed Column objects cost ~6 py4j round-trips apiece at
+    # plan-build time (the simhash/minhash lesson — audit any operator
+    # building >30 Columns in a loop); one parser call per column builds a
+    # bit-identical plan
+    def bq(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    over = (
+        "OVER (PARTITION BY "
+        + ", ".join(bq(s) for s in series)
+        + f" ORDER BY {bq(_CTS)} ASC, {bq(_TIE)} "
+        + ("ASC" if allow_exact_matches else "DESC")
+        + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    fill_for: dict[str, Column] = {}
+    fill_for: dict[str, str] = {}
     for i, _p, _rdf, _ts, vals in sides:
         for c in vals:
             if skip_nulls:
-                fill_for[c] = F.last(F.col(c), ignorenulls=True).over(w)
+                fill_for[c] = f"last({bq(c)}, true) {over}"
             else:
-                wrapped = F.when(F.col(_REC_IND) == i, F.struct(F.col(c).alias("v")))
-                fill_for[c] = F.last(wrapped, ignorenulls=True).over(w).getField("v")
+                fill_for[c] = (
+                    f"(last(CASE WHEN {bq(_REC_IND)} = {i} "
+                    f"THEN struct({bq(c)} AS v) END, true) {over}).v"
+                )
     filled = keyed.select(
         *series,
-        *[fill_for.get(c, F.col(c)).alias(c) for c in all_value_cols],
+        *[
+            F.expr(fill_for[c]).alias(c) if c in fill_for else F.col(c)
+            for c in all_value_cols
+        ],
         _REC_IND,
     )
     out = filled.where(F.col(_REC_IND) == 0).drop(_REC_IND)
@@ -580,24 +611,10 @@ def asof_join_many(
         l_dtype = ldf.schema[l_ts].dataType
         for i, pfx, rdf, r_ts, vals in sides:
             tol = tolerances.get(pfx)
-            if tol is None:
-                continue
-            age = ts_to_double(F.col(l_ts), l_dtype) - ts_to_double(
-                F.col(r_ts), rdf.schema[r_ts].dataType
-            )
-            stale = age > F.lit(float(tol))
-            # value columns first, the right ts LAST: `stale` reads r_ts,
-            # so nulling r_ts before the others would re-evaluate every
-            # later predicate against the already-nulled column (same
-            # ordering the single join's tolerance uses)
-            for c in vals:
-                if c != r_ts:
-                    out = out.withColumn(
-                        c, F.when(stale, F.lit(None)).otherwise(F.col(c))
-                    )
-            out = out.withColumn(
-                r_ts, F.when(stale, F.lit(None)).otherwise(F.col(r_ts))
-            )
+            if tol is not None:
+                out = _null_outside_tolerance(
+                    out, l_ts, l_dtype, r_ts, rdf.schema[r_ts].dataType, vals, tol
+                )
     return TSDF(
         out.select(*series, *all_value_cols),
         ts_col=l_ts,

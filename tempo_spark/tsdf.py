@@ -46,6 +46,25 @@ TsLiteral = Union[str, int, float]
 _SUMMARIZABLE = (NumericType,)
 
 
+def _pct_name(p: float, col: str) -> str:
+    """Percentile output column name: integral percents keep the classic
+    ``p50_x`` form; fractional percents spell the decimals with an
+    underscore (``0.125`` → ``p12_5_x``) instead of silently colliding
+    with their floor."""
+    pct = p * 100
+    if float(pct).is_integer():
+        return f"p{int(round(pct)):02d}_{col}"
+    return "p" + f"{pct:g}".replace(".", "_") + f"_{col}"
+
+
+def _pct_names(percentiles, col: str) -> "list[str]":
+    names = [_pct_name(p, col) for p in percentiles]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(f"percentiles collide on output names: {sorted(dupes)}")
+    return names
+
+
 class TSDF:
     """Time-series DataFrame wrapper. Immutable; every operator returns a new
     TSDF (or DataFrame where the result is no longer a time series)."""
@@ -633,8 +652,9 @@ class TSDF:
                     # forward lookup below, not a sliding frame
                     pairs = [p for p in pairs if p[0].split("_", 1)[0] not in ("min", "max")]
                 exprs += keep(pairs)
-                for p in percentiles or ():
-                    name = f"p{int(round(p * 100)):02d}_{c}"
+                for p, name in zip(
+                    percentiles or (), _pct_names(percentiles or (), c)
+                ):
                     exprs.append(F.percentile(col, F.lit(float(p))).over(w).alias(name))
             base = out.select("*", *exprs, *helper_exprs)
             if not use_block:
@@ -646,9 +666,7 @@ class TSDF:
                     for s in ("mean", "count", "min", "max", "sum", "stddev", "zscore")
                     if s in wanted
                 ]
-                final_names += [
-                    f"p{int(round(p * 100)):02d}_{c}" for p in percentiles or ()
-                ]
+                final_names += _pct_names(percentiles or (), c)
             return self._with_df(
                 self._finish_block_minmax(
                     base, cols, minmax, back_micros, final_names
@@ -667,8 +685,9 @@ class TSDF:
                 (f"stddev_{c}", std),
                 (f"zscore_{c}", F.when(std != 0.0, (col - mean) / std)),
             ])
-            for p in percentiles or ():
-                name = f"p{int(round(p * 100)):02d}_{c}"
+            for p, name in zip(
+                percentiles or (), _pct_names(percentiles or (), c)
+            ):
                 exprs.append(F.percentile(col, F.lit(float(p))).over(w).alias(name))
         return self._with_df(out.select("*", *exprs))
 
@@ -882,8 +901,9 @@ class TSDF:
                 f"mean_{c}", f"count_{c}", f"min_{c}", f"max_{c}",
                 f"sum_{c}", f"stddev_{c}",
             ]
-            for p in percentiles or ():
-                name = f"p{int(round(p * 100)):02d}_{c}"
+            for p, name in zip(
+                percentiles or (), _pct_names(percentiles or (), c)
+            ):
                 aggs.append(F.percentile(col, F.lit(float(p))).alias(name))
                 names.append(name)
         out = (

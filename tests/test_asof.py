@@ -628,3 +628,37 @@ class TestAsofJoinManyTolerances:
         )
         with pytest.raises(ValueError, match="unknown prefixes"):
             left.asofJoinMany({"a": left}, tolerances={"zz": 5.0})
+
+
+class TestAsofManyReservedAndSql:
+    def test_reserved_column_rejected(self, spark):
+        t0 = dt.datetime(2020, 1, 1)
+        left = TSDF(
+            spark.createDataFrame(
+                [("A", t0, 1.0, 2.0)],
+                "k string, ts timestamp, v double, __tempo_cts double",
+            ),
+            ts_col="ts", series_ids=["k"],
+        )
+        with pytest.raises(ValueError, match="reserved"):
+            left.asofJoinMany({"a": TSDF(
+                spark.createDataFrame([("A", t0, 3.0)], "k string, ts timestamp, q double"),
+                ts_col="ts", series_ids=["k"],
+            )})
+
+
+class TestPercentileNaming:
+    def test_fractional_percentiles_distinct(self, spark):
+        rows = [("A", ts("2020-01-01 00:00:01"), float(v)) for v in range(1, 9)]
+        t = TSDF(
+            spark.createDataFrame(rows, "k string, event_ts timestamp, v double"),
+            ts_col="event_ts", series_ids=["k"],
+        )
+        out = t.withGroupedStats(freq="1 minute", percentiles=[0.12, 0.125]).df
+        assert "p12_v" in out.columns and "p12_5_v" in out.columns
+        r = out.collect()[0]
+        assert r.p12_v != r.p12_5_v  # genuinely different quantiles
+        with pytest.raises(ValueError, match="collide"):
+            t.withGroupedStats(freq="1 minute", percentiles=[0.5, 0.5])
+        with pytest.raises(ValueError, match="collide"):
+            t.withRangeStats(rangeBackWindowSecs=60, percentiles=[0.9, 0.9]).df.collect()
