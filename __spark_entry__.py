@@ -854,20 +854,38 @@ SELECT user_id, ts, round(value, 6) AS v FROM ranked WHERE rn = 1
 
 
 def q_interpolate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """show_interpolated contract: is_ts_interpolated marks synthesized
-    buckets; is_interpolated_<col> marks filled values."""
+    """show_interpolated contract ∪ in-place fills, union-tagged:
+
+    - ``grid``: resample+ffill with is_ts_interpolated / is_filled flags;
+    - ``inplace``: ``fillForward`` on the ORIGINAL row grid (nulls
+      injected deterministically at cents %% 7 == 0), no resampling —
+      the plain pandas ffill."""
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
     out = t.resample("30 minutes", "mean").interpolate(
         "ffill", show_interpolated=True
     ).df
-    return out.select(
+    grid = out.select(
+        F.lit("grid").alias("tag"),
         "user_id",
         F.col("ts").alias("bucket_ts"),
         _HR6(F.col("cents") / 100).alias("v"),
         F.col("is_ts_interpolated"),
         F.col("is_interpolated_cents").alias("is_filled"),
     )
+    holes = de.withColumn("__was_null", F.col("cents") % 7 == 0).withColumn(
+        "cents", F.when(F.col("cents") % 7 != 0, F.col("cents"))
+    )
+    filled = TSDF(holes, ts_col="ts", series_ids=["user_id"]).fillForward(["cents"])
+    inplace = filled.df.select(
+        F.lit("inplace").alias("tag"),
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        _HR6(F.col("cents") / 100).alias("v"),
+        F.lit(False).alias("is_ts_interpolated"),
+        (F.col("__was_null") & F.col("cents").isNotNull()).alias("is_filled"),
+    )
+    return grid.unionByName(inplace)
 
 
 _INTERP_FLAGS_ORACLE = f"""
@@ -880,12 +898,25 @@ grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '30 minutes')) 
          FROM bounds),
 joined AS (SELECT g.user_id, g.b, a.v, a.v IS NULL AS missing
            FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.b = a.b)
-SELECT user_id, b AS bucket_ts,
+SELECT 'grid' AS tag, user_id, b AS bucket_ts,
        floor((last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100) * 1000000 + 0.5) / 1000000 AS v,
        missing AS is_ts_interpolated,
        missing AS is_filled
 FROM joined
+UNION ALL
+SELECT 'inplace' AS tag, user_id, ts AS bucket_ts,
+       floor((last_value(CASE WHEN cents % 7 != 0 THEN cents END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100)
+             * 1000000 + 0.5) / 1000000 AS v,
+       FALSE AS is_ts_interpolated,
+       (cents % 7 = 0) AND
+       last_value(CASE WHEN cents % 7 != 0 THEN cents END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL
+         AS is_filled
+FROM de
 """
 
 

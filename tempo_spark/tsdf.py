@@ -1286,6 +1286,36 @@ class TSDF:
 
         return _resample(self, freq, func, metric_cols=metricCols, prefix=prefix, fill=fill)
 
+    def fillForward(self, cols: Optional[Sequence[str]] = None) -> "TSDF":
+        """Per-series in-place forward fill: each null metric takes the most
+        recent earlier non-null value in its own series — WITHOUT changing
+        the row grid (``interpolate("ffill")`` resamples onto a frequency
+        first; this is the plain pandas ``ffill`` on the existing rows).
+        One shuffle; ``last(col, ignorenulls)`` over the growing per-series
+        window, which Spark evaluates incrementally (O(n))."""
+        targets = list(cols or self.metric_cols)
+        w = self.base_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = self.df
+        for c in targets:
+            out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+        return self._with_df(out)
+
+    def fillBackward(self, cols: Optional[Sequence[str]] = None) -> "TSDF":
+        """Per-series in-place backward fill (pandas ``bfill`` on the
+        existing rows): each null metric takes the next LATER non-null
+        value. Implemented as ``first(col, ignorenulls)`` over the
+        DESC-ordered growing frame — incremental O(n), unlike a
+        ``[currentRow, unboundedFollowing]`` frame which Spark
+        re-aggregates per row (the block-minmax lesson)."""
+        targets = list(cols or self.metric_cols)
+        w = self.base_window(reverse=True).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        out = self.df
+        for c in targets:
+            out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+        return self._with_df(out)
+
     def interpolate(
         self,
         method: str,

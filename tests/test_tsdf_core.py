@@ -701,3 +701,40 @@ class TestGroupedStatsPercentiles:
         assert r.p50_v == pytest.approx(25.0)   # interpolated median of 10..40
         assert r.p95_v == pytest.approx(38.5)
         assert r.mean_v == pytest.approx(25.0) and r.count_v == 4
+
+
+class TestFillForwardBackward:
+    def _t(self, spark):
+        rows = [
+            ("A", ts("2020-01-01 00:00:01"), None, 10.0),
+            ("A", ts("2020-01-01 00:00:02"), 2.0, None),
+            ("A", ts("2020-01-01 00:00:03"), None, None),
+            ("A", ts("2020-01-01 00:00:04"), 4.0, 40.0),
+            ("B", ts("2020-01-01 00:00:01"), None, None),
+        ]
+        return TSDF(
+            spark.createDataFrame(rows, "k string, event_ts timestamp, x double, y double"),
+            ts_col="event_ts", series_ids=["k"],
+        )
+
+    def test_ffill(self, spark):
+        out = {(r.k, str(r.event_ts)): (r.x, r.y)
+               for r in self._t(spark).fillForward().df.collect()}
+        assert out[("A", "2020-01-01 00:00:01")] == (None, 10.0)   # nothing earlier
+        assert out[("A", "2020-01-01 00:00:03")] == (2.0, 10.0)
+        assert out[("A", "2020-01-01 00:00:04")] == (4.0, 40.0)
+        assert out[("B", "2020-01-01 00:00:01")] == (None, None)   # series isolated
+
+    def test_bfill_and_subset(self, spark):
+        out = {(r.k, str(r.event_ts)): (r.x, r.y)
+               for r in self._t(spark).fillBackward(cols=["x"]).df.collect()}
+        assert out[("A", "2020-01-01 00:00:01")] == (2.0, 10.0)  # x from next; y untouched
+        assert out[("A", "2020-01-01 00:00:03")] == (4.0, None)
+
+    def test_one_shuffle_and_grid_unchanged(self, spark):
+        from tempo_spark.plans.inspect import count_exchanges
+
+        t = self._t(spark)
+        out = t.fillForward()
+        assert count_exchanges(out.df) == 1
+        assert out.df.count() == t.df.count()
