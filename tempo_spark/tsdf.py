@@ -1286,6 +1286,41 @@ class TSDF:
 
         return _resample(self, freq, func, metric_cols=metricCols, prefix=prefix, fill=fill)
 
+    def deduplicated(self, keep: str = "max") -> "TSDF":
+        """One deterministic row per ``(series_ids, ts_col)`` — the
+        dirty-feed cleanup nearly every ingest needs before per-series
+        operators (duplicate ticks break window frames and as-of ties).
+        The representative row is chosen by struct ordering over
+        ``(sequence_col if any, *metric/other columns)``: ``keep="max"``
+        (default) keeps the lexicographically greatest tuple — i.e. the
+        highest sequence number, ties broken by the values themselves —
+        ``keep="min"`` the least. Deterministic regardless of input order,
+        unlike ``dropDuplicates`` (arbitrary row) and unlike per-column
+        aggregation (which can stitch a row that never existed). ONE
+        map-side-combined shuffle."""
+        if keep not in ("min", "max"):
+            raise ValueError(f"keep must be 'min' or 'max', got {keep!r}")
+        value_cols = [c for c in self.df.columns
+                      if c != self.ts_col and c not in self.series_ids]
+        if not value_cols:
+            return self._with_df(self.df.dropDuplicates())
+        order = (
+            [self.sequence_col] if self.sequence_col else []
+        ) + [c for c in value_cols if c != self.sequence_col]
+        pick = F.max if keep == "max" else F.min
+        rep = pick(F.struct(*[F.col(c) for c in order])).alias("__rep")
+        out = (
+            self.df.groupBy(*self.series_ids, self.ts_col)
+            .agg(rep)
+            .select(
+                *self.series_ids,
+                self.ts_col,
+                *[F.col(f"__rep.{c}").alias(c) for c in order],
+            )
+            .select(*self.df.columns)
+        )
+        return self._with_df(out)
+
     def fillForward(self, cols: Optional[Sequence[str]] = None) -> "TSDF":
         """Per-series in-place forward fill: each null metric takes the most
         recent earlier non-null value in its own series — WITHOUT changing

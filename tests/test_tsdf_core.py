@@ -738,3 +738,52 @@ class TestFillForwardBackward:
         out = t.fillForward()
         assert count_exchanges(out.df) == 1
         assert out.df.count() == t.df.count()
+
+
+class TestDeduplicated:
+    def test_keep_max_by_sequence_then_values(self, spark):
+        rows = [
+            ("A", ts("2020-01-01 00:00:01"), 1, 10.0),
+            ("A", ts("2020-01-01 00:00:01"), 3, 5.0),    # highest seq wins
+            ("A", ts("2020-01-01 00:00:01"), 2, 99.0),
+            ("A", ts("2020-01-01 00:00:02"), 1, 7.0),
+        ]
+        t = TSDF(
+            spark.createDataFrame(rows, "k string, event_ts timestamp, seq int, v double"),
+            ts_col="event_ts", series_ids=["k"], sequence_col="seq",
+        )
+        out = {str(r.event_ts): (r.seq, r.v) for r in t.deduplicated().df.collect()}
+        assert out["2020-01-01 00:00:01"] == (3, 5.0)
+        assert out["2020-01-01 00:00:02"] == (1, 7.0)
+        low = {str(r.event_ts): (r.seq, r.v) for r in t.deduplicated("min").df.collect()}
+        assert low["2020-01-01 00:00:01"] == (1, 10.0)
+
+    def test_no_sequence_rowwise_not_columnwise(self, spark):
+        rows = [
+            ("A", ts("2020-01-01 00:00:01"), 1.0, 100.0),
+            ("A", ts("2020-01-01 00:00:01"), 2.0, 50.0),
+        ]
+        t = TSDF(
+            spark.createDataFrame(rows, "k string, event_ts timestamp, x double, y double"),
+            ts_col="event_ts", series_ids=["k"],
+        )
+        got = t.deduplicated().df.collect()
+        assert len(got) == 1
+        # struct ordering keeps a REAL row (2.0, 50.0), never a stitched
+        # per-column max (2.0, 100.0)
+        assert (got[0].x, got[0].y) == (2.0, 50.0)
+
+    def test_one_shuffle_and_validation(self, spark):
+        from tempo_spark.plans.inspect import count_exchanges
+
+        t = TSDF(
+            spark.createDataFrame(
+                [("A", ts("2020-01-01 00:00:01"), 1.0)],
+                "k string, event_ts timestamp, v double",
+            ),
+            ts_col="event_ts", series_ids=["k"],
+        )
+        assert count_exchanges(t.deduplicated().df) == 1
+        assert t.deduplicated().df.columns == t.df.columns
+        with pytest.raises(ValueError):
+            t.deduplicated("first")
