@@ -1429,13 +1429,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       WORD granularity (``sep=" "`` — the gate docs are single-line, and
       the 31-word vocabulary makes nearly every token a repeat, so winner
       selection and in-place removal are exercised hard); dup_count = how
-      many tokens the doc lost to earlier occurrences."""
+      many tokens the doc lost to earlier occurrences;
+    - ``boiler``: ``remove_boilerplate_lines`` at the same word grain
+      (min_doc_freq = half the corpus): dup_count = tokens dropped because
+      their word appears in ≥ that many documents — exact via
+      ``out_dropped``, scale-robust (a threshold nothing crosses at tiny
+      SFs still replays as all-zero counts)."""
     from tempo_spark.pipeline.dedup import (
         dedup_against_corpus,
         dedup_paragraphs,
         exact_dedup,
         near_dedup_against_corpus,
     )
+    from tempo_spark.pipeline.filtering import remove_boilerplate_lines
 
     docs = _read(spark, sf_dir, "documents")
     exact = exact_dedup(docs, "doc_id", "text").select(
@@ -1466,7 +1472,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_dropped").alias("dup_count"),
     )
-    return exact.unionByName(survivors).unionByName(near).unionByName(para)
+    boiler = remove_boilerplate_lines(
+        docs.select("doc_id", "text").where(F.length("text") > 0),
+        "doc_id", min_doc_freq=250, sep=" ", out="clean",
+        out_dropped="n_dropped",
+    ).select(
+        F.lit("boiler").alias("tag"),
+        "doc_id",
+        F.col("n_dropped").alias("dup_count"),
+    )
+    return (
+        exact.unionByName(survivors)
+        .unionByName(near)
+        .unionByName(para)
+        .unionByName(boiler)
+    )
 
 
 _DEDUP_EXACT_ORACLE = """
@@ -1532,6 +1552,21 @@ LEFT JOIN (
                           FROM documents WHERE length(text) > 0))))
   WHERE rn > 1 GROUP BY doc_id
 ) dr ON d.doc_id = dr.doc_id
+WHERE length(d.text) > 0
+UNION ALL
+SELECT 'boiler' AS tag, d.doc_id, CAST(coalesce(bo.dropped, 0) AS BIGINT) AS dup_count
+FROM documents d
+LEFT JOIN (
+  SELECT o.doc_id, count(*) AS dropped
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE length(text) > 0) o
+  JOIN (SELECT w FROM (SELECT w, count(DISTINCT doc_id) AS df_
+                       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                             FROM documents WHERE length(text) > 0)
+                       GROUP BY w)
+        WHERE df_ >= 250) hot ON o.w = hot.w
+  GROUP BY o.doc_id
+) bo ON d.doc_id = bo.doc_id
 WHERE length(d.text) > 0
 """
 

@@ -2324,3 +2324,16 @@ class TestCharEntropy:
 
         df = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
         assert count_python_evals(text.with_char_entropy(df, "doc_id")) == 0
+
+
+class TestBoilerplateDroppedCount:
+    def test_out_dropped_exact(self, spark):
+        rows = [(i, f"unique{i} SPAM SPAM keep{i}") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from tempo_spark.pipeline import filtering
+
+        out = {r.doc_id: (r.text, r.nd) for r in filtering.remove_boilerplate_lines(
+            df, "doc_id", min_doc_freq=5, sep=" ", out_dropped="nd"
+        ).collect()}
+        for i in range(6):
+            assert out[i] == (f"unique{i} keep{i}", 2)  # both SPAM tokens dropped
