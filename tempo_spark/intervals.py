@@ -32,7 +32,7 @@ series it can widen, but elementary segments are bounded by 2n-1 per series.
 from __future__ import annotations
 
 from functools import cached_property, reduce
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
@@ -41,6 +41,72 @@ from pyspark.sql.types import BooleanType, NumericType
 
 def is_metric_col(field) -> bool:
     return isinstance(field.dataType, (NumericType, BooleanType))
+
+
+# "auto" binning fires when the average interval count per series exceeds
+# this — below it the plain per-series range join's candidate-pair count
+# (≈ 2·n_s² per series) stays in the tens-of-millions-of-predicate-evals
+# range a single core clears in well under a second; above it the
+# un-binned plan degrades quadratically (the --ivljoin probe measured a
+# plain interval join KILLED at 9 min for 500k rows × 8 series where the
+# binned plan ran 1.9 s). Module-level so tests/probes can tune it.
+AUTO_BIN_ROWS_PER_SERIES = 8000
+
+BinSeconds = Union[float, int, str, None]
+
+
+def _resolve_bin_seconds(
+    stats_df: DataFrame,
+    start_ts: str,
+    end_ts: str,
+    series_ids: Sequence[str],
+    bin_seconds: BinSeconds,
+    allow_binning: bool = True,
+) -> Optional[float]:
+    """Turn a ``bin_seconds`` argument into a concrete width (or None).
+
+    Numeric → use as given; ``None`` → explicitly un-binned; ``"auto"`` →
+    probe ``stats_df`` with ONE cheap aggregate (count, approximate series
+    cardinality, median/p90 interval length in seconds) and bin iff the
+    average rows-per-series crosses :data:`AUTO_BIN_ROWS_PER_SERIES`. The
+    width is the median interval length (p90 fallback when the median is
+    degenerate) — the scale at which a typical interval covers ~2 bins, so
+    the explode fanout stays O(1) while the join key gains real temporal
+    locality. This is the one sanctioned eager action at plan-build time:
+    an index-style physical-plan choice, same spirit as AQE's runtime
+    statistics.
+    """
+    if bin_seconds is None:
+        return None
+    if not isinstance(bin_seconds, str):
+        return float(bin_seconds)
+    if bin_seconds != "auto":
+        raise ValueError(f"bin_seconds must be a number, None, or 'auto', got {bin_seconds!r}")
+    if not allow_binning:
+        return None
+    from tempo_spark.functions.timestamps import ts_to_double
+
+    length = ts_to_double(
+        F.col(end_ts), stats_df.schema[end_ts].dataType
+    ) - ts_to_double(F.col(start_ts), stats_df.schema[start_ts].dataType)
+    sid = (
+        F.struct(*[F.col(c) for c in series_ids]) if series_ids else F.lit(1)
+    )
+    row = stats_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(sid).alias("ns"),
+        F.percentile_approx(length, [0.5, 0.9], 1000).alias("len_q"),
+    ).first()
+    if row is None or not row["n"]:
+        return None
+    per_series = row["n"] / max(row["ns"] or 1, 1)
+    if per_series <= AUTO_BIN_ROWS_PER_SERIES:
+        return None
+    med, p90 = (row["len_q"] or [None, None])
+    for width in (med, p90):
+        if width is not None and width > 0:
+            return float(width)
+    return None  # all intervals zero/unknown length — nothing to bin over
 
 
 class IntervalsDF:
@@ -179,7 +245,7 @@ class IntervalsDF:
         other: "IntervalsDF",
         how: str = "inner",
         prefix: str = "right",
-        bin_seconds: Optional[float] = None,
+        bin_seconds: BinSeconds = "auto",
     ) -> "IntervalsDF":
         """Interval–interval overlap join — the second half of the
         reference's roadmap item (reference:
@@ -208,7 +274,15 @@ class IntervalsDF:
         covered by both sides of any overlapping pair, so no pair is lost
         and none duplicates (``make_disjoint`` can tolerate duplicate bin
         collisions because its merge is idempotent; a join cannot).
-        ``bin_seconds`` supports ``how="inner"`` only.
+        Explicit ``bin_seconds`` supports ``how="inner"`` only.
+
+        Binning is ON BY DEFAULT via ``bin_seconds="auto"``: a one-pass
+        stats probe (see :func:`_resolve_bin_seconds`) bins iff the
+        rows-per-series ratio says the plain plan would go quadratic, with
+        the median interval length as the width. Pass ``None`` to force the
+        plain range join, or a number to pin the width. ``"auto"`` under
+        ``how="left"`` quietly stays un-binned (the binned rewrite is
+        inner-only).
         """
         if how not in ("inner", "left"):
             raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -217,8 +291,33 @@ class IntervalsDF:
                 f"interval join requires matching series ids; "
                 f"left={self.series_ids} right={other.series_ids}"
             )
-        if bin_seconds is not None and how != "inner":
+        if (
+            bin_seconds is not None
+            and not isinstance(bin_seconds, str)
+            and how != "inner"
+        ):
             raise ValueError("bin_seconds supports how='inner' only")
+        if isinstance(bin_seconds, str):
+            from tempo_spark.functions.timestamps import ts_to_double
+
+            def _slim(frame: DataFrame, s_: str, e_: str) -> DataFrame:
+                return frame.select(
+                    *[F.col(c) for c in self.series_ids],
+                    ts_to_double(F.col(s_), frame.schema[s_].dataType).alias("__s"),
+                    ts_to_double(F.col(e_), frame.schema[e_].dataType).alias("__e"),
+                )
+
+            stats = _slim(self.df, self.start_ts, self.end_ts).unionByName(
+                _slim(other.df, other.start_ts, other.end_ts)
+            )
+            bin_seconds = _resolve_bin_seconds(
+                stats, "__s", "__e", self.series_ids, bin_seconds,
+                allow_binning=(how == "inner"),
+            )
+        else:
+            bin_seconds = _resolve_bin_seconds(
+                self.df, self.start_ts, self.end_ts, self.series_ids, bin_seconds
+            )
         renamed = other.df
         rmap: dict[str, str] = {}
         for c in other.df.columns:
@@ -290,7 +389,7 @@ class IntervalsDF:
     # ----------------------------------------------------- coverage algebra
 
     def _coverage_op(
-        self, other: "IntervalsDF", keep, bin_seconds: Optional[float]
+        self, other: "IntervalsDF", keep, bin_seconds: BinSeconds
     ) -> "IntervalsDF":
         """Shared machinery for subtract/intersect: union both frames with
         presence masks (``__a_mask``/``__b_mask``), run the ordinary
@@ -337,7 +436,7 @@ class IntervalsDF:
         return self._with_df(out)
 
     def subtract_intervals(
-        self, other: "IntervalsDF", bin_seconds: Optional[float] = None
+        self, other: "IntervalsDF", bin_seconds: BinSeconds = "auto"
     ) -> "IntervalsDF":
         """Coverage subtraction: the disjoint set of time covered by ``self``
         and NOT by ``other`` (uptime minus maintenance windows, corpus
@@ -351,7 +450,7 @@ class IntervalsDF:
         )
 
     def intersect_intervals(
-        self, other: "IntervalsDF", bin_seconds: Optional[float] = None
+        self, other: "IntervalsDF", bin_seconds: BinSeconds = "auto"
     ) -> "IntervalsDF":
         """Coverage intersection: the disjoint set of time covered by BOTH
         frames, payloads merged from the covering ``self`` intervals. The
@@ -363,7 +462,7 @@ class IntervalsDF:
 
     # ------------------------------------------------------------ disjoint
 
-    def make_disjoint(self, bin_seconds: Optional[float] = None) -> "IntervalsDF":
+    def make_disjoint(self, bin_seconds: BinSeconds = "auto") -> "IntervalsDF":
         """Split/merge overlapping intervals into a disjoint set (native
         Spark; replaces the reference's O(n²)-per-series pandas kernel,
         reference: python/tempo/intervals.py:223-278,383-1331).
@@ -374,14 +473,22 @@ class IntervalsDF:
         join key becomes (series, bin), so compares scale with real coverage
         instead of |segments|×|intervals| per series. Duplicate pairs from
         multi-bin collisions are harmless — the payload merge is a max()
-        (idempotent). Pick ``bin_seconds`` near the typical interval length;
-        leave None (default) for the plain per-series range join.
+        (idempotent).
+
+        ``bin_seconds="auto"`` (default) runs a one-pass stats probe and
+        bins iff rows-per-series crosses :data:`AUTO_BIN_ROWS_PER_SERIES`,
+        with the median interval length as the width (see
+        :func:`_resolve_bin_seconds`). Pass ``None`` to force the plain
+        per-series range join, or a number to pin the width.
 
         Intervals are half-open ``[start, end)``: a zero-length input
         interval (start == end) denotes the empty set and is dropped --
         represent instantaneous events as points in a TSDF, not as empty
         intervals."""
         df = self.df
+        bin_seconds = _resolve_bin_seconds(
+            df, self.start_ts, self.end_ts, self.series_ids, bin_seconds
+        )
         s, e = self.start_ts, self.end_ts
         series = self.series_ids
         payload = self.observational_columns

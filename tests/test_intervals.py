@@ -252,6 +252,92 @@ class TestMakeDisjointBinned:
         assert plain == binned and len(plain) > 50
 
 
+class TestAutoBinning:
+    """bin_seconds="auto" (the default) probes the data once and bins the
+    range join iff rows-per-series crosses AUTO_BIN_ROWS_PER_SERIES — the
+    un-binned plan is quadratic per series (--ivljoin probe: killed at 9 min
+    for 500k rows × 8 series vs 1.9 s binned)."""
+
+    def _skewed(self, spark):
+        from tempo_spark import IntervalsDF
+
+        rows = [("S", float(i * 3), float(i * 3 + 10), float(i)) for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "k string, start_ts double, end_ts double, m double"
+        )
+        return IntervalsDF(df, "start_ts", "end_ts", ["k"])
+
+    def test_auto_bins_past_threshold(self, spark, monkeypatch):
+        import tempo_spark.intervals as iv
+        from tempo_spark.plans.inspect import formatted_plan
+
+        monkeypatch.setattr(iv, "AUTO_BIN_ROWS_PER_SERIES", 10)
+        i = self._skewed(spark)
+        auto = i.make_disjoint()
+        assert "__bin" in formatted_plan(auto.df)  # binned equi key fired
+        plain = i.make_disjoint(bin_seconds=None)
+        assert "__bin" not in formatted_plan(plain.df)
+        key = lambda r: tuple(str(v) for v in r)
+        assert sorted(map(key, auto.df.collect())) == sorted(
+            map(key, plain.df.collect())
+        )
+
+    def test_auto_stays_plain_below_threshold(self, spark):
+        from tempo_spark.plans.inspect import formatted_plan
+
+        # 60 rows on one series << default 8000 threshold → plain range join
+        out = self._skewed(spark).make_disjoint()
+        assert "__bin" not in formatted_plan(out.df)
+
+    def test_join_intervals_auto(self, spark, monkeypatch):
+        import tempo_spark.intervals as iv
+        from tempo_spark.plans.inspect import formatted_plan
+
+        monkeypatch.setattr(iv, "AUTO_BIN_ROWS_PER_SERIES", 10)
+        i = self._skewed(spark)
+        auto = i.join_intervals(i)
+        assert "__bin" in formatted_plan(auto.df)
+        plain = i.join_intervals(i, bin_seconds=None)
+        key = lambda r: tuple(str(v) for v in r)
+        assert sorted(map(key, auto.df.collect())) == sorted(
+            map(key, plain.df.collect())
+        )
+        # "auto" under how="left" quietly stays un-binned (binning is
+        # inner-only); explicit numeric + left still raises (TestIntervalIntervalJoin)
+        left = i.join_intervals(i, how="left")
+        assert "__bin" not in formatted_plan(left.df)
+
+    def test_coverage_ops_auto(self, spark, monkeypatch):
+        import tempo_spark.intervals as iv
+
+        monkeypatch.setattr(iv, "AUTO_BIN_ROWS_PER_SERIES", 10)
+        i = self._skewed(spark)
+        key = lambda r: tuple(str(v) for v in r)
+        assert sorted(map(key, i.subtract_intervals(i).df.collect())) == []
+        assert sorted(map(key, i.intersect_intervals(i).df.collect())) == sorted(
+            map(key, i.intersect_intervals(i, bin_seconds=None).df.collect())
+        )
+
+    def test_bad_string_raises(self, spark):
+        with pytest.raises(ValueError, match="auto"):
+            self._skewed(spark).make_disjoint(bin_seconds="always")
+
+    def test_zero_length_intervals_stay_plain(self, spark, monkeypatch):
+        # degenerate widths (all intervals zero-length) must not produce a
+        # zero/negative bin width — auto falls back to the plain join
+        import tempo_spark.intervals as iv
+        from tempo_spark import IntervalsDF
+        from tempo_spark.plans.inspect import formatted_plan
+
+        monkeypatch.setattr(iv, "AUTO_BIN_ROWS_PER_SERIES", 2)
+        rows = [("S", float(i), float(i), float(i)) for i in range(10)]
+        df = spark.createDataFrame(
+            rows, "k string, start_ts double, end_ts double, m double"
+        )
+        i = IntervalsDF(df, "start_ts", "end_ts", ["k"])
+        assert "__bin" not in formatted_plan(i.make_disjoint().df)
+
+
 class TestIntervalIntervalJoin:
     def rows(self):
         return [
