@@ -407,9 +407,15 @@ class TestMultimodal:
             (r.media_id, r.width, r.height) for r in again
         )
 
-    def test_real_decode_raises(self, media):
-        with pytest.raises(Exception):
-            multimodal.decode_images(media, fake=False).collect()
+    def test_real_decode_garbage_yields_nulls(self, media):
+        # dirty-corpus tolerance: bytes matching no signature → NULL dims,
+        # not a failed job (test_multimodal_codecs covers real formats)
+        out = multimodal.decode_images(media, fake=False).collect()
+        assert len(out) == 2
+        assert all(
+            r.width is None and r.height is None and r.n_channels is None
+            for r in out
+        )
 
     def test_fake_resize(self, media):
         decoded = multimodal.decode_images(media, fake=True)
@@ -426,10 +432,12 @@ class TestMultimodal:
                     assert r.resized_height == 100
                     assert r.resized_width == (r.width * 100) // r.height
 
-    def test_real_resize_raises(self, media):
+    def test_real_resize_garbage_passthrough(self, media):
         decoded = multimodal.decode_images(media, fake=True)
-        with pytest.raises(Exception):
-            multimodal.resize_images(decoded, fake=False).collect()
+        out = multimodal.resize_images(decoded, fake=False).collect()
+        assert all(
+            r.resized_width is None and bytes(r.content) is not None for r in out
+        )
 
     def test_frame_sampling(self, media):
         out = multimodal.sample_video_frames(media, fake=True).collect()
