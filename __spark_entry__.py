@@ -2583,13 +2583,21 @@ UNION ALL SELECT 'granularity', NULL, NULL,
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal image plumbing: binary content column → Arrow-batched
-    mapInPandas decode → aspect-preserving resize. The deterministic fake
-    decoder derives dimensions from the md5 digest of the bytes and the
-    resize geometry is pure integer arithmetic, so DuckDB replays the whole
-    two-stage mapInPandas pipeline exactly — the Spark-side plumbing (binary
-    column, batching, UDF schemas) is oracle-gated even though the real
-    codec is stubbed."""
+    """Multimodal image plumbing, three union-tagged paths:
+
+    - ``fake``: the codec-free md5-geometry replay (binary column, Arrow
+      batching, UDF schemas — the r3-r5 coverage, kept);
+    - ``ppm``: a REAL P6 netpbm byte-stream synthesized JVM-side
+      (``P6\\n{w} {h}\\n255\\n`` + w·h·3 payload bytes) and decoded by the
+      stdlib codec (tempo_spark/pipeline/codecs.py), then ACTUALLY resized
+      (nearest-neighbor, re-encoded netpbm) — ``out_bytes`` gates the
+      re-encoded payload length;
+    - ``bmp``: a REAL 24-bit BMP built by codecs.encode_bmp inside a
+      mapInPandas generator, decoded and resized the same way (rows within
+      max_dim keep their BMP bytes; shrunk rows re-encode as netpbm).
+
+    DuckDB replays dimensions, the integer resize geometry, and the exact
+    byte length of every output payload."""
     from tempo_spark.pipeline.multimodal import decode_images, resize_images
 
     docs = (
@@ -2597,14 +2605,63 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("text").isNotNull())
         .select("doc_id", F.encode("text", "UTF-8").alias("content"))
     )
-    out = resize_images(decode_images(docs, fake=True), max_dim=256, fake=True)
-    return out.select(
-        "doc_id", "width", "height", "n_channels", "resized_width", "resized_height"
+    fake = resize_images(
+        decode_images(docs, fake=True), max_dim=256, fake=True
+    ).select(
+        "doc_id",
+        F.lit("fake").alias("tag"),
+        "width", "height", "n_channels", "resized_width", "resized_height",
+        F.lit(None).cast("long").alias("out_bytes"),
+    )
+
+    ids = _read(spark, sf_dir, "documents").select("doc_id")
+    wp, hp = F.pmod("doc_id", F.lit(29)) + 4, F.pmod("doc_id", F.lit(13)) + 4
+    ppm_src = ids.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("P6\n"), wp.cast("string"), F.lit(" "), hp.cast("string"),
+                F.lit("\n255\n"), F.repeat(F.lit("x"), (wp * hp * 3).cast("int")),
+            ),
+            "UTF-8",
+        ).alias("content"),
+    )
+
+    def gen_bmp(batches):
+        import pandas as pd
+
+        from tempo_spark.pipeline.codecs import encode_bmp
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                w = 3 + int(did) % 37
+                h = 2 + int(did) % 11
+                rows.append((int(did), encode_bmp(w, h, b"x" * (w * h * 3))))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    bmp_src = ids.mapInPandas(gen_bmp, "doc_id long, content binary")
+
+    def real_part(src: DataFrame, tag: str) -> DataFrame:
+        return resize_images(decode_images(src), max_dim=16).select(
+            "doc_id",
+            F.lit(tag).alias("tag"),
+            "width", "height", "n_channels", "resized_width", "resized_height",
+            F.length("content").cast("long").alias("out_bytes"),
+        )
+
+    return fake.unionByName(real_part(ppm_src, "ppm")).unionByName(
+        real_part(bmp_src, "bmp")
     )
 
 
-# md5 hex digits 1-2 / 3-4 are the first two digest bytes; the fake decoder
-# maps them to 64 + byte % 1024 (byte < 256, so % is a no-op)
+# fake tag: md5 hex digits 1-2 / 3-4 are the first two digest bytes; the fake
+# decoder maps them to 64 + byte % 1024 (byte < 256, so % is a no-op).
+# ppm/bmp tags: REAL stdlib decode of synthesized byte-streams — DuckDB
+# replays the dimension formulas, fit_geometry's integer shrink (floor,
+# clamped ≥1), and the exact output byte length: netpbm = 9 header chars +
+# the two dimension strings + w·h·3; unshrunk BMP = 54 header bytes +
+# 4-byte-padded rows.
 _MULTIMODAL_ORACLE = """
 WITH h AS (SELECT doc_id, md5(text) AS m FROM documents WHERE text IS NOT NULL),
 b AS (SELECT doc_id,
@@ -2613,22 +2670,54 @@ b AS (SELECT doc_id,
         (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
           + strpos('0123456789abcdef', substr(m, 4, 1)) - 1 AS b1
       FROM h),
-wh AS (SELECT doc_id, 64 + b0 AS w, 64 + b1 AS h FROM b)
-SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-       CAST(3 AS INT) AS n_channels,
-       CAST(CASE WHEN greatest(w, h) <= 256 THEN w
-                 WHEN w >= h THEN 256 ELSE (w * 256) // h END AS INT) AS resized_width,
-       CAST(CASE WHEN greatest(w, h) <= 256 THEN h
-                 WHEN w >= h THEN (h * 256) // w ELSE 256 END AS INT) AS resized_height
-FROM wh
+wh AS (SELECT doc_id, 64 + b0 AS w, 64 + b1 AS h FROM b),
+fake AS (
+  SELECT doc_id, 'fake' AS tag, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         CAST(3 AS INT) AS n_channels,
+         CAST(CASE WHEN greatest(w, h) <= 256 THEN w
+                   WHEN w >= h THEN 256 ELSE (w * 256) // h END AS INT) AS resized_width,
+         CAST(CASE WHEN greatest(w, h) <= 256 THEN h
+                   WHEN w >= h THEN (h * 256) // w ELSE 256 END AS INT) AS resized_height,
+         CAST(NULL AS BIGINT) AS out_bytes
+  FROM wh),
+geom AS (
+  SELECT doc_id, tag, w, h,
+         CASE WHEN greatest(w, h) <= 16 THEN w
+              WHEN w >= h THEN 16
+              ELSE greatest(1, (w * 16) // h) END AS rw,
+         CASE WHEN greatest(w, h) <= 16 THEN h
+              WHEN w >= h THEN greatest(1, (h * 16) // w)
+              ELSE 16 END AS rh
+  FROM (SELECT doc_id, 'ppm' AS tag, 4 + doc_id % 29 AS w, 4 + doc_id % 13 AS h
+          FROM documents
+        UNION ALL
+        SELECT doc_id, 'bmp' AS tag, 3 + doc_id % 37 AS w, 2 + doc_id % 11 AS h
+          FROM documents)),
+syn AS (
+  SELECT doc_id, tag, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         CAST(3 AS INT) AS n_channels,
+         CAST(rw AS INT) AS resized_width, CAST(rh AS INT) AS resized_height,
+         CAST(CASE WHEN tag = 'bmp' AND rw = w AND rh = h
+                   THEN 54 + ((w * 3 + 3) // 4) * 4 * h
+                   ELSE 9 + length(CAST(rw AS VARCHAR)) + length(CAST(rh AS VARCHAR))
+                        + rw * rh * 3 END AS BIGINT) AS out_bytes
+  FROM geom)
+SELECT * FROM fake UNION ALL SELECT * FROM syn
 """
 
 
 def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio + video plumbing (fake codecs), modality-tagged union: audio
-    rows carry duration/rms derived from payload length; video rows are the
-    1 + len % 5 frame explosion at 1000 ms spacing (frame bytes excluded —
-    binary repr differs across drivers; the shape is the contract)."""
+    """Audio + video plumbing, modality-tagged union:
+
+    - ``audio``: the fake (length-derived) feature path — batching/schema
+      coverage, kept from r3;
+    - ``wav``: a REAL RIFF/WAVE byte-stream (PCM16, 8 kHz, alternating
+      ±amp samples) built by codecs.encode_wav_pcm16 in a mapInPandas
+      generator and decoded by the stdlib WAV parser — duration is the
+      integer frames·1000/rate, RMS is exactly amp/32768 (constant
+      magnitude), both replayed by DuckDB;
+    - ``video``: the 1 + len % 5 frame explosion at 1000 ms spacing (fake —
+      video decode is the one remaining NotImplementedError seam)."""
     from tempo_spark.pipeline.multimodal import (
         extract_audio_features,
         sample_video_frames,
@@ -2647,6 +2736,34 @@ def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("frame_idx"),
         F.lit(None).cast("long").alias("frame_ts_ms"),
     )
+
+    def gen_wav(batches):
+        import numpy as np
+        import pandas as pd
+
+        from tempo_spark.pipeline.codecs import encode_wav_pcm16
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                n = 4 + int(did) % 64
+                amp = (int(did) % 100) * 300
+                s = np.empty(n, dtype=np.int16)
+                s[0::2], s[1::2] = amp, -amp
+                rows.append((int(did), encode_wav_pcm16(s, 8000)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    wav_src = _read(spark, sf_dir, "documents").select("doc_id").mapInPandas(
+        gen_wav, "doc_id long, content binary"
+    )
+    wav = extract_audio_features(wav_src).select(
+        "doc_id",
+        F.lit("wav").alias("modality"),
+        "duration_ms",
+        _HR6(F.col("rms")).alias("rms"),
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.lit(None).cast("long").alias("frame_ts_ms"),
+    )
     video = sample_video_frames(docs, every_n_ms=1000, fake=True).select(
         "doc_id",
         F.lit("video").alias("modality"),
@@ -2655,7 +2772,7 @@ def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         "frame_ts_ms",
     )
-    return audio.unionByName(video)
+    return audio.unionByName(wav).unionByName(video)
 
 
 _MULTIMODAL_AV_ORACLE = """
@@ -2664,6 +2781,12 @@ SELECT doc_id, 'audio' AS modality,
        CAST(octet_length(encode(text)) % 97 AS DOUBLE) / 97.0 AS rms,
        CAST(NULL AS INT) AS frame_idx, CAST(NULL AS BIGINT) AS frame_ts_ms
 FROM documents WHERE text IS NOT NULL
+UNION ALL
+SELECT doc_id, 'wav' AS modality,
+       CAST(((4 + doc_id % 64) * 1000) // 8000 AS BIGINT) AS duration_ms,
+       floor(((doc_id % 100) * 300 / 32768.0) * 1e6 + 0.5) / 1e6 AS rms,
+       CAST(NULL AS INT) AS frame_idx, CAST(NULL AS BIGINT) AS frame_ts_ms
+FROM documents
 UNION ALL
 SELECT doc_id, 'video' AS modality,
        CAST(NULL AS BIGINT) AS duration_ms, CAST(NULL AS DOUBLE) AS rms,
