@@ -425,16 +425,76 @@ def ivljoin_probe(spark, n_rows: int, n_series: int) -> dict:
         out[label] = {"sec": round(time.monotonic() - t0, 1), "pairs": agg.n, "checksum": int(agg.chk)}
 
     run("binned", bin_seconds=3600.0)
+    # DEFAULT path since r6: bin_seconds="auto" stat-probes the data and
+    # must pick the binned plan here (n_rows/8 series >> threshold) — the
+    # row that shows the default surviving the shape that killed the old
+    # un-binned default
+    run("auto")
+    out["auto_agrees_binned"] = (
+        out["auto"]["pairs"] == out["binned"]["pairs"]
+        and out["auto"]["checksum"] == out["binned"]["checksum"]
+    )
     # the PLAIN per-series range join is the degeneration this probe
     # documents: at 500k rows / 8 series each sort-merge group runs
     # 62.5k × 62.5k range compares (~4B per series — a first attempt was
     # killed after 9 minutes). Only run it at sizes where it terminates.
     if n_rows <= 100_000:
-        run("plain")
+        run("plain", bin_seconds=None)
         out["paths_agree"] = (
             out["plain"]["pairs"] == out["binned"]["pairs"]
             and out["plain"]["checksum"] == out["binned"]["checksum"]
         )
+    return out
+
+
+def ivfassign_probe(spark, n_vecs: int, n_centroids: int, dim: int = 64) -> dict:
+    """IVF cell assignment literal-expression vs broadcast-data paths.
+
+    The hazard is PLAN BUILD latency and Catalyst tree size: the literal
+    path creates n_centroids × dim Column literals driver-side (the simhash
+    lesson). Past ASSIGN_LITERAL_MAX the centroids ride a broadcast 1-row
+    array frame instead — this probe records build+exec seconds per path
+    and pins their assignment checksums equal."""
+    from tempo_spark.pipeline import similarity as sim
+
+    corpus = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: ((F.col("id") * 31 + j * 17) % 101).cast("double") / 101.0,
+        ).alias("embedding"),
+    )
+    centers = [
+        [((i * 29 + j * 13) % 101) / 101.0 for j in range(dim)]
+        for i in range(n_centroids)
+    ]
+    out: dict = {"n_vecs": n_vecs, "n_centroids": n_centroids, "dim": dim}
+    saved = sim.ASSIGN_LITERAL_MAX
+
+    def run(label, threshold):
+        sim.ASSIGN_LITERAL_MAX = threshold
+        try:
+            t0 = time.monotonic()
+            assigned = sim._assign_cells(corpus, centers, "vec_id", "embedding")
+            build = time.monotonic() - t0
+            t1 = time.monotonic()
+            agg = assigned.agg(
+                F.count("*").alias("n"), F.sum("cell").alias("chk")
+            ).collect()[0]
+            out[label] = {
+                "build_sec": round(build, 2),
+                "exec_sec": round(time.monotonic() - t1, 1),
+                "checksum": int(agg.chk),
+            }
+        finally:
+            sim.ASSIGN_LITERAL_MAX = saved
+
+    run("broadcast", 0)
+    # the literal path at 4096 centroids is exactly the plan-build wall the
+    # probe documents — only build it where the driver survives it
+    if n_centroids <= 1024:
+        run("literal", 10**9)
+        out["paths_agree"] = out["literal"]["checksum"] == out["broadcast"]["checksum"]
     return out
 
 
@@ -645,6 +705,14 @@ def main():
         spark = _probe_session()
         for n in (100_000, 500_000, 2_000_000):
             print(json.dumps(ivljoin_probe(spark, n, 8)))
+        spark.stop()
+        return
+    if "--ivfassign" in sys.argv:
+        spark = _probe_session()
+        # execution work is n_vecs × n_centroids × dim — shrink the corpus
+        # as k grows so the BUILD-latency axis (the hazard) stays visible
+        for n, k in ((2_000_000, 64), (200_000, 1024), (50_000, 4096)):
+            print(json.dumps(ivfassign_probe(spark, n, k)))
         spark.stop()
         return
     if "--corr" in sys.argv:

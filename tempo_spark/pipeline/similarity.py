@@ -284,17 +284,69 @@ def _cell_scores(vec: Column, centers: list[list[float]]) -> Column:
     )
 
 
+# above this many centroids the literal-expression path stops being the
+# right plan: n_centroids × dim Column literals cost real driver py4j time
+# per plan build (the simhash lesson: 64 Column aggs ≈ 1.5 s) and bloat the
+# Catalyst tree; past the threshold centroids travel as broadcast DATA
+# (a 1-row array<struct> frame cross-joined in) instead of as expressions.
+# Module-level so tests/probes can force either path.
+ASSIGN_LITERAL_MAX = 256
+
+
+def _centers_frame(spark, centers: list[list[float]]) -> DataFrame:
+    """ONE-row frame holding every centroid as
+    ``array<struct<cell int, center array<double>, cnorm double>>`` —
+    broadcast to executors as data, invisible to the expression tree.
+    ``cnorm`` is folded driver-side left-to-right, the exact IEEE op order
+    of the literal path's ``sum(x*x)``, so both paths score bit-identically.
+    """
+    cents = [
+        {"cell": i, "center": [float(x) for x in c], "cnorm": sum(x * x for x in c)}
+        for i, c in enumerate(centers)
+    ]
+    return spark.createDataFrame(
+        [(cents,)],
+        "__cents array<struct<cell: int, center: array<double>, cnorm: double>>",
+    )
+
+
+def _scored_over(vec: Column, cents_col: Column) -> Column:
+    """array<struct<d,cell>> scored against a centroid ARRAY COLUMN — the
+    data-path twin of :func:`_cell_scores` (same d surrogate, same zip_with/
+    aggregate dot fold, so scores match the literal path bit-exactly)."""
+    return F.transform(
+        cents_col,
+        lambda c: F.struct(
+            (
+                F.lit(-2.0) * dot(vec, c.getField("center")) + c.getField("cnorm")
+            ).alias("d"),
+            c.getField("cell").alias("cell"),
+        ),
+    )
+
+
 def _assign_cells(
     df: DataFrame, centers: list[list[float]], id_col: str, vec_col: str
 ) -> DataFrame:
-    """THE cell-assignment expression (centroid literals → argmin) shared
+    """THE cell-assignment expression (argmin over centroid scores) shared
     by build(init='first') and IVFIndex.assign — build-time and
-    incrementally-added cells must never drift apart."""
+    incrementally-added cells must never drift apart. ≤ASSIGN_LITERAL_MAX
+    centroids inline as expression literals (zero extra plan nodes); above
+    that they ride a broadcast 1-row array frame (plan size and build time
+    flat in n_centroids; still no shuffle, no Python — the argmin is
+    ``array_min`` over a transform, struct ordering = (d, cell) exactly
+    like the literal path's array_sort+element_at)."""
     proj = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__vec"))
-    nearest = F.element_at(
-        F.array_sort(_cell_scores(F.col("__vec"), centers)), 1
+    if len(centers) <= ASSIGN_LITERAL_MAX:
+        nearest = F.element_at(
+            F.array_sort(_cell_scores(F.col("__vec"), centers)), 1
+        ).getField("cell")
+        return proj.withColumn("cell", nearest)
+    joined = proj.crossJoin(F.broadcast(_centers_frame(df.sparkSession, centers)))
+    nearest = F.array_min(
+        _scored_over(F.col("__vec"), F.col("__cents"))
     ).getField("cell")
-    return proj.withColumn("cell", nearest)
+    return joined.withColumn("cell", nearest).drop("__cents")
 
 
 class IVFIndex:
@@ -416,6 +468,27 @@ class IVFIndex:
         scored = _cell_scores(vec, self.centers)
         return F.slice(F.array_sort(scored), 1, nprobe).getField("cell")
 
+    def _with_probe_cells(
+        self, frame: DataFrame, vec_col_name: str, nprobe: int
+    ) -> DataFrame:
+        """Explode ``frame`` into one row per (query, probed cell) — literal
+        centroid expressions up to ASSIGN_LITERAL_MAX, broadcast centroid
+        data above (same split, and the same bit-exact scoring, as
+        :func:`_assign_cells`)."""
+        if len(self.centers) <= ASSIGN_LITERAL_MAX:
+            return frame.withColumn(
+                "cell", F.explode(self._probe_cells(F.col(vec_col_name), nprobe))
+            )
+        joined = frame.crossJoin(
+            F.broadcast(_centers_frame(frame.sparkSession, self.centers))
+        )
+        cells = F.slice(
+            F.array_sort(_scored_over(F.col(vec_col_name), F.col("__cents"))),
+            1,
+            nprobe,
+        ).getField("cell")
+        return joined.withColumn("cell", F.explode(cells)).drop("__cents")
+
     def topk(
         self,
         queries: DataFrame,
@@ -424,9 +497,14 @@ class IVFIndex:
         k: int = 5,
         nprobe: int = 2,
     ) -> DataFrame:
-        q = queries.select(
-            F.col(query_id).alias("__qid"), _as_double(F.col(query_vec)).alias("__qvec")
-        ).withColumn("cell", F.explode(self._probe_cells(F.col("__qvec"), nprobe)))
+        q = self._with_probe_cells(
+            queries.select(
+                F.col(query_id).alias("__qid"),
+                _as_double(F.col(query_vec)).alias("__qvec"),
+            ),
+            "__qvec",
+            nprobe,
+        )
         scored = self.assigned.join(F.broadcast(q), "cell").select(
             F.col("__qid").alias(query_id),
             F.col(self.id_col),

@@ -938,6 +938,14 @@ class TSDF:
         reference's 0.2.
 
         Single window spec → one shuffle + sort regardless of ``window``.
+        Plan-build cost is flat in ``window``: the trailing values
+        materialize as ONE ``collect_list(struct(col))`` window column
+        (struct-wrapping keeps the NULL slots collect_list would drop) and
+        the weighted sum is ONE parsed-SQL zip_with/aggregate over a weight
+        array literal — not ``window`` separate lag() Columns (the simhash
+        plan-build lesson: per-Column py4j round-trips dominate past ~30
+        terms). Term order matches the naive lag-sum exactly
+        (lag 0 first), so results are bit-identical to the r1-r5 loop.
         """
         import math
 
@@ -960,14 +968,35 @@ class TSDF:
             if com < 0:
                 raise ValueError(f"com must be >= 0, got {com}")
             exp_factor = 1.0 / (1.0 + com)
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        if window > 65536:
+            raise ValueError(
+                f"window={window}: the finite-lag EMA materializes a trailing "
+                "array per row — use a smaller window or resample first"
+            )
+        if "__ema_arr" in self.df.columns:
+            raise ValueError("reserved staging column __ema_arr present in input")
         w = self.base_window()
-        terms = [
-            F.coalesce(F.lag(F.col(colName), i).over(w), F.lit(0.0))
-            * F.lit(exp_factor * (1 - exp_factor) ** i)
-            for i in range(window)
-        ]
-        ema = reduce(lambda a, b: a + b, terms)
-        return self._with_df(self.df.withColumn(f"ema_{colName}", ema))
+        # trailing frame in window order: element j (1-based, after reverse)
+        # is lag j-1; zip_with pads missing lags with NULL structs → 0 terms
+        arr = F.collect_list(F.struct(F.col(colName).alias("v"))).over(
+            w.rowsBetween(-(window - 1), 0)
+        )
+        weights = ", ".join(
+            f"{exp_factor * (1 - exp_factor) ** i!r}d" for i in range(window)
+        )
+        ema = F.expr(
+            "aggregate("
+            f"  zip_with(reverse(__ema_arr), array({weights}),"
+            "            (x, wt) -> coalesce(x.v, 0.0d) * wt),"
+            "  0.0d, (acc, t) -> acc + t)"
+        )
+        return self._with_df(
+            self.df.withColumn("__ema_arr", arr)
+            .withColumn(f"ema_{colName}", ema)
+            .drop("__ema_arr")
+        )
 
     def vwap(
         self,

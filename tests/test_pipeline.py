@@ -488,6 +488,45 @@ class TestIVF:
         for qid in e:
             assert len(a[qid] & e[qid]) >= 4, (qid, a[qid], e[qid])
 
+    def test_literal_and_broadcast_assignment_agree(self, spark, monkeypatch):
+        """Past ASSIGN_LITERAL_MAX centroids ride a broadcast data frame
+        instead of expression literals — cell assignment AND topk must be
+        bit-identical between the paths (same IEEE score fold)."""
+        from tempo_spark.pipeline import similarity as sim
+
+        rows = [
+            (i, [float((i * 7 + j * 5) % 13) / 13.0 for j in range(6)])
+            for i in range(80)
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = vecs.where("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+        def snapshot():
+            idx = sim.IVFIndex.build(vecs, n_centroids=12, init="first")
+            assign = sorted((r.vec_id, r.cell) for r in idx.assigned.collect())
+            top = sorted(
+                (r.query_id, r.vec_id, r.rank, r.cosine)
+                for r in idx.topk(queries, k=4, nprobe=3).collect()
+            )
+            return assign, top
+
+        lit_assign, lit_top = snapshot()
+        monkeypatch.setattr(sim, "ASSIGN_LITERAL_MAX", 0)
+        join_assign, join_top = snapshot()
+        assert lit_assign == join_assign
+        assert lit_top == join_top
+        # and the broadcast plan stays shuffle- and Python-free
+        from tempo_spark.plans.inspect import count_exchanges, count_python_evals
+
+        assigned = sim._assign_cells(
+            vecs, [[float(j) for j in range(6)] for _ in range(3)],
+            "vec_id", "embedding",
+        )
+        assert count_exchanges(assigned) == 0
+        assert count_python_evals(assigned) == 0
+
     def test_ivf_cells_partition_corpus(self, spark):
         rows = [(i, [float(i % 3), float((i + 1) % 3), 0.0]) for i in range(30)]
         vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")

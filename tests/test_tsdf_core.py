@@ -677,6 +677,77 @@ class TestEmaDecayParams:
             tsdf.EMA("trade_pr", com=-1)
 
 
+class TestEmaLargeWindow:
+    def test_window_200_matches_pandas_ewm(self, spark):
+        """The finite-lag EMA at window=200 converges to pandas
+        ewm(adjust=True) once ≥200 lags exist: truncation error is
+        (1-α)^200·max|x| ≈ 1e-19 at α=0.2, and the adjust normalizer is
+        within (1-α)^(t+1) of 1/α. Also pins the parsed-SQL weight-array
+        formulation (one expr, not 200 lag Columns) on a real series."""
+        import pandas as pd
+        import pyspark.sql.functions as F
+
+        n = 300
+        rows = [
+            ("A", f"2020-01-01 {i // 3600:02d}:{(i // 60) % 60:02d}:{i % 60:02d}",
+             float((i * 37) % 97) / 7.0)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "symbol string, ts string, x double")
+        t = TSDF(
+            df.withColumn("ts", F.col("ts").cast("timestamp")),
+            ts_col="ts", series_ids=["symbol"],
+        )
+        got = {
+            str(r.ts): r.ema_x
+            for r in t.EMA("x", window=200, exp_factor=0.2).df.collect()
+        }
+        pdf = pd.Series([float((i * 37) % 97) / 7.0 for i in range(n)])
+        expected = pdf.ewm(alpha=0.2, adjust=True).mean()
+        for i, (ts, _) in enumerate(sorted((k, v) for k, v in got.items())):
+            if i >= 220:  # rows with a full 200-lag history
+                assert got[ts] == pytest.approx(expected.iloc[i], rel=1e-9)
+
+    def test_equals_naive_lag_sum(self, tsdf):
+        """Bit-parity with the r1-r5 Column-loop formulation (same IEEE
+        term order) on the standard fixture."""
+        import pyspark.sql.functions as F
+
+        w = tsdf.base_window()
+        naive_terms = [
+            F.coalesce(F.lag(F.col("trade_pr"), i).over(w), F.lit(0.0))
+            * F.lit(0.2 * 0.8 ** i)
+            for i in range(12)
+        ]
+        from functools import reduce
+
+        naive = tsdf.df.withColumn(
+            "ema_naive", reduce(lambda a, b: a + b, naive_terms)
+        )
+        got = {
+            (r.symbol, str(r.event_ts)): r.ema_trade_pr
+            for r in tsdf.EMA("trade_pr", window=12).df.collect()
+        }
+        exp = {
+            (r.symbol, str(r.event_ts)): r.ema_naive for r in naive.collect()
+        }
+        assert got == exp  # exact equality, not approx
+
+    def test_guards(self, tsdf):
+        import pyspark.sql.functions as F
+
+        with pytest.raises(ValueError, match="window"):
+            tsdf.EMA("trade_pr", window=0)
+        with pytest.raises(ValueError, match="window"):
+            tsdf.EMA("trade_pr", window=100_000)
+        clash = TSDF(
+            tsdf.df.withColumn("__ema_arr", F.lit(1)),
+            ts_col=tsdf.ts_col, series_ids=list(tsdf.series_ids),
+        )
+        with pytest.raises(ValueError, match="__ema_arr"):
+            clash.EMA("trade_pr")
+
+
 class TestEmaConflictingParams:
     def test_explicit_alpha_plus_decay_param_raises(self, tsdf):
         with pytest.raises(ValueError, match="at most one"):
