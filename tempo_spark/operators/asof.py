@@ -478,8 +478,12 @@ def asof_join_many(
     When it pays (measured, SCALE.md): the saving is N-1 fewer full-left
     SHUFFLES — the network-bandwidth term a real cluster prices highest.
     With rights comparable in size to the left, the single (N+1)·n-row
-    padded-union sort can spill where the chain's two-side stages fit —
-    on a memory-tight executor, chain huge rights instead.
+    union sort can spill where the chain's two-side stages fit — on a
+    memory-tight executor, chain huge rights instead. To keep the sorted
+    rows narrow, each side's value columns ride the union packed into ONE
+    struct column per side (a null struct costs one fixed-width slot in an
+    UnsafeRow; column-padding would cost a slot per column per side), so
+    shuffle/sort/spill volume is series + keys + each row's OWN payload.
 
     ``rights`` maps prefix -> TSDF (all must share the left's series ids
     and ts dtype category). Left columns keep their names; each right's
@@ -532,32 +536,38 @@ def asof_join_many(
             raise ValueError(f"prefixes leave colliding columns: {sorted(clash)}")
         taken |= set(r_vals)
         sides.append((i, pfx, rdf, r_ts, r_vals))
+    def side_name(i: int) -> str:
+        return f"__tempo_side{i}"
+
+    side_names = {side_name(i) for i in range(len(sides) + 1)}
     # staging keys are namespaced like every other internal column; a user
     # column with one of these names would be silently overwritten
-    reserved = {_REC_IND, _CTS, _TIE} & (taken | set(series))
+    reserved = ({_REC_IND, _CTS, _TIE} | side_names) & (taken | set(series))
     if reserved:
         raise ValueError(f"reserved column names present in input: {sorted(reserved)}")
 
-    types: dict[str, str] = dict(ldf.dtypes)
-    for _i, _p, rdf, _ts, _vals in sides:
-        types.update(dict(rdf.dtypes))
     all_value_cols = list(l_vals) + [
         c for _i, _p, _d, _t, vals in sides for c in vals
     ]
+    # (index, struct type, own value cols, source df) per side, left = 0
+    from pyspark.sql.types import StructType
 
-    def pad(df, own: list[str], ind: int):
-        return df.select(
-            *series,
-            *[
-                (F.col(c) if c in own else F.lit(None).cast(types[c])).alias(c)
-                for c in all_value_cols
-            ],
-            F.lit(ind).alias(_REC_IND),
-        )
-
-    unioned = pad(ldf, l_vals, 0)
+    side_defs = [(0, StructType([ldf.schema[c] for c in l_vals]), l_vals, ldf)]
     for i, _p, rdf, _ts, vals in sides:
-        unioned = unioned.unionByName(pad(rdf, vals, i))
+        side_defs.append((i, StructType([rdf.schema[c] for c in vals]), vals, rdf))
+
+    def pack(df, ind: int):
+        cols = []
+        for j, stype, own, _src in side_defs:
+            if j == ind:
+                cols.append(F.struct(*[F.col(c) for c in own]).alias(side_name(j)))
+            else:
+                cols.append(F.lit(None).cast(stype).alias(side_name(j)))
+        return df.select(*series, *cols, F.lit(ind).alias(_REC_IND))
+
+    unioned = pack(ldf, 0)
+    for i, _p, rdf, _ts, vals in sides:
+        unioned = unioned.unionByName(pack(rdf, i))
 
     # MATERIALIZE the sort keys before any fill: the fills overwrite each
     # right's ts column, and a coalesce-over-columns sort key re-resolved
@@ -565,7 +575,8 @@ def asof_join_many(
     # (silently wrong matches). Named key columns pin the order; computing
     # every fill in ONE select shares a single Sort + Window node.
     combined_ts = F.coalesce(
-        F.col(l_ts), *[F.col(t) for _i, _p, _d, t, _v in sides]
+        F.col(side_name(0)).getField(l_ts),
+        *[F.col(side_name(i)).getField(t) for i, _p, _d, t, _v in sides],
     )
     # rights sort BEFORE the left at equal ts when exact matches are
     # allowed (same-ts rows visible), AFTER it when strict
@@ -577,7 +588,10 @@ def asof_join_many(
     # and N windowed Column objects cost ~6 py4j round-trips apiece at
     # plan-build time (the simhash/minhash lesson — audit any operator
     # building >30 Columns in a loop); one parser call per column builds a
-    # bit-identical plan
+    # bit-identical plan. Fields come out of the side structs: a null
+    # struct's field is null, so last(..., ignorenulls) sees exactly the
+    # rows of that side (plus that side's genuine nulls, which
+    # skip_nulls=True is defined to skip).
     def bq(name: str) -> str:
         return "`" + name.replace("`", "``") + "`"
 
@@ -588,22 +602,22 @@ def asof_join_many(
         + ("ASC" if allow_exact_matches else "DESC")
         + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    fill_for: dict[str, str] = {}
+    sel_for: dict[str, str] = {}
+    for c in l_vals:
+        sel_for[c] = f"{bq(side_name(0))}.{bq(c)}"
     for i, _p, _rdf, _ts, vals in sides:
+        sref = bq(side_name(i))
         for c in vals:
             if skip_nulls:
-                fill_for[c] = f"last({bq(c)}, true) {over}"
+                sel_for[c] = f"last({sref}.{bq(c)}, true) {over}"
             else:
-                fill_for[c] = (
+                sel_for[c] = (
                     f"(last(CASE WHEN {bq(_REC_IND)} = {i} "
-                    f"THEN struct({bq(c)} AS v) END, true) {over}).v"
+                    f"THEN struct({sref}.{bq(c)} AS v) END, true) {over}).v"
                 )
     filled = keyed.select(
         *series,
-        *[
-            F.expr(fill_for[c]).alias(c) if c in fill_for else F.col(c)
-            for c in all_value_cols
-        ],
+        *[F.expr(sel_for[c]).alias(c) for c in all_value_cols],
         _REC_IND,
     )
     out = filled.where(F.col(_REC_IND) == 0).drop(_REC_IND)

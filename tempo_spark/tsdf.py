@@ -425,6 +425,17 @@ class TSDF:
                 c for c in result.df.columns
                 if c.startswith(f"{right_prefix}_")
             ]
+            # a 1000-column right would make this one agg 1000 aggregate
+            # expressions wide — cap the diagnostic (it's a warning aid,
+            # not a correctness gate) and say which columns went unchecked
+            _NULL_CHECK_MAX_COLS = 64
+            if len(right_cols) > _NULL_CHECK_MAX_COLS:
+                logging.getLogger(__name__).warning(
+                    "check_null_lookback: checking the first %d of %d right "
+                    "columns (wide-frame cap)",
+                    _NULL_CHECK_MAX_COLS, len(right_cols),
+                )
+                right_cols = right_cols[:_NULL_CHECK_MAX_COLS]
             if right_cols:
                 counts = result.df.agg(
                     *[F.count(F.col(c)).alias(c) for c in right_cols]

@@ -257,6 +257,34 @@ class TestAsofEdgeCases:
             ).df.collect()
         assert not caplog.records
 
+    def test_null_lookback_wide_frame_caps_columns(self, spark, caplog):
+        """On a very wide right the diagnostic agg caps at 64 columns and
+        says so — a 1000-column agg is not an acceptable price for a
+        warning aid."""
+        import logging
+
+        left = TSDF(
+            spark.createDataFrame(
+                [("A", ts("2020-01-01 00:00:10"), 1.0)],
+                "k string, event_ts timestamp, v double",
+            ),
+            series_ids=["k"],
+        )
+        wide_cols = ", ".join(f"c{i} double" for i in range(100))
+        right = TSDF(
+            spark.createDataFrame(
+                [("A", ts("2020-06-01 00:00:00"), *[None] * 100)],
+                f"k string, event_ts timestamp, {wide_cols}",
+            ),
+            series_ids=["k"],
+        )
+        with caplog.at_level(logging.WARNING, logger="tempo_spark.tsdf"):
+            left.asofJoin(right, left_prefix="l", check_null_lookback=True).df.collect()
+        assert any("wide-frame cap" in r.message for r in caplog.records)
+        # per-column warnings stop at the cap (64 value cols + ts col)
+        col_warns = [r for r in caplog.records if "no values within" in r.message]
+        assert 0 < len(col_warns) <= 64
+
 
 class TestAsofDirections:
     @pytest.fixture(scope="class")
