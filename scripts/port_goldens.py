@@ -1,0 +1,151 @@
+"""Port the reference's RECORDED golden answers into tests/goldens/ as data.
+
+The reference pins operator semantics with JSON goldens
+(reference: python/tests/unit_test_data/*.json, loaded by
+python/tests/base.py:19-211). This script resolves their ``$ref`` pointers
+and re-emits the edge cases the round-5 verdict called out — the as-of
+tolerance sweep [None, 0, 5.5, 7, 10] incl. the exactly-at-tolerance
+boundary, the five interpolation fill methods with interpolation flags
+(trailing-null bfill, leading-null ffill), and the issue-268 interval
+values plus the make_disjoint shape family — in this repo's golden spec
+format (tests/golden_utils.py). Expected rows are the REFERENCE'S recorded
+answers, not re-derivations.
+
+Run from the repo root:  python scripts/port_goldens.py
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+REF = Path("/root/reference/python/tests/unit_test_data")
+OUT = Path(__file__).resolve().parent.parent / "tests" / "goldens"
+
+
+def resolve(node, root):
+    """Resolve JSON-pointer ``$ref``s recursively (the reference's loader
+    does the same, python/tests/base.py)."""
+    if isinstance(node, dict):
+        if set(node) == {"$ref"}:
+            target = root
+            for part in node["$ref"].lstrip("#/").split("/"):
+                target = target[part]
+            return resolve(target, root)
+        return {k: resolve(v, root) for k, v in node.items()}
+    if isinstance(node, list):
+        return [resolve(v, root) for v in node]
+    return node
+
+
+def load(name: str) -> dict:
+    with open(REF / f"{name}.json") as f:
+        raw = json.load(f)
+    return resolve(raw, raw)
+
+
+def df_spec(ref_spec: dict, tsdf_key: str = "tsdf") -> dict:
+    """Reference {tsdf:{ts_col,partition_cols}, df:{schema,ts_convert,data}}
+    -> this repo's {schema, rows, ts_convert, tsdf:{ts_col, series_ids}}."""
+    df = ref_spec["df"]
+    out = {
+        "schema": df["schema"],
+        "rows": df["data"],
+    }
+    if df.get("ts_convert"):
+        out["ts_convert"] = df["ts_convert"]
+    meta = ref_spec.get(tsdf_key)
+    if meta and tsdf_key == "tsdf":
+        out["tsdf"] = {
+            "ts_col": meta["ts_col"],
+            "series_ids": meta.get("partition_cols", []),
+        }
+    elif meta and tsdf_key == "idf":
+        out["idf"] = {
+            "start_ts": meta["start_ts"],
+            "end_ts": meta["end_ts"],
+            "series_ids": meta.get("series_ids", []),
+        }
+    return out
+
+
+def main() -> None:
+    # ---- as-of tolerance sweep (reference: python/tests/as_of_join_tests.py:126-146)
+    asof = load("as_of_join_tests")["AsOfJoinTest"]["test_asof_join_tolerance"]
+    tol_case = {
+        "_source": "reference python/tests/unit_test_data/as_of_join_tests.json "
+        "test_asof_join_tolerance (recorded answers; tolerance is INCLUSIVE "
+        "at exactly-tolerance age: age 7 kept at tolerance=7, age 0 at 0)",
+        "inputs": {
+            "left": df_spec(asof["left"]),
+            "right": df_spec(asof["right"]),
+        },
+        "expected_by_tolerance": {
+            str(t): df_spec(asof[f"expected_tolerance_{t}"])
+            for t in ["None", 0, 5.5, 7, 10]
+        },
+    }
+
+    goldens = json.load(open(OUT / "asof_tests.json"))
+    goldens["ref_tolerance_sweep"] = tol_case
+    with open(OUT / "asof_tests.json", "w") as f:
+        json.dump(goldens, f, indent=1)
+
+    # ---- interpolation fill methods w/ flags (reference: python/tests/interpol_tests.py:136-311)
+    interp = load("interpol_tests")["InterpolationUnitTest"]
+    methods = {
+        "zero": "test_zero_fill_interpolation",
+        "null": "test_null_fill_interpolation",
+        "bfill": "test_back_fill_interpolation",
+        "ffill": "test_forward_fill_interpolation",
+        "linear": "test_linear_fill_interpolation",
+    }
+    any_case = interp[methods["zero"]]
+    fill_case = {
+        "_source": "reference python/tests/unit_test_data/interpol_tests.json "
+        "InterpolationUnitTest (recorded answers; freq='30 seconds', "
+        "func='mean', show_interpolated=True; pins trailing-null bfill, "
+        "leading-null ffill, linear edge nulls)",
+        "inputs": {"data": df_spec(any_case["simple_init"])},
+        "expected_by_method": {
+            m: df_spec(interp[t]["expected"]) for m, t in methods.items()
+        },
+    }
+    goldens = json.load(open(OUT / "interpol_tests.json"))
+    goldens["ref_fill_methods"] = fill_case
+    with open(OUT / "interpol_tests.json", "w") as f:
+        json.dump(goldens, f, indent=1)
+
+    # ---- make_disjoint family (reference: python/tests/intervals_tests.py:183-414)
+    iv = load("intervals_tests")["IntervalsDFTests"]
+    wanted = {
+        "issue_268": "test_make_disjoint_issue_268",
+        "basic": "test_make_disjoint",
+        "already_disjoint": "test_make_disjoint_contains_interval_already_disjoint",
+        "equal_intervals": "test_make_disjoint_contains_intervals_equal",
+        "same_start": "test_make_disjoint_intervals_same_start",
+        "same_end": "test_make_disjoint_intervals_same_end",
+        "multiple_series": "test_make_disjoint_multiple_series",
+        "single_metric": "test_make_disjoint_single_metric",
+        "subset": "test_make_disjoint_interval_is_subset",
+    }
+    cases = {
+        "_source": "reference python/tests/unit_test_data/intervals_tests.json "
+        "IntervalsDFTests (recorded answers)",
+    }
+    for name, t in wanted.items():
+        c = iv[t]
+        cases[name] = {
+            "inputs": {"data": df_spec(c["init"], tsdf_key="idf")},
+            "expected": df_spec(c["expected"], tsdf_key="idf"),
+        }
+    with open(OUT / "intervals_tests.json", "w") as f:
+        json.dump(cases, f, indent=1)
+
+    print("wrote", OUT / "asof_tests.json")
+    print("wrote", OUT / "interpol_tests.json")
+    print("wrote", OUT / "intervals_tests.json")
+
+
+if __name__ == "__main__":
+    main()
