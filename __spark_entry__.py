@@ -2717,7 +2717,13 @@ def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
       integer frames·1000/rate, RMS is exactly amp/32768 (constant
       magnitude), both replayed by DuckDB;
     - ``video``: the 1 + len % 5 frame explosion at 1000 ms spacing (fake —
-      video decode is the one remaining NotImplementedError seam)."""
+      kept for the codec-free plumbing coverage);
+    - ``avi``: a REAL RIFF/AVI byte-stream (uncompressed BI_RGB 24-bit,
+      40 ms/frame, 1 + doc_id % 7 frames of 4+doc_id%3 × 2+doc_id%2 pixels)
+      built by codecs.encode_avi in a mapInPandas generator, demuxed by the
+      stdlib AVI parser and sampled every 80 ms (stride 2); ``frame_bytes``
+      gates each emitted frame's re-encoded standalone-BMP length, DuckDB
+      replays indices, timestamps, and the padded-row byte formula."""
     from tempo_spark.pipeline.multimodal import (
         extract_audio_features,
         sample_video_frames,
@@ -2735,6 +2741,7 @@ def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rms",
         F.lit(None).cast("int").alias("frame_idx"),
         F.lit(None).cast("long").alias("frame_ts_ms"),
+        F.lit(None).cast("long").alias("frame_bytes"),
     )
 
     def gen_wav(batches):
@@ -2763,6 +2770,7 @@ def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
         _HR6(F.col("rms")).alias("rms"),
         F.lit(None).cast("int").alias("frame_idx"),
         F.lit(None).cast("long").alias("frame_ts_ms"),
+        F.lit(None).cast("long").alias("frame_bytes"),
     )
     video = sample_video_frames(docs, every_n_ms=1000, fake=True).select(
         "doc_id",
@@ -2771,30 +2779,74 @@ def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("rms"),
         "frame_idx",
         "frame_ts_ms",
+        F.lit(None).cast("long").alias("frame_bytes"),
     )
-    return audio.unionByName(wav).unionByName(video)
+
+    def gen_avi(batches):
+        import pandas as pd
+
+        from tempo_spark.pipeline.codecs import encode_avi
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                w, h = 4 + int(did) % 3, 2 + int(did) % 2
+                n = 1 + int(did) % 7
+                frames = [bytes([i % 256]) * (w * h * 3) for i in range(n)]
+                rows.append((int(did), encode_avi(frames, w, h, 40_000)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    avi_src = _read(spark, sf_dir, "documents").select("doc_id").mapInPandas(
+        gen_avi, "doc_id long, content binary"
+    )
+    avi = sample_video_frames(avi_src, every_n_ms=80).select(
+        "doc_id",
+        F.lit("avi").alias("modality"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("double").alias("rms"),
+        "frame_idx",
+        "frame_ts_ms",
+        F.length("frame").cast("long").alias("frame_bytes"),
+    )
+    return audio.unionByName(wav).unionByName(video).unionByName(avi)
 
 
 _MULTIMODAL_AV_ORACLE = """
 SELECT doc_id, 'audio' AS modality,
        CAST(octet_length(encode(text)) * 2 AS BIGINT) AS duration_ms,
        CAST(octet_length(encode(text)) % 97 AS DOUBLE) / 97.0 AS rms,
-       CAST(NULL AS INT) AS frame_idx, CAST(NULL AS BIGINT) AS frame_ts_ms
+       CAST(NULL AS INT) AS frame_idx, CAST(NULL AS BIGINT) AS frame_ts_ms,
+       CAST(NULL AS BIGINT) AS frame_bytes
 FROM documents WHERE text IS NOT NULL
 UNION ALL
 SELECT doc_id, 'wav' AS modality,
        CAST(((4 + doc_id % 64) * 1000) // 8000 AS BIGINT) AS duration_ms,
        floor(((doc_id % 100) * 300 / 32768.0) * 1e6 + 0.5) / 1e6 AS rms,
-       CAST(NULL AS INT) AS frame_idx, CAST(NULL AS BIGINT) AS frame_ts_ms
+       CAST(NULL AS INT) AS frame_idx, CAST(NULL AS BIGINT) AS frame_ts_ms,
+       CAST(NULL AS BIGINT) AS frame_bytes
 FROM documents
 UNION ALL
 SELECT doc_id, 'video' AS modality,
        CAST(NULL AS BIGINT) AS duration_ms, CAST(NULL AS DOUBLE) AS rms,
-       CAST(i AS INT) AS frame_idx, CAST(i * 1000 AS BIGINT) AS frame_ts_ms
+       CAST(i AS INT) AS frame_idx, CAST(i * 1000 AS BIGINT) AS frame_ts_ms,
+       CAST(NULL AS BIGINT) AS frame_bytes
 FROM (
   SELECT doc_id,
          UNNEST(generate_series(0, octet_length(encode(text)) % 5)) AS i
   FROM documents WHERE text IS NOT NULL)
+UNION ALL
+-- REAL AVI demux replay: 1 + doc_id%7 stored frames at 40 ms, sampled
+-- every 80 ms -> stride 2 keeps indices 0,2,..; each emitted frame is a
+-- standalone 24-bit BMP: 54 header bytes + 4-byte-padded rows
+SELECT doc_id, 'avi' AS modality,
+       CAST(NULL AS BIGINT) AS duration_ms, CAST(NULL AS DOUBLE) AS rms,
+       CAST(i * 2 AS INT) AS frame_idx,
+       CAST(i * 2 * 40 AS BIGINT) AS frame_ts_ms,
+       CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS frame_bytes
+FROM (
+  SELECT doc_id, 4 + doc_id % 3 AS w, 2 + doc_id % 2 AS h,
+         UNNEST(generate_series(0, CAST((doc_id % 7) // 2 AS BIGINT))) AS i
+  FROM documents)
 """
 
 

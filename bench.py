@@ -163,6 +163,32 @@ def _mix(spark, sf_dir):
     )
 
 
+def _bloom_dedup_shards(spark, sf_dir):
+    # the AMORTIZED bloom path — build_content_bloom once (cached), then
+    # three daily shards probe the same filter; the alternative the probe
+    # measured (scale_probe --corpus) pays the corpus-digest build per
+    # shard. Timed region = one build + three probes.
+    from functools import reduce
+
+    from tempo_spark.pipeline.dedup import build_content_bloom, dedup_against_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    bits = 1 << 20
+    bloom = build_content_bloom(corpus, "text", bloom_bits=bits).cache()
+    shards = [
+        docs.where((F.col("doc_id") % 4 == 0) & ((F.col("doc_id") / 4).cast("long") % 3 == i))
+        for i in range(3)
+    ]
+    outs = [
+        dedup_against_corpus(
+            s, corpus, "text", strategy="bloom", bloom_bits=bits, bloom_df=bloom
+        ).select("doc_id")
+        for s in shards
+    ]
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
 def _range_stats(spark, sf_dir):
     # single-strategy production path (the gate entry union-tags BOTH the
     # sliding and prefix+block strategies, doubling its work on purpose)
@@ -204,6 +230,7 @@ BENCH_QUERIES = {
     "b20_range_corr": _range_corr,
     "b21_paragraph_dedup": _paragraph_dedup,
     "b22_mix": _mix,
+    "b23_bloom_dedup_shards": _bloom_dedup_shards,
 }
 
 RUNS = 3

@@ -54,6 +54,15 @@ AUTO_BIN_ROWS_PER_SERIES = 8000
 
 BinSeconds = Union[float, int, str, None]
 
+#: memoized "auto" probe results keyed by the input plan's semanticHash —
+#: the probe is an index-style STATISTIC (it picks a join strategy, never
+#: affects results), so reusing it across calls on the same logical plan
+#: (pipeline retries, repeated make_disjoint over one source, warm loops)
+#: saves a full upstream execution per call; a stale or hash-colliding
+#: entry can only pick a suboptimal plan, not a wrong answer. Bounded FIFO.
+_AUTO_BIN_CACHE: dict[tuple, Optional[float]] = {}
+_AUTO_BIN_CACHE_MAX = 256
+
 
 def _resolve_bin_seconds(
     stats_df: DataFrame,
@@ -84,6 +93,15 @@ def _resolve_bin_seconds(
         raise ValueError(f"bin_seconds must be a number, None, or 'auto', got {bin_seconds!r}")
     if not allow_binning:
         return None
+    try:
+        cache_key = (
+            stats_df.semanticHash(), start_ts, end_ts, tuple(series_ids),
+            AUTO_BIN_ROWS_PER_SERIES,
+        )
+    except Exception:  # pragma: no cover - plans a hash can't reach
+        cache_key = None
+    if cache_key is not None and cache_key in _AUTO_BIN_CACHE:
+        return _AUTO_BIN_CACHE[cache_key]
     from tempo_spark.functions.timestamps import ts_to_double
 
     length = ts_to_double(
@@ -97,16 +115,25 @@ def _resolve_bin_seconds(
         F.approx_count_distinct(sid).alias("ns"),
         F.percentile_approx(length, [0.5, 0.9], 1000).alias("len_q"),
     ).first()
-    if row is None or not row["n"]:
-        return None
-    per_series = row["n"] / max(row["ns"] or 1, 1)
-    if per_series <= AUTO_BIN_ROWS_PER_SERIES:
-        return None
-    med, p90 = (row["len_q"] or [None, None])
-    for width in (med, p90):
-        if width is not None and width > 0:
-            return float(width)
-    return None  # all intervals zero/unknown length — nothing to bin over
+
+    def decide() -> Optional[float]:
+        if row is None or not row["n"]:
+            return None
+        per_series = row["n"] / max(row["ns"] or 1, 1)
+        if per_series <= AUTO_BIN_ROWS_PER_SERIES:
+            return None
+        med, p90 = (row["len_q"] or [None, None])
+        for width in (med, p90):
+            if width is not None and width > 0:
+                return float(width)
+        return None  # all intervals zero/unknown length — nothing to bin over
+
+    result = decide()
+    if cache_key is not None:
+        if len(_AUTO_BIN_CACHE) >= _AUTO_BIN_CACHE_MAX:
+            _AUTO_BIN_CACHE.pop(next(iter(_AUTO_BIN_CACHE)))
+        _AUTO_BIN_CACHE[cache_key] = result
+    return result
 
 
 class IntervalsDF:

@@ -8,6 +8,10 @@ are simple enough to parse with ``struct`` + ``numpy`` alone:
   decode (bottom-up and top-down) + 24-bit encode.
 - **WAV** (RIFF, PCM int8/int16/int32 and IEEE float32): full sample decode
   + PCM16 encode, duration/RMS features.
+- **AVI** (RIFF, uncompressed BI_RGB 24-bit DIB frames): full frame decode
+  + encode — the same chunk walk as WAV for the container, the same raster
+  math as BMP for each frame. Compressed streams (MJPG/cinepak/…) need
+  real codec libs and raise.
 - **PNG / GIF / JPEG**: header-only dimension+channel sniffing (pixel
   decode needs zlib-filter/huffman machinery out of scope here —
   ``pixels`` comes back None and callers treat these as metadata-only).
@@ -15,8 +19,7 @@ are simple enough to parse with ``struct`` + ``numpy`` alone:
 These run INSIDE Arrow-batched ``mapInPandas`` kernels
 (:mod:`tempo_spark.pipeline.multimodal`) — per-row Python is the only
 option for byte-level media parsing, and the batch boundary is where Spark
-hands us the rows anyway. Video remains the one ``NotImplementedError``
-seam (no container/codec parsing without ffmpeg).
+hands us the rows anyway.
 """
 
 from __future__ import annotations
@@ -275,6 +278,124 @@ def decode_wav(b: bytes) -> DecodedAudio:
     n_frames = len(samples) // max(n_channels, 1)
     samples = samples[: n_frames * n_channels].reshape(n_frames, n_channels)
     return DecodedAudio(sample_rate, n_channels, n_frames, samples)
+
+
+# ----------------------------------------------------------------------- AVI
+
+
+@dataclass
+class DecodedVideo:
+    width: int
+    height: int
+    #: frame period in microseconds (avih dwMicroSecPerFrame)
+    micro_sec_per_frame: int
+    #: top-down interleaved RGB24 rasters, one per stored frame
+    frames: list[bytes]
+
+    @property
+    def n_frames(self) -> int:
+        return len(self.frames)
+
+
+def _riff_chunks(b: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_size) over a RIFF chunk run —
+    the WAV walker generalized to nested LISTs (an AVI is LISTs all the
+    way down)."""
+    i = start
+    while i + 8 <= end:
+        cid = b[i : i + 4]
+        size = struct.unpack_from("<I", b, i + 4)[0]
+        yield cid, i + 8, size
+        i += 8 + size + (size & 1)  # chunks pad to even offsets
+
+
+def decode_avi(b: bytes) -> DecodedVideo:
+    """RIFF/'AVI ' with uncompressed 24-bit BI_RGB video: 'hdrl' gives the
+    frame period + geometry, 'movi' holds one raw bottom-up DIB raster per
+    '00db'/'00dc' chunk (same padded-row layout as a BMP body). Returns
+    frames as top-down RGB24. Compressed fourccs raise ValueError."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    mspf = width = height = None
+    bpp, compression = 24, 0
+    rasters: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal mspf, width, height, bpp, compression
+        for cid, off, size in _riff_chunks(b, start, end):
+            if cid == b"LIST":
+                walk(off + 4, off + size)  # skip the 4-byte list type
+            elif cid == b"avih" and size >= 40:
+                mspf = struct.unpack_from("<I", b, off)[0]
+                width, height = struct.unpack_from("<II", b, off + 32)
+            elif cid == b"strf" and size >= 40:
+                # BITMAPINFOHEADER of the (single) video stream
+                compression = struct.unpack_from("<I", b, off + 16)[0]
+                bpp = struct.unpack_from("<H", b, off + 14)[0]
+            elif cid[2:4] in (b"db", b"dc"):
+                rasters.append(b[off : off + size])
+
+    walk(12, len(b))
+    if mspf is None or not width or not height:
+        raise ValueError("AVI missing avih header")
+    if compression != 0 or bpp != 24:
+        raise ValueError(
+            f"unsupported AVI video (bpp={bpp}, compression={compression:#x}) — "
+            "only uncompressed BI_RGB 24-bit decodes without codec libraries"
+        )
+    stride = (width * 3 + 3) & ~3
+    frames = []
+    for raster in rasters:
+        if len(raster) < stride * height:
+            raise ValueError("truncated AVI frame")
+        rows = np.frombuffer(raster, dtype=np.uint8, count=stride * height)
+        rows = rows.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+        frames.append(np.ascontiguousarray(rows[::-1, :, ::-1]).tobytes())
+    return DecodedVideo(width, height, mspf, frames)
+
+
+def encode_avi(
+    frames: list[bytes], width: int, height: int, micro_sec_per_frame: int = 40000
+) -> bytes:
+    """Minimal uncompressed-RGB24 AVI writer for tests/entries. ``frames``
+    are top-down RGB rasters (w·h·3 bytes each); stored bottom-up BGR with
+    4-byte row padding, per the DIB convention decode_avi expects."""
+    stride = (width * 3 + 3) & ~3
+    movi_body = b"movi"
+    for f in frames:
+        if len(f) != width * height * 3:
+            raise ValueError(f"frame buffer {len(f)} != {width}x{height}x3")
+        img = np.frombuffer(f, dtype=np.uint8).reshape(height, width, 3)
+        padded = np.zeros((height, stride), dtype=np.uint8)
+        padded[:, : width * 3] = img[::-1, :, ::-1].reshape(height, width * 3)
+        raster = padded.tobytes()
+        movi_body += b"00db" + struct.pack("<I", len(raster)) + raster
+        if len(raster) & 1:
+            movi_body += b"\x00"
+    avih = struct.pack(
+        "<14I",
+        micro_sec_per_frame, 0, 0, 0, len(frames), 0, 1, stride * height,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1,
+                                        max(1, 1_000_000 // max(micro_sec_per_frame, 1)),
+                                        0, len(frames), stride * height, 0, 0)
+        + struct.pack("<4h", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height, 0, 0, 0, 0
+    )
+    strl = b"strl" + b"strh" + struct.pack("<I", len(strh)) + strh \
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih \
+        + b"LIST" + struct.pack("<I", len(strl)) + strl
+    body = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_wav_pcm16(

@@ -6,10 +6,12 @@ signatures, partition sizing — is real and tested, and so are the default
 codec paths, via the pure-stdlib parsers in
 :mod:`tempo_spark.pipeline.codecs`: netpbm (P5/P6) and BMP images decode
 to pixels (and re-encode for resize), PNG/GIF/JPEG decode header
-dimensions, RIFF/WAV audio decodes to normalized samples. ``fake=True``
+dimensions, RIFF/WAV audio decodes to normalized samples, and RIFF/AVI
+video (uncompressed BI_RGB) demuxes to per-frame rasters. ``fake=True``
 remains as a codec-free test convenience (hash-derived dimensions).
-The one remaining ``NotImplementedError`` seam is VIDEO frame extraction
-(container demux/codec work needs ffmpeg-class machinery).
+Compressed video/audio codecs (H.264, MJPEG, MP3, …) still need external
+libraries — those byte-streams yield NULL rows (dirty-corpus tolerance),
+with the integration seam documented on each kernel.
 
 Scale notes: media rows are large; the helpers repartition by byte budget
 (``target_partition_bytes``) before the Python stage so one Arrow batch
@@ -217,8 +219,16 @@ def sample_video_frames(
     fake: bool = False,
 ) -> DataFrame:
     """Explode each video row into sampled frame rows (frame_idx, frame_ts_ms,
-    frame binary). Fake path synthesizes a deterministic frame count from the
-    content length."""
+    frame binary). The default path demuxes RIFF/AVI with uncompressed
+    BI_RGB frames (:func:`tempo_spark.pipeline.codecs.decode_avi`) and keeps
+    one stored frame per ``every_n_ms`` window (stride =
+    ``max(1, every_n_ms*1000 // micro_sec_per_frame)``); each kept frame is
+    re-encoded as a standalone 24-bit BMP so downstream ``decode_images``
+    reads it directly. Rows that don't parse (compressed codecs, non-AVI
+    bytes) emit ONE all-null frame row — the document stays visible, the
+    failure is queryable (dirty-corpus tolerance, same contract as
+    ``extract_audio_features``). Fake path synthesizes a deterministic frame
+    count from the content length."""
     id_cols = [f.name for f in df.schema.fields]
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
@@ -243,10 +253,35 @@ def sample_video_frames(
             yield pd.DataFrame(rows, columns=id_cols + ["frame_idx", "frame_ts_ms", "frame"])
 
     def real_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video codecs are not available in this environment; integrate "
-            "ffmpeg/pyav here, or pass fake=True for the deterministic stub"
-        )
+        # per-row demux is unavoidable for byte-level container parsing;
+        # the row explosion happens IN the kernel so only sampled frames
+        # materialize (a compressed-codec integration — ffmpeg/pyav —
+        # would slot in here, replacing decode_avi per content row)
+        from tempo_spark.pipeline.codecs import decode_avi, encode_bmp
+
+        for pdf in batches:
+            rows = []
+            col_lists = {c: pdf[c].tolist() for c in id_cols}
+            for ridx, content in enumerate(pdf[content_col].tolist()):
+                base = {c: col_lists[c][ridx] for c in id_cols}
+                try:
+                    vid = decode_avi(bytes(content))
+                except (ValueError, TypeError):
+                    rows.append({**base, "frame_idx": None,
+                                 "frame_ts_ms": None, "frame": None})
+                    continue
+                mspf = max(vid.micro_sec_per_frame, 1)
+                stride = max(1, (every_n_ms * 1000) // mspf)
+                for i in range(0, vid.n_frames, stride):
+                    rows.append({
+                        **base,
+                        "frame_idx": i,
+                        "frame_ts_ms": (i * mspf) // 1000,
+                        "frame": encode_bmp(vid.width, vid.height, vid.frames[i]),
+                    })
+            yield pd.DataFrame(
+                rows, columns=id_cols + ["frame_idx", "frame_ts_ms", "frame"]
+            )
 
     return df.mapInPandas(fake_frames if fake else real_frames, schema=out_schema)
 

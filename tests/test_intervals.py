@@ -322,6 +322,30 @@ class TestAutoBinning:
         with pytest.raises(ValueError, match="auto"):
             self._skewed(spark).make_disjoint(bin_seconds="always")
 
+    def test_auto_probe_memoized_per_plan(self, spark, monkeypatch):
+        """The auto probe's one eager agg runs ONCE per logical plan —
+        repeated make_disjoint over the same input (pipelines, retries,
+        warm loops) must not re-execute the upstream subtree. The cached
+        value is a plan-choice statistic only, so staleness can never
+        change results."""
+        import tempo_spark.intervals as iv
+
+        i = self._skewed(spark)
+        iv._AUTO_BIN_CACHE.clear()
+        i.make_disjoint()  # populates the cache
+        assert len(iv._AUTO_BIN_CACHE) == 1
+
+        def boom(self):  # any re-probe would have to call .first()
+            raise AssertionError("auto probe re-executed for a cached plan")
+
+        # patch the CONCRETE DataFrame class (pyspark 4 routes through
+        # pyspark.sql.classic.DataFrame, not the abstract base)
+        monkeypatch.setattr(type(i.df), "first", boom)
+        out = i.make_disjoint()  # same logical plan → cache hit
+        monkeypatch.undo()
+        assert out.df.count() > 0
+        assert len(iv._AUTO_BIN_CACHE) == 1
+
     def test_zero_length_intervals_stay_plain(self, spark, monkeypatch):
         # degenerate widths (all intervals zero-length) must not produce a
         # zero/negative bin width — auto falls back to the plain join

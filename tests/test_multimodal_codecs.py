@@ -11,9 +11,11 @@ import pytest
 from tempo_spark.pipeline import multimodal
 from tempo_spark.pipeline.codecs import (
     DecodedImage,
+    decode_avi,
     decode_bmp,
     decode_ppm,
     decode_wav,
+    encode_avi,
     encode_bmp,
     encode_ppm,
     encode_wav_pcm16,
@@ -200,7 +202,49 @@ class TestSparkRealPaths:
         assert got[1][1] == pytest.approx(3276 / 32768.0, abs=1e-12)
         assert got[2] == (None, None) and got[3] == (None, None)
 
-    def test_video_still_the_seam(self, media):
-        # the worker-side NotImplementedError surfaces as a PythonException
-        with pytest.raises(Exception, match="video codecs"):
-            multimodal.sample_video_frames(media).collect()
+    def test_real_video_frames(self, spark):
+        # 10 distinct frames at 40 ms/frame; sample every 80 ms → stride 2
+        frames = [checker_pixels(6, 4) if i % 2 == 0 else bytes(6 * 4 * 3)
+                  for i in range(10)]
+        avi = encode_avi(frames, 6, 4, micro_sec_per_frame=40_000)
+        rows = [(1, bytearray(avi)), (2, bytearray(b"not a video")), (3, None)]
+        df = spark.createDataFrame(rows, "media_id long, content binary")
+        out = multimodal.sample_video_frames(df, every_n_ms=80).collect()
+        by_id: dict = {}
+        for r in out:
+            by_id.setdefault(r.media_id, []).append(r)
+        kept = sorted((r.frame_idx, r.frame_ts_ms) for r in by_id[1])
+        assert kept == [(0, 0), (2, 80), (4, 160), (6, 240), (8, 320)]
+        # each emitted frame is a standalone BMP decode_images can read
+        f0 = next(r for r in by_id[1] if r.frame_idx == 0)
+        img = decode_bmp(bytes(f0.frame))
+        assert (img.width, img.height) == (6, 4)
+        assert img.pixels == frames[0]
+        # unparseable / null rows stay visible as one all-null frame row
+        assert [(r.frame_idx, r.frame) for r in by_id[2]] == [(None, None)]
+        assert [(r.frame_idx, r.frame) for r in by_id[3]] == [(None, None)]
+
+
+class TestAviCodec:
+    def test_round_trip(self):
+        frames = [bytes([(i * 7 + j) % 256 for j in range(5 * 3 * 3)])
+                  for i in range(4)]
+        vid = decode_avi(encode_avi(frames, 5, 3, micro_sec_per_frame=33_333))
+        assert (vid.width, vid.height, vid.n_frames) == (5, 3, 4)
+        assert vid.micro_sec_per_frame == 33_333
+        assert vid.frames == frames  # bottom-up BGR storage round-trips
+
+    def test_rejects_garbage_and_compressed(self):
+        with pytest.raises(ValueError):
+            decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+        b = bytearray(encode_avi([bytes(4 * 2 * 3)], 4, 2))
+        # flip strf biCompression (offset: find the strf chunk body + 16)
+        i = b.find(b"strf") + 8 + 16
+        b[i:i + 4] = struct.pack("<I", 0x47504A4D)  # 'MJPG'
+        with pytest.raises(ValueError, match="compression"):
+            decode_avi(bytes(b))
+
+    def test_truncated_frame_raises(self):
+        b = encode_avi([bytes(4 * 2 * 3)], 4, 2)
+        with pytest.raises(ValueError, match="truncated"):
+            decode_avi(b[:-8])
