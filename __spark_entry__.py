@@ -1434,12 +1434,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       (min_doc_freq = half the corpus): dup_count = tokens dropped because
       their word appears in ≥ that many documents — exact via
       ``out_dropped``, scale-robust (a threshold nothing crosses at tiny
-      SFs still replays as all-zero counts)."""
+      SFs still replays as all-zero counts);
+    - ``span``/``span_text``: ``remove_duplicate_spans`` keep-first exact
+      word-6-gram SPAN dedup (the Lee-et-al substring-dedup grain below
+      paragraphs) — dup_count carries the exact removed-token count
+      (``span``) and the md5_32 of the rebuilt text (``span_text``), so
+      island merging AND the in-place token cut are value-gated; md5_32
+      gram family for the DuckDB replay."""
     from tempo_spark.pipeline.dedup import (
         dedup_against_corpus,
         dedup_paragraphs,
         exact_dedup,
+        md5_32,
         near_dedup_against_corpus,
+        remove_duplicate_spans,
     )
     from tempo_spark.pipeline.filtering import remove_boilerplate_lines
 
@@ -1481,11 +1489,26 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_dropped").alias("dup_count"),
     )
+    spans = remove_duplicate_spans(
+        docs.select("doc_id", "text").where(F.col("text").isNotNull()),
+        "doc_id", "text", n=6, min_count=2, hash_family="md5_32",
+        out="clean", out_removed="nrm",
+    )
+    span_cnt = spans.select(
+        F.lit("span").alias("tag"), "doc_id", F.col("nrm").alias("dup_count")
+    )
+    span_txt = spans.select(
+        F.lit("span_text").alias("tag"),
+        "doc_id",
+        md5_32(F.col("clean")).alias("dup_count"),
+    )
     return (
         exact.unionByName(survivors)
         .unionByName(near)
         .unionByName(para)
         .unionByName(boiler)
+        .unionByName(span_cnt)
+        .unionByName(span_txt)
     )
 
 
@@ -1568,6 +1591,53 @@ LEFT JOIN (
   GROUP BY o.doc_id
 ) bo ON d.doc_id = bo.doc_id
 WHERE length(d.text) > 0
+UNION ALL
+SELECT tag, doc_id, dup_count FROM (
+  WITH sp_occ AS (
+    SELECT doc_id, i - 1 AS pos,
+           ('0x' || substr(md5(array_to_string(w[i:i+5], ' ')), 1, 8))::BIGINT AS gh
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 5)) AS i
+          FROM toks WHERE len(w) >= 6)),
+  sp_flag AS (
+    SELECT doc_id, pos FROM (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY gh) AS cnt
+      FROM sp_occ)
+    WHERE cnt >= 2 AND rn > 1),
+  sp_span AS (
+    SELECT doc_id, grp, min(pos) AS s, max(pos) + 6 AS e
+    FROM (
+      SELECT doc_id, pos,
+             sum(CASE WHEN pos > coalesce(pme - 1, -1) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM (SELECT doc_id, pos,
+                   max(pos + 6) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+            FROM sp_flag))
+    GROUP BY doc_id, grp),
+  sp_cov AS (SELECT doc_id, sum(e - s) AS covered FROM sp_span GROUP BY doc_id),
+  sp_text AS (
+    SELECT t.doc_id, string_agg(t.w[t.i], ' ' ORDER BY t.i) AS clean
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM toks) t
+    JOIN sp_cov c ON c.doc_id = t.doc_id
+    WHERE NOT EXISTS (SELECT 1 FROM sp_span s
+                      WHERE s.doc_id = t.doc_id
+                        AND t.i - 1 >= s.s AND t.i - 1 < s.e)
+    GROUP BY t.doc_id)
+  SELECT 'span' AS tag, t.doc_id,
+         CAST(coalesce(c.covered, 0) AS BIGINT) AS dup_count
+  FROM toks t LEFT JOIN sp_cov c ON c.doc_id = t.doc_id
+  UNION ALL
+  SELECT 'span_text' AS tag, d.doc_id,
+         ('0x' || substr(md5(CASE WHEN c.doc_id IS NULL THEN d.text
+                                  ELSE coalesce(x.clean, '') END), 1, 8))::BIGINT
+           AS dup_count
+  FROM documents d
+  LEFT JOIN sp_cov c ON c.doc_id = d.doc_id
+  LEFT JOIN sp_text x ON x.doc_id = d.doc_id
+  WHERE d.text IS NOT NULL
+)
 """
 
 

@@ -189,6 +189,18 @@ def _bloom_dedup_shards(spark, sf_dir):
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 
+def _span_dedup(spark, sf_dir):
+    # production xxhash64 span dedup (the gate's dedup_exact span tag
+    # replays md5_32 string grams instead)
+    from tempo_spark.pipeline.dedup import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_duplicate_spans(
+        docs.select("doc_id", "text").where(F.col("text").isNotNull()),
+        "doc_id", "text", n=6, out_removed="nrm",
+    ).select("doc_id", "nrm")
+
+
 def _range_stats(spark, sf_dir):
     # single-strategy production path (the gate entry union-tags BOTH the
     # sliding and prefix+block strategies, doubling its work on purpose)
@@ -231,6 +243,7 @@ BENCH_QUERIES = {
     "b21_paragraph_dedup": _paragraph_dedup,
     "b22_mix": _mix,
     "b23_bloom_dedup_shards": _bloom_dedup_shards,
+    "b24_span_dedup": _span_dedup,
 }
 
 RUNS = 3

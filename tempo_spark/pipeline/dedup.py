@@ -1125,6 +1125,144 @@ def dedup_paragraphs(
     return joined.drop("__pd_id", "__bad")
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 50,
+    min_count: int = 2,
+    hash_family: str = "xxhash64",
+    out: Optional[str] = None,
+    out_removed: Optional[str] = None,
+) -> DataFrame:
+    """Corpus-wide exact SPAN dedup, keep-first: every word ``n``-gram that
+    occurs ``min_count``-plus times corpus-wide survives only at its first
+    occurrence — the smallest ``(id, position)`` — and every other
+    occurrence's n tokens are cut from the document in place. The
+    finest-grain member of the exact-dedup family (document →
+    ``exact_dedup``, paragraph → ``dedup_paragraphs``, span → here): it
+    catches boilerplate passages embedded mid-document that neither
+    whole-document nor paragraph-boundary dedup can see (the
+    train-data-dedup recipe of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", there with a suffix array — re-expressed
+    here as fixed-length-window dedup so it distributes as narrow-row
+    DataFrame ops).
+
+    Scale shape (mirrors ``dedup_paragraphs`` — document text is never
+    re-aggregated from exploded rows, and UNAFFECTED documents pass through
+    byte-identical without entering the rebuild):
+
+    1. explode each document into (id, pos, gram_hash) for every
+       position's n consecutive tokens (per-token hashes hoisted so a gram
+       hash is ``xxhash64`` of n fixed-width longs, not a string build);
+       documents with fewer than n tokens produce no grams;
+    2. ONE map-side-combined groupBy finds each gram's first occurrence
+       (``min(struct(id, pos))``) and count; only grams at/over
+       ``min_count`` survive as the join side (rare at a real n like 50);
+    3. non-winner occurrences merge into disjoint covered intervals per
+       document (flagged rows only — a window over positions whose running
+       ``max(pos + n)`` splits islands), and ONE indexed ``filter`` drops
+       covered tokens from the token array in place (per-token cost is
+       O(merged spans of that doc), and spans exist only for affected
+       docs).
+
+    Affected documents are rebuilt with single-space joins (whitespace
+    normalization, the usual corpus-pipeline contract); untouched documents
+    keep their original bytes. ``out_removed`` adds a long column with the
+    exact number of removed token positions. ``hash_family="md5_32"``
+    hashes gram STRINGS engine-neutrally for oracle replay (production
+    default xxhash64 hashes n token hashes — no string materialization)."""
+    if n < 1 or min_count < 2:
+        raise ValueError("remove_duplicate_spans needs n >= 1 and min_count >= 2")
+    toks_c, th_c, gh_c = "__tempo_toks", "__tempo_tokh", "__tempo_gh"
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    if hash_family == "md5_32":
+
+        def gram_at(i: Column) -> Column:
+            return md5_32(
+                F.concat_ws(
+                    " ", F.slice(F.col(toks_c), i + F.lit(1), F.lit(n))
+                )
+            )
+
+        base = df.select(F.col(id_col), toks.alias(toks_c))
+    else:
+
+        def gram_at(i: Column) -> Column:
+            return F.xxhash64(
+                *[F.element_at(F.col(th_c), i + F.lit(j)) for j in range(1, n + 1)]
+            )
+
+        base = df.select(F.col(id_col), toks.alias(toks_c)).withColumn(
+            th_c, F.transform(F.col(toks_c), lambda t: F.xxhash64(t))
+        )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col(toks_c)) - F.lit(n)), gram_at
+    )
+    occ = (
+        base.where(F.size(F.col(toks_c)) >= n)
+        .select(F.col(id_col), F.posexplode_outer(grams).alias("__pos", gh_c))
+        .where(F.col(gh_c).isNotNull())
+    )
+    winners = (
+        occ.groupBy(gh_c)
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))
+            ).alias("__w"),
+            F.count("*").alias("__n"),
+        )
+        .where(F.col("__n") >= min_count)
+        .select(gh_c, "__w")
+    )
+    is_winner = F.col(id_col).eqNullSafe(F.col("__w.i")) & (
+        F.col("__pos") == F.col("__w.p")
+    )
+    flagged = occ.join(winners, gh_c).where(~is_winner).select(id_col, "__pos")
+    # island merge: a new covered interval starts when this span's start
+    # clears the running max end of everything before it
+    wpos = Window.partitionBy(id_col).orderBy("__pos")
+    prev_max_end = F.max(F.col("__pos") + F.lit(n)).over(
+        wpos.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        flagged.withColumn(
+            "__gid",
+            F.sum(
+                F.when(F.col("__pos") > F.coalesce(prev_max_end - 1, F.lit(-1)), 1)
+                .otherwise(0)
+            ).over(wpos.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy(id_col, "__gid")
+        .agg(F.min("__pos").alias("s"), (F.max("__pos") + F.lit(n)).alias("e"))
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("s", "e")).alias("__spans"),
+            F.sum(F.col("e") - F.col("s")).alias("__covered"),
+        )
+        .select(F.col(id_col).alias("__sp_id"), "__spans", "__covered")
+    )
+    target = out or text_col
+    covered_factory = lambda i: lambda sp: (i >= sp.getField("s")) & (
+        i < sp.getField("e")
+    )
+    cleaned = F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(
+        F.concat_ws(
+            " ",
+            F.filter(toks, lambda t, i: ~F.exists(F.col("__spans"), covered_factory(i))),
+        )
+    )
+    joined = df.join(
+        spans, F.col(id_col).eqNullSafe(F.col("__sp_id")), "left"
+    ).withColumn(target, cleaned)
+    if out_removed is not None:
+        joined = joined.withColumn(
+            out_removed, F.coalesce(F.col("__covered"), F.lit(0)).cast("long")
+        )
+    return joined.drop("__sp_id", "__spans", "__covered")
+
+
 # ------------------------------------------------------------ ngram jaccard
 
 

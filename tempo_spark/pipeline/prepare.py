@@ -41,6 +41,7 @@ def prepare_corpus(
     max_dup_2gram_frac: float | None = None,
     paragraph_dedup: bool = False,
     paragraph_sep: str = "\n\n",
+    span_dedup_ngram: int | None = None,
     exact_dedup: bool = True,
     near_dedup_threshold: float | None = None,
     mix_group_col: str | None = None,
@@ -60,6 +61,9 @@ def prepare_corpus(
        anything expensive runs;
     2. ``paragraph_dedup`` — keep-first sub-document dedup (C4 recipe) on
        ``paragraph_sep``-separated blocks, then re-derived token counts;
+       ``span_dedup_ngram`` (e.g. 50) additionally cuts repeated word
+       n-gram spans keep-first (the Lee-et-al substring grain) — both
+       rewrite the text, so per-row signals re-derive after either;
     3. ``exact_dedup`` — one digest shuffle, min-id winner;
     4. ``near_dedup_threshold`` — MinHash/LSH pairs (word 3-grams) →
        connected components → canonical min-id survivor;
@@ -97,6 +101,9 @@ def prepare_corpus(
         out = out.where(F.col("dup_2gram_frac") <= max_dup_2gram_frac)
     if paragraph_dedup:
         out = d.dedup_paragraphs(out, id_col, text_col, sep=paragraph_sep)
+    if span_dedup_ngram is not None:
+        out = d.remove_duplicate_spans(out, id_col, text_col, n=span_dedup_ngram)
+    if paragraph_dedup or span_dedup_ngram is not None:
         # the text changed — re-derive EVERY per-row signal so the shipped
         # columns describe the shipped text (the quality/dup filters above
         # deliberately acted on the pre-dedup signals: cheap pruning first)

@@ -1664,6 +1664,26 @@ class TestPrepareCorpus:
         assert "pack_id" not in out.columns and "shard_id" not in out.columns
         assert "split" in out.columns
 
+    def test_span_dedup_stage_rederives_signals(self, spark):
+        from tempo_spark.pipeline.prepare import prepare_corpus
+
+        shared = "one two three four five six seven eight"
+        rows = [
+            (0, f"{shared} unique0 tail0"),
+            (1, f"intro1 {shared}"),  # loses the 8-token span, keep-first
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in prepare_corpus(
+                df, span_dedup_ngram=8, exact_dedup=False
+            ).collect()
+        }
+        assert out[0].text == f"{shared} unique0 tail0"
+        assert out[1].text == "intro1"
+        # n_tokens describes the SHIPPED text, not the pre-cut one
+        assert out[0].n_tokens == 10 and out[1].n_tokens == 1
+
 
 class TestNullKeys:
     def test_split_null_key_consistent_across_families(self, spark):
@@ -2121,6 +2141,83 @@ class TestDedupParagraphs:
             df, "doc_id", out="clean"
         ).collect()}
         assert out[0] == ("P\n\nQ", "P\n\nQ") and out[1] == ("R", "R")
+
+
+class TestRemoveDuplicateSpans:
+    def test_keep_first_and_merge(self, spark):
+        rows = [
+            (1, "a b c d e f g h"),        # first occurrence of "a b c d" → kept
+            (2, "x y a b c d z w"),        # later occurrence → 4 tokens cut
+            (3, "a b c d"),                # whole doc is the dup span → emptied
+            (4, "unique words only here"), # untouched, bytes preserved
+            (5, "tiny"),                   # < n tokens → no grams, untouched
+            (6, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: (r.text, r.nrm)
+            for r in dedup.remove_duplicate_spans(
+                df, "doc_id", n=4, out_removed="nrm"
+            ).collect()
+        }
+        assert out[1] == ("a b c d e f g h", 0)
+        assert out[2] == ("x y z w", 4)
+        assert out[3] == ("", 4)
+        assert out[4] == ("unique words only here", 0)
+        assert out[5] == ("tiny", 0)
+        assert out[6] == (None, 0)
+
+    def test_overlapping_spans_merge_into_islands(self, spark):
+        # doc 2 repeats a 6-token passage → three overlapping flagged
+        # 4-grams merge into ONE covered interval of 6 tokens
+        rows = [(1, "p q r s t u tail1"), (2, "head p q r s t u")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: (r.text, r.nrm)
+            for r in dedup.remove_duplicate_spans(
+                df, "doc_id", n=4, out_removed="nrm"
+            ).collect()
+        }
+        assert out[1] == ("p q r s t u tail1", 0)
+        assert out[2] == ("head", 6)
+
+    def test_idempotent_and_min_count(self, spark):
+        rows = [(i, "c0 c1 c2 c3 common") for i in range(3)] + [
+            (10, "a b c d e"), (11, "z a b c d")
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # min_count=4: the 3-way span survives everywhere, the 2-way dies
+        out = {
+            r.doc_id: r.text
+            for r in dedup.remove_duplicate_spans(df, "doc_id", n=4, min_count=4).collect()
+        }
+        assert all(out[i] == "c0 c1 c2 c3 common" for i in range(3))
+        assert out[10] == "a b c d e" and out[11] == "z a b c d"
+        # keep-first pass is idempotent: a second pass removes nothing
+        once = dedup.remove_duplicate_spans(df, "doc_id", n=4)
+        twice = dedup.remove_duplicate_spans(
+            once, "doc_id", n=4, out_removed="nrm2"
+        )
+        assert [r.nrm2 for r in twice.collect()] == [0] * 5
+
+    def test_md5_family_matches_xxhash(self, spark):
+        rows = [(i, f"w{i % 3} a b c d e w{i % 5}") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {r.doc_id: r.text for r in dedup.remove_duplicate_spans(df, "doc_id", n=5).collect()}
+        b = {
+            r.doc_id: r.text
+            for r in dedup.remove_duplicate_spans(
+                df, "doc_id", n=5, hash_family="md5_32"
+            ).collect()
+        }
+        assert a == b
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            dedup.remove_duplicate_spans(df, "doc_id", n=0)
+        with pytest.raises(ValueError):
+            dedup.remove_duplicate_spans(df, "doc_id", min_count=1)
 
 
 class TestMixRatesFrozen:
