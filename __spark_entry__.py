@@ -2144,9 +2144,50 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
 """
 
 
+def _emb_semantic_oracle(n_clusters: int = 8, threshold: float = 0.35) -> str:
+    """SemDeDup candidate pairs: init="first" quantizer assignment (the
+    ivf oracle's -2·v·c + |c|² argmin, ties by cell) → exact cosine within
+    a shared cell. Threshold compares the RAW left-fold cosine; emitted
+    column is hardened-rounded — both identical to the Spark exprs."""
+    fold = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        "p -> p[1] * p[2])), (x,y) -> x + y)"
+    )
+    sq = (
+        "list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)), "
+        "(x,y) -> x + y)"
+    )
+    d_assign = f"(-2.0 * {fold.format(a='c.v', b='n.cv')}) + n.cn2"
+    cos = (
+        f"{fold.format(a='a.v', b='b.v')} / "
+        f"(sqrt({sq.format(a='a.v')}) * sqrt({sq.format(a='b.v')}))"
+    )
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM c ORDER BY vec_id LIMIT {n_clusters}),
+centn AS (SELECT cell, cv, {sq.format(a='cv')} AS cn2 FROM cent),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT c.vec_id, c.v, n.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {d_assign}, n.cell) AS rn
+    FROM c CROSS JOIN centn n) WHERE rn = 1),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS raw
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, floor(raw * 1000000 + 0.5) / 1000000 AS cosine,
+       'semantic' AS method
+FROM scored WHERE raw >= {threshold}
+"""
+
+
 def _emb_near_dup_oracle() -> str:
-    """exact ∪ lsh ∪ vs_corpus, method-tagged — DuckDB allows CTEs inside
-    derived tables, so the standalone WITH-queries compose directly."""
+    """exact ∪ lsh ∪ vs_corpus ∪ semantic, method-tagged — DuckDB allows
+    CTEs inside derived tables, so the standalone WITH-queries compose
+    directly."""
     lsh = _emb_near_dup_lsh_oracle().replace(
         "SELECT id_a, id_b, cosine FROM scored",
         "SELECT id_a, id_b, cosine, 'lsh' AS method FROM scored",
@@ -2154,7 +2195,8 @@ def _emb_near_dup_oracle() -> str:
     return (
         f"SELECT * FROM ({_EMB_NEAR_DUP_EXACT_SQL})\n"
         f"UNION ALL\nSELECT * FROM ({lsh})\n"
-        f"UNION ALL\nSELECT * FROM ({_EMB_VS_CORPUS_SQL})"
+        f"UNION ALL\nSELECT * FROM ({_EMB_VS_CORPUS_SQL})\n"
+        f"UNION ALL\nSELECT * FROM ({_emb_semantic_oracle()})"
     )
 
 
@@ -2475,7 +2517,18 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.lit("vs_corpus").alias("method"),
     )
-    return exact.unionByName(lsh).unionByName(vs_corpus)
+    # SemDeDup candidate generation with the deterministic init="first"
+    # quantizer (8 k-means-free cells): DuckDB replays assignment via the
+    # same -2·v·c + |c|² argmin the IVF entry pins, then exact within-cell
+    # cosine. Production default stays init="kmeans" (pytest covers it).
+    from tempo_spark.pipeline.similarity import semantic_dedup_pairs
+
+    semantic = semantic_dedup_pairs(
+        emb, n_clusters=8, threshold=0.35, init="first"
+    ).withColumn("method", F.lit("semantic"))
+    return (
+        exact.unionByName(lsh).unionByName(vs_corpus).unionByName(semantic)
+    )
 
 
 # exact variant has full recall and no engine-specific hashing → full value

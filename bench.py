@@ -189,6 +189,27 @@ def _bloom_dedup_shards(spark, sf_dir):
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 
+def _semantic_dedup(spark, sf_dir):
+    # production SemDeDup path: MLlib k-means quantizer + cell-scoped
+    # cosine + far-from-centroid survivor (the gate's semantic tag replays
+    # the deterministic init="first" quantizer instead)
+    from tempo_spark.pipeline.similarity import semantic_dedup
+
+    from tempo_spark.pipeline.similarity import IVFIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # cells sized ~100 rows (the SemDeDup regime: k grows with the corpus
+    # so within-cell compares stay bounded); random-init quantizer — the
+    # coarse-quantizer recipe (k-means|| init costs several extra sweeps
+    # for marginal cell-balance gain at this granularity)
+    idx = IVFIndex.build(
+        emb, n_centroids=64, seed=42, init_mode="random"
+    )
+    return semantic_dedup(
+        emb, threshold=0.35, index=idx, keep="far_centroid"
+    ).select("vec_id")
+
+
 def _span_dedup(spark, sf_dir):
     # production xxhash64 span dedup (the gate's dedup_exact span tag
     # replays md5_32 string grams instead)
@@ -244,6 +265,7 @@ BENCH_QUERIES = {
     "b22_mix": _mix,
     "b23_bloom_dedup_shards": _bloom_dedup_shards,
     "b24_span_dedup": _span_dedup,
+    "b25_semantic_dedup": _semantic_dedup,
 }
 
 RUNS = 3

