@@ -1786,12 +1786,18 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       patterns);
     - ``entropy``: ``with_char_entropy`` — distributed Shannon character
       entropy in bits (gibberish detector), hardened-rounded (log2 ulps
-      across engines sit ~1e-15 against the 1e-6 grid)."""
+      across engines sit ~1e-15 against the 1e-6 grid);
+    - ``lm``: bigram-LM mean log-prob (``train_ngram_lm`` on the corpus
+      itself + ``with_lm_logprob``, the CCNet perplexity-style signal) —
+      hash_family="raw" string keys so DuckDB replays counts exactly;
+      production default is xxhash64 keys (pytest pins family parity)."""
     from tempo_spark.pipeline.dedup import ngram_contamination
     from tempo_spark.pipeline.filtering import filter_by_group_stats
     from tempo_spark.pipeline.text import (
+        train_ngram_lm,
         with_char_entropy,
         with_gopher_flags,
+        with_lm_logprob,
         with_quality_score,
     )
 
@@ -1819,11 +1825,18 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy = with_char_entropy(docs.select("doc_id", "text"), "doc_id").select(
         F.lit("entropy").alias("tag"), "doc_id", F.col("char_entropy").alias("val")
     )
+    nn = docs.where(F.col("text").isNotNull()).select("doc_id", "text")
+    lm = with_lm_logprob(
+        nn, train_ngram_lm(nn, hash_family="raw"), "doc_id", hash_family="raw"
+    ).select(
+        F.lit("lm").alias("tag"), "doc_id", _HR6(F.col("lm_logprob")).alias("val")
+    )
     return (
         quality.unionByName(contam)
         .unionByName(src)
         .unionByName(gopher)
         .unionByName(entropy)
+        .unionByName(lm)
     )
 
 
@@ -1908,6 +1921,36 @@ FROM documents d LEFT JOIN (
           FROM documents)
     GROUP BY doc_id, length(text), ch)
   GROUP BY doc_id) e ON d.doc_id = e.doc_id
+UNION ALL
+-- bigram-LM mean log-prob: exact count replay (string keys), additive
+-- smoothing alpha=1, unseen context scores ln(1/V); <2-token docs NULL
+SELECT tag, doc_id, val FROM (
+  WITH lm_toks AS (
+    SELECT doc_id,
+           list_prepend(chr(2) || ' s',
+                        CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t
+    FROM documents WHERE text IS NOT NULL),
+  lm_pairs AS (
+    SELECT doc_id, t[i] AS ctx, t[i + 1] AS tok
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM lm_toks WHERE len(t) >= 2)),
+  lm_cnt AS (SELECT ctx, tok, count(*) AS cnt FROM lm_pairs GROUP BY ctx, tok),
+  lm_tot AS (SELECT ctx, sum(cnt) AS tot FROM lm_cnt GROUP BY ctx),
+  lm_v AS (SELECT count(DISTINCT tok) AS v FROM lm_pairs),
+  lm_doc AS (
+    SELECT p.doc_id,
+           avg(ln((coalesce(c.cnt, 0) + 1.0)
+                  / (coalesce(t.tot, 0) + 1.0 * v.v))) AS lp
+    FROM lm_pairs p
+    LEFT JOIN lm_cnt c ON c.ctx = p.ctx AND c.tok = p.tok
+    LEFT JOIN lm_tot t ON t.ctx = p.ctx
+    CROSS JOIN lm_v v
+    GROUP BY p.doc_id)
+  SELECT 'lm' AS tag, k.doc_id,
+         floor(d.lp * 1000000 + 0.5) / 1000000 AS val
+  FROM lm_toks k LEFT JOIN lm_doc d ON d.doc_id = k.doc_id
+)
 """
 
 

@@ -508,6 +508,133 @@ def tfidf_keywords(
     )
 
 
+#: doc-start context token for the n-gram LM (cannot collide with real
+#: whitespace tokens — it contains whitespace itself)
+_LM_START = "\x02 s"
+
+
+def train_ngram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Train a bigram language model over the corpus — the CCNet-style
+    quality signal's model half ("score each document by how surprising a
+    reference corpus finds it"; CCNet uses a KenLM trained on Wikipedia —
+    here the reference corpus is whatever frame you pass, e.g. a trusted
+    high-quality slice, and the LM is exact bigram counts).
+
+    Returns a model DataFrame ``(__ctx, __tok, __cnt, __v)``: context →
+    token counts with the vocabulary size embedded on every row (the same
+    self-describing-table trick as the Bloom filter — a model persisted to
+    parquet carries everything scoring needs). Fully lazy: the vocab size
+    rides in via a broadcast 1-row aggregate, so training composes into a
+    pipeline without a driver action.
+
+    ``hash_family="xxhash64"`` (default) keys the model by 64-bit token
+    hashes — fixed-width join keys, no string shuffles. ``"raw"`` keys by
+    the token strings themselves (engine-neutral; the oracle-gated path).
+
+    Scale shape: ONE explode to (ctx, tok) narrow rows → map-side-combined
+    groupBy. Model size is bounded by distinct bigrams, not corpus size."""
+    if hash_family not in ("xxhash64", "raw"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    toks = F.array_insert(tokens_col(F.col(text_col)), 1, F.lit(_LM_START))
+    if hash_family == "xxhash64":
+        toks = F.transform(toks, lambda t: F.xxhash64(t))
+    pairs = (
+        df.select(toks.alias("__t"))
+        .where(F.size("__t") >= 2)
+        .select(
+            F.posexplode_outer(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - F.lit(2)),
+                    _ctx_tok_factory(),
+                )
+            ).alias("__pos", "__ct")
+        )
+        .where(F.col("__ct").isNotNull())
+        .select(F.col("__ct.c").alias("__ctx"), F.col("__ct.t").alias("__tok"))
+    )
+    counts = pairs.groupBy("__ctx", "__tok").agg(F.count("*").alias("__cnt"))
+    vocab = pairs.agg(F.count_distinct(F.col("__tok")).alias("__v"))
+    return counts.crossJoin(F.broadcast(vocab))
+
+
+def _ctx_tok_factory():
+    # factory keeps the lambda single-parameter (arity introspection)
+    return lambda i: F.struct(
+        F.element_at(F.col("__t"), i + F.lit(1)).alias("c"),
+        F.element_at(F.col("__t"), i + F.lit(2)).alias("t"),
+    )
+
+
+def with_lm_logprob(
+    df: DataFrame,
+    model_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    alpha: float = 1.0,
+    hash_family: str = "xxhash64",
+    out: str = "lm_logprob",
+) -> DataFrame:
+    """Score each document against a :func:`train_ngram_lm` model: ``out``
+    = mean over the document's bigrams of
+    ``ln((c(ctx, tok) + alpha) / (c(ctx) + alpha·V))`` (additive
+    smoothing; an unseen context scores ``-ln V``). Perplexity is
+    ``exp(-out)``; filter or bucket on either — the CCNet head/middle/tail
+    split is a quantile cut on this column. ``hash_family`` must match the
+    model's. Documents with fewer than 2 tokens (no bigrams) get NULL.
+
+    Scale shape: the document side explodes to narrow (id, ctx, tok) rows;
+    the model joins on its grouping keys (shuffle bounded by bigram
+    count); the per-doc mean joins back by id — document text is never
+    re-aggregated."""
+    if hash_family not in ("xxhash64", "raw"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    toks = F.array_insert(tokens_col(F.col(text_col)), 1, F.lit(_LM_START))
+    if hash_family == "xxhash64":
+        toks = F.transform(toks, lambda t: F.xxhash64(t))
+    doc_pairs = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .where(F.size("__t") >= 2)
+        .select(
+            F.col(id_col),
+            F.posexplode_outer(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - F.lit(2)),
+                    _ctx_tok_factory(),
+                )
+            ).alias("__pos", "__ct"),
+        )
+        .where(F.col("__ct").isNotNull())
+        .select(F.col(id_col), F.col("__ct.c").alias("__ctx"), F.col("__ct.t").alias("__tok"))
+    )
+    ctx_totals = model_df.groupBy("__ctx").agg(F.sum("__cnt").alias("__ctx_total"))
+    vrow = model_df.agg(F.max("__v").alias("__v"))
+    scored = (
+        doc_pairs.join(model_df.select("__ctx", "__tok", "__cnt"), ["__ctx", "__tok"], "left")
+        .join(ctx_totals, "__ctx", "left")
+        .crossJoin(F.broadcast(vrow))
+        .withColumn(
+            "__lp",
+            F.log(
+                (F.coalesce(F.col("__cnt"), F.lit(0)) + F.lit(alpha))
+                / (
+                    F.coalesce(F.col("__ctx_total"), F.lit(0))
+                    + F.lit(alpha) * F.col("__v")
+                )
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(F.avg("__lp").alias(out)).select(
+        F.col(id_col).alias("__lm_id"), out
+    )
+    return df.join(
+        per_doc, F.col(id_col).eqNullSafe(F.col("__lm_id")), "left"
+    ).drop("__lm_id")
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
     """Deterministic document fingerprint: polynomial rolling hash
     ``h = (h*31 + codepoint) mod 1_000_000_007`` over the characters.

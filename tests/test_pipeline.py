@@ -2246,6 +2246,70 @@ class TestDedupParagraphs:
         assert out[0] == ("P\n\nQ", "P\n\nQ") and out[1] == ("R", "R")
 
 
+class TestNgramLM:
+    @pytest.fixture(scope="class")
+    def ref(self, spark):
+        return spark.createDataFrame(
+            [(1, "the cat sat"), (2, "the cat ran"), (3, "the dog sat")],
+            "doc_id long, text string",
+        )
+
+    def test_analytic_logprob(self, spark, ref):
+        import math
+
+        from tempo_spark.pipeline import text as t
+
+        model = t.train_ngram_lm(ref)
+        docs = spark.createDataFrame(
+            [(10, "the cat sat"), (12, "x"), (13, None), (14, "")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.lm_logprob
+            for r in t.with_lm_logprob(docs, model, "doc_id").collect()
+        }
+        # V=5; bigrams of doc 10: (<s>,the) 3/3, (the,cat) 2/3, (cat,sat) 1/2
+        exp = (
+            math.log(4 / 8) + math.log(3 / 8) + math.log(2 / 7)
+        ) / 3
+        assert got[10] == pytest.approx(exp, abs=1e-12)
+        # single token: one bigram (<s>, x), unseen -> ln(1/(3+5))
+        assert got[12] == pytest.approx(math.log(1 / 8), abs=1e-12)
+        assert got[13] is None and got[14] is None
+
+    def test_hash_family_parity_and_persistence(self, spark, ref, tmp_path):
+        from tempo_spark.pipeline import text as t
+
+        docs = ref.unionByName(
+            spark.createDataFrame([(9, "zebra the cat")], "doc_id long, text string")
+        )
+        a = {
+            r.doc_id: r.lm_logprob
+            for r in t.with_lm_logprob(docs, t.train_ngram_lm(ref), "doc_id").collect()
+        }
+        raw_model = t.train_ngram_lm(ref, hash_family="raw")
+        # a model is a plain DataFrame: parquet round-trip is the save path
+        raw_model.write.parquet(str(tmp_path / "lm"))
+        loaded = spark.read.parquet(str(tmp_path / "lm"))
+        b = {
+            r.doc_id: r.lm_logprob
+            for r in t.with_lm_logprob(
+                docs, loaded, "doc_id", hash_family="raw"
+            ).collect()
+        }
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+    def test_validation(self, spark, ref):
+        from tempo_spark.pipeline import text as t
+
+        with pytest.raises(ValueError, match="hash_family"):
+            t.train_ngram_lm(ref, hash_family="md5")
+        with pytest.raises(ValueError, match="hash_family"):
+            t.with_lm_logprob(ref, t.train_ngram_lm(ref), "doc_id", hash_family="md5")
+
+
 class TestRemoveDuplicateSpans:
     def test_keep_first_and_merge(self, spark):
         rows = [
