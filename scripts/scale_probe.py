@@ -573,6 +573,88 @@ def paradedup_probe(spark, n_docs: int) -> dict:
     return out
 
 
+def spandedup_probe(spark, n_docs: int) -> dict:
+    """remove_duplicate_spans under a 100%-document hot span: every doc is
+    10 unique tokens followed by the same 8-token tail, so each fully-
+    interior 6-gram of the tail (3 of them) occurs in ALL docs. The winner
+    join must stay linear per hot gram (narrow rows), the three flagged
+    grams per doc must merge into ONE 8-token island, and only the min-id
+    doc keeps its tail. Expected: docs_changed == n_docs - 1."""
+    from tempo_spark.pipeline.dedup import remove_duplicate_spans
+
+    # 12 hex chars per unique token: at 6 chars (16^6 values) the birthday
+    # count of same-position token collisions across 1M docs is ~30k, each
+    # creating a GENUINE duplicated boundary gram (first probe run measured
+    # exactly that: 29152 docs lost 9 tokens instead of 8)
+    uniq = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(9)),
+            lambda i: F.substring(
+                F.md5((F.col("id") * 10 + i).cast("string")), 1, 12
+            ),
+        ),
+        " ",
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            uniq, F.lit(" t0 t1 t2 t3 t4 t5 t6 t7")
+        ).alias("text"),
+    )
+    out: dict = {"n_docs": n_docs, "hot_span_doc_frac": 1.0}
+    t0 = time.monotonic()
+    res = remove_duplicate_spans(
+        docs, "doc_id", n=6, out="clean", out_removed="nrm"
+    )
+    changed = res.where(F.col("nrm") > 0).count()
+    dt = time.monotonic() - t0
+    # island merge check: every changed doc lost exactly the 8-token tail
+    bad = res.where((F.col("nrm") > 0) & (F.col("nrm") != 8)).count()
+    out["span_dedup_hot"] = {
+        "sec": round(dt, 1),
+        "docs_changed": changed,
+        "exact": changed == n_docs - 1 and bad == 0,
+        "docs_per_sec": int(n_docs / dt),
+    }
+    return out
+
+
+def semdedup_probe(spark, n_vecs: int, n_clusters: int, dim: int = 16) -> dict:
+    """semantic_dedup at SemDeDup geometry (cells of ~n/k rows): vectors
+    come in identical pairs (ids 2i and 2i+1 share a vector), so the exact
+    expected outcome is n/2 dropped rows — identical vectors always land
+    in the same cell, so cell-scoped recall is 1 for true duplicates. The
+    within-cell compare volume is n²/k; k must scale with n (the paper's
+    regime) for flat per-row cost. Also exercises the CC small-graph
+    driver path (< threshold) vs the distributed loop (above)."""
+    from tempo_spark.pipeline.similarity import IVFIndex, semantic_dedup
+
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64((F.col("id") / 2).cast("long"), j), F.lit(2000))
+            .cast("double") / 1000.0 - 1.0
+        ),
+    )
+    vecs = spark.range(n_vecs).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    out: dict = {"n_vecs": n_vecs, "n_clusters": n_clusters, "dim": dim}
+    t0 = time.monotonic()
+    idx = IVFIndex.build(
+        vecs, n_centroids=n_clusters, seed=7, init_mode="random", fit_sample_mod=16
+    )
+    survivors = semantic_dedup(
+        vecs, threshold=0.9999, index=idx, keep="far_centroid"
+    ).count()
+    dt = time.monotonic() - t0
+    out["semantic_dedup"] = {
+        "sec": round(dt, 1),
+        "survivors": survivors,
+        "exact": survivors == n_vecs // 2,
+        "vecs_per_sec": int(n_vecs / dt),
+    }
+    return out
+
+
 def stopgram_probe(spark, n_docs: int) -> dict:
     """ngram_jaccard_pairs under a 100%-document stop-gram: every doc ends
     with the same 5-token phrase, so 3 of its word-3-grams appear in ALL
@@ -719,6 +801,20 @@ def main():
         spark = _probe_session()
         for n in (2_000_000, 8_000_000):
             print(json.dumps(corr_probe(spark, n, 10_000)))
+        spark.stop()
+        return
+    if "--spandedup" in sys.argv:
+        spark = _probe_session()
+        for n in (1_000_000, 4_000_000):
+            print(json.dumps(spandedup_probe(spark, n)))
+        spark.stop()
+        return
+    if "--semdedup" in sys.argv:
+        spark = _probe_session()
+        # k scales with n (the SemDeDup regime); the small run's pair graph
+        # takes the CC driver fast path, the large one the distributed loop
+        for n, k in ((200_000, 1024), (800_000, 4096)):
+            print(json.dumps(semdedup_probe(spark, n, k)))
         spark.stop()
         return
     if "--paradedup" in sys.argv:

@@ -39,7 +39,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     algorithm: str = "pointer",
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Label each node reachable through pair edges with its component's
     minimum id. Returns (id, component).
@@ -63,10 +63,13 @@ def connected_components(
     costs several fixed-latency shuffle stages — measured ~1.5 s/round on a
     700-edge graph, pure scheduling. At or below this many (directed,
     deduped) edges the graph collects to the driver and a union-find labels
-    it in one pass — same min-id labels, exact same null semantics (a null
-    endpoint never joins, so a null node keeps its own label), bounded
-    memory (1M edges ≈ tens of MB). The edge count is already materialized
-    for the cache, so the decision is free; 0 forces the distributed loop.
+    it in one pass — same min-id labels, same null semantics. The ceiling
+    is set by the round-trip costs, not memory: ``collect()`` plus
+    re-creating the label frame as a local relation both run through
+    row-at-a-time pickling (~100-200k rows/s), so past a few hundred
+    thousand edges the distributed loop wins again. The edge count is
+    already materialized for the cache, so the decision is free; 0 forces
+    the distributed loop.
 
     The loop stops as soon as a round changes nothing. Each round
     materializes the label frame via ``localCheckpoint`` — executor-local

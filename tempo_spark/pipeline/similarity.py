@@ -19,6 +19,7 @@ import math
 import random
 from typing import Optional
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -331,29 +332,84 @@ def _scored_over(vec: Column, cents_col: Column) -> Column:
     )
 
 
+# above this many k×dim multiply-adds PER ROW the broadcast HOF argmin —
+# interpreted expression evaluation, never codegen'd — stops being viable
+# (measured: k=1024 × dim=16 over 200k rows ≈ minutes) and assignment
+# drops into an Arrow-batched numpy matmul kernel: B rows × k centroids
+# per batch as ONE BLAS call (the faiss recipe — a coarse quantizer at
+# real k IS dense linear algebra). Module-level so tests can force paths.
+ASSIGN_ARROW_MIN_OPS = 8192
+
+
+def _arrow_assign_udf(centers: list[list[float]]):
+    """Scalar pandas_udf computing the argmin cell per vector via one
+    batch matmul. Same distance surrogate (-2·v·c + |c|²) and the same
+    first-minimum tie rule as the expression paths; float64 matmul
+    accumulates in a different order than the left-fold, so ties that sit
+    within ~1 ulp of each other may assign differently — a quantizer-
+    boundary wobble, not a correctness boundary (any consistent cell works;
+    parity with the HOF path is asserted off-tie in tests). Null or
+    wrong-width vectors yield NULL, matching the expression paths."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centers, dtype=np.float64)
+    cn2 = (C * C).sum(axis=1)
+    d = C.shape[1]
+
+    @pandas_udf("int")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        ok = vs.map(lambda v: v is not None and len(v) == d)
+        out = pd.Series([None] * len(vs), dtype="Int32")
+        if ok.any():
+            M = np.stack(vs[ok].map(np.asarray).to_numpy()).astype(np.float64)
+            scores = -2.0 * (M @ C.T) + cn2
+            out[np.flatnonzero(ok.to_numpy())] = np.argmin(scores, axis=1).astype(
+                "int32"
+            )
+        return out
+
+    return cell_of
+
+
 def _assign_cells(
     df: DataFrame, centers: list[list[float]], id_col: str, vec_col: str
 ) -> DataFrame:
     """THE cell-assignment expression (argmin over centroid scores) shared
     by build(init='first') and IVFIndex.assign — build-time and
-    incrementally-added cells must never drift apart. Within the
-    ASSIGN_LITERAL_MAX literal budget (k × dim), centroids inline as
-    expression literals (zero extra plan nodes); above
-    that they ride a broadcast 1-row array frame (plan size and build time
-    flat in n_centroids; still no shuffle, no Python — the argmin is
-    ``array_min`` over a transform, struct ordering = (d, cell) exactly
-    like the literal path's array_sort+element_at)."""
+    incrementally-added cells must never drift apart. Three regimes by
+    per-row work k × dim:
+
+    - within ASSIGN_LITERAL_MAX: centroids inline as expression literals
+      (zero extra plan nodes);
+    - within ASSIGN_ARROW_MIN_OPS: centroids ride a broadcast 1-row array
+      frame (plan size flat in k; argmin is ``array_min`` over a
+      transform — still no Python);
+    - above: Arrow-batched numpy matmul (one BLAS call per batch — the
+      only way to get SIMD throughput for genuinely large k; interpreted
+      HOF evaluation measured in MINUTES at k=1024 × 200k rows where the
+      kernel is seconds).
+
+    Null or wrong-width vectors get a NULL cell on every path (the naive
+    HOF argmin would quietly put them in cell 0 — a null distance sorts
+    first in the score struct — silently polluting one cell at scale)."""
     proj = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__vec"))
+    dim = len(centers[0]) if centers else 0
+    valid = F.col("__vec").isNotNull() & (F.size("__vec") == dim)
     if _literal_path_ok(centers):
         nearest = F.element_at(
             F.array_sort(_cell_scores(F.col("__vec"), centers)), 1
         ).getField("cell")
-        return proj.withColumn("cell", nearest)
-    joined = proj.crossJoin(F.broadcast(_centers_frame(df.sparkSession, centers)))
-    nearest = F.array_min(
-        _scored_over(F.col("__vec"), F.col("__cents"))
-    ).getField("cell")
-    return joined.withColumn("cell", nearest).drop("__cents")
+        return proj.withColumn("cell", F.when(valid, nearest))
+    if len(centers) * dim <= ASSIGN_ARROW_MIN_OPS:
+        joined = proj.crossJoin(
+            F.broadcast(_centers_frame(df.sparkSession, centers))
+        )
+        nearest = F.array_min(
+            _scored_over(F.col("__vec"), F.col("__cents"))
+        ).getField("cell")
+        return joined.withColumn("cell", F.when(valid, nearest)).drop("__cents")
+    return proj.withColumn("cell", _arrow_assign_udf(centers)(F.col("__vec")))
 
 
 class IVFIndex:

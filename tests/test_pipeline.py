@@ -596,6 +596,33 @@ class TestIVF:
         assert count_exchanges(assigned) == 0
         assert count_python_evals(assigned) == 0
 
+    def test_arrow_assignment_matches_broadcast(self, spark, monkeypatch):
+        """Past ASSIGN_ARROW_MIN_OPS per-row work, assignment runs as an
+        Arrow matmul kernel — same cells as the HOF paths on non-tied data,
+        NULL for null/wrong-width vectors."""
+        from tempo_spark.pipeline import similarity as sim
+
+        rows = [
+            (i, [float((i * 7 + j * 5) % 13) / 13.0 for j in range(6)])
+            for i in range(80)
+        ]
+        rows += [(900, None), (901, [1.0, 2.0])]  # null / wrong width
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        centers = [[float((c * 3 + j) % 7) for j in range(6)] for c in range(12)]
+
+        monkeypatch.setattr(sim, "ASSIGN_LITERAL_MAX", 0)
+        bc = {
+            r.vec_id: r.cell
+            for r in sim._assign_cells(vecs, centers, "vec_id", "embedding").collect()
+        }
+        monkeypatch.setattr(sim, "ASSIGN_ARROW_MIN_OPS", 0)
+        ar = {
+            r.vec_id: r.cell
+            for r in sim._assign_cells(vecs, centers, "vec_id", "embedding").collect()
+        }
+        assert ar == bc
+        assert ar[900] is None and ar[901] is None
+
     def test_ivf_cells_partition_corpus(self, spark):
         rows = [(i, [float(i % 3), float((i + 1) % 3), 0.0]) for i in range(30)]
         vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
