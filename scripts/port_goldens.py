@@ -142,9 +142,104 @@ def main() -> None:
     with open(OUT / "intervals_tests.json", "w") as f:
         json.dump(cases, f, indent=1)
 
+    # ---- tsdf_tests.json: range/group stats, resample trio, state-interval
+    # sweep, string-ts slice family (reference: python/tests/tsdf_tests.py)
+    tsdf = load("tsdf_tests")
+    cases: dict = {
+        "_source": "reference python/tests/unit_test_data/tsdf_tests.json "
+        "(recorded answers)",
+    }
+    rs = tsdf["RangeStatsTest"]
+    cases["range_stats"] = {
+        "_call": "withRangeStats(rangeBackWindowSecs=1200), compare at decimal(5,2)",
+        "inputs": {"data": df_spec(rs["test_range_stats"]["init"])},
+        "expected": df_spec(rs["test_range_stats"]["expected"]),
+    }
+    cases["group_stats"] = {
+        "_call": "withGroupedStats(freq='1 min'), compare at decimal(5,2)",
+        "inputs": {"data": df_spec(rs["test_group_stats"]["init"])},
+        "expected": df_spec(rs["test_group_stats"]["expected"]),
+    }
+    res = tsdf["ResampleTest"]
+    cases["resample"] = {
+        "_call": "resample(freq='min', func='floor', prefix='floor'); "
+        "resample('5 minutes', 'mean') rounded 2; calc_bars('min', "
+        "[trade_pr, trade_pr_2])",
+        "inputs": {"data": df_spec(res["test_resample"]["input"])},
+        "expected_floor": df_spec(res["test_resample"]["expected"]),
+        "expected_5min_mean": df_spec(res["test_resample"]["expected30m"]),
+        "expected_bars": df_spec(res["test_resample"]["expectedbars"]),
+    }
+    cases["resample_millis"] = {
+        "_call": "resample(freq='ms', func='mean') rounded 2",
+        "inputs": {"data": df_spec(res["test_resample_millis"]["init"])},
+        "expected": df_spec(res["test_resample_millis"]["expectedms"]),
+    }
+    cases["upsample"] = {
+        "_call": "resample('5 minutes', 'mean', fill=True) rounded 2, "
+        "filtered to the four recorded grid points",
+        "inputs": {"data": df_spec(res["test_upsample"]["input"])},
+        "expected_30m_filtered": df_spec(res["test_upsample"]["expected30m"]),
+        "filter_ts": [
+            "2020-08-01 00:00:00", "2020-08-01 00:05:00",
+            "2020-09-01 00:00:00", "2020-09-01 00:15:00",
+        ],
+    }
+    st = tsdf["ExtractStateIntervalsTest"]
+    state_ops = {
+        "eq_0": "=", "eq_1": "=", "ne_0": "!=", "ne_1": "!=",
+        "gt_0": ">", "gt_1": ">", "lt_0": "<", "lt_1": "<",
+        "gte_0": ">=", "gte_1": ">=", "lte_0": "<=", "lte_1": "<=",
+        "null_safe_eq_0": "<=>", "null_safe_eq_1": "<=>",
+        "adjacent_intervals": "=",
+    }
+    cases["state_intervals"] = {
+        "_call": "extractStateIntervals('metric_1','metric_2','metric_3', "
+        "state_definition=op)",
+        "cases": {
+            name: {
+                "op": op,
+                "inputs": {"data": df_spec(st[f"test_{name}"]["input"])},
+                "expected": df_spec(st[f"test_{name}"]["expected"]),
+            }
+            for name, op in state_ops.items()
+        },
+    }
+    base = tsdf["TSDFBaseTests"]
+    slice_calls = {
+        "at": ("at", ["2020-09-01 00:02:10"]),
+        "before": ("before", ["2020-09-01 00:02:10"]),
+        "atOrBefore": ("atOrBefore", ["2020-09-01 00:02:10"]),
+        "after": ("after", ["2020-09-01 00:02:10"]),
+        "atOrAfter": ("atOrAfter", ["2020-09-01 00:02:10"]),
+        "between": ("between", ["2020-08-01 00:01:10", "2020-09-01 00:18:00"]),
+        "between_exclusive": (
+            "between", ["2020-08-01 00:01:10", "2020-09-01 00:18:00", False]
+        ),
+        "earliest": ("earliest", [3]),
+        "latest": ("latest", [3]),
+        "priorTo": ("priorTo", ["2020-09-01 00:02:00"]),
+        "subsequentTo": ("subsequentTo", ["2020-09-01 00:02:00"]),
+    }
+    ref_names = {
+        "between_exclusive": "test_between_exclusive_string_timestamp",
+    }
+    cases["slices"] = {"cases": {}}
+    for name, (method, args) in slice_calls.items():
+        t = base[ref_names.get(name, f"test_{name}_string_timestamp")]
+        cases["slices"]["cases"][name] = {
+            "method": method,
+            "args": args,
+            "inputs": {"data": df_spec(t["init"])},
+            "expected": df_spec(t["expected"]),
+        }
+    with open(OUT / "tsdf_tests.json", "w") as f:
+        json.dump(cases, f, indent=1)
+
     print("wrote", OUT / "asof_tests.json")
     print("wrote", OUT / "interpol_tests.json")
     print("wrote", OUT / "intervals_tests.json")
+    print("wrote", OUT / "tsdf_tests.json")
 
 
 if __name__ == "__main__":
