@@ -60,6 +60,8 @@ def df_spec(ref_spec: dict, tsdf_key: str = "tsdf") -> dict:
             "ts_col": meta["ts_col"],
             "series_ids": meta.get("partition_cols", []),
         }
+        if meta.get("sequence_col"):
+            out["tsdf"]["sequence_col"] = meta["sequence_col"]
     elif meta and tsdf_key == "idf":
         out["idf"] = {
             "start_ts": meta["start_ts"],
@@ -233,6 +235,26 @@ def main() -> None:
             "inputs": {"data": df_spec(t["init"])},
             "expected": df_spec(t["expected"]),
         }
+    # fourier: four recorded cases incl. sequence-col and empty-series
+    # variants (reference: python/tests/tsdf_tests.py:894-946). The
+    # reference stores 'time' as long; drop its ts_convert so the port
+    # keeps the numeric ts (the operator orders by it either way).
+    ft = tsdf["FourierTransformTest"]
+    fcases = {}
+    for name in [
+        "test_fourier_transform",
+        "test_fourier_transform_no_sequence_col_empty_partition_cols",
+        "test_fourier_transform_valid_sequence_col_empty_partition_cols",
+        "test_fourier_transform_valid_sequence_col_valid_partition_cols",
+    ]:
+        c = ft[name]
+        ispec, espec = df_spec(c["init"]), df_spec(c["expected"])
+        for spec in (ispec, espec):
+            spec.pop("ts_convert", None)
+        key = name.replace("test_fourier_transform", "fourier").strip("_") or "fourier"
+        fcases[key] = {"inputs": {"data": ispec}, "expected": espec}
+    cases["fourier"] = fcases
+
     with open(OUT / "tsdf_tests.json", "w") as f:
         json.dump(cases, f, indent=1)
 

@@ -267,6 +267,44 @@ class TestTsdfGoldens:
     @pytest.mark.parametrize(
         "name",
         [
+            "fourier",
+            "fourier_no_sequence_col_empty_partition_cols",
+            "fourier_valid_sequence_col_empty_partition_cols",
+            "fourier_valid_sequence_col_valid_partition_cols",
+        ],
+    )
+    def test_fourier_ref(self, spark, name):
+        """Reference's RECORDED FFT outputs (reference:
+        python/tests/tsdf_tests.py:894-946) — incl. the sequence-col and
+        empty-series variants; compared at 6 decimals (the recorded values
+        carry the reference's own float formatting)."""
+        from tests.golden_utils import build_df
+
+        c = self.cases["fourier"][name]
+        t = build_tsdf(spark, c["inputs"]["data"])
+        out = t.fourier_transform(1, "val").df
+        exp = build_df(spark, c["expected"])
+        cols = sorted(exp.columns)
+        # this engine PASSES THROUGH non-series extra columns (the
+        # reference drops them when they aren't partition cols) — a
+        # deliberate superset; compare on the recorded columns
+        assert set(cols) <= set(out.columns)
+        out = out.select(*cols)
+
+        def norm(df):
+            return sorted(
+                tuple(
+                    round(v, 6) + 0.0 if isinstance(v, float) else v
+                    for v in (r[c2] for c2 in cols)
+                )
+                for r in df.collect()
+            )
+
+        assert norm(out) == norm(exp)
+
+    @pytest.mark.parametrize(
+        "name",
+        [
             "at", "before", "atOrBefore", "after", "atOrAfter",
             "between", "between_exclusive", "earliest", "latest",
             "priorTo", "subsequentTo",
