@@ -2336,6 +2336,13 @@ class TestNgramLM:
         with pytest.raises(ValueError, match="hash_family"):
             t.with_lm_logprob(ref, t.train_ngram_lm(ref), "doc_id", hash_family="md5")
 
+    def test_plan_no_python(self, spark, ref):
+        from tempo_spark.pipeline import text as t
+        from tempo_spark.plans.inspect import count_python_evals
+
+        scored = t.with_lm_logprob(ref, t.train_ngram_lm(ref), "doc_id")
+        assert count_python_evals(scored) == 0
+
 
 class TestRemoveDuplicateSpans:
     def test_keep_first_and_merge(self, spark):
@@ -2412,6 +2419,21 @@ class TestRemoveDuplicateSpans:
             dedup.remove_duplicate_spans(df, "doc_id", n=0)
         with pytest.raises(ValueError):
             dedup.remove_duplicate_spans(df, "doc_id", min_count=1)
+
+    def test_plan_shape(self, spark):
+        """No Python anywhere, and the shuffle count stays bounded (gram
+        count agg, winner join, island window, span agg, join-back — a
+        regression to per-row work or an extra text re-aggregation would
+        show up here)."""
+        from tempo_spark.plans.inspect import count_exchanges, count_python_evals
+
+        df = spark.createDataFrame(
+            [(i, f"a b c d e f g h{i}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        out = dedup.remove_duplicate_spans(df, "doc_id", n=4)
+        assert count_python_evals(out) == 0
+        assert count_exchanges(out) <= 5
 
 
 class TestMixRatesFrozen:
