@@ -1440,13 +1440,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       paragraphs) — dup_count carries the exact removed-token count
       (``span``) and the md5_32 of the rebuilt text (``span_text``), so
       island merging AND the in-place token cut are value-gated; md5_32
-      gram family for the DuckDB replay."""
+      gram family for the DuckDB replay;
+    - ``decontam``/``decontam_text``: ``remove_contaminated_spans`` —
+      SURGICAL benchmark decontamination (cut only the spans overlapping
+      the doc_id<20 "benchmark" set's 4-grams, keep the rest of the doc);
+      same two gated columns as the span tags."""
     from tempo_spark.pipeline.dedup import (
         dedup_against_corpus,
         dedup_paragraphs,
         exact_dedup,
         md5_32,
         near_dedup_against_corpus,
+        remove_contaminated_spans,
         remove_duplicate_spans,
     )
     from tempo_spark.pipeline.filtering import remove_boilerplate_lines
@@ -1502,6 +1507,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         md5_32(F.col("clean")).alias("dup_count"),
     )
+    nn = docs.select("doc_id", "text").where(F.col("text").isNotNull())
+    decon = remove_contaminated_spans(
+        nn.where(F.col("doc_id") >= 20), nn.where(F.col("doc_id") < 20),
+        n=4, hash_family="md5_32", out="clean", out_removed="nrm",
+    )
+    decon_cnt = decon.select(
+        F.lit("decontam").alias("tag"), "doc_id", F.col("nrm").alias("dup_count")
+    )
+    decon_txt = decon.select(
+        F.lit("decontam_text").alias("tag"),
+        "doc_id",
+        md5_32(F.col("clean")).alias("dup_count"),
+    )
     return (
         exact.unionByName(survivors)
         .unionByName(near)
@@ -1509,6 +1527,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(boiler)
         .unionByName(span_cnt)
         .unionByName(span_txt)
+        .unionByName(decon_cnt)
+        .unionByName(decon_txt)
     )
 
 
@@ -1637,6 +1657,54 @@ SELECT tag, doc_id, dup_count FROM (
   LEFT JOIN sp_cov c ON c.doc_id = d.doc_id
   LEFT JOIN sp_text x ON x.doc_id = d.doc_id
   WHERE d.text IS NOT NULL
+)
+UNION ALL
+-- surgical decontamination: corpus (doc_id >= 20) spans overlapping any
+-- benchmark (doc_id < 20) word 4-gram cut in place, islands merged
+SELECT tag, doc_id, dup_count FROM (
+  WITH dc_occ AS (
+    SELECT doc_id, i - 1 AS pos,
+           ('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 8))::BIGINT AS gh
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 3)) AS i
+          FROM toks WHERE len(w) >= 4)),
+  dc_flag AS (
+    SELECT doc_id, pos FROM dc_occ
+    WHERE doc_id >= 20
+      AND gh IN (SELECT DISTINCT gh FROM dc_occ WHERE doc_id < 20)),
+  dc_span AS (
+    SELECT doc_id, grp, min(pos) AS s, max(pos) + 4 AS e
+    FROM (
+      SELECT doc_id, pos,
+             sum(CASE WHEN pos > coalesce(pme - 1, -1) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM (SELECT doc_id, pos,
+                   max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+            FROM dc_flag))
+    GROUP BY doc_id, grp),
+  dc_cov AS (SELECT doc_id, sum(e - s) AS covered FROM dc_span GROUP BY doc_id),
+  dc_text AS (
+    SELECT t.doc_id, string_agg(t.w[t.i], ' ' ORDER BY t.i) AS clean
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+          FROM toks WHERE doc_id >= 20) t
+    JOIN dc_cov c ON c.doc_id = t.doc_id
+    WHERE NOT EXISTS (SELECT 1 FROM dc_span s
+                      WHERE s.doc_id = t.doc_id
+                        AND t.i - 1 >= s.s AND t.i - 1 < s.e)
+    GROUP BY t.doc_id)
+  SELECT 'decontam' AS tag, t.doc_id,
+         CAST(coalesce(c.covered, 0) AS BIGINT) AS dup_count
+  FROM toks t LEFT JOIN dc_cov c ON c.doc_id = t.doc_id
+  WHERE t.doc_id >= 20
+  UNION ALL
+  SELECT 'decontam_text' AS tag, d.doc_id,
+         ('0x' || substr(md5(CASE WHEN c.doc_id IS NULL THEN d.text
+                                  ELSE coalesce(x.clean, '') END), 1, 8))::BIGINT
+           AS dup_count
+  FROM documents d
+  LEFT JOIN dc_cov c ON c.doc_id = d.doc_id
+  LEFT JOIN dc_text x ON x.doc_id = d.doc_id
+  WHERE d.text IS NOT NULL AND d.doc_id >= 20
 )
 """
 

@@ -1174,9 +1174,35 @@ def remove_duplicate_spans(
     default xxhash64 hashes n token hashes — no string materialization)."""
     if n < 1 or min_count < 2:
         raise ValueError("remove_duplicate_spans needs n >= 1 and min_count >= 2")
+    gh_c = "__tempo_gh"
+    occ = _gram_occurrences(df, id_col, text_col, n, hash_family)
+    winners = (
+        occ.groupBy(gh_c)
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))
+            ).alias("__w"),
+            F.count("*").alias("__n"),
+        )
+        .where(F.col("__n") >= min_count)
+        .select(gh_c, "__w")
+    )
+    is_winner = F.col(id_col).eqNullSafe(F.col("__w.i")) & (
+        F.col("__pos") == F.col("__w.p")
+    )
+    flagged = occ.join(winners, gh_c).where(~is_winner).select(id_col, "__pos")
+    return _cut_flagged_spans(df, flagged, id_col, text_col, n, out, out_removed)
+
+
+def _gram_occurrences(
+    df: DataFrame, id_col: str, text_col: str, n: int, hash_family: str
+) -> DataFrame:
+    """Positional word n-gram hashes: one narrow row per (id, pos, hash).
+    xxhash64 family hashes n hoisted token hashes (fixed-width, no string
+    builds); md5_32 hashes the gram STRING (engine-neutral replay).
+    Documents with fewer than n tokens emit nothing."""
     toks_c, th_c, gh_c = "__tempo_toks", "__tempo_tokh", "__tempo_gh"
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-
     if hash_family == "md5_32":
 
         def gram_at(i: Column) -> Column:
@@ -1200,28 +1226,28 @@ def remove_duplicate_spans(
     grams = F.transform(
         F.sequence(F.lit(0), F.size(F.col(toks_c)) - F.lit(n)), gram_at
     )
-    occ = (
+    return (
         base.where(F.size(F.col(toks_c)) >= n)
         .select(F.col(id_col), F.posexplode_outer(grams).alias("__pos", gh_c))
         .where(F.col(gh_c).isNotNull())
     )
-    winners = (
-        occ.groupBy(gh_c)
-        .agg(
-            F.min(
-                F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))
-            ).alias("__w"),
-            F.count("*").alias("__n"),
-        )
-        .where(F.col("__n") >= min_count)
-        .select(gh_c, "__w")
-    )
-    is_winner = F.col(id_col).eqNullSafe(F.col("__w.i")) & (
-        F.col("__pos") == F.col("__w.p")
-    )
-    flagged = occ.join(winners, gh_c).where(~is_winner).select(id_col, "__pos")
-    # island merge: a new covered interval starts when this span's start
-    # clears the running max end of everything before it
+
+
+def _cut_flagged_spans(
+    df: DataFrame,
+    flagged: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    out: Optional[str],
+    out_removed: Optional[str],
+) -> DataFrame:
+    """Shared span-cut tail: merge flagged (id, __pos) n-token spans into
+    disjoint covered islands (window over FLAGGED rows only — a new island
+    starts when a span's start clears the running max end), then drop
+    covered tokens from the token array in place with ONE indexed filter.
+    Unaffected documents keep their original bytes."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     wpos = Window.partitionBy(id_col).orderBy("__pos")
     prev_max_end = F.max(F.col("__pos") + F.lit(n)).over(
         wpos.rowsBetween(Window.unboundedPreceding, -1)
@@ -1261,6 +1287,44 @@ def remove_duplicate_spans(
             out_removed, F.coalesce(F.col("__covered"), F.lit(0)).cast("long")
         )
     return joined.drop("__sp_id", "__spans", "__covered")
+
+
+def remove_contaminated_spans(
+    corpus_df: DataFrame,
+    benchmark_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    hash_family: str = "xxhash64",
+    out: Optional[str] = None,
+    out_removed: Optional[str] = None,
+) -> DataFrame:
+    """SURGICAL benchmark decontamination: cut every corpus span whose
+    word ``n``-gram appears anywhere in the benchmark/eval set, keeping
+    the rest of the document — the removal companion to
+    :func:`ngram_contamination` (which only FLAGS documents; dropping a
+    whole book because one paragraph quotes an eval question wastes the
+    book). Overlapping contaminated grams merge into disjoint islands and
+    cut as one span, exactly like :func:`remove_duplicate_spans` (shared
+    machinery — the two cannot drift apart).
+
+    Scale shape: the benchmark's distinct gram hashes are the small join
+    side by construction (AQE broadcasts them); the corpus explodes ONCE
+    to narrow (id, pos, hash) rows, only MATCHING rows reach the island
+    merge, and unaffected documents never enter the rebuild."""
+    if n < 1:
+        raise ValueError("remove_contaminated_spans needs n >= 1")
+    gh_c = "__tempo_gh"
+    occ = _gram_occurrences(corpus_df, id_col, text_col, n, hash_family)
+    bench = (
+        _gram_occurrences(benchmark_df, id_col, text_col, n, hash_family)
+        .select(gh_c)
+        .distinct()
+    )
+    flagged = occ.join(bench, gh_c, "left_semi").select(id_col, "__pos")
+    return _cut_flagged_spans(
+        corpus_df, flagged, id_col, text_col, n, out, out_removed
+    )
 
 
 # ------------------------------------------------------------ ngram jaccard

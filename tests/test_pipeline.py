@@ -2436,6 +2436,62 @@ class TestRemoveDuplicateSpans:
         assert count_exchanges(out) <= 5
 
 
+class TestRemoveContaminatedSpans:
+    def test_surgical_cut_and_merge(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "q1 q2 q3 q4"), (101, "q3 q4 q5 q6")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                # overlapping contaminated grams -> ONE 6-token island
+                (1, "intro q1 q2 q3 q4 q5 q6 outro more words"),
+                (2, "totally clean document here"),
+                (3, "q1 q2 q3 q4"),  # pure quote -> emptied
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: (r.text, r.nrm)
+            for r in dedup.remove_contaminated_spans(
+                corpus, bench, n=4, out_removed="nrm"
+            ).collect()
+        }
+        assert out[1] == ("intro outro more words", 6)
+        assert out[2] == ("totally clean document here", 0)
+        assert out[3] == ("", 4)
+        assert out[4] == (None, 0)
+
+    def test_family_parity_and_flag_vs_cut(self, spark):
+        bench = spark.createDataFrame(
+            [(0, "e1 e2 e3 e4 e5")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(i, f"u{i} a b e1 e2 e3 e4 e5 tail{i}") for i in range(10)],
+            "doc_id long, text string",
+        )
+        a = {
+            r.doc_id: r.text
+            for r in dedup.remove_contaminated_spans(corpus, bench, n=5).collect()
+        }
+        b = {
+            r.doc_id: r.text
+            for r in dedup.remove_contaminated_spans(
+                corpus, bench, n=5, hash_family="md5_32"
+            ).collect()
+        }
+        assert a == b
+        # every doc loses exactly the 5-token eval span
+        assert all(a[i] == f"u{i} a b tail{i}" for i in range(10))
+        # and the docs ngram_contamination FLAGS are exactly the docs cut
+        flagged = {
+            r.doc_id
+            for r in dedup.ngram_contamination(corpus, bench, n=5).collect()
+        }
+        assert flagged == set(range(10))
+
+
 class TestMixRatesFrozen:
     def test_frozen_rates_match_and_stream_compose(self, spark, tmp_path):
         import datetime as dt
