@@ -141,6 +141,21 @@ def main() -> None:
             "inputs": {"data": df_spec(c["init"], tsdf_key="idf")},
             "expected": df_spec(c["expected"], tsdf_key="idf"),
         }
+    # recorded stacked<->wide conversions (reference:
+    # python/tests/intervals_tests.py:227-247,392-402)
+    for name, t in {
+        "from_stacked_metric_names": "test_fromStackedMetrics_metric_names",
+        "to_df_stack": "test_toDF_stack",
+    }.items():
+        c = iv[t]
+        exp = df_spec(c["expected"], tsdf_key="idf")
+        # the reference test converts the expected ts columns in CODE
+        # (to_timestamp withColumns); record that as spec data
+        exp.setdefault("ts_convert", ["start_ts", "end_ts"])
+        cases[name] = {
+            "inputs": {"data": df_spec(c["init"], tsdf_key="idf")},
+            "expected": exp,
+        }
     with open(OUT / "intervals_tests.json", "w") as f:
         json.dump(cases, f, indent=1)
 

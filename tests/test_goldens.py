@@ -125,6 +125,37 @@ class TestIntervalsGoldens:
         out = idf.make_disjoint().df
         assert_matches_golden(out, c["expected"], spark)
 
+    def test_from_stacked_metric_names_ref(self, spark):
+        """Reference's RECORDED pivot (reference:
+        python/tests/intervals_tests.py:227-247) — explicit metric_names
+        skip the eager distinct pass."""
+        import pyspark.sql.functions as F
+
+        from tests.golden_utils import build_df
+        from tempo_spark import IntervalsDF
+
+        c = self.cases["from_stacked_metric_names"]
+        df = build_df(spark, c["inputs"]["data"])
+        df = df.withColumn("start_ts", F.to_timestamp("start_ts")).withColumn(
+            "end_ts", F.to_timestamp("end_ts")
+        )
+        idf = IntervalsDF.fromStackedMetrics(
+            df, "start_ts", "end_ts", ["series_1"],
+            "metric_name", "metric_value", ["metric_1", "metric_2"],
+        )
+        assert_matches_golden(idf.df, c["expected"], spark)
+
+    def test_to_df_stack_ref(self, spark):
+        """Reference's RECORDED unpivot (reference:
+        python/tests/intervals_tests.py:392-402)."""
+        from tests.golden_utils import build_df
+        from tempo_spark import IntervalsDF
+
+        c = self.cases["to_df_stack"]
+        spec = c["inputs"]["data"]
+        idf = IntervalsDF(build_df(spark, spec), **spec["idf"])
+        assert_matches_golden(idf.toDF(stack=True), c["expected"], spark)
+
 
 def _dec_cols(df, spec_schema: str, spark, dec="decimal(5,2)"):
     """Reference comparison idiom (reference: python/tests/tsdf_tests.py:
