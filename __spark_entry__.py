@@ -1742,6 +1742,9 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_token_count,
     )
 
+    from tempo_spark.pipeline.dedup import md5_32
+    from tempo_spark.pipeline.sampling import chunk_documents
+
     docs = _read(spark, sf_dir, "documents")
     out = with_token_count(docs, "text")
     out = with_repetition_metrics(out, "text", n=2)
@@ -1754,6 +1757,29 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"en": 0.5, "de": 0.25, "es": 0.125, "fr": 0.125},
         hash_family="md5_32", mode="flag",
     )
+    # context-window chunking (max 16 tokens, overlap 4): n_chunks + an
+    # order-sensitive digest of every chunk gate the stride arithmetic and
+    # the chunk text itself (re-aggregation is GATE-side only; the
+    # operator never re-joins text)
+    chunks = chunk_documents(
+        docs.select("doc_id", "text"), "doc_id", max_tokens=16, overlap=4
+    )
+    chunk_digest = md5_32(
+        F.concat_ws(
+            "\x01",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk"))
+                ),
+                lambda s: s.getField("chunk"),
+            ),
+        )
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.max("n_chunks").alias("n_chunks"),
+        F.when(F.max("n_chunks").isNotNull(), chunk_digest).alias("chunks_digest"),
+    ).select(F.col("doc_id").alias("__ch_id"), "n_chunks", "chunks_digest")
+    out = out.join(per_doc, F.col("doc_id").eqNullSafe(F.col("__ch_id")), "left")
     return out.select(
         "doc_id", "n_tokens", "n_2grams", "n_2grams_distinct", "dup_2gram_frac",
         "split", "pack_id",
@@ -1761,6 +1787,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard_pos").cast("long").alias("shard_pos"),
         "top_2gram_char_frac", "dup_2gram_char_frac",
         "mix_keep",
+        "n_chunks", "chunks_digest",
     )
 
 
@@ -1826,12 +1853,25 @@ SELECT b.doc_id, n_tokens, n_2grams, n_2grams_distinct, dup_2gram_frac, split,
        coalesce(floor((gd.dupw * 1.0 / length(d.text)) * 1000000 + 0.5) / 1000000, 0.0)
          AS dup_2gram_char_frac,
        coalesce(('0x' || substr(md5('mix:' || CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT
-                % 1000000 < r.rate * 1000000, FALSE) AS mix_keep
+                % 1000000 < r.rate * 1000000, FALSE) AS mix_keep,
+       ch.n_chunks, ch.chunks_digest
 FROM base b
 JOIN documents d ON d.doc_id = b.doc_id
 LEFT JOIN (SELECT doc_id, w FROM granked WHERE rn = 1) t ON t.doc_id = b.doc_id
 LEFT JOIN gdup gd ON gd.doc_id = b.doc_id
 LEFT JOIN mrt r ON d.lang IS NOT DISTINCT FROM r.lang
+LEFT JOIN (
+  -- chunking replay: max 16 tokens, overlap 4 -> stride 12; the digest is
+  -- the chunks in index order joined by \\x01 (null-text docs stay null)
+  SELECT t2.doc_id,
+         CAST(greatest(1, (len(t2.tok) - 4 + 11) // 12) AS BIGINT) AS n_chunks,
+         ('0x' || substr(md5(string_agg(
+             array_to_string(t2.tok[i * 12 + 1 : i * 12 + 16], ' '),
+             chr(1) ORDER BY i)), 1, 8))::BIGINT AS chunks_digest
+  FROM (SELECT doc_id, tok FROM toks) t2,
+       unnest(generate_series(0, greatest(1, (len(t2.tok) - 4 + 11) // 12) - 1)) AS u(i)
+  GROUP BY t2.doc_id, t2.tok
+) ch ON ch.doc_id = b.doc_id
 """
 
 

@@ -362,3 +362,68 @@ def sample_per_key(
     if out_rank:
         return ranked.withColumnRenamed("__rank", out_rank)
     return ranked.drop("__rank")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 0,
+    out_text: str = "chunk",
+    out_idx: str = "chunk_idx",
+    out_n: str = "n_chunks",
+) -> DataFrame:
+    """Explode each document into fixed-size token windows for a model
+    context length: chunk ``i`` covers tokens
+    ``[i·(max_tokens−overlap), i·(max_tokens−overlap)+max_tokens)`` (the
+    standard stride-with-overlap recipe, so no sequence boundary splits
+    content without the next chunk re-seeing ``overlap`` tokens of it).
+    The last chunk is whatever remains; a document at or under
+    ``max_tokens`` yields exactly one chunk of itself
+    (whitespace-normalized). Null-text rows keep one all-null chunk row —
+    the document stays visible.
+
+    Everything is per-row JVM work (split → sequence-explode → slice):
+    zero shuffles, streams unchanged, fanout ≈ n_tokens/stride per doc.
+    Chain ``assign_packs`` on the chunk frame to pack the chunks into
+    training sequences."""
+    if max_tokens < 1 or not (0 <= overlap < max_tokens):
+        raise ValueError(
+            "chunk_documents needs max_tokens >= 1 and 0 <= overlap < max_tokens"
+        )
+    for c in (out_text, out_idx, out_n, "__tempo_ctoks"):
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already present in input")
+    from tempo_spark.pipeline.text import tokens_col
+
+    step = max_tokens - overlap
+    toks_c = "__tempo_ctoks"
+    # ceil((n - overlap) / step) via integral `div` (repo convention — `/`
+    # is double division); ≥1 so short and empty docs still yield their
+    # single (possibly empty) chunk
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(
+            f"(size({toks_c}) - {overlap} + {step - 1}) div {step}"
+        ).cast("long"),
+    )
+    staged = (
+        df.withColumn(toks_c, tokens_col(F.col(text_col)))
+        .withColumn(out_n, F.when(F.col(toks_c).isNotNull(), n_chunks))
+        .withColumn(
+            out_idx,
+            F.explode_outer(F.sequence(F.lit(0), F.col(out_n) - F.lit(1))),
+        )
+    )
+    chunk = F.concat_ws(
+        " ",
+        F.slice(
+            F.col(toks_c),
+            (F.col(out_idx) * F.lit(step) + F.lit(1)).cast("int"),
+            max_tokens,
+        ),
+    )
+    return staged.withColumn(
+        out_text, F.when(F.col(out_idx).isNotNull(), chunk)
+    ).drop(toks_c)

@@ -2436,6 +2436,53 @@ class TestRemoveDuplicateSpans:
         assert count_exchanges(out) <= 5
 
 
+class TestChunkDocuments:
+    def test_stride_overlap_and_edges(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        rows = [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b"), (3, ""), (4, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r.doc_id, r.chunk_idx): (r.chunk, r.n_chunks)
+            for r in sampling.chunk_documents(
+                df, "doc_id", max_tokens=4, overlap=1
+            ).collect()
+        }
+        assert out[(1, 0)] == ("t0 t1 t2 t3", 3)
+        assert out[(1, 1)] == ("t3 t4 t5 t6", 3)
+        assert out[(1, 2)] == ("t6 t7 t8 t9", 3)
+        assert out[(2, 0)] == ("a b", 1)       # at/under max -> one chunk
+        assert out[(3, 0)] == ("", 1)          # empty doc -> one empty chunk
+        assert out[(4, None)] == (None, None)  # null text stays visible
+
+    def test_full_coverage_no_overlap(self, spark):
+        from tempo_spark.pipeline import sampling
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(100)))], "doc_id long, text string"
+        )
+        chunks = sampling.chunk_documents(df, "doc_id", max_tokens=16).collect()
+        rebuilt = " ".join(c.chunk for c in sorted(chunks, key=lambda r: r.chunk_idx))
+        assert rebuilt == " ".join(f"w{i}" for i in range(100))
+        assert len(chunks) == 7  # ceil(100/16)
+
+    def test_zero_shuffle_and_validation(self, spark):
+        from tempo_spark.pipeline import sampling
+        from tempo_spark.plans.inspect import count_exchanges, count_python_evals
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        out = sampling.chunk_documents(df, "doc_id", max_tokens=2, overlap=1)
+        assert count_exchanges(out) == 0 and count_python_evals(out) == 0
+        with pytest.raises(ValueError):
+            sampling.chunk_documents(df, "doc_id", max_tokens=0)
+        with pytest.raises(ValueError):
+            sampling.chunk_documents(df, "doc_id", max_tokens=4, overlap=4)
+        with pytest.raises(ValueError, match="already present"):
+            sampling.chunk_documents(
+                df.withColumn("chunk", F.lit("x")), "doc_id", max_tokens=4
+            )
+
+
 class TestRemoveContaminatedSpans:
     def test_surgical_cut_and_merge(self, spark):
         bench = spark.createDataFrame(
