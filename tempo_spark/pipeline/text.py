@@ -592,6 +592,10 @@ def with_lm_logprob(
     re-aggregated."""
     if hash_family not in ("xxhash64", "raw"):
         raise ValueError(f"unknown hash_family {hash_family!r}")
+    if out in df.columns:
+        # a left join would otherwise produce two same-named columns and
+        # die later as AMBIGUOUS_REFERENCE
+        raise ValueError(f"output column {out!r} already present in input")
     toks = F.array_insert(tokens_col(F.col(text_col)), 1, F.lit(_LM_START))
     if hash_family == "xxhash64":
         toks = F.transform(toks, lambda t: F.xxhash64(t))

@@ -2342,6 +2342,8 @@ class TestNgramLM:
 
         scored = t.with_lm_logprob(ref, t.train_ngram_lm(ref), "doc_id")
         assert count_python_evals(scored) == 0
+        with pytest.raises(ValueError, match="already present"):
+            t.with_lm_logprob(scored, t.train_ngram_lm(ref), "doc_id")
 
 
 class TestRemoveDuplicateSpans:
