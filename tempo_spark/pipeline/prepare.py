@@ -42,6 +42,8 @@ def prepare_corpus(
     paragraph_dedup: bool = False,
     paragraph_sep: str = "\n\n",
     span_dedup_ngram: int | None = None,
+    decontaminate_against: DataFrame | None = None,
+    decontaminate_ngram: int = 13,
     exact_dedup: bool = True,
     near_dedup_threshold: float | None = None,
     mix_group_col: str | None = None,
@@ -62,8 +64,10 @@ def prepare_corpus(
     2. ``paragraph_dedup`` — keep-first sub-document dedup (C4 recipe) on
        ``paragraph_sep``-separated blocks, then re-derived token counts;
        ``span_dedup_ngram`` (e.g. 50) additionally cuts repeated word
-       n-gram spans keep-first (the Lee-et-al substring grain) — both
-       rewrite the text, so per-row signals re-derive after either;
+       n-gram spans keep-first (the Lee-et-al substring grain);
+       ``decontaminate_against`` surgically cuts spans sharing a
+       ``decontaminate_ngram``-gram with the given benchmark/eval frame —
+       all three rewrite the text, so per-row signals re-derive after any;
     3. ``exact_dedup`` — one digest shuffle, min-id winner;
     4. ``near_dedup_threshold`` — MinHash/LSH pairs (word 3-grams) →
        connected components → canonical min-id survivor;
@@ -103,7 +107,15 @@ def prepare_corpus(
         out = d.dedup_paragraphs(out, id_col, text_col, sep=paragraph_sep)
     if span_dedup_ngram is not None:
         out = d.remove_duplicate_spans(out, id_col, text_col, n=span_dedup_ngram)
-    if paragraph_dedup or span_dedup_ngram is not None:
+    if decontaminate_against is not None:
+        out = d.remove_contaminated_spans(
+            out, decontaminate_against, id_col, text_col, n=decontaminate_ngram
+        )
+    if (
+        paragraph_dedup
+        or span_dedup_ngram is not None
+        or decontaminate_against is not None
+    ):
         # the text changed — re-derive EVERY per-row signal so the shipped
         # columns describe the shipped text (the quality/dup filters above
         # deliberately acted on the pre-dedup signals: cheap pruning first)

@@ -1814,6 +1814,23 @@ class TestPrepareCorpus:
         # n_tokens describes the SHIPPED text, not the pre-cut one
         assert out[0].n_tokens == 10 and out[1].n_tokens == 1
 
+    def test_decontaminate_stage(self, spark):
+        from tempo_spark.pipeline.prepare import prepare_corpus
+
+        bench = spark.createDataFrame(
+            [(99, "e1 e2 e3 e4")], "doc_id long, text string"
+        )
+        df = spark.createDataFrame(
+            [(0, "keep these words e1 e2 e3 e4 and keep these too")],
+            "doc_id long, text string",
+        )
+        out = prepare_corpus(
+            df, decontaminate_against=bench, decontaminate_ngram=4,
+            exact_dedup=False,
+        ).collect()[0]
+        assert out.text == "keep these words and keep these too"
+        assert out.n_tokens == 7
+
 
 class TestNullKeys:
     def test_split_null_key_consistent_across_families(self, spark):
