@@ -52,8 +52,9 @@ def df_spec(ref_spec: dict, tsdf_key: str = "tsdf") -> dict:
         "schema": df["schema"],
         "rows": df["data"],
     }
-    if df.get("ts_convert"):
-        out["ts_convert"] = df["ts_convert"]
+    for key in ("ts_convert", "ts_convert_ntz", "date_convert", "decimal_convert"):
+        if df.get(key):
+            out[key] = df[key]
     meta = ref_spec.get(tsdf_key)
     if meta and tsdf_key == "tsdf":
         out["tsdf"] = {
@@ -90,6 +91,48 @@ def main() -> None:
 
     goldens = json.load(open(OUT / "asof_tests.json"))
     goldens["ref_tolerance_sweep"] = tol_case
+
+    # ---- skip-nulls pair, sequence-number tie-break, skew ts-partition,
+    # nanos double-ts (reference: python/tests/as_of_join_tests.py:36-124;
+    # recorded answers, not re-derivations)
+    asof_all = load("as_of_join_tests")["AsOfJoinTest"]
+    sk = asof_all["test_asof_join_skip_nulls_disabled"]
+    goldens["ref_skip_nulls"] = {
+        "_source": "reference as_of_join_tests.json "
+        "test_asof_join_skip_nulls_disabled (recorded answers for BOTH "
+        "skipNulls=True and =False; call: asofJoin(left_prefix='left', "
+        "right_prefix='right'))",
+        "inputs": {"left": df_spec(sk["left"]), "right": df_spec(sk["right"])},
+        "expected_by_mode": {
+            "skip_nulls": df_spec(sk["expected_skip_nulls"]),
+            "skip_nulls_disabled": df_spec(sk["expected_skip_nulls_disabled"]),
+        },
+    }
+    sq = asof_all["test_sequence_number_sort"]
+    goldens["ref_sequence_number_sort"] = {
+        "_source": "reference as_of_join_tests.json test_sequence_number_sort "
+        "(recorded; right carries sequence_col=seq_nb breaking same-ts ties; "
+        "call: asofJoin(right_prefix='right'), left unprefixed)",
+        "inputs": {"left": df_spec(sq["left"]), "right": df_spec(sq["right"])},
+        "expected": df_spec(sq["expected"]),
+    }
+    pt = asof_all["test_partitioned_asof_join"]
+    goldens["ref_partitioned"] = {
+        "_source": "reference as_of_join_tests.json test_partitioned_asof_join "
+        "(recorded; call: asofJoin(left_prefix='left', right_prefix='right', "
+        "tsPartitionVal=10, fraction=0.1) — skew path must equal plain as-of)",
+        "inputs": {"left": df_spec(pt["left"]), "right": df_spec(pt["right"])},
+        "expected": df_spec(pt["expected"]),
+    }
+    nn = asof_all["test_asof_join_nanos"]
+    goldens["ref_nanos"] = {
+        "_source": "reference as_of_join_tests.json test_asof_join_nanos "
+        "(recorded; string ts w/ nanosecond digits parse to DOUBLE epoch "
+        "seconds = unix_timestamp + fraction; call: fromStringTs(nanos=True) "
+        "then asofJoin(left_prefix='left', right_prefix='right'))",
+        "inputs": {"left": df_spec(nn["left"]), "right": df_spec(nn["right"])},
+        "expected": df_spec(nn["expected"]),
+    }
     with open(OUT / "asof_tests.json", "w") as f:
         json.dump(goldens, f, indent=1)
 
@@ -115,7 +158,115 @@ def main() -> None:
     }
     goldens = json.load(open(OUT / "interpol_tests.json"))
     goldens["ref_fill_methods"] = fill_case
+
+    # ---- freq abbreviations (reference: python/tests/interpol_tests.py:
+    # test_different_freq_abbreviations — '30 sec' must equal '30 seconds')
+    ab = interp["test_different_freq_abbreviations"]
+    goldens["ref_freq_abbreviations"] = {
+        "_source": "reference interpol_tests.json "
+        "test_different_freq_abbreviations (recorded; call: interpolate("
+        "freq='30 sec', func='mean', method='linear', target_cols="
+        "['value_a','value_b'], show_interpolated=True))",
+        "inputs": {"data": df_spec(ab["simple_init"])},
+        "expected": df_spec(ab["expected"]),
+    }
+
+    # ---- non-numeric fills: ffill/bfill/null run on string/boolean/date/
+    # timestamp/decimal columns; linear/zero raise (reference:
+    # python/tests/interpol_tests.py:441-530, recorded answers)
+    nn_methods = {
+        "ffill": "test_non_numeric_forward_fill",
+        "bfill": "test_non_numeric_back_fill",
+        "null": "test_non_numeric_null_fill",
+    }
+    goldens["ref_non_numeric"] = {
+        "_source": "reference interpol_tests.json InterpolationUnitTest "
+        "non-numeric family (recorded; call: interpolate(freq='30 seconds', "
+        "func='ceil', method=m, target_cols=<all non-partition cols>); "
+        "linear/zero on ['string_col','timestamp_col'] must raise ValueError)",
+        "inputs": {"data": df_spec(interp[nn_methods["ffill"]]["non_numeric_init"])},
+        "expected_by_method": {
+            m: df_spec(interp[t]["expected"]) for m, t in nn_methods.items()
+        },
+        "error_methods": ["linear", "zero"],
+        "error_target_cols": ["string_col", "timestamp_col"],
+    }
+
+    # ---- integration: TSDF-level defaulting + resample chaining (reference:
+    # python/tests/interpol_tests.py InterpolationIntegrationTest)
+    ii = load("interpol_tests")["InterpolationIntegrationTest"]
+    integration = {
+        "default_tsdf_params": (
+            "test_interpolation_using_default_tsdf_params",
+            "interpolate(freq='30 seconds', func='mean', method='linear') — "
+            "target_cols defaults to all numeric metric columns",
+        ),
+        "custom_params": (
+            "test_interpolation_using_custom_params",
+            "ts renamed to other_ts_col; interpolate(target_cols=['value_a'], "
+            "freq='30 seconds', func='mean', method='linear', "
+            "show_interpolated=True)",
+        ),
+        "on_sampled_data": (
+            "test_interpolation_on_sampled_data",
+            "resample('30 seconds','mean').interpolate(method='linear', "
+            "target_cols=['value_a'], show_interpolated=True)",
+        ),
+        "defaults_with_resampled_df": (
+            "test_defaults_with_resampled_df",
+            "resample('30 seconds','mean').interpolate(method='ffill')",
+        ),
+    }
+    cases_ii = {}
+    for name, (t, call) in integration.items():
+        c = ii[t]
+        cases_ii[name] = {
+            "_call": call,
+            "inputs": {"data": df_spec(c["simple_init"])},
+            "expected": df_spec(c["expected"]),
+        }
+    goldens["ref_integration"] = {
+        "_source": "reference interpol_tests.json InterpolationIntegrationTest "
+        "(recorded answers)",
+        "cases": cases_ii,
+    }
     with open(OUT / "interpol_tests.json", "w") as f:
+        json.dump(goldens, f, indent=1)
+
+    # ---- resample unit aggregates at '1 DAY' incl. string metric col,
+    # prefix and fill variants (reference: python/tests/resample_tests.py:
+    # test_aggregate_* — recorded answers; 'date' string col IS a metric)
+    ru = load("resample_tests")["ResampleUnitTests"]
+    agg_cases = {
+        "floor": ("test_aggregate_floor", "floor", {}),
+        "mean": (
+            "test_aggregate_average", "mean",
+            {"metric_cols": ["trade_pr", "trade_pr_2"]},
+        ),
+        "min": ("test_aggregate_min", "min", {}),
+        "min_with_prefix": ("test_aggregate_min_with_prefix", "min", {"prefix": "min"}),
+        "min_with_fill": ("test_aggregate_min_with_fill", "min", {"fill": True}),
+        "max": ("test_aggregate_max", "max", {}),
+        "ceil": ("test_aggregate_ceiling", "ceil", {}),
+    }
+    goldens = json.load(open(OUT / "resample_tests.json"))
+    unit_cases = {}
+    for name, (t, func, kwargs) in agg_cases.items():
+        c = ru[t]
+        unit_cases[name] = {
+            "func": func,
+            "kwargs": kwargs,
+            "inputs": {"data": df_spec(c["init"])},
+            "expected": df_spec(c["expected"]),
+        }
+    goldens["ref_unit_aggregates"] = {
+        "_source": "reference resample_tests.json ResampleUnitTests "
+        "(recorded; resample(freq='1 DAY', func=...) — default metric_cols "
+        "include the STRING 'date' column; fill=True zero-fills numerics and "
+        "null-fills the string)",
+        "cases": unit_cases,
+    }
+    with open(OUT / "resample_tests.json", "w") as f:
         json.dump(goldens, f, indent=1)
 
     # ---- make_disjoint family (reference: python/tests/intervals_tests.py:183-414)

@@ -61,10 +61,15 @@ def interpolate(
                     f"method {method!r} requires numeric columns; {c!r} is {types[c]}"
                 )
 
+    # reference parity: interpolation works over [series, ts, targets] ONLY
+    # (reference: python/tempo/interpol.py:353 input_cols) — a non-target
+    # metric on an already-resampled frame is dropped, not passed through
+    src = tsdf.df.select(*series, ts, *targets)
+
     w = Window.partitionBy(*series).orderBy(F.col(ts))
     next_ts = F.lead(F.col(ts)).over(w)
     # window fn must be materialized before it can feed a generator
-    df = tsdf.df.withColumn(
+    df = src.withColumn(
         "__seq_end",
         F.when(next_ts.isNotNull(), next_ts - F.expr(f.interval)).otherwise(F.col(ts)),
     )

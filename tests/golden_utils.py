@@ -29,12 +29,21 @@ def load_cases(name: str) -> dict:
 
 
 def build_df(spark, spec: dict):
+    import pyspark.sql.functions as F
+
     rows = [tuple(r) for r in spec["rows"]]
     df = spark.createDataFrame(rows, spec["schema"])
+    # the four conversions mirror the reference loader's
+    # (reference: python/tests/base.py:140-190): to_timestamp /
+    # to_timestamp_ntz / to_date / cast("decimal") (= decimal(10,0))
     for c in spec.get("ts_convert", []):
-        import pyspark.sql.functions as F
-
         df = df.withColumn(c, F.to_timestamp(F.col(c)))
+    for c in spec.get("ts_convert_ntz", []):
+        df = df.withColumn(c, F.to_timestamp_ntz(F.col(c)))
+    for c in spec.get("date_convert", []):
+        df = df.withColumn(c, F.to_date(F.col(c)))
+    for c in spec.get("decimal_convert", []):
+        df = df.withColumn(c, F.col(c).cast("decimal"))
     return df
 
 

@@ -42,6 +42,67 @@ class TestAsofGoldens:
         ).df
         assert_matches_golden(out, c["expected_by_tolerance"][tol_key], spark)
 
+    @pytest.mark.parametrize("mode", ["skip_nulls", "skip_nulls_disabled"])
+    def test_ref_skip_nulls(self, spark, mode):
+        """Reference's RECORDED skipNulls pair (reference:
+        python/tests/as_of_join_tests.py:36-63) — with skipNulls=True a
+        null bid_pr is looked PAST to the previous non-null (345.11 carried
+        two rows forward); =False takes the latest row verbatim."""
+        c = self.cases["ref_skip_nulls"]
+        left = build_tsdf(spark, c["inputs"]["left"])
+        right = build_tsdf(spark, c["inputs"]["right"])
+        out = left.asofJoin(
+            right, left_prefix="left", right_prefix="right",
+            skipNulls=(mode == "skip_nulls"),
+        ).df
+        assert_matches_golden(out, c["expected_by_mode"][mode], spark)
+
+    def test_ref_sequence_number_sort(self, spark):
+        """Reference's RECORDED sequence-col tie-break (reference:
+        python/tests/as_of_join_tests.py:65-77) — at equal timestamps the
+        HIGHEST seq_nb row wins, and a right row at exactly the left ts
+        matches (inclusive backward join)."""
+        c = self.cases["ref_sequence_number_sort"]
+        left = build_tsdf(spark, c["inputs"]["left"])
+        right = build_tsdf(spark, c["inputs"]["right"])
+        out = left.asofJoin(right, right_prefix="right").df
+        assert_matches_golden(out, c["expected"], spark)
+
+    def test_ref_partitioned(self, spark):
+        """Reference's RECORDED skew ts-partition answers (reference:
+        python/tests/as_of_join_tests.py:79-106) — tsPartitionVal=10 with
+        fraction=0.1 overlap must reproduce the plain as-of exactly."""
+        c = self.cases["ref_partitioned"]
+        left = build_tsdf(spark, c["inputs"]["left"])
+        right = build_tsdf(spark, c["inputs"]["right"])
+        out = left.asofJoin(
+            right, left_prefix="left", right_prefix="right",
+            tsPartitionVal=10, fraction=0.1,
+        ).df
+        assert_matches_golden(out, c["expected"], spark)
+
+    def test_ref_nanos(self, spark):
+        """Reference's RECORDED nanosecond as-of (reference:
+        python/tests/as_of_join_tests.py:108-124) — string ts with nano
+        digits parse to DOUBLE epoch seconds (unix seconds + fraction,
+        bit-identical arithmetic) and the join runs on the numeric ts."""
+        from tempo_spark import TSDF
+        from tests.golden_utils import build_df
+
+        c = self.cases["ref_nanos"]
+        sides = {}
+        for k in ("left", "right"):
+            spec = c["inputs"][k]
+            meta = spec["tsdf"]
+            sides[k] = TSDF.fromStringTs(
+                build_df(spark, spec), ts_col=meta["ts_col"],
+                series_ids=meta["series_ids"], nanos=True,
+            )
+        out = sides["left"].asofJoin(
+            sides["right"], left_prefix="left", right_prefix="right"
+        ).df
+        assert_matches_golden(out, c["expected"], spark)
+
 
 class TestResampleGoldens:
     cases = load_cases("resample_tests")
@@ -56,6 +117,30 @@ class TestResampleGoldens:
         c = self.cases["millis_bucketing"]
         t = build_tsdf(spark, c["inputs"]["data"])
         out = t.resample("500 ms", "mean").df
+        assert_matches_golden(out, c["expected"], spark)
+
+    @pytest.mark.parametrize(
+        "name", ["floor", "mean", "min", "min_with_prefix", "min_with_fill",
+                 "max", "ceil"]
+    )
+    def test_ref_unit_aggregates(self, spark, name):
+        """Reference's RECORDED '1 DAY' aggregate answers (reference:
+        python/tests/resample_tests.py test_aggregate_*) — pins the STRING
+        'date' column as a first-class metric (min/max/floor/ceil over
+        strings), the prefix_ naming, and fill=True's zero-for-numeric /
+        null-for-string densification across a month-long gap."""
+        c = self.cases["ref_unit_aggregates"]["cases"][name]
+        t = build_tsdf(spark, c["inputs"]["data"])
+        kwargs = dict(c["kwargs"])
+        kwargs["metricCols"] = kwargs.pop("metric_cols", None) or [
+            # reference default metricCols = every non-series/ts column,
+            # INCLUDING the string 'date' col (python/tests/resample_tests.py
+            # TODO note); this engine's default is numeric-only, so the
+            # parity call passes them explicitly
+            col for col in t.df.columns
+            if col != t.ts_col and col not in t.series_ids
+        ]
+        out = t.resample("1 DAY", c["func"], **kwargs).df
         assert_matches_golden(out, c["expected"], spark)
 
 
@@ -91,6 +176,95 @@ class TestInterpolGoldens:
             show_interpolated=True,
         ).df
         assert_matches_golden(out, c["expected_by_method"][method], spark)
+
+    def test_ref_freq_abbreviations(self, spark):
+        """'30 sec' must parse identically to '30 seconds' (reference:
+        python/tests/interpol_tests.py test_different_freq_abbreviations,
+        recorded answers)."""
+        c = self.cases["ref_freq_abbreviations"]
+        t = build_tsdf(spark, c["inputs"]["data"])
+        out = t.interpolate(
+            "linear", freq="30 sec", func="mean",
+            target_cols=["value_a", "value_b"], show_interpolated=True,
+        ).df
+        assert_matches_golden(out, c["expected"], spark)
+
+    @pytest.mark.parametrize("method", ["ffill", "bfill", "null"])
+    def test_ref_non_numeric_fills(self, spark, method):
+        """Reference's RECORDED non-numeric fills (reference:
+        python/tests/interpol_tests.py:441-490) — ffill/bfill/null carry
+        string/boolean/date/timestamp/ntz/decimal columns through the
+        resample('ceil') + densify + fill pipeline unchanged in type."""
+        c = self.cases["ref_non_numeric"]
+        t = build_tsdf(spark, c["inputs"]["data"])
+        targets = [
+            col for col in t.df.columns
+            if col != t.ts_col and col not in t.series_ids
+        ]
+        out = t.interpolate(
+            method, freq="30 seconds", func="ceil", target_cols=targets
+        ).df
+        assert_matches_golden(out, c["expected_by_method"][method], spark)
+
+    @pytest.mark.parametrize("method", ["linear", "zero"])
+    def test_ref_non_numeric_rejects(self, spark, method):
+        """linear/zero on non-numeric target cols must raise (reference:
+        python/tests/interpol_tests.py:492-530)."""
+        c = self.cases["ref_non_numeric"]
+        t = build_tsdf(spark, c["inputs"]["data"])
+        with pytest.raises(ValueError):
+            t.interpolate(
+                method, freq="30 seconds", func="ceil",
+                target_cols=c["error_target_cols"],
+            )
+
+    def test_ref_integration_default_tsdf_params(self, spark):
+        """TSDF-level defaulting: target_cols defaults to the numeric metric
+        columns (reference: InterpolationIntegrationTest, recorded)."""
+        c = self.cases["ref_integration"]["cases"]["default_tsdf_params"]
+        t = build_tsdf(spark, c["inputs"]["data"])
+        out = t.interpolate("linear", freq="30 seconds", func="mean").df
+        assert_matches_golden(out, c["expected"], spark)
+
+    def test_ref_integration_custom_params(self, spark):
+        """Renamed ts col + explicit target/partition params (reference:
+        InterpolationIntegrationTest, recorded)."""
+        from tempo_spark import TSDF
+
+        c = self.cases["ref_integration"]["cases"]["custom_params"]
+        spec = c["inputs"]["data"]
+        base = build_tsdf(spark, spec)
+        renamed = TSDF(
+            base.df.withColumnRenamed("event_ts", "other_ts_col"),
+            ts_col="other_ts_col", series_ids=["partition_a", "partition_b"],
+        )
+        out = renamed.interpolate(
+            "linear", freq="30 seconds", func="mean",
+            ts_col="other_ts_col",
+            partition_cols=["partition_a", "partition_b"],
+            target_cols=["value_a"], show_interpolated=True,
+        ).df
+        assert_matches_golden(out, c["expected"], spark)
+
+    def test_ref_integration_on_sampled_data(self, spark):
+        """resample(...).interpolate(...) chaining (reference:
+        InterpolationIntegrationTest, recorded)."""
+        c = self.cases["ref_integration"]["cases"]["on_sampled_data"]
+        t = build_tsdf(spark, c["inputs"]["data"])
+        out = (
+            t.resample("30 seconds", "mean")
+            .interpolate("linear", target_cols=["value_a"], show_interpolated=True)
+            .df
+        )
+        assert_matches_golden(out, c["expected"], spark)
+
+    def test_ref_integration_defaults_with_resampled_df(self, spark):
+        """Resampled-frame defaulting: freq/func remembered, ffill over all
+        metric cols (reference: InterpolationIntegrationTest, recorded)."""
+        c = self.cases["ref_integration"]["cases"]["defaults_with_resampled_df"]
+        t = build_tsdf(spark, c["inputs"]["data"])
+        out = t.resample("30 seconds", "mean").interpolate("ffill").df
+        assert_matches_golden(out, c["expected"], spark)
 
 
 class TestIntervalsGoldens:
