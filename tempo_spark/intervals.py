@@ -136,6 +136,32 @@ def _resolve_bin_seconds(
     return result
 
 
+def _normalize_series_ids(series_ids) -> list[str]:
+    """Accept the reference constructor's series spellings (reference:
+    python/tempo/intervals.py:60-78 and python/tests/intervals_tests.py
+    test_init_series_*): a single column name, a comma-separated string
+    of names, any sequence of names, or None; anything else (int, dict,
+    a non-string element) raises ValueError rather than iterating
+    characters silently."""
+    if series_ids is None:
+        return []
+    if isinstance(series_ids, str):
+        return [s.strip() for s in series_ids.split(",") if s.strip()]
+    if isinstance(series_ids, Sequence):
+        out = []
+        for s in series_ids:
+            if not isinstance(s, str):
+                raise ValueError(
+                    f"series_ids elements must be column-name strings, got {s!r}"
+                )
+            out.append(s)
+        return out
+    raise ValueError(
+        "series_ids must be a column name, a comma-separated string of "
+        f"names, a sequence of names, or None; got {type(series_ids).__name__}"
+    )
+
+
 class IntervalsDF:
     def __init__(
         self,
@@ -147,7 +173,7 @@ class IntervalsDF:
         self.df = df
         self.start_ts = start_ts
         self.end_ts = end_ts
-        self.series_ids: list[str] = list(series_ids or [])
+        self.series_ids = _normalize_series_ids(series_ids)
         for c in [start_ts, end_ts, *self.series_ids]:
             if c not in df.columns:
                 raise ValueError(f"column {c!r} not in DataFrame columns {df.columns}")
@@ -194,11 +220,12 @@ class IntervalsDF:
         """Pivot long (metric_name, metric_value) rows into wide interval rows
         (reference: python/tempo/intervals.py:139-221). Pass ``metric_names``
         to skip Spark's eager distinct-values job."""
+        series = _normalize_series_ids(series)
         pivot = df.groupBy(start_ts, end_ts, *series).pivot(
             metrics_name_col, values=list(metric_names) if metric_names else None
         )
         wide = pivot.max(metrics_value_col)
-        return cls(wide, start_ts, end_ts, list(series))
+        return cls(wide, start_ts, end_ts, series)
 
     # ----------------------------------------------------------------- ops
 

@@ -33,6 +33,61 @@ class TestProps:
             IntervalsDF(df, "start_ts", "end_ts", [])
 
 
+class TestInitSeriesSpellings:
+    """Reference constructor series spellings (reference:
+    python/tests/intervals_tests.py test_init_series_str/
+    comma_seperated_str/tuple/list/none/int)."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(ts("2020-01-01 00:00:00"), ts("2020-01-01 00:01:00"), "a", "b", 1)],
+            "start_ts timestamp, end_ts timestamp, series_1 string, series_2 string, metric_1 int",
+        )
+
+    def test_series_str(self, spark):
+        i = IntervalsDF(self._df(spark), "start_ts", "end_ts", "series_1")
+        assert i.series_ids == ["series_1"]
+
+    def test_series_comma_separated_str(self, spark):
+        i = IntervalsDF(self._df(spark), "start_ts", "end_ts", "series_1, series_2")
+        assert i.series_ids == ["series_1", "series_2"]
+
+    def test_series_tuple(self, spark):
+        i = IntervalsDF(self._df(spark), "start_ts", "end_ts", ("series_1", "series_2"))
+        assert i.series_ids == ["series_1", "series_2"]
+
+    def test_series_list(self, spark):
+        i = IntervalsDF(self._df(spark), "start_ts", "end_ts", ["series_1"])
+        assert i.series_ids == ["series_1"]
+
+    def test_series_none(self, spark):
+        i = IntervalsDF(self._df(spark), "start_ts", "end_ts", None)
+        assert i.series_ids == []
+
+    def test_series_int_raises(self, spark):
+        with pytest.raises(ValueError):
+            IntervalsDF(self._df(spark), "start_ts", "end_ts", 5)
+
+    def test_series_non_str_element_raises(self, spark):
+        with pytest.raises(ValueError):
+            IntervalsDF(self._df(spark), "start_ts", "end_ts", ["series_1", 7])
+
+    def test_from_stacked_series_str(self, spark):
+        long = spark.createDataFrame(
+            [
+                (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:01:00"), "a", "m1", 5),
+                (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:01:00"), "a", "m2", 6),
+            ],
+            "start_ts timestamp, end_ts timestamp, series_1 string, mname string, mval int",
+        )
+        i = IntervalsDF.fromStackedMetrics(
+            long, "start_ts", "end_ts", "series_1", "mname", "mval"
+        )
+        assert i.series_ids == ["series_1"]
+        row = i.df.collect()[0]
+        assert (row["m1"], row["m2"]) == (5, 6)
+
+
 class TestMakeDisjoint:
     def test_disjoint_input_unchanged(self, spark):
         rows = [
