@@ -2150,9 +2150,17 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``fingerprint``: rolling polynomial hash of the text (val = hash);
     - ``sample``: ``sample_per_key`` keeps 5 docs per (lang, source) by
       md5_32 hash order (val = 1-based rank) — the DuckDB oracle replays
-      the identical hash ordering, value-gating the sampling operator."""
+      the identical hash ordering, value-gating the sampling operator;
+    - ``norm``: ``normalize_text`` over a deterministically-messied copy of
+      each doc (curly quotes, an ellipsis char, a BEL control char, doubled
+      spaces, a tab, a 4-newline run, pad spaces — injected identically in
+      both engines via concat/char/replace/repeat) with lowercase=True;
+      val = md5_32 of the normalized string. Every cleanup step is a
+      character-class regex or 1:1 translate, identical in Java regex and
+      RE2 — unlike the PII patterns, this transform IS cross-engine."""
+    from tempo_spark.pipeline.dedup import md5_32
     from tempo_spark.pipeline.sampling import sample_per_key
-    from tempo_spark.pipeline.text import with_fingerprint
+    from tempo_spark.pipeline.text import normalize_text, with_fingerprint
 
     docs = _read(spark, sf_dir, "documents")
     fp = with_fingerprint(docs, "text").select(
@@ -2161,7 +2169,17 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     samp = sample_per_key(
         docs, ["lang", "source"], 5, "doc_id", hash_family="md5_32", out_rank="rk"
     ).select(F.lit("sample").alias("tag"), "doc_id", F.col("rk").cast("long").alias("val"))
-    return fp.unionByName(samp)
+    messy = docs.withColumn(
+        "__messy",
+        F.expr(
+            "concat('  “Q…', char(7), replace(text, ' ', '  '), '”', "
+            "char(9), ' x ', repeat(char(10), 4), ' y  ')"
+        ),
+    )
+    norm = normalize_text(messy, "__messy", "__norm", lowercase=True).select(
+        F.lit("norm").alias("tag"), "doc_id", md5_32(F.col("__norm")).alias("val")
+    )
+    return fp.unionByName(samp).unionByName(norm)
 
 
 _FINGERPRINT_ORACLE = """
@@ -2181,6 +2199,27 @@ FROM (SELECT doc_id,
                         doc_id) AS rk
       FROM documents)
 WHERE rk <= 5
+UNION ALL
+SELECT 'norm' AS tag, doc_id,
+       ('0x' || substr(md5(
+         lower(trim(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   translate(
+                     regexp_replace(
+                       '  “Q…' || chr(7) || replace(text, ' ', '  ') || '”'
+                         || chr(9) || ' x ' || repeat(chr(10), 4) || ' y  ',
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]',
+                       '', 'g'),
+                     '‘’“”–— ', '''''""-- '),
+                   '…', '...', 'g'),
+                 '[ \\t\\r]+', ' ', 'g'),
+               ' ?\\n ?', chr(10), 'g'),
+             '\\n{3,}', chr(10) || chr(10), 'g')
+         ))), 1, 8))::BIGINT AS val
+FROM documents
 """
 
 

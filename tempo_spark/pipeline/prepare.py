@@ -36,6 +36,7 @@ def prepare_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
+    normalize: bool = False,
     redact: bool = False,
     min_quality: float | None = None,
     max_dup_2gram_frac: float | None = None,
@@ -58,7 +59,10 @@ def prepare_corpus(
     Stage order and cost shape:
 
     1. per-row signals + filters (token count, quality, dup-2gram; with
-       ``redact=True``, PII pattern redaction FIRST so every downstream
+       ``normalize=True``, ``normalize_text`` unicode/whitespace cleanup
+       runs FIRST — dedup digests over un-normalized text miss duplicates
+       that differ only in quote style or whitespace — and with
+       ``redact=True``, PII pattern redaction next, so every downstream
        hash/signal sees the cleaned text) — shuffle-free, prunes before
        anything expensive runs;
     2. ``paragraph_dedup`` — keep-first sub-document dedup (C4 recipe) on
@@ -87,6 +91,7 @@ def prepare_corpus(
         with_split,
     )
     from tempo_spark.pipeline.text import (
+        normalize_text,
         redact_patterns,
         with_quality_score,
         with_repetition_metrics,
@@ -94,6 +99,8 @@ def prepare_corpus(
     )
 
     out = df
+    if normalize:
+        out = normalize_text(out, text_col)
     if redact:
         out = redact_patterns(out, text_col)
     out = with_token_count(out, text_col)

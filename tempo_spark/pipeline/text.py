@@ -652,3 +652,98 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(1_000_000_007),
     )
     return df.withColumn(out, fp)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str | None = None,
+    *,
+    strip_control: bool = True,
+    normalize_quotes: bool = True,
+    collapse_whitespace: bool = True,
+    trim: bool = True,
+    lowercase: bool = False,
+) -> DataFrame:
+    """C4/CCNet-style text cleanup, entirely JVM-side (``translate`` +
+    ``regexp_replace`` chains — zero shuffle, zero Python, linear in input
+    splits at any scale). Applied in a fixed order so the result is
+    deterministic regardless of which steps are enabled:
+
+    1. ``strip_control``: drop C0/C1 control characters (except ``\\t`` and
+       ``\\n``, which the whitespace step owns) and the BOM/zero-width set
+       (ZWSP/ZWNJ/ZWJ/FEFF).
+    2. ``normalize_quotes``: curly quotes -> ASCII quotes, en/em dash ->
+       ``-``, ellipsis char -> ``...``, NBSP -> space.
+    3. ``collapse_whitespace``: runs of spaces/tabs/CR -> one space, spaces
+       around newlines dropped, 3+ newlines -> exactly two (paragraph break
+       preserved).
+    4. ``trim`` / 5. ``lowercase``.
+
+    NULL text stays NULL. Character-class-only patterns are identical in
+    Java regex and RE2, so the transform replays bit-for-bit in DuckDB —
+    unlike the PII patterns in ``with_pattern_counts``, which stay
+    pytest-gated because their dialects differ.
+    """
+    col = F.col(text_col)
+    if strip_control:
+        col = F.regexp_replace(
+            col, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F​‌‍﻿]", ""
+        )
+    if normalize_quotes:
+        col = F.translate(col, "‘’“”–— ", "''\"\"-- ")
+        col = F.regexp_replace(col, "…", "...")
+    if collapse_whitespace:
+        col = F.regexp_replace(col, "[ \\t\\r]+", " ")
+        col = F.regexp_replace(col, " ?\\n ?", "\n")
+        col = F.regexp_replace(col, "\\n{3,}", "\n\n")
+    if trim:
+        col = F.trim(col)
+    if lowercase:
+        col = F.lower(col)
+    return df.withColumn(out or text_col, col)
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_cols: Sequence[str] | None = None,
+    text_col: str = "text",
+    percentiles: Sequence[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Per-group corpus health report — the numbers a pipeline operator
+    checks before/after each prepare_corpus stage: document and null-text
+    counts, EXACT distinct-content count (md5 digest, so the report agrees
+    with ``exact_dedup``'s notion of identical), duplicate rate, char/token
+    totals, token mean and exact interpolated percentiles.
+
+    ONE aggregation over the corpus. The exact ``count_distinct`` inside a
+    grouped agg plans as Spark's two-phase expand (a second exchange on
+    (group, digest)) — the price of an exact dup-rate; the output is one
+    row per group, always collectable. Percentile names follow the
+    ``withGroupedStats`` convention (0.5 -> ``p50_tokens``).
+    """
+    from tempo_spark.pipeline.dedup import content_digest
+    from tempo_spark.tsdf import _pct_names
+
+    groups = list(group_cols or [])
+    text = F.col(text_col)
+    n_tokens = F.when(text.isNotNull(), F.size(tokens_col(text)))
+    pct_aliases = _pct_names(percentiles, "tokens")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(text.isNull(), 1)).alias("n_null_text"),
+        F.count_distinct(content_digest(text)).alias("n_distinct_docs"),
+        F.sum(F.coalesce(F.length(text), F.lit(0))).alias("total_chars"),
+        F.sum(F.coalesce(n_tokens, F.lit(0))).alias("total_tokens"),
+        F.avg(n_tokens).alias("mean_tokens"),
+        *[
+            F.percentile(n_tokens, F.lit(p)).alias(a)
+            for p, a in zip(percentiles, pct_aliases)
+        ],
+    ]
+    stats = df.groupBy(*groups).agg(*aggs)
+    return stats.withColumn(
+        "dup_rate",
+        (F.col("n_docs") - F.col("n_distinct_docs"))
+        / F.col("n_docs").cast("double"),
+    )

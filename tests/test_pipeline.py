@@ -2819,3 +2819,138 @@ class TestBoilerplateDroppedCount:
         ).collect()}
         for i in range(6):
             assert out[i] == (f"unique{i} keep{i}", 2)  # both SPAM tokens dropped
+
+
+class TestNormalizeText:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_full_pipeline(self, spark):
+        from tempo_spark.pipeline import text as T
+
+        raw = "  Hello “World”…   \t foo \n\n\n\nbar ​ "
+        df = self._df(spark, [(0, raw), (1, None)])
+        got = {r.doc_id: r.norm for r in T.normalize_text(df, "text", "norm").collect()}
+        assert got[0] == 'Hello "World"... foo\n\nbar'
+        assert got[1] is None
+
+    def test_quotes_dashes_nbsp(self, spark):
+        from tempo_spark.pipeline import text as T
+
+        df = self._df(spark, [(0, "‘x’ – y — z !")])
+        [r] = T.normalize_text(df, "text").collect()
+        assert r.text == "'x' - y - z !"
+
+    def test_toggles_off_is_identity(self, spark):
+        from tempo_spark.pipeline import text as T
+
+        raw = "  A“B” \n\n\n C  "
+        df = self._df(spark, [(0, raw)])
+        [r] = T.normalize_text(
+            df, "text",
+            strip_control=False, normalize_quotes=False,
+            collapse_whitespace=False, trim=False, lowercase=False,
+        ).collect()
+        assert r.text == raw
+
+    def test_lowercase(self, spark):
+        from tempo_spark.pipeline import text as T
+
+        df = self._df(spark, [(0, "MiXeD Case")])
+        [r] = T.normalize_text(df, "text", lowercase=True).collect()
+        assert r.text == "mixed case"
+
+    def test_control_chars_stripped_tabs_newlines_kept(self, spark):
+        from tempo_spark.pipeline import text as T
+
+        df = self._df(spark, [(0, "a\x00b\x07c\td\ne")])
+        [r] = T.normalize_text(df, "text", collapse_whitespace=False, trim=False).collect()
+        assert r.text == "abc\td\ne"
+
+    def test_zero_shuffle_zero_python(self, spark):
+        from tempo_spark.pipeline import text as T
+        from tempo_spark.plans.inspect import count_exchanges, count_python_evals
+
+        df = self._df(spark, [(0, "x")])
+        out = T.normalize_text(df, "text")
+        assert count_exchanges(out) == 0
+        assert count_python_evals(out) == 0
+
+    def test_streaming_composes(self, spark, tmp_path):
+        """normalize_text is stateless per-row — must run unchanged on a
+        streaming frame (the stream-composition contract)."""
+        from tempo_spark.pipeline import text as T
+
+        src = str(tmp_path / "in")
+        self._df(spark, [(0, "  A’s  ")]).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            T.normalize_text(stream, "text")
+            .writeStream.format("memory").queryName("norm_t")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        [r] = spark.sql("select * from norm_t").collect()
+        assert r.text == "A's"
+
+
+class TestCorpusStats:
+    def _df(self, spark):
+        rows = [
+            (1, "one two three", "a"),
+            (2, "dup text", "a"),
+            (3, "dup text", "a"),
+            (4, None, "b"),
+            (5, "x y z w v", "b"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+    def test_per_group_values(self, spark):
+        from tempo_spark.pipeline import text as T
+
+        got = {r.src: r.asDict() for r in T.corpus_stats(self._df(spark), ["src"]).collect()}
+        a, b = got["a"], got["b"]
+        assert (a["n_docs"], a["n_null_text"], a["n_distinct_docs"]) == (3, 0, 2)
+        assert a["total_tokens"] == 3 + 2 + 2
+        assert abs(a["dup_rate"] - 1 / 3) < 1e-12
+        # null text counts as one distinct content (the digest sentinel —
+        # agrees with exact_dedup's grouping) and contributes 0 tokens
+        assert (b["n_docs"], b["n_null_text"], b["n_distinct_docs"]) == (2, 1, 2)
+        assert b["total_tokens"] == 5
+        assert b["mean_tokens"] == 5.0  # avg ignores the null-text row
+        assert b["dup_rate"] == 0.0
+
+    def test_global_and_percentiles(self, spark):
+        from tempo_spark.pipeline import text as T
+
+        [g] = T.corpus_stats(self._df(spark), percentiles=(0.5, 0.9)).collect()
+        assert g["n_docs"] == 5 and g["n_distinct_docs"] == 4
+        # exact interpolated percentile over token counts [3, 2, 2, 5]
+        assert g["p50_tokens"] == 2.5
+        assert "p90_tokens" in g.asDict()
+
+    def test_percentile_name_collision_raises(self, spark):
+        import pytest as _pytest
+
+        from tempo_spark.pipeline import text as T
+
+        with _pytest.raises(ValueError):
+            T.corpus_stats(self._df(spark), percentiles=(0.5, 0.5)).collect()
+
+
+class TestPrepareCorpusNormalize:
+    def test_normalize_stage_dedups_quote_variants(self, spark):
+        from tempo_spark.pipeline.prepare import prepare_corpus
+
+        rows = [
+            (1, 'say "hi" now'),
+            (2, "say “hi”  now"),  # same content modulo quotes/whitespace
+            (3, "different doc entirely"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = prepare_corpus(df, normalize=True, exact_dedup=True)
+        kept = sorted(r.doc_id for r in out.collect())
+        assert kept == [1, 3]
+        # without normalization the quote variants survive as distinct
+        out2 = prepare_corpus(df, exact_dedup=True)
+        assert sorted(r.doc_id for r in out2.collect()) == [1, 2, 3]
