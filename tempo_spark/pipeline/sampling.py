@@ -373,6 +373,7 @@ def chunk_documents(
     out_text: str = "chunk",
     out_idx: str = "chunk_idx",
     out_n: str = "n_chunks",
+    boundary: str = "token",
 ) -> DataFrame:
     """Explode each document into fixed-size token windows for a model
     context length: chunk ``i`` covers tokens
@@ -387,14 +388,31 @@ def chunk_documents(
     Everything is per-row JVM work (split → sequence-explode → slice):
     zero shuffles, streams unchanged, fanout ≈ n_tokens/stride per doc.
     Chain ``assign_packs`` on the chunk frame to pack the chunks into
-    training sequences."""
+    training sequences.
+
+    ``boundary="sentence"`` packs whole sentences greedily instead: a chunk
+    takes consecutive sentences while their token total stays within
+    ``max_tokens`` (a sentence longer than ``max_tokens`` is first
+    hard-split at token grain, so every chunk respects the budget). RAG and
+    eval pipelines want this grain — a mid-sentence cut destroys the very
+    context the chunk exists to carry. Requires ``overlap=0`` (sentence
+    packing has no fixed stride). Same per-row-only cost shape; the greedy
+    fold is one parsed-SQL ``aggregate`` over the sentence array."""
     if max_tokens < 1 or not (0 <= overlap < max_tokens):
         raise ValueError(
             "chunk_documents needs max_tokens >= 1 and 0 <= overlap < max_tokens"
         )
+    if boundary not in ("token", "sentence"):
+        raise ValueError(f"boundary must be 'token' or 'sentence', got {boundary!r}")
     for c in (out_text, out_idx, out_n, "__tempo_ctoks"):
         if c in df.columns:
             raise ValueError(f"output column {c!r} already present in input")
+    if boundary == "sentence":
+        if overlap:
+            raise ValueError("boundary='sentence' requires overlap=0")
+        return _chunk_documents_by_sentence(
+            df, text_col, max_tokens, out_text, out_idx, out_n
+        )
     from tempo_spark.pipeline.text import tokens_col
 
     step = max_tokens - overlap
@@ -427,3 +445,94 @@ def chunk_documents(
     return staged.withColumn(
         out_text, F.when(F.col(out_idx).isNotNull(), chunk)
     ).drop(toks_c)
+
+
+def _chunk_documents_by_sentence(
+    df: DataFrame,
+    text_col: str,
+    max_tokens: int,
+    out_text: str,
+    out_idx: str,
+    out_n: str,
+) -> DataFrame:
+    """Greedy sentence packing for ``chunk_documents(boundary="sentence")``.
+
+    Per row, all in JVM HOF expressions: sentence-split, hard-split any
+    over-budget sentence at token grain, then ONE ``aggregate`` fold
+    assigns each piece a chunk id (new chunk when the running token total
+    would exceed ``max_tokens``), and the chunk texts reassemble from the
+    (piece, id) pairs. The fold appends one int per piece — O(pieces²)
+    array copies worst case, bounded by sentences-per-doc, not tokens.
+    """
+    from tempo_spark.pipeline.text import SENTENCE_SPLIT_REGEX
+
+    text = F.col(text_col)
+
+    def toks(s):
+        return F.split(s, r"\s+")
+
+    sents = F.filter(
+        F.split(F.trim(text), SENTENCE_SPLIT_REGEX), lambda s: F.length(s) > 0
+    )
+
+    def hard_split(s):
+        tk = toks(s)
+        # ceil(n / max_tokens) — int sizes can't overflow the double path
+        nw = F.floor(
+            (F.size(tk) + F.lit(max_tokens - 1)).cast("long") / F.lit(max_tokens)
+        ).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), nw - 1),
+            lambda i: F.array_join(
+                F.slice(tk, (i * max_tokens + 1).cast("int"), max_tokens), " "
+            ),
+        )
+
+    pieces = F.flatten(
+        F.transform(
+            sents,
+            lambda s: F.when(
+                F.size(toks(s)) <= max_tokens, F.array(s)
+            ).otherwise(hard_split(s)),
+        )
+    )
+    counts = F.transform(pieces, lambda p: F.size(toks(p)))
+
+    acc0 = F.struct(
+        F.array().cast("array<int>").alias("ids"),
+        F.lit(0).alias("cid"),
+        F.lit(0).alias("cur"),
+    )
+
+    def step(acc, n):
+        new_chunk = (acc["cur"] > 0) & ((acc["cur"] + n) > max_tokens)
+        cid = F.when(new_chunk, acc["cid"] + 1).otherwise(acc["cid"])
+        cur = F.when(new_chunk, n).otherwise(acc["cur"] + n)
+        return F.struct(
+            F.concat(acc["ids"], F.array(cid)).alias("ids"),
+            cid.alias("cid"),
+            cur.alias("cur"),
+        )
+
+    ids = F.aggregate(counts, acc0, step, lambda acc: acc["ids"])
+    z = F.zip_with(pieces, ids, lambda p, i: F.struct(p.alias("p"), i.alias("i")))
+    n_chunks = F.coalesce(F.try_element_at(ids, F.lit(-1)) + 1, F.lit(0))
+    assembled = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.array_join(
+            F.transform(F.filter(z, lambda e: e["i"] == k), lambda e: e["p"]), " "
+        ),
+    )
+    # empty doc -> one empty chunk; NULL text -> one all-null chunk row
+    # (both match the token-mode contract)
+    chunks = F.when(text.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        F.when(n_chunks == 0, F.array(F.lit(""))).otherwise(assembled)
+    )
+    staged = df.withColumn("__tempo_chunks", chunks)
+    staged = staged.withColumn(
+        out_n, F.when(text.isNotNull(), F.size(F.col("__tempo_chunks")).cast("long"))
+    )
+    exploded = staged.select(
+        "*", F.posexplode_outer("__tempo_chunks").alias(out_idx, out_text)
+    ).drop("__tempo_chunks")
+    return exploded.withColumn(out_idx, F.col(out_idx).cast("long"))

@@ -747,3 +747,25 @@ def corpus_stats(
         (F.col("n_docs") - F.col("n_distinct_docs"))
         / F.col("n_docs").cast("double"),
     )
+
+
+#: sentence boundary: split AFTER ./!/?/… followed by whitespace. Java-regex
+#: lookbehind (supported by Spark's split); RE2 has no lookbehind, so the
+#: sentence family is pytest-gated like the PII patterns.
+SENTENCE_SPLIT_REGEX = "(?<=[.!?…])\\s+"
+
+
+def with_sentences(
+    df: DataFrame, text_col: str = "text", out: str = "sentences"
+) -> DataFrame:
+    """Regex sentence segmentation into an ``array<string>`` column —
+    per-row JVM work (split + filter), zero shuffle, streams unchanged.
+    Empty/whitespace text yields an empty array; NULL stays NULL. The
+    boundary rule (split after terminal punctuation + whitespace) is the
+    cheap deterministic recipe; abbreviation-aware splitting is a model
+    call, not an engine primitive."""
+    sents = F.filter(
+        F.split(F.trim(F.col(text_col)), SENTENCE_SPLIT_REGEX),
+        lambda s: F.length(s) > 0,
+    )
+    return df.withColumn(out, sents)

@@ -2954,3 +2954,123 @@ class TestPrepareCorpusNormalize:
         # without normalization the quote variants survive as distinct
         out2 = prepare_corpus(df, exact_dedup=True)
         assert sorted(r.doc_id for r in out2.collect()) == [1, 2, 3]
+
+
+class TestSentenceChunking:
+    def test_with_sentences(self, spark):
+        from tempo_spark.pipeline import text as T
+
+        df = spark.createDataFrame(
+            [(1, "  One two. Three!   Four? "), (2, ""), (3, None)],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.sentences for r in T.with_sentences(df).collect()}
+        assert got[1] == ["One two.", "Three!", "Four?"]
+        assert got[2] == []
+        assert got[3] is None
+
+    def test_greedy_packing(self, spark):
+        from tempo_spark.pipeline.sampling import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "One two three. Four five! Six seven eight nine? Ten.")],
+            "doc_id long, text string",
+        )
+        out = sorted(
+            (r.chunk_idx, r.chunk)
+            for r in chunk_documents(df, "doc_id", max_tokens=5, boundary="sentence").collect()
+        )
+        assert out == [
+            (0, "One two three. Four five!"),
+            (1, "Six seven eight nine? Ten."),
+        ]
+
+    def test_long_sentence_hard_split(self, spark):
+        from tempo_spark.pipeline.sampling import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h i j k l m")], "doc_id long, text string"
+        )
+        out = sorted(
+            (r.chunk_idx, r.chunk)
+            for r in chunk_documents(df, "doc_id", max_tokens=5, boundary="sentence").collect()
+        )
+        assert out == [(0, "a b c d e"), (1, "f g h i j"), (2, "k l m")]
+
+    def test_empty_and_null(self, spark):
+        from tempo_spark.pipeline.sampling import chunk_documents
+
+        df = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_chunks, r.chunk_idx, r.chunk)
+            for r in chunk_documents(df, "doc_id", max_tokens=4, boundary="sentence").collect()
+        }
+        assert got[1] == (1, 0, "")
+        assert got[2] == (None, None, None)
+
+    def test_rejections(self, spark):
+        import pytest as _pytest
+
+        from tempo_spark.pipeline.sampling import chunk_documents
+
+        df = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            chunk_documents(df, "doc_id", max_tokens=4, overlap=1, boundary="sentence")
+        with _pytest.raises(ValueError):
+            chunk_documents(df, "doc_id", boundary="paragraph")
+
+    def test_matches_python_model(self, spark):
+        """Engine == reference greedy model on varied docs (budget respected,
+        sentence order preserved, over-budget sentences token-split)."""
+        import re
+
+        from tempo_spark.pipeline.sampling import chunk_documents
+
+        def model(text, mx):
+            sents = [s for s in re.split(r"(?<=[.!?…])\s+", text.strip()) if s]
+            pieces = []
+            for s in sents:
+                tk = s.split()
+                if len(tk) <= mx:
+                    pieces.append(s)
+                else:
+                    pieces += [" ".join(tk[i : i + mx]) for i in range(0, len(tk), mx)]
+            chunks, cur, cur_n = [], [], 0
+            for p in pieces:
+                n = len(p.split())
+                if cur_n > 0 and cur_n + n > mx:
+                    chunks.append(" ".join(cur))
+                    cur, cur_n = [p], n
+                else:
+                    cur.append(p)
+                    cur_n += n
+            if cur:
+                chunks.append(" ".join(cur))
+            return chunks or [""]
+
+        texts = [
+            "Short. Also short. Tiny.",
+            "One long sentence with many many words that overflows the budget easily here.",
+            "Mix. " * 10,
+            "NoTerminalPunctuationAtAll just words " * 3,
+            "A. B. C. D. E. F. G.",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        for mx in (3, 7, 50):
+            got = {}
+            for r in chunk_documents(df, "doc_id", max_tokens=mx, boundary="sentence").collect():
+                got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk))
+            for i, t in enumerate(texts):
+                engine = [c for _, c in sorted(got[i])]
+                assert engine == model(t, mx), (i, mx, engine)
+
+    def test_zero_shuffle_zero_python(self, spark):
+        from tempo_spark.pipeline.sampling import chunk_documents
+        from tempo_spark.plans.inspect import count_exchanges, count_python_evals
+
+        df = spark.createDataFrame([(1, "a. b.")], "doc_id long, text string")
+        out = chunk_documents(df, "doc_id", max_tokens=4, boundary="sentence")
+        assert count_exchanges(out) == 0
+        assert count_python_evals(out) == 0
