@@ -222,6 +222,15 @@ def _span_dedup(spark, sf_dir):
     ).select("doc_id", "nrm")
 
 
+def _normalize_stats(spark, sf_dir):
+    # corpus hygiene pass: normalize every doc, then the one-agg per-source
+    # health report (exact distinct digests = the expensive part)
+    from tempo_spark.pipeline.text import corpus_stats, normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_stats(normalize_text(docs, "text"), ["source"])
+
+
 def _range_stats(spark, sf_dir):
     # single-strategy production path (the gate entry union-tags BOTH the
     # sliding and prefix+block strategies, doubling its work on purpose)
@@ -266,6 +275,7 @@ BENCH_QUERIES = {
     "b23_bloom_dedup_shards": _bloom_dedup_shards,
     "b24_span_dedup": _span_dedup,
     "b25_semantic_dedup": _semantic_dedup,
+    "b26_normalize_stats": _normalize_stats,
 }
 
 RUNS = 3
