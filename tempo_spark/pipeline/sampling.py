@@ -404,7 +404,7 @@ def chunk_documents(
         )
     if boundary not in ("token", "sentence"):
         raise ValueError(f"boundary must be 'token' or 'sentence', got {boundary!r}")
-    for c in (out_text, out_idx, out_n, "__tempo_ctoks"):
+    for c in (out_text, out_idx, out_n, "__tempo_ctoks", "__tempo_chunks", "__tempo_sz"):
         if c in df.columns:
             raise ValueError(f"output column {c!r} already present in input")
     if boundary == "sentence":
@@ -461,19 +461,22 @@ def _chunk_documents_by_sentence(
     over-budget sentence at token grain, then ONE ``aggregate`` fold
     assigns each piece a chunk id (new chunk when the running token total
     would exceed ``max_tokens``), and the chunk texts reassemble from the
-    (piece, id) pairs. The fold appends one int per piece — O(pieces²)
-    array copies worst case, bounded by sentences-per-doc, not tokens.
+    (piece, id) pairs.
+
+    The (piece, id) array is MATERIALIZED into a staging column before
+    assembly — lambda bodies are interpreted with no CSE, so referencing
+    the fold inline from the per-chunk lambda would re-run it once per
+    chunk (measured near-cubic in sentence count before this hoist; the
+    with_minhash lesson). Residual per-row cost: the fold's id append is
+    O(pieces²) int copies and assembly is O(chunks × pieces) element
+    compares — fine through book-length docs (~10⁴ sentences); chunk
+    pathological million-sentence rows at token grain instead.
     """
-    from tempo_spark.pipeline.text import SENTENCE_SPLIT_REGEX
+    from tempo_spark.pipeline.text import sentences_col, tokens_col
 
     text = F.col(text_col)
-
-    def toks(s):
-        return F.split(s, r"\s+")
-
-    sents = F.filter(
-        F.split(F.trim(text), SENTENCE_SPLIT_REGEX), lambda s: F.length(s) > 0
-    )
+    toks = tokens_col
+    sents = sentences_col(text)
 
     def hard_split(s):
         tk = toks(s)
@@ -516,11 +519,15 @@ def _chunk_documents_by_sentence(
 
     ids = F.aggregate(counts, acc0, step, lambda acc: acc["ids"])
     z = F.zip_with(pieces, ids, lambda p, i: F.struct(p.alias("p"), i.alias("i")))
-    n_chunks = F.coalesce(F.try_element_at(ids, F.lit(-1)) + 1, F.lit(0))
+    zc = "__tempo_sz"
+    staged = df.withColumn(zc, z)
+    # everything below references the BOUND column, never the z expression
+    zcol = F.col(zc)
+    n_chunks = F.coalesce(F.try_element_at(zcol, F.lit(-1))["i"] + 1, F.lit(0))
     assembled = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda k: F.array_join(
-            F.transform(F.filter(z, lambda e: e["i"] == k), lambda e: e["p"]), " "
+            F.transform(F.filter(zcol, lambda e: e["i"] == k), lambda e: e["p"]), " "
         ),
     )
     # empty doc -> one empty chunk; NULL text -> one all-null chunk row
@@ -528,7 +535,7 @@ def _chunk_documents_by_sentence(
     chunks = F.when(text.isNull(), F.lit(None).cast("array<string>")).otherwise(
         F.when(n_chunks == 0, F.array(F.lit(""))).otherwise(assembled)
     )
-    staged = df.withColumn("__tempo_chunks", chunks)
+    staged = staged.withColumn("__tempo_chunks", chunks).drop(zc)
     staged = staged.withColumn(
         out_n, F.when(text.isNotNull(), F.size(F.col("__tempo_chunks")).cast("long"))
     )

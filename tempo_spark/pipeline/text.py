@@ -670,9 +670,12 @@ def normalize_text(
     splits at any scale). Applied in a fixed order so the result is
     deterministic regardless of which steps are enabled:
 
-    1. ``strip_control``: drop C0/C1 control characters (except ``\\t`` and
-       ``\\n``, which the whitespace step owns) and the BOM/zero-width set
-       (ZWSP/ZWNJ/ZWJ/FEFF).
+    1. ``strip_control``: drop C0/C1 control characters and the
+       BOM/zero-width set (ZWSP/ZWNJ/ZWJ/FEFF) — EXCEPT ``\\t``, ``\\n``
+       and ``\\r``, which the whitespace step owns (deleting ``\\r`` here
+       would weld ``a\\rb`` into ``ab``; collapsing it to a space is the
+       whitespace step's call, so CR survives when
+       ``collapse_whitespace=False``).
     2. ``normalize_quotes``: curly quotes -> ASCII quotes, en/em dash ->
        ``-``, ellipsis char -> ``...``, NBSP -> space.
     3. ``collapse_whitespace``: runs of spaces/tabs/CR -> one space, spaces
@@ -733,8 +736,12 @@ def corpus_stats(
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(text.isNull(), 1)).alias("n_null_text"),
         F.count_distinct(content_digest(text)).alias("n_distinct_docs"),
-        F.sum(F.coalesce(F.length(text), F.lit(0))).alias("total_chars"),
-        F.sum(F.coalesce(n_tokens, F.lit(0))).alias("total_tokens"),
+        F.coalesce(
+            F.sum(F.coalesce(F.length(text), F.lit(0))), F.lit(0)
+        ).alias("total_chars"),
+        F.coalesce(
+            F.sum(F.coalesce(n_tokens, F.lit(0))), F.lit(0)
+        ).alias("total_tokens"),
         F.avg(n_tokens).alias("mean_tokens"),
         *[
             F.percentile(n_tokens, F.lit(p)).alias(a)
@@ -742,10 +749,16 @@ def corpus_stats(
         ],
     ]
     stats = df.groupBy(*groups).agg(*aggs)
+    # ungrouped agg over an empty corpus still yields one row (n_docs=0) —
+    # the health report must survive a stage that filtered everything out,
+    # not ANSI-throw DIVIDE_BY_ZERO
     return stats.withColumn(
         "dup_rate",
-        (F.col("n_docs") - F.col("n_distinct_docs"))
-        / F.col("n_docs").cast("double"),
+        F.when(
+            F.col("n_docs") > 0,
+            (F.col("n_docs") - F.col("n_distinct_docs"))
+            / F.col("n_docs").cast("double"),
+        ),
     )
 
 
@@ -755,17 +768,22 @@ def corpus_stats(
 SENTENCE_SPLIT_REGEX = "(?<=[.!?…])\\s+"
 
 
+def sentences_col(text: Column) -> Column:
+    """THE single sentence-boundary definition, shared by
+    ``with_sentences`` and ``chunk_documents(boundary="sentence")`` so
+    chunk boundaries can never drift from the segmentation an analysis
+    pass reported. Empty/whitespace text → empty array; NULL stays NULL."""
+    return F.filter(
+        F.split(F.trim(text), SENTENCE_SPLIT_REGEX), lambda s: F.length(s) > 0
+    )
+
+
 def with_sentences(
     df: DataFrame, text_col: str = "text", out: str = "sentences"
 ) -> DataFrame:
     """Regex sentence segmentation into an ``array<string>`` column —
     per-row JVM work (split + filter), zero shuffle, streams unchanged.
-    Empty/whitespace text yields an empty array; NULL stays NULL. The
-    boundary rule (split after terminal punctuation + whitespace) is the
-    cheap deterministic recipe; abbreviation-aware splitting is a model
-    call, not an engine primitive."""
-    sents = F.filter(
-        F.split(F.trim(F.col(text_col)), SENTENCE_SPLIT_REGEX),
-        lambda s: F.length(s) > 0,
-    )
-    return df.withColumn(out, sents)
+    The boundary rule (split after terminal punctuation + whitespace) is
+    the cheap deterministic recipe; abbreviation-aware splitting is a
+    model call, not an engine primitive."""
+    return df.withColumn(out, sentences_col(F.col(text_col)))
