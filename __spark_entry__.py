@@ -430,7 +430,15 @@ def q_range_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark and exact hugeint sums in DuckDB, and both engines then apply
     the identical closed-form IEEE op sequence — bit-equal before the
     hardened rounding. Mapped onto the entry columns as mean_v = corr,
-    min_v = covar_pop/1e4, max_v = covar_samp/1e4."""
+    min_v = covar_pop/1e4, max_v = covar_samp/1e4.
+
+    ``anomaly`` gates ``withAnomalyFlags`` (strictly-preceding 1000 s
+    frame, z=2, min_points=3): integer-cents sums are exactly
+    representable doubles regardless of accumulation order, so mean/σ and
+    the |x−mean| > z·σ verdict are bit-equal cross-engine (mean_v = the
+    tri-state flag as double, zscore_v = hardened z). ``diffpct`` gates
+    ``withDiff``/``withPctChange`` (mean_v = pct change, min_v =
+    diff/100)."""
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
     tc = TSDF(
@@ -472,11 +480,45 @@ def q_range_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             _HR3(F.col("zscore_cents")).alias("zscore_v"),
         )
 
+    def run_anomaly() -> DataFrame:
+        out = t.withAnomalyFlags(
+            "cents", rangeBackWindowSecs=1000, z=2.0, min_points=3
+        ).df
+        return out.select(
+            F.lit("anomaly").alias("strat"),
+            "user_id",
+            "ts",
+            F.lit(0).cast("long").alias("n"),
+            F.col("is_anomaly_cents").cast("double").alias("mean_v"),
+            F.lit(0.0).alias("min_v"),
+            F.lit(0.0).alias("max_v"),
+            F.lit(0.0).alias("sum_v"),
+            F.lit(0.0).alias("stddev_v"),
+            _HR3(F.col("zscore_cents")).alias("zscore_v"),
+        )
+
+    def run_diffpct() -> DataFrame:
+        out = t.withDiff("cents").withPctChange("cents").df
+        return out.select(
+            F.lit("diffpct").alias("strat"),
+            "user_id",
+            "ts",
+            F.lit(0).cast("long").alias("n"),
+            _HR6(F.col("pct_change_cents")).alias("mean_v"),
+            _R6(F.col("diff_cents") / 100).alias("min_v"),
+            F.lit(0.0).alias("max_v"),
+            F.lit(0.0).alias("sum_v"),
+            F.lit(0.0).alias("stddev_v"),
+            F.lit(0.0).alias("zscore_v"),
+        )
+
     return (
         run("sliding", "sliding", "sliding")
         .unionByName(run("prefix", "block", "prefix_block"))
         .unionByName(run_corr("sliding", "corr_sliding"))
         .unionByName(run_corr("prefix", "corr_prefix"))
+        .unionByName(run_anomaly())
+        .unionByName(run_diffpct())
     )
 
 
@@ -528,6 +570,41 @@ SELECT t.strat, c.* FROM (
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
                      RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW))))) c
 CROSS JOIN (VALUES ('corr_sliding'), ('corr_prefix')) AS t(strat)
+UNION ALL
+SELECT 'anomaly' AS strat, user_id, ts, CAST(0 AS BIGINT) AS n,
+       CASE WHEN n_tr >= 3 THEN
+         CASE WHEN abs(cents - mean_tr) > 2.0 * std_tr THEN 1.0 ELSE 0.0 END
+       END AS mean_v,
+       0.0 AS min_v, 0.0 AS max_v, 0.0 AS sum_v, 0.0 AS stddev_v,
+       CASE WHEN n_tr >= 3 AND std_tr > 0
+            THEN floor((cents - mean_tr) / std_tr * 1000 + 0.5) / 1000
+       END AS zscore_v
+FROM (
+  SELECT user_id, ts, cents, n_tr,
+         CASE WHEN n_tr > 0 THEN s_tr / CAST(n_tr AS DOUBLE) END AS mean_tr,
+         CASE WHEN n_tr >= 2 THEN
+           sqrt(greatest((sq_tr - s_tr * s_tr / CAST(n_tr AS DOUBLE))
+                         / CAST(n_tr - 1 AS DOUBLE), 0.0))
+         END AS std_tr
+  FROM (
+    SELECT user_id, ts, cents,
+           count(cents) OVER w AS n_tr,
+           CAST(sum(cents) OVER w AS DOUBLE) AS s_tr,
+           CAST(sum(cents * cents) OVER w AS DOUBLE) AS sq_tr
+    FROM de
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 1000000000 PRECEDING AND 1 PRECEDING)))
+UNION ALL
+SELECT 'diffpct' AS strat, user_id, ts, CAST(0 AS BIGINT) AS n,
+       CASE WHEN lag_c <> 0
+            THEN floor((cents - lag_c) / CAST(lag_c AS DOUBLE) * 1000000 + 0.5)
+                 / 1000000 END AS mean_v,
+       round((cents - lag_c) / 100.0, 6) AS min_v,
+       0.0 AS max_v, 0.0 AS sum_v, 0.0 AS stddev_v, 0.0 AS zscore_v
+FROM (
+  SELECT user_id, ts, cents,
+         lag(cents) OVER (PARTITION BY user_id ORDER BY ts) AS lag_c
+  FROM de)
 """
 
 

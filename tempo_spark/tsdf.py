@@ -1088,6 +1088,110 @@ class TSDF:
         )
         return TSDF(out, ts_col=self.ts_col, series_ids=self.series_ids, validate=False)
 
+    def withDiff(
+        self, colName: str, periods: int = 1, out: Optional[str] = None
+    ) -> "TSDF":
+        """Per-series discrete difference ``x - lag(x, periods)`` (pandas
+        ``diff`` semantics, beyond the reference): NULL for the first
+        ``periods`` rows of each series. ``periods`` may be negative for a
+        forward difference. One shuffle (the shared base window)."""
+        if periods == 0:
+            raise ValueError("periods must be non-zero")
+        w = self.base_window()
+        prev = F.lag(F.col(colName), periods).over(w)
+        return self._with_df(
+            self.df.withColumn(out or f"diff_{colName}", F.col(colName) - prev)
+        )
+
+    def withPctChange(
+        self, colName: str, periods: int = 1, out: Optional[str] = None
+    ) -> "TSDF":
+        """Per-series fractional change ``(x - lag) / lag`` (pandas
+        ``pct_change``): NULL when the lag is NULL or exactly zero (a
+        zero base has no defined relative change — and double/0 would
+        yield IEEE infinities, not an error, silently poisoning
+        downstream aggregates). One shuffle."""
+        if periods == 0:
+            raise ValueError("periods must be non-zero")
+        w = self.base_window()
+        prev = F.lag(F.col(colName), periods).over(w)
+        pct = F.when(prev != 0, (F.col(colName) - prev) / prev)
+        return self._with_df(
+            self.df.withColumn(out or f"pct_change_{colName}", pct)
+        )
+
+    def withAnomalyFlags(
+        self,
+        colName: str,
+        rangeBackWindowSecs: float,
+        z: float = 3.0,
+        min_points: int = 3,
+        out_prefix: Optional[str] = None,
+    ) -> "TSDF":
+        """Rolling z-score anomaly detection (beyond the reference): emits
+        ``zscore_<col>`` = (x − trailing mean) / trailing sample stddev and
+        ``is_anomaly_<col>`` = |zscore| > ``z``, over the PRECEDING
+        ``rangeBackWindowSecs`` seconds excluding the current row (a point
+        is judged against its past, so a spike cannot vote itself normal).
+
+        The stats come from explicit sum/count/sum-of-squares window
+        aggregates — the same closed-form idiom as ``withRangeCorr`` —
+        because the native stddev/variance window functions ANSI-throw on
+        degenerate frames. The flag compares ``|x − mean| > z·σ`` directly,
+        so a deviation from a ZERO-variance baseline (the classic spike
+        after a flat line, where the z-score itself is undefined) still
+        flags; ``zscore`` is NULL there. Rows with fewer than
+        ``min_points`` trailing points (sample stddev needs ≥2; default 3
+        for a usable baseline) get NULL for both — no verdict without a
+        baseline. One shuffle on series_ids."""
+        if min_points < 2:
+            raise ValueError("min_points must be >= 2 (sample stddev)")
+        p = out_prefix or colName
+        for c in ("__tempo_an_n", "__tempo_an_mean", "__tempo_an_std"):
+            if c in self.df.columns:
+                raise ValueError(f"reserved staging column {c} present in input")
+        # strictly-preceding range frame: [-back, -1 microsecond]
+        w = (
+            Window.partitionBy(*[F.col(c) for c in self.series_ids])
+            .orderBy(self._micros_order())
+            .rangeBetween(-int(rangeBackWindowSecs * 1_000_000), -1)
+        )
+        x = F.col(colName).cast("double")
+        n = F.count(x).over(w)
+        s = F.sum(x).over(w)
+        # cancellation-prone E[x²]−E[x]² form is fine here: the flag
+        # compares against z·σ, and a clamped-to-zero variance lands in
+        # the zero-baseline branch rather than producing NaN
+        sq = F.sum(x * x).over(w)
+        # ANSI throws DIVIDE_BY_ZERO even on the empty first frame of a
+        # series — every division is gated on its count
+        mean = F.when(n > 0, s / n)
+        var = F.when(
+            n >= 2, F.greatest((sq - s * s / n) / (n - F.lit(1)), F.lit(0.0))
+        )
+        # stage the window aggs once; the two outputs reference bound
+        # columns instead of re-inlining three window expressions each
+        staged = (
+            self.df.withColumn("__tempo_an_n", n)
+            .withColumn("__tempo_an_mean", mean)
+            .withColumn("__tempo_an_std", F.sqrt(var))
+        )
+        nn, mm, ss = (
+            F.col("__tempo_an_n"), F.col("__tempo_an_mean"), F.col("__tempo_an_std")
+        )
+        enough = nn >= min_points
+        out = (
+            staged.withColumn(
+                f"zscore_{p}", F.when(enough & (ss > 0), (x - mm) / ss)
+            )
+            .withColumn(
+                f"is_anomaly_{p}",
+                F.when(enough, F.abs(x - mm) > F.lit(float(z)) * ss),
+            )
+            .drop("__tempo_an_n", "__tempo_an_mean", "__tempo_an_std")
+        )
+        return self._with_df(out)
+
     def withLookbackFeatures(
         self,
         featureCols: Sequence[str],

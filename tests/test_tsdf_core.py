@@ -858,3 +858,114 @@ class TestDeduplicated:
         assert t.deduplicated().df.columns == t.df.columns
         with pytest.raises(ValueError):
             t.deduplicated("first")
+
+
+class TestDiffPctChange:
+    def _t(self, spark):
+        rows = [
+            ("a", ts("2024-01-01 00:00:01"), 10.0),
+            ("a", ts("2024-01-01 00:00:02"), 12.0),
+            ("a", ts("2024-01-01 00:00:03"), 0.0),
+            ("a", ts("2024-01-01 00:00:04"), 6.0),
+            ("b", ts("2024-01-01 00:00:01"), 5.0),
+        ]
+        return TSDF(
+            spark.createDataFrame(rows, "k string, event_ts timestamp, v double"),
+            ts_col="event_ts", series_ids=["k"],
+        )
+
+    def test_diff(self, spark):
+        out = self._t(spark).withDiff("v").df.orderBy("k", "event_ts").collect()
+        assert [r.diff_v for r in out] == [None, 2.0, -12.0, 6.0, None]
+
+    def test_diff_forward(self, spark):
+        out = self._t(spark).withDiff("v", periods=-1).df.orderBy("k", "event_ts").collect()
+        assert [r.diff_v for r in out] == [-2.0, 12.0, -6.0, None, None]
+
+    def test_pct_change_zero_base_null(self, spark):
+        out = self._t(spark).withPctChange("v").df.orderBy("k", "event_ts").collect()
+        got = [r.pct_change_v for r in out]
+        assert got[0] is None and got[1] == 0.2 and got[2] == -1.0
+        assert got[3] is None  # base 0.0 -> undefined, not Infinity
+        assert got[4] is None  # series b first row
+
+    def test_rejections_and_plan(self, spark):
+        from tempo_spark.plans.inspect import count_exchanges
+
+        t = self._t(spark)
+        with pytest.raises(ValueError):
+            t.withDiff("v", periods=0)
+        with pytest.raises(ValueError):
+            t.withPctChange("v", periods=0)
+        # diff + pct chained share ONE shuffle (same base window)
+        assert count_exchanges(t.withDiff("v").withPctChange("v").df) == 1
+
+
+class TestAnomalyFlags:
+    def _t(self, spark, vals, sym="a"):
+        rows = [
+            (sym, ts("2024-01-01 00:00:01") + dt.timedelta(seconds=i), float(v))
+            for i, v in enumerate(vals)
+        ]
+        return TSDF(
+            spark.createDataFrame(rows, "k string, event_ts timestamp, v double"),
+            ts_col="event_ts", series_ids=["k"],
+        )
+
+    def test_spike_after_flat_baseline_flags(self, spark):
+        t = self._t(spark, [10, 10, 10, 10, 10, 100, 10, 10])
+        out = t.withAnomalyFlags("v", rangeBackWindowSecs=10, z=3.0).df.orderBy("event_ts").collect()
+        flags = [r.is_anomaly_v for r in out]
+        # rows 0-2: fewer than min_points=3 trailing -> no verdict
+        assert flags[:3] == [None, None, None]
+        assert flags[3] is False and flags[4] is False
+        assert flags[5] is True  # zero-variance baseline, zscore undefined
+        assert out[5].zscore_v is None
+        assert flags[6] is False  # 100 in the trailing window inflates sigma
+        assert out[6].zscore_v is not None
+
+    def test_matches_python_model(self, spark):
+        import statistics
+
+        vals = [3, 7, 5, 9, 4, 30, 6, 5, 8, 2, 7, 40, 6]
+        back, zt, mp = 5, 2.0, 3
+        t = self._t(spark, vals)
+        out = t.withAnomalyFlags("v", rangeBackWindowSecs=back, z=zt, min_points=mp)
+        got = [(r.zscore_v, r.is_anomaly_v) for r in out.df.orderBy("event_ts").collect()]
+        for i, v in enumerate(vals):
+            lo = max(0, i - back)
+            window = [float(x) for x in vals[lo:i]]
+            if len(window) < mp:
+                assert got[i] == (None, None), i
+                continue
+            m = statistics.fmean(window)
+            sd = statistics.stdev(window)
+            z_, fl = got[i]
+            assert fl == (abs(v - m) > zt * sd), i
+            if sd > 0:
+                assert abs(z_ - (v - m) / sd) < 1e-9, i
+            else:
+                assert z_ is None, i
+
+    def test_series_isolated_and_plan(self, spark):
+        from tempo_spark.plans.inspect import count_exchanges
+
+        ta = self._t(spark, [10, 10, 10, 10, 100], sym="a")
+        tb = self._t(spark, [50, 50, 50, 50, 50], sym="b")
+        t = TSDF(ta.df.union(tb.df), ts_col="event_ts", series_ids=["k"])
+        res = t.withAnomalyFlags("v", rangeBackWindowSecs=100, min_points=3)
+        assert count_exchanges(res.df) == 1
+        got = {(r.k, r.event_ts): r.is_anomaly_v for r in res.df.collect()}
+        assert got[("a", ts("2024-01-01 00:00:05"))] is True
+        assert got[("b", ts("2024-01-01 00:00:05"))] is False
+
+    def test_rejections(self, spark):
+        t = self._t(spark, [1, 2, 3])
+        with pytest.raises(ValueError):
+            t.withAnomalyFlags("v", rangeBackWindowSecs=10, min_points=1)
+        staged = TSDF(
+            t.df.withColumn("__tempo_an_n", t.df.v),
+            ts_col="event_ts", series_ids=["k"],
+        )
+        with pytest.raises(ValueError):
+            staged.withAnomalyFlags("v", rangeBackWindowSecs=10)
