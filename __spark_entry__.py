@@ -1975,7 +1975,12 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``lm``: bigram-LM mean log-prob (``train_ngram_lm`` on the corpus
       itself + ``with_lm_logprob``, the CCNet perplexity-style signal) —
       hash_family="raw" string keys so DuckDB replays counts exactly;
-      production default is xxhash64 keys (pytest pins family parity)."""
+      production default is xxhash64 keys (pytest pins family parity);
+    - ``dsir``: DSIR importance weight (Xie et al. 2023) — hashed
+      (uni+bi)-gram bucket counts fit on a target slice (lang='en') vs the
+      full corpus, per-doc log importance weight = Σ grams of the bucket
+      log ratio. md5_32 bucket hashing (m=512) so DuckDB replays the fit →
+      ratio → score chain count-for-count; production keeps xxhash64."""
     from tempo_spark.pipeline.dedup import ngram_contamination
     from tempo_spark.pipeline.filtering import filter_by_group_stats
     from tempo_spark.pipeline.text import (
@@ -2016,12 +2021,29 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("lm").alias("tag"), "doc_id", _HR6(F.col("lm_logprob")).alias("val")
     )
+    from tempo_spark.pipeline.dsir import (
+        dsir_logratio,
+        fit_hashed_counts,
+        with_importance_weight,
+    )
+
+    tgt = docs.where(F.col("lang") == "en")
+    ratio = dsir_logratio(
+        fit_hashed_counts(tgt, buckets=512, hash_family="md5_32"),
+        fit_hashed_counts(docs, buckets=512, hash_family="md5_32"),
+    )
+    dsir = with_importance_weight(
+        docs, ratio, "doc_id", hash_family="md5_32"
+    ).select(
+        F.lit("dsir").alias("tag"), "doc_id", _HR6(F.col("dsir_logweight")).alias("val")
+    )
     return (
         quality.unionByName(contam)
         .unionByName(src)
         .unionByName(gopher)
         .unionByName(entropy)
         .unionByName(lm)
+        .unionByName(dsir)
     )
 
 
@@ -2135,6 +2157,43 @@ SELECT tag, doc_id, val FROM (
   SELECT 'lm' AS tag, k.doc_id,
          floor(d.lp * 1000000 + 0.5) / 1000000 AS val
   FROM lm_toks k LEFT JOIN lm_doc d ON d.doc_id = k.doc_id
+)
+UNION ALL
+-- DSIR importance weight: hashed (uni+bi)-gram md5_32 buckets (m=512),
+-- target = lang='en' slice, raw = full corpus, alpha=1 smoothing; per-doc
+-- weight = sum of bucket log ratios; no-gram docs NULL. Every doc bucket
+-- exists in the raw fit (raw ⊇ doc), so an inner ratio join is exact.
+SELECT tag, doc_id, val FROM (
+  WITH ds_toks AS (
+    SELECT doc_id, lang,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS t
+    FROM documents),
+  ds_b AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(g), 1, 8))::BIGINT % 512 AS b
+    FROM (SELECT doc_id, lang,
+                 unnest(t || CASE WHEN len(t) >= 2
+                      THEN list_transform(generate_series(1, len(t) - 1),
+                                          i -> t[i] || ' ' || t[i + 1])
+                      ELSE []::VARCHAR[] END) AS g
+          FROM ds_toks)),
+  ds_ct AS (SELECT b, count(*) AS c FROM ds_b WHERE lang = 'en' GROUP BY b),
+  ds_cr AS (SELECT b, count(*) AS c FROM ds_b GROUP BY b),
+  ds_tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM ds_ct) AS tt,
+                    (SELECT coalesce(sum(c), 0) FROM ds_cr) AS tr),
+  ds_ratio AS (
+    SELECT coalesce(ds_ct.b, ds_cr.b) AS b,
+           ln((coalesce(ds_ct.c, 0) + 1.0) / (tt + 1.0 * 512))
+           - ln((coalesce(ds_cr.c, 0) + 1.0) / (tr + 1.0 * 512)) AS lr
+    FROM ds_ct FULL OUTER JOIN ds_cr ON ds_ct.b = ds_cr.b CROSS JOIN ds_tot),
+  ds_doc AS (
+    SELECT d.doc_id, sum(r.lr) AS w
+    FROM ds_b d JOIN ds_ratio r ON r.b = d.b
+    GROUP BY d.doc_id)
+  SELECT 'dsir' AS tag, k.doc_id,
+         floor(s.w * 1000000 + 0.5) / 1000000 AS val
+  FROM documents k LEFT JOIN ds_doc s ON s.doc_id = k.doc_id
 )
 """
 

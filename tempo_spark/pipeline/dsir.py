@@ -1,0 +1,290 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al., 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+Select raw-corpus documents that look like a small trusted target set
+(Wikipedia, textbooks, a curated slice) by importance weighting under two
+bag-of-hashed-n-grams unigram models:
+
+1. :func:`fit_hashed_counts` — hashed (uni+bi)-gram bucket counts for a
+   corpus, one table per corpus (target and raw). Fit once, reuse across
+   shards — the tables are the model.
+2. :func:`dsir_logratio` — per-bucket ``ln p_target(b) − ln p_raw(b)``
+   with additive smoothing; a tiny (≤ buckets rows) self-describing table.
+3. :func:`with_importance_weight` — per-document log importance weight
+   ``Σ_grams logratio(bucket(gram))``; one explode + one broadcast join +
+   one groupBy(id) — document text is never re-aggregated.
+4. :func:`sample_by_importance` — Gumbel top-k resampling WITHOUT
+   replacement (the paper's sampler): deterministic Gumbel noise from a
+   salted key hash, then ``orderBy(key).limit(k)`` which Spark executes as
+   TakeOrderedAndProject (per-partition top-k heaps + a k-row driver
+   merge — no global sort, no full shuffle, scales to any corpus size).
+
+Scale shape: model tables are bounded by ``buckets`` (default 65536 →
+a few MiB), always broadcast; the only corpus-sized shuffle is the
+per-document groupBy in scoring. All arithmetic is JVM-side.
+
+``hash_family="md5_32"`` (tempo_spark.pipeline.dedup.md5_32) makes bucket
+assignment bit-identical in any engine with md5() — the DuckDB oracle
+replays the full fit → ratio → score chain; production keeps xxhash64.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from tempo_spark.pipeline.dedup import md5_32
+from tempo_spark.pipeline.sampling import _key_hash
+from tempo_spark.pipeline.text import tokens_col
+
+
+def _gram_hash(gram: Column, hash_family: str) -> Column:
+    if hash_family == "md5_32":
+        return md5_32(gram)
+    if hash_family == "xxhash64":
+        return F.xxhash64(gram)
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
+def _gram_bucket_rows(
+    df: DataFrame,
+    text_col: str,
+    buckets: int,
+    ngrams: tuple[int, ...],
+    hash_family: str,
+    keep_cols: list[str],
+) -> DataFrame:
+    """Narrow (``keep_cols…``, ``__b``) rows: one row per (uni|bi)-gram
+    occurrence of each document, bucketed. Lowercased tokens (DSIR's
+    feature space is case-folded). The token array is materialized into a
+    staging column first — HOF expressions re-inline through withColumn
+    chains into every consumer (see with_minhash)."""
+    if not ngrams or any(n not in (1, 2) for n in ngrams):
+        raise ValueError(f"ngrams must be a subset of (1, 2), got {ngrams!r}")
+    if buckets <= 0:
+        raise ValueError("buckets must be positive")
+    staged = df.select(
+        *keep_cols, tokens_col(F.lower(F.col(text_col))).alias("__dsir_t")
+    )
+    parts = []
+    if 1 in ngrams:
+        parts.append(F.col("__dsir_t"))
+    if 2 in ngrams:
+        t = F.col("__dsir_t")
+        parts.append(
+            F.when(F.size(t) >= 2, F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(1)),
+                _bigram_factory(),
+            )).otherwise(F.array().cast("array<string>"))
+        )
+    grams = parts[0] if len(parts) == 1 else F.concat(*parts)
+    # explode_outer + post-Generate isNotNull: a plain explode's implied
+    # size(arr)>0 filter re-inlines the whole gram expression (pushdown
+    # trap — see ngram_contamination, 29 s → 0.7 s)
+    return (
+        staged.select(*keep_cols, F.explode_outer(grams).alias("__dsir_g"))
+        .where(F.col("__dsir_g").isNotNull())
+        .select(
+            *keep_cols,
+            F.pmod(
+                _gram_hash(F.col("__dsir_g"), hash_family), F.lit(buckets)
+            ).alias("__b"),
+        )
+    )
+
+
+def _bigram_factory():
+    # factory keeps the lambda single-parameter (arity introspection)
+    return lambda i: F.concat_ws(
+        " ",
+        F.element_at(F.col("__dsir_t"), i),
+        F.element_at(F.col("__dsir_t"), i + F.lit(1)),
+    )
+
+
+def fit_hashed_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    buckets: int = 65536,
+    ngrams: tuple[int, ...] = (1, 2),
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Hashed-n-gram bucket counts for one corpus: ``(__b, __cnt, __m)``
+    with the bucket count ``__m`` embedded on every row (self-describing,
+    like the Bloom table — a model persisted to parquet carries what the
+    ratio step needs to reject a mismatched pair). ONE map-side-combined
+    groupBy; output ≤ ``buckets`` rows regardless of corpus size."""
+    rows = _gram_bucket_rows(df, text_col, buckets, tuple(ngrams), hash_family, [])
+    return rows.groupBy("__b").agg(F.count("*").alias("__cnt")).withColumn(
+        "__m", F.lit(buckets).cast("long")
+    )
+
+
+def dsir_logratio(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-bucket log importance ratio table ``(__b, __lr, __lr0, __m)``:
+
+    ``__lr = ln((c_t(b)+α)/(T_t+α·m)) − ln((c_r(b)+α)/(T_r+α·m))``
+
+    (additive smoothing over ``m`` buckets). ``__lr0`` — the ratio for a
+    bucket unseen in BOTH corpora — rides on every row so scoring needs no
+    second lookup table. Bucket-count mismatch between the two fits fails
+    lazily via ``assert_true`` (a silent mismatch would score garbage).
+    Both inputs are ≤ m rows; the join is tiny and broadcast downstream."""
+    if alpha <= 0:
+        raise ValueError("alpha must be positive (smoothing)")
+    t_tot = target_counts.agg(
+        F.sum("__cnt").alias("__tt"), F.max("__m").alias("__mt")
+    )
+    r_tot = raw_counts.agg(F.sum("__cnt").alias("__tr"), F.max("__m").alias("__mr"))
+    meta = (
+        t_tot.crossJoin(r_tot)
+        # .where keeps the check un-prunable: assert_true yields NULL when
+        # the condition holds (raises at execution otherwise), so the
+        # filter passes every row but cannot be column-pruned away
+        .where(
+            F.assert_true(
+                F.col("__mt").eqNullSafe(F.col("__mr")),
+                F.lit("dsir_logratio: target/raw bucket counts differ"),
+            ).isNull()
+        )
+        .select(
+            F.coalesce("__tt", F.lit(0)).alias("__tt"),
+            F.coalesce("__tr", F.lit(0)).alias("__tr"),
+            F.col("__mt").alias("__m"),
+        )
+    )
+    t = target_counts.select("__b", F.col("__cnt").alias("__ct"))
+    r = raw_counts.select("__b", F.col("__cnt").alias("__cr"))
+    a = F.lit(float(alpha))
+    joined = t.join(r, "__b", "full_outer").crossJoin(F.broadcast(meta))
+    denom_t = F.col("__tt") + a * F.col("__m")
+    denom_r = F.col("__tr") + a * F.col("__m")
+    lr = (
+        F.log((F.coalesce(F.col("__ct"), F.lit(0)) + a) / denom_t)
+        - F.log((F.coalesce(F.col("__cr"), F.lit(0)) + a) / denom_r)
+    )
+    lr0 = F.log(a / denom_t) - F.log(a / denom_r)
+    return joined.select(
+        "__b", lr.alias("__lr"), lr0.alias("__lr0"), "__m"
+    )
+
+
+def with_importance_weight(
+    df: DataFrame,
+    ratio_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    ngrams: tuple[int, ...] = (1, 2),
+    hash_family: str = "xxhash64",
+    agg: str = "sum",
+    out: str = "dsir_logweight",
+) -> DataFrame:
+    """Per-document DSIR log importance weight: ``agg`` over the document's
+    hashed grams of the bucket's log ratio (``"sum"`` — the paper's weight,
+    the log of the product-of-unigrams importance ratio — or ``"mean"`` for
+    a length-normalized score). ``ngrams``/``hash_family`` must match the
+    fit. Documents with no grams (null/empty text) get NULL.
+
+    The bucket modulus comes from the ratio table itself (broadcast 1-row
+    meta crossJoin → ``pmod`` by column), so a mismatched ``buckets``
+    parameter cannot exist. Scale shape: explode to narrow (id, bucket)
+    rows → broadcast join the ≤ m-row ratio table → ONE groupBy(id) →
+    join back by id. Text never re-aggregates through the shuffle."""
+    if agg not in ("sum", "mean"):
+        raise ValueError(f"agg must be 'sum' or 'mean', got {agg!r}")
+    if out in df.columns:
+        raise ValueError(f"output column {out!r} already present in input")
+    meta = ratio_df.agg(
+        F.max("__m").alias("__m"), F.max("__lr0").alias("__lr0d")
+    )
+    # bucket with the modulus column from the broadcast meta row — same
+    # narrow-rows builder as the fit, but pmod by column, so inline here
+    staged = df.select(
+        F.col(id_col), tokens_col(F.lower(F.col(text_col))).alias("__dsir_t")
+    )
+    parts = []
+    ngrams = tuple(ngrams)
+    if not ngrams or any(n not in (1, 2) for n in ngrams):
+        raise ValueError(f"ngrams must be a subset of (1, 2), got {ngrams!r}")
+    if 1 in ngrams:
+        parts.append(F.col("__dsir_t"))
+    if 2 in ngrams:
+        t = F.col("__dsir_t")
+        parts.append(
+            F.when(F.size(t) >= 2, F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(1)),
+                _bigram_factory(),
+            )).otherwise(F.array().cast("array<string>"))
+        )
+    grams = parts[0] if len(parts) == 1 else F.concat(*parts)
+    doc_rows = (
+        staged.select(F.col(id_col), F.explode_outer(grams).alias("__dsir_g"))
+        .where(F.col("__dsir_g").isNotNull())
+        .crossJoin(F.broadcast(meta))
+        .select(
+            F.col(id_col),
+            F.pmod(_gram_hash(F.col("__dsir_g"), hash_family), F.col("__m")).alias(
+                "__b"
+            ),
+            "__lr0d",
+        )
+    )
+    agg_fn = F.sum if agg == "sum" else F.avg
+    per_doc = (
+        doc_rows.join(
+            F.broadcast(ratio_df.select("__b", "__lr")), "__b", "left"
+        )
+        .groupBy(id_col)
+        .agg(agg_fn(F.coalesce(F.col("__lr"), F.col("__lr0d"))).alias(out))
+        .select(F.col(id_col).alias("__dsir_id"), out)
+    )
+    return df.join(
+        per_doc, F.col(id_col).eqNullSafe(F.col("__dsir_id")), "left"
+    ).drop("__dsir_id")
+
+
+def sample_by_importance(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    temperature: float = 1.0,
+    salt: str = "dsir",
+    hash_family: str = "xxhash64",
+    keep_key: bool = False,
+) -> DataFrame:
+    """Gumbel top-k resampling without replacement: keep the ``k`` rows
+    maximizing ``weight/temperature + Gumbel(0,1)`` — an exact sample from
+    the softmax distribution over importance weights (the DSIR paper's
+    resampling step). The Gumbel noise is deterministic (``−ln(−ln u)``
+    with ``u`` from the salted key hash), so re-runs keep EXACTLY the same
+    rows and ``salt`` gives independent re-draws.
+
+    Executes as TakeOrderedAndProject (per-partition top-k heaps, k-row
+    driver merge) — no global sort, no shuffle; ties broken by key hash
+    then id. Null-weight rows (no grams) never sample. ``temperature → ∞``
+    approaches uniform sampling; small temperatures approach argmax-k."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    h = _key_hash(F.col(id_col), salt, hash_family)
+    m = 1 << 20
+    u = (F.pmod(h, F.lit(m)) + F.lit(0.5)) / F.lit(float(m))
+    gumbel = -F.log(-F.log(u))
+    key = F.col(weight_col).cast("double") / F.lit(float(temperature)) + gumbel
+    out = (
+        df.where(F.col(weight_col).isNotNull())
+        .withColumn("__dsir_key", key)
+        .withColumn("__dsir_h", h)
+        .orderBy(
+            F.col("__dsir_key").desc(), F.col("__dsir_h").asc(), F.col(id_col).asc()
+        )
+        .limit(k)
+        .drop("__dsir_h")
+    )
+    return out if keep_key else out.drop("__dsir_key")

@@ -1,0 +1,194 @@
+"""DSIR importance-resampling tests: model equality vs an exact Python
+replica, hash-family parity, edge cases, Gumbel top-k determinism, and
+plan-shape (broadcast ratio join, no extra shuffles)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from tempo_spark.pipeline.dsir import (
+    dsir_logratio,
+    fit_hashed_counts,
+    sample_by_importance,
+    with_importance_weight,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "quantum flux capacitor array"),
+    (3, "the dog sat on the log"),
+    (4, ""),
+    (5, None),
+    (6, "the the the"),
+    (7, "THE Cat SAT"),  # case-folding
+]
+TARGET_IDS = {1, 3}
+M = 64
+
+
+def _md5_32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _grams(text, ngrams=(1, 2)):
+    toks = text.lower().strip().split() if text and text.strip() else []
+    out = []
+    if 1 in ngrams:
+        out += toks
+    if 2 in ngrams:
+        out += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    return out
+
+
+def _model_weights(ngrams=(1, 2), alpha=1.0, agg="sum"):
+    def counts(texts):
+        c: dict[int, int] = {}
+        for t in texts:
+            for g in _grams(t, ngrams):
+                b = _md5_32(g) % M
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    ct = counts([t for i, t in DOCS if i in TARGET_IDS])
+    cr = counts([t for _, t in DOCS])
+    tt, tr = sum(ct.values()), sum(cr.values())
+
+    def lr(b):
+        return math.log((ct.get(b, 0) + alpha) / (tt + alpha * M)) - math.log(
+            (cr.get(b, 0) + alpha) / (tr + alpha * M)
+        )
+
+    exp = {}
+    for did, txt in DOCS:
+        gs = _grams(txt, ngrams)
+        if not gs:
+            exp[did] = None
+        else:
+            s = sum(lr(_md5_32(g) % M) for g in gs)
+            exp[did] = s / len(gs) if agg == "mean" else s
+    return exp
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _scored(docs_df, ngrams=(1, 2), agg="sum", hash_family="md5_32"):
+    target = docs_df.where(F.col("doc_id").isin(list(TARGET_IDS)))
+    t = fit_hashed_counts(target, buckets=M, ngrams=ngrams, hash_family=hash_family)
+    r = fit_hashed_counts(docs_df, buckets=M, ngrams=ngrams, hash_family=hash_family)
+    return with_importance_weight(
+        docs_df,
+        dsir_logratio(t, r),
+        "doc_id",
+        ngrams=ngrams,
+        hash_family=hash_family,
+        agg=agg,
+    )
+
+
+@pytest.mark.parametrize("ngrams,agg", [((1, 2), "sum"), ((1,), "sum"), ((2,), "sum"), ((1, 2), "mean")])
+def test_weights_match_python_model(docs_df, ngrams, agg):
+    got = {
+        row["doc_id"]: row["dsir_logweight"]
+        for row in _scored(docs_df, ngrams=ngrams, agg=agg).collect()
+    }
+    exp = _model_weights(ngrams=ngrams, agg=agg)
+    assert set(got) == set(exp)
+    for k in exp:
+        if exp[k] is None:
+            assert got[k] is None
+        else:
+            assert got[k] == pytest.approx(exp[k], abs=1e-9)
+
+
+def test_xxhash64_family_runs_and_preserves_nulls(docs_df):
+    got = {
+        row["doc_id"]: row["dsir_logweight"]
+        for row in _scored(docs_df, hash_family="xxhash64").collect()
+    }
+    assert got[4] is None and got[5] is None
+    assert all(v is not None for k, v in got.items() if k not in (4, 5))
+
+
+def test_target_docs_score_higher_than_offdomain(docs_df):
+    got = {
+        row["doc_id"]: row["dsir_logweight"]
+        for row in _scored(docs_df).collect()
+    }
+    # in-domain (target) docs must out-score the off-domain doc 2
+    assert got[1] > got[2] and got[3] > got[2]
+
+
+def test_bucket_mismatch_raises_lazily(spark, docs_df):
+    t = fit_hashed_counts(docs_df, buckets=32, hash_family="md5_32")
+    r = fit_hashed_counts(docs_df, buckets=64, hash_family="md5_32")
+    ratio = dsir_logratio(t, r)  # plan builds fine
+    with pytest.raises(Exception, match="bucket counts differ"):
+        ratio.collect()
+
+
+def test_sample_by_importance_deterministic_topk(docs_df):
+    scored = _scored(docs_df)
+    s1 = sample_by_importance(scored, "doc_id", "dsir_logweight", k=3)
+    s2 = sample_by_importance(scored, "doc_id", "dsir_logweight", k=3)
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in s2.collect())
+    assert ids1 == ids2 and len(ids1) == 3
+    # null-weight rows (4, 5) never sample
+    assert not ({4, 5} & set(ids1))
+    # a different salt is an independent re-draw but still k rows
+    s3 = sample_by_importance(scored, "doc_id", "dsir_logweight", k=3, salt="other")
+    assert len(s3.collect()) == 3
+
+
+def test_sample_low_temperature_is_argmax(docs_df):
+    scored = _scored(docs_df)
+    s = sample_by_importance(
+        scored, "doc_id", "dsir_logweight", k=2, temperature=1e-9
+    )
+    got = {r["doc_id"] for r in s.collect()}
+    w = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in scored.where("dsir_logweight is not null").collect()
+    }
+    top2 = set(sorted(w, key=w.get, reverse=True)[:2])
+    assert got == top2
+
+
+def test_fit_output_bounded_and_self_describing(docs_df):
+    t = fit_hashed_counts(docs_df, buckets=M, hash_family="md5_32")
+    rows = t.collect()
+    assert 0 < len(rows) <= M
+    assert all(r["__m"] == M for r in rows)
+    assert all(0 <= r["__b"] < M for r in rows)
+
+
+def test_scoring_plan_broadcasts_ratio(docs_df):
+    scored = _scored(docs_df)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_param_validation(docs_df):
+    with pytest.raises(ValueError, match="ngrams"):
+        fit_hashed_counts(docs_df, ngrams=(3,))
+    with pytest.raises(ValueError, match="buckets"):
+        fit_hashed_counts(docs_df, buckets=0)
+    with pytest.raises(ValueError, match="alpha"):
+        dsir_logratio(
+            fit_hashed_counts(docs_df), fit_hashed_counts(docs_df), alpha=0
+        )
+    with pytest.raises(ValueError, match="already present"):
+        with_importance_weight(
+            docs_df.withColumn("dsir_logweight", F.lit(1.0)),
+            dsir_logratio(fit_hashed_counts(docs_df), fit_hashed_counts(docs_df)),
+            "doc_id",
+        )
+    with pytest.raises(ValueError, match="k must be positive"):
+        sample_by_importance(docs_df, "doc_id", "doc_id", k=0)
