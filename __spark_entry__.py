@@ -1250,8 +1250,9 @@ SELECT user_id, start_ts, end_ts, metric_a FROM iv WHERE user_id % 2 = 1
 
 
 def q_make_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # two metrics with complementary nulls exercise the "later-starting
-    # interval's non-null value wins, null does not overwrite" merge rule
+    # two metrics with complementary nulls exercise the reference kernel's
+    # merge rule: per metric, the (start asc, end desc)-first covering
+    # interval's non-null value wins; null does not overwrite
     de = _dedup_events(spark, sf_dir)
     iv = de.select(
         "user_id",
@@ -1285,15 +1286,18 @@ paired AS (
 merged AS (
   SELECT user_id, seg_start, seg_end,
          max(CASE WHEN metric_a IS NOT NULL
-                  THEN struct_pack(s := start_ts, e := end_ts, v := metric_a) END).v AS metric_a,
+                  THEN struct_pack(ns := -epoch_us(start_ts), e := epoch_us(end_ts), v := metric_a) END).v AS metric_a,
          max(CASE WHEN metric_b IS NOT NULL
-                  THEN struct_pack(s := start_ts, e := end_ts, v := metric_b) END).v AS metric_b
+                  THEN struct_pack(ns := -epoch_us(start_ts), e := epoch_us(end_ts), v := metric_b) END).v AS metric_b,
+         count(DISTINCT struct_pack(a := metric_a, b := metric_b)) AS nvec,
+         max(end_ts) > seg_end AS ext
   FROM paired GROUP BY user_id, seg_start, seg_end),
 flagged AS (
   SELECT *,
          CASE WHEN lag(seg_end) OVER w = seg_start
                    AND (metric_a IS NOT DISTINCT FROM lag(metric_a) OVER w)
                    AND (metric_b IS NOT DISTINCT FROM lag(metric_b) OVER w)
+                   AND nvec = 1 AND lag(nvec) OVER w = 1 AND lag(ext) OVER w
               THEN 0 ELSE 1 END AS new_grp
   FROM merged WINDOW w AS (PARTITION BY user_id ORDER BY seg_start)),
 grouped AS (

@@ -302,6 +302,23 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Load guard: a busy host inflates timings 1.5-2x (BENCH_r06 ran at
+    # loadavg 7 and three UNCHANGED queries drifted to 1.7-1.9x their
+    # baselines). Wait for the 1-min load to settle below MAX_LOAD before
+    # timing (bounded by LOAD_WAIT seconds), and record what happened so a
+    # degraded capture is self-describing instead of a mystery regression.
+    max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0"))
+    load_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300"))
+    waited = 0.0
+    while os.getloadavg()[0] > max_load and waited < load_wait:
+        time.sleep(15)
+        waited += 15
+    load_guard = (
+        "clean" if os.getloadavg()[0] <= max_load
+        else f"degraded: loadavg {os.getloadavg()[0]:.1f} > {max_load} "
+             f"after {int(waited)}s wait"
+    )
+
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -332,6 +349,8 @@ def main() -> None:
                 "queries_median": medians,
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "load_guard": load_guard,
+                "load_wait_sec": int(waited),
                 "sf": sf,
             }
         )

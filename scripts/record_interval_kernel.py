@@ -1,0 +1,230 @@
+"""Record the reference's interval-kernel outputs across the full
+`resolve_overlap` branch matrix as DataFrame-level goldens.
+
+Runs the reference's pure-pandas `make_disjoint_wrap` kernel (reference:
+python/tempo/intervals.py:716-1067 branch analysis, :1302-1331 wrap) on a
+systematic sweep of pair geometries x metric patterns plus multi-interval
+chains, and emits `tests/goldens/interval_kernel_tests.json` in the repo's
+golden_utils spec format. OUTPUTS ONLY are taken from the reference — the
+harness, case generation, and file format are this repo's own.
+
+Usage: python scripts/record_interval_kernel.py
+"""
+import json
+import math
+import sys
+import types
+from pathlib import Path
+
+import pandas as pd
+
+# the reference package imports scipy/ipython at package import; stub the
+# modules we never call so the pure-pandas interval kernels can load
+for mod in ("scipy", "scipy.fft", "IPython", "IPython.display",
+            "IPython.core", "IPython.core.display",
+            "IPython.core.getipython"):
+    sys.modules.setdefault(mod, types.ModuleType(mod))
+for attr in ("fft", "fftfreq"):
+    setattr(sys.modules["scipy.fft"], attr, lambda *a, **k: None)
+sys.modules["IPython"].get_ipython = lambda: None
+sys.modules["IPython.display"].display = lambda *a, **k: None
+sys.modules["IPython.core.display"].HTML = lambda *a, **k: None
+sys.modules["IPython.core.getipython"].get_ipython = lambda: None
+
+sys.path.insert(0, "/root/reference/python")
+from tempo.intervals import make_disjoint_wrap  # noqa: E402
+
+T = "2022-01-01 00:00:0{}"  # second-grain timestamps
+
+
+def ts(n):
+    return T.format(n) if n < 10 else "2022-01-01 00:00:{}".format(n)
+
+
+# ---- pair geometries: (A.start, A.end, B.start, B.end) in seconds.
+# Each hits a distinct resolve_overlap branch / sub-branch
+# (reference: python/tempo/intervals.py:794-1066).
+GEOMETRIES = {
+    "no_overlap": (1, 2, 4, 5),          # :800-817 disjoint passthrough
+    "touching": (1, 2, 2, 3),            # boundary point shared (strict <,> => overlaps)
+    "partial": (1, 3, 2, 4),             # :1021-1065 3-way split
+    "contained": (1, 4, 2, 3),           # :835-871 containment 3-way split
+    "shared_start": (1, 3, 1, 4),        # :884-937 A.end < B.end arm
+    "shared_start_rev": (1, 4, 1, 3),    # :884-937 A.end > B.end arm (sorted by end => same)
+    "shared_end": (1, 4, 2, 4),          # :950-986
+    "identical": (1, 3, 1, 3),           # :994-1011 merge only
+}
+# zero-length intervals deliberately NOT swept: this repo documents
+# half-open [start, end) semantics where start == end is the empty set and
+# is dropped (tempo_spark/intervals.py make_disjoint docstring); the
+# reference incidentally retains them as zero-width output rows.
+
+# ---- metric patterns: (A.metric_1, A.metric_2, B.metric_1, B.metric_2)
+METRICS = {
+    "distinct": (5, 10, 6, 11),
+    "equal": (5, 10, 5, 10),             # :822-831 equivalent-metrics boundary extension
+    "null_in_a": (None, 10, 6, 11),      # merge overwrite skips child nulls
+    "null_in_b": (5, 10, None, 11),
+    "complement": (5, None, None, 11),   # disjoint non-null sets
+    "a_all_null": (None, None, 6, 11),
+}
+
+# ---- multi-interval chains (iterative add_as_disjoint ordering,
+# reference :1118-1152 resolve_all_overlaps + :1156-1297)
+CHAINS = {
+    "chain3_cascade": [
+        (1, 3, 5, 10), (2, 5, 6, 11), (4, 6, 7, 12)],
+    "chain3_contained": [
+        (1, 9, 5, 10), (2, 3, 6, 11), (5, 6, 7, 12)],
+    "chain3_same_start": [
+        (1, 3, 5, 10), (1, 5, 6, 11), (1, 7, 7, 12)],
+    "chain3_equal_metrics": [
+        (1, 3, 5, 10), (2, 5, 5, 10), (4, 7, 5, 10)],
+    "chain4_mixed": [
+        (1, 4, 5, 10), (2, 6, 6, 11), (3, 5, None, 12), (8, 9, 7, 13)],
+    "chain3_nested_twice": [
+        (1, 9, 5, 10), (2, 8, 6, 11), (3, 4, 7, 12)],
+    "chain_duplicate_rows": [
+        (1, 3, 5, 10), (1, 3, 5, 10), (2, 4, 6, 11)],
+    "chain3_null_carrier": [
+        (1, 5, None, 10), (2, 6, 6, None), (3, 4, 7, 12)],
+}
+
+SCHEMA = ("start_ts STRING NOT NULL, end_ts STRING NOT NULL, "
+          "series_1 STRING NOT NULL, metric_1 INT, metric_2 INT")
+
+# Cases where this repo PINS a deliberate deviation from the reference's
+# recorded output. The reference rows are kept in "ref_expected" for audit;
+# "expected" holds the repo's answer and the golden test asserts it.
+#
+# reference_truncation — the reference's equivalent-metrics branch
+# (python/tempo/intervals.py:822-831) sets the resolved end to the OTHER
+# interval's end unconditionally; when the later-sorted interval is
+# contained (or shares the start with a shorter end), the union's tail is
+# silently dropped — covered time vanishes. The reference's own test
+# fixtures never hit this (their comment marks metric merging "TODO").
+# This repo keeps the span union: losing covered ranges corrupts data.
+#
+# sequential_artifact — the reference's add_as_disjoint iteration resolves
+# an incoming interval pairwise against current FRAGMENTS (cut remnants
+# whose provenance is lost), so the result depends on the cut history.
+# No per-segment closed form reproduces it (segment [4,5] of chain4_mixed
+# takes metric_2 from the later [3,5] only because the earlier [2,6] had
+# already been fragmented at 4). This repo pins the order-independent
+# closed form: per-metric coalesce over covering RAW intervals in
+# (start asc, end desc) order, cuts kept at every raw boundary.
+DEVIATIONS = {
+    "contained__equal": ("reference_truncation", [(1, 4, 5, 10)]),
+    "shared_start__equal": ("reference_truncation", [(1, 4, 5, 10)]),
+    "shared_start_rev__equal": ("reference_truncation", [(1, 4, 5, 10)]),
+    "chain3_same_start": ("sequential_artifact", [
+        (1, 3, 7, 12), (3, 5, 7, 12), (5, 7, 7, 12)]),
+    "chain4_mixed": ("sequential_artifact", [
+        (1, 2, 5, 10), (2, 3, 5, 10), (3, 4, 5, 10),
+        (4, 5, 6, 11), (5, 6, 6, 11), (8, 9, 7, 13)]),
+}
+
+
+def run_wrap(rows):
+    """rows: list of (start_s, end_s, m1, m2); returns records or error str."""
+    pdf = pd.DataFrame(
+        [{"start_ts": ts(s), "end_ts": ts(e), "series_1": "v1",
+          "metric_1": m1, "metric_2": m2} for s, e, m1, m2 in rows]
+    )
+    fn = make_disjoint_wrap("start_ts", "end_ts", ["series_1"],
+                            ["metric_1", "metric_2"])
+    try:
+        res = fn(pdf)
+    except Exception as exc:  # record errors; such cases are excluded
+        return "{}: {}".format(type(exc).__name__, exc)
+    out = []
+    for rec in res.to_dict("records"):
+        vals = []
+        for c in ("metric_1", "metric_2"):
+            v = rec[c]
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                vals.append(None)
+            else:
+                fv = float(v)
+                assert fv == int(fv), rec
+                vals.append(int(fv))
+        out.append([rec["start_ts"], rec["end_ts"], rec["series_1"],
+                    vals[0], vals[1]])
+    return sorted(out, key=lambda r: (r[0], r[1], str(r[3]), str(r[4])))
+
+
+def case_spec(rows, expected):
+    return {
+        "inputs": {
+            "data": {
+                "schema": SCHEMA,
+                "rows": [[ts(s), ts(e), "v1", m1, m2]
+                         for s, e, m1, m2 in rows],
+                "ts_convert": ["start_ts", "end_ts"],
+                "idf": {"start_ts": "start_ts", "end_ts": "end_ts",
+                        "series_ids": ["series_1"]},
+            }
+        },
+        "expected": {
+            "schema": SCHEMA,
+            "rows": expected,
+            "ts_convert": ["start_ts", "end_ts"],
+        },
+    }
+
+
+def main():
+    goldens = {
+        "_source": ("reference make_disjoint_wrap kernel outputs "
+                    "(python/tempo/intervals.py:716-1331), recorded by "
+                    "scripts/record_interval_kernel.py; pair geometry x "
+                    "metric-pattern sweep + iteration-order chains"),
+    }
+    errors = {}
+    def add_case(key, rows):
+        exp = run_wrap(rows)
+        if isinstance(exp, str):
+            errors[key] = exp
+            return
+        spec = case_spec(rows, exp)
+        if key in DEVIATIONS:
+            kind, repo_rows = DEVIATIONS[key]
+            spec["deviation"] = kind
+            spec["ref_expected"] = spec["expected"]
+            spec["expected"] = {
+                "schema": SCHEMA,
+                "rows": sorted(
+                    ([ts(s), ts(e), "v1", m1, m2] for s, e, m1, m2 in repo_rows),
+                    key=lambda r: (r[0], r[1], str(r[3]), str(r[4]))),
+                "ts_convert": ["start_ts", "end_ts"],
+            }
+        goldens[key] = spec
+
+    for gname, (a_s, a_e, b_s, b_e) in GEOMETRIES.items():
+        for mname, (am1, am2, bm1, bm2) in METRICS.items():
+            rows = [(a_s, a_e, am1, am2), (b_s, b_e, bm1, bm2)]
+            if gname == "identical":
+                # identical boundaries: the reference's winner is whichever
+                # row sorted first (input order — pandas sort is not
+                # key-distinguishing here); this repo breaks the tie on the
+                # larger value. Author the fixture dominant-row-first so
+                # both rules agree and the recorded answer is meaningful.
+                rows = rows[::-1]
+            add_case("{}__{}".format(gname, mname), rows)
+    for cname, rows in CHAINS.items():
+        add_case(cname, rows)
+
+    out_path = Path(__file__).resolve().parent.parent / "tests" / "goldens" \
+        / "interval_kernel_tests.json"
+    with open(out_path, "w") as f:
+        json.dump(goldens, f, indent=1)
+    n_cases = len(goldens) - 1
+    print("wrote {} cases to {}".format(n_cases, out_path))
+    if errors:
+        print("reference raised on {} cases (excluded):".format(len(errors)))
+        for k, v in errors.items():
+            print("  {}: {}".format(k, v))
+
+
+if __name__ == "__main__":
+    main()

@@ -767,6 +767,49 @@ def _probe_session():
     return spark
 
 
+def anomaly_probe(spark, n_rows: int, n_series: int) -> dict:
+    """withAnomalyFlags prefix vs sliding at a dense trailing frame (~600
+    in-frame rows): the sliding [-back,-1µs] frame re-aggregates per row
+    (O(rows × frame_rows)); strategy="prefix" differences two growing
+    frames — O(rows). Integer-valued metrics make the sums exact, so both
+    paths must agree on every flag and quantized zscore."""
+    from tempo_spark.tsdf import TSDF
+
+    df = spark.range(n_rows).select(
+        (F.col("id") % n_series).alias("k"),
+        (F.col("id") / n_series).cast("double").alias("ts"),
+        (F.col("id") % 997).cast("double").alias("x"),
+    )
+    t = TSDF(df, ts_col="ts", series_ids=["k"])
+    out: dict = {"n_rows": n_rows, "n_series": n_series, "frame_rows": 600}
+
+    def run(strategy):
+        t0 = time.monotonic()
+        agg = (
+            t.withAnomalyFlags("x", rangeBackWindowSecs=600, strategy=strategy)
+            .df.agg(
+                F.count("zscore_x").alias("n"),
+                F.sum(F.col("is_anomaly_x").cast("long")).alias("flags"),
+                F.sum(F.floor(F.col("zscore_x") * 1e6)).alias("chk"),
+            )
+            .collect()[0]
+        )
+        return {
+            "sec": round(time.monotonic() - t0, 1),
+            "rows_scored": agg.n,
+            "flags": int(agg.flags),
+            "checksum": int(agg.chk),
+        }
+
+    out["prefix"] = run("prefix")
+    out["sliding"] = run("sliding")
+    out["paths_agree"] = all(
+        out["prefix"][k] == out["sliding"][k]
+        for k in ("rows_scored", "flags", "checksum")
+    )
+    return out
+
+
 def main():
     skew = "--skew" in sys.argv
     if "--text" in sys.argv:
@@ -801,6 +844,12 @@ def main():
         spark = _probe_session()
         for n in (2_000_000, 8_000_000):
             print(json.dumps(corr_probe(spark, n, 10_000)))
+        spark.stop()
+        return
+    if "--anomaly" in sys.argv:
+        spark = _probe_session()
+        for n in (2_000_000, 8_000_000):
+            print(json.dumps(anomaly_probe(spark, n, 10_000)))
         spark.stop()
         return
     if "--spandedup" in sys.argv:

@@ -597,41 +597,72 @@ class IntervalsDF:
                 ),
                 how="inner",
             )
+        from tempo_spark.functions.timestamps import ts_to_double
+
+        s_dtype = df.schema[s].dataType
+        e_dtype = df.schema[e].dataType
         paired = paired_raw.select(
             *series,
             seg_s,
             seg_e,
             F.col(s).alias("__i_start"),
             F.col(e).alias("__i_end"),
+            ts_to_double(F.col(s), s_dtype).alias("__i_start_d"),
+            ts_to_double(F.col(e), e_dtype).alias("__i_end_d"),
             *payload,
         )
 
-        # 3. merge payloads: latest-starting covering interval's non-null wins
-        if not payload:
-            # no observational columns: nothing to merge — the disjoint
-            # result is just the distinct covered segments (an empty agg()
-            # list is rejected by pyspark)
-            merged = paired.select(*series, seg_s, seg_e).distinct()
-        else:
-            merged = paired.groupBy(*series, seg_s, seg_e).agg(
-                *[
-                    F.max(
-                        F.when(
-                            F.col(c).isNotNull(),
-                            F.struct(
-                                F.col("__i_start").alias("s"),
-                                F.col("__i_end").alias("e"),
-                                F.col(c).alias("v"),
-                            ),
-                        )
-                    )
-                    .getField("v")
-                    .alias(c)
-                    for c in payload
-                ]
+        # 3. merge payloads per the reference kernel's precedence: each
+        # metric coalesces over the covering intervals ordered by
+        # (start ASC, end DESC) — the outer/earlier interval's non-null
+        # value wins, later intervals fill its nulls (reference:
+        # python/tempo/intervals.py:794-1065 — every resolve_overlap
+        # branch merges with the (start asc, end desc)-minimal interval
+        # as the overwriting child; pinned by
+        # tests/goldens/interval_kernel_tests.json). Exact (start, end)
+        # ties break on the LARGER value — deterministic, where the
+        # reference's pandas kernel takes whichever row sorted first
+        # (input file order; pinned by the multiple_series recorded case).
+        # Also aggregate the coalesce statistics for step 4:
+        #   __nvec — number of distinct raw metric vectors covering the
+        #            segment;
+        #   __ext  — some covering interval extends strictly past the
+        #            segment's end (it spans the junction to the next
+        #            segment).
+        merge_aggs = [
+            F.max(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(
+                        (-F.col("__i_start_d")).alias("ns"),
+                        F.col("__i_end_d").alias("e"),
+                        F.col(c).alias("v"),
+                    ),
+                )
             )
+            .getField("v")
+            .alias(c)
+            for c in payload
+        ]
+        stat_aggs = [
+            (
+                F.count_distinct(F.struct(*[F.col(c) for c in payload]))
+                if payload
+                else F.max(F.lit(1))
+            ).alias("__nvec"),
+            (F.max(F.col("__i_end")) > F.col(seg_e)).alias("__ext"),
+        ]
+        merged = paired.groupBy(*series, seg_s, seg_e).agg(
+            *merge_aggs, *stat_aggs
+        )
 
-        # 4. coalesce adjacent contiguous segments with identical payloads
+        # 4. dissolve a junction between contiguous segments only when the
+        # reference's equivalent-metrics branch would have merged the raw
+        # intervals (reference: python/tempo/intervals.py:822-831): both
+        # segments are covered by a single identical raw metric vector and
+        # some raw interval strictly spans the junction. Cuts from
+        # containment / shared-boundary splits are KEPT even when the
+        # merged payloads come out equal — the reference emits them split.
         wseg = Window.partitionBy(*series).orderBy(seg_s)
         prev_end = F.lag(F.col(seg_e)).over(wseg)
         same_payload = reduce(
@@ -639,8 +670,13 @@ class IntervalsDF:
             [F.col(c).eqNullSafe(F.lag(F.col(c)).over(wseg)) for c in payload],
             F.lit(True),
         )
+        single_vec = (
+            (F.col("__nvec") == 1)
+            & (F.lag(F.col("__nvec")).over(wseg) == 1)
+            & F.lag(F.col("__ext")).over(wseg)
+        )
         contiguous = prev_end.isNotNull() & (prev_end == F.col(seg_s))
-        new_group = F.when(contiguous & same_payload, 0).otherwise(1)
+        new_group = F.when(contiguous & same_payload & single_vec, 0).otherwise(1)
         grouped = merged.withColumn(
             "__gid",
             F.sum(new_group).over(

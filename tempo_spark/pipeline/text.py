@@ -712,17 +712,22 @@ def corpus_stats(
     group_cols: Sequence[str] | None = None,
     text_col: str = "text",
     percentiles: Sequence[float] = (0.5, 0.9),
+    exact: bool = True,
 ) -> DataFrame:
     """Per-group corpus health report — the numbers a pipeline operator
     checks before/after each prepare_corpus stage: document and null-text
-    counts, EXACT distinct-content count (md5 digest, so the report agrees
+    counts, distinct-content count (md5 digest, so the report agrees
     with ``exact_dedup``'s notion of identical), duplicate rate, char/token
     totals, token mean and exact interpolated percentiles.
 
     ONE aggregation over the corpus. The exact ``count_distinct`` inside a
-    grouped agg plans as Spark's two-phase expand (a second exchange on
-    (group, digest)) — the price of an exact dup-rate; the output is one
-    row per group, always collectable. Percentile names follow the
+    grouped agg plans with a second exchange keyed by (group, digest) —
+    the price of an exact dup-rate; the output is one row per group,
+    always collectable. ``exact=False`` swaps it for
+    ``approx_count_distinct`` (HLL++, ~2% relative error): the report
+    stays a single-pass partial aggregation with no full-corpus-width
+    shuffle — the right default at the 100 TB health-check scale where a
+    ±2% dup-rate answers the question. Percentile names follow the
     ``withGroupedStats`` convention (0.5 -> ``p50_tokens``).
     """
     from tempo_spark.pipeline.dedup import content_digest
@@ -735,7 +740,11 @@ def corpus_stats(
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(text.isNull(), 1)).alias("n_null_text"),
-        F.count_distinct(content_digest(text)).alias("n_distinct_docs"),
+        (
+            F.count_distinct(content_digest(text))
+            if exact
+            else F.approx_count_distinct(content_digest(text))
+        ).alias("n_distinct_docs"),
         F.coalesce(
             F.sum(F.coalesce(F.length(text), F.lit(0))), F.lit(0)
         ).alias("total_chars"),

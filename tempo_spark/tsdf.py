@@ -1127,6 +1127,7 @@ class TSDF:
         z: float = 3.0,
         min_points: int = 3,
         out_prefix: Optional[str] = None,
+        strategy: str = "sliding",
     ) -> "TSDF":
         """Rolling z-score anomaly detection (beyond the reference): emits
         ``zscore_<col>`` = (x − trailing mean) / trailing sample stddev and
@@ -1143,32 +1144,74 @@ class TSDF:
         flags; ``zscore`` is NULL there. Rows with fewer than
         ``min_points`` trailing points (sample stddev needs ≥2; default 3
         for a usable baseline) get NULL for both — no verdict without a
-        baseline. One shuffle on series_ids."""
+        baseline. One shuffle on series_ids.
+
+        ``strategy``: ``"sliding"`` (default) evaluates the three window
+        aggregates over the literal [-back, -1µs] range frame — Spark
+        re-aggregates the whole frame per row, O(rows × frame_rows).
+        ``"prefix"`` computes the same n/Σx/Σx² as differences of two
+        GROWING frames (running-to-previous-row minus before-window-start)
+        — O(rows), the same machinery as ``withRangeStats(strategy=
+        "prefix")`` (~7× at 600-row frames, widening with frame size).
+        Flags are identical when frame sums are exact in double (e.g.
+        integer-valued metrics — pinned by a parity test); for extreme
+        |mean|/stddev ratios (≳1e6) the differenced sum-of-squares can
+        cancel — prefer "sliding" there."""
         if min_points < 2:
             raise ValueError("min_points must be >= 2 (sample stddev)")
+        if strategy not in ("sliding", "prefix"):
+            raise ValueError(
+                f"strategy must be 'sliding' or 'prefix', got {strategy!r}"
+            )
         p = out_prefix or colName
         for c in ("__tempo_an_n", "__tempo_an_mean", "__tempo_an_std"):
             if c in self.df.columns:
                 raise ValueError(f"reserved staging column {c} present in input")
-        # strictly-preceding range frame: [-back, -1 microsecond]
-        w = (
-            Window.partitionBy(*[F.col(c) for c in self.series_ids])
-            .orderBy(self._micros_order())
-            .rangeBetween(-int(rangeBackWindowSecs * 1_000_000), -1)
-        )
+        back_micros = int(rangeBackWindowSecs * 1_000_000)
         x = F.col(colName).cast("double")
-        n = F.count(x).over(w)
-        s = F.sum(x).over(w)
-        # cancellation-prone E[x²]−E[x]² form is fine here: the flag
-        # compares against z·σ, and a clamped-to-zero variance lands in
-        # the zero-baseline branch rather than producing NaN
-        sq = F.sum(x * x).over(w)
+        if strategy == "prefix":
+            # strictly-preceding [-back, -1µs] as growing-frame differences
+            w_run = self._growing_window(-1)
+            w_bound = self._growing_window(-(back_micros + 1))
+            n = F.count(x).over(w_run) - F.count(x).over(w_bound)
+            s = F.when(
+                n > 0,
+                F.sum(x).over(w_run)
+                - F.coalesce(F.sum(x).over(w_bound), F.lit(0.0)),
+            )
+            sq = F.when(
+                n > 0,
+                F.sum(x * x).over(w_run)
+                - F.coalesce(F.sum(x * x).over(w_bound), F.lit(0.0)),
+            )
+        else:
+            # strictly-preceding range frame: [-back, -1 microsecond]
+            w = (
+                Window.partitionBy(*[F.col(c) for c in self.series_ids])
+                .orderBy(self._micros_order())
+                .rangeBetween(-back_micros, -1)
+            )
+            n = F.count(x).over(w)
+            s = F.sum(x).over(w)
+            # cancellation-prone E[x²]−E[x]² form is fine here: the flag
+            # compares against z·σ, and a clamped-to-zero variance lands in
+            # the zero-baseline branch rather than producing NaN
+            sq = F.sum(x * x).over(w)
         # ANSI throws DIVIDE_BY_ZERO even on the empty first frame of a
         # series — every division is gated on its count
         mean = F.when(n > 0, s / n)
         var = F.when(
             n >= 2, F.greatest((sq - s * s / n) / (n - F.lit(1)), F.lit(0.0))
         )
+        if strategy == "prefix":
+            # differenced-prefix cancellation residue: a CONSTANT baseline
+            # leaves var ≈ ε·mean² instead of the exact 0.0 the sliding
+            # frame produces — clamp relative to the mean-square magnitude
+            # (sq/n = var + mean² ≥ var) so the zero-variance branch (flag
+            # fires on ANY deviation, zscore NULL) matches sliding
+            var = F.when(
+                var > sq / F.greatest(n, F.lit(1)) * F.lit(1e-12), var
+            ).otherwise(F.when(var.isNotNull(), F.lit(0.0)))
         # stage the window aggs once; the two outputs reference bound
         # columns instead of re-inlining three window expressions each
         staged = (

@@ -115,7 +115,11 @@ class TestMakeDisjoint:
         ]
 
     def test_contained_interval(self, spark):
-        # containment → 3-way split; inner (later-starting) non-null wins inside
+        # containment → 3-way split; the OUTER interval's non-null metrics
+        # win even inside the overlap (reference containment branch,
+        # python/tempo/intervals.py:835-871: the outer interval is the
+        # overwriting child), and the cuts at the inner boundaries are
+        # kept even though the payloads come out equal
         rows = [
             (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:04:00"), "a", 1, 1),
             (ts("2020-01-01 00:01:00"), ts("2020-01-01 00:02:00"), "a", 9, None),
@@ -123,9 +127,11 @@ class TestMakeDisjoint:
         out = collect_intervals(idf(spark, rows).make_disjoint())
         assert out == [
             ("a", "2020-01-01 00:00:00", "2020-01-01 00:01:00", 1, 1),
-            ("a", "2020-01-01 00:01:00", "2020-01-01 00:02:00", 9, 1),
+            ("a", "2020-01-01 00:01:00", "2020-01-01 00:02:00", 1, 1),
             ("a", "2020-01-01 00:02:00", "2020-01-01 00:04:00", 1, 1),
         ]
+        # the inner interval's conflicting value is overwritten (the
+        # reference loses it too); its presence only forces the cuts
 
     def test_identical_boundaries_merge(self, spark):
         rows = [

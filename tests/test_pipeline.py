@@ -2937,6 +2937,28 @@ class TestCorpusStats:
         with _pytest.raises(ValueError):
             T.corpus_stats(self._df(spark), percentiles=(0.5, 0.5)).collect()
 
+    def test_approx_distinct_plan_and_values(self, spark):
+        from tempo_spark.pipeline import text as T
+
+        from tempo_spark.plans.inspect import count_exchanges, formatted_plan
+
+        df = self._df(spark)
+        exact_df = T.corpus_stats(df, ["src"])
+        approx = T.corpus_stats(df, ["src"], exact=False)
+        # exact count_distinct plans as four aggregate phases with an extra
+        # exchange keyed by (group, digest) — full-corpus width; approx
+        # (HLL++) stays one partial aggregation + one group-keyed exchange
+        # — the 100 TB health-report shape
+        assert count_exchanges(exact_df) == 2
+        assert count_exchanges(approx) == 1
+        assert "count(distinct" in formatted_plan(exact_df)
+        assert "approx_count_distinct" in formatted_plan(approx)
+        # at 4 distinct digests HLL++ is exact in practice — values hold
+        got = {r.src: r.asDict() for r in approx.collect()}
+        assert got["a"]["n_distinct_docs"] == 2
+        assert got["b"]["n_distinct_docs"] == 2
+        assert abs(got["a"]["dup_rate"] - 1 / 3) < 1e-12
+
 
 class TestPrepareCorpusNormalize:
     def test_normalize_stage_dedups_quote_variants(self, spark):

@@ -62,8 +62,10 @@ def test_make_disjoint_invariants(spark, ivals):
     probe_points = sorted({minutes(m) for m in range(0, 45)})
     for t in probe_points:
         assert covered(in_spans, t) == covered(out_spans, t), f"coverage differs at {t}"
-    # 4. merge rule: each output point's metric equals the non-null metric of
-    # the latest-starting covering input interval
+    # 4. merge rule (reference kernel precedence, pinned by
+    # tests/goldens/interval_kernel_tests.json): each output point's metric
+    # equals the non-null metric of the (start asc, end desc)-first
+    # covering input interval
     for s, e, m1, m2 in segs:
         mid = s  # segment start is inside the segment
         for mi, value in ((2, m1), (3, m2)):
@@ -75,10 +77,14 @@ def test_make_disjoint_invariants(spark, ivals):
                 and row[mi] is not None
             ]
             if covering:
-                # ties on identical (start, end) boundaries are broken by the
-                # greater value (struct ordering) — deterministic, where the
-                # reference's pandas kernel depends on input row order
-                expected = max(covering, key=lambda c: (c[0], c[1], c[2]))[2]
+                # ties on identical (start, end) boundaries are broken by
+                # the larger value (struct max ordering) — deterministic,
+                # where the reference's pandas kernel depends on input
+                # row order
+                expected = max(
+                    covering,
+                    key=lambda c: (-c[0].timestamp(), c[1].timestamp(), c[2]),
+                )[2]
                 assert value == expected, (
                     f"metric_{mi-1} at {mid}: got {value}, expected {expected}"
                 )

@@ -959,10 +959,41 @@ class TestAnomalyFlags:
         assert got[("a", ts("2024-01-01 00:00:05"))] is True
         assert got[("b", ts("2024-01-01 00:00:05"))] is False
 
+    def test_prefix_strategy_parity(self, spark):
+        # integer-valued metrics -> exact double sums -> the prefix
+        # (growing-frame-difference) strategy must reproduce the sliding
+        # frame bit-for-bit: zscores, flags, AND the zero-variance branch
+        # (flat baseline then spike: flag True, zscore NULL)
+        vals = [10, 10, 10, 10, 100, 3, 7, 5, 9, 4, 30, 6, 5, 8, 2, 7, 40]
+        for back, mp in ((5, 3), (10, 2), (3, 2)):
+            t = self._t(spark, vals)
+            a = t.withAnomalyFlags(
+                "v", rangeBackWindowSecs=back, z=2.0, min_points=mp
+            ).df.orderBy("event_ts").collect()
+            b = t.withAnomalyFlags(
+                "v", rangeBackWindowSecs=back, z=2.0, min_points=mp,
+                strategy="prefix",
+            ).df.orderBy("event_ts").collect()
+            assert [(r.zscore_v, r.is_anomaly_v) for r in a] == [
+                (r.zscore_v, r.is_anomaly_v) for r in b
+            ], back
+
+    def test_prefix_strategy_plan(self, spark):
+        from tempo_spark.plans.inspect import count_exchanges
+
+        t = self._t(spark, [1, 2, 3, 4, 5])
+        out = t.withAnomalyFlags("v", rangeBackWindowSecs=3, strategy="prefix")
+        # still one shuffle, and no sliding range frame left in the plan
+        assert count_exchanges(out.df) == 1
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        assert "RANGE BETWEEN" not in plan or "UNBOUNDED PRECEDING" in plan
+
     def test_rejections(self, spark):
         t = self._t(spark, [1, 2, 3])
         with pytest.raises(ValueError):
             t.withAnomalyFlags("v", rangeBackWindowSecs=10, min_points=1)
+        with pytest.raises(ValueError):
+            t.withAnomalyFlags("v", rangeBackWindowSecs=10, strategy="median")
         staged = TSDF(
             t.df.withColumn("__tempo_an_n", t.df.v),
             ts_col="event_ts", series_ids=["k"],
