@@ -231,6 +231,27 @@ def _normalize_stats(spark, sf_dir):
     return corpus_stats(normalize_text(docs, "text"), ["source"])
 
 
+def _dsir_select(spark, sf_dir):
+    # full DSIR chain on the production hash: fit target (one source slice)
+    # + raw, ratio, score every doc, Gumbel top-500 resample
+    from tempo_spark.pipeline.dsir import (
+        dsir_logratio,
+        fit_hashed_counts,
+        sample_by_importance,
+        with_importance_weight,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    ratio = dsir_logratio(
+        fit_hashed_counts(target), fit_hashed_counts(docs)
+    )
+    scored = with_importance_weight(docs, ratio, "doc_id")
+    return sample_by_importance(scored, "doc_id", "dsir_logweight", k=500)
+
+
 def _range_stats(spark, sf_dir):
     # single-strategy production path (the gate entry union-tags BOTH the
     # sliding and prefix+block strategies, doubling its work on purpose)
@@ -276,6 +297,7 @@ BENCH_QUERIES = {
     "b24_span_dedup": _span_dedup,
     "b25_semantic_dedup": _semantic_dedup,
     "b26_normalize_stats": _normalize_stats,
+    "b27_dsir_select": _dsir_select,
 }
 
 RUNS = 3

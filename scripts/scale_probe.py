@@ -752,6 +752,63 @@ def text_probe(spark, n_docs: int) -> dict:
     return out
 
 
+def dsir_probe(spark, n_raw: int, n_target: int = 20_000) -> dict:
+    """DSIR end-to-end at the shape it's built for: a SMALL trusted target
+    vs a LARGE raw corpus. Two timings: (a) cold — fit both corpora, ratio,
+    score, Gumbel top-k; (b) amortized — rescore with a pre-materialized
+    ratio table (the persisted-model daily-shard path). 20-token docs over
+    a 5k-word zipf-ish vocab; target drawn from a narrow vocab slice so
+    weights separate."""
+    from tempo_spark.pipeline.dsir import (
+        dsir_logratio,
+        fit_hashed_counts,
+        sample_by_importance,
+        with_importance_weight,
+    )
+
+    def corpus(n, vocab, label):
+        return spark.range(n).select(
+            F.concat(F.lit(label), F.col("id")).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(19)),
+                    lambda i: F.substring(
+                        F.md5(
+                            F.pmod(
+                                F.xxhash64(F.col("id") * 20 + i), F.lit(vocab)
+                            ).cast("string")
+                        ),
+                        1, 6,
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+
+    raw = corpus(n_raw, 5000, "r")
+    target = corpus(n_target, 600, "t")
+    k = max(1000, n_raw // 100)
+    out: dict = {"n_raw": n_raw, "n_target": n_target, "k": k}
+
+    t0 = time.monotonic()
+    ratio = dsir_logratio(fit_hashed_counts(target), fit_hashed_counts(raw))
+    scored = with_importance_weight(raw, ratio, "doc_id")
+    n = sample_by_importance(scored, "doc_id", "dsir_logweight", k=k).count()
+    dt = time.monotonic() - t0
+    out["cold"] = {"sec": round(dt, 1), "sampled": n,
+                   "docs_per_sec": int(n_raw / dt)}
+
+    ratio_rows = ratio.collect()  # the persisted model (≤ buckets rows)
+    ratio_df = spark.createDataFrame(ratio_rows, ratio.schema)
+    t0 = time.monotonic()
+    scored2 = with_importance_weight(raw, ratio_df, "doc_id")
+    n2 = sample_by_importance(scored2, "doc_id", "dsir_logweight", k=k).count()
+    dt = time.monotonic() - t0
+    out["amortized_model"] = {"sec": round(dt, 1), "sampled": n2,
+                              "docs_per_sec": int(n_raw / dt)}
+    return out
+
+
 def _probe_session():
     """One shared probe configuration: every scenario must run under the
     same session settings or cross-probe comparisons silently skew."""
@@ -844,6 +901,12 @@ def main():
         spark = _probe_session()
         for n in (2_000_000, 8_000_000):
             print(json.dumps(corr_probe(spark, n, 10_000)))
+        spark.stop()
+        return
+    if "--dsir" in sys.argv:
+        spark = _probe_session()
+        for n in (1_000_000, 4_000_000):
+            print(json.dumps(dsir_probe(spark, n)))
         spark.stop()
         return
     if "--anomaly" in sys.argv:

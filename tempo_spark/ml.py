@@ -92,6 +92,15 @@ if _ML_AVAILABLE:
         def getGap(self) -> int:
             return self.getOrDefault(self.gap)
 
+        def setTimeSeriesCol(self, value: str) -> "TimeSeriesCrossValidator":
+            return self._set(timeSeriesCol=value)
+
+        def setSeriesIdCols(self, value: list[str]) -> "TimeSeriesCrossValidator":
+            return self._set(seriesIdCols=value)
+
+        def setGap(self, value: int) -> "TimeSeriesCrossValidator":
+            return self._set(gap=value)
+
         def _kFold(self, dataset: DataFrame) -> List[Tuple[DataFrame, DataFrame]]:
             return chronological_folds(
                 dataset,

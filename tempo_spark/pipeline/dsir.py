@@ -46,23 +46,21 @@ def _gram_hash(gram: Column, hash_family: str) -> Column:
     raise ValueError(f"unknown hash_family {hash_family!r}")
 
 
-def _gram_bucket_rows(
+def _gram_rows(
     df: DataFrame,
     text_col: str,
-    buckets: int,
     ngrams: tuple[int, ...],
-    hash_family: str,
     keep_cols: list[str],
 ) -> DataFrame:
-    """Narrow (``keep_cols…``, ``__b``) rows: one row per (uni|bi)-gram
-    occurrence of each document, bucketed. Lowercased tokens (DSIR's
-    feature space is case-folded). The token array is materialized into a
-    staging column first — HOF expressions re-inline through withColumn
-    chains into every consumer (see with_minhash)."""
+    """THE single gram-construction path (fit and scoring share it, so the
+    two feature spaces cannot drift): narrow (``keep_cols…``, ``__dsir_g``)
+    rows — one row per (uni|bi)-gram occurrence of each document.
+    Lowercased tokens (DSIR's feature space is case-folded). The token
+    array is materialized into a staging column first — HOF expressions
+    re-inline through withColumn chains into every consumer (see
+    with_minhash)."""
     if not ngrams or any(n not in (1, 2) for n in ngrams):
         raise ValueError(f"ngrams must be a subset of (1, 2), got {ngrams!r}")
-    if buckets <= 0:
-        raise ValueError("buckets must be positive")
     staged = df.select(
         *keep_cols, tokens_col(F.lower(F.col(text_col))).alias("__dsir_t")
     )
@@ -84,12 +82,25 @@ def _gram_bucket_rows(
     return (
         staged.select(*keep_cols, F.explode_outer(grams).alias("__dsir_g"))
         .where(F.col("__dsir_g").isNotNull())
-        .select(
-            *keep_cols,
-            F.pmod(
-                _gram_hash(F.col("__dsir_g"), hash_family), F.lit(buckets)
-            ).alias("__b"),
-        )
+    )
+
+
+def _gram_bucket_rows(
+    df: DataFrame,
+    text_col: str,
+    buckets: int,
+    ngrams: tuple[int, ...],
+    hash_family: str,
+    keep_cols: list[str],
+) -> DataFrame:
+    """:func:`_gram_rows` bucketed by a literal modulus (fit side)."""
+    if buckets <= 0:
+        raise ValueError("buckets must be positive")
+    return _gram_rows(df, text_col, ngrams, keep_cols).select(
+        *keep_cols,
+        F.pmod(
+            _gram_hash(F.col("__dsir_g"), hash_family), F.lit(buckets)
+        ).alias("__b"),
     )
 
 
@@ -136,40 +147,50 @@ def dsir_logratio(
     Both inputs are ≤ m rows; the join is tiny and broadcast downstream."""
     if alpha <= 0:
         raise ValueError("alpha must be positive (smoothing)")
-    t_tot = target_counts.agg(
-        F.sum("__cnt").alias("__tt"), F.max("__m").alias("__mt")
+    from pyspark.sql import Window
+
+    t = target_counts.select(
+        "__b", F.col("__cnt").alias("__ct"), F.col("__m").alias("__mt")
     )
-    r_tot = raw_counts.agg(F.sum("__cnt").alias("__tr"), F.max("__m").alias("__mr"))
-    meta = (
-        t_tot.crossJoin(r_tot)
+    r = raw_counts.select(
+        "__b", F.col("__cnt").alias("__cr"), F.col("__m").alias("__mr")
+    )
+    joined = t.join(r, "__b", "full_outer")
+    # corpus totals via an empty-partition window over the joined table —
+    # ONE evaluation of each fit lineage (an agg + crossJoin would run
+    # every fit twice: once for the totals, once for the join side). The
+    # single-partition window is fine: the table is ≤ buckets rows.
+    w = Window.partitionBy()
+    tt = F.coalesce(F.sum("__ct").over(w), F.lit(0))
+    tr = F.coalesce(F.sum("__cr").over(w), F.lit(0))
+    mt = F.max("__mt").over(w)
+    mr = F.max("__mr").over(w)
+    staged = joined.select(
+        "__b", "__ct", "__cr",
+        tt.alias("__tt"), tr.alias("__tr"),
+        mt.alias("__mt2"), mr.alias("__mr2"),
+    ).where(
         # .where keeps the check un-prunable: assert_true yields NULL when
         # the condition holds (raises at execution otherwise), so the
-        # filter passes every row but cannot be column-pruned away
-        .where(
-            F.assert_true(
-                F.col("__mt").eqNullSafe(F.col("__mr")),
-                F.lit("dsir_logratio: target/raw bucket counts differ"),
-            ).isNull()
-        )
-        .select(
-            F.coalesce("__tt", F.lit(0)).alias("__tt"),
-            F.coalesce("__tr", F.lit(0)).alias("__tr"),
-            F.col("__mt").alias("__m"),
-        )
+        # filter passes every row but cannot be column-pruned away.
+        # A row missing on one side has a NULL __m there — compare the
+        # window maxima, which see both sides
+        F.assert_true(
+            F.col("__mt2").eqNullSafe(F.col("__mr2")),
+            F.lit("dsir_logratio: target/raw bucket counts differ"),
+        ).isNull()
     )
-    t = target_counts.select("__b", F.col("__cnt").alias("__ct"))
-    r = raw_counts.select("__b", F.col("__cnt").alias("__cr"))
     a = F.lit(float(alpha))
-    joined = t.join(r, "__b", "full_outer").crossJoin(F.broadcast(meta))
-    denom_t = F.col("__tt") + a * F.col("__m")
-    denom_r = F.col("__tr") + a * F.col("__m")
+    m = F.col("__mt2")
+    denom_t = F.col("__tt") + a * m
+    denom_r = F.col("__tr") + a * m
     lr = (
         F.log((F.coalesce(F.col("__ct"), F.lit(0)) + a) / denom_t)
         - F.log((F.coalesce(F.col("__cr"), F.lit(0)) + a) / denom_r)
     )
     lr0 = F.log(a / denom_t) - F.log(a / denom_r)
-    return joined.select(
-        "__b", lr.alias("__lr"), lr0.alias("__lr0"), "__m"
+    return staged.select(
+        "__b", lr.alias("__lr"), lr0.alias("__lr0"), m.alias("__m")
     )
 
 
@@ -201,29 +222,11 @@ def with_importance_weight(
     meta = ratio_df.agg(
         F.max("__m").alias("__m"), F.max("__lr0").alias("__lr0d")
     )
-    # bucket with the modulus column from the broadcast meta row — same
-    # narrow-rows builder as the fit, but pmod by column, so inline here
-    staged = df.select(
-        F.col(id_col), tokens_col(F.lower(F.col(text_col))).alias("__dsir_t")
-    )
-    parts = []
-    ngrams = tuple(ngrams)
-    if not ngrams or any(n not in (1, 2) for n in ngrams):
-        raise ValueError(f"ngrams must be a subset of (1, 2), got {ngrams!r}")
-    if 1 in ngrams:
-        parts.append(F.col("__dsir_t"))
-    if 2 in ngrams:
-        t = F.col("__dsir_t")
-        parts.append(
-            F.when(F.size(t) >= 2, F.transform(
-                F.sequence(F.lit(1), F.size(t) - F.lit(1)),
-                _bigram_factory(),
-            )).otherwise(F.array().cast("array<string>"))
-        )
-    grams = parts[0] if len(parts) == 1 else F.concat(*parts)
+    # same narrow-rows builder as the fit (shared _gram_rows — the feature
+    # spaces cannot drift), but bucketed with the modulus COLUMN from the
+    # broadcast meta row so a mismatched ``buckets`` parameter cannot exist
     doc_rows = (
-        staged.select(F.col(id_col), F.explode_outer(grams).alias("__dsir_g"))
-        .where(F.col("__dsir_g").isNotNull())
+        _gram_rows(df, text_col, tuple(ngrams), [id_col])
         .crossJoin(F.broadcast(meta))
         .select(
             F.col(id_col),

@@ -14,9 +14,12 @@ logger = logging.getLogger(__name__)
 
 
 def get_display_df(tsdf, k: int = 5) -> DataFrame:
-    """Latest k rows per series, series-then-time ordered
+    """Latest k rows per series, series-then-time(-then-sequence) ordered
     (reference: python/tempo/utils.py:169-175)."""
-    return tsdf.latest(k).df.orderBy(*tsdf.series_ids, tsdf.ts_col)
+    order = [*tsdf.series_ids, tsdf.ts_col]
+    if getattr(tsdf, "sequence_col", None):
+        order.append(tsdf.sequence_col)
+    return tsdf.latest(k).df.orderBy(*order)
 
 
 def display(df, n: int = 20) -> None:
@@ -42,9 +45,18 @@ def calculate_time_horizon(
     unlike the reference's eager ``perform_checks`` path).
     """
     f = parse_freq(freq)
+    # bucket COUNT, not raw span/interval: both endpoints floor to the
+    # resample grid first (reference: python/tempo/utils.py:80-99 rounds
+    # min/max epoch to the interval before differencing), so the estimate
+    # equals the number of grid buckets resample would actually emit —
+    # pinned by the recorded horizon metrics golden
+    interval_ms = int(f.seconds * 1000)
+    mx = F.unix_millis(F.max(F.col(ts_col)))
+    mn = F.unix_millis(F.min(F.col(ts_col)))
+    bucket = lambda c: c - c % F.lit(interval_ms)  # noqa: E731
     spans = df.groupBy(*partition_cols).agg(
-        ((F.max(F.col(ts_col)).cast("double") - F.min(F.col(ts_col)).cast("double"))
-         / F.lit(f.seconds) + 1).alias("__n_buckets")
+        (((bucket(mx) - bucket(mn)) / F.lit(interval_ms)) + 1)
+        .alias("__n_buckets")
     )
     stats = spans.agg(
         F.min("__n_buckets").alias("min"),
