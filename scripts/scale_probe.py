@@ -809,6 +809,46 @@ def dsir_probe(spark, n_raw: int, n_target: int = 20_000) -> dict:
     return out
 
 
+def chunk_probe(spark, n_sentences: int, n_docs: int = 64) -> dict:
+    """Sentence-boundary chunking on pathological MANY-SENTENCE rows: the
+    greedy fold is O(sentences²) per row, so past ``sentence_fallback``
+    (default 10⁴) rows drop to token grain. Probe both paths at the same
+    total size: wall time must stay near-linear in sentences once the
+    fallback engages."""
+    from tempo_spark.pipeline.sampling import chunk_documents
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_sentences - 1)),
+                lambda i: F.concat(
+                    F.lit("tok"), i, F.lit(" alpha beta gamma end."),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    out: dict = {"n_docs": n_docs, "sentences_per_doc": n_sentences}
+    for label, fb in (("fallback_default", 10_000),
+                      ("forced_sentence_path", 1 << 30)):
+        if fb > n_sentences and label == "forced_sentence_path" \
+                and n_sentences > 40_000:
+            out[label] = "skipped: quadratic path would stall"
+            continue
+        t0 = time.monotonic()
+        n = chunk_documents(
+            docs, "doc_id", max_tokens=512, boundary="sentence",
+            sentence_fallback=fb,
+        ).count()
+        dt = time.monotonic() - t0
+        out[label] = {
+            "sec": round(dt, 1), "chunks": n,
+            "sentences_per_sec": int(n_docs * n_sentences / dt),
+        }
+    return out
+
+
 def _probe_session():
     """One shared probe configuration: every scenario must run under the
     same session settings or cross-probe comparisons silently skew."""
@@ -901,6 +941,12 @@ def main():
         spark = _probe_session()
         for n in (2_000_000, 8_000_000):
             print(json.dumps(corr_probe(spark, n, 10_000)))
+        spark.stop()
+        return
+    if "--chunk" in sys.argv:
+        spark = _probe_session()
+        for n in (10_000, 40_000, 100_000):
+            print(json.dumps(chunk_probe(spark, n)))
         spark.stop()
         return
     if "--dsir" in sys.argv:

@@ -477,9 +477,14 @@ def asof_join_many(
 
     When it pays (measured, SCALE.md): the saving is N-1 fewer full-left
     SHUFFLES — the network-bandwidth term a real cluster prices highest.
-    With rights comparable in size to the left, the single (N+1)·n-row
-    union sort can spill where the chain's two-side stages fit — on a
-    memory-tight executor, chain huge rights instead. To keep the sorted
+    Decision rule from the 16M-row, 4-right probe
+    (scripts/scale_probe.py --asofmany): rights at or below ~left/10 —
+    the common shape: sparse feature sources vs a dense event stream —
+    the many-join wins ~14x (3.8 s vs 54.4 s chained); rights comparable
+    in size to the left, the single (N+1)·n-row union sort can spill
+    where the chain's two-side stages fit (32.6 s vs 27.7 s chained
+    single-node) — on a memory-tight executor, chain huge rights instead,
+    or join the few big rights singly and many-join the rest. To keep the sorted
     rows narrow, each side's value columns ride the union packed into ONE
     struct column per side (a null struct costs one fixed-width slot in an
     UnsafeRow; column-padding would cost a slot per column per side), so

@@ -374,6 +374,7 @@ def chunk_documents(
     out_idx: str = "chunk_idx",
     out_n: str = "n_chunks",
     boundary: str = "token",
+    sentence_fallback: int = 10_000,
 ) -> DataFrame:
     """Explode each document into fixed-size token windows for a model
     context length: chunk ``i`` covers tokens
@@ -397,21 +398,28 @@ def chunk_documents(
     eval pipelines want this grain — a mid-sentence cut destroys the very
     context the chunk exists to carry. Requires ``overlap=0`` (sentence
     packing has no fixed stride). Same per-row-only cost shape; the greedy
-    fold is one parsed-SQL ``aggregate`` over the sentence array."""
+    fold is one parsed-SQL ``aggregate`` over the sentence array. The
+    fold is quadratic in sentence count per row, so rows with more than
+    ``sentence_fallback`` sentences (default 10⁴ — book length) fall back
+    to token-grain chunks (see :func:`_chunk_documents_by_sentence`)."""
     if max_tokens < 1 or not (0 <= overlap < max_tokens):
         raise ValueError(
             "chunk_documents needs max_tokens >= 1 and 0 <= overlap < max_tokens"
         )
     if boundary not in ("token", "sentence"):
         raise ValueError(f"boundary must be 'token' or 'sentence', got {boundary!r}")
-    for c in (out_text, out_idx, out_n, "__tempo_ctoks", "__tempo_chunks", "__tempo_sz"):
+    for c in (out_text, out_idx, out_n, "__tempo_ctoks", "__tempo_chunks",
+              "__tempo_sz", "__tempo_ft", "__tempo_fb"):
         if c in df.columns:
             raise ValueError(f"output column {c!r} already present in input")
     if boundary == "sentence":
         if overlap:
             raise ValueError("boundary='sentence' requires overlap=0")
+        if sentence_fallback < 1:
+            raise ValueError("sentence_fallback must be >= 1")
         return _chunk_documents_by_sentence(
-            df, text_col, max_tokens, out_text, out_idx, out_n
+            df, text_col, max_tokens, out_text, out_idx, out_n,
+            max_sentences=sentence_fallback,
         )
     from tempo_spark.pipeline.text import tokens_col
 
@@ -454,6 +462,7 @@ def _chunk_documents_by_sentence(
     out_text: str,
     out_idx: str,
     out_n: str,
+    max_sentences: int = 10_000,
 ) -> DataFrame:
     """Greedy sentence packing for ``chunk_documents(boundary="sentence")``.
 
@@ -469,14 +478,24 @@ def _chunk_documents_by_sentence(
     chunk (measured near-cubic in sentence count before this hoist; the
     with_minhash lesson). Residual per-row cost: the fold's id append is
     O(pieces²) int copies and assembly is O(chunks × pieces) element
-    compares — fine through book-length docs (~10⁴ sentences); chunk
-    pathological million-sentence rows at token grain instead.
+    compares — fine through book-length docs (~10⁴ sentences), quadratic
+    beyond.
+
+    Rows with more than ``max_sentences`` sentences therefore FALL BACK to
+    token-grain chunking (per-row ``when`` — the quadratic fold is never
+    evaluated for them): a mid-sentence cut on a pathological
+    million-sentence row beats a quadratic stall, and the budget contract
+    (every chunk ≤ max_tokens) still holds. Probe: near-linear through
+    10⁵-sentence rows (scripts/scale_probe.py --chunk).
     """
     from tempo_spark.pipeline.text import sentences_col, tokens_col
 
     text = F.col(text_col)
     toks = tokens_col
     sents = sentences_col(text)
+    # size(NULL array) = -1, so null-text rows stay on the sentence path
+    # (their chunks are nulled explicitly below)
+    fallback = F.size(sents) > F.lit(int(max_sentences))
 
     def hard_split(s):
         tk = toks(s)
@@ -520,7 +539,15 @@ def _chunk_documents_by_sentence(
     ids = F.aggregate(counts, acc0, step, lambda acc: acc["ids"])
     z = F.zip_with(pieces, ids, lambda p, i: F.struct(p.alias("p"), i.alias("i")))
     zc = "__tempo_sz"
-    staged = df.withColumn(zc, z)
+    # CaseWhen evaluates branches lazily per row: over-threshold rows never
+    # pay the quadratic fold, under-threshold rows never tokenize twice.
+    # The flag itself is bound to a column — three inline references would
+    # re-run the sentence split regex per reference
+    staged = df.withColumn("__tempo_fb", fallback)
+    fb = F.col("__tempo_fb")
+    staged = staged.withColumn(zc, F.when(~fb, z)).withColumn(
+        "__tempo_ft", F.when(fb, toks(text))
+    )
     # everything below references the BOUND column, never the z expression
     zcol = F.col(zc)
     n_chunks = F.coalesce(F.try_element_at(zcol, F.lit(-1))["i"] + 1, F.lit(0))
@@ -530,12 +557,31 @@ def _chunk_documents_by_sentence(
             F.transform(F.filter(zcol, lambda e: e["i"] == k), lambda e: e["p"]), " "
         ),
     )
+    # token-grain fallback chunks for over-threshold rows, from the bound
+    # token column (same slice recipe as hard_split)
+    ftc = F.col("__tempo_ft")
+    nw_fb = F.floor(
+        (F.size(ftc) + F.lit(max_tokens - 1)).cast("long") / F.lit(max_tokens)
+    ).cast("int")
+    token_chunks = F.when(
+        F.size(ftc) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nw_fb - 1),
+            lambda i: F.array_join(
+                F.slice(ftc, (i * max_tokens + 1).cast("int"), max_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array(F.lit("")))
     # empty doc -> one empty chunk; NULL text -> one all-null chunk row
     # (both match the token-mode contract)
     chunks = F.when(text.isNull(), F.lit(None).cast("array<string>")).otherwise(
-        F.when(n_chunks == 0, F.array(F.lit(""))).otherwise(assembled)
+        F.when(fb, token_chunks).otherwise(
+            F.when(n_chunks == 0, F.array(F.lit(""))).otherwise(assembled)
+        )
     )
-    staged = staged.withColumn("__tempo_chunks", chunks).drop(zc)
+    staged = staged.withColumn("__tempo_chunks", chunks).drop(
+        zc, "__tempo_ft", "__tempo_fb"
+    )
     staged = staged.withColumn(
         out_n, F.when(text.isNotNull(), F.size(F.col("__tempo_chunks")).cast("long"))
     )

@@ -2991,6 +2991,45 @@ class TestSentenceChunking:
         assert got[2] == []
         assert got[3] is None
 
+    def test_token_grain_fallback_past_threshold(self, spark):
+        # a row over sentence_fallback sentences takes the token-grain path
+        # (budget still holds, chunk count = ceil(tokens/max_tokens));
+        # sibling rows under the threshold keep sentence packing; nulls and
+        # empties keep the contract
+        from tempo_spark.pipeline.sampling import chunk_documents
+
+        big = " ".join(f"w{i} w{i} end." for i in range(10))  # 10 sentences
+        small = "One two three. Four five!"
+        df = spark.createDataFrame(
+            [(1, big), (2, small), (3, ""), (4, None)],
+            "doc_id long, text string",
+        )
+        rows = chunk_documents(
+            df, "doc_id", max_tokens=5, boundary="sentence",
+            sentence_fallback=4,
+        ).collect()
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk))
+        # doc 1: 30 tokens -> 6 token-grain chunks, mid-sentence cuts allowed
+        got1 = sorted(by_doc[1])
+        assert len(got1) == 6
+        assert all(len(c.split()) == 5 for _, c in got1)
+        assert " ".join(c for _, c in got1) == " ".join(big.split())
+        # doc 2 (under threshold): greedy sentence packing unchanged
+        assert sorted(by_doc[2]) == [(0, "One two three. Four five!")]
+        assert sorted(by_doc[3]) == [(0, "")]
+        assert by_doc[4] == [(None, None)]
+        # fallback equals running the same doc through boundary="token"
+        tok = sorted(
+            (r.chunk_idx, r.chunk)
+            for r in chunk_documents(
+                df.where(F.col("doc_id") == 1), "doc_id",
+                max_tokens=5, boundary="token",
+            ).collect()
+        )
+        assert tok == got1
+
     def test_greedy_packing(self, spark):
         from tempo_spark.pipeline.sampling import chunk_documents
 
