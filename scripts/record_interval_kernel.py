@@ -153,11 +153,11 @@ def run_wrap(rows):
     return sorted(out, key=lambda r: (r[0], r[1], str(r[3]), str(r[4])))
 
 
-def case_spec(rows, expected):
+def case_spec(rows, expected, schema=SCHEMA):
     return {
         "inputs": {
             "data": {
-                "schema": SCHEMA,
+                "schema": schema,
                 "rows": [[ts(s), ts(e), "v1", m1, m2]
                          for s, e, m1, m2 in rows],
                 "ts_convert": ["start_ts", "end_ts"],
@@ -166,11 +166,55 @@ def case_spec(rows, expected):
             }
         },
         "expected": {
-            "schema": SCHEMA,
+            "schema": schema,
             "rows": expected,
             "ts_convert": ["start_ts", "end_ts"],
         },
     }
+
+
+# mixed-dtype pair sweep: metric_1 STRING, metric_2 DOUBLE — the kernel's
+# merge is type-agnostic (pd.notna), and the repo's struct-ordered coalesce
+# must be too. Same geometries; value patterns chosen so no identical-
+# boundary value-order ambiguity arises (see DEVIATIONS note).
+MIXED_SCHEMA = ("start_ts STRING NOT NULL, end_ts STRING NOT NULL, "
+                "series_1 STRING NOT NULL, metric_1 STRING, metric_2 DOUBLE")
+MIXED_METRICS = {
+    # A dominates per-metric (string AND double) so the identical-boundary
+    # case is order-reconcilable (value-max tiebreak == reference's
+    # first-row-wins when the first row holds the maxima)
+    "distinct": ("zz", 9.5, "aa", 1.5),
+    "null_in_a": (None, 9.5, "aa", 1.5),
+    "complement": ("zz", None, None, 1.5),
+}
+MIXED_GEOMETRIES = {k: GEOMETRIES[k]
+                    for k in ("partial", "contained", "shared_start",
+                              "shared_end", "identical", "no_overlap")}
+
+
+def run_wrap_mixed(rows):
+    pdf = pd.DataFrame(
+        [{"start_ts": ts(s), "end_ts": ts(e), "series_1": "v1",
+          "metric_1": m1, "metric_2": m2} for s, e, m1, m2 in rows]
+    )
+    fn = make_disjoint_wrap("start_ts", "end_ts", ["series_1"],
+                            ["metric_1", "metric_2"])
+    try:
+        res = fn(pdf)
+    except Exception as exc:
+        return "{}: {}".format(type(exc).__name__, exc)
+    out = []
+    for rec in res.to_dict("records"):
+        m1 = rec["metric_1"]
+        m2 = rec["metric_2"]
+        if isinstance(m2, float) and math.isnan(m2):
+            m2 = None
+        if m1 is not None and not isinstance(m1, str):
+            if isinstance(m1, float) and math.isnan(m1):
+                m1 = None
+        out.append([rec["start_ts"], rec["end_ts"], rec["series_1"],
+                    m1, m2])
+    return sorted(out, key=lambda r: (r[0], r[1], str(r[3]), str(r[4])))
 
 
 def main():
@@ -178,7 +222,8 @@ def main():
         "_source": ("reference make_disjoint_wrap kernel outputs "
                     "(python/tempo/intervals.py:716-1331), recorded by "
                     "scripts/record_interval_kernel.py; pair geometry x "
-                    "metric-pattern sweep + iteration-order chains"),
+                    "metric-pattern sweep + iteration-order chains + "
+                    "mixed string/double metric sweep"),
     }
     errors = {}
     def add_case(key, rows):
@@ -213,6 +258,18 @@ def main():
             add_case("{}__{}".format(gname, mname), rows)
     for cname, rows in CHAINS.items():
         add_case(cname, rows)
+
+    for gname, (a_s, a_e, b_s, b_e) in MIXED_GEOMETRIES.items():
+        for mname, (am1, am2, bm1, bm2) in MIXED_METRICS.items():
+            # A holds the per-metric maxima — keep A FIRST for the
+            # identical geometry (reference first-row-wins == value-max)
+            rows = [(a_s, a_e, am1, am2), (b_s, b_e, bm1, bm2)]
+            exp = run_wrap_mixed(rows)
+            key = "mixed__{}__{}".format(gname, mname)
+            if isinstance(exp, str):
+                errors[key] = exp
+                continue
+            goldens[key] = case_spec(rows, exp, schema=MIXED_SCHEMA)
 
     out_path = Path(__file__).resolve().parent.parent / "tests" / "goldens" \
         / "interval_kernel_tests.json"

@@ -230,9 +230,18 @@ class IntervalsDF:
     # ----------------------------------------------------------------- ops
 
     def union(self, other: "IntervalsDF") -> "IntervalsDF":
+        # TypeError on non-IntervalsDF operands, reference parity
+        # (reference: python/tempo/intervals.py:282-300 and
+        # python/tests/intervals_tests.py test_union_other_df/_list_dicts)
+        if not isinstance(other, IntervalsDF):
+            raise TypeError(f"union expects an IntervalsDF, got {type(other)}")
         return self._with_df(self.df.union(other.df))
 
     def unionByName(self, other: "IntervalsDF") -> "IntervalsDF":
+        if not isinstance(other, IntervalsDF):
+            raise TypeError(
+                f"unionByName expects an IntervalsDF, got {type(other)}"
+            )
         return self._with_df(self.df.unionByName(other.df))
 
     def toDF(self, stack: bool = False) -> DataFrame:

@@ -1,5 +1,7 @@
 import datetime as dt
 
+import pyspark.sql.functions as F
+
 import pytest
 
 from tempo_spark import IntervalsDF
@@ -250,6 +252,32 @@ class TestStackedRoundtrip:
         b = idf(spark, [(ts("2020-01-01 00:02:00"), ts("2020-01-01 00:03:00"), "b", 3, 4)])
         assert a.union(b).df.count() == 2
         assert a.unionByName(b).df.count() == 2
+
+    def test_union_rejects_non_idf(self, spark):
+        # reference parity (python/tests/intervals_tests.py
+        # test_union_other_df / _other_list_dicts / unionByName variants):
+        # plain DataFrames and row dicts raise TypeError
+        a = idf(spark, [(ts("2020-01-01 00:00:00"), ts("2020-01-01 00:01:00"), "a", 1, 2)])
+        for bad in (a.df, [{"start_ts": "x"}]):
+            with pytest.raises(TypeError):
+                a.union(bad)
+            with pytest.raises(TypeError):
+                a.unionByName(bad)
+
+    def test_union_by_name_extra_column_raises(self, spark):
+        # reference parity: schema mismatch surfaces as Spark's
+        # AnalysisException in BOTH directions
+        from pyspark.errors import AnalysisException
+
+        a = idf(spark, [(ts("2020-01-01 00:00:00"), ts("2020-01-01 00:01:00"), "a", 1, 2)])
+        extra = IntervalsDF(
+            a.df.withColumn("metric_3", F.lit(9)),
+            "start_ts", "end_ts", ["series_1"],
+        )
+        with pytest.raises(AnalysisException):
+            a.unionByName(extra).df.collect()
+        with pytest.raises(AnalysisException):
+            extra.unionByName(a).df.collect()
 
 
 class TestIntervalTsdfJoin:

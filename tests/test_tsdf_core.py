@@ -256,9 +256,13 @@ class TestMultiSeriesIds:
         )
         out = IntervalsDF(df, "start_ts", "end_ts", ["s1", "s2"]).make_disjoint().df
         segs = sorted((r.s1, r.s2, str(r.start_ts), str(r.end_ts), r.m) for r in out.collect())
+        # reference partial-overlap semantics (kernel goldens, round 7):
+        # the EARLIER-starting interval's value wins the overlap segment,
+        # and the cut at its end is kept; p2 isolated by the second id
         assert segs == [
             ("X", "p1", "2020-01-01 00:00:00", "2020-01-01 00:01:00", 1),
-            ("X", "p1", "2020-01-01 00:01:00", "2020-01-01 00:03:00", 2),
+            ("X", "p1", "2020-01-01 00:01:00", "2020-01-01 00:02:00", 1),
+            ("X", "p1", "2020-01-01 00:02:00", "2020-01-01 00:03:00", 2),
             ("X", "p2", "2020-01-01 00:01:00", "2020-01-01 00:03:00", 9),
         ]
 
