@@ -88,6 +88,13 @@ CHAINS = {
         (1, 3, 5, 10), (1, 3, 5, 10), (2, 4, 6, 11)],
     "chain3_null_carrier": [
         (1, 5, None, 10), (2, 6, 6, None), (3, 4, 7, 12)],
+    # two null-complementary identical-boundary rows merge into a fragment
+    # whose COMBINED metrics equal the third interval's — the reference's
+    # equivalent branch then merges spans at the FRAGMENT level (its raw
+    # vectors differ). Cut-granularity-only divergence: same pointwise
+    # values, different segmentation.
+    "chain_fragment_equiv_merge": [
+        (1, 3, 5, None), (1, 3, None, 10), (2, 5, 5, 10)],
 }
 
 SCHEMA = ("start_ts STRING NOT NULL, end_ts STRING NOT NULL, "
@@ -122,6 +129,10 @@ DEVIATIONS = {
     "chain4_mixed": ("sequential_artifact", [
         (1, 2, 5, 10), (2, 3, 5, 10), (3, 4, 5, 10),
         (4, 5, 6, 11), (5, 6, 6, 11), (8, 9, 7, 13)]),
+    # fragment-level equivalent merge (see CHAINS comment): repo keeps the
+    # raw-boundary cuts — same values at every point, more rows
+    "chain_fragment_equiv_merge": ("sequential_artifact", [
+        (1, 2, 5, 10), (2, 3, 5, 10), (3, 5, 5, 10)]),
 }
 
 
