@@ -832,8 +832,7 @@ def chunk_probe(spark, n_sentences: int, n_docs: int = 64) -> dict:
     out: dict = {"n_docs": n_docs, "sentences_per_doc": n_sentences}
     for label, fb in (("fallback_default", 10_000),
                       ("forced_sentence_path", 1 << 30)):
-        if fb > n_sentences and label == "forced_sentence_path" \
-                and n_sentences > 40_000:
+        if label == "forced_sentence_path" and n_sentences > 40_000:
             out[label] = "skipped: quadratic path would stall"
             continue
         t0 = time.monotonic()
@@ -844,6 +843,9 @@ def chunk_probe(spark, n_sentences: int, n_docs: int = 64) -> dict:
         dt = time.monotonic() - t0
         out[label] = {
             "sec": round(dt, 1), "chunks": n,
+            # the trigger is strictly greater-than: at exactly fb
+            # sentences the row still takes the sentence path
+            "fallback_engaged": n_sentences > fb,
             "sentences_per_sec": int(n_docs * n_sentences / dt),
         }
     return out

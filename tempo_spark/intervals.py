@@ -12,16 +12,23 @@ executed via applyInPandas at :263-271). The algorithm:
    consecutive boundaries into *elementary segments* (lead over a window),
 2. join each segment to the intervals covering it (overlap =
    ``seg_start < i.end AND seg_end > i.start``),
-3. per segment, merge the payload: for every column, take the value from the
-   **latest-starting covering interval with a non-null value** — exactly the
-   reference's "later interval's non-null metric overwrites" merge rule
-   (reference: python/tempo/intervals.py:684-713). Intervals with identical
-   (start, end) boundaries and conflicting non-null values tie-break on the
-   greater value (struct ordering) — deterministic, where the reference's
-   pandas kernel depends on input row order,
-4. coalesce adjacent contiguous segments with identical payloads back into
-   maximal intervals (the reference's equivalent-metrics boundary-extension
-   rule, reference: python/tempo/intervals.py:817-826).
+3. per segment, merge the payload: every column coalesces over the covering
+   intervals ordered **(start asc, end desc)** — the outer/earlier
+   interval's non-null value wins and later intervals fill its nulls,
+   exactly the reference kernel's precedence (every resolve_overlap branch
+   merges with the (start asc, end desc)-minimal interval as the
+   overwriting child, reference: python/tempo/intervals.py:794-1065;
+   pinned by the 75-case recorded branch matrix in
+   tests/goldens/interval_kernel_tests.json). Intervals with identical
+   (start, end) boundaries and conflicting non-null values tie-break on
+   the greater value (struct ordering) — deterministic, where the
+   reference's pandas kernel depends on input row order,
+4. dissolve a junction between contiguous equal-payload segments only when
+   the reference's equivalent-metrics branch would have merged the spans
+   (one identical raw metric vector covers both segments and some interval
+   strictly spans the junction, reference: python/tempo/intervals.py:
+   817-826) — cuts from containment/shared-boundary splits are KEPT even
+   when the merged payloads come out equal, as the reference emits them.
 
 Complexity: O(n log n) per series via shuffle+sort instead of O(n²) Python,
 no Arrow round-trip, and whole-stage codegen end to end. The segment↔interval
@@ -460,10 +467,14 @@ class IntervalsDF:
         per-segment "is this side covering here?" flag — the mask is
         non-null iff ≥1 interval from that side covers the segment), filter
         segments by ``keep(a_mask, b_mask)``, and drop the masks. Payload
-        merge and adjacent-segment coalescing come from make_disjoint
-        unchanged (masks participate in the equality test, so segments are
+        merge comes from make_disjoint's reference rule; coalescing uses
+        ``_coalesce="blanket"`` (every contiguous equal-payload junction
+        dissolves — raw-fragment identity is meaningless once the mask
+        columns are in play, and the reference-exact junction guard would
+        fragment intersect output at every subtrahend-internal boundary).
+        Masks participate in the payload-equality test, so segments are
         never coalesced across a coverage-status change — boundaries stay
-        exact)."""
+        exact."""
         if list(other.series_ids) != self.series_ids:
             raise ValueError(
                 f"coverage ops require matching series ids; "
@@ -492,7 +503,7 @@ class IntervalsDF:
         ).select(*a.columns)
         combined = IntervalsDF(
             a.unionByName(b), self.start_ts, self.end_ts, self.series_ids
-        ).make_disjoint(bin_seconds=bin_seconds)
+        ).make_disjoint(bin_seconds=bin_seconds, _coalesce="blanket")
         out = combined.df.where(
             keep(F.col("__a_mask"), F.col("__b_mask"))
         ).drop("__a_mask", "__b_mask")
@@ -525,10 +536,25 @@ class IntervalsDF:
 
     # ------------------------------------------------------------ disjoint
 
-    def make_disjoint(self, bin_seconds: BinSeconds = "auto") -> "IntervalsDF":
+    def make_disjoint(
+        self, bin_seconds: BinSeconds = "auto", _coalesce: str = "reference"
+    ) -> "IntervalsDF":
         """Split/merge overlapping intervals into a disjoint set (native
         Spark; replaces the reference's O(n²)-per-series pandas kernel,
         reference: python/tempo/intervals.py:223-278,383-1331).
+
+        Merge semantics are reference-exact (pinned by the 75-case kernel
+        branch matrix, tests/goldens/interval_kernel_tests.json): each
+        metric coalesces over the covering intervals in (start asc,
+        end desc) order — the outer/earlier interval's non-null value wins
+        — and cuts at raw boundaries are kept unless the reference's
+        equivalent-metrics branch would have merged the spans.
+
+        ``_coalesce`` (internal): ``"reference"`` (default) keeps the
+        kernel-exact junction rule; ``"blanket"`` dissolves EVERY
+        contiguous equal-payload junction — used by the coverage algebra
+        (:meth:`subtract_intervals`/:meth:`intersect_intervals`), whose
+        mask columns make fragment identity meaningless.
 
         ``bin_seconds`` bounds the segment↔interval pairing for a
         pathological series (few series ids, many long-lived overlapping
@@ -548,6 +574,10 @@ class IntervalsDF:
         interval (start == end) denotes the empty set and is dropped --
         represent instantaneous events as points in a TSDF, not as empty
         intervals."""
+        if _coalesce not in ("reference", "blanket"):
+            raise ValueError(
+                f"_coalesce must be 'reference' or 'blanket', got {_coalesce!r}"
+            )
         df = self.df
         bin_seconds = _resolve_bin_seconds(
             df, self.start_ts, self.end_ts, self.series_ids, bin_seconds
@@ -633,11 +663,13 @@ class IntervalsDF:
         # reference's pandas kernel takes whichever row sorted first
         # (input file order; pinned by the multiple_series recorded case).
         # Also aggregate the coalesce statistics for step 4:
-        #   __nvec — number of distinct raw metric vectors covering the
-        #            segment;
-        #   __ext  — some covering interval extends strictly past the
-        #            segment's end (it spans the junction to the next
-        #            segment).
+        #   __one_vec — all raw metric vectors covering the segment are
+        #               identical (min struct == max struct — same bit as
+        #               count_distinct==1 without the 4-phase
+        #               distinct-aggregate planning);
+        #   __ext     — some covering interval extends strictly past the
+        #               segment's end (it spans the junction to the next
+        #               segment).
         merge_aggs = [
             F.max(
                 F.when(
@@ -653,14 +685,18 @@ class IntervalsDF:
             .alias(c)
             for c in payload
         ]
+        vec = F.struct(*[F.col(c) for c in payload]) if payload else None
         stat_aggs = [
-            (
-                F.count_distinct(F.struct(*[F.col(c) for c in payload]))
-                if payload
-                else F.max(F.lit(1))
-            ).alias("__nvec"),
             (F.max(F.col("__i_end")) > F.col(seg_e)).alias("__ext"),
         ]
+        if _coalesce == "reference":
+            stat_aggs.append(
+                (
+                    F.min(vec).eqNullSafe(F.max(vec))
+                    if payload
+                    else F.max(F.lit(True))
+                ).alias("__one_vec")
+            )
         merged = paired.groupBy(*series, seg_s, seg_e).agg(
             *merge_aggs, *stat_aggs
         )
@@ -679,13 +715,17 @@ class IntervalsDF:
             [F.col(c).eqNullSafe(F.lag(F.col(c)).over(wseg)) for c in payload],
             F.lit(True),
         )
-        single_vec = (
-            (F.col("__nvec") == 1)
-            & (F.lag(F.col("__nvec")).over(wseg) == 1)
-            & F.lag(F.col("__ext")).over(wseg)
-        )
         contiguous = prev_end.isNotNull() & (prev_end == F.col(seg_s))
-        new_group = F.when(contiguous & same_payload & single_vec, 0).otherwise(1)
+        if _coalesce == "reference":
+            single_vec = (
+                F.col("__one_vec")
+                & F.lag(F.col("__one_vec")).over(wseg)
+                & F.lag(F.col("__ext")).over(wseg)
+            )
+            dissolve = contiguous & same_payload & single_vec
+        else:
+            dissolve = contiguous & same_payload
+        new_group = F.when(dissolve, 0).otherwise(1)
         grouped = merged.withColumn(
             "__gid",
             F.sum(new_group).over(

@@ -49,13 +49,19 @@ def calculate_time_horizon(
     # resample grid first (reference: python/tempo/utils.py:80-99 rounds
     # min/max epoch to the interval before differencing), so the estimate
     # equals the number of grid buckets resample would actually emit —
-    # pinned by the recorded horizon metrics golden
-    interval_ms = int(f.seconds * 1000)
-    mx = F.unix_millis(F.max(F.col(ts_col)))
-    mn = F.unix_millis(F.min(F.col(ts_col)))
-    bucket = lambda c: c - c % F.lit(interval_ms)  # noqa: E731
+    # pinned by the recorded horizon metrics golden. Grid in MICROSECONDS
+    # (parse_freq supports sub-millisecond frequencies; a ms grid would
+    # divide by zero at '500 microseconds' and silently mis-grid
+    # non-integral-ms widths), floored via pmod (`%` truncates toward
+    # zero and misbuckets pre-1970 epochs — the tsdf.py block lesson)
+    interval_us = round(f.seconds * 1_000_000)
+    if interval_us < 1:
+        raise ValueError(f"frequency {freq!r} is below 1 microsecond")
+    mx = F.unix_micros(F.max(F.col(ts_col)))
+    mn = F.unix_micros(F.min(F.col(ts_col)))
+    bucket = lambda c: c - F.pmod(c, F.lit(interval_us))  # noqa: E731
     spans = df.groupBy(*partition_cols).agg(
-        (((bucket(mx) - bucket(mn)) / F.lit(interval_ms)) + 1)
+        (((bucket(mx) - bucket(mn)) / F.lit(interval_us)) + 1)
         .alias("__n_buckets")
     )
     stats = spans.agg(

@@ -559,6 +559,27 @@ class TestCoverageAlgebra:
             binned = collect_intervals(getattr(a, op)(b, bin_seconds=600.0))
             assert plain == binned, op
 
+    def test_intersect_coalesces_across_subtrahend_boundaries(self, spark):
+        # round-7 regression: coverage ops use the BLANKET coalesce — two
+        # touching B windows inside one A interval must come back as ONE
+        # intersect segment (the reference-exact junction guard sees
+        # nvec>=2 on every kept segment and would fragment forever)
+        a = idf(spark, [
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:10:00"), "a", 1, None),
+        ])
+        b = idf(spark, [
+            (ts("2020-01-01 00:02:00"), ts("2020-01-01 00:04:00"), "a", 9, 9),
+            (ts("2020-01-01 00:04:00"), ts("2020-01-01 00:08:00"), "a", 9, 9),
+        ])
+        assert collect_intervals(a.intersect_intervals(b)) == [
+            ("a", "2020-01-01 00:02:00", "2020-01-01 00:08:00", 1, None),
+        ]
+        # and subtract around them stays exact
+        assert collect_intervals(a.subtract_intervals(b)) == [
+            ("a", "2020-01-01 00:00:00", "2020-01-01 00:02:00", 1, None),
+            ("a", "2020-01-01 00:08:00", "2020-01-01 00:10:00", 1, None),
+        ]
+
     def test_disjoint_sides_and_series_isolation(self, spark):
         a = idf(spark, [(ts("2020-01-01 00:00:00"), ts("2020-01-01 01:00:00"), "a", 1, None)])
         b = idf(spark, [

@@ -983,14 +983,25 @@ class TestAnomalyFlags:
             ], back
 
     def test_prefix_strategy_plan(self, spark):
+        import re
+
         from tempo_spark.plans.inspect import count_exchanges
 
         t = self._t(spark, [1, 2, 3, 4, 5])
         out = t.withAnomalyFlags("v", rangeBackWindowSecs=3, strategy="prefix")
-        # still one shuffle, and no sliding range frame left in the plan
+        # still one shuffle, and no sliding range frame left in the plan:
+        # a sliding frame prints as specifiedwindowframe(RangeFrame,
+        # -<back>, ...) — a NEGATIVE LITERAL lower bound — while the
+        # prefix strategy's growing frames are unboundedpreceding$()
+        sliding_frame = re.compile(r"RangeFrame, -\d")
         assert count_exchanges(out.df) == 1
         plan = out.df._jdf.queryExecution().executedPlan().toString()
-        assert "RANGE BETWEEN" not in plan or "UNBOUNDED PRECEDING" in plan
+        assert not sliding_frame.search(plan)
+        # positive control: the sliding strategy DOES match the pattern
+        sl = t.withAnomalyFlags("v", rangeBackWindowSecs=3)
+        assert sliding_frame.search(
+            sl.df._jdf.queryExecution().executedPlan().toString()
+        )
 
     def test_rejections(self, spark):
         t = self._t(spark, [1, 2, 3])

@@ -20,6 +20,35 @@ class TestTimeHorizon:
         assert stats["max"] > 40000
         assert stats["total"] == pytest.approx(stats["min"] + stats["max"], rel=0.01)
 
+    def test_sub_millisecond_frequency(self, spark):
+        # the grid is in MICROSECONDS: '500 microseconds' must not divide
+        # by a zero-ms interval, and '1500 microseconds' must not silently
+        # round to a 1 ms grid
+        from tempo_spark.utils import calculate_time_horizon
+
+        df = spark.createDataFrame(
+            [("a", ts("2020-01-01 00:00:00.000000")),
+             ("a", ts("2020-01-01 00:00:00.003000"))],
+            "k string, event_ts timestamp",
+        )
+        got = calculate_time_horizon(df, "event_ts", "500 microseconds", ["k"])
+        assert got["max"] == 7.0  # buckets 0,500,...,3000 us
+        got = calculate_time_horizon(df, "event_ts", "1500 microseconds", ["k"])
+        assert got["max"] == 3.0  # buckets 0, 1500, 3000 us
+
+    def test_pre_1970_buckets_floor(self, spark):
+        # pmod flooring: a span straddling the epoch lands in 2 buckets of
+        # the 30 s grid (23:59:30 and 00:00:00) — `%` truncation toward
+        # zero undercounted this as 1
+        from tempo_spark.utils import calculate_time_horizon
+
+        df = spark.createDataFrame(
+            [("a", ts("1969-12-31 23:59:45")), ("a", ts("1970-01-01 00:00:15"))],
+            "k string, event_ts timestamp",
+        )
+        got = calculate_time_horizon(df, "event_ts", "30 seconds", ["k"])
+        assert got["max"] == 2.0
+
 
 class TestDisplay:
     def test_get_display_df(self, spark, trades):
