@@ -809,6 +809,54 @@ def dsir_probe(spark, n_raw: int, n_target: int = 20_000) -> dict:
     return out
 
 
+def disjoint_probe(spark, n_rows: int, n_series: int) -> dict:
+    """make_disjoint at scale with the round-7 reference-exact merge
+    (per-metric (start asc, end desc) coalesce + junction-guarded
+    dissolve): staggered overlapping intervals (each [t, t+3 steps) so
+    every interval overlaps its two neighbors), plain per-series range
+    join vs pinned binning, checksummed equal."""
+    from tempo_spark.intervals import IntervalsDF
+
+    step = 60.0
+    df = spark.range(n_rows).select(
+        (F.col("id") % n_series).alias("k"),
+        F.timestamp_seconds(
+            (F.col("id") / n_series).cast("long") * step
+        ).alias("start_ts"),
+        F.timestamp_seconds(
+            ((F.col("id") / n_series).cast("long") + 3) * step
+        ).alias("end_ts"),
+        F.when(F.col("id") % 3 == 0, F.col("id") % 997).alias("m1"),
+        F.when(F.col("id") % 3 == 1, F.col("id") % 991).alias("m2"),
+    )
+    out: dict = {"n_rows": n_rows, "n_series": n_series,
+                 "overlap_fanout": 3}
+    idf = IntervalsDF(df, "start_ts", "end_ts", ["k"])
+
+    def run(label, **kw):
+        t0 = time.monotonic()
+        agg = (
+            idf.make_disjoint(**kw)
+            .df.agg(
+                F.count("*").alias("n"),
+                F.sum(F.unix_micros("start_ts") % 1_000_003).alias("c1"),
+                F.sum(F.coalesce(F.col("m1"), F.lit(0))
+                      + F.coalesce(F.col("m2"), F.lit(0))).alias("c2"),
+            )
+            .collect()[0]
+        )
+        out[label] = {"sec": round(time.monotonic() - t0, 1),
+                      "rows": agg.n, "checksum": [int(agg.c1), int(agg.c2)]}
+
+    run("plain", bin_seconds=None)
+    run("binned", bin_seconds=step * 4)
+    out["paths_agree"] = (
+        out["plain"]["rows"] == out["binned"]["rows"]
+        and out["plain"]["checksum"] == out["binned"]["checksum"]
+    )
+    return out
+
+
 def chunk_probe(spark, n_sentences: int, n_docs: int = 64) -> dict:
     """Sentence-boundary chunking on pathological MANY-SENTENCE rows: the
     greedy fold is O(sentences²) per row, so past ``sentence_fallback``
@@ -943,6 +991,12 @@ def main():
         spark = _probe_session()
         for n in (2_000_000, 8_000_000):
             print(json.dumps(corr_probe(spark, n, 10_000)))
+        spark.stop()
+        return
+    if "--disjoint" in sys.argv:
+        spark = _probe_session()
+        for n in (2_000_000, 8_000_000):
+            print(json.dumps(disjoint_probe(spark, n, 10_000)))
         spark.stop()
         return
     if "--chunk" in sys.argv:
