@@ -1218,6 +1218,13 @@ class TestStatelessOpsOnStreams:
             "doc_id",
             "keep_w",
         )
+        # sentence chunking (incl. the round-7 token-grain fallback branch
+        # — pure CaseWhen, no state) stays stream-safe; one short doc ->
+        # one chunk, so row count is unchanged downstream
+        out = sampling.chunk_documents(
+            out, "doc_id", max_tokens=512, boundary="sentence",
+            sentence_fallback=2,
+        )
         assert out.isStreaming
         q = (
             out.writeStream.format("memory")
