@@ -2203,15 +2203,28 @@ SELECT tag, doc_id, val FROM (
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID ∪ TF-IDF keyword extraction, union-tagged:
+    """Language ID ∪ TF-IDF keywords ∪ paragraph-grain language analysis,
+    union-tagged:
 
     - ``lang``: stopword-argmax language prediction (term = lang code);
     - ``tfidf``: top-3 TF-IDF keywords per doc (``tfidf_keywords``) — the
       gated columns are the integer rank/tf (the float score only ORDERS,
       and it orders QUANTIZED to 1e-6 with a fully discrete
       (tf, df_t, term) tiebreak in both engines, so ln() ulp differences
-      between Spark and DuckDB can't flip a rank)."""
-    from tempo_spark.pipeline.text import tfidf_keywords, with_language_id
+      between Spark and DuckDB can't flip a rank);
+    - ``para``: ``with_paragraph_langs`` (CCNet-grain) over synthetic
+      multi-paragraph docs — the corpus texts concatenated per
+      ``doc_id % 100`` group in doc_id order with newlines (testdata docs
+      are single-line, so the multi-paragraph path needs constructing;
+      both engines build the identical string). term carries the majority
+      language AND the full per-paragraph prediction sequence; rank is
+      the 1e-6-quantized foreign-paragraph fraction as an integer (−1
+      when no paragraph got a verdict); tf = decided-paragraph count."""
+    from tempo_spark.pipeline.text import (
+        tfidf_keywords,
+        with_language_id,
+        with_paragraph_langs,
+    )
 
     docs = _read(spark, sf_dir, "documents")
     lang = with_language_id(docs, "text").select(
@@ -2228,7 +2241,37 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         F.col("tf").cast("long").alias("tf"),
     )
-    return lang.unionByName(kw)
+    grouped = (
+        docs.where(F.col("text").isNotNull())
+        .groupBy((F.col("doc_id") % 100).alias("g"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    pl = with_paragraph_langs(grouped, "text")
+    n_known = F.size(
+        F.filter(F.col("para_langs"), lambda l: l != F.lit("und"))
+    )
+    para = pl.select(
+        F.lit("para").alias("tag"),
+        F.col("g").alias("doc_id"),
+        F.concat_ws(
+            "|", F.col("majority_lang"), F.array_join("para_langs", ",")
+        ).alias("term"),
+        F.coalesce(
+            F.floor(F.col("foreign_para_frac") * 1_000_000 + F.lit(0.5))
+            .cast("long"),
+            F.lit(-1).cast("long"),
+        ).alias("rank"),
+        n_known.cast("long").alias("tf"),
+    )
+    return lang.unionByName(kw).unionByName(para)
 
 
 _LANGID_ORACLE = """
@@ -2273,7 +2316,46 @@ ranked AS (
            ORDER BY floor(tf.tf * (ln((n.n_docs + 1.0) / (d.df_t + 1.0)) + 1.0)
                           * 1000000 + 0.5) DESC,
                     tf.tf DESC, d.df_t ASC, tf.term ASC) AS rank
-  FROM tf JOIN dfreq d USING (term) CROSS JOIN n)
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN n),
+paradocs AS (
+  SELECT doc_id % 100 AS g, string_agg(text, chr(10) ORDER BY doc_id) AS text
+  FROM documents WHERE text IS NOT NULL GROUP BY doc_id % 100),
+paras AS (
+  SELECT g,
+         list_filter(regexp_split_to_array(text, '\\n+'),
+                     p -> len(trim(p)) > 0) AS pp
+  FROM paradocs),
+perpara AS (
+  SELECT g, unnest(pp) AS p, unnest(range(1, len(pp) + 1)) AS i FROM paras),
+phits AS (
+  SELECT g, i,
+         CASE WHEN trim(p) = '' THEN []::VARCHAR[]
+              ELSE list_transform(regexp_split_to_array(trim(p), '\\s+'), t -> lower(t)) END AS tok
+  FROM perpara),
+pl0 AS (
+  SELECT g, i,
+         len(list_filter(tok, t -> list_contains(['der','die','das','und','nicht','ist','ein','eine','mit','zu'], t))) AS h_de,
+         len(list_filter(tok, t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t))) AS h_en,
+         len(list_filter(tok, t -> list_contains(['el','la','de','que','y','en','un','una','por','con'], t))) AS h_es,
+         len(list_filter(tok, t -> list_contains(['le','la','les','de','et','un','une','que','pour','dans'], t))) AS h_fr
+  FROM phits),
+pl1 AS (
+  SELECT g, i,
+         CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+              WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+              WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+              WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+              ELSE 'fr' END AS lang
+  FROM pl0),
+pagg AS (SELECT g, list(lang ORDER BY i) AS pl FROM pl1 GROUP BY g),
+pm1 AS (SELECT g, pl, list_filter(pl, x -> x <> 'und') AS known FROM pagg),
+pm2 AS (
+  SELECT g, pl, known,
+         CASE WHEN len(list_distinct(known)) = 0 THEN 'und'
+              ELSE (list_sort(list_transform(list_distinct(known),
+                     c -> {{'nc': -len(list_filter(known, x -> x = c)), 'lang': c}}))[1]).lang
+         END AS maj
+  FROM pm1)
 SELECT 'lang' AS tag, doc_id, lang_pred AS term,
        CAST(0 AS BIGINT) AS rank, CAST(0 AS BIGINT) AS tf
 FROM langid
@@ -2281,6 +2363,15 @@ UNION ALL
 SELECT 'tfidf' AS tag, doc_id, term, CAST(rank AS BIGINT) AS rank,
        CAST(tf AS BIGINT) AS tf
 FROM ranked WHERE rank <= 3
+UNION ALL
+SELECT 'para' AS tag, g AS doc_id,
+       maj || '|' || array_to_string(pl, ',') AS term,
+       CASE WHEN len(known) > 0
+            THEN CAST(floor(len(list_filter(pl, x -> x <> 'und' AND x <> maj))
+                            / len(known) * 1000000 + 0.5) AS BIGINT)
+            ELSE CAST(-1 AS BIGINT) END AS rank,
+       CAST(len(known) AS BIGINT) AS tf
+FROM pm2
 """
 
 

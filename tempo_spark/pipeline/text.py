@@ -78,11 +78,11 @@ def with_quality_score(df: DataFrame, text_col: str = "text", out: str = "qualit
     return df.withColumn(out, F.round(score, 6))
 
 
-def with_language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
-    """n-gram/stopword language heuristic: count stopword hits per language,
-    predict the argmax (ties broken by language-code order, 'und' when no
-    hits at all). Pure per-row expression — no shuffle."""
-    toks = F.transform(tokens_col(F.col(text_col)), F.lower)
+def _lang_pred_expr(toks: Column) -> Column:
+    """THE stopword-argmax language predictor over a (lowercased) token
+    array — shared by the document-level and paragraph-level operators so
+    the two grains can never disagree on what a language 'is'. Ties break
+    by language-code order; 'und' when no stopword hits at all."""
     hit_cols = {}
     for lang, words in STOPWORDS.items():
         arr = F.array([F.lit(w) for w in words])
@@ -92,8 +92,146 @@ def with_language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pre
     pred = F.lit("und")
     for lang in reversed(langs):  # earlier langs win ties via later overwrite
         pred = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
-    return df.withColumn(out, pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def with_language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """n-gram/stopword language heuristic: count stopword hits per language,
+    predict the argmax (ties broken by language-code order, 'und' when no
+    hits at all). Pure per-row expression — no shuffle."""
+    toks = F.transform(tokens_col(F.col(text_col)), F.lower)
+    return df.withColumn(out, _lang_pred_expr(toks))
+
+
+#: paragraph boundary: one or more newlines (testdata/web docs are
+#: line-grained; a blank-line-only convention would see one giant
+#: paragraph). Blank/whitespace-only pieces are dropped.
+PARAGRAPH_SPLIT_REGEX = "\\n+"
+
+
+def paragraphs_col(text: Column) -> Column:
+    """THE single paragraph-boundary definition (shared by
+    ``with_paragraph_langs`` and ``remove_foreign_paragraphs`` — the
+    filter can never drop a paragraph the analysis pass didn't score).
+    NULL text stays NULL; empty/whitespace text → empty array."""
+    return F.filter(
+        F.split(text, PARAGRAPH_SPLIT_REGEX),
+        lambda p: F.length(F.trim(p)) > 0,
+    )
+
+
+def _paragraph_lang_stage(df: DataFrame, text_col: str):
+    """Stage the paragraph array, per-paragraph language array, and
+    majority language as BOUND columns (``__tempo_pp``/``__tempo_pl``/
+    ``__tempo_pm``). Staging matters twice over: HOF expressions re-inline
+    through withColumn chains (the with_minhash lesson), and the majority
+    expression is O(candidates × paragraphs) — referencing it inline from
+    a per-element lambda would evaluate it once per paragraph."""
+    for c in ("__tempo_pp", "__tempo_pl", "__tempo_pm"):
+        if c in df.columns:
+            raise ValueError(f"reserved staging column {c} present in input")
+    staged = df.withColumn("__tempo_pp", paragraphs_col(F.col(text_col)))
+    staged = staged.withColumn(
+        "__tempo_pl",
+        F.transform(
+            F.col("__tempo_pp"),
+            lambda p: _lang_pred_expr(F.transform(tokens_col(p), F.lower)),
+        ),
+    )
+    pl = F.col("__tempo_pl")
+    known = F.filter(pl, lambda l: l != F.lit("und"))
+    cands = F.array_distinct(known)
+    # majority = mode over non-'und' paragraph predictions, ties broken by
+    # language-code order (min over (-count, lang) structs); 'und' when no
+    # paragraph got a verdict
+    best = F.array_min(
+        F.transform(
+            cands,
+            lambda c: F.struct(
+                (-F.size(F.filter(known, lambda x: x == c))).alias("nc"),
+                c.alias("lang"),
+            ),
+        )
+    )
+    majority = F.when(
+        F.col(text_col).isNotNull(),
+        F.coalesce(best.getField("lang"), F.lit("und")),
+    )
+    return staged.withColumn("__tempo_pm", majority)
+
+
+def with_paragraph_langs(
+    df: DataFrame,
+    text_col: str = "text",
+    out_langs: str = "para_langs",
+    out_majority: str = "majority_lang",
+    out_frac: str = "foreign_para_frac",
+) -> DataFrame:
+    """Paragraph-grain language analysis (the CCNet recipe applies language
+    ID per paragraph, not per document — web pages routinely embed nav or
+    quotes in another language): emits the per-paragraph prediction array,
+    the majority language over decided paragraphs, and
+    ``foreign_para_frac`` — the fraction of decided paragraphs
+    DISAGREEING with the majority (the mixed-language-document signal;
+    hardened-rounded to 6 decimals so any engine reproduces it
+    bit-identically). NULL text → all three NULL; a doc with no decided
+    paragraph → majority 'und', frac NULL.
+
+    Pure per-row expressions over the shared :func:`paragraphs_col` /
+    :func:`_lang_pred_expr` definitions — zero shuffles, stream-safe."""
+    for c in (out_langs, out_majority, out_frac):
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already present in input")
+    staged = _paragraph_lang_stage(df, text_col)
+    pl, pm = F.col("__tempo_pl"), F.col("__tempo_pm")
+    n_known = F.size(F.filter(pl, lambda l: l != F.lit("und")))
+    n_foreign = F.size(
+        F.filter(pl, lambda l: (l != F.lit("und")) & (l != pm))
+    )
+    frac = F.when(
+        n_known > 0,
+        F.floor(n_foreign / n_known * 1_000_000 + F.lit(0.5)) / 1_000_000,
+    )
+    return (
+        staged.withColumn(out_langs, pl)
+        .withColumn(out_majority, pm)
+        .withColumn(out_frac, frac)
+        .drop("__tempo_pp", "__tempo_pl", "__tempo_pm")
+    )
+
+
+def remove_foreign_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "text_clean",
+    keep_und: bool = True,
+) -> DataFrame:
+    """CCNet-style foreign-paragraph removal: keep only paragraphs whose
+    predicted language matches the document's majority language
+    (``keep_und`` also keeps undecided paragraphs — short lists/headings
+    rarely carry stopwords; pass False for strict filtering). Kept
+    paragraphs re-join with a single newline (the paragraph split already
+    normalizes newline runs). NULL text stays NULL; a fully-foreign or
+    empty doc yields ''. Zero shuffles, stream-safe; shares
+    :func:`paragraphs_col`/:func:`_lang_pred_expr` with the analysis
+    operators."""
+    if out in df.columns:
+        raise ValueError(f"output column {out!r} already present in input")
+    staged = _paragraph_lang_stage(df, text_col)
+    pm = F.col("__tempo_pm")
+    keep = lambda p, l: F.when(  # noqa: E731
+        (l == pm) | (F.lit(bool(keep_und)) & (l == F.lit("und"))), p
+    )
+    kept = F.filter(
+        F.zip_with(F.col("__tempo_pp"), F.col("__tempo_pl"), keep),
+        lambda p: p.isNotNull(),
+    )
+    cleaned = F.when(
+        F.col(text_col).isNotNull(), F.array_join(kept, "\n")
+    )
+    return staged.withColumn(out, cleaned).drop(
+        "__tempo_pp", "__tempo_pl", "__tempo_pm"
+    )
 
 
 def with_repetition_metrics(

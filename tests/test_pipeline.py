@@ -46,6 +46,63 @@ class TestTextOps:
         assert out[4] == "es"
         assert out[5] == "und"
 
+    def test_paragraph_langs(self, spark):
+        en = "the cat is in the house and it is warm"
+        fr = "le chat et la maison pour les amis dans un jour"
+        es = "el perro y la casa que es de un amigo con pan"
+        rows = [
+            (1, f"{en}\n{en}\n{fr}"),           # en majority, 1/3 foreign
+            (2, f"{fr}\n\n\n{es}\n{fr}"),       # newline runs; fr majority
+            (3, "zzz qqq\nxxx yyy"),            # no stopwords anywhere
+            (4, ""),
+            (5, None),
+            (6, f"{en}\nzzz qqq\n{en}"),        # und paragraph ignored
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in text.with_paragraph_langs(df).collect()}
+        assert got[1].para_langs == ["en", "en", "fr"]
+        assert got[1].majority_lang == "en"
+        assert abs(got[1].foreign_para_frac - 1 / 3) < 1e-6
+        assert got[2].para_langs == ["fr", "es", "fr"]
+        assert got[2].majority_lang == "fr"
+        assert got[3].majority_lang == "und"
+        assert got[3].foreign_para_frac is None
+        assert got[4].para_langs == [] and got[4].majority_lang == "und"
+        assert got[5].para_langs is None and got[5].majority_lang is None
+        assert got[6].para_langs == ["en", "und", "en"]
+        assert got[6].foreign_para_frac == 0.0
+
+    def test_remove_foreign_paragraphs(self, spark):
+        en = "the cat is in the house and it is warm"
+        fr = "le chat et la maison pour les amis dans un jour"
+        rows = [(1, f"{en}\n{fr}\n{en}\nzzz qqq"), (2, None), (3, fr)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.text_clean
+               for r in text.remove_foreign_paragraphs(df).collect()}
+        assert got[1] == f"{en}\n{en}\nzzz qqq"  # fr dropped, und kept
+        assert got[2] is None
+        assert got[3] == fr  # single-language doc untouched
+        strict = {r.doc_id: r.text_clean
+                  for r in text.remove_foreign_paragraphs(
+                      df, keep_und=False).collect()}
+        assert strict[1] == f"{en}\n{en}"
+
+    def test_paragraph_ops_stream_safe_and_guarded(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="already present"):
+            text.with_paragraph_langs(df.withColumn("para_langs", F.lit("x")))
+        with _pytest.raises(ValueError, match="reserved staging"):
+            text.remove_foreign_paragraphs(
+                df.withColumn("__tempo_pl", F.lit("x")))
+        from tempo_spark.plans.inspect import count_exchanges
+
+        assert count_exchanges(
+            text.remove_foreign_paragraphs(
+                text.with_paragraph_langs(df).drop("para_langs"))
+        ) == 0
+
     def test_fingerprint_deterministic(self, docs):
         out1 = {r.doc_id: r.fingerprint for r in text.with_fingerprint(docs).collect()}
         out2 = {r.doc_id: r.fingerprint for r in text.with_fingerprint(docs).collect()}
