@@ -38,6 +38,7 @@ def prepare_corpus(
     *,
     normalize: bool = False,
     redact: bool = False,
+    remove_foreign_paras: bool = False,
     min_quality: float | None = None,
     max_dup_2gram_frac: float | None = None,
     paragraph_dedup: bool = False,
@@ -61,10 +62,14 @@ def prepare_corpus(
     1. per-row signals + filters (token count, quality, dup-2gram; with
        ``normalize=True``, ``normalize_text`` unicode/whitespace cleanup
        runs FIRST — dedup digests over un-normalized text miss duplicates
-       that differ only in quote style or whitespace — and with
-       ``redact=True``, PII pattern redaction next, so every downstream
-       hash/signal sees the cleaned text) — shuffle-free, prunes before
-       anything expensive runs;
+       that differ only in quote style or whitespace — with
+       ``redact=True``, PII pattern redaction next, and with
+       ``remove_foreign_paras=True`` the CCNet foreign-paragraph filter
+       after that (paragraphs disagreeing with the document's majority
+       language are dropped BEFORE signals, so quality/token counts
+       describe the text that ships), so every downstream hash/signal
+       sees the cleaned text — shuffle-free, prunes before anything
+       expensive runs;
     2. ``paragraph_dedup`` — keep-first sub-document dedup (C4 recipe) on
        ``paragraph_sep``-separated blocks, then re-derived token counts;
        ``span_dedup_ngram`` (e.g. 50) additionally cuts repeated word
@@ -103,6 +108,14 @@ def prepare_corpus(
         out = normalize_text(out, text_col)
     if redact:
         out = redact_patterns(out, text_col)
+    if remove_foreign_paras:
+        from tempo_spark.pipeline.text import remove_foreign_paragraphs
+
+        out = (
+            remove_foreign_paragraphs(out, text_col, out="__tempo_rfp")
+            .withColumn(text_col, F.col("__tempo_rfp"))
+            .drop("__tempo_rfp")
+        )
     out = with_token_count(out, text_col)
     out = with_quality_score(out, text_col)
     out = with_repetition_metrics(out, text_col, n=2)

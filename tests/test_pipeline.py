@@ -2793,6 +2793,20 @@ class TestReviewFixesRound5:
         assert out[1].dup_2gram_frac == 0.0
         assert out[1].n_tokens == 2
 
+    def test_prepare_remove_foreign_paras_cleans_before_signals(self, spark):
+        from tempo_spark.pipeline.prepare import prepare_corpus
+
+        en = "the cat is in the house and it is warm"
+        fr = "le chat et la maison pour les amis dans un jour"
+        df = spark.createDataFrame(
+            [(0, f"{en}\n{fr}\n{en}")], "doc_id long, text string"
+        )
+        out = prepare_corpus(df, remove_foreign_paras=True).collect()[0]
+        # the foreign paragraph is gone BEFORE signals: token count
+        # describes the shipped (cleaned) text
+        assert out.text == f"{en}\n{en}"
+        assert out.n_tokens == 2 * len(en.split())
+
     def test_capped_lsh_still_correct_after_agg_rewrite(self, docs):
         base = docs.where("length(text) > 0")
         uncapped = dedup.minhash_dedup(base, "doc_id", threshold=0.5)
