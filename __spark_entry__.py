@@ -2241,8 +2241,12 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         F.col("tf").cast("long").alias("tf"),
     )
+    # drop blank texts on BOTH sides: a group of only-blank docs would
+    # yield zero paragraphs — Spark still emits its ('und', -1) row while
+    # the oracle's unnest drops the group entirely (row-count mismatch);
+    # testdata regenerates every round, so don't depend on its luck
     grouped = (
-        docs.where(F.col("text").isNotNull())
+        docs.where(F.length(F.trim(F.col("text"))) > 0)
         .groupBy((F.col("doc_id") % 100).alias("g"))
         .agg(
             F.array_join(
@@ -2319,7 +2323,7 @@ ranked AS (
   FROM tf JOIN dfreq d USING (term) CROSS JOIN n),
 paradocs AS (
   SELECT doc_id % 100 AS g, string_agg(text, chr(10) ORDER BY doc_id) AS text
-  FROM documents WHERE text IS NOT NULL GROUP BY doc_id % 100),
+  FROM documents WHERE len(trim(text)) > 0 GROUP BY doc_id % 100),
 paras AS (
   SELECT g,
          list_filter(regexp_split_to_array(text, '\\n+'),
