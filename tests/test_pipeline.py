@@ -72,6 +72,58 @@ class TestTextOps:
         assert got[6].para_langs == ["en", "und", "en"]
         assert got[6].foreign_para_frac == 0.0
 
+    def test_paragraph_langs_match_python_model(self, spark):
+        # exact replica of the operator's contract in pure python over a
+        # seeded mixed-language corpus — every column, every doc
+        import random
+
+        from tempo_spark.pipeline.text import STOPWORDS
+
+        rng = random.Random(7)
+        vocab = {l: ws + ["xq%d" % i for i in range(6)]
+                 for l, ws in STOPWORDS.items()}
+        langs = sorted(STOPWORDS)
+
+        def para(lang):
+            return " ".join(rng.choice(vocab[lang]) for _ in range(12))
+
+        rows = []
+        for i in range(20):
+            n = rng.randint(1, 6)
+            rows.append((i, "\n".join(
+                para(rng.choice(langs)) for _ in range(n))))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in text.with_paragraph_langs(df).collect()}
+
+        def predict(p):
+            toks = p.lower().split()
+            hits = {l: sum(t in STOPWORDS[l] for t in toks) for l in langs}
+            best = max(hits.values())
+            if best == 0:
+                return "und"
+            return min(l for l in langs if hits[l] == best)
+
+        for i, txt in rows:
+            paras = [p for p in txt.split("\n") if p.strip()]
+            pl = [predict(p) for p in paras]
+            known = [l for l in pl if l != "und"]
+            if known:
+                maj = min(set(known),
+                          key=lambda c: (-known.count(c), c))
+                frac = (
+                    __import__("math").floor(
+                        sum(l != maj for l in known) / len(known) * 1e6 + 0.5
+                    ) / 1e6
+                )
+            else:
+                maj, frac = "und", None
+            assert got[i].para_langs == pl, i
+            assert got[i].majority_lang == maj, i
+            if frac is None:
+                assert got[i].foreign_para_frac is None, i
+            else:
+                assert got[i].foreign_para_frac == frac, i
+
     def test_remove_foreign_paragraphs(self, spark):
         en = "the cat is in the house and it is warm"
         fr = "le chat et la maison pour les amis dans un jour"
