@@ -231,6 +231,26 @@ def _normalize_stats(spark, sf_dir):
     return corpus_stats(normalize_text(docs, "text"), ["source"])
 
 
+def _paragraph_filter(spark, sf_dir):
+    # CCNet paragraph-grain pass over synthetic multi-paragraph docs
+    # (corpus texts concatenated per doc_id%500 group): per-paragraph
+    # language ID, majority, mixed-language fraction, foreign removal
+    from tempo_spark.pipeline.text import (
+        remove_foreign_paragraphs,
+        with_paragraph_langs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grouped = (
+        docs.where(F.length(F.trim(F.col("text"))) > 0)
+        .groupBy((F.col("doc_id") % 500).alias("g"))
+        .agg(F.concat_ws("\n", F.collect_list("text")).alias("text"))
+    )
+    return remove_foreign_paragraphs(
+        with_paragraph_langs(grouped), out="clean"
+    ).select("g", "majority_lang", "foreign_para_frac", F.length("clean"))
+
+
 def _dsir_select(spark, sf_dir):
     # full DSIR chain on the production hash: fit target (one source slice)
     # + raw, ratio, score every doc, Gumbel top-500 resample
@@ -298,6 +318,7 @@ BENCH_QUERIES = {
     "b25_semantic_dedup": _semantic_dedup,
     "b26_normalize_stats": _normalize_stats,
     "b27_dsir_select": _dsir_select,
+    "b28_paragraph_filter": _paragraph_filter,
 }
 
 RUNS = 3

@@ -1317,6 +1317,10 @@ class TestStatelessOpsOnStreams:
         out = text.with_language_id(
             text.with_quality_score(text.with_token_count(sdf))
         )
+        # paragraph-grain ops are equally stateless (per-row HOFs)
+        out = text.remove_foreign_paragraphs(
+            text.with_paragraph_langs(out), out="clean"
+        )
         from tempo_spark.pipeline import sampling
 
         # weight 1.0 -> always kept: this test pins stream COMPOSABILITY,
