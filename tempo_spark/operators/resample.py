@@ -121,7 +121,19 @@ def resample(
     pfx = f"{prefix}_" if prefix else ""
     bucket = _bucket_start(ts, f.window_duration)
 
-    grouped = tsdf.df.groupBy(*series, bucket.alias(ts))
+    base = tsdf.df
+    if fill and series:
+        # the fill pass adds a per-SERIES window after the per-(series,
+        # bucket) aggregation — two different clusterings, two exchanges.
+        # Pre-partitioning on the series keys serves BOTH (subset-hash
+        # partitioning satisfies ClusteredDistribution for the agg; the
+        # window requires exactly it), collapsing the plan to ONE shuffle
+        # — plan-pinned in tests. Partial (map-side) aggregation still
+        # applies within partitions. Skew note: the window already
+        # concentrates each series into one task, so this moves no
+        # worst-case boundary.
+        base = base.repartition(*[F.col(c) for c in series])
+    grouped = base.groupBy(*series, bucket.alias(ts))
 
     if per_col is not None:
         out = grouped.agg(
@@ -222,7 +234,12 @@ def calc_bars(
         aggs.append(F.min(F.col(c)).alias(f"low_{c}"))
         aggs.append(F.max(F.col(c)).alias(f"high_{c}"))
 
-    agged = tsdf.df.groupBy(*series, bucket.alias(ts)).agg(*aggs)
+    base = tsdf.df
+    if fill and series:
+        # same one-shuffle collapse as resample(fill=True): the fill
+        # window's per-series clustering serves the agg too
+        base = base.repartition(*[F.col(c) for c in series])
+    agged = base.groupBy(*series, bucket.alias(ts)).agg(*aggs)
     sel = [*series, ts]
     out_cols = []
     for c in metric_cols:

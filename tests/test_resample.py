@@ -266,6 +266,19 @@ class TestPerColumnFuncs:
         assert rows["2020-01-01 00:00:00"] == (15.0, 400.0)
         assert rows["2020-01-01 00:01:00"] == (30.0, 50.0)
 
+    def test_fill_single_shuffle(self, spark):
+        # fill=True pre-partitions on the series keys so the (series,
+        # bucket) aggregation AND the per-series fill window share ONE
+        # exchange (subset-hash satisfies ClusteredDistribution) — the
+        # naive plan paid two
+        from tempo_spark.plans.inspect import count_exchanges
+
+        t = self._tsdf(spark)
+        out = t.resample("1 minute", "mean", fill=True)
+        assert count_exchanges(out.df) == 1
+        bars = t.calc_bars("1 minute", fill=True)
+        assert count_exchanges(bars.df) == 1
+
     def test_dict_func_validation(self, spark):
         t = self._tsdf(spark)
         with pytest.raises(ValueError):
