@@ -23,6 +23,7 @@ Usage:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -899,6 +900,13 @@ def chunk_probe(spark, n_sentences: int, n_docs: int = 64) -> dict:
     return out
 
 
+def _stamp(d: dict) -> dict:
+    """Attach the 1-min loadavg to a probe record — a loaded-host capture
+    must be self-describing (the bench.py load-guard lesson: identical code
+    measured 12.2 s and 21.2 s at loadavg 2 vs 8.5)."""
+    return {**d, "loadavg1": round(os.getloadavg()[0], 1)}
+
+
 def _probe_session():
     """One shared probe configuration: every scenario must run under the
     same session settings or cross-probe comparisons silently skew."""
@@ -962,21 +970,21 @@ def main():
     if "--text" in sys.argv:
         spark = _probe_session()
         for n in (1_000_000, 4_000_000):
-            print(json.dumps(text_probe(spark, n)))
+            print(json.dumps(_stamp(text_probe(spark, n))))
         spark.stop()
         return
     if "--asofmany" in sys.argv:
         spark = _probe_session()
         for n in (4_000_000, 16_000_000):
-            print(json.dumps(asofmany_probe(spark, n, 10_000, 4)))
+            print(json.dumps(_stamp(asofmany_probe(spark, n, 10_000, 4))))
         # the typical shape: rights ≪ left (feature sources vs event stream)
-        print(json.dumps(asofmany_probe(spark, 16_000_000, 10_000, 4, 1_600_000)))
+        print(json.dumps(_stamp(asofmany_probe(spark, 16_000_000, 10_000, 4, 1_600_000))))
         spark.stop()
         return
     if "--ivljoin" in sys.argv:
         spark = _probe_session()
         for n in (100_000, 500_000, 2_000_000):
-            print(json.dumps(ivljoin_probe(spark, n, 8)))
+            print(json.dumps(_stamp(ivljoin_probe(spark, n, 8))))
         spark.stop()
         return
     if "--ivfassign" in sys.argv:
@@ -984,43 +992,43 @@ def main():
         # execution work is n_vecs × n_centroids × dim — shrink the corpus
         # as k grows so the BUILD-latency axis (the hazard) stays visible
         for n, k in ((2_000_000, 64), (200_000, 1024), (50_000, 4096)):
-            print(json.dumps(ivfassign_probe(spark, n, k)))
+            print(json.dumps(_stamp(ivfassign_probe(spark, n, k))))
         spark.stop()
         return
     if "--corr" in sys.argv:
         spark = _probe_session()
         for n in (2_000_000, 8_000_000):
-            print(json.dumps(corr_probe(spark, n, 10_000)))
+            print(json.dumps(_stamp(corr_probe(spark, n, 10_000))))
         spark.stop()
         return
     if "--disjoint" in sys.argv:
         spark = _probe_session()
         for n in (2_000_000, 8_000_000):
-            print(json.dumps(disjoint_probe(spark, n, 10_000)))
+            print(json.dumps(_stamp(disjoint_probe(spark, n, 10_000))))
         spark.stop()
         return
     if "--chunk" in sys.argv:
         spark = _probe_session()
         for n in (10_000, 40_000, 100_000):
-            print(json.dumps(chunk_probe(spark, n)))
+            print(json.dumps(_stamp(chunk_probe(spark, n))))
         spark.stop()
         return
     if "--dsir" in sys.argv:
         spark = _probe_session()
         for n in (1_000_000, 4_000_000):
-            print(json.dumps(dsir_probe(spark, n)))
+            print(json.dumps(_stamp(dsir_probe(spark, n))))
         spark.stop()
         return
     if "--anomaly" in sys.argv:
         spark = _probe_session()
         for n in (2_000_000, 8_000_000):
-            print(json.dumps(anomaly_probe(spark, n, 10_000)))
+            print(json.dumps(_stamp(anomaly_probe(spark, n, 10_000))))
         spark.stop()
         return
     if "--spandedup" in sys.argv:
         spark = _probe_session()
         for n in (1_000_000, 4_000_000):
-            print(json.dumps(spandedup_probe(spark, n)))
+            print(json.dumps(_stamp(spandedup_probe(spark, n))))
         spark.stop()
         return
     if "--semdedup" in sys.argv:
@@ -1028,42 +1036,42 @@ def main():
         # k scales with n (the SemDeDup regime); the small run's pair graph
         # takes the CC driver fast path, the large one the distributed loop
         for n, k in ((200_000, 1024), (800_000, 4096)):
-            print(json.dumps(semdedup_probe(spark, n, k)))
+            print(json.dumps(_stamp(semdedup_probe(spark, n, k))))
         spark.stop()
         return
     if "--paradedup" in sys.argv:
         spark = _probe_session()
         for n in (1_000_000, 4_000_000):
-            print(json.dumps(paradedup_probe(spark, n)))
+            print(json.dumps(_stamp(paradedup_probe(spark, n))))
         spark.stop()
         return
     if "--asofbin" in sys.argv:
         spark = _probe_session()
         for n in (2_000_000, 8_000_000):
-            print(json.dumps(asof_bin_probe(spark, n, 8)))
+            print(json.dumps(_stamp(asof_bin_probe(spark, n, 8))))
         spark.stop()
         return
     if "--stopgram" in sys.argv:
         spark = _probe_session()
         for n in (1_000_000, 4_000_000):
-            print(json.dumps(stopgram_probe(spark, n)))
+            print(json.dumps(_stamp(stopgram_probe(spark, n))))
         spark.stop()
         return
     if "--neardedup" in sys.argv:
         spark = _probe_session()
         for corpus_rows in (500_000, 2_000_000):
-            print(json.dumps(near_dedup_probe(spark, corpus_rows, corpus_rows // 100)))
+            print(json.dumps(_stamp(near_dedup_probe(spark, corpus_rows, corpus_rows // 100))))
         spark.stop()
         return
     if "--corpus" in sys.argv:
         spark = _probe_session()
         for corpus_rows in (8_000_000, 32_000_000):
-            print(json.dumps(corpus_dedup_probe(spark, corpus_rows, corpus_rows // 100)))
+            print(json.dumps(_stamp(corpus_dedup_probe(spark, corpus_rows, corpus_rows // 100))))
         spark.stop()
         return
     if "--cc" in sys.argv:
         spark = _probe_session()
-        print(json.dumps(cc_probe(spark, 2_000_000, 64)))
+        print(json.dumps(_stamp(cc_probe(spark, 2_000_000, 64))))
         spark.stop()
         return
     spark = (
@@ -1081,16 +1089,16 @@ def main():
     if skew:
         for frac in (0.0, 0.5):
             results.append(probe(spark, 16_000_000, 10_000, skew_frac=frac))
-            print(json.dumps(results[-1]))
+            print(json.dumps(_stamp(results[-1])))
     elif "--big" in sys.argv:
         # 64M rows — linearity check for the O(n) operators; the sliding
         # range frame is skipped (known O(rows × frame_rows): ~15 min here)
         results.append(probe(spark, 64_000_000, 10_000, skip_sliding=True))
-        print(json.dumps(results[-1]))
+        print(json.dumps(_stamp(results[-1])))
     else:
         for n in (1_000_000, 4_000_000, 16_000_000):
             results.append(probe(spark, n, 10_000))
-            print(json.dumps(results[-1]))
+            print(json.dumps(_stamp(results[-1])))
     spark.stop()
 
 

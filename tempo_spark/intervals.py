@@ -585,6 +585,19 @@ class IntervalsDF:
         s, e = self.start_ts, self.end_ts
         series = self.series_ids
         payload = self.observational_columns
+        if series:
+            # ONE series-keyed exchange feeds the whole operator: the
+            # boundary distinct ((series, b) — subset-hash satisfies
+            # ClusteredDistribution), the segment window (exactly this
+            # clustering), BOTH sides of the segment↔interval join (its
+            # equality keys are the series columns; partial clustering on
+            # a subset of join keys co-partitions since Spark 3.3), the
+            # merge aggregation, the coalesce window, and the final
+            # grouping. Without it each stage shuffles on its own keys —
+            # measured 4 exchanges vs 1 (plan-pinned in tests). Adjacent
+            # repartitions collapse (CollapseRepartition), so an already-
+            # repartitioned input pays nothing extra.
+            df = df.repartition(*[F.col(c) for c in series])
 
         seg_s, seg_e = "__seg_start", "__seg_end"
 

@@ -253,6 +253,21 @@ class TestStackedRoundtrip:
         assert a.union(b).df.count() == 2
         assert a.unionByName(b).df.count() == 2
 
+    def test_make_disjoint_two_exchanges(self, spark):
+        # the leading series repartition feeds every stage (boundary
+        # distinct, segment window, join equality keys, merge agg,
+        # coalesce window, final grouping) — the plan carries exactly one
+        # series-hash exchange per self-join branch (column pruning below
+        # the exchanges differs, so they cannot reuse), down from 4
+        from tempo_spark.plans.inspect import count_exchanges
+
+        rows = [
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:02:00"), "a", 1, None),
+            (ts("2020-01-01 00:01:00"), ts("2020-01-01 00:03:00"), "a", None, 5),
+        ]
+        out = idf(spark, rows).make_disjoint(bin_seconds=None)
+        assert count_exchanges(out.df) == 2
+
     def test_union_rejects_non_idf(self, spark):
         # reference parity (python/tests/intervals_tests.py
         # test_union_other_df / _other_list_dicts / unionByName variants):
