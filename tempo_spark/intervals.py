@@ -585,7 +585,9 @@ class IntervalsDF:
         s, e = self.start_ts, self.end_ts
         series = self.series_ids
         payload = self.observational_columns
-        if series:
+        if series and not df.isStreaming:
+            from tempo_spark.plans.inspect import is_series_clustered
+
             # ONE series-keyed exchange feeds the whole operator: the
             # boundary distinct ((series, b) — subset-hash satisfies
             # ClusteredDistribution), the segment window (exactly this
@@ -594,10 +596,12 @@ class IntervalsDF:
             # a subset of join keys co-partitions since Spark 3.3), the
             # merge aggregation, the coalesce window, and the final
             # grouping. Without it each stage shuffles on its own keys —
-            # measured 4 exchanges vs 1 (plan-pinned in tests). Adjacent
-            # repartitions collapse (CollapseRepartition), so an already-
-            # repartitioned input pays nothing extra.
-            df = df.repartition(*[F.col(c) for c in series])
+            # measured 4 exchanges vs 2 (one per self-join branch;
+            # plan-pinned in tests). Skipped when the input already
+            # delivers series clustering — repartitioning it would ADD a
+            # shuffle per branch instead.
+            if not is_series_clustered(df, series):
+                df = df.repartition(*[F.col(c) for c in series])
 
         seg_s, seg_e = "__seg_start", "__seg_end"
 

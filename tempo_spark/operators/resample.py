@@ -122,17 +122,22 @@ def resample(
     bucket = _bucket_start(ts, f.window_duration)
 
     base = tsdf.df
-    if fill and series:
+    if fill and series and not base.isStreaming:
+        from tempo_spark.plans.inspect import is_series_clustered
+
         # the fill pass adds a per-SERIES window after the per-(series,
         # bucket) aggregation — two different clusterings, two exchanges.
         # Pre-partitioning on the series keys serves BOTH (subset-hash
         # partitioning satisfies ClusteredDistribution for the agg; the
         # window requires exactly it), collapsing the plan to ONE shuffle
         # — plan-pinned in tests. Partial (map-side) aggregation still
-        # applies within partitions. Skew note: the window already
-        # concentrates each series into one task, so this moves no
-        # worst-case boundary.
-        base = base.repartition(*[F.col(c) for c in series])
+        # applies within partitions. Skipped when the input already
+        # delivers series clustering (bucketed table, repartitioned()
+        # chain) — repartitioning it would ADD a shuffle, not save one.
+        # Skew note: the window already concentrates each series into one
+        # task, so this moves no worst-case boundary.
+        if not is_series_clustered(base, series):
+            base = base.repartition(*[F.col(c) for c in series])
     grouped = base.groupBy(*series, bucket.alias(ts))
 
     if per_col is not None:
@@ -235,10 +240,13 @@ def calc_bars(
         aggs.append(F.max(F.col(c)).alias(f"high_{c}"))
 
     base = tsdf.df
-    if fill and series:
+    if fill and series and not base.isStreaming:
+        from tempo_spark.plans.inspect import is_series_clustered
+
         # same one-shuffle collapse as resample(fill=True): the fill
         # window's per-series clustering serves the agg too
-        base = base.repartition(*[F.col(c) for c in series])
+        if not is_series_clustered(base, series):
+            base = base.repartition(*[F.col(c) for c in series])
     agged = base.groupBy(*series, bucket.alias(ts)).agg(*aggs)
     sel = [*series, ts]
     out_cols = []

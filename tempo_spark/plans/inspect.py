@@ -57,6 +57,32 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"Arguments: hashpartitioning", plan))
 
 
+#: memoized series-clustering probe results keyed by (semanticHash, keys) —
+#: a plan-CHOICE statistic only: a stale or collided entry picks a slower
+#: plan (a redundant or missing repartition), never wrong results
+_CLUSTERED_CACHE: dict = {}
+
+
+def is_series_clustered(df: DataFrame, series: list) -> bool:
+    """True when ``df``'s physical plan already delivers hash clustering
+    compatible with grouping by ``series`` (a bucketed scan, an upstream
+    ``repartition(series)``, or an aggregation keyed by a series subset):
+    a ``groupBy(series)`` probe plan compiles with ZERO exchanges. Used by
+    operators that consider a leading ``repartition(series)`` to collapse
+    their stages onto one exchange — repartitioning an already-clustered
+    input would ADD a full shuffle instead. Compiles one explain (no jobs
+    run); memoized like the make_disjoint auto-bin probe."""
+    import pyspark.sql.functions as F
+
+    key = (df.semanticHash(), tuple(series))
+    if key not in _CLUSTERED_CACHE:
+        probe = df.groupBy(*[F.col(c) for c in series]).agg(
+            F.count(F.lit(1))
+        )
+        _CLUSTERED_CACHE[key] = count_exchanges(probe) == 0
+    return _CLUSTERED_CACHE[key]
+
+
 def count_python_evals(df: DataFrame) -> int:
     """Number of Python-worker operators (row/Arrow UDF eval, pandas
     group-map / map-iter) in the physical plan. The repo invariant is ZERO
