@@ -131,11 +131,16 @@ def resample(
         # partitioning satisfies ClusteredDistribution for the agg; the
         # window requires exactly it), collapsing the plan to ONE shuffle
         # — plan-pinned in tests. Partial (map-side) aggregation still
-        # applies within partitions. Skipped when the input already
-        # delivers series clustering (bucketed table, repartitioned()
-        # chain) — repartitioning it would ADD a shuffle, not save one.
-        # Skew note: the window already concentrates each series into one
-        # task, so this moves no worst-case boundary.
+        # applies within partitions, but the single exchange now carries
+        # RAW rows where the two-exchange plan shuffled map-side-combined
+        # partials: the collapse wins when the bucket grain reduces rows
+        # modestly (the upsample-fill shape — the fill EXPANDS rows); for
+        # a very coarse, high-reduction resample the two reduced shuffles
+        # can move fewer bytes on a real network. Skipped when the input
+        # already delivers series clustering (bucketed table,
+        # repartitioned() chain) — repartitioning it would ADD a shuffle,
+        # not save one. Skew note: the window already concentrates each
+        # series into one task, so this moves no worst-case boundary.
         if not is_series_clustered(base, series):
             base = base.repartition(*[F.col(c) for c in series])
     grouped = base.groupBy(*series, bucket.alias(ts))

@@ -278,6 +278,15 @@ class TestPerColumnFuncs:
         assert count_exchanges(out.df) == 1
         bars = t.calc_bars("1 minute", fill=True)
         assert count_exchanges(bars.df) == 1
+        # the one-call interpolate path gets the same collapse (the
+        # chained resample(...).interpolate(...) form cannot — the
+        # resample plan is already built when interpolate sees it)
+        one_call = t.interpolate("linear", freq="1 minute", func="mean")
+        assert count_exchanges(one_call.df) == 1
+        chained = t.resample("1 minute", "mean").interpolate("linear")
+        assert sorted(map(tuple, one_call.df.collect())) == sorted(
+            map(tuple, chained.df.collect())
+        )
 
     def test_dict_func_validation(self, spark):
         t = self._tsdf(spark)
