@@ -247,7 +247,8 @@ def _paragraph_filter(spark, sf_dir):
         .agg(F.concat_ws("\n", F.collect_list("text")).alias("text"))
     )
     return remove_foreign_paragraphs(
-        with_paragraph_langs(grouped), out="clean"
+        with_paragraph_langs(grouped), out="clean",
+        langs_col="para_langs", majority_col="majority_lang",
     ).select("g", "majority_lang", "foreign_para_frac", F.length("clean"))
 
 

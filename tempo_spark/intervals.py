@@ -703,17 +703,22 @@ class IntervalsDF:
             for c in payload
         ]
         vec = F.struct(*[F.col(c) for c in payload]) if payload else None
-        stat_aggs = [
-            (F.max(F.col("__i_end")) > F.col(seg_e)).alias("__ext"),
-        ]
         if _coalesce == "reference":
-            stat_aggs.append(
+            stat_aggs = [
+                (F.max(F.col("__i_end")) > F.col(seg_e)).alias("__ext"),
                 (
                     F.min(vec).eqNullSafe(F.max(vec))
                     if payload
                     else F.max(F.lit(True))
-                ).alias("__one_vec")
-            )
+                ).alias("__one_vec"),
+            ]
+        elif payload:
+            # blanket mode never reads the junction stats — skip the agg
+            # work entirely
+            stat_aggs = []
+        else:
+            # an empty agg() list is rejected by pyspark
+            stat_aggs = [F.max(F.lit(1)).alias("__one")]
         merged = paired.groupBy(*series, seg_s, seg_e).agg(
             *merge_aggs, *stat_aggs
         )

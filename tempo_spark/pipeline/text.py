@@ -205,33 +205,68 @@ def remove_foreign_paragraphs(
     text_col: str = "text",
     out: str = "text_clean",
     keep_und: bool = True,
+    langs_col: Optional[str] = None,
+    majority_col: Optional[str] = None,
 ) -> DataFrame:
     """CCNet-style foreign-paragraph removal: keep only paragraphs whose
-    predicted language matches the document's majority language
-    (``keep_und`` also keeps undecided paragraphs — short lists/headings
-    rarely carry stopwords; pass False for strict filtering). Kept
-    paragraphs re-join with a single newline (the paragraph split already
-    normalizes newline runs). NULL text stays NULL; a fully-foreign or
-    empty doc yields ''. Zero shuffles, stream-safe; shares
-    :func:`paragraphs_col`/:func:`_lang_pred_expr` with the analysis
-    operators."""
+    predicted language matches the document's majority language.
+    ``keep_und=True`` (default) also keeps undecided paragraphs — short
+    lists/headings rarely carry stopwords; ``keep_und=False`` drops EVERY
+    undecided paragraph, including when the majority itself is 'und' (an
+    all-undecided doc strictly filters to ''). Kept paragraphs re-join
+    with a single newline (the paragraph split already normalizes newline
+    runs). NULL text stays NULL; a fully-foreign or empty doc yields ''.
+    Zero shuffles, stream-safe; shares :func:`paragraphs_col`/
+    :func:`_lang_pred_expr` with the analysis operators.
+
+    Pass ``langs_col``/``majority_col`` (both or neither) to REUSE the
+    columns a prior :func:`with_paragraph_langs` produced instead of
+    re-scoring every paragraph — the composed
+    ``remove_foreign_paragraphs(with_paragraph_langs(df), langs_col=
+    "para_langs", majority_col="majority_lang")`` then runs the expensive
+    language stage once (only the cheap paragraph re-split repeats; a
+    length mismatch between the split and the given langs array fails
+    lazily via ``assert_true`` rather than silently dropping
+    paragraphs)."""
     if out in df.columns:
         raise ValueError(f"output column {out!r} already present in input")
-    staged = _paragraph_lang_stage(df, text_col)
-    pm = F.col("__tempo_pm")
-    keep = lambda p, l: F.when(  # noqa: E731
-        (l == pm) | (F.lit(bool(keep_und)) & (l == F.lit("und"))), p
-    )
+    if (langs_col is None) != (majority_col is None):
+        raise ValueError("pass langs_col and majority_col together")
+    if langs_col is None:
+        staged = _paragraph_lang_stage(df, text_col)
+        pl, pm = F.col("__tempo_pl"), F.col("__tempo_pm")
+        drop_cols = ["__tempo_pp", "__tempo_pl", "__tempo_pm"]
+    else:
+        for c in (langs_col, majority_col):
+            if c not in df.columns:
+                raise ValueError(f"column {c!r} not in DataFrame")
+        if "__tempo_pp" in df.columns:
+            raise ValueError("reserved staging column __tempo_pp present in input")
+        staged = df.withColumn("__tempo_pp", paragraphs_col(F.col(text_col)))
+        pl, pm = F.col(langs_col), F.col(majority_col)
+        drop_cols = ["__tempo_pp"]
+    und = F.lit("und")
+    if keep_und:
+        cond = lambda l: (l == pm) | (l == und)  # noqa: E731
+    else:
+        cond = lambda l: (l == pm) & (l != und)  # noqa: E731
     kept = F.filter(
-        F.zip_with(F.col("__tempo_pp"), F.col("__tempo_pl"), keep),
+        F.zip_with(
+            F.col("__tempo_pp"), pl, lambda p, l: F.when(cond(l), p)
+        ),
         lambda p: p.isNotNull(),
     )
+    aligned = F.assert_true(
+        F.size(F.col("__tempo_pp")) == F.size(pl),
+        F.lit("remove_foreign_paragraphs: langs_col length does not match "
+              "the paragraph split — was it produced by "
+              "with_paragraph_langs on the same text?"),
+    )
     cleaned = F.when(
-        F.col(text_col).isNotNull(), F.array_join(kept, "\n")
+        F.col(text_col).isNotNull() & aligned.isNull(),
+        F.array_join(kept, "\n"),
     )
-    return staged.withColumn(out, cleaned).drop(
-        "__tempo_pp", "__tempo_pl", "__tempo_pm"
-    )
+    return staged.withColumn(out, cleaned).drop(*drop_cols)
 
 
 def with_repetition_metrics(

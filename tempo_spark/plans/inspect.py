@@ -59,23 +59,34 @@ def count_exchanges(df: DataFrame) -> int:
 
 #: memoized series-clustering probe results keyed by (semanticHash, keys) —
 #: a plan-CHOICE statistic only: a stale or collided entry picks a slower
-#: plan (a redundant or missing repartition), never wrong results
+#: plan (a redundant or missing repartition), never wrong results. Bounded:
+#: long-lived drivers feed ever-fresh plans (daily shards) through four
+#: operator call sites
 _CLUSTERED_CACHE: dict = {}
+_CLUSTERED_CACHE_MAX = 512
 
 
 def is_series_clustered(df: DataFrame, series: list) -> bool:
-    """True when ``df``'s physical plan already delivers hash clustering
-    compatible with grouping by ``series`` (a bucketed scan, an upstream
-    ``repartition(series)``, or an aggregation keyed by a series subset):
-    a ``groupBy(series)`` probe plan compiles with ZERO exchanges. Used by
-    operators that consider a leading ``repartition(series)`` to collapse
-    their stages onto one exchange — repartitioning an already-clustered
-    input would ADD a full shuffle instead. Compiles one explain (no jobs
-    run); memoized like the make_disjoint auto-bin probe."""
+    """True when ``df``'s physical plan already PROVIDES hash clustering
+    compatible with grouping by ``series``: a ``groupBy(series)`` probe
+    plan compiles with zero exchanges. That detects bucketed scans and
+    frames whose topmost shuffle was keyed by a series subset (a prior
+    aggregation/window on these keys). A bare upstream
+    ``df.repartition(series)`` node reads as NOT clustered (the probe
+    counts the repartition's own exchange) — callers then emit a second
+    repartition, which Spark's optimizer merges with the semantically
+    equal user shuffle, so the final plan still carries one exchange
+    (pinned by the repartitioned-chain plan test). Used by operators that
+    consider a leading ``repartition(series)`` to collapse their stages
+    onto one exchange — repartitioning an already-clustered input would
+    ADD a full shuffle instead. Compiles one explain (no jobs run);
+    memoized like the make_disjoint auto-bin probe."""
     import pyspark.sql.functions as F
 
     key = (df.semanticHash(), tuple(series))
     if key not in _CLUSTERED_CACHE:
+        if len(_CLUSTERED_CACHE) >= _CLUSTERED_CACHE_MAX:
+            _CLUSTERED_CACHE.clear()
         probe = df.groupBy(*[F.col(c) for c in series]).agg(
             F.count(F.lit(1))
         )

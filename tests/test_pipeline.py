@@ -138,6 +138,40 @@ class TestTextOps:
                   for r in text.remove_foreign_paragraphs(
                       df, keep_und=False).collect()}
         assert strict[1] == f"{en}\n{en}"
+        # strict mode drops und paragraphs even when the MAJORITY is und
+        # (an all-undecided doc filters to '')
+        und_doc = spark.createDataFrame(
+            [(9, "zzz qqq\nxxx yyy")], "doc_id long, text string"
+        )
+        assert text.remove_foreign_paragraphs(
+            und_doc, keep_und=False
+        ).collect()[0].text_clean == ""
+
+    def test_remove_foreign_paragraphs_reuse_path(self, spark):
+        en = "the cat is in the house and it is warm"
+        fr = "le chat et la maison pour les amis dans un jour"
+        df = spark.createDataFrame(
+            [(1, f"{en}\n{fr}\n{en}"), (2, None)], "doc_id long, text string"
+        )
+        analyzed = text.with_paragraph_langs(df)
+        reused = {r.doc_id: r.text_clean
+                  for r in text.remove_foreign_paragraphs(
+                      analyzed, langs_col="para_langs",
+                      majority_col="majority_lang").collect()}
+        fresh = {r.doc_id: r.text_clean
+                 for r in text.remove_foreign_paragraphs(df).collect()}
+        assert reused == fresh
+        # a langs array that cannot align with the paragraph split fails
+        # LAZILY instead of silently dropping paragraphs
+        bad = analyzed.withColumn(
+            "para_langs", F.array(F.lit("en"))
+        ).where(F.col("doc_id") == 1)
+        with pytest.raises(Exception, match="length does not match"):
+            text.remove_foreign_paragraphs(
+                bad, langs_col="para_langs", majority_col="majority_lang"
+            ).collect()
+        with pytest.raises(ValueError, match="together"):
+            text.remove_foreign_paragraphs(df, langs_col="para_langs")
 
     def test_paragraph_ops_stream_safe_and_guarded(self, spark):
         import pytest as _pytest
@@ -1317,9 +1351,11 @@ class TestStatelessOpsOnStreams:
         out = text.with_language_id(
             text.with_quality_score(text.with_token_count(sdf))
         )
-        # paragraph-grain ops are equally stateless (per-row HOFs)
+        # paragraph-grain ops are equally stateless (per-row HOFs); the
+        # langs_col reuse path scores each paragraph once
         out = text.remove_foreign_paragraphs(
-            text.with_paragraph_langs(out), out="clean"
+            text.with_paragraph_langs(out), out="clean",
+            langs_col="para_langs", majority_col="majority_lang",
         )
         from tempo_spark.pipeline import sampling
 
