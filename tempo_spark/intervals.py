@@ -585,23 +585,17 @@ class IntervalsDF:
         s, e = self.start_ts, self.end_ts
         series = self.series_ids
         payload = self.observational_columns
-        if series and not df.isStreaming:
-            from tempo_spark.plans.inspect import is_series_clustered
-
-            # ONE series-keyed exchange feeds the whole operator: the
-            # boundary distinct ((series, b) — subset-hash satisfies
-            # ClusteredDistribution), the segment window (exactly this
-            # clustering), BOTH sides of the segment↔interval join (its
-            # equality keys are the series columns; partial clustering on
-            # a subset of join keys co-partitions since Spark 3.3), the
-            # merge aggregation, the coalesce window, and the final
-            # grouping. Without it each stage shuffles on its own keys —
-            # measured 4 exchanges vs 2 (one per self-join branch;
-            # plan-pinned in tests). Skipped when the input already
-            # delivers series clustering — repartitioning it would ADD a
-            # shuffle per branch instead.
-            if not is_series_clustered(df, series):
-                df = df.repartition(*[F.col(c) for c in series])
+        # NEGATIVE RESULT (round 7): a leading repartition(series) — the
+        # collapse that wins for resample(fill=True)/interpolate — drops
+        # this operator's exchange count from 4 to 2 but measured ~60%
+        # SLOWER in a controlled A/B (8M staggered intervals, 10k series:
+        # 12.5 s vs 7.8 s; 22.0 vs 16.1 on repeat; checksummed equal).
+        # The boundary side is small enough to BROADCAST, so the wide
+        # interval side never shuffles at the join in the plain plan, and
+        # the merge aggregation's map-side combine reduces the 3×-fanout
+        # paired rows before its exchange — the "saved" shuffles were
+        # cheaper than one full raw-row repartition. Reverted; measure,
+        # don't guess.
 
         seg_s, seg_e = "__seg_start", "__seg_end"
 

@@ -253,12 +253,13 @@ class TestStackedRoundtrip:
         assert a.union(b).df.count() == 2
         assert a.unionByName(b).df.count() == 2
 
-    def test_make_disjoint_two_exchanges(self, spark):
-        # the leading series repartition feeds every stage (boundary
-        # distinct, segment window, join equality keys, merge agg,
-        # coalesce window, final grouping) — the plan carries exactly one
-        # series-hash exchange per self-join branch (column pruning below
-        # the exchanges differs, so they cannot reuse), down from 4
+    def test_make_disjoint_exchange_count(self, spark):
+        # 4 stage-local exchanges — a leading series repartition halves
+        # the count but measured ~60% SLOWER (the boundary side
+        # broadcasts and the merge agg map-side-combines, so the "saved"
+        # shuffles were cheap; see the negative-result note in
+        # make_disjoint). This pin exists so a future "optimization"
+        # re-measures before changing the shape.
         from tempo_spark.plans.inspect import count_exchanges
 
         rows = [
@@ -266,7 +267,9 @@ class TestStackedRoundtrip:
             (ts("2020-01-01 00:01:00"), ts("2020-01-01 00:03:00"), "a", None, 5),
         ]
         out = idf(spark, rows).make_disjoint(bin_seconds=None)
-        assert count_exchanges(out.df) == 2
+        # 3 on this tiny fixture (the pairing join BROADCASTS the boundary
+        # side; an SMJ-sized input adds its join exchange for 4)
+        assert count_exchanges(out.df) == 3
 
     def test_union_rejects_non_idf(self, spark):
         # reference parity (python/tests/intervals_tests.py
