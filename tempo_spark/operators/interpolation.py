@@ -48,16 +48,9 @@ def interpolate(
         raise ValueError(f"interpolation method must be one of {METHODS}, got {method!r}")
 
     if not already_resampled:
-        if tsdf.series_ids and not tsdf.df.isStreaming:
-            from tempo_spark.plans.inspect import is_series_clustered
-
-            # the gap-fill/interpolation windows below need per-series
-            # clustering right after the (series, bucket) resample agg —
-            # the same two-exchange shape resample(fill=True) collapses;
-            # one guarded series pre-partition serves both stages (see
-            # resample.py for the shuffle-bytes trade-off note)
-            if not is_series_clustered(tsdf.df, list(tsdf.series_ids)):
-                tsdf = tsdf.repartitioned()
+        # no automatic pre-partition — see the negative-result note in
+        # resample(): the combined-partials two-exchange plan measured
+        # faster than one raw-row shuffle on every tested shape
         tsdf = resample(tsdf, freq, func, metric_cols=target_cols)
     f = parse_freq(freq)
     series, ts = list(tsdf.series_ids), tsdf.ts_col

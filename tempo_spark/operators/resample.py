@@ -121,29 +121,17 @@ def resample(
     pfx = f"{prefix}_" if prefix else ""
     bucket = _bucket_start(ts, f.window_duration)
 
-    base = tsdf.df
-    if fill and series and not base.isStreaming:
-        from tempo_spark.plans.inspect import is_series_clustered
-
-        # the fill pass adds a per-SERIES window after the per-(series,
-        # bucket) aggregation — two different clusterings, two exchanges.
-        # Pre-partitioning on the series keys serves BOTH (subset-hash
-        # partitioning satisfies ClusteredDistribution for the agg; the
-        # window requires exactly it), collapsing the plan to ONE shuffle
-        # — plan-pinned in tests. Partial (map-side) aggregation still
-        # applies within partitions, but the single exchange now carries
-        # RAW rows where the two-exchange plan shuffled map-side-combined
-        # partials: the collapse wins when the bucket grain reduces rows
-        # modestly (the upsample-fill shape — the fill EXPANDS rows); for
-        # a very coarse, high-reduction resample the two reduced shuffles
-        # can move fewer bytes on a real network. Skipped when the input
-        # already delivers series clustering (bucketed table,
-        # repartitioned() chain) — repartitioning it would ADD a shuffle,
-        # not save one. Skew note: the window already concentrates each
-        # series into one task, so this moves no worst-case boundary.
-        if not is_series_clustered(base, series):
-            base = base.repartition(*[F.col(c) for c in series])
-    grouped = base.groupBy(*series, bucket.alias(ts))
+    # NEGATIVE RESULT (round 7): an automatic leading repartition(series)
+    # for fill=True halves the exchange count (the agg and the fill window
+    # share the series clustering) but same-session A/Bs measured it
+    # SLOWER on every tested shape (b4 upsample-fill: legacy 0.63-0.91 s
+    # vs collapsed 0.68-1.04 s across 3 paired runs; 8M×10k-series
+    # 5-minute buckets: wash) — the two-exchange plan's first shuffle
+    # carries map-side-COMBINED partials, which beat one raw-row shuffle.
+    # Reverted; users who want the one-exchange chain call
+    # TSDF.repartitioned() explicitly (its docstring carries the same
+    # trade-off), and bucketed tables get it for free.
+    grouped = tsdf.df.groupBy(*series, bucket.alias(ts))
 
     if per_col is not None:
         out = grouped.agg(
@@ -244,15 +232,9 @@ def calc_bars(
         aggs.append(F.min(F.col(c)).alias(f"low_{c}"))
         aggs.append(F.max(F.col(c)).alias(f"high_{c}"))
 
-    base = tsdf.df
-    if fill and series and not base.isStreaming:
-        from tempo_spark.plans.inspect import is_series_clustered
-
-        # same one-shuffle collapse as resample(fill=True): the fill
-        # window's per-series clustering serves the agg too
-        if not is_series_clustered(base, series):
-            base = base.repartition(*[F.col(c) for c in series])
-    agged = base.groupBy(*series, bucket.alias(ts)).agg(*aggs)
+    # no automatic fill repartition — see the negative-result note in
+    # resample()
+    agged = tsdf.df.groupBy(*series, bucket.alias(ts)).agg(*aggs)
     sel = [*series, ts]
     out_cols = []
     for c in metric_cols:

@@ -59,9 +59,12 @@ def count_exchanges(df: DataFrame) -> int:
 
 #: memoized series-clustering probe results keyed by (semanticHash, keys) —
 #: a plan-CHOICE statistic only: a stale or collided entry picks a slower
-#: plan (a redundant or missing repartition), never wrong results. Bounded:
-#: long-lived drivers feed ever-fresh plans (daily shards) through four
-#: operator call sites
+#: plan, never wrong results. Bounded for long-lived drivers. NOTE: the
+#: round-7 automatic exchange-collapse experiments that consumed this were
+#: REVERTED after same-session A/Bs measured them slower (map-side-combined
+#: partial shuffles beat one raw-row repartition on every tested shape —
+#: see the negative-result notes in operators/resample.py and
+#: intervals.make_disjoint). The probe stays for plan tooling/tests.
 _CLUSTERED_CACHE: dict = {}
 _CLUSTERED_CACHE_MAX = 512
 
@@ -69,18 +72,12 @@ _CLUSTERED_CACHE_MAX = 512
 def is_series_clustered(df: DataFrame, series: list) -> bool:
     """True when ``df``'s physical plan already PROVIDES hash clustering
     compatible with grouping by ``series``: a ``groupBy(series)`` probe
-    plan compiles with zero exchanges. That detects bucketed scans and
-    frames whose topmost shuffle was keyed by a series subset (a prior
+    plan compiles with zero exchanges. Detects bucketed scans and frames
+    whose topmost shuffle was keyed by a series subset (a prior
     aggregation/window on these keys). A bare upstream
     ``df.repartition(series)`` node reads as NOT clustered (the probe
-    counts the repartition's own exchange) — callers then emit a second
-    repartition, which Spark's optimizer merges with the semantically
-    equal user shuffle, so the final plan still carries one exchange
-    (pinned by the repartitioned-chain plan test). Used by operators that
-    consider a leading ``repartition(series)`` to collapse their stages
-    onto one exchange — repartitioning an already-clustered input would
-    ADD a full shuffle instead. Compiles one explain (no jobs run);
-    memoized like the make_disjoint auto-bin probe."""
+    counts the repartition's own exchange). Compiles one explain (no jobs
+    run); memoized like the make_disjoint auto-bin probe."""
     import pyspark.sql.functions as F
 
     key = (df.semanticHash(), tuple(series))

@@ -266,23 +266,26 @@ class TestPerColumnFuncs:
         assert rows["2020-01-01 00:00:00"] == (15.0, 400.0)
         assert rows["2020-01-01 00:01:00"] == (30.0, 50.0)
 
-    def test_fill_single_shuffle(self, spark):
-        # fill=True pre-partitions on the series keys so the (series,
-        # bucket) aggregation AND the per-series fill window share ONE
-        # exchange (subset-hash satisfies ClusteredDistribution) — the
-        # naive plan paid two
+    def test_fill_plan_shape(self, spark):
+        # fill=True plans TWO exchanges (the (series, bucket) agg's — its
+        # first shuffle carries map-side-COMBINED partials — then the
+        # per-series fill window's). An automatic pre-partition collapsing
+        # them to one was tried and REVERTED: same-session A/Bs measured
+        # it slower on every shape (negative-result note in resample());
+        # the explicit one-exchange chain is TSDF.repartitioned()
         from tempo_spark.plans.inspect import count_exchanges
 
         t = self._tsdf(spark)
         out = t.resample("1 minute", "mean", fill=True)
-        assert count_exchanges(out.df) == 1
-        bars = t.calc_bars("1 minute", fill=True)
-        assert count_exchanges(bars.df) == 1
-        # the one-call interpolate path gets the same collapse (the
-        # chained resample(...).interpolate(...) form cannot — the
-        # resample plan is already built when interpolate sees it)
+        assert count_exchanges(out.df) == 2
+        assert count_exchanges(t.calc_bars("1 minute", fill=True).df) == 2
+        # opt-in collapse via the existing explicit idiom
+        assert count_exchanges(
+            t.repartitioned().resample("1 minute", "mean", fill=True).df
+        ) == 1
+        # one-call interpolate == the chained form, values identical
         one_call = t.interpolate("linear", freq="1 minute", func="mean")
-        assert count_exchanges(one_call.df) == 1
+        assert count_exchanges(one_call.df) == 2
         chained = t.resample("1 minute", "mean").interpolate("linear")
         assert sorted(map(tuple, one_call.df.collect())) == sorted(
             map(tuple, chained.df.collect())

@@ -109,11 +109,7 @@ class TestPlans:
             .df
         )
         assert count_exchanges(chained) == 1
-        # without the up-front repartition: the dedup agg shuffles on its
-        # own (symbol, event_ts) keys — a SUPERSET of the series keys, so
-        # it does NOT satisfy the fill stages — and resample(fill=True)'s
-        # own series pre-partition (round 7) carries the agg + window:
-        # 2 exchanges (the pre-round-7 plan paid 3)
+        # without the up-front repartition the same chain shuffles 3x
         plain = (
             TSDF(
                 t.df.groupBy("symbol", "event_ts").agg(
@@ -125,7 +121,7 @@ class TestPlans:
             .resample("1 minute", "mean", fill=True)
             .df
         )
-        assert count_exchanges(plain) == 2
+        assert count_exchanges(plain) == 3
 
     def test_prefix_block_plan_has_no_sliding_frames(self, spark, trades):
         """strategy='prefix' + minmax_strategy='block' with the FULL stat
@@ -277,9 +273,8 @@ class TestBucketedIO:
             assert count_exchanges(rs) == 0
             res = tb.resample("1 minute", "mean").df
             assert count_exchanges(res) == 0
-            # fill=True probes the input clustering and SKIPS its series
-            # pre-partition on a bucketed scan — still zero exchanges
-            # (round 7; a blind repartition would ADD a full shuffle)
+            # fill=True on a bucketed scan: the scan's clustering serves
+            # both the agg and the fill window — zero exchanges
             filled = tb.resample("1 minute", "mean", fill=True).df
             assert count_exchanges(filled) == 0
             # the same plans on a path-read frame pay the shuffle
