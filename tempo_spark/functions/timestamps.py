@@ -13,11 +13,19 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
-from pyspark.sql.types import DoubleType, NumericType, TimestampType, TimestampNTZType
+from pyspark.sql.types import (
+    DateType,
+    DoubleType,
+    NumericType,
+    TimestampType,
+    TimestampNTZType,
+)
 
 
 def is_time_like(dtype) -> bool:
-    return isinstance(dtype, (TimestampType, TimestampNTZType, NumericType))
+    return isinstance(
+        dtype, (TimestampType, TimestampNTZType, DateType, NumericType)
+    )
 
 
 def ts_to_double(col: Column, dtype=None) -> Column:
@@ -26,9 +34,13 @@ def ts_to_double(col: Column, dtype=None) -> Column:
     Casting a Spark timestamp to double yields epoch seconds with microsecond
     fraction; numeric columns pass through unchanged. TIMESTAMP_NTZ has no
     direct double cast — route it through TIMESTAMP (session-tz interpretation;
-    sessions should pin UTC), which requires passing the ``dtype``.
+    sessions should pin UTC) — and DATE has no double cast at all — route it
+    through TIMESTAMP too (midnight, order-preserving); both require passing
+    the ``dtype``. Under ANSI mode any other dtype (e.g. string) throws at
+    runtime — callers that accept user columns should gate on
+    :func:`is_time_like` first for a clear error.
     """
-    if dtype is not None and isinstance(dtype, TimestampNTZType):
+    if dtype is not None and isinstance(dtype, (TimestampNTZType, DateType)):
         return col.cast(TimestampType()).cast(DoubleType())
     return col.cast(DoubleType())
 

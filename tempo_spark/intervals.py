@@ -579,6 +579,19 @@ class IntervalsDF:
                 f"_coalesce must be 'reference' or 'blanket', got {_coalesce!r}"
             )
         df = self.df
+        # The merge aggregate (and the auto-bin probe) order interval
+        # boundaries via a double cast; string/other non-time-like
+        # boundaries would throw an opaque ANSI cast error deep in the
+        # plan — reject them up front, before the probe's eager action.
+        from tempo_spark.functions.timestamps import is_time_like
+
+        for bc in (self.start_ts, self.end_ts):
+            bdt = df.schema[bc].dataType
+            if not is_time_like(bdt):
+                raise TypeError(
+                    f"make_disjoint requires timestamp/date/numeric interval "
+                    f"boundaries; column {bc!r} is {bdt.simpleString()}"
+                )
         bin_seconds = _resolve_bin_seconds(
             df, self.start_ts, self.end_ts, self.series_ids, bin_seconds
         )

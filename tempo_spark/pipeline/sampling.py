@@ -493,8 +493,10 @@ def _chunk_documents_by_sentence(
     text = F.col(text_col)
     toks = tokens_col
     sents = sentences_col(text)
-    # size(NULL array) = -1, so null-text rows stay on the sentence path
-    # (their chunks are nulled explicitly below)
+    # Under ANSI mode size(NULL array) is NULL, so this flag is NULL for
+    # null-text rows; correctness rests on the text.isNull() branch below
+    # being evaluated FIRST (their chunks are nulled explicitly there and
+    # neither the sentence nor the token path ever runs for them).
     fallback = F.size(sents) > F.lit(int(max_sentences))
 
     def hard_split(s):

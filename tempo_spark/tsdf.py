@@ -1153,10 +1153,17 @@ class TSDF:
         GROWING frames (running-to-previous-row minus before-window-start)
         — O(rows), the same machinery as ``withRangeStats(strategy=
         "prefix")`` (~7× at 600-row frames, widening with frame size).
-        Flags are identical when frame sums are exact in double (e.g.
-        integer-valued metrics — pinned by a parity test); for extreme
-        |mean|/stddev ratios (≳1e6) the differenced sum-of-squares can
-        cancel — prefer "sliding" there."""
+        The prefix sums run over x − x₀ (x₀ = the series' first non-null
+        value; z-scores and flags are shift-invariant) so a large-offset
+        near-constant baseline — the classic cancellation case — yields
+        EXACT zeros instead of ε·mean² residue: a flat series lands in the
+        same zero-variance branch as "sliding" with no magnitude clamp.
+        Flags match "sliding" except within one ulp of the
+        ``|x−mean| = z·σ`` decision boundary (the shift changes last-ulp
+        rounding of s²/n; zscores agree to ~1e-12 relative — pinned by a
+        parity test); a series that DRIFTS ≳1e6× its local stddev away
+        from its own first value can still cancel — prefer "sliding"
+        there."""
         if min_points < 2:
             raise ValueError("min_points must be >= 2 (sample stddev)")
         if strategy not in ("sliding", "prefix"):
@@ -1169,20 +1176,34 @@ class TSDF:
                 raise ValueError(f"reserved staging column {c} present in input")
         back_micros = int(rangeBackWindowSecs * 1_000_000)
         x = F.col(colName).cast("double")
+        base_df = self.df
         if strategy == "prefix":
+            # shift by the series' first non-null value (constant per
+            # series; z-scores/flags are shift-invariant) so flat or
+            # near-flat baselines at a large offset produce exact-zero
+            # prefix differences instead of cancellation residue. The
+            # shift must be a materialized column — window functions
+            # can't nest inside window aggregates.
+            if "__tempo_an_x" in self.df.columns or "__tempo_an_x0" in self.df.columns:
+                raise ValueError("reserved staging column __tempo_an_x present in input")
+            base_df = self.df.withColumn(
+                "__tempo_an_x0",
+                F.first(x, ignorenulls=True).over(self._growing_window(0)),
+            ).withColumn("__tempo_an_x", x - F.col("__tempo_an_x0"))
+            xs = F.col("__tempo_an_x")
             # strictly-preceding [-back, -1µs] as growing-frame differences
             w_run = self._growing_window(-1)
             w_bound = self._growing_window(-(back_micros + 1))
-            n = F.count(x).over(w_run) - F.count(x).over(w_bound)
+            n = F.count(xs).over(w_run) - F.count(xs).over(w_bound)
             s = F.when(
                 n > 0,
-                F.sum(x).over(w_run)
-                - F.coalesce(F.sum(x).over(w_bound), F.lit(0.0)),
+                F.sum(xs).over(w_run)
+                - F.coalesce(F.sum(xs).over(w_bound), F.lit(0.0)),
             )
             sq = F.when(
                 n > 0,
-                F.sum(x * x).over(w_run)
-                - F.coalesce(F.sum(x * x).over(w_bound), F.lit(0.0)),
+                F.sum(xs * xs).over(w_run)
+                - F.coalesce(F.sum(xs * xs).over(w_bound), F.lit(0.0)),
             )
         else:
             # strictly-preceding range frame: [-back, -1 microsecond]
@@ -1203,35 +1224,34 @@ class TSDF:
         var = F.when(
             n >= 2, F.greatest((sq - s * s / n) / (n - F.lit(1)), F.lit(0.0))
         )
-        if strategy == "prefix":
-            # differenced-prefix cancellation residue: a CONSTANT baseline
-            # leaves var ≈ ε·mean² instead of the exact 0.0 the sliding
-            # frame produces — clamp relative to the mean-square magnitude
-            # (sq/n = var + mean² ≥ var) so the zero-variance branch (flag
-            # fires on ANY deviation, zscore NULL) matches sliding
-            var = F.when(
-                var > sq / F.greatest(n, F.lit(1)) * F.lit(1e-12), var
-            ).otherwise(F.when(var.isNotNull(), F.lit(0.0)))
         # stage the window aggs once; the two outputs reference bound
         # columns instead of re-inlining three window expressions each
         staged = (
-            self.df.withColumn("__tempo_an_n", n)
+            base_df.withColumn("__tempo_an_n", n)
             .withColumn("__tempo_an_mean", mean)
             .withColumn("__tempo_an_std", F.sqrt(var))
         )
         nn, mm, ss = (
             F.col("__tempo_an_n"), F.col("__tempo_an_mean"), F.col("__tempo_an_std")
         )
+        # the staged mean is shifted in prefix mode — compare the shifted x
+        xc = F.col("__tempo_an_x") if strategy == "prefix" else x
         enough = nn >= min_points
         out = (
             staged.withColumn(
-                f"zscore_{p}", F.when(enough & (ss > 0), (x - mm) / ss)
+                f"zscore_{p}", F.when(enough & (ss > 0), (xc - mm) / ss)
             )
             .withColumn(
                 f"is_anomaly_{p}",
-                F.when(enough, F.abs(x - mm) > F.lit(float(z)) * ss),
+                F.when(enough, F.abs(xc - mm) > F.lit(float(z)) * ss),
             )
-            .drop("__tempo_an_n", "__tempo_an_mean", "__tempo_an_std")
+            .drop(
+                "__tempo_an_n",
+                "__tempo_an_mean",
+                "__tempo_an_std",
+                "__tempo_an_x",
+                "__tempo_an_x0",
+            )
         )
         return self._with_df(out)
 

@@ -201,6 +201,39 @@ class TestMakeDisjoint:
         assert seg[2:] == (1, 2, 3, 4)
 
 
+class TestBoundaryDtypes:
+    def test_string_boundaries_raise_clearly(self, spark):
+        # pre-r8 these hit an opaque ANSI CAST_INVALID_INPUT deep in the
+        # merge aggregate; now rejected up front with the column named
+        i = idf(
+            spark,
+            [("2020-01-01", "2020-01-02", "a", 1, 2)],
+            schema="start_ts string, end_ts string, series_1 string, metric_1 int, metric_2 int",
+        )
+        with pytest.raises(TypeError, match="start_ts.*string"):
+            i.make_disjoint()
+
+    def test_date_boundaries_work(self, spark):
+        d = dt.date
+        i = idf(
+            spark,
+            [
+                (d(2020, 1, 1), d(2020, 1, 10), "a", 1, None),
+                (d(2020, 1, 5), d(2020, 1, 15), "a", None, 2),
+            ],
+            schema="start_ts date, end_ts date, series_1 string, metric_1 int, metric_2 int",
+        )
+        got = sorted(
+            (str(r.start_ts), str(r.end_ts), r.metric_1, r.metric_2)
+            for r in i.make_disjoint().df.collect()
+        )
+        assert got == [
+            ("2020-01-01", "2020-01-05", 1, None),
+            ("2020-01-05", "2020-01-10", 1, 2),
+            ("2020-01-10", "2020-01-15", None, 2),
+        ]
+
+
 class TestMakeDisjointNoPayload:
     def test_coverage_only_intervals(self, spark):
         # no observational columns at all: make_disjoint degrades to a

@@ -964,10 +964,11 @@ class TestAnomalyFlags:
         assert got[("b", ts("2024-01-01 00:00:05"))] is False
 
     def test_prefix_strategy_parity(self, spark):
-        # integer-valued metrics -> exact double sums -> the prefix
-        # (growing-frame-difference) strategy must reproduce the sliding
-        # frame bit-for-bit: zscores, flags, AND the zero-variance branch
-        # (flat baseline then spike: flag True, zscore NULL)
+        # integer-valued metrics -> exact double sums on both paths. The
+        # prefix strategy works on first-value-SHIFTED values (r8), so
+        # s^2/n rounds differently at the last ulp — flags and the
+        # zero-variance branch (flat baseline then spike: flag True,
+        # zscore NULL) must match exactly; zscores to ~1e-9 relative.
         vals = [10, 10, 10, 10, 100, 3, 7, 5, 9, 4, 30, 6, 5, 8, 2, 7, 40]
         for back, mp in ((5, 3), (10, 2), (3, 2)):
             t = self._t(spark, vals)
@@ -978,9 +979,45 @@ class TestAnomalyFlags:
                 "v", rangeBackWindowSecs=back, z=2.0, min_points=mp,
                 strategy="prefix",
             ).df.orderBy("event_ts").collect()
-            assert [(r.zscore_v, r.is_anomaly_v) for r in a] == [
-                (r.zscore_v, r.is_anomaly_v) for r in b
+            assert [r.is_anomaly_v for r in a] == [
+                r.is_anomaly_v for r in b
             ], back
+            for ra, rb in zip(a, b):
+                if ra.zscore_v is None:
+                    assert rb.zscore_v is None, back
+                else:
+                    assert abs(ra.zscore_v - rb.zscore_v) <= 1e-9 * max(
+                        1.0, abs(ra.zscore_v)
+                    ), back
+
+    def test_prefix_large_offset_tiny_variance(self, spark):
+        # regression (r8): genuine-but-tiny RELATIVE variance at a large
+        # baseline offset (var/mean^2 << 1e-12). The old magnitude clamp
+        # sent these to the zero-variance branch (zscore NULL, flag on any
+        # deviation); the first-value shift computes the variance exactly
+        # — zscores defined and matching the exact python model.
+        import statistics
+
+        deltas = [0.0, 0.5, 0.25, 0.75, 0.5, 100.0, 0.25, 0.5, 0.75, 0.0]
+        vals = [1e9 + d for d in deltas]  # 0.25-grain offsets stay exact
+        back, zt, mp = 5, 2.0, 3
+        t = self._t(spark, vals)
+        out = t.withAnomalyFlags(
+            "v", rangeBackWindowSecs=back, z=zt, min_points=mp,
+            strategy="prefix",
+        ).df.orderBy("event_ts").collect()
+        for i, d in enumerate(deltas):
+            lo = max(0, i - back)
+            window = deltas[lo:i]
+            if len(window) < mp:
+                assert out[i].zscore_v is None and out[i].is_anomaly_v is None
+                continue
+            m = statistics.fmean(window)
+            sd = statistics.stdev(window)
+            assert out[i].is_anomaly_v == (abs(d - m) > zt * sd), i
+            if sd > 0:
+                assert out[i].zscore_v is not None, i  # old clamp: NULL
+                assert abs(out[i].zscore_v - (d - m) / sd) < 1e-6, i
 
     def test_prefix_strategy_plan(self, spark):
         import re
