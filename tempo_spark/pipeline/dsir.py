@@ -203,6 +203,7 @@ def with_importance_weight(
     hash_family: str = "xxhash64",
     agg: str = "sum",
     out: str = "dsir_logweight",
+    persist_model: bool = True,
 ) -> DataFrame:
     """Per-document DSIR log importance weight: ``agg`` over the document's
     hashed grams of the bucket's log ratio (``"sum"`` — the paper's weight,
@@ -214,11 +215,20 @@ def with_importance_weight(
     meta crossJoin → ``pmod`` by column), so a mismatched ``buckets``
     parameter cannot exist. Scale shape: explode to narrow (id, bucket)
     rows → broadcast join the ≤ m-row ratio table → ONE groupBy(id) →
-    join back by id. Text never re-aggregates through the shuffle."""
+    join back by id. Text never re-aggregates through the shuffle.
+
+    The plan references ``ratio_df`` twice (meta row + the bucket join), so
+    an UNPERSISTED fit lineage would run both corpus fits twice;
+    ``persist_model=True`` (default) lazily caches the ≤ m-row table so
+    the fit chain executes once (no eager action — materialized by the
+    first downstream job; plan-pinned by a test). Pass ``False`` when the
+    model is already a parquet scan or caller-managed cache."""
     if agg not in ("sum", "mean"):
         raise ValueError(f"agg must be 'sum' or 'mean', got {agg!r}")
     if out in df.columns:
         raise ValueError(f"output column {out!r} already present in input")
+    if persist_model and not ratio_df.is_cached:
+        ratio_df = ratio_df.persist()
     meta = ratio_df.agg(
         F.max("__m").alias("__m"), F.max("__lr0").alias("__lr0d")
     )

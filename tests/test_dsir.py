@@ -175,6 +175,36 @@ def test_scoring_plan_broadcasts_ratio(docs_df):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_scoring_persists_ratio_single_fit_execution(docs_df):
+    """with_importance_weight references ratio_df twice (meta + bucket
+    join); persist_model=True (default) caches the ≤m-row table so the
+    fit chain executes once — both references read InMemoryTableScan
+    (assert AFTER collect(), the round-4 AQE lesson)."""
+    scored = _scored(docs_df)
+    scored.collect()
+    # the adaptive toString prints broadcast-stage subtrees in separate
+    # sections — match both cache-read projections on the FULL string:
+    # the meta reference reads (__lr0, __m), the bucket join (__b, __lr)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan [__lr0" in plan
+    assert "InMemoryTableScan [__b" in plan
+    # opt-out leaves the lineage uncached (clear first — the cache manager
+    # matches by canonicalized plan, so part 1's persist would be found)
+    docs_df.sparkSession.catalog.clearCache()
+    target = docs_df.where(F.col("doc_id").isin(list(TARGET_IDS)))
+    ratio = dsir_logratio(
+        fit_hashed_counts(target, buckets=M, hash_family="md5_32"),
+        fit_hashed_counts(docs_df, buckets=M, hash_family="md5_32"),
+    )
+    raw = with_importance_weight(
+        docs_df, ratio, "doc_id", hash_family="md5_32", persist_model=False
+    )
+    raw.collect()
+    p2 = raw._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in p2.split("== Initial Plan ==")[0]
+    assert not ratio.is_cached
+
+
 def test_param_validation(docs_df):
     with pytest.raises(ValueError, match="ngrams"):
         fit_hashed_counts(docs_df, ngrams=(3,))
