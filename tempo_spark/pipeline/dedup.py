@@ -1080,20 +1080,7 @@ def dedup_paragraphs(
         F.col(id_col), F.posexplode_outer(paras_arr).alias("__pos", "__para")
     ).where(F.col("__para").isNotNull())
     hashed = occ.select(id_col, "__pos", F.xxhash64(F.col("__para")).alias("__ph"))
-    winners = (
-        hashed.groupBy("__ph")
-        .agg(
-            F.min(F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))).alias(
-                "__w"
-            ),
-            F.count("*").alias("__n"),
-        )
-        .where(F.col("__n") >= 2)
-        .select("__ph", "__w")
-    )
-    is_winner = F.col(id_col).eqNullSafe(F.col("__w.i")) & (
-        F.col("__pos") == F.col("__w.p")
-    )
+    winners, is_winner = _first_occurrence(hashed, "__ph", id_col, 2)
     bad_pos = (
         hashed.join(winners, "__ph")
         .where(~is_winner)
@@ -1123,6 +1110,67 @@ def dedup_paragraphs(
             out_dropped, F.coalesce(F.size("__bad"), F.lit(0)).cast("long")
         )
     return joined.drop("__pd_id", "__bad")
+
+
+def _first_occurrence(
+    df: DataFrame, key_col: str, id_col: str, min_count: int
+):
+    """Shared keep-first winner selection: group ``df`` by ``key_col`` and
+    find the lexicographically smallest ``(id, __pos)`` occurrence plus the
+    occurrence count, keeping groups at/over ``min_count``. Returns
+    ``(winners_df, is_winner)`` where ``winners_df`` has (key_col, winner
+    key) and ``is_winner`` compares an occurrence row (``id_col``,
+    ``__pos``) joined to it.
+
+    Integral ids take the ENCODED path: ``min`` over one decimal(38,0)
+    scalar ``id·2³¹ + pos`` — codegen HashAggregate with a fixed-width
+    buffer and map-side combine (``min(struct(...))`` plans as
+    SortAggregate: two extra full sorts of the occurrence relation with
+    interpreted struct comparisons — measured several× slower at 13M
+    rows). A NULL id maps to a below-any-long sentinel, matching struct
+    ordering's null-first field semantics (parity test pins it). Other id
+    types keep the struct form."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_dtype = df.schema[id_col].dataType
+    if isinstance(id_dtype, (ByteType, ShortType, IntegerType, LongType)):
+        import decimal
+
+        two31 = F.lit(1 << 31).cast("decimal(38,0)")
+        # below-any-long sentinel exceeds long range — ship it as a
+        # python Decimal (py4j cannot encode the int)
+        sent = F.lit(decimal.Decimal(-(1 << 63) - 1)).cast("decimal(20,0)")
+
+        def enc(idc: Column, posc: Column) -> Column:
+            idd = F.when(idc.isNull(), sent).otherwise(idc.cast("decimal(20,0)"))
+            return idd.cast("decimal(38,0)") * two31 + posc.cast("decimal(38,0)")
+
+        winners = (
+            df.groupBy(key_col)
+            .agg(
+                F.min(enc(F.col(id_col), F.col("__pos"))).alias("__w"),
+                F.count("*").alias("__n"),
+            )
+            .where(F.col("__n") >= min_count)
+            .select(key_col, "__w")
+        )
+        is_winner = enc(F.col(id_col), F.col("__pos")) == F.col("__w")
+        return winners, is_winner
+    winners = (
+        df.groupBy(key_col)
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))
+            ).alias("__w"),
+            F.count("*").alias("__n"),
+        )
+        .where(F.col("__n") >= min_count)
+        .select(key_col, "__w")
+    )
+    is_winner = F.col(id_col).eqNullSafe(F.col("__w.i")) & (
+        F.col("__pos") == F.col("__w.p")
+    )
+    return winners, is_winner
 
 
 def remove_duplicate_spans(
@@ -1176,20 +1224,7 @@ def remove_duplicate_spans(
         raise ValueError("remove_duplicate_spans needs n >= 1 and min_count >= 2")
     gh_c = "__tempo_gh"
     occ = _gram_occurrences(df, id_col, text_col, n, hash_family)
-    winners = (
-        occ.groupBy(gh_c)
-        .agg(
-            F.min(
-                F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))
-            ).alias("__w"),
-            F.count("*").alias("__n"),
-        )
-        .where(F.col("__n") >= min_count)
-        .select(gh_c, "__w")
-    )
-    is_winner = F.col(id_col).eqNullSafe(F.col("__w.i")) & (
-        F.col("__pos") == F.col("__w.p")
-    )
+    winners, is_winner = _first_occurrence(occ, gh_c, id_col, min_count)
     flagged = occ.join(winners, gh_c).where(~is_winner).select(id_col, "__pos")
     return _cut_flagged_spans(df, flagged, id_col, text_col, n, out, out_removed)
 
@@ -1200,36 +1235,47 @@ def _gram_occurrences(
     """Positional word n-gram hashes: one narrow row per (id, pos, hash).
     xxhash64 family hashes n hoisted token hashes (fixed-width, no string
     builds); md5_32 hashes the gram STRING (engine-neutral replay).
-    Documents with fewer than n tokens emit nothing."""
+    Documents with fewer than n tokens emit nothing.
+
+    The gram hash is computed AFTER the Generate as a row-level
+    expression: hashing inside the position ``transform`` ran interpreted
+    (higher-order functions never enter whole-stage codegen) — exploding
+    bare positions and hashing post-Generate is bit-identical and measured
+    ~12x on the gram stage (1M docs x 13 positions: 12 s → 1 s)."""
     toks_c, th_c, gh_c = "__tempo_toks", "__tempo_tokh", "__tempo_gh"
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     if hash_family == "md5_32":
-
-        def gram_at(i: Column) -> Column:
-            return md5_32(
-                F.concat_ws(
-                    " ", F.slice(F.col(toks_c), i + F.lit(1), F.lit(n))
-                )
-            )
-
         base = df.select(F.col(id_col), toks.alias(toks_c))
-    else:
-
-        def gram_at(i: Column) -> Column:
-            return F.xxhash64(
-                *[F.element_at(F.col(th_c), i + F.lit(j)) for j in range(1, n + 1)]
+        carry = [F.col(toks_c)]
+        gh = md5_32(
+            F.concat_ws(
+                " ", F.slice(F.col(toks_c), F.col("__pos") + F.lit(1), F.lit(n))
             )
-
+        )
+    else:
         base = df.select(F.col(id_col), toks.alias(toks_c)).withColumn(
             th_c, F.transform(F.col(toks_c), lambda t: F.xxhash64(t))
         )
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(F.col(toks_c)) - F.lit(n)), gram_at
-    )
+        carry = [F.col(toks_c), F.col(th_c)]
+        gh = F.xxhash64(
+            *[
+                F.element_at(F.col(th_c), F.col("__pos") + F.lit(j))
+                for j in range(1, n + 1)
+            ]
+        )
+    # explode_outer + post-Generate isNotNull (the pushdown trap — see
+    # ngram_contamination); the position value doubles as the null probe
     return (
         base.where(F.size(F.col(toks_c)) >= n)
-        .select(F.col(id_col), F.posexplode_outer(grams).alias("__pos", gh_c))
-        .where(F.col(gh_c).isNotNull())
+        .select(
+            F.col(id_col),
+            *carry,
+            F.explode_outer(
+                F.sequence(F.lit(0), F.size(F.col(toks_c)) - F.lit(n))
+            ).alias("__pos"),
+        )
+        .where(F.col("__pos").isNotNull())
+        .select(F.col(id_col), "__pos", gh.alias(gh_c))
     )
 
 

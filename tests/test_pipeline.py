@@ -2595,6 +2595,46 @@ class TestRemoveDuplicateSpans:
         with pytest.raises(ValueError):
             dedup.remove_duplicate_spans(df, "doc_id", min_count=1)
 
+    def test_winner_paths_parity_and_plan(self, spark):
+        """Integral ids take the encoded HashAggregate winner path; string
+        ids the struct SortAggregate fallback — same winners, including a
+        NULL id which sorts FIRST on both (sentinel == struct null-first
+        field ordering). r8 regression pin for _first_occurrence."""
+        rows = [
+            (3, "a b c d e"),
+            (1, "z a b c d"),      # later 4-gram "a b c d" than id 3? no: id 1 < 3
+            (None, "a b c d q"),   # null id sorts first -> its occurrence wins
+        ]
+        df_long = spark.createDataFrame(rows, "doc_id long, text string")
+        df_str = spark.createDataFrame(
+            [(str(i) if i is not None else None, t) for i, t in rows],
+            "doc_id string, text string",
+        )
+        out_long = {
+            r.doc_id: r.nrm
+            for r in dedup.remove_duplicate_spans(
+                df_long, "doc_id", n=4, out_removed="nrm"
+            ).collect()
+        }
+        out_str = {
+            (int(r.doc_id) if r.doc_id is not None else None): r.nrm
+            for r in dedup.remove_duplicate_spans(
+                df_str, "doc_id", n=4, out_removed="nrm"
+            ).collect()
+        }
+        # null id wins "a b c d"; ids 1 and 3 each lose their occurrence
+        assert out_long == {None: 0, 1: 4, 3: 4}
+        assert out_str == out_long
+        # plan: integral path aggregates hash-based, no SortAggregate on
+        # the winner agg (struct min would force it)
+        winners, _ = dedup._first_occurrence(
+            dedup._gram_occurrences(df_long, "doc_id", "text", 4, "xxhash64"),
+            "__tempo_gh", "doc_id", 2,
+        )
+        plan = winners._jdf.queryExecution().executedPlan().toString()
+        assert "SortAggregate" not in plan
+        assert "HashAggregate" in plan
+
     def test_plan_shape(self, spark):
         """No Python anywhere, and the shuffle count stays bounded (gram
         count agg, winner join, island window, span agg, join-back — a
