@@ -1391,46 +1391,73 @@ def ngram_jaccard_pairs(
     ubiquitous shingles (stop-grams) that would otherwise produce quadratic
     candidate blowup at scale.
 
-    Shingles are generated with posexplode + ``lead`` windows (whole-stage
-    codegen) rather than per-row array HOFs — ~3× faster, and the exploded
-    form is what the co-occurrence join needs anyway. Documents shorter than
-    ``shingle_k`` tokens contribute their whole text as one shingle.
+    Shingles are generated by exploding bare POSITIONS and reading the k
+    tokens (or token hashes) post-Generate with ``element_at`` — row-level
+    whole-stage codegen with ZERO shuffle. The previous posexplode +
+    ``lead``-window form was codegen too but shuffled AND sorted the full
+    token relation just to line up neighbors (paired A/B at 1M×60-token
+    docs: 4.0-4.9 s vs 7.8-8.6 s warmed, identical distinct counts).
+    Documents shorter than ``shingle_k`` tokens contribute their whole
+    text as one shingle.
 
-    ``hash_shingles`` (default on) replaces each shingle string with its
-    ``xxhash64`` long BEFORE the dedup/frequency/co-occurrence shuffles —
+    ``hash_shingles`` (default on) makes each shingle key an ``xxhash64``
+    long over the k TOKEN HASHES (no shingle string ever materializes) —
     the exploded shingle relation is the biggest shuffle in this pipeline,
-    and 8-byte keys cut its width severalfold vs k-word strings. Jaccard is
-    count arithmetic, so results are identical up to 2⁻⁶⁴ hash collisions."""
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__pos", "__w"),
+    and 8-byte keys cut its width severalfold vs k-word strings. Jaccard
+    is count arithmetic over distinct keys, so results are identical up to
+    2⁻⁶⁴ hash collisions."""
+    toks_c, th_c = "__tempo_toks", "__tempo_tokh"
+    base = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias(toks_c)
     )
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    parts = [F.col("__w")] + [F.lead("__w", i).over(w) for i in range(1, shingle_k)]
-    grams = (
-        toks.select(
-            F.col(id_col),
-            F.concat_ws(" ", *parts).alias("__sh"),
-            parts[-1].alias("__tail"),
+    if hash_shingles:
+        base = base.withColumn(
+            th_c, F.transform(F.col(toks_c), lambda t: F.xxhash64(t))
         )
-        .where(F.col("__tail").isNotNull())
-        .drop("__tail")
+        carry, sh = (
+            [F.col(th_c)],
+            F.xxhash64(
+                *[
+                    F.element_at(F.col(th_c), F.col("__pos") + F.lit(j))
+                    for j in range(1, shingle_k + 1)
+                ]
+            ),
+        )
+    else:
+        carry, sh = (
+            [F.col(toks_c)],
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col(toks_c), F.col("__pos") + F.lit(1), F.lit(shingle_k)
+                ),
+            ),
+        )
+    grams = (
+        base.where(F.size(F.col(toks_c)) >= shingle_k)
+        .select(
+            F.col(id_col),
+            *carry,
+            F.explode_outer(
+                F.sequence(F.lit(0), F.size(F.col(toks_c)) - F.lit(shingle_k))
+            ).alias("__pos"),
+        )
+        .where(F.col("__pos").isNotNull())
+        .select(F.col(id_col), sh.alias("__sh"))
     )
+    short_text = F.trim(F.col(text_col))
     short_docs = (
         df.select(
             F.col(id_col),
-            F.trim(F.col(text_col)).alias("__sh"),
-            F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__n"),
+            (F.xxhash64(short_text) if hash_shingles else short_text).alias(
+                "__sh"
+            ),
+            F.size(F.split(short_text, r"\s+")).alias("__n"),
         )
         .where(F.col("__n") < shingle_k)
         .drop("__n")
     )
-    shingled = grams.unionByName(short_docs)
-    if hash_shingles:
-        shingled = shingled.select(
-            F.col(id_col), F.xxhash64("__sh").alias("__sh")
-        )
-    shingled = shingled.distinct()
+    shingled = grams.unionByName(short_docs).distinct()
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("__n"))
     if max_shingle_freq is not None:
         # over-limit shingles found with groupBy (PARTIAL aggregation
