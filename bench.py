@@ -199,11 +199,11 @@ def _semantic_dedup(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # cells sized ~100 rows (the SemDeDup regime: k grows with the corpus
-    # so within-cell compares stay bounded); random-init quantizer — the
-    # coarse-quantizer recipe (k-means|| init costs several extra sweeps
-    # for marginal cell-balance gain at this granularity)
+    # so within-cell compares stay bounded); driver-local seeded Lloyd fit
+    # — the faiss coarse-quantizer recipe (MLlib launches several jobs per
+    # iteration: ~5 s of pure scheduling for a 2k-row fit)
     idx = IVFIndex.build(
-        emb, n_centroids=64, seed=42, init_mode="random"
+        emb, n_centroids=64, seed=42, init_mode="local"
     )
     return semantic_dedup(
         emb, threshold=0.35, index=idx, keep="far_centroid"

@@ -338,7 +338,14 @@ def _scored_over(vec: Column, cents_col: Column) -> Column:
 # drops into an Arrow-batched numpy matmul kernel: B rows × k centroids
 # per batch as ONE BLAS call (the faiss recipe — a coarse quantizer at
 # real k IS dense linear algebra). Module-level so tests can force paths.
-ASSIGN_ARROW_MIN_OPS = 8192
+# Arrow matmul beats the interpreted broadcast-HOF argmin at EVERY
+# measured size past the literal budget (sf0.1 semantic_dedup, paired
+# same-session reps: k×dim=4096 2.3 vs 5.0 s; 2048 2.3 vs 3.5; 1536 2.4
+# vs 3.3) — the HOF path is interpreted per element while the kernel is
+# one BLAS call per Arrow batch. Boundary == ASSIGN_LITERAL_MAX; raise
+# this in deployments that must keep plans Python-free (the broadcast
+# middle path below remains the no-Python fallback).
+ASSIGN_ARROW_MIN_OPS = 1024
 
 
 def _arrow_assign_udf(centers: list[list[float]]):
@@ -372,6 +379,41 @@ def _arrow_assign_udf(centers: list[list[float]]):
     return cell_of
 
 
+def _local_lloyd(
+    vecs: list, k: int, seed: int, max_iter: int
+) -> list[list[float]]:
+    """Seeded in-process Lloyd's over a collected fit sample (numpy
+    matmul distance form) — the faiss coarse-quantizer training path.
+    Vectors whose width differs from the first row's are dropped (the
+    distributed assign paths NULL them the same way). Empty clusters
+    keep their previous center. Deterministic given (sample, seed)."""
+    import numpy as np
+
+    if not vecs:
+        raise ValueError("local k-means fit set is empty")
+    dim = len(vecs[0])
+    X = np.asarray(
+        [v for v in vecs if len(v) == dim], dtype=np.float64
+    )
+    if X.shape[0] < k:
+        raise ValueError(
+            f"local k-means fit set has {X.shape[0]} usable rows < k={k}; "
+            f"lower n_centroids or widen fit_sample_mod"
+        )
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(X.shape[0], size=k, replace=False)].copy()
+    x2 = (X * X).sum(axis=1, keepdims=True)
+    for _ in range(max_iter):
+        # argmin_c |x-c|^2 = argmin_c (|c|^2 - 2 x.c); |x|^2 is constant
+        scores = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        labels = scores.argmin(axis=1)
+        for j in range(k):
+            members = X[labels == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return [list(map(float, c)) for c in C]
+
+
 def _assign_cells(
     df: DataFrame, centers: list[list[float]], id_col: str, vec_col: str
 ) -> DataFrame:
@@ -384,7 +426,10 @@ def _assign_cells(
       (zero extra plan nodes);
     - within ASSIGN_ARROW_MIN_OPS: centroids ride a broadcast 1-row array
       frame (plan size flat in k; argmin is ``array_min`` over a
-      transform — still no Python);
+      transform — still no Python). Default boundary equals the literal
+      max (Arrow measured faster at every size past it — see the
+      constant's note); raise ASSIGN_ARROW_MIN_OPS to re-enable this
+      regime where Python workers are unwanted;
     - above: Arrow-batched numpy matmul (one BLAS call per batch — the
       only way to get SIMD throughput for genuinely large k; interpreted
       HOF evaluation measured in MINUTES at k=1024 × 200k rows where the
@@ -460,6 +505,15 @@ class IVFIndex:
           extra sweeps of the fit set per init round — measured 7 s vs 2 s
           at k=64 on the local bench); with a few Lloyd iterations the
           cell balance difference is marginal for a COARSE quantizer.
+        - ``init_mode="local"`` collects the fit set to the driver and
+          runs seeded numpy Lloyd's there — ONE Spark job total where
+          MLlib launches several per iteration (each a full scheduling
+          round trip: the fit of a 2k-row quantizer was ~5 s of pure
+          job overhead). This is how faiss trains coarse quantizers:
+          in-process on a bounded sample. ALWAYS pair with
+          ``fit_sample_mod`` on unbounded corpora — the collect is the
+          fit SAMPLE, never the corpus; the assignment of the full
+          corpus stays distributed via the shared argmin paths.
         """
         if init == "first":
             proj = corpus.select(
@@ -471,6 +525,25 @@ class IVFIndex:
             return IVFIndex(assigned, centers, id_col, vec_col)
         if init != "kmeans":
             raise ValueError(f"unknown init {init!r}; use 'kmeans' or 'first'")
+        if init_mode == "local":
+            proj = corpus.select(
+                F.col(id_col), _as_double(F.col(vec_col)).alias("__vec")
+            )
+            fit_proj = proj
+            if fit_sample_mod is not None and fit_sample_mod > 1:
+                fit_proj = proj.where(
+                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(fit_sample_mod))
+                    == 0
+                )
+            vecs = [
+                r["__vec"]
+                for r in fit_proj.where(F.col("__vec").isNotNull())
+                .select("__vec")
+                .collect()
+            ]
+            centers = _local_lloyd(vecs, n_centroids, seed, max_iter)
+            assigned = _assign_cells(corpus, centers, id_col, vec_col)
+            return IVFIndex(assigned, centers, id_col, vec_col)
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 

@@ -766,6 +766,39 @@ class TestIVF:
         assert ar == bc
         assert ar[900] is None and ar[901] is None
 
+    def test_local_lloyd_build(self, spark):
+        """init_mode='local': driver-side seeded numpy Lloyd fit (r8) —
+        deterministic across calls, partitions the corpus, respects
+        fit_sample_mod, and raises clearly when the fit set < k."""
+        from tempo_spark.pipeline.similarity import IVFIndex
+
+        rows = [
+            (i, [float((i % 4) * 10), float(((i + 1) % 4) * 10), float(i % 2)])
+            for i in range(200)
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        a = IVFIndex.build(vecs, n_centroids=4, seed=7, init_mode="local")
+        b = IVFIndex.build(vecs, n_centroids=4, seed=7, init_mode="local")
+        assert a.centers == b.centers  # deterministic
+        got = {r.vec_id: r.cell for r in a.assigned.collect()}
+        assert len(got) == 200 and all(v is not None for v in got.values())
+        # clusters separate the 4 planted groups
+        by_group = {}
+        for i, _ in rows:
+            by_group.setdefault(i % 4, set()).add(got[i])
+        assert all(len(cells) == 1 for cells in by_group.values())
+        # sampled fit still assigns every row
+        s = IVFIndex.build(
+            vecs, n_centroids=4, seed=7, init_mode="local", fit_sample_mod=3
+        )
+        assert s.assigned.count() == 200
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="usable rows < k"):
+            IVFIndex.build(
+                vecs.limit(2), n_centroids=4, seed=7, init_mode="local"
+            )
+
     def test_ivf_cells_partition_corpus(self, spark):
         rows = [(i, [float(i % 3), float((i + 1) % 3), 0.0]) for i in range(30)]
         vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
