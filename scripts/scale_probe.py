@@ -965,8 +965,100 @@ def anomaly_probe(spark, n_rows: int, n_series: int) -> dict:
     return out
 
 
+def thresholds_probe(spark) -> dict:
+    """Re-derive the deployment-tuned constants on THIS cluster (SCALE.md
+    'Threshold re-derivation' section). Every magic number in the engine
+    trades a per-job/interpretation overhead against distributed work; the
+    trade moves with hardware, so a new deployment should rerun this and
+    override the module constants. Emits measured primitives plus the
+    recommended values with the formula used."""
+    import statistics
+
+    import tempo_spark.pipeline.similarity as sim
+
+    out: dict = {}
+    # 1. per-job scheduling latency L: the cost floor of ANY extra Spark
+    # job (drives driver_threshold and the value of fusing tiny stages)
+    for _ in range(2):
+        spark.range(1000).count()  # warm
+    lat = []
+    for _ in range(5):
+        t0 = time.monotonic()
+        spark.range(1000).count()
+        lat.append(time.monotonic() - t0)
+    L = statistics.median(lat)
+    out["job_latency_sec"] = round(L, 4)
+
+    # 2. ASSIGN_ARROW_MIN_OPS: interpreted-HOF assign vs Arrow matmul at
+    # k x dim = 4096 over 100k rows; recommend the smallest measured size
+    # where Arrow wins (on every tested host so far: the literal budget)
+    import random
+
+    random.seed(7)
+    dim, k = 64, 64
+    vecs = spark.range(100_000).selectExpr(
+        "id as vec_id",
+        f"transform(sequence(1, {dim}), j -> cast(pmod(xxhash64(id, j), 1000) as double) / 1000.0) as embedding",
+    )
+    vecs = vecs.cache()
+    vecs.count()
+    centers = [[random.random() for _ in range(dim)] for _ in range(k)]
+    saved = sim.ASSIGN_ARROW_MIN_OPS
+    res = {}
+    try:
+        for name, thr in (("hof", 10**9), ("arrow", 0)):
+            sim.ASSIGN_ARROW_MIN_OPS = thr
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.monotonic()
+                sim._assign_cells(vecs, centers, "vec_id", "embedding").agg(
+                    F.sum("cell")
+                ).collect()
+                best = min(best, time.monotonic() - t0)
+            res[name] = round(best, 3)
+    finally:
+        sim.ASSIGN_ARROW_MIN_OPS = saved
+    vecs.unpersist()
+    out["assign_100k_k64_dim64"] = res
+    out["recommended_ASSIGN_ARROW_MIN_OPS"] = (
+        sim.ASSIGN_LITERAL_MAX if res["arrow"] <= res["hof"] else 8192
+    )
+
+    # 3. driver_threshold (connected components): driver union-find rate
+    # vs the per-round cost of the distributed loop (~3 jobs/round x
+    # log2(diameter) rounds). Recommend edges such that driver time ~= one
+    # distributed round.
+    t0 = time.monotonic()
+    parent = list(range(400_001))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(400_000):
+        a, b = find(i), find(i + 1)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    uf_rate = 400_000 / (time.monotonic() - t0)
+    out["driver_unionfind_edges_per_sec"] = int(uf_rate)
+    out["recommended_driver_threshold"] = int(uf_rate * 3 * L)
+    out["formulas"] = {
+        "driver_threshold": "unionfind_rate x (3 jobs/round x job_latency)",
+        "ASSIGN_ARROW_MIN_OPS": "literal budget if arrow <= hof at kxdim=4096 else keep hof band",
+        "AUTO_BIN_ROWS_PER_SERIES": "rerun --disjoint at your series-count shape; bin iff quadratic per-series compares exceed the bin fanout cost (see SCALE.md)",
+    }
+    return out
+
+
 def main():
     skew = "--skew" in sys.argv
+    if "--thresholds" in sys.argv:
+        spark = _probe_session()
+        print(json.dumps(_stamp(thresholds_probe(spark))))
+        spark.stop()
+        return
     if "--text" in sys.argv:
         spark = _probe_session()
         for n in (1_000_000, 4_000_000):

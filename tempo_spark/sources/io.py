@@ -34,6 +34,7 @@ def write_tsdf(
     tab_name: str,
     optimization_cols: Optional[Sequence[str]] = None,
     mode: str = "overwrite",
+    replace_where: Optional[str] = None,
 ) -> None:
     """Write a TSDF as a managed table partitioned by event date, clustered
     for per-series time-range scans.
@@ -42,6 +43,13 @@ def write_tsdf(
     ``event_time`` intra-day sort key, reference: python/tempo/io.py:28-43)
     while staying OSS-safe: Delta+ZORDER when available, else parquet with
     explicit series clustering.
+
+    ``replace_where``: Delta predicate-scoped replacement (reference:
+    python/tempo/io.py:44 sets the ``replaceWhere`` writer option) — e.g.
+    ``"event_dt >= '2024-01-01'"`` rewrites only matching data under
+    ``mode="overwrite"``. Requires Delta: parquet has no transactional
+    predicate replace, so the fallback raises rather than silently
+    clobbering the whole table.
     """
     ts, series = tsdf.ts_col, list(tsdf.series_ids)
     opt_cols = list(optimization_cols or []) + [ts]
@@ -58,9 +66,17 @@ def write_tsdf(
 
     use_delta = _delta_available(spark)
     fmt = "delta" if use_delta else "parquet"
+    if replace_where is not None and not use_delta:
+        raise ValueError(
+            "replace_where requires Delta (parquet has no transactional "
+            "predicate-scoped replace)"
+        )
     clustered: DataFrame = df.repartition(*[F.col(c) for c in series]) if series else df
     clustered = clustered.sortWithinPartitions(*series, ts)
-    clustered.write.mode(mode).partitionBy("event_dt").format(fmt).saveAsTable(tab_name)
+    writer = clustered.write.mode(mode).partitionBy("event_dt").format(fmt)
+    if replace_where is not None:
+        writer = writer.option("replaceWhere", replace_where)
+    writer.saveAsTable(tab_name)
 
     if use_delta:
         try:

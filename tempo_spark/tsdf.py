@@ -78,9 +78,20 @@ class TSDF:
         *,
         partition_cols: Optional[Sequence[str]] = None,  # reference-style alias
         validate: bool = True,
+        parse_string_ts: bool = False,
     ):
         if series_ids is None and partition_cols is not None:
             series_ids = partition_cols
+        if parse_string_ts and ts_col in df.columns and isinstance(
+            df.schema[ts_col].dataType, StringType
+        ):
+            # opt-in reference-constructor sugar (reference:
+            # python/tempo/tsdf.py:70,131-161 converts string ts_cols in
+            # __init__ after an eager head(1) format sample). Delegates to
+            # the LAZY fromStringTs conversion — a to_timestamp column
+            # expression, no eager scan; pass nanosecond strings through
+            # TSDF.fromStringTs(nanos=True) explicitly instead.
+            df = df.withColumn(ts_col, F.to_timestamp(F.col(ts_col)))
         self.df = df
         self.ts_col = ts_col
         self.series_ids: list[str] = list(series_ids or [])
@@ -98,8 +109,10 @@ class TSDF:
         if not isinstance(t, (TimestampType, TimestampNTZType, NumericType)):
             if isinstance(t, StringType):
                 raise ValueError(
-                    f"ts_col {self.ts_col!r} is a string; convert it first with "
-                    "tempo_spark.functions.timestamps.parse_nanos_timestamp or to_timestamp"
+                    f"ts_col {self.ts_col!r} is a string; pass "
+                    "parse_string_ts=True, use TSDF.fromStringTs, or convert "
+                    "with tempo_spark.functions.timestamps."
+                    "parse_nanos_timestamp / to_timestamp first"
                 )
             raise ValueError(f"ts_col {self.ts_col!r} has unsupported type {t}")
         for c in self.series_ids:

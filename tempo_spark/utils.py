@@ -22,12 +22,49 @@ def get_display_df(tsdf, k: int = 5) -> DataFrame:
     return tsdf.latest(k).df.orderBy(*order)
 
 
+def _notebook_renderer():
+    """Environment sniffing for :func:`display` (reference:
+    python/tempo/utils.py:18,36-50,216-237 — ``DB_HOME`` marks a
+    Databricks runtime whose IPython user namespace carries the native
+    rich ``display``; a ZMQ IPython shell can render HTML). Evaluated
+    LAZILY per call — the reference binds at import time, which freezes
+    the wrong renderer when tempo imports before the notebook kernel."""
+    import os
+
+    try:
+        from IPython import get_ipython  # type: ignore
+
+        ip = get_ipython()
+    except ImportError:
+        return None, False
+    if ip is None:
+        return None, False
+    if "DB_HOME" in os.environ and "display" in ip.user_ns:
+        return ip.user_ns["display"], True
+    return None, ip.__class__.__name__ == "ZMQInteractiveShell"
+
+
 def display(df, n: int = 20) -> None:
-    """Minimal polymorphic display — plain ``show`` locally. (The reference's
-    Databricks/IPython sniffing, python/tempo/utils.py:139-237, is
-    environment plumbing, not engine behavior.)"""
-    inner = getattr(df, "df", df)
-    inner.show(n, truncate=False)
+    """Polymorphic display (reference: python/tempo/utils.py:139-237):
+    a TSDF shows its latest-5-per-series frame via :func:`get_display_df`;
+    on Databricks the native rich ``display`` renders it, in a Jupyter
+    kernel an HTML ``pre`` style is injected before ``show`` (the
+    reference's ``display_html``), anywhere else plain ``show``."""
+    is_tsdf = hasattr(df, "df") and hasattr(df, "latest")
+    frame = get_display_df(df) if is_tsdf else getattr(df, "df", df)
+    native, html_capable = _notebook_renderer()
+    if native is not None:
+        native(frame)
+        return
+    if html_capable:
+        try:
+            from IPython.core.display import HTML  # type: ignore
+            from IPython.display import display as ipydisplay  # type: ignore
+
+            ipydisplay(HTML("<style>pre { white-space: pre !important; }</style>"))
+        except ImportError:
+            pass
+    frame.show(n, truncate=False)
 
 
 def calculate_time_horizon(

@@ -58,6 +58,22 @@ class TestConstruction:
         t = TSDF.fromStringTs(trades, "event_ts", series_ids=["symbol"])
         assert dict(t.df.dtypes)["event_ts"] == "timestamp"
 
+    def test_constructor_parse_string_ts_opt_in(self, spark):
+        # reference constructor sugar (python/tempo/tsdf.py:70), opt-in:
+        # TSDF(df, ts, parse_string_ts=True) == TSDF.fromStringTs(df, ts)
+        df = spark.createDataFrame(
+            [("a", "2020-09-01 14:30:00", 1.0)],
+            "k string, ts string, v double",
+        )
+        t = TSDF(df, ts_col="ts", series_ids=["k"], parse_string_ts=True)
+        assert dict(t.df.dtypes)["ts"] == "timestamp"
+        # default stays strict, and the error names the opt-in
+        with pytest.raises(ValueError, match="parse_string_ts"):
+            TSDF(df, ts_col="ts", series_ids=["k"])
+        # time-like columns pass through unchanged under the flag
+        t2 = TSDF(t.df, ts_col="ts", series_ids=["k"], parse_string_ts=True)
+        assert dict(t2.df.dtypes)["ts"] == "timestamp"
+
     def test_show_k_validation(self, tsdf, capsys):
         with pytest.raises(ValueError, match="cannot be greater"):
             tsdf.show(n=3, k=5)

@@ -58,6 +58,32 @@ class TestDisplay:
         out = get_display_df(t, k=1).collect()
         assert len(out) == 2
 
+    def test_display_polymorphic_no_notebook(self, spark, trades, capsys):
+        """Outside a notebook the sniff resolves to (None, False) and
+        display falls back to show — for a raw DataFrame AND a TSDF
+        (latest-5-per-series frame, the reference contract)."""
+        from tempo_spark.utils import _notebook_renderer, display
+
+        assert _notebook_renderer() == (None, False)
+        display(trades.select("symbol"))
+        t = TSDF(trades, ts_col="event_ts", series_ids=["symbol"])
+        display(t)
+        out = capsys.readouterr().out
+        assert "symbol" in out and "event_ts" in out
+
+    def test_display_databricks_renderer(self, spark, trades, monkeypatch):
+        """With DB_HOME + an IPython shell exposing 'display', the native
+        renderer receives the latest-k frame (sniffed lazily per call)."""
+        import tempo_spark.utils as u
+
+        got = []
+        monkeypatch.setattr(
+            u, "_notebook_renderer", lambda: (lambda frame: got.append(frame), True)
+        )
+        t = TSDF(trades, ts_col="event_ts", series_ids=["symbol"])
+        u.display(t)
+        assert len(got) == 1 and got[0].count() <= 10  # latest 5 per series
+
 
 class TestPlans:
     def test_plan_size_parquet(self, spark, tmp_path):
@@ -195,6 +221,16 @@ class TestWriter:
             assert out.count() == trades.count()
         finally:
             spark.sql("DROP TABLE IF EXISTS t_evt_shape")
+
+    def test_replace_where_requires_delta(self, spark, trades):
+        from tempo_spark import TSDF
+        from tempo_spark.sources.io import write_tsdf
+
+        t = TSDF(trades, ts_col="event_ts", series_ids=["symbol"])
+        with pytest.raises(ValueError, match="replace_where requires Delta"):
+            write_tsdf(
+                t, spark, "t_rw", replace_where="event_dt >= '2020-01-01'"
+            )
 
 
 class TestReader:
