@@ -381,12 +381,20 @@ def asofmany_probe(
             "checksum": [float(agg[i + 1]) for i in range(n_rights)],
         }
 
-    run("many", left.asofJoinMany(rights).df)
+    run("many", left.asofJoinMany(rights, strategy="union").df)
     chained = left
     for pfx, r in rights.items():
         chained = chained.asofJoin(r, right_prefix=pfx)
     run("chained", chained.df)
     out["paths_agree"] = out["many"] == dict(out["chained"], sec=out["many"]["sec"])
+    from tempo_spark.operators.asof import _pick_many_strategy
+
+    out["auto_pick"] = _pick_many_strategy(left, rights)
+    out["auto_picked_faster"] = (
+        out["auto_pick"] == "union"
+        if out["many"]["sec"] <= out["chained"]["sec"]
+        else out["auto_pick"] == "chain"
+    )
     return out
 
 

@@ -459,12 +459,58 @@ def _range_join(
     return joined.select(*sel)
 
 
+#: the packed-union many-join wins when the rights are SPARSER than the
+#: left (its saving is N-1 fewer full-left shuffles; its cost is one
+#: (left + Σrights)-row sort that can spill where the chain's two-side
+#: stages fit). Measured break-even band from the 16M-row 4-right probe
+#: (--asofmany): rights ≈ left/10 → union wins 14×; rights ≈ left →
+#: chain wins ~1.2×. Rule: union iff the AVERAGE right is at most this
+#: fraction of the left.
+ASOF_MANY_UNION_MAX_AVG_RIGHT_FRACTION = 0.5
+
+#: memoized count-probe results keyed by plan semanticHash — same
+#: index-statistic contract as intervals._AUTO_BIN_CACHE: a stale or
+#: colliding entry can only pick the slower strategy, never a wrong
+#: answer. Bounded FIFO.
+_ASOF_COUNT_CACHE: "dict[int, int]" = {}
+_ASOF_COUNT_CACHE_MAX = 256
+
+
+def _cached_count(df) -> int:
+    try:
+        key = df.semanticHash()
+    except Exception:  # pragma: no cover - plans a hash can't reach
+        key = None
+    if key is not None and key in _ASOF_COUNT_CACHE:
+        return _ASOF_COUNT_CACHE[key]
+    n = df.count()
+    if key is not None:
+        if len(_ASOF_COUNT_CACHE) >= _ASOF_COUNT_CACHE_MAX:
+            _ASOF_COUNT_CACHE.pop(next(iter(_ASOF_COUNT_CACHE)))
+        _ASOF_COUNT_CACHE[key] = n
+    return n
+
+
+def _pick_many_strategy(left, rights: "dict[str, object]") -> str:
+    """The ``strategy="auto"`` decision: ONE memoized count per distinct
+    input plan, then union iff avg(|right|) <= FRACTION x |left|."""
+    n_left = _cached_count(left.df)
+    if n_left == 0:
+        return "union"
+    total_rights = sum(_cached_count(r.df) for r in rights.values())
+    avg_right = total_rights / len(rights)
+    if avg_right <= ASOF_MANY_UNION_MAX_AVG_RIGHT_FRACTION * n_left:
+        return "union"
+    return "chain"
+
+
 def asof_join_many(
     left,
     rights: "dict[str, object]",
     skip_nulls: bool = True,
     allow_exact_matches: bool = True,
     tolerances: "Optional[dict[str, float]]" = None,
+    strategy: str = "auto",
 ):
     """N backward as-of joins in ONE shuffle — the multi-source feature
     join ("attach the latest quote AND the latest sentiment AND the latest
@@ -506,9 +552,22 @@ def asof_join_many(
     Sequence-column tie-breaking within one right side is not supported
     here (sort keys are shared across sides) — use the single
     :func:`asof_join` when a right needs ``sequence_col`` semantics.
+
+    ``strategy``: ``"union"`` — the packed-union single-sort plan above;
+    ``"chain"`` — N successive :func:`asof_join` calls (identical results,
+    pinned by the chained-equivalence test); ``"auto"`` (default) — ONE
+    memoized count per distinct input plan picks union iff the average
+    right is at most :data:`ASOF_MANY_UNION_MAX_AVG_RIGHT_FRACTION` of
+    the left (sparse feature sources → union's N-1 saved full-left
+    shuffles dominate; left-sized rights → the (N+1)·n-row union sort
+    spills where the chain's two-side stages fit).
     """
     from tempo_spark.tsdf import TSDF
 
+    if strategy not in ("auto", "union", "chain"):
+        raise ValueError(
+            f"strategy must be 'auto', 'union', or 'chain', got {strategy!r}"
+        )
     if not rights:
         raise ValueError("rights must be a non-empty {prefix: TSDF} mapping")
     unknown_tol = set(tolerances or {}) - set(rights)
@@ -550,6 +609,24 @@ def asof_join_many(
     reserved = ({_REC_IND, _CTS, _TIE} | side_names) & (taken | set(series))
     if reserved:
         raise ValueError(f"reserved column names present in input: {sorted(reserved)}")
+
+    # strategy branch AFTER every validation — the API contract (errors,
+    # reserved names, colliding prefixes) must not depend on which plan
+    # the probe picks
+    if strategy == "auto":
+        strategy = _pick_many_strategy(left, rights)
+    if strategy == "chain":
+        out_t = left
+        for pfx, r in rights.items():
+            out_t = asof_join(
+                out_t,
+                r,
+                right_prefix=pfx,
+                skip_nulls=skip_nulls,
+                allow_exact_matches=allow_exact_matches,
+                tolerance=(tolerances or {}).get(pfx),
+            )
+        return out_t
 
     all_value_cols = list(l_vals) + [
         c for _i, _p, _d, _t, vals in sides for c in vals

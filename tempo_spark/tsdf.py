@@ -468,18 +468,23 @@ class TSDF:
         skipNulls: bool = True,
         allowExactMatches: bool = True,
         tolerances: Optional[dict] = None,
+        strategy: str = "auto",
     ) -> "TSDF":
-        """N backward as-of joins in ONE shuffle (beyond the reference):
+        """N backward as-of joins (beyond the reference):
         ``trades.asofJoinMany({"quote": quotes, "sent": sentiment})``
-        attaches each right's latest row per series with a single sort —
-        chaining ``asofJoin`` N times pays N shuffles of the growing left.
-        See ``tempo_spark.operators.asof.asof_join_many`` for semantics."""
+        attaches each right's latest row per series. ``strategy="auto"``
+        (default) probes input sizes once (memoized) and picks the
+        packed-union single-sort plan when the rights are sparse relative
+        to the left — N-1 fewer full-left shuffles — or falls back to
+        chained single joins when the union sort would dominate
+        (left-sized rights). Results are identical either way. See
+        ``tempo_spark.operators.asof.asof_join_many`` for semantics."""
         from tempo_spark.operators.asof import asof_join_many
 
         return asof_join_many(
             self, rights,
             skip_nulls=skipNulls, allow_exact_matches=allowExactMatches,
-            tolerances=tolerances,
+            tolerances=tolerances, strategy=strategy,
         )
 
     # ------------------------------------------------------- window analytics

@@ -571,10 +571,38 @@ class TestAsofJoinMany:
         from tempo_spark.plans.inspect import count_exchanges
 
         left, r1, r2 = self._frames(spark)
-        many = left.asofJoinMany({"a": r1, "b": r2})
+        many = left.asofJoinMany({"a": r1, "b": r2}, strategy="union")
         chained = left.asofJoin(r1, right_prefix="a").asofJoin(r2, right_prefix="b")
         assert count_exchanges(many.df) == 1
         assert count_exchanges(chained.df) == 2  # the cost this op removes
+
+    def test_auto_strategy_decision_and_equivalence(self, spark):
+        """strategy='auto' (r8): sparse rights -> union, left-sized rights
+        -> chain (memoized count probe); both strategies produce identical
+        rows. The decision helper is pinned directly."""
+        from tempo_spark.operators.asof import _pick_many_strategy
+
+        left, r1, r2 = self._frames(spark)
+        big = TSDF(
+            spark.range(100).selectExpr(
+                "'A' as k",
+                "timestamp'2020-01-01' + make_interval(0,0,0,0,0,0,id) as ts",
+                "cast(id as double) as v",
+            ),
+            ts_col="ts", series_ids=["k"],
+        )
+        # sparse rights (2 rows vs 100): union; left-sized rights: chain
+        assert _pick_many_strategy(big, {"a": r1, "b": r2}) == "union"
+        assert _pick_many_strategy(r1, {"a": big, "b": big}) == "chain"
+        u = left.asofJoinMany({"a": r1, "b": r2}, strategy="union").df
+        c = left.asofJoinMany({"a": r1, "b": r2}, strategy="chain").df
+        key = lambda r: (r.k, str(r.ts), r.v, r.a_q, r.b_s,
+                         None if r.a_ts is None else str(r.a_ts),
+                         None if r.b_ts is None else str(r.b_ts))
+        assert sorted(map(key, u.collect())) == sorted(map(key, c.collect()))
+        assert sorted(u.columns) == sorted(c.columns)
+        with pytest.raises(ValueError, match="strategy"):
+            left.asofJoinMany({"a": r1}, strategy="nope")
 
     def test_strict_and_skipnulls(self, spark):
         left, r1, r2 = self._frames(spark)
