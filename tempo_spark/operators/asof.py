@@ -48,6 +48,11 @@ from pyspark.sql import Window
 
 from tempo_spark.functions.timestamps import ts_to_double
 
+#: sql_join_opt size cutoff — a side whose Catalyst-estimated plan size
+#: is under this takes the broadcast/range path (reference:
+#: python/tempo/tsdf.py:793-795 uses the same 30 MiB figure)
+SQL_JOIN_OPT_BROADCAST_BYTES = 30 * 1024 * 1024
+
 _REC_IND = "__tempo_rec_ind"
 _CTS = "__tempo_cts"
 _TIE = "__tempo_tie"

@@ -42,6 +42,30 @@ def plan_size_bytes(df: DataFrame) -> Optional[float]:
         spark.catalog.dropTempView(name)
 
 
+#: memoized plan-size estimates keyed by semanticHash — same
+#: index-statistic contract as the asof count / auto-bin caches: a stale
+#: entry can only pick a suboptimal join strategy, never a wrong answer.
+_PLAN_SIZE_CACHE: dict = {}
+_PLAN_SIZE_CACHE_MAX = 256
+
+
+def plan_size_bytes_cached(df: DataFrame) -> Optional[float]:
+    """Memoized :func:`plan_size_bytes` (the probe runs EXPLAIN COST —
+    cheap but not free; strategy picks repeat over the same inputs)."""
+    try:
+        key = df.semanticHash()
+    except Exception:  # pragma: no cover - plans a hash can't reach
+        key = None
+    if key is not None and key in _PLAN_SIZE_CACHE:
+        return _PLAN_SIZE_CACHE[key]
+    size = plan_size_bytes(df)
+    if key is not None:
+        if len(_PLAN_SIZE_CACHE) >= _PLAN_SIZE_CACHE_MAX:
+            _PLAN_SIZE_CACHE.pop(next(iter(_PLAN_SIZE_CACHE)))
+        _PLAN_SIZE_CACHE[key] = size
+    return size
+
+
 def formatted_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(
         df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

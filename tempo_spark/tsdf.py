@@ -415,8 +415,35 @@ class TSDF:
         join result (a deliberate action) and log a warning for each right
         column that matched nothing; ``suppress_null_warning`` is accepted
         for API compatibility and implies nothing when the check is off."""
-        from tempo_spark.operators.asof import asof_join
+        from tempo_spark.operators.asof import (
+            SQL_JOIN_OPT_BROADCAST_BYTES,
+            asof_join,
+        )
 
+        # reference semantics (python/tempo/tsdf.py:787-795): sql_join_opt
+        # probes BOTH plans' estimated sizeInBytes and takes the
+        # broadcast/range path only when a side is under the 30 MiB
+        # cutoff, else falls back to the union-window strategy. The probe
+        # is memoized by semanticHash (plan-choice statistic — a stale
+        # entry picks a slower plan, never a wrong answer). Frames without
+        # a usable estimate (in-memory relations report Long.Max) keep the
+        # user's explicit range request — override only on evidence that
+        # BOTH sides are big. An explicit range_join_bin_seconds skips the
+        # probe: the binned rewrite exists precisely for big×big sides the
+        # cutoff would route away.
+        use_range_join = sql_join_opt
+        if sql_join_opt and range_join_bin_seconds is None and direction == "backward":
+            from tempo_spark.plans.inspect import plan_size_bytes_cached
+
+            lb = plan_size_bytes_cached(self.df)
+            rb = plan_size_bytes_cached(right.df)
+            both_known_big = (
+                lb is not None
+                and rb is not None
+                and lb >= SQL_JOIN_OPT_BROADCAST_BYTES
+                and rb >= SQL_JOIN_OPT_BROADCAST_BYTES
+            )
+            use_range_join = not both_known_big
         result = asof_join(
             self,
             right,
@@ -425,7 +452,7 @@ class TSDF:
             ts_partition_val=tsPartitionVal,
             fraction=fraction,
             skip_nulls=skipNulls,
-            use_range_join=sql_join_opt,
+            use_range_join=use_range_join,
             tolerance=tolerance,
             direction=direction,
             range_join_bin_seconds=range_join_bin_seconds,

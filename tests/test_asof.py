@@ -129,6 +129,36 @@ class TestAsofJoinSkew:
 
 
 class TestAsofJoinRange:
+    def test_sql_join_opt_size_probe_switch(
+        self, trades_tsdf, quotes_tsdf, monkeypatch, tmp_path
+    ):
+        """sql_join_opt picks the strategy from the Catalyst size estimate
+        (reference: python/tempo/tsdf.py:787-795, 30 MiB cutoff): sides
+        with KNOWN small sizes -> the range/broadcast plan; with the
+        cutoff forced to 0 (every known size is 'big') the SAME call
+        plans as the union-window strategy. Parquet-backed frames carry
+        real sizeInBytes stats (in-memory relations report Long.Max and
+        keep the user's explicit range request)."""
+        import tempo_spark.operators.asof as asof_mod
+        import tempo_spark.tsdf as tsdf_mod
+        from tempo_spark.plans.inspect import formatted_plan
+
+        trades_tsdf.df.write.parquet(str(tmp_path / "t"))
+        quotes_tsdf.df.write.parquet(str(tmp_path / "q"))
+        spark = trades_tsdf.df.sparkSession
+        lt = TSDF(spark.read.parquet(str(tmp_path / "t")),
+                  ts_col=trades_tsdf.ts_col, series_ids=trades_tsdf.series_ids)
+        rt = TSDF(spark.read.parquet(str(tmp_path / "q")),
+                  ts_col=quotes_tsdf.ts_col, series_ids=quotes_tsdf.series_ids)
+        ranged = lt.asofJoin(rt, left_prefix="left", sql_join_opt=True).df
+        monkeypatch.setattr(tsdf_mod, "SQL_JOIN_OPT_BROADCAST_BYTES", 0, raising=False)
+        monkeypatch.setattr(asof_mod, "SQL_JOIN_OPT_BROADCAST_BYTES", 0)
+        unioned = lt.asofJoin(rt, left_prefix="left", sql_join_opt=True).df
+        # the union-window strategy is recognizable by its record-indicator
+        # staging column; the range plan never builds it
+        assert asof_mod._REC_IND in formatted_plan(unioned)
+        assert asof_mod._REC_IND not in formatted_plan(ranged)
+
     def test_range_join_matches_default(self, trades_tsdf, quotes_tsdf):
         # range join attaches whole right ROWS — the union-path equivalent is
         # skipNulls=False (per-column forward-fill differs on null metrics)
