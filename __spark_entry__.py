@@ -2392,7 +2392,19 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       both engines via concat/char/replace/repeat) with lowercase=True;
       val = md5_32 of the normalized string. Every cleanup step is a
       character-class regex or 1:1 translate, identical in Java regex and
-      RE2 — unlike the PII patterns, this transform IS cross-engine."""
+      RE2 — unlike the PII patterns, this transform IS cross-engine;
+    - ``recipe``: the ``prepare_corpus`` COMPOSITION (normalize →
+      paragraph dedup → signals re-derived → exact dedup → mix → split)
+      value-gated end-to-end over synthesized multi-paragraph messy docs:
+      content groups g = doc_id % 100 (corpus texts as curly-quoted
+      paragraphs in doc_id order, 4-newline separators, a shared messy
+      footer), TWO copies per group (ids g and g+100). Keep-first
+      paragraph dedup empties every g+100 copy, exact dedup then
+      collapses the empty docs, mix waterfills over a synthetic source
+      column, split assigns md5_32 buckets — the DuckDB oracle replays
+      every stage IN ORDER, so a stage-reordering bug (signals before the
+      paragraph rewrite, mix before dedup, normalize after hashing)
+      changes the surviving row set or the text/split/token digest."""
     from tempo_spark.pipeline.dedup import md5_32
     from tempo_spark.pipeline.sampling import sample_per_key
     from tempo_spark.pipeline.text import normalize_text, with_fingerprint
@@ -2414,10 +2426,151 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = normalize_text(messy, "__messy", "__norm", lowercase=True).select(
         F.lit("norm").alias("tag"), "doc_id", md5_32(F.col("__norm")).alias("val")
     )
-    return fp.unionByName(samp).unionByName(norm)
+
+    from tempo_spark.pipeline.prepare import prepare_corpus
+
+    grouped = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            (F.col("doc_id") % 100).alias("__g"),
+            F.struct(
+                "doc_id",
+                F.concat(F.lit("“"), F.col("text"), F.lit("”")).alias("p"),
+            ).alias("__s"),
+        )
+        .groupBy("__g")
+        .agg(
+            F.concat_ws(
+                "\n\n\n\n",
+                F.transform(
+                    F.array_sort(F.collect_list("__s")),
+                    lambda s: s.getField("p"),
+                ),
+            ).alias("__body")
+        )
+    )
+
+    def synth_copy(off: int):
+        return grouped.select(
+            (F.col("__g") + F.lit(off)).cast("long").alias("doc_id"),
+            F.concat(F.col("__body"), F.lit("\n\n\n\nCommon  footer…")).alias(
+                "text"
+            ),
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("es"), F.lit("fr")),
+                (F.col("__g") % 4 + 1).cast("int"),
+            ).alias("src"),
+        )
+
+    prepared = prepare_corpus(
+        synth_copy(0).unionByName(synth_copy(100)),
+        "doc_id",
+        "text",
+        normalize=True,
+        paragraph_dedup=True,
+        paragraph_sep="\n\n",
+        exact_dedup=True,
+        mix_group_col="src",
+        mix_shares={"en": 0.5, "de": 0.25, "es": 0.125, "fr": 0.125},
+        hash_family="md5_32",
+    )
+    recipe = prepared.select(
+        F.lit("recipe").alias("tag"),
+        "doc_id",
+        md5_32(
+            F.concat_ws(
+                "|", "text", "split", F.col("n_tokens").cast("string")
+            )
+        ).alias("val"),
+    )
+    return fp.unionByName(samp).unionByName(norm).unionByName(recipe)
 
 
 _FINGERPRINT_ORACLE = """
+WITH r_base AS (
+  SELECT doc_id % 100 AS g, doc_id, '“' || text || '”' AS p
+  FROM documents WHERE text IS NOT NULL),
+r_body AS (
+  SELECT g, string_agg(p, repeat(chr(10), 4) ORDER BY doc_id) AS body
+  FROM r_base GROUP BY g),
+r_docs AS (
+  SELECT CAST(g + o.off AS BIGINT) AS doc_id,
+         body || repeat(chr(10), 4) || 'Common  footer…' AS text,
+         CASE CAST(g % 4 AS INTEGER) WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+              WHEN 2 THEN 'es' ELSE 'fr' END AS src
+  FROM r_body CROSS JOIN (VALUES (0), (100)) AS o(off)),
+r_norm AS (
+  -- normalize_text replay (strip control, quote translate, ellipsis,
+  -- whitespace collapse, trim; lowercase OFF in prepare_corpus)
+  SELECT doc_id, src,
+         trim(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   translate(
+                     regexp_replace(text,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]',
+                       '', 'g'),
+                     '‘’“”–— ', '''''""-- '),
+                   '…', '...', 'g'),
+                 '[ \\t\\r]+', ' ', 'g'),
+               ' ?\\n ?', chr(10), 'g'),
+             '\\n{3,}', chr(10) || chr(10), 'g')
+         ) AS text
+  FROM r_docs),
+r_paras AS (
+  SELECT doc_id, u.i - 1 AS pos, t.pa[u.i] AS para
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\\n\\n') AS pa
+        FROM r_norm) t,
+       unnest(generate_series(1, len(t.pa))) AS u(i)),
+r_win AS (
+  SELECT para, min({'d': doc_id, 'p': pos}) AS w, count(*) AS n
+  FROM r_paras GROUP BY para),
+r_kept AS (
+  SELECT p.doc_id, p.pos, p.para
+  FROM r_paras p JOIN r_win w ON w.para = p.para
+  WHERE w.n < 2 OR (p.doc_id = w.w.d AND p.pos = w.w.p)),
+r_text2 AS (
+  SELECT d.doc_id, d.src, coalesce(k.txt, '') AS text
+  FROM r_norm d
+  LEFT JOIN (SELECT doc_id,
+                    string_agg(para, chr(10) || chr(10) ORDER BY pos) AS txt
+             FROM r_kept GROUP BY doc_id) k USING (doc_id)),
+r_tok AS (
+  SELECT doc_id, src, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM r_text2),
+r_exact AS (
+  SELECT doc_id, src, text, n_tokens FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS w FROM r_tok)
+  WHERE doc_id = w),
+r_rates AS (
+  SELECT src, least(1.0, share * (min(avail / share) OVER ()) / avail) AS rate
+  FROM (SELECT src,
+               CASE src WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                    WHEN 'es' THEN 0.125 WHEN 'fr' THEN 0.125 END AS share,
+               sum(CAST(n_tokens AS DOUBLE)) AS avail
+        FROM r_exact GROUP BY src)
+  WHERE share IS NOT NULL AND share > 0 AND avail > 0),
+r_mix AS (
+  SELECT e.doc_id, e.text, e.n_tokens
+  FROM r_exact e JOIN r_rates r USING (src)
+  WHERE ('0x' || substr(md5('prep:mix:' || CAST(e.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % 1000000 < r.rate * 1000000),
+r_final AS (
+  SELECT doc_id, text, n_tokens,
+         CASE WHEN ('0x' || substr(md5('prep:split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000000 < 980000 THEN 'train'
+              WHEN ('0x' || substr(md5('prep:split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000000 < 990000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM r_mix)
+SELECT 'recipe' AS tag, doc_id,
+       ('0x' || substr(md5(text || '|' || split || '|' || CAST(n_tokens AS VARCHAR)), 1, 8))::BIGINT AS val
+FROM r_final
+UNION ALL
 SELECT 'fingerprint' AS tag, doc_id,
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),

@@ -54,6 +54,7 @@ def prepare_corpus(
     pack_tokens: int | None = None,
     n_shards: int | None = None,
     salt: str = "prep",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Standard corpus preparation in one call; see the module docstring.
 
@@ -159,13 +160,20 @@ def prepare_corpus(
             raise ValueError("mix_group_col requires mix_shares")
         out = mix_by_group(
             out, id_col, mix_group_col, mix_shares,
-            token_col="n_tokens", salt=f"{salt}:mix",
+            token_col="n_tokens", salt=f"{salt}:mix", hash_family=hash_family,
         )
-    out = with_split(out, id_col, weights=splits, salt=f"{salt}:split")
+    out = with_split(
+        out, id_col, weights=splits, salt=f"{salt}:split",
+        hash_family=hash_family,
+    )
     if pack_tokens is not None:
         out = assign_packs(
-            out, "n_tokens", pack_tokens, ["split"], id_col, salt=f"{salt}:pack"
+            out, "n_tokens", pack_tokens, ["split"], id_col,
+            salt=f"{salt}:pack", hash_family=hash_family,
         )
     if n_shards is not None:
-        out = with_shard(out, id_col, n_shards, salt=f"{salt}:shard")
+        out = with_shard(
+            out, id_col, n_shards, salt=f"{salt}:shard",
+            hash_family=hash_family,
+        )
     return out
