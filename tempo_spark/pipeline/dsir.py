@@ -55,34 +55,53 @@ def _gram_rows(
     """THE single gram-construction path (fit and scoring share it, so the
     two feature spaces cannot drift): narrow (``keep_cols…``, ``__dsir_g``)
     rows — one row per (uni|bi)-gram occurrence of each document.
-    Lowercased tokens (DSIR's feature space is case-folded). The token
-    array is materialized into a staging column first — HOF expressions
-    re-inline through withColumn chains into every consumer (see
-    with_minhash)."""
+    Lowercased tokens (DSIR's feature space is case-folded).
+
+    Grams are built by exploding bare POSITIONS over the carried token
+    array and reading tokens post-Generate with ``element_at`` — row-level
+    whole-stage codegen (building them inside a position ``transform`` ran
+    interpreted; see the SCALE.md round-8 section). Position layout:
+    ``1..n_uni`` index the unigrams, ``n_uni+1..n_uni+n_bi`` the bigram
+    starts — gram strings identical to the old array build."""
     if not ngrams or any(n not in (1, 2) for n in ngrams):
         raise ValueError(f"ngrams must be a subset of (1, 2), got {ngrams!r}")
     staged = df.select(
         *keep_cols, tokens_col(F.lower(F.col(text_col))).alias("__dsir_t")
     )
-    parts = []
-    if 1 in ngrams:
-        parts.append(F.col("__dsir_t"))
-    if 2 in ngrams:
-        t = F.col("__dsir_t")
-        parts.append(
-            F.when(F.size(t) >= 2, F.transform(
-                F.sequence(F.lit(1), F.size(t) - F.lit(1)),
-                _bigram_factory(),
-            )).otherwise(F.array().cast("array<string>"))
-        )
-    grams = parts[0] if len(parts) == 1 else F.concat(*parts)
-    # explode_outer + post-Generate isNotNull: a plain explode's implied
-    # size(arr)>0 filter re-inlines the whole gram expression (pushdown
-    # trap — see ngram_contamination, 29 s → 0.7 s)
-    return (
-        staged.select(*keep_cols, F.explode_outer(grams).alias("__dsir_g"))
-        .where(F.col("__dsir_g").isNotNull())
+    t = F.col("__dsir_t")
+    n_uni = F.size(t) if 1 in ngrams else F.lit(0)
+    n_bi = (
+        F.greatest(F.size(t) - F.lit(1), F.lit(0)) if 2 in ngrams else F.lit(0)
     )
+    total = n_uni + n_bi
+    # explode_outer + post-Generate isNotNull (the pushdown trap — see
+    # ngram_contamination); the when() guard avoids sequence(1, 0)'s
+    # DESCENDING [1, 0] on gram-less docs
+    pos_rows = (
+        staged.select(
+            *keep_cols,
+            t,
+            F.explode_outer(
+                F.when(total >= 1, F.sequence(F.lit(1), total))
+            ).alias("__dsir_pos"),
+        )
+        .where(F.col("__dsir_pos").isNotNull())
+    )
+    p = F.col("__dsir_pos")
+    if 1 in ngrams and 2 in ngrams:
+        nu = F.size(t)
+        gram = F.when(p <= nu, F.element_at(t, p)).otherwise(
+            F.concat_ws(
+                " ", F.element_at(t, p - nu), F.element_at(t, p - nu + F.lit(1))
+            )
+        )
+    elif 1 in ngrams:
+        gram = F.element_at(t, p)
+    else:
+        gram = F.concat_ws(
+            " ", F.element_at(t, p), F.element_at(t, p + F.lit(1))
+        )
+    return pos_rows.select(*keep_cols, gram.alias("__dsir_g"))
 
 
 def _gram_bucket_rows(
@@ -101,15 +120,6 @@ def _gram_bucket_rows(
         F.pmod(
             _gram_hash(F.col("__dsir_g"), hash_family), F.lit(buckets)
         ).alias("__b"),
-    )
-
-
-def _bigram_factory():
-    # factory keeps the lambda single-parameter (arity introspection)
-    return lambda i: F.concat_ws(
-        " ",
-        F.element_at(F.col("__dsir_t"), i),
-        F.element_at(F.col("__dsir_t"), i + F.lit(1)),
     )
 
 

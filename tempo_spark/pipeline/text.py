@@ -344,26 +344,32 @@ def with_ngram_char_fracs(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    toks_c, grams_c = "__cf_toks", "__cf_grams"
-
-    def gram_at(i: Column) -> Column:
-        return F.concat_ws(" ", F.slice(F.col(toks_c), i, n))
+    toks_c = "__cf_toks"
 
     stepped = df.select(F.col(id_col), F.col(text_col)).withColumn(
         toks_c, tokens_col(F.col(text_col))
     )
     n_toks = F.size(F.col(toks_c))
-    grams = F.when(
-        n_toks >= n, F.transform(F.sequence(F.lit(1), n_toks - (n - 1)), gram_at)
-    ).otherwise(F.array().cast("array<string>"))
+    # explode bare positions and build the gram post-Generate (codegen —
+    # a position transform() runs interpreted, SCALE.md round-8 section);
+    # explode_outer + null filter per the pushdown trap
     exploded = (
-        stepped.withColumn(grams_c, grams)
-        .select(
+        stepped.select(
             id_col,
             F.length(F.col(text_col)).alias("__chars"),
-            F.explode_outer(F.col(grams_c)).alias("__gram"),
+            F.col(toks_c),
+            F.explode_outer(
+                F.when(n_toks >= n, F.sequence(F.lit(1), n_toks - (n - 1)))
+            ).alias("__gpos"),
         )
-        .where(F.col("__gram").isNotNull())
+        .where(F.col("__gpos").isNotNull())
+        .select(
+            id_col,
+            "__chars",
+            F.concat_ws(
+                " ", F.slice(F.col(toks_c), F.col("__gpos"), F.lit(n))
+            ).alias("__gram"),
+        )
     )
     counts = exploded.groupBy(id_col, "__chars", "__gram").agg(
         F.count("*").alias("__cnt")
@@ -715,30 +721,32 @@ def train_ngram_lm(
     toks = F.array_insert(tokens_col(F.col(text_col)), 1, F.lit(_LM_START))
     if hash_family == "xxhash64":
         toks = F.transform(toks, lambda t: F.xxhash64(t))
-    pairs = (
-        df.select(toks.alias("__t"))
-        .where(F.size("__t") >= 2)
-        .select(
-            F.posexplode_outer(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("__t") - F.lit(2)),
-                    _ctx_tok_factory(),
-                )
-            ).alias("__pos", "__ct")
-        )
-        .where(F.col("__ct").isNotNull())
-        .select(F.col("__ct.c").alias("__ctx"), F.col("__ct.t").alias("__tok"))
-    )
+    pairs = _lm_pairs(df.select(toks.alias("__t")))
     counts = pairs.groupBy("__ctx", "__tok").agg(F.count("*").alias("__cnt"))
     vocab = pairs.agg(F.count_distinct(F.col("__tok")).alias("__v"))
     return counts.crossJoin(F.broadcast(vocab))
 
 
-def _ctx_tok_factory():
-    # factory keeps the lambda single-parameter (arity introspection)
-    return lambda i: F.struct(
-        F.element_at(F.col("__t"), i + F.lit(1)).alias("c"),
-        F.element_at(F.col("__t"), i + F.lit(2)).alias("t"),
+def _lm_pairs(staged: DataFrame, *keep_cols: str) -> DataFrame:
+    """(ctx, tok) bigram rows from a staged ``__t`` token(-hash) array:
+    bare positions explode and both elements read post-Generate
+    (codegen — a position transform() runs interpreted; SCALE.md r8)."""
+    t = F.col("__t")
+    return (
+        staged.where(F.size("__t") >= 2)
+        .select(
+            *keep_cols,
+            t,
+            F.explode_outer(
+                F.sequence(F.lit(0), F.size("__t") - F.lit(2))
+            ).alias("__pos"),
+        )
+        .where(F.col("__pos").isNotNull())
+        .select(
+            *keep_cols,
+            F.element_at(t, F.col("__pos") + F.lit(1)).alias("__ctx"),
+            F.element_at(t, F.col("__pos") + F.lit(2)).alias("__tok"),
+        )
     )
 
 
@@ -772,21 +780,7 @@ def with_lm_logprob(
     toks = F.array_insert(tokens_col(F.col(text_col)), 1, F.lit(_LM_START))
     if hash_family == "xxhash64":
         toks = F.transform(toks, lambda t: F.xxhash64(t))
-    doc_pairs = (
-        df.select(F.col(id_col), toks.alias("__t"))
-        .where(F.size("__t") >= 2)
-        .select(
-            F.col(id_col),
-            F.posexplode_outer(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("__t") - F.lit(2)),
-                    _ctx_tok_factory(),
-                )
-            ).alias("__pos", "__ct"),
-        )
-        .where(F.col("__ct").isNotNull())
-        .select(F.col(id_col), F.col("__ct.c").alias("__ctx"), F.col("__ct.t").alias("__tok"))
-    )
+    doc_pairs = _lm_pairs(df.select(F.col(id_col), toks.alias("__t")), id_col)
     ctx_totals = model_df.groupBy("__ctx").agg(F.sum("__cnt").alias("__ctx_total"))
     vrow = model_df.agg(F.max("__v").alias("__v"))
     scored = (
