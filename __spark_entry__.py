@@ -3588,6 +3588,11 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       interpolated values. Exact-integer cents keep the bucket means
       bit-replayable; the linear fill is a fixed IEEE op sequence over
       epoch-microsecond doubles.
+    - ``sess``: stateful streaming sessionization (2-hour gap): a session
+      emits once the watermark strictly passes ``last_event + gap`` (the
+      availableNow no-data batch flushes timed-out state), so the emitted
+      set equals batch gaps-and-islands sessionization filtered to
+      ``end + gap < final watermark`` — fully SQL-replayable.
 
     Spark's watermark is the max event time TRUNCATED TO MILLISECONDS
     (``getCurrentWatermarkMs``), so both append-mode oracles truncate the
@@ -3668,10 +3673,28 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+
+    from tempo_spark.streaming.sessionize import streaming_sessionize
+
+    sess_src = _stream_events_src(spark, sf_dir, raw.schema).select(
+        "user_id", "ts"
+    )
+    sess_out = streaming_sessionize(
+        sess_src, "ts", ["user_id"], gap_seconds=7200, watermark="0 seconds"
+    )
+    qn_sess = f"q_streaming_sess_{seq}"
+    q_sess = (
+        sess_out.writeStream.format("memory")
+        .queryName(qn_sess)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
     try:
         q_rs.awaitTermination()
         q_asof.awaitTermination()
         q_interp.awaitTermination()
+        q_sess.awaitTermination()
     finally:
         import shutil
 
@@ -3706,7 +3729,16 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         _HR6(F.col("cents") / 100).alias("v"),
         F.col("is_interpolated").alias("flag"),
     )
-    return rs.unionByName(asf).unionByName(itp)
+    sess = spark.table(qn_sess).select(
+        F.lit("sess").alias("tag"),
+        "user_id",
+        F.col("session_start").alias("ts"),
+        F.col("session_end").alias("rts"),
+        F.col("n_events").cast("double").alias("lv"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(None).cast("boolean").alias("flag"),
+    )
+    return rs.unionByName(asf).unionByName(itp).unionByName(sess)
 
 
 # resample: raw events (no dedup — chaining a dedup agg before the windowed
@@ -3775,6 +3807,31 @@ FROM seq, UNNEST(generate_series(b + INTERVAL '6 hours',
                                  nb - INTERVAL '6 hours',
                                  INTERVAL '6 hours')) AS t(g)
 WHERE nb IS NOT NULL
+UNION ALL
+-- sessionize replay: gaps-and-islands at a 7200 s gap (a new session
+-- starts when the gap is STRICTLY exceeded — events exactly gap apart
+-- merge, matching the kernel's <= coalesce), emitted only when
+-- end + gap < the ms-truncated final watermark (strict, matching the
+-- kernel's close condition)
+SELECT 'sess' AS tag, user_id,
+       session_start AS ts, session_end AS rts,
+       CAST(n_events AS DOUBLE) AS lv,
+       CAST(NULL AS DOUBLE) AS v, CAST(NULL AS BOOLEAN) AS flag
+FROM (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events
+  FROM (
+    SELECT user_id, ts,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       > 7200000000 THEN 1 ELSE 0 END AS brk
+      FROM events))
+  GROUP BY user_id, sid)
+WHERE epoch_us(session_end) + 7200000000 < (SELECT w_us FROM iwm)
 """
 
 

@@ -27,13 +27,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (
-    ArrayType,
-    LongType,
-    StructField,
-    StructType,
-    TimestampType,
-)
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 
 def streaming_sessionize(
@@ -54,11 +48,17 @@ def streaming_sessionize(
     if gap_seconds <= 0:
         raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
     key_fields = [sdf.schema[c] for c in series_ids]
+    # the kernel works exclusively in unix_micros computed JVM-side and
+    # the output timestamps are reconstructed JVM-side: event time crosses
+    # the Arrow boundary as session-timezone-NAIVE wall clock while
+    # GroupState watermarks are true UTC epoch, so comparing them directly
+    # shifts every session boundary by the session offset (the same fix as
+    # streaming asof/interpolate — regression-tested under a non-UTC tz)
     out_schema = StructType(
         list(key_fields)
         + [
-            StructField("session_start", TimestampType()),
-            StructField("session_end", TimestampType()),
+            StructField("__start_us", LongType()),
+            StructField("__end_us", LongType()),
             StructField("n_events", LongType()),
         ]
     )
@@ -80,8 +80,8 @@ def streaming_sessionize(
             rows = []
             for start_us, last_us, n in sessions:
                 row = dict(zip([f.name for f in key_fields], key))
-                row["session_start"] = pd.Timestamp(start_us, unit="us")
-                row["session_end"] = pd.Timestamp(last_us, unit="us")
+                row["__start_us"] = start_us
+                row["__end_us"] = last_us
                 row["n_events"] = n
                 rows.append(row)
             return pd.DataFrame(rows)
@@ -98,9 +98,7 @@ def streaming_sessionize(
         if not state.hasTimedOut:
             ts_values = []
             for pdf in pdfs:
-                ts_values.extend(
-                    int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col])
-                )
+                ts_values.extend(int(v) for v in pdf["__ts_us"])
             # Sweep-merge open intervals with the new events: each event is a
             # unit interval; anything within `gap` of the previous interval's
             # end coalesces into it. This both extends session starts backward
@@ -138,14 +136,23 @@ def streaming_sessionize(
         if out is not None:
             yield out
 
-    return (
-        sdf.withWatermark(ts_col, watermark)
-        .groupBy(*series_ids)
-        .applyInPandasWithState(
-            fn,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
+    import pyspark.sql.functions as F
+
+    staged = sdf.withWatermark(ts_col, watermark).select(
+        *series_ids,
+        F.col(ts_col).alias("__ts"),
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+    )
+    raw = staged.groupBy(*series_ids).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return raw.select(
+        *series_ids,
+        F.timestamp_micros(F.col("__start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("__end_us")).alias("session_end"),
+        F.col("n_events"),
     )

@@ -12,6 +12,46 @@ def ts(s):
 
 
 class TestStreamingSessionize:
+    def test_non_utc_session_timezone(self, spark):
+        """r8: the kernel now works in JVM-computed unix_micros — under a
+        non-UTC session tz the old pd.to_datetime path compared naive wall
+        clock against the UTC watermark, shifting every close boundary by
+        the session offset (the round-4 asof/interpolate bug class)."""
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        d = tempfile.mkdtemp(prefix="tempo_sess_tz_")
+        try:
+            rows = [
+                ("A", ts("2020-01-01 00:00:00")),
+                ("A", ts("2020-01-01 00:10:00")),
+                ("C", ts("2020-01-02 00:00:00")),  # watermark pusher
+            ]
+            spark.createDataFrame(rows, "k string, event_ts timestamp").write.mode(
+                "overwrite"
+            ).parquet(d)
+            sdf = spark.readStream.schema("k string, event_ts timestamp").parquet(d)
+            sessions = streaming_sessionize(
+                sdf, "event_ts", ["k"], gap_seconds=1800, watermark="0 seconds"
+            )
+            q = (
+                sessions.writeStream.format("memory")
+                .queryName("sessions_tz_out")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            out = {
+                (r.k, str(r.session_start)): r
+                for r in spark.table("sessions_tz_out").collect()
+            }
+            a = out[("A", "2020-01-01 00:00:00")]
+            assert str(a.session_end) == "2020-01-01 00:10:00"
+            assert a.n_events == 2
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+            shutil.rmtree(d, ignore_errors=True)
+
     def test_sessions_closed_by_gap(self, spark):
         d = tempfile.mkdtemp(prefix="tempo_sess_")
         try:
