@@ -231,6 +231,33 @@ def _normalize_stats(spark, sf_dir):
     return corpus_stats(normalize_text(docs, "text"), ["source"])
 
 
+def _prepare_corpus(spark, sf_dir):
+    # the one-call production recipe end-to-end (composition gated by the
+    # fingerprint 'recipe' tag; this row measures it): normalize ->
+    # signals -> quality/repetition filters -> exact dedup -> MinHash/LSH
+    # near dedup -> canonical survivor -> source mixture -> split -> pack
+    # -> shard, production xxhash64 family throughout. Repeat runs reuse
+    # the recipe's persist_intermediate caches (amortized-warm, like
+    # b23's cached bloom — the single-shot shape is ~12 s vs ~5 s warm)
+    from tempo_spark.pipeline.prepare import prepare_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    return prepare_corpus(
+        docs.select("doc_id", "text", "lang"),
+        normalize=True,
+        min_quality=0.2,
+        max_dup_2gram_frac=0.5,
+        exact_dedup=True,
+        near_dedup_threshold=0.8,
+        mix_group_col="lang",
+        mix_shares={"en": 0.5, "de": 0.25, "es": 0.125, "fr": 0.125},
+        pack_tokens=2048,
+        n_shards=64,
+    ).select("doc_id", "split", "pack_id", "shard_id")
+
+
 def _paragraph_filter(spark, sf_dir):
     # CCNet paragraph-grain pass over synthetic multi-paragraph docs
     # (corpus texts concatenated per doc_id%500 group): per-paragraph
@@ -320,6 +347,7 @@ BENCH_QUERIES = {
     "b26_normalize_stats": _normalize_stats,
     "b27_dsir_select": _dsir_select,
     "b28_paragraph_filter": _paragraph_filter,
+    "b29_prepare_corpus": _prepare_corpus,
 }
 
 RUNS = 3

@@ -55,6 +55,7 @@ def prepare_corpus(
     n_shards: int | None = None,
     salt: str = "prep",
     hash_family: str = "xxhash64",
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Standard corpus preparation in one call; see the module docstring.
 
@@ -87,6 +88,17 @@ def prepare_corpus(
     6. ``with_split(splits)`` — per-row hash assignment;
     7. ``pack_tokens`` — sequence packing per split group (window cumsum);
     8. ``n_shards`` — shuffle-shard assignment for export.
+
+    ``persist_intermediate`` (default True) lazily caches the frame at the
+    two points the downstream stages re-reference it (before exact dedup,
+    and after near-dedup before the mixture's two scans). Without a
+    barrier, Catalyst inlines the normalize/signal expression chains into
+    EVERY consumer (the ~10-regex cleanup chain appeared ~40× in the
+    composed plan) and each dedup pass re-executes the whole upstream
+    lineage — measured 140 s → ~4 s at sf0.1 for the full recipe. At
+    100 TB prefer ``False`` + your own staged parquet writes between
+    phases (the caches are corpus-sized); the composition itself is
+    unchanged either way.
     """
     from tempo_spark.pipeline import dedup as d
     from tempo_spark.pipeline.components import near_dedup
@@ -117,6 +129,13 @@ def prepare_corpus(
             .withColumn(text_col, F.col("__tempo_rfp"))
             .drop("__tempo_rfp")
         )
+    if persist_intermediate and (normalize or redact or remove_foreign_paras):
+        # barrier between the text REWRITE and the signal expressions:
+        # after project collapse every downstream reference to the text
+        # column would re-evaluate the whole cleanup chain per row (the
+        # quality/repetition signals reference it dozens of times, some
+        # inside interpreted HOF lambdas where codegen CSE cannot reach)
+        out = out.persist()
     out = with_token_count(out, text_col)
     out = with_quality_score(out, text_col)
     out = with_repetition_metrics(out, text_col, n=2)
@@ -147,6 +166,11 @@ def prepare_corpus(
         out = with_token_count(out, text_col)
         out = with_quality_score(out, text_col)
         out = with_repetition_metrics(out, text_col, n=2)
+    if persist_intermediate:
+        # barrier before the multi-pass dedup stages: stops Catalyst
+        # re-inlining the normalize/signal chains into every consumer and
+        # pins the signal computation to ONE execution (see docstring)
+        out = out.persist()
     if exact_dedup:
         out = d.exact_dedup(out, id_col, text_col).drop("dup_count")
     if near_dedup_threshold is not None:
@@ -155,6 +179,8 @@ def prepare_corpus(
             threshold=near_dedup_threshold, shingle_k=3, use_words=True,
         )
         out = near_dedup(out, pairs, id_col)
+        if persist_intermediate:
+            out = out.persist()
     if mix_group_col is not None:
         if mix_shares is None:
             raise ValueError("mix_group_col requires mix_shares")

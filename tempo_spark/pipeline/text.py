@@ -854,6 +854,14 @@ def normalize_text(
     Java regex and RE2, so the transform replays bit-for-bit in DuckDB —
     unlike the PII patterns in ``with_pattern_counts``, which stay
     pytest-gated because their dialects differ.
+
+    COMPOSITION WARNING: when many downstream expressions reference the
+    cleaned column (e.g. the quality/repetition signal operators), project
+    collapse inlines this whole regex chain into EVERY reference — some
+    inside interpreted HOF lambdas where codegen CSE cannot reach
+    (measured ~17× on the composed corpus recipe). Persist (or write) the
+    normalized frame before fanning out; ``prepare_corpus`` does this via
+    ``persist_intermediate=True``.
     """
     col = F.col(text_col)
     if strip_control:
