@@ -2486,6 +2486,32 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.unionByName(samp).unionByName(norm).unionByName(recipe)
 
 
+def _normalize_replay_sql(inner: str, lowercase: bool = False) -> str:
+    """THE DuckDB replay of normalize_text's fixed step order (strip
+    control chars, quote/dash/ellipsis translate, whitespace collapse,
+    trim[, lowercase]) — rendered from ONE template so the 'norm' tag and
+    the 'recipe' tag cannot drift from each other when normalize_text
+    changes."""
+    chain = (
+        """trim(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   translate(
+                     regexp_replace(__INNER__,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]',
+                       '', 'g'),
+                     '‘’“”–— ', '''''""-- '),
+                   '…', '...', 'g'),
+                 '[ \\t\\r]+', ' ', 'g'),
+               ' ?\\n ?', chr(10), 'g'),
+             '\\n{3,}', chr(10) || chr(10), 'g')
+         )"""
+    ).replace("__INNER__", inner)
+    return f"lower({chain})" if lowercase else chain
+
+
 _FINGERPRINT_ORACLE = """
 WITH r_base AS (
   SELECT doc_id % 100 AS g, doc_id, '“' || text || '”' AS p
@@ -2500,24 +2526,9 @@ r_docs AS (
               WHEN 2 THEN 'es' ELSE 'fr' END AS src
   FROM r_body CROSS JOIN (VALUES (0), (100)) AS o(off)),
 r_norm AS (
-  -- normalize_text replay (strip control, quote translate, ellipsis,
-  -- whitespace collapse, trim; lowercase OFF in prepare_corpus)
-  SELECT doc_id, src,
-         trim(
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   translate(
-                     regexp_replace(text,
-                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]',
-                       '', 'g'),
-                     '‘’“”–— ', '''''""-- '),
-                   '…', '...', 'g'),
-                 '[ \\t\\r]+', ' ', 'g'),
-               ' ?\\n ?', chr(10), 'g'),
-             '\\n{3,}', chr(10) || chr(10), 'g')
-         ) AS text
+  -- normalize_text replay (shared template — see _normalize_replay_sql;
+  -- lowercase OFF in prepare_corpus)
+  SELECT doc_id, src, __NORM_RECIPE__ AS text
   FROM r_docs),
 r_paras AS (
   SELECT doc_id, u.i - 1 AS pos, t.pa[u.i] AS para
@@ -2589,26 +2600,18 @@ FROM (SELECT doc_id,
 WHERE rk <= 5
 UNION ALL
 SELECT 'norm' AS tag, doc_id,
-       ('0x' || substr(md5(
-         lower(trim(
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   translate(
-                     regexp_replace(
-                       '  “Q…' || chr(7) || replace(text, ' ', '  ') || '”'
-                         || chr(9) || ' x ' || repeat(chr(10), 4) || ' y  ',
-                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]',
-                       '', 'g'),
-                     '‘’“”–— ', '''''""-- '),
-                   '…', '...', 'g'),
-                 '[ \\t\\r]+', ' ', 'g'),
-               ' ?\\n ?', chr(10), 'g'),
-             '\\n{3,}', chr(10) || chr(10), 'g')
-         ))), 1, 8))::BIGINT AS val
+       ('0x' || substr(md5(__NORM_MESSY__), 1, 8))::BIGINT AS val
 FROM documents
-"""
+""".replace(
+    "__NORM_RECIPE__", _normalize_replay_sql("text")
+).replace(
+    "__NORM_MESSY__",
+    _normalize_replay_sql(
+        "'  \u201cQ\u2026' || chr(7) || replace(text, ' ', '  ') || '\u201d'"
+        " || chr(9) || ' x ' || repeat(chr(10), 4) || ' y  '",
+        lowercase=True,
+    ),
+)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

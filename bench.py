@@ -236,9 +236,10 @@ def _prepare_corpus(spark, sf_dir):
     # fingerprint 'recipe' tag; this row measures it): normalize ->
     # signals -> quality/repetition filters -> exact dedup -> MinHash/LSH
     # near dedup -> canonical survivor -> source mixture -> split -> pack
-    # -> shard, production xxhash64 family throughout. Repeat runs reuse
-    # the recipe's persist_intermediate caches (amortized-warm, like
-    # b23's cached bloom — the single-shot shape is ~12 s vs ~5 s warm)
+    # -> shard, production xxhash64 family throughout. The bench loop
+    # clears the cache before every rep, so the recorded min-of-3 is the
+    # honest SINGLE-SHOT shape (~12 s); sessions that keep the recipe's
+    # persist_intermediate caches re-run warm at ~5 s
     from tempo_spark.pipeline.prepare import prepare_corpus
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(

@@ -470,41 +470,30 @@ def _range_join(
 #: stages fit). Measured break-even band from the 16M-row 4-right probe
 #: (--asofmany): rights ≈ left/10 → union wins 14×; rights ≈ left →
 #: chain wins ~1.2×. Rule: union iff the AVERAGE right is at most this
-#: fraction of the left.
+#: fraction of the left (by Catalyst's estimated plan bytes — the sort's
+#: spill currency — so the probe stays LAZY: EXPLAIN COST is a driver
+#: optimizer pass, no job, unlike a count() which would execute the full
+#: upstream lineage at plan-build time).
 ASOF_MANY_UNION_MAX_AVG_RIGHT_FRACTION = 0.5
-
-#: memoized count-probe results keyed by plan semanticHash — same
-#: index-statistic contract as intervals._AUTO_BIN_CACHE: a stale or
-#: colliding entry can only pick the slower strategy, never a wrong
-#: answer. Bounded FIFO.
-_ASOF_COUNT_CACHE: "dict[int, int]" = {}
-_ASOF_COUNT_CACHE_MAX = 256
-
-
-def _cached_count(df) -> int:
-    try:
-        key = df.semanticHash()
-    except Exception:  # pragma: no cover - plans a hash can't reach
-        key = None
-    if key is not None and key in _ASOF_COUNT_CACHE:
-        return _ASOF_COUNT_CACHE[key]
-    n = df.count()
-    if key is not None:
-        if len(_ASOF_COUNT_CACHE) >= _ASOF_COUNT_CACHE_MAX:
-            _ASOF_COUNT_CACHE.pop(next(iter(_ASOF_COUNT_CACHE)))
-        _ASOF_COUNT_CACHE[key] = n
-    return n
 
 
 def _pick_many_strategy(left, rights: "dict[str, object]") -> str:
-    """The ``strategy="auto"`` decision: ONE memoized count per distinct
-    input plan, then union iff avg(|right|) <= FRACTION x |left|."""
-    n_left = _cached_count(left.df)
-    if n_left == 0:
+    """The ``strategy="auto"`` decision: memoized EXPLAIN-COST size
+    estimates (tempo_spark.plans.inspect.plan_size_bytes_cached), union
+    iff avg(right bytes) <= FRACTION × left bytes. Frames WITHOUT a
+    usable estimate (in-memory relations report Long.Max → None) pick
+    union — the operator's native plan; chaining only on evidence that
+    the union sort would dominate. No eager action either way."""
+    from tempo_spark.plans.inspect import plan_size_bytes_cached
+
+    left_b = plan_size_bytes_cached(left.df)
+    if not left_b:
         return "union"
-    total_rights = sum(_cached_count(r.df) for r in rights.values())
-    avg_right = total_rights / len(rights)
-    if avg_right <= ASOF_MANY_UNION_MAX_AVG_RIGHT_FRACTION * n_left:
+    right_sizes = [plan_size_bytes_cached(r.df) for r in rights.values()]
+    if any(b is None for b in right_sizes):
+        return "union"
+    avg_right = sum(right_sizes) / len(right_sizes)
+    if avg_right <= ASOF_MANY_UNION_MAX_AVG_RIGHT_FRACTION * left_b:
         return "union"
     return "chain"
 
@@ -560,12 +549,14 @@ def asof_join_many(
 
     ``strategy``: ``"union"`` — the packed-union single-sort plan above;
     ``"chain"`` — N successive :func:`asof_join` calls (identical results,
-    pinned by the chained-equivalence test); ``"auto"`` (default) — ONE
-    memoized count per distinct input plan picks union iff the average
-    right is at most :data:`ASOF_MANY_UNION_MAX_AVG_RIGHT_FRACTION` of
-    the left (sparse feature sources → union's N-1 saved full-left
-    shuffles dominate; left-sized rights → the (N+1)·n-row union sort
-    spills where the chain's two-side stages fit).
+    pinned by the chained-equivalence test); ``"auto"`` (default) —
+    memoized EXPLAIN-COST size estimates (lazy: an optimizer pass, never
+    a job) pick union iff the average right is at most
+    :data:`ASOF_MANY_UNION_MAX_AVG_RIGHT_FRACTION` of the left by
+    estimated bytes (sparse feature sources → union's N-1 saved
+    full-left shuffles dominate; left-sized rights → the (N+1)-side
+    union sort spills where the chain's two-side stages fit); frames
+    without usable stats pick union.
     """
     from tempo_spark.tsdf import TSDF
 

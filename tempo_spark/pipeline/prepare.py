@@ -98,7 +98,13 @@ def prepare_corpus(
     lineage — measured 140 s → ~4 s at sf0.1 for the full recipe. At
     100 TB prefer ``False`` + your own staged parquet writes between
     phases (the caches are corpus-sized); the composition itself is
-    unchanged either way.
+    unchanged either way. The barriers have no handle to unpersist, so
+    they live until the SparkSession ends (or a global
+    ``spark.catalog.clearCache()``) — sessions that call prepare_corpus
+    repeatedly over DIFFERENT inputs accumulate cache entries and should
+    either pass ``persist_intermediate=False`` with their own staging or
+    clear between invocations; repeated calls over the SAME input reuse
+    one entry (the cache manager matches canonicalized plans).
     """
     from tempo_spark.pipeline import dedup as d
     from tempo_spark.pipeline.components import near_dedup

@@ -384,14 +384,18 @@ def _local_lloyd(
 ) -> list[list[float]]:
     """Seeded in-process Lloyd's over a collected fit sample (numpy
     matmul distance form) — the faiss coarse-quantizer training path.
-    Vectors whose width differs from the first row's are dropped (the
-    distributed assign paths NULL them the same way). Empty clusters
-    keep their previous center. Deterministic given (sample, seed)."""
+    Vectors whose width differs from the sample's MAJORITY width are
+    dropped (the distributed assign paths NULL them the same way; taking
+    the first row's width would let one malformed vector hijack the
+    model). Empty clusters keep their previous center. Deterministic
+    given (sample order, seed) — the caller collects id-sorted."""
+    import collections
+
     import numpy as np
 
     if not vecs:
         raise ValueError("local k-means fit set is empty")
-    dim = len(vecs[0])
+    dim = collections.Counter(len(v) for v in vecs).most_common(1)[0][0]
     X = np.asarray(
         [v for v in vecs if len(v) == dim], dtype=np.float64
     )
@@ -535,13 +539,19 @@ class IVFIndex:
                     F.pmod(F.xxhash64(F.col(id_col)), F.lit(fit_sample_mod))
                     == 0
                 )
-            vecs = [
-                r["__vec"]
-                for r in fit_proj.where(F.col("__vec").isNotNull())
+            # id-sorted collect: a bare collect()'s row order is the
+            # partition layout's, so the seeded init would pick different
+            # centroids across repartitioned-but-identical corpora (the
+            # same determinism pin as init="first"'s orderBy)
+            rows = (
+                fit_proj.where(F.col("__vec").isNotNull())
+                .orderBy(id_col)
                 .select("__vec")
                 .collect()
-            ]
-            centers = _local_lloyd(vecs, n_centroids, seed, max_iter)
+            )
+            centers = _local_lloyd(
+                [r["__vec"] for r in rows], n_centroids, seed, max_iter
+            )
             assigned = _assign_cells(corpus, centers, id_col, vec_col)
             return IVFIndex(assigned, centers, id_col, vec_col)
         from pyspark.ml.clustering import KMeans

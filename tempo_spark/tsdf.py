@@ -500,11 +500,12 @@ class TSDF:
         """N backward as-of joins (beyond the reference):
         ``trades.asofJoinMany({"quote": quotes, "sent": sentiment})``
         attaches each right's latest row per series. ``strategy="auto"``
-        (default) probes input sizes once (memoized) and picks the
-        packed-union single-sort plan when the rights are sparse relative
-        to the left — N-1 fewer full-left shuffles — or falls back to
-        chained single joins when the union sort would dominate
-        (left-sized rights). Results are identical either way. See
+        (default) reads Catalyst's size estimates (memoized EXPLAIN COST
+        — no job, stays lazy) and picks the packed-union single-sort plan
+        when the rights are sparse relative to the left — N-1 fewer
+        full-left shuffles — or falls back to chained single joins when
+        the union sort would dominate (left-sized rights). Results are
+        identical either way. See
         ``tempo_spark.operators.asof.asof_join_many`` for semantics."""
         from tempo_spark.operators.asof import asof_join_many
 
@@ -1216,7 +1217,13 @@ class TSDF:
                 f"strategy must be 'sliding' or 'prefix', got {strategy!r}"
             )
         p = out_prefix or colName
-        for c in ("__tempo_an_n", "__tempo_an_mean", "__tempo_an_std"):
+        # __tempo_an_x/_x0 are prefix-strategy staging but BOTH strategies
+        # drop them at the end — reserve them unconditionally or a
+        # sliding-strategy run would silently delete a same-named user col
+        for c in (
+            "__tempo_an_n", "__tempo_an_mean", "__tempo_an_std",
+            "__tempo_an_x", "__tempo_an_x0",
+        ):
             if c in self.df.columns:
                 raise ValueError(f"reserved staging column {c} present in input")
         back_micros = int(rangeBackWindowSecs * 1_000_000)
@@ -1229,8 +1236,6 @@ class TSDF:
             # prefix differences instead of cancellation residue. The
             # shift must be a materialized column — window functions
             # can't nest inside window aggregates.
-            if "__tempo_an_x" in self.df.columns or "__tempo_an_x0" in self.df.columns:
-                raise ValueError("reserved staging column __tempo_an_x present in input")
             base_df = self.df.withColumn(
                 "__tempo_an_x0",
                 F.first(x, ignorenulls=True).over(self._growing_window(0)),

@@ -606,24 +606,30 @@ class TestAsofJoinMany:
         assert count_exchanges(many.df) == 1
         assert count_exchanges(chained.df) == 2  # the cost this op removes
 
-    def test_auto_strategy_decision_and_equivalence(self, spark):
+    def test_auto_strategy_decision_and_equivalence(self, spark, tmp_path):
         """strategy='auto' (r8): sparse rights -> union, left-sized rights
-        -> chain (memoized count probe); both strategies produce identical
+        -> chain, decided from LAZY Catalyst size estimates (parquet scans
+        carry stats; in-memory frames report Long.Max -> None -> union,
+        the operator's native plan). Both strategies produce identical
         rows. The decision helper is pinned directly."""
         from tempo_spark.operators.asof import _pick_many_strategy
 
         left, r1, r2 = self._frames(spark)
-        big = TSDF(
-            spark.range(100).selectExpr(
-                "'A' as k",
-                "timestamp'2020-01-01' + make_interval(0,0,0,0,0,0,id) as ts",
-                "cast(id as double) as v",
-            ),
-            ts_col="ts", series_ids=["k"],
-        )
-        # sparse rights (2 rows vs 100): union; left-sized rights: chain
-        assert _pick_many_strategy(big, {"a": r1, "b": r2}) == "union"
-        assert _pick_many_strategy(r1, {"a": big, "b": big}) == "chain"
+        spark.range(100_000).selectExpr(
+            "'A' as k",
+            "timestamp'2020-01-01' + make_interval(0,0,0,0,0,0,id) as ts",
+            "cast(id as double) as v",
+        ).write.parquet(str(tmp_path / "big"))
+        r1.df.write.parquet(str(tmp_path / "small"))
+        big = TSDF(spark.read.parquet(str(tmp_path / "big")),
+                   ts_col="ts", series_ids=["k"])
+        small = TSDF(spark.read.parquet(str(tmp_path / "small")),
+                     ts_col="ts", series_ids=["k"])
+        # sparse rights: union; left-sized rights: chain
+        assert _pick_many_strategy(big, {"a": small, "b": small}) == "union"
+        assert _pick_many_strategy(small, {"a": big, "b": big}) == "chain"
+        # no usable stats (in-memory frames) -> union, no eager job
+        assert _pick_many_strategy(left, {"a": r1, "b": r2}) == "union"
         u = left.asofJoinMany({"a": r1, "b": r2}, strategy="union").df
         c = left.asofJoinMany({"a": r1, "b": r2}, strategy="chain").df
         key = lambda r: (r.k, str(r.ts), r.v, r.a_q, r.b_s,
