@@ -567,3 +567,50 @@ def test_asof_join_many_matches_chained(spark, left_ts, r1_ts, r2_ts, exact):
                      None if r.a_event_ts is None else str(r.a_event_ts), r.a_q,
                      None if r.b_event_ts is None else str(r.b_event_ts), r.b_s)
     assert sorted(map(key, many.collect())) == sorted(map(key, chained.collect()))
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-5, 5)),  # id (null sorts first)
+            st.integers(0, 6),                         # position
+            st.integers(0, 3),                         # gram-key bucket
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(1, 3),
+)
+def test_first_occurrence_encoded_matches_model(spark, rows, min_count):
+    """The decimal-encoded winner aggregate (r8) == a brute-force python
+    model of lexicographic (id, pos) min with null-id-first ordering, for
+    random multisets including negative and NULL ids."""
+    from tempo_spark.pipeline.dedup import _first_occurrence
+
+    df = spark.createDataFrame(
+        [(k, i, p) for (i, p, k) in rows], "gk int, the_id long, __pos int"
+    )
+    winners, is_winner = _first_occurrence(df, "gk", "the_id", min_count)
+    nskey = lambda t: (t[0], t[1] is not None, t[1] or 0, t[2])
+    flagged = sorted(
+        (
+            (r["gk"], r["the_id"], r["__pos"])
+            for r in df.join(winners, "gk").where(~is_winner).collect()
+        ),
+        key=nskey,
+    )
+    # model: per gram key with >= min_count occurrences, every occurrence
+    # except the (null-first id, pos)-lexicographic minimum is flagged
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for i, p, k in rows:
+        occ[k].append((i, p))
+    expect = []
+    for k, vals in occ.items():
+        if len(vals) < min_count:
+            continue
+        w = min(vals, key=lambda t: (t[0] is not None, t[0] or 0, t[1]))
+        expect.extend((k, i, p) for (i, p) in vals if (i, p) != w)
+    assert flagged == sorted(expect, key=nskey)

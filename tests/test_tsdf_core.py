@@ -1068,3 +1068,12 @@ class TestAnomalyFlags:
         )
         with pytest.raises(ValueError):
             staged.withAnomalyFlags("v", rangeBackWindowSecs=10)
+        # r8: __tempo_an_x/_x0 are prefix staging but dropped by BOTH
+        # strategies — the sliding path must raise too, not silently
+        # delete a same-named user column
+        staged_x = TSDF(
+            t.df.withColumn("__tempo_an_x", t.df.v),
+            ts_col="event_ts", series_ids=["k"],
+        )
+        with pytest.raises(ValueError, match="__tempo_an_x"):
+            staged_x.withAnomalyFlags("v", rangeBackWindowSecs=10)
