@@ -630,13 +630,14 @@ class TestAsofJoinMany:
         assert _pick_many_strategy(small, {"a": big, "b": big}) == "chain"
         # no usable stats (in-memory frames) -> union, no eager job
         assert _pick_many_strategy(left, {"a": r1, "b": r2}) == "union"
-        u = left.asofJoinMany({"a": r1, "b": r2}, strategy="union").df
-        c = left.asofJoinMany({"a": r1, "b": r2}, strategy="chain").df
         key = lambda r: (r.k, str(r.ts), r.v, r.a_q, r.b_s,
                          None if r.a_ts is None else str(r.a_ts),
                          None if r.b_ts is None else str(r.b_ts))
-        assert sorted(map(key, u.collect())) == sorted(map(key, c.collect()))
-        assert sorted(u.columns) == sorted(c.columns)
+        for kw in ({}, {"skipNulls": False}, {"allowExactMatches": False}):
+            u = left.asofJoinMany({"a": r1, "b": r2}, strategy="union", **kw).df
+            c = left.asofJoinMany({"a": r1, "b": r2}, strategy="chain", **kw).df
+            assert sorted(map(key, u.collect())) == sorted(map(key, c.collect())), kw
+            assert sorted(u.columns) == sorted(c.columns)
         with pytest.raises(ValueError, match="strategy"):
             left.asofJoinMany({"a": r1}, strategy="nope")
 
