@@ -82,8 +82,12 @@ def exact_dedup(
             F.col(id_col).isNotNull().alias("n"), F.col(id_col).alias("i")
         )
     rep = pick(F.struct(*[F.col(c) for c in df.columns]), key)
+    # BINARY(16) digest, not the 32-char hex string: the min_by plans as
+    # SortAggregate (struct value buffer), so the grouping key is sorted
+    # twice over the full frame — half the key bytes, cheaper compares,
+    # identical groups (r8; internal column, dropped before return)
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("__digest"))
+        df.groupBy(F.unhex(F.md5(F.col(text_col))).alias("__digest"))
         .agg(rep.alias("__rep"), F.count("*").alias("dup_count"))
         .select("__rep.*", "dup_count")
     )
