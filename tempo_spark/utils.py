@@ -50,6 +50,13 @@ def display(df, n: int = 20) -> None:
     on Databricks the native rich ``display`` renders it, in a Jupyter
     kernel an HTML ``pre`` style is injected before ``show`` (the
     reference's ``display_html``), anywhere else plain ``show``."""
+    import pandas as pd
+
+    if isinstance(df, pd.DataFrame):
+        # reference display_html prints the pandas head
+        # (python/tempo/utils.py:152-155)
+        print(df.head())
+        return
     is_tsdf = hasattr(df, "df") and hasattr(df, "latest")
     frame = get_display_df(df) if is_tsdf else getattr(df, "df", df)
     native, html_capable = _notebook_renderer()
