@@ -483,7 +483,12 @@ def _pick_many_strategy(left, rights: "dict[str, object]") -> str:
     iff avg(right bytes) <= FRACTION × left bytes. Frames WITHOUT a
     usable estimate (in-memory relations report Long.Max → None) pick
     union — the operator's native plan; chaining only on evidence that
-    the union sort would dominate. No eager action either way."""
+    the union sort would dominate. No eager action either way.
+
+    Caveat (same as the memoized auto-bin probe): Catalyst post-filter
+    size estimates can be off by orders of magnitude, so a stale or
+    misestimated size can mispick — a SLOWER plan, never wrong results;
+    pass ``strategy=`` explicitly when the shape is known."""
     from tempo_spark.plans.inspect import plan_size_bytes_cached
 
     left_b = plan_size_bytes_cached(left.df)

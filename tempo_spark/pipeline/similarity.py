@@ -399,6 +399,12 @@ def _local_lloyd(
     X = np.asarray(
         [v for v in vecs if len(v) == dim], dtype=np.float64
     )
+    if X.size:
+        # a vector with a null element becomes NaN and one NaN poisons a
+        # centroid mean (argmin then silently funnels rows into it) —
+        # drop non-finite sample vectors, matching the distributed assign
+        # paths which NULL such rows' cells
+        X = X[np.isfinite(X).all(axis=1)]
     if X.shape[0] < k:
         raise ValueError(
             f"local k-means fit set has {X.shape[0]} usable rows < k={k}; "

@@ -66,6 +66,12 @@ def write_tsdf(
 
     use_delta = _delta_available(spark)
     fmt = "delta" if use_delta else "parquet"
+    if replace_where is not None and mode != "overwrite":
+        # Delta rejects (or, in some versions, ignores) replaceWhere
+        # outside overwrite mode — fail clearly at the API boundary
+        raise ValueError(
+            f"replace_where requires mode='overwrite', got mode={mode!r}"
+        )
     if replace_where is not None and not use_delta:
         raise ValueError(
             "replace_where requires Delta (parquet has no transactional "

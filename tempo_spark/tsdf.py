@@ -1235,10 +1235,23 @@ class TSDF:
             # near-flat baselines at a large offset produce exact-zero
             # prefix differences instead of cancellation residue. The
             # shift must be a materialized column — window functions
-            # can't nest inside window aggregates.
+            # can't nest inside window aggregates. min(struct(ts, x))
+            # rather than first-over-growing-frame: when the earliest
+            # timestamp is duplicated with differing values, "first"
+            # depends on shuffle order and x0 (hence last-ulp rounding at
+            # the |x−mean| = z·σ boundary) would vary run-to-run.
             base_df = self.df.withColumn(
                 "__tempo_an_x0",
-                F.first(x, ignorenulls=True).over(self._growing_window(0)),
+                F.min(
+                    F.when(
+                        x.isNotNull(),
+                        F.struct(
+                            self._micros_order().alias("m"), x.alias("v")
+                        ),
+                    )
+                ).over(
+                    Window.partitionBy(*[F.col(c) for c in self.series_ids])
+                )["v"],
             ).withColumn("__tempo_an_x", x - F.col("__tempo_an_x0"))
             xs = F.col("__tempo_an_x")
             # strictly-preceding [-back, -1µs] as growing-frame differences

@@ -799,6 +799,34 @@ class TestIVF:
                 vecs.limit(2), n_centroids=4, seed=7, init_mode="local"
             )
 
+    def test_local_lloyd_drops_nonfinite_sample_vectors(self, spark):
+        """r9 ADVICE: a fit-sample vector with a NULL element becomes NaN
+        and one NaN poisons a centroid mean — such vectors are dropped
+        from the fit (the distributed assign paths NULL them the same
+        way), so every centroid stays finite."""
+        import math
+
+        from tempo_spark.pipeline.similarity import IVFIndex
+
+        rows = [
+            (i, [float((i % 4) * 10), float(((i + 1) % 4) * 10), float(i % 2)])
+            for i in range(200)
+        ]
+        rows += [(1000 + j, [1.0, None, 2.0]) for j in range(5)]
+        vecs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        idx = IVFIndex.build(vecs, n_centroids=4, seed=7, init_mode="local")
+        assert all(
+            math.isfinite(x) for c in idx.centers for x in c
+        )
+        # centers match a fit over the clean rows alone
+        clean = spark.createDataFrame(
+            rows[:200], "vec_id long, embedding array<float>"
+        )
+        ref = IVFIndex.build(clean, n_centroids=4, seed=7, init_mode="local")
+        assert idx.centers == ref.centers
+
     def test_ivf_cells_partition_corpus(self, spark):
         rows = [(i, [float(i % 3), float((i + 1) % 3), 0.0]) for i in range(30)]
         vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")

@@ -1056,6 +1056,35 @@ class TestAnomalyFlags:
             sl.df._jdf.queryExecution().executedPlan().toString()
         )
 
+    def test_prefix_x0_deterministic_on_duplicated_earliest_ts(self, spark):
+        """r9 ADVICE: the prefix shift x0 is min(struct(ts, x)) — when the
+        series' earliest timestamp is duplicated with differing values the
+        pick no longer depends on shuffle order, so zscores are
+        bit-identical across different input partitionings."""
+        t0 = ts("2024-01-01 00:00:01")
+        rows = [
+            ("a", t0, 100.0),  # duplicated earliest ts, differing values
+            ("a", t0, -100.0),
+            ("a", t0 + dt.timedelta(seconds=1), 3.0),
+            ("a", t0 + dt.timedelta(seconds=2), 5.0),
+            ("a", t0 + dt.timedelta(seconds=3), 50.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "k string, event_ts timestamp, v double"
+        )
+        outs = []
+        for shuffled in (df.repartition(1), df.repartition(7, "v")):
+            out = (
+                TSDF(shuffled, ts_col="event_ts", series_ids=["k"])
+                .withAnomalyFlags(
+                    "v", rangeBackWindowSecs=10, strategy="prefix"
+                )
+                .df.orderBy("event_ts", "v")
+                .collect()
+            )
+            outs.append([(r.v, r.zscore_v, r.is_anomaly_v) for r in out])
+        assert outs[0] == outs[1]  # bit-identical, not approx
+
     def test_rejections(self, spark):
         t = self._t(spark, [1, 2, 3])
         with pytest.raises(ValueError):

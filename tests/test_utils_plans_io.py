@@ -231,6 +231,13 @@ class TestWriter:
             write_tsdf(
                 t, spark, "t_rw", replace_where="event_dt >= '2020-01-01'"
             )
+        # r9 ADVICE: replaceWhere outside overwrite mode reaches Delta and
+        # fails confusingly downstream — reject at the API boundary
+        with pytest.raises(ValueError, match="mode='overwrite'"):
+            write_tsdf(
+                t, spark, "t_rw", mode="append",
+                replace_where="event_dt >= '2020-01-01'",
+            )
 
 
 class TestReader:
