@@ -1174,7 +1174,23 @@ def q_granularity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = ev.select("user_id", ts2.alias("ts2"))
     t = TSDF(df, ts_col="ts2", series_ids=["user_id"])
-    return t.granularity_histogram()
+    hist = t.granularity_histogram()
+    # hz_* tags: calculate_time_horizon (SURVEY §2 #25) — the per-series
+    # 1-hour resample-grid bucket counts, min/max/p25/p50/p75/total/
+    # num_series, all integral at this grid so exact cross-engine
+    # (percentile_approx == DuckDB quantile_disc in the small-n exact
+    # regime; the dict is collected by the operator itself — its API)
+    from tempo_spark.utils import calculate_time_horizon
+
+    hz = calculate_time_horizon(
+        _read(spark, sf_dir, "events"), "ts", "1 hour", ["user_id"]
+    )
+    rows = [
+        (f"hz_{k}", int(round(v)))
+        for k, v in hz.items()
+        if v is not None
+    ]
+    return hist.unionByName(spark.createDataFrame(rows, hist.schema))
 
 
 _GRANULARITY_ORACLE = """
@@ -1190,8 +1206,28 @@ per AS (
               WHEN max(abs(epoch(ts2) % 3600)) > 0 THEN 'minute'
               WHEN max(abs(epoch(ts2) % 86400)) > 0 THEN 'hour'
               ELSE 'day' END AS granularity
-  FROM tr GROUP BY user_id)
+  FROM tr GROUP BY user_id),
+-- hz_* replay: calculate_time_horizon's formula — both endpoints floored
+-- to the 1-hour grid (micros) before differencing, +1 = bucket count
+spans AS (
+  SELECT user_id,
+         (epoch_us(max(ts)) - epoch_us(max(ts)) % 3600000000
+          - (epoch_us(min(ts)) - epoch_us(min(ts)) % 3600000000))
+           // 3600000000 + 1 AS nb
+  FROM events GROUP BY user_id),
+hz AS (
+  SELECT min(nb) AS mn, max(nb) AS mx,
+         quantile_disc(nb, 0.25) AS q1, quantile_disc(nb, 0.5) AS q2,
+         quantile_disc(nb, 0.75) AS q3, sum(nb) AS tot, count(*) AS ns
+  FROM spans)
 SELECT granularity, count(*) AS n_series FROM per GROUP BY granularity
+UNION ALL SELECT 'hz_min', CAST(mn AS BIGINT) FROM hz
+UNION ALL SELECT 'hz_max', CAST(mx AS BIGINT) FROM hz
+UNION ALL SELECT 'hz_p25', CAST(q1 AS BIGINT) FROM hz
+UNION ALL SELECT 'hz_p50', CAST(q2 AS BIGINT) FROM hz
+UNION ALL SELECT 'hz_p75', CAST(q3 AS BIGINT) FROM hz
+UNION ALL SELECT 'hz_total', CAST(tot AS BIGINT) FROM hz
+UNION ALL SELECT 'hz_num_series', CAST(ns AS BIGINT) FROM hz
 """
 
 
@@ -2404,10 +2440,24 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       column, split assigns md5_32 buckets — the DuckDB oracle replays
       every stage IN ORDER, so a stage-reordering bug (signals before the
       paragraph rewrite, mix before dedup, normalize after hashing)
-      changes the surviving row set or the text/split/token digest."""
+      changes the surviving row set or the text/split/token digest;
+    - ``iowrap``: the ``write_tsdf`` → ``read_table_tsdf`` round trip
+      (SURVEY §2 #30/#31): a sampled events TSDF is written as a managed
+      table (parquet fallback path — event_dt date partition + event_time
+      HHMMSS.ffffff double, reference python/tempo/io.py:15-61), read back
+      through the catalog, and every surviving row's derived layout
+      columns + payload are digested; the DuckDB oracle derives the same
+      event_dt/event_time directly from the source events, so a wrong
+      derivation, a dropped/duplicated row, or a partition-column type
+      change in the round trip all hash-mismatch. event_time re-quantized
+      to integral micros via floor(x·1e6+0.5) on BOTH sides (the _HR
+      idiom) before digesting — never string-render a double."""
+    import re as _re
+
     from tempo_spark.pipeline.dedup import md5_32
     from tempo_spark.pipeline.sampling import sample_per_key
     from tempo_spark.pipeline.text import normalize_text, with_fingerprint
+    from tempo_spark.sources.io import read_table_tsdf, write_tsdf
 
     docs = _read(spark, sf_dir, "documents")
     fp = with_fingerprint(docs, "text").select(
@@ -2483,7 +2533,53 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("val"),
     )
-    return fp.unionByName(samp).unionByName(norm).unionByName(recipe)
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .where(F.col("event_id") % 20 == 0)
+        .select("event_id", "ts", "user_id", "value")
+    )
+    # per-sf table name: one gate session runs one sf, but a shared session
+    # re-running at another sf must not read the previous sf's table
+    tab = "tempo_gate_iowrap_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
+    # a PREVIOUS session's run leaves the managed location on disk while
+    # the fresh in-memory catalog has no table entry — saveAsTable then
+    # fails with LOCATION_ALREADY_EXISTS; drop both catalog entry and dir
+    import os as _os
+    import shutil as _shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {tab}")
+    _wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for _pfx in ("file://", "file:"):
+        if _wh.startswith(_pfx):
+            _wh = _wh[len(_pfx):]
+            break
+    _shutil.rmtree(_os.path.join(_wh, tab), ignore_errors=True)
+    write_tsdf(TSDF(ev, ts_col="ts", series_ids=["user_id"]), spark, tab)
+    back = read_table_tsdf(spark, tab, ts_col="ts", series_ids=["user_id"])
+    iow = back.df.select(
+        F.lit("iowrap").alias("tag"),
+        F.col("event_id").alias("doc_id"),
+        md5_32(
+            F.concat_ws(
+                "|",
+                F.col("event_dt").cast("string"),
+                F.floor(F.col("event_time") * 1_000_000 + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+                F.col("user_id").cast("string"),
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+            )
+        ).alias("val"),
+    )
+    return (
+        fp.unionByName(samp)
+        .unionByName(norm)
+        .unionByName(recipe)
+        .unionByName(iow)
+    )
 
 
 def _normalize_replay_sql(inner: str, lowercase: bool = False) -> str:
@@ -2602,6 +2698,19 @@ UNION ALL
 SELECT 'norm' AS tag, doc_id,
        ('0x' || substr(md5(__NORM_MESSY__), 1, 8))::BIGINT AS val
 FROM documents
+UNION ALL
+-- iowrap: re-derive write_tsdf's event_dt/event_time layout straight from
+-- the source events (the Spark side digests them AFTER a managed-table
+-- write + catalog read-back, so the round trip is what's being gated)
+SELECT 'iowrap' AS tag, event_id AS doc_id,
+       ('0x' || substr(md5(concat_ws('|',
+          CAST(CAST(ts AS DATE) AS VARCHAR),
+          CAST(CAST(floor(CAST(strftime(ts, '%H%M%S.%f') AS DOUBLE)
+                          * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
+          CAST(user_id AS VARCHAR),
+          CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR))),
+        1, 8))::BIGINT AS val
+FROM events WHERE event_id % 20 = 0
 """.replace(
     "__NORM_RECIPE__", _normalize_replay_sql("text")
 ).replace(
@@ -3596,6 +3705,15 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       availableNow no-data batch flushes timed-out state), so the emitted
       set equals batch gaps-and-islands sessionization filtered to
       ``end + gap < final watermark`` — fully SQL-replayable.
+    - ``dedup``: ``streaming_exact_dedup`` (dropDuplicatesWithinWatermark
+      on the content digest). The dedupe content is (user_id, event_type,
+      day(ts)) and the watermark delay is far longer than the data span,
+      so no digest ever evicts and the emitted set — regardless of how
+      availableNow batches the files — is exactly one row per DISTINCT
+      content. Every projected column is a function of the digest content
+      (which physical duplicate survives is arrival-order-dependent, so
+      nothing arrival-specific like the raw ts is projected), making the
+      oracle a plain SELECT DISTINCT.
 
     Spark's watermark is the max event time TRUNCATED TO MILLISECONDS
     (``getCurrentWatermarkMs``), so both append-mode oracles truncate the
@@ -3693,11 +3811,39 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+
+    from tempo_spark.streaming.dedup import streaming_exact_dedup
+
+    ded_src = (
+        _stream_events_src(spark, sf_dir, raw.schema)
+        .select("user_id", "ts", "event_type")
+        .withColumn(
+            "__txt",
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                F.date_trunc("day", F.col("ts")).cast("string"),
+            ),
+        )
+    )
+    ded_out = streaming_exact_dedup(
+        ded_src, text_col="__txt", ts_col="ts", watermark="3650 days"
+    )
+    qn_ded = f"q_streaming_dedup_{seq}"
+    q_ded = (
+        ded_out.writeStream.format("memory")
+        .queryName(qn_ded)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
     try:
         q_rs.awaitTermination()
         q_asof.awaitTermination()
         q_interp.awaitTermination()
         q_sess.awaitTermination()
+        q_ded.awaitTermination()
     finally:
         import shutil
 
@@ -3741,7 +3887,24 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v"),
         F.lit(None).cast("boolean").alias("flag"),
     )
-    return rs.unionByName(asf).unionByName(itp).unionByName(sess)
+    from tempo_spark.pipeline.dedup import md5_32 as _md5_32
+
+    ded = spark.table(qn_ded).select(
+        F.lit("dedup").alias("tag"),
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("ts"),
+        F.lit(None).cast("timestamp").alias("rts"),
+        F.lit(None).cast("double").alias("lv"),
+        # 32-bit hash is exactly representable in double
+        _md5_32(F.col("__txt")).cast("double").alias("v"),
+        F.lit(None).cast("boolean").alias("flag"),
+    )
+    return (
+        rs.unionByName(asf)
+        .unionByName(itp)
+        .unionByName(sess)
+        .unionByName(ded)
+    )
 
 
 # resample: raw events (no dedup — chaining a dedup agg before the windowed
@@ -3835,6 +3998,21 @@ FROM (
       FROM events))
   GROUP BY user_id, sid)
 WHERE epoch_us(session_end) + 7200000000 < (SELECT w_us FROM iwm)
+UNION ALL
+-- streaming exact dedup: no digest ever evicts (watermark delay >> data
+-- span), so the emitted set = one row per distinct content; every
+-- projected column is digest-derived, so SELECT DISTINCT replays it
+SELECT DISTINCT 'dedup' AS tag, user_id,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts,
+       CAST(NULL AS TIMESTAMP) AS rts, CAST(NULL AS DOUBLE) AS lv,
+       -- date_trunc('day') yields a DATE in DuckDB: render via TIMESTAMP
+       -- so the string matches Spark's 'YYYY-MM-DD HH:MM:SS'
+       CAST(('0x' || substr(md5(concat_ws('|',
+              CAST(user_id AS VARCHAR), event_type,
+              CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR))),
+            1, 8))::BIGINT AS DOUBLE) AS v,
+       CAST(NULL AS BOOLEAN) AS flag
+FROM events
 """
 
 

@@ -930,6 +930,83 @@ def _probe_session():
     return spark
 
 
+def prepare_probe(spark, sf_dir: str, mult: int = 1) -> dict:
+    """Marginal per-stage cost of the b29 ``prepare_corpus`` shape
+    (normalize → signals/filters → exact dedup → MinHash/LSH near dedup →
+    mix → split → pack → shard, xxhash64 family): run STAGE PREFIXES of
+    the real composition, each single-shot (cache cleared first, exactly
+    like the bench loop), and difference consecutive wall-clocks. Each
+    prefix is forced by hashing EVERY output column (a bare count() would
+    let Catalyst prune the very expressions being measured — pack_id's
+    window cumsum, the split hash — out of the plan). ``mult`` row-
+    multiplies the corpus (doc_id re-keyed) for the scaling axis."""
+    from tempo_spark.pipeline.prepare import prepare_corpus
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text", "lang")
+    )
+    if mult > 1:
+        n0 = docs.count()
+        docs = docs.crossJoin(
+            spark.range(mult).select(F.col("id").alias("__rep"))
+        ).select(
+            (F.col("doc_id") + F.col("__rep") * F.lit(n0 * 2)).alias("doc_id"),
+            # re-keyed ids but per-copy UNIQUE text, or dedup collapses
+            # every copy and later stages see no extra rows
+            F.concat_ws(" ", "text", F.col("__rep").cast("string")).alias(
+                "text"
+            ),
+            "lang",
+        )
+    shares = {"en": 0.5, "de": 0.25, "es": 0.125, "fr": 0.125}
+    base = dict(
+        normalize=True, min_quality=0.2, max_dup_2gram_frac=0.5,
+        exact_dedup=False,
+    )
+    prefixes = [
+        ("signals_filters", {}),
+        ("exact_dedup", dict(exact_dedup=True)),
+        ("near_dedup", dict(exact_dedup=True, near_dedup_threshold=0.8)),
+        (
+            "mix_split",
+            dict(
+                exact_dedup=True, near_dedup_threshold=0.8,
+                mix_group_col="lang", mix_shares=shares,
+            ),
+        ),
+        (
+            "pack_shard",
+            dict(
+                exact_dedup=True, near_dedup_threshold=0.8,
+                mix_group_col="lang", mix_shares=shares,
+                pack_tokens=2048, n_shards=64,
+            ),
+        ),
+    ]
+    out: dict = {"sf_dir": sf_dir, "mult": mult, "stages": {}}
+    prev = 0.0
+    for label, kw in prefixes:
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        res = prepare_corpus(docs, **{**base, **kw})
+        forced = res.agg(
+            F.count("*").alias("n"),
+            F.max(
+                F.xxhash64(*[F.col(c) for c in res.columns])
+            ).alias("h"),
+        ).collect()[0]
+        dt = time.monotonic() - t0
+        out["stages"][label] = {
+            "cum_sec": round(dt, 2),
+            "marginal_sec": round(dt - prev, 2),
+            "rows": forced["n"],
+        }
+        prev = dt
+    return out
+
+
 def anomaly_probe(spark, n_rows: int, n_series: int) -> dict:
     """withAnomalyFlags prefix vs sliding at a dense trailing frame (~600
     in-frame rows): the sliding [-back,-1µs] frame re-aggregates per row
@@ -1123,6 +1200,14 @@ def main():
         spark = _probe_session()
         for n in (2_000_000, 8_000_000):
             print(json.dumps(_stamp(anomaly_probe(spark, n, 10_000))))
+        spark.stop()
+        return
+    if "--prepare" in sys.argv:
+        spark = _probe_session()
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        for mult in (1, 4):
+            print(json.dumps(_stamp(prepare_probe(spark, sf, mult))))
         spark.stop()
         return
     if "--spandedup" in sys.argv:

@@ -25,10 +25,44 @@ partitioned write.
 
 from __future__ import annotations
 
-from typing import Mapping
+from typing import Mapping, Optional
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+
+class CorpusStaging:
+    """Deterministic release handle for ``prepare_corpus``'s persist
+    barriers. Without one, the (corpus-sized) cache entries live until the
+    SparkSession ends — fine for a one-corpus job, a real leak for a
+    session preparing many different corpora. Use as a context manager
+    around the call AND the terminal action (the caches must survive until
+    the result is written/collected — release-before-action would silently
+    re-execute the un-barriered lineage, reintroducing the 17× composition
+    blowup the barriers exist to prevent):
+
+        with CorpusStaging() as staging:
+            out = prepare_corpus(docs, ..., staging=staging)
+            out.write.parquet(dest)
+        # barriers unpersisted here
+
+    or call :meth:`release` explicitly."""
+
+    def __init__(self) -> None:
+        self.frames: list[DataFrame] = []
+
+    def release(self, blocking: bool = False) -> None:
+        """Unpersist every tracked barrier (idempotent)."""
+        for f in self.frames:
+            f.unpersist(blocking)
+        self.frames.clear()
+
+    def __enter__(self) -> "CorpusStaging":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.release()
+        return False
 
 
 def prepare_corpus(
@@ -56,6 +90,7 @@ def prepare_corpus(
     salt: str = "prep",
     hash_family: str = "xxhash64",
     persist_intermediate: bool = True,
+    staging: Optional[CorpusStaging] = None,
 ) -> DataFrame:
     """Standard corpus preparation in one call; see the module docstring.
 
@@ -98,13 +133,14 @@ def prepare_corpus(
     lineage — measured 140 s → ~4 s at sf0.1 for the full recipe. At
     100 TB prefer ``False`` + your own staged parquet writes between
     phases (the caches are corpus-sized); the composition itself is
-    unchanged either way. The barriers have no handle to unpersist, so
-    they live until the SparkSession ends (or a global
+    unchanged either way. Pass ``staging=CorpusStaging()`` to get a
+    deterministic release handle for the barriers (see
+    :class:`CorpusStaging` — release only AFTER the terminal action);
+    without one they live until the SparkSession ends (or a global
     ``spark.catalog.clearCache()``) — sessions that call prepare_corpus
-    repeatedly over DIFFERENT inputs accumulate cache entries and should
-    either pass ``persist_intermediate=False`` with their own staging or
-    clear between invocations; repeated calls over the SAME input reuse
-    one entry (the cache manager matches canonicalized plans).
+    repeatedly over DIFFERENT inputs without a handle accumulate cache
+    entries; repeated calls over the SAME input reuse one entry (the
+    cache manager matches canonicalized plans).
     """
     from tempo_spark.pipeline import dedup as d
     from tempo_spark.pipeline.components import near_dedup
@@ -121,6 +157,12 @@ def prepare_corpus(
         with_repetition_metrics,
         with_token_count,
     )
+
+    def _barrier(frame: DataFrame) -> DataFrame:
+        frame = frame.persist()
+        if staging is not None:
+            staging.frames.append(frame)
+        return frame
 
     out = df
     if normalize:
@@ -141,7 +183,7 @@ def prepare_corpus(
         # column would re-evaluate the whole cleanup chain per row (the
         # quality/repetition signals reference it dozens of times, some
         # inside interpreted HOF lambdas where codegen CSE cannot reach)
-        out = out.persist()
+        out = _barrier(out)
     out = with_token_count(out, text_col)
     out = with_quality_score(out, text_col)
     out = with_repetition_metrics(out, text_col, n=2)
@@ -176,7 +218,7 @@ def prepare_corpus(
         # barrier before the multi-pass dedup stages: stops Catalyst
         # re-inlining the normalize/signal chains into every consumer and
         # pins the signal computation to ONE execution (see docstring)
-        out = out.persist()
+        out = _barrier(out)
     if exact_dedup:
         out = d.exact_dedup(out, id_col, text_col).drop("dup_count")
     if near_dedup_threshold is not None:
@@ -186,7 +228,7 @@ def prepare_corpus(
         )
         out = near_dedup(out, pairs, id_col)
         if persist_intermediate:
-            out = out.persist()
+            out = _barrier(out)
     if mix_group_col is not None:
         if mix_shares is None:
             raise ValueError("mix_group_col requires mix_shares")

@@ -2000,6 +2000,36 @@ class TestPrepareCorpus:
             assert r.pack_id >= 0 and 0 <= r.shard_id < 2
             assert r.n_tokens > 0 and 0 <= r.quality_score <= 1
 
+    def test_staging_releases_persist_barriers(self, spark):
+        """r9: CorpusStaging tracks every persist barrier and unpersists
+        them deterministically on release/context-exit — without it the
+        corpus-sized cache entries live until session end."""
+        from pyspark import StorageLevel
+
+        from tempo_spark.pipeline.prepare import CorpusStaging, prepare_corpus
+
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "delta")],
+            "doc_id long, text string",
+        )
+        with CorpusStaging() as staging:
+            out = prepare_corpus(
+                df, normalize=True, near_dedup_threshold=0.5, staging=staging
+            )
+            # normalize barrier + signal barrier + post-near-dedup barrier
+            assert len(staging.frames) == 3
+            assert all(
+                f.storageLevel != StorageLevel.NONE for f in staging.frames
+            )
+            n = out.count()
+            assert n >= 1
+            tracked = list(staging.frames)
+        assert staging.frames == []  # released and cleared
+        assert all(f.storageLevel == StorageLevel.NONE for f in tracked)
+        # warm-path contract unchanged: result still collectable after
+        # release (lineage re-executes, values identical)
+        assert out.count() == n
+
     def test_all_stages_optional(self, spark):
         from tempo_spark.pipeline.prepare import prepare_corpus
 
