@@ -125,10 +125,14 @@ def prepare_corpus(
     8. ``n_shards`` — shuffle-shard assignment for export.
 
     ``persist_intermediate`` (default True) lazily caches the frame at the
-    two points the downstream stages re-reference it (before exact dedup,
-    and after near-dedup before the mixture's two scans). Without a
-    barrier, Catalyst inlines the normalize/signal expression chains into
-    EVERY consumer (the ~10-regex cleanup chain appeared ~40× in the
+    points the downstream stages re-reference it: after the text cleanup,
+    after the signals (BEFORE the quality/dup filters — predicate pushdown
+    would otherwise substitute the full signal expression chains into the
+    pushed predicate, re-tokenizing per reference; an InMemoryRelation is
+    a pushdown fence), before exact dedup when the signals aren't already
+    pinned, and after near-dedup before the mixture's two scans. Without
+    a barrier, Catalyst inlines the normalize/signal expression chains
+    into EVERY consumer (the ~10-regex cleanup chain appeared ~40× in the
     composed plan) and each dedup pass re-executes the whole upstream
     lineage — measured 140 s → ~4 s at sf0.1 for the full recipe. At
     100 TB prefer ``False`` + your own staged parquet writes between
@@ -187,6 +191,24 @@ def prepare_corpus(
     out = with_token_count(out, text_col)
     out = with_quality_score(out, text_col)
     out = with_repetition_metrics(out, text_col, n=2)
+    filters_requested = (
+        min_quality is not None or max_dup_2gram_frac is not None
+    )
+    signals_pinned = False
+    if persist_intermediate and filters_requested:
+        # barrier BEFORE the signal filters, not after: predicate pushdown
+        # rewrites a filter on a projected column with the column's FULL
+        # defining expression substituted in, so `quality_score >= q`
+        # pushed below the projection re-evaluates the whole quality HOF
+        # chain — with the tokens-column hoist destroyed, the document
+        # re-tokenizes at every reference inside the predicate (the same
+        # substitution trap as the r4 explode pushdown). An
+        # InMemoryRelation is a pushdown fence: signals evaluate ONCE into
+        # the cache and the filters become cheap numeric compares on
+        # cached columns (measured 9 s -> 1 s for this stage, 13 -> 6 s
+        # for the full b29 recipe at sf0.1).
+        out = _barrier(out)
+        signals_pinned = True
     if min_quality is not None:
         out = out.where(F.col("quality_score") >= min_quality)
     if max_dup_2gram_frac is not None:
@@ -199,11 +221,12 @@ def prepare_corpus(
         out = d.remove_contaminated_spans(
             out, decontaminate_against, id_col, text_col, n=decontaminate_ngram
         )
-    if (
+    rewrote_text = (
         paragraph_dedup
         or span_dedup_ngram is not None
         or decontaminate_against is not None
-    ):
+    )
+    if rewrote_text:
         # the text changed — re-derive EVERY per-row signal so the shipped
         # columns describe the shipped text (the quality/dup filters above
         # deliberately acted on the pre-dedup signals: cheap pruning first)
@@ -214,10 +237,15 @@ def prepare_corpus(
         out = with_token_count(out, text_col)
         out = with_quality_score(out, text_col)
         out = with_repetition_metrics(out, text_col, n=2)
-    if persist_intermediate:
+    if persist_intermediate and (rewrote_text or not signals_pinned):
         # barrier before the multi-pass dedup stages: stops Catalyst
         # re-inlining the normalize/signal chains into every consumer and
-        # pins the signal computation to ONE execution (see docstring)
+        # pins the signal computation to ONE execution (see docstring).
+        # Skipped when the pre-filter barrier already pinned the signals
+        # and no text-rewriting stage re-introduced uncached expressions —
+        # the dedup consumers then re-run only the cheap cached-column
+        # filters, and a back-to-back second corpus-sized cache would buy
+        # nothing.
         out = _barrier(out)
     if exact_dedup:
         out = d.exact_dedup(out, id_col, text_col).drop("dup_count")

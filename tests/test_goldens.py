@@ -5,7 +5,12 @@ expected JSON rows order-insensitively."""
 
 import pytest
 
-from tests.golden_utils import assert_matches_golden, build_tsdf, load_cases
+from tests.golden_utils import (
+    assert_matches_golden,
+    build_df,
+    build_tsdf,
+    load_cases,
+)
 
 
 class TestAsofGoldens:
@@ -526,6 +531,86 @@ class TestTsdfGoldens:
         else:
             out = getattr(t, c["method"])(*args)
         assert_matches_golden(out.df, c["expected"], spark)
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "at", "before", "atOrBefore", "after", "atOrAfter",
+            "between", "between_exclusive", "earliest", "latest",
+            "priorTo", "subsequentTo",
+        ],
+    )
+    def test_slices_string_ts_construction_ref(self, spark, name):
+        """The reference's *_string_timestamp variants (reference:
+        python/tests/tsdf_tests.py:546-878) drive the CONSTRUCTOR's
+        string-timestamp parse (their eager head(1) auto-parse; here the
+        opt-in lazy ``parse_string_ts=True``) — same fixtures, same
+        answers as the pre-converted slice family."""
+        from tempo_spark import TSDF
+
+        c = self.cases["slices"]["cases"][name]
+        spec = c["inputs"]["data"]
+        raw = build_df(
+            spark, {k: v for k, v in spec.items() if k != "ts_convert"}
+        )
+        t = TSDF(raw, parse_string_ts=True, **spec["tsdf"])
+        args = list(c["args"])
+        if name == "between_exclusive":
+            out = t.between(args[0], args[1], inclusive=False)
+        elif name in ("earliest", "latest"):
+            out = getattr(t, c["method"])(n=args[0])
+        else:
+            out = getattr(t, c["method"])(*args)
+        assert_matches_golden(out.df, c["expected"], spark)
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "at", "before", "atOrBefore", "after", "atOrAfter",
+            "between", "between_exclusive", "earliest", "latest",
+            "priorTo", "subsequentTo",
+        ],
+    )
+    def test_slices_double_ts_ref(self, spark, name):
+        """The reference's *_numeric_timestamp variants (reference:
+        python/tests/tsdf_tests.py:557-878 via __tsdf_with_double_tscol):
+        ts_col cast to epoch-seconds double, slice targets as doubles —
+        same fixtures, recorded answers double-cast the same way."""
+        import calendar
+        import time as _time
+
+        import pyspark.sql.functions as F
+
+        from tempo_spark import TSDF
+
+        def to_dbl(ts: str) -> float:
+            # the reference's isoparse(ts).timestamp() under the UTC test
+            # session (conftest pins it) = UTC epoch seconds
+            return float(
+                calendar.timegm(_time.strptime(ts, "%Y-%m-%d %H:%M:%S"))
+            )
+
+        c = self.cases["slices"]["cases"][name]
+        t = build_tsdf(spark, c["inputs"]["data"])
+        tsc = t.ts_col
+        td = TSDF(
+            t.df.withColumn(tsc, F.col(tsc).cast("double")),
+            ts_col=tsc,
+            series_ids=t.series_ids,
+        )
+        args = list(c["args"])
+        if name in ("earliest", "latest"):
+            out = getattr(td, c["method"])(n=args[0])
+        elif name == "between_exclusive":
+            out = td.between(to_dbl(args[0]), to_dbl(args[1]), inclusive=False)
+        else:
+            out = getattr(td, c["method"])(*[to_dbl(a) for a in args])
+        expected = build_df(spark, c["expected"]).withColumn(
+            tsc, F.col(tsc).cast("double")
+        )
+        a = sorted(map(str, out.df.collect()))
+        e = sorted(map(str, expected.collect()))
+        assert a == e
 
 
 class TestAnalyticsGoldens:
