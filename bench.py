@@ -135,6 +135,23 @@ def _ivf_kmeans_topk(spark, sf_dir):
     return idx.topk(queries, k=5, nprobe=2)
 
 
+def _pq_ann(spark, sf_dir):
+    # the full faiss IVFx,PQm plan single-shot: coarse quantizer fit
+    # (driver Lloyd), PQ codebook training (driver Lloyd per subspace),
+    # corpus encode (Arrow matmul kernel past the literal budget), then
+    # ADC top-k over the probed cells (JVM O(m) fold per code)
+    from tempo_spark.pipeline.similarity import IVFIndex, PQCodec, ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = IVFIndex.build(emb, n_centroids=16, seed=42, init_mode="local")
+    codec = PQCodec.train(emb, m=8, ksub=64, seed=42)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    codes = codec.encode(idx.assigned, vec_col="__vec")
+    return ivf_pq_topk(idx, codec, queries, codes_df=codes, k=5, nprobe=4)
+
+
 def _range_corr(spark, sf_dir):
     # production prefix strategy (O(n) sufficient-sum differences)
     de = entry_mod._dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
@@ -349,6 +366,7 @@ BENCH_QUERIES = {
     "b27_dsir_select": _dsir_select,
     "b28_paragraph_filter": _paragraph_filter,
     "b29_prepare_corpus": _prepare_corpus,
+    "b30_pq_ann": _pq_ann,
 }
 
 RUNS = 3

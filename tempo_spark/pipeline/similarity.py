@@ -411,7 +411,27 @@ def _local_lloyd(
             f"lower n_centroids or widen fit_sample_mod"
         )
     rng = np.random.default_rng(seed)
-    C = X[rng.choice(X.shape[0], size=k, replace=False)].copy()
+    # k-means++ seeding (Arthur & Vassilvitskii 2007): each next center is
+    # drawn proportional to squared distance from the chosen set. A plain
+    # uniform draw regularly lands two seeds in one tight cluster and Lloyd
+    # never splits it (empty clusters keep their center) — measured as a
+    # whole-cluster merge on 4 well-separated planted groups. Deterministic
+    # given (sample order, seed), O(n·k) driver-side — negligible next to
+    # the Lloyd sweeps.
+    first = int(rng.integers(X.shape[0]))
+    chosen = [first]
+    d2 = ((X - X[first]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        total = float(d2.sum())
+        if total <= 0.0:
+            # all remaining mass at distance 0 (duplicate-heavy sample):
+            # fall back to uniform among the rest
+            nxt = int(rng.integers(X.shape[0]))
+        else:
+            nxt = int(rng.choice(X.shape[0], p=d2 / total))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    C = X[chosen].copy()
     x2 = (X * X).sum(axis=1, keepdims=True)
     for _ in range(max_iter):
         # argmin_c |x-c|^2 = argmin_c (|c|^2 - 2 x.c); |x|^2 is constant
@@ -998,4 +1018,375 @@ def semantic_dedup(
         "left",
     ).withColumn(
         "is_semantic_dup", F.coalesce(F.col("is_semantic_dup"), F.lit(False))
+    )
+
+
+# --------------------------------------------------------------- product PQ
+
+
+class PQCodec:
+    """Product quantizer (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011 — the faiss ``IVFx,PQm`` storage recipe,
+    beyond the reference's operator set): the vector splits into ``m``
+    contiguous sub-vectors of width dim/m, each quantized independently
+    against its own ``ksub``-centroid codebook, so a float corpus
+    compresses ~dim·4/m× (m bytes per vector at ksub ≤ 256) and a query
+    scores a stored code in O(m) table lookups instead of an O(dim) fold
+    — the only way a 100 TB embedding corpus fits an online index.
+
+    Spark shape, consistent with :class:`IVFIndex`'s three-regime rule:
+
+    - **train**: driver-side seeded Lloyd per subspace over an id-sorted,
+      hash-sampled fit set (``fit_sample_mod`` — the fit sample is the
+      only data k-means ever sees; one collect, no MLlib job storm);
+    - **encode**: per-row, no shuffle. Literal argmin expressions when
+      the total plan weight m·ksub·dsub fits ``ASSIGN_LITERAL_MAX``
+      (tiny codecs, tests), else ONE Arrow-batched numpy matmul kernel
+      for all m subspaces (the sanctioned dense-linear-algebra Python
+      class — same budget, same reasoning as ``_assign_cells``);
+    - **ADC scoring**: the per-query lookup table (m·ksub distances) is
+      computed once per QUERY row — queries are the small side by
+      definition — and rides a broadcast join; the per-code score is an
+      O(m) ``element_at`` fold, pure JVM. The corpus-sized path never
+      enters Python and never shuffles.
+
+    Distances are the squared-L2 surrogate ``d = Σ_j (‖c_j‖² − 2·q_j·c_j)``
+    (the per-query constant ‖q‖² is rank-invariant and omitted, exactly
+    like ``_cell_scores``). For cosine ranking, PQ-encode NORMALIZED
+    vectors (``normalize_embeddings``): on the unit sphere L2 order ==
+    cosine order.
+    """
+
+    def __init__(self, codebooks: list):
+        if not codebooks:
+            raise ValueError("PQCodec needs at least one subspace codebook")
+        ksub = len(codebooks[0])
+        dsub = len(codebooks[0][0])
+        for j, book in enumerate(codebooks):
+            if len(book) != ksub or any(len(c) != dsub for c in book):
+                raise ValueError(
+                    f"subspace {j}: every codebook needs the same "
+                    f"ksub×dsub shape ({ksub}×{dsub})"
+                )
+        self.codebooks = [
+            [[float(x) for x in c] for c in book] for book in codebooks
+        ]
+        self.m = len(codebooks)
+        self.ksub = ksub
+        self.dsub = dsub
+        self.dim = self.m * dsub
+
+    # ------------------------------------------------------------- train
+
+    @staticmethod
+    def train(
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        m: int = 8,
+        ksub: int = 256,
+        seed: int = 42,
+        max_iter: int = 20,
+        fit_sample_mod: Optional[int] = None,
+    ) -> "PQCodec":
+        """Fit the m sub-codebooks on an id-sorted (deterministic) fit
+        sample; raises when the sample has fewer than ``ksub`` usable rows
+        or the vector width is not divisible by ``m``."""
+        proj = df.select(
+            F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__vec")
+        )
+        fit = proj
+        if fit_sample_mod is not None and fit_sample_mod > 1:
+            fit = proj.where(
+                F.pmod(F.xxhash64(F.col("__id")), F.lit(fit_sample_mod)) == 0
+            )
+        rows = (
+            fit.where(F.col("__vec").isNotNull())
+            .orderBy("__id")
+            .select("__vec")
+            .collect()
+        )
+        import collections
+
+        import numpy as np
+
+        vecs = [r["__vec"] for r in rows]
+        if not vecs:
+            raise ValueError("PQ fit set is empty")
+        dim = collections.Counter(len(v) for v in vecs).most_common(1)[0][0]
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        X = np.asarray([v for v in vecs if len(v) == dim], dtype=np.float64)
+        if X.size:
+            X = X[np.isfinite(X).all(axis=1)]
+        dsub = dim // m
+        books = []
+        for j in range(m):
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            books.append(
+                _local_lloyd([list(r) for r in sub], ksub, seed + j, max_iter)
+            )
+        return PQCodec(books)
+
+    # ------------------------------------------------------------ encode
+
+    def _literal_ops(self) -> int:
+        return self.m * self.ksub * self.dsub
+
+    def encode(
+        self, df: DataFrame, vec_col: str = "embedding", out: str = "pq_code"
+    ) -> DataFrame:
+        """Append ``out`` = array<int> of m codes (NULL for null or
+        wrong-width vectors, every path). Zero shuffle."""
+        vec = _as_double(F.col(vec_col))
+        valid = vec.isNotNull() & (F.size(vec) == self.dim)
+        if self._literal_ops() <= ASSIGN_LITERAL_MAX:
+            codes = []
+            for j, book in enumerate(self.codebooks):
+                sub = F.slice(vec, j * self.dsub + 1, self.dsub)
+                codes.append(
+                    F.element_at(
+                        F.array_sort(_cell_scores(sub, book)), 1
+                    ).getField("cell")
+                )
+            return df.withColumn(out, F.when(valid, F.array(*codes)))
+        return df.withColumn(out, self._arrow_encode_udf()(vec))
+
+    def _arrow_encode_udf(self):
+        """All-m-subspaces argmin as one numpy kernel per Arrow batch:
+        reshape (B, m, dsub), one matmul per subspace against its
+        codebook. Same surrogate and first-minimum tie rule as the
+        literal path (float64 matmul accumulation order may flip ~1-ulp
+        ties — a codeword-boundary wobble, same caveat as
+        ``_arrow_assign_udf``)."""
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        C = [np.asarray(b, dtype=np.float64) for b in self.codebooks]
+        cn2 = [(c * c).sum(axis=1) for c in C]
+        m, dsub, dim = self.m, self.dsub, self.dim
+
+        @pandas_udf("array<int>")
+        def codes_of(vs: pd.Series) -> pd.Series:
+            ok = vs.map(lambda v: v is not None and len(v) == dim)
+            out = pd.Series([None] * len(vs), dtype="object")
+            if ok.any():
+                M = np.stack(vs[ok].map(np.asarray).to_numpy()).astype(
+                    np.float64
+                )
+                codes = np.empty((M.shape[0], m), dtype="int32")
+                for j in range(m):
+                    sub = M[:, j * dsub : (j + 1) * dsub]
+                    scores = -2.0 * (sub @ C[j].T) + cn2[j]
+                    codes[:, j] = np.argmin(scores, axis=1)
+                out[np.flatnonzero(ok.to_numpy())] = [
+                    [int(x) for x in row] for row in codes
+                ]
+            return out
+
+        return codes_of
+
+    def reconstruct(
+        self, df: DataFrame, code_col: str = "pq_code", out: str = "pq_vec"
+    ) -> DataFrame:
+        """Decode codes back to their centroid concatenation (the PQ
+        approximation of the original vector) — literal expressions; a
+        diagnostics/test surface, not a hot path."""
+        code = F.col(code_col)
+        parts = []
+        for j, book in enumerate(self.codebooks):
+            book_arr = F.array(
+                *[F.array(*[F.lit(x) for x in c]) for c in book]
+            )
+            parts.append(
+                F.element_at(book_arr, F.element_at(code, j + 1) + 1)
+            )
+        return df.withColumn(
+            out, F.when(code.isNotNull(), F.flatten(F.array(*parts)))
+        )
+
+    # --------------------------------------------------------------- ADC
+
+    def _lut_expr(self, qvec: Column) -> Column:
+        """Flat array<double> of length m·ksub: LUT[j·ksub + i] =
+        ‖c_ji‖² − 2·q_j·c_ji, literal-expression path."""
+        entries = []
+        for j, book in enumerate(self.codebooks):
+            sub = F.slice(qvec, j * self.dsub + 1, self.dsub)
+            for c in book:
+                entries.append(
+                    F.lit(-2.0) * dot(sub, F.array(*[F.lit(x) for x in c]))
+                    + F.lit(sum(x * x for x in c))
+                )
+        return F.array(*entries)
+
+    def _arrow_lut_udf(self):
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        C = [np.asarray(b, dtype=np.float64) for b in self.codebooks]
+        cn2 = [(c * c).sum(axis=1) for c in C]
+        m, dsub, dim = self.m, self.dsub, self.dim
+
+        @pandas_udf("array<double>")
+        def lut_of(vs: pd.Series) -> pd.Series:
+            ok = vs.map(lambda v: v is not None and len(v) == dim)
+            out = pd.Series([None] * len(vs), dtype="object")
+            if ok.any():
+                M = np.stack(vs[ok].map(np.asarray).to_numpy()).astype(
+                    np.float64
+                )
+                luts = np.concatenate(
+                    [
+                        -2.0 * (M[:, j * dsub : (j + 1) * dsub] @ C[j].T)
+                        + cn2[j]
+                        for j in range(m)
+                    ],
+                    axis=1,
+                )
+                out[np.flatnonzero(ok.to_numpy())] = [
+                    [float(x) for x in row] for row in luts
+                ]
+            return out
+
+        return lut_of
+
+    def with_lut(
+        self, queries: DataFrame, query_vec: str = "embedding",
+        out: str = "__pq_lut",
+    ) -> DataFrame:
+        vec = _as_double(F.col(query_vec))
+        if self._literal_ops() <= ASSIGN_LITERAL_MAX:
+            valid = vec.isNotNull() & (F.size(vec) == self.dim)
+            return queries.withColumn(out, F.when(valid, self._lut_expr(vec)))
+        return queries.withColumn(out, self._arrow_lut_udf()(vec))
+
+    def adc_score(self, lut: Column, code: Column) -> Column:
+        """O(m) JVM fold: Σ_j LUT[j·ksub + code_j] — the ADC distance
+        surrogate (smaller = nearer)."""
+        ksub = self.ksub
+        return F.aggregate(
+            F.zip_with(
+                code,
+                F.sequence(F.lit(0), F.lit(self.m - 1)),
+                lambda c, j: F.element_at(lut, j * ksub + c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def adc_topk(
+        self,
+        codes_df: DataFrame,
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        code_col: str = "pq_code",
+        query_id: str = "query_id",
+        query_vec: str = "embedding",
+        k: int = 5,
+    ) -> DataFrame:
+        """Asymmetric-distance top-k of every query against a PQ-encoded
+        corpus: broadcast the (queries × LUT) side, score every code with
+        the O(m) fold, keep k per query. Returns
+        (query_id, id, adc_dist, rank) — ``adc_dist`` is the surrogate
+        (monotone in true L2 given the codes; add ‖q‖² per query for the
+        absolute value)."""
+        q = self.with_lut(
+            queries.select(
+                F.col(query_id).alias("__qid"),
+                _as_double(F.col(query_vec)).alias("__qvec"),
+            ),
+            "__qvec",
+        ).where(F.col("__pq_lut").isNotNull())
+        scored = (
+            codes_df.where(F.col(code_col).isNotNull())
+            .crossJoin(F.broadcast(q))
+            .select(
+                F.col("__qid").alias(query_id),
+                F.col(id_col),
+                self.adc_score(F.col("__pq_lut"), F.col(code_col)).alias(
+                    "adc_dist"
+                ),
+            )
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("adc_dist").asc(), F.col(id_col)
+        )
+        return (
+            scored.withColumn("__rank", F.row_number().over(w))
+            .where(F.col("__rank") <= k)
+            .withColumnRenamed("__rank", "rank")
+        )
+
+    # ---------------------------------------------------------- save/load
+
+    def save(self, spark, path: str, mode: str = "overwrite") -> None:
+        rows = [
+            (j, i, c)
+            for j, book in enumerate(self.codebooks)
+            for i, c in enumerate(book)
+        ]
+        spark.createDataFrame(
+            rows, "sub int, code int, center array<double>"
+        ).coalesce(1).write.mode(mode).parquet(path)
+
+    @staticmethod
+    def load(spark, path: str) -> "PQCodec":
+        rows = spark.read.parquet(path).collect()
+        books: dict = {}
+        for r in rows:
+            books.setdefault(r.sub, {})[r.code] = list(r.center)
+        return PQCodec(
+            [
+                [books[j][i] for i in sorted(books[j])]
+                for j in sorted(books)
+            ]
+        )
+
+
+def ivf_pq_topk(
+    index: IVFIndex,
+    codec: PQCodec,
+    queries: DataFrame,
+    codes_df: Optional[DataFrame] = None,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ search (the full faiss ``IVFx,PQm`` plan): probe the
+    ``nprobe`` nearest coarse cells, ADC-score ONLY those cells' codes.
+    ``codes_df`` is the PQ-encoded assigned corpus (``codec.encode(
+    index.assigned)``) — pass a persisted/parquet-backed frame in
+    production so encoding happens once, not per query batch; when it
+    carries ``cell`` (it does when derived from ``index.assigned``) the
+    cell join prunes partitions of a ``save``d index."""
+    if codes_df is None:
+        codes_df = codec.encode(index.assigned, vec_col="__vec")
+    q = codec.with_lut(
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            _as_double(F.col(query_vec)).alias("__qvec"),
+        ),
+        "__qvec",
+    ).where(F.col("__pq_lut").isNotNull())
+    q = index._with_probe_cells(q, "__qvec", nprobe)
+    scored = (
+        codes_df.where(F.col("pq_code").isNotNull())
+        .join(F.broadcast(q), "cell")
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col(index.id_col),
+            codec.adc_score(F.col("__pq_lut"), F.col("pq_code")).alias(
+                "adc_dist"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_dist").asc(), F.col(index.id_col)
+    )
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .withColumnRenamed("__rank", "rank")
     )

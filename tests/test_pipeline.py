@@ -1027,6 +1027,164 @@ class TestIVFPersistence:
         assert "PartitionFilters: [isnotnull(cell" in plan or "cell#" in plan
 
 
+class TestPQ:
+    """Product quantization (r9): train/encode/reconstruct/ADC/IVF-PQ."""
+
+    def _vecs(self, spark, n=120, dim=8, n_groups=4):
+        import random
+
+        random.seed(11)
+        bases = [
+            [10.0 * ((g >> b) & 1) for b in range(dim)] for g in range(n_groups)
+        ]
+        rows = [
+            (
+                i,
+                [
+                    bases[i % n_groups][d] + random.gauss(0, 0.05)
+                    for d in range(dim)
+                ],
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_train_deterministic_and_shapes(self, spark):
+        from tempo_spark.pipeline.similarity import PQCodec
+
+        vecs = self._vecs(spark)
+        a = PQCodec.train(vecs, m=2, ksub=4, seed=5)
+        b = PQCodec.train(vecs, m=2, ksub=4, seed=5)
+        assert a.codebooks == b.codebooks
+        assert a.m == 2 and a.ksub == 4 and a.dsub == 4 and a.dim == 8
+        with pytest.raises(ValueError, match="not divisible"):
+            PQCodec.train(vecs, m=3, ksub=4)
+
+    def test_encode_paths_agree_and_null_handling(self, spark, monkeypatch):
+        import tempo_spark.pipeline.similarity as sim
+        from tempo_spark.pipeline.similarity import PQCodec
+
+        vecs = self._vecs(spark)
+        codec = PQCodec.train(vecs, m=2, ksub=4, seed=5)
+        bad = spark.createDataFrame(
+            [(900, None), (901, [1.0, 2.0])],
+            "vec_id long, embedding array<float>",
+        )
+        allv = vecs.unionByName(bad)
+        lit = {
+            r.vec_id: r.pq_code and list(r.pq_code)
+            for r in codec.encode(allv).collect()
+        }
+        monkeypatch.setattr(sim, "ASSIGN_LITERAL_MAX", 0)
+        arw = {
+            r.vec_id: r.pq_code and list(r.pq_code)
+            for r in codec.encode(allv).collect()
+        }
+        assert lit == arw  # literal vs Arrow parity (data is off-tie)
+        assert lit[900] is None and lit[901] is None
+        assert all(
+            v is None or all(0 <= c < 4 for c in v) for v in lit.values()
+        )
+
+    def test_reconstruct_near_original(self, spark):
+        from tempo_spark.pipeline.similarity import PQCodec
+
+        vecs = self._vecs(spark)
+        codec = PQCodec.train(vecs, m=2, ksub=4, seed=5)
+        out = codec.reconstruct(codec.encode(vecs)).collect()
+        for r in out:
+            err = max(
+                abs(a - b) for a, b in zip(r.embedding, r.pq_vec)
+            )
+            # 4 planted group patterns per 4-wide subspace, ksub=4 -> each
+            # sub-codeword sits on a group mean; noise sigma 0.05
+            assert err < 0.5, (r.vec_id, err)
+
+    def test_adc_topk_matches_numpy_model(self, spark):
+        import numpy as np
+
+        from tempo_spark.pipeline.similarity import PQCodec
+
+        vecs = self._vecs(spark)
+        codec = PQCodec.train(vecs, m=2, ksub=4, seed=5)
+        codes = codec.encode(vecs)
+        queries = vecs.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = {
+            (r.query_id, r.rank): (r.vec_id, round(r.adc_dist, 9))
+            for r in codec.adc_topk(codes, queries, k=4).collect()
+        }
+        # numpy replay of the same surrogate
+        data = {r.vec_id: list(r.embedding) for r in vecs.collect()}
+        code_map = {
+            r.vec_id: list(r.pq_code) for r in codes.collect()
+        }
+        C = [np.asarray(b) for b in codec.codebooks]
+        for qid in (0, 1, 2):
+            q = np.asarray(data[qid])
+            scores = []
+            for vid, code in code_map.items():
+                s = 0.0
+                for j, cj in enumerate(code):
+                    sub = q[j * codec.dsub : (j + 1) * codec.dsub]
+                    c = C[j][cj]
+                    s += float((c * c).sum() - 2.0 * (sub * c).sum())
+                scores.append((s, vid))
+            scores.sort(key=lambda t: (t[0], t[1]))
+            for rk in range(1, 5):
+                vid, d = got[(qid, rk)]
+                assert vid == scores[rk - 1][1]
+
+    def test_ivf_pq_and_recall(self, spark):
+        from tempo_spark.pipeline.similarity import (
+            IVFIndex,
+            PQCodec,
+            ann_recall,
+            brute_force_topk,
+            ivf_pq_topk,
+            normalize_embeddings,
+        )
+
+        vecs = normalize_embeddings(self._vecs(spark, n=200))
+        idx = IVFIndex.build(vecs, n_centroids=4, seed=7, init_mode="local")
+        codec = PQCodec.train(vecs, m=2, ksub=8, seed=5)
+        # groups 1-3 (group 0's base is all-zero, so its normalized
+        # vectors are pure noise directions — no cluster to find)
+        queries = vecs.where(F.col("vec_id").isin(1, 2, 3)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        approx = ivf_pq_topk(idx, codec, queries, k=5, nprobe=2)
+        # within a planted group every member shares one PQ code, so ADC
+        # ties and the id tiebreak picks a DIFFERENT 5 of the ~50
+        # group members than exact cosine's noise-ranking — the right
+        # property is group membership, not id-exact recall
+        for r in approx.collect():
+            assert r.vec_id % 4 == r.query_id % 4, r
+        # and at k = group size the tie set IS the answer set: id-exact
+        # recall against brute force must be high
+        approx50 = ivf_pq_topk(idx, codec, queries, k=50, nprobe=2)
+        exact50 = brute_force_topk(vecs, queries, k=50)
+        rec = (
+            ann_recall(approx50, exact50)
+            .agg(F.avg("recall").alias("r"))
+            .collect()[0]["r"]
+        )
+        assert rec >= 0.9, rec
+
+    def test_save_load_roundtrip(self, spark, tmp_path):
+        from tempo_spark.pipeline.similarity import PQCodec
+
+        vecs = self._vecs(spark)
+        codec = PQCodec.train(vecs, m=2, ksub=4, seed=5)
+        p = str(tmp_path / "pq")
+        codec.save(spark, p)
+        back = PQCodec.load(spark, p)
+        assert back.codebooks == codec.codebooks
+
+
 class TestIVFIncremental:
     def test_add_assigns_to_existing_cells(self, spark):
         import random
