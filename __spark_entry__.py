@@ -3110,15 +3110,33 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell pruning, bucket-restricted cosine ranking — is value-checked by a
     DuckDB replay. The production default stays ``init="kmeans"``
     (bench.py's ``_ivf_kmeans_topk`` measures that path; pytest covers
-    it)."""
-    from tempo_spark.pipeline.similarity import IVFIndex
+    it).
+
+    ``pq`` tag (r9): product-quantization ADC top-k with the replayable
+    ``PQCodec.train(init="first")`` codebooks (m=2, ksub=4: each
+    sub-codebook = the sub-vectors of the 4 smallest-id rows) — encode
+    argmin, per-query LUT, and the O(m) ADC fold are all literal-path
+    expressions whose fold order DuckDB reproduces bit-identically (the
+    ``val`` column is the hardened-rounded ADC surrogate; RANKS compare
+    raw). Production keeps the k-means++ codebooks + Arrow encode
+    (bench b30; pytest model-parity covers them)."""
+    from tempo_spark.pipeline.similarity import IVFIndex, PQCodec
 
     emb = _read(spark, sf_dir, "embeddings")
     idx = IVFIndex.build(emb, n_centroids=8, init="first")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return idx.topk(queries, k=5, nprobe=2)
+    ivf = idx.topk(queries, k=5, nprobe=2).withColumn("tag", F.lit("ivf"))
+    codec = PQCodec.train(emb, m=2, ksub=4, init="first")
+    pq = codec.adc_topk(codec.encode(emb), queries, k=5).select(
+        "query_id",
+        "vec_id",
+        _HR6(F.col("adc_dist")).alias("cosine"),
+        "rank",
+        F.lit("pq").alias("tag"),
+    )
+    return ivf.unionByName(pq)
 
 
 def _ivf_oracle(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
@@ -3137,10 +3155,17 @@ def _ivf_oracle(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
     )
     d_assign = f"(-2.0 * {fold.format(a='c.v', b='n.cv')}) + n.cn2"
     d_probe = f"(-2.0 * {fold.format(a='q.qv', b='n.cv')}) + n.cn2"
+    d_enc = f"(-2.0 * {fold.format(a='p.sv', b='b.cw')}) + b.cn2"
+    d_lut = f"(-2.0 * {fold.format(a='q.sv', b='b.cw')}) + b.cn2"
     cos = (
         f"{fold.format(a='p.qv', b='a.v')} / "
         f"(sqrt({sq.format(a='p.qv')}) * sqrt({sq.format(a='a.v')}))"
     )
+    # pq tag: m=2 / ksub=4 init="first" codebooks (sub-vectors of the 4
+    # smallest-id rows), per-(vector, subspace) argmin encode, per-query
+    # LUT, ADC = (0.0 + d0) + d1 — the exact left-fold order of the Spark
+    # F.aggregate, so raw ranks are bit-identical; only the emitted value
+    # column is hardened-rounded.
     return f"""
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (
@@ -3167,8 +3192,54 @@ ranked AS (
   SELECT query_id, vec_id, cosine,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, vec_id) AS rank
-  FROM scored)
-SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+  FROM scored),
+pdim AS (SELECT len(v) // 2 AS dsub FROM c LIMIT 1),
+pbook AS (
+  SELECT s.j,
+         row_number() OVER (PARTITION BY s.j ORDER BY f.vec_id) - 1 AS code,
+         CASE WHEN s.j = 0
+              THEN list_slice(f.v, 1, (SELECT dsub FROM pdim))
+              ELSE list_slice(f.v, (SELECT dsub FROM pdim) + 1,
+                              2 * (SELECT dsub FROM pdim)) END AS cw
+  FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 4) f
+  CROSS JOIN (VALUES (0), (1)) AS s(j)),
+pbookn AS (SELECT j, code, cw, {sq.format(a='cw')} AS cn2 FROM pbook),
+psub AS (
+  SELECT vec_id, s.j,
+         CASE WHEN s.j = 0
+              THEN list_slice(v, 1, (SELECT dsub FROM pdim))
+              ELSE list_slice(v, (SELECT dsub FROM pdim) + 1,
+                              2 * (SELECT dsub FROM pdim)) END AS sv
+  FROM c CROSS JOIN (VALUES (0), (1)) AS s(j)),
+penc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT p.vec_id, p.j, b.code,
+           row_number() OVER (PARTITION BY p.vec_id, p.j
+                              ORDER BY {d_enc}, b.code) AS rn
+    FROM psub p JOIN pbookn b ON p.j = b.j) WHERE rn = 1),
+plut AS (
+  SELECT q.vec_id AS query_id, b.j, b.code, {d_lut} AS d
+  FROM (SELECT * FROM psub WHERE vec_id < 10) q
+  JOIN pbookn b ON q.j = b.j),
+pscore AS (
+  SELECT l0.query_id, e0.vec_id, (0.0 + l0.d) + l1.d AS adc
+  FROM penc e0
+  JOIN penc e1 ON e1.vec_id = e0.vec_id AND e1.j = 1
+  JOIN plut l0 ON l0.j = 0 AND l0.code = e0.code
+  JOIN plut l1 ON l1.j = 1 AND l1.code = e1.code
+                AND l1.query_id = l0.query_id
+  WHERE e0.j = 0),
+pranked AS (
+  SELECT query_id, vec_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc, vec_id) AS rank
+  FROM pscore)
+SELECT query_id, vec_id, cosine, rank, 'ivf' AS tag
+FROM ranked WHERE rank <= {k}
+UNION ALL
+SELECT query_id, vec_id,
+       floor(adc * 1000000 + 0.5) / 1000000 AS cosine, rank, 'pq' AS tag
+FROM pranked WHERE rank <= {k}
 """
 
 

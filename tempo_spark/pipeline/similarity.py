@@ -1088,10 +1088,18 @@ class PQCodec:
         seed: int = 42,
         max_iter: int = 20,
         fit_sample_mod: Optional[int] = None,
+        init: str = "kmeans",
     ) -> "PQCodec":
         """Fit the m sub-codebooks on an id-sorted (deterministic) fit
         sample; raises when the sample has fewer than ``ksub`` usable rows
-        or the vector width is not divisible by ``m``."""
+        or the vector width is not divisible by ``m``.
+
+        ``init="first"``: each sub-codebook is the sub-vectors of the
+        ``ksub`` smallest-id usable rows, NO Lloyd iterations — fully
+        replayable by any engine (an id-ordered LIMIT), the same
+        cross-engine value-check device as ``IVFIndex.build(init=
+        "first")``. Production keeps ``"kmeans"`` (k-means++-seeded
+        driver Lloyd per subspace)."""
         proj = df.select(
             F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__vec")
         )
@@ -1120,6 +1128,22 @@ class PQCodec:
         if X.size:
             X = X[np.isfinite(X).all(axis=1)]
         dsub = dim // m
+        if init == "first":
+            if X.shape[0] < ksub:
+                raise ValueError(
+                    f"PQ fit set has {X.shape[0]} usable rows < ksub={ksub}"
+                )
+            return PQCodec(
+                [
+                    [
+                        [float(x) for x in X[i, j * dsub : (j + 1) * dsub]]
+                        for i in range(ksub)
+                    ]
+                    for j in range(m)
+                ]
+            )
+        if init != "kmeans":
+            raise ValueError(f"unknown init {init!r}; use 'kmeans' or 'first'")
         books = []
         for j in range(m):
             sub = X[:, j * dsub : (j + 1) * dsub]
