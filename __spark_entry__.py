@@ -2016,6 +2016,12 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       itself + ``with_lm_logprob``, the CCNet perplexity-style signal) —
       hash_family="raw" string keys so DuckDB replays counts exactly;
       production default is xxhash64 keys (pytest pins family parity);
+    - ``clf``: linear-classifier scoring (``LinearTextModel.score`` — the
+      fastText-style quality filter's corpus path): fixed replayable
+      weights w[b] = ((b·7) % 11 − 5)/10 over md5_32 buckets (n=64),
+      intercept 0.25; val = hardened-rounded token-order left-fold logit
+      (training is MLlib LBFGS — engine-specific, pytest-pinned; the
+      gate pins the scorer that touches the corpus);
     - ``dsir``: DSIR importance weight (Xie et al. 2023) — hashed
       (uni+bi)-gram bucket counts fit on a target slice (lang='en') vs the
       full corpus, per-doc log importance weight = Σ grams of the bucket
@@ -2077,6 +2083,23 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("dsir").alias("tag"), "doc_id", _HR6(F.col("dsir_logweight")).alias("val")
     )
+    # clf (r9): LinearTextModel expression scoring with fixed replayable
+    # weights (training itself is MLlib LBFGS — engine-specific; what the
+    # gate pins is the corpus-touching scorer: bucket hash → weight lookup
+    # → left-fold logit). Production trains via train_linear_classifier
+    # and scores with murmur3 buckets (pytest pins train↔score parity).
+    from tempo_spark.pipeline.classifier import LinearTextModel
+
+    clf_model = LinearTextModel(
+        [((b * 7) % 11 - 5) / 10.0 for b in range(64)],
+        0.25,
+        hash_family="md5_32",
+    )
+    clf = clf_model.score(
+        docs.select("doc_id", "text"), "text", out_prob=None
+    ).select(
+        F.lit("clf").alias("tag"), "doc_id", _HR6(F.col("clf_logit")).alias("val")
+    )
     return (
         quality.unionByName(contam)
         .unionByName(src)
@@ -2084,6 +2107,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(entropy)
         .unionByName(lm)
         .unionByName(dsir)
+        .unionByName(clf)
     )
 
 
@@ -2235,6 +2259,25 @@ SELECT tag, doc_id, val FROM (
          floor(s.w * 1000000 + 0.5) / 1000000 AS val
   FROM documents k LEFT JOIN ds_doc s ON s.doc_id = k.doc_id
 )
+UNION ALL
+-- clf: linear classifier scoring (fixed replayable weights w[b] =
+-- ((b*7)%11 - 5)/10, b = md5_32(token) % 64, intercept 0.25; logit =
+-- left fold in token order, exactly LinearTextModel.score's
+-- F.aggregate) — null text scores NULL
+SELECT 'clf' AS tag, doc_id,
+       CASE WHEN text IS NULL THEN NULL ELSE
+         floor(list_reduce(
+           list_prepend(0.25,
+             list_transform(
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END,
+               t -> ((((('0x' || substr(md5(t), 1, 8))::BIGINT % 64) * 7)
+                      % 11 - 5) / 10.0)
+             )),
+           (x, y) -> x + y
+         ) * 1000000 + 0.5) / 1000000
+       END AS val
+FROM documents
 """
 
 

@@ -1185,6 +1185,118 @@ class TestPQ:
         assert back.codebooks == codec.codebooks
 
 
+class TestLinearClassifier:
+    """fastText-style linear quality filter (r9): MLlib-trained, pure-JVM
+    expression scoring."""
+
+    def _labeled(self, spark):
+        rows = []
+        for i in range(60):
+            rows.append((2 * i, "useful prose about science and careful data analysis", 1))
+            rows.append((2 * i + 1, "buy cheap pills click winner casino bonus spam", 0))
+        return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    def test_train_and_separate(self, spark):
+        from tempo_spark.pipeline.classifier import train_linear_classifier
+
+        model = train_linear_classifier(self._labeled(spark), n_features=256)
+        test = spark.createDataFrame(
+            [
+                (0, "careful science analysis of data"),
+                (1, "cheap casino bonus click spam winner"),
+                (2, None),
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in model.score(test).collect()}
+        assert got[0].clf_prob > 0.9
+        assert got[1].clf_prob < 0.1
+        assert got[2].clf_logit is None and got[2].clf_prob is None
+        # empty text = intercept alone
+        assert abs(got[3].clf_logit - model.intercept) < 1e-12
+
+    def test_scoring_logit_matches_trained_coefficients(self, spark):
+        """Training features and scoring lookups use the SAME bucket
+        expression (HashingTF's hashUnsafeBytes2 does NOT match F.hash —
+        measured, hence the shared bucket): the scored logit must equal
+        the python dot of coefficients with the doc's bucket counts."""
+        from collections import Counter
+
+        from tempo_spark.pipeline.classifier import (
+            _bucket,
+            train_linear_classifier,
+        )
+
+        model = train_linear_classifier(self._labeled(spark), n_features=256)
+        texts = [
+            "careful science analysis of data",
+            "cheap casino bonus click spam winner",
+            "science spam science spam",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {r.doc_id: r.clf_logit for r in model.score(df).collect()}
+        buckets = {
+            r.doc_id: list(r.b)
+            for r in df.select(
+                "doc_id",
+                F.transform(
+                    F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: _bucket(t, 256, "murmur3").cast("int"),
+                ).alias("b"),
+            ).collect()
+        }
+        for i in range(len(texts)):
+            exp = model.intercept
+            for b, cnt in Counter(buckets[i]).items():
+                exp += model.weights[b] * cnt
+            assert abs(got[i] - exp) < 1e-9, (i, got[i], exp)
+
+    def test_logit_matches_numpy_model(self, spark):
+        import math
+
+        from tempo_spark.pipeline.classifier import LinearTextModel
+        from tempo_spark.pipeline.dedup import md5_32  # noqa: F401
+
+        import hashlib
+
+        n = 32
+        weights = [((b * 7) % 11 - 5) / 10.0 for b in range(n)]
+        model = LinearTextModel(weights, 0.25, hash_family="md5_32")
+        texts = ["one two three", "two two two", "", "solo"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {r.doc_id: r.clf_logit for r in model.score(df).collect()}
+
+        def bucket(tok: str) -> int:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            return h % n
+
+        for i, t in enumerate(texts):
+            toks = t.split() if t.strip() else []
+            exp = 0.25
+            for tok in toks:
+                exp = exp + weights[bucket(tok)]
+            assert abs(got[i] - exp) < 1e-12, (i, got[i], exp)
+
+    def test_save_load_roundtrip(self, spark, tmp_path):
+        from tempo_spark.pipeline.classifier import (
+            LinearTextModel,
+            train_linear_classifier,
+        )
+
+        model = train_linear_classifier(self._labeled(spark), n_features=128)
+        p = str(tmp_path / "clf")
+        model.save(spark, p)
+        back = LinearTextModel.load(spark, p)
+        assert back.weights == model.weights
+        assert back.intercept == model.intercept
+        assert back.hash_family == "murmur3"
+
+
 class TestIVFIncremental:
     def test_add_assigns_to_existing_cells(self, spark):
         import random
