@@ -75,6 +75,8 @@ def prepare_corpus(
     remove_foreign_paras: bool = False,
     min_quality: float | None = None,
     max_dup_2gram_frac: float | None = None,
+    quality_model=None,
+    min_clf_prob: float | None = None,
     paragraph_dedup: bool = False,
     paragraph_sep: str = "\n\n",
     span_dedup_ngram: int | None = None,
@@ -106,7 +108,10 @@ def prepare_corpus(
        language are dropped BEFORE signals, so quality/token counts
        describe the text that ships), so every downstream hash/signal
        sees the cleaned text — shuffle-free, prunes before anything
-       expensive runs;
+       expensive runs; ``quality_model=`` (a
+       ``classifier.LinearTextModel``) additionally scores every doc with
+       the trained linear quality filter (columns ``clf_logit``/
+       ``clf_prob``) and ``min_clf_prob=`` filters on it;
     2. ``paragraph_dedup`` — keep-first sub-document dedup (C4 recipe) on
        ``paragraph_sep``-separated blocks, then re-derived token counts;
        ``span_dedup_ngram`` (e.g. 50) additionally cuts repeated word
@@ -188,11 +193,25 @@ def prepare_corpus(
         # quality/repetition signals reference it dozens of times, some
         # inside interpreted HOF lambdas where codegen CSE cannot reach)
         out = _barrier(out)
-    out = with_token_count(out, text_col)
-    out = with_quality_score(out, text_col)
-    out = with_repetition_metrics(out, text_col, n=2)
+    if min_clf_prob is not None and quality_model is None:
+        raise ValueError("min_clf_prob requires quality_model")
+
+    def _signals(frame: DataFrame) -> DataFrame:
+        frame = with_token_count(frame, text_col)
+        frame = with_quality_score(frame, text_col)
+        frame = with_repetition_metrics(frame, text_col, n=2)
+        if quality_model is not None:
+            # trained linear quality classifier (classifier.LinearTextModel)
+            # — scored together with the heuristics so the pre-filter
+            # barrier fences ITS fold from predicate substitution too
+            frame = quality_model.score(frame, text_col)
+        return frame
+
+    out = _signals(out)
     filters_requested = (
-        min_quality is not None or max_dup_2gram_frac is not None
+        min_quality is not None
+        or max_dup_2gram_frac is not None
+        or min_clf_prob is not None
     )
     signals_pinned = False
     if persist_intermediate and filters_requested:
@@ -213,6 +232,8 @@ def prepare_corpus(
         out = out.where(F.col("quality_score") >= min_quality)
     if max_dup_2gram_frac is not None:
         out = out.where(F.col("dup_2gram_frac") <= max_dup_2gram_frac)
+    if min_clf_prob is not None:
+        out = out.where(F.col("clf_prob") >= min_clf_prob)
     if paragraph_dedup:
         out = d.dedup_paragraphs(out, id_col, text_col, sep=paragraph_sep)
     if span_dedup_ngram is not None:
@@ -234,9 +255,9 @@ def prepare_corpus(
             "n_tokens", "quality_score",
             "n_2grams", "n_2grams_distinct", "dup_2gram_frac",
         )
-        out = with_token_count(out, text_col)
-        out = with_quality_score(out, text_col)
-        out = with_repetition_metrics(out, text_col, n=2)
+        if quality_model is not None:
+            out = out.drop("clf_logit", "clf_prob")
+        out = _signals(out)
     if persist_intermediate and (rewrote_text or not signals_pinned):
         # barrier before the multi-pass dedup stages: stops Catalyst
         # re-inlining the normalize/signal chains into every consumer and

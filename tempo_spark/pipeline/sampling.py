@@ -184,6 +184,72 @@ def mix_rates(
     )
 
 
+def temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    temperature: float,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Keep rates for a TEMPERATURE-scaled mixture: target share_g ∝
+    available_g^τ — the multilingual/multi-source LM sampling recipe
+    (XLM-R, mT5): τ=1 keeps natural proportions, τ→0 flattens toward
+    uniform, upweighting low-resource groups without upsampling anything
+    (the bottleneck group is kept whole, waterfilling like
+    :func:`mix_rates`, whose ``(group_col, mix_rate)`` schema and plan
+    shape — one map-side-combined sizes agg + a global window over
+    group-cardinality rows — this shares). Unlike ``mix_rates`` the
+    shares come FROM the availability, so every non-null-share group is
+    automatically listed. Capture once and pass via
+    ``mix_by_group(rates_df=...)`` for append-stable membership."""
+    if not (temperature > 0):
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    amount = F.col(token_col).cast("double") if token_col else F.lit(1.0)
+    sizes = (
+        df.groupBy(F.col(group_col).alias("__mix_g"))
+        .agg(F.sum(amount).alias("__avail"))
+        .where(F.col("__avail") > 0)
+        .withColumn("__pw", F.pow(F.col("__avail"), F.lit(float(temperature))))
+    )
+    from pyspark.sql import Window
+
+    everything = Window.partitionBy()
+    share = F.col("__pw") / F.sum("__pw").over(everything)
+    sized = sizes.withColumn("__share", share)
+    mr = F.min(F.col("__avail") / F.col("__share")).over(everything)
+    return sized.select(
+        F.col("__mix_g").alias(group_col),
+        F.least(F.lit(1.0), F.col("__share") * mr / F.col("__avail")).alias(
+            "mix_rate"
+        ),
+    )
+
+
+def mix_by_temperature(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    temperature: float,
+    token_col: str | None = None,
+    salt: str = "mix",
+    hash_family: str = "xxhash64",
+    mode: str = "drop",
+) -> DataFrame:
+    """:func:`mix_by_group` with :func:`temperature_rates` — downsample to
+    the τ-scaled mixture in one call (same determinism, same two-scan
+    zero-shuffle plan; the rates frame broadcasts)."""
+    return mix_by_group(
+        df,
+        key_col,
+        group_col,
+        None,
+        token_col=token_col,
+        salt=salt,
+        hash_family=hash_family,
+        mode=mode,
+        rates_df=temperature_rates(df, group_col, temperature, token_col),
+    )
+
+
 def mix_by_group(
     df: DataFrame,
     key_col: str,

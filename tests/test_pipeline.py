@@ -3153,6 +3153,103 @@ class TestMixRatesFrozen:
         assert streamed == inline
 
 
+class TestPrepareClassifierStage:
+    def test_quality_model_filters_and_rederives(self, spark):
+        from tempo_spark.pipeline.classifier import train_linear_classifier
+        from tempo_spark.pipeline.prepare import prepare_corpus
+
+        labeled = spark.createDataFrame(
+            [
+                (2 * i, "useful prose about science and data analysis", 1)
+                for i in range(40)
+            ]
+            + [
+                (2 * i + 1, "buy cheap pills click casino bonus spam", 0)
+                for i in range(40)
+            ],
+            "doc_id long, text string, label int",
+        )
+        model = train_linear_classifier(labeled, n_features=256)
+        docs = spark.createDataFrame(
+            [
+                (0, "careful science analysis of useful data"),
+                (1, "cheap casino bonus click spam pills"),
+            ],
+            "doc_id long, text string",
+        )
+        out = prepare_corpus(
+            docs, quality_model=model, min_clf_prob=0.5, exact_dedup=False
+        )
+        rows = {r.doc_id: r for r in out.collect()}
+        assert sorted(rows) == [0]
+        assert rows[0].clf_prob > 0.5  # annotation ships with the corpus
+        with pytest.raises(ValueError, match="quality_model"):
+            prepare_corpus(docs, min_clf_prob=0.5)
+
+
+class TestTemperatureMix:
+    def _df(self, spark):
+        return spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 800, "en")
+            .when(F.col("id") < 950, "de")
+            .otherwise("sw")
+            .alias("lang"),
+        )
+
+    def test_tau_one_is_natural_proportions(self, spark):
+        from tempo_spark.pipeline.sampling import temperature_rates
+
+        got = {
+            r.lang: r.mix_rate
+            for r in temperature_rates(self._df(spark), "lang", 1.0).collect()
+        }
+        # share ∝ avail at τ=1 → every group's avail/share ties → all kept
+        assert got == {"en": 1.0, "de": 1.0, "sw": 1.0}
+
+    def test_low_tau_flattens_toward_uniform(self, spark):
+        from tempo_spark.pipeline.sampling import (
+            mix_by_temperature,
+            temperature_rates,
+        )
+
+        df = self._df(spark)
+        tau = 0.3
+        got = {
+            r.lang: r.mix_rate
+            for r in temperature_rates(df, "lang", tau).collect()
+        }
+        # python replay of the waterfilling formula
+        sizes = {"en": 800.0, "de": 150.0, "sw": 50.0}
+        pw = {g: n**tau for g, n in sizes.items()}
+        tot = sum(pw.values())
+        share = {g: p / tot for g, p in pw.items()}
+        mr = min(sizes[g] / share[g] for g in sizes)
+        exp = {g: min(1.0, share[g] * mr / sizes[g]) for g in sizes}
+        for g in sizes:
+            assert got[g] == pytest.approx(exp[g], rel=1e-9), g
+        # the low-resource group is the kept-whole bottleneck
+        assert got["sw"] == 1.0 and got["en"] < got["de"] < 1.0
+        # applied mixture approximates the shares (hash sampling)
+        kept = (
+            mix_by_temperature(df, "doc_id", "lang", tau)
+            .groupBy("lang")
+            .count()
+            .collect()
+        )
+        counts = {r.lang: r["count"] for r in kept}
+        assert counts["sw"] == 50  # bottleneck kept whole
+        for g in sizes:
+            assert counts[g] <= sizes[g]
+            assert counts[g] == pytest.approx(sizes[g] * exp[g], rel=0.25)
+
+    def test_rejects_nonpositive_tau(self, spark):
+        from tempo_spark.pipeline.sampling import temperature_rates
+
+        with pytest.raises(ValueError, match="temperature"):
+            temperature_rates(self._df(spark), "lang", 0.0)
+
+
 class TestPrepareCorpusNewStages:
     def test_redact_paragraph_and_mix(self, spark):
         from tempo_spark.pipeline.prepare import prepare_corpus
