@@ -1547,6 +1547,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       the 31-word vocabulary makes nearly every token a repeat, so winner
       selection and in-place removal are exercised hard); dup_count = how
       many tokens the doc lost to earlier occurrences;
+    - ``para_doc`` (r9): the same operator with ``scope="document"`` —
+      the RefinedWeb in-document repeated-block filter: only WITHIN-doc
+      repeats drop (dup_count = tokens − distinct tokens per doc;
+      cross-doc repeats untouched, pinning the scope semantics apart);
     - ``boiler``: ``remove_boilerplate_lines`` at the same word grain
       (min_doc_freq = half the corpus): dup_count = tokens dropped because
       their word appears in ≥ that many documents — exact via
@@ -1602,6 +1606,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_dropped").alias("dup_count"),
     )
+    para_doc = dedup_paragraphs(
+        docs.select("doc_id", "text").where(F.length("text") > 0),
+        "doc_id", sep=" ", out="clean", out_dropped="n_dropped",
+        scope="document",
+    ).select(
+        F.lit("para_doc").alias("tag"),
+        "doc_id",
+        F.col("n_dropped").alias("dup_count"),
+    )
     boiler = remove_boilerplate_lines(
         docs.select("doc_id", "text").where(F.length("text") > 0),
         "doc_id", min_doc_freq=250, sep=" ", out="clean",
@@ -1641,6 +1654,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.unionByName(survivors)
         .unionByName(near)
         .unionByName(para)
+        .unionByName(para_doc)
         .unionByName(boiler)
         .unionByName(span_cnt)
         .unionByName(span_txt)
@@ -1713,6 +1727,14 @@ LEFT JOIN (
   WHERE rn > 1 GROUP BY doc_id
 ) dr ON d.doc_id = dr.doc_id
 WHERE length(d.text) > 0
+UNION ALL
+-- para_doc: within-document scope — dropped = tokens minus distinct
+-- tokens per doc (cross-document repeats untouched)
+SELECT 'para_doc' AS tag, d.doc_id,
+       CAST(len(string_split(d.text, ' '))
+            - len(list_distinct(string_split(d.text, ' '))) AS BIGINT)
+         AS dup_count
+FROM documents d WHERE length(d.text) > 0
 UNION ALL
 SELECT 'boiler' AS tag, d.doc_id, CAST(coalesce(bo.dropped, 0) AS BIGINT) AS dup_count
 FROM documents d

@@ -1044,6 +1044,7 @@ def dedup_paragraphs(
     sep: str = "\n\n",
     out: Optional[str] = None,
     out_dropped: Optional[str] = None,
+    scope: str = "corpus",
 ) -> DataFrame:
     """Corpus-wide exact PARAGRAPH dedup, keep-first (the C4 recipe):
     every repeated paragraph survives only at its first occurrence — the
@@ -1077,21 +1078,55 @@ def dedup_paragraphs(
     paragraph positions per document — prefer it over diffing
     split-lengths of the rewritten text, which is ambiguous when a single
     empty-string paragraph is all that survives (``array_join([""])`` and
-    ``array_join([])`` both render ``""``)."""
+    ``array_join([])`` both render ``""``).
+
+    ``scope="document"`` (r9) restricts dedup to WITHIN each document —
+    the RefinedWeb/Gopher in-document repeated-line/paragraph filter
+    (``sep="\\n"`` for lines): a block repeated inside one doc keeps only
+    its first occurrence, while cross-document repeats are untouched. The
+    winner key shrinks to ``min(__pos)`` per (id, hash) — a plain long
+    codegen HashAggregate with map-side combine, and the shuffle key
+    (id, hash) is unique-ish by construction, so no hot keys exist at any
+    corpus size (the corpus-wide mode's hot-hash story doesn't arise)."""
+    if scope not in ("corpus", "document"):
+        raise ValueError(f"unknown scope {scope!r}; use 'corpus' or 'document'")
     paras_arr = F.split(F.col(text_col), sep)
     # posexplode_outer + null filter per the explode-pushdown gotcha
     occ = df.select(
         F.col(id_col), F.posexplode_outer(paras_arr).alias("__pos", "__para")
     ).where(F.col("__para").isNotNull())
     hashed = occ.select(id_col, "__pos", F.xxhash64(F.col("__para")).alias("__ph"))
-    winners, is_winner = _first_occurrence(hashed, "__ph", id_col, 2)
-    bad_pos = (
-        hashed.join(winners, "__ph")
-        .where(~is_winner)
-        .groupBy(id_col)
-        .agg(F.collect_list("__pos").alias("__bad"))
-        .select(F.col(id_col).alias("__pd_id"), "__bad")
-    )
+    if scope == "document":
+        winners = (
+            hashed.groupBy(id_col, "__ph")
+            .agg(F.min("__pos").alias("__w"), F.count("*").alias("__n"))
+            .where(F.col("__n") >= 2)
+            .select(
+                F.col(id_col).alias("__w_id"),
+                F.col("__ph").alias("__w_ph"),
+                "__w",
+            )
+        )
+        bad_pos = (
+            hashed.join(
+                winners,
+                F.col(id_col).eqNullSafe(F.col("__w_id"))
+                & (F.col("__ph") == F.col("__w_ph")),
+            )
+            .where(F.col("__pos") != F.col("__w"))
+            .groupBy(id_col)
+            .agg(F.collect_list("__pos").alias("__bad"))
+            .select(F.col(id_col).alias("__pd_id"), "__bad")
+        )
+    else:
+        winners, is_winner = _first_occurrence(hashed, "__ph", id_col, 2)
+        bad_pos = (
+            hashed.join(winners, "__ph")
+            .where(~is_winner)
+            .groupBy(id_col)
+            .agg(F.collect_list("__pos").alias("__bad"))
+            .select(F.col(id_col).alias("__pd_id"), "__bad")
+        )
     target = out or text_col
     cleaned = F.when(
         F.col(text_col).isNull(), F.lit(None).cast("string")

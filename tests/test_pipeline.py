@@ -2806,6 +2806,28 @@ class TestDedupParagraphs:
         ).collect()}
         assert out[0] == ("P\n\nQ", "P\n\nQ") and out[1] == ("R", "R")
 
+    def test_document_scope(self, spark):
+        """r9 scope='document': only WITHIN-doc repeats drop — the
+        RefinedWeb in-document repeated-block filter; cross-doc repeats
+        and null text pass through; exact dropped counts."""
+        rows = [
+            (0, "A\n\nB\n\nA\n\nC\n\nA"),  # A repeated twice in-doc
+            (1, "A\n\nD"),                 # cross-doc 'A' must survive
+            (2, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: (r.text, r.nd)
+            for r in dedup.dedup_paragraphs(
+                df, "doc_id", scope="document", out_dropped="nd"
+            ).collect()
+        }
+        assert out[0] == ("A\n\nB\n\nC", 2)
+        assert out[1] == ("A\n\nD", 0)
+        assert out[2] == (None, 0)
+        with pytest.raises(ValueError, match="scope"):
+            dedup.dedup_paragraphs(df, "doc_id", scope="line")
+
 
 class TestNgramLM:
     @pytest.fixture(scope="class")
