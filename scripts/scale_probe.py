@@ -930,6 +930,47 @@ def _probe_session():
     return spark
 
 
+def pq_probe(spark, n_vecs: int, dim: int = 64, m: int = 8, ksub: int = 256) -> dict:
+    """PQ at corpus scale: train on a hash sample (driver Lloyd per
+    subspace), Arrow-encode n_vecs, then ADC top-k for 10 queries over
+    ALL codes (the JVM O(m) element_at fold — the path that must stay
+    linear; full-corpus ADC is the worst case, IVF probing only shrinks
+    it). Expect encode and ADC wall-clock ~linear in n_vecs."""
+    from tempo_spark.pipeline.similarity import PQCodec
+
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id"), j), F.lit(2000)).cast("double")
+                - 1000.0
+            )
+            / 1000.0,
+        ).alias("embedding"),
+    )
+    out: dict = {"n_vecs": n_vecs, "dim": dim, "m": m, "ksub": ksub}
+    t0 = time.monotonic()
+    codec = PQCodec.train(
+        vecs, m=m, ksub=ksub, seed=7,
+        fit_sample_mod=max(1, n_vecs // 20_000),
+    )
+    out["train_sec"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    codes = codec.encode(vecs).select("vec_id", "pq_code")
+    codes.write.mode("overwrite").format("noop").save()
+    out["encode_sec"] = round(time.monotonic() - t0, 2)
+    queries = vecs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.monotonic()
+    n = codec.adc_topk(codes, queries, k=10).count()
+    out["adc_sec"] = round(time.monotonic() - t0, 2)
+    out["adc_rows"] = n
+    out["vecs_per_sec_encode"] = int(n_vecs / max(out["encode_sec"], 1e-9))
+    return out
+
+
 def prepare_probe(spark, sf_dir: str, mult: int = 1) -> dict:
     """Marginal per-stage cost of the b29 ``prepare_corpus`` shape
     (normalize → signals/filters → exact dedup → MinHash/LSH near dedup →
@@ -1200,6 +1241,12 @@ def main():
         spark = _probe_session()
         for n in (2_000_000, 8_000_000):
             print(json.dumps(_stamp(anomaly_probe(spark, n, 10_000))))
+        spark.stop()
+        return
+    if "--pq" in sys.argv:
+        spark = _probe_session()
+        for n in (500_000, 2_000_000):
+            print(json.dumps(_stamp(pq_probe(spark, n))))
         spark.stop()
         return
     if "--prepare" in sys.argv:

@@ -1286,18 +1286,20 @@ class PQCodec:
         return queries.withColumn(out, self._arrow_lut_udf()(vec))
 
     def adc_score(self, lut: Column, code: Column) -> Column:
-        """O(m) JVM fold: Σ_j LUT[j·ksub + code_j] — the ADC distance
-        surrogate (smaller = nearer)."""
+        """O(m) JVM sum: Σ_j LUT[j·ksub + code_j] — the ADC distance
+        surrogate (smaller = nearer). UNROLLED into m ``element_at``
+        terms rather than an ``aggregate`` fold: HOF lambdas run
+        interpreted per element while the unrolled sum stays inside
+        whole-stage codegen (m is a codec constant, so the plan grows by
+        just 2m tiny nodes; the ``(0.0 + t₀) + t₁ …`` left-fold order is
+        preserved bit-exactly for the cross-engine gate)."""
         ksub = self.ksub
-        return F.aggregate(
-            F.zip_with(
-                code,
-                F.sequence(F.lit(0), F.lit(self.m - 1)),
-                lambda c, j: F.element_at(lut, j * ksub + c + 1),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        score: Column = F.lit(0.0)
+        for j in range(self.m):
+            score = score + F.element_at(
+                lut, F.lit(j * ksub) + F.element_at(code, j + 1) + 1
+            )
+        return score
 
     def adc_topk(
         self,
