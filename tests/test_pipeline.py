@@ -3583,6 +3583,34 @@ class TestNormalizeText:
         [r] = spark.sql("select * from norm_t").collect()
         assert r.text == "A's"
 
+    def test_classifier_score_streaming_composes(self, spark, tmp_path):
+        """LinearTextModel.score is a stream-static broadcast join + a
+        per-row fold — must run unchanged on a streaming frame (the
+        stream-composition contract), with values equal to the batch
+        path."""
+        from tempo_spark.pipeline.classifier import LinearTextModel
+
+        model = LinearTextModel(
+            [((b * 3) % 7 - 3) / 10.0 for b in range(32)], 0.1
+        )
+        rows = [(0, "alpha beta gamma"), (1, None), (2, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        batch = {r.doc_id: r.clf_logit for r in model.score(df).collect()}
+        src = str(tmp_path / "clf_in")
+        df.write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            model.score(stream)
+            .writeStream.format("memory").queryName("clf_t")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        streamed = {
+            r.doc_id: r.clf_logit
+            for r in spark.sql("select * from clf_t").collect()
+        }
+        assert streamed == batch
+
 
 class TestCorpusStats:
     def _df(self, spark):
