@@ -1208,11 +1208,16 @@ per AS (
               ELSE 'day' END AS granularity
   FROM tr GROUP BY user_id),
 -- hz_* replay: calculate_time_horizon's formula — both endpoints floored
--- to the 1-hour grid (micros) before differencing, +1 = bucket count
+-- to the 1-hour grid (micros) before differencing, +1 = bucket count.
+-- pmod form (((x % m) + m) % m), matching the Spark side's F.pmod:
+-- DuckDB's bare % truncates toward zero and would misbucket pre-1970
+-- epochs (the utils.py micro-grid lesson)
 spans AS (
   SELECT user_id,
-         (epoch_us(max(ts)) - epoch_us(max(ts)) % 3600000000
-          - (epoch_us(min(ts)) - epoch_us(min(ts)) % 3600000000))
+         (epoch_us(max(ts))
+          - ((epoch_us(max(ts)) % 3600000000) + 3600000000) % 3600000000
+          - (epoch_us(min(ts))
+             - ((epoch_us(min(ts)) % 3600000000) + 3600000000) % 3600000000))
            // 3600000000 + 1 AS nb
   FROM events GROUP BY user_id),
 hz AS (
@@ -3258,7 +3263,8 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, vec_id) AS rank
   FROM scored),
-pdim AS (SELECT len(v) // 2 AS dsub FROM c LIMIT 1),
+pdim AS (SELECT len(v) // 2 AS dsub
+         FROM c WHERE v IS NOT NULL ORDER BY vec_id LIMIT 1),
 pbook AS (
   SELECT s.j,
          row_number() OVER (PARTITION BY s.j ORDER BY f.vec_id) - 1 AS code,
@@ -3266,16 +3272,21 @@ pbook AS (
               THEN list_slice(f.v, 1, (SELECT dsub FROM pdim))
               ELSE list_slice(f.v, (SELECT dsub FROM pdim) + 1,
                               2 * (SELECT dsub FROM pdim)) END AS cw
-  FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 4) f
+  FROM (SELECT vec_id, v FROM c WHERE v IS NOT NULL
+        ORDER BY vec_id LIMIT 4) f
   CROSS JOIN (VALUES (0), (1)) AS s(j)),
 pbookn AS (SELECT j, code, cw, {sq.format(a='cw')} AS cn2 FROM pbook),
 psub AS (
+  -- non-null + width filter mirrors PQCodec._vec_ok (encode NULLs such
+  -- rows, adc drops them); pdim is id-ordered so both engines agree on
+  -- dsub even if the driver's testdata ever grows dirty rows
   SELECT vec_id, s.j,
          CASE WHEN s.j = 0
               THEN list_slice(v, 1, (SELECT dsub FROM pdim))
               ELSE list_slice(v, (SELECT dsub FROM pdim) + 1,
                               2 * (SELECT dsub FROM pdim)) END AS sv
-  FROM c CROSS JOIN (VALUES (0), (1)) AS s(j)),
+  FROM c CROSS JOIN (VALUES (0), (1)) AS s(j)
+  WHERE v IS NOT NULL AND len(v) = 2 * (SELECT dsub FROM pdim)),
 penc AS (
   SELECT vec_id, j, code FROM (
     SELECT p.vec_id, p.j, b.code,

@@ -264,20 +264,27 @@ def lsh_topk(
     )
 
 
+def _center_score_term(vec: Column, center: list[float]) -> Column:
+    """THE literal-path distance surrogate to one centroid:
+    ``−2·v·c + ‖c‖²`` (= ‖v−c‖² − ‖v‖²; the ‖v‖² term is rank-invariant).
+    ``‖c‖²`` is folded left-to-right driver-side — the same IEEE op order
+    as a SQL ``list_reduce`` — so an external engine replays it
+    bit-exactly. Single definition shared by the IVF cell scores and the
+    PQ LUT so the cross-engine fold order cannot drift between them."""
+    return F.lit(-2.0) * dot(vec, F.array(*[F.lit(x) for x in center])) + F.lit(
+        sum(x * x for x in center)
+    )
+
+
 def _cell_scores(vec: Column, centers: list[list[float]]) -> Column:
     """array<struct<d,cell>> of squared-distance surrogates to each centroid,
-    as a native expression over literal centroid arrays (no shuffle, no UDF).
-    d = ||c||² − 2 v·c = ||v−c||² − ||v||² (the ||v||² term is rank-invariant).
-    ``||c||²`` is folded left-to-right driver-side — the same IEEE op order
-    as a SQL ``list_reduce``, so an external engine can replay d bit-exactly.
+    as a native expression over literal centroid arrays (no shuffle, no UDF)
+    — the ``d`` term is :func:`_center_score_term`.
     """
     return F.array(
         *[
             F.struct(
-                (
-                    F.lit(-2.0) * dot(vec, F.array(*[F.lit(x) for x in c]))
-                    + F.lit(sum(x * x for x in c))
-                ).alias("d"),
+                _center_score_term(vec, c).alias("d"),
                 F.lit(i).alias("cell"),
             )
             for i, c in enumerate(centers)
@@ -425,8 +432,14 @@ def _local_lloyd(
         total = float(d2.sum())
         if total <= 0.0:
             # all remaining mass at distance 0 (duplicate-heavy sample):
-            # fall back to uniform among the rest
-            nxt = int(rng.integers(X.shape[0]))
+            # fall back to uniform among the NOT-yet-chosen indices —
+            # re-picking a chosen index would seed two identical
+            # centroids that Lloyd's empty-cluster rule never splits,
+            # the exact merge k-means++ exists to prevent
+            remaining = np.setdiff1d(
+                np.arange(X.shape[0]), np.asarray(chosen)
+            )
+            nxt = int(remaining[rng.integers(remaining.shape[0])])
         else:
             nxt = int(rng.choice(X.shape[0], p=d2 / total))
         chosen.append(nxt)
@@ -1157,13 +1170,26 @@ class PQCodec:
     def _literal_ops(self) -> int:
         return self.m * self.ksub * self.dsub
 
+    def _vec_ok(self, vec: Column) -> Column:
+        """A usable vector: non-null, right width, NO null/NaN elements —
+        a null element otherwise nulls every literal-path score and the
+        null-first struct sort silently encodes codeword 0 (the r6 IVF
+        cell-0 bug class); the Arrow path's NaN scores would argmin to
+        index 0 the same way. Both paths NULL such rows instead."""
+        return (
+            vec.isNotNull()
+            & (F.size(vec) == self.dim)
+            & ~F.exists(vec, lambda x: x.isNull() | F.isnan(x))
+        )
+
     def encode(
         self, df: DataFrame, vec_col: str = "embedding", out: str = "pq_code"
     ) -> DataFrame:
-        """Append ``out`` = array<int> of m codes (NULL for null or
-        wrong-width vectors, every path). Zero shuffle."""
+        """Append ``out`` = array<int> of m codes (NULL for null,
+        wrong-width, or null/NaN-element vectors — every path). Zero
+        shuffle."""
         vec = _as_double(F.col(vec_col))
-        valid = vec.isNotNull() & (F.size(vec) == self.dim)
+        valid = self._vec_ok(vec)
         if self._literal_ops() <= ASSIGN_LITERAL_MAX:
             codes = []
             for j, book in enumerate(self.codebooks):
@@ -1198,14 +1224,18 @@ class PQCodec:
                 M = np.stack(vs[ok].map(np.asarray).to_numpy()).astype(
                     np.float64
                 )
+                # null/NaN elements arrive as NaN — NULL those rows (the
+                # expression path's _vec_ok rule) instead of letting
+                # argmin funnel them into codeword 0
+                finite = np.isfinite(M).all(axis=1)
+                M = M[finite]
+                idx = np.flatnonzero(ok.to_numpy())[finite]
                 codes = np.empty((M.shape[0], m), dtype="int32")
                 for j in range(m):
                     sub = M[:, j * dsub : (j + 1) * dsub]
                     scores = -2.0 * (sub @ C[j].T) + cn2[j]
                     codes[:, j] = np.argmin(scores, axis=1)
-                out[np.flatnonzero(ok.to_numpy())] = [
-                    [int(x) for x in row] for row in codes
-                ]
+                out[idx] = [[int(x) for x in row] for row in codes]
             return out
 
         return codes_of
@@ -1233,15 +1263,13 @@ class PQCodec:
 
     def _lut_expr(self, qvec: Column) -> Column:
         """Flat array<double> of length m·ksub: LUT[j·ksub + i] =
-        ‖c_ji‖² − 2·q_j·c_ji, literal-expression path."""
+        ‖c_ji‖² − 2·q_j·c_ji (the shared :func:`_center_score_term`),
+        literal-expression path."""
         entries = []
         for j, book in enumerate(self.codebooks):
             sub = F.slice(qvec, j * self.dsub + 1, self.dsub)
             for c in book:
-                entries.append(
-                    F.lit(-2.0) * dot(sub, F.array(*[F.lit(x) for x in c]))
-                    + F.lit(sum(x * x for x in c))
-                )
+                entries.append(_center_score_term(sub, c))
         return F.array(*entries)
 
     def _arrow_lut_udf(self):
@@ -1260,6 +1288,12 @@ class PQCodec:
                 M = np.stack(vs[ok].map(np.asarray).to_numpy()).astype(
                     np.float64
                 )
+                # NULL the NaN-poisoned queries (null/NaN elements) like
+                # the expression path's _vec_ok — a NaN LUT would rank
+                # arbitrarily instead of excluding the query
+                finite = np.isfinite(M).all(axis=1)
+                M = M[finite]
+                idx = np.flatnonzero(ok.to_numpy())[finite]
                 luts = np.concatenate(
                     [
                         -2.0 * (M[:, j * dsub : (j + 1) * dsub] @ C[j].T)
@@ -1268,9 +1302,7 @@ class PQCodec:
                     ],
                     axis=1,
                 )
-                out[np.flatnonzero(ok.to_numpy())] = [
-                    [float(x) for x in row] for row in luts
-                ]
+                out[idx] = [[float(x) for x in row] for row in luts]
             return out
 
         return lut_of
@@ -1281,8 +1313,15 @@ class PQCodec:
     ) -> DataFrame:
         vec = _as_double(F.col(query_vec))
         if self._literal_ops() <= ASSIGN_LITERAL_MAX:
-            valid = vec.isNotNull() & (F.size(vec) == self.dim)
-            return queries.withColumn(out, F.when(valid, self._lut_expr(vec)))
+            # _vec_ok, not a bare width check: a query vector with a NULL
+            # element would null every LUT entry while F.array stays
+            # non-null, slip the isNotNull guard downstream, and its NULL
+            # adc_dist would sort FIRST — garbage ranked above real
+            # matches (the Arrow path NaNs would sort last: the two paths
+            # must agree by both EXCLUDING such queries)
+            return queries.withColumn(
+                out, F.when(self._vec_ok(vec), self._lut_expr(vec))
+            )
         return queries.withColumn(out, self._arrow_lut_udf()(vec))
 
     def adc_score(self, lut: Column, code: Column) -> Column:
@@ -1317,13 +1356,7 @@ class PQCodec:
         (query_id, id, adc_dist, rank) — ``adc_dist`` is the surrogate
         (monotone in true L2 given the codes; add ‖q‖² per query for the
         absolute value)."""
-        q = self.with_lut(
-            queries.select(
-                F.col(query_id).alias("__qid"),
-                _as_double(F.col(query_vec)).alias("__qvec"),
-            ),
-            "__qvec",
-        ).where(F.col("__pq_lut").isNotNull())
+        q = self._query_lut_side(queries, query_id, query_vec)
         scored = (
             codes_df.where(F.col(code_col).isNotNull())
             .crossJoin(F.broadcast(q))
@@ -1335,14 +1368,21 @@ class PQCodec:
                 ),
             )
         )
-        w = Window.partitionBy(query_id).orderBy(
-            F.col("adc_dist").asc(), F.col(id_col)
-        )
-        return (
-            scored.withColumn("__rank", F.row_number().over(w))
-            .where(F.col("__rank") <= k)
-            .withColumnRenamed("__rank", "rank")
-        )
+        return _adc_rank_topk(scored, query_id, id_col, k)
+
+    def _query_lut_side(
+        self, queries: DataFrame, query_id: str, query_vec: str
+    ) -> DataFrame:
+        """The broadcastable (query, LUT) side shared by ``adc_topk`` and
+        :func:`ivf_pq_topk` (one definition so a guard fix cannot land in
+        one and be forgotten in the other)."""
+        return self.with_lut(
+            queries.select(
+                F.col(query_id).alias("__qid"),
+                _as_double(F.col(query_vec)).alias("__qvec"),
+            ),
+            "__qvec",
+        ).where(F.col("__pq_lut").isNotNull())
 
     # ---------------------------------------------------------- save/load
 
@@ -1370,6 +1410,23 @@ class PQCodec:
         )
 
 
+def _adc_rank_topk(
+    scored: DataFrame, query_id: str, id_col: str, k: int
+) -> DataFrame:
+    """Per-query ascending-distance top-k, shared by ``PQCodec.adc_topk``
+    and :func:`ivf_pq_topk`. ``asc_nulls_last`` defensively: a NULL
+    distance (only possible if a caller bypasses the _vec_ok guards)
+    must never outrank a real match."""
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_dist").asc_nulls_last(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .withColumnRenamed("__rank", "rank")
+    )
+
+
 def ivf_pq_topk(
     index: IVFIndex,
     codec: PQCodec,
@@ -1382,20 +1439,23 @@ def ivf_pq_topk(
 ) -> DataFrame:
     """IVF-PQ search (the full faiss ``IVFx,PQm`` plan): probe the
     ``nprobe`` nearest coarse cells, ADC-score ONLY those cells' codes.
-    ``codes_df`` is the PQ-encoded assigned corpus (``codec.encode(
-    index.assigned)``) — pass a persisted/parquet-backed frame in
-    production so encoding happens once, not per query batch; when it
-    carries ``cell`` (it does when derived from ``index.assigned``) the
-    cell join prunes partitions of a ``save``d index."""
+
+    ``codes_df`` MUST carry the coarse ``cell`` column — i.e. derive it
+    from the index's assigned corpus (``codec.encode(index.assigned)`` or
+    a ``save``d cell-partitioned layout, where the cell join prunes
+    partitions), not from a bare ``codec.encode(raw_corpus)``; pass a
+    persisted/parquet-backed frame in production so encoding happens
+    once, not per query batch."""
     if codes_df is None:
         codes_df = codec.encode(index.assigned, vec_col="__vec")
-    q = codec.with_lut(
-        queries.select(
-            F.col(query_id).alias("__qid"),
-            _as_double(F.col(query_vec)).alias("__qvec"),
-        ),
-        "__qvec",
-    ).where(F.col("__pq_lut").isNotNull())
+    if "cell" not in codes_df.columns:
+        raise ValueError(
+            "codes_df has no 'cell' column — IVF-PQ probes coarse cells, "
+            "so encode the ASSIGNED corpus: codec.encode(index.assigned) "
+            "(or reload a saved cell-partitioned index), not "
+            "codec.encode(raw_corpus)"
+        )
+    q = codec._query_lut_side(queries, query_id, query_vec)
     q = index._with_probe_cells(q, "__qvec", nprobe)
     scored = (
         codes_df.where(F.col("pq_code").isNotNull())
@@ -1408,11 +1468,4 @@ def ivf_pq_topk(
             ),
         )
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("adc_dist").asc(), F.col(index.id_col)
-    )
-    return (
-        scored.withColumn("__rank", F.row_number().over(w))
-        .where(F.col("__rank") <= k)
-        .withColumnRenamed("__rank", "rank")
-    )
+    return _adc_rank_topk(scored, query_id, index.id_col, k)

@@ -1069,7 +1069,14 @@ class TestPQ:
         vecs = self._vecs(spark)
         codec = PQCodec.train(vecs, m=2, ksub=4, seed=5)
         bad = spark.createDataFrame(
-            [(900, None), (901, [1.0, 2.0])],
+            [
+                (900, None),
+                (901, [1.0, 2.0]),
+                # r9 review: a NULL ELEMENT silently encoded to codeword 0
+                # (null-first struct sort / NaN argmin) — must NULL instead
+                (902, [1.0, None, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]),
+                (903, [float("nan")] * 8),
+            ],
             "vec_id long, embedding array<float>",
         )
         allv = vecs.unionByName(bad)
@@ -1084,6 +1091,7 @@ class TestPQ:
         }
         assert lit == arw  # literal vs Arrow parity (data is off-tie)
         assert lit[900] is None and lit[901] is None
+        assert lit[902] is None and lit[903] is None
         assert all(
             v is None or all(0 <= c < 4 for c in v) for v in lit.values()
         )
@@ -1183,6 +1191,62 @@ class TestPQ:
         codec.save(spark, p)
         back = PQCodec.load(spark, p)
         assert back.codebooks == codec.codebooks
+
+    def test_null_element_query_excluded_both_paths(
+        self, spark, monkeypatch
+    ):
+        """r9 review: a query with a NULL element produced an all-NULL
+        LUT that slipped the isNotNull guard on the literal path (its
+        NULL adc_dist sorted FIRST) while the Arrow path's NaNs sorted
+        last — both paths must EXCLUDE the query."""
+        import tempo_spark.pipeline.similarity as sim
+        from tempo_spark.pipeline.similarity import PQCodec
+
+        vecs = self._vecs(spark)
+        codec = PQCodec.train(vecs, m=2, ksub=4, seed=5)
+        codes = codec.encode(vecs)
+        queries = spark.createDataFrame(
+            [
+                (0, [10.0, 0.0, 0.0, 0.0, 10.0, 0.0, 0.0, 0.0]),
+                (1, [1.0, None, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]),
+            ],
+            "query_id long, embedding array<float>",
+        )
+        lit = codec.adc_topk(codes, queries, k=3).collect()
+        assert {r.query_id for r in lit} == {0}
+        assert all(r.adc_dist is not None for r in lit)
+        monkeypatch.setattr(sim, "ASSIGN_LITERAL_MAX", 0)
+        arw = codec.adc_topk(codes, queries, k=3).collect()
+        assert {r.query_id for r in arw} == {0}
+
+    def test_ivf_pq_requires_cell_column(self, spark):
+        from tempo_spark.pipeline.similarity import (
+            IVFIndex,
+            PQCodec,
+            ivf_pq_topk,
+        )
+
+        vecs = self._vecs(spark)
+        idx = IVFIndex.build(vecs, n_centroids=2, seed=7, init_mode="local")
+        codec = PQCodec.train(vecs, m=2, ksub=4, seed=5)
+        queries = vecs.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        with pytest.raises(ValueError, match="cell"):
+            ivf_pq_topk(idx, codec, queries, codes_df=codec.encode(vecs))
+
+    def test_kmeanspp_duplicate_heavy_fit(self, spark):
+        """r9 review: the zero-mass k-means++ fallback must not re-pick a
+        chosen index (two identical seeds never split) — a fit set with
+        fewer distinct points than k still yields k centers covering
+        every distinct cluster."""
+        from tempo_spark.pipeline.similarity import _local_lloyd
+
+        vecs = [[0.0, 0.0]] * 6 + [[1.0, 1.0]] * 6
+        centers = _local_lloyd(vecs, 4, seed=3, max_iter=5)
+        assert len(centers) == 4
+        reps = {tuple(c) for c in centers}
+        assert (0.0, 0.0) in reps and (1.0, 1.0) in reps
 
 
 class TestLinearClassifier:
