@@ -377,10 +377,13 @@ def _arrow_assign_udf(centers: list[list[float]]):
         out = pd.Series([None] * len(vs), dtype="Int32")
         if ok.any():
             M = np.stack(vs[ok].map(np.asarray).to_numpy()).astype(np.float64)
+            # null/NaN elements arrive as NaN — NULL those cells like the
+            # expression paths (argmin on NaN scores silently picks 0)
+            finite = np.isfinite(M).all(axis=1)
+            M = M[finite]
+            idx = np.flatnonzero(ok.to_numpy())[finite]
             scores = -2.0 * (M @ C.T) + cn2
-            out[np.flatnonzero(ok.to_numpy())] = np.argmin(scores, axis=1).astype(
-                "int32"
-            )
+            out[idx] = np.argmin(scores, axis=1).astype("int32")
         return out
 
     return cell_of
@@ -483,7 +486,15 @@ def _assign_cells(
     first in the score struct — silently polluting one cell at scale)."""
     proj = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__vec"))
     dim = len(centers[0]) if centers else 0
-    valid = F.col("__vec").isNotNull() & (F.size("__vec") == dim)
+    # null/NaN ELEMENTS null the cell too (r9 — the r6 fix covered only
+    # null/short VECTORS): a null element nulls every literal-path d and
+    # the null-first struct sort silently assigns cell 0, the exact bug
+    # class r6 fixed for whole-null vectors
+    valid = (
+        F.col("__vec").isNotNull()
+        & (F.size("__vec") == dim)
+        & ~F.exists(F.col("__vec"), lambda x: x.isNull() | F.isnan(x))
+    )
     if _literal_path_ok(centers):
         nearest = F.element_at(
             F.array_sort(_cell_scores(F.col("__vec"), centers)), 1

@@ -749,10 +749,23 @@ class TestIVF:
             (i, [float((i * 7 + j * 5) % 13) / 13.0 for j in range(6)])
             for i in range(80)
         ]
-        rows += [(900, None), (901, [1.0, 2.0])]  # null / wrong width
+        rows += [
+            (900, None),                                    # null vector
+            (901, [1.0, 2.0]),                              # wrong width
+            # r9: null/NaN ELEMENTS must NULL the cell too — the r6 fix
+            # covered whole-null vectors only; a null element otherwise
+            # funneled the row into cell 0 via null-first struct sort /
+            # NaN argmin
+            (902, [1.0, None, 2.0, 3.0, 4.0, 5.0]),
+            (903, [float("nan")] * 6),
+        ]
         vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         centers = [[float((c * 3 + j) % 7) for j in range(6)] for c in range(12)]
 
+        lit = {
+            r.vec_id: r.cell
+            for r in sim._assign_cells(vecs, centers, "vec_id", "embedding").collect()
+        }
         monkeypatch.setattr(sim, "ASSIGN_LITERAL_MAX", 0)
         bc = {
             r.vec_id: r.cell
@@ -763,8 +776,9 @@ class TestIVF:
             r.vec_id: r.cell
             for r in sim._assign_cells(vecs, centers, "vec_id", "embedding").collect()
         }
-        assert ar == bc
-        assert ar[900] is None and ar[901] is None
+        assert ar == bc == lit
+        for vid in (900, 901, 902, 903):
+            assert ar[vid] is None, vid
 
     def test_local_lloyd_build(self, spark):
         """init_mode='local': driver-side seeded numpy Lloyd fit (r8) —
