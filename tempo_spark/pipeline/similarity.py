@@ -1048,6 +1048,29 @@ def semantic_dedup(
 # --------------------------------------------------------------- product PQ
 
 
+def _with_residual(
+    df: DataFrame, centers: list[list[float]], vec_col: str
+) -> DataFrame:
+    """Replace ``vec_col`` with its coarse residual ``v − centers[cell]``
+    (requires a ``cell`` column; NULL cell → NULL residual, which every
+    downstream guard already excludes). The centroid table rides the
+    broadcast 1-row centers frame — an O(1) ``element_at`` by cell, plan
+    size flat in k (the ASSIGN_LITERAL_MAX lesson)."""
+    if "cell" not in df.columns:
+        raise ValueError(
+            "residual encoding needs a 'cell' column — pass the ASSIGNED "
+            "corpus (index.assigned / index.assign(df)), not raw vectors"
+        )
+    joined = df.crossJoin(
+        F.broadcast(_centers_frame(df.sparkSession, centers))
+    )
+    cent = F.element_at(F.col("__cents"), F.col("cell") + 1).getField("center")
+    return joined.withColumn(
+        vec_col,
+        F.zip_with(F.col(vec_col), cent, lambda a, b: a - b),
+    ).drop("__cents")
+
+
 class PQCodec:
     """Product quantizer (Jégou et al., "Product Quantization for Nearest
     Neighbor Search", TPAMI 2011 — the faiss ``IVFx,PQm`` storage recipe,
@@ -1081,7 +1104,7 @@ class PQCodec:
     cosine order.
     """
 
-    def __init__(self, codebooks: list):
+    def __init__(self, codebooks: list, residual: bool = False):
         if not codebooks:
             raise ValueError("PQCodec needs at least one subspace codebook")
         ksub = len(codebooks[0])
@@ -1099,6 +1122,10 @@ class PQCodec:
         self.ksub = ksub
         self.dsub = dsub
         self.dim = self.m * dsub
+        #: trained over (v − coarse centroid) residuals — the faiss
+        #: IVF,PQ default. A residual codec encodes/searches only with
+        #: the coarse cell attached (see encode/ivf_pq_topk).
+        self.residual = residual
 
     # ------------------------------------------------------------- train
 
@@ -1113,6 +1140,7 @@ class PQCodec:
         max_iter: int = 20,
         fit_sample_mod: Optional[int] = None,
         init: str = "kmeans",
+        index: Optional["IVFIndex"] = None,
     ) -> "PQCodec":
         """Fit the m sub-codebooks on an id-sorted (deterministic) fit
         sample; raises when the sample has fewer than ``ksub`` usable rows
@@ -1123,10 +1151,25 @@ class PQCodec:
         replayable by any engine (an id-ordered LIMIT), the same
         cross-engine value-check device as ``IVFIndex.build(init=
         "first")``. Production keeps ``"kmeans"`` (k-means++-seeded
-        driver Lloyd per subspace)."""
+        driver Lloyd per subspace).
+
+        ``index=``: train over RESIDUALS ``v − coarse_centroid(v)`` —
+        the faiss ``IVFx,PQm`` default, which quantizes the (much
+        tighter) within-cell displacement instead of the raw vector.
+        The returned codec is branded ``residual=True`` and must encode/
+        search with the cell attached (``encode(index.assigned, ...,
+        index=index)`` / ``ivf_pq_topk`` picks the per-(query, probed
+        cell) LUT path automatically)."""
         proj = df.select(
             F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__vec")
         )
+        if index is not None:
+            assigned = index.assign(
+                df.select(F.col(id_col), F.col(vec_col))
+            ).withColumnRenamed(id_col, "__id")
+            proj = _with_residual(assigned, index.centers, "__vec").select(
+                "__id", "__vec"
+            )
         fit = proj
         if fit_sample_mod is not None and fit_sample_mod > 1:
             fit = proj.where(
@@ -1164,7 +1207,8 @@ class PQCodec:
                         for i in range(ksub)
                     ]
                     for j in range(m)
-                ]
+                ],
+                residual=index is not None,
             )
         if init != "kmeans":
             raise ValueError(f"unknown init {init!r}; use 'kmeans' or 'first'")
@@ -1174,7 +1218,7 @@ class PQCodec:
             books.append(
                 _local_lloyd([list(r) for r in sub], ksub, seed + j, max_iter)
             )
-        return PQCodec(books)
+        return PQCodec(books, residual=index is not None)
 
     # ------------------------------------------------------------ encode
 
@@ -1194,11 +1238,24 @@ class PQCodec:
         )
 
     def encode(
-        self, df: DataFrame, vec_col: str = "embedding", out: str = "pq_code"
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        out: str = "pq_code",
+        index: Optional["IVFIndex"] = None,
     ) -> DataFrame:
         """Append ``out`` = array<int> of m codes (NULL for null,
         wrong-width, or null/NaN-element vectors — every path). Zero
-        shuffle."""
+        shuffle. A ``residual=True`` codec requires ``index=`` and a
+        ``cell`` column on ``df`` (encode the ASSIGNED corpus): the
+        encoded value is ``v − centers[cell]``."""
+        if self.residual:
+            if index is None:
+                raise ValueError(
+                    "this codec was trained on residuals — pass index= "
+                    "and encode the assigned corpus"
+                )
+            df = _with_residual(df, index.centers, vec_col)
         vec = _as_double(F.col(vec_col))
         valid = self._vec_ok(vec)
         if self._literal_ops() <= ASSIGN_LITERAL_MAX:
@@ -1367,6 +1424,12 @@ class PQCodec:
         (query_id, id, adc_dist, rank) — ``adc_dist`` is the surrogate
         (monotone in true L2 given the codes; add ‖q‖² per query for the
         absolute value)."""
+        if self.residual:
+            raise ValueError(
+                "residual codecs score per probed coarse cell — use "
+                "ivf_pq_topk (a flat ADC scan has no cell to residualize "
+                "against)"
+            )
         q = self._query_lut_side(queries, query_id, query_vec)
         scored = (
             codes_df.where(F.col(code_col).isNotNull())
@@ -1399,12 +1462,12 @@ class PQCodec:
 
     def save(self, spark, path: str, mode: str = "overwrite") -> None:
         rows = [
-            (j, i, c)
+            (j, i, c, self.residual)
             for j, book in enumerate(self.codebooks)
             for i, c in enumerate(book)
         ]
         spark.createDataFrame(
-            rows, "sub int, code int, center array<double>"
+            rows, "sub int, code int, center array<double>, residual boolean"
         ).coalesce(1).write.mode(mode).parquet(path)
 
     @staticmethod
@@ -1413,11 +1476,13 @@ class PQCodec:
         books: dict = {}
         for r in rows:
             books.setdefault(r.sub, {})[r.code] = list(r.center)
+        residual = bool(getattr(rows[0], "residual", False)) if rows else False
         return PQCodec(
             [
                 [books[j][i] for i in sorted(books[j])]
                 for j in sorted(books)
-            ]
+            ],
+            residual=residual,
         )
 
 
@@ -1456,9 +1521,17 @@ def ivf_pq_topk(
     a ``save``d cell-partitioned layout, where the cell join prunes
     partitions), not from a bare ``codec.encode(raw_corpus)``; pass a
     persisted/parquet-backed frame in production so encoding happens
-    once, not per query batch."""
+    once, not per query batch.
+
+    A ``residual=True`` codec (trained with ``PQCodec.train(index=...)``,
+    the faiss IVF,PQ default) looks up per-(query, probed cell) LUTs over
+    ``q − centers[cell]`` — nprobe small LUTs per query instead of one,
+    still entirely on the broadcast side."""
     if codes_df is None:
-        codes_df = codec.encode(index.assigned, vec_col="__vec")
+        codes_df = codec.encode(
+            index.assigned, vec_col="__vec",
+            index=index if codec.residual else None,
+        )
     if "cell" not in codes_df.columns:
         raise ValueError(
             "codes_df has no 'cell' column — IVF-PQ probes coarse cells, "
@@ -1466,8 +1539,20 @@ def ivf_pq_topk(
             "(or reload a saved cell-partitioned index), not "
             "codec.encode(raw_corpus)"
         )
-    q = codec._query_lut_side(queries, query_id, query_vec)
-    q = index._with_probe_cells(q, "__qvec", nprobe)
+    if codec.residual:
+        # probe FIRST (one row per (query, cell)), then a LUT over the
+        # per-cell residual — the non-residual path keeps the cheaper
+        # one-LUT-per-query order
+        q = queries.select(
+            F.col(query_id).alias("__qid"),
+            _as_double(F.col(query_vec)).alias("__qvec"),
+        )
+        q = index._with_probe_cells(q, "__qvec", nprobe)
+        q = _with_residual(q, index.centers, "__qvec")
+        q = codec.with_lut(q, "__qvec").where(F.col("__pq_lut").isNotNull())
+    else:
+        q = codec._query_lut_side(queries, query_id, query_vec)
+        q = index._with_probe_cells(q, "__qvec", nprobe)
     scored = (
         codes_df.where(F.col("pq_code").isNotNull())
         .join(F.broadcast(q), "cell")

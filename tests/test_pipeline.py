@@ -1249,6 +1249,106 @@ class TestPQ:
         with pytest.raises(ValueError, match="cell"):
             ivf_pq_topk(idx, codec, queries, codes_df=codec.encode(vecs))
 
+    def test_residual_codec(self, spark):
+        """r9: PQCodec.train(index=) quantizes coarse residuals (the
+        faiss IVF,PQ default) — reconstruction through centroid+residual
+        beats raw-PQ on clustered data, the guards fire, and the flag
+        round-trips save/load."""
+        import numpy as np
+
+        from tempo_spark.pipeline.similarity import (
+            IVFIndex,
+            PQCodec,
+            ivf_pq_topk,
+        )
+
+        vecs = self._vecs(spark, n=200)
+        idx = IVFIndex.build(vecs, n_centroids=4, seed=7, init_mode="local")
+        raw = PQCodec.train(vecs, m=2, ksub=4, seed=5)
+        res = PQCodec.train(vecs, m=2, ksub=4, seed=5, index=idx)
+        assert res.residual and not raw.residual
+
+        data = {r.vec_id: np.asarray(r.embedding, dtype=float)
+                for r in vecs.collect()}
+        cents = [np.asarray(c) for c in idx.centers]
+        assigned = {r[0]: r[2] for r in idx.assigned.collect()}
+        rcodes = {
+            r.vec_id: list(r.pq_code)
+            for r in res.encode(idx.assigned, vec_col="__vec", index=idx)
+            .select("vec_id", "pq_code").collect()
+        }
+        qcodes = {
+            r.vec_id: list(r.pq_code)
+            for r in raw.encode(vecs).select("vec_id", "pq_code").collect()
+        }
+
+        def recon(codec, code, cell=None):
+            out = np.concatenate(
+                [np.asarray(codec.codebooks[j][code[j]]) for j in range(2)]
+            )
+            return out + cents[cell] if cell is not None else out
+
+        err_res = max(
+            np.abs(recon(res, rcodes[i], assigned[i]) - data[i]).max()
+            for i in data
+        )
+        err_raw = max(
+            np.abs(recon(raw, qcodes[i]) - data[i]).max() for i in data
+        )
+        assert err_res <= err_raw + 1e-9
+
+        # search: numpy replay of the per-(query, probed cell) ADC
+        got = {
+            (r.query_id, r.rank): r.vec_id
+            for r in ivf_pq_topk(
+                idx, res, vecs.where(F.col("vec_id").isin(1, 2)).select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                ), k=3, nprobe=2,
+            ).collect()
+        }
+        for qid in (1, 2):
+            q = data[qid]
+            probe = sorted(
+                range(len(cents)),
+                key=lambda c: (((cents[c]) ** 2).sum() - 2 * (q * cents[c]).sum(), c),
+            )[:2]
+            cand = []
+            for vid, cell in assigned.items():
+                if cell not in probe:
+                    continue
+                qr = q - cents[cell]
+                s = 0.0
+                for j, cj in enumerate(rcodes[vid]):
+                    c = np.asarray(res.codebooks[j][cj])
+                    sub = qr[j * res.dsub : (j + 1) * res.dsub]
+                    s += float((c * c).sum() - 2.0 * (sub * c).sum())
+                cand.append((s, vid))
+            cand.sort(key=lambda t: (t[0], t[1]))
+            for rk in range(1, 4):
+                assert got[(qid, rk)] == cand[rk - 1][1], (qid, rk)
+
+        with pytest.raises(ValueError, match="residual"):
+            res.encode(vecs)
+        with pytest.raises(ValueError, match="residual"):
+            res.adc_topk(
+                raw.encode(vecs),
+                vecs.limit(1).select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                ),
+            )
+
+    def test_residual_flag_roundtrip(self, spark, tmp_path):
+        from tempo_spark.pipeline.similarity import IVFIndex, PQCodec
+
+        vecs = self._vecs(spark)
+        idx = IVFIndex.build(vecs, n_centroids=2, seed=7, init_mode="local")
+        res = PQCodec.train(vecs, m=2, ksub=4, seed=5, index=idx)
+        p = str(tmp_path / "pq_res")
+        res.save(spark, p)
+        back = PQCodec.load(spark, p)
+        assert back.residual is True
+        assert back.codebooks == res.codebooks
+
     def test_kmeanspp_duplicate_heavy_fit(self, spark):
         """r9 review: the zero-mass k-means++ fallback must not re-pick a
         chosen index (two identical seeds never split) — a fit set with
