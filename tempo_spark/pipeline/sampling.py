@@ -327,6 +327,39 @@ def sample_by_weight(
     return df.where(bucket < F.coalesce(w, F.lit(0.0)) * SPLIT_BUCKETS)
 
 
+def upsample_by_weight(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    salt: str = "upsample",
+    hash_family: str = "xxhash64",
+    out_epoch: str = "epoch",
+) -> DataFrame:
+    """Emit each row ~``weight`` times in EXPECTATION, deterministically —
+    the upweighting half of data mixing (``sample_by_weight`` /
+    ``mix_by_*`` only ever downsample; DoReMi-style domain reweighting
+    also needs "repeat this low-resource domain 2.3×"): ``floor(weight)``
+    guaranteed copies plus one more iff the salted key bucket falls below
+    the fractional part, so weight 2.3 → 2 copies always + a 3rd for a
+    stable 30% of keys. ``out_epoch`` numbers the copies 0..n−1 (training
+    loaders interleave epochs; shard/shuffle AFTER upsampling so copies
+    don't sit adjacent). Null/negative weights drop the row; weights in
+    (0, 1) degrade to exactly ``sample_by_weight`` semantics.
+
+    A pure per-row ``explode(sequence(...))`` — zero shuffle, append-
+    stable, re-draws via ``salt``. Spark's ``sequence(a, b)`` COUNTS DOWN
+    when a > b, so the zero-copy case must short-circuit to an empty
+    array rather than emit phantom negative epochs."""
+    w = F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
+    bucket = split_bucket(F.col(key_col), salt, hash_family)
+    extra = (bucket < (w - F.floor(w)) * SPLIT_BUCKETS).cast("int")
+    n = (F.floor(w).cast("int") + extra).alias("__n")
+    copies = F.when(
+        n >= 1, F.sequence(F.lit(0), n - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(out_epoch, F.explode(copies))
+
+
 def with_shard(
     df: DataFrame,
     id_col: str,

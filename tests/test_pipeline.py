@@ -3387,6 +3387,54 @@ class TestPrepareClassifierStage:
             prepare_corpus(docs, min_clf_prob=0.5)
 
 
+class TestUpsampleByWeight:
+    def test_copies_and_epochs(self, spark):
+        from tempo_spark.pipeline.sampling import upsample_by_weight
+
+        rows = [
+            (0, 0.0), (1, 1.0), (2, 2.0), (3, None), (4, -1.0),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = {}
+        for r in upsample_by_weight(df, "doc_id", "w").collect():
+            got.setdefault(r.doc_id, []).append(r.epoch)
+        assert 0 not in got and 3 not in got and 4 not in got
+        assert sorted(got[1]) == [0]
+        assert sorted(got[2]) == [0, 1]
+
+    def test_fractional_expectation_and_determinism(self, spark):
+        from tempo_spark.pipeline.sampling import upsample_by_weight
+
+        df = spark.range(4000).select(
+            F.col("id").alias("doc_id"), F.lit(2.3).alias("w")
+        )
+        a = upsample_by_weight(df, "doc_id", "w").count()
+        b = upsample_by_weight(df, "doc_id", "w").count()
+        assert a == b  # deterministic
+        assert abs(a / 4000 - 2.3) < 0.05  # expectation ~ weight
+
+    def test_sub_one_weight_matches_sample_by_weight(self, spark):
+        from tempo_spark.pipeline.sampling import (
+            sample_by_weight,
+            upsample_by_weight,
+        )
+
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"), F.lit(0.3).alias("w")
+        )
+        up = {
+            r.doc_id
+            for r in upsample_by_weight(
+                df, "doc_id", "w", salt="s1"
+            ).collect()
+        }
+        down = {
+            r.doc_id
+            for r in sample_by_weight(df, "doc_id", "w", salt="s1").collect()
+        }
+        assert up == down  # identical keep rule at weights in (0, 1)
+
+
 class TestTemperatureMix:
     def _df(self, spark):
         return spark.range(1000).select(
