@@ -614,3 +614,44 @@ def test_first_occurrence_encoded_matches_model(spark, rows, min_count):
         w = min(vals, key=lambda t: (t[0] is not None, t[0] or 0, t[1]))
         expect.extend((k, i, p) for (i, p) in vals if (i, p) != w)
     assert flagged == sorted(expect, key=nskey)
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+            min_size=3, max_size=3,
+        ),
+        min_size=1, max_size=40,
+    ),
+    st.integers(1, 6),
+    st.integers(0, 2**31 - 1),
+)
+def test_local_lloyd_invariants(vecs, k, seed):
+    """r9 k-means++ _local_lloyd over random fit sets: returns exactly k
+    finite centers whenever the sample is big enough (including
+    duplicate-heavy sets where the zero-mass fallback engages), raises
+    cleanly otherwise, and is deterministic given (sample order, seed).
+    Pure python+numpy — no Spark session needed."""
+    import math
+
+    import pytest as _pytest
+
+    from tempo_spark.pipeline.similarity import _local_lloyd
+
+    if len(vecs) < k:
+        with _pytest.raises(ValueError, match="usable rows < k"):
+            _local_lloyd(vecs, k, seed, 3)
+        return
+    a = _local_lloyd(vecs, k, seed, 3)
+    b = _local_lloyd(vecs, k, seed, 3)
+    assert a == b
+    assert len(a) == k
+    assert all(len(c) == 3 and all(math.isfinite(x) for x in c) for c in a)
+    # every center lies inside the sample's bounding box (means of members
+    # or an original seed point — never extrapolated)
+    for d in range(3):
+        lo = min(v[d] for v in vecs)
+        hi = max(v[d] for v in vecs)
+        assert all(lo - 1e-9 <= c[d] <= hi + 1e-9 for c in a)
