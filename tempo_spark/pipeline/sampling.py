@@ -346,18 +346,29 @@ def upsample_by_weight(
     don't sit adjacent). Null/negative weights drop the row; weights in
     (0, 1) degrade to exactly ``sample_by_weight`` semantics.
 
-    A pure per-row ``explode(sequence(...))`` — zero shuffle, append-
-    stable, re-draws via ``salt``. Spark's ``sequence(a, b)`` COUNTS DOWN
-    when a > b, so the zero-copy case must short-circuit to an empty
-    array rather than emit phantom negative epochs."""
+    A pure per-row ``explode_outer(sequence(...))`` + post-Generate
+    filter — zero shuffle, append-stable, re-draws via ``salt``. Spark's
+    ``sequence(a, b)`` COUNTS DOWN when a > b, so the zero-copy case must
+    short-circuit to a NULL rather than emit phantom negative epochs;
+    ``explode_outer`` (not ``explode``) per the repo's pushdown gotcha —
+    a plain explode's implied ``size > 0`` filter would rebuild the
+    n-element sequence a second time per row just to size-check it."""
+    if out_epoch in df.columns:
+        raise ValueError(
+            f"output column {out_epoch!r} already exists; pass out_epoch="
+        )
     w = F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
+    # NaN weights must DROP like null/negative ones: NaN compares greater
+    # than every double (bucket < NaN*SB would be true) and floor(NaN)
+    # casts to 0, which would silently emit one copy
+    w = F.when(F.isnan(w), F.lit(0.0)).otherwise(w)
     bucket = split_bucket(F.col(key_col), salt, hash_family)
     extra = (bucket < (w - F.floor(w)) * SPLIT_BUCKETS).cast("int")
     n = (F.floor(w).cast("int") + extra).alias("__n")
-    copies = F.when(
-        n >= 1, F.sequence(F.lit(0), n - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    return df.withColumn(out_epoch, F.explode(copies))
+    copies = F.when(n >= 1, F.sequence(F.lit(0), n - 1))
+    return df.withColumn(out_epoch, F.explode_outer(copies)).where(
+        F.col(out_epoch).isNotNull()
+    )
 
 
 def with_shard(

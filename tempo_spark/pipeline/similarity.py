@@ -1164,9 +1164,15 @@ class PQCodec:
             F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__vec")
         )
         if index is not None:
+            # index.assign references ITS OWN column names — rename to
+            # match so train(id_col=, vec_col=) keeps working with a
+            # default-named index (r9 review)
             assigned = index.assign(
-                df.select(F.col(id_col), F.col(vec_col))
-            ).withColumnRenamed(id_col, "__id")
+                df.select(
+                    F.col(id_col).alias(index.id_col),
+                    F.col(vec_col).alias(index.vec_col),
+                )
+            ).withColumnRenamed(index.id_col, "__id")
             proj = _with_residual(assigned, index.centers, "__vec").select(
                 "__id", "__vec"
             )
@@ -1246,17 +1252,33 @@ class PQCodec:
     ) -> DataFrame:
         """Append ``out`` = array<int> of m codes (NULL for null,
         wrong-width, or null/NaN-element vectors — every path). Zero
-        shuffle. A ``residual=True`` codec requires ``index=`` and a
-        ``cell`` column on ``df`` (encode the ASSIGNED corpus): the
-        encoded value is ``v − centers[cell]``."""
+        shuffle; every input column passes through UNCHANGED (the
+        residual is computed in a staging column and dropped — clobbering
+        ``vec_col`` would silently corrupt the vector column in the
+        persisted codes frame, r9 review). A ``residual=True`` codec
+        requires ``index=`` and a ``cell`` column on ``df`` (encode the
+        ASSIGNED corpus): the encoded value is ``v − centers[cell]``; a
+        flat codec REJECTS ``index=`` rather than silently ignoring a
+        config mismatch (the bloom m/k lesson)."""
         if self.residual:
             if index is None:
                 raise ValueError(
                     "this codec was trained on residuals — pass index= "
                     "and encode the assigned corpus"
                 )
-            df = _with_residual(df, index.centers, vec_col)
-        vec = _as_double(F.col(vec_col))
+            df = df.withColumn("__pq_res", _as_double(F.col(vec_col)))
+            df = _with_residual(df, index.centers, "__pq_res")
+            src = "__pq_res"
+        elif index is not None:
+            raise ValueError(
+                "index= passed but this codec was trained WITHOUT "
+                "residuals — retrain with PQCodec.train(index=...) or "
+                "drop the argument (silently ignoring it would encode "
+                "raw vectors under a residual-looking call)"
+            )
+        else:
+            src = vec_col
+        vec = _as_double(F.col(src))
         valid = self._vec_ok(vec)
         if self._literal_ops() <= ASSIGN_LITERAL_MAX:
             codes = []
@@ -1267,8 +1289,10 @@ class PQCodec:
                         F.array_sort(_cell_scores(sub, book)), 1
                     ).getField("cell")
                 )
-            return df.withColumn(out, F.when(valid, F.array(*codes)))
-        return df.withColumn(out, self._arrow_encode_udf()(vec))
+            res = df.withColumn(out, F.when(valid, F.array(*codes)))
+        else:
+            res = df.withColumn(out, self._arrow_encode_udf()(vec))
+        return res.drop("__pq_res") if self.residual else res
 
     def _arrow_encode_udf(self):
         """All-m-subspaces argmin as one numpy kernel per Arrow batch:
@@ -1445,18 +1469,21 @@ class PQCodec:
         return _adc_rank_topk(scored, query_id, id_col, k)
 
     def _query_lut_side(
-        self, queries: DataFrame, query_id: str, query_vec: str
+        self, queries: DataFrame, query_id: str, query_vec: str,
+        prepare=None,
     ) -> DataFrame:
         """The broadcastable (query, LUT) side shared by ``adc_topk`` and
         :func:`ivf_pq_topk` (one definition so a guard fix cannot land in
-        one and be forgotten in the other)."""
-        return self.with_lut(
-            queries.select(
-                F.col(query_id).alias("__qid"),
-                _as_double(F.col(query_vec)).alias("__qvec"),
-            ),
-            "__qvec",
-        ).where(F.col("__pq_lut").isNotNull())
+        one and be forgotten in the other). ``prepare`` optionally
+        transforms the (``__qid``, ``__qvec``) frame BEFORE the LUT —
+        the residual path's probe-explode + residualize step."""
+        q = queries.select(
+            F.col(query_id).alias("__qid"),
+            _as_double(F.col(query_vec)).alias("__qvec"),
+        )
+        if prepare is not None:
+            q = prepare(q)
+        return self.with_lut(q, "__qvec").where(F.col("__pq_lut").isNotNull())
 
     # ---------------------------------------------------------- save/load
 
@@ -1526,7 +1553,13 @@ def ivf_pq_topk(
     A ``residual=True`` codec (trained with ``PQCodec.train(index=...)``,
     the faiss IVF,PQ default) looks up per-(query, probed cell) LUTs over
     ``q − centers[cell]`` — nprobe small LUTs per query instead of one,
-    still entirely on the broadcast side."""
+    still entirely on the broadcast side — and its ``adc_dist`` INCLUDES
+    the coarse term ``‖q − c_cell‖²``: the LUT surrogate alone drops a
+    term that VARIES per probed cell, so cross-cell ranking at nprobe > 1
+    would prefer a far cell's candidates (faiss adds the same coarse
+    distance); with it, ``adc_dist`` is the TRUE squared L2 to the
+    reconstruction ``c_cell + r̂``. The flat path's omitted ``‖q‖²`` is
+    constant per query — rank-safe — and stays omitted."""
     if codes_df is None:
         codes_df = codec.encode(
             index.assigned, vec_col="__vec",
@@ -1540,28 +1573,35 @@ def ivf_pq_topk(
             "codec.encode(raw_corpus)"
         )
     if codec.residual:
-        # probe FIRST (one row per (query, cell)), then a LUT over the
-        # per-cell residual — the non-residual path keeps the cheaper
-        # one-LUT-per-query order
-        q = queries.select(
-            F.col(query_id).alias("__qid"),
-            _as_double(F.col(query_vec)).alias("__qvec"),
+        # probe FIRST (one row per (query, cell)), residualize, and carry
+        # the coarse term ‖q − c_cell‖² alongside the LUT
+        def _probe_and_residualize(q: DataFrame) -> DataFrame:
+            q = index._with_probe_cells(q, "__qvec", nprobe)
+            q = _with_residual(q, index.centers, "__qvec")
+            return q.withColumn(
+                "__pq_coarse",
+                F.aggregate(
+                    F.col("__qvec"), F.lit(0.0), lambda acc, x: acc + x * x
+                ),
+            )
+
+        q = codec._query_lut_side(
+            queries, query_id, query_vec, prepare=_probe_and_residualize
         )
-        q = index._with_probe_cells(q, "__qvec", nprobe)
-        q = _with_residual(q, index.centers, "__qvec")
-        q = codec.with_lut(q, "__qvec").where(F.col("__pq_lut").isNotNull())
+        coarse = F.col("__pq_coarse")
     else:
         q = codec._query_lut_side(queries, query_id, query_vec)
         q = index._with_probe_cells(q, "__qvec", nprobe)
+        coarse = F.lit(0.0)
     scored = (
         codes_df.where(F.col("pq_code").isNotNull())
         .join(F.broadcast(q), "cell")
         .select(
             F.col("__qid").alias(query_id),
             F.col(index.id_col),
-            codec.adc_score(F.col("__pq_lut"), F.col("pq_code")).alias(
-                "adc_dist"
-            ),
+            (
+                codec.adc_score(F.col("__pq_lut"), F.col("pq_code")) + coarse
+            ).alias("adc_dist"),
         )
     )
     return _adc_rank_topk(scored, query_id, index.id_col, k)

@@ -1317,11 +1317,19 @@ class TestPQ:
                 if cell not in probe:
                     continue
                 qr = q - cents[cell]
-                s = 0.0
+                # coarse term ||q - c_cell||^2 + LUT surrogate = TRUE
+                # squared L2 to the reconstruction (r9 review: without
+                # it, cross-cell ranks at nprobe>1 prefer far cells)
+                s = float((qr * qr).sum())
+                recon_parts = []
                 for j, cj in enumerate(rcodes[vid]):
                     c = np.asarray(res.codebooks[j][cj])
                     sub = qr[j * res.dsub : (j + 1) * res.dsub]
                     s += float((c * c).sum() - 2.0 * (sub * c).sum())
+                    recon_parts.append(c)
+                # and it really IS the true L2 to cent + r-hat
+                recon_full = cents[cell] + np.concatenate(recon_parts)
+                assert abs(s - float(((q - recon_full) ** 2).sum())) < 1e-6
                 cand.append((s, vid))
             cand.sort(key=lambda t: (t[0], t[1]))
             for rk in range(1, 4):
@@ -1336,6 +1344,21 @@ class TestPQ:
                     F.col("vec_id").alias("query_id"), "embedding"
                 ),
             )
+        # a flat codec must REJECT index= rather than silently encode raw
+        with pytest.raises(ValueError, match="WITHOUT"):
+            raw.encode(idx.assigned, vec_col="__vec", index=idx)
+        # encode passes every input column through unchanged — the
+        # residual lives in a dropped staging column
+        enc_cols = res.encode(
+            idx.assigned, vec_col="__vec", index=idx
+        )
+        assert set(enc_cols.columns) == {"vec_id", "__vec", "cell", "pq_code"}
+        orig_vec = {r[0]: list(r[1]) for r in idx.assigned.collect()}
+        after_vec = {
+            r["vec_id"]: list(r["__vec"])
+            for r in enc_cols.select("vec_id", "__vec").collect()
+        }
+        assert after_vec == orig_vec
 
     def test_residual_flag_roundtrip(self, spark, tmp_path):
         from tempo_spark.pipeline.similarity import IVFIndex, PQCodec
@@ -3393,14 +3416,20 @@ class TestUpsampleByWeight:
 
         rows = [
             (0, 0.0), (1, 1.0), (2, 2.0), (3, None), (4, -1.0),
+            (5, float("nan")),  # r9 review: NaN compared > everything and
+            #                     floor(NaN)->0 emitted one phantom copy
         ]
         df = spark.createDataFrame(rows, "doc_id long, w double")
         got = {}
         for r in upsample_by_weight(df, "doc_id", "w").collect():
             got.setdefault(r.doc_id, []).append(r.epoch)
-        assert 0 not in got and 3 not in got and 4 not in got
+        assert all(k not in got for k in (0, 3, 4, 5))
         assert sorted(got[1]) == [0]
         assert sorted(got[2]) == [0, 1]
+        with pytest.raises(ValueError, match="epoch"):
+            upsample_by_weight(
+                df.withColumn("epoch", F.lit(9)), "doc_id", "w"
+            )
 
     def test_fractional_expectation_and_determinism(self, spark):
         from tempo_spark.pipeline.sampling import upsample_by_weight
