@@ -957,8 +957,12 @@ def pq_probe(spark, n_vecs: int, dim: int = 64, m: int = 8, ksub: int = 256) -> 
     )
     out["train_sec"] = round(time.monotonic() - t0, 2)
     t0 = time.monotonic()
-    codes = codec.encode(vecs).select("vec_id", "pq_code")
-    codes.write.mode("overwrite").format("noop").save()
+    # persist so the ADC timing doesn't silently include a re-encode (a
+    # lazy codes frame re-runs the Arrow kernel under the ADC count; the
+    # first mixed capture read as a 6x ADC "regression" that was really
+    # cold encode + ambient)
+    codes = codec.encode(vecs).select("vec_id", "pq_code").persist()
+    codes.count()
     out["encode_sec"] = round(time.monotonic() - t0, 2)
     queries = vecs.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -966,6 +970,7 @@ def pq_probe(spark, n_vecs: int, dim: int = 64, m: int = 8, ksub: int = 256) -> 
     t0 = time.monotonic()
     n = codec.adc_topk(codes, queries, k=10).count()
     out["adc_sec"] = round(time.monotonic() - t0, 2)
+    codes.unpersist()
     out["adc_rows"] = n
     out["vecs_per_sec_encode"] = int(n_vecs / max(out["encode_sec"], 1e-9))
     return out
