@@ -3442,6 +3442,33 @@ class TestUpsampleByWeight:
         assert a == b  # deterministic
         assert abs(a / 4000 - 2.3) < 0.05  # expectation ~ weight
 
+    def test_streaming_composes(self, spark, tmp_path):
+        """Pure per-row explode — must run unchanged on a streaming frame
+        with the same emitted (key, epoch) multiset as batch."""
+        from tempo_spark.pipeline.sampling import upsample_by_weight
+
+        df = spark.createDataFrame(
+            [(0, 2.0), (1, 1.0), (2, 0.0)], "doc_id long, w double"
+        )
+        batch = sorted(
+            (r.doc_id, r.epoch)
+            for r in upsample_by_weight(df, "doc_id", "w").collect()
+        )
+        src = str(tmp_path / "ups_in")
+        df.write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, w double").parquet(src)
+        q = (
+            upsample_by_weight(stream, "doc_id", "w")
+            .writeStream.format("memory").queryName("ups_t")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        streamed = sorted(
+            (r.doc_id, r.epoch)
+            for r in spark.sql("select * from ups_t").collect()
+        )
+        assert streamed == batch
+
     def test_sub_one_weight_matches_sample_by_weight(self, spark):
         from tempo_spark.pipeline.sampling import (
             sample_by_weight,
