@@ -1104,7 +1104,12 @@ class PQCodec:
     cosine order.
     """
 
-    def __init__(self, codebooks: list, residual: bool = False):
+    def __init__(
+        self,
+        codebooks: list,
+        residual: bool = False,
+        rotation: Optional[list] = None,
+    ):
         if not codebooks:
             raise ValueError("PQCodec needs at least one subspace codebook")
         ksub = len(codebooks[0])
@@ -1126,6 +1131,19 @@ class PQCodec:
         #: IVF,PQ default. A residual codec encodes/searches only with
         #: the coarse cell attached (see encode/ivf_pq_topk).
         self.residual = residual
+        #: OPQ rotation (Ge et al. 2013): vectors are rotated by this
+        #: dim×dim orthonormal matrix before sub-quantization (rotation
+        #: preserves L2, so ADC scoring is unchanged — only encode and
+        #: the query LUT rotate). None = plain PQ.
+        if rotation is not None:
+            if len(rotation) != self.dim or any(
+                len(r) != self.dim for r in rotation
+            ):
+                raise ValueError(
+                    f"rotation must be {self.dim}×{self.dim}"
+                )
+            rotation = [[float(x) for x in r] for r in rotation]
+        self.rotation = rotation
 
     # ------------------------------------------------------------- train
 
@@ -1141,6 +1159,7 @@ class PQCodec:
         fit_sample_mod: Optional[int] = None,
         init: str = "kmeans",
         index: Optional["IVFIndex"] = None,
+        opq_iters: int = 0,
     ) -> "PQCodec":
         """Fit the m sub-codebooks on an id-sorted (deterministic) fit
         sample; raises when the sample has fewer than ``ksub`` usable rows
@@ -1159,7 +1178,20 @@ class PQCodec:
         The returned codec is branded ``residual=True`` and must encode/
         search with the cell attached (``encode(index.assigned, ...,
         index=index)`` / ``ivf_pq_topk`` picks the per-(query, probed
-        cell) LUT path automatically)."""
+        cell) LUT path automatically).
+
+        ``opq_iters > 0``: OPQ (Ge et al. 2013, "Optimized Product
+        Quantization") — alternate between fitting the sub-codebooks on
+        the ROTATED sample and solving the orthogonal Procrustes problem
+        for the rotation that best aligns the sample with its
+        reconstruction; an orthonormal rotation preserves L2, so ADC
+        scoring is untouched while sub-quantization error drops whenever
+        variance is spread unevenly/correlated across the natural
+        subspaces. All driver-side numpy over the fit sample (the same
+        sanctioned class as the Lloyd fits); encode and the query LUT
+        then ALWAYS take the Arrow kernels (a dim×dim rotation per row is
+        dense linear algebra — no literal path). Incompatible with
+        ``init="first"`` (a rotated codec is not SQL-replayable)."""
         proj = df.select(
             F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__vec")
         )
@@ -1202,6 +1234,11 @@ class PQCodec:
             X = X[np.isfinite(X).all(axis=1)]
         dsub = dim // m
         if init == "first":
+            if opq_iters > 0:
+                raise ValueError(
+                    "opq_iters is incompatible with init='first' (a "
+                    "rotated codec is not cross-engine replayable)"
+                )
             if X.shape[0] < ksub:
                 raise ValueError(
                     f"PQ fit set has {X.shape[0]} usable rows < ksub={ksub}"
@@ -1218,13 +1255,61 @@ class PQCodec:
             )
         if init != "kmeans":
             raise ValueError(f"unknown init {init!r}; use 'kmeans' or 'first'")
-        books = []
-        for j in range(m):
-            sub = X[:, j * dsub : (j + 1) * dsub]
-            books.append(
-                _local_lloyd([list(r) for r in sub], ksub, seed + j, max_iter)
-            )
-        return PQCodec(books, residual=index is not None)
+
+        def _fit_books(Y):
+            return [
+                _local_lloyd(
+                    [list(r) for r in Y[:, j * dsub : (j + 1) * dsub]],
+                    ksub, seed + j, max_iter,
+                )
+                for j in range(m)
+            ]
+
+        rotation = None
+        if opq_iters > 0:
+            import math as _math
+
+            # parametric init (the OPQ paper's eigenvalue allocation):
+            # eigendecompose the sample covariance and deal eigenvectors,
+            # largest eigenvalue first, into the subspace with the
+            # smallest log-variance product — starting from R = I the
+            # alternating refinement sits in a local optimum and never
+            # finds a cross-boundary rotation (measured: stuck at the
+            # plain-PQ error; with this init it reaches the noise floor)
+            Xc = X - X.mean(axis=0)
+            w, V = np.linalg.eigh(Xc.T @ Xc / max(X.shape[0], 1))
+            order = np.argsort(w)[::-1]
+            w, V = w[order], V[:, order]
+            buckets: list[list[int]] = [[] for _ in range(m)]
+            logprod = [0.0] * m
+            for i in range(len(w)):
+                b = min(
+                    (bb for bb in range(m) if len(buckets[bb]) < dsub),
+                    key=lambda bb: logprod[bb],
+                )
+                buckets[b].append(i)
+                logprod[b] += _math.log(max(float(w[i]), 1e-12))
+            R = V[:, [i for bucket in buckets for i in bucket]]
+            for _ in range(opq_iters):
+                Xr = X @ R
+                books = _fit_books(Xr)
+                Xhat = np.empty_like(Xr)
+                for j in range(m):
+                    C = np.asarray(books[j], dtype=np.float64)
+                    sub = Xr[:, j * dsub : (j + 1) * dsub]
+                    codes = np.argmin(
+                        (C * C).sum(axis=1)[None, :] - 2.0 * (sub @ C.T),
+                        axis=1,
+                    )
+                    Xhat[:, j * dsub : (j + 1) * dsub] = C[codes]
+                # orthogonal Procrustes: R = argmin ‖XR − X̂‖_F over
+                # orthonormal R, via SVD of XᵀX̂
+                U, _, Vt = np.linalg.svd(X.T @ Xhat)
+                R = U @ Vt
+            X = X @ R
+            rotation = [[float(x) for x in row] for row in R]
+        books = _fit_books(X)
+        return PQCodec(books, residual=index is not None, rotation=rotation)
 
     # ------------------------------------------------------------ encode
 
@@ -1280,7 +1365,7 @@ class PQCodec:
             src = vec_col
         vec = _as_double(F.col(src))
         valid = self._vec_ok(vec)
-        if self._literal_ops() <= ASSIGN_LITERAL_MAX:
+        if self._literal_ops() <= ASSIGN_LITERAL_MAX and self.rotation is None:
             codes = []
             for j, book in enumerate(self.codebooks):
                 sub = F.slice(vec, j * self.dsub + 1, self.dsub)
@@ -1291,6 +1376,8 @@ class PQCodec:
                 )
             res = df.withColumn(out, F.when(valid, F.array(*codes)))
         else:
+            # OPQ codecs always take the kernel: a dim×dim rotation per
+            # row is dense linear algebra, not an expression
             res = df.withColumn(out, self._arrow_encode_udf()(vec))
         return res.drop("__pq_res") if self.residual else res
 
@@ -1307,6 +1394,11 @@ class PQCodec:
         C = [np.asarray(b, dtype=np.float64) for b in self.codebooks]
         cn2 = [(c * c).sum(axis=1) for c in C]
         m, dsub, dim = self.m, self.dsub, self.dim
+        R = (
+            np.asarray(self.rotation, dtype=np.float64)
+            if self.rotation is not None
+            else None
+        )
 
         @pandas_udf("array<int>")
         def codes_of(vs: pd.Series) -> pd.Series:
@@ -1322,6 +1414,8 @@ class PQCodec:
                 finite = np.isfinite(M).all(axis=1)
                 M = M[finite]
                 idx = np.flatnonzero(ok.to_numpy())[finite]
+                if R is not None:
+                    M = M @ R
                 codes = np.empty((M.shape[0], m), dtype="int32")
                 for j in range(m):
                     sub = M[:, j * dsub : (j + 1) * dsub]
@@ -1337,7 +1431,16 @@ class PQCodec:
     ) -> DataFrame:
         """Decode codes back to their centroid concatenation (the PQ
         approximation of the original vector) — literal expressions; a
-        diagnostics/test surface, not a hot path."""
+        diagnostics/test surface, not a hot path. Rotated (OPQ) codecs
+        decode into ROTATED space; unrotating distributes a dim×dim
+        matvec per row for a diagnostics path, so it is refused here —
+        decode driver-side with numpy (codebooks + rotationᵀ) instead."""
+        if self.rotation is not None:
+            raise ValueError(
+                "reconstruct() on an OPQ codec would return rotated-space "
+                "vectors — decode driver-side with the codebooks and "
+                "rotation transpose instead"
+            )
         code = F.col(code_col)
         parts = []
         for j, book in enumerate(self.codebooks):
@@ -1371,6 +1474,11 @@ class PQCodec:
         C = [np.asarray(b, dtype=np.float64) for b in self.codebooks]
         cn2 = [(c * c).sum(axis=1) for c in C]
         m, dsub, dim = self.m, self.dsub, self.dim
+        R = (
+            np.asarray(self.rotation, dtype=np.float64)
+            if self.rotation is not None
+            else None
+        )
 
         @pandas_udf("array<double>")
         def lut_of(vs: pd.Series) -> pd.Series:
@@ -1386,6 +1494,8 @@ class PQCodec:
                 finite = np.isfinite(M).all(axis=1)
                 M = M[finite]
                 idx = np.flatnonzero(ok.to_numpy())[finite]
+                if R is not None:
+                    M = M @ R
                 luts = np.concatenate(
                     [
                         -2.0 * (M[:, j * dsub : (j + 1) * dsub] @ C[j].T)
@@ -1404,7 +1514,7 @@ class PQCodec:
         out: str = "__pq_lut",
     ) -> DataFrame:
         vec = _as_double(F.col(query_vec))
-        if self._literal_ops() <= ASSIGN_LITERAL_MAX:
+        if self._literal_ops() <= ASSIGN_LITERAL_MAX and self.rotation is None:
             # _vec_ok, not a bare width check: a query vector with a NULL
             # element would null every LUT entry while F.array stays
             # non-null, slip the isNotNull guard downstream, and its NULL
@@ -1493,6 +1603,12 @@ class PQCodec:
             for j, book in enumerate(self.codebooks)
             for i, c in enumerate(book)
         ]
+        if self.rotation is not None:
+            # rotation rides the same table as sub = -1 marker rows
+            rows += [
+                (-1, i, r, self.residual)
+                for i, r in enumerate(self.rotation)
+            ]
         spark.createDataFrame(
             rows, "sub int, code int, center array<double>, residual boolean"
         ).coalesce(1).write.mode(mode).parquet(path)
@@ -1501,8 +1617,12 @@ class PQCodec:
     def load(spark, path: str) -> "PQCodec":
         rows = spark.read.parquet(path).collect()
         books: dict = {}
+        rot: dict = {}
         for r in rows:
-            books.setdefault(r.sub, {})[r.code] = list(r.center)
+            if r.sub == -1:
+                rot[r.code] = list(r.center)
+            else:
+                books.setdefault(r.sub, {})[r.code] = list(r.center)
         residual = bool(getattr(rows[0], "residual", False)) if rows else False
         return PQCodec(
             [
@@ -1510,6 +1630,7 @@ class PQCodec:
                 for j in sorted(books)
             ],
             residual=residual,
+            rotation=[rot[i] for i in sorted(rot)] if rot else None,
         )
 
 

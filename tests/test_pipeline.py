@@ -1372,6 +1372,111 @@ class TestPQ:
         assert back.residual is True
         assert back.codebooks == res.codebooks
 
+    def test_opq_rotation(self, spark):
+        """r9 OPQ (Ge et al.): when informative variance straddles the
+        subspace boundary, the learned rotation must cut quantization
+        error vs plain PQ; rotation is orthonormal and deterministic;
+        ADC search matches the numpy replay in rotated space; guards
+        fire."""
+        import math
+
+        import numpy as np
+
+        from tempo_spark.pipeline.similarity import PQCodec
+
+        # two independent 4-level factors a (dim 0) and b (dim 2), then a
+        # 45° rotation of dims 0↔2 — ACROSS the m=2/dsub=2 boundary: each
+        # mixed subspace sees (a∓b)/√2 with 16 combinations (> ksub=4, so
+        # plain PQ must err), while the inverse rotation separates them
+        # back to 4 levels per subspace (OPQ can quantize exactly)
+        rng = np.random.default_rng(3)
+        theta = math.pi / 4
+        mix = np.eye(4)
+        mix[0, 0] = mix[2, 2] = math.cos(theta)
+        mix[0, 2] = -math.sin(theta)
+        mix[2, 0] = math.sin(theta)
+        # distinct factor variances: near-equal eigenvalues leave the
+        # eigenbasis (and so the parametric init) ill-determined
+        lat = np.zeros((240, 4))
+        lat[:, 0] = rng.choice([0.0, 10.0, 20.0, 30.0], size=240)
+        lat[:, 2] = rng.choice([0.0, 4.0, 8.0, 12.0], size=240)
+        X = lat @ mix + rng.normal(0, 0.03, size=(240, 4))
+        vecs = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(240)],
+            "vec_id long, embedding array<float>",
+        )
+        plain = PQCodec.train(vecs, m=2, ksub=4, seed=5)
+        opq = PQCodec.train(vecs, m=2, ksub=4, seed=5, opq_iters=10)
+        opq2 = PQCodec.train(vecs, m=2, ksub=4, seed=5, opq_iters=10)
+        assert opq.rotation == opq2.rotation  # deterministic
+        R = np.asarray(opq.rotation)
+        assert np.abs(R @ R.T - np.eye(4)).max() < 1e-9  # orthonormal
+
+        def err(codec, rotate):
+            Rm = np.asarray(codec.rotation) if rotate else np.eye(4)
+            codes = {
+                r.vec_id: list(r.pq_code)
+                for r in codec.encode(vecs).collect()
+            }
+            tot = 0.0
+            for i in range(240):
+                rec_rot = np.concatenate(
+                    [
+                        np.asarray(codec.codebooks[j][codes[i][j]])
+                        for j in range(2)
+                    ]
+                )
+                rec = rec_rot @ Rm.T  # back to original space
+                tot += float(((X[i] - rec) ** 2).sum())
+            return tot
+
+        e_plain, e_opq = err(plain, False), err(opq, True)
+        assert e_opq < e_plain * 0.2, (e_plain, e_opq)
+
+        # ADC search (Arrow path forced by the rotation) == numpy replay
+        # in rotated space
+        queries = vecs.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        codes = opq.encode(vecs)
+        got = {
+            (r.query_id, r.rank): r.vec_id
+            for r in opq.adc_topk(codes, queries, k=3).collect()
+        }
+        code_map = {
+            r.vec_id: list(r.pq_code) for r in codes.collect()
+        }
+        for qid in (0, 1):
+            qr = X[qid] @ R
+            cand = []
+            for vid, code in code_map.items():
+                s = 0.0
+                for j, cj in enumerate(code):
+                    c = np.asarray(opq.codebooks[j][cj])
+                    sub = qr[j * 2 : (j + 1) * 2]
+                    s += float((c * c).sum() - 2.0 * (sub * c).sum())
+                cand.append((s, vid))
+            cand.sort(key=lambda t: (t[0], t[1]))
+            for rk in range(1, 4):
+                assert got[(qid, rk)] == cand[rk - 1][1], (qid, rk)
+
+        with pytest.raises(ValueError, match="replayable"):
+            PQCodec.train(vecs, m=2, ksub=4, init="first", opq_iters=2)
+        with pytest.raises(ValueError, match="rotated"):
+            opq.reconstruct(codes)
+
+    def test_opq_save_load(self, spark, tmp_path):
+        from tempo_spark.pipeline.similarity import PQCodec
+
+        vecs = self._vecs(spark)
+        opq = PQCodec.train(vecs, m=2, ksub=4, seed=5, opq_iters=3)
+        p = str(tmp_path / "opq")
+        opq.save(spark, p)
+        back = PQCodec.load(spark, p)
+        assert back.rotation == opq.rotation
+        assert back.codebooks == opq.codebooks
+        assert back.residual is False
+
     def test_kmeanspp_duplicate_heavy_fit(self, spark):
         """r9 review: the zero-mass k-means++ fallback must not re-pick a
         chosen index (two identical seeds never split) — a fit set with
