@@ -3189,7 +3189,13 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions whose fold order DuckDB reproduces bit-identically (the
     ``val`` column is the hardened-rounded ADC surrogate; RANKS compare
     raw). Production keeps the k-means++ codebooks + Arrow encode
-    (bench b30; pytest model-parity covers them)."""
+    (bench b30; pytest model-parity covers them).
+
+    ``pq_rerank`` tag (r9 cont.): the faiss ``IndexRefineFlat`` second
+    stage — ADC top-10 candidates re-ranked to top-5 by TRUE squared L2
+    over the raw vectors (``refine_topk``); the left-fold distance is
+    replayed term-for-term so raw ranks are bit-identical and the
+    emitted value is hardened-rounded."""
     from tempo_spark.pipeline.similarity import IVFIndex, PQCodec
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -3199,14 +3205,27 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivf = idx.topk(queries, k=5, nprobe=2).withColumn("tag", F.lit("ivf"))
     codec = PQCodec.train(emb, m=2, ksub=4, init="first")
-    pq = codec.adc_topk(codec.encode(emb), queries, k=5).select(
+    codes = codec.encode(emb)
+    pq = codec.adc_topk(codes, queries, k=5).select(
         "query_id",
         "vec_id",
         _HR6(F.col("adc_dist")).alias("cosine"),
         "rank",
         F.lit("pq").alias("tag"),
     )
-    return ivf.unionByName(pq)
+    # pq_rerank: the faiss IndexRefineFlat second stage — ADC top-10
+    # candidates exactly re-ranked to top-5 by true squared L2 on the raw
+    # vectors (left-fold op order, replayed bit-identically by the oracle)
+    rr = codec.adc_topk(
+        codes, queries, k=5, rerank_k=10, vectors_df=emb
+    ).select(
+        "query_id",
+        "vec_id",
+        _HR6(F.col("exact_dist")).alias("cosine"),
+        "rank",
+        F.lit("pq_rerank").alias("tag"),
+    )
+    return ivf.unionByName(pq).unionByName(rr)
 
 
 def _ivf_oracle(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
@@ -3309,13 +3328,33 @@ pranked AS (
   SELECT query_id, vec_id, adc,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adc, vec_id) AS rank
-  FROM pscore)
+  FROM pscore),
+rcand AS (SELECT query_id, vec_id FROM pranked WHERE rank <= 2 * {k}),
+rsc AS (
+  SELECT r.query_id, r.vec_id,
+         list_reduce(list_prepend(0.0,
+           list_transform(list_zip(q.qv, c.v),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (x,y) -> x + y) AS ed
+  FROM rcand r
+  JOIN q ON q.query_id = r.query_id
+  JOIN c ON c.vec_id = r.vec_id),
+rranked AS (
+  SELECT query_id, vec_id, ed,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ed, vec_id) AS rank
+  FROM rsc)
 SELECT query_id, vec_id, cosine, rank, 'ivf' AS tag
 FROM ranked WHERE rank <= {k}
 UNION ALL
 SELECT query_id, vec_id,
        floor(adc * 1000000 + 0.5) / 1000000 AS cosine, rank, 'pq' AS tag
 FROM pranked WHERE rank <= {k}
+UNION ALL
+SELECT query_id, vec_id,
+       floor(ed * 1000000 + 0.5) / 1000000 AS cosine, rank,
+       'pq_rerank' AS tag
+FROM rranked WHERE rank <= {k}
 """
 
 

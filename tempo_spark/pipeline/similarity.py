@@ -1551,13 +1551,32 @@ class PQCodec:
         query_id: str = "query_id",
         query_vec: str = "embedding",
         k: int = 5,
+        rerank_k: Optional[int] = None,
+        vectors_df: Optional[DataFrame] = None,
+        vectors_vec_col: str = "embedding",
     ) -> DataFrame:
         """Asymmetric-distance top-k of every query against a PQ-encoded
         corpus: broadcast the (queries × LUT) side, score every code with
         the O(m) fold, keep k per query. Returns
         (query_id, id, adc_dist, rank) — ``adc_dist`` is the surrogate
         (monotone in true L2 given the codes; add ‖q‖² per query for the
-        absolute value)."""
+        absolute value).
+
+        ``rerank_k=`` enables the faiss ``IndexRefineFlat`` second stage:
+        take ``rerank_k`` ADC candidates, then :func:`refine_topk` them
+        down to ``k`` by TRUE squared L2 against ``vectors_df`` (the raw
+        corpus, required). Output becomes (query_id, id, exact_dist,
+        rank)."""
+        if rerank_k is not None:
+            if vectors_df is None:
+                raise ValueError(
+                    "rerank_k requires vectors_df (the raw corpus "
+                    "vectors to refine against)"
+                )
+            if rerank_k < k:
+                raise ValueError(
+                    f"rerank_k ({rerank_k}) must be >= k ({k})"
+                )
         if self.residual:
             raise ValueError(
                 "residual codecs score per probed coarse cell — use "
@@ -1576,6 +1595,18 @@ class PQCodec:
                 ),
             )
         )
+        if rerank_k is not None:
+            cands = _adc_rank_topk(scored, query_id, id_col, rerank_k)
+            return refine_topk(
+                cands,
+                vectors_df,
+                queries,
+                k=k,
+                query_id=query_id,
+                id_col=id_col,
+                vec_col=vectors_vec_col,
+                query_vec=query_vec,
+            )
         return _adc_rank_topk(scored, query_id, id_col, k)
 
     def _query_lut_side(
@@ -1660,9 +1691,19 @@ def ivf_pq_topk(
     query_vec: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
+    rerank_k: Optional[int] = None,
+    vectors_df: Optional[DataFrame] = None,
+    vectors_vec_col: Optional[str] = None,
 ) -> DataFrame:
     """IVF-PQ search (the full faiss ``IVFx,PQm`` plan): probe the
     ``nprobe`` nearest coarse cells, ADC-score ONLY those cells' codes.
+
+    ``rerank_k=`` adds the faiss refine stage (``IVFx,PQm,RFlat``): the
+    ``rerank_k`` ADC candidates are re-ranked to ``k`` by TRUE squared L2
+    via :func:`refine_topk`. ``vectors_df`` defaults to the index's own
+    assigned corpus (raw ``__vec`` vectors ride it already, so no extra
+    scan source is needed); pass the saved cell-partitioned layout in
+    production. Output becomes (query_id, id, exact_dist, rank).
 
     ``codes_df`` MUST carry the coarse ``cell`` column — i.e. derive it
     from the index's assigned corpus (``codec.encode(index.assigned)`` or
@@ -1725,4 +1766,92 @@ def ivf_pq_topk(
             ).alias("adc_dist"),
         )
     )
+    if rerank_k is not None:
+        if rerank_k < k:
+            raise ValueError(f"rerank_k ({rerank_k}) must be >= k ({k})")
+        if vectors_df is None:
+            vectors_df, vectors_vec_col = index.assigned, "__vec"
+        elif vectors_vec_col is None:
+            vectors_vec_col = index.vec_col
+        cands = _adc_rank_topk(scored, query_id, index.id_col, rerank_k)
+        return refine_topk(
+            cands,
+            vectors_df,
+            queries,
+            k=k,
+            query_id=query_id,
+            id_col=index.id_col,
+            vec_col=vectors_vec_col,
+            query_vec=query_vec,
+        )
     return _adc_rank_topk(scored, query_id, index.id_col, k)
+
+
+def refine_topk(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Exact re-rank of an ANN candidate set (the faiss
+    ``IndexRefineFlat`` recipe, faiss/IndexRefine.h semantics): join the
+    candidates back to their RAW vectors and keep the ``k`` nearest by
+    TRUE squared L2. Compresses away quantization error at the top of
+    the list — run any coarse searcher with ``rerank_k > k`` candidates
+    and refine down to ``k``.
+
+    Plan shape (the part that must survive 100 TB): ``candidates`` and
+    ``queries`` are both query-sized (n_queries × rerank_k rows), so the
+    pair table broadcasts into ONE scan of the corpus ``vectors`` — the
+    corpus is never shuffled and only candidate ids' vectors are read.
+    The exact distance is a zip_with/aggregate fold — interpreted, but
+    over only n_queries × rerank_k rows, never the corpus. For a rotated
+    (OPQ) codec the rerank still uses the RAW vectors: the rotation is
+    orthonormal, so L2 distances are identical in either basis.
+
+    Left-fold op order ``((0 + d₀²) + d₁²) + …`` is what DuckDB's
+    ``list_reduce(list_prepend(0.0, …))`` reproduces — the cross-engine
+    gate ranks on the raw fold and emits the hardened-rounded value.
+
+    Returns (query_id, id, exact_dist, rank) with rank 1..k per query by
+    (exact_dist asc NULLS LAST, id).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pairs = (
+        candidates.select(F.col(query_id), F.col(id_col))
+        .join(
+            queries.select(
+                F.col(query_id),
+                _as_double(F.col(query_vec)).alias("__rr_qvec"),
+            ),
+            query_id,
+        )
+    )
+    corpus = vectors.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__rr_vec")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__rr_qvec"),
+            F.col("__rr_vec"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus.join(F.broadcast(pairs), id_col).select(
+        F.col(query_id), F.col(id_col), dist.alias("exact_dist")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("exact_dist").asc_nulls_last(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .withColumnRenamed("__rank", "rank")
+    )

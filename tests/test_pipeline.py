@@ -4240,3 +4240,156 @@ class TestSentenceChunking:
         out = chunk_documents(df, "doc_id", max_tokens=4, boundary="sentence")
         assert count_exchanges(out) == 0
         assert count_python_evals(out) == 0
+
+
+class TestRefineTopk:
+    """Exact rerank (faiss IndexRefineFlat): refine_topk + the rerank_k=
+    wiring on adc_topk / ivf_pq_topk."""
+
+    def _vecs(self, spark, n=120, dim=8, n_groups=4):
+        import random
+
+        random.seed(11)
+        bases = [
+            [10.0 * ((g >> b) & 1) for b in range(dim)] for g in range(n_groups)
+        ]
+        rows = [
+            (
+                i,
+                [
+                    bases[i % n_groups][d] + random.gauss(0, 0.05)
+                    for d in range(dim)
+                ],
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def _numpy_l2_topk(self, data, qid, k):
+        import numpy as np
+
+        q = np.asarray(data[qid], dtype=np.float64)
+        scored = sorted(
+            (float(((np.asarray(v, dtype=np.float64) - q) ** 2).sum()), vid)
+            for vid, v in data.items()
+        )
+        return [vid for _, vid in scored[:k]]
+
+    def test_flat_rerank_recovers_exact_order(self, spark):
+        from tempo_spark.pipeline.similarity import PQCodec
+
+        vecs = self._vecs(spark)
+        # deliberately coarse codec: ksub=2 quantizes brutally, so raw ADC
+        # ties whole groups; the refine stage must restore the true order
+        codec = PQCodec.train(vecs, m=2, ksub=2, seed=5)
+        codes = codec.encode(vecs)
+        queries = vecs.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = codec.adc_topk(
+            codes, queries, k=5, rerank_k=70, vectors_df=vecs
+        )
+        assert set(out.columns) == {"query_id", "vec_id", "exact_dist", "rank"}
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+        data = {r.vec_id: list(r.embedding) for r in vecs.collect()}
+        for qid in (0, 1, 2):
+            want = self._numpy_l2_topk(data, qid, 5)
+            assert [v for _, v in sorted(got[qid])] == want, qid
+
+    def test_ivf_pq_rerank_defaults_to_assigned(self, spark):
+        from tempo_spark.pipeline.similarity import (
+            IVFIndex,
+            PQCodec,
+            ivf_pq_topk,
+        )
+
+        vecs = self._vecs(spark)
+        idx = IVFIndex.build(vecs, n_centroids=4, seed=7, init_mode="local")
+        codec = PQCodec.train(vecs, m=2, ksub=2, seed=5)
+        queries = vecs.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ivf_pq_topk(
+            idx, codec, queries, k=5, nprobe=4, rerank_k=70
+        ).collect()
+        # nprobe=all cells -> candidate pool is the ADC top-70 of the whole
+        # corpus; exact rerank must equal the numpy exact top-5
+        data = {r.vec_id: list(r.embedding) for r in vecs.collect()}
+        got = {}
+        for r in out:
+            got.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+        for qid in (0, 1, 2):
+            want = self._numpy_l2_topk(data, qid, 5)
+            assert [v for _, v in sorted(got[qid])] == want, qid
+
+    def test_rerank_validations(self, spark):
+        import pytest
+
+        from tempo_spark.pipeline.similarity import (
+            IVFIndex,
+            PQCodec,
+            ivf_pq_topk,
+        )
+
+        vecs = self._vecs(spark, n=40)
+        codec = PQCodec.train(vecs, m=2, ksub=2, seed=5)
+        codes = codec.encode(vecs)
+        queries = vecs.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        with pytest.raises(ValueError, match="vectors_df"):
+            codec.adc_topk(codes, queries, k=5, rerank_k=10)
+        with pytest.raises(ValueError, match="must be >= k"):
+            codec.adc_topk(
+                codes, queries, k=5, rerank_k=3, vectors_df=vecs
+            )
+        idx = IVFIndex.build(vecs, n_centroids=2, seed=7, init_mode="local")
+        with pytest.raises(ValueError, match="must be >= k"):
+            ivf_pq_topk(idx, codec, queries, k=5, rerank_k=3)
+
+    def test_refine_null_vector_ranks_last(self, spark):
+        from tempo_spark.pipeline.similarity import refine_topk
+
+        vectors = spark.createDataFrame(
+            [
+                (0, [0.0, 0.0]),
+                (1, [1.0, 1.0]),
+                (2, None),
+                (3, [2.0, 2.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        queries = spark.createDataFrame(
+            [(100, [0.0, 0.0])], "query_id long, embedding array<double>"
+        )
+        cands = spark.createDataFrame(
+            [(100, 0), (100, 1), (100, 2), (100, 3)],
+            "query_id long, vec_id long",
+        )
+        out = refine_topk(cands, vectors, queries, k=4)
+        rows = {r.rank: (r.vec_id, r.exact_dist) for r in out.collect()}
+        assert rows[1] == (0, 0.0)
+        assert rows[2][0] == 1 and abs(rows[2][1] - 2.0) < 1e-12
+        assert rows[3][0] == 3
+        assert rows[4][0] == 2 and rows[4][1] is None
+
+    def test_refine_broadcast_plan(self, spark):
+        from tempo_spark.pipeline.similarity import PQCodec
+
+        vecs = self._vecs(spark)
+        codec = PQCodec.train(vecs, m=2, ksub=2, seed=5)
+        codes = codec.encode(vecs)
+        queries = vecs.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = codec.adc_topk(
+            codes, queries, k=5, rerank_k=20, vectors_df=vecs
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the candidate pair table must broadcast into the corpus scan —
+        # the corpus is never shuffled for the refine join
+        assert "BroadcastHashJoin" in plan
