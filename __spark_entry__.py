@@ -748,6 +748,31 @@ def q_resample_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag(mixed, "mixed_sum", F.col("cents").cast("double")),
         tag(mixed, "mixed_count", F.col("value").cast("double")),
     ]
+    # multi-grain rollup (r9 cont.): ONE raw shuffle -> finest partials,
+    # coarser grains re-aggregated from the partials. Integer cents make
+    # the hierarchical sum/count/mean EXACT (partial sums are exact
+    # longs), min carries a raw value (no arithmetic) — so every grain of
+    # every func is value-comparable against a direct DuckDB group-by.
+    def rtag(df: DataFrame, name: str, col) -> DataFrame:
+        return df.select(
+            "user_id",
+            F.col("ts").alias("bucket_ts"),
+            F.concat(F.lit(name), F.lit(":"), F.col("grain")).alias("func"),
+            col.alias("v"),
+        )
+
+    roll_a = t_both.resample_rollup(
+        ["15 minutes", "1 hour"], {"cents": "mean", "value": "min"}
+    )
+    roll_b = t_both.resample_rollup(
+        ["15 minutes", "1 hour"], {"cents": "sum", "value": "count"}
+    )
+    parts += [
+        rtag(roll_a, "roll_mean", _HR6(F.col("cents") / 100)),
+        rtag(roll_a, "roll_min", _R6(F.col("value"))),
+        rtag(roll_b, "roll_sum", F.col("cents").cast("double")),
+        rtag(roll_b, "roll_count", F.col("value").cast("double")),
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -785,6 +810,38 @@ SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, 'mixed_sum' AS 
 FROM de GROUP BY user_id, bucket_ts
 UNION ALL
 SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, 'mixed_count' AS func,
+       CAST(count(value) AS DOUBLE) AS v
+FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts, 'roll_mean:15 minutes' AS func,
+       floor(((CAST(sum(cents) AS DOUBLE) / count(cents)) / 100) * 1000000 + 0.5) / 1000000 AS v
+FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, 'roll_mean:1 hour' AS func,
+       floor(((CAST(sum(cents) AS DOUBLE) / count(cents)) / 100) * 1000000 + 0.5) / 1000000 AS v
+FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts, 'roll_min:15 minutes' AS func,
+       round(min(value), 6) AS v
+FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, 'roll_min:1 hour' AS func,
+       round(min(value), 6) AS v
+FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts, 'roll_sum:15 minutes' AS func,
+       CAST(sum(cents) AS DOUBLE) AS v
+FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, 'roll_sum:1 hour' AS func,
+       CAST(sum(cents) AS DOUBLE) AS v
+FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts, 'roll_count:15 minutes' AS func,
+       CAST(count(value) AS DOUBLE) AS v
+FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, 'roll_count:1 hour' AS func,
        CAST(count(value) AS DOUBLE) AS v
 FROM de GROUP BY user_id, bucket_ts
 """

@@ -252,3 +252,186 @@ def calc_bars(
     if fill:
         out = _upsample_fill(out, ts, series, f, bar_names)
     return ResampledTSDF(out, ts_col=ts, series_ids=series, freq=freq, func="bars")
+
+
+def resample_rollup(
+    tsdf,
+    freqs: Sequence[str],
+    func,
+    metric_cols: Optional[Sequence[str]] = None,
+    prefix: Optional[str] = None,
+    grain_col: str = "grain",
+):
+    """Multi-grain rollup (the continuous-aggregate / hypertable-rollup
+    shape): one result frame holding ``resample(freq, func)`` for EVERY
+    grain in ``freqs``, tagged by ``grain_col``.
+
+    Plan shape — the reason this exists instead of N separate resamples:
+    the raw data is shuffled ONCE, to the finest grain's partial
+    aggregates; every coarser grain is then re-aggregated from those
+    partials (finest-bucket rows exploded once across grains, one second
+    groupBy over grains × finest-buckets — partial-sized input, never the
+    raw rows). N independent resamples scan + shuffle the full corpus N
+    times; at 100 TB this is the difference between one pass and N.
+
+    Requirements that make the re-aggregation exact:
+
+    - every coarser grain must be an integer multiple of the finest
+      (bucket boundaries then nest: ``floor_c(floor_f(t)) == floor_c(t)``
+      for epoch-aligned tumbling windows — verified against ``F.window``
+      under non-UTC session timezones, which also floors raw epoch
+      micros);
+    - ``func`` must be re-aggregatable: ``sum``/``count``/``min``/``max``
+      combine trivially, ``mean`` rides (sum, count) partials and divides
+      at the end (for integral inputs this is EXACT — the partial sums
+      are exact — and for floats it differs from a direct ``avg`` only in
+      summation association), ``floor``/``ceil`` combine because the
+      min/max of per-bucket min/max order-structs is the global one.
+      ``median`` is not decomposable — it raises; run it per grain.
+
+    ``func`` accepts the same forms as :func:`resample`: one name, or a
+    ``{column: func}`` mapping (``floor``/``ceil`` excluded from the
+    mapping form, as in resample). Returns a DataFrame
+    (grain, *series, ts, metrics) — mixed grains are deliberately not a
+    TSDF; filter one grain out and re-wrap to chain further operators.
+    """
+    from collections.abc import Mapping
+
+    series, ts = list(tsdf.series_ids), tsdf.ts_col
+    if isinstance(freqs, str):
+        raise TypeError("freqs must be a sequence of frequency strings")
+    parsed = [parse_freq(fq) for fq in freqs]
+    if len(parsed) < 2:
+        raise ValueError("resample_rollup needs >= 2 grains; use resample()")
+    micros = [int(round(f.seconds * 1e6)) for f in parsed]
+    if len(set(micros)) != len(micros):
+        raise ValueError(f"duplicate grains in freqs: {list(freqs)}")
+    order = sorted(range(len(parsed)), key=lambda i: micros[i])
+    finest = parsed[order[0]]
+    finest_us = micros[order[0]]
+    coarse_bad = [
+        str(freqs[i]) for i in order[1:] if micros[i] % finest_us != 0
+    ]
+    if coarse_bad:
+        raise ValueError(
+            f"every grain must be an integer multiple of the finest "
+            f"({freqs[order[0]]!r}); not multiples: {coarse_bad}"
+        )
+    if grain_col in (ts, *series):
+        raise ValueError(f"grain_col {grain_col!r} collides with a key column")
+
+    # resolve the per-column func map (same validation surface as resample)
+    if isinstance(func, Mapping):
+        if not func:
+            raise ValueError("per-column func mapping must be non-empty")
+        bad = {f2 for f2 in func.values() if f2 not in _SCALAR_AGGS}
+        if bad:
+            raise ValueError(
+                f"per-column rollup supports {sorted(_SCALAR_AGGS)}; got {sorted(bad)}"
+            )
+        if metric_cols is not None:
+            raise ValueError(
+                "pass per-column funcs OR metric_cols, not both — the "
+                "mapping's keys are the metric columns"
+            )
+        missing = [c for c in func if c not in tsdf.df.columns]
+        if missing:
+            raise ValueError(f"columns not in DataFrame: {missing}")
+        structural = [c for c in func if c == ts or c in series]
+        if structural:
+            raise ValueError(
+                f"per-column funcs cannot target structural columns: {structural}"
+            )
+        col_funcs = dict(func)
+    else:
+        if func not in _FUNCS:
+            raise ValueError(f"rollup func must be one of {_FUNCS}, got {func!r}")
+        metric_cols = list(metric_cols or tsdf.metric_cols)
+        if not metric_cols:
+            raise ValueError("resample_rollup requires at least one metric column")
+        col_funcs = {c: func for c in metric_cols}
+    non_decomposable = sorted(
+        {f2 for f2 in col_funcs.values() if f2 == "median"}
+    )
+    if non_decomposable:
+        raise ValueError(
+            "median is not re-aggregatable from partials — run "
+            "resample(freq, 'median') per grain instead"
+        )
+    pfx = f"{prefix}_" if prefix else ""
+    whole_row = not isinstance(func, Mapping) and func in ("floor", "ceil")
+
+    # ---- stage 1: ONE shuffle of the raw rows, to finest-grain partials
+    bucket = _bucket_start(ts, finest.window_duration)
+    grouped = tsdf.df.groupBy(*series, bucket.alias("__ts_f"))
+    if whole_row:
+        [packed] = _argmin_argmax_exprs(tsdf, list(col_funcs), func, pfx)
+        partials = grouped.agg(packed)
+    else:
+        aggs: list[Column] = []
+        for c, f2 in col_funcs.items():
+            if f2 == "mean":
+                aggs.append(F.sum(F.col(c)).alias(f"__ps_{c}"))
+                aggs.append(F.count(F.col(c)).alias(f"__pc_{c}"))
+            elif f2 == "count":
+                aggs.append(F.count(F.col(c)).alias(f"__pc_{c}"))
+            elif f2 == "sum":
+                aggs.append(F.sum(F.col(c)).alias(f"__ps_{c}"))
+            else:  # min/max
+                aggs.append(
+                    (_SCALAR_AGGS[f2])(F.col(c)).alias(f"__pm_{c}")
+                )
+        partials = grouped.agg(*aggs)
+
+    # ---- stage 2: explode each finest bucket across grains (epoch-pmod
+    # floor == F.window for nested multiples), re-aggregate the partials
+    us = F.unix_micros(F.col("__ts_f"))
+    grain_structs = [
+        F.struct(
+            F.lit(str(freqs[i])).alias("g"),
+            F.timestamp_micros(
+                us - F.pmod(us, F.lit(micros[i]))
+            ).alias("b"),
+        )
+        for i in order
+    ]
+    fanned = partials.withColumn(
+        "__grain", F.explode(F.array(*grain_structs))
+    )
+    regrouped = fanned.groupBy(
+        F.col("__grain")["g"].alias(grain_col),
+        *series,
+        F.col("__grain")["b"].alias(ts),
+    )
+    if whole_row:
+        combine = F.min if func == "floor" else F.max
+        agged = regrouped.agg(combine(F.col("__packed")).alias("__packed"))
+        out = agged.select(
+            grain_col,
+            *series,
+            ts,
+            *[
+                F.col("__packed").getField(c).alias(f"{pfx}{c}")
+                for c in col_funcs
+            ],
+        )
+    else:
+        combos: list[Column] = []
+        for c, f2 in col_funcs.items():
+            if f2 == "mean":
+                s, n = F.sum(f"__ps_{c}"), F.sum(f"__pc_{c}")
+                # ANSI: guard the divide — an all-null bucket has count 0
+                combos.append(
+                    F.when(n > 0, s / n).alias(f"{pfx}{c}")
+                )
+            elif f2 == "count":
+                combos.append(F.sum(f"__pc_{c}").alias(f"{pfx}{c}"))
+            elif f2 == "sum":
+                combos.append(F.sum(f"__ps_{c}").alias(f"{pfx}{c}"))
+            else:
+                combos.append(
+                    (_SCALAR_AGGS[f2])(F.col(f"__pm_{c}")).alias(f"{pfx}{c}")
+                )
+        out = regrouped.agg(*combos)
+    out_metric_cols = sorted(f"{pfx}{c}" for c in col_funcs)
+    return out.select(grain_col, *series, ts, *out_metric_cols)

@@ -1556,6 +1556,29 @@ class TSDF:
 
         return _resample(self, freq, func, metric_cols=metricCols, prefix=prefix, fill=fill)
 
+    def resample_rollup(
+        self,
+        freqs: Sequence[str],
+        func,
+        metricCols: Optional[Sequence[str]] = None,
+        prefix: Optional[str] = None,
+        grain_col: str = "grain",
+    ) -> DataFrame:
+        """Multi-grain rollup: ``resample(freq, func)`` for every grain in
+        ``freqs`` in ONE pass over the raw rows (finest-grain partials
+        re-aggregated upward — the continuous-aggregate shape). Returns a
+        DataFrame tagged by ``grain_col``; see
+        tempo_spark.operators.resample.resample_rollup for the exactness
+        requirements (nested grains, re-aggregatable funcs)."""
+        from tempo_spark.operators.resample import (
+            resample_rollup as _resample_rollup,
+        )
+
+        return _resample_rollup(
+            self, freqs, func, metric_cols=metricCols, prefix=prefix,
+            grain_col=grain_col,
+        )
+
     def deduplicated(self, keep: str = "max") -> "TSDF":
         """One deterministic row per ``(series_ids, ts_col)`` — the
         dirty-feed cleanup nearly every ingest needs before per-series
