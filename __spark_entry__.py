@@ -2382,7 +2382,10 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       both engines build the identical string). term carries the majority
       language AND the full per-paragraph prediction sequence; rank is
       the 1e-6-quantized foreign-paragraph fraction as an integer (−1
-      when no paragraph got a verdict); tf = decided-paragraph count."""
+      when no paragraph got a verdict); tf = decided-paragraph count;
+    - ``bm25`` (r9 cont.): Okapi BM25 top-10 retrieval (pipeline/search)
+      with docs 0–4 as queries — term = "qid:matched", rank/tf integers,
+      float score orders quantized (same ln()-ulp defense as tfidf)."""
     from tempo_spark.pipeline.text import (
         tfidf_keywords,
         with_language_id,
@@ -2403,6 +2406,26 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         F.col("rank").cast("long").alias("rank"),
         F.col("tf").cast("long").alias("tf"),
+    )
+    # bm25 (r9 cont.): Okapi BM25 top-10 with the first 5 docs as queries
+    # — gated columns are the integer rank/matched/tf_sum (the float score
+    # only ORDERS, 1e-6-quantized with the discrete (matched, tf_sum, id)
+    # tiebreak both engines share, so ln()/constant ulps can't flip ranks)
+    from tempo_spark.pipeline.search import bm25_topk
+
+    bqueries = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    bm = bm25_topk(docs, bqueries, k=10).select(
+        F.lit("bm25").alias("tag"),
+        "doc_id",
+        F.concat(
+            F.col("query_id").cast("string"),
+            F.lit(":"),
+            F.col("matched").cast("string"),
+        ).alias("term"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("tf_sum").cast("long").alias("tf"),
     )
     # drop blank texts on BOTH sides: a group of only-blank docs would
     # yield zero paragraphs — Spark still emits its ('und', -1) row while
@@ -2438,7 +2461,7 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rank"),
         n_known.cast("long").alias("tf"),
     )
-    return lang.unionByName(kw).unionByName(para)
+    return lang.unionByName(kw).unionByName(para).unionByName(bm)
 
 
 _LANGID_ORACLE = """
@@ -2522,7 +2545,29 @@ pm2 AS (
               ELSE (list_sort(list_transform(list_distinct(known),
                      c -> {{'nc': -len(list_filter(known, x -> x = c)), 'lang': c}}))[1]).lang
          END AS maj
-  FROM pm1)
+  FROM pm1),
+bqterms AS (
+  SELECT DISTINCT doc_id AS qid, unnest(tok) AS term FROM tt WHERE doc_id < 5),
+bdl AS (SELECT doc_id, len(tok) AS dl FROM tt),
+bstats AS (SELECT count(*) AS n, avg(len(tok)) AS avgdl FROM tt),
+bsc AS (
+  SELECT q.qid, f.doc_id,
+         sum(ln(1.0 + (s.n - d.df_t + 0.5) / (d.df_t + 0.5))
+             * (f.tf * 2.2)
+             / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score,
+         count(*) AS matched, sum(f.tf) AS tf_sum
+  FROM bqterms q
+  JOIN tf f ON f.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN bdl l ON l.doc_id = f.doc_id
+  CROSS JOIN bstats s
+  GROUP BY 1, 2),
+branked AS (
+  SELECT qid, doc_id, matched, tf_sum,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY floor(score * 1000000 + 0.5) DESC,
+                                     matched DESC, tf_sum DESC, doc_id) AS rank
+  FROM bsc)
 SELECT 'lang' AS tag, doc_id, lang_pred AS term,
        CAST(0 AS BIGINT) AS rank, CAST(0 AS BIGINT) AS tf
 FROM langid
@@ -2539,6 +2584,11 @@ SELECT 'para' AS tag, g AS doc_id,
             ELSE CAST(-1 AS BIGINT) END AS rank,
        CAST(len(known) AS BIGINT) AS tf
 FROM pm2
+UNION ALL
+SELECT 'bm25' AS tag, doc_id,
+       CAST(qid AS VARCHAR) || ':' || CAST(matched AS VARCHAR) AS term,
+       CAST(rank AS BIGINT) AS rank, CAST(tf_sum AS BIGINT) AS tf
+FROM branked WHERE rank <= 10
 """
 
 

@@ -1,0 +1,181 @@
+"""Full-text retrieval over a document corpus: Okapi BM25 top-k.
+
+The training-data-pipeline use cases: benchmark/eval-set retrieval ("which
+corpus documents would a search engine surface for this eval question" —
+a retrieval-based contamination signal complementing the n-gram overlap
+in pipeline/dedup.py), nearest-neighbor text lookup for RAG-style data
+curation, and corpus QA ("show me what matches X").
+
+Spark-first shape (no reference counterpart — the reference engine has no
+text retrieval; formula follows Robertson & Zaragoza 2009, the Lucene
+``(k1, b)`` practical variant with the +1-smoothed non-negative idf):
+
+- the QUERY side is small by contract (a benchmark, an eval set, a hand
+  list) — its distinct term vocabulary BROADCASTS into the corpus token
+  explode, so the per-(doc, term) aggregation only ever shuffles tokens
+  that can actually score (a selective query set shuffles a tiny
+  fraction of the token stream; map-side combine collapses repeats);
+- document frequency reuses the SAME (doc, term) exchange via the
+  vacuously-true ``tf > 0`` pruning guard (see tfidf_keywords — AQE
+  ReuseExchange collapses the two branches);
+- corpus length stats (N, avgdl) are a 1-row broadcast aggregate over a
+  column-pruned (id, text) pass; doc lengths join the matched tf rows by
+  broadcasting the MATCHED side into the length scan — the corpus is
+  never shuffled whole.
+
+Ranking is deterministic cross-engine: the float score ORDERS quantized
+to 1e-6 with a fully discrete (matched terms, summed tf, id) tiebreak, so
+``ln()`` last-ulp differences between engines cannot flip a rank (the
+idiom proven by tfidf_keywords).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from tempo_spark.pipeline.text import tokens_col
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-``k`` corpus documents per query by Okapi BM25.
+
+    ``score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with ``idf(t) = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))`` (the Lucene
+    smoothed variant — always ≥ 0, so a term in >half the corpus dampens
+    rather than inverts). Query-side term repetition is ignored (the
+    standard short-query simplification; each distinct query term
+    contributes once).
+
+    Returns ``(query_id, doc_id, score, matched, tf_sum, rank)`` — rank
+    1..k per query by (1e-6-quantized score DESC, matched DESC, tf_sum
+    DESC, doc_id ASC); ``matched`` = distinct query terms found,
+    ``tf_sum`` = their summed term frequency. Queries with no matching
+    document emit nothing (a retrieval miss, not a zero-score row).
+
+    Tokenization is whitespace + optional lowercasing — identical to the
+    signals in pipeline/text.py; normalize the corpus first
+    (normalize_text) for punctuation-insensitive matching.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = tokens_col(F.col(text_col))
+    qtoks = tokens_col(F.col(query_text_col))
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+        qtoks = F.transform(qtoks, F.lower)
+
+    # (query, term) pairs — distinct per the short-query simplification
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.explode_outer(qtoks).alias("term"),
+        )
+        .where(F.col("term").isNotNull())
+        .distinct()
+    )
+    qvocab = qterms.select("term").distinct()
+
+    # matched per-(doc, term) tf: the broadcast vocabulary semi-join runs
+    # BEFORE the shuffle, so only scoring tokens are ever aggregated.
+    # explode_outer + post-Generate filter per the plan-pushdown gotcha.
+    tf = (
+        corpus.select(F.col(id_col), F.explode_outer(toks).alias("term"))
+        .where(F.col("term").isNotNull())
+        .join(F.broadcast(qvocab), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # document frequency over the same exchange (the tf > 0 guard keeps
+    # the subtree bit-identical below the (id, term) exchange so AQE
+    # ReuseExchange collapses the two branches — see tfidf_keywords)
+    dfreq = (
+        tf.where(F.col("tf") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+    )
+
+    # corpus stats: 1-row broadcast (N counts ALL rows; avgdl averages
+    # over docs with a tokenizable text, matching the oracle replay)
+    dl_df = corpus.select(
+        F.col(id_col), F.size(toks).alias("__dl")
+    )
+    stats = F.broadcast(
+        dl_df.agg(
+            F.count(F.lit(1)).alias("__n_docs"),
+            F.avg("__dl").alias("__avgdl"),
+        )
+    )
+
+    # per-(query, doc, term) contribution: tf rows are query-vocabulary-
+    # sized, so THEY broadcast into the doc-length scan — the corpus
+    # never shuffles
+    scored_terms = (
+        dl_df.join(
+            F.broadcast(
+                tf.join(F.broadcast(dfreq), "term").join(
+                    F.broadcast(qterms), "term"
+                )
+            ),
+            id_col,
+        )
+        .crossJoin(stats)
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "__contrib",
+            F.col("__idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+                )
+            ),
+        )
+    )
+    agged = scored_terms.groupBy("__qid", id_col).agg(
+        F.sum("__contrib").alias("score"),
+        F.count(F.lit(1)).alias("matched"),
+        F.sum("tf").alias("tf_sum"),
+    )
+    score_q = F.floor(F.col("score") * 1_000_000 + F.lit(0.5))
+    w = Window.partitionBy("__qid").orderBy(
+        score_q.desc(),
+        F.col("matched").desc(),
+        F.col("tf_sum").desc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        agged.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            "score",
+            "matched",
+            "tf_sum",
+            "rank",
+        )
+    )

@@ -4393,3 +4393,121 @@ class TestRefineTopk:
         # the candidate pair table must broadcast into the corpus scan —
         # the corpus is never shuffled for the refine join
         assert "BroadcastHashJoin" in plan
+
+
+class TestBM25:
+    """bm25_topk: Okapi BM25 retrieval vs a pure-python model."""
+
+    _DOCS = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown cat sleeps all day long"),
+        (2, "a fox and a cat walk into a bar"),
+        (3, "dogs and cats living together mass hysteria"),
+        (4, "Quick QUICK quick repetition of quick words here now"),
+        (5, ""),
+        (6, None),
+    ]
+
+    def _model(self, queries, k1=1.2, b=0.75, k=10):
+        import math
+
+        docs = {
+            i: (t or "").lower().split() for i, t in self._DOCS
+        }
+        n = len(self._DOCS)
+        # avgdl over docs with a tokenizable text: null text has no tokens
+        # col; empty text tokenizes to []
+        dls = {i: len(v) for i, v in docs.items() if self._DOCS[i][1] is not None}
+        avgdl = sum(dls.values()) / len(dls)
+        out = {}
+        for qid, qtext in queries:
+            terms = sorted(set(qtext.lower().split()))
+            scores = []
+            for i, toks in docs.items():
+                tf_by_t = {t: toks.count(t) for t in terms if toks.count(t) > 0}
+                if not tf_by_t:
+                    continue
+                s = 0.0
+                for t, tf in tf_by_t.items():
+                    df = sum(1 for v in docs.values() if t in v)
+                    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                    s += idf * (tf * (k1 + 1)) / (
+                        tf + k1 * (1 - b + b * dls[i] / avgdl)
+                    )
+                scores.append(
+                    (-(math.floor(s * 1e6 + 0.5)), -len(tf_by_t),
+                     -sum(tf_by_t.values()), i, s)
+                )
+            scores.sort()
+            out[qid] = [(i, s) for *_k, i, s in scores[:k]]
+        return out
+
+    def test_matches_python_model(self, spark):
+        from tempo_spark.pipeline.search import bm25_topk
+
+        corpus = spark.createDataFrame(self._DOCS, "doc_id long, text string")
+        qrows = [(100, "quick fox"), (101, "cat"), (102, "zebra unseen")]
+        queries = spark.createDataFrame(qrows, "query_id long, text string")
+        got = {}
+        rows = bm25_topk(corpus, queries, k=10).collect()
+        for r in rows:
+            got.setdefault(r.query_id, []).append(
+                (r.rank, r.doc_id, r.score, r.matched, r.tf_sum)
+            )
+        want = self._model(qrows)
+        assert sorted(got) == [100, 101]  # zebra query: retrieval miss
+        for qid in got:
+            ordered = [x for _, *x in sorted(got[qid])]
+            assert [d for d, *_ in ordered] == [d for d, _ in want[qid]], qid
+            for (d, s_spark, *_rest), (_, s_model) in zip(ordered, want[qid]):
+                assert abs(s_spark - s_model) < 1e-9, (qid, d)
+
+    def test_rank_and_counts(self, spark):
+        from tempo_spark.pipeline.search import bm25_topk
+
+        corpus = spark.createDataFrame(self._DOCS, "doc_id long, text string")
+        queries = spark.createDataFrame(
+            [(1, "quick fox")], "query_id long, text string"
+        )
+        rows = {r.doc_id: r for r in bm25_topk(corpus, queries, k=3).collect()}
+        # doc 0 matches both terms; matched/tf_sum are exact integers
+        assert rows[0].matched == 2 and rows[0].tf_sum == 2
+        assert sorted(r.rank for r in rows.values()) == [1, 2, 3]
+
+    def test_query_term_repetition_ignored(self, spark):
+        from tempo_spark.pipeline.search import bm25_topk
+
+        corpus = spark.createDataFrame(self._DOCS, "doc_id long, text string")
+        q1 = spark.createDataFrame([(1, "quick")], "query_id long, text string")
+        q2 = spark.createDataFrame(
+            [(1, "quick quick quick")], "query_id long, text string"
+        )
+        a = {(r.doc_id, r.rank, r.score) for r in bm25_topk(corpus, q1).collect()}
+        b = {(r.doc_id, r.rank, r.score) for r in bm25_topk(corpus, q2).collect()}
+        assert a == b
+
+    def test_corpus_never_shuffled_for_scoring(self, spark):
+        from tempo_spark.pipeline.search import bm25_topk
+
+        corpus = spark.createDataFrame(self._DOCS, "doc_id long, text string")
+        queries = spark.createDataFrame(
+            [(1, "quick fox")], "query_id long, text string"
+        )
+        plan = (
+            bm25_topk(corpus, queries, k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_validations(self, spark):
+        import pytest
+
+        from tempo_spark.pipeline.search import bm25_topk
+
+        corpus = spark.createDataFrame(self._DOCS, "doc_id long, text string")
+        queries = spark.createDataFrame(
+            [(1, "x")], "query_id long, text string"
+        )
+        with pytest.raises(ValueError, match="k must be"):
+            bm25_topk(corpus, queries, k=0)
