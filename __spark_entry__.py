@@ -1929,7 +1929,10 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``mix_by_group(mode='flag')`` — waterfilling corpus mixture over
       ``lang`` (binary-fraction target shares; the rate arithmetic is the
       same IEEE op sequence in both engines, so the md5_32 keep decision
-      replays bit-exactly).
+      replays bit-exactly);
+    - ``take_token_budget`` (r9 cont.) — greedy 20k-token global budget in
+      md5_32 hash order; the hash-bucket-decomposed distributed prefix sum
+      is checked against DuckDB's direct single-window cumsum.
     """
     from tempo_spark.pipeline.sampling import (
         assign_packs,
@@ -1957,6 +1960,16 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, "doc_id", "lang",
         {"en": 0.5, "de": 0.25, "es": 0.125, "fr": 0.125},
         hash_family="md5_32", mode="flag",
+    )
+    # take_token_budget (r9 cont.): greedy 20k-token budget in md5_32 hash
+    # order — the keep verdict depends on an exact integer prefix sum, so
+    # the hash-bucket-decomposed cumsum is value-gated against DuckDB's
+    # direct single-window replay
+    from tempo_spark.pipeline.sampling import take_token_budget
+
+    out = take_token_budget(
+        out, 20000, id_col="doc_id", token_col="n_tokens",
+        hash_family="md5_32", keep_col="budget_keep",
     )
     # context-window chunking (max 16 tokens, overlap 4): n_chunks + an
     # order-sensitive digest of every chunk gate the stride arithmetic and
@@ -1987,7 +2000,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard_id").cast("long").alias("shard_id"),
         F.col("shard_pos").cast("long").alias("shard_pos"),
         "top_2gram_char_frac", "dup_2gram_char_frac",
-        "mix_keep",
+        "mix_keep", "budget_keep",
         "n_chunks", "chunks_digest",
     )
 
@@ -2055,6 +2068,10 @@ SELECT b.doc_id, n_tokens, n_2grams, n_2grams_distinct, dup_2gram_frac, split,
          AS dup_2gram_char_frac,
        coalesce(('0x' || substr(md5('mix:' || CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT
                 % 1000000 < r.rate * 1000000, FALSE) AS mix_keep,
+       coalesce(sum(n_tokens) OVER (
+          ORDER BY ('0x' || substr(md5('budget:' || CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                   b.doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 20000 AS budget_keep,
        ch.n_chunks, ch.chunks_digest
 FROM base b
 JOIN documents d ON d.doc_id = b.doc_id

@@ -701,3 +701,135 @@ def _chunk_documents_by_sentence(
         "*", F.posexplode_outer("__tempo_chunks").alias(out_idx, out_text)
     ).drop("__tempo_chunks")
     return exploded.withColumn(out_idx, F.col(out_idx).cast("long"))
+
+
+def take_token_budget(
+    df: DataFrame,
+    budget: int,
+    id_col: str,
+    token_col: str | None = None,
+    text_col: str = "text",
+    by: Sequence[str] | None = None,
+    order_by: str | Column | None = None,
+    salt: str = "budget",
+    hash_family: str = "xxhash64",
+    keep_col: str | None = None,
+    n_buckets_bits: int = 12,
+) -> DataFrame:
+    """Greedy token-budget selection: walk the corpus in a deterministic
+    order and keep documents until ``budget`` tokens are taken (per
+    ``by`` group if given, else globally). The document that crosses the
+    budget line is KEPT (bounded overshoot of < one document), so the
+    budget is a floor once enough data exists, never silently under-run
+    by an unlucky last doc.
+
+    A row is kept iff the tokens of all rows strictly BEFORE it (in the
+    selection order) total < ``budget``. Null token counts consume 0.
+
+    Order: by default, a salted hash of ``id_col`` (deterministic uniform
+    sample of the corpus — re-salt for an independent draw). With the
+    default hash order the global cumulative sum is computed by HASH-
+    BUCKET DECOMPOSITION, not a single-partition window: the top
+    ``n_buckets_bits`` bits of the hash are a monotone coarsening of the
+    order key, so prefix = (sum of all earlier buckets — a tiny
+    buckets-per-group frame, cumsummed and broadcast back) + (the
+    within-bucket running sum — a window partitioned by bucket, fully
+    parallel). An exact distributed prefix sum: no task ever sees more
+    than ~1/2^bits of the corpus, which is what makes a GLOBAL budget
+    usable at 100 TB.
+
+    ``order_by=`` replaces the hash with an explicit ranking column (e.g.
+    a quality score, descending via ``F.col(...).desc()`` — budget the
+    best documents first). Arbitrary keys can't be hash-bucketed, so this
+    path windows directly over ``by`` — ALWAYS pass ``by`` with it (a
+    global order_by budget funnels the corpus through one task; for
+    global quality budgeting, quantize the score into a column and pass
+    it as ``by``'s sibling... or accept the single-task window for
+    moderate sizes).
+
+    ``keep_col=`` flags instead of filtering. ``token_col=`` uses a
+    precomputed count (recommended — otherwise both the detail pass and
+    the bucket-totals pass tokenize ``text_col``).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    groups = list(by or [])
+    for c in (id_col, *groups):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    from pyspark.sql import Window
+
+    from tempo_spark.pipeline.text import tokens_col
+
+    reserved = {"__tb_h", "__tb_tok", "__tb_b", "__tb_off"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"reserved staging columns present: {sorted(clash)}")
+    if token_col is not None:
+        tok = F.col(token_col)
+    else:
+        tok = F.size(tokens_col(F.col(text_col)))
+    tok = F.coalesce(tok.cast("long"), F.lit(0))
+
+    if order_by is not None:
+        order = F.col(order_by) if isinstance(order_by, str) else order_by
+        staged = df.withColumn("__tb_tok", tok)
+        w_in = (
+            Window.partitionBy(*[F.col(c) for c in groups])
+            .orderBy(order, F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prefix = F.coalesce(F.sum("__tb_tok").over(w_in), F.lit(0))
+        kept = staged.withColumn(
+            "__tb_keep", prefix < F.lit(int(budget))
+        )
+    else:
+        shift = (32 if hash_family == "md5_32" else 64) - n_buckets_bits
+        staged = (
+            df.withColumn(
+                "__tb_h", _key_hash(F.col(id_col), salt, hash_family)
+            )
+            .withColumn("__tb_tok", tok)
+            .withColumn("__tb_b", F.shiftright(F.col("__tb_h"), shift))
+        )
+        totals = staged.groupBy(
+            *[F.col(c) for c in groups], F.col("__tb_b")
+        ).agg(F.sum("__tb_tok").alias("__tb_btot"))
+        w_b = (
+            Window.partitionBy(*[F.col(c) for c in groups])
+            .orderBy(F.col("__tb_b"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.select(
+            *[F.col(c).alias(f"__tb_g_{c}") for c in groups],
+            F.col("__tb_b").alias("__tb_ob"),
+            F.coalesce(F.sum("__tb_btot").over(w_b), F.lit(0)).alias(
+                "__tb_off"
+            ),
+        )
+        # eqNullSafe on the group keys: a NULL-valued group is a group
+        # like any other (renamed keys dodge the ambiguous-self-join check)
+        cond = [
+            F.col(c).eqNullSafe(F.col(f"__tb_g_{c}")) for c in groups
+        ] + [F.col("__tb_b") == F.col("__tb_ob")]
+        w_in = (
+            Window.partitionBy(*[F.col(c) for c in groups], "__tb_b")
+            .orderBy(F.col("__tb_h"), F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prefix_in = F.coalesce(F.sum("__tb_tok").over(w_in), F.lit(0))
+        kept = (
+            staged.join(F.broadcast(offsets), cond)
+            .withColumn(
+                "__tb_keep",
+                (F.col("__tb_off") + prefix_in) < F.lit(int(budget)),
+            )
+        )
+    out_cols = list(df.columns)
+    if keep_col is not None:
+        if keep_col in df.columns:
+            raise ValueError(f"keep_col {keep_col!r} already exists")
+        return kept.select(
+            *out_cols, F.col("__tb_keep").alias(keep_col)
+        )
+    return kept.where(F.col("__tb_keep")).select(*out_cols)

@@ -4511,3 +4511,145 @@ class TestBM25:
         )
         with pytest.raises(ValueError, match="k must be"):
             bm25_topk(corpus, queries, k=0)
+
+
+class TestTakeTokenBudget:
+    """take_token_budget: greedy budget fill via hash-bucket prefix sums."""
+
+    def _docs(self, spark, n=300):
+        import random
+
+        random.seed(7)
+        langs = ["en", "de", None]
+        rows = [
+            (
+                i,
+                langs[i % 3],
+                " ".join(f"w{j}" for j in range(random.randint(1, 30))),
+                random.random(),
+            )
+            for i in range(n)
+        ]
+        rows.append((n, "en", None, 0.5))   # null text -> 0 tokens
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, text string, q double"
+        )
+
+    @staticmethod
+    def _md5h(i, salt="budget"):
+        import hashlib
+
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+
+    def test_matches_python_model_md5(self, spark):
+        from tempo_spark.pipeline.sampling import take_token_budget
+
+        df = self._docs(spark)
+        budget = 800
+        out = take_token_budget(
+            df, budget, id_col="doc_id", hash_family="md5_32"
+        )
+        got = sorted(r.doc_id for r in out.collect())
+        rows = df.collect()
+        toks = {
+            r.doc_id: len(r.text.split()) if r.text else 0 for r in rows
+        }
+        order = sorted(rows, key=lambda r: (self._md5h(r.doc_id), r.doc_id))
+        want, cum = [], 0
+        for r in order:
+            if cum < budget:
+                want.append(r.doc_id)
+            cum += toks[r.doc_id]
+        assert got == sorted(want)
+        kept_tokens = sum(toks[d] for d in got)
+        assert kept_tokens >= budget  # enough data: budget is a floor
+        assert kept_tokens < budget + 30  # overshoot < one max doc
+
+    def test_per_group_budget_with_null_group(self, spark):
+        from tempo_spark.pipeline.sampling import take_token_budget
+
+        df = self._docs(spark)
+        budget = 300
+        out = take_token_budget(
+            df, budget, id_col="doc_id", by=["lang"], hash_family="md5_32"
+        ).collect()
+        rows = df.collect()
+        toks = {r.doc_id: len(r.text.split()) if r.text else 0 for r in rows}
+        bylang = {}
+        for r in sorted(rows, key=lambda r: (self._md5h(r.doc_id), r.doc_id)):
+            cum = bylang.setdefault(r.lang, [0, []])
+            if cum[0] < budget:
+                cum[1].append(r.doc_id)
+            cum[0] += toks[r.doc_id]
+        got = {}
+        for r in out:
+            got.setdefault(r.lang, []).append(r.doc_id)
+        assert set(got) == set(bylang)  # null group kept as a group
+        for lang in bylang:
+            assert sorted(got[lang]) == sorted(bylang[lang][1]), lang
+
+    def test_order_by_quality(self, spark):
+        import pyspark.sql.functions as F
+
+        from tempo_spark.pipeline.sampling import take_token_budget
+
+        df = self._docs(spark, n=60)
+        out = take_token_budget(
+            df, 200, id_col="doc_id", by=["lang"],
+            order_by=F.col("q").desc(),
+        ).collect()
+        rows = df.collect()
+        toks = {r.doc_id: len(r.text.split()) if r.text else 0 for r in rows}
+        bylang = {}
+        for r in sorted(rows, key=lambda r: (-r.q, r.doc_id)):
+            cum = bylang.setdefault(r.lang, [0, []])
+            if cum[0] < 200:
+                cum[1].append(r.doc_id)
+            cum[0] += toks[r.doc_id]
+        got = {}
+        for r in out:
+            got.setdefault(r.lang, []).append(r.doc_id)
+        for lang in bylang:
+            assert sorted(got.get(lang, [])) == sorted(bylang[lang][1]), lang
+
+    def test_flag_mode_and_edges(self, spark):
+        from tempo_spark.pipeline.sampling import take_token_budget
+
+        df = self._docs(spark, n=30)
+        flagged = take_token_budget(
+            df, 10**9, id_col="doc_id", keep_col="keep"
+        )
+        assert set(flagged.columns) == set(df.columns) | {"keep"}
+        assert all(r.keep for r in flagged.collect())
+        assert take_token_budget(df, 0, id_col="doc_id").count() == 0
+
+    def test_bucket_bits_invariance(self, spark):
+        from tempo_spark.pipeline.sampling import take_token_budget
+
+        df = self._docs(spark, n=200)
+        a = sorted(
+            r.doc_id
+            for r in take_token_budget(
+                df, 500, id_col="doc_id", n_buckets_bits=12
+            ).collect()
+        )
+        b = sorted(
+            r.doc_id
+            for r in take_token_budget(
+                df, 500, id_col="doc_id", n_buckets_bits=2
+            ).collect()
+        )
+        assert a == b  # decomposition granularity never changes the answer
+
+    def test_validations(self, spark):
+        import pytest
+
+        from tempo_spark.pipeline.sampling import take_token_budget
+
+        df = self._docs(spark, n=5)
+        with pytest.raises(ValueError, match="budget"):
+            take_token_budget(df, -1, id_col="doc_id")
+        with pytest.raises(ValueError, match="not in DataFrame"):
+            take_token_budget(df, 10, id_col="nope")
+        with pytest.raises(ValueError, match="already exists"):
+            take_token_budget(df, 10, id_col="doc_id", keep_col="lang")
