@@ -336,6 +336,29 @@ def _interpolate_linear(spark, sf_dir):
     return t.resample("30 minutes", "mean").interpolate("linear").df
 
 
+def _bm25(spark, sf_dir):
+    # ad-hoc BM25 retrieval: 20 whole-document queries against the corpus
+    # (query vocab broadcast prunes the token shuffle; the corpus is never
+    # reshuffled). Self-baselined — no v0 counterpart.
+    from tempo_spark.pipeline.search import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = docs.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(docs, queries, k=10)
+
+
+def _rollup(spark, sf_dir):
+    # multi-grain rollup over events: one raw shuffle to 15-minute
+    # partials, 1h/1d re-aggregated from those. Self-baselined.
+    de = entry_mod._dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    return t.resample_rollup(
+        ["15 minutes", "1 hour", "1 day"], {"cents": "mean"}
+    )
+
+
 BENCH_QUERIES = {
     "b1_asof_join": _single_asof,
     "b2_asof_skew": _skew_asof,
@@ -367,6 +390,8 @@ BENCH_QUERIES = {
     "b28_paragraph_filter": _paragraph_filter,
     "b29_prepare_corpus": _prepare_corpus,
     "b30_pq_ann": _pq_ann,
+    "b31_bm25": _bm25,
+    "b32_rollup": _rollup,
 }
 
 RUNS = 3

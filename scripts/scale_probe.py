@@ -1183,6 +1183,107 @@ def thresholds_probe(spark) -> dict:
     return out
 
 
+def rollup_probe(spark, n_rows: int, n_series: int, span_days: int = 1) -> dict:
+    """resample_rollup vs N independent resamples, 3 grains (1m/15m/1h).
+
+    The rollup reads + map-side-aggregates the raw rows ONCE; the naive
+    form does it once per grain. Measured WARMED (min of 2 same-session
+    reps — the first call pays JVM warmup, which buried the signal in the
+    first capture): rollup wins BOTH density regimes on local[32] —
+    dense (55 rows/finest-bucket) 2.1 vs 3.3 s, sparse (0.2/bucket, the
+    ×G partials fanout is corpus-sized) 3.7 vs 4.8 s — and the real
+    economy at cluster scale is (N−1) fewer full raw scans + map-side
+    aggregations, which synthetic in-memory ranges underprice.
+    rows_per_finest_bucket ≈ n_rows / (n_series × span_days × 1440)."""
+    from tempo_spark.tsdf import TSDF
+
+    df = spark.range(n_rows).select(
+        F.pmod(F.xxhash64("id"), F.lit(n_series)).alias("series"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(span_days * 86400))
+            * 1_000_000
+        ).alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)).alias("v"),
+    )
+    t = TSDF(df, ts_col="ts", series_ids=["series"])
+    grains = ["1 minute", "15 minutes", "1 hour"]
+    density = n_rows / (n_series * span_days * 1440)
+    out: dict = {
+        "n_rows": n_rows, "n_series": n_series, "span_days": span_days,
+        "rows_per_finest_bucket": round(density, 2), "grains": grains,
+    }
+    roll_secs, sep_secs = [], []
+    n_roll = n_sep = 0
+    for _ in range(2):
+        t0 = time.monotonic()
+        n_sep = sum(
+            t.resample(g, {"v": "sum"}).df.count() for g in grains
+        )
+        sep_secs.append(round(time.monotonic() - t0, 2))
+        t0 = time.monotonic()
+        n_roll = t.resample_rollup(grains, {"v": "sum"}).count()
+        roll_secs.append(round(time.monotonic() - t0, 2))
+    out["rollup"] = {"sec": min(roll_secs), "reps": roll_secs, "rows": n_roll}
+    out["separate"] = {"sec": min(sep_secs), "reps": sep_secs, "rows": n_sep}
+    assert n_roll == n_sep, (n_roll, n_sep)
+    return out
+
+
+def bm25_probe(spark, n_docs: int) -> dict:
+    """BM25 at corpus scale: 10 three-term queries against n_docs 20-token
+    docs over a 5k vocabulary (every query term is hot — worst case for
+    the broadcast prune: ~0.06% of the token stream still survives into
+    the (doc, term) shuffle per term). Measures the ad-hoc path (3 corpus
+    passes, query-restricted shuffle) and the indexed path split into
+    build (the one-time full-vocabulary shuffle, persisted) vs query
+    (postings-only, no text)."""
+    from tempo_spark.pipeline.search import BM25Index, bm25_topk
+
+    word = lambda e: F.substring(
+        F.md5(F.pmod(F.xxhash64(e), F.lit(5000)).cast("string")), 1, 6
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19)),
+                lambda i: word(F.col("id") * 20 + i),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    queries = spark.range(10).select(
+        F.col("id").alias("query_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda i: word(F.col("id") * 3 + i + 7),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    out: dict = {"n_docs": n_docs}
+    t0 = time.monotonic()
+    n = bm25_topk(docs, queries, k=10).count()
+    dt = time.monotonic() - t0
+    out["adhoc"] = {"sec": round(dt, 2), "rows": n,
+                    "docs_per_sec": int(n_docs / dt)}
+    t0 = time.monotonic()
+    idx = BM25Index.build(docs)
+    idx.postings = idx.postings.persist()
+    idx.dfreq = idx.dfreq.persist()
+    idx.postings.count()
+    out["index_build"] = {"sec": round(time.monotonic() - t0, 2)}
+    t0 = time.monotonic()
+    n2 = idx.topk(queries, k=10).count()
+    dt = time.monotonic() - t0
+    out["indexed_query"] = {"sec": round(dt, 2), "rows": n2}
+    idx.postings.unpersist()
+    idx.dfreq.unpersist()
+    return out
+
+
 def main():
     skew = "--skew" in sys.argv
     if "--thresholds" in sys.argv:
@@ -1252,6 +1353,20 @@ def main():
         spark = _probe_session()
         for n in (500_000, 2_000_000):
             print(json.dumps(_stamp(pq_probe(spark, n))))
+        spark.stop()
+        return
+    if "--rollup" in sys.argv:
+        spark = _probe_session()
+        # dense regime (~55 rows per finest bucket): rollup's home turf
+        print(json.dumps(_stamp(rollup_probe(spark, 8_000_000, 100, 1))))
+        # sparse regime (~0.2 rows per finest bucket): naive should win
+        print(json.dumps(_stamp(rollup_probe(spark, 8_000_000, 10_000, 3))))
+        spark.stop()
+        return
+    if "--bm25" in sys.argv:
+        spark = _probe_session()
+        for n in (1_000_000, 4_000_000):
+            print(json.dumps(_stamp(bm25_probe(spark, n))))
         spark.stop()
         return
     if "--prepare" in sys.argv:
