@@ -2127,7 +2127,10 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       (uni+bi)-gram bucket counts fit on a target slice (lang='en') vs the
       full corpus, per-doc log importance weight = Σ grams of the bucket
       log ratio. md5_32 bucket hashing (m=512) so DuckDB replays the fit →
-      ratio → score chain count-for-count; production keeps xxhash64."""
+      ratio → score chain count-for-count; production keeps xxhash64;
+    - ``pagerank`` (r9 cont.): exact-integer PageRank (pipeline/graph)
+      over a deterministic residue multigraph — 5 floor-division
+      iterations replayed bit-identically (val = scaled rank)."""
     from tempo_spark.pipeline.dedup import ngram_contamination
     from tempo_spark.pipeline.filtering import filter_by_group_stats
     from tempo_spark.pipeline.text import (
@@ -2201,6 +2204,25 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("clf").alias("tag"), "doc_id", _HR6(F.col("clf_logit")).alias("val")
     )
+    # pagerank (r9 cont.): link-based quality weighting over a synthesized
+    # deterministic residue graph (node = doc_id % 100, two functional
+    # edges per node — both engines construct the identical multigraph).
+    # exact_scale makes every iteration integer floor arithmetic, so the
+    # 5-iteration fixpoint is BIT-identical cross-engine; doc_id carries
+    # the node id, val = the scaled rank (exact in double).
+    from tempo_spark.pipeline.graph import pagerank
+
+    res_nodes = docs.select((F.col("doc_id") % 100).alias("src")).distinct()
+    pedges = res_nodes.select(
+        "src", ((F.col("src") * 7 + 1) % 100).alias("dst")
+    ).unionAll(
+        res_nodes.select("src", ((F.col("src") * 13 + 3) % 100).alias("dst"))
+    )
+    pr = pagerank(pedges, iters=5, exact_scale=10**12).select(
+        F.lit("pagerank").alias("tag"),
+        F.col("id").alias("doc_id"),
+        F.col("rank_scaled").cast("double").alias("val"),
+    )
     return (
         quality.unionByName(contam)
         .unionByName(src)
@@ -2209,6 +2231,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lm)
         .unionByName(dsir)
         .unionByName(clf)
+        .unionByName(pr)
     )
 
 
@@ -2380,6 +2403,56 @@ SELECT 'clf' AS tag, doc_id,
        END AS val
 FROM documents
 """
+
+
+def _pagerank_oracle_sql(iters: int = 5, S: int = 10**12, p: int = 17, q: int = 20) -> str:
+    """DuckDB replay of the gate's exact-integer PageRank: the identical
+    residue multigraph, identical floor-division update
+    ``r' = (S(q−p)) // (qN) + (p·(in + dm // N)) // q`` per iteration —
+    every quantity is a non-negative BIGINT, so Spark's ``div`` (trunc)
+    and DuckDB's ``//`` (floor) agree and the 5-round fixpoint is
+    bit-identical."""
+    ctes = [f"""
+pr_src AS (SELECT DISTINCT doc_id % 100 AS src FROM documents),
+pr_edges AS (
+  SELECT src, (src * 7 + 1) % 100 AS dst FROM pr_src
+  UNION ALL
+  SELECT src, (src * 13 + 3) % 100 AS dst FROM pr_src),
+pr_nodes AS (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM pr_edges UNION ALL SELECT dst FROM pr_edges)),
+pr_deg AS (SELECT src, count(*) AS deg FROM pr_edges GROUP BY src),
+pr_n AS (SELECT count(*) AS n FROM pr_nodes),
+pr_r0 AS (SELECT id, {S} // (SELECT n FROM pr_n) AS r FROM pr_nodes)"""]
+    for i in range(iters):
+        ctes.append(f""",
+pr_dang{i} AS (
+  SELECT coalesce(sum(r.r), 0) AS dm
+  FROM pr_nodes nd
+  LEFT JOIN pr_deg d ON d.src = nd.id
+  JOIN pr_r{i} r ON r.id = nd.id
+  WHERE d.src IS NULL),
+pr_inc{i} AS (
+  SELECT e.dst AS id, sum(r.r // d.deg) AS inw
+  FROM pr_edges e
+  JOIN pr_deg d ON d.src = e.src
+  JOIN pr_r{i} r ON r.id = e.src
+  GROUP BY e.dst),
+pr_r{i + 1} AS (
+  SELECT nd.id,
+         ({S} * {q - p}) // ({q} * (SELECT n FROM pr_n))
+         + ({p} * (coalesce(i.inw, 0)
+                   + (SELECT dm FROM pr_dang{i}) // (SELECT n FROM pr_n)))
+           // {q} AS r
+  FROM pr_nodes nd LEFT JOIN pr_inc{i} i ON i.id = nd.id)""")
+    return (
+        "\nUNION ALL\nSELECT 'pagerank' AS tag, id AS doc_id, "
+        "CAST(r AS DOUBLE) AS val\nFROM (\n  WITH "
+        + "".join(ctes)
+        + f"\n  SELECT id, r FROM pr_r{iters}\n)\n"
+    )
+
+
+_QUALITY_ORACLE = _QUALITY_ORACLE + _pagerank_oracle_sql()
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,167 @@
+"""Link-graph centrality for corpus curation: PageRank.
+
+Common Crawl-scale pipelines weight/filter pages by host- or page-level
+centrality of the hyperlink graph (the harmonic/PageRank ranks published
+with each CC crawl); a training-data engine needs the same primitive for
+link-informed quality weighting, seed-set expansion, and spam demotion.
+
+Spark-first shape: one (src → rank/out_degree) broadcast-free join + a
+map-side-combined ``groupBy(dst)`` per iteration, the rank frame
+checkpointed per round exactly like
+:func:`tempo_spark.pipeline.components.connected_components` (the
+sanctioned iterative class — lineage must not grow with iterations).
+Edges are never modified or re-shuffled beyond the per-iteration
+contribution aggregation; persist the degree-annotated edge frame once.
+
+No reference counterpart (the reference engine has no graph operators);
+semantics follow Page et al. 1999 with uniform teleport and dangling-mass
+redistribution, so ranks sum to ~1.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    exact_scale: Optional[int] = None,
+) -> DataFrame:
+    """Rank nodes of a directed graph by PageRank. Returns (id, rank).
+
+    ``r'(v) = (1-d)/N + d·(Σ_{u→v} r(u)/deg(u) + dangling/N)`` where
+    ``dangling`` is the total rank of nodes with no out-edges (their mass
+    teleports uniformly — ranks stay a distribution). Parallel edges each
+    carry a contribution (multigraph semantics); pre-``distinct()`` the
+    edge frame for simple-graph semantics. Null src/dst rows are dropped.
+
+    ``exact_scale=S`` switches every rank to a scaled long with integer
+    floor division (damping must be exactly rational, e.g. 0.85 = 17/20):
+    bit-reproducible on any engine and any partitioning — float
+    aggregation order varies run-to-run, so the float path's last ulps
+    are not stable; the integer path is, at a quantization error of
+    ~iters/S. Use it for cross-engine validation and regression-pinned
+    production runs; ranks come back as ``rank_scaled`` longs.
+
+    PageRank is inherently iterative-materializing: N and the per-round
+    rank frames are computed eagerly (the connected_components class);
+    each round's frame is ``localCheckpoint``-ed so lineage stays O(1).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst")
+    ).where(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
+    nodes = (
+        e.select(F.col("__src").alias("id"))
+        .unionByName(e.select(F.col("__dst").alias("id")))
+        .distinct()
+    )
+    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    # degree-annotated edges: built once, reused every iteration
+    e_deg = e.join(deg, "__src").persist()
+    nodes = nodes.persist()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn(
+            "rank_scaled" if exact_scale else "rank",
+            F.lit(None).cast("long" if exact_scale else "double"),
+        )
+    # nodes with no out-edge: their whole rank teleports each round
+    dangling_ids = nodes.join(
+        deg.select(F.col("__src").alias("id")), "id", "left_anti"
+    ).persist()
+
+    if exact_scale is not None:
+        frac = Fraction(str(damping))
+        p, q = frac.numerator, frac.denominator
+        S = int(exact_scale)
+        ranks = nodes.select(
+            "id", F.lit(S // n).cast("long").alias("__r")
+        )
+        for _ in range(iters):
+            dang = dangling_ids.join(ranks, "id").agg(
+                F.coalesce(F.sum("__r"), F.lit(0)).alias("__dm")
+            )
+            contribs = (
+                e_deg.join(
+                    ranks.select(
+                        F.col("id").alias("__src"), F.col("__r")
+                    ),
+                    "__src",
+                )
+                .select(
+                    F.col("__dst").alias("id"),
+                    F.expr("__r div __deg").alias("__c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("__c").alias("__in"))
+            )
+            base = F.lit((S * (q - p)) // (q * n)).cast("long")
+            ranks = (
+                nodes.join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "id",
+                    (
+                        base
+                        + F.expr(
+                            f"({p} * (coalesce(__in, 0)"
+                            f" + (__dm div {n}))) div {q}"
+                        )
+                    ).cast("long").alias("__r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        out = ranks.select("id", F.col("__r").alias("rank_scaled"))
+    else:
+        ranks = nodes.select("id", F.lit(1.0 / n).alias("__r"))
+        for _ in range(iters):
+            dang = dangling_ids.join(ranks, "id").agg(
+                F.coalesce(F.sum("__r"), F.lit(0.0)).alias("__dm")
+            )
+            contribs = (
+                e_deg.join(
+                    ranks.select(
+                        F.col("id").alias("__src"), F.col("__r")
+                    ),
+                    "__src",
+                )
+                .select(
+                    F.col("__dst").alias("id"),
+                    (F.col("__r") / F.col("__deg")).alias("__c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("__c").alias("__in"))
+            )
+            ranks = (
+                nodes.join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "id",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("__in"), F.lit(0.0))
+                            + F.col("__dm") / F.lit(float(n))
+                        )
+                    ).alias("__r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        out = ranks.select("id", F.col("__r").alias("rank"))
+    e_deg.unpersist()
+    nodes.unpersist()
+    dangling_ids.unpersist()
+    return out

@@ -4709,3 +4709,97 @@ class TestBM25Index:
         assert "text" not in plan.split("ReadSchema")[0].lower() or True
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestPageRank:
+    """pagerank: float path vs python model; exact integer path bit-pinned."""
+
+    _EDGES = [
+        (0, 1), (1, 2), (2, 0),          # a 3-cycle
+        (3, 0), (4, 0), (5, 0),          # spokes into the cycle
+        (0, 3),                           # backlink
+        (6, 0),                           # 7 is dangling (no out-edges at all)
+        (5, 0),                           # parallel edge (multigraph)
+        (2, 7),
+    ]
+
+    def _model_float(self, edges, d=0.85, iters=10):
+        from collections import Counter
+
+        nodes = sorted({u for e in edges for u in e})
+        n = len(nodes)
+        deg = Counter(u for u, _ in edges)
+        r = {v: 1.0 / n for v in nodes}
+        for _ in range(iters):
+            dm = sum(r[v] for v in nodes if deg[v] == 0)
+            inc = {v: 0.0 for v in nodes}
+            for u, v in edges:
+                inc[v] += r[u] / deg[u]
+            r = {v: (1 - d) / n + d * (inc[v] + dm / n) for v in nodes}
+        return r
+
+    def _model_int(self, edges, S, p=17, q=20, iters=10):
+        from collections import Counter
+
+        nodes = sorted({u for e in edges for u in e})
+        n = len(nodes)
+        deg = Counter(u for u, _ in edges)
+        r = {v: S // n for v in nodes}
+        base = (S * (q - p)) // (q * n)
+        for _ in range(iters):
+            dm = sum(r[v] for v in nodes if deg[v] == 0)
+            inc = {v: 0 for v in nodes}
+            for u, v in edges:
+                inc[v] += r[u] // deg[u]
+            r = {v: base + (p * (inc[v] + dm // n)) // q for v in nodes}
+        return r
+
+    def test_float_matches_model(self, spark):
+        from tempo_spark.pipeline.graph import pagerank
+
+        edges = spark.createDataFrame(self._EDGES, "src long, dst long")
+        got = {r.id: r.rank for r in pagerank(edges, iters=10).collect()}
+        want = self._model_float(self._EDGES)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-9, v
+        assert abs(sum(got.values()) - 1.0) < 1e-9  # a distribution
+
+    def test_ring_is_uniform(self, spark):
+        from tempo_spark.pipeline.graph import pagerank
+
+        ring = [(i, (i + 1) % 5) for i in range(5)]
+        edges = spark.createDataFrame(ring, "src long, dst long")
+        got = [r.rank for r in pagerank(edges, iters=5).collect()]
+        for v in got:
+            assert abs(v - 0.2) < 1e-12
+
+    def test_exact_scale_bit_pinned(self, spark):
+        from tempo_spark.pipeline.graph import pagerank
+
+        edges = spark.createDataFrame(self._EDGES, "src long, dst long")
+        S = 10**12
+        got = {
+            r.id: r.rank_scaled
+            for r in pagerank(edges, iters=10, exact_scale=S).collect()
+        }
+        want = self._model_int(self._EDGES, S)
+        assert got == want
+        # integer floors only ever LOSE mass, and only a little
+        assert 0.999 * S < sum(got.values()) <= S
+
+    def test_null_edges_dropped_and_validations(self, spark):
+        import pytest
+
+        from tempo_spark.pipeline.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 0), (None, 0), (1, None)], "src long, dst long"
+        )
+        got = {r.id: r.rank for r in pagerank(edges, iters=3).collect()}
+        assert set(got) == {0, 1}
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        with pytest.raises(ValueError, match="iters"):
+            pagerank(edges, iters=0)
+        with pytest.raises(ValueError, match="damping"):
+            pagerank(edges, damping=1.0)
