@@ -3274,8 +3274,10 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
 
 def q_near_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: MinHash pairs (md5_32 family) → connected
-    components → canonical min-id doc per cluster. The oracle replays the
-    pair generation and closes components with a recursive CTE."""
+    components → canonical doc per cluster, union-tagged: ``min`` (min-id
+    survivor) ∪ ``prio`` (priority_col survivor — longest text wins, ties
+    by id). The oracle replays the pair generation and closes components
+    with a recursive CTE."""
     from tempo_spark.pipeline.components import near_dedup
     from tempo_spark.pipeline.dedup import minhash_dedup
 
@@ -3288,9 +3290,17 @@ def q_near_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_iter=50 ≥ any cluster diameter at gate scale (500 docs, ~25
     # pairs), so label propagation reaches the same fixpoint the oracle's
     # exact transitive closure computes
-    return near_dedup(docs, pairs, "doc_id", max_iter=50).select(
-        "doc_id", "lang", "source"
+    kept_min = near_dedup(docs, pairs, "doc_id", max_iter=50).select(
+        F.lit("min").alias("tag"), "doc_id", "lang", "source"
     )
+    # prio (r9 cont.): priority_col survivor selection — the LONGEST text
+    # per cluster wins (ties by ascending id, null text loses); the oracle
+    # replays the same argmax over the exact transitive closure
+    kept_prio = near_dedup(
+        docs.withColumn("__plen", F.length("text")),
+        pairs, "doc_id", max_iter=50, priority_col="__plen",
+    ).select(F.lit("prio").alias("tag"), "doc_id", "lang", "source")
+    return kept_min.unionByName(kept_prio)
 
 
 def _near_dedup_oracle(threshold: float = 0.5) -> str:
@@ -3312,10 +3322,21 @@ reach(a, b) AS (
   UNION
   SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
 canon AS (SELECT a AS id, min(b) AS keep FROM reach GROUP BY a),
-losers AS (SELECT id FROM canon WHERE keep < id)
-SELECT d.doc_id, d.lang, d.source
+losers AS (SELECT id FROM canon WHERE keep < id),
+prio_ranked AS (
+  SELECT c.id,
+         row_number() OVER (PARTITION BY c.keep
+                            ORDER BY len(d.text) DESC NULLS LAST, c.id)
+           AS rn
+  FROM canon c JOIN documents d ON d.doc_id = c.id),
+prio_losers AS (SELECT id FROM prio_ranked WHERE rn > 1)
+SELECT 'min' AS tag, d.doc_id, d.lang, d.source
 FROM documents d
 WHERE d.doc_id NOT IN (SELECT id FROM losers)
+UNION ALL
+SELECT 'prio' AS tag, d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM prio_losers)
 """
 
 

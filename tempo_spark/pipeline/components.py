@@ -29,6 +29,8 @@ Scale-critical loop hygiene (an unpersisted iterative loop is quadratic):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
@@ -267,6 +269,7 @@ def near_dedup(
     id_col: str,
     keep: str = "min",
     max_iter: int = 20,
+    priority_col: Optional[str] = None,
 ) -> DataFrame:
     """Drop all but one canonical row per near-duplicate cluster.
 
@@ -275,10 +278,37 @@ def near_dedup(
     canonical representative is the min (or max) id of the connected
     component. Rows not in any pair are kept untouched.
 
+    ``priority_col=`` keeps the BEST row instead of an arbitrary-id one:
+    the cluster survivor is the row with the highest value of that
+    ``df`` column (a quality score, a length, a recency stamp), ties
+    broken by ascending id; null priorities lose to any non-null. The
+    priority lookup broadcasts the component labels (pair-graph-sized —
+    tiny relative to the corpus) into one ``df`` scan, and the
+    per-component argmax windows over that same small frame, so the
+    corpus is never shuffled. ``keep`` is ignored when a priority is
+    given.
+
     ``max_iter`` bounds the propagation rounds. The default pointer-jumping
     algorithm converges in O(log diameter) rounds, so 20 covers any
     realistic cluster (diameter ~2²⁰); the loop early-exits at fixpoint."""
     comps = connected_components(pairs, max_iter=max_iter)
+    if priority_col is not None:
+        if priority_col not in df.columns:
+            raise ValueError(f"priority_col {priority_col!r} not in DataFrame")
+        from pyspark.sql import Window
+
+        labeled = df.select(
+            F.col(id_col).alias("id"), F.col(priority_col).alias("__prio")
+        ).join(F.broadcast(comps), "id")
+        w = Window.partitionBy("component").orderBy(
+            F.col("__prio").desc_nulls_last(), F.col("id").asc()
+        )
+        losers = (
+            labeled.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") > 1)
+            .select(F.col("id").alias(id_col))
+        )
+        return df.join(losers, id_col, "left_anti")
     agg = F.min("id") if keep == "min" else F.max("id")
     canonical = comps.groupBy("component").agg(agg.alias("__keep"))
     losers = (

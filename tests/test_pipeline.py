@@ -4803,3 +4803,37 @@ class TestPageRank:
             pagerank(edges, iters=0)
         with pytest.raises(ValueError, match="damping"):
             pagerank(edges, damping=1.0)
+
+
+class TestNearDedupPriority:
+    def test_priority_survivor(self, spark):
+        from tempo_spark.pipeline.components import near_dedup
+
+        df = spark.createDataFrame(
+            [
+                (0, 0.2), (1, 0.9), (2, 0.9), (3, None),  # cluster {0,1,2,3}
+                (4, 0.5), (5, 0.1),                        # cluster {4,5}
+                (6, 0.0),                                  # unclustered
+            ],
+            "doc_id long, q double",
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+        )
+        kept = sorted(
+            r.doc_id
+            for r in near_dedup(df, pairs, "doc_id", priority_col="q").collect()
+        )
+        # cluster 1: max q=0.9 tie between 1,2 -> min id 1; null q (3) loses
+        # cluster 2: 4 wins; 6 untouched
+        assert kept == [1, 4, 6]
+
+    def test_priority_validation(self, spark):
+        import pytest
+
+        from tempo_spark.pipeline.components import near_dedup
+
+        df = spark.createDataFrame([(0, 1.0)], "doc_id long, q double")
+        pairs = spark.createDataFrame([(0, 0)], "id_a long, id_b long")
+        with pytest.raises(ValueError, match="priority_col"):
+            near_dedup(df, pairs, "doc_id", priority_col="nope")
