@@ -2475,7 +2475,9 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       when no paragraph got a verdict); tf = decided-paragraph count;
     - ``bm25`` (r9 cont.): Okapi BM25 top-10 retrieval (pipeline/search)
       with docs 0–4 as queries — term = "qid:matched", rank/tf integers,
-      float score orders quantized (same ln()-ulp defense as tfidf)."""
+      float score orders quantized (same ln()-ulp defense as tfidf);
+    - ``colloc`` (r9 cont.): top-20 PMI collocations (min_count=3) —
+      term = "a b", tf = pair count, quantized-PMI rank."""
     from tempo_spark.pipeline.text import (
         tfidf_keywords,
         with_language_id,
@@ -2517,6 +2519,18 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         F.col("tf_sum").cast("long").alias("tf"),
     )
+    # colloc (r9 cont.): top-20 PMI collocations (min_count=3) — rank by
+    # quantized PMI + fully discrete (pair_count, a, b) tiebreak; emitted
+    # columns are the integer rank/pair_count and the pair string
+    from tempo_spark.pipeline.text import top_collocations
+
+    col = top_collocations(docs, k=20, min_count=3).select(
+        F.lit("colloc").alias("tag"),
+        F.col("rank").cast("long").alias("doc_id"),
+        F.concat_ws(" ", "term_a", "term_b").alias("term"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("pair_count").cast("long").alias("tf"),
+    )
     # drop blank texts on BOTH sides: a group of only-blank docs would
     # yield zero paragraphs — Spark still emits its ('und', -1) row while
     # the oracle's unnest drops the group entirely (row-count mismatch);
@@ -2551,7 +2565,10 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rank"),
         n_known.cast("long").alias("tf"),
     )
-    return lang.unionByName(kw).unionByName(para).unionByName(bm)
+    return (
+        lang.unionByName(kw).unionByName(para).unionByName(bm)
+        .unionByName(col)
+    )
 
 
 _LANGID_ORACLE = """
@@ -2657,7 +2674,31 @@ branked AS (
          row_number() OVER (PARTITION BY qid
                             ORDER BY floor(score * 1000000 + 0.5) DESC,
                                      matched DESC, tf_sum DESC, doc_id) AS rank
-  FROM bsc)
+  FROM bsc),
+cpair AS (
+  SELECT tok[i] AS a, tok[i + 1] AS b, count(*) AS c
+  FROM tt, unnest(generate_series(1, len(tok) - 1)) AS u(i)
+  WHERE len(tok) >= 2
+  GROUP BY 1, 2
+  HAVING count(*) >= 3),
+cuni AS (
+  SELECT t AS term, count(*) AS c
+  FROM (SELECT unnest(tok) AS t FROM tt)
+  GROUP BY t),
+ctot AS (
+  SELECT (SELECT sum(c) FROM cuni) AS T,
+         (SELECT sum(c) FROM cuni)
+           - (SELECT count(*) FROM tt WHERE len(tok) > 0) AS B),
+cranked AS (
+  SELECT p.a, p.b, p.c,
+         row_number() OVER (
+           ORDER BY floor(ln((p.c / t.B) / ((ua.c / t.T) * (ub.c / t.T)))
+                          * 1000000 + 0.5) DESC,
+                    p.c DESC, p.a, p.b) AS rank
+  FROM cpair p
+  JOIN cuni ua ON ua.term = p.a
+  JOIN cuni ub ON ub.term = p.b
+  CROSS JOIN ctot t)
 SELECT 'lang' AS tag, doc_id, lang_pred AS term,
        CAST(0 AS BIGINT) AS rank, CAST(0 AS BIGINT) AS tf
 FROM langid
@@ -2679,6 +2720,11 @@ SELECT 'bm25' AS tag, doc_id,
        CAST(qid AS VARCHAR) || ':' || CAST(matched AS VARCHAR) AS term,
        CAST(rank AS BIGINT) AS rank, CAST(tf_sum AS BIGINT) AS tf
 FROM branked WHERE rank <= 10
+UNION ALL
+SELECT 'colloc' AS tag, CAST(rank AS BIGINT) AS doc_id,
+       a || ' ' || b AS term,
+       CAST(rank AS BIGINT) AS rank, CAST(c AS BIGINT) AS tf
+FROM cranked WHERE rank <= 20
 """
 
 

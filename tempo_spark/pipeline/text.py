@@ -971,3 +971,122 @@ def with_sentences(
     the cheap deterministic recipe; abbreviation-aware splitting is a
     model call, not an engine primitive."""
     return df.withColumn(out, sentences_col(F.col(text_col)))
+
+
+def top_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    min_count: int = 5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-level collocation mining: the top-``k`` adjacent-token
+    bigrams by PMI (phrase discovery — "new york"-style units worth
+    treating as one token; also a tokenizer-vocabulary signal and a
+    boilerplate detector: templated corpora surface their boilerplate as
+    impossibly-high-PMI pairs).
+
+    ``PMI(a,b) = ln( (c_ab / B) / ((c_a / T) · (c_b / T)) )`` with ``c_ab``
+    the adjacent-pair count over the corpus token stream, ``B`` total
+    bigrams, ``c_a`` unigram counts, ``T`` total tokens. ``min_count``
+    floors ``c_ab`` (PMI is degenerate on rare pairs — a hapax pair of two
+    hapax tokens maxes the score; Church & Hanks' classic caveat).
+
+    Returns (term_a, term_b, pair_count, count_a, count_b, pmi, rank),
+    rank 1..k by (1e-6-quantized PMI DESC, pair_count DESC, term_a,
+    term_b) — the discrete tiebreak makes the rank deterministic under
+    cross-engine ``ln()`` ulp differences, same idiom as tfidf_keywords.
+
+    Scale shape: column-pruned text-only passes feed the two count
+    aggregations (each map-side combined — hot tokens never make a hot
+    partition), the count joins are vocabulary-sized (never the corpus),
+    and the final top-k is ``orderBy().limit()`` — Spark plans
+    TakeOrderedAndProject (a per-partition heap + driver merge of k
+    rows), not a global sort."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    toks = tokens_col(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    staged = df.select(toks.alias("__tok"))
+    # post-Generate pairing via the carried array (the r8 lesson: HOF
+    # position transforms run interpreted; element_at after posexplode
+    # stays in codegen)
+    uni = (
+        staged.select(F.explode_outer("__tok").alias("term"))
+        .where(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    pairs = (
+        staged.select(
+            "__tok",
+            F.posexplode_outer("__tok").alias("__i", "term_a"),
+        )
+        .where(F.col("term_a").isNotNull())
+        .select(
+            "term_a",
+            # try_: the last token has no successor and ANSI element_at
+            # throws INVALID_ARRAY_INDEX instead of returning NULL
+            F.try_element_at("__tok", F.col("__i") + 2).alias("term_b"),
+        )
+        .where(F.col("term_b").isNotNull())
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+    totals = F.broadcast(
+        uni.agg(
+            F.sum("__c").alias("__T"),
+            # B = Σ_doc max(len-1, 0) = T - docs_with_tokens; count it from
+            # the same unigram frame's sibling scan of the staged tokens
+        )
+    )
+    n_bigram_docs = F.broadcast(
+        staged.select(
+            F.sum(
+                F.when(F.size("__tok") > 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias("__D")
+        )
+    )
+    ua = uni.select(
+        F.col("term").alias("term_a"), F.col("__c").alias("count_a")
+    )
+    ub = uni.select(
+        F.col("term").alias("term_b"), F.col("__c").alias("count_b")
+    )
+    scored = (
+        pairs.join(ua, "term_a")
+        .join(ub, "term_b")
+        .crossJoin(totals)
+        .crossJoin(n_bigram_docs)
+        .withColumn("__B", F.col("__T") - F.col("__D"))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("pair_count") / F.col("__B"))
+                / (
+                    (F.col("count_a") / F.col("__T"))
+                    * (F.col("count_b") / F.col("__T"))
+                )
+            ),
+        )
+    )
+    score_q = F.floor(F.col("pmi") * 1_000_000 + F.lit(0.5))
+    ranked = scored.orderBy(
+        score_q.desc(),
+        F.col("pair_count").desc(),
+        F.col("term_a").asc(),
+        F.col("term_b").asc(),
+    ).limit(k)
+    w = Window.orderBy(
+        score_q.desc(),
+        F.col("pair_count").desc(),
+        F.col("term_a").asc(),
+        F.col("term_b").asc(),
+    )
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "term_a", "term_b", "pair_count", "count_a", "count_b", "pmi", "rank"
+    )

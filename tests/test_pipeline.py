@@ -4837,3 +4837,57 @@ class TestNearDedupPriority:
         pairs = spark.createDataFrame([(0, 0)], "id_a long, id_b long")
         with pytest.raises(ValueError, match="priority_col"):
             near_dedup(df, pairs, "doc_id", priority_col="nope")
+
+
+class TestCollocations:
+    def test_matches_python_model(self, spark):
+        import math
+        from collections import Counter
+
+        from tempo_spark.pipeline.text import top_collocations
+
+        texts = [
+            "new york is big and new york is busy",
+            "san francisco and new york",
+            "the city of san francisco",
+            "big and busy city",
+            "",
+            None,
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [
+            (r.term_a, r.term_b, r.pair_count, r.count_a, r.count_b,
+             round(r.pmi, 9), r.rank)
+            for r in top_collocations(df, k=5, min_count=2).collect()
+        ]
+        toks = [t.lower().split() for t in texts if t]
+        uni = Counter(w for ts in toks for w in ts)
+        pc = Counter(
+            (a, b) for ts in toks for a, b in zip(ts, ts[1:])
+        )
+        T = sum(uni.values())
+        B = sum(len(ts) - 1 for ts in toks if len(ts) > 0)
+        cand = []
+        for (a, b), c in pc.items():
+            if c < 2:
+                continue
+            pmi = math.log((c / B) / ((uni[a] / T) * (uni[b] / T)))
+            cand.append((-math.floor(pmi * 1e6 + 0.5), -c, a, b, c, pmi))
+        cand.sort()
+        want = [
+            (a, b, c, uni[a], uni[b], round(pmi, 9), i + 1)
+            for i, (_q, _c, a, b, c, pmi) in enumerate(cand[:5])
+        ]
+        assert got == want
+        assert got[0][:2] == ("san", "francisco")  # perfect collocation
+
+    def test_validations(self, spark):
+        import pytest
+
+        from tempo_spark.pipeline.text import top_collocations
+
+        df = spark.createDataFrame([("a b",)], "text string")
+        with pytest.raises(ValueError, match="k must"):
+            top_collocations(df, k=0)
+        with pytest.raises(ValueError, match="min_count"):
+            top_collocations(df, min_count=0)
