@@ -214,7 +214,9 @@ class BM25Index:
       doc length riding the same aggregation (no join back),
     - ``dfreq`` (term, df_t): document frequencies for the whole
       vocabulary,
-    - ``stats``: a 1-row (n_docs, avgdl[, lowercase]) frame.
+    - ``stats``: a 1-row (n_docs, n_dl, sum_dl[, lowercase]) frame —
+      ADDITIVE components rather than a precomputed average, so
+      :meth:`add` merges shards exactly.
 
     ``topk`` then touches no text at all: the query vocabulary broadcasts
     into the postings scan (map-side prune before any shuffle), df_t is
@@ -269,13 +271,45 @@ class BM25Index:
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("df_t"))
         )
+        # additive components (not a precomputed avgdl): incremental
+        # ``add()`` can then merge stats exactly — n_dl/sum_dl cover docs
+        # whose text tokenizes (null text has a NULL dl and is excluded
+        # from the average, matching the ad-hoc path's F.avg)
         stats = corpus.select(
             F.col(id_col), F.size(toks).alias("__dl")
         ).agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.avg("__dl").alias("avgdl"),
+            F.count("__dl").alias("n_dl"),
+            F.coalesce(F.sum("__dl"), F.lit(0)).alias("sum_dl"),
         )
         return BM25Index(postings, dfreq, stats, id_col, lowercase)
+
+    def add(self, new_corpus: DataFrame, text_col: str = "text") -> "BM25Index":
+        """Incremental index growth (the IVFIndex.add recipe): tokenize
+        ONLY the new documents, union their postings, re-sum document
+        frequencies (a vocabulary-sized aggregation — the existing
+        postings are never re-tokenized or re-shuffled beyond the dfreq
+        merge), and merge the additive stats components exactly. Callers
+        are responsible for new ids not colliding with indexed ones."""
+        delta = BM25Index.build(
+            new_corpus, id_col=self.id_col, text_col=text_col,
+            lowercase=self.lowercase,
+        )
+        postings = self.postings.unionByName(delta.postings)
+        dfreq = (
+            self.dfreq.unionByName(delta.dfreq)
+            .groupBy("term")
+            .agg(F.sum("df_t").alias("df_t"))
+        )
+        stats = (
+            self.stats.unionByName(delta.stats)
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_dl").alias("n_dl"),
+                F.sum("sum_dl").alias("sum_dl"),
+            )
+        )
+        return BM25Index(postings, dfreq, stats, self.id_col, self.lowercase)
 
     def topk(
         self,
@@ -302,7 +336,11 @@ class BM25Index:
                 F.broadcast(
                     self.stats.select(
                         F.col("n_docs").alias("__n_docs"),
-                        F.col("avgdl").alias("__avgdl"),
+                        F.when(
+                            F.col("n_dl") > 0,
+                            F.col("sum_dl")
+                            / F.col("n_dl").cast("double"),
+                        ).alias("__avgdl"),
                     )
                 )
             )
@@ -327,7 +365,7 @@ class BM25Index:
         return BM25Index(
             spark.read.parquet(f"{path}/postings"),
             spark.read.parquet(f"{path}/dfreq"),
-            stats.select("n_docs", "avgdl"),
+            stats.select("n_docs", "n_dl", "sum_dl"),
             id_col=meta.id_col,
             lowercase=bool(meta.lowercase),
         )

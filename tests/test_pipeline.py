@@ -4891,3 +4891,29 @@ class TestCollocations:
             top_collocations(df, k=0)
         with pytest.raises(ValueError, match="min_count"):
             top_collocations(df, min_count=0)
+
+
+class TestBM25IndexAdd:
+    def test_add_equals_full_rebuild(self, spark):
+        from tempo_spark.pipeline.search import BM25Index
+
+        full = spark.createDataFrame(TestBM25._DOCS, "doc_id long, text string")
+        old = full.where(F.col("doc_id") < 4)
+        new = full.where(F.col("doc_id") >= 4)  # includes empty + null text
+        queries = spark.createDataFrame(
+            [(100, "quick fox"), (101, "cat")], "query_id long, text string"
+        )
+        want = {
+            (r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+            for r in BM25Index.build(full).topk(queries, k=10).collect()
+        }
+        grown = BM25Index.build(old).add(new)
+        got = {
+            (r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+            for r in grown.topk(queries, k=10).collect()
+        }
+        assert got == want
+        # stats components merged exactly
+        s = grown.stats.head()
+        sf = BM25Index.build(full).stats.head()
+        assert (s.n_docs, s.n_dl, s.sum_dl) == (sf.n_docs, sf.n_dl, sf.sum_dl)
