@@ -360,6 +360,12 @@ def resample_rollup(
         )
     pfx = f"{prefix}_" if prefix else ""
     whole_row = not isinstance(func, Mapping) and func in ("floor", "ceil")
+    reserved = {"__ts_f", "__grain", "__packed"} | {
+        f"__p{kind}_{c}" for c in col_funcs for kind in ("s", "c", "m")
+    }
+    clash = reserved & set(tsdf.df.columns)
+    if clash:
+        raise ValueError(f"reserved staging columns present: {sorted(clash)}")
 
     # ---- stage 1: ONE shuffle of the raw rows, to finest-grain partials
     bucket = _bucket_start(ts, finest.window_duration)

@@ -73,6 +73,8 @@ def pagerank(
     nodes = nodes.persist()
     n = nodes.count()
     if n == 0:
+        e_deg.unpersist()
+        nodes.unpersist()
         return nodes.withColumn(
             "rank_scaled" if exact_scale else "rank",
             F.lit(None).cast("long" if exact_scale else "double"),
