@@ -317,8 +317,6 @@ def resample_rollup(
             f"every grain must be an integer multiple of the finest "
             f"({freqs[order[0]]!r}); not multiples: {coarse_bad}"
         )
-    if grain_col in (ts, *series):
-        raise ValueError(f"grain_col {grain_col!r} collides with a key column")
 
     # resolve the per-column func map (same validation surface as resample)
     if isinstance(func, Mapping):
@@ -360,6 +358,14 @@ def resample_rollup(
         )
     pfx = f"{prefix}_" if prefix else ""
     whole_row = not isinstance(func, Mapping) and func in ("floor", "ceil")
+    # grain_col collisions: key columns AND the output metric names (a
+    # late AMBIGUOUS_REFERENCE from the final select is much harder to
+    # diagnose than this ValueError)
+    out_names = {ts, *series} | {f"{pfx}{c}" for c in col_funcs}
+    if grain_col in out_names:
+        raise ValueError(
+            f"grain_col {grain_col!r} collides with an output column"
+        )
     reserved = {"__ts_f", "__grain", "__packed"} | {
         f"__p{kind}_{c}" for c in col_funcs for kind in ("s", "c", "m")
     }

@@ -297,9 +297,18 @@ def near_dedup(
             raise ValueError(f"priority_col {priority_col!r} not in DataFrame")
         from pyspark.sql import Window
 
-        labeled = df.select(
-            F.col(id_col).alias("id"), F.col(priority_col).alias("__prio")
-        ).join(F.broadcast(comps), "id")
+        # one row per id BEFORE the window: df may carry duplicate rows
+        # per id (the dirty state a dedup pipeline exists for) and
+        # duplicate window rows would hand the winner id an rn=2 row —
+        # putting the WINNER in losers and deleting the whole cluster
+        labeled = (
+            df.select(
+                F.col(id_col).alias("id"), F.col(priority_col).alias("__prio")
+            )
+            .join(F.broadcast(comps), "id")
+            .groupBy("id", "component")
+            .agg(F.max("__prio").alias("__prio"))
+        )
         w = Window.partitionBy("component").orderBy(
             F.col("__prio").desc_nulls_last(), F.col("id").asc()
         )

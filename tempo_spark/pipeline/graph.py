@@ -59,6 +59,11 @@ def pagerank(
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if exact_scale is not None and exact_scale < 1:
+        raise ValueError(
+            f"exact_scale must be >= 1, got {exact_scale} (all-integer "
+            "ranks at scale 0 would be uniformly zero)"
+        )
     e = edges.select(
         F.col(src).alias("__src"), F.col(dst).alias("__dst")
     ).where(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
@@ -75,9 +80,10 @@ def pagerank(
     if n == 0:
         e_deg.unpersist()
         nodes.unpersist()
+        exact = exact_scale is not None
         return nodes.withColumn(
-            "rank_scaled" if exact_scale else "rank",
-            F.lit(None).cast("long" if exact_scale else "double"),
+            "rank_scaled" if exact else "rank",
+            F.lit(None).cast("long" if exact else "double"),
         )
     # nodes with no out-edge: their whole rank teleports each round
     dangling_ids = nodes.join(

@@ -761,7 +761,8 @@ def take_token_budget(
 
     from tempo_spark.pipeline.text import tokens_col
 
-    reserved = {"__tb_h", "__tb_tok", "__tb_b", "__tb_off"}
+    reserved = {"__tb_h", "__tb_tok", "__tb_b", "__tb_off", "__tb_keep",
+                "__tb_ob"} | {f"__tb_g_{c}" for c in groups}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"reserved staging columns present: {sorted(clash)}")

@@ -50,8 +50,17 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     lowercase: bool = True,
+    broadcast_matched: bool = True,
 ) -> DataFrame:
     """Top-``k`` corpus documents per query by Okapi BM25.
+
+    ``broadcast_matched``: the matched (doc, term, tf) frame is
+    matched-docs × query-terms rows — small for SELECTIVE queries, but a
+    single stopword-grade query term ("the") matches nearly every
+    document and the frame approaches corpus size. Pass ``False`` for
+    hot-term query sets: the doc-length join becomes an id-keyed shuffle
+    join instead of a driver-collected broadcast (which would hit the
+    broadcast size limit / OOM at scale).
 
     ``score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
     with ``idf(t) = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))`` (the Lucene
@@ -111,17 +120,16 @@ def bm25_topk(
         )
     )
 
-    # per-(query, doc, term) contribution: tf rows are query-vocabulary-
-    # sized, so THEY broadcast into the doc-length scan — the corpus
-    # never shuffles
-    per_term = dl_df.join(
-        F.broadcast(
-            tf.join(F.broadcast(dfreq), "term").join(
-                F.broadcast(qterms), "term"
-            )
-        ),
-        id_col,
-    ).crossJoin(stats)
+    # per-(query, doc, term) contribution: for selective queries the
+    # matched frame (matched docs × query terms) broadcasts into the
+    # doc-length scan so the corpus never shuffles; dfreq/qterms are
+    # always query-vocabulary-sized and always broadcast
+    matched = tf.join(F.broadcast(dfreq), "term").join(
+        F.broadcast(qterms), "term"
+    )
+    if broadcast_matched:
+        matched = F.broadcast(matched)
+    per_term = dl_df.join(matched, id_col).crossJoin(stats)
     return _bm25_rank(per_term, id_col, query_id_col, k, k1, b)
 
 
@@ -348,6 +356,13 @@ class BM25Index:
         return _bm25_rank(per_term, self.id_col, query_id_col, k, k1, b)
 
     def save(self, path: str, mode: str = "overwrite", n_files: int = 64) -> None:
+        """``mode="append"`` is the shard-growth idiom: append a delta
+        index (``BM25Index.build(new_docs)``) built over NEW ids and the
+        existing files stay untouched — :meth:`load` re-aggregates the
+        accumulated dfreq rows and additive stats rows, so an appended
+        layout reads back exactly like one ``add()``-merged index (the
+        round-4 appended-bloom lesson: duplicate metadata rows must be
+        re-aggregated at read time or every consumer silently fans out)."""
         self.postings.repartition(n_files, "term").write.mode(mode).parquet(
             f"{path}/postings"
         )
@@ -360,12 +375,30 @@ class BM25Index:
 
     @staticmethod
     def load(spark, path: str) -> "BM25Index":
-        stats = spark.read.parquet(f"{path}/stats")
-        meta = stats.select("lowercase", "id_col").head()
+        stats_rows = spark.read.parquet(f"{path}/stats").collect()
+        metas = {(bool(r.lowercase), r.id_col) for r in stats_rows}
+        if len(metas) != 1:
+            raise ValueError(
+                f"inconsistent index metadata across appended saves: {metas}"
+            )
+        (lowercase, id_col), = metas
+        stats = spark.createDataFrame(
+            [(
+                sum(r.n_docs for r in stats_rows),
+                sum(r.n_dl for r in stats_rows),
+                sum(r.sum_dl for r in stats_rows),
+            )],
+            "n_docs long, n_dl long, sum_dl long",
+        )
+        dfreq = (
+            spark.read.parquet(f"{path}/dfreq")
+            .groupBy("term")
+            .agg(F.sum("df_t").alias("df_t"))
+        )
         return BM25Index(
             spark.read.parquet(f"{path}/postings"),
-            spark.read.parquet(f"{path}/dfreq"),
-            stats.select("n_docs", "n_dl", "sum_dl"),
-            id_col=meta.id_col,
-            lowercase=bool(meta.lowercase),
+            dfreq,
+            stats,
+            id_col=id_col,
+            lowercase=lowercase,
         )

@@ -4704,9 +4704,12 @@ class TestBM25Index:
             loaded.topk(queries, k=3)
             ._jdf.queryExecution().executedPlan().toString()
         )
-        # scoring reads only the postings/dfreq/stats parquet — never a
-        # text column, never a SortMergeJoin of the corpus
-        assert "text" not in plan.split("ReadSchema")[0].lower() or True
+        # scoring reads only the postings/dfreq/stats parquet — no scan
+        # schema may carry a text column, and the corpus is never
+        # sort-merge-joined
+        for line in plan.splitlines():
+            if "ReadSchema" in line:
+                assert "text" not in line, line
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
 
@@ -4917,3 +4920,96 @@ class TestBM25IndexAdd:
         s = grown.stats.head()
         sf = BM25Index.build(full).stats.head()
         assert (s.n_docs, s.n_dl, s.sum_dl) == (sf.n_docs, sf.n_dl, sf.sum_dl)
+
+
+class TestSessionReviewFixes:
+    """Regression pins for the r9-cont review findings."""
+
+    def test_near_dedup_priority_tolerates_duplicate_id_rows(self, spark):
+        from tempo_spark.pipeline.components import near_dedup
+
+        df = spark.createDataFrame(
+            [(0, 0.2), (1, 0.9), (1, 0.9), (2, 0.5)],  # id 1 duplicated
+            "doc_id long, q double",
+        )
+        pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+        out = near_dedup(df, pairs, "doc_id", priority_col="q").collect()
+        # winner id 1 keeps BOTH its rows; losers 0/2 gone entirely
+        assert sorted(r.doc_id for r in out) == [1, 1]
+
+    def test_take_token_budget_reserved_keep_col(self, spark):
+        import pytest
+
+        from tempo_spark.pipeline.sampling import take_token_budget
+
+        df = spark.createDataFrame(
+            [(0, "a b", True)], "doc_id long, text string, __tb_keep boolean"
+        )
+        with pytest.raises(ValueError, match="reserved"):
+            take_token_budget(df, 10, id_col="doc_id")
+
+    def test_bm25_index_append_save_reads_back_merged(self, spark, tmp_path):
+        from tempo_spark.pipeline.search import BM25Index
+
+        full = spark.createDataFrame(TestBM25._DOCS, "doc_id long, text string")
+        old = full.where(F.col("doc_id") < 4)
+        new = full.where(F.col("doc_id") >= 4)
+        queries = spark.createDataFrame(
+            [(100, "quick fox"), (101, "cat")], "query_id long, text string"
+        )
+        path = str(tmp_path / "bm25_appended")
+        BM25Index.build(old).save(path)
+        BM25Index.build(new).save(path, mode="append")
+        loaded = BM25Index.load(spark, path)
+        want = {
+            (r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+            for r in BM25Index.build(full).topk(queries, k=10).collect()
+        }
+        got = {
+            (r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+            for r in loaded.topk(queries, k=10).collect()
+        }
+        assert got == want
+
+    def test_bm25_shuffle_join_path_equal(self, spark):
+        from tempo_spark.pipeline.search import bm25_topk
+
+        corpus = spark.createDataFrame(TestBM25._DOCS, "doc_id long, text string")
+        queries = spark.createDataFrame(
+            [(1, "the quick")], "query_id long, text string"  # hot term
+        )
+        a = {
+            (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+            for r in bm25_topk(corpus, queries, k=10).collect()
+        }
+        b = {
+            (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+            for r in bm25_topk(
+                corpus, queries, k=10, broadcast_matched=False
+            ).collect()
+        }
+        assert a == b
+
+    def test_pagerank_exact_scale_validation(self, spark):
+        import pytest
+
+        from tempo_spark.pipeline.graph import pagerank
+
+        edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+        with pytest.raises(ValueError, match="exact_scale"):
+            pagerank(edges, exact_scale=0)
+
+    def test_rollup_grain_col_metric_collision(self, spark):
+        import datetime as dt
+
+        import pytest
+
+        from tempo_spark import TSDF
+
+        df = spark.createDataFrame(
+            [("A", dt.datetime(2024, 1, 1), 1.0)],
+            "sym string, ts timestamp, v double",
+        )
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        with pytest.raises(ValueError, match="output column"):
+            t.resample_rollup(["5 minutes", "10 minutes"], "sum", grain_col="v")
