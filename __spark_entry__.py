@@ -1971,6 +1971,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, 20000, id_col="doc_id", token_col="n_tokens",
         hash_family="md5_32", keep_col="budget_keep",
     )
+    # Z-order Morton code (r9 cont., sources/layout.py): bit-interleave of
+    # quantized (doc_id, n_tokens) — pure long bit arithmetic, replayed
+    # term-for-term by the oracle (null n_tokens -> null code)
+    from tempo_spark.sources.layout import with_morton_code
+
+    out = with_morton_code(
+        out, {"doc_id": (0.0, 100000.0), "n_tokens": (0.0, 4096.0)},
+        out="morton",
+    )
     # context-window chunking (max 16 tokens, overlap 4): n_chunks + an
     # order-sensitive digest of every chunk gate the stride arithmetic and
     # the chunk text itself (re-aggregation is GATE-side only; the
@@ -2000,7 +2009,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard_id").cast("long").alias("shard_id"),
         F.col("shard_pos").cast("long").alias("shard_pos"),
         "top_2gram_char_frac", "dup_2gram_char_frac",
-        "mix_keep", "budget_keep",
+        "mix_keep", "budget_keep", "morton",
         "n_chunks", "chunks_digest",
     )
 
@@ -2052,7 +2061,16 @@ mls AS (SELECT lang, avail,
         FROM msz),
 mrt AS (SELECT lang,
                least(1.0, share * (min(avail / share) OVER ()) / avail) AS rate
-        FROM mls WHERE share IS NOT NULL AND share > 0 AND avail > 0)
+        FROM mls WHERE share IS NOT NULL AND share > 0 AND avail > 0),
+mq AS (
+  SELECT doc_id,
+         CAST(floor(((least(greatest(CAST(doc_id AS DOUBLE), 0.0), 100000.0)
+                      - 0.0) / 100000.0) * 65535.0) AS BIGINT) AS q1,
+         CASE WHEN n_tokens IS NULL THEN NULL
+              ELSE CAST(floor(((least(greatest(CAST(n_tokens AS DOUBLE), 0.0),
+                                      4096.0) - 0.0) / 4096.0) * 65535.0)
+                        AS BIGINT) END AS q2
+  FROM base)
 SELECT b.doc_id, n_tokens, n_2grams, n_2grams_distinct, dup_2gram_frac, split,
        CAST(floor(
          (sum(n_tokens) OVER (
@@ -2072,12 +2090,14 @@ SELECT b.doc_id, n_tokens, n_2grams, n_2grams_distinct, dup_2gram_frac, split,
           ORDER BY ('0x' || substr(md5('budget:' || CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT,
                    b.doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 20000 AS budget_keep,
+       CASE WHEN mq.q2 IS NULL THEN NULL ELSE __MORTON_TERMS__ END AS morton,
        ch.n_chunks, ch.chunks_digest
 FROM base b
 JOIN documents d ON d.doc_id = b.doc_id
 LEFT JOIN (SELECT doc_id, w FROM granked WHERE rn = 1) t ON t.doc_id = b.doc_id
 LEFT JOIN gdup gd ON gd.doc_id = b.doc_id
 LEFT JOIN mrt r ON d.lang IS NOT DISTINCT FROM r.lang
+LEFT JOIN mq ON mq.doc_id = b.doc_id
 LEFT JOIN (
   -- chunking replay: max 16 tokens, overlap 4 -> stride 12; the digest is
   -- the chunks in index order joined by \\x01 (null-text docs stay null)
@@ -2091,6 +2111,20 @@ LEFT JOIN (
   GROUP BY t2.doc_id, t2.tok
 ) ch ON ch.doc_id = b.doc_id
 """
+
+# Morton bit-interleave replay: 16 bits per column, doc_id's bit j at
+# position 2j+1, n_tokens' at 2j — the exact with_morton_code layout
+_TOKEN_COUNT_ORACLE = _TOKEN_COUNT_ORACLE.replace(
+    "__MORTON_TERMS__",
+    " | ".join(
+        t
+        for j in range(16)
+        for t in (
+            f"(((mq.q1 >> {j}) & 1) << {2 * j + 1})",
+            f"(((mq.q2 >> {j}) & 1) << {2 * j})",
+        )
+    ),
+)
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:

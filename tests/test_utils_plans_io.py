@@ -378,3 +378,115 @@ class TestBucketedIO:
         t = TSDF(trades, ts_col="event_ts", series_ids=["symbol"])
         with _pytest.raises(ValueError):
             write_tsdf_bucketed(t, spark, "nope", n_buckets=0)
+
+
+class TestZOrderLayout:
+    """sources/layout.py: Morton codes + Z-order frame layout."""
+
+    def _model_morton(self, vals, bounds, bits=16):
+        n = len(vals)
+        code = 0
+        for i, (x, (lo, hi)) in enumerate(zip(vals, bounds)):
+            if x is None:
+                return None
+            x = min(max(float(x), lo), hi)
+            q = int(((x - lo) / (hi - lo)) * ((1 << bits) - 1))
+            for j in range(bits):
+                code |= ((q >> j) & 1) << (j * n + (n - 1 - i))
+        return code
+
+    def test_matches_python_model(self, spark):
+        import pyspark.sql.functions as F
+
+        from tempo_spark.sources.layout import with_morton_code
+
+        rows = [
+            (0, 0.0, 0.0), (1, 100.0, 50.0), (2, 55.5, 12.5),
+            (3, -10.0, 999.0),  # clamps
+            (4, None, 3.0),     # null -> null code
+        ]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        bounds = {"x": (0.0, 100.0), "y": (0.0, 50.0)}
+        got = {
+            r.id: r.morton
+            for r in with_morton_code(df, bounds).collect()
+        }
+        for rid, x, y in rows:
+            assert got[rid] == self._model_morton(
+                [x, y], [bounds["x"], bounds["y"]]
+            ), rid
+
+    def test_locality_and_monotone_dims(self, spark):
+        from tempo_spark.sources.layout import with_morton_code
+
+        # a grid: codes must be unique per cell and monotone along each
+        # axis when the other is fixed (the Z-curve property that makes
+        # row-group min/max selective for both columns)
+        rows = [
+            (i * 16 + j, float(i), float(j))
+            for i in range(16) for j in range(16)
+        ]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        got = {
+            (int(r.x), int(r.y)): r.morton
+            for r in with_morton_code(
+                df, {"x": (0.0, 15.0), "y": (0.0, 15.0)}, bits=4
+            ).collect()
+        }
+        assert len(set(got.values())) == 256
+        for i in range(16):
+            xs = [got[(i, j)] for j in range(16)]
+            assert xs == sorted(xs)
+            ys = [got[(j, i)] for j in range(16)]
+            assert ys == sorted(ys)
+
+    def test_zorder_frame_skips_row_groups(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from tempo_spark.sources.layout import zorder_frame
+
+        df = spark.range(20000).select(
+            F.col("id"),
+            (F.pmod(F.col("id") * 7919, F.lit(10000)).cast("double")).alias("x"),
+            (F.pmod(F.col("id") * 104729, F.lit(10000)).cast("double")).alias("y"),
+        )
+        path = str(tmp_path / "zordered")
+        zorder_frame(
+            df, {"x": (0.0, 10000.0), "y": (0.0, 10000.0)}, n_partitions=8
+        ).write.parquet(path)
+        back = spark.read.parquet(path)
+        assert back.columns == ["id", "x", "y"]  # code column dropped
+        # correctness of a 2-D box under the layout
+        want = df.where((F.col("x") < 500) & (F.col("y") < 500)).count()
+        got = back.where((F.col("x") < 500) & (F.col("y") < 500)).count()
+        assert got == want
+        # and the layout clusters: the x-range of each file is narrow
+        # relative to the full domain for at least half the files
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        spans = []
+        for f in _glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            lo = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+        assert sorted(spans)[len(spans) // 2] < 10000 * 0.8
+
+    def test_validations(self, spark):
+        import pytest
+
+        from tempo_spark.sources.layout import with_morton_code
+
+        df = spark.createDataFrame([(1, 2.0, 3.0)], "id long, x double, y double")
+        with pytest.raises(ValueError, match=">= 2 columns"):
+            with_morton_code(df, {"x": (0, 1)})
+        with pytest.raises(ValueError, match="<= 63"):
+            with_morton_code(df, {"x": (0, 1), "y": (0, 1)}, bits=32)
+        with pytest.raises(ValueError, match="not in DataFrame"):
+            with_morton_code(df, {"x": (0, 1), "nope": (0, 1)})
+        with pytest.raises(ValueError, match="hi > lo"):
+            with_morton_code(df, {"x": (0, 1), "y": (5, 5)})
+        with pytest.raises(ValueError, match="already exists"):
+            with_morton_code(df, {"x": (0, 1), "y": (0, 1)}, out="id")
