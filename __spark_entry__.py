@@ -1055,22 +1055,53 @@ FROM de
 
 
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-grain calc_bars ∪ multi-grain calc_bars_rollup (r9 cont.) —
+    the rollup's min/max-of-struct partial combination is value-gated
+    against direct per-grain grouped argmin/argmax."""
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
     out = t.calc_bars("1 hour").df
-    return out.select(
+
+    def bar_cols(frame):
+        return [
+            _R6(F.col("open_value")).alias("open_v"),
+            _R6(F.col("low_value")).alias("low_v"),
+            _R6(F.col("high_value")).alias("high_v"),
+            _R6(F.col("close_value")).alias("close_v"),
+        ]
+
+    single = out.select(
+        F.lit("single").alias("grain"),
         "user_id",
         F.col("ts").alias("bucket_ts"),
-        _R6(F.col("open_value")).alias("open_v"),
-        _R6(F.col("low_value")).alias("low_v"),
-        _R6(F.col("high_value")).alias("high_v"),
-        _R6(F.col("close_value")).alias("close_v"),
+        *bar_cols(out),
     )
+    roll = t.calc_bars_rollup(["15 minutes", "1 hour"]).select(
+        "grain",
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        *bar_cols(None),
+    )
+    return single.unionByName(roll)
 
 
 _OHLC_ORACLE = f"""
 WITH {_DE_CTE}
-SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+SELECT 'single' AS grain, user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+       round(arg_min(value, ts), 6) AS open_v,
+       round(min(value), 6) AS low_v,
+       round(max(value), 6) AS high_v,
+       round(arg_max(value, ts), 6) AS close_v
+FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+SELECT '15 minutes' AS grain, user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts,
+       round(arg_min(value, ts), 6) AS open_v,
+       round(min(value), 6) AS low_v,
+       round(max(value), 6) AS high_v,
+       round(arg_max(value, ts), 6) AS close_v
+FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+SELECT '1 hour' AS grain, user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
        round(arg_min(value, ts), 6) AS open_v,
        round(min(value), 6) AS low_v,
        round(max(value), 6) AS high_v,

@@ -336,6 +336,14 @@ def _interpolate_linear(spark, sf_dir):
     return t.resample("30 minutes", "mean").interpolate("linear").df
 
 
+def _ohlc_single(spark, sf_dir):
+    # single-grain calc_bars, matching the BASELINE B6 shape (the entry
+    # module's ohlc query now union-tags single ∪ multi-grain rollup)
+    de = entry_mod._dedup_events(spark, sf_dir).select("user_id", "ts", "value")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    return t.calc_bars("1 hour").df
+
+
 def _bm25(spark, sf_dir):
     # ad-hoc BM25 retrieval: 20 whole-document queries against the corpus
     # (query vocab broadcast prunes the token shuffle; the corpus is never
@@ -365,7 +373,7 @@ BENCH_QUERIES = {
     "b3_range_stats": _range_stats,
     "b4_resample_fill": entry_mod.q_upsample_zero_fill,
     "b5_interpolate_linear": _interpolate_linear,
-    "b6_ohlc_bars": entry_mod.q_ohlc_bars,
+    "b6_ohlc_bars": _ohlc_single,
     "b7_make_disjoint": entry_mod.q_make_disjoint,
     "b8_latest_slices": entry_mod.q_latest_3,
     "b9_vwap": entry_mod.q_vwap,

@@ -254,6 +254,55 @@ def calc_bars(
     return ResampledTSDF(out, ts_col=ts, series_ids=series, freq=freq, func="bars")
 
 
+def _validated_grains(freqs):
+    """Parse + order a multi-grain spec: finest first, every coarser an
+    integer multiple of the finest (the nesting condition that makes
+    partial re-aggregation exact). Returns (order, parsed, micros)."""
+    if isinstance(freqs, str):
+        raise TypeError("freqs must be a sequence of frequency strings")
+    parsed = [parse_freq(fq) for fq in freqs]
+    if len(parsed) < 2:
+        raise ValueError("resample_rollup needs >= 2 grains; use resample()")
+    micros = [int(round(f.seconds * 1e6)) for f in parsed]
+    if len(set(micros)) != len(micros):
+        raise ValueError(f"duplicate grains in freqs: {list(freqs)}")
+    order = sorted(range(len(parsed)), key=lambda i: micros[i])
+    finest_us = micros[order[0]]
+    coarse_bad = [
+        str(freqs[i]) for i in order[1:] if micros[i] % finest_us != 0
+    ]
+    if coarse_bad:
+        raise ValueError(
+            f"every grain must be an integer multiple of the finest "
+            f"({freqs[order[0]]!r}); not multiples: {coarse_bad}"
+        )
+    return order, parsed, micros
+
+
+def _fan_over_grains(partials, freqs, order, micros, grain_col, series, ts):
+    """Explode finest-bucket partial rows across the grains (epoch-pmod
+    floor == F.window for nested multiples) and return the regrouped
+    GroupedData keyed by (grain, series, coarse bucket ts)."""
+    us = F.unix_micros(F.col("__ts_f"))
+    grain_structs = [
+        F.struct(
+            F.lit(str(freqs[i])).alias("g"),
+            F.timestamp_micros(
+                us - F.pmod(us, F.lit(micros[i]))
+            ).alias("b"),
+        )
+        for i in order
+    ]
+    fanned = partials.withColumn(
+        "__grain", F.explode(F.array(*grain_structs))
+    )
+    return fanned.groupBy(
+        F.col("__grain")["g"].alias(grain_col),
+        *series,
+        F.col("__grain")["b"].alias(ts),
+    )
+
+
 def resample_rollup(
     tsdf,
     freqs: Sequence[str],
@@ -298,25 +347,8 @@ def resample_rollup(
     from collections.abc import Mapping
 
     series, ts = list(tsdf.series_ids), tsdf.ts_col
-    if isinstance(freqs, str):
-        raise TypeError("freqs must be a sequence of frequency strings")
-    parsed = [parse_freq(fq) for fq in freqs]
-    if len(parsed) < 2:
-        raise ValueError("resample_rollup needs >= 2 grains; use resample()")
-    micros = [int(round(f.seconds * 1e6)) for f in parsed]
-    if len(set(micros)) != len(micros):
-        raise ValueError(f"duplicate grains in freqs: {list(freqs)}")
-    order = sorted(range(len(parsed)), key=lambda i: micros[i])
+    order, parsed, micros = _validated_grains(freqs)
     finest = parsed[order[0]]
-    finest_us = micros[order[0]]
-    coarse_bad = [
-        str(freqs[i]) for i in order[1:] if micros[i] % finest_us != 0
-    ]
-    if coarse_bad:
-        raise ValueError(
-            f"every grain must be an integer multiple of the finest "
-            f"({freqs[order[0]]!r}); not multiples: {coarse_bad}"
-        )
 
     # resolve the per-column func map (same validation surface as resample)
     if isinstance(func, Mapping):
@@ -395,25 +427,10 @@ def resample_rollup(
                 )
         partials = grouped.agg(*aggs)
 
-    # ---- stage 2: explode each finest bucket across grains (epoch-pmod
-    # floor == F.window for nested multiples), re-aggregate the partials
-    us = F.unix_micros(F.col("__ts_f"))
-    grain_structs = [
-        F.struct(
-            F.lit(str(freqs[i])).alias("g"),
-            F.timestamp_micros(
-                us - F.pmod(us, F.lit(micros[i]))
-            ).alias("b"),
-        )
-        for i in order
-    ]
-    fanned = partials.withColumn(
-        "__grain", F.explode(F.array(*grain_structs))
-    )
-    regrouped = fanned.groupBy(
-        F.col("__grain")["g"].alias(grain_col),
-        *series,
-        F.col("__grain")["b"].alias(ts),
+    # ---- stage 2: explode each finest bucket across grains and
+    # re-aggregate the partials (shared fanout helper)
+    regrouped = _fan_over_grains(
+        partials, freqs, order, micros, grain_col, series, ts
     )
     if whole_row:
         combine = F.min if func == "floor" else F.max
@@ -447,3 +464,73 @@ def resample_rollup(
         out = regrouped.agg(*combos)
     out_metric_cols = sorted(f"{pfx}{c}" for c in col_funcs)
     return out.select(grain_col, *series, ts, *out_metric_cols)
+
+
+def calc_bars_rollup(
+    tsdf,
+    freqs: Sequence[str],
+    metric_cols: Optional[Sequence[str]] = None,
+    grain_col: str = "grain",
+):
+    """Multi-grain OHLC bars from ONE raw shuffle (the bars sibling of
+    :func:`resample_rollup`): finest-grain partials carry
+    (min order-struct, max order-struct, per-metric min/max) and every
+    coarser grain combines them — ``min`` of per-bucket first-structs is
+    the global first (struct order starts with the timestamp), ``max`` of
+    last-structs the global last, min/max trivially. Output matches
+    ``calc_bars(freq)`` per grain: (grain, *series, ts, sorted
+    open_*/low_*/high_*/close_* columns). Same nested-grain requirement
+    as resample_rollup."""
+    series, ts = list(tsdf.series_ids), tsdf.ts_col
+    order, parsed, micros = _validated_grains(freqs)
+    finest = parsed[order[0]]
+    metric_cols = list(metric_cols or tsdf.metric_cols)
+    if not metric_cols:
+        raise ValueError("calc_bars_rollup requires at least one metric column")
+    bar_names = sorted(
+        f"{p}_{c}" for c in metric_cols for p in ("open", "low", "high", "close")
+    )
+    if grain_col in {ts, *series, *bar_names}:
+        raise ValueError(f"grain_col {grain_col!r} collides with an output column")
+    reserved = {"__ts_f", "__grain", "__first", "__last"} | {
+        f"__{m}_{c}" for c in metric_cols for m in ("lo", "hi")
+    }
+    clash = reserved & set(tsdf.df.columns)
+    if clash:
+        raise ValueError(f"reserved staging columns present: {sorted(clash)}")
+
+    order_cols = [F.col(ts).alias("__ts")]
+    if tsdf.sequence_col:
+        order_cols.append(F.col(tsdf.sequence_col).alias("__seq"))
+    packed = F.struct(*order_cols, *[F.col(c).alias(c) for c in metric_cols])
+    aggs: list[Column] = [
+        F.min(packed).alias("__first"),
+        F.max(packed).alias("__last"),
+    ]
+    for c in metric_cols:
+        aggs.append(F.min(F.col(c)).alias(f"__lo_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"__hi_{c}"))
+    bucket = _bucket_start(ts, finest.window_duration)
+    partials = tsdf.df.groupBy(*series, bucket.alias("__ts_f")).agg(*aggs)
+
+    regrouped = _fan_over_grains(
+        partials, freqs, order, micros, grain_col, series, ts
+    )
+    combos: list[Column] = [
+        F.min(F.col("__first")).alias("__first"),
+        F.max(F.col("__last")).alias("__last"),
+    ]
+    for c in metric_cols:
+        combos.append(F.min(F.col(f"__lo_{c}")).alias(f"low_{c}"))
+        combos.append(F.max(F.col(f"__hi_{c}")).alias(f"high_{c}"))
+    agged = regrouped.agg(*combos)
+    out_cols = []
+    for c in metric_cols:
+        out_cols += [
+            F.col("__first").getField(c).alias(f"open_{c}"),
+            F.col(f"low_{c}"),
+            F.col(f"high_{c}"),
+            F.col("__last").getField(c).alias(f"close_{c}"),
+        ]
+    out = agged.select(grain_col, *series, ts, *out_cols)
+    return out.select(grain_col, *series, ts, *bar_names)

@@ -1690,6 +1690,23 @@ class TSDF:
 
         return _calc_bars(self, freq, metric_cols=metricCols, fill=fill)
 
+    def calc_bars_rollup(
+        self,
+        freqs: Sequence[str],
+        metricCols: Optional[Sequence[str]] = None,
+        grain_col: str = "grain",
+    ) -> DataFrame:
+        """Multi-grain OHLC bars in ONE pass over the raw rows (finest
+        partials re-aggregated upward — see resample_rollup). Returns a
+        grain-tagged DataFrame."""
+        from tempo_spark.operators.resample import (
+            calc_bars_rollup as _calc_bars_rollup,
+        )
+
+        return _calc_bars_rollup(
+            self, freqs, metric_cols=metricCols, grain_col=grain_col
+        )
+
     # ----------------------------------------------------------------- write
 
     def write(self, spark, tabName: str, optimizationCols: Optional[Sequence[str]] = None, mode: str = "overwrite") -> None:

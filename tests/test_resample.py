@@ -465,3 +465,56 @@ class TestResampleRollup:
         }
         assert rows[("1 hour", dt.datetime(2024, 1, 1, 0, 0))] is None
         assert rows[("1 hour", dt.datetime(2024, 1, 1, 1, 0))] == 4.0
+
+
+class TestCalcBarsRollup:
+    def test_matches_per_grain_calc_bars(self, spark):
+        import datetime as dt
+        import random
+
+        from tempo_spark import TSDF
+
+        random.seed(9)
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (
+                s,
+                base + dt.timedelta(seconds=random.randint(0, 7200)),
+                random.random() * 100,
+            )
+            for s in ("A", "B")
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, px double")
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        grains = ["10 minutes", "1 hour"]
+        roll = t.calc_bars_rollup(grains)
+        got = {
+            (r.grain, r.sym, r.ts): (r.open_px, r.low_px, r.high_px, r.close_px)
+            for r in roll.collect()
+        }
+        n = 0
+        for g in grains:
+            for r in t.calc_bars(g).df.collect():
+                assert got[(g, r.sym, r.ts)] == (
+                    r.open_px, r.low_px, r.high_px, r.close_px
+                ), (g, r.sym, r.ts)
+                n += 1
+        assert n == len(got)
+
+    def test_validations(self, spark):
+        import datetime as dt
+
+        import pytest
+
+        from tempo_spark import TSDF
+
+        df = spark.createDataFrame(
+            [("A", dt.datetime(2024, 1, 1), 1.0)],
+            "sym string, ts timestamp, px double",
+        )
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        with pytest.raises(ValueError, match="integer multiple"):
+            t.calc_bars_rollup(["7 minutes", "10 minutes"])
+        with pytest.raises(ValueError, match="output column"):
+            t.calc_bars_rollup(["5 minutes", "10 minutes"], grain_col="open_px")
