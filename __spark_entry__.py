@@ -1524,7 +1524,12 @@ def q_interval_point_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       disjoint set against per-event [ts+30min, ts+90min) probe intervals,
       run through the ``bin_seconds`` bucketized path so its exactly-once
       pairing (later-start-bin ownership) is value-gated; ts = overlap
-      start, v = overlap length in µs (exact integer in both engines)."""
+      start, v = overlap length in µs (exact integer in both engines);
+    - ``coverage`` (r9 cont.): ``coverage_by_bucket`` — per-hour covered
+      micros of the union of [ts, ts+2h) intervals; the oracle replays
+      with an independent boundary sweep (ts = bucket, v = micros);
+    - ``gaps`` (r9 cont.): ``TSDF.gaps('5 minutes')`` — strict silences,
+      v = gap micros, start/end = bounding observations."""
     de = _dedup_events(spark, sf_dir)
     iv = de.select(
         "user_id",
@@ -1567,7 +1572,34 @@ def q_interval_point_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("metric_a").alias("interval_metric_a"),
         F.col("metric_b").alias("interval_metric_b"),
     )
-    return point.unionByName(ov)
+    # coverage (r9 cont.): per-hour covered micros of the union of the
+    # [ts, ts+2h) intervals — coverage_by_bucket dissolves overlaps, so
+    # the oracle replays it with an independent boundary-sweep (exact
+    # integer micros, no merge-rule dependence)
+    cov = IntervalsDF(iv, "start_ts", "end_ts", ["user_id"]).coverage_by_bucket(
+        "1 hour"
+    ).select(
+        F.lit("coverage").alias("tag"),
+        "user_id",
+        F.col("bucket_ts").alias("ts"),
+        F.col("covered_micros").cast("double").alias("v"),
+        F.col("bucket_ts").alias("interval_start_ts"),
+        F.lit(None).cast("timestamp").alias("interval_end_ts"),
+        F.lit(None).cast("long").alias("interval_metric_a"),
+        F.lit(None).cast("long").alias("interval_metric_b"),
+    )
+    # gaps (r9 cont.): strict >5-minute silences per user — lead() replay
+    gaps = t.gaps("5 minutes").df.select(
+        F.lit("gaps").alias("tag"),
+        "user_id",
+        F.col("gap_start").alias("ts"),
+        F.col("gap_micros").cast("double").alias("v"),
+        F.col("gap_start").alias("interval_start_ts"),
+        F.col("gap_end").alias("interval_end_ts"),
+        F.lit(None).cast("long").alias("interval_metric_a"),
+        F.lit(None).cast("long").alias("interval_metric_b"),
+    )
+    return point.unionByName(ov).unionByName(cov).unionByName(gaps)
 
 
 _INTERVAL_JOIN_SUFFIX = """
@@ -1592,6 +1624,47 @@ SELECT 'overlap' AS tag, f.user_id, greatest(f.start_ts, r.rs) AS ts,
        f.metric_a AS interval_metric_a, f.metric_b AS interval_metric_b
 FROM final f JOIN rgt r
   ON f.user_id = r.user_id AND f.start_ts < r.re AND f.end_ts > r.rs
+UNION ALL
+SELECT 'coverage' AS tag, user_id, make_timestamp(b) AS ts,
+       CAST(cm AS DOUBLE) AS v,
+       make_timestamp(b) AS interval_start_ts,
+       NULL AS interval_end_ts,
+       NULL AS interval_metric_a, NULL AS interval_metric_b
+FROM (
+  WITH cb AS (
+    SELECT user_id, epoch_us(ts) AS s,
+           epoch_us(ts + INTERVAL 2 HOUR) AS e FROM de),
+  pts AS (SELECT DISTINCT user_id, p FROM (
+    SELECT user_id, s AS p FROM cb UNION ALL SELECT user_id, e FROM cb)),
+  segs AS (
+    SELECT user_id, p AS s,
+           lead(p) OVER (PARTITION BY user_id ORDER BY p) AS e
+    FROM pts),
+  cseg AS (
+    SELECT g.user_id, g.s, g.e FROM segs g
+    WHERE g.e IS NOT NULL AND EXISTS (
+      SELECT 1 FROM cb
+      WHERE cb.user_id = g.user_id AND cb.s <= g.s AND cb.e >= g.e)),
+  cbuck AS (
+    SELECT user_id, u.b AS b,
+           sum(least(e, u.b + 3600000000) - greatest(s, u.b)) AS cm
+    FROM cseg,
+         unnest(generate_series(s - s % 3600000000,
+                                (e - 1) - ((e - 1) % 3600000000),
+                                3600000000)) AS u(b)
+    GROUP BY user_id, u.b)
+  SELECT user_id, b, cm FROM cbuck)
+UNION ALL
+SELECT 'gaps' AS tag, user_id, ts, CAST(d AS DOUBLE) AS v,
+       ts AS interval_start_ts, nts AS interval_end_ts,
+       NULL AS interval_metric_a, NULL AS interval_metric_b
+FROM (
+  SELECT user_id, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS nts,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+           - epoch_us(ts) AS d
+  FROM de)
+WHERE d > 300000000
 """
 
 

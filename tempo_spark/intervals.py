@@ -265,6 +265,77 @@ class IntervalsDF:
         )
         return stacked.dropna(subset=["metric_value"])
 
+    # ------------------------------------------------------------ coverage
+
+    def coverage_by_bucket(
+        self,
+        freq: str,
+        out_micros: str = "covered_micros",
+        out_frac: str = "coverage_frac",
+    ) -> DataFrame:
+        """Per tumbling ``freq`` bucket and series: microseconds covered by
+        ≥1 interval and the covered fraction of the bucket — the
+        uptime/SLA/sensor-availability rollup ("what fraction of each hour
+        was the device in this state").
+
+        Intervals are half-open ``[start, end)``; overlaps are dissolved
+        first through :meth:`make_disjoint` so double-covered time counts
+        once. Each disjoint interval explodes one row per bucket it
+        touches (generated per interval, like the upsample grid — a
+        year-long interval at hourly grain spreads across its own rows,
+        never concentrating a task), then one map-side-combined
+        ``groupBy(series, bucket)`` sums exact integer micros.
+        ``coverage_frac = covered_micros / bucket_micros`` (exact integer
+        division in double — gate-safe). Buckets no interval touches are
+        absent (join against a calendar spine to densify).
+
+        Returns (series…, ``bucket_ts`` timestamp, covered_micros long,
+        coverage_frac double)."""
+        from tempo_spark.functions.freq import parse_freq
+
+        f = parse_freq(freq)
+        g = int(round(f.seconds * 1e6))
+        if g <= 0:
+            raise ValueError(f"freq must be positive, got {freq!r}")
+        dis = self.make_disjoint().df
+        s_us = F.unix_micros(F.col(self.start_ts).cast("timestamp"))
+        e_us = F.unix_micros(F.col(self.end_ts).cast("timestamp"))
+        staged = (
+            dis.where(
+                F.col(self.start_ts).isNotNull()
+                & F.col(self.end_ts).isNotNull()
+            )
+            .select(
+                *self.series_ids,
+                s_us.alias("__s"),
+                e_us.alias("__e"),
+            )
+            .where(F.col("__e") > F.col("__s"))
+        )
+        first_b = F.col("__s") - F.pmod(F.col("__s"), F.lit(g))
+        last_b = (F.col("__e") - 1) - F.pmod(F.col("__e") - 1, F.lit(g))
+        exploded = staged.select(
+            *self.series_ids,
+            "__s",
+            "__e",
+            F.explode(
+                F.sequence(first_b, last_b, F.lit(g))
+            ).alias("__b"),
+        )
+        covered = F.least(F.col("__e"), F.col("__b") + g) - F.greatest(
+            F.col("__s"), F.col("__b")
+        )
+        return (
+            exploded.groupBy(
+                *self.series_ids,
+                F.timestamp_micros(F.col("__b")).alias("bucket_ts"),
+            )
+            .agg(F.sum(covered).alias(out_micros))
+            .withColumn(
+                out_frac, F.col(out_micros) / F.lit(float(g))
+            )
+        )
+
     # -------------------------------------------------------- interval join
 
     def join_tsdf(self, tsdf, how: str = "inner", prefix: str = "interval"):

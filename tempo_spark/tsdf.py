@@ -1536,6 +1536,43 @@ class TSDF:
 
         return sessionize(self, gap_seconds)
 
+    def gaps(self, min_gap: str):
+        """Silence detection: intervals where consecutive observations of a
+        series are STRICTLY further apart than ``min_gap`` (sensor
+        outages, feed halts, collection blackouts — the complement of
+        :meth:`sessionize`). Returns an IntervalsDF of
+        (series…, gap_start, gap_end, gap_micros): gap_start = the last
+        observation before the silence, gap_end = the first one after.
+        One window over the per-series shuffle; trailing silence (after
+        the final observation) is unbounded and not emitted. Feed the
+        result to ``coverage_by_bucket`` for a per-hour outage fraction."""
+        from tempo_spark.functions.freq import parse_freq
+        from tempo_spark.intervals import IntervalsDF
+
+        f = parse_freq(min_gap)
+        g_us = int(round(f.seconds * 1e6))
+        if g_us <= 0:
+            raise ValueError(f"min_gap must be positive, got {min_gap!r}")
+        w = Window.partitionBy(
+            *[F.col(c) for c in self.series_ids]
+        ).orderBy(self._micros_order())
+        cur = self._micros_order()
+        nxt = F.lead(cur).over(w)
+        nxt_ts = F.lead(F.col(self.ts_col)).over(w)
+        out = (
+            self.df.select(
+                *self.series_ids,
+                F.col(self.ts_col).alias("gap_start"),
+                nxt_ts.alias("gap_end"),
+                (nxt - cur).alias("gap_micros"),
+            )
+            .where(F.col("gap_micros") > F.lit(g_us))
+        )
+        return IntervalsDF(
+            out, start_ts="gap_start", end_ts="gap_end",
+            series_ids=list(self.series_ids),
+        )
+
     def fourier_transform(self, timestep: float, valueCol: str) -> "TSDF":
         from tempo_spark.operators.fourier import fourier_transform
 

@@ -652,3 +652,102 @@ class TestCoverageAlgebra:
         )
         with pytest.raises(ValueError):
             clash.subtract_intervals(b)
+
+
+class TestCoverageAndGaps:
+    def test_coverage_by_bucket_model(self, spark):
+        import datetime as dt
+
+        from tempo_spark.intervals import IntervalsDF
+
+        T = dt.datetime
+        rows = [
+            # [00:10, 00:50) and an OVERLAPPING [00:30, 01:30) -> dissolve
+            ("A", T(2024, 1, 1, 0, 10), T(2024, 1, 1, 0, 50), 1.0),
+            ("A", T(2024, 1, 1, 0, 30), T(2024, 1, 1, 1, 30), 2.0),
+            # zero-width: no coverage
+            ("A", T(2024, 1, 1, 3, 0), T(2024, 1, 1, 3, 0), 3.0),
+            ("B", T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 15), 4.0),
+        ]
+        idf = IntervalsDF(
+            spark.createDataFrame(
+                rows, "sym string, start_ts timestamp, end_ts timestamp, v double"
+            ),
+            "start_ts", "end_ts", ["sym"],
+        )
+        got = {
+            (r.sym, r.bucket_ts): (r.covered_micros, round(r.coverage_frac, 9))
+            for r in idf.coverage_by_bucket("1 hour").collect()
+        }
+        H = 3_600_000_000
+        # dissolved union [00:10, 01:30): 50 covered minutes inside hour 0
+        assert got[("A", T(2024, 1, 1, 0, 0))] == (50 * 60_000_000, round(50 * 60e6 / H, 9))
+        assert got[("A", T(2024, 1, 1, 1, 0))] == (30 * 60_000_000, 0.5)
+        assert got[("B", T(2024, 1, 1, 0, 0))] == (15 * 60_000_000, 0.25)
+        assert len(got) == 3  # zero-width emitted nothing
+
+    def test_coverage_multi_bucket_span(self, spark):
+        import datetime as dt
+
+        from tempo_spark.intervals import IntervalsDF
+
+        T = dt.datetime
+        idf = IntervalsDF(
+            spark.createDataFrame(
+                [("A", T(2024, 1, 1, 0, 30), T(2024, 1, 1, 3, 15), 1.0)],
+                "sym string, start_ts timestamp, end_ts timestamp, v double",
+            ),
+            "start_ts", "end_ts", ["sym"],
+        )
+        got = {
+            r.bucket_ts.hour: r.coverage_frac
+            for r in idf.coverage_by_bucket("1 hour").collect()
+        }
+        assert got == {0: 0.5, 1: 1.0, 2: 1.0, 3: 0.25}
+
+    def test_gaps_and_coverage_compose(self, spark):
+        import datetime as dt
+
+        from tempo_spark import TSDF
+
+        T = dt.datetime
+        rows = [
+            ("A", T(2024, 1, 1, 0, 0), 1.0),
+            ("A", T(2024, 1, 1, 0, 1), 1.0),
+            ("A", T(2024, 1, 1, 0, 2), 1.0),
+            ("A", T(2024, 1, 1, 2, 2), 1.0),   # 2h silence
+            ("A", T(2024, 1, 1, 2, 3), 1.0),
+            ("B", T(2024, 1, 1, 0, 0), 1.0),   # single point: no gap rows
+        ]
+        t = TSDF(
+            spark.createDataFrame(rows, "sym string, ts timestamp, v double"),
+            ts_col="ts", series_ids=["sym"],
+        )
+        gaps = t.gaps("5 minutes")
+        g = gaps.df.collect()
+        assert len(g) == 1
+        assert g[0].sym == "A" and g[0].gap_start == T(2024, 1, 1, 0, 2)
+        assert g[0].gap_end == T(2024, 1, 1, 2, 2)
+        assert g[0].gap_micros == 7_200_000_000
+        cov = {
+            r.bucket_ts.hour: r.covered_micros
+            for r in gaps.coverage_by_bucket("1 hour").collect()
+        }
+        assert cov == {0: 58 * 60_000_000, 1: 3_600_000_000, 2: 2 * 60_000_000}
+
+    def test_gaps_validation(self, spark):
+        import datetime as dt
+
+        import pytest
+
+        from tempo_spark import TSDF
+
+        t = TSDF(
+            spark.createDataFrame(
+                [("A", dt.datetime(2024, 1, 1), 1.0)],
+                "sym string, ts timestamp, v double",
+            ),
+            ts_col="ts", series_ids=["sym"],
+        )
+        with pytest.raises(Exception):
+            t.gaps("bogus")
