@@ -34,6 +34,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     exact_scale: Optional[int] = None,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Rank nodes of a directed graph by PageRank. Returns (id, rank).
 
@@ -42,6 +43,14 @@ def pagerank(
     teleports uniformly — ranks stay a distribution). Parallel edges each
     carry a contribution (multigraph semantics); pre-``distinct()`` the
     edge frame for simple-graph semantics. Null src/dst rows are dropped.
+
+    ``weight_col=`` distributes each node's outgoing mass proportionally
+    to the edge weight (host link counts, trust scores) instead of
+    uniformly: contribution = r(u)·w/Σ_u w. Rows with a null or
+    non-positive weight are dropped (a zero-weight edge is no edge).
+    Incompatible with ``exact_scale`` (float weights have no exact
+    integer division) — pass integer-ish weights via parallel edges
+    instead if bit-reproducibility matters.
 
     ``exact_scale=S`` switches every rank to a scaled long with integer
     floor division (damping must be exactly rational, e.g. 0.85 = 17/20):
@@ -64,15 +73,26 @@ def pagerank(
             f"exact_scale must be >= 1, got {exact_scale} (all-integer "
             "ranks at scale 0 would be uniformly zero)"
         )
+    if weight_col is not None and exact_scale is not None:
+        raise ValueError(
+            "weight_col is incompatible with exact_scale (float weights "
+            "have no exact integer division) — encode weights as parallel "
+            "edges for the reproducible path"
+        )
+    wcols = [F.col(weight_col).cast("double").alias("__w")] if weight_col else []
     e = edges.select(
-        F.col(src).alias("__src"), F.col(dst).alias("__dst")
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"), *wcols
     ).where(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
+    if weight_col is not None:
+        e = e.where(F.col("__w").isNotNull() & (F.col("__w") > 0))
     nodes = (
         e.select(F.col("__src").alias("id"))
         .unionByName(e.select(F.col("__dst").alias("id")))
         .distinct()
     )
-    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    deg = e.groupBy("__src").agg(
+        (F.sum("__w") if weight_col else F.count(F.lit(1))).alias("__deg")
+    )
     # degree-annotated edges: built once, reused every iteration
     e_deg = e.join(deg, "__src").persist()
     nodes = nodes.persist()
@@ -147,7 +167,11 @@ def pagerank(
                 )
                 .select(
                     F.col("__dst").alias("id"),
-                    (F.col("__r") / F.col("__deg")).alias("__c"),
+                    (
+                        F.col("__r") * F.col("__w") / F.col("__deg")
+                        if weight_col
+                        else F.col("__r") / F.col("__deg")
+                    ).alias("__c"),
                 )
                 .groupBy("id")
                 .agg(F.sum("__c").alias("__in"))

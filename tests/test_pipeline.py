@@ -5013,3 +5013,42 @@ class TestSessionReviewFixes:
         t = TSDF(df, ts_col="ts", series_ids=["sym"])
         with pytest.raises(ValueError, match="output column"):
             t.resample_rollup(["5 minutes", "10 minutes"], "sum", grain_col="v")
+
+
+class TestWeightedPageRank:
+    def test_weighted_matches_model_and_parallel_edges(self, spark):
+        from tempo_spark.pipeline.graph import pagerank
+
+        # integer weights: weighted result must equal the unweighted run
+        # over the weight-expanded multigraph (w parallel edges)
+        weighted = [(0, 1, 2.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 3.0)]
+        wdf = spark.createDataFrame(weighted, "src long, dst long, w double")
+        expanded = [
+            (s, d) for s, d, w in weighted for _ in range(int(w))
+        ]
+        edf = spark.createDataFrame(expanded, "src long, dst long")
+        a = {
+            r.id: r.rank
+            for r in pagerank(wdf, iters=8, weight_col="w").collect()
+        }
+        b = {r.id: r.rank for r in pagerank(edf, iters=8).collect()}
+        assert set(a) == set(b)
+        for v in a:
+            assert abs(a[v] - b[v]) < 1e-9, v
+        assert abs(sum(a.values()) - 1.0) < 1e-9
+
+    def test_weighted_validations(self, spark):
+        import pytest
+
+        from tempo_spark.pipeline.graph import pagerank
+
+        wdf = spark.createDataFrame(
+            [(0, 1, 1.0), (1, 0, None), (0, 2, -1.0)],
+            "src long, dst long, w double",
+        )
+        with pytest.raises(ValueError, match="incompatible"):
+            pagerank(wdf, weight_col="w", exact_scale=10**9)
+        # null / non-positive weights dropped: only 0->1 remains; 1 and 2
+        # become dangling/absent respectively
+        got = {r.id for r in pagerank(wdf, iters=3, weight_col="w").collect()}
+        assert got == {0, 1}
