@@ -1062,7 +1062,7 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
     out = t.calc_bars("1 hour").df
 
-    def bar_cols(frame):
+    def bar_cols():
         return [
             _R6(F.col("open_value")).alias("open_v"),
             _R6(F.col("low_value")).alias("low_v"),
@@ -1074,13 +1074,13 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("single").alias("grain"),
         "user_id",
         F.col("ts").alias("bucket_ts"),
-        *bar_cols(out),
+        *bar_cols(),
     )
     roll = t.calc_bars_rollup(["15 minutes", "1 hour"]).select(
         "grain",
         "user_id",
         F.col("ts").alias("bucket_ts"),
-        *bar_cols(None),
+        *bar_cols(),
     )
     return single.unionByName(roll)
 

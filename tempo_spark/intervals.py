@@ -272,6 +272,7 @@ class IntervalsDF:
         freq: str,
         out_micros: str = "covered_micros",
         out_frac: str = "coverage_frac",
+        assume_disjoint: bool = False,
     ) -> DataFrame:
         """Per tumbling ``freq`` bucket and series: microseconds covered by
         ≥1 interval and the covered fraction of the bucket — the
@@ -290,14 +291,26 @@ class IntervalsDF:
         absent (join against a calendar spine to densify).
 
         Returns (series…, ``bucket_ts`` timestamp, covered_micros long,
-        coverage_frac double)."""
+        coverage_frac double).
+
+        ``assume_disjoint=True`` skips the dissolve for inputs that are
+        disjoint BY CONSTRUCTION (``TSDF.gaps`` output, a frame already
+        run through make_disjoint) — saves its joins and eager auto-bin
+        probe; overlapping input under this flag double-counts."""
         from tempo_spark.functions.freq import parse_freq
 
         f = parse_freq(freq)
         g = int(round(f.seconds * 1e6))
         if g <= 0:
             raise ValueError(f"freq must be positive, got {freq!r}")
-        dis = self.make_disjoint().df
+        clash = {"__s", "__e", "__b", "bucket_ts", out_micros, out_frac} & set(
+            self.series_ids
+        )
+        if clash:
+            raise ValueError(
+                f"series/output name collision: {sorted(clash)}"
+            )
+        dis = self.df if assume_disjoint else self.make_disjoint().df
         s_us = F.unix_micros(F.col(self.start_ts).cast("timestamp"))
         e_us = F.unix_micros(F.col(self.end_ts).cast("timestamp"))
         staged = (

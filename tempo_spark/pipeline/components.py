@@ -301,10 +301,14 @@ def near_dedup(
         # per id (the dirty state a dedup pipeline exists for) and
         # duplicate window rows would hand the winner id an rn=2 row —
         # putting the WINNER in losers and deleting the whole cluster
+        prio = F.col(priority_col)
+        if dict(df.dtypes).get(priority_col) in ("float", "double"):
+            # NaN sorts above every real value AND survives desc_nulls_last
+            # (it is not null) — a NaN-quality row would silently win the
+            # cluster; demote NaN to null so it loses like null does
+            prio = F.when(~F.isnan(prio), prio)
         labeled = (
-            df.select(
-                F.col(id_col).alias("id"), F.col(priority_col).alias("__prio")
-            )
+            df.select(F.col(id_col).alias("id"), prio.alias("__prio"))
             .join(F.broadcast(comps), "id")
             .groupBy("id", "component")
             .agg(F.max("__prio").alias("__prio"))

@@ -84,7 +84,13 @@ def pagerank(
         F.col(src).alias("__src"), F.col(dst).alias("__dst"), *wcols
     ).where(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
     if weight_col is not None:
-        e = e.where(F.col("__w").isNotNull() & (F.col("__w") > 0))
+        # NaN > 0 is TRUE in Spark's ordering — one NaN weight would
+        # poison __deg and spread NaN through every rank
+        e = e.where(
+            F.col("__w").isNotNull()
+            & ~F.isnan(F.col("__w"))
+            & (F.col("__w") > 0)
+        )
     nodes = (
         e.select(F.col("__src").alias("id"))
         .unionByName(e.select(F.col("__dst").alias("id")))

@@ -80,20 +80,31 @@ def with_morton_code(
         )
     if out in df.columns:
         raise ValueError(f"output column {out!r} already exists")
+    qnames = [f"__mq_{i}" for i in range(n)]
+    clash = ({out, *qnames}) & set(df.columns)
+    if clash - {out}:
+        raise ValueError(f"reserved staging columns present: {sorted(clash)}")
     for c, (lo, hi) in items:
         if c not in df.columns:
             raise ValueError(f"column {c!r} not in DataFrame")
         if not (hi > lo):
             raise ValueError(f"bounds for {c!r} must satisfy hi > lo, got ({lo}, {hi})")
-    code: Column = F.lit(0).cast("long")
-    for i, (c, (lo, hi)) in enumerate(items):
-        q = _quantize(F.col(c), lo, hi, bits)
-        for j in range(bits):
-            bit = F.shiftright(q, j).bitwiseAND(F.lit(1))
-            code = code.bitwiseOR(
-                F.shiftleft(bit, j * n + (n - 1 - i))
-            )
-    return df.withColumn(out, code)
+    # stage each quantized value ONCE, then interleave with a single
+    # parsed-SQL expression: the Column-API loop form built ~4·n·bits py4j
+    # nodes and re-inlined the whole clamp/floor subtree per bit (the
+    # plan-build latency class CLAUDE.md flags; parsed exprs measured 6×
+    # faster bit-identical on simhash). NULL/NaN inputs stay NULL: the
+    # staged q is NULL and every shift/or over it propagates NULL.
+    staged = df
+    for qn, (c, (lo, hi)) in zip(qnames, items):
+        staged = staged.withColumn(qn, _quantize(F.col(c), lo, hi, bits))
+    terms = [
+        f"shiftleft(shiftright(`{qn}`, {j}) & 1, {j * n + (n - 1 - i)})"
+        for i, qn in enumerate(qnames)
+        for j in range(bits)
+    ]
+    code = F.expr(" | ".join(terms))
+    return staged.withColumn(out, code).drop(*qnames)
 
 
 def zorder_frame(
@@ -113,6 +124,11 @@ def zorder_frame(
     ``keep_code=True`` retains the code column in the written schema
     (useful for debugging skipping behavior; readers ignore it).
     """
+    if keep_code and "zorder_code" in df.columns:
+        raise ValueError(
+            "column 'zorder_code' already exists (re-laying out a "
+            "keep_code output? drop it first)"
+        )
     coded = with_morton_code(df, col_bounds, out="__zorder", bits=bits)
     laid = coded.repartitionByRange(
         n_partitions, F.col("__zorder")

@@ -1553,10 +1553,21 @@ class TSDF:
         g_us = int(round(f.seconds * 1e6))
         if g_us <= 0:
             raise ValueError(f"min_gap must be positive, got {min_gap!r}")
+        clash = {"gap_start", "gap_end", "gap_micros"} & set(self.df.columns)
+        if clash:
+            raise ValueError(f"reserved output columns present: {sorted(clash)}")
+        # EXACT micros for time-typed ts: _micros_order's double round-trip
+        # (seconds * 1e6) is off by ±1µs for ~24% of values in the
+        # 2038-2041 epoch band, enough to flip the strict > threshold
+        if self.df.schema[self.ts_col].dataType.typeName() in (
+            "timestamp", "timestamp_ntz", "date",
+        ):
+            cur = F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+        else:
+            cur = self._micros_order()
         w = Window.partitionBy(
             *[F.col(c) for c in self.series_ids]
-        ).orderBy(self._micros_order())
-        cur = self._micros_order()
+        ).orderBy(cur)
         nxt = F.lead(cur).over(w)
         nxt_ts = F.lead(F.col(self.ts_col)).over(w)
         out = (

@@ -5052,3 +5052,27 @@ class TestWeightedPageRank:
         # become dangling/absent respectively
         got = {r.id for r in pagerank(wdf, iters=3, weight_col="w").collect()}
         assert got == {0, 1}
+
+
+class TestSecondReviewFixes:
+    def test_pagerank_nan_weight_dropped(self, spark):
+        from tempo_spark.pipeline.graph import pagerank
+
+        wdf = spark.createDataFrame(
+            [(0, 1, 1.0), (1, 0, float("nan")), (1, 0, 2.0)],
+            "src long, dst long, w double",
+        )
+        got = {r.id: r.rank for r in pagerank(wdf, iters=5, weight_col="w").collect()}
+        assert all(v == v for v in got.values())  # no NaN ranks
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_near_dedup_nan_priority_loses(self, spark):
+        from tempo_spark.pipeline.components import near_dedup
+
+        df = spark.createDataFrame(
+            [(0, 0.9), (1, float("nan")), (2, 0.1)],
+            "doc_id long, q double",
+        )
+        pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+        kept = [r.doc_id for r in near_dedup(df, pairs, "doc_id", priority_col="q").collect()]
+        assert kept == [0]  # 0.9 wins; NaN does NOT
