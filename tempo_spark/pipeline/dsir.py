@@ -311,3 +311,105 @@ def sample_by_importance(
         .drop("__dsir_h")
     )
     return out if keep_key else out.drop("__dsir_key")
+
+
+def corpus_divergence(
+    counts_a: DataFrame,
+    counts_b: DataFrame,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Distribution drift between two corpora over their hashed-n-gram
+    bucket distributions (:func:`fit_hashed_counts` outputs): returns a
+    1-row frame ``(kl_ab, kl_ba, js)`` in NATS.
+
+    The drift monitor for a growing corpus: fit counts per
+    shard/day/source (cheap, ≤ m rows each, persistable as parquet) and
+    alert when ``js`` against the reference distribution moves. JS is
+    symmetric and bounded by ln 2 — comparable across corpus pairs;
+    the two KL directions localize WHICH side has novel mass.
+
+    Smoothed like :func:`dsir_logratio` (add-``alpha`` over the ``m``
+    buckets, so unseen buckets are finite); both inputs must come from
+    the same ``buckets``/``ngrams``/``hash_family`` configuration —
+    bucket-count mismatch raises. The sums run over ≤ m buckets on ONE
+    executor pass; the float total is summation-order dependent (like
+    any distributed float sum), so treat last-ulp differences across
+    runs as noise, not drift.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be positive (smoothing)")
+    a = counts_a.select(F.col("__b"), F.col("__cnt").alias("__ca"))
+    b = counts_b.select(F.col("__b"), F.col("__cnt").alias("__cb"))
+    ma = counts_a.select(F.max("__m").alias("__m"))
+    mb = counts_b.select(F.max("__m").alias("__mb"))
+    # the assertion rides INSIDE the used __m expression — a standalone
+    # assert_true column would be pruned away unevaluated (the bloom-table
+    # lesson); assert_true returns NULL on success, so the when() passes
+    # __m through
+    checked = ma.crossJoin(mb).select(
+        F.when(
+            F.assert_true(
+                F.col("__m") == F.col("__mb"),
+                F.lit(
+                    "corpus_divergence: bucket-count mismatch between fits"
+                ),
+            ).isNull(),
+            F.col("__m"),
+        ).alias("__m")
+    )
+    joined = (
+        a.join(b, "__b", "full_outer")
+        .crossJoin(F.broadcast(checked))
+        .select(
+            F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+            F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+            F.col("__m"),
+        )
+    )
+    # totals via a broadcast 1-row agg (no whole-frame window): frames are
+    # <= m rows, one agg each
+    tot = F.broadcast(
+        joined.agg(
+            F.sum("__ca").alias("__ta"),
+            F.sum("__cb").alias("__tb"),
+            F.max("__m").alias("__mm"),
+        )
+    )
+    pa = (F.col("__ca") + F.lit(alpha)) / (
+        F.col("__ta") + F.lit(alpha) * F.col("__mm")
+    )
+    pb = (F.col("__cb") + F.lit(alpha)) / (
+        F.col("__tb") + F.lit(alpha) * F.col("__mm")
+    )
+    m2 = (pa + pb) / F.lit(2.0)
+    per = joined.crossJoin(tot).select(
+        (pa * F.log(pa / pb)).alias("__kab"),
+        (pb * F.log(pb / pa)).alias("__kba"),
+        (
+            pa / F.lit(2.0) * F.log(pa / m2)
+            + pb / F.lit(2.0) * F.log(pb / m2)
+        ).alias("__js"),
+        F.col("__mm"),
+        F.col("__ta"),
+        F.col("__tb"),
+    )
+    # the (m - observed) buckets absent from BOTH frames still carry
+    # smoothed mass pa0 = alpha/(Ta+alpha*m), pb0 = alpha/(Tb+alpha*m) —
+    # NOT equal when the corpus totals differ, so their divergence terms
+    # are a per-bucket CONSTANT added (m - n_obs) times
+    pa0 = F.lit(alpha) / (F.first("__ta") + F.lit(alpha) * F.first("__mm"))
+    pb0 = F.lit(alpha) / (F.first("__tb") + F.lit(alpha) * F.first("__mm"))
+    m0 = (pa0 + pb0) / F.lit(2.0)
+    n_unobs = (F.first("__mm") - F.count(F.lit(1))).cast("double")
+    return per.agg(
+        (F.sum("__kab") + n_unobs * pa0 * F.log(pa0 / pb0)).alias("kl_ab"),
+        (F.sum("__kba") + n_unobs * pb0 * F.log(pb0 / pa0)).alias("kl_ba"),
+        (
+            F.sum("__js")
+            + n_unobs
+            * (
+                pa0 / F.lit(2.0) * F.log(pa0 / m0)
+                + pb0 / F.lit(2.0) * F.log(pb0 / m0)
+            )
+        ).alias("js"),
+    )

@@ -35,6 +35,8 @@ def pagerank(
     iters: int = 10,
     exact_scale: Optional[int] = None,
     weight_col: Optional[str] = None,
+    seeds: Optional[DataFrame] = None,
+    seed_id_col: str = "id",
 ) -> DataFrame:
     """Rank nodes of a directed graph by PageRank. Returns (id, rank).
 
@@ -43,6 +45,16 @@ def pagerank(
     teleports uniformly — ranks stay a distribution). Parallel edges each
     carry a contribution (multigraph semantics); pre-``distinct()`` the
     edge frame for simple-graph semantics. Null src/dst rows are dropped.
+
+    ``seeds=`` switches to PERSONALIZED PageRank (seed-set expansion —
+    "rank everything by proximity to this trusted set", the curation
+    recipe for growing a quality whitelist from a hand-picked core):
+    teleport AND dangling mass go only to the seed nodes (uniformly),
+    never the whole graph, so rank decays with distance from the seeds
+    and unreachable nodes converge to 0. ``seeds`` is a (small,
+    broadcastable) frame of node ids; ids absent from the graph are
+    ignored, an empty intersection raises. Float path only (incompatible
+    with ``exact_scale``).
 
     ``weight_col=`` distributes each node's outgoing mass proportionally
     to the edge weight (host link counts, trust scores) instead of
@@ -72,6 +84,11 @@ def pagerank(
         raise ValueError(
             f"exact_scale must be >= 1, got {exact_scale} (all-integer "
             "ranks at scale 0 would be uniformly zero)"
+        )
+    if seeds is not None and exact_scale is not None:
+        raise ValueError(
+            "seeds (personalized PageRank) is float-path only — "
+            "incompatible with exact_scale"
         )
     if weight_col is not None and exact_scale is not None:
         raise ValueError(
@@ -116,6 +133,26 @@ def pagerank(
         deg.select(F.col("__src").alias("id")), "id", "left_anti"
     ).persist()
 
+    if seeds is not None:
+        seed_flag = F.broadcast(
+            seeds.select(F.col(seed_id_col).alias("id"))
+            .distinct()
+            .withColumn("__is_seed", F.lit(1))
+        )
+        nodes_f = nodes.join(seed_flag, "id", "left").persist()
+        n_seeds = nodes_f.where(F.col("__is_seed").isNotNull()).count()
+        if n_seeds == 0:
+            nodes_f.unpersist()
+            e_deg.unpersist()
+            nodes.unpersist()
+            dangling_ids.unpersist()
+            raise ValueError(
+                "none of the seed ids appear in the graph's node set"
+            )
+        is_seed = F.col("__is_seed").isNotNull()
+    else:
+        nodes_f, n_seeds, is_seed = nodes, n, F.lit(True)
+
     if exact_scale is not None:
         frac = Fraction(str(damping))
         p, q = frac.numerator, frac.denominator
@@ -159,7 +196,12 @@ def pagerank(
             )
         out = ranks.select("id", F.col("__r").alias("rank_scaled"))
     else:
-        ranks = nodes.select("id", F.lit(1.0 / n).alias("__r"))
+        ranks = nodes_f.select(
+            "id",
+            F.when(is_seed, F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("__r"),
+        )
         for _ in range(iters):
             dang = dangling_ids.join(ranks, "id").agg(
                 F.coalesce(F.sum("__r"), F.lit(0.0)).alias("__dm")
@@ -183,16 +225,21 @@ def pagerank(
                 .agg(F.sum("__c").alias("__in"))
             )
             ranks = (
-                nodes.join(contribs, "id", "left")
+                nodes_f.join(contribs, "id", "left")
                 .crossJoin(F.broadcast(dang))
                 .select(
                     "id",
                     (
-                        F.lit((1.0 - damping) / n)
+                        F.when(
+                            is_seed, F.lit((1.0 - damping) / n_seeds)
+                        ).otherwise(F.lit(0.0))
                         + F.lit(damping)
                         * (
                             F.coalesce(F.col("__in"), F.lit(0.0))
-                            + F.col("__dm") / F.lit(float(n))
+                            + F.when(
+                                is_seed,
+                                F.col("__dm") / F.lit(float(n_seeds)),
+                            ).otherwise(F.lit(0.0))
                         )
                     ).alias("__r"),
                 )
@@ -202,4 +249,6 @@ def pagerank(
     e_deg.unpersist()
     nodes.unpersist()
     dangling_ids.unpersist()
+    if seeds is not None:
+        nodes_f.unpersist()
     return out

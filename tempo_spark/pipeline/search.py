@@ -51,8 +51,14 @@ def bm25_topk(
     b: float = 0.75,
     lowercase: bool = True,
     broadcast_matched: bool = True,
+    require_all_terms: bool = False,
 ) -> DataFrame:
     """Top-``k`` corpus documents per query by Okapi BM25.
+
+    ``require_all_terms=True`` switches to AND semantics: only documents
+    containing EVERY query term rank (conjunctive retrieval — exact-match
+    lookup, strict contamination probes); the default OR semantics ranks
+    any partial match.
 
     ``broadcast_matched``: the matched (doc, term, tf) frame is
     matched-docs × query-terms rows — small for SELECTIVE queries, but a
@@ -130,7 +136,10 @@ def bm25_topk(
     if broadcast_matched:
         matched = F.broadcast(matched)
     per_term = dl_df.join(matched, id_col).crossJoin(stats)
-    return _bm25_rank(per_term, id_col, query_id_col, k, k1, b)
+    return _bm25_rank(
+        per_term, id_col, query_id_col, k, k1, b,
+        require_all_from=qterms if require_all_terms else None,
+    )
 
 
 def _bm25_rank(
@@ -140,6 +149,7 @@ def _bm25_rank(
     k: int,
     k1: float,
     b: float,
+    require_all_from: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Shared BM25 scorer: per-(query, doc, term) rows carrying
     (``__qid``, id, ``tf``, ``df_t``, ``__dl``, ``__n_docs``,
@@ -171,6 +181,19 @@ def _bm25_rank(
         F.count(F.lit(1)).alias("matched"),
         F.sum("tf").alias("tf_sum"),
     )
+    if require_all_from is not None:
+        # AND semantics: keep only docs matching EVERY query term — the
+        # per-query term count is query-sized, always broadcast
+        need = F.broadcast(
+            require_all_from.groupBy("__qid").agg(
+                F.count(F.lit(1)).alias("__need")
+            )
+        )
+        agged = (
+            agged.join(need, "__qid")
+            .where(F.col("matched") == F.col("__need"))
+            .drop("__need")
+        )
     score_q = F.floor(F.col("score") * 1_000_000 + F.lit(0.5))
     w = Window.partitionBy("__qid").orderBy(
         score_q.desc(),
@@ -327,6 +350,7 @@ class BM25Index:
         k: int = 10,
         k1: float = 1.2,
         b: float = 0.75,
+        require_all_terms: bool = False,
     ) -> DataFrame:
         if k < 1:
             raise ValueError("k must be >= 1")
@@ -353,7 +377,10 @@ class BM25Index:
                 )
             )
         )
-        return _bm25_rank(per_term, self.id_col, query_id_col, k, k1, b)
+        return _bm25_rank(
+            per_term, self.id_col, query_id_col, k, k1, b,
+            require_all_from=qterms if require_all_terms else None,
+        )
 
     def save(self, path: str, mode: str = "overwrite", n_files: int = 64) -> None:
         """``mode="append"`` is the shard-growth idiom: append a delta

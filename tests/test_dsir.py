@@ -285,3 +285,67 @@ def test_logratio_single_fit_evaluation(docs_df):
     # one scan per fit: the docs lineage feeds the target fit and the raw
     # fit once each -> exactly 2 ExistingRDD scans in the whole plan
     assert plan.count("Scan ExistingRDD") == 2
+
+
+class TestCorpusDivergence:
+    def _model(self, texts_a, texts_b, buckets=64, alpha=1.0):
+        import hashlib
+        import math
+
+        def bucket_counts(texts):
+            from collections import Counter
+
+            c = Counter()
+            for t in texts:
+                toks = t.lower().split()
+                grams = toks + [
+                    f"{a} {b}" for a, b in zip(toks, toks[1:])
+                ]
+                for g in grams:
+                    h = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                    c[h % buckets] += 1
+            return c
+
+        ca, cb = bucket_counts(texts_a), bucket_counts(texts_b)
+        Ta, Tb = sum(ca.values()), sum(cb.values())
+        kl_ab = kl_ba = js = 0.0
+        for bkt in range(buckets):
+            pa = (ca.get(bkt, 0) + alpha) / (Ta + alpha * buckets)
+            pb = (cb.get(bkt, 0) + alpha) / (Tb + alpha * buckets)
+            m = (pa + pb) / 2
+            kl_ab += pa * math.log(pa / pb)
+            kl_ba += pb * math.log(pb / pa)
+            js += pa / 2 * math.log(pa / m) + pb / 2 * math.log(pb / m)
+        return kl_ab, kl_ba, js
+
+    def test_matches_model_and_properties(self, spark):
+        import math
+
+        from tempo_spark.pipeline.dsir import corpus_divergence, fit_hashed_counts
+
+        texts_a = ["the cat sat on the mat", "dogs and cats", "the mat"]
+        texts_b = ["quantum flux capacitor", "warp drive engaged", "the cat"]
+        da = spark.createDataFrame([(t,) for t in texts_a], "text string")
+        db = spark.createDataFrame([(t,) for t in texts_b], "text string")
+        fa = fit_hashed_counts(da, buckets=64, hash_family="md5_32")
+        fb = fit_hashed_counts(db, buckets=64, hash_family="md5_32")
+        row = corpus_divergence(fa, fb).head()
+        kl_ab, kl_ba, js = self._model(texts_a, texts_b)
+        assert abs(row.kl_ab - kl_ab) < 1e-9
+        assert abs(row.kl_ba - kl_ba) < 1e-9
+        assert abs(row.js - js) < 1e-9
+        assert 0 < row.js < math.log(2) + 1e-12
+        # self-divergence is exactly zero
+        same = corpus_divergence(fa, fa).head()
+        assert abs(same.kl_ab) < 1e-12 and abs(same.js) < 1e-12
+
+    def test_bucket_mismatch_raises(self, spark):
+        import pytest
+
+        from tempo_spark.pipeline.dsir import corpus_divergence, fit_hashed_counts
+
+        d = spark.createDataFrame([("a b c",)], "text string")
+        fa = fit_hashed_counts(d, buckets=64)
+        fb = fit_hashed_counts(d, buckets=128)
+        with pytest.raises(Exception, match="bucket-count mismatch"):
+            corpus_divergence(fa, fb).collect()

@@ -5076,3 +5076,80 @@ class TestSecondReviewFixes:
         pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
         kept = [r.doc_id for r in near_dedup(df, pairs, "doc_id", priority_col="q").collect()]
         assert kept == [0]  # 0.9 wins; NaN does NOT
+
+
+class TestPersonalizedPageRank:
+    def _model_ppr(self, edges, seed_set, d=0.85, iters=10):
+        from collections import Counter
+
+        nodes = sorted({u for e in edges for u in e})
+        deg = Counter(u for u, _ in edges)
+        ns = len(seed_set)
+        r = {v: (1.0 / ns if v in seed_set else 0.0) for v in nodes}
+        for _ in range(iters):
+            dm = sum(r[v] for v in nodes if deg[v] == 0)
+            inc = {v: 0.0 for v in nodes}
+            for u, v in edges:
+                inc[v] += r[u] / deg[u]
+            r = {
+                v: ((1 - d) / ns if v in seed_set else 0.0)
+                + d * (inc[v] + (dm / ns if v in seed_set else 0.0))
+                for v in nodes
+            }
+        return r
+
+    def test_matches_model_and_decays_from_seeds(self, spark):
+        from tempo_spark.pipeline.graph import pagerank
+
+        # chain 0->1->2->3 plus an unreachable island 8<->9
+        edges = [(0, 1), (1, 2), (2, 3), (8, 9), (9, 8)]
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        seeds = spark.createDataFrame([(0,), (77,)], "id long")  # 77 absent
+        got = {
+            r.id: r.rank
+            for r in pagerank(edf, iters=12, seeds=seeds).collect()
+        }
+        want = self._model_ppr(edges, {0}, iters=12)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-9, v
+        # proximity decay + island starvation
+        assert got[0] > got[1] > got[2] > got[3]
+        assert got[8] < 1e-6 and got[9] < 1e-6
+
+    def test_seed_validations(self, spark):
+        import pytest
+
+        from tempo_spark.pipeline.graph import pagerank
+
+        edf = spark.createDataFrame([(0, 1)], "src long, dst long")
+        with pytest.raises(ValueError, match="float-path only"):
+            pagerank(
+                edf,
+                seeds=spark.createDataFrame([(0,)], "id long"),
+                exact_scale=10**9,
+            )
+        with pytest.raises(ValueError, match="none of the seed ids"):
+            pagerank(
+                edf, iters=2,
+                seeds=spark.createDataFrame([(42,)], "id long"),
+            )
+
+
+class TestBM25RequireAll:
+    def test_and_semantics(self, spark):
+        from tempo_spark.pipeline.search import BM25Index, bm25_topk
+
+        corpus = spark.createDataFrame(TestBM25._DOCS, "doc_id long, text string")
+        queries = spark.createDataFrame(
+            [(1, "quick fox")], "query_id long, text string"
+        )
+        anded = {r.doc_id for r in bm25_topk(
+            corpus, queries, k=10, require_all_terms=True
+        ).collect()}
+        assert anded == {0}  # only doc 0 has both terms
+        ored = {r.doc_id for r in bm25_topk(corpus, queries, k=10).collect()}
+        assert anded < ored
+        idx_and = {r.doc_id for r in BM25Index.build(corpus).topk(
+            queries, k=10, require_all_terms=True
+        ).collect()}
+        assert idx_and == anded
