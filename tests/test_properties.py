@@ -655,3 +655,121 @@ def test_local_lloyd_invariants(vecs, k, seed):
         lo = min(v[d] for v in vecs)
         hi = max(v[d] for v in vecs)
         assert all(lo - 1e-9 <= c[d] <= hi + 1e-9 for c in a)
+
+
+# ------------------------------------------------------ r9-cont additions
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 40), min_size=1, max_size=25),
+    st.integers(1, 200),
+)
+def test_take_token_budget_greedy_invariants(spark, tok_counts, budget):
+    """The kept set is a PREFIX of the hash order: monotone in budget,
+    exact greedy semantics vs a python replay, and decomposition-
+    granularity invariant."""
+    import hashlib
+
+    from tempo_spark.pipeline.sampling import take_token_budget
+
+    rows = [(i, " ".join(f"w{j}" for j in range(c)) if c else None)
+            for i, c in enumerate(tok_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r.doc_id
+        for r in take_token_budget(
+            df, budget, id_col="doc_id", hash_family="md5_32",
+            n_buckets_bits=3,
+        ).collect()
+    )
+
+    def md5h(i):
+        return int(hashlib.md5(f"budget:{i}".encode()).hexdigest()[:8], 16)
+
+    order = sorted(range(len(tok_counts)), key=lambda i: (md5h(i), i))
+    want, cum = [], 0
+    for i in order:
+        if cum < budget:
+            want.append(i)
+        cum += tok_counts[i]
+    assert kept == sorted(want)
+    # monotone: doubling the budget keeps a superset
+    kept2 = sorted(
+        r.doc_id
+        for r in take_token_budget(
+            df, budget * 2, id_col="doc_id", hash_family="md5_32"
+        ).collect()
+    )
+    assert set(kept) <= set(kept2)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1, max_size=20,
+    )
+)
+def test_pagerank_exact_scale_model_parity(spark, edges):
+    """Random small multigraphs: the integer fixpoint equals a python
+    replay exactly, and total scaled mass never exceeds S."""
+    from collections import Counter
+
+    from tempo_spark.pipeline.graph import pagerank
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    S = 10**10
+    got = {
+        r.id: r.rank_scaled
+        for r in pagerank(edf, iters=6, exact_scale=S).collect()
+    }
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    deg = Counter(u for u, _ in edges)
+    r = {v: S // n for v in nodes}
+    base = (S * 3) // (20 * n)
+    for _ in range(6):
+        dm = sum(r[v] for v in nodes if deg[v] == 0)
+        inc = {v: 0 for v in nodes}
+        for u, v in edges:
+            inc[v] += r[u] // deg[u]
+        r = {v: base + (17 * (inc[v] + dm // n)) // 20 for v in nodes}
+    assert got == r
+    assert sum(got.values()) <= S
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 120), st.integers(1, 90)),
+        min_size=1, max_size=12,
+    ),
+    st.sampled_from(["10 minutes", "30 minutes", "1 hour"]),
+)
+def test_coverage_by_bucket_matches_minute_model(spark, ivals, freq):
+    """Random overlapping minute-grain intervals: per-bucket coverage
+    equals a brute-force minute-marking model."""
+    from tempo_spark import IntervalsDF
+
+    rows = [
+        ("A", minutes(s), minutes(s + d), 1.0) for s, d in ivals
+    ]
+    idf = IntervalsDF(
+        spark.createDataFrame(
+            rows, "sym string, start_ts timestamp, end_ts timestamp, v double"
+        ),
+        "start_ts", "end_ts", ["sym"],
+    )
+    got = {
+        r.bucket_ts: r.covered_micros
+        for r in idf.coverage_by_bucket(freq).collect()
+    }
+    gmin = {"10 minutes": 10, "30 minutes": 30, "1 hour": 60}[freq]
+    covered = set()
+    for s, d in ivals:
+        covered.update(range(s, s + d))
+    want = {}
+    for m in covered:
+        b = (m // gmin) * gmin
+        want[minutes(b)] = want.get(minutes(b), 0) + 60_000_000
+    assert got == want
