@@ -328,52 +328,64 @@ def corpus_divergence(
     symmetric and bounded by ln 2 — comparable across corpus pairs;
     the two KL directions localize WHICH side has novel mass.
 
-    Smoothed like :func:`dsir_logratio` (add-``alpha`` over the ``m``
-    buckets, so unseen buckets are finite); both inputs must come from
-    the same ``buckets``/``ngrams``/``hash_family`` configuration —
-    bucket-count mismatch raises. The sums run over ≤ m buckets on ONE
-    executor pass; the float total is summation-order dependent (like
-    any distributed float sum), so treat last-ulp differences across
-    runs as noise, not drift.
+    Robustness contracts (each review-pinned):
+
+    - inputs are re-aggregated by bucket first, so APPENDED parquet
+      models (duplicate ``__b`` rows — the shard-growth idiom) read back
+      exactly like a merged fit instead of fanning the join out;
+    - an EMPTY fit (a shard of all-null texts) is a uniform smoothed
+      distribution, not a crash: its ``m`` comes from the other side; if
+      BOTH fits are empty there is no bucket count anywhere and the call
+      raises clearly;
+    - bucket-count mismatch between two non-empty fits raises (the
+      assertion rides inside the used ``m`` expression so pruning cannot
+      skip it);
+    - ONE pass: the totals/observed-count ride unpartitioned window
+      aggregates over the ≤ 2m-row joined frame (the dsir_logratio
+      idiom — an agg + crossJoin would re-execute both fit lineages).
+      The windowed frame is one task of ≤ 2m rows, never corpus-sized.
+
+    Smoothing is add-``alpha`` over the ``m`` buckets; the float sums are
+    summation-order dependent (like any distributed float sum) — treat
+    last-ulp differences across runs as noise, not drift.
     """
     if alpha <= 0:
         raise ValueError("alpha must be positive (smoothing)")
-    a = counts_a.select(F.col("__b"), F.col("__cnt").alias("__ca"))
-    b = counts_b.select(F.col("__b"), F.col("__cnt").alias("__cb"))
-    ma = counts_a.select(F.max("__m").alias("__m"))
-    mb = counts_b.select(F.max("__m").alias("__mb"))
-    # the assertion rides INSIDE the used __m expression — a standalone
-    # assert_true column would be pruned away unevaluated (the bloom-table
-    # lesson); assert_true returns NULL on success, so the when() passes
-    # __m through
-    checked = ma.crossJoin(mb).select(
-        F.when(
-            F.assert_true(
-                F.col("__m") == F.col("__mb"),
-                F.lit(
-                    "corpus_divergence: bucket-count mismatch between fits"
-                ),
-            ).isNull(),
-            F.col("__m"),
-        ).alias("__m")
+    from pyspark.sql import Window
+
+    # append-safe: collapse duplicate bucket rows exactly like an add()
+    a = counts_a.groupBy("__b").agg(
+        F.sum("__cnt").alias("__ca"), F.max("__m").alias("__ma")
     )
-    joined = (
-        a.join(b, "__b", "full_outer")
-        .crossJoin(F.broadcast(checked))
-        .select(
-            F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
-            F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
-            F.col("__m"),
-        )
+    b = counts_b.groupBy("__b").agg(
+        F.sum("__cnt").alias("__cb"), F.max("__m").alias("__mb")
     )
-    # totals via a broadcast 1-row agg (no whole-frame window): frames are
-    # <= m rows, one agg each
-    tot = F.broadcast(
-        joined.agg(
-            F.sum("__ca").alias("__ta"),
-            F.sum("__cb").alias("__tb"),
-            F.max("__m").alias("__mm"),
-        )
+    joined = a.join(b, "__b", "full_outer")
+    w = Window.partitionBy()
+    ma = F.max("__ma").over(w)
+    mb = F.max("__mb").over(w)
+    # empty-side tolerance + mismatch assertion INSIDE the used m expr
+    m_ok = (
+        ma.isNull() | mb.isNull() | (ma == mb)
+    )
+    m_any = F.coalesce(ma, mb)
+    mm = F.when(
+        F.assert_true(
+            m_ok & m_any.isNotNull(),
+            F.lit(
+                "corpus_divergence: bucket-count mismatch between fits, "
+                "or both fits empty (no bucket count available)"
+            ),
+        ).isNull(),
+        m_any,
+    )
+    staged = joined.select(
+        F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+        F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+        mm.alias("__mm"),
+        F.coalesce(F.sum("__ca").over(w), F.lit(0)).alias("__ta"),
+        F.coalesce(F.sum("__cb").over(w), F.lit(0)).alias("__tb"),
+        F.count(F.lit(1)).over(w).alias("__nobs"),
     )
     pa = (F.col("__ca") + F.lit(alpha)) / (
         F.col("__ta") + F.lit(alpha) * F.col("__mm")
@@ -382,16 +394,14 @@ def corpus_divergence(
         F.col("__tb") + F.lit(alpha) * F.col("__mm")
     )
     m2 = (pa + pb) / F.lit(2.0)
-    per = joined.crossJoin(tot).select(
+    per = staged.select(
         (pa * F.log(pa / pb)).alias("__kab"),
         (pb * F.log(pb / pa)).alias("__kba"),
         (
             pa / F.lit(2.0) * F.log(pa / m2)
             + pb / F.lit(2.0) * F.log(pb / m2)
         ).alias("__js"),
-        F.col("__mm"),
-        F.col("__ta"),
-        F.col("__tb"),
+        "__mm", "__ta", "__tb", "__nobs",
     )
     # the (m - observed) buckets absent from BOTH frames still carry
     # smoothed mass pa0 = alpha/(Ta+alpha*m), pb0 = alpha/(Tb+alpha*m) —
@@ -400,9 +410,22 @@ def corpus_divergence(
     pa0 = F.lit(alpha) / (F.first("__ta") + F.lit(alpha) * F.first("__mm"))
     pb0 = F.lit(alpha) / (F.first("__tb") + F.lit(alpha) * F.first("__mm"))
     m0 = (pa0 + pb0) / F.lit(2.0)
-    n_unobs = (F.first("__mm") - F.count(F.lit(1))).cast("double")
+    n_unobs = (F.first("__mm") - F.first("__nobs")).cast("double")
+    # zero joined rows = both fits empty: no per-row assertion ever ran,
+    # so a row-count assertion rides the first output column (silent
+    # all-NULL output would defeat a threshold alert)
+    nonempty = F.assert_true(
+        F.count(F.lit(1)) > 0,
+        F.lit(
+            "corpus_divergence: both fits empty (no bucket count "
+            "available)"
+        ),
+    ).isNull()
     return per.agg(
-        (F.sum("__kab") + n_unobs * pa0 * F.log(pa0 / pb0)).alias("kl_ab"),
+        F.when(
+            nonempty,
+            F.sum("__kab") + n_unobs * pa0 * F.log(pa0 / pb0),
+        ).alias("kl_ab"),
         (F.sum("__kba") + n_unobs * pb0 * F.log(pb0 / pa0)).alias("kl_ba"),
         (
             F.sum("__js")

@@ -183,16 +183,19 @@ def _bm25_rank(
     )
     if require_all_from is not None:
         # AND semantics: keep only docs matching EVERY query term — the
-        # per-query term count is query-sized, always broadcast
+        # per-query term count is query-sized, always broadcast.
+        # eqNullSafe on the renamed key: a NULL query_id is a query like
+        # any other, and a plain equi-join would silently drop it from
+        # the conjunctive path while the OR path ranks it
         need = F.broadcast(
             require_all_from.groupBy("__qid").agg(
                 F.count(F.lit(1)).alias("__need")
-            )
+            ).select(F.col("__qid").alias("__nqid"), "__need")
         )
         agged = (
-            agged.join(need, "__qid")
+            agged.join(need, F.col("__qid").eqNullSafe(F.col("__nqid")))
             .where(F.col("matched") == F.col("__need"))
-            .drop("__need")
+            .drop("__need", "__nqid")
         )
     score_q = F.floor(F.col("score") * 1_000_000 + F.lit(0.5))
     w = Window.partitionBy("__qid").orderBy(

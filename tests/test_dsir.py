@@ -349,3 +349,45 @@ class TestCorpusDivergence:
         fb = fit_hashed_counts(d, buckets=128)
         with pytest.raises(Exception, match="bucket-count mismatch"):
             corpus_divergence(fa, fb).collect()
+
+
+class TestCorpusDivergenceRobustness:
+    def test_empty_side_is_uniform_not_crash(self, spark):
+        from tempo_spark.pipeline.dsir import corpus_divergence, fit_hashed_counts
+
+        d = spark.createDataFrame([("a b c",)], "text string")
+        empty = spark.createDataFrame([(None,)], "text string")
+        fa = fit_hashed_counts(d, buckets=64)
+        fe = fit_hashed_counts(empty, buckets=64)
+        row = corpus_divergence(fa, fe).head()
+        assert row.kl_ab is not None and row.js is not None and row.js > 0
+
+    def test_both_empty_raises_clearly(self, spark):
+        import pytest
+
+        from tempo_spark.pipeline.dsir import corpus_divergence, fit_hashed_counts
+
+        empty = spark.createDataFrame([(None,)], "text string")
+        fe = fit_hashed_counts(empty, buckets=64)
+        with pytest.raises(Exception, match="both fits empty|mismatch"):
+            corpus_divergence(fe, fe).collect()
+
+    def test_appended_model_equals_merged(self, spark):
+        from tempo_spark.pipeline.dsir import corpus_divergence, fit_hashed_counts
+
+        a1 = spark.createDataFrame([("the cat sat",)], "text string")
+        a2 = spark.createDataFrame([("dogs and cats",)], "text string")
+        both = a1.unionAll(a2)
+        b = spark.createDataFrame([("quantum flux",)], "text string")
+        fb = fit_hashed_counts(b, buckets=64, hash_family="md5_32")
+        merged = corpus_divergence(
+            fit_hashed_counts(both, buckets=64, hash_family="md5_32"), fb
+        ).head()
+        appended = corpus_divergence(
+            fit_hashed_counts(a1, buckets=64, hash_family="md5_32").unionAll(
+                fit_hashed_counts(a2, buckets=64, hash_family="md5_32")
+            ),
+            fb,
+        ).head()
+        assert abs(merged.js - appended.js) < 1e-12
+        assert abs(merged.kl_ab - appended.kl_ab) < 1e-12

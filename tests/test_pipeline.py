@@ -5153,3 +5153,18 @@ class TestBM25RequireAll:
             queries, k=10, require_all_terms=True
         ).collect()}
         assert idx_and == anded
+
+
+class TestBM25NullQueryId:
+    def test_null_query_id_survives_and_semantics(self, spark):
+        from tempo_spark.pipeline.search import bm25_topk
+
+        corpus = spark.createDataFrame(TestBM25._DOCS, "doc_id long, text string")
+        queries = spark.createDataFrame(
+            [(None, "quick fox")], "query_id long, text string"
+        )
+        anded = bm25_topk(
+            corpus, queries, k=10, require_all_terms=True
+        ).collect()
+        assert [r.doc_id for r in anded] == [0]
+        assert anded[0].query_id is None
