@@ -273,6 +273,7 @@ class IntervalsDF:
         out_micros: str = "covered_micros",
         out_frac: str = "coverage_frac",
         assume_disjoint: bool = False,
+        densify: bool = False,
     ) -> DataFrame:
         """Per tumbling ``freq`` bucket and series: microseconds covered by
         ≥1 interval and the covered fraction of the bucket — the
@@ -281,7 +282,9 @@ class IntervalsDF:
 
         Intervals are half-open ``[start, end)``; overlaps are dissolved
         first through :meth:`make_disjoint` so double-covered time counts
-        once. Each disjoint interval explodes one row per bucket it
+        once (note make_disjoint drops NULL-valued series — reference
+        pandas-groupby parity — so null-keyed intervals only survive via
+        ``assume_disjoint=True``). Each disjoint interval explodes one row per bucket it
         touches (generated per interval, like the upsample grid — a
         year-long interval at hourly grain spreads across its own rows,
         never concentrating a task), then one map-side-combined
@@ -296,7 +299,14 @@ class IntervalsDF:
         ``assume_disjoint=True`` skips the dissolve for inputs that are
         disjoint BY CONSTRUCTION (``TSDF.gaps`` output, a frame already
         run through make_disjoint) — saves its joins and eager auto-bin
-        probe; overlapping input under this flag double-counts."""
+        probe; overlapping input under this flag double-counts.
+
+        ``densify=True`` also emits EXPLICIT zero rows for the empty
+        buckets between each series' first and last covered bucket (an
+        SLA report needs "0% up this hour", not a missing row): a
+        per-series bucket spine explodes from the min/max covered bucket
+        (generated per series — bounded by span/freq) and left-joins the
+        coverage, zero-filled."""
         from tempo_spark.functions.freq import parse_freq
 
         f = parse_freq(freq)
@@ -338,7 +348,7 @@ class IntervalsDF:
         covered = F.least(F.col("__e"), F.col("__b") + g) - F.greatest(
             F.col("__s"), F.col("__b")
         )
-        return (
+        out = (
             exploded.groupBy(
                 *self.series_ids,
                 F.timestamp_micros(F.col("__b")).alias("bucket_ts"),
@@ -347,6 +357,36 @@ class IntervalsDF:
             .withColumn(
                 out_frac, F.col(out_micros) / F.lit(float(g))
             )
+        )
+        if not densify:
+            return out
+        us_b = F.unix_micros(F.col("bucket_ts"))
+        spine = (
+            out.groupBy(*self.series_ids)
+            .agg(F.min(us_b).alias("__lo"), F.max(us_b).alias("__hi"))
+            .select(
+                *[F.col(c).alias(f"__cv_g_{c}") for c in self.series_ids],
+                F.explode(
+                    F.sequence(F.col("__lo"), F.col("__hi"), F.lit(g))
+                ).alias("__cv_b"),
+            )
+            .select(
+                *[F.col(f"__cv_g_{c}") for c in self.series_ids],
+                F.timestamp_micros(F.col("__cv_b")).alias("__cv_ts"),
+            )
+        )
+        # eqNullSafe on the series keys: a NULL-valued series is a series
+        cond = [
+            F.col(c).eqNullSafe(F.col(f"__cv_g_{c}"))
+            for c in self.series_ids
+        ] + [F.col("bucket_ts") == F.col("__cv_ts")]
+        return spine.join(out, cond, "left").select(
+            *[
+                F.col(f"__cv_g_{c}").alias(c) for c in self.series_ids
+            ],
+            F.col("__cv_ts").alias("bucket_ts"),
+            F.coalesce(F.col(out_micros), F.lit(0)).alias(out_micros),
+            F.coalesce(F.col(out_frac), F.lit(0.0)).alias(out_frac),
         )
 
     # -------------------------------------------------------- interval join

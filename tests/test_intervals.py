@@ -751,3 +751,61 @@ class TestCoverageAndGaps:
         )
         with pytest.raises(Exception):
             t.gaps("bogus")
+
+
+class TestCoverageDensify:
+    def test_densify_emits_zero_buckets(self, spark):
+        import datetime as dt
+
+        from tempo_spark.intervals import IntervalsDF
+
+        T = dt.datetime
+        idf = IntervalsDF(
+            spark.createDataFrame(
+                [
+                    ("A", T(2024, 1, 1, 0, 10), T(2024, 1, 1, 0, 20), 1.0),
+                    ("A", T(2024, 1, 1, 4, 0), T(2024, 1, 1, 4, 30), 1.0),
+                    (None, T(2024, 1, 1, 1, 0), T(2024, 1, 1, 1, 30), 1.0),
+                ],
+                "sym string, start_ts timestamp, end_ts timestamp, v double",
+            ),
+            "start_ts", "end_ts", ["sym"],
+        )
+        # disjoint by construction -> assume_disjoint exercises the
+        # null-series path too (make_disjoint drops null-keyed series —
+        # reference pandas-groupby parity — so the dissolve path loses it)
+        rows = idf.coverage_by_bucket(
+            "1 hour", densify=True, assume_disjoint=True
+        ).collect()
+        a = {r.bucket_ts.hour: (r.covered_micros, r.coverage_frac)
+             for r in rows if r.sym == "A"}
+        # hours 0..4 all present; 1-3 explicit zeros
+        assert sorted(a) == [0, 1, 2, 3, 4]
+        assert a[0][0] == 600_000_000 and a[2] == (0, 0.0)
+        assert a[4][0] == 1_800_000_000
+        # NULL-keyed series survives densify (eqNullSafe spine join)
+        n = [r for r in rows if r.sym is None]
+        assert len(n) == 1 and n[0].covered_micros == 1_800_000_000
+
+    def test_densify_equals_sparse_on_covered_buckets(self, spark):
+        import datetime as dt
+
+        from tempo_spark.intervals import IntervalsDF
+
+        T = dt.datetime
+        idf = IntervalsDF(
+            spark.createDataFrame(
+                [("A", T(2024, 1, 1, 0, 30), T(2024, 1, 1, 2, 15), 1.0)],
+                "sym string, start_ts timestamp, end_ts timestamp, v double",
+            ),
+            "start_ts", "end_ts", ["sym"],
+        )
+        sparse = {
+            (r.sym, r.bucket_ts): (r.covered_micros, r.coverage_frac)
+            for r in idf.coverage_by_bucket("1 hour").collect()
+        }
+        dense = {
+            (r.sym, r.bucket_ts): (r.covered_micros, r.coverage_frac)
+            for r in idf.coverage_by_bucket("1 hour", densify=True).collect()
+        }
+        assert sparse == dense  # fully covered span: no zero buckets to add

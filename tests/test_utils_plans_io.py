@@ -490,3 +490,31 @@ class TestZOrderLayout:
             with_morton_code(df, {"x": (0, 1), "y": (5, 5)})
         with pytest.raises(ValueError, match="already exists"):
             with_morton_code(df, {"x": (0, 1), "y": (0, 1)}, out="id")
+
+
+class TestMortonStreaming:
+    def test_morton_code_streaming_composes(self, spark, tmp_path):
+        """with_morton_code is a pure per-row expression — must run
+        unchanged on a streaming frame (the stream-composition contract),
+        bit-equal to the batch path."""
+        from tempo_spark.sources.layout import with_morton_code
+
+        rows = [(0, 1.5, 20.0), (1, 99.0, 0.0), (2, None, 3.0)]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        bounds = {"x": (0.0, 100.0), "y": (0.0, 50.0)}
+        batch = {r.id: r.morton for r in with_morton_code(df, bounds).collect()}
+        src = str(tmp_path / "mz_in")
+        df.write.parquet(src)
+        stream = spark.readStream.schema(
+            "id long, x double, y double"
+        ).parquet(src)
+        q = (
+            with_morton_code(stream, bounds)
+            .writeStream.format("memory").queryName("mz_t")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        streamed = {
+            r.id: r.morton for r in spark.sql("select * from mz_t").collect()
+        }
+        assert streamed == batch
