@@ -270,6 +270,7 @@ def near_dedup(
     keep: str = "min",
     max_iter: int = 20,
     priority_col: Optional[str] = None,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """Drop all but one canonical row per near-duplicate cluster.
 
@@ -286,7 +287,10 @@ def near_dedup(
     tiny relative to the corpus) into one ``df`` scan, and the
     per-component argmax windows over that same small frame, so the
     corpus is never shuffled. ``keep`` is ignored when a priority is
-    given.
+    given. On a pathologically high-duplication corpus the label frame
+    is pair-graph-sized and can exceed the driver/broadcast limit —
+    pass ``broadcast_labels=False`` to shuffle-join it instead (AQE
+    still broadcasts it when its measured size allows).
 
     ``max_iter`` bounds the propagation rounds. The default pointer-jumping
     algorithm converges in O(log diameter) rounds, so 20 covers any
@@ -307,9 +311,10 @@ def near_dedup(
             # (it is not null) — a NaN-quality row would silently win the
             # cluster; demote NaN to null so it loses like null does
             prio = F.when(~F.isnan(prio), prio)
+        comps_side = F.broadcast(comps) if broadcast_labels else comps
         labeled = (
             df.select(F.col(id_col).alias("id"), prio.alias("__prio"))
-            .join(F.broadcast(comps), "id")
+            .join(comps_side, "id")
             .groupBy("id", "component")
             .agg(F.max("__prio").alias("__prio"))
         )

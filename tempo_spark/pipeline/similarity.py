@@ -1822,15 +1822,20 @@ def refine_topk(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # eqNullSafe on a renamed key (the _bm25_rank __qid idiom): a NULL
+    # query id is a legitimate group downstream (_adc_rank_topk windows
+    # partition it), so a plain equi-join here would silently drop its
+    # candidates from the reranked output only when rerank is enabled
     pairs = (
         candidates.select(F.col(query_id), F.col(id_col))
         .join(
             queries.select(
-                F.col(query_id),
+                F.col(query_id).alias("__rr_qid"),
                 _as_double(F.col(query_vec)).alias("__rr_qvec"),
             ),
-            query_id,
+            F.col(query_id).eqNullSafe(F.col("__rr_qid")),
         )
+        .drop("__rr_qid")
     )
     corpus = vectors.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__rr_vec")

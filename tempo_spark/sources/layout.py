@@ -129,10 +129,12 @@ def zorder_frame(
             "column 'zorder_code' already exists (re-laying out a "
             "keep_code output? drop it first)"
         )
+    # asc_nulls_last so NULL-code rows land in the FINAL file/row groups
+    # as documented (Spark's default ascending sort places NULLs first)
     coded = with_morton_code(df, col_bounds, out="__zorder", bits=bits)
     laid = coded.repartitionByRange(
-        n_partitions, F.col("__zorder")
-    ).sortWithinPartitions("__zorder")
+        n_partitions, F.col("__zorder").asc_nulls_last()
+    ).sortWithinPartitions(F.col("__zorder").asc_nulls_last())
     if keep_code:
         return laid.withColumnRenamed("__zorder", "zorder_code")
     return laid.drop("__zorder")

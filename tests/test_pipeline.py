@@ -4377,6 +4377,28 @@ class TestRefineTopk:
         assert rows[3][0] == 3
         assert rows[4][0] == 2 and rows[4][1] is None
 
+    def test_refine_null_query_id_survives(self, spark):
+        """A NULL query id is a group in _adc_rank_topk's window — the
+        refine stage must not silently drop it (ADVICE r9: eqNullSafe
+        pair join, the _bm25_rank __qid idiom)."""
+        from tempo_spark.pipeline.similarity import refine_topk
+
+        vectors = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [2.0, 2.0])],
+            "vec_id long, embedding array<double>",
+        )
+        queries = spark.createDataFrame(
+            [(None, [0.0, 0.0]), (7, [2.0, 2.0])],
+            "query_id long, embedding array<double>",
+        )
+        cands = spark.createDataFrame(
+            [(None, 0), (None, 1), (7, 2), (7, 1)],
+            "query_id long, vec_id long",
+        )
+        out = refine_topk(cands, vectors, queries, k=1).collect()
+        got = {r.query_id: r.vec_id for r in out}
+        assert got == {None: 0, 7: 2}
+
     def test_refine_broadcast_plan(self, spark):
         from tempo_spark.pipeline.similarity import PQCodec
 
@@ -4840,6 +4862,26 @@ class TestNearDedupPriority:
         pairs = spark.createDataFrame([(0, 0)], "id_a long, id_b long")
         with pytest.raises(ValueError, match="priority_col"):
             near_dedup(df, pairs, "doc_id", priority_col="nope")
+
+    def test_priority_no_broadcast_parity(self, spark):
+        """broadcast_labels=False (ADVICE r9 opt-out for pair graphs past
+        the broadcast limit) must keep the identical survivor set."""
+        from tempo_spark.pipeline.components import near_dedup
+
+        df = spark.createDataFrame(
+            [(0, 0.2), (1, 0.9), (2, 0.9), (3, None), (4, 0.5), (5, 0.1), (6, 0.0)],
+            "doc_id long, q double",
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+        )
+        kept = sorted(
+            r.doc_id
+            for r in near_dedup(
+                df, pairs, "doc_id", priority_col="q", broadcast_labels=False
+            ).collect()
+        )
+        assert kept == [1, 4, 6]
 
 
 class TestCollocations:

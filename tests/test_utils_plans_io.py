@@ -474,6 +474,30 @@ class TestZOrderLayout:
             spans.append(hi - lo)
         assert sorted(spans)[len(spans) // 2] < 10000 * 0.8
 
+    def test_zorder_nulls_cluster_last(self, spark):
+        """NULL Morton codes sort LAST as documented (ADVICE r9: Spark's
+        default asc sort puts NULLs first; zorder_frame overrides with
+        asc_nulls_last so null-code rows land in the final row groups)."""
+        import pyspark.sql.functions as F
+
+        from tempo_spark.sources.layout import zorder_frame
+
+        df = spark.range(1000).select(
+            F.col("id"),
+            F.when(F.col("id") % 10 == 0, None)
+            .otherwise(F.col("id").cast("double"))
+            .alias("x"),
+            F.col("id").cast("double").alias("y"),
+        )
+        laid = zorder_frame(
+            df, {"x": (0.0, 1000.0), "y": (0.0, 1000.0)},
+            n_partitions=1, keep_code=True,
+        )
+        codes = [r.zorder_code for r in laid.collect()]
+        first_null = next(i for i, c in enumerate(codes) if c is None)
+        assert all(c is None for c in codes[first_null:])
+        assert all(c is not None for c in codes[:first_null])
+
     def test_validations(self, spark):
         import pytest
 
