@@ -93,6 +93,7 @@ def prepare_corpus(
     hash_family: str = "xxhash64",
     persist_intermediate: bool = True,
     staging: Optional[CorpusStaging] = None,
+    staging_dir: Optional[str] = None,
 ) -> DataFrame:
     """Standard corpus preparation in one call; see the module docstring.
 
@@ -150,6 +151,28 @@ def prepare_corpus(
     repeatedly over DIFFERENT inputs without a handle accumulate cache
     entries; repeated calls over the SAME input reuse one entry (the
     cache manager matches canonicalized plans).
+
+    ``staging_dir=`` is the 100-TB form of the same barriers: each barrier
+    WRITES the frame to parquet under ``staging_dir/NN_stage/`` and reads
+    it back, instead of memory-caching a corpus-sized frame. Disk-backed
+    staging is what a production pipeline does between phases anyway —
+    executors write/read in parallel, nothing corpus-sized ever lives in
+    executor storage memory, an evicted-cache recompute storm is
+    impossible, and a failed downstream phase restarts from the last
+    staged parquet instead of from raw input. The trade: each barrier is
+    an EAGER action (the pipeline up to that point executes at *call*
+    time, not at the terminal action) and costs one parquet write+read of
+    the surviving rows — linear, compressed, and cheap next to the dedup
+    shuffles it fences (measured at sf0.1 the staged recipe lands within
+    the cached recipe's noise band; see SCALE.md "barrier cost model").
+    Stage subdirectories are numbered and overwritten per call — give
+    each concurrent ``prepare_corpus`` call its own directory. Passing
+    ``staging_dir`` turns the barriers on regardless of
+    ``persist_intermediate`` (the flag selects memory vs nothing; the
+    dir selects disk). Output
+    parity with the cached and barrier-free forms is test-pinned.
+    ``staging=`` (cache release) is meaningless with ``staging_dir`` —
+    staged files are durable artifacts you delete when done.
     """
     from tempo_spark.pipeline import dedup as d
     from tempo_spark.pipeline.components import near_dedup
@@ -167,7 +190,23 @@ def prepare_corpus(
         with_token_count,
     )
 
-    def _barrier(frame: DataFrame) -> DataFrame:
+    if staging_dir is not None and staging is not None:
+        raise ValueError(
+            "staging= (cache release handle) does not apply to "
+            "staging_dir= parquet barriers — pass one or the other"
+        )
+
+    stage_no = [0]
+
+    def _barrier(frame: DataFrame, name: str) -> DataFrame:
+        if staging_dir is not None:
+            # disk-backed barrier: parquet round-trip. A FileScan is just
+            # as much a pushdown/inlining fence as an InMemoryRelation,
+            # with no executor storage memory at stake.
+            path = f"{staging_dir.rstrip('/')}/{stage_no[0]:02d}_{name}"
+            stage_no[0] += 1
+            frame.write.mode("overwrite").parquet(path)
+            return frame.sparkSession.read.parquet(path)
         frame = frame.persist()
         if staging is not None:
             staging.frames.append(frame)
@@ -186,13 +225,14 @@ def prepare_corpus(
             .withColumn(text_col, F.col("__tempo_rfp"))
             .drop("__tempo_rfp")
         )
-    if persist_intermediate and (normalize or redact or remove_foreign_paras):
+    barriers_on = persist_intermediate or staging_dir is not None
+    if barriers_on and (normalize or redact or remove_foreign_paras):
         # barrier between the text REWRITE and the signal expressions:
         # after project collapse every downstream reference to the text
         # column would re-evaluate the whole cleanup chain per row (the
         # quality/repetition signals reference it dozens of times, some
         # inside interpreted HOF lambdas where codegen CSE cannot reach)
-        out = _barrier(out)
+        out = _barrier(out, "cleaned")
     if min_clf_prob is not None and quality_model is None:
         raise ValueError("min_clf_prob requires quality_model")
 
@@ -214,7 +254,7 @@ def prepare_corpus(
         or min_clf_prob is not None
     )
     signals_pinned = False
-    if persist_intermediate and filters_requested:
+    if barriers_on and filters_requested:
         # barrier BEFORE the signal filters, not after: predicate pushdown
         # rewrites a filter on a projected column with the column's FULL
         # defining expression substituted in, so `quality_score >= q`
@@ -226,7 +266,7 @@ def prepare_corpus(
         # the cache and the filters become cheap numeric compares on
         # cached columns (measured 9 s -> 1 s for this stage, 13 -> 6 s
         # for the full b29 recipe at sf0.1).
-        out = _barrier(out)
+        out = _barrier(out, "signals")
         signals_pinned = True
     if min_quality is not None:
         out = out.where(F.col("quality_score") >= min_quality)
@@ -258,7 +298,7 @@ def prepare_corpus(
         if quality_model is not None:
             out = out.drop("clf_logit", "clf_prob")
         out = _signals(out)
-    if persist_intermediate and (rewrote_text or not signals_pinned):
+    if barriers_on and (rewrote_text or not signals_pinned):
         # barrier before the multi-pass dedup stages: stops Catalyst
         # re-inlining the normalize/signal chains into every consumer and
         # pins the signal computation to ONE execution (see docstring).
@@ -267,7 +307,7 @@ def prepare_corpus(
         # the dedup consumers then re-run only the cheap cached-column
         # filters, and a back-to-back second corpus-sized cache would buy
         # nothing.
-        out = _barrier(out)
+        out = _barrier(out, "pre_dedup")
     if exact_dedup:
         out = d.exact_dedup(out, id_col, text_col).drop("dup_count")
     if near_dedup_threshold is not None:
@@ -276,8 +316,8 @@ def prepare_corpus(
             threshold=near_dedup_threshold, shingle_k=3, use_words=True,
         )
         out = near_dedup(out, pairs, id_col)
-        if persist_intermediate:
-            out = _barrier(out)
+        if barriers_on:
+            out = _barrier(out, "near_dedup")
     if mix_group_col is not None:
         if mix_shares is None:
             raise ValueError("mix_group_col requires mix_shares")

@@ -2606,6 +2606,63 @@ class TestPrepareCorpus:
         # release (lineage re-executes, values identical)
         assert out.count() == n
 
+    def test_staging_dir_parquet_barriers_parity(self, spark, tmp_path):
+        """r10: staging_dir= writes each barrier to parquet and reads it
+        back (the 100-TB form — nothing corpus-sized memory-cached).
+        Output must be identical to the cached and barrier-free forms."""
+        import os
+
+        from tempo_spark.pipeline.prepare import CorpusStaging, prepare_corpus
+
+        text_a = "the quick brown fox jumps over the lazy dog near the river"
+        rows = [
+            (0, text_a),
+            (1, text_a),
+            (2, text_a.replace("river", "creek")),
+            (3, "completely different content about engines and data and scale"),
+            (4, "spam spam spam spam spam spam spam spam"),
+            (5, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kw = dict(
+            normalize=True,
+            min_quality=0.4,
+            max_dup_2gram_frac=0.5,
+            near_dedup_threshold=0.5,
+            pack_tokens=16,
+            n_shards=2,
+        )
+        staged_dir = str(tmp_path / "staged")
+        staged = prepare_corpus(df, staging_dir=staged_dir, **kw)
+        cached = prepare_corpus(df, persist_intermediate=True, **kw)
+        bare = prepare_corpus(df, persist_intermediate=False, **kw)
+
+        def digest(frame):
+            return sorted(
+                tuple(r) for r in frame.select(sorted(frame.columns)).collect()
+            )
+
+        assert digest(staged) == digest(cached) == digest(bare)
+        # the barriers actually landed on disk, one numbered dir per stage
+        stages = sorted(os.listdir(staged_dir))
+        assert stages == ["00_cleaned", "01_signals", "02_near_dedup"]
+        # staging_dir turns barriers on even with persist_intermediate=False
+        forced = prepare_corpus(
+            df,
+            staging_dir=str(tmp_path / "forced"),
+            persist_intermediate=False,
+            **kw,
+        )
+        assert digest(forced) == digest(bare)
+        assert os.path.isdir(str(tmp_path / "forced" / "00_cleaned"))
+        # cache-release handle is meaningless with disk barriers
+        import pytest
+
+        with pytest.raises(ValueError, match="staging_dir"):
+            prepare_corpus(
+                df, staging=CorpusStaging(), staging_dir=staged_dir, **kw
+            )
+
     def test_all_stages_optional(self, spark):
         from tempo_spark.pipeline.prepare import prepare_corpus
 
