@@ -1325,9 +1325,22 @@ UNION ALL SELECT 'hz_num_series', CAST(ns AS BIGINT) FROM hz
 
 
 def q_latest_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """latest(k) plus the display frame (reference python/tempo/utils.py:169-175):
+    tag 'display' runs get_display_df(tsdf, k=2) — the deterministic frame
+    behind show()/display() — so the §2 display row is value-gated."""
+    from tempo_spark.utils import get_display_df
+
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    return t.latest(3).df.select("user_id", "ts", _R6(F.col("value")).alias("v"))
+    base = t.latest(3).df.select(
+        F.lit("latest").alias("tag"), "user_id", "ts",
+        _R6(F.col("value")).alias("v"),
+    )
+    disp = get_display_df(t, k=2).select(
+        F.lit("display").alias("tag"), "user_id", "ts",
+        _R6(F.col("value")).alias("v"),
+    )
+    return base.unionByName(disp)
 
 
 _LATEST3_ORACLE = f"""
@@ -1335,7 +1348,9 @@ WITH {_DE_CTE},
 ranked AS (SELECT user_id, ts, value,
                   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
            FROM de)
-SELECT user_id, ts, round(value, 6) AS v FROM ranked WHERE rn <= 3
+SELECT 'latest' AS tag, user_id, ts, round(value, 6) AS v FROM ranked WHERE rn <= 3
+UNION ALL
+SELECT 'display' AS tag, user_id, ts, round(value, 6) AS v FROM ranked WHERE rn <= 2
 """
 
 
@@ -3598,7 +3613,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the raw vectors (``refine_topk``); the left-fold distance is
     replayed term-for-term so raw ranks are bit-identical and the
     emitted value is hardened-rounded."""
-    from tempo_spark.pipeline.similarity import IVFIndex, PQCodec
+    from tempo_spark.pipeline.similarity import IVFIndex, PQCodec, ivf_pq_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     idx = IVFIndex.build(emb, n_centroids=8, init="first")
@@ -3627,7 +3642,21 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.lit("pq_rerank").alias("tag"),
     )
-    return ivf.unionByName(pq).unionByName(rr)
+    # pq_residual (r10): the faiss IVFx,PQm DEFAULT — codebooks trained on
+    # coarse residuals v − c_cell (init="first": the 4 smallest-id usable
+    # residual rows), per-(query, probed cell) LUTs over q − c_cell, and
+    # adc_dist = ((0+d0)+d1) + ‖q−c_cell‖² (the coarse term that makes
+    # cross-cell ranks comparable at nprobe>1) — every term a literal-path
+    # fold DuckDB replays bit-identically.
+    rcodec = PQCodec.train(emb, m=2, ksub=4, init="first", index=idx)
+    rres = ivf_pq_topk(idx, rcodec, queries, k=5, nprobe=2).select(
+        "query_id",
+        "vec_id",
+        _HR6(F.col("adc_dist")).alias("cosine"),
+        "rank",
+        F.lit("pq_residual").alias("tag"),
+    )
+    return ivf.unionByName(pq).unionByName(rr).unionByName(rres)
 
 
 def _ivf_oracle(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
@@ -3648,6 +3677,8 @@ def _ivf_oracle(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
     d_probe = f"(-2.0 * {fold.format(a='q.qv', b='n.cv')}) + n.cn2"
     d_enc = f"(-2.0 * {fold.format(a='p.sv', b='b.cw')}) + b.cn2"
     d_lut = f"(-2.0 * {fold.format(a='q.sv', b='b.cw')}) + b.cn2"
+    d_renc = f"(-2.0 * {fold.format(a='p.sv', b='b.cw')}) + b.cn2"
+    d_rlut = f"(-2.0 * {fold.format(a='q.sv', b='b.cw')}) + b.cn2"
     cos = (
         f"{fold.format(a='p.qv', b='a.v')} / "
         f"(sqrt({sq.format(a='p.qv')}) * sqrt({sq.format(a='a.v')}))"
@@ -3745,7 +3776,69 @@ rranked AS (
   SELECT query_id, vec_id, ed,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY ed, vec_id) AS rank
-  FROM rsc)
+  FROM rsc),
+-- pq_residual (r10): the faiss IVF,PQ default — codebooks over coarse
+-- residuals v − c_cell (init="first": 4 smallest-id usable residual rows),
+-- per-(query, probed cell) LUTs over q − c_cell, adc = ((0+d0)+d1) +
+-- ‖q−c_cell‖² (coarse term; same left-fold orders as the flat pq tag)
+rres AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(list_zip(a.v, n.cv), p -> p[1] - p[2]) AS rv
+  FROM assign a JOIN centn n ON a.cell = n.cell
+  WHERE a.v IS NOT NULL AND len(a.v) = 2 * (SELECT dsub FROM pdim)),
+rbook AS (
+  SELECT s.j,
+         row_number() OVER (PARTITION BY s.j ORDER BY f.vec_id) - 1 AS code,
+         CASE WHEN s.j = 0
+              THEN list_slice(f.rv, 1, (SELECT dsub FROM pdim))
+              ELSE list_slice(f.rv, (SELECT dsub FROM pdim) + 1,
+                              2 * (SELECT dsub FROM pdim)) END AS cw
+  FROM (SELECT vec_id, rv FROM rres ORDER BY vec_id LIMIT 4) f
+  CROSS JOIN (VALUES (0), (1)) AS s(j)),
+rbookn AS (SELECT j, code, cw, {sq.format(a='cw')} AS cn2 FROM rbook),
+rsub AS (
+  SELECT vec_id, cell, s.j,
+         CASE WHEN s.j = 0
+              THEN list_slice(rv, 1, (SELECT dsub FROM pdim))
+              ELSE list_slice(rv, (SELECT dsub FROM pdim) + 1,
+                              2 * (SELECT dsub FROM pdim)) END AS sv
+  FROM rres CROSS JOIN (VALUES (0), (1)) AS s(j)),
+renc AS (
+  SELECT vec_id, cell, j, code FROM (
+    SELECT p.vec_id, p.cell, p.j, b.code,
+           row_number() OVER (PARTITION BY p.vec_id, p.j
+                              ORDER BY {d_renc}, b.code) AS rn
+    FROM rsub p JOIN rbookn b ON p.j = b.j) WHERE rn = 1),
+rq AS (
+  SELECT p.query_id, p.cell,
+         list_transform(list_zip(p.qv, n.cv), x -> x[1] - x[2]) AS qres
+  FROM probe p JOIN centn n ON p.cell = n.cell),
+rqc AS (SELECT query_id, cell, qres,
+               {sq.format(a='qres')} AS coarse FROM rq),
+rqsub AS (
+  SELECT query_id, cell, coarse, s.j,
+         CASE WHEN s.j = 0
+              THEN list_slice(qres, 1, (SELECT dsub FROM pdim))
+              ELSE list_slice(qres, (SELECT dsub FROM pdim) + 1,
+                              2 * (SELECT dsub FROM pdim)) END AS sv
+  FROM rqc CROSS JOIN (VALUES (0), (1)) AS s(j)),
+rlut AS (
+  SELECT q.query_id, q.cell, q.coarse, b.j, b.code,
+         {d_rlut} AS d
+  FROM rqsub q JOIN rbookn b ON q.j = b.j),
+rpscore AS (
+  SELECT l0.query_id, e0.vec_id, ((0.0 + l0.d) + l1.d) + l0.coarse AS adc
+  FROM renc e0
+  JOIN renc e1 ON e1.vec_id = e0.vec_id AND e1.j = 1
+  JOIN rlut l0 ON l0.j = 0 AND l0.code = e0.code AND l0.cell = e0.cell
+  JOIN rlut l1 ON l1.j = 1 AND l1.code = e1.code
+               AND l1.query_id = l0.query_id AND l1.cell = e0.cell
+  WHERE e0.j = 0),
+rpranked AS (
+  SELECT query_id, vec_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc, vec_id) AS rank
+  FROM rpscore)
 SELECT query_id, vec_id, cosine, rank, 'ivf' AS tag
 FROM ranked WHERE rank <= {k}
 UNION ALL
@@ -3757,6 +3850,11 @@ SELECT query_id, vec_id,
        floor(ed * 1000000 + 0.5) / 1000000 AS cosine, rank,
        'pq_rerank' AS tag
 FROM rranked WHERE rank <= {k}
+UNION ALL
+SELECT query_id, vec_id,
+       floor(adc * 1000000 + 0.5) / 1000000 AS cosine, rank,
+       'pq_residual' AS tag
+FROM rpranked WHERE rank <= {k}
 """
 
 
