@@ -4524,18 +4524,67 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+
+    # lsh (r10): streaming MinHash-LSH near-dup flagging over the documents
+    # table staged as ONE parquet file (one availableNow micro-batch, so
+    # every pair ordering follows the kernel's (ts, id) sort) with a
+    # synthetic monotone event time ts = epoch + 1e9 + doc_id seconds (off
+    # the epoch-0 initial-watermark boundary) and an
+    # eviction-free retention, md5_32 hash family. The emitted set is then
+    # exactly the batch rule: per (doc, band bucket), the best
+    # strictly-earlier bucket-mate with >= threshold signature-match
+    # fraction (max est, ties to the earliest (ts, id)) — fully
+    # DuckDB-replayable.
+    from tempo_spark.streaming.lsh import streaming_lsh_dedup
+
+    ldir = tempfile.mkdtemp(prefix="tempo_stream_lsh_")
+    (
+        _read(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "text",
+            # base offset off epoch 0: a row whose event time EQUALS the
+            # initial watermark (0 ms) is filtered as late by the stateful
+            # operator, silently dropping doc_id 0 from every bucket
+            F.timestamp_micros(
+                (F.lit(1_000_000_000) + F.col("doc_id")) * 1_000_000
+            ).alias("ts"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+    lsrc = spark.readStream.schema(
+        spark.read.parquet(ldir).schema
+    ).parquet(ldir)
+    lsh_out = streaming_lsh_dedup(
+        lsrc, "doc_id", text_col="text", ts_col="ts",
+        num_hashes=16, bands=4, shingle_k=3, use_words=True, threshold=0.5,
+        watermark="10 minutes", retention_seconds=10**9,
+        hash_family="md5_32",
+    )
+    qn_lsh = f"q_streaming_lsh_{seq}"
+    q_lsh = (
+        lsh_out.writeStream.format("memory")
+        .queryName(qn_lsh)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
     try:
         q_rs.awaitTermination()
         q_asof.awaitTermination()
         q_interp.awaitTermination()
         q_sess.awaitTermination()
         q_ded.awaitTermination()
+        q_lsh.awaitTermination()
     finally:
         import shutil
 
-        # the memory sinks hold the results; the staged right-side parquet
-        # is no longer needed
+        # the memory sinks hold the results; the staged side inputs are
+        # no longer needed
         shutil.rmtree(rdir, ignore_errors=True)
+        shutil.rmtree(ldir, ignore_errors=True)
 
     rs = spark.table(qn_rs).select(
         F.lit("resample").alias("tag"),
@@ -4585,11 +4634,23 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         _md5_32(F.col("__txt")).cast("double").alias("v"),
         F.lit(None).cast("boolean").alias("flag"),
     )
+    lsh = spark.table(qn_lsh).select(
+        F.lit("lsh").alias("tag"),
+        F.col("doc_id").alias("user_id"),
+        "ts",
+        F.col("dup_ts").alias("rts"),
+        # dup_of and band_id packed into one exact double (band_id < 4)
+        (F.col("dup_of") * 4 + F.col("band_id")).cast("double").alias("lv"),
+        # match fraction k/16: exact dyadic, both engines bit-equal
+        F.col("est_jaccard").alias("v"),
+        F.lit(None).cast("boolean").alias("flag"),
+    )
     return (
         rs.unionByName(asf)
         .unionByName(itp)
         .unionByName(sess)
         .unionByName(ded)
+        .unionByName(lsh)
     )
 
 
@@ -4625,7 +4686,52 @@ seq AS (
   SELECT user_id, b, bv,
          lead(b) OVER (PARTITION BY user_id ORDER BY b) AS nb,
          lead(bv) OVER (PARTITION BY user_id ORDER BY b) AS nbv
-  FROM obs)
+  FROM obs),
+-- lsh (r10): md5_32 MinHash signatures over documents (same replay as the
+-- minhash_near_dups oracle), raw comma-joined band keys, synthetic
+-- monotone ts = epoch + doc_id s (so strictly-earlier == smaller doc_id).
+-- Emitted row per (doc, band bucket): best strictly-earlier bucket-mate
+-- with signature-match fraction >= 0.5 (max est, ties to earliest).
+ltoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL),
+lgrams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+  FROM ltoks
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') AS sh FROM ltoks WHERE len(w) < 3),
+lhashes AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+  FROM lgrams),
+lseeded AS (
+  SELECT g.doc_id, s.j,
+         min(('0x' || substr(md5(g.h::VARCHAR || ':' || s.j::VARCHAR), 1, 8))::BIGINT) AS mh
+  FROM lhashes g CROSS JOIN (SELECT unnest(range(0, 16)) AS j) s
+  GROUP BY g.doc_id, s.j),
+lbands AS (
+  SELECT doc_id, j // 4 AS band_id,
+         string_agg(mh::VARCHAR, ',' ORDER BY j) AS band_key
+  FROM lseeded GROUP BY doc_id, j // 4),
+lcand AS (
+  SELECT b.doc_id AS id, b.band_id, a.doc_id AS pid
+  FROM lbands b JOIN lbands a
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id),
+lest AS (
+  SELECT c.id, c.band_id, c.pid,
+         CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 AS est
+  FROM lcand c
+  JOIN lseeded sa ON sa.doc_id = c.id
+  JOIN lseeded sb ON sb.doc_id = c.pid AND sb.j = sa.j
+  GROUP BY c.id, c.band_id, c.pid),
+lbest AS (
+  SELECT id, band_id, pid, est FROM (
+    SELECT id, band_id, pid, est,
+           row_number() OVER (PARTITION BY id, band_id
+                              ORDER BY est DESC, pid ASC) AS rn
+    FROM lest WHERE est >= 0.5) WHERE rn = 1)
 SELECT 'resample' AS tag, user_id,
        time_bucket(INTERVAL '1 hour', ts) AS ts,
        CAST(NULL AS TIMESTAMP) AS rts, CAST(NULL AS DOUBLE) AS lv,
@@ -4699,6 +4805,14 @@ SELECT DISTINCT 'dedup' AS tag, user_id,
             1, 8))::BIGINT AS DOUBLE) AS v,
        CAST(NULL AS BOOLEAN) AS flag
 FROM events
+UNION ALL
+SELECT 'lsh' AS tag, id AS user_id,
+       make_timestamp((1000000000 + id) * 1000000) AS ts,
+       make_timestamp((1000000000 + pid) * 1000000) AS rts,
+       CAST(pid * 4 + band_id AS DOUBLE) AS lv,
+       est AS v,
+       CAST(NULL AS BOOLEAN) AS flag
+FROM lbest
 """
 
 

@@ -61,6 +61,7 @@ def streaming_lsh_dedup(
     watermark: str = "10 minutes",
     retention_seconds: int = 86_400,
     max_bucket_docs: int = 10_000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Flag each arriving document against previously-seen near-duplicates.
 
@@ -68,6 +69,14 @@ def streaming_lsh_dedup(
     prior match in that bucket reaches ``threshold`` estimated Jaccard:
     ``(id, ts, band_id, dup_of, dup_ts, est_jaccard)``. ``id`` must be a
     64-bit integer column (state-store schema); ``ts`` a timestamp.
+
+    ``hash_family="md5_32"`` (the cross-engine value-check family, see
+    ``pipeline.dedup.md5_32``) keeps the RAW comma-joined signature slice
+    as the band bucket key (a string — collision-free bucket equality,
+    exactly like the batch md5_32 path) so an external engine can replay
+    bucket membership, signatures, and the match-fraction estimate
+    bit-identically. Production keeps xxhash64 long keys (smaller state
+    rows).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -76,6 +85,7 @@ def streaming_lsh_dedup(
         DoubleType,
         IntegerType,
         LongType,
+        StringType,
         StructField,
         StructType,
         TimestampType,
@@ -88,6 +98,7 @@ def streaming_lsh_dedup(
         num_hashes,
         shingle_k,
         use_words,
+        hash_family=hash_family,
     )
     # posexplode_OUTER + null filter: a plain posexplode implies a pushed
     # size>0 filter with the full minhash chain alias-substituted into it
@@ -97,15 +108,17 @@ def streaming_lsh_dedup(
         F.col(ts_col).alias("__ts"),
         F.unix_micros(F.col(ts_col)).alias("__ts_us"),
         F.col("__sig"),
-        F.posexplode_outer(band_key_array(F.col("__sig"), bands)).alias(
-            "band_id", "band_hash"
-        ),
+        F.posexplode_outer(
+            band_key_array(F.col("__sig"), bands, hash_family)
+        ).alias("band_id", "band_hash"),
     ).where(F.col("band_hash").isNotNull())
 
+    key_is_str = hash_family == "md5_32"
+    band_hash_type = StringType() if key_is_str else LongType()
     out_schema = StructType(
         [
             StructField("band_id", IntegerType()),
-            StructField("band_hash", LongType()),
+            StructField("band_hash", band_hash_type),
             StructField("id", LongType()),
             StructField("ts_us", LongType()),
             StructField("dup_of", LongType()),
@@ -156,7 +169,7 @@ def streaming_lsh_dedup(
                     emit.append(
                         {
                             "band_id": int(key[0]),
-                            "band_hash": int(key[1]),
+                            "band_hash": key[1] if key_is_str else int(key[1]),
                             "id": i,
                             "ts_us": t_us,
                             "dup_of": best[0],

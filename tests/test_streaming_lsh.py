@@ -84,6 +84,27 @@ class TestStreamingLshDedup:
         for r in rows:
             assert r.dup_ts < r.ts
 
+    def test_md5_32_family_string_band_keys(self, spark, doc_dir):
+        """r10: hash_family='md5_32' keeps RAW comma-joined signature
+        slices as (string) band bucket keys — the cross-engine value-check
+        device — and must flag the same dups as the xxhash64 default."""
+        sdf = spark.readStream.schema(
+            "doc_id long, ts timestamp, text string"
+        ).parquet(doc_dir)
+        out = streaming_lsh_dedup(
+            sdf, "doc_id", "text", "ts",
+            threshold=0.5, watermark="0 seconds", hash_family="md5_32",
+        )
+        table = _run(spark, out, "lsh_stream_md5")
+        best = {}
+        for r in table.collect():
+            cur = best.get(r.doc_id)
+            if cur is None or r.est_jaccard > cur[1]:
+                best[r.doc_id] = (r.dup_of, r.est_jaccard)
+        assert best[4][0] == 1 and best[4][1] == 1.0
+        assert best[3][0] == 1 and best[3][1] >= 0.5
+        assert 1 not in best and 2 not in best
+
     def test_multi_batch_state_and_late_arrival(self, spark, tmp_path):
         """State persists across micro-batches, and a LATE-arriving document
         with the earliest event time is never flagged (dup_of only points
