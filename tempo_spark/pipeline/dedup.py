@@ -758,9 +758,10 @@ def minhash_dedup(
     No caching: a 100 TB corpus's shingle arrays cannot be pinned in
     executor memory, so the plan is structured to stay cheap fully lazy —
     the candidate self-join is consumed exactly once (chained joins), and
-    the verify side recomputes the hashed-shingle projection per join,
-    which AQE turns into broadcast joins against the (small) candidate set:
-    linear scans, no corpus-wide shuffle, nothing persisted."""
+    the verify side re-reads only raw text, shingling AFTER the candidate
+    join (candidate-sized work), which AQE turns into broadcast joins
+    against the (small) candidate set: linear scans, no corpus-wide
+    shuffle, nothing persisted."""
     base = df.select(F.col(id_col), F.col(text_col))
     sigs = with_minhash(
         base, text_col, "minhash", num_hashes, shingle_k, use_words,
@@ -770,17 +771,27 @@ def minhash_dedup(
         sigs.select(F.col(id_col), F.col("minhash")), id_col, "minhash", bands,
         hash_family, max_bucket_size=max_bucket_size,
     )
-    hashed = with_hashed_shingles(
-        base, text_col, "__sh", shingle_k, use_words, hash_family
-    ).select(F.col(id_col), F.col("__sh"))
     # melt the pairs so the corpus is scanned ONCE for verification: each
-    # candidate id picks up its shingle set in a single (broadcast) join,
-    # then the pair reassembles in a candidate-sized shuffle
+    # candidate id picks up its TEXT in a single (broadcast) join, then the
+    # pair reassembles in a candidate-sized shuffle. Shingles are computed
+    # AFTER the join (r10): a projection below the join evaluates the
+    # shingle/tokenize chain for EVERY corpus row only to discard the
+    # non-candidates — this way verify work is O(candidate occurrences),
+    # not O(corpus), the dominant term whenever candidates ≪ corpus (the
+    # normal dedup regime; tokenize+hash is the priciest per-row family in
+    # this repo). Trade-off, measured warmed at 80k docs: a doc in p pairs
+    # shingles p times, so a pathologically duplicated corpus (every doc in
+    # ~16 pairs) pays ~25% over the corpus-wide form — bounded by
+    # bands × max_bucket_size, and the right fix there is the star cap.
     melted = cands.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias(id_col)
     )
+    pair_docs = with_hashed_shingles(
+        melted.join(base, id_col),
+        text_col, "__sh", shingle_k, use_words, hash_family,
+    )
     per_pair = (
-        melted.join(hashed, id_col)
+        pair_docs
         .groupBy("id_a", "id_b")
         .agg(
             F.min_by("__sh", F.col(id_col) == F.col("id_b")).alias("__sh_a"),
