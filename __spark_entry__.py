@@ -2103,6 +2103,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-sensitive digest of every chunk gate the stride arithmetic and
     # the chunk text itself (re-aggregation is GATE-side only; the
     # operator never re-joins text)
+    # learned BPE (r10, pipeline/bpe.py): 8 merges trained on this corpus's
+    # word vocabulary (Sennrich BPE, driver loop over the bounded vocab),
+    # applied as chained literal replaces — the oracle replays TRAINING
+    # round-by-round (pair counts -> argmax -> replace) and the application
+    # replace-by-replace, so n_bpe_tokens is exact cross-engine
+    from tempo_spark.pipeline.bpe import train_bpe
+
+    bpe_model = train_bpe(docs, "text", num_merges=8)
+    out = bpe_model.token_count(out, "text", out="n_bpe_tokens")
     chunks = chunk_documents(
         docs.select("doc_id", "text"), "doc_id", max_tokens=16, overlap=4
     )
@@ -2129,7 +2138,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard_pos").cast("long").alias("shard_pos"),
         "top_2gram_char_frac", "dup_2gram_char_frac",
         "mix_keep", "budget_keep", "morton",
-        "n_chunks", "chunks_digest",
+        "n_chunks", "chunks_digest", "n_bpe_tokens",
     )
 
 
@@ -2210,7 +2219,8 @@ SELECT b.doc_id, n_tokens, n_2grams, n_2grams_distinct, dup_2gram_frac, split,
                    b.doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 20000 AS budget_keep,
        CASE WHEN mq.q2 IS NULL THEN NULL ELSE __MORTON_TERMS__ END AS morton,
-       ch.n_chunks, ch.chunks_digest
+       ch.n_chunks, ch.chunks_digest,
+       bp.n_bpe AS n_bpe_tokens
 FROM base b
 JOIN documents d ON d.doc_id = b.doc_id
 LEFT JOIN (SELECT doc_id, w FROM granked WHERE rn = 1) t ON t.doc_id = b.doc_id
@@ -2229,7 +2239,67 @@ LEFT JOIN (
        unnest(generate_series(0, greatest(1, (len(t2.tok) - 4 + 11) // 12) - 1)) AS u(i)
   GROUP BY t2.doc_id, t2.tok
 ) ch ON ch.doc_id = b.doc_id
+LEFT JOIN bpecnt bp ON bp.doc_id = b.doc_id
 """
+
+
+def _bpe_oracle_ctes(n_merges: int = 8, max_vocab: int = 65536) -> str:
+    """DuckDB replay of pipeline/bpe.py train_bpe + token_count: the
+    vocabulary (top max_vocab words by count DESC, word ASC), then
+    n_merges unrolled training rounds (overlapping pair counts weighted by
+    word frequency -> best pair with count >= 2, ties (c DESC, a, b) ->
+    non-overlapping left-to-right replace on the bracketized vocab), then
+    the same replace chain applied to each document and a sentinel count.
+    chr(2)/chr(3) are the token brackets; both engines strip any
+    pre-existing sentinel bytes first."""
+    ctes = ["""bv0 AS (
+  SELECT w, cnt, chr(2) || array_to_string(regexp_extract_all(w, '.'), chr(3)||chr(2)) || chr(3) AS s
+  FROM (
+    SELECT w, count(*) AS cnt,
+           row_number() OVER (ORDER BY count(*) DESC, w ASC) AS rn
+    FROM (SELECT unnest(CASE WHEN trim(bclean) = '' THEN []::VARCHAR[]
+                 ELSE regexp_split_to_array(trim(bclean), '\\s+') END) AS w
+          FROM (SELECT replace(replace(text, chr(2), ''), chr(3), '') AS bclean
+                FROM documents WHERE text IS NOT NULL))
+    WHERE w <> '' GROUP BY w)
+  WHERE rn <= %d)""" % max_vocab]
+    for r in range(n_merges):
+        ctes.append(f"""bp{r} AS (
+  SELECT t[i] AS a, t[i+1] AS b, sum(cnt) AS c FROM (
+    SELECT cnt, string_split(substr(s, 2, length(s) - 2), chr(3)||chr(2)) AS t
+    FROM bv{r}),
+    unnest(generate_series(1, len(t) - 1)) AS u(i)
+  GROUP BY t[i], t[i+1])""")
+        ctes.append(f"""bb{r} AS (
+  SELECT a, b FROM bp{r} WHERE c >= 2 ORDER BY c DESC, a ASC, b ASC LIMIT 1)""")
+        ctes.append(f"""bv{r + 1} AS (
+  SELECT w, cnt,
+         CASE WHEN bb.a IS NULL THEN s
+              ELSE replace(s, chr(2)||bb.a||chr(3)||chr(2)||bb.b||chr(3),
+                           chr(2)||bb.a||bb.b||chr(3)) END AS s
+  FROM bv{r} LEFT JOIN bb{r} bb ON true)""")
+    ctes.append("""bd0 AS (
+  SELECT doc_id,
+         regexp_replace(replace(replace(text, chr(2), ''), chr(3), ''),
+                        '(\\S)', chr(2)||'\\1'||chr(3), 'g') AS s
+  FROM documents WHERE text IS NOT NULL)""")
+    for r in range(n_merges):
+        ctes.append(f"""bd{r + 1} AS (
+  SELECT doc_id,
+         CASE WHEN bb.a IS NULL THEN s
+              ELSE replace(s, chr(2)||bb.a||chr(3)||chr(2)||bb.b||chr(3),
+                           chr(2)||bb.a||bb.b||chr(3)) END AS s
+  FROM bd{r} LEFT JOIN bb{r} bb ON true)""")
+    ctes.append(f"""bpecnt AS (
+  SELECT doc_id, length(s) - length(replace(s, chr(3), '')) AS n_bpe
+  FROM bd{n_merges})""")
+    return ",\n".join(ctes)
+
+
+_TOKEN_COUNT_ORACLE = _TOKEN_COUNT_ORACLE.replace(
+    "mq AS (",
+    _bpe_oracle_ctes(8) + ",\nmq AS (",
+)
 
 # Morton bit-interleave replay: 16 bits per column, doc_id's bit j at
 # position 2j+1, n_tokens' at 2j — the exact with_morton_code layout

@@ -1,0 +1,194 @@
+"""Learned byte-pair-encoding token counts.
+
+``with_bpe_ish_token_count`` (text.py) is a regex heuristic; every
+downstream decision that consumes token counts (``assign_packs``,
+``take_token_budget``, ``mix_by_group`` token weighting) inherits its
+error. This module trains a REAL merges table from the corpus with the
+public BPE algorithm (Sennrich et al. 2016, "Neural Machine Translation
+of Rare Words with Subword Units") and applies it with pure JVM string
+expressions — no Python in the hot path, no vocabulary lookup at apply
+time, unseen words segmented exactly.
+
+Design (Spark-first):
+
+- **Training** is the textbook vocabulary-based trainer: ONE distributed
+  ``groupBy`` reduces the corpus to a (word, count) vocabulary, the top
+  ``max_vocab`` rows are collected (a bounded, contractual collect — the
+  same sanctioned class as the k-means fit sample), and the greedy
+  most-frequent-pair loop runs driver-side over that bounded table. Pair
+  counts are weighted by word frequency, so the result is identical to
+  training over the full corpus stream.
+- **Application** never touches the vocabulary: a document's text is
+  bracketized (every non-space char wrapped in sentinel brackets
+  ``\\x02c\\x03``) and each learned merge becomes ONE literal
+  ``replace`` — ``\\x02a\\x03\\x02b\\x03 → \\x02ab\\x03`` — chained in
+  merge order. Whitespace between words blocks cross-word merges by
+  construction. The whole chain is native string expressions inside
+  whole-stage codegen: O(num_merges × len) per row, fully distributed,
+  zero shuffle, zero collect, streaming-composable.
+
+Determinism contract (what makes the cross-engine value gate possible):
+pair counts are *overlapping* adjacent pairs (zip semantics); a merge
+applies to *non-overlapping occurrences left-to-right* (the semantics of
+``str.replace`` / SQL ``replace`` — identical in Python, Spark, and
+DuckDB); ties break by (count DESC, left token ASC, right token ASC) in
+binary UTF-8 order (Python code-point order equals UTF-8 byte order);
+a round with no pair of count >= 2 learns nothing and ends training
+(merging changes nothing thereafter). An external engine can therefore
+replay training round-by-round and application replace-by-replace.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Sentinel token brackets. Control chars that essentially never occur in
+# corpus text; any occurrences ARE stripped before bracketizing (both in
+# training and application, and in the gate oracle) so a hostile byte
+# cannot corrupt segment counting.
+SO = "\x02"  # token open
+SC = "\x03"  # token close
+
+
+def _strip_sentinels(text: Column) -> Column:
+    return F.replace(
+        F.replace(text, F.lit(SO), F.lit("")), F.lit(SC), F.lit("")
+    )
+
+
+def _bracketize(text: Column) -> Column:
+    """Wrap every non-whitespace char: 'ab cd' -> '⟨a⟩⟨b⟩ ⟨c⟩⟨d⟩'
+    (shown with visible brackets; the real sentinels are \\x02/\\x03).
+    Whitespace survives unbracketed and blocks cross-word merges."""
+    return F.regexp_replace(_strip_sentinels(text), r"(\S)", f"{SO}$1{SC}")
+
+
+def _apply_merges(s: Column, merges: Iterable[Tuple[str, str]]) -> Column:
+    for a, b in merges:
+        s = F.replace(s, F.lit(f"{SO}{a}{SC}{SO}{b}{SC}"), F.lit(f"{SO}{a}{b}{SC}"))
+    return s
+
+
+class BPEModel:
+    """An ordered merges table + the native-expression applicators."""
+
+    def __init__(self, merges: List[Tuple[str, str]]):
+        self.merges = [(str(a), str(b)) for a, b in merges]
+
+    # ------------------------------------------------------------ apply
+
+    def segmented_expr(self, text: Column) -> Column:
+        """Bracketized text with all merges applied (the internal
+        representation; useful for debugging and for the token array)."""
+        return _apply_merges(_bracketize(text), self.merges)
+
+    def token_count(
+        self, df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens"
+    ) -> DataFrame:
+        """df + ``out``: the exact BPE piece count per row (long; NULL for
+        NULL text, 0 for empty/whitespace-only). Pure chained-replace JVM
+        expressions — see the module docstring for the scale shape."""
+        if out in df.columns:
+            raise ValueError(f"output column {out!r} already exists")
+        s = self.segmented_expr(F.col(text_col))
+        count = (
+            F.length(s) - F.length(F.replace(s, F.lit(SC), F.lit("")))
+        ).cast("long")
+        return df.withColumn(
+            out, F.when(F.col(text_col).isNotNull(), count)
+        )
+
+    def with_segments(
+        self, df: DataFrame, text_col: str = "text", out: str = "bpe_pieces"
+    ) -> DataFrame:
+        """df + ``out``: array<string> of the BPE pieces in order (word
+        boundaries dissolve — pieces never span whitespace by
+        construction, so downstream consumers can re-window freely)."""
+        if out in df.columns:
+            raise ValueError(f"output column {out!r} already exists")
+        s = self.segmented_expr(F.col(text_col))
+        return df.withColumn(
+            out,
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.regexp_extract_all(s, F.lit(f"{SO}([^{SC}]*){SC}"), 1),
+            ),
+        )
+
+    # ------------------------------------------------------------ io
+
+    def save(self, spark, path: str) -> None:
+        """Persist the ordered merges as parquet (idx, left, right)."""
+        rows = [(i, a, b) for i, (a, b) in enumerate(self.merges)]
+        spark.createDataFrame(
+            rows, "idx int, left string, right string"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    @staticmethod
+    def load(spark, path: str) -> "BPEModel":
+        rows = spark.read.parquet(path).orderBy("idx").collect()
+        return BPEModel([(r.left, r.right) for r in rows])
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 64,
+    max_vocab: int = 65536,
+    min_pair_count: int = 2,
+) -> BPEModel:
+    """Train a BPE merges table from the corpus (see module docstring).
+
+    ``max_vocab`` bounds the driver collect: the vocabulary is the top
+    ``max_vocab`` distinct words by (count DESC, word ASC). On a
+    real-scale corpus the dropped tail is hapax noise whose pair mass is
+    negligible; the bound is structural (a LIMIT inside the plan), so the
+    collect can never exceed it regardless of corpus size.
+    ``min_pair_count``: a round whose best pair occurs fewer than this
+    many times (weighted) learns nothing and ends training.
+    """
+    if num_merges < 0:
+        raise ValueError(f"num_merges must be >= 0, got {num_merges}")
+    if max_vocab < 1:
+        raise ValueError(f"max_vocab must be >= 1, got {max_vocab}")
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.trim(_strip_sentinels(F.col(text_col))), r"\s+")
+            ).alias("__w")
+        )
+        .where(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__w").asc())
+        .limit(max_vocab)
+        .collect()
+    )
+    # driver-side greedy loop over the bounded vocab, operating on the
+    # SAME bracketized-string representation the appliers use, so the
+    # replace semantics (non-overlapping, left-to-right) cannot drift
+    vocab = [
+        (SO + (SC + SO).join(r["__w"]) + SC if r["__w"] else "", int(r["__c"]))
+        for r in words
+    ]
+    merges: List[Tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict = {}
+        for s, c in vocab:
+            toks = s[1:-1].split(SC + SO) if s else []
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        pat = f"{SO}{a}{SC}{SO}{b}{SC}"
+        rep = f"{SO}{a}{b}{SC}"
+        vocab = [(s.replace(pat, rep), c) for s, c in vocab]
+    return BPEModel(merges)

@@ -1,0 +1,158 @@
+"""Learned BPE token counts (pipeline/bpe.py).
+
+Public algorithm: Sennrich et al. 2016 subword BPE — vocabulary-based
+training (one corpus groupBy + bounded driver loop), chained-replace
+application (pure JVM string expressions)."""
+
+import pytest
+import pyspark.sql.functions as F
+
+from tempo_spark.pipeline.bpe import BPEModel, train_bpe
+
+
+class TestTrainBpe:
+    def test_learns_frequent_pairs_in_order(self, spark):
+        df = spark.createDataFrame(
+            [(0, "low lower lowest low low"), (1, "new newer newest new")],
+            "doc_id long, text string",
+        )
+        m = train_bpe(df, num_merges=6)
+        # greedy most-frequent-first: (l,o) count 5 leads; ties broken
+        # by (count DESC, left ASC, right ASC)
+        assert m.merges[0] == ("l", "o")
+        assert m.merges[1] == ("lo", "w")
+
+    def test_python_model_parity(self, spark):
+        """Training over the vocab must equal a brute-force reference BPE
+        over the raw word stream (overlap pair counts, non-overlapping
+        left-to-right merge application)."""
+        texts = [
+            "aba aba cab abacab bc bc bc",
+            "deed deed dee ed",
+            "aba deed cab",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        m = train_bpe(df, num_merges=5)
+
+        # reference model
+        words = [w for t in texts for w in t.split()]
+        segs = {w: list(w) for w in set(words)}
+        counts = {w: words.count(w) for w in set(words)}
+        merges = []
+        for _ in range(5):
+            pc = {}
+            for w, toks in segs.items():
+                for a, b in zip(toks, toks[1:]):
+                    pc[(a, b)] = pc.get((a, b), 0) + counts[w]
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < 2:
+                break
+            a, b = best[0]
+            merges.append((a, b))
+            for w, toks in segs.items():
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                segs[w] = out
+        assert m.merges == merges
+
+        got = {
+            r.doc_id: r.n_bpe_tokens
+            for r in m.token_count(df).collect()
+        }
+        want = {
+            i: sum(len(segs[w]) for w in t.split())
+            for i, t in enumerate(texts)
+        }
+        assert got == want
+
+    def test_nonoverlapping_left_to_right(self, spark):
+        df = spark.createDataFrame([(0, "aaaa aaa")], "doc_id long, text string")
+        m = BPEModel([("a", "a")])
+        rows = m.with_segments(df).collect()
+        # 'aaaa' -> aa aa; 'aaa' -> aa a (leftmost-first, non-overlapping)
+        assert rows[0].bpe_pieces == ["aa", "aa", "aa", "a"]
+        cnt = m.token_count(df).collect()[0].n_bpe_tokens
+        assert cnt == 4
+
+    def test_merges_never_cross_whitespace(self, spark):
+        df = spark.createDataFrame([(0, "ab a b")], "doc_id long, text string")
+        m = BPEModel([("a", "b")])
+        rows = m.with_segments(df).collect()
+        assert rows[0].bpe_pieces == ["ab", "a", "b"]
+
+    def test_null_empty_and_unseen_words(self, spark):
+        train = spark.createDataFrame(
+            [(0, "xy xy xy zz zz")], "doc_id long, text string"
+        )
+        m = train_bpe(train, num_merges=2)
+        assert ("x", "y") in m.merges
+        apply_df = spark.createDataFrame(
+            [(0, None), (1, ""), (2, "   "), (3, "xyxy qqq")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.n_bpe_tokens for r in m.token_count(apply_df).collect()}
+        # unseen word 'xyxy' still segments exactly (xy xy), 'qqq' chars
+        assert got == {0: None, 1: 0, 2: 0, 3: 2 + 3}
+
+    def test_max_vocab_cap_and_stop(self, spark):
+        df = spark.createDataFrame(
+            [(0, "aa aa aa bb bb cc")], "doc_id long, text string"
+        )
+        # cap keeps top-1 word ('aa' count 3) only -> merges learn from it
+        m = train_bpe(df, num_merges=8, max_vocab=1)
+        assert m.merges == [("a", "a")]  # then stops: no pair count >= 2
+        with pytest.raises(ValueError, match="max_vocab"):
+            train_bpe(df, max_vocab=0)
+        with pytest.raises(ValueError, match="num_merges"):
+            train_bpe(df, num_merges=-1)
+
+    def test_save_load_roundtrip(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(0, "low lower low low")], "doc_id long, text string"
+        )
+        m = train_bpe(df, num_merges=3)
+        p = str(tmp_path / "bpe_model")
+        m.save(spark, p)
+        m2 = BPEModel.load(spark, p)
+        assert m2.merges == m.merges
+
+    def test_output_column_guard(self, spark):
+        df = spark.createDataFrame([(0, "a b", 1)], "doc_id long, text string, n_bpe_tokens int")
+        with pytest.raises(ValueError, match="n_bpe_tokens"):
+            BPEModel([]).token_count(df)
+
+    def test_streaming_composes(self, spark, tmp_path):
+        """token_count is pure per-row string expressions — must run
+        unchanged on a streaming frame."""
+        d = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(0, "low low lower")], "doc_id long, text string"
+        ).write.parquet(d)
+        m = BPEModel([("l", "o"), ("lo", "w")])
+        stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+        out = m.token_count(stream)
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("bpe_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = spark.table("bpe_stream").collect()
+        batch = m.token_count(
+            spark.read.parquet(d)
+        ).collect()
+        # 'low' + 'low' + 'low e r' = 5 pieces
+        assert rows[0].n_bpe_tokens == batch[0].n_bpe_tokens == 5
