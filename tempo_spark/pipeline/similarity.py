@@ -354,6 +354,31 @@ def _scored_over(vec: Column, cents_col: Column) -> Column:
 # middle path below remains the no-Python fallback).
 ASSIGN_ARROW_MIN_OPS = 1024
 
+# Hard cap on driver-side quantizer-fit collects (IVF init_mode="local",
+# PQCodec.train). The fit collect's bound is CONTRACTUAL — fit_sample_mod
+# unset on a 100-TB corpus would otherwise pull the whole corpus through
+# the driver. A structural limit(+1) makes the overflow a clear error
+# (set fit_sample_mod) instead of a driver OOM hours into a job. 1M rows
+# × ~1 KiB vector ≈ 1 GiB driver memory — the practical ceiling; k-means
+# quality saturates far below it (the faiss guidance is ~(39..256)·k
+# training points).
+MAX_FIT_ROWS = 1_000_000
+
+
+def _bounded_fit_collect(ordered_proj, what: str):
+    """orderBy-ed fit projection → list of rows, raising past MAX_FIT_ROWS
+    (limit(MAX+1) keeps the sorted prefix structural — the extra row only
+    witnesses the overflow, never silently truncates the fit set)."""
+    rows = ordered_proj.limit(MAX_FIT_ROWS + 1).collect()
+    if len(rows) > MAX_FIT_ROWS:
+        raise ValueError(
+            f"{what}: fit set exceeds MAX_FIT_ROWS={MAX_FIT_ROWS} — pass "
+            "fit_sample_mod= to hash-sample the quantizer fit (the faiss "
+            "recipe; quality saturates at a bounded sample) instead of "
+            "collecting a corpus-scale fit set through the driver"
+        )
+    return rows
+
 
 def _arrow_assign_udf(centers: list[list[float]]):
     """Scalar pandas_udf computing the argmin cell per vector via one
@@ -593,11 +618,11 @@ class IVFIndex:
             # partition layout's, so the seeded init would pick different
             # centroids across repartitioned-but-identical corpora (the
             # same determinism pin as init="first"'s orderBy)
-            rows = (
+            rows = _bounded_fit_collect(
                 fit_proj.where(F.col("__vec").isNotNull())
                 .orderBy(id_col)
-                .select("__vec")
-                .collect()
+                .select("__vec"),
+                "IVFIndex.build(init_mode='local')",
             )
             centers = _local_lloyd(
                 [r["__vec"] for r in rows], n_centroids, seed, max_iter
@@ -1213,11 +1238,11 @@ class PQCodec:
             fit = proj.where(
                 F.pmod(F.xxhash64(F.col("__id")), F.lit(fit_sample_mod)) == 0
             )
-        rows = (
+        rows = _bounded_fit_collect(
             fit.where(F.col("__vec").isNotNull())
             .orderBy("__id")
-            .select("__vec")
-            .collect()
+            .select("__vec"),
+            "PQCodec.train",
         )
         import collections
 

@@ -813,6 +813,29 @@ class TestIVF:
                 vecs.limit(2), n_centroids=4, seed=7, init_mode="local"
             )
 
+    def test_fit_collect_cap_guard(self, spark, monkeypatch):
+        """r10: the quantizer-fit collects are capped at MAX_FIT_ROWS —
+        an unsampled corpus-scale fit raises with the fit_sample_mod fix
+        instead of pulling the corpus through the driver."""
+        import pytest as _pytest
+
+        from tempo_spark.pipeline import similarity as sim
+
+        rows = [(i, [float(i), 0.0]) for i in range(40)]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        monkeypatch.setattr(sim, "MAX_FIT_ROWS", 10)
+        with _pytest.raises(ValueError, match="fit_sample_mod"):
+            sim.IVFIndex.build(vecs, n_centroids=2, seed=1, init_mode="local")
+        with _pytest.raises(ValueError, match="fit_sample_mod"):
+            sim.PQCodec.train(vecs, m=2, ksub=2, seed=1)
+        # under the cap (via sampling) both succeed unchanged
+        idx = sim.IVFIndex.build(
+            vecs, n_centroids=2, seed=1, init_mode="local", fit_sample_mod=8
+        )
+        assert idx.assigned.count() == 40
+        codec = sim.PQCodec.train(vecs, m=2, ksub=2, seed=1, fit_sample_mod=8)
+        assert codec.m == 2
+
     def test_local_lloyd_drops_nonfinite_sample_vectors(self, spark):
         """r9 ADVICE: a fit-sample vector with a NULL element becomes NaN
         and one NaN poisons a centroid mean — such vectors are dropped
