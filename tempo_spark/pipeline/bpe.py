@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from typing import Iterable, List, Optional, Tuple
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -51,6 +52,18 @@ from pyspark.sql import Column, DataFrame
 # cannot corrupt segment counting.
 SO = "\x02"  # token open
 SC = "\x03"  # token close
+
+# Literal replace-chain budget for token_count/with_segments: each merge
+# is one plan node, and a production tokenizer has 30k-50k merges — a
+# replace chain that deep is a Catalyst/plan-build problem (the
+# ASSIGN_LITERAL_MAX lesson at expression scale) and executes
+# O(num_merges) full string passes per row. Past the budget the Arrow
+# kernel takes over: a pandas UDF encoding each DISTINCT word once per
+# batch (dict-cached) with the rank-based merge loop — the two paths are
+# test-pinned identical (applying the minimum-rank applicable pair until
+# none remains equals applying the merge list once each in order, because
+# a merged pair's adjacency can never reappear after its pass).
+REPLACE_CHAIN_MAX = 128
 
 
 def _strip_sentinels(text: Column) -> Column:
@@ -86,29 +99,111 @@ class BPEModel:
         return _apply_merges(_bracketize(text), self.merges)
 
     def token_count(
-        self, df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens"
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        out: str = "n_bpe_tokens",
+        engine: str = "auto",
     ) -> DataFrame:
         """df + ``out``: the exact BPE piece count per row (long; NULL for
-        NULL text, 0 for empty/whitespace-only). Pure chained-replace JVM
-        expressions — see the module docstring for the scale shape."""
+        NULL text, 0 for empty/whitespace-only).
+
+        ``engine``: ``"expr"`` = chained-replace JVM expressions (codegen,
+        zero Python; right for small merge tables), ``"arrow"`` = pandas
+        UDF with a per-batch distinct-word cache and the rank-based merge
+        loop (right for production-sized merge tables), ``"auto"`` =
+        expr iff ``len(merges) <= REPLACE_CHAIN_MAX``. Both engines are
+        test-pinned to identical outputs."""
         if out in df.columns:
             raise ValueError(f"output column {out!r} already exists")
-        s = self.segmented_expr(F.col(text_col))
-        count = (
-            F.length(s) - F.length(F.replace(s, F.lit(SC), F.lit("")))
-        ).cast("long")
-        return df.withColumn(
-            out, F.when(F.col(text_col).isNotNull(), count)
-        )
+        if engine == "auto":
+            engine = "expr" if len(self.merges) <= REPLACE_CHAIN_MAX else "arrow"
+        if engine == "expr":
+            s = self.segmented_expr(F.col(text_col))
+            count = (
+                F.length(s) - F.length(F.replace(s, F.lit(SC), F.lit("")))
+            ).cast("long")
+            return df.withColumn(
+                out, F.when(F.col(text_col).isNotNull(), count)
+            )
+        if engine != "arrow":
+            raise ValueError(f"unknown engine {engine!r}; use expr/arrow/auto")
+        return df.withColumn(out, self._arrow_count_udf()(F.col(text_col)))
+
+    def _arrow_count_udf(self):
+        from pyspark.sql.functions import pandas_udf
+
+        ranks = {pair: i for i, pair in enumerate(self.merges)}
+
+        def encode_len(word: str) -> int:
+            toks = list(word)
+            while len(toks) > 1:
+                best = None
+                for i in range(len(toks) - 1):
+                    r = ranks.get((toks[i], toks[i + 1]))
+                    if r is not None and (best is None or r < best[0]):
+                        best = (r, toks[i], toks[i + 1])
+                if best is None:
+                    break
+                _, a, b = best
+                nxt, i = [], 0
+                # single left-to-right non-overlapping pass — the exact
+                # replace() semantics of the expr engine
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                        nxt.append(a + b)
+                        i += 2
+                    else:
+                        nxt.append(toks[i])
+                        i += 1
+                toks = nxt
+            return len(toks)
+
+        import re
+
+        # Java regex \s/\S are ASCII-only by default — python str.split()
+        # (unicode whitespace) would word-break on e.g.   where the
+        # expr engine treats it as a token char; split exactly like Java
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+        @pandas_udf("long")
+        def count_of(texts: pd.Series) -> pd.Series:
+            cache: dict = {}
+
+            def doc_count(t):
+                if t is None:
+                    return None
+                total = 0
+                for w in ws.split(t.replace(SO, "").replace(SC, "")):
+                    if not w:
+                        continue
+                    n = cache.get(w)
+                    if n is None:
+                        n = encode_len(w)
+                        cache[w] = n
+                    total += n
+                return total
+
+            return texts.map(doc_count)
+
+        return count_of
 
     def with_segments(
         self, df: DataFrame, text_col: str = "text", out: str = "bpe_pieces"
     ) -> DataFrame:
         """df + ``out``: array<string> of the BPE pieces in order (word
         boundaries dissolve — pieces never span whitespace by
-        construction, so downstream consumers can re-window freely)."""
+        construction, so downstream consumers can re-window freely).
+        Expression path only (a debug/inspection surface) — use
+        ``token_count`` for production-sized merge tables."""
         if out in df.columns:
             raise ValueError(f"output column {out!r} already exists")
+        if len(self.merges) > REPLACE_CHAIN_MAX:
+            raise ValueError(
+                f"with_segments is expression-path only and this model has "
+                f"{len(self.merges)} merges > REPLACE_CHAIN_MAX="
+                f"{REPLACE_CHAIN_MAX}; use token_count (arrow engine)"
+            )
         s = self.segmented_expr(F.col(text_col))
         return df.withColumn(
             out,

@@ -131,6 +131,52 @@ class TestTrainBpe:
         with pytest.raises(ValueError, match="n_bpe_tokens"):
             BPEModel([]).token_count(df)
 
+    def test_arrow_engine_parity(self, spark):
+        """The Arrow (rank-loop, distinct-word-cached) engine must equal
+        the chained-replace expression engine bit-for-bit — including on
+        texts where merges cascade (a merge output feeding a later merge)
+        and on null/empty/sentinel-polluted rows."""
+        import random
+
+        rng = random.Random(7)
+        alpha = "abcd"
+        texts = [
+            " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 9)))
+                for _ in range(rng.randint(0, 12))
+            )
+            for _ in range(60)
+        ] + [None, "", "  ", "\x02ab\x03cd", "aaaaaaa bbbb abab",
+             "ab ab", "ab ab"]  # unicode spaces are TOKEN chars
+             # in Java \S (ASCII-only) — both engines must agree
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        m = train_bpe(df, num_merges=12)
+        assert len(m.merges) > 0
+        expr = {
+            r.doc_id: r.n_bpe_tokens
+            for r in m.token_count(df, engine="expr").collect()
+        }
+        arrow = {
+            r.doc_id: r.n_bpe_tokens
+            for r in m.token_count(df, engine="arrow").collect()
+        }
+        assert expr == arrow
+
+    def test_auto_engine_flips_past_budget(self, spark, monkeypatch):
+        from tempo_spark.pipeline import bpe as bpe_mod
+
+        df = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+        m = BPEModel([("a", "b")])
+        monkeypatch.setattr(bpe_mod, "REPLACE_CHAIN_MAX", 0)
+        out = m.token_count(df)  # auto -> arrow
+        assert out.collect()[0].n_bpe_tokens == 2
+        with pytest.raises(ValueError, match="REPLACE_CHAIN_MAX"):
+            m.with_segments(df)
+        with pytest.raises(ValueError, match="engine"):
+            m.token_count(df, engine="nope")
+
     def test_streaming_composes(self, spark, tmp_path):
         """token_count is pure per-row string expressions — must run
         unchanged on a streaming frame."""
