@@ -3260,14 +3260,66 @@ FROM events WHERE event_id % 20 = 0
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 (tag ``cos``) ∪ RRF hybrid fusion (tag
+    ``rrf``, r10: ``search.rrf_fuse``, Cormack et al. 2009): the cosine
+    list fused with a raw-dot-product list at rrf_k=60. The fused score is
+    a FIXED-order sum of per-list reciprocals (not a float aggregate), so
+    DuckDB replays score AND ranks bit-identically; ties break discretely
+    by (lists matched, per-list ranks, id)."""
+    from pyspark.sql import Window as _W
+
+    from tempo_spark.pipeline.search import rrf_fuse
     from tempo_spark.pipeline.similarity import brute_force_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = brute_force_topk(emb, queries, k=5)
-    return out.select("query_id", "vec_id", "cosine", "rank")
+    cos = brute_force_topk(emb, queries, k=5)
+    base = cos.select(
+        F.lit("cos").alias("tag"), "query_id", "vec_id", "cosine", "rank"
+    )
+    # second retriever for the fusion: top-5 by RAW left-fold dot product
+    # (same corpus, different ranking — the two-scorer hybrid shape)
+    qv = queries.select(
+        F.col("query_id"),
+        F.col("embedding").cast("array<double>").alias("__qv"),
+    )
+    dot = (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("__cv")
+        )
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("__qv"), F.col("__cv"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__dot"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                _W.partitionBy("query_id").orderBy(
+                    F.col("__dot").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .where(F.col("rank") <= 5)
+    )
+    fused = rrf_fuse(
+        [cos, dot], query_id="query_id", id_col="vec_id", k=5, rrf_k=60
+    )
+    rrf = fused.select(
+        F.lit("rrf").alias("tag"),
+        "query_id",
+        "vec_id",
+        F.col("rrf_score").alias("cosine"),
+        "rank",
+    )
+    return base.unionByName(rrf)
 
 
 _ANN_ORACLE = """
@@ -3284,8 +3336,41 @@ scored AS (
 ranked AS (
   SELECT query_id, vec_id, cosine,
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-  FROM scored)
-SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+  FROM scored),
+dotscored AS (
+  SELECT q.query_id, c.vec_id,
+         list_reduce(list_prepend(0.0, list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])), (a,b) -> a + b) AS dot
+  FROM c CROSS JOIN q),
+dotranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+  FROM dotscored),
+rrfu AS (
+  SELECT query_id, vec_id, rank, 0 AS lst FROM ranked WHERE rank <= 5
+  UNION ALL
+  SELECT query_id, vec_id, rank, 1 AS lst FROM dotranked WHERE rank <= 5),
+rrfd AS (
+  SELECT query_id, vec_id,
+         min(CASE WHEN lst = 0 THEN rank END) AS r0,
+         min(CASE WHEN lst = 1 THEN rank END) AS r1
+  FROM rrfu GROUP BY query_id, vec_id),
+rrfs AS (
+  SELECT query_id, vec_id, r0, r1,
+         ((0.0 + coalesce(1.0 / (60 + r0), 0.0))
+              + coalesce(1.0 / (60 + r1), 0.0)) AS s,
+         ((CASE WHEN r0 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END)) AS nl
+  FROM rrfd),
+rrfr AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, nl DESC,
+                                     r0 ASC NULLS LAST, r1 ASC NULLS LAST,
+                                     vec_id) AS rank
+  FROM rrfs)
+SELECT 'cos' AS tag, query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+UNION ALL
+SELECT 'rrf' AS tag, query_id, vec_id, s AS cosine, rank FROM rrfr WHERE rank <= 5
 """
 
 

@@ -432,3 +432,99 @@ class BM25Index:
             id_col=id_col,
             lowercase=lowercase,
         )
+
+
+def rrf_fuse(
+    ranked,
+    query_id: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    rrf_k: int = 60,
+    weights=None,
+) -> DataFrame:
+    """Hybrid-retrieval fusion by Reciprocal Rank Fusion (Cormack,
+    Clarke & Büttcher 2009): fuse N ranked lists (e.g. :func:`bm25_topk`
+    lexical + an ANN semantic top-k) into one top-``k`` per query with
+
+        rrf_score(q, d) = Σ_i  w_i / (rrf_k + rank_i(q, d))
+
+    summing over the lists where ``d`` appears. RRF needs no score
+    calibration between retrievers — only ranks — which is why it is the
+    standard first fusion baseline.
+
+    ``ranked``: a sequence of DataFrames each carrying (``query_id``,
+    ``id_col``, ``rank_col``); extra columns are ignored. ``weights``
+    defaults to 1.0 per list.
+
+    Plan shape: the lists are each query×k-sized by construction, so the
+    union + per-(query, doc) aggregation is candidate-sized regardless of
+    corpus size — fusion never touches the corpus. The fused score is a
+    FIXED left-to-right sum over per-list terms (not a float sum
+    aggregate), so its IEEE value is order-deterministic and
+    cross-engine replayable; ranking ties break discretely by (lists
+    matched DESC, per-list ranks ASC NULLS LAST, id ASC).
+
+    Returns (query_id, id_col, rrf_score, n_lists, rank) with rank 1..k
+    per query. NULL query ids are a legitimate group (the refine_topk
+    lesson): they fuse and rank like any other key.
+    """
+    ranked = list(ranked)
+    if len(ranked) < 2:
+        raise ValueError(f"rrf_fuse needs >= 2 ranked lists, got {len(ranked)}")
+    if rrf_k < 1:
+        raise ValueError(f"rrf_k must be >= 1, got {rrf_k}")
+    if weights is None:
+        weights = [1.0] * len(ranked)
+    if len(weights) != len(ranked):
+        raise ValueError(
+            f"weights has {len(weights)} entries for {len(ranked)} lists"
+        )
+    parts = []
+    for i, frame in enumerate(ranked):
+        for c in (query_id, id_col, rank_col):
+            if c not in frame.columns:
+                raise ValueError(f"list {i} is missing column {c!r}")
+        parts.append(
+            frame.select(
+                F.col(query_id),
+                F.col(id_col),
+                F.col(rank_col).cast("long").alias("__rrf_rank"),
+                F.lit(i).alias("__rrf_list"),
+            )
+        )
+    from functools import reduce
+
+    union = reduce(lambda a, b: a.unionByName(b), parts)
+    per_doc = union.groupBy(query_id, id_col).agg(
+        *[
+            F.min(F.when(F.col("__rrf_list") == i, F.col("__rrf_rank"))).alias(
+                f"__rrf_r{i}"
+            )
+            for i in range(len(ranked))
+        ]
+    )
+    score = F.lit(0.0)
+    for i, w in enumerate(weights):
+        score = score + F.coalesce(
+            F.lit(float(w)) / (F.lit(rrf_k) + F.col(f"__rrf_r{i}")),
+            F.lit(0.0),
+        )
+    n_lists = sum(
+        F.when(F.col(f"__rrf_r{i}").isNotNull(), 1).otherwise(0)
+        for i in range(len(ranked))
+    )
+    scored = per_doc.withColumn("rrf_score", score).withColumn(
+        "n_lists", n_lists.cast("int")
+    )
+    order = [F.col("rrf_score").desc(), F.col("n_lists").desc()]
+    order += [
+        F.col(f"__rrf_r{i}").asc_nulls_last() for i in range(len(ranked))
+    ]
+    order.append(F.col(id_col).asc())
+    w_rank = Window.partitionBy(query_id).orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "rrf_score", "n_lists", "rank")
+    )

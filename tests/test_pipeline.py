@@ -5290,3 +5290,66 @@ class TestBM25NullQueryId:
         ).collect()
         assert [r.doc_id for r in anded] == [0]
         assert anded[0].query_id is None
+
+
+class TestRrfFuse:
+    def _lists(self, spark):
+        a = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3), (None, 20, 1)],
+            "query_id long, doc_id long, rank long",
+        )
+        b = spark.createDataFrame(
+            [(1, 11, 1), (1, 13, 2), (None, 21, 1)],
+            "query_id long, doc_id long, rank long",
+        )
+        return a, b
+
+    def test_rrf_semantics(self, spark):
+        from tempo_spark.pipeline.search import rrf_fuse
+
+        a, b = self._lists(spark)
+        out = rrf_fuse([a, b], k=10, rrf_k=60)
+        got = {
+            (r.query_id, r.doc_id): (r.rrf_score, r.n_lists, r.rank)
+            for r in out.collect()
+        }
+        # doc 11 in both lists wins query 1
+        s11 = (0.0 + 1.0 / 62) + 1.0 / 61
+        assert got[(1, 11)][0] == s11 and got[(1, 11)][1] == 2
+        assert got[(1, 11)][2] == 1
+        # singles ranked by their reciprocal, doc 10 (rank1 listA) next
+        assert got[(1, 10)][2] == 2
+        assert got[(1, 13)][2] == 3 and got[(1, 12)][2] == 4
+        # NULL query id fuses as its own group (the refine_topk lesson)
+        assert got[(None, 20)][2] in (1, 2) and got[(None, 21)][2] in (1, 2)
+
+    def test_weights_and_validations(self, spark):
+        import pytest
+
+        from tempo_spark.pipeline.search import rrf_fuse
+
+        a, b = self._lists(spark)
+        out = rrf_fuse([a, b], k=1, rrf_k=60, weights=[0.0, 1.0])
+        top = {r.query_id: r.doc_id for r in out.collect()}
+        # zero weight on list A: list B's rank-1 docs win
+        assert top[1] == 11 and top[None] == 21
+        with pytest.raises(ValueError, match=">= 2 ranked lists"):
+            rrf_fuse([a])
+        with pytest.raises(ValueError, match="rrf_k"):
+            rrf_fuse([a, b], rrf_k=0)
+        with pytest.raises(ValueError, match="weights"):
+            rrf_fuse([a, b], weights=[1.0])
+        with pytest.raises(ValueError, match="missing column"):
+            rrf_fuse([a, b.drop("rank")])
+
+    def test_duplicate_rows_take_min_rank(self, spark):
+        from tempo_spark.pipeline.search import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 10, 3), (1, 10, 1)], "query_id long, doc_id long, rank long"
+        )
+        b = spark.createDataFrame(
+            [(1, 10, 2)], "query_id long, doc_id long, rank long"
+        )
+        r = rrf_fuse([a, b], k=5).collect()[0]
+        assert r.rrf_score == (0.0 + 1.0 / 61) + 1.0 / 62
