@@ -367,6 +367,20 @@ def _rollup(spark, sf_dir):
     )
 
 
+def _bpe(spark, sf_dir):
+    # learned BPE end-to-end (r10): vocab groupBy + 256-merge driver train,
+    # then the Arrow count engine over the corpus (production config —
+    # past REPLACE_CHAIN_MAX the replace chain stops being the right
+    # plan). Self-baselined.
+    from tempo_spark.pipeline.bpe import train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = train_bpe(docs, "text", num_merges=256)
+    return model.token_count(docs, "text", engine="arrow").select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
 BENCH_QUERIES = {
     "b1_asof_join": _single_asof,
     "b2_asof_skew": _skew_asof,
@@ -400,6 +414,7 @@ BENCH_QUERIES = {
     "b30_pq_ann": _pq_ann,
     "b31_bm25": _bm25,
     "b32_rollup": _rollup,
+    "b33_bpe": _bpe,
 }
 
 RUNS = 3
