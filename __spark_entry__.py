@@ -2251,18 +2251,22 @@ def _bpe_oracle_ctes(n_merges: int = 8, max_vocab: int = 65536) -> str:
     non-overlapping left-to-right replace on the bracketized vocab), then
     the same replace chain applied to each document and a sentinel count.
     chr(2)/chr(3) are the token brackets; both engines strip any
-    pre-existing sentinel bytes first."""
+    pre-existing sentinel bytes first. Whitespace is the EXPLICIT Java
+    class [ \\t\\n\\x0B\\f\\r] -- RE2's \\s excludes \\x0B while Java's
+    includes it, so a vertical tab in future testdata would otherwise
+    word-split on one engine and bracketize as a token char on the other
+    (the same pin bpe.py's arrow engine carries vs Python)."""
+    ws = r"[ \t\n\x0b\f\r]"
     ctes = ["""bv0 AS (
   SELECT w, cnt, chr(2) || array_to_string(regexp_extract_all(w, '.'), chr(3)||chr(2)) || chr(3) AS s
   FROM (
     SELECT w, count(*) AS cnt,
            row_number() OVER (ORDER BY count(*) DESC, w ASC) AS rn
-    FROM (SELECT unnest(CASE WHEN trim(bclean) = '' THEN []::VARCHAR[]
-                 ELSE regexp_split_to_array(trim(bclean), '\\s+') END) AS w
+    FROM (SELECT unnest(regexp_split_to_array(bclean, '%s+')) AS w
           FROM (SELECT replace(replace(text, chr(2), ''), chr(3), '') AS bclean
                 FROM documents WHERE text IS NOT NULL))
     WHERE w <> '' GROUP BY w)
-  WHERE rn <= %d)""" % max_vocab]
+  WHERE rn <= %d)""" % (ws, max_vocab)]
     for r in range(n_merges):
         ctes.append(f"""bp{r} AS (
   SELECT t[i] AS a, t[i+1] AS b, sum(cnt) AS c FROM (
@@ -2281,8 +2285,8 @@ def _bpe_oracle_ctes(n_merges: int = 8, max_vocab: int = 65536) -> str:
     ctes.append("""bd0 AS (
   SELECT doc_id,
          regexp_replace(replace(replace(text, chr(2), ''), chr(3), ''),
-                        '(\\S)', chr(2)||'\\1'||chr(3), 'g') AS s
-  FROM documents WHERE text IS NOT NULL)""")
+                        '([^%s])', chr(2)||'\\1'||chr(3), 'g') AS s
+  FROM documents WHERE text IS NOT NULL)""" % ws[1:-1])
     for r in range(n_merges):
         ctes.append(f"""bd{r + 1} AS (
   SELECT doc_id,
@@ -3879,21 +3883,25 @@ pbook AS (
               THEN list_slice(f.v, 1, (SELECT dsub FROM pdim))
               ELSE list_slice(f.v, (SELECT dsub FROM pdim) + 1,
                               2 * (SELECT dsub FROM pdim)) END AS cw
-  FROM (SELECT vec_id, v FROM c WHERE v IS NOT NULL
+  FROM (SELECT vec_id, v FROM c
+        WHERE v IS NOT NULL AND len(v) = 2 * (SELECT dsub FROM pdim)
+          AND len(list_filter(v, x -> x IS NULL OR isnan(x))) = 0
         ORDER BY vec_id LIMIT 4) f
   CROSS JOIN (VALUES (0), (1)) AS s(j)),
 pbookn AS (SELECT j, code, cw, {sq.format(a='cw')} AS cn2 FROM pbook),
 psub AS (
-  -- non-null + width filter mirrors PQCodec._vec_ok (encode NULLs such
-  -- rows, adc drops them); pdim is id-ordered so both engines agree on
-  -- dsub even if the driver's testdata ever grows dirty rows
+  -- full PQCodec._vec_ok mirror (non-null, width, AND no null/NaN
+  -- elements — encode NULLs such rows, adc drops them); pdim is
+  -- id-ordered so both engines agree on dsub even if the driver's
+  -- testdata ever grows dirty rows
   SELECT vec_id, s.j,
          CASE WHEN s.j = 0
               THEN list_slice(v, 1, (SELECT dsub FROM pdim))
               ELSE list_slice(v, (SELECT dsub FROM pdim) + 1,
                               2 * (SELECT dsub FROM pdim)) END AS sv
   FROM c CROSS JOIN (VALUES (0), (1)) AS s(j)
-  WHERE v IS NOT NULL AND len(v) = 2 * (SELECT dsub FROM pdim)),
+  WHERE v IS NOT NULL AND len(v) = 2 * (SELECT dsub FROM pdim)
+    AND len(list_filter(v, x -> x IS NULL OR isnan(x))) = 0),
 penc AS (
   SELECT vec_id, j, code FROM (
     SELECT p.vec_id, p.j, b.code,
@@ -3937,10 +3945,14 @@ rranked AS (
 -- per-(query, probed cell) LUTs over q − c_cell, adc = ((0+d0)+d1) +
 -- ‖q−c_cell‖² (coarse term; same left-fold orders as the flat pq tag)
 rres AS (
+  -- _vec_ok mirror incl. the NaN-element clause: Spark NULLs the cell of
+  -- a NaN-element vector (r9), while the assign CTE's ORDER BY would hand
+  -- it cell 0 via the tiebreak — filter it out of the fit AND the encode
   SELECT a.vec_id, a.cell,
          list_transform(list_zip(a.v, n.cv), p -> p[1] - p[2]) AS rv
   FROM assign a JOIN centn n ON a.cell = n.cell
-  WHERE a.v IS NOT NULL AND len(a.v) = 2 * (SELECT dsub FROM pdim)),
+  WHERE a.v IS NOT NULL AND len(a.v) = 2 * (SELECT dsub FROM pdim)
+    AND len(list_filter(a.v, x -> x IS NULL OR isnan(x))) = 0),
 rbook AS (
   SELECT s.j,
          row_number() OVER (PARTITION BY s.j ORDER BY f.vec_id) - 1 AS code,
@@ -3965,9 +3977,13 @@ renc AS (
                               ORDER BY {d_renc}, b.code) AS rn
     FROM rsub p JOIN rbookn b ON p.j = b.j) WHERE rn = 1),
 rq AS (
+  -- query-side _vec_ok mirror (null/NaN-element queries are excluded from
+  -- the LUT on every Spark path)
   SELECT p.query_id, p.cell,
          list_transform(list_zip(p.qv, n.cv), x -> x[1] - x[2]) AS qres
-  FROM probe p JOIN centn n ON p.cell = n.cell),
+  FROM probe p JOIN centn n ON p.cell = n.cell
+  WHERE p.qv IS NOT NULL AND len(p.qv) = 2 * (SELECT dsub FROM pdim)
+    AND len(list_filter(p.qv, x -> x IS NULL OR isnan(x))) = 0),
 rqc AS (SELECT query_id, cell, qres,
                {sq.format(a='qres')} AS coarse FROM rq),
 rqsub AS (

@@ -474,6 +474,15 @@ def rrf_fuse(
         raise ValueError(f"rrf_fuse needs >= 2 ranked lists, got {len(ranked)}")
     if rrf_k < 1:
         raise ValueError(f"rrf_k must be >= 1, got {rrf_k}")
+    reserved = {"rrf_score", "n_lists", "rank"}
+    for name, val in (("query_id", query_id), ("id_col", id_col)):
+        if val in reserved:
+            raise ValueError(
+                f"{name}={val!r} collides with a reserved output column "
+                f"({sorted(reserved)}); rename the key column first"
+            )
+    if query_id == id_col:
+        raise ValueError("query_id and id_col must differ")
     if weights is None:
         weights = [1.0] * len(ranked)
     if len(weights) != len(ranked):

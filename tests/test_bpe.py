@@ -131,6 +131,51 @@ class TestTrainBpe:
         with pytest.raises(ValueError, match="n_bpe_tokens"):
             BPEModel([]).token_count(df)
 
+    def test_incremental_trainer_matches_naive_recount(self, spark):
+        """r10: the heap/incremental trainer must produce the exact merge
+        sequence of a naive full-recount loop at depth (200 merges over a
+        random corpus — ties, cascaded merges, dried-up pairs all hit)."""
+        import random
+
+        rng = random.Random(11)
+        texts = [
+            " ".join(
+                "".join(rng.choice("abcde") for _ in range(rng.randint(1, 10)))
+                for _ in range(rng.randint(1, 15))
+            )
+            for _ in range(120)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        m = train_bpe(df, num_merges=200)
+
+        # naive reference: full recount each round on bracketed strings
+        from tempo_spark.pipeline.bpe import SC, SO
+
+        words: dict = {}
+        for t in texts:
+            for w in t.split():
+                words[w] = words.get(w, 0) + 1
+        vocab = [(SO + (SC + SO).join(w) + SC, c) for w, c in words.items()]
+        naive = []
+        for _ in range(200):
+            counts: dict = {}
+            for s, c in vocab:
+                toks = s[1:-1].split(SC + SO)
+                for p in zip(toks, toks[1:]):
+                    counts[p] = counts.get(p, 0) + c
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < 2:
+                break
+            a, b = best[0]
+            naive.append((a, b))
+            pat, rep = f"{SO}{a}{SC}{SO}{b}{SC}", f"{SO}{a}{b}{SC}"
+            vocab = [(s.replace(pat, rep), c) for s, c in vocab]
+        assert m.merges == naive
+
     def test_arrow_engine_parity(self, spark):
         """The Arrow (rank-loop, distinct-word-cached) engine must equal
         the chained-replace expression engine bit-for-bit — including on
