@@ -94,6 +94,7 @@ def prepare_corpus(
     persist_intermediate: bool = True,
     staging: Optional[CorpusStaging] = None,
     staging_dir: Optional[str] = None,
+    token_model=None,
 ) -> DataFrame:
     """Standard corpus preparation in one call; see the module docstring.
 
@@ -151,6 +152,15 @@ def prepare_corpus(
     repeatedly over DIFFERENT inputs without a handle accumulate cache
     entries; repeated calls over the SAME input reuse one entry (the
     cache manager matches canonicalized plans).
+
+    ``token_model=`` (a :class:`tempo_spark.pipeline.bpe.BPEModel`)
+    derives ``n_tokens`` from LEARNED BPE pieces instead of the
+    whitespace heuristic — every downstream decision keyed on token
+    counts (``pack_tokens`` packing, mixture token shares, budget
+    selection) then reflects real tokenizer economics. Train once with
+    ``train_bpe`` (or load a saved merges table) and pass it here; the
+    per-row count is pure string expressions or an Arrow kernel (see
+    bpe.py), so the stage's shuffle shape is unchanged.
 
     ``staging_dir=`` is the 100-TB form of the same barriers: each barrier
     WRITES the frame to parquet under ``staging_dir/NN_stage/`` and reads
@@ -237,7 +247,14 @@ def prepare_corpus(
         raise ValueError("min_clf_prob requires quality_model")
 
     def _signals(frame: DataFrame) -> DataFrame:
-        frame = with_token_count(frame, text_col)
+        if token_model is not None:
+            # learned BPE counts (bpe.BPEModel) replace the whitespace
+            # heuristic everywhere n_tokens is consumed downstream
+            # (quality length band stays token-heuristic-free anyway;
+            # packs/budget/mix all key off this column)
+            frame = token_model.token_count(frame, text_col, out="n_tokens")
+        else:
+            frame = with_token_count(frame, text_col)
         frame = with_quality_score(frame, text_col)
         frame = with_repetition_metrics(frame, text_col, n=2)
         if quality_model is not None:

@@ -2686,6 +2686,25 @@ class TestPrepareCorpus:
                 df, staging=CorpusStaging(), staging_dir=staged_dir, **kw
             )
 
+    def test_token_model_drives_counts(self, spark):
+        """r10: token_model= (a BPEModel) swaps the n_tokens signal to
+        learned BPE piece counts — downstream packing keys off it."""
+        from tempo_spark.pipeline.bpe import BPEModel
+        from tempo_spark.pipeline.prepare import prepare_corpus
+
+        df = spark.createDataFrame(
+            [(0, "abab abab"), (1, "cd cd cd")], "doc_id long, text string"
+        )
+        m = BPEModel([("a", "b"), ("ab", "ab")])
+        out = {
+            r.doc_id: r.n_tokens
+            for r in prepare_corpus(
+                df, exact_dedup=False, token_model=m, pack_tokens=4
+            ).collect()
+        }
+        # 'abab' -> one 'abab' piece each; 'cd' -> 2 chars each
+        assert out == {0: 2, 1: 6}
+
     def test_all_stages_optional(self, spark):
         from tempo_spark.pipeline.prepare import prepare_corpus
 
