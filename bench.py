@@ -367,6 +367,31 @@ def _rollup(spark, sf_dir):
     )
 
 
+def _latest_slices(spark, sf_dir):
+    # pinned to the single latest(3) shape — the entry union-tags the
+    # get_display_df frame as a gate device (r10 'display' tag), which
+    # would double the measured work (the b6 single-grain convention)
+    import pyspark.sql.functions as F
+
+    de = entry_mod._dedup_events(spark, sf_dir).select("user_id", "ts", "value")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    return t.latest(3).df.select("user_id", "ts", "value")
+
+
+def _ann_topk(spark, sf_dir):
+    # pinned to the pure brute-force cosine shape — the entry now also
+    # runs the rrf gate tag (a second scorer + fusion)
+    import pyspark.sql.functions as F
+
+    from tempo_spark.pipeline.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
 def _bpe(spark, sf_dir):
     # learned BPE end-to-end (r10): vocab groupBy + 256-merge driver train,
     # then the Arrow count engine over the corpus (production config —
@@ -389,10 +414,10 @@ BENCH_QUERIES = {
     "b5_interpolate_linear": _interpolate_linear,
     "b6_ohlc_bars": _ohlc_single,
     "b7_make_disjoint": entry_mod.q_make_disjoint,
-    "b8_latest_slices": entry_mod.q_latest_3,
+    "b8_latest_slices": _latest_slices,
     "b9_vwap": entry_mod.q_vwap,
     "b10_minhash_dedup": _minhash_dedup,
-    "b11_ann_topk": entry_mod.q_ann_cosine_topk,
+    "b11_ann_topk": _ann_topk,
     "b12_text_analysis": _text_analysis,
     "b17_contamination": _contamination,
     "b13_simhash_dedup": _simhash_dedup,
