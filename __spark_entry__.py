@@ -1340,17 +1340,82 @@ def q_latest_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("display").alias("tag"), "user_id", "ts",
         _R6(F.col("value")).alias("v"),
     )
-    return base.unionByName(disp)
+    # lttb (r10): LTTB visual downsampling to 16 points per series
+    # (operators/lttb.py) — bucket assignment is integer division, bucket
+    # sums are exact decimals, anchors/areas a fixed IEEE sequence, so the
+    # SELECTED row set replays exactly; emitted v is the operator's own
+    # 1e-6-quantized y (== _HR6(value))
+    lt = t.downsample_lttb(16, "value").select(
+        F.lit("lttb").alias("tag"), "user_id", "ts",
+        _HR6(F.col("value")).alias("v"),
+    )
+    return base.unionByName(disp).unionByName(lt)
 
 
 _LATEST3_ORACLE = f"""
 WITH {_DE_CTE},
 ranked AS (SELECT user_id, ts, value,
                   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
-           FROM de)
+           FROM de),
+-- lttb replay (r10, operators/lttb.py): n_out=16 -> 14 interior buckets;
+-- x = micros offset from the series start, y on the 1e-6 grid; bucket
+-- sums exact decimals, anchors CAST(dec AS DOUBLE)/n, area the same
+-- fixed IEEE expression; ties (area, then ts)
+lbase AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS pos,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id) AS x,
+         floor(value * 1000000 + 0.5) / 1000000 AS yq
+  FROM de),
+lint AS (
+  SELECT user_id, ts, x, yq,
+         CAST((pos - 2) * 14 // (n - 2) AS INT) AS b
+  FROM lbase WHERE n > 16 AND pos > 1 AND pos < n),
+lstats AS (
+  SELECT user_id, b, count(*) AS na,
+         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         sum(CAST(yq AS DECIMAL(32,6))) AS sy
+  FROM lint GROUP BY user_id, b),
+lanch AS (
+  SELECT user_id, b,
+         lag(CAST(sx AS DOUBLE) / na)  OVER (PARTITION BY user_id ORDER BY b) AS pax,
+         lag(CAST(sy AS DOUBLE) / na)  OVER (PARTITION BY user_id ORDER BY b) AS pay,
+         lead(CAST(sx AS DOUBLE) / na) OVER (PARTITION BY user_id ORDER BY b) AS nax,
+         lead(CAST(sy AS DOUBLE) / na) OVER (PARTITION BY user_id ORDER BY b) AS nay
+  FROM lstats),
+lfirst AS (SELECT user_id, CAST(x AS DOUBLE) AS fx, yq AS fy
+           FROM lbase WHERE n > 16 AND pos = 1),
+llast AS (SELECT user_id, CAST(x AS DOUBLE) AS lx, yq AS ly
+          FROM lbase WHERE n > 16 AND pos = n),
+lanch2 AS (
+  SELECT a.user_id, a.b,
+         coalesce(a.pax, f.fx) AS pax, coalesce(a.pay, f.fy) AS pay,
+         coalesce(a.nax, l.lx) AS nax, coalesce(a.nay, l.ly) AS nay
+  FROM lanch a
+  JOIN lfirst f ON f.user_id = a.user_id
+  JOIN llast l ON l.user_id = a.user_id),
+lchosen AS (
+  SELECT user_id, ts, yq FROM (
+    SELECT i.user_id, i.ts, i.yq,
+           row_number() OVER (
+             PARTITION BY i.user_id, i.b
+             ORDER BY abs((a.pax - a.nax) * (i.yq - a.pay)
+                          - (a.pax - CAST(i.x AS DOUBLE)) * (a.nay - a.pay))
+                      DESC NULLS LAST, i.ts) AS rn
+    FROM lint i JOIN lanch2 a ON a.user_id = i.user_id AND a.b = i.b)
+  WHERE rn = 1),
+lout AS (
+  SELECT user_id, ts, yq FROM lbase WHERE n <= 16
+  UNION ALL
+  SELECT user_id, ts, yq FROM lbase WHERE n > 16 AND (pos = 1 OR pos = n)
+  UNION ALL
+  SELECT user_id, ts, yq FROM lchosen)
 SELECT 'latest' AS tag, user_id, ts, round(value, 6) AS v FROM ranked WHERE rn <= 3
 UNION ALL
 SELECT 'display' AS tag, user_id, ts, round(value, 6) AS v FROM ranked WHERE rn <= 2
+UNION ALL
+SELECT 'lttb' AS tag, user_id, ts, yq AS v FROM lout
 """
 
 

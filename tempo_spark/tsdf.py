@@ -1589,6 +1589,16 @@ class TSDF:
 
         return fourier_transform(self, timestep, valueCol)
 
+    def downsample_lttb(self, n_out: int, value_col: str) -> DataFrame:
+        """Visual downsampling to ≤ ``n_out`` points per series by LTTB
+        (Largest-Triangle-Three-Buckets, Steinarsson 2013 — the parallel
+        bucket-average-anchor variant; see operators/lttb.py for the
+        exactness and one-shuffle contracts). Rows returned are ORIGINAL
+        rows (first + last + one max-area point per interior bucket)."""
+        from tempo_spark.operators.lttb import downsample_lttb
+
+        return downsample_lttb(self, n_out, value_col)
+
     # ------------------------------------------------------ resample & interp
 
     def resample(
