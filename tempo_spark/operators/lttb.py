@@ -13,11 +13,13 @@ expressed without a per-series sequential scan; the average-anchor
 variant is the standard parallelization and visually indistinguishable —
 the anchor only weights which in-bucket extremum wins).
 
-Spark shape: ONE shuffle on the series ids — every step (row-number,
-per-series count/min, bucket aggregation, neighbor lag/lead, in-bucket
-arg-max) is a window or aggregation clustered by the series key, and the
-bucket-stats join is co-partitioned on the same key. No Python, no
-collect; output rows are the ORIGINAL rows (selection never rewrites).
+Spark shape: every step (row-number, per-series count/min, neighbor
+bucket sums via RANGE frames over the bucket order, in-bucket arg-max)
+is a window clustered by the series key — no groupBy+join-back, no
+Python, no collect; output rows are the ORIGINAL rows (selection never
+rewrites). The plan carries one identical hash(series) exchange per
+union branch (3 nodes, plan-pinned); at runtime ReuseExchange collapses
+them to ONE physical shuffle.
 
 Determinism contract: bucket sums use exact decimal arithmetic (x = µs
 offset from the series' first observation, integral; y hardened-rounded
@@ -88,10 +90,23 @@ def downsample_lttb(tsdf, n_out: int, value_col: str) -> DataFrame:
     )
 
     passthrough = base.where(F.col("__lt_n") <= F.lit(n_out))
-    big = base.where(F.col("__lt_n") > F.lit(n_out))
+    # endpoint anchors computed BEFORE the interior filter (the interior
+    # frame no longer contains pos 1/N): first x offset is 0 by
+    # construction; last = (max x, last y in series order)
+    w_ordered_full = (
+        Window.partitionBy(*series)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    big = (
+        base.where(F.col("__lt_n") > F.lit(n_out))
+        .withColumn("__lt_fy", F.first("__lt_y").over(w_ordered_full))
+        .withColumn("__lt_lx", F.max("__lt_x").over(wall).cast("double"))
+        .withColumn("__lt_ly", F.last("__lt_y").over(w_ordered_full))
+    )
     endpoints = big.where(
         (F.col("__lt_pos") == 1) | (F.col("__lt_pos") == F.col("__lt_n"))
-    )
+    ).drop("__lt_fy", "__lt_lx", "__lt_ly")
     if n_out == 2:
         selected = passthrough.unionByName(endpoints)
         return selected.drop(
@@ -110,45 +125,45 @@ def downsample_lttb(tsdf, n_out: int, value_col: str) -> DataFrame:
             f"div (cast(__lt_n as bigint) - 2) as int)"
         ),
     )
-    # exact per-bucket sums: decimal(38,0) µs offsets, decimal(38,6) y
-    stats = interior.groupBy(*keys, "__lt_b").agg(
-        F.count(F.lit(1)).alias("__lt_na"),
-        F.sum(F.col("__lt_x").cast("decimal(38,0)")).alias("__lt_sx"),
-        F.sum(F.col("__lt_y").cast("decimal(32,6)")).alias("__lt_sy"),
+    # exact neighbor-bucket sums via RANGE frames over the bucket order —
+    # sum/count over rows with bucket ∈ [b−1, b−1] IS the previous
+    # bucket's aggregate, no groupBy and no join-back, and every window
+    # here is satisfied by the one hash(series) exchange. Sums are exact
+    # decimals (order-independent); anchors are then a FIXED op order
+    # (dec→double, then /n).
+    wprev = (
+        Window.partitionBy(*series).orderBy(F.col("__lt_b"))
+        .rangeBetween(-1, -1)
     )
-    wb = Window.partitionBy(*series).orderBy("__lt_b")
-    # neighbor anchors as doubles with a FIXED op order: avg = dec→double / n
-    ax = F.col("__lt_sx").cast("double") / F.col("__lt_na")
-    ay = F.col("__lt_sy").cast("double") / F.col("__lt_na")
-    stats = (
-        stats.withColumn("__lt_pax", F.lag(ax).over(wb))
-        .withColumn("__lt_pay", F.lag(ay).over(wb))
-        .withColumn("__lt_nax", F.lead(ax).over(wb))
-        .withColumn("__lt_nay", F.lead(ay).over(wb))
-        .select(*keys, "__lt_b", "__lt_pax", "__lt_pay",
-                "__lt_nax", "__lt_nay")
+    wnext = (
+        Window.partitionBy(*series).orderBy(F.col("__lt_b"))
+        .rangeBetween(1, 1)
     )
-    # endpoint anchors for the first/last interior bucket
-    firsts = big.where(F.col("__lt_pos") == 1).select(
-        *keys,
-        F.col("__lt_x").cast("double").alias("__lt_fx"),
-        F.col("__lt_y").alias("__lt_fy"),
+    xdec = F.col("__lt_x").cast("decimal(38,0)")
+    ydec = F.col("__lt_y").cast("decimal(32,6)")
+    scored = (
+        interior
+        .withColumn("__lt_pna", F.count(F.lit(1)).over(wprev))
+        .withColumn("__lt_psx", F.sum(xdec).over(wprev))
+        .withColumn("__lt_psy", F.sum(ydec).over(wprev))
+        .withColumn("__lt_nna", F.count(F.lit(1)).over(wnext))
+        .withColumn("__lt_nsx", F.sum(xdec).over(wnext))
+        .withColumn("__lt_nsy", F.sum(ydec).over(wnext))
     )
-    lasts = big.where(F.col("__lt_pos") == F.col("__lt_n")).select(
-        *keys,
-        F.col("__lt_x").cast("double").alias("__lt_lx"),
-        F.col("__lt_y").alias("__lt_ly"),
+
+    def _anchor(cnt, s, fallback):
+        # gate the division on its window count (ANSI: even a NULL row
+        # set divides) — empty neighbor frame -> endpoint anchor
+        return F.when(
+            F.col(cnt) > 0, F.col(s).cast("double") / F.col(cnt)
+        ).otherwise(fallback)
+
+    scored = (
+        scored.withColumn("__lt_pax", _anchor("__lt_pna", "__lt_psx", F.lit(0.0)))
+        .withColumn("__lt_pay", _anchor("__lt_pna", "__lt_psy", F.col("__lt_fy")))
+        .withColumn("__lt_nax", _anchor("__lt_nna", "__lt_nsx", F.col("__lt_lx")))
+        .withColumn("__lt_nay", _anchor("__lt_nna", "__lt_nsy", F.col("__lt_ly")))
     )
-    stats = stats.join(firsts, keys).join(lasts, keys)
-    stats = stats.select(
-        *keys,
-        "__lt_b",
-        F.coalesce("__lt_pax", "__lt_fx").alias("__lt_pax"),
-        F.coalesce("__lt_pay", "__lt_fy").alias("__lt_pay"),
-        F.coalesce("__lt_nax", "__lt_lx").alias("__lt_nax"),
-        F.coalesce("__lt_nay", "__lt_ly").alias("__lt_nay"),
-    )
-    scored = interior.join(stats, [*keys, "__lt_b"])
     # triangle area ×2 (fixed IEEE order; the |…| is rank-invariant):
     # |(pax − nax)(y − pay) − (pax − x)(nay − pay)|
     area = F.abs(
@@ -164,7 +179,8 @@ def downsample_lttb(tsdf, n_out: int, value_col: str) -> DataFrame:
         scored.withColumn("__lt_rn", F.row_number().over(wsel))
         .where(F.col("__lt_rn") == 1)
         .drop("__lt_rn", "__lt_b", "__lt_pax", "__lt_pay", "__lt_nax",
-              "__lt_nay")
+              "__lt_nay", "__lt_pna", "__lt_psx", "__lt_psy", "__lt_nna",
+              "__lt_nsx", "__lt_nsy", "__lt_fy", "__lt_lx", "__lt_ly")
     )
     out = passthrough.unionByName(endpoints).unionByName(chosen)
     return out.drop("__lt_pos", "__lt_n", "__lt_x", "__lt_y", "__lt_g")

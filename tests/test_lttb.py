@@ -137,6 +137,9 @@ class TestLttb:
         base = dt.datetime(2024, 1, 1)
         rows = [("a", base + dt.timedelta(seconds=i), float(i)) for i in range(30)]
         t = TSDF(_series(spark, rows), ts_col="ts", series_ids=["sym"])
+        # one identical hash(series) exchange per union branch — ReuseExchange
+        # collapses them to one physical shuffle (windows-only, no joins)
+        assert count_exchanges(t.downsample_lttb(5, "v")) == 3
         with pytest.raises(ValueError, match="n_out"):
             t.downsample_lttb(1, "v")
         with pytest.raises(ValueError, match="value_col"):
