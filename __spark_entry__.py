@@ -1349,7 +1349,13 @@ def q_latest_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("lttb").alias("tag"), "user_id", "ts",
         _HR6(F.col("value")).alias("v"),
     )
-    return base.unionByName(disp).unionByName(lt)
+    # minmax (r10): the min-max envelope reducer — per 8-bucket split the
+    # exact bucket min AND max rows survive (grid comparisons only)
+    mm = t.downsample_minmax(8, "value").select(
+        F.lit("minmax").alias("tag"), "user_id", "ts",
+        _HR6(F.col("value")).alias("v"),
+    )
+    return base.unionByName(disp).unionByName(lt).unionByName(mm)
 
 
 _LATEST3_ORACLE = f"""
@@ -1410,12 +1416,25 @@ lout AS (
   UNION ALL
   SELECT user_id, ts, yq FROM lbase WHERE n > 16 AND (pos = 1 OR pos = n)
   UNION ALL
-  SELECT user_id, ts, yq FROM lchosen)
+  SELECT user_id, ts, yq FROM lchosen),
+-- minmax replay: 8 equal-count buckets, keep the bucket-min and
+-- bucket-max rows (ties to earliest ts; NULL y never wins)
+mmsel AS (
+  SELECT user_id, ts, yq FROM (
+    SELECT user_id, ts, yq,
+           row_number() OVER (PARTITION BY user_id, CAST((pos - 1) * 8 // n AS INT)
+                              ORDER BY yq ASC NULLS LAST, ts) AS rmin,
+           row_number() OVER (PARTITION BY user_id, CAST((pos - 1) * 8 // n AS INT)
+                              ORDER BY yq DESC NULLS LAST, ts) AS rmax
+    FROM lbase)
+  WHERE rmin = 1 OR rmax = 1)
 SELECT 'latest' AS tag, user_id, ts, round(value, 6) AS v FROM ranked WHERE rn <= 3
 UNION ALL
 SELECT 'display' AS tag, user_id, ts, round(value, 6) AS v FROM ranked WHERE rn <= 2
 UNION ALL
 SELECT 'lttb' AS tag, user_id, ts, yq AS v FROM lout
+UNION ALL
+SELECT 'minmax' AS tag, user_id, ts, yq AS v FROM mmsel
 """
 
 

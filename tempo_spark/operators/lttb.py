@@ -184,3 +184,64 @@ def downsample_lttb(tsdf, n_out: int, value_col: str) -> DataFrame:
     )
     out = passthrough.unionByName(endpoints).unionByName(chosen)
     return out.drop("__lt_pos", "__lt_n", "__lt_x", "__lt_y", "__lt_g")
+
+
+def downsample_minmax(tsdf, n_buckets: int, value_col: str) -> DataFrame:
+    """Min-max envelope downsampling (the other standard display reducer,
+    e.g. Grafana's ``min+max`` mode): split each series into ``n_buckets``
+    equal-count buckets and keep the rows holding the bucket's minimum
+    AND maximum metric value — extremes are preserved exactly, which LTTB
+    only approximates; at most ``2 × n_buckets`` rows per series.
+
+    Same execution contract as :func:`downsample_lttb`: windows-only on
+    one hash(series) clustering, original rows out, NULL metric rows
+    never selected (unless a bucket is entirely NULL, which emits its
+    earliest row once), ties broken by earliest timestamp. Selection is
+    pure integer/grid comparison — engine-replayable."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if value_col not in tsdf.df.columns:
+        raise ValueError(f"value_col {value_col!r} not in DataFrame")
+    reserved = {"__lt_pos", "__lt_n", "__lt_b", "__lt_y", "__lt_rmin",
+                "__lt_rmax"} & set(tsdf.df.columns)
+    if reserved:
+        raise ValueError(f"reserved staging columns present: {sorted(reserved)}")
+
+    df = tsdf.df
+    keys = list(tsdf.series_ids)
+    if not keys:
+        df = df.withColumn("__lt_g", F.lit(0))
+        keys = ["__lt_g"]
+    series = [F.col(c) for c in keys]
+    order = [_exact_micros(tsdf)]
+    if getattr(tsdf, "sequence_col", None):
+        order.append(F.col(tsdf.sequence_col))
+    w = Window.partitionBy(*series).orderBy(*order)
+    wall = Window.partitionBy(*series)
+    yq = F.floor(F.col(value_col).cast("double") * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    base = (
+        df.withColumn("__lt_pos", F.row_number().over(w))
+        .withColumn("__lt_n", F.count(F.lit(1)).over(wall))
+        .withColumn("__lt_y", yq)
+    )
+    base = base.withColumn(
+        "__lt_b",
+        F.expr(
+            f"cast((cast(__lt_pos as bigint) - 1) * {n_buckets} "
+            f"div cast(__lt_n as bigint) as int)"
+        ),
+    )
+    wmin = Window.partitionBy(*series, F.col("__lt_b")).orderBy(
+        F.col("__lt_y").asc_nulls_last(), *order
+    )
+    wmax = Window.partitionBy(*series, F.col("__lt_b")).orderBy(
+        F.col("__lt_y").desc_nulls_last(), *order
+    )
+    out = (
+        base.withColumn("__lt_rmin", F.row_number().over(wmin))
+        .withColumn("__lt_rmax", F.row_number().over(wmax))
+        .where((F.col("__lt_rmin") == 1) | (F.col("__lt_rmax") == 1))
+        .drop("__lt_pos", "__lt_n", "__lt_b", "__lt_y", "__lt_rmin",
+              "__lt_rmax", "__lt_g")
+    )
+    return out

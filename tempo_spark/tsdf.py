@@ -1599,6 +1599,15 @@ class TSDF:
 
         return downsample_lttb(self, n_out, value_col)
 
+    def downsample_minmax(self, n_buckets: int, value_col: str) -> DataFrame:
+        """Min-max envelope downsampling: per equal-count bucket keep the
+        rows holding the bucket min AND max of ``value_col`` (≤ 2·buckets
+        rows per series, extremes preserved exactly). See
+        operators/lttb.py."""
+        from tempo_spark.operators.lttb import downsample_minmax
+
+        return downsample_minmax(self, n_buckets, value_col)
+
     # ------------------------------------------------------ resample & interp
 
     def resample(

@@ -147,3 +147,42 @@ class TestLttb:
         df2 = _series(spark, rows).withColumn("__lt_pos", F.lit(1))
         with pytest.raises(ValueError, match="reserved"):
             TSDF(df2, ts_col="ts", series_ids=["sym"]).downsample_lttb(5, "v")
+
+
+class TestMinMax:
+    def test_envelope_preserved(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for i in range(100):
+            v = float(i % 5)
+            if i == 23:
+                v = 900.0
+            if i == 71:
+                v = -900.0
+            rows.append(("a", base + dt.timedelta(seconds=i), v))
+        t = TSDF(_series(spark, rows), ts_col="ts", series_ids=["sym"])
+        out = t.downsample_minmax(10, "v").collect()
+        vals = {r.v for r in out}
+        assert 900.0 in vals and -900.0 in vals
+        assert len(out) <= 20
+        # every bucket contributes its exact min and max
+        import math
+
+        buckets = {}
+        for i, (_, _, v) in enumerate(rows):
+            buckets.setdefault((i * 10) // 100, []).append(v)
+        kept_ts = {int((r.ts - base).total_seconds()) for r in out}
+        for b, vs in buckets.items():
+            lo, hi = min(vs), max(vs)
+            got = [rows[i][2] for i in range(100) if (i * 10) // 100 == b and i in kept_ts]
+            assert lo in got and hi in got
+
+    def test_single_row_buckets_and_ties(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        # constant series: min == max row -> exactly one row per bucket
+        rows = [("a", base + dt.timedelta(seconds=i), 7.0) for i in range(20)]
+        t = TSDF(_series(spark, rows), ts_col="ts", series_ids=["sym"])
+        out = t.downsample_minmax(4, "v").collect()
+        assert len(out) == 4  # earliest row per bucket, selected once
+        with pytest.raises(ValueError, match="n_buckets"):
+            t.downsample_minmax(0, "v")
