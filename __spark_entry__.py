@@ -637,17 +637,39 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
 
 
 def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP ∪ autocorrelation, union-tagged:
+
+    - ``twap``: time-weighted average price per hour bucket (HR3: the
+      weighted sum accumulates doubles, whose partial-agg order differs
+      between engines; 3 decimals absorbs the ulp noise);
+    - ``acf`` (r10, operators/acf.py): per-series ACF at lags 1..5 —
+      sufficient statistics are EXACT decimal sums over the 1e-6 grid and
+      the Pearson formula a fixed IEEE sequence, replayed term-for-term
+      (bucket_ts encodes the lag as epoch+lag seconds);
+    - ``acf_n``: the complete-pair counts behind each acf value."""
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
     out = t.twap("1 hour", "value").df
-    # HR3: the weighted sum accumulates doubles, whose partial-agg order
-    # differs between engines; 3 decimals absorbs the ulp noise (same
-    # mitigation as stddev/zscore)
-    return out.select(
+    tw = out.select(
+        F.lit("twap").alias("tag"),
         "user_id",
         F.col("ts").alias("bucket_ts"),
         _HR3(F.col("twap")).alias("twap_v"),
     )
+    ac = t.autocorr("value", 5)
+    acf_rows = ac.select(
+        F.lit("acf").alias("tag"),
+        "user_id",
+        F.timestamp_micros(F.col("lag") * 1_000_000).alias("bucket_ts"),
+        _HR6(F.col("acf")).alias("twap_v"),
+    )
+    n_rows = ac.select(
+        F.lit("acf_n").alias("tag"),
+        "user_id",
+        F.timestamp_micros(F.col("lag") * 1_000_000).alias("bucket_ts"),
+        F.col("n_pairs").cast("double").alias("twap_v"),
+    )
+    return tw.unionByName(acf_rows).unionByName(n_rows)
 
 
 _TWAP_ORACLE = f"""
@@ -661,11 +683,50 @@ p AS (
   SELECT user_id, bucket_ts, value,
          epoch(least(coalesce(next_ts, bucket_ts + INTERVAL '1 hour'),
                      bucket_ts + INTERVAL '1 hour')) - epoch(ts) AS w8
-  FROM lw)
-SELECT user_id, bucket_ts,
+  FROM lw),
+-- acf replay (r10, operators/acf.py): pairs by observation position,
+-- exact (18,6)-decimal sufficient sums over the 1e-6 grid, fixed-order
+-- Pearson; NULL when n<2 or either variance is 0
+acfb AS (
+  SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS pos,
+         floor(value * 1000000 + 0.5) / 1000000 AS xq
+  FROM de),
+acfp AS (
+  SELECT a.user_id, l.lag,
+         CAST(a.xq AS DECIMAL(18,6)) AS x, CAST(b.xq AS DECIMAL(18,6)) AS y
+  FROM acfb a
+  JOIN (VALUES (1),(2),(3),(4),(5)) l(lag) ON true
+  JOIN acfb b ON b.user_id = a.user_id AND b.pos = a.pos + l.lag
+  WHERE a.xq IS NOT NULL AND b.xq IS NOT NULL),
+acfs AS (
+  SELECT user_id, lag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM acfp GROUP BY user_id, lag),
+acfv AS (
+  SELECT user_id, lag, n,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
+  FROM acfs)
+SELECT 'twap' AS tag, user_id, bucket_ts,
        floor((CASE WHEN sum(w8) > 0 THEN sum(value * w8) / sum(w8)
                    ELSE avg(value) END) * 1000 + 0.5) / 1000 AS twap_v
 FROM p GROUP BY user_id, bucket_ts
+UNION ALL
+SELECT 'acf' AS tag, user_id, make_timestamp(lag * 1000000) AS bucket_ts,
+       CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+            THEN floor((cov / sqrt(vx * vy)) * 1000000 + 0.5) / 1000000
+       END AS twap_v
+FROM acfv
+UNION ALL
+SELECT 'acf_n' AS tag, user_id, make_timestamp(lag * 1000000) AS bucket_ts,
+       CAST(n AS DOUBLE) AS twap_v
+FROM acfv
 """
 
 

@@ -1599,6 +1599,15 @@ class TSDF:
 
         return downsample_lttb(self, n_out, value_col)
 
+    def autocorr(self, value_col: str, lags=10) -> DataFrame:
+        """Per-series autocorrelation at observation lags (Box-Jenkins
+        ACF): (series…, lag, n_pairs, acf). One window pass carries every
+        lag's lead, one shuffle total; exact decimal sufficient statistics
+        (see operators/acf.py)."""
+        from tempo_spark.operators.acf import autocorr
+
+        return autocorr(self, value_col, lags)
+
     def downsample_minmax(self, n_buckets: int, value_col: str) -> DataFrame:
         """Min-max envelope downsampling: per equal-count bucket keep the
         rows holding the bucket min AND max of ``value_col`` (≤ 2·buckets

@@ -1,0 +1,91 @@
+"""Autocorrelation function (operators/acf.py)."""
+
+import datetime as dt
+import math
+
+import pytest
+
+from tempo_spark import TSDF
+
+
+def _mk(spark, vals, sym="a"):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (sym, base + dt.timedelta(seconds=i), None if v is None else float(v))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+
+
+def _py_acf(vals, lag):
+    pairs = [
+        (vals[i], vals[i + lag])
+        for i in range(len(vals) - lag)
+        if vals[i] is not None and vals[i + lag] is not None
+    ]
+    n = len(pairs)
+    if n < 2:
+        return None
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    syy = sum(y * y for _, y in pairs)
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        return None
+    return (n * sxy - sx * sy) / math.sqrt(vx * vy)
+
+
+class TestAutocorr:
+    def test_periodic_signal_peaks_at_period(self, spark):
+        import random
+
+        rng = random.Random(3)
+        vals = [
+            math.sin(2 * math.pi * i / 8) * 10 + rng.uniform(-0.5, 0.5)
+            for i in range(200)
+        ]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        got = {r.lag: r.acf for r in t.autocorr("v", 10).collect()}
+        assert got[8] > 0.9          # period-8 signal
+        assert got[4] < -0.9         # anti-phase at half period
+        for lag in got:
+            want = _py_acf([math.floor(v * 1e6 + 0.5) / 1e6 for v in vals], lag)
+            # model uses the same quantized grid; exact-sum formula ~1e-12
+            assert abs(got[lag] - want) < 1e-9
+
+    def test_null_and_short_series(self, spark):
+        vals = [1.0, None, 3.0, 4.0]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        rows = {r.lag: (r.n_pairs, r.acf) for r in t.autocorr("v", 3).collect()}
+        # lag1 pairs: (3,4) only (nulls drop) -> n=1 -> NULL acf
+        assert rows[1][0] == 1 and rows[1][1] is None
+        # lag2 pairs: (1,3) -> n=1
+        assert rows[2][0] == 1
+        # constant series: zero variance -> NULL
+        tc = TSDF(_mk(spark, [5.0] * 10, sym="c"), ts_col="ts", series_ids=["sym"])
+        assert all(r.acf is None for r in tc.autocorr("v", 2).collect())
+
+    def test_validations_and_plan(self, spark):
+        from tempo_spark.plans.inspect import count_exchanges
+
+        t = TSDF(_mk(spark, [1.0, 2.0, 3.0]), ts_col="ts", series_ids=["sym"])
+        with pytest.raises(ValueError, match="lags"):
+            t.autocorr("v", 0)
+        with pytest.raises(ValueError, match="duplicate"):
+            t.autocorr("v", [1, 1])
+        with pytest.raises(ValueError, match="value_col"):
+            t.autocorr("nope", 2)
+        # one shuffle: groupBy(series, lag) reuses the window's exchange
+        assert count_exchanges(t.autocorr("v", [1, 2, 5])) == 1
+
+    def test_global_series(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(base + dt.timedelta(seconds=i), float(i % 3)) for i in range(30)],
+            "ts timestamp, v double",
+        )
+        t = TSDF(df, ts_col="ts", series_ids=[])
+        got = {r.lag: r.acf for r in t.autocorr("v", 3).collect()}
+        assert got[3] > 0.99 and sorted(got) == [1, 2, 3]
