@@ -1207,12 +1207,35 @@ _EMA_FACTOR = 0.2
 
 
 def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
-    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    """EMA ∪ classical seasonal decomposition, union-tagged:
+
+    - ``ema``: windowed exponential moving average;
+    - ``trend``/``seas``/``resid`` (r10, operators/seasonal.py): the
+      period-24 classical moving-average decomposition — exact decimal
+      window/phase sums on the 1e-6 grid, fixed-IEEE divisions, replayed
+      term-for-term by DuckDB."""
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents", "value")
+    t = TSDF(de.select("user_id", "ts", "cents"), ts_col="ts", series_ids=["user_id"])
     out = t.EMA("cents", window=_EMA_WINDOW, exp_factor=_EMA_FACTOR).df
-    return out.select(
-        "user_id", "ts", _HR6(F.col("ema_cents") / 100).alias("ema_v")
+    ema_rows = out.select(
+        F.lit("ema").alias("tag"),
+        "user_id", "ts", _HR6(F.col("ema_cents") / 100).alias("ema_v"),
     )
+    tv = TSDF(
+        de.select("user_id", "ts", "value"), ts_col="ts", series_ids=["user_id"]
+    )
+    sd = tv.seasonal_decompose("value", 24)
+    parts = [ema_rows]
+    for tag, col in (("trend", "trend"), ("seas", "seasonal"), ("resid", "resid")):
+        parts.append(
+            sd.select(
+                F.lit(tag).alias("tag"),
+                "user_id", "ts", _HR6(F.col(col)).alias("ema_v"),
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def _ema_oracle() -> str:
@@ -1225,8 +1248,66 @@ def _ema_oracle() -> str:
         )
     total = " + ".join(terms)
     return f"""
-WITH {_DE_CTE}
-SELECT user_id, ts, floor((({total}) / 100) * 1000000 + 0.5) / 1000000 AS ema_v FROM de
+WITH {_DE_CTE},
+-- seasonal-decompose replay (r10, operators/seasonal.py): period 24
+-- (even -> 2x24 MA over 25 rows, half-weight endpoints), phases by
+-- observation position, exact decimal sums on the 1e-6 grid
+sdb AS (
+  SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS pos,
+         floor(value * 1000000 + 0.5) / 1000000 AS yq
+  FROM de),
+sdt AS (
+  SELECT user_id, ts, pos, yq,
+         CASE WHEN count(*) OVER fr = 25 AND count(yq) OVER fr = 25
+              THEN (CAST(sum(CAST(yq AS DECIMAL(18,6))) OVER fr
+                         - lag(CAST(yq AS DECIMAL(18,6)), 12) OVER wo
+                         - lead(CAST(yq AS DECIMAL(18,6)), 12) OVER wo
+                         AS DOUBLE)
+                    + CAST(lag(CAST(yq AS DECIMAL(18,6)), 12) OVER wo
+                           + lead(CAST(yq AS DECIMAL(18,6)), 12) OVER wo
+                           AS DOUBLE) / 2.0) / 24.0
+         END AS trend,
+         (pos - 1) % 24 AS ph
+  FROM sdb
+  WINDOW wo AS (PARTITION BY user_id ORDER BY pos),
+         fr AS (PARTITION BY user_id ORDER BY pos
+                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+sdd AS (
+  SELECT *, floor((yq - trend) * 1000000 + 0.5) / 1000000 AS det FROM sdt),
+sdpm AS (
+  SELECT user_id, ph,
+         CASE WHEN count(det) > 0
+              THEN floor((CAST(sum(CAST(det AS DECIMAL(18,6))) AS DOUBLE)
+                          / count(det)) * 1000000 + 0.5) / 1000000
+         END AS pm
+  FROM sdd GROUP BY user_id, ph),
+sdc AS (
+  SELECT user_id,
+         CASE WHEN count(pm) > 0
+              THEN CAST(sum(CAST(pm AS DECIMAL(18,6))) AS DOUBLE) / count(pm)
+         END AS c
+  FROM sdpm GROUP BY user_id),
+sdout AS (
+  SELECT d.user_id, d.ts, d.trend,
+         CASE WHEN p.pm IS NOT NULL THEN p.pm - c.c END AS seasonal,
+         CASE WHEN d.yq IS NOT NULL AND d.trend IS NOT NULL
+                AND p.pm IS NOT NULL
+              THEN (d.yq - d.trend) - (p.pm - c.c) END AS resid
+  FROM sdd d
+  JOIN sdpm p ON p.user_id = d.user_id AND p.ph = d.ph
+  JOIN sdc c ON c.user_id = d.user_id)
+SELECT 'ema' AS tag, user_id, ts,
+       floor((({total}) / 100) * 1000000 + 0.5) / 1000000 AS ema_v FROM de
+UNION ALL
+SELECT 'trend' AS tag, user_id, ts,
+       floor(trend * 1000000 + 0.5) / 1000000 AS ema_v FROM sdout
+UNION ALL
+SELECT 'seas' AS tag, user_id, ts,
+       floor(seasonal * 1000000 + 0.5) / 1000000 AS ema_v FROM sdout
+UNION ALL
+SELECT 'resid' AS tag, user_id, ts,
+       floor(resid * 1000000 + 0.5) / 1000000 AS ema_v FROM sdout
 """
 
 

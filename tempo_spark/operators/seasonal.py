@@ -1,0 +1,155 @@
+"""Classical seasonal decomposition (trend + seasonal + residual).
+
+The textbook moving-average decomposition (Brockwell & Davis; the
+algorithm behind ``statsmodels.seasonal_decompose``): for a series with
+period ``p``,
+
+- **trend** = centered moving average over one full period (odd ``p``:
+  plain mean of the ``p`` surrounding observations; even ``p``: the
+  classic 2×p MA — full window of ``p+1`` with half weight on the two
+  endpoints), NULL at the edges where the window is incomplete;
+- **seasonal** = per-phase mean of the detrended values (phase = row
+  position mod ``p``), centered so the seasonal components of one period
+  sum to ~0 (each phase weighted equally, as in statsmodels);
+- **resid** = value − trend − seasonal (additive model).
+
+Spark shape: row-frame windows + two aggregations, all clustered by the
+series key (the phase groupBy reuses the window exchange; the per-series
+centering frame is series-sized and broadcast back). Lags are
+OBSERVATION-based — resample first for calendar periods.
+
+Determinism contract (the ACF idiom): values quantize to the 1e-6 grid;
+window/bucket sums accumulate as exact decimals; every division is a
+fixed IEEE op over those exact sums — so trend/seasonal/resid replay
+bit-for-bit on an external engine. Null values pass through with NULL
+trend contribution handling: a window containing any NULL value yields
+NULL trend for that row (the statsmodels behavior), and NULL detrended
+rows are excluded from the phase means."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from tempo_spark.operators.lttb import _exact_micros
+
+
+def seasonal_decompose(
+    tsdf, value_col: str, period: int, model: str = "additive"
+) -> DataFrame:
+    """df + (trend, seasonal, resid) columns; see module docstring."""
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    if model != "additive":
+        raise ValueError(
+            f"only model='additive' is implemented, got {model!r} "
+            "(multiplicative = log-transform, decompose, exp)"
+        )
+    if value_col not in tsdf.df.columns:
+        raise ValueError(f"value_col {value_col!r} not in DataFrame")
+    clash = {"trend", "seasonal", "resid"} & set(tsdf.df.columns)
+    if clash:
+        raise ValueError(f"reserved output columns present: {sorted(clash)}")
+
+    df = tsdf.df
+    keys = list(tsdf.series_ids)
+    if not keys:
+        df = df.withColumn("__sd_g", F.lit(0))
+        keys = ["__sd_g"]
+    series = [F.col(c) for c in keys]
+    order = [_exact_micros(tsdf)]
+    if getattr(tsdf, "sequence_col", None):
+        order.append(F.col(tsdf.sequence_col))
+    w = Window.partitionBy(*series).orderBy(*order)
+
+    yq = F.floor(F.col(value_col).cast("double") * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    ydec = F.col("__sd_y").cast("decimal(18,6)")
+    staged = df.withColumn("__sd_y", yq).withColumn(
+        "__sd_pos", F.row_number().over(w)
+    )
+
+    half = period // 2
+    if period % 2 == 1:
+        frame = w.rowsBetween(-half, half)
+        need = period
+        # NULL-poisoning: any null y in the frame nulls the trend (count
+        # counts non-null rows, so a full-width frame with a null misses)
+        tsum = F.sum(ydec).over(frame)
+        tcnt = F.count("__sd_y").over(frame)
+        rows_in = F.count(F.lit(1)).over(frame)
+        trend = F.when(
+            (rows_in == need) & (tcnt == need),
+            tsum.cast("double") / F.lit(float(period)),
+        )
+    else:
+        # 2×p MA: full window [-p/2, p/2], endpoints at half weight —
+        # exact form: (sum − (first + last)/2) / p over p+1 rows
+        frame = w.rowsBetween(-half, half)
+        need = period + 1
+        tsum = F.sum(ydec).over(frame)
+        tcnt = F.count("__sd_y").over(frame)
+        rows_in = F.count(F.lit(1)).over(frame)
+        lo = F.lag(ydec, half).over(w)
+        hi = F.lead(ydec, half).over(w)
+        trend = F.when(
+            (rows_in == need) & (tcnt == need),
+            (
+                (tsum - lo - hi).cast("double")
+                + (lo + hi).cast("double") / F.lit(2.0)
+            )
+            / F.lit(float(period)),
+        )
+    staged = staged.withColumn("trend", trend).withColumn(
+        "__sd_ph", F.pmod(F.col("__sd_pos") - 1, F.lit(period))
+    )
+    # detrended on the 1e-6 grid so the phase means are exact-decimal sums
+    det = F.floor(
+        (F.col("__sd_y") - F.col("trend")) * 1e6 + F.lit(0.5)
+    ) / F.lit(1e6)
+    staged = staged.withColumn("__sd_det", det)
+
+    pm = staged.groupBy(*keys, "__sd_ph").agg(
+        F.sum(F.col("__sd_det").cast("decimal(18,6)")).alias("__sd_ds"),
+        F.count("__sd_det").alias("__sd_dn"),
+    )
+    # phase mean on the grid (hardened), so the centering sum is exact too
+    pmq = F.when(
+        F.col("__sd_dn") > 0,
+        F.floor(
+            (F.col("__sd_ds").cast("double") / F.col("__sd_dn")) * 1e6
+            + F.lit(0.5)
+        )
+        / F.lit(1e6),
+    )
+    pm = pm.withColumn("__sd_pm", pmq)
+    # guard the division: a series too short for ANY trend has zero
+    # non-null phase means (ANSI: count 0 would throw)
+    center = pm.groupBy(*keys).agg(
+        F.when(
+            F.count("__sd_pm") > 0,
+            F.sum(F.col("__sd_pm").cast("decimal(18,6)")).cast("double")
+            / F.count("__sd_pm"),
+        ).alias("__sd_c")
+    )
+    seasonal = (
+        pm.join(F.broadcast(center), keys)
+        .select(
+            *keys,
+            "__sd_ph",
+            F.when(
+                F.col("__sd_pm").isNotNull(),
+                F.col("__sd_pm") - F.col("__sd_c"),
+            ).alias("seasonal"),
+        )
+    )
+    out = staged.join(seasonal, [*keys, "__sd_ph"], "left")
+    out = out.withColumn(
+        "resid",
+        F.when(
+            F.col("__sd_y").isNotNull()
+            & F.col("trend").isNotNull()
+            & F.col("seasonal").isNotNull(),
+            (F.col("__sd_y") - F.col("trend")) - F.col("seasonal"),
+        ),
+    )
+    return out.drop("__sd_y", "__sd_pos", "__sd_ph", "__sd_det", "__sd_g")

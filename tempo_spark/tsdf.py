@@ -1599,6 +1599,17 @@ class TSDF:
 
         return downsample_lttb(self, n_out, value_col)
 
+    def seasonal_decompose(
+        self, value_col: str, period: int, model: str = "additive"
+    ) -> DataFrame:
+        """Classical moving-average decomposition into trend + seasonal +
+        residual columns (observation-based period; resample first for
+        calendar periods). See operators/seasonal.py for the exactness
+        and plan contracts."""
+        from tempo_spark.operators.seasonal import seasonal_decompose
+
+        return seasonal_decompose(self, value_col, period, model)
+
     def autocorr(self, value_col: str, lags=10) -> DataFrame:
         """Per-series autocorrelation at observation lags (Box-Jenkins
         ACF): (series…, lag, n_pairs, acf). One window pass carries every

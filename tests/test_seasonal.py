@@ -1,0 +1,123 @@
+"""Classical seasonal decomposition (operators/seasonal.py)."""
+
+import datetime as dt
+import math
+
+import pytest
+
+from tempo_spark import TSDF
+
+
+def _mk(spark, vals, sym="a"):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (sym, base + dt.timedelta(hours=i), None if v is None else float(v))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+
+
+def _py_decompose(vals, period):
+    """statsmodels-style classical additive decomposition on the same
+    1e-6 grid."""
+
+    def q(v):
+        return None if v is None else math.floor(v * 1e6 + 0.5) / 1e6
+
+    y = [q(v) for v in vals]
+    n = len(y)
+    half = period // 2
+    trend = [None] * n
+    for i in range(n):
+        if i - half < 0 or i + half >= n:
+            continue
+        win = y[i - half: i + half + 1]
+        if any(v is None for v in win):
+            continue
+        if period % 2 == 1:
+            trend[i] = sum(win) / period
+        else:
+            trend[i] = (sum(win) - (win[0] + win[-1]) / 2) / period
+    det = [
+        q(y[i] - trend[i]) if y[i] is not None and trend[i] is not None else None
+        for i in range(n)
+    ]
+    pm = {}
+    for i, d in enumerate(det):
+        if d is not None:
+            pm.setdefault(i % period, []).append(d)
+    pmq = {ph: q(sum(v) / len(v)) for ph, v in pm.items()}
+    c = sum(pmq.values()) / len(pmq) if pmq else None
+    seasonal = [pmq.get(i % period) - c if i % period in pmq else None for i in range(n)]
+    resid = [
+        (y[i] - trend[i]) - seasonal[i]
+        if y[i] is not None and trend[i] is not None and seasonal[i] is not None
+        else None
+        for i in range(n)
+    ]
+    return trend, seasonal, resid
+
+
+class TestSeasonalDecompose:
+    @pytest.mark.parametrize("period", [4, 7])
+    def test_matches_python_model(self, spark, period):
+        import random
+
+        rng = random.Random(9)
+        vals = [
+            0.05 * i + 10 * math.sin(2 * math.pi * i / period)
+            + rng.uniform(-0.3, 0.3)
+            for i in range(90)
+        ]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        base = dt.datetime(2024, 1, 1)
+        got = {
+            int((r.ts - base).total_seconds() // 3600): (r.trend, r.seasonal, r.resid)
+            for r in t.seasonal_decompose("v", period).collect()
+        }
+        trend, seasonal, resid = _py_decompose(vals, period)
+        for i in range(90):
+            gt, gs, gr = got[i]
+            for g, w in ((gt, trend[i]), (gs, seasonal[i]), (gr, resid[i])):
+                if w is None:
+                    assert g is None
+                else:
+                    assert abs(g - w) < 1e-8
+
+    def test_recomposition_identity(self, spark):
+        vals = [float((i % 6) * 3 + i // 6) for i in range(60)]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        rows = t.seasonal_decompose("v", 6).collect()
+        for r in rows:
+            if r.trend is not None and r.seasonal is not None:
+                # additive identity holds exactly (resid defined as the gap)
+                assert abs((r.trend + r.seasonal + r.resid) - r.v) < 1e-6
+
+    def test_null_poisoning_and_validations(self, spark):
+        vals = [1.0, 2.0, None, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        base = dt.datetime(2024, 1, 1)
+        got = {
+            int((r.ts - base).total_seconds() // 3600): r.trend
+            for r in t.seasonal_decompose("v", 3).collect()
+        }
+        # any null in the centered window nulls the trend (statsmodels)
+        assert got[1] is None and got[2] is None and got[3] is None
+        assert got[5] is not None
+        with pytest.raises(ValueError, match="period"):
+            t.seasonal_decompose("v", 1)
+        with pytest.raises(ValueError, match="additive"):
+            t.seasonal_decompose("v", 4, model="multiplicative")
+        with pytest.raises(ValueError, match="value_col"):
+            t.seasonal_decompose("nope", 4)
+        bad = _mk(spark, [1.0]).withColumnRenamed("v", "trend")
+        with pytest.raises(ValueError, match="reserved"):
+            TSDF(bad, ts_col="ts", series_ids=["sym"]).seasonal_decompose(
+                "trend", 4
+            )
+
+    def test_short_series_all_null_components(self, spark):
+        t = TSDF(_mk(spark, [1.0, 2.0]), ts_col="ts", series_ids=["sym"])
+        rows = t.seasonal_decompose("v", 4).collect()
+        assert len(rows) == 2
+        assert all(r.trend is None and r.resid is None for r in rows)
