@@ -392,6 +392,25 @@ def _ann_topk(spark, sf_dir):
     return brute_force_topk(emb, queries, k=5)
 
 
+def _ts_analytics(spark, sf_dir):
+    # r10 time-series analytics extras in one pass: period-24 classical
+    # seasonal decomposition + ACF at lags 1..5 over the deduped events.
+    # Self-baselined.
+    de = entry_mod._dedup_events(spark, sf_dir).select("user_id", "ts", "value")
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    sd = t.seasonal_decompose("value", 24).select(
+        "user_id", "ts", "trend", "seasonal", "resid"
+    )
+    ac = t.autocorr("value", 5).select(
+        "user_id", F.col("lag").cast("long").alias("lag_or_null"),
+        F.col("acf").alias("x"),
+    )
+    return sd.select(
+        "user_id", F.lit(None).cast("long").alias("lag_or_null"),
+        F.col("resid").alias("x"),
+    ).unionByName(ac)
+
+
 def _bpe(spark, sf_dir):
     # learned BPE end-to-end (r10): vocab groupBy + 256-merge driver train,
     # then the Arrow count engine over the corpus (production config —
@@ -440,6 +459,7 @@ BENCH_QUERIES = {
     "b31_bm25": _bm25,
     "b32_rollup": _rollup,
     "b33_bpe": _bpe,
+    "b34_ts_analytics": _ts_analytics,
 }
 
 RUNS = 3
