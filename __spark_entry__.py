@@ -669,7 +669,24 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("lag") * 1_000_000).alias("bucket_ts"),
         F.col("n_pairs").cast("double").alias("twap_v"),
     )
-    return tw.unionByName(acf_rows).unionByName(n_rows)
+    # ccf (r10): cross-correlation value vs the derived (cents%1000)/100
+    # metric at lags -2..2 (bucket_ts encodes lag+10 so negatives fit);
+    # same exact-sum machinery as acf
+    dec = _dedup_events(spark, sf_dir).select("user_id", "ts", "value", "cents")
+    tcc = TSDF(
+        dec.withColumn("y2", (F.col("cents") % 1000) / 100),
+        ts_col="ts", series_ids=["user_id"],
+    )
+    cc = tcc.crossCorr("value", "y2", max_lag=2)
+    ccf_rows = cc.select(
+        F.lit("ccf").alias("tag"),
+        "user_id",
+        F.timestamp_micros((F.col("lag") + 10) * 1_000_000).alias("bucket_ts"),
+        _HR6(F.col("ccf")).alias("twap_v"),
+    )
+    return (
+        tw.unionByName(acf_rows).unionByName(n_rows).unionByName(ccf_rows)
+    )
 
 
 _TWAP_ORACLE = f"""
@@ -712,7 +729,36 @@ acfv AS (
              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
          CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
-  FROM acfs)
+  FROM acfs),
+-- ccf replay: value vs the derived (cents%1000)/100 metric, lags -2..2
+-- (pairs of x at pos and y at pos+L; same exact-sum idiom)
+ccfb AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS pos,
+         floor(value * 1000000 + 0.5) / 1000000 AS xq,
+         floor(((cents % 1000) / 100) * 1000000 + 0.5) / 1000000 AS yq
+  FROM de),
+ccfp AS (
+  SELECT a.user_id, l.lag,
+         CAST(a.xq AS DECIMAL(18,6)) AS x, CAST(b.yq AS DECIMAL(18,6)) AS y
+  FROM ccfb a
+  JOIN (VALUES (-2),(-1),(0),(1),(2)) l(lag) ON true
+  JOIN ccfb b ON b.user_id = a.user_id AND b.pos = a.pos + l.lag
+  WHERE a.xq IS NOT NULL AND b.yq IS NOT NULL),
+ccfs AS (
+  SELECT user_id, lag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM ccfp GROUP BY user_id, lag),
+ccfv AS (
+  SELECT user_id, lag, n,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
+  FROM ccfs)
 SELECT 'twap' AS tag, user_id, bucket_ts,
        floor((CASE WHEN sum(w8) > 0 THEN sum(value * w8) / sum(w8)
                    ELSE avg(value) END) * 1000 + 0.5) / 1000 AS twap_v
@@ -727,6 +773,13 @@ UNION ALL
 SELECT 'acf_n' AS tag, user_id, make_timestamp(lag * 1000000) AS bucket_ts,
        CAST(n AS DOUBLE) AS twap_v
 FROM acfv
+UNION ALL
+SELECT 'ccf' AS tag, user_id,
+       make_timestamp((lag + 10) * 1000000) AS bucket_ts,
+       CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+            THEN floor((cov / sqrt(vx * vy)) * 1000000 + 0.5) / 1000000
+       END AS twap_v
+FROM ccfv
 """
 
 

@@ -1619,6 +1619,16 @@ class TSDF:
 
         return autocorr(self, value_col, lags)
 
+    def crossCorr(
+        self, x_col: str, y_col: str, max_lag: int = 10, lags=None
+    ) -> DataFrame:
+        """Per-series cross-correlation between two metrics at observation
+        lags (positive lag: x leads y): (series…, lag, n_pairs, ccf). See
+        operators/acf.py."""
+        from tempo_spark.operators.acf import cross_corr
+
+        return cross_corr(self, x_col, y_col, max_lag, lags)
+
     def downsample_minmax(self, n_buckets: int, value_col: str) -> DataFrame:
         """Min-max envelope downsampling: per equal-count bucket keep the
         rows holding the bucket min AND max of ``value_col`` (≤ 2·buckets

@@ -89,3 +89,47 @@ class TestAutocorr:
         t = TSDF(df, ts_col="ts", series_ids=[])
         got = {r.lag: r.acf for r in t.autocorr("v", 3).collect()}
         assert got[3] > 0.99 and sorted(got) == [1, 2, 3]
+
+
+class TestCrossCorr:
+    def test_shifted_signal_peaks_at_shift(self, spark):
+        import random
+
+        rng = random.Random(4)
+        base_sig = [rng.uniform(-10, 10) for _ in range(120)]
+        # y is x delayed by 3 observations (x leads y by 3)
+        x = base_sig
+        y = [0.0, 0.0, 0.0] + base_sig[:-3]
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("a", base + dt.timedelta(seconds=i), x[i], y[i])
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(
+            rows, "sym string, ts timestamp, x double, y double"
+        )
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        got = {r.lag: r.ccf for r in t.crossCorr("x", "y", max_lag=5).collect()}
+        assert sorted(got) == list(range(-5, 6))
+        assert got[3] > 0.99                     # x leads y by 3
+        assert all(abs(got[L]) < 0.5 for L in got if L != 3)
+
+    def test_symmetry_with_autocorr(self, spark):
+        """ccf(x, x, L) must equal acf(L) for positive L."""
+        vals = [math.sin(i / 3.0) * 5 for i in range(60)]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        acf = {r.lag: r.acf for r in t.autocorr("v", 4).collect()}
+        ccf = {
+            r.lag: r.ccf
+            for r in t.crossCorr("v", "v", lags=[1, 2, 3, 4]).collect()
+        }
+        assert acf == ccf
+
+    def test_validations(self, spark):
+        t = TSDF(_mk(spark, [1.0, 2.0]), ts_col="ts", series_ids=["sym"])
+        with pytest.raises(ValueError, match="max_lag"):
+            t.crossCorr("v", "v", max_lag=-1)
+        with pytest.raises(ValueError, match="duplicate"):
+            t.crossCorr("v", "v", lags=[0, 0])
+        with pytest.raises(ValueError, match="column"):
+            t.crossCorr("v", "nope")
