@@ -1574,16 +1574,24 @@ lint AS (
          CAST((pos - 2) * 14 // (n - 2) AS INT) AS b
   FROM lbase WHERE n > 16 AND pos > 1 AND pos < n),
 lstats AS (
-  SELECT user_id, b, count(*) AS na,
-         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+  -- anchors average only the VALID (non-null-y) points of a bucket; an
+  -- all-null bucket contributes a NULL anchor, which coalesces to the
+  -- endpoint exactly like an absent neighbor (operator parity, r10 review)
+  SELECT user_id, b, count(yq) AS na,
+         sum(CASE WHEN yq IS NOT NULL
+                  THEN CAST(x AS DECIMAL(38,0)) END) AS sx,
          sum(CAST(yq AS DECIMAL(32,6))) AS sy
   FROM lint GROUP BY user_id, b),
 lanch AS (
   SELECT user_id, b,
-         lag(CAST(sx AS DOUBLE) / na)  OVER (PARTITION BY user_id ORDER BY b) AS pax,
-         lag(CAST(sy AS DOUBLE) / na)  OVER (PARTITION BY user_id ORDER BY b) AS pay,
-         lead(CAST(sx AS DOUBLE) / na) OVER (PARTITION BY user_id ORDER BY b) AS nax,
-         lead(CAST(sy AS DOUBLE) / na) OVER (PARTITION BY user_id ORDER BY b) AS nay
+         lag(CASE WHEN na > 0 THEN CAST(sx AS DOUBLE) / na END)
+             OVER (PARTITION BY user_id ORDER BY b) AS pax,
+         lag(CASE WHEN na > 0 THEN CAST(sy AS DOUBLE) / na END)
+             OVER (PARTITION BY user_id ORDER BY b) AS pay,
+         lead(CASE WHEN na > 0 THEN CAST(sx AS DOUBLE) / na END)
+             OVER (PARTITION BY user_id ORDER BY b) AS nax,
+         lead(CASE WHEN na > 0 THEN CAST(sy AS DOUBLE) / na END)
+             OVER (PARTITION BY user_id ORDER BY b) AS nay
   FROM lstats),
 lfirst AS (SELECT user_id, CAST(x AS DOUBLE) AS fx, yq AS fy
            FROM lbase WHERE n > 16 AND pos = 1),

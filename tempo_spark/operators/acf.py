@@ -1,22 +1,27 @@
-"""Per-series autocorrelation function (ACF) at observation lags.
+"""Per-series auto- and cross-correlation at observation lags.
 
-The standard diagnostic for seasonality/persistence in a series (Box &
-Jenkins): ``acf(L) = corr(x_t, x_{t+L})`` over the pairs where both
-observations exist, lag measured in OBSERVATIONS in series order (the
-usual regular-sampling convention; resample first for time-lag
-semantics).
+``autocorr``: the standard seasonality/persistence diagnostic (Box &
+Jenkins ACF), ``acf(L) = corr(x_t, x_{t+L})``. ``cross_corr``: the
+lead-lag diagnostic between two metrics, ``ccf(L) = corr(x_t, y_{t+L})``
+(positive L: x leads y; negative: y leads x). Lags are measured in
+OBSERVATIONS in series order (the regular-sampling convention; resample
+first for time-lag semantics). Both are one parameterization of the
+same kernel, so the exactness machinery cannot drift between them.
 
-Spark shape: all requested lags ride ONE window pass (one ``lead`` per
-lag over the same hash(series) window), explode to (lag, x, y) pairs,
-then a single groupBy (series, lag) that the window's exchange already
-satisfies — one shuffle total, any number of lags.
+Spark shape: all requested lags ride ONE window pass (one lead/lag per
+requested offset, built in a single ``select`` — a per-lag ``withColumn``
+chain would pay one Project analysis per lag, the repo's >30-Columns
+plan-build lesson), explode to (lag, x, y) pairs, then one
+groupBy (series, lag) that the window's exchange already satisfies —
+one shuffle total for any number of lags.
 
-Determinism contract (the repo's withRangeCorr idiom): inputs are
-quantized to the 1e-6 grid, all sufficient statistics (n, Σx, Σy, Σxy,
-Σx², Σy²) accumulate as EXACT decimals (order-independent), and the
-Pearson formula is then a FIXED IEEE expression over those sums — so the
-result is bit-replayable by an external engine. Zero-variance or
-single-pair groups yield NULL (never a divide-by-zero)."""
+Determinism contract (the withRangeCorr idiom): inputs quantize to the
+1e-6 grid, sufficient statistics accumulate as EXACT (18,6) decimals
+(order-independent; the product type (37,12) stays under both Spark's
+and DuckDB's 38-digit cap, so no precision-capping rounding), and the
+Pearson formula is a FIXED IEEE expression over those sums — replayable
+bit-for-bit by an external engine. Fewer than 2 pairs or zero variance
+on either leg yields NULL (never a divide-by-zero)."""
 
 from __future__ import annotations
 
@@ -25,7 +30,81 @@ from typing import Sequence, Union
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from tempo_spark.operators.lttb import _exact_micros
+
+def _lagged_corr(
+    tsdf, x_col: str, y_col: str, lag_list, out_name: str
+) -> DataFrame:
+    for c in (x_col, y_col):
+        if c not in tsdf.df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    clash = sorted(c for c in tsdf.df.columns if c.startswith("__ac_"))
+    if clash:
+        raise ValueError(f"reserved staging columns present: {clash}")
+
+    df = tsdf.df
+    keys = list(tsdf.series_ids)
+    if not keys:
+        df = df.withColumn("__ac_g", F.lit(0))
+        keys = ["__ac_g"]
+    order = [tsdf._exact_micros_order()]
+    if getattr(tsdf, "sequence_col", None):
+        order.append(F.col(tsdf.sequence_col))
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(*order)
+
+    def _grid(c):
+        return F.floor(F.col(c).cast("double") * 1e6 + F.lit(0.5)) / F.lit(1e6)
+
+    yg = _grid(y_col)
+    # every shifted column in ONE select (single Project to analyze)
+    shifted = [
+        (
+            F.lead(yg, lag).over(w) if lag >= 0 else F.lag(yg, -lag).over(w)
+        ).alias(f"__ac_y_{'m' if lag < 0 else ''}{abs(lag)}")
+        for lag in lag_list
+    ]
+    staged = df.select(*keys, _grid(x_col).alias("__ac_x"), *shifted)
+    pairs_arr = F.array(
+        *[
+            F.struct(
+                F.lit(lag).alias("lag"),
+                F.col(f"__ac_y_{'m' if lag < 0 else ''}{abs(lag)}").alias("y"),
+            )
+            for lag in lag_list
+        ]
+    )
+    ex = (
+        staged.select(*keys, F.col("__ac_x").alias("x"),
+                      F.explode(pairs_arr).alias("p"))
+        .select(*keys, F.col("p.lag").alias("lag"), "x",
+                F.col("p.y").alias("y"))
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    xd = F.col("x").cast("decimal(18,6)")
+    yd = F.col("y").cast("decimal(18,6)")
+    agg = ex.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(xd).alias("__sx"),
+        F.sum(yd).alias("__sy"),
+        F.sum(xd * yd).alias("__sxy"),
+        F.sum(xd * xd).alias("__sxx"),
+        F.sum(yd * yd).alias("__syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
+        (n * sxy - sx * sy) / F.sqrt(vx * vy),
+    )
+    return agg.select(
+        *[c for c in keys if c != "__ac_g"], "lag", "n_pairs",
+        corr.alias(out_name),
+    )
 
 
 def autocorr(
@@ -50,71 +129,7 @@ def autocorr(
             raise ValueError(f"duplicate lags: {lags}")
     if value_col not in tsdf.df.columns:
         raise ValueError(f"value_col {value_col!r} not in DataFrame")
-
-    df = tsdf.df
-    keys = list(tsdf.series_ids)
-    if not keys:
-        df = df.withColumn("__ac_g", F.lit(0))
-        keys = ["__ac_g"]
-    order = [_exact_micros(tsdf)]
-    if getattr(tsdf, "sequence_col", None):
-        order.append(F.col(tsdf.sequence_col))
-    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(*order)
-
-    xq = F.floor(F.col(value_col).cast("double") * 1e6 + F.lit(0.5)) / F.lit(
-        1e6
-    )
-    staged = df.withColumn("__ac_x", xq)
-    for lag in lag_list:
-        staged = staged.withColumn(
-            f"__ac_y_{lag}", F.lead(F.col("__ac_x"), lag).over(w)
-        )
-    pairs_arr = F.array(
-        *[
-            F.struct(
-                F.lit(lag).alias("lag"),
-                F.col(f"__ac_y_{lag}").alias("y"),
-            )
-            for lag in lag_list
-        ]
-    )
-    ex = (
-        staged.select(*keys, F.col("__ac_x").alias("x"),
-                      F.explode(pairs_arr).alias("p"))
-        .select(*keys, F.col("p.lag").alias("lag"), "x", F.col("p.y").alias("y"))
-        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
-    )
-    # (18,6) operands: the product type is (37,12) — under the 38-digit
-    # cap in BOTH Spark and DuckDB, so no precision-capping rounding can
-    # sneak in (Spark silently rescales a 41-digit product type)
-    xd = F.col("x").cast("decimal(18,6)")
-    yd = F.col("y").cast("decimal(18,6)")
-    agg = ex.groupBy(*keys, "lag").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(xd).alias("__sx"),
-        F.sum(yd).alias("__sy"),
-        F.sum(xd * yd).alias("__sxy"),
-        F.sum(xd * xd).alias("__sxx"),
-        F.sum(yd * yd).alias("__syy"),
-    )
-    # fixed-order Pearson over the exact sums (decimal→double per term)
-    n = F.col("n_pairs").cast("double")
-    sx = F.col("__sx").cast("double")
-    sy = F.col("__sy").cast("double")
-    sxy = F.col("__sxy").cast("double")
-    sxx = F.col("__sxx").cast("double")
-    syy = F.col("__syy").cast("double")
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    acf = F.when(
-        (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
-        (n * sxy - sx * sy) / F.sqrt(vx * vy),
-    )
-    out = agg.select(
-        *[c for c in keys if c != "__ac_g"], "lag", "n_pairs",
-        acf.alias("acf"),
-    )
-    return out
+    return _lagged_corr(tsdf, value_col, value_col, lag_list, "acf")
 
 
 def cross_corr(
@@ -124,15 +139,9 @@ def cross_corr(
     max_lag: int = 10,
     lags: Sequence[int] = None,
 ) -> DataFrame:
-    """Per-series cross-correlation function (CCF): ``ccf(L) =
-    corr(x_t, y_{t+L})`` — the lead-lag diagnostic between two metrics
-    (positive L: x leads y; negative L: y leads x; L=0 is the plain
-    Pearson correlation). ``lags`` overrides the default −max_lag..max_lag
-    sweep. Same shape and exactness contract as :func:`autocorr` — every
-    lag rides one window pass, one shuffle total, exact decimal
-    sufficient sums, fixed-IEEE Pearson, NULL on degenerate groups.
-
-    Returns (series…, lag, n_pairs, ccf)."""
+    """(series…, lag, n_pairs, ccf): ``ccf(L) = corr(x_t, y_{t+L})``.
+    ``lags`` overrides the default −max_lag..max_lag sweep; L=0 is the
+    plain Pearson correlation of the two metrics."""
     if lags is None:
         if max_lag < 0:
             raise ValueError(f"max_lag must be >= 0, got {max_lag}")
@@ -143,71 +152,4 @@ def cross_corr(
             raise ValueError("lags must be non-empty")
         if len(set(lag_list)) != len(lag_list):
             raise ValueError(f"duplicate lags: {lags}")
-    for c in (x_col, y_col):
-        if c not in tsdf.df.columns:
-            raise ValueError(f"column {c!r} not in DataFrame")
-
-    df = tsdf.df
-    keys = list(tsdf.series_ids)
-    if not keys:
-        df = df.withColumn("__ac_g", F.lit(0))
-        keys = ["__ac_g"]
-    order = [_exact_micros(tsdf)]
-    if getattr(tsdf, "sequence_col", None):
-        order.append(F.col(tsdf.sequence_col))
-    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(*order)
-
-    def _grid(c):
-        return F.floor(F.col(c).cast("double") * 1e6 + F.lit(0.5)) / F.lit(1e6)
-
-    staged = df.withColumn("__ac_x", _grid(x_col)).withColumn(
-        "__ac_yb", _grid(y_col)
-    )
-    for lag in lag_list:
-        shifted = (
-            F.lead(F.col("__ac_yb"), lag).over(w)
-            if lag >= 0
-            else F.lag(F.col("__ac_yb"), -lag).over(w)
-        )
-        staged = staged.withColumn(f"__ac_y_{'m' if lag < 0 else ''}{abs(lag)}", shifted)
-    pairs_arr = F.array(
-        *[
-            F.struct(
-                F.lit(lag).alias("lag"),
-                F.col(f"__ac_y_{'m' if lag < 0 else ''}{abs(lag)}").alias("y"),
-            )
-            for lag in lag_list
-        ]
-    )
-    ex = (
-        staged.select(*keys, F.col("__ac_x").alias("x"),
-                      F.explode(pairs_arr).alias("p"))
-        .select(*keys, F.col("p.lag").alias("lag"), "x", F.col("p.y").alias("y"))
-        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
-    )
-    xd = F.col("x").cast("decimal(18,6)")
-    yd = F.col("y").cast("decimal(18,6)")
-    agg = ex.groupBy(*keys, "lag").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(xd).alias("__sx"),
-        F.sum(yd).alias("__sy"),
-        F.sum(xd * yd).alias("__sxy"),
-        F.sum(xd * xd).alias("__sxx"),
-        F.sum(yd * yd).alias("__syy"),
-    )
-    n = F.col("n_pairs").cast("double")
-    sx = F.col("__sx").cast("double")
-    sy = F.col("__sy").cast("double")
-    sxy = F.col("__sxy").cast("double")
-    sxx = F.col("__sxx").cast("double")
-    syy = F.col("__syy").cast("double")
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    ccf = F.when(
-        (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
-        (n * sxy - sx * sy) / F.sqrt(vx * vy),
-    )
-    return agg.select(
-        *[c for c in keys if c != "__ac_g"], "lag", "n_pairs",
-        ccf.alias("ccf"),
-    )
+    return _lagged_corr(tsdf, x_col, y_col, lag_list, "ccf")

@@ -34,17 +34,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from tempo_spark.functions.timestamps import ts_to_double
-
-
-def _exact_micros(tsdf) -> F.Column:
-    dt = tsdf.df.schema[tsdf.ts_col].dataType.typeName()
-    if dt in ("timestamp", "timestamp_ntz", "date"):
-        return F.unix_micros(F.col(tsdf.ts_col).cast("timestamp"))
-    return (
-        ts_to_double(F.col(tsdf.ts_col), tsdf.df.schema[tsdf.ts_col].dataType)
-        * F.lit(1_000_000.0)
-    ).cast("long")
 
 
 def downsample_lttb(tsdf, n_out: int, value_col: str) -> DataFrame:
@@ -55,12 +44,9 @@ def downsample_lttb(tsdf, n_out: int, value_col: str) -> DataFrame:
         raise ValueError(f"n_out must be >= 2, got {n_out}")
     if value_col not in tsdf.df.columns:
         raise ValueError(f"value_col {value_col!r} not in DataFrame")
-    reserved = {
-        "__lt_pos", "__lt_n", "__lt_x", "__lt_y", "__lt_b", "__lt_area",
-        "__lt_rn", "__lt_x0", "__lt_y0",
-    } & set(tsdf.df.columns)
+    reserved = sorted(c for c in tsdf.df.columns if c.startswith("__lt_"))
     if reserved:
-        raise ValueError(f"reserved staging columns present: {sorted(reserved)}")
+        raise ValueError(f"reserved staging columns present: {reserved}")
 
     df = tsdf.df
     keys = list(tsdf.series_ids)
@@ -70,7 +56,7 @@ def downsample_lttb(tsdf, n_out: int, value_col: str) -> DataFrame:
         df = df.withColumn("__lt_g", F.lit(0))
         keys = ["__lt_g"]
     series = [F.col(c) for c in keys]
-    order = [_exact_micros(tsdf)]
+    order = [tsdf._exact_micros_order()]
     if getattr(tsdf, "sequence_col", None):
         order.append(F.col(tsdf.sequence_col))
     w = Window.partitionBy(*series).orderBy(*order)
@@ -84,7 +70,7 @@ def downsample_lttb(tsdf, n_out: int, value_col: str) -> DataFrame:
         df.withColumn("__lt_pos", F.row_number().over(w))
         .withColumn("__lt_n", F.count(F.lit(1)).over(wall))
         .withColumn(
-            "__lt_x", _exact_micros(tsdf) - F.min(_exact_micros(tsdf)).over(wall)
+            "__lt_x", tsdf._exact_micros_order() - F.min(tsdf._exact_micros_order()).over(wall)
         )
         .withColumn("__lt_y", yq)
     )
@@ -139,14 +125,22 @@ def downsample_lttb(tsdf, n_out: int, value_col: str) -> DataFrame:
         Window.partitionBy(*series).orderBy(F.col("__lt_b"))
         .rangeBetween(1, 1)
     )
-    xdec = F.col("__lt_x").cast("decimal(38,0)")
+    # anchors average the VALID (non-null-y) points of the neighbor
+    # bucket: a null-y row contributes to neither coordinate (a count of
+    # ALL rows with a sum over non-null ones would skew the mean, and an
+    # all-null neighbor would null-poison both adjacent buckets' areas —
+    # the r10 review repro); an all-null neighbor falls back to the
+    # endpoint anchor exactly like an absent one
+    xdec = F.when(
+        F.col("__lt_y").isNotNull(), F.col("__lt_x").cast("decimal(38,0)")
+    )
     ydec = F.col("__lt_y").cast("decimal(32,6)")
     scored = (
         interior
-        .withColumn("__lt_pna", F.count(F.lit(1)).over(wprev))
+        .withColumn("__lt_pna", F.count("__lt_y").over(wprev))
         .withColumn("__lt_psx", F.sum(xdec).over(wprev))
         .withColumn("__lt_psy", F.sum(ydec).over(wprev))
-        .withColumn("__lt_nna", F.count(F.lit(1)).over(wnext))
+        .withColumn("__lt_nna", F.count("__lt_y").over(wnext))
         .withColumn("__lt_nsx", F.sum(xdec).over(wnext))
         .withColumn("__lt_nsy", F.sum(ydec).over(wnext))
     )
@@ -202,10 +196,9 @@ def downsample_minmax(tsdf, n_buckets: int, value_col: str) -> DataFrame:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if value_col not in tsdf.df.columns:
         raise ValueError(f"value_col {value_col!r} not in DataFrame")
-    reserved = {"__lt_pos", "__lt_n", "__lt_b", "__lt_y", "__lt_rmin",
-                "__lt_rmax"} & set(tsdf.df.columns)
+    reserved = sorted(c for c in tsdf.df.columns if c.startswith("__lt_"))
     if reserved:
-        raise ValueError(f"reserved staging columns present: {sorted(reserved)}")
+        raise ValueError(f"reserved staging columns present: {reserved}")
 
     df = tsdf.df
     keys = list(tsdf.series_ids)
@@ -213,7 +206,7 @@ def downsample_minmax(tsdf, n_buckets: int, value_col: str) -> DataFrame:
         df = df.withColumn("__lt_g", F.lit(0))
         keys = ["__lt_g"]
     series = [F.col(c) for c in keys]
-    order = [_exact_micros(tsdf)]
+    order = [tsdf._exact_micros_order()]
     if getattr(tsdf, "sequence_col", None):
         order.append(F.col(tsdf.sequence_col))
     w = Window.partitionBy(*series).orderBy(*order)

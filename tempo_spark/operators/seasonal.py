@@ -31,7 +31,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from tempo_spark.operators.lttb import _exact_micros
 
 
 def seasonal_decompose(
@@ -47,9 +46,12 @@ def seasonal_decompose(
         )
     if value_col not in tsdf.df.columns:
         raise ValueError(f"value_col {value_col!r} not in DataFrame")
-    clash = {"trend", "seasonal", "resid"} & set(tsdf.df.columns)
+    clash = sorted(
+        c for c in tsdf.df.columns
+        if c in ("trend", "seasonal", "resid") or c.startswith("__sd_")
+    )
     if clash:
-        raise ValueError(f"reserved output columns present: {sorted(clash)}")
+        raise ValueError(f"reserved output/staging columns present: {clash}")
 
     df = tsdf.df
     keys = list(tsdf.series_ids)
@@ -57,7 +59,7 @@ def seasonal_decompose(
         df = df.withColumn("__sd_g", F.lit(0))
         keys = ["__sd_g"]
     series = [F.col(c) for c in keys]
-    order = [_exact_micros(tsdf)]
+    order = [tsdf._exact_micros_order()]
     if getattr(tsdf, "sequence_col", None):
         order.append(F.col(tsdf.sequence_col))
     w = Window.partitionBy(*series).orderBy(*order)

@@ -246,6 +246,19 @@ class TSDF:
             ts_to_double(F.col(self.ts_col), ts_dtype) * F.lit(1_000_000.0)
         ).cast("long")
 
+    def _exact_micros_order(self) -> Column:
+        """EXACT epoch micros for ordering/thresholds. _micros_order's
+        double round-trip (seconds × 1e6) is ±1µs off for ~24% of values
+        in the 2038-2041 epoch band — enough to flip strict comparisons
+        (the gaps lesson). Time-typed ts goes through unix_micros; double
+        epoch ts keeps the round-trip (its precision IS the double).
+        Single definition shared by gaps / lttb / acf / seasonal."""
+        if self.df.schema[self.ts_col].dataType.typeName() in (
+            "timestamp", "timestamp_ntz", "date",
+        ):
+            return F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+        return self._micros_order()
+
     def range_window(self, back_secs: float, fwd_secs: float = 0.0) -> WindowSpec:
         """Time-range window. Orders by epoch **microseconds** as long (Spark
         range frames need integral offsets), so sub-second lookbacks work."""
@@ -1556,15 +1569,7 @@ class TSDF:
         clash = {"gap_start", "gap_end", "gap_micros"} & set(self.df.columns)
         if clash:
             raise ValueError(f"reserved output columns present: {sorted(clash)}")
-        # EXACT micros for time-typed ts: _micros_order's double round-trip
-        # (seconds * 1e6) is off by ±1µs for ~24% of values in the
-        # 2038-2041 epoch band, enough to flip the strict > threshold
-        if self.df.schema[self.ts_col].dataType.typeName() in (
-            "timestamp", "timestamp_ntz", "date",
-        ):
-            cur = F.unix_micros(F.col(self.ts_col).cast("timestamp"))
-        else:
-            cur = self._micros_order()
+        cur = self._exact_micros_order()
         w = Window.partitionBy(
             *[F.col(c) for c in self.series_ids]
         ).orderBy(cur)

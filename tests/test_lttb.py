@@ -131,6 +131,34 @@ class TestLttb:
                 # only acceptable if its bucket had no non-null candidate
                 assert 10 <= (r.ts - base).total_seconds() < 20
 
+    def test_all_null_neighbor_bucket_does_not_poison(self, spark):
+        """r10 review: an all-NULL neighbor bucket must fall back to the
+        endpoint anchor (like an absent neighbor), not NULL-poison the
+        adjacent buckets' areas — a spike next to a NULL run survives."""
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for i in range(20):
+            if 6 <= i < 12:
+                v = None                      # one interior bucket all-NULL
+            elif i == 15:
+                v = 100.0                     # spike in the next bucket
+            else:
+                v = float(i % 3)
+            rows.append(("a", base + dt.timedelta(seconds=i), v))
+        t = TSDF(_series(spark, rows), ts_col="ts", series_ids=["sym"])
+        kept = {int((r.ts - base).total_seconds()) for r in
+                t.downsample_lttb(5, "v").collect()}
+        assert 15 in kept
+
+    def test_reserved_prefix_guard(self, spark):
+        rows = [("a", ts("2024-01-01 00:00:01"), 1.0)]
+        df = _series(spark, rows).withColumn("__lt_g", F.lit(9))
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        with pytest.raises(ValueError, match="reserved"):
+            t.downsample_lttb(5, "v")
+        with pytest.raises(ValueError, match="reserved"):
+            t.downsample_minmax(5, "v")
+
     def test_validations_and_plan(self, spark):
         from tempo_spark.plans.inspect import count_exchanges
 

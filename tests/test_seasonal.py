@@ -115,6 +115,15 @@ class TestSeasonalDecompose:
             TSDF(bad, ts_col="ts", series_ids=["sym"]).seasonal_decompose(
                 "trend", 4
             )
+        # staging-prefix collisions rejected too (r10 review: a user
+        # __sd_* column was silently overwritten and dropped)
+        import pyspark.sql.functions as F
+
+        bad2 = _mk(spark, [1.0]).withColumn("__sd_y", F.lit(1))
+        with pytest.raises(ValueError, match="reserved"):
+            TSDF(bad2, ts_col="ts", series_ids=["sym"]).seasonal_decompose(
+                "v", 4
+            )
 
     def test_short_series_all_null_components(self, spark):
         t = TSDF(_mk(spark, [1.0, 2.0]), ts_col="ts", series_ids=["sym"])
