@@ -86,10 +86,37 @@ def _apply_merges(s: Column, merges: Iterable[Tuple[str, str]]) -> Column:
 
 
 class BPEModel:
-    """An ordered merges table + the native-expression applicators."""
+    """An ordered merges table + the native-expression applicators.
 
-    def __init__(self, merges: List[Tuple[str, str]]):
+    ``base_chars`` (optional; populated by :func:`train_bpe`) is the
+    sorted base alphabet of the training vocabulary — required only by
+    :meth:`encode_ids`, which needs a stable piece→id mapping."""
+
+    def __init__(self, merges: List[Tuple[str, str]], base_chars=None):
         self.merges = [(str(a), str(b)) for a, b in merges]
+        self.base_chars = (
+            sorted({str(c) for c in base_chars}) if base_chars else None
+        )
+
+    def vocab(self) -> List[str]:
+        """Piece list defining token ids: id 0 = ``<unk>`` (an apply-time
+        char outside the training alphabet), then the sorted base
+        alphabet, then each merge's output token in merge order (a
+        duplicate merged string — e.g. (a,bc) and (ab,c) both yielding
+        'abc' — keeps its FIRST id). Stable across save/load."""
+        if self.base_chars is None:
+            raise ValueError(
+                "this model carries no base alphabet — retrain with "
+                "train_bpe (or load a model saved by it) to use token ids"
+            )
+        out = ["<unk>"] + list(self.base_chars)
+        seen = set(out)
+        for a, b in self.merges:
+            tok = a + b
+            if tok not in seen:
+                out.append(tok)
+                seen.add(tok)
+        return out
 
     # ------------------------------------------------------------ apply
 
@@ -130,12 +157,13 @@ class BPEModel:
             raise ValueError(f"unknown engine {engine!r}; use expr/arrow/auto")
         return df.withColumn(out, self._arrow_count_udf()(F.col(text_col)))
 
-    def _arrow_count_udf(self):
-        from pyspark.sql.functions import pandas_udf
-
+    def _word_encoder(self):
+        """word -> list of pieces, the rank-based merge loop (identical
+        semantics to the expr engine's replace chain; shared by the count
+        and token-id kernels)."""
         ranks = {pair: i for i, pair in enumerate(self.merges)}
 
-        def encode_len(word: str) -> int:
+        def encode_pieces(word: str):
             toks = list(word)
             while len(toks) > 1:
                 best = None
@@ -157,7 +185,17 @@ class BPEModel:
                         nxt.append(toks[i])
                         i += 1
                 toks = nxt
-            return len(toks)
+            return toks
+
+        return encode_pieces
+
+    def _arrow_count_udf(self):
+        from pyspark.sql.functions import pandas_udf
+
+        encode_pieces = self._word_encoder()
+
+        def encode_len(word: str) -> int:
+            return len(encode_pieces(word))
 
         import re
 
@@ -213,19 +251,76 @@ class BPEModel:
             ),
         )
 
+    def encode_ids(
+        self, df: DataFrame, text_col: str = "text", out: str = "token_ids"
+    ) -> DataFrame:
+        """df + ``out``: array<int> of token ids per row (the training
+        export format — see :meth:`vocab` for the id scheme; chars outside
+        the training alphabet map to ``<unk>`` = 0; NULL text -> NULL).
+        Arrow kernel with a distinct-word cache — token-id emission has no
+        practical expression path (a piece→id map literal is plan bloat,
+        the ASSIGN_LITERAL_MAX lesson)."""
+        if out in df.columns:
+            raise ValueError(f"output column {out!r} already exists")
+        vocab = {p: i for i, p in enumerate(self.vocab())}
+        encode_pieces = self._word_encoder()
+        import re
+
+        from pyspark.sql.functions import pandas_udf
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+        @pandas_udf("array<int>")
+        def ids_of(texts: pd.Series) -> pd.Series:
+            cache: dict = {}
+
+            def doc_ids(t):
+                if t is None:
+                    return None
+                ids = []
+                for w in ws.split(t.replace(SO, "").replace(SC, "")):
+                    if not w:
+                        continue
+                    got = cache.get(w)
+                    if got is None:
+                        got = [vocab.get(p, 0) for p in encode_pieces(w)]
+                        cache[w] = got
+                    ids.extend(got)
+                return ids
+
+            return texts.map(doc_ids)
+
+        return df.withColumn(out, ids_of(F.col(text_col)))
+
     # ------------------------------------------------------------ io
 
     def save(self, spark, path: str) -> None:
-        """Persist the ordered merges as parquet (idx, left, right)."""
-        rows = [(i, a, b) for i, (a, b) in enumerate(self.merges)]
+        """Persist the model as parquet: merge rows (kind='merge', ordered
+        by idx) plus base-alphabet rows (kind='base') when present."""
+        rows = [(i, a, b, "merge") for i, (a, b) in enumerate(self.merges)]
+        if self.base_chars is not None:
+            rows += [
+                (i, c, None, "base") for i, c in enumerate(self.base_chars)
+            ]
         spark.createDataFrame(
-            rows, "idx int, left string, right string"
+            rows, "idx int, left string, right string, kind string"
         ).coalesce(1).write.mode("overwrite").parquet(path)
 
     @staticmethod
     def load(spark, path: str) -> "BPEModel":
         rows = spark.read.parquet(path).orderBy("idx").collect()
-        return BPEModel([(r.left, r.right) for r in rows])
+        kinds = {getattr(r, "kind", "merge") for r in rows}
+        merges = [
+            (r.left, r.right)
+            for r in rows
+            if getattr(r, "kind", "merge") in ("merge", None)
+        ]
+        base = (
+            [r.left for r in rows if getattr(r, "kind", None) == "base"]
+            if "base" in kinds
+            else None
+        )
+        return BPEModel(merges, base_chars=base)
 
 
 def train_bpe(
@@ -287,6 +382,7 @@ def train_bpe(
     from collections import Counter
 
     segs: List[List[str]] = [list(r["__w"]) for r in words]
+    base_chars = sorted({c for toks in segs for c in toks})
     cnts: List[int] = [int(r["__c"]) for r in words]
     pair_counts: dict = {}
     pair_words: dict = {}
@@ -346,4 +442,4 @@ def train_bpe(
                     members.discard(wi)
             segs[wi] = new
         pair_words.pop((a, b), None)
-    return BPEModel(merges)
+    return BPEModel(merges, base_chars=base_chars)

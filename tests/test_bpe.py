@@ -247,3 +247,61 @@ class TestTrainBpe:
         ).collect()
         # 'low' + 'low' + 'low e r' = 5 pieces
         assert rows[0].n_bpe_tokens == batch[0].n_bpe_tokens == 5
+
+
+class TestTokenIds:
+    def test_encode_ids_scheme_and_unk(self, spark):
+        train = spark.createDataFrame(
+            [(0, "ab ab ab cd cd")], "doc_id long, text string"
+        )
+        m = train_bpe(train, num_merges=2)
+        # vocab: <unk>=0, then sorted base chars, then merges in order
+        v = m.vocab()
+        assert v[0] == "<unk>"
+        assert v[1:5] == ["a", "b", "c", "d"]
+        assert "ab" in v and "cd" in v
+        apply_df = spark.createDataFrame(
+            [(0, "ab cd"), (1, None), (2, "ab xq")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.token_ids for r in m.encode_ids(apply_df).collect()}
+        vid = {p: i for i, p in enumerate(v)}
+        assert got[0] == [vid["ab"], vid["cd"]]
+        assert got[1] is None
+        # chars outside the training alphabet -> <unk>=0
+        assert got[2] == [vid["ab"], 0, 0]
+        # ids length equals token_count per doc
+        n = {
+            r.doc_id: r.n_bpe_tokens for r in m.token_count(apply_df).collect()
+        }
+        for d, ids in got.items():
+            assert (ids is None) == (n[d] is None)
+            if ids is not None:
+                assert len(ids) == n[d]
+
+    def test_ids_roundtrip_and_missing_base(self, spark, tmp_path):
+        train = spark.createDataFrame(
+            [(0, "low lower low")], "doc_id long, text string"
+        )
+        m = train_bpe(train, num_merges=3)
+        p = str(tmp_path / "bpe_ids_model")
+        m.save(spark, p)
+        m2 = BPEModel.load(spark, p)
+        assert m2.merges == m.merges and m2.base_chars == m.base_chars
+        assert m2.vocab() == m.vocab()
+        bare = BPEModel(m.merges)  # no alphabet -> ids unavailable
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="base alphabet"):
+            bare.vocab()
+        df = spark.createDataFrame([(0, "x", [1])],
+                                   "doc_id long, text string, token_ids array<int>")
+        with _pytest.raises(ValueError, match="token_ids"):
+            m.encode_ids(df)
+
+    def test_duplicate_merged_string_keeps_first_id(self, spark):
+        # (a,bc) and (ab,c) both produce 'abc' — one id, first occurrence
+        m = BPEModel([("b", "c"), ("a", "bc"), ("a", "b"), ("ab", "c")],
+                     base_chars=["a", "b", "c"])
+        v = m.vocab()
+        assert v.count("abc") == 1
