@@ -30,6 +30,14 @@ from typing import Sequence, Union
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+# Past this many lags the per-lag window form stops being the right plan:
+# each lag adds a window function + a struct to the explode array, and the
+# plan-build/optimizer cost grows with it (the repo's >30-Columns lesson —
+# measured ~3 s build at 100 lags). Above the budget the pairs come from a
+# position self-join instead (pos ↔ pos+lag): plan size O(1) in lags, two
+# exchanges instead of one — the right trade for a wide lag sweep.
+LAG_WINDOW_MAX = 32
+
 
 def _lagged_corr(
     tsdf, x_col: str, y_col: str, lag_list, out_name: str
@@ -54,31 +62,64 @@ def _lagged_corr(
     def _grid(c):
         return F.floor(F.col(c).cast("double") * 1e6 + F.lit(0.5)) / F.lit(1e6)
 
-    yg = _grid(y_col)
-    # every shifted column in ONE select (single Project to analyze)
-    shifted = [
-        (
-            F.lead(yg, lag).over(w) if lag >= 0 else F.lag(yg, -lag).over(w)
-        ).alias(f"__ac_y_{'m' if lag < 0 else ''}{abs(lag)}")
-        for lag in lag_list
-    ]
-    staged = df.select(*keys, _grid(x_col).alias("__ac_x"), *shifted)
-    pairs_arr = F.array(
-        *[
-            F.struct(
-                F.lit(lag).alias("lag"),
-                F.col(f"__ac_y_{'m' if lag < 0 else ''}{abs(lag)}").alias("y"),
-            )
+    if len(lag_list) <= LAG_WINDOW_MAX:
+        yg = _grid(y_col)
+        # every shifted column in ONE select (single Project to analyze)
+        shifted = [
+            (
+                F.lead(yg, lag).over(w) if lag >= 0 else F.lag(yg, -lag).over(w)
+            ).alias(f"__ac_y_{'m' if lag < 0 else ''}{abs(lag)}")
             for lag in lag_list
         ]
-    )
-    ex = (
-        staged.select(*keys, F.col("__ac_x").alias("x"),
-                      F.explode(pairs_arr).alias("p"))
-        .select(*keys, F.col("p.lag").alias("lag"), "x",
-                F.col("p.y").alias("y"))
-        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
-    )
+        staged = df.select(*keys, _grid(x_col).alias("__ac_x"), *shifted)
+        pairs_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(lag).alias("lag"),
+                    F.col(
+                        f"__ac_y_{'m' if lag < 0 else ''}{abs(lag)}"
+                    ).alias("y"),
+                )
+                for lag in lag_list
+            ]
+        )
+        ex = (
+            staged.select(*keys, F.col("__ac_x").alias("x"),
+                          F.explode(pairs_arr).alias("p"))
+            .select(*keys, F.col("p.lag").alias("lag"), "x",
+                    F.col("p.y").alias("y"))
+            .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        )
+    else:
+        # wide lag sweep: pair rows by a position self-join — the lag
+        # table broadcasts, the join is an equi-join on
+        # (series, pos + lag), and the plan does not grow with the sweep
+        pos = F.row_number().over(w)
+        base = df.select(
+            *keys,
+            pos.alias("__ac_pos"),
+            _grid(x_col).alias("__ac_x"),
+            _grid(y_col).alias("__ac_yb"),
+        )
+        lagf = tsdf.df.sparkSession.createDataFrame(
+            [(int(l),) for l in lag_list], "lag int"
+        )
+        a = base.select(
+            *keys, "__ac_pos", F.col("__ac_x").alias("x")
+        ).crossJoin(F.broadcast(lagf))
+        b = base.select(
+            *[F.col(k).alias(f"__ac_bk_{k}") for k in keys],
+            F.col("__ac_pos").alias("__ac_bpos"),
+            F.col("__ac_yb").alias("y"),
+        )
+        cond = F.col("__ac_bpos") == (F.col("__ac_pos") + F.col("lag"))
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__ac_bk_{k}"))
+        ex = (
+            a.join(b, cond)
+            .select(*keys, "lag", "x", "y")
+            .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        )
     xd = F.col("x").cast("decimal(18,6)")
     yd = F.col("y").cast("decimal(18,6)")
     agg = ex.groupBy(*keys, "lag").agg(

@@ -133,3 +133,29 @@ class TestCrossCorr:
             t.crossCorr("v", "v", lags=[0, 0])
         with pytest.raises(ValueError, match="column"):
             t.crossCorr("v", "nope")
+
+
+class TestLagStrategies:
+    def test_join_strategy_matches_window(self, spark, monkeypatch):
+        """Past LAG_WINDOW_MAX the pairs come from a position self-join —
+        results must equal the window form exactly."""
+        import random
+
+        from tempo_spark.operators import acf as acf_mod
+
+        rng = random.Random(6)
+        vals = [rng.uniform(-5, 5) if rng.random() > 0.05 else None
+                for _ in range(150)]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        win = {(r.lag): (r.n_pairs, r.acf) for r in t.autocorr("v", 8).collect()}
+        monkeypatch.setattr(acf_mod, "LAG_WINDOW_MAX", 0)
+        jn = {(r.lag): (r.n_pairs, r.acf) for r in t.autocorr("v", 8).collect()}
+        assert win == jn
+        # ccf with negative lags through the join path too
+        monkeypatch.undo()
+        wcc = {r.lag: (r.n_pairs, r.ccf)
+               for r in t.crossCorr("v", "v", max_lag=4).collect()}
+        monkeypatch.setattr(acf_mod, "LAG_WINDOW_MAX", 0)
+        jcc = {r.lag: (r.n_pairs, r.ccf)
+               for r in t.crossCorr("v", "v", max_lag=4).collect()}
+        assert wcc == jcc
