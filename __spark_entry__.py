@@ -684,8 +684,38 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros((F.col("lag") + 10) * 1_000_000).alias("bucket_ts"),
         _HR6(F.col("ccf")).alias("twap_v"),
     )
-    return (
-        tw.unionByName(acf_rows).unionByName(n_rows).unionByName(ccf_rows)
+    # trend_* (r10): per-series OLS fit (operators/trend.py) — slope per
+    # second, intercept at the first observation, r², all fixed-IEEE over
+    # exact decimal sums; bucket_ts is a constant epoch marker
+    tr = t.fit_trend("value")
+    zero_ts = F.timestamp_micros(F.lit(0))
+    trend_parts = [
+        tr.select(
+            F.lit("trend_b").alias("tag"), "user_id",
+            zero_ts.alias("bucket_ts"),
+            _HR6(F.col("slope_per_sec")).alias("twap_v"),
+        ),
+        tr.select(
+            F.lit("trend_a").alias("tag"), "user_id",
+            zero_ts.alias("bucket_ts"),
+            _HR6(F.col("intercept")).alias("twap_v"),
+        ),
+        tr.select(
+            F.lit("trend_r2").alias("tag"), "user_id",
+            zero_ts.alias("bucket_ts"),
+            _HR6(F.col("r2")).alias("twap_v"),
+        ),
+        tr.select(
+            F.lit("trend_n").alias("tag"), "user_id",
+            zero_ts.alias("bucket_ts"),
+            F.col("n_obs").cast("double").alias("twap_v"),
+        ),
+    ]
+    from functools import reduce as _reduce
+
+    return _reduce(
+        lambda a, b: a.unionByName(b),
+        [tw, acf_rows, n_rows, ccf_rows, *trend_parts],
     )
 
 
@@ -758,7 +788,33 @@ ccfv AS (
              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
          CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
-  FROM ccfs)
+  FROM ccfs),
+-- trend_* replay (operators/trend.py): t = micros offset from the
+-- series' FIRST observation (min over ALL rows, nulls included), y on
+-- the 1e-6 grid, exact decimal sums, fixed-IEEE closed forms
+trb AS (
+  SELECT user_id,
+         epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id) AS t,
+         floor(value * 1000000 + 0.5) / 1000000 AS yq
+  FROM de),
+trs AS (
+  SELECT user_id, count(*) AS n,
+         sum(CAST(t AS DECIMAL(19,0))) AS st,
+         sum(CAST(yq AS DECIMAL(18,6))) AS sy,
+         sum(CAST(t AS DECIMAL(19,0)) * CAST(yq AS DECIMAL(18,6))) AS sty,
+         sum(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))) AS stt,
+         sum(CAST(yq AS DECIMAL(18,6)) * CAST(yq AS DECIMAL(18,6))) AS syy
+  FROM trb WHERE yq IS NOT NULL GROUP BY user_id),
+trv AS (
+  SELECT user_id, n,
+         CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+             - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) AS vt,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+         CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+             - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+         CAST(st AS DOUBLE) AS std_, CAST(sy AS DOUBLE) AS syd
+  FROM trs)
 SELECT 'twap' AS tag, user_id, bucket_ts,
        floor((CASE WHEN sum(w8) > 0 THEN sum(value * w8) / sum(w8)
                    ELSE avg(value) END) * 1000 + 0.5) / 1000 AS twap_v
@@ -780,6 +836,28 @@ SELECT 'ccf' AS tag, user_id,
             THEN floor((cov / sqrt(vx * vy)) * 1000000 + 0.5) / 1000000
        END AS twap_v
 FROM ccfv
+UNION ALL
+SELECT 'trend_b' AS tag, user_id, make_timestamp(0) AS bucket_ts,
+       CASE WHEN n >= 2 AND vt > 0
+            THEN floor(((cov / vt) * 1000000.0) * 1000000 + 0.5) / 1000000
+       END AS twap_v
+FROM trv
+UNION ALL
+SELECT 'trend_a' AS tag, user_id, make_timestamp(0) AS bucket_ts,
+       CASE WHEN n >= 2 AND vt > 0
+            THEN floor(((syd - (cov / vt) * std_) / n) * 1000000 + 0.5) / 1000000
+       END AS twap_v
+FROM trv
+UNION ALL
+SELECT 'trend_r2' AS tag, user_id, make_timestamp(0) AS bucket_ts,
+       CASE WHEN n >= 2 AND vt > 0 AND vy > 0
+            THEN floor(((cov / vt) * (cov / vy)) * 1000000 + 0.5) / 1000000
+       END AS twap_v
+FROM trv
+UNION ALL
+SELECT 'trend_n' AS tag, user_id, make_timestamp(0) AS bucket_ts,
+       CAST(n AS DOUBLE) AS twap_v
+FROM trv
 """
 
 

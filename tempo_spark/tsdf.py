@@ -1615,6 +1615,14 @@ class TSDF:
 
         return seasonal_decompose(self, value_col, period, model)
 
+    def fit_trend(self, value_col: str) -> DataFrame:
+        """Per-series OLS trend: (series…, n_obs, slope_per_sec,
+        intercept, r2) — drift diagnostic / base forecast. See
+        operators/trend.py for the exactness contract."""
+        from tempo_spark.operators.trend import fit_trend
+
+        return fit_trend(self, value_col)
+
     def autocorr(self, value_col: str, lags=10) -> DataFrame:
         """Per-series autocorrelation at observation lags (Box-Jenkins
         ACF): (series…, lag, n_pairs, acf). One window pass carries every
