@@ -11,7 +11,10 @@ period ``p``,
 - **seasonal** = per-phase mean of the detrended values (phase = row
   position mod ``p``), centered so the seasonal components of one period
   sum to ~0 (each phase weighted equally, as in statsmodels);
-- **resid** = value − trend − seasonal (additive model).
+- **resid** = value − trend − seasonal (additive model), or
+  value / (trend · seasonal) with ratio detrending and mean-1 seasonal
+  indexes (multiplicative model — the statsmodels variant; zero/NULL
+  trend rows get NULL components).
 
 Spark shape: row-frame windows + two aggregations, all clustered by the
 series key (the phase groupBy reuses the window exchange; the per-series
@@ -39,11 +42,11 @@ def seasonal_decompose(
     """df + (trend, seasonal, resid) columns; see module docstring."""
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period}")
-    if model != "additive":
+    if model not in ("additive", "multiplicative"):
         raise ValueError(
-            f"only model='additive' is implemented, got {model!r} "
-            "(multiplicative = log-transform, decompose, exp)"
+            f"model must be 'additive' or 'multiplicative', got {model!r}"
         )
+    mult = model == "multiplicative"
     if value_col not in tsdf.df.columns:
         raise ValueError(f"value_col {value_col!r} not in DataFrame")
     clash = sorted(
@@ -105,9 +108,14 @@ def seasonal_decompose(
         "__sd_ph", F.pmod(F.col("__sd_pos") - 1, F.lit(period))
     )
     # detrended on the 1e-6 grid so the phase means are exact-decimal sums
-    det = F.floor(
-        (F.col("__sd_y") - F.col("trend")) * 1e6 + F.lit(0.5)
-    ) / F.lit(1e6)
+    if mult:
+        # ratio detrending; a zero trend cannot be divided through
+        det_raw = F.when(
+            F.col("trend") != 0, F.col("__sd_y") / F.col("trend")
+        )
+    else:
+        det_raw = F.col("__sd_y") - F.col("trend")
+    det = F.floor(det_raw * 1e6 + F.lit(0.5)) / F.lit(1e6)
     staged = staged.withColumn("__sd_det", det)
 
     pm = staged.groupBy(*keys, "__sd_ph").agg(
@@ -133,25 +141,37 @@ def seasonal_decompose(
             / F.count("__sd_pm"),
         ).alias("__sd_c")
     )
+    if mult:
+        # multiplicative indexes normalize to mean 1 (divide by the mean
+        # of the phase means; a zero mean index cannot be normalized)
+        seas_val = F.when(
+            F.col("__sd_pm").isNotNull() & (F.col("__sd_c") != 0),
+            F.col("__sd_pm") / F.col("__sd_c"),
+        )
+    else:
+        seas_val = F.when(
+            F.col("__sd_pm").isNotNull(),
+            F.col("__sd_pm") - F.col("__sd_c"),
+        )
     seasonal = (
         pm.join(F.broadcast(center), keys)
-        .select(
-            *keys,
-            "__sd_ph",
-            F.when(
-                F.col("__sd_pm").isNotNull(),
-                F.col("__sd_pm") - F.col("__sd_c"),
-            ).alias("seasonal"),
-        )
+        .select(*keys, "__sd_ph", seas_val.alias("seasonal"))
     )
     out = staged.join(seasonal, [*keys, "__sd_ph"], "left")
-    out = out.withColumn(
-        "resid",
-        F.when(
+    if mult:
+        resid_val = F.when(
+            F.col("__sd_y").isNotNull()
+            & F.col("trend").isNotNull()
+            & F.col("seasonal").isNotNull()
+            & (F.col("trend") * F.col("seasonal") != 0),
+            F.col("__sd_y") / (F.col("trend") * F.col("seasonal")),
+        )
+    else:
+        resid_val = F.when(
             F.col("__sd_y").isNotNull()
             & F.col("trend").isNotNull()
             & F.col("seasonal").isNotNull(),
             (F.col("__sd_y") - F.col("trend")) - F.col("seasonal"),
-        ),
-    )
+        )
+    out = out.withColumn("resid", resid_val)
     return out.drop("__sd_y", "__sd_pos", "__sd_ph", "__sd_det", "__sd_g")

@@ -106,8 +106,6 @@ class TestSeasonalDecompose:
         assert got[5] is not None
         with pytest.raises(ValueError, match="period"):
             t.seasonal_decompose("v", 1)
-        with pytest.raises(ValueError, match="additive"):
-            t.seasonal_decompose("v", 4, model="multiplicative")
         with pytest.raises(ValueError, match="value_col"):
             t.seasonal_decompose("nope", 4)
         bad = _mk(spark, [1.0]).withColumnRenamed("v", "trend")
@@ -124,6 +122,34 @@ class TestSeasonalDecompose:
             TSDF(bad2, ts_col="ts", series_ids=["sym"]).seasonal_decompose(
                 "v", 4
             )
+
+    def test_multiplicative_model(self, spark):
+        """Multiplicative: y = trend · seasonal · resid, mean-1 seasonal
+        indexes, zero-trend rows yield NULL components."""
+        period = 4
+        factors = [1.5, 0.5, 1.2, 0.8]
+        vals = [
+            (10.0 + 0.5 * i) * factors[i % period] for i in range(80)
+        ]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        rows = t.seasonal_decompose("v", period, model="multiplicative").collect()
+        base = dt.datetime(2024, 1, 1)
+        seas = {}
+        for r in rows:
+            i = int((r.ts - base).total_seconds() // 3600)
+            if r.seasonal is not None:
+                seas[i % period] = r.seasonal
+            if r.trend is not None and r.seasonal is not None:
+                # multiplicative identity holds to grid precision
+                assert abs(r.trend * r.seasonal * r.resid - r.v) < 1e-2
+                assert abs(r.resid - 1.0) < 0.05  # clean signal
+        # seasonal indexes recover the planted factors up to normalization
+        mean_idx = sum(seas.values()) / len(seas)
+        assert abs(mean_idx - 1.0) < 0.02
+        for ph, f in enumerate(factors):
+            assert abs(seas[ph] / mean_idx - f / (sum(factors) / 4)) < 0.05
+        with pytest.raises(ValueError, match="model"):
+            t.seasonal_decompose("v", 4, model="loess")
 
     def test_short_series_all_null_components(self, spark):
         t = TSDF(_mk(spark, [1.0, 2.0]), ts_col="ts", series_ids=["sym"])
