@@ -689,33 +689,42 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact decimal sums; bucket_ts is a constant epoch marker
     tr = t.fit_trend("value")
     zero_ts = F.timestamp_micros(F.lit(0))
-    trend_parts = [
-        tr.select(
-            F.lit("trend_b").alias("tag"), "user_id",
-            zero_ts.alias("bucket_ts"),
-            _HR6(F.col("slope_per_sec")).alias("twap_v"),
-        ),
-        tr.select(
-            F.lit("trend_a").alias("tag"), "user_id",
-            zero_ts.alias("bucket_ts"),
-            _HR6(F.col("intercept")).alias("twap_v"),
-        ),
-        tr.select(
-            F.lit("trend_r2").alias("tag"), "user_id",
-            zero_ts.alias("bucket_ts"),
-            _HR6(F.col("r2")).alias("twap_v"),
-        ),
-        tr.select(
-            F.lit("trend_n").alias("tag"), "user_id",
-            zero_ts.alias("bucket_ts"),
-            F.col("n_obs").cast("double").alias("twap_v"),
-        ),
-    ]
+    # the four tag rows explode from ONE pass over the fit aggregation —
+    # four unioned tr.select branches would re-run the fit lineage per
+    # branch (the dsir_logratio lesson)
+    trend_rows = tr.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("trend_b").alias("tag"),
+                    _HR6(F.col("slope_per_sec")).alias("v"),
+                ),
+                F.struct(
+                    F.lit("trend_a").alias("tag"),
+                    _HR6(F.col("intercept")).alias("v"),
+                ),
+                F.struct(
+                    F.lit("trend_r2").alias("tag"),
+                    _HR6(F.col("r2")).alias("v"),
+                ),
+                F.struct(
+                    F.lit("trend_n").alias("tag"),
+                    F.col("n_obs").cast("double").alias("v"),
+                ),
+            )
+        ).alias("p"),
+    ).select(
+        F.col("p.tag").alias("tag"),
+        "user_id",
+        zero_ts.alias("bucket_ts"),
+        F.col("p.v").alias("twap_v"),
+    )
     from functools import reduce as _reduce
 
     return _reduce(
         lambda a, b: a.unionByName(b),
-        [tw, acf_rows, n_rows, ccf_rows, *trend_parts],
+        [tw, acf_rows, n_rows, ccf_rows, trend_rows],
     )
 
 

@@ -54,13 +54,22 @@ def _lagged_corr(
     if not keys:
         df = df.withColumn("__ac_g", F.lit(0))
         keys = ["__ac_g"]
+    def _grid(c):
+        return F.floor(F.col(c).cast("double") * 1e6 + F.lit(0.5)) / F.lit(1e6)
+
     order = [tsdf._exact_micros_order()]
     if getattr(tsdf, "sequence_col", None):
         order.append(F.col(tsdf.sequence_col))
+    # content-hash tiebreak: rows tied on (ts[, seq]) would otherwise get
+    # run-dependent positions — fatal for the join strategy, whose two
+    # scans re-evaluate row_number independently (tied rows could land at
+    # pos 5 in one scan and 6 in the other, misaligning every pair). A
+    # hash of the value grids makes the order total over DISTINCT rows;
+    # rows identical in (keys, ts, x, y) stay interchangeable, so any
+    # assignment yields the same pair multiset. Applied to BOTH strategies
+    # so they stay pinned equal under ties.
+    order.append(F.xxhash64(_grid(x_col), _grid(y_col)))
     w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(*order)
-
-    def _grid(c):
-        return F.floor(F.col(c).cast("double") * 1e6 + F.lit(0.5)) / F.lit(1e6)
 
     if len(lag_list) <= LAG_WINDOW_MAX:
         yg = _grid(y_col)
@@ -104,14 +113,18 @@ def _lagged_corr(
         lagf = tsdf.df.sparkSession.createDataFrame(
             [(int(l),) for l in lag_list], "lag int"
         )
-        a = base.select(
-            *keys, "__ac_pos", F.col("__ac_x").alias("x")
-        ).crossJoin(F.broadcast(lagf))
+        # null legs pruned BEFORE the lag fan-out / join build (positions
+        # are already assigned, so dropping them here changes nothing)
+        a = (
+            base.select(*keys, "__ac_pos", F.col("__ac_x").alias("x"))
+            .where(F.col("x").isNotNull())
+            .crossJoin(F.broadcast(lagf))
+        )
         b = base.select(
             *[F.col(k).alias(f"__ac_bk_{k}") for k in keys],
             F.col("__ac_pos").alias("__ac_bpos"),
             F.col("__ac_yb").alias("y"),
-        )
+        ).where(F.col("y").isNotNull())
         cond = F.col("__ac_bpos") == (F.col("__ac_pos") + F.col("lag"))
         for k in keys:
             cond = cond & F.col(k).eqNullSafe(F.col(f"__ac_bk_{k}"))

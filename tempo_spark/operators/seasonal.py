@@ -109,9 +109,16 @@ def seasonal_decompose(
     )
     # detrended on the 1e-6 grid so the phase means are exact-decimal sums
     if mult:
-        # ratio detrending; a zero trend cannot be divided through
+        # ratio detrending. The ratio is unbounded as trend -> 0: past
+        # ~1e12 the 1e-6 grid's floor(x*1e6) overflows a long and the
+        # decimal(18,6) phase-sum cast overflows too — under ANSI either
+        # ABORTS the job. A near-zero trend means the multiplicative
+        # model is wrong for the series anyway; such rows yield NULL
+        # components instead of exploding (|ratio| < 1e12 keeps every
+        # downstream op in range).
+        ratio = F.col("__sd_y") / F.col("trend")
         det_raw = F.when(
-            F.col("trend") != 0, F.col("__sd_y") / F.col("trend")
+            (F.col("trend") != 0) & (F.abs(ratio) < F.lit(1e12)), ratio
         )
     else:
         det_raw = F.col("__sd_y") - F.col("trend")

@@ -94,8 +94,13 @@ class BPEModel:
 
     def __init__(self, merges: List[Tuple[str, str]], base_chars=None):
         self.merges = [(str(a), str(b)) for a, b in merges]
+        # `is not None`, not truthiness: an EMPTY alphabet is a real
+        # trained state (degenerate corpus) whose vocab is just <unk> —
+        # distinct from a legacy/hand-built model with no alphabet at all
         self.base_chars = (
-            sorted({str(c) for c in base_chars}) if base_chars else None
+            sorted({str(c) for c in base_chars})
+            if base_chars is not None
+            else None
         )
 
     def vocab(self) -> List[str]:
@@ -189,42 +194,46 @@ class BPEModel:
 
         return encode_pieces
 
-    def _arrow_count_udf(self):
+    def _arrow_doc_udf(self, per_word, init, fold, rtype):
+        """Shared doc-kernel factory: split like Java \\s (ASCII-only --
+        python str.split() would word-break on unicode spaces the expr
+        engine treats as token chars), strip sentinels, encode each
+        DISTINCT word once per batch (dict cache), fold per-word values
+        into the doc accumulator. Used by the count and token-id kernels
+        so the word-splitting contract cannot drift between them."""
+        import re
+
         from pyspark.sql.functions import pandas_udf
 
         encode_pieces = self._word_encoder()
-
-        def encode_len(word: str) -> int:
-            return len(encode_pieces(word))
-
-        import re
-
-        # Java regex \s/\S are ASCII-only by default — python str.split()
-        # (unicode whitespace) would word-break on e.g.   where the
-        # expr engine treats it as a token char; split exactly like Java
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
-        @pandas_udf("long")
-        def count_of(texts: pd.Series) -> pd.Series:
+        @pandas_udf(rtype)
+        def doc_udf(texts: pd.Series) -> pd.Series:
             cache: dict = {}
 
-            def doc_count(t):
+            def doc(t):
                 if t is None:
                     return None
-                total = 0
+                acc = init()
                 for w in ws.split(t.replace(SO, "").replace(SC, "")):
                     if not w:
                         continue
-                    n = cache.get(w)
-                    if n is None:
-                        n = encode_len(w)
-                        cache[w] = n
-                    total += n
-                return total
+                    v = cache.get(w)
+                    if v is None:
+                        v = per_word(encode_pieces(w))
+                        cache[w] = v
+                    acc = fold(acc, v)
+                return acc
 
-            return texts.map(doc_count)
+            return texts.map(doc)
 
-        return count_of
+        return doc_udf
+
+    def _arrow_count_udf(self):
+        return self._arrow_doc_udf(
+            per_word=len, init=int, fold=lambda acc, v: acc + v, rtype="long"
+        )
 
     def with_segments(
         self, df: DataFrame, text_col: str = "text", out: str = "bpe_pieces"
@@ -263,33 +272,12 @@ class BPEModel:
         if out in df.columns:
             raise ValueError(f"output column {out!r} already exists")
         vocab = {p: i for i, p in enumerate(self.vocab())}
-        encode_pieces = self._word_encoder()
-        import re
-
-        from pyspark.sql.functions import pandas_udf
-
-        ws = re.compile(r"[ \t\n\x0b\f\r]+")
-
-        @pandas_udf("array<int>")
-        def ids_of(texts: pd.Series) -> pd.Series:
-            cache: dict = {}
-
-            def doc_ids(t):
-                if t is None:
-                    return None
-                ids = []
-                for w in ws.split(t.replace(SO, "").replace(SC, "")):
-                    if not w:
-                        continue
-                    got = cache.get(w)
-                    if got is None:
-                        got = [vocab.get(p, 0) for p in encode_pieces(w)]
-                        cache[w] = got
-                    ids.extend(got)
-                return ids
-
-            return texts.map(doc_ids)
-
+        ids_of = self._arrow_doc_udf(
+            per_word=lambda pieces: [vocab.get(p, 0) for p in pieces],
+            init=list,
+            fold=lambda acc, v: acc + v,
+            rtype="array<int>",
+        )
         return df.withColumn(out, ids_of(F.col(text_col)))
 
     # ------------------------------------------------------------ io
@@ -299,6 +287,8 @@ class BPEModel:
         by idx) plus base-alphabet rows (kind='base') when present."""
         rows = [(i, a, b, "merge") for i, (a, b) in enumerate(self.merges)]
         if self.base_chars is not None:
+            # marker row so an EMPTY alphabet round-trips as [] not None
+            rows.append((-1, None, None, "base_meta"))
             rows += [
                 (i, c, None, "base") for i, c in enumerate(self.base_chars)
             ]
@@ -317,7 +307,7 @@ class BPEModel:
         ]
         base = (
             [r.left for r in rows if getattr(r, "kind", None) == "base"]
-            if "base" in kinds
+            if "base_meta" in kinds
             else None
         )
         return BPEModel(merges, base_chars=base)

@@ -299,6 +299,20 @@ class TestTokenIds:
         with _pytest.raises(ValueError, match="token_ids"):
             m.encode_ids(df)
 
+    def test_empty_alphabet_roundtrips_as_trained(self, spark, tmp_path):
+        """r10 review: an empty base alphabet (degenerate corpus) is a
+        real trained state — vocab is just <unk>, and save/load keeps it
+        distinct from a legacy no-alphabet model."""
+        train = spark.createDataFrame(
+            [(0, None), (1, "   ")], "doc_id long, text string"
+        )
+        m = train_bpe(train, num_merges=2)
+        assert m.base_chars == [] and m.vocab() == ["<unk>"]
+        p = str(tmp_path / "bpe_empty")
+        m.save(spark, p)
+        m2 = BPEModel.load(spark, p)
+        assert m2.base_chars == [] and m2.vocab() == ["<unk>"]
+
     def test_duplicate_merged_string_keeps_first_id(self, spark):
         # (a,bc) and (ab,c) both produce 'abc' — one id, first occurrence
         m = BPEModel([("b", "c"), ("a", "bc"), ("a", "b"), ("ab", "c")],
