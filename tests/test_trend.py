@@ -97,3 +97,10 @@ class TestFitTrend:
             t.fit_trend("v")
         with pytest.raises(ValueError, match="value_col"):
             TSDF(df, ts_col="ts", series_ids=[]).fit_trend("nope")
+        # one shuffle: the groupBy reuses the window's series exchange
+        from tempo_spark.plans.inspect import count_exchanges
+
+        t2 = TSDF(
+            df.withColumn("sym", F.lit("a")), ts_col="ts", series_ids=["sym"]
+        )
+        assert count_exchanges(t2.fit_trend("v")) == 1
