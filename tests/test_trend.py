@@ -98,9 +98,13 @@ class TestFitTrend:
         with pytest.raises(ValueError, match="value_col"):
             TSDF(df, ts_col="ts", series_ids=[]).fit_trend("nope")
         # one shuffle: the groupBy reuses the window's series exchange
+        # (a LITERAL key would fold to SinglePartition — use a real one)
         from tempo_spark.plans.inspect import count_exchanges
 
         t2 = TSDF(
-            df.withColumn("sym", F.lit("a")), ts_col="ts", series_ids=["sym"]
+            df.withColumn(
+                "sym", F.when(F.col("v") < 10, "a").otherwise("b")
+            ),
+            ts_col="ts", series_ids=["sym"],
         )
         assert count_exchanges(t2.fit_trend("v")) == 1
