@@ -2486,6 +2486,26 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bpe_model = train_bpe(docs, "text", num_merges=8)
     out = bpe_model.token_count(out, "text", out="n_bpe_tokens")
+    # bpe_ids_digest (r10 cont.): the token-ID export path value-gated —
+    # vocab = <unk> + sorted base alphabet + merge outputs (first dup
+    # kept), doc digest = md5_32 of the comma-joined id sequence; the
+    # oracle rebuilds the vocab from its replayed training rounds and
+    # re-derives each doc's pieces in order
+    out = bpe_model.encode_ids(out, "text", out="__bpe_ids")
+    out = out.withColumn(
+        "bpe_ids_digest",
+        F.when(
+            F.col("__bpe_ids").isNotNull(),
+            md5_32(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.col("__bpe_ids"), lambda x: x.cast("string")
+                    ),
+                )
+            ),
+        ),
+    ).drop("__bpe_ids")
     chunks = chunk_documents(
         docs.select("doc_id", "text"), "doc_id", max_tokens=16, overlap=4
     )
@@ -2512,7 +2532,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard_pos").cast("long").alias("shard_pos"),
         "top_2gram_char_frac", "dup_2gram_char_frac",
         "mix_keep", "budget_keep", "morton",
-        "n_chunks", "chunks_digest", "n_bpe_tokens",
+        "n_chunks", "chunks_digest", "n_bpe_tokens", "bpe_ids_digest",
     )
 
 
@@ -2594,7 +2614,11 @@ SELECT b.doc_id, n_tokens, n_2grams, n_2grams_distinct, dup_2gram_frac, split,
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 20000 AS budget_keep,
        CASE WHEN mq.q2 IS NULL THEN NULL ELSE __MORTON_TERMS__ END AS morton,
        ch.n_chunks, ch.chunks_digest,
-       bp.n_bpe AS n_bpe_tokens
+       bp.n_bpe AS n_bpe_tokens,
+       -- zero-piece docs digest the empty string (Spark: md5_32(''))
+       CASE WHEN bp.n_bpe IS NULL THEN NULL
+            ELSE coalesce(bpd.dig, ('0x' || substr(md5(''), 1, 8))::BIGINT)
+       END AS bpe_ids_digest
 FROM base b
 JOIN documents d ON d.doc_id = b.doc_id
 LEFT JOIN (SELECT doc_id, w FROM granked WHERE rn = 1) t ON t.doc_id = b.doc_id
@@ -2614,6 +2638,7 @@ LEFT JOIN (
   GROUP BY t2.doc_id, t2.tok
 ) ch ON ch.doc_id = b.doc_id
 LEFT JOIN bpecnt bp ON bp.doc_id = b.doc_id
+LEFT JOIN bpedig bpd ON bpd.doc_id = b.doc_id
 """
 
 
@@ -2671,6 +2696,35 @@ def _bpe_oracle_ctes(n_merges: int = 8, max_vocab: int = 65536) -> str:
     ctes.append(f"""bpecnt AS (
   SELECT doc_id, length(s) - length(replace(s, chr(3), '')) AS n_bpe
   FROM bd{n_merges})""")
+    # token-id vocab: <unk>=0, sorted base alphabet (chars of the CAPPED
+    # vocab words), merge outputs in round order with first-duplicate kept
+    merged_union = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS midx, a || b AS tok FROM bb{r}" for r in range(n_merges)
+    )
+    ctes.append(f"""bvocab AS (
+  SELECT piece, row_number() OVER (ORDER BY grp, ord) - 1 AS id FROM (
+    SELECT 0 AS grp, 0 AS ord, '<unk>' AS piece
+    UNION ALL
+    SELECT 1, row_number() OVER (ORDER BY c), c FROM (
+      SELECT DISTINCT unnest(regexp_extract_all(w, '.')) AS c FROM bv0)
+    UNION ALL
+    SELECT 2, midx, tok FROM (
+      SELECT midx, tok,
+             row_number() OVER (PARTITION BY tok ORDER BY midx) AS rn
+      FROM ({merged_union}))
+    WHERE rn = 1))""")
+    ctes.append(f"""bpieces AS (
+  SELECT doc_id, i AS ord, l[i] AS piece FROM (
+    SELECT doc_id,
+           regexp_extract_all(s, chr(2) || '([^' || chr(3) || ']*)' || chr(3), 1) AS l
+    FROM bd{n_merges}),
+    unnest(generate_series(1, len(l))) AS t(i))""")
+    ctes.append("""bpedig AS (
+  SELECT p.doc_id,
+         ('0x' || substr(md5(string_agg(CAST(coalesce(v.id, 0) AS VARCHAR),
+                                        ',' ORDER BY p.ord)), 1, 8))::BIGINT AS dig
+  FROM bpieces p LEFT JOIN bvocab v ON v.piece = p.piece
+  GROUP BY p.doc_id)""")
     return ",\n".join(ctes)
 
 
