@@ -2477,6 +2477,38 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-sensitive digest of every chunk gate the stride arithmetic and
     # the chunk text itself (re-aggregation is GATE-side only; the
     # operator never re-joins text)
+    # wsample_keep / ups_copies (r10 cont.): the quality-weighted
+    # down/up-sampling operators value-gated — keep iff the salted md5_32
+    # bucket falls under weight*1e6; copies = floor(w) + fractional draw.
+    # Weights are pure functions of doc_id so both engines derive them
+    # identically; the ups side runs the REAL explode operator and counts
+    from tempo_spark.pipeline.sampling import sample_by_weight, upsample_by_weight
+
+    wdf = docs.select("doc_id").withColumn(
+        "__w", (F.col("doc_id") % 100) / 100.0
+    )
+    kept = sample_by_weight(
+        wdf, "doc_id", "__w", salt="wsample", hash_family="md5_32"
+    ).select(F.col("doc_id").alias("__ws_id"), F.lit(True).alias("__wk"))
+    out = out.join(
+        kept, F.col("doc_id") == F.col("__ws_id"), "left"
+    ).withColumn(
+        "wsample_keep", F.coalesce(F.col("__wk"), F.lit(False))
+    ).drop("__ws_id", "__wk")
+    u = upsample_by_weight(
+        docs.select("doc_id").withColumn(
+            "__w2", F.lit(1.0) + (F.col("doc_id") % 150) / 100.0
+        ),
+        "doc_id", "__w2", hash_family="md5_32",
+    )
+    ucnt = u.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("ups_copies")
+    ).select(F.col("doc_id").alias("__up_id"), "ups_copies")
+    out = out.join(
+        ucnt, F.col("doc_id") == F.col("__up_id"), "left"
+    ).withColumn(
+        "ups_copies", F.coalesce(F.col("ups_copies"), F.lit(0)).cast("long")
+    ).drop("__up_id")
     # learned BPE (r10, pipeline/bpe.py): 8 merges trained on this corpus's
     # word vocabulary (Sennrich BPE, driver loop over the bounded vocab),
     # applied as chained literal replaces — the oracle replays TRAINING
@@ -2533,6 +2565,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_2gram_char_frac", "dup_2gram_char_frac",
         "mix_keep", "budget_keep", "morton",
         "n_chunks", "chunks_digest", "n_bpe_tokens", "bpe_ids_digest",
+        "wsample_keep", "ups_copies",
     )
 
 
@@ -2618,7 +2651,15 @@ SELECT b.doc_id, n_tokens, n_2grams, n_2grams_distinct, dup_2gram_frac, split,
        -- zero-piece docs digest the empty string (Spark: md5_32(''))
        CASE WHEN bp.n_bpe IS NULL THEN NULL
             ELSE coalesce(bpd.dig, ('0x' || substr(md5(''), 1, 8))::BIGINT)
-       END AS bpe_ids_digest
+       END AS bpe_ids_digest,
+       ('0x' || substr(md5('wsample:' || CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000 < ((b.doc_id % 100) / 100.0) * 1000000 AS wsample_keep,
+       CAST(floor(1.0 + (b.doc_id % 150) / 100.0) AS BIGINT)
+           + (CASE WHEN ('0x' || substr(md5('upsample:' || CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 1000000
+                   < ((1.0 + (b.doc_id % 150) / 100.0)
+                      - floor(1.0 + (b.doc_id % 150) / 100.0)) * 1000000
+              THEN 1 ELSE 0 END) AS ups_copies
 FROM base b
 JOIN documents d ON d.doc_id = b.doc_id
 LEFT JOIN (SELECT doc_id, w FROM granked WHERE rn = 1) t ON t.doc_id = b.doc_id
