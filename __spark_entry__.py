@@ -3792,7 +3792,26 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rrf_score").alias("cosine"),
         "rank",
     )
-    return base.unionByName(rrf)
+    # norm (r10 cont.): normalize_embeddings value-gated per COMPONENT —
+    # one row per (vector < 50, dim position); the left-fold norm and the
+    # per-element divide replay exactly (zero vectors pass through)
+    from tempo_spark.pipeline.similarity import normalize_embeddings
+
+    nv = normalize_embeddings(
+        emb.where(F.col("vec_id") < 50).select("vec_id", "embedding"),
+        "embedding", out="__nv",
+    )
+    norm_rows = nv.select(
+        F.lit("norm").alias("tag"),
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(F.col("__nv")).alias("vec_id", "__c"),
+    ).select(
+        "tag", "query_id",
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _HR6(F.col("__c")).alias("cosine"),
+        F.lit(1).cast("int").alias("rank"),
+    )
+    return base.unionByName(rrf).unionByName(norm_rows)
 
 
 _ANN_ORACLE = """
@@ -3840,10 +3859,22 @@ rrfr AS (
                             ORDER BY s DESC, nl DESC,
                                      r0 ASC NULLS LAST, r1 ASC NULLS LAST,
                                      vec_id) AS rank
-  FROM rrfs)
+  FROM rrfs),
+nrmb AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a,b) -> a + b)) AS nv
+  FROM c WHERE vec_id < 50),
+nrm AS (
+  SELECT vec_id, i - 1 AS pos,
+         CASE WHEN nv > 0 THEN v[i] / nv ELSE v[i] END AS comp
+  FROM nrmb, unnest(generate_series(1, len(v))) AS t(i))
 SELECT 'cos' AS tag, query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
 UNION ALL
 SELECT 'rrf' AS tag, query_id, vec_id, s AS cosine, rank FROM rrfr WHERE rank <= 5
+UNION ALL
+SELECT 'norm' AS tag, vec_id AS query_id, pos AS vec_id,
+       floor(comp * 1000000 + 0.5) / 1000000 AS cosine, 1 AS rank
+FROM nrm
 """
 
 
