@@ -4315,7 +4315,25 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.lit("pq_residual").alias("tag"),
     )
-    return ivf.unionByName(pq).unionByName(rr).unionByName(rres)
+    # add (r10 cont.): incremental ingest value-gated — build on the
+    # vec_id < 300 slice (same 8 smallest-id centroids as the full
+    # corpus), add the >= 300 shard against the EXISTING quantizer; the
+    # shard's cell assignments must equal the full-corpus argmin replay
+    base_idx = IVFIndex.build(
+        emb.where(F.col("vec_id") < 300), n_centroids=8, init="first"
+    )
+    grown = base_idx.add(emb.where(F.col("vec_id") >= 300))
+    add_rows = grown.assigned.where(F.col("vec_id") >= 300).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell").cast("long").alias("vec_id"),
+        F.lit(None).cast("double").alias("cosine"),
+        F.lit(1).cast("int").alias("rank"),
+        F.lit("add").alias("tag"),
+    )
+    return (
+        ivf.unionByName(pq).unionByName(rr).unionByName(rres)
+        .unionByName(add_rows)
+    )
 
 
 def _ivf_oracle(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
@@ -4526,6 +4544,10 @@ SELECT query_id, vec_id,
        floor(adc * 1000000 + 0.5) / 1000000 AS cosine, rank,
        'pq_residual' AS tag
 FROM rpranked WHERE rank <= {k}
+UNION ALL
+SELECT vec_id AS query_id, CAST(cell AS BIGINT) AS vec_id,
+       CAST(NULL AS DOUBLE) AS cosine, 1 AS rank, 'add' AS tag
+FROM assign WHERE vec_id >= 300
 """
 
 
