@@ -2753,7 +2753,10 @@ def _bpe_oracle_ctes(n_merges: int = 8, max_vocab: int = 65536) -> str:
       SELECT midx, tok,
              row_number() OVER (PARTITION BY tok ORDER BY midx) AS rn
       FROM ({merged_union}))
-    WHERE rn = 1))""")
+    -- BPEModel.vocab() also dedups against '<unk>' itself (a trained
+    -- merge whose output is literally '<unk>' maps to id 0); base chars
+    -- cannot collide (merge outputs are always >= 2 chars)
+    WHERE rn = 1 AND tok <> '<unk>'))""")
     ctes.append(f"""bpieces AS (
   SELECT doc_id, i AS ord, l[i] AS piece FROM (
     SELECT doc_id,
@@ -4323,7 +4326,12 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") < 300), n_centroids=8, init="first"
     )
     grown = base_idx.add(emb.where(F.col("vec_id") >= 300))
-    add_rows = grown.assigned.where(F.col("vec_id") >= 300).select(
+    # cell.isNotNull == _vec_ok (dirty vectors get NULL cell on the Spark
+    # side while the oracle's argmin tiebreak would hand them cell 0 —
+    # both sides exclude them; the r9 dirty-vector class)
+    add_rows = grown.assigned.where(
+        (F.col("vec_id") >= 300) & F.col("cell").isNotNull()
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("cell").cast("long").alias("vec_id"),
         F.lit(None).cast("double").alias("cosine"),
@@ -4356,6 +4364,7 @@ def _ivf_oracle(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
     d_lut = f"(-2.0 * {fold.format(a='q.sv', b='b.cw')}) + b.cn2"
     d_renc = f"(-2.0 * {fold.format(a='p.sv', b='b.cw')}) + b.cn2"
     d_rlut = f"(-2.0 * {fold.format(a='q.sv', b='b.cw')}) + b.cn2"
+    sq_cv2 = sq.format(a="cv")
     cos = (
         f"{fold.format(a='p.qv', b='a.v')} / "
         f"(sqrt({sq.format(a='p.qv')}) * sqrt({sq.format(a='a.v')}))"
@@ -4527,7 +4536,24 @@ rpranked AS (
   SELECT query_id, vec_id, adc,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adc, vec_id) AS rank
-  FROM rpscore)
+  FROM rpscore),
+-- 'add' tag replay: the base quantizer trains on the vec_id < 300 slice
+-- on BOTH sides (symmetric regardless of id density), and dirty vectors
+-- are excluded by the same _vec_ok conditions the pq legs carry
+cent3 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM c WHERE vec_id < 300 ORDER BY vec_id LIMIT {n_centroids}),
+cent3n AS (SELECT cell, cv, {sq_cv2} AS cn2 FROM cent3),
+addassign AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, n.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {d_assign}, n.cell) AS rn
+    FROM c CROSS JOIN cent3n n
+    WHERE c.vec_id >= 300 AND c.v IS NOT NULL
+      AND len(c.v) = 2 * (SELECT dsub FROM pdim)
+      AND len(list_filter(c.v, x -> x IS NULL OR isnan(x))) = 0)
+  WHERE rn = 1)
 SELECT query_id, vec_id, cosine, rank, 'ivf' AS tag
 FROM ranked WHERE rank <= {k}
 UNION ALL
@@ -4547,7 +4573,7 @@ FROM rpranked WHERE rank <= {k}
 UNION ALL
 SELECT vec_id AS query_id, CAST(cell AS BIGINT) AS vec_id,
        CAST(NULL AS DOUBLE) AS cosine, 1 AS rank, 'add' AS tag
-FROM assign WHERE vec_id >= 300
+FROM addassign
 """
 
 
