@@ -26,7 +26,10 @@ offset from the series' first observation, integral; y hardened-rounded
 to the 1e-6 grid), so the sums are order-independent; the area is then a
 FIXED IEEE expression over those exact sums, making the per-bucket
 arg-max replayable bit-for-bit by an external engine. Ties break by
-earliest timestamp; NULL metric rows never win a bucket.
+earliest timestamp; NULL metric rows never win a bucket — unless the
+bucket is entirely NULL, in which case its earliest row is emitted
+(every area is NULL, so the tie-break alone decides; same contract as
+``downsample_minmax``).
 """
 
 from __future__ import annotations

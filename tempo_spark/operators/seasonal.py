@@ -160,11 +160,30 @@ def seasonal_decompose(
             F.col("__sd_pm").isNotNull(),
             F.col("__sd_pm") - F.col("__sd_c"),
         )
+    # eqNullSafe join-backs on renamed keys (the __qid idiom): plain
+    # name-based equi-joins would drop NULL-keyed series — they get a
+    # trend (windows treat NULL as a partition) but no seasonal/resid.
+    center_r = center.select(
+        *[F.col(k).alias(f"__sd_k{i}") for i, k in enumerate(keys)], "__sd_c"
+    )
+    center_cond = [
+        F.col(k).eqNullSafe(F.col(f"__sd_k{i}")) for i, k in enumerate(keys)
+    ]
     seasonal = (
-        pm.join(F.broadcast(center), keys)
+        pm.join(F.broadcast(center_r), center_cond)
         .select(*keys, "__sd_ph", seas_val.alias("seasonal"))
     )
-    out = staged.join(seasonal, [*keys, "__sd_ph"], "left")
+    seasonal_r = seasonal.select(
+        *[F.col(k).alias(f"__sd_k{i}") for i, k in enumerate(keys)],
+        F.col("__sd_ph").alias("__sd_phr"),
+        "seasonal",
+    )
+    seas_cond = [
+        F.col(k).eqNullSafe(F.col(f"__sd_k{i}")) for i, k in enumerate(keys)
+    ] + [F.col("__sd_ph") == F.col("__sd_phr")]
+    out = staged.join(seasonal_r, seas_cond, "left").drop(
+        "__sd_phr", *[f"__sd_k{i}" for i in range(len(keys))]
+    )
     if mult:
         resid_val = F.when(
             F.col("__sd_y").isNotNull()

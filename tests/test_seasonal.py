@@ -151,6 +151,27 @@ class TestSeasonalDecompose:
         with pytest.raises(ValueError, match="model"):
             t.seasonal_decompose("v", 4, model="loess")
 
+    def test_null_series_key_gets_components(self, spark):
+        """A NULL-keyed series is a real series (eqNullSafe join-backs):
+        it must get seasonal/resid wherever an identical non-null-keyed
+        series does (r10 ADVICE: name-based equi-joins dropped it)."""
+        vals = [float((i % 4) * 2 + i * 0.1) for i in range(24)]
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (sym, base + dt.timedelta(hours=i), v)
+            for sym in ("a", None)
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        out = t.seasonal_decompose("v", 4).collect()
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r.sym, {})[r.ts] = (r.trend, r.seasonal, r.resid)
+        assert set(by_key) == {"a", None}
+        assert by_key["a"] == by_key[None]
+        assert any(v[1] is not None for v in by_key[None].values())
+
     def test_short_series_all_null_components(self, spark):
         t = TSDF(_mk(spark, [1.0, 2.0]), ts_col="ts", series_ids=["sym"])
         rows = t.seasonal_decompose("v", 4).collect()
