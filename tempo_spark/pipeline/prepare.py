@@ -25,10 +25,83 @@ partitioned write.
 
 from __future__ import annotations
 
+import hashlib
+import json
 from typing import Mapping, Optional
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+MANIFEST_NAME = "_tempo_manifest.json"
+
+
+def _cfg_token(v) -> str:
+    """Deterministic string token for one config value, used in the
+    resume-manifest digest. Primitives and mappings serialize exactly;
+    DataFrames contribute schema + canonicalized-plan semanticHash (plan
+    identity, NOT data content — see the resume docstring); plain-attr
+    objects (BPEModel, LinearTextModel) contribute their attr dict;
+    anything else falls back to its class name (config changes inside
+    such objects are NOT detected — documented limitation)."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return repr(v)
+    if isinstance(v, Mapping):
+        return "{" + ",".join(
+            f"{_cfg_token(k)}:{_cfg_token(v[k])}"
+            for k in sorted(v, key=repr)
+        ) + "}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_cfg_token(x) for x in v) + "]"
+    if isinstance(v, DataFrame):
+        try:
+            h = v.semanticHash()
+        except Exception:
+            h = "uncheckable"
+        return f"df:{v.schema.simpleString()}:{h}"
+    attrs = getattr(v, "__dict__", None)
+    if attrs is not None:
+        try:
+            return (
+                f"obj:{type(v).__name__}:"
+                + _cfg_token({k: attrs[k] for k in sorted(attrs)})
+            )
+        except Exception:
+            pass
+    return f"obj:{type(v).__name__}"
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _manifest_write(spark, dir_path: str, payload: dict) -> None:
+    fs, jpath = _hadoop_fs(spark, f"{dir_path}/{MANIFEST_NAME}")
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(json.dumps(payload, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def _manifest_read(spark, dir_path: str) -> Optional[dict]:
+    fs, jpath = _hadoop_fs(spark, f"{dir_path}/{MANIFEST_NAME}")
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        buf = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            buf.append(b)
+        return json.loads(bytes(buf).decode())
+    except Exception:
+        return None
+    finally:
+        stream.close()
 
 
 class CorpusStaging:
@@ -94,6 +167,7 @@ def prepare_corpus(
     persist_intermediate: bool = True,
     staging: Optional[CorpusStaging] = None,
     staging_dir: Optional[str] = None,
+    resume: bool = False,
     token_model=None,
 ) -> DataFrame:
     """Standard corpus preparation in one call; see the module docstring.
@@ -183,6 +257,26 @@ def prepare_corpus(
     parity with the cached and barrier-free forms is test-pinned.
     ``staging=`` (cache release) is meaningless with ``staging_dir`` —
     staged files are durable artifacts you delete when done.
+
+    ``resume=True`` (requires ``staging_dir``) makes a restarted run
+    RESUME instead of recompute: every barrier writes a
+    ``_tempo_manifest.json`` (stage name + a digest of the full call
+    config + the input plan fingerprint) AFTER its parquet completes, and
+    a resumed run SKIPS any barrier whose staged parquet carries a
+    matching manifest — the pipeline up to that point never executes
+    (Spark laziness: the skipped lineage is plan-only). A mid-recipe
+    failure at 100 TB then restarts from the last completed barrier
+    instead of from raw input. Atomicity: ``overwrite`` deletes the stage
+    directory (manifest included) before writing, and the manifest lands
+    only after the write commits, so a run killed mid-stage leaves no
+    manifest and the stage recomputes. Invalidation: ANY config change
+    (including a different input DataFrame plan, a different model's
+    attributes, or a different decontamination frame) changes the digest
+    and invalidates EVERY stage — conservative by design. NOT detected:
+    data-content changes under an unchanged input path/plan, and config
+    hidden inside objects without plain attributes (see ``_cfg_token``);
+    delete the staging directory when in doubt. The manifest filename is
+    underscore-prefixed so parquet readers treat it as hidden.
     """
     from tempo_spark.pipeline import dedup as d
     from tempo_spark.pipeline.components import near_dedup
@@ -205,6 +299,29 @@ def prepare_corpus(
             "staging= (cache release handle) does not apply to "
             "staging_dir= parquet barriers — pass one or the other"
         )
+    if resume and staging_dir is None:
+        raise ValueError("resume=True requires staging_dir=")
+
+    if staging_dir is not None:
+        # one conservative digest over the FULL call config + the input
+        # plan fingerprint: any change invalidates every staged barrier
+        cfg = dict(
+            df=df, id_col=id_col, text_col=text_col, normalize=normalize,
+            redact=redact, remove_foreign_paras=remove_foreign_paras,
+            min_quality=min_quality,
+            max_dup_2gram_frac=max_dup_2gram_frac,
+            quality_model=quality_model, min_clf_prob=min_clf_prob,
+            paragraph_dedup=paragraph_dedup, paragraph_sep=paragraph_sep,
+            span_dedup_ngram=span_dedup_ngram,
+            decontaminate_against=decontaminate_against,
+            decontaminate_ngram=decontaminate_ngram,
+            exact_dedup=exact_dedup,
+            near_dedup_threshold=near_dedup_threshold,
+            mix_group_col=mix_group_col, mix_shares=mix_shares,
+            splits=splits, pack_tokens=pack_tokens, n_shards=n_shards,
+            salt=salt, hash_family=hash_family, token_model=token_model,
+        )
+        cfg_digest = hashlib.sha256(_cfg_token(cfg).encode()).hexdigest()
 
     stage_no = [0]
 
@@ -215,8 +332,25 @@ def prepare_corpus(
             # with no executor storage memory at stake.
             path = f"{staging_dir.rstrip('/')}/{stage_no[0]:02d}_{name}"
             stage_no[0] += 1
+            spark = frame.sparkSession
+            if resume:
+                m = _manifest_read(spark, path)
+                if (
+                    m is not None
+                    and m.get("stage") == name
+                    and m.get("config_digest") == cfg_digest
+                ):
+                    # completed in a prior run under the same config —
+                    # skip: the upstream lineage stays plan-only
+                    return spark.read.parquet(path)
             frame.write.mode("overwrite").parquet(path)
-            return frame.sparkSession.read.parquet(path)
+            # manifest AFTER the write commits: overwrite wiped the dir
+            # (manifest included) first, so a killed run leaves none
+            _manifest_write(
+                spark, path,
+                {"stage": name, "config_digest": cfg_digest},
+            )
+            return spark.read.parquet(path)
         frame = frame.persist()
         if staging is not None:
             staging.frames.append(frame)

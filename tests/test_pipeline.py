@@ -2686,6 +2686,76 @@ class TestPrepareCorpus:
                 df, staging=CorpusStaging(), staging_dir=staged_dir, **kw
             )
 
+    def test_staging_dir_resume(self, spark, tmp_path):
+        """r11: resume=True skips barriers whose staged parquet carries a
+        matching manifest — a run killed after stage N restarts from
+        stage N+1 and produces output identical to a single-shot run."""
+        import os
+        import shutil
+
+        import pytest
+
+        from tempo_spark.pipeline.prepare import prepare_corpus
+
+        text_a = "the quick brown fox jumps over the lazy dog near the river"
+        rows = [
+            (0, text_a),
+            (1, text_a),
+            (2, text_a.replace("river", "creek")),
+            (3, "completely different content about engines and data and scale"),
+            (4, "spam spam spam spam spam spam spam spam"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kw = dict(
+            normalize=True,
+            min_quality=0.4,
+            near_dedup_threshold=0.5,
+            n_shards=2,
+        )
+
+        def digest(frame):
+            return sorted(
+                tuple(r) for r in frame.select(sorted(frame.columns)).collect()
+            )
+
+        def parts(stage_dir):
+            return sorted(
+                f for f in os.listdir(stage_dir) if f.startswith("part-")
+            )
+
+        ref = digest(prepare_corpus(df, staging_dir=str(tmp_path / "ref"), **kw))
+
+        sd = tmp_path / "resume"
+        out1 = prepare_corpus(df, staging_dir=str(sd), resume=True, **kw)
+        assert digest(out1) == ref
+        stages = sorted(os.listdir(sd))
+        assert stages == ["00_cleaned", "01_signals", "02_near_dedup"]
+        assert all(
+            "_tempo_manifest.json" in os.listdir(sd / s) for s in stages
+        )
+        before = {s: parts(sd / s) for s in stages[:2]}
+
+        # simulate a crash after stage 1: stage 2 never completed
+        shutil.rmtree(sd / "02_near_dedup")
+        out2 = prepare_corpus(df, staging_dir=str(sd), resume=True, **kw)
+        assert digest(out2) == ref
+        # stages 0-1 were SKIPPED: overwrite would have rewritten the part
+        # files under fresh random names
+        assert {s: parts(sd / s) for s in stages[:2]} == before
+        assert os.path.isdir(sd / "02_near_dedup")
+
+        # a config change invalidates every stage (conservative digest)
+        kw2 = dict(kw, min_quality=0.2)
+        ref2 = digest(
+            prepare_corpus(df, staging_dir=str(tmp_path / "ref2"), **kw2)
+        )
+        out3 = prepare_corpus(df, staging_dir=str(sd), resume=True, **kw2)
+        assert digest(out3) == ref2
+        assert parts(sd / "00_cleaned") != before["00_cleaned"]
+
+        with pytest.raises(ValueError, match="resume"):
+            prepare_corpus(df, resume=True, **kw)
+
     def test_token_model_drives_counts(self, spark):
         """r10: token_model= (a BPEModel) swaps the n_tokens signal to
         learned BPE piece counts — downstream packing keys off it."""
