@@ -503,6 +503,16 @@ def main() -> None:
              f"after {int(waited)}s wait"
     )
 
+    # Untimed generic JVM warmup: the FIRST timed query otherwise absorbs
+    # codegen/JIT/classloading cost — b1 (first in dict order, unchanged
+    # code) measured 0.84-1.16 s in-bench vs a 0.60 s warmed standalone
+    # floor (8-rep decay probe, round 11). One small shuffle + window +
+    # join + parquet scan warms the common paths without touching any
+    # query-specific cache.
+    warm = spark.read.parquet(f"{sf_dir}/events.parquet").limit(50_000)
+    warm_agg = warm.groupBy("user_id").count()
+    warm_agg.join(warm_agg.withColumnRenamed("count", "c2"), "user_id").count()
+
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
