@@ -1918,7 +1918,14 @@ def q_interval_point_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       micros of the union of [ts, ts+2h) intervals; the oracle replays
       with an independent boundary sweep (ts = bucket, v = micros);
     - ``gaps`` (r9 cont.): ``TSDF.gaps('5 minutes')`` — strict silences,
-      v = gap micros, start/end = bounding observations."""
+      v = gap micros, start/end = bounding observations;
+    - ``subtract`` / ``intersect`` (r11): the interval coverage algebra —
+      [ts, ts+2h) minus / intersected-with the [ts+30m, ts+90m) probes.
+      The oracle replays `_coverage_op` end to end: union both sides with
+      presence masks (probe payloads typed-NULL), boundary-segment, merge
+      each metric by the earliest-covering-interval rule, blanket-coalesce
+      contiguous equal-payload segments (masks included in the equality),
+      then tag by the surviving mask pair. v = segment length in µs."""
     de = _dedup_events(spark, sf_dir)
     iv = de.select(
         "user_id",
@@ -1988,7 +1995,29 @@ def q_interval_point_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("interval_metric_a"),
         F.lit(None).cast("long").alias("interval_metric_b"),
     )
-    return point.unionByName(ov).unionByName(cov).unionByName(gaps)
+    # coverage algebra (r11): subtract/intersect against the probe windows
+    ivf = IntervalsDF(iv, "start_ts", "end_ts", ["user_id"])
+
+    def _alg(frame, tag):
+        return frame.df.select(
+            F.lit(tag).alias("tag"),
+            "user_id",
+            F.col("start_ts").alias("ts"),
+            (F.unix_micros("end_ts") - F.unix_micros("start_ts"))
+            .cast("double")
+            .alias("v"),
+            F.col("start_ts").alias("interval_start_ts"),
+            F.col("end_ts").alias("interval_end_ts"),
+            F.col("metric_a").alias("interval_metric_a"),
+            F.col("metric_b").alias("interval_metric_b"),
+        )
+
+    sub = _alg(ivf.subtract_intervals(probes), "subtract")
+    inter = _alg(ivf.intersect_intervals(probes), "intersect")
+    return (
+        point.unionByName(ov).unionByName(cov).unionByName(gaps)
+        .unionByName(sub).unionByName(inter)
+    )
 
 
 _INTERVAL_JOIN_SUFFIX = """
@@ -2054,6 +2083,64 @@ FROM (
            - epoch_us(ts) AS d
   FROM de)
 WHERE d > 300000000
+UNION ALL
+SELECT tag, user_id, start_ts AS ts,
+       CAST(epoch_us(end_ts) - epoch_us(start_ts) AS DOUBLE) AS v,
+       start_ts AS interval_start_ts, end_ts AS interval_end_ts,
+       metric_a AS interval_metric_a, metric_b AS interval_metric_b
+FROM (
+  -- coverage-algebra replay (subtract + intersect from ONE pass):
+  -- union self (masks am=1) with probe coverage (bm=1, NULL payload),
+  -- boundary-segment, merge metrics by earliest-covering-start rule,
+  -- blanket-coalesce contiguous equal-(payload+mask) segments, tag by
+  -- the surviving mask pair
+  WITH cunion AS (
+    SELECT user_id, start_ts, end_ts, metric_a, metric_b,
+           1 AS am, CAST(NULL AS INT) AS bm FROM iv
+    UNION ALL
+    SELECT user_id, ts + INTERVAL 30 MINUTE, ts + INTERVAL 90 MINUTE,
+           NULL, NULL, CAST(NULL AS INT), 1 FROM de),
+  cab AS (SELECT DISTINCT user_id, b FROM
+          (SELECT user_id, unnest([start_ts, end_ts]) AS b FROM cunion)),
+  caseg AS (SELECT user_id, b AS cs,
+                   lead(b) OVER (PARTITION BY user_id ORDER BY b) AS ce
+            FROM cab),
+  capair AS (
+    SELECT g.user_id, g.cs, g.ce, i.start_ts, i.end_ts,
+           i.metric_a, i.metric_b, i.am, i.bm
+    FROM caseg g JOIN cunion i
+      ON g.user_id = i.user_id AND g.cs < i.end_ts AND g.ce > i.start_ts
+    WHERE g.ce IS NOT NULL),
+  camerged AS (
+    SELECT user_id, cs, ce,
+           max(CASE WHEN metric_a IS NOT NULL
+                    THEN struct_pack(ns := -epoch_us(start_ts), e := epoch_us(end_ts), v := metric_a) END).v AS metric_a,
+           max(CASE WHEN metric_b IS NOT NULL
+                    THEN struct_pack(ns := -epoch_us(start_ts), e := epoch_us(end_ts), v := metric_b) END).v AS metric_b,
+           max(am) AS am, max(bm) AS bm
+    FROM capair GROUP BY user_id, cs, ce),
+  caflag AS (
+    SELECT *,
+           CASE WHEN lag(ce) OVER w = cs
+                     AND (metric_a IS NOT DISTINCT FROM lag(metric_a) OVER w)
+                     AND (metric_b IS NOT DISTINCT FROM lag(metric_b) OVER w)
+                     AND (am IS NOT DISTINCT FROM lag(am) OVER w)
+                     AND (bm IS NOT DISTINCT FROM lag(bm) OVER w)
+                THEN 0 ELSE 1 END AS ng
+    FROM camerged WINDOW w AS (PARTITION BY user_id ORDER BY cs)),
+  cagrp AS (
+    SELECT *, sum(ng) OVER (PARTITION BY user_id ORDER BY cs
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+    FROM caflag),
+  cafinal AS (
+    SELECT user_id, min(cs) AS start_ts, max(ce) AS end_ts,
+           first(metric_a ORDER BY cs) AS metric_a,
+           first(metric_b ORDER BY cs) AS metric_b,
+           first(am ORDER BY cs) AS am, first(bm ORDER BY cs) AS bm
+    FROM cagrp GROUP BY user_id, gid)
+  SELECT CASE WHEN bm IS NULL THEN 'subtract' ELSE 'intersect' END AS tag,
+         user_id, start_ts, end_ts, metric_a, metric_b
+  FROM cafinal WHERE am IS NOT NULL)
 """
 
 
