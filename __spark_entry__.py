@@ -2179,6 +2179,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       doc_id >= 250 (the "new shard") whose text does NOT already appear
       among doc_id < 250 (the "existing corpus"); broadcast-pruned plan
       (the corpus side is scanned, never shuffled);
+    - ``bloom_vs_corpus`` (r11): the SAME survivor set computed through
+      ``strategy="bloom"`` with an APPENDED two-piece ``bloom_df``
+      (``build_content_bloom`` over each corpus half, unioned — the r4
+      fanout regression class: duplicate word rows must re-aggregate with
+      bit_or, not fan the probe join out). Bloom has no false negatives
+      and positives get an exact verify, so the end-to-end output equals
+      exact anti-join dedup — the oracle replays THAT; a fanout bug
+      (rows dropped) or a missed-bit bug (dups kept) both surface as
+      set differences. m = 2^12 keeps the filter partially saturated so
+      the verify leg does real work;
     - ``near_vs_corpus``: ``near_dedup_against_corpus`` hits — shard docs
       whose text is a NEAR-duplicate (word-3-gram MinHash/LSH, Jaccard
       >= 0.5) of ≥1 corpus doc, with the match count; md5_32 family so the
@@ -2209,6 +2219,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       the doc_id<20 "benchmark" set's 4-grams, keep the rest of the doc);
       same two gated columns as the span tags."""
     from tempo_spark.pipeline.dedup import (
+        build_content_bloom,
         dedup_against_corpus,
         dedup_paragraphs,
         exact_dedup,
@@ -2227,6 +2238,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") < 250)
     survivors = dedup_against_corpus(shard, corpus, "text").select(
         F.lit("vs_corpus").alias("tag"), "doc_id", F.lit(0).cast("long").alias("dup_count")
+    )
+    bm, bk = 1 << 12, 5
+    appended_bloom = build_content_bloom(
+        corpus.where(F.col("doc_id") < 125), "text", bm, bk
+    ).unionByName(
+        build_content_bloom(corpus.where(F.col("doc_id") >= 125), "text", bm, bk)
+    )
+    bloom_surv = dedup_against_corpus(
+        shard, corpus, "text", strategy="bloom",
+        bloom_bits=bm, bloom_hashes=bk, bloom_df=appended_bloom,
+    ).select(
+        F.lit("bloom_vs_corpus").alias("tag"), "doc_id",
+        F.lit(0).cast("long").alias("dup_count"),
     )
     near = (
         near_dedup_against_corpus(
@@ -2294,6 +2318,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         exact.unionByName(survivors)
+        .unionByName(bloom_surv)
         .unionByName(near)
         .unionByName(para)
         .unionByName(para_doc)
@@ -2348,6 +2373,15 @@ SELECT 'exact' AS tag, min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY md5(text)
 UNION ALL
 SELECT 'vs_corpus' AS tag, s.doc_id, CAST(0 AS BIGINT) AS dup_count
+FROM documents s
+WHERE s.doc_id >= 250
+  AND NOT EXISTS (SELECT 1 FROM documents c
+                  WHERE c.doc_id < 250
+                    AND md5(c.text) IS NOT DISTINCT FROM md5(s.text))
+UNION ALL
+-- bloom_vs_corpus: no false negatives + exact verify of positives means
+-- the end-to-end bloom output IS the exact anti-join set
+SELECT 'bloom_vs_corpus' AS tag, s.doc_id, CAST(0 AS BIGINT) AS dup_count
 FROM documents s
 WHERE s.doc_id >= 250
   AND NOT EXISTS (SELECT 1 FROM documents c
