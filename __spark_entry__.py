@@ -646,7 +646,12 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
       sufficient statistics are EXACT decimal sums over the 1e-6 grid and
       the Pearson formula a fixed IEEE sequence, replayed term-for-term
       (bucket_ts encodes the lag as epoch+lag seconds);
-    - ``acf_n``: the complete-pair counts behind each acf value."""
+    - ``acf_n``: the complete-pair counts behind each acf value;
+    - ``pacf`` (r11, Durbin-Levinson over the same exact ACF): partial
+      autocorrelation at lags 1..5 — the oracle UNROLLS the recursion
+      (generated CTE chain, inner sums left-associated from 0.0 exactly
+      like the operator's fold), so every division/product replays in
+      the same IEEE order; bucket_ts encodes lag+20 seconds."""
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
     out = t.twap("1 hour", "value").df
@@ -668,6 +673,12 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.timestamp_micros(F.col("lag") * 1_000_000).alias("bucket_ts"),
         F.col("n_pairs").cast("double").alias("twap_v"),
+    )
+    pacf_rows = t.pacf("value", 5).select(
+        F.lit("pacf").alias("tag"),
+        "user_id",
+        F.timestamp_micros((F.col("lag") + 20) * 1_000_000).alias("bucket_ts"),
+        _HR6(F.col("pacf")).alias("twap_v"),
     )
     # ccf (r10): cross-correlation value vs the derived (cents%1000)/100
     # metric at lags -2..2 (bucket_ts encodes lag+10 so negatives fit);
@@ -724,8 +735,61 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _reduce(
         lambda a, b: a.unionByName(b),
-        [tw, acf_rows, n_rows, ccf_rows, trend_rows],
+        [tw, acf_rows, n_rows, pacf_rows, ccf_rows, trend_rows],
     )
+
+
+def _pacf_oracle_parts(K: int):
+    """Generated unrolled Durbin-Levinson replay over the ``acfv`` CTE's
+    RAW acf values (r = cov/sqrt(vx·vy), no rounding — the recursion must
+    see the operator's exact inputs). Mirrors operators/acf.py's fold
+    bit-for-bit: inner sums left-associate from 0.0, products are
+    phi_j · r, kk = CASE WHEN den <> 0, phi' = phi_j − kk·phi_{k−j}.
+    Returns (CTE chain, UNION-ALL select block)."""
+    lines = [
+        "racf AS (SELECT user_id, lag,"
+        " CASE WHEN n >= 2 AND vx > 0 AND vy > 0"
+        " THEN cov / sqrt(vx * vy) END AS r FROM acfv)"
+    ]
+    pvt = ", ".join(
+        f"max(CASE WHEN lag = {k} THEN r END) AS r{k}" for k in range(1, K + 1)
+    )
+    lines.append(f"rpvt AS (SELECT user_id, {pvt} FROM racf GROUP BY user_id)")
+    phi = {1: "r1"}
+    prev = "rpvt"
+    for k in range(2, K + 1):
+        num_terms = "".join(f" + {phi[j]} * r{k - j}" for j in range(1, k))
+        den_terms = "".join(f" + {phi[j]} * r{j}" for j in range(1, k))
+        num = f"(r{k} - (0.0{num_terms}))"
+        den = f"(1.0 - (0.0{den_terms}))"
+        lines.append(
+            f"pk{k} AS (SELECT *, CASE WHEN {den} <> 0"
+            f" THEN {num} / {den} END AS kk{k} FROM {prev})"
+        )
+        newphi = {}
+        pcols = []
+        for j in range(1, k):
+            nm = f"p{k}_{j}"
+            pcols.append(f"{phi[j]} - kk{k} * {phi[k - j]} AS {nm}")
+            newphi[j] = nm
+        nm = f"p{k}_{k}"
+        pcols.append(f"kk{k} AS {nm}")
+        newphi[k] = nm
+        lines.append(f"ps{k} AS (SELECT *, {', '.join(pcols)} FROM pk{k})")
+        prev = f"ps{k}"
+        phi = newphi
+    out_exprs = {1: "r1", **{k: f"kk{k}" for k in range(2, K + 1)}}
+    sels = "\nUNION ALL\n".join(
+        f"SELECT 'pacf' AS tag, user_id,"
+        f" make_timestamp({(k + 20)} * 1000000) AS bucket_ts,"
+        f" floor({out_exprs[k]} * 1000000 + 0.5) / 1000000 AS twap_v"
+        f" FROM {prev}"
+        for k in range(1, K + 1)
+    )
+    return ",\n".join(lines), sels
+
+
+_PACF_CTES, _PACF_SELECTS = _pacf_oracle_parts(5)
 
 
 _TWAP_ORACLE = f"""
@@ -769,6 +833,8 @@ acfv AS (
          CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
   FROM acfs),
+-- pacf replay: generated unrolled Durbin-Levinson over raw acf values
+{_PACF_CTES},
 -- ccf replay: value vs the derived (cents%1000)/100 metric, lags -2..2
 -- (pairs of x at pos and y at pos+L; same exact-sum idiom)
 ccfb AS (
@@ -867,6 +933,8 @@ UNION ALL
 SELECT 'trend_n' AS tag, user_id, make_timestamp(0) AS bucket_ts,
        CAST(n AS DOUBLE) AS twap_v
 FROM trv
+UNION ALL
+{_PACF_SELECTS}
 """
 
 

@@ -186,6 +186,101 @@ def autocorr(
     return _lagged_corr(tsdf, value_col, value_col, lag_list, "acf")
 
 
+def pacf(tsdf, value_col: str, lags: int = 10) -> DataFrame:
+    """Per-series PARTIAL autocorrelation at lags 1..``lags`` via the
+    Durbin-Levinson recursion over :func:`autocorr`'s ACF values — the
+    Box-Jenkins AR-order selection companion: ``pacf(L)`` is the
+    correlation between ``x_t`` and ``x_{t+L}`` with the intermediate
+    lags regressed out. Returns (series…, lag, pacf).
+
+    Shape: the ACF frame (one row per series per lag, already one
+    shuffle) aggregates to ONE row per series carrying a lag→acf map,
+    and the O(lags²) recursion runs as a single expression fold
+    (``F.aggregate`` over k=2..L with an (phi[], pacf[]) struct
+    accumulator, nested folds for the inner sums) — per-series work is
+    lags²·a-few-flops, so the interpreted-HOF cost is irrelevant and the
+    whole operator adds one map-side-combined aggregation to autocorr's
+    plan. No driver collect: series count is unbounded.
+
+    Determinism: the ACF inputs are fixed-IEEE over exact decimal sums
+    (bit-equal cross-engine); the recursion is a FIXED sequence of IEEE
+    ops (inner sums fold left-to-right from 0.0), so an external engine
+    replaying the same unrolled arithmetic matches bit-for-bit. A NULL
+    acf at any used lag (short series, zero variance) or a zero
+    denominator propagates NULL to that and every later pacf value;
+    ``pacf(1) = acf(1)`` by convention."""
+    if not isinstance(lags, int) or isinstance(lags, bool):
+        raise ValueError(
+            f"pacf needs consecutive lags 1..K — pass an int, got {lags!r}"
+        )
+    if lags < 1:
+        raise ValueError(f"lags must be >= 1, got {lags}")
+    ac = autocorr(tsdf, value_col, lags)
+    keys = [c for c in ac.columns if c not in ("lag", "n_pairs", "acf")]
+    if keys:
+        grouped = ac.groupBy(*keys)
+    else:
+        grouped = ac.groupBy()
+    per = grouped.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("lag", "acf"))
+        ).alias("__ac_r")
+    )
+
+    def _r(k):
+        return F.try_element_at(F.col("__ac_r"), k)
+
+    r1 = _r(F.lit(1))
+    init = F.struct(
+        F.array(r1).alias("phi"), F.array(r1).alias("pacf")
+    )
+    if lags == 1:
+        # F.sequence(2, 1) would generate DESCENDING [2, 1] — no fold
+        dl = init
+    else:
+        def _step(acc, k):
+            phi = acc["phi"]
+            # inner sums fold left-to-right from 0.0 — the oracle
+            # unrolls the identical (0.0 + t1 + t2 + …) association
+            num = _r(k) - F.aggregate(
+                F.sequence(F.lit(1), k - 1),
+                F.lit(0.0),
+                lambda s, j: s + F.element_at(phi, j) * _r(k - j),
+            )
+            den = F.lit(1.0) - F.aggregate(
+                F.sequence(F.lit(1), k - 1),
+                F.lit(0.0),
+                lambda s, j: s + F.element_at(phi, j) * _r(j),
+            )
+            kk = F.when(den != 0, num / den)
+            newphi = F.concat(
+                F.transform(
+                    F.sequence(F.lit(1), k - 1),
+                    lambda j: F.element_at(phi, j)
+                    - kk * F.element_at(phi, k - j),
+                ),
+                F.array(kk),
+            )
+            return F.struct(
+                newphi.alias("phi"),
+                F.concat(acc["pacf"], F.array(kk)).alias("pacf"),
+            )
+
+        dl = F.aggregate(F.sequence(F.lit(2), F.lit(lags)), init, _step)
+    staged = per.withColumn("__ac_dl", dl)
+    # posexplode_outer, not posexplode: the implied size>0 filter of the
+    # non-outer form gets the whole fold expression substituted into it
+    # (the r4 explode-pushdown trap); arrays here are never empty
+    return (
+        staged.select(
+            *keys,
+            F.posexplode_outer(F.col("__ac_dl.pacf")).alias("__ac_l0", "pacf"),
+        )
+        .where(F.col("__ac_l0").isNotNull())
+        .select(*keys, (F.col("__ac_l0") + 1).alias("lag"), "pacf")
+    )
+
+
 def cross_corr(
     tsdf,
     x_col: str,

@@ -37,14 +37,28 @@ from pyspark.sql import DataFrame, Window
 
 
 def seasonal_decompose(
-    tsdf, value_col: str, period: int, model: str = "additive"
+    tsdf, value_col: str, period: int, model: str = "additive",
+    trend_method: str = "ma",
 ) -> DataFrame:
-    """df + (trend, seasonal, resid) columns; see module docstring."""
+    """df + (trend, seasonal, resid) columns; see module docstring.
+
+    ``trend_method="median"`` (robust mode, STL-spirited): the trend is
+    the exact running MEDIAN over the same full-width window instead of
+    the moving average — a single outlier tick then perturbs at most the
+    windows it enters by one rank instead of dragging every mean, so
+    spikes land in ``resid`` where they belong. Even periods use the
+    plain median of the ``period+1``-row window (odd count → exact
+    middle element; the 2×P half-weighting is a mean-specific
+    correction). Same NULL-poisoning and edge rules as the MA trend."""
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period}")
     if model not in ("additive", "multiplicative"):
         raise ValueError(
             f"model must be 'additive' or 'multiplicative', got {model!r}"
+        )
+    if trend_method not in ("ma", "median"):
+        raise ValueError(
+            f"trend_method must be 'ma' or 'median', got {trend_method!r}"
         )
     mult = model == "multiplicative"
     if value_col not in tsdf.df.columns:
@@ -74,7 +88,21 @@ def seasonal_decompose(
     )
 
     half = period // 2
-    if period % 2 == 1:
+    if trend_method == "median":
+        frame = w.rowsBetween(-half, half)
+        need = period if period % 2 == 1 else period + 1
+        tcnt = F.count("__sd_y").over(frame)
+        rows_in = F.count(F.lit(1)).over(frame)
+        # median/percentile are not frame-capable window aggregates in
+        # Spark; `need` is always ODD and the guard pins exactly `need`
+        # non-null values in frame, so the exact median is the middle
+        # element of the sorted frame values (deterministic, replayable)
+        sorted_win = F.array_sort(F.collect_list("__sd_y").over(frame))
+        trend = F.when(
+            (rows_in == need) & (tcnt == need),
+            F.element_at(sorted_win, (need + 1) // 2),
+        )
+    elif period % 2 == 1:
         frame = w.rowsBetween(-half, half)
         need = period
         # NULL-poisoning: any null y in the frame nulls the trend (count

@@ -1605,15 +1605,17 @@ class TSDF:
         return downsample_lttb(self, n_out, value_col)
 
     def seasonal_decompose(
-        self, value_col: str, period: int, model: str = "additive"
+        self, value_col: str, period: int, model: str = "additive",
+        trend_method: str = "ma",
     ) -> DataFrame:
         """Classical moving-average decomposition into trend + seasonal +
         residual columns (observation-based period; resample first for
-        calendar periods). See operators/seasonal.py for the exactness
-        and plan contracts."""
+        calendar periods). ``trend_method="median"`` = robust running-
+        median trend (outliers land in resid). See operators/seasonal.py
+        for the exactness and plan contracts."""
         from tempo_spark.operators.seasonal import seasonal_decompose
 
-        return seasonal_decompose(self, value_col, period, model)
+        return seasonal_decompose(self, value_col, period, model, trend_method)
 
     def fit_trend(self, value_col: str) -> DataFrame:
         """Per-series OLS trend: (series…, n_obs, slope_per_sec,
@@ -1631,6 +1633,14 @@ class TSDF:
         from tempo_spark.operators.acf import autocorr
 
         return autocorr(self, value_col, lags)
+
+    def pacf(self, value_col: str, lags: int = 10) -> DataFrame:
+        """Per-series partial autocorrelation at lags 1..``lags``
+        (Durbin-Levinson over :meth:`autocorr`'s exact ACF — AR-order
+        selection): (series…, lag, pacf). See operators/acf.py."""
+        from tempo_spark.operators.acf import pacf
+
+        return pacf(self, value_col, lags)
 
     def crossCorr(
         self, x_col: str, y_col: str, max_lag: int = 10, lags=None

@@ -159,3 +159,107 @@ class TestLagStrategies:
         jcc = {r.lag: (r.n_pairs, r.ccf)
                for r in t.crossCorr("v", "v", max_lag=4).collect()}
         assert wcc == jcc
+
+
+def _py_pacf(acf_by_lag, K):
+    """Durbin-Levinson over ACF values, left-to-right inner sums from 0.0
+    (mirrors the operator's fold order exactly)."""
+    r = acf_by_lag
+    if r.get(1) is None:
+        return [None] * K
+    phi = [r[1]]
+    out = [r[1]]
+    for k in range(2, K + 1):
+        if any(r.get(j) is None for j in range(1, k + 1)) or any(
+            p is None for p in phi
+        ):
+            out.append(None)
+            phi = [None] * k
+            continue
+        s = 0.0
+        for j in range(1, k):
+            s = s + phi[j - 1] * r[k - j]
+        num = r[k] - s
+        s = 0.0
+        for j in range(1, k):
+            s = s + phi[j - 1] * r[j]
+        den = 1.0 - s
+        kk = num / den if den != 0 else None
+        if kk is None:
+            out.append(None)
+            phi = [None] * k
+            continue
+        phi = [phi[j - 1] - kk * phi[k - j - 1] for j in range(1, k)] + [kk]
+        out.append(kk)
+    return out
+
+
+class TestPacf:
+    def test_matches_durbin_levinson_bitexact(self, spark):
+        import random
+
+        rng = random.Random(7)
+        x1 = x2 = 0.0
+        vals = []
+        for _ in range(300):
+            x = 0.6 * x1 - 0.3 * x2 + rng.uniform(-1, 1)
+            vals.append(x)
+            x2, x1 = x1, x
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        acf = {r.lag: r.acf for r in t.autocorr("v", 6).collect()}
+        got = {r.lag: r.pacf for r in t.pacf("v", 6).collect()}
+        want = _py_pacf(acf, 6)
+        for k in range(1, 7):
+            assert got[k] == want[k - 1]  # bit-exact, fixed IEEE order
+        # AR(2) signature: |pacf| large at 1-2, small after
+        assert abs(got[1]) > 0.3 and abs(got[2]) > 0.15
+        assert all(abs(got[k]) < 0.15 for k in (3, 4, 5, 6))
+
+    def test_lag1_equals_acf1_and_single_lag(self, spark):
+        vals = [float(i % 5) for i in range(40)]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        acf1 = {r.lag: r.acf for r in t.autocorr("v", 1).collect()}[1]
+        got = {r.lag: r.pacf for r in t.pacf("v", 1).collect()}
+        assert list(got) == [1] and got[1] == acf1
+
+    def test_null_acf_propagates(self, spark):
+        # constant series: zero variance => every acf NULL => every pacf NULL
+        t = TSDF(_mk(spark, [2.0] * 30), ts_col="ts", series_ids=["sym"])
+        got = {r.lag: r.pacf for r in t.pacf("v", 4).collect()}
+        assert got == {1: None, 2: None, 3: None, 4: None}
+        # series shorter than the lag sweep: missing high lags => NULL there
+        t2 = TSDF(_mk(spark, [1.0, 3.0, 2.0, 5.0]), ts_col="ts", series_ids=["sym"])
+        got2 = {r.lag: r.pacf for r in t2.pacf("v", 6).collect()}
+        assert len(got2) == 6 and got2[5] is None and got2[6] is None
+
+    def test_validations_and_multiseries(self, spark):
+        t = TSDF(_mk(spark, [1.0, 2.0]), ts_col="ts", series_ids=["sym"])
+        with pytest.raises(ValueError, match="int"):
+            t.pacf("v", [1, 2])
+        with pytest.raises(ValueError, match="lags"):
+            t.pacf("v", 0)
+        import random
+
+        rng = random.Random(3)
+        rows = []
+        base = dt.datetime(2024, 1, 1)
+        series_vals = {}
+        for sym in ("a", "b", None):
+            vals = [rng.uniform(-2, 2) for _ in range(80)]
+            series_vals[sym] = vals
+            rows += [
+                (sym, base + dt.timedelta(seconds=i), v)
+                for i, v in enumerate(vals)
+            ]
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+        t3 = TSDF(df, ts_col="ts", series_ids=["sym"])
+        acf = {}
+        for r in t3.autocorr("v", 3).collect():
+            acf.setdefault(r.sym, {})[r.lag] = r.acf
+        got = {}
+        for r in t3.pacf("v", 3).collect():
+            got.setdefault(r.sym, {})[r.lag] = r.pacf
+        assert set(got) == {"a", "b", None}  # NULL series is a real series
+        for sym in got:
+            want = _py_pacf(acf[sym], 3)
+            assert [got[sym][k] for k in (1, 2, 3)] == want

@@ -151,6 +151,65 @@ class TestSeasonalDecompose:
         with pytest.raises(ValueError, match="model"):
             t.seasonal_decompose("v", 4, model="loess")
 
+    def test_robust_median_trend(self, spark):
+        """trend_method='median': exact running median replaces the MA —
+        outlier spikes land in resid, neighbors' trends barely move."""
+        import statistics
+
+        period = 4
+        vals = [10.0 + (i % period) * 2 + 0.1 * i for i in range(60)]
+        vals[30] += 500.0  # one massive spike
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        out = t.seasonal_decompose("v", period, trend_method="median")
+        base = dt.datetime(2024, 1, 1)
+        got = {
+            int((r.ts - base).total_seconds() // 3600): (r.trend, r.seasonal, r.resid)
+            for r in out.collect()
+        }
+
+        def q(v):
+            return math.floor(v * 1e6 + 0.5) / 1e6
+
+        y = [q(v) for v in vals]
+        half = period // 2
+        need = period + 1  # even period: plain median over p+1 rows
+        for i in range(60):
+            gt = got[i][0]
+            if i - half < 0 or i + half >= 60:
+                assert gt is None
+                continue
+            want = statistics.median(y[i - half: i + half + 1])
+            assert abs(gt - want) < 1e-9
+        # the spiked row's resid carries (almost all of) the spike
+        assert got[30][2] is not None and got[30][2] > 400
+        # neighbors' trend robust: within the clean slope band, not +100s
+        for i in (28, 29, 31, 32):
+            assert got[i][0] < 30
+        # identity still holds wherever components exist
+        for i in range(60):
+            tr, se, re = got[i]
+            if tr is not None and se is not None:
+                assert abs((tr + se + re) - y[i]) < 1e-6
+        with pytest.raises(ValueError, match="trend_method"):
+            t.seasonal_decompose("v", 4, trend_method="loess")
+
+    def test_robust_median_odd_period_null_poisoning(self, spark):
+        import statistics
+
+        vals = [1.0, 5.0, 2.0, None, 8.0, 3.0, 9.0, 4.0, 7.0, 6.0]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        out = t.seasonal_decompose("v", 3, trend_method="median")
+        base = dt.datetime(2024, 1, 1)
+        got = {
+            int((r.ts - base).total_seconds() // 3600): r.trend
+            for r in out.collect()
+        }
+        # windows touching the null are poisoned, like the MA trend
+        assert got[0] is None and got[2] is None and got[3] is None
+        assert got[4] is None and got[9] is None
+        assert got[1] == statistics.median([1.0, 5.0, 2.0])
+        assert got[6] == statistics.median([3.0, 9.0, 4.0])
+
     def test_null_series_key_gets_components(self, spark):
         """A NULL-keyed series is a real series (eqNullSafe join-backs):
         it must get seasonal/resid wherever an identical non-null-keyed
