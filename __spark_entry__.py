@@ -2727,6 +2727,27 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).drop("__bpe_ids")
+    # byte-level BPE (r11): GPT-2-style — tokens are UTF-8 bytes as hex
+    # pairs, full 256-byte alphabet (no <unk> ever), merges over byte
+    # tokens; same SQL training replay at byte grain (hex(encode(...)) is
+    # engine-portable), same ids-digest idiom
+    bpe_byte = train_bpe(docs, "text", num_merges=8, level="byte")
+    out = bpe_byte.token_count(out, "text", out="n_bpe_byte_tokens")
+    out = bpe_byte.encode_ids(out, "text", out="__bpe_bids")
+    out = out.withColumn(
+        "bpe_byte_ids_digest",
+        F.when(
+            F.col("__bpe_bids").isNotNull(),
+            md5_32(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.col("__bpe_bids"), lambda x: x.cast("string")
+                    ),
+                )
+            ),
+        ),
+    ).drop("__bpe_bids")
     chunks = chunk_documents(
         docs.select("doc_id", "text"), "doc_id", max_tokens=16, overlap=4
     )
@@ -2754,6 +2775,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_2gram_char_frac", "dup_2gram_char_frac",
         "mix_keep", "budget_keep", "morton",
         "n_chunks", "chunks_digest", "n_bpe_tokens", "bpe_ids_digest",
+        "n_bpe_byte_tokens", "bpe_byte_ids_digest",
         "wsample_keep", "ups_copies",
     )
 
@@ -2841,6 +2863,10 @@ SELECT b.doc_id, n_tokens, n_2grams, n_2grams_distinct, dup_2gram_frac, split,
        CASE WHEN bp.n_bpe IS NULL THEN NULL
             ELSE coalesce(bpd.dig, ('0x' || substr(md5(''), 1, 8))::BIGINT)
        END AS bpe_ids_digest,
+       bpy.n_bpe AS n_bpe_byte_tokens,
+       CASE WHEN bpy.n_bpe IS NULL THEN NULL
+            ELSE coalesce(ybd.dig, ('0x' || substr(md5(''), 1, 8))::BIGINT)
+       END AS bpe_byte_ids_digest,
        ('0x' || substr(md5('wsample:' || CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT
            % 1000000 < ((b.doc_id % 100) / 100.0) * 1000000 AS wsample_keep,
        CAST(floor(1.0 + (b.doc_id % 150) / 100.0) AS BIGINT)
@@ -2869,6 +2895,8 @@ LEFT JOIN (
 ) ch ON ch.doc_id = b.doc_id
 LEFT JOIN bpecnt bp ON bp.doc_id = b.doc_id
 LEFT JOIN bpedig bpd ON bpd.doc_id = b.doc_id
+LEFT JOIN ybcnt bpy ON bpy.doc_id = b.doc_id
+LEFT JOIN ybdig ybd ON ybd.doc_id = b.doc_id
 """
 
 
@@ -2961,9 +2989,99 @@ def _bpe_oracle_ctes(n_merges: int = 8, max_vocab: int = 65536) -> str:
     return ",\n".join(ctes)
 
 
+def _bpe_byte_oracle_ctes(n_merges: int = 8, max_vocab: int = 65536) -> str:
+    """Byte-level twin of :func:`_bpe_oracle_ctes` (pipeline/bpe.py
+    level='byte'): vocabulary words segment into UTF-8 bytes rendered as
+    fixed-width uppercase hex pairs (hex(encode(w)) — identical string in
+    Spark, DuckDB and Python), training rounds are unchanged machinery
+    over byte tokens, document bracketization wraps every hex pair then
+    UNwraps the six Java-\\s whitespace bytes to a plain space, and the
+    id vocab is <unk> + ALL 256 bytes (GPT-2-style — <unk> never occurs)
+    + merge outputs in round order."""
+    ws = r"[ \t\n\x0b\f\r]"
+    ctes = ["""yv0 AS (
+  SELECT w, cnt, chr(2) || array_to_string(
+           regexp_extract_all(upper(hex(encode(w))), '[0-9A-F][0-9A-F]'),
+           chr(3)||chr(2)) || chr(3) AS s
+  FROM (
+    SELECT w, count(*) AS cnt,
+           row_number() OVER (ORDER BY count(*) DESC, w ASC) AS rn
+    FROM (SELECT unnest(regexp_split_to_array(bclean, '%s+')) AS w
+          FROM (SELECT replace(replace(text, chr(2), ''), chr(3), '') AS bclean
+                FROM documents WHERE text IS NOT NULL))
+    WHERE w <> '' GROUP BY w)
+  WHERE rn <= %d)""" % (ws, max_vocab)]
+    for r in range(n_merges):
+        ctes.append(f"""yp{r} AS (
+  SELECT t[i] AS a, t[i+1] AS b, sum(cnt) AS c FROM (
+    SELECT cnt, string_split(substr(s, 2, length(s) - 2), chr(3)||chr(2)) AS t
+    FROM yv{r}),
+    unnest(generate_series(1, len(t) - 1)) AS u(i)
+  GROUP BY t[i], t[i+1])""")
+        ctes.append(f"""yb{r} AS (
+  SELECT a, b FROM yp{r} WHERE c >= 2 ORDER BY c DESC, a ASC, b ASC LIMIT 1)""")
+        ctes.append(f"""yv{r + 1} AS (
+  SELECT w, cnt,
+         CASE WHEN bb.a IS NULL THEN s
+              ELSE replace(s, chr(2)||bb.a||chr(3)||chr(2)||bb.b||chr(3),
+                           chr(2)||bb.a||bb.b||chr(3)) END AS s
+  FROM yv{r} LEFT JOIN yb{r} bb ON true)""")
+    # document bracketization: wrap every byte, then unwrap ws bytes
+    unwrap = "s0"
+    for wb in ("20", "09", "0A", "0B", "0C", "0D"):
+        unwrap = f"replace({unwrap}, chr(2)||'{wb}'||chr(3), ' ')"
+    ctes.append(f"""yd0 AS (
+  SELECT doc_id, {unwrap} AS s FROM (
+    SELECT doc_id,
+           regexp_replace(
+             upper(hex(encode(replace(replace(text, chr(2), ''), chr(3), '')))),
+             '([0-9A-F][0-9A-F])', chr(2)||'\\1'||chr(3), 'g') AS s0
+    FROM documents WHERE text IS NOT NULL))""")
+    for r in range(n_merges):
+        ctes.append(f"""yd{r + 1} AS (
+  SELECT doc_id,
+         CASE WHEN bb.a IS NULL THEN s
+              ELSE replace(s, chr(2)||bb.a||chr(3)||chr(2)||bb.b||chr(3),
+                           chr(2)||bb.a||bb.b||chr(3)) END AS s
+  FROM yd{r} LEFT JOIN yb{r} bb ON true)""")
+    ctes.append(f"""ybcnt AS (
+  SELECT doc_id, length(s) - length(replace(s, chr(3), '')) AS n_bpe
+  FROM yd{n_merges})""")
+    merged_union = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS midx, a || b AS tok FROM yb{r}" for r in range(n_merges)
+    )
+    ctes.append(f"""ybvocab AS (
+  SELECT piece, row_number() OVER (ORDER BY grp, ord) - 1 AS id FROM (
+    SELECT 0 AS grp, 0 AS ord, '<unk>' AS piece
+    UNION ALL
+    -- full 256-byte alphabet, fixed-width hex sorts in numeric order
+    SELECT 1, i, upper(lpad(hex(i), 2, '0')) FROM range(256) t(i)
+    UNION ALL
+    SELECT 2, midx, tok FROM (
+      SELECT midx, tok,
+             row_number() OVER (PARTITION BY tok ORDER BY midx) AS rn
+      FROM ({merged_union}))
+    -- merge outputs are >= 2 hex pairs (4 chars), so they can collide
+    -- with neither the 2-char base pieces nor each other's base slots
+    WHERE rn = 1 AND tok <> '<unk>'))""")
+    ctes.append(f"""ybpieces AS (
+  SELECT doc_id, i AS ord, l[i] AS piece FROM (
+    SELECT doc_id,
+           regexp_extract_all(s, chr(2) || '([^' || chr(3) || ']*)' || chr(3), 1) AS l
+    FROM yd{n_merges}),
+    unnest(generate_series(1, len(l))) AS t(i))""")
+    ctes.append("""ybdig AS (
+  SELECT p.doc_id,
+         ('0x' || substr(md5(string_agg(CAST(coalesce(v.id, 0) AS VARCHAR),
+                                        ',' ORDER BY p.ord)), 1, 8))::BIGINT AS dig
+  FROM ybpieces p LEFT JOIN ybvocab v ON v.piece = p.piece
+  GROUP BY p.doc_id)""")
+    return ",\n".join(ctes)
+
+
 _TOKEN_COUNT_ORACLE = _TOKEN_COUNT_ORACLE.replace(
     "mq AS (",
-    _bpe_oracle_ctes(8) + ",\nmq AS (",
+    _bpe_oracle_ctes(8) + ",\n" + _bpe_byte_oracle_ctes(8) + ",\nmq AS (",
 )
 
 # Morton bit-interleave replay: 16 bits per column, doc_id's bit j at

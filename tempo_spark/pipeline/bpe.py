@@ -79,6 +79,37 @@ def _bracketize(text: Column) -> Column:
     return F.regexp_replace(_strip_sentinels(text), r"(\S)", f"{SO}$1{SC}")
 
 
+#: The Java \\s set as UTF-8 byte values — the byte-level pretoken
+#: separators. Unicode whitespace (U+00A0 etc.) is NOT Java \\s, so its
+#: bytes stay token bytes, exactly like the char-level engine treats the
+#: char itself.
+_WS_BYTES = ("20", "09", "0A", "0B", "0C", "0D")
+
+#: Full byte alphabet as fixed-width uppercase hex (GPT-2-style: every
+#: byte is in-vocabulary, so byte-level models never emit <unk>).
+_BYTE_ALPHABET = [f"{i:02X}" for i in range(256)]
+
+
+def _bracketize_bytes(text: Column) -> Column:
+    """Byte-level bracketization: the text's UTF-8 bytes render as
+    fixed-width uppercase hex pairs (the byte→printable table — hex is
+    the engine-portable choice: Spark, DuckDB and Python all produce the
+    identical string), each pair wrapped in sentinels; the six Java-\\s
+    whitespace bytes then UNwrap to a plain space so merges never span
+    pretokens. Alignment is guaranteed by the pair-consuming regex —
+    a naive replace('20', …) could match across two byte boundaries."""
+    h = F.upper(F.hex(F.encode(_strip_sentinels(text), "UTF-8")))
+    s = F.regexp_replace(h, "([0-9A-F]{2})", f"{SO}$1{SC}")
+    for wb in _WS_BYTES:
+        s = F.replace(s, F.lit(f"{SO}{wb}{SC}"), F.lit(" "))
+    return s
+
+
+def _hex_tokens(word: str) -> List[str]:
+    h = word.encode("utf-8").hex().upper()
+    return [h[i: i + 2] for i in range(0, len(h), 2)]
+
+
 def _apply_merges(s: Column, merges: Iterable[Tuple[str, str]]) -> Column:
     for a, b in merges:
         s = F.replace(s, F.lit(f"{SO}{a}{SC}{SO}{b}{SC}"), F.lit(f"{SO}{a}{b}{SC}"))
@@ -90,9 +121,22 @@ class BPEModel:
 
     ``base_chars`` (optional; populated by :func:`train_bpe`) is the
     sorted base alphabet of the training vocabulary — required only by
-    :meth:`encode_ids`, which needs a stable piece→id mapping."""
+    :meth:`encode_ids`, which needs a stable piece→id mapping.
 
-    def __init__(self, merges: List[Tuple[str, str]], base_chars=None):
+    ``level``: ``"char"`` (Sennrich word-grain, the default) or
+    ``"byte"`` (GPT-2-style byte-level — tokens are the UTF-8 bytes
+    rendered as fixed-width uppercase hex pairs, the full 256-byte
+    alphabet is in-vocabulary so ``<unk>`` never occurs, and merges
+    operate on byte tokens). Both levels share every applicator; only
+    the initial segmentation differs."""
+
+    def __init__(
+        self, merges: List[Tuple[str, str]], base_chars=None,
+        level: str = "char",
+    ):
+        if level not in ("char", "byte"):
+            raise ValueError(f"level must be 'char' or 'byte', got {level!r}")
+        self.level = level
         self.merges = [(str(a), str(b)) for a, b in merges]
         # `is not None`, not truthiness: an EMPTY alphabet is a real
         # trained state (degenerate corpus) whose vocab is just <unk> —
@@ -127,8 +171,10 @@ class BPEModel:
 
     def segmented_expr(self, text: Column) -> Column:
         """Bracketized text with all merges applied (the internal
-        representation; useful for debugging and for the token array)."""
-        return _apply_merges(_bracketize(text), self.merges)
+        representation; useful for debugging and for the token array).
+        Byte-level models bracketize hex byte pairs instead of chars."""
+        brk = _bracketize_bytes if self.level == "byte" else _bracketize
+        return _apply_merges(brk(text), self.merges)
 
     def token_count(
         self,
@@ -167,9 +213,10 @@ class BPEModel:
         semantics to the expr engine's replace chain; shared by the count
         and token-id kernels)."""
         ranks = {pair: i for i, pair in enumerate(self.merges)}
+        initial = _hex_tokens if self.level == "byte" else list
 
         def encode_pieces(word: str):
-            toks = list(word)
+            toks = initial(word)
             while len(toks) > 1:
                 best = None
                 for i in range(len(toks) - 1):
@@ -286,6 +333,7 @@ class BPEModel:
         """Persist the model as parquet: merge rows (kind='merge', ordered
         by idx) plus base-alphabet rows (kind='base') when present."""
         rows = [(i, a, b, "merge") for i, (a, b) in enumerate(self.merges)]
+        rows.append((-2, self.level, None, "level"))
         if self.base_chars is not None:
             # marker row so an EMPTY alphabet round-trips as [] not None
             rows.append((-1, None, None, "base_meta"))
@@ -310,7 +358,11 @@ class BPEModel:
             if "base_meta" in kinds
             else None
         )
-        return BPEModel(merges, base_chars=base)
+        level = next(
+            (r.left for r in rows if getattr(r, "kind", None) == "level"),
+            "char",  # pre-r11 models carry no level row
+        )
+        return BPEModel(merges, base_chars=base, level=level)
 
 
 def train_bpe(
@@ -319,6 +371,7 @@ def train_bpe(
     num_merges: int = 64,
     max_vocab: int = 65536,
     min_pair_count: int = 2,
+    level: str = "char",
 ) -> BPEModel:
     """Train a BPE merges table from the corpus (see module docstring).
 
@@ -329,6 +382,13 @@ def train_bpe(
     collect can never exceed it regardless of corpus size.
     ``min_pair_count``: a round whose best pair occurs fewer than this
     many times (weighted) learns nothing and ends training.
+
+    ``level="byte"`` trains a GPT-2-style byte-level model: each
+    vocabulary word segments into its UTF-8 bytes (rendered as hex
+    pairs — see :func:`_bracketize_bytes`), the base alphabet is ALL
+    256 bytes (so ``encode_ids`` never emits ``<unk>``), and merges
+    operate on byte tokens. Pretokenization (the whitespace word split)
+    and the trainer/applicator machinery are unchanged.
 
     Trainer cost is O(total pair-count updates · log heap), NOT
     O(num_merges × vocab): each merge touches only the words containing
@@ -342,6 +402,8 @@ def train_bpe(
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
     if max_vocab < 1:
         raise ValueError(f"max_vocab must be >= 1, got {max_vocab}")
+    if level not in ("char", "byte"):
+        raise ValueError(f"level must be 'char' or 'byte', got {level!r}")
     words = (
         df.select(
             F.explode(
@@ -371,8 +433,12 @@ def train_bpe(
     import heapq
     from collections import Counter
 
-    segs: List[List[str]] = [list(r["__w"]) for r in words]
-    base_chars = sorted({c for toks in segs for c in toks})
+    if level == "byte":
+        segs: List[List[str]] = [_hex_tokens(r["__w"]) for r in words]
+        base_chars = list(_BYTE_ALPHABET)
+    else:
+        segs = [list(r["__w"]) for r in words]
+        base_chars = sorted({c for toks in segs for c in toks})
     cnts: List[int] = [int(r["__c"]) for r in words]
     pair_counts: dict = {}
     pair_words: dict = {}
@@ -432,4 +498,4 @@ def train_bpe(
                     members.discard(wi)
             segs[wi] = new
         pair_words.pop((a, b), None)
-    return BPEModel(merges, base_chars=base_chars)
+    return BPEModel(merges, base_chars=base_chars, level=level)

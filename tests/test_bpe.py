@@ -319,3 +319,104 @@ class TestTokenIds:
                      base_chars=["a", "b", "c"])
         v = m.vocab()
         assert v.count("abc") == 1
+
+
+class TestByteLevel:
+    def _df(self, spark):
+        rows = [(i, t) for i, t in enumerate([
+            "hello hello world",
+            "hello würld",
+            "naïve café ☕ test",
+            "",
+            None,
+            "hello\tworld\x0bagain",
+            "aaa aaa aaab",
+        ])]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_trains_over_bytes_and_counts(self, spark):
+        from tempo_spark.pipeline.bpe import _hex_tokens, train_bpe
+
+        df = self._df(spark)
+        m = train_bpe(df, "text", num_merges=10, level="byte")
+        assert m.level == "byte"
+        # merges are hex-pair tokens
+        assert all(
+            set(a + b) <= set("0123456789ABCDEF") for a, b in m.merges
+        )
+        got = {
+            r.doc_id: r.n
+            for r in m.token_count(df, "text", out="n", engine="expr").collect()
+        }
+        arrow = {
+            r.doc_id: r.n
+            for r in m.token_count(df, "text", out="n", engine="arrow").collect()
+        }
+        assert got == arrow
+        # python replay of the rank loop over utf-8 bytes
+        import re
+
+        enc = m._word_encoder()
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+        def pycount(t):
+            if t is None:
+                return None
+            clean = t.replace("\x02", "").replace("\x03", "")
+            return sum(len(enc(w)) for w in ws.split(clean) if w)
+
+        for r_id, t in enumerate(
+            ["hello hello world", "hello würld", "naïve café ☕ test", "",
+             None, "hello\tworld\x0bagain", "aaa aaa aaab"]
+        ):
+            assert got[r_id] == pycount(t)
+        # multi-byte chars really segment at byte grain: before any merge
+        # '☕' is 3 byte tokens
+        assert _hex_tokens("☕") == ["E2", "98", "95"]
+
+    def test_no_unk_ever_and_id_scheme(self, spark):
+        from tempo_spark.pipeline.bpe import train_bpe
+
+        df = self._df(spark)
+        m = train_bpe(df, "text", num_merges=6, level="byte")
+        v = m.vocab()
+        assert v[0] == "<unk>" and v[1:257] == [f"{i:02X}" for i in range(256)]
+        # a doc full of NEVER-SEEN bytes still encodes without unk
+        probe = spark.createDataFrame(
+            [(0, "ZZZ 你好 \x7f")], "doc_id long, text string"
+        )
+        ids = m.encode_ids(probe, "text").collect()[0].token_ids
+        assert ids and 0 not in ids
+
+    def test_byte_save_load_and_pre_r11_default(self, spark, tmp_path):
+        from tempo_spark.pipeline.bpe import BPEModel, train_bpe
+
+        df = self._df(spark)
+        m = train_bpe(df, "text", num_merges=5, level="byte")
+        p = str(tmp_path / "bm")
+        m.save(spark, p)
+        m2 = BPEModel.load(spark, p)
+        assert m2.level == "byte" and m2.merges == m.merges
+        assert m2.base_chars == m.base_chars
+        # char-level models round-trip their level too
+        mc = train_bpe(df, "text", num_merges=3)
+        pc = str(tmp_path / "cm")
+        mc.save(spark, pc)
+        assert BPEModel.load(spark, pc).level == "char"
+        # a legacy table without the level row defaults to char
+        spark.createDataFrame(
+            [(0, "a", "b", "merge")],
+            "idx int, left string, right string, kind string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "legacy"))
+        legacy = BPEModel.load(spark, str(tmp_path / "legacy"))
+        assert legacy.level == "char" and legacy.merges == [("a", "b")]
+
+    def test_level_validation(self, spark):
+        import pytest
+
+        from tempo_spark.pipeline.bpe import BPEModel, train_bpe
+
+        with pytest.raises(ValueError, match="level"):
+            BPEModel([], level="word")
+        with pytest.raises(ValueError, match="level"):
+            train_bpe(self._df(spark), "text", num_merges=1, level="words")
