@@ -1705,7 +1705,45 @@ def q_latest_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("minmax").alias("tag"), "user_id", "ts",
         _HR6(F.col("value")).alias("v"),
     )
-    return base.unionByName(disp).unionByName(lt).unionByName(mm)
+    # dedup_v/dedup_e (r11): TSDF.deduplicated(keep="max") value-gated.
+    # Raw events carry no duplicate (user_id, ts) keys, so the entry
+    # synthesizes them: union with a shifted copy whose value is higher /
+    # lower / TIED by user_id % 3 and whose event_type gets an '_x'
+    # suffix — the struct keep rule must pick by value first, then break
+    # the planted ties on event_type ('click_x' > 'click'). Oracle:
+    # row_number over (value DESC, event_type DESC).
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_type"
+    )
+    stacked = ev.unionByName(
+        ev.withColumn(
+            "value", F.col("value") + (F.col("user_id") % 3 - F.lit(1))
+        ).withColumn("event_type", F.concat("event_type", F.lit("_x")))
+    )
+    dd = TSDF(stacked, ts_col="ts", series_ids=["user_id"]).deduplicated(
+        keep="max"
+    ).df
+    from tempo_spark.pipeline.dedup import md5_32 as _md5_32
+
+    dedup_rows = dd.select(
+        "user_id", "ts",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("dedup_v").alias("tag"),
+                    _R6(F.col("value")).alias("v"),
+                ),
+                F.struct(
+                    F.lit("dedup_e").alias("tag"),
+                    _md5_32(F.col("event_type")).cast("double").alias("v"),
+                ),
+            )
+        ).alias("p"),
+    ).select("p.tag", "user_id", "ts", F.col("p.v").alias("v"))
+    return (
+        base.unionByName(disp).unionByName(lt).unionByName(mm)
+        .unionByName(dedup_rows)
+    )
 
 
 _LATEST3_ORACLE = f"""
@@ -1793,6 +1831,26 @@ UNION ALL
 SELECT 'lttb' AS tag, user_id, ts, yq AS v FROM lout
 UNION ALL
 SELECT 'minmax' AS tag, user_id, ts, yq AS v FROM mmsel
+UNION ALL
+-- deduplicated(keep="max") replay: planted duplicate keys (shifted copy),
+-- winner = lexicographic max over (value, event_type)
+SELECT tag, user_id, ts, v FROM (
+  WITH dstack AS (
+    SELECT user_id, ts, value, event_type FROM events
+    UNION ALL
+    SELECT user_id, ts, value + ((user_id % 3) - 1), event_type || '_x'
+    FROM events),
+  dwin AS (
+    SELECT user_id, ts, value, event_type,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY value DESC, event_type DESC) AS rn
+    FROM dstack)
+  SELECT 'dedup_v' AS tag, user_id, ts, round(value, 6) AS v
+  FROM dwin WHERE rn = 1
+  UNION ALL
+  SELECT 'dedup_e' AS tag, user_id, ts,
+         CAST(('0x' || substr(md5(event_type), 1, 8))::BIGINT AS DOUBLE) AS v
+  FROM dwin WHERE rn = 1)
 """
 
 
