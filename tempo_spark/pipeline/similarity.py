@@ -365,6 +365,46 @@ ASSIGN_ARROW_MIN_OPS = 1024
 MAX_FIT_ROWS = 1_000_000
 
 
+def suggest_cells(n_vectors: int, dim: int | None = None) -> int:
+    """Recommended IVF cell count for a corpus of ``n_vectors`` (the
+    public faiss guideline: k ≈ √n cells, trained on a ≤ ~256·k sample —
+    beyond that, k-means quality saturates while fit cost keeps growing).
+    At 10⁹ vectors this gives k ≈ 31623, nprobe-bounded queries touch
+    ~√n vectors, and the per-cell partition stays ~√n rows — the balanced
+    point of the IVF cost model.
+
+    Pass ``dim`` to get the plan-path warning: when k × dim crosses
+    ``ASSIGN_ARROW_MIN_OPS`` the cell-assignment stage leaves the pure-JVM
+    expression paths and runs the Arrow matmul kernel (right at scale,
+    but a deployment that must stay Python-free should cap k or raise the
+    budget — see the constant's docstring). Also warns when the faiss
+    fit-sample guidance (256·k) exceeds ``MAX_FIT_ROWS`` — pass
+    ``fit_sample_mod`` so the driver fit stays bounded."""
+    import math
+    import warnings
+
+    if n_vectors < 1:
+        raise ValueError(f"n_vectors must be >= 1, got {n_vectors}")
+    k = max(1, int(round(math.sqrt(n_vectors))))
+    if dim is not None and k * dim > ASSIGN_ARROW_MIN_OPS:
+        warnings.warn(
+            f"suggest_cells: k={k} × dim={dim} = {k * dim} ops/row crosses "
+            f"ASSIGN_ARROW_MIN_OPS={ASSIGN_ARROW_MIN_OPS}; cell assignment "
+            "will use the Arrow matmul kernel (the right plan at this "
+            "size) instead of pure-JVM expressions",
+            stacklevel=2,
+        )
+    if 256 * k > MAX_FIT_ROWS:
+        warnings.warn(
+            f"suggest_cells: the faiss fit guidance 256·k = {256 * k} "
+            f"exceeds MAX_FIT_ROWS={MAX_FIT_ROWS}; pass fit_sample_mod= "
+            "to IVFIndex.build so the quantizer fit stays a bounded "
+            "hash-sample",
+            stacklevel=2,
+        )
+    return k
+
+
 def _bounded_fit_collect(ordered_proj, what: str):
     """orderBy-ed fit projection → list of rows, raising past MAX_FIT_ROWS
     (limit(MAX+1) keeps the sorted prefix structural — the extra row only

@@ -5442,3 +5442,34 @@ class TestRrfFuse:
         )
         r = rrf_fuse([a, b], k=5).collect()[0]
         assert r.rrf_score == (0.0 + 1.0 / 61) + 1.0 / 62
+
+
+class TestSuggestCells:
+    def test_sqrt_rule_and_warnings(self):
+        import warnings
+
+        import pytest
+
+        from tempo_spark.pipeline.similarity import (
+            ASSIGN_ARROW_MIN_OPS,
+            MAX_FIT_ROWS,
+            suggest_cells,
+        )
+
+        assert suggest_cells(1) == 1
+        assert suggest_cells(10_000) == 100
+        assert suggest_cells(1_000_000_000) == 31623
+        with pytest.raises(ValueError, match="n_vectors"):
+            suggest_cells(0)
+        # small k x dim: silent
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            suggest_cells(100, dim=16)  # k=10, 160 ops < budget
+        # crossing the Arrow budget warns with the constant named
+        with pytest.warns(UserWarning, match="ASSIGN_ARROW_MIN_OPS"):
+            k = suggest_cells(1_000_000, dim=128)  # k=1000 x 128 ops
+        assert k == 1000 and k * 128 > ASSIGN_ARROW_MIN_OPS
+        # fit-sample guidance past MAX_FIT_ROWS warns toward fit_sample_mod
+        with pytest.warns(UserWarning, match="fit_sample_mod"):
+            suggest_cells(10**9)
+        assert 256 * suggest_cells(10**9) > MAX_FIT_ROWS
