@@ -1230,6 +1230,72 @@ def rollup_probe(spark, n_rows: int, n_series: int, span_days: int = 1) -> dict:
     return out
 
 
+def analytics_probe(spark, n_rows: int, n_series: int) -> dict:
+    """r10 analytics ops at 100× shapes (round-11 VERDICT item):
+
+    - ACF strategy crossover: window form (one lead per lag, explode)
+      vs position-self-join form (plan O(1) in lags) at a lag sweep —
+      re-derives LAG_WINDOW_MAX with measured data (min of 2 warmed
+      same-session reps per point, the rollup-probe protocol);
+    - seasonal_decompose additive MA vs robust median trend, period 24;
+    - fit_trend (exact decimal sufficient sums);
+    - pacf at 20 lags (the DL fold rides the ACF plan — its marginal
+      cost should be invisible).
+
+    All forced through a checksum agg over every output column (count()
+    lets Catalyst prune the computed columns — the r10 lesson)."""
+    from tempo_spark.operators import acf as acf_mod
+    from tempo_spark.tsdf import TSDF
+
+    ev = synth_events(spark, n_rows, n_series)
+    t = TSDF(ev, ts_col="ts", series_ids=["user_id"])
+    out: dict = {"n_rows": n_rows, "n_series": n_series}
+
+    def force(df):
+        return df.agg(
+            F.sum(F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(1 << 30)))
+        ).collect()
+
+    def timed2(build):
+        secs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            force(build())
+            secs.append(round(time.monotonic() - t0, 2))
+        return {"sec": min(secs), "reps": secs}
+
+    saved = acf_mod.LAG_WINDOW_MAX
+    sweep: dict = {}
+    try:
+        for lags in (8, 32, 64, 128):
+            acf_mod.LAG_WINDOW_MAX = 10**9
+            win = timed2(lambda: t.autocorr("value", lags))
+            acf_mod.LAG_WINDOW_MAX = 0
+            join = timed2(lambda: t.autocorr("value", lags))
+            sweep[lags] = {"window": win, "join": join}
+    finally:
+        acf_mod.LAG_WINDOW_MAX = saved
+    out["acf_strategy_sweep"] = sweep
+    crossover = next(
+        (
+            lg
+            for lg in sorted(sweep)
+            if sweep[lg]["join"]["sec"] < sweep[lg]["window"]["sec"]
+        ),
+        None,
+    )
+    out["acf_join_wins_from_lags"] = crossover
+    out["lag_window_max_current"] = saved
+    out["seasonal_ma"] = timed2(lambda: t.seasonal_decompose("value", 24))
+    out["seasonal_median"] = timed2(
+        lambda: t.seasonal_decompose("value", 24, trend_method="median")
+    )
+    out["fit_trend"] = timed2(lambda: t.fit_trend("value"))
+    out["acf20"] = timed2(lambda: t.autocorr("value", 20))
+    out["pacf20"] = timed2(lambda: t.pacf("value", 20))
+    return out
+
+
 def bm25_probe(spark, n_docs: int) -> dict:
     """BM25 at corpus scale: 10 three-term queries against n_docs 20-token
     docs over a 5k vocabulary (every query term is hot — worst case for
@@ -1361,6 +1427,12 @@ def main():
         print(json.dumps(_stamp(rollup_probe(spark, 8_000_000, 100, 1))))
         # sparse regime (~0.2 rows per finest bucket): naive should win
         print(json.dumps(_stamp(rollup_probe(spark, 8_000_000, 10_000, 3))))
+        spark.stop()
+        return
+    if "--analytics" in sys.argv:
+        spark = _probe_session()
+        for n in (2_000_000, 8_000_000):
+            print(json.dumps(_stamp(analytics_probe(spark, n, 10_000))))
         spark.stop()
         return
     if "--bm25" in sys.argv:
