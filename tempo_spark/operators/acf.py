@@ -30,18 +30,28 @@ from typing import Sequence, Union
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-# Past this many lags the per-lag window form stops being the right plan:
-# each lag adds a window function + a struct to the explode array, and the
-# plan-build/optimizer cost grows with it (the repo's >30-Columns lesson —
-# measured ~3 s build at 100 lags). Above the budget the pairs come from a
-# position self-join instead (pos ↔ pos+lag): plan size O(1) in lags, two
-# exchanges instead of one — the right trade for a wide lag sweep.
+# Past this many lags the per-lag window form stops being the safe
+# default: each lag adds a window function (its own frame processor at
+# execution) + a struct to the explode array + plan-build latency (the
+# repo's >30-Columns lesson). The r11 probe measured the crossover as
+# SCALE-DEPENDENT (SCALE.md "ACF strategy"): ≤32 lags the window form
+# wins everywhere; above it the join form wins small-corpus wide sweeps
+# (100k rows × 512 lags: 6.3 vs 32.1 s — 512 frame processors dominate)
+# while the window form wins large corpora through 128 lags (2M/8M ×
+# 128: 19.6 vs 42.0 / 96.6 vs 140.0 s — the join's n×lags sort
+# dominates). 32 keeps the bounded-plan default; pass strategy= to pin
+# either form when the shape is known.
 LAG_WINDOW_MAX = 32
 
 
 def _lagged_corr(
-    tsdf, x_col: str, y_col: str, lag_list, out_name: str
+    tsdf, x_col: str, y_col: str, lag_list, out_name: str,
+    strategy: str = "auto",
 ) -> DataFrame:
+    if strategy not in ("auto", "window", "join"):
+        raise ValueError(
+            f"strategy must be 'auto', 'window' or 'join', got {strategy!r}"
+        )
     for c in (x_col, y_col):
         if c not in tsdf.df.columns:
             raise ValueError(f"column {c!r} not in DataFrame")
@@ -71,7 +81,11 @@ def _lagged_corr(
     order.append(F.xxhash64(_grid(x_col), _grid(y_col)))
     w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(*order)
 
-    if len(lag_list) <= LAG_WINDOW_MAX:
+    use_window = (
+        strategy == "window"
+        or (strategy == "auto" and len(lag_list) <= LAG_WINDOW_MAX)
+    )
+    if use_window:
         yg = _grid(y_col)
         # every shifted column in ONE select (single Project to analyze)
         shifted = [
@@ -162,7 +176,8 @@ def _lagged_corr(
 
 
 def autocorr(
-    tsdf, value_col: str, lags: Union[int, Sequence[int]] = 10
+    tsdf, value_col: str, lags: Union[int, Sequence[int]] = 10,
+    strategy: str = "auto",
 ) -> DataFrame:
     """(series…, lag, n_pairs, acf) — one row per series per lag.
 
@@ -170,6 +185,13 @@ def autocorr(
     positive lags. ``n_pairs`` is the number of complete (x_t, x_{t+L})
     pairs; ``acf`` is NULL when fewer than 2 pairs exist or either leg
     has zero variance.
+
+    ``strategy``: ``"auto"`` (window form up to ``LAG_WINDOW_MAX`` lags,
+    position self-join past it), or pin ``"window"``/``"join"`` — the
+    crossover is scale-dependent (see the constant's docstring and
+    SCALE.md): big corpora prefer the window form well past the default,
+    small-corpus wide sweeps prefer the join form. Both are test-pinned
+    to identical outputs.
     """
     if isinstance(lags, int):
         if lags < 1:
@@ -183,7 +205,7 @@ def autocorr(
             raise ValueError(f"duplicate lags: {lags}")
     if value_col not in tsdf.df.columns:
         raise ValueError(f"value_col {value_col!r} not in DataFrame")
-    return _lagged_corr(tsdf, value_col, value_col, lag_list, "acf")
+    return _lagged_corr(tsdf, value_col, value_col, lag_list, "acf", strategy)
 
 
 def pacf(tsdf, value_col: str, lags: int = 10) -> DataFrame:
@@ -287,6 +309,7 @@ def cross_corr(
     y_col: str,
     max_lag: int = 10,
     lags: Sequence[int] = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """(series…, lag, n_pairs, ccf): ``ccf(L) = corr(x_t, y_{t+L})``.
     ``lags`` overrides the default −max_lag..max_lag sweep; L=0 is the
@@ -301,4 +324,4 @@ def cross_corr(
             raise ValueError("lags must be non-empty")
         if len(set(lag_list)) != len(lag_list):
             raise ValueError(f"duplicate lags: {lags}")
-    return _lagged_corr(tsdf, x_col, y_col, lag_list, "ccf")
+    return _lagged_corr(tsdf, x_col, y_col, lag_list, "ccf", strategy)

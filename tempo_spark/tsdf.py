@@ -1625,14 +1625,15 @@ class TSDF:
 
         return fit_trend(self, value_col)
 
-    def autocorr(self, value_col: str, lags=10) -> DataFrame:
+    def autocorr(self, value_col: str, lags=10, strategy: str = "auto") -> DataFrame:
         """Per-series autocorrelation at observation lags (Box-Jenkins
         ACF): (series…, lag, n_pairs, acf). One window pass carries every
-        lag's lead, one shuffle total; exact decimal sufficient statistics
-        (see operators/acf.py)."""
+        lag's lead, one shuffle total; exact decimal sufficient statistics.
+        ``strategy`` pins the window vs position-join plan (scale-dependent
+        crossover — see operators/acf.py)."""
         from tempo_spark.operators.acf import autocorr
 
-        return autocorr(self, value_col, lags)
+        return autocorr(self, value_col, lags, strategy)
 
     def pacf(self, value_col: str, lags: int = 10) -> DataFrame:
         """Per-series partial autocorrelation at lags 1..``lags``
@@ -1643,14 +1644,15 @@ class TSDF:
         return pacf(self, value_col, lags)
 
     def crossCorr(
-        self, x_col: str, y_col: str, max_lag: int = 10, lags=None
+        self, x_col: str, y_col: str, max_lag: int = 10, lags=None,
+        strategy: str = "auto",
     ) -> DataFrame:
         """Per-series cross-correlation between two metrics at observation
         lags (positive lag: x leads y): (series…, lag, n_pairs, ccf). See
         operators/acf.py."""
         from tempo_spark.operators.acf import cross_corr
 
-        return cross_corr(self, x_col, y_col, max_lag, lags)
+        return cross_corr(self, x_col, y_col, max_lag, lags, strategy)
 
     def downsample_minmax(self, n_buckets: int, value_col: str) -> DataFrame:
         """Min-max envelope downsampling: per equal-count bucket keep the

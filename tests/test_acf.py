@@ -263,3 +263,25 @@ class TestPacf:
         for sym in got:
             want = _py_pacf(acf[sym], 3)
             assert [got[sym][k] for k in (1, 2, 3)] == want
+
+
+class TestStrategyParam:
+    def test_pinned_strategies_match_and_validate(self, spark):
+        import random
+
+        rng = random.Random(11)
+        vals = [rng.uniform(-3, 3) for _ in range(120)]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        w = {r.lag: (r.n_pairs, r.acf)
+             for r in t.autocorr("v", 6, strategy="window").collect()}
+        j = {r.lag: (r.n_pairs, r.acf)
+             for r in t.autocorr("v", 6, strategy="join").collect()}
+        a = {r.lag: (r.n_pairs, r.acf)
+             for r in t.autocorr("v", 6).collect()}
+        assert w == j == a
+        wc = {r.lag: r.ccf
+              for r in t.crossCorr("v", "v", max_lag=2, strategy="join").collect()}
+        ac = {r.lag: r.ccf for r in t.crossCorr("v", "v", max_lag=2).collect()}
+        assert wc == ac
+        with pytest.raises(ValueError, match="strategy"):
+            t.autocorr("v", 3, strategy="hash")
