@@ -509,7 +509,9 @@ def main() -> None:
     # floor (8-rep decay probe, round 11). One small shuffle + window +
     # join + parquet scan warms the common paths without touching any
     # query-specific cache.
-    warm = spark.read.parquet(f"{sf_dir}/events.parquet").limit(50_000)
+    # through the adaptive reader — a direct parquet read would die at
+    # schema inference on the rounds-1-2 TIMESTAMP(NANOS) events layout
+    warm = entry_mod._read(spark, sf_dir, "events").limit(50_000)
     warm_agg = warm.groupBy("user_id").count()
     warm_agg.join(warm_agg.withColumnRenamed("count", "c2"), "user_id").count()
 

@@ -1264,17 +1264,11 @@ def analytics_probe(spark, n_rows: int, n_series: int) -> dict:
             secs.append(round(time.monotonic() - t0, 2))
         return {"sec": min(secs), "reps": secs}
 
-    saved = acf_mod.LAG_WINDOW_MAX
     sweep: dict = {}
-    try:
-        for lags in (8, 32, 64, 128):
-            acf_mod.LAG_WINDOW_MAX = 10**9
-            win = timed2(lambda: t.autocorr("value", lags))
-            acf_mod.LAG_WINDOW_MAX = 0
-            join = timed2(lambda: t.autocorr("value", lags))
-            sweep[lags] = {"window": win, "join": join}
-    finally:
-        acf_mod.LAG_WINDOW_MAX = saved
+    for lags in (8, 32, 64, 128):
+        win = timed2(lambda: t.autocorr("value", lags, strategy="window"))
+        join = timed2(lambda: t.autocorr("value", lags, strategy="join"))
+        sweep[lags] = {"window": win, "join": join}
     out["acf_strategy_sweep"] = sweep
     crossover = next(
         (
@@ -1285,7 +1279,7 @@ def analytics_probe(spark, n_rows: int, n_series: int) -> dict:
         None,
     )
     out["acf_join_wins_from_lags"] = crossover
-    out["lag_window_max_current"] = saved
+    out["lag_window_max_current"] = acf_mod.LAG_WINDOW_MAX
     out["seasonal_ma"] = timed2(lambda: t.seasonal_decompose("value", 24))
     out["seasonal_median"] = timed2(
         lambda: t.seasonal_decompose("value", 24, trend_method="median")

@@ -247,7 +247,11 @@ def pacf(tsdf, value_col: str, lags: int = 10) -> DataFrame:
         F.map_from_entries(
             F.collect_list(F.struct("lag", "acf"))
         ).alias("__ac_r")
-    )
+    # empty-map guard: the NO-keys path is a global aggregate, which
+    # emits one row even over an EMPTY autocorr frame — without this a
+    # series that produced no ACF rows at all would fabricate `lags`
+    # all-NULL pacf rows (keyed groupBy emits none; paths must agree)
+    ).where(F.size(F.col("__ac_r")) > 0)
 
     def _r(k):
         return F.try_element_at(F.col("__ac_r"), k)

@@ -86,22 +86,30 @@ def _manifest_write(spark, dir_path: str, payload: dict) -> None:
 
 
 def _manifest_read(spark, dir_path: str) -> Optional[dict]:
-    fs, jpath = _hadoop_fs(spark, f"{dir_path}/{MANIFEST_NAME}")
-    if not fs.exists(jpath):
-        return None
-    stream = fs.open(jpath)
+    """Best-effort manifest load: ANY failure (missing, deleted between
+    the exists check and the open, corrupt JSON) returns None so a
+    resumed run falls back to recomputing the stage — never crashes."""
     try:
-        buf = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            buf.append(b)
-        return json.loads(bytes(buf).decode())
+        fs, jpath = _hadoop_fs(spark, f"{dir_path}/{MANIFEST_NAME}")
+        if not fs.exists(jpath):
+            return None
+        size = fs.getFileStatus(jpath).getLen()
+        if size <= 0 or size > 1 << 20:
+            return None
+        stream = fs.open(jpath)
+        try:
+            # ONE bulk JVM-side read returning byte[] (py4j marshals the
+            # return value; a per-byte read() loop costs one py4j round
+            # trip per byte, and readFully into a passed bytearray would
+            # silently not propagate — py4j copies arguments by value)
+            data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                stream
+            )
+            return json.loads(bytes(data).decode())
+        finally:
+            stream.close()
     except Exception:
         return None
-    finally:
-        stream.close()
 
 
 class CorpusStaging:

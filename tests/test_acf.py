@@ -232,6 +232,24 @@ class TestPacf:
         got2 = {r.lag: r.pacf for r in t2.pacf("v", 6).collect()}
         assert len(got2) == 6 and got2[5] is None and got2[6] is None
 
+    def test_no_series_empty_acf_emits_no_rows(self, spark):
+        """A no-keys TSDF whose autocorr output is EMPTY must not
+        fabricate all-NULL pacf rows (the global groupBy emits one row
+        even over empty input — r11 review)."""
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1), 1.0)], "ts timestamp, v double"
+        )
+        t = TSDF(df, ts_col="ts", series_ids=[])
+        assert t.autocorr("v", 4).count() == 0  # 1 row: no complete pairs
+        assert t.pacf("v", 4).count() == 0
+        # and the healthy no-keys path still works
+        df2 = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 0, 0, i), float(i % 3)) for i in range(12)],
+            "ts timestamp, v double",
+        )
+        t2 = TSDF(df2, ts_col="ts", series_ids=[])
+        assert t2.pacf("v", 3).count() == 3
+
     def test_validations_and_multiseries(self, spark):
         t = TSDF(_mk(spark, [1.0, 2.0]), ts_col="ts", series_ids=["sym"])
         with pytest.raises(ValueError, match="int"):

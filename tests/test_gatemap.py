@@ -40,7 +40,7 @@ def test_every_public_operator_has_gate_or_test_reference():
     inventory = gen_gatemap.public_operator_inventory()
     sources = [(REPO / "__spark_entry__.py").read_text()]
     sources += [p.read_text() for p in (REPO / "tests").glob("test_*.py")]
-    sources += [str(REPO / "bench.py") and (REPO / "bench.py").read_text()]
+    sources += [(REPO / "bench.py").read_text()]
     # word-boundary presence is the net: classes are referenced as
     # `X.method()`, properties are accessed not called, and a docstring
     # mention still proves someone knows the surface exists — the rule's
