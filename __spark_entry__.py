@@ -651,7 +651,12 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
       autocorrelation at lags 1..5 — the oracle UNROLLS the recursion
       (generated CTE chain, inner sums left-associated from 0.0 exactly
       like the operator's fold), so every division/product replays in
-      the same IEEE order; bucket_ts encodes lag+20 seconds."""
+      the same IEEE order; bucket_ts encodes lag+20 seconds;
+    - ``cpt``/``cpt_nl`` (r11, operators/changepoint.py): the best
+      single mean-shift split per series — exact decimal prefix sums,
+      score = k(n−k)/n·(mean_l−mean_r)² as a fixed IEEE expression,
+      argmax by (score DESC, ts ASC); bucket_ts = split_ts, v = the
+      hardened score (cpt) / n_left (cpt_nl)."""
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
     out = t.twap("1 hour", "value").df
@@ -680,6 +685,22 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros((F.col("lag") + 20) * 1_000_000).alias("bucket_ts"),
         _HR6(F.col("pacf")).alias("twap_v"),
     )
+    cpt = t.changepoint("value")
+    cpt_rows = cpt.select(
+        "user_id",
+        F.col("split_ts").alias("bucket_ts"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("cpt").alias("tag"), _HR6(F.col("score")).alias("v")
+                ),
+                F.struct(
+                    F.lit("cpt_nl").alias("tag"),
+                    F.col("n_left").cast("double").alias("v"),
+                ),
+            )
+        ).alias("p"),
+    ).select("p.tag", "user_id", "bucket_ts", F.col("p.v").alias("twap_v"))
     # ccf (r10): cross-correlation value vs the derived (cents%1000)/100
     # metric at lags -2..2 (bucket_ts encodes lag+10 so negatives fit);
     # same exact-sum machinery as acf
@@ -735,7 +756,7 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _reduce(
         lambda a, b: a.unionByName(b),
-        [tw, acf_rows, n_rows, pacf_rows, ccf_rows, trend_rows],
+        [tw, acf_rows, n_rows, pacf_rows, cpt_rows, ccf_rows, trend_rows],
     )
 
 
@@ -835,6 +856,35 @@ acfv AS (
   FROM acfs),
 -- pacf replay: generated unrolled Durbin-Levinson over raw acf values
 {_PACF_CTES},
+-- changepoint replay (operators/changepoint.py): exact decimal prefix
+-- sums on the 1e-6 grid, score as the same fixed IEEE sequence, argmax
+-- by (score DESC, ts ASC, k ASC)
+cpb AS (
+  SELECT user_id, ts,
+         row_number() OVER wcp AS k,
+         sum(CAST(floor(value * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)))
+             OVER (wcp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         sum(CAST(floor(value * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)))
+             OVER (PARTITION BY user_id) AS tot,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM de WHERE floor(value * 1000000 + 0.5) IS NOT NULL
+  WINDOW wcp AS (PARTITION BY user_id ORDER BY ts)),
+cps AS (
+  SELECT user_id, ts, k, n,
+         CAST(s AS DOUBLE) / CAST(k AS DOUBLE) AS ml,
+         CAST(tot - s AS DOUBLE) / CAST(n - k AS DOUBLE) AS mr
+  FROM cpb WHERE k < n),
+cpsc AS (
+  SELECT user_id, ts, k, n, ml, mr,
+         (CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE) / CAST(n AS DOUBLE))
+           * ((ml - mr) * (ml - mr)) AS score
+  FROM cps),
+cpbest AS (
+  SELECT user_id, ts, k, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY score DESC NULLS LAST, ts ASC, k ASC) AS rn
+    FROM cpsc)
+  WHERE rn = 1),
 -- ccf replay: value vs the derived (cents%1000)/100 metric, lags -2..2
 -- (pairs of x at pos and y at pos+L; same exact-sum idiom)
 ccfb AS (
@@ -935,6 +985,14 @@ SELECT 'trend_n' AS tag, user_id, make_timestamp(0) AS bucket_ts,
 FROM trv
 UNION ALL
 {_PACF_SELECTS}
+UNION ALL
+SELECT 'cpt' AS tag, user_id, ts AS bucket_ts,
+       floor(score * 1000000 + 0.5) / 1000000 AS twap_v
+FROM cpbest
+UNION ALL
+SELECT 'cpt_nl' AS tag, user_id, ts AS bucket_ts,
+       CAST(k AS DOUBLE) AS twap_v
+FROM cpbest
 """
 
 
@@ -1421,7 +1479,12 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``trend``/``seas``/``resid`` (r10, operators/seasonal.py): the
       period-24 classical moving-average decomposition — exact decimal
       window/phase sums on the 1e-6 grid, fixed-IEEE divisions, replayed
-      term-for-term by DuckDB."""
+      term-for-term by DuckDB;
+    - ``dd`` (r11, operators/robust.py): running drawdown of cents —
+      cumulative max minus value, exact integers, v = (peak−cents)/100;
+    - ``wz`` (r11): per-series winsorize of cents at [0.1, 0.9] — Spark
+      ``percentile`` == DuckDB ``quantile_cont`` over exact integers
+      (the grouped_stats idiom), v = clipped/100 hardened."""
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents", "value")
     t = TSDF(de.select("user_id", "ts", "cents"), ts_col="ts", series_ids=["user_id"])
     out = t.EMA("cents", window=_EMA_WINDOW, exp_factor=_EMA_FACTOR).df
@@ -1441,6 +1504,15 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id", "ts", _HR6(F.col(col)).alias("ema_v"),
             )
         )
+    dd = t.withDrawdown("cents").df.select(
+        F.lit("dd").alias("tag"),
+        "user_id", "ts", _R6(F.col("drawdown") / 100).alias("ema_v"),
+    )
+    wz = t.winsorize("cents", 0.1, 0.9).df.select(
+        F.lit("wz").alias("tag"),
+        "user_id", "ts", _HR6(F.col("cents_wz") / 100).alias("ema_v"),
+    )
+    parts += [dd, wz]
     from functools import reduce as _reduce
 
     return _reduce(lambda a, b: a.unionByName(b), parts)
@@ -1516,6 +1588,23 @@ SELECT 'seas' AS tag, user_id, ts,
 UNION ALL
 SELECT 'resid' AS tag, user_id, ts,
        floor(resid * 1000000 + 0.5) / 1000000 AS ema_v FROM sdout
+UNION ALL
+-- drawdown replay: cumulative max of exact cents minus cents
+SELECT 'dd' AS tag, user_id, ts,
+       round((max(cents) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - cents) / 100.0, 6) AS ema_v
+FROM de
+UNION ALL
+-- winsorize replay: exact interpolated per-series percentiles
+SELECT 'wz' AS tag, user_id, ts,
+       floor((least(greatest(CAST(cents AS DOUBLE), lo), hi) / 100)
+             * 1000000 + 0.5) / 1000000 AS ema_v
+FROM (
+  SELECT user_id, ts, cents,
+         quantile_cont(cents, 0.1) OVER (PARTITION BY user_id) AS lo,
+         quantile_cont(cents, 0.9) OVER (PARTITION BY user_id) AS hi
+  FROM de)
 """
 
 

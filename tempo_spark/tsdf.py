@@ -1654,6 +1654,35 @@ class TSDF:
 
         return cross_corr(self, x_col, y_col, max_lag, lags, strategy)
 
+    def changepoint(self, value_col: str) -> DataFrame:
+        """Best single mean-shift split per series (binary-segmentation
+        step): (series…, split_ts, n_left, n, mean_left, mean_right,
+        score). See operators/changepoint.py for the exactness and
+        one-shuffle contracts."""
+        from tempo_spark.operators.changepoint import changepoint
+
+        return changepoint(self, value_col)
+
+    def withDrawdown(
+        self, value_col: str, out: str = "drawdown",
+        out_pct: str = "drawdown_pct",
+    ) -> "TSDF":
+        """df + running ``peak`` / ``out`` / ``out_pct`` columns (risk
+        monitoring; see operators/robust.py)."""
+        from tempo_spark.operators.robust import with_drawdown
+
+        return self._with_df(with_drawdown(self, value_col, out, out_pct))
+
+    def winsorize(
+        self, value_col: str, lower: float = 0.05, upper: float = 0.95,
+        out: Optional[str] = None,
+    ) -> "TSDF":
+        """df + clipped column at the series' own exact [lower, upper]
+        percentiles (outlier taming; see operators/robust.py)."""
+        from tempo_spark.operators.robust import winsorize
+
+        return self._with_df(winsorize(self, value_col, lower, upper, out))
+
     def downsample_minmax(self, n_buckets: int, value_col: str) -> DataFrame:
         """Min-max envelope downsampling: per equal-count bucket keep the
         rows holding the bucket min AND max of ``value_col`` (≤ 2·buckets

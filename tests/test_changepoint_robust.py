@@ -1,0 +1,147 @@
+"""Changepoint (operators/changepoint.py) + drawdown/winsorize
+(operators/robust.py)."""
+
+import datetime as dt
+import math
+
+import pytest
+
+from tempo_spark import TSDF
+
+
+def _mk(spark, vals, sym="a"):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (sym, base + dt.timedelta(seconds=i), None if v is None else float(v))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+
+
+def _py_changepoint(vals):
+    from fractions import Fraction
+
+    # exact-decimal sums like the operator: grid values are multiples of
+    # 1e-6, sums accumulate exactly, ONE cast to double per sum
+    yi = [math.floor(v * 1e6 + 0.5) for v in vals if v is not None]
+    n = len(yi)
+    tot = sum(yi)
+    best = None
+    run = 0
+    for k in range(1, n):
+        run += yi[k - 1]
+        sl = float(Fraction(run, 10**6))
+        sr = float(Fraction(tot - run, 10**6))
+        ml, mr = sl / k, sr / (n - k)
+        d = ml - mr
+        score = (k * (n - k) / n) * (d * d)
+        if best is None or score > best[0]:
+            best = (score, k, ml, mr)
+    return best
+
+
+class TestChangepoint:
+    def test_finds_planted_shift_exactly(self, spark):
+        vals = [1.0] * 12 + [4.0] * 8
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        r = t.changepoint("v").collect()[0]
+        assert (r.n_left, r.n) == (12, 20)
+        assert (r.mean_left, r.mean_right) == (1.0, 4.0)
+        # score = k(n-k)/n * d^2 = 12*8/20 * 9 = 43.2
+        assert abs(r.score - 43.2) < 1e-12
+        assert r.split_ts == dt.datetime(2024, 1, 1, 0, 0, 11)
+
+    def test_matches_python_model_with_noise_and_nulls(self, spark):
+        import random
+
+        rng = random.Random(5)
+        vals = [rng.uniform(0, 1) for _ in range(40)]
+        vals += [rng.uniform(2, 3) for _ in range(25)]
+        vals[7] = None  # null rows are excluded from the statistic
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        r = t.changepoint("v").collect()[0]
+        score, k, ml, mr = _py_changepoint(vals)
+        assert r.n_left == k and r.score == score
+        assert r.mean_left == ml and r.mean_right == mr
+        assert 38 <= r.n_left <= 40  # the shift sits at the planted seam
+
+    def test_null_series_and_short_series(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (None, base + dt.timedelta(seconds=i), float(i)) for i in range(6)
+        ] + [("b", base, 1.0)]  # 1 usable row: no split possible
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        got = {r.sym: r for r in t.changepoint("v").collect()}
+        assert set(got) == {None}  # 'b' emits nothing; NULL key is real
+        assert got[None].n == 6
+        with pytest.raises(ValueError, match="value_col"):
+            t.changepoint("nope")
+
+    def test_no_series_ids(self, spark):
+        vals = [0.0] * 5 + [10.0] * 5
+        df = _mk(spark, vals).drop("sym")
+        t = TSDF(df, ts_col="ts", series_ids=[])
+        r = t.changepoint("v").collect()
+        assert len(r) == 1 and r[0].n_left == 5
+        assert "__cp_g" not in t.changepoint("v").columns
+
+
+class TestDrawdown:
+    def test_peak_and_drawdown(self, spark):
+        vals = [10.0, 12.0, 8.0, 9.0, None, 15.0, 11.0]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        rows = t.withDrawdown("v").df.orderBy("ts").collect()
+        assert [r.peak for r in rows] == [10, 12, 12, 12, 12, 15, 15]
+        assert [r.drawdown for r in rows] == [0, 0, 4, 3, None, 0, 4]
+        assert abs(rows[2].drawdown_pct - 4 / 12) < 1e-12
+        assert rows[4].drawdown_pct is None
+        # zero peak: pct NULL, never a divide-by-zero
+        t0 = TSDF(_mk(spark, [0.0, -1.0]), ts_col="ts", series_ids=["sym"])
+        r0 = t0.withDrawdown("v").df.orderBy("ts").collect()
+        assert r0[0].drawdown_pct is None and r0[1].drawdown == 1.0
+        with pytest.raises(ValueError, match="reserved"):
+            t.withDrawdown("v").withDrawdown("v")
+        # module-level twin (with_drawdown) returns the same frame
+        from tempo_spark.operators.robust import with_drawdown
+
+        same = with_drawdown(t, "v").orderBy("ts").collect()
+        assert [r.peak for r in same] == [r.peak for r in rows]
+
+
+class TestWinsorize:
+    def test_clips_to_series_percentiles(self, spark):
+        vals = [float(i) for i in range(1, 11)]  # 1..10
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        rows = t.winsorize("v", 0.1, 0.9).df.orderBy("ts").collect()
+        # interpolated p10 of 1..10 = 1.9, p90 = 9.1
+        assert rows[0].v_wz == 1.9 and rows[-1].v_wz == 9.1
+        assert rows[4].v_wz == 5.0  # interior untouched
+        assert rows[0].v == 1.0  # raw column untouched
+
+    def test_null_series_null_values_and_validation(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (sym, base + dt.timedelta(seconds=i), v)
+            for sym in ("a", None)
+            for i, v in enumerate([1.0, None, 100.0, 2.0, 3.0])
+        ]
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        got = {}
+        for r in t.winsorize("v", 0.0, 0.5).df.collect():
+            got.setdefault(r.sym, []).append((r.v, r.v_wz))
+        assert set(got) == {"a", None}
+        nkey = lambda p: tuple(-1e18 if x is None else x for x in p)
+        # NULL key is a real series: identical content, identical clips
+        assert sorted(got["a"], key=nkey) == sorted(got[None], key=nkey)
+        for v, wz in got["a"]:
+            if v is None:
+                assert wz is None
+            else:
+                assert wz <= 2.5  # p50 of (1,2,3,100) = 2.5
+        with pytest.raises(ValueError, match="lower"):
+            t.winsorize("v", 0.9, 0.1)
+        # no series ids: global percentiles
+        tg = TSDF(df.drop("sym"), ts_col="ts", series_ids=[])
+        assert tg.winsorize("v", 0.0, 0.5).df.count() == 10
