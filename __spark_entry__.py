@@ -656,7 +656,11 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
       single mean-shift split per series — exact decimal prefix sums,
       score = k(n−k)/n·(mean_l−mean_r)² as a fixed IEEE expression,
       argmax by (score DESC, ts ASC); bucket_ts = split_ts, v = the
-      hardened score (cpt) / n_left (cpt_nl)."""
+      hardened score (cpt) / n_left (cpt_nl);
+    - ``pcorr``/``pcorr_n`` (r11): ``pairwiseCorr`` over (value,
+      (cents%1000)/100, pmod(cents,7)) — the 3 unordered pairs in one
+      pass, same exact-sum Pearson; bucket_ts encodes the pair as
+      epoch + 30/31/32 seconds."""
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
     out = t.twap("1 hour", "value").df
@@ -685,6 +689,33 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros((F.col("lag") + 20) * 1_000_000).alias("bucket_ts"),
         _HR6(F.col("pacf")).alias("twap_v"),
     )
+    decp = _dedup_events(spark, sf_dir).select("user_id", "ts", "value", "cents")
+    tpc = TSDF(
+        decp.withColumn("y2", (F.col("cents") % 1000) / 100)
+        .withColumn("y3", F.pmod(F.col("cents"), F.lit(7)).cast("double")),
+        ts_col="ts", series_ids=["user_id"],
+    )
+    pc = tpc.pairwiseCorr(["value", "y2", "y3"])
+    pair_idx = (
+        F.when((F.col("x_col") == "value") & (F.col("y_col") == "y2"), 30)
+        .when((F.col("x_col") == "value") & (F.col("y_col") == "y3"), 31)
+        .otherwise(32)
+    )
+    pcorr_rows = pc.select(
+        "user_id",
+        F.timestamp_micros(pair_idx.cast("long") * 1_000_000).alias("bucket_ts"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("pcorr").alias("tag"), _HR6(F.col("corr")).alias("v")
+                ),
+                F.struct(
+                    F.lit("pcorr_n").alias("tag"),
+                    F.col("n_pairs").cast("double").alias("v"),
+                ),
+            )
+        ).alias("p"),
+    ).select("p.tag", "user_id", "bucket_ts", F.col("p.v").alias("twap_v"))
     cpt = t.changepoint("value")
     cpt_rows = cpt.select(
         "user_id",
@@ -756,7 +787,8 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _reduce(
         lambda a, b: a.unionByName(b),
-        [tw, acf_rows, n_rows, pacf_rows, cpt_rows, ccf_rows, trend_rows],
+        [tw, acf_rows, n_rows, pacf_rows, pcorr_rows, cpt_rows, ccf_rows,
+         trend_rows],
     )
 
 
@@ -856,6 +888,39 @@ acfv AS (
   FROM acfs),
 -- pacf replay: generated unrolled Durbin-Levinson over raw acf values
 {_PACF_CTES},
+-- pairwiseCorr replay: 3 pairs over (value, (cents%1000)/100,
+-- pmod(cents,7)), same exact-sum Pearson at lag 0
+pcb AS (
+  SELECT user_id,
+         floor(value * 1000000 + 0.5) / 1000000 AS m1,
+         floor(((cents % 1000) / 100) * 1000000 + 0.5) / 1000000 AS m2,
+         floor(CAST(((cents % 7) + 7) % 7 AS DOUBLE) * 1000000 + 0.5)
+           / 1000000 AS m3
+  FROM de),
+pcs AS (
+  SELECT user_id, pair, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM (
+    SELECT user_id, 30 AS pair, CAST(m1 AS DECIMAL(18,6)) AS x,
+           CAST(m2 AS DECIMAL(18,6)) AS y
+    FROM pcb WHERE m1 IS NOT NULL AND m2 IS NOT NULL
+    UNION ALL
+    SELECT user_id, 31, CAST(m1 AS DECIMAL(18,6)), CAST(m3 AS DECIMAL(18,6))
+    FROM pcb WHERE m1 IS NOT NULL AND m3 IS NOT NULL
+    UNION ALL
+    SELECT user_id, 32, CAST(m2 AS DECIMAL(18,6)), CAST(m3 AS DECIMAL(18,6))
+    FROM pcb WHERE m2 IS NOT NULL AND m3 IS NOT NULL)
+  GROUP BY user_id, pair),
+pcv AS (
+  SELECT user_id, pair, n,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
+  FROM pcs),
 -- changepoint replay (operators/changepoint.py): exact decimal prefix
 -- sums on the 1e-6 grid, score as the same fixed IEEE sequence, argmax
 -- by (score DESC, ts ASC, k ASC)
@@ -985,6 +1050,16 @@ SELECT 'trend_n' AS tag, user_id, make_timestamp(0) AS bucket_ts,
 FROM trv
 UNION ALL
 {_PACF_SELECTS}
+UNION ALL
+SELECT 'pcorr' AS tag, user_id, make_timestamp(pair * 1000000) AS bucket_ts,
+       CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+            THEN floor((cov / sqrt(vx * vy)) * 1000000 + 0.5) / 1000000
+       END AS twap_v
+FROM pcv
+UNION ALL
+SELECT 'pcorr_n' AS tag, user_id, make_timestamp(pair * 1000000) AS bucket_ts,
+       CAST(n AS DOUBLE) AS twap_v
+FROM pcv
 UNION ALL
 SELECT 'cpt' AS tag, user_id, ts AS bucket_ts,
        floor(score * 1000000 + 0.5) / 1000000 AS twap_v

@@ -208,6 +208,88 @@ def autocorr(
     return _lagged_corr(tsdf, value_col, value_col, lag_list, "acf", strategy)
 
 
+def pairwise_corr(tsdf, metric_cols) -> DataFrame:
+    """Per-series Pearson correlation MATRIX over ``metric_cols`` in ONE
+    pass: (series…, x_col, y_col, n_pairs, corr), one row per unordered
+    pair (x_col < y_col in the given order) — the feature-screening
+    companion to :func:`cross_corr` at lag 0, for many metrics at once.
+
+    Spark shape: each input row explodes to P = m(m−1)/2 (pair, x, y)
+    rows (pairs are plan constants), then the ONE (series, pair)
+    aggregation — a single shuffle regardless of m; rows where either
+    leg is NULL are excluded pairwise (pairwise-complete observations,
+    the pandas ``df.corr`` convention). Keep m modest (the explode
+    factor is P); past ~16 metrics consider batching.
+
+    Exactness contract: identical to :func:`autocorr` — 1e-6 grid,
+    exact (18,6)-decimal sufficient sums, fixed-IEEE Pearson; NULL when
+    fewer than 2 complete pairs or either variance is zero."""
+    cols = [str(c) for c in metric_cols]
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 metric_cols, got {cols}")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate metric_cols: {cols}")
+    for c in cols:
+        if c not in tsdf.df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    df = tsdf.df
+    keys = list(tsdf.series_ids)
+    if not keys:
+        df = df.withColumn("__ac_g", F.lit(0))
+        keys = ["__ac_g"]
+
+    def _grid(c):
+        return F.floor(F.col(c).cast("double") * 1e6 + F.lit(0.5)) / F.lit(1e6)
+
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    pairs_arr = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("x_col"),
+                F.lit(b).alias("y_col"),
+                _grid(a).alias("x"),
+                _grid(b).alias("y"),
+            )
+            for a, b in pairs
+        ]
+    )
+    ex = (
+        df.select(*keys, F.explode(pairs_arr).alias("p"))
+        .select(*keys, "p.x_col", "p.y_col", "p.x", "p.y")
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    xd = F.col("x").cast("decimal(18,6)")
+    yd = F.col("y").cast("decimal(18,6)")
+    agg = ex.groupBy(*keys, "x_col", "y_col").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(xd).alias("__sx"),
+        F.sum(yd).alias("__sy"),
+        F.sum(xd * yd).alias("__sxy"),
+        F.sum(xd * xd).alias("__sxx"),
+        F.sum(yd * yd).alias("__syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
+        (n * sxy - sx * sy) / F.sqrt(vx * vy),
+    )
+    return agg.select(
+        *[c for c in keys if c != "__ac_g"], "x_col", "y_col", "n_pairs",
+        corr.alias("corr"),
+    )
+
+
 def pacf(tsdf, value_col: str, lags: int = 10) -> DataFrame:
     """Per-series PARTIAL autocorrelation at lags 1..``lags`` via the
     Durbin-Levinson recursion over :func:`autocorr`'s ACF values — the

@@ -1635,6 +1635,14 @@ class TSDF:
 
         return autocorr(self, value_col, lags, strategy)
 
+    def pairwiseCorr(self, metric_cols) -> DataFrame:
+        """Per-series Pearson correlation matrix over ``metric_cols`` in
+        one pass/one shuffle: (series…, x_col, y_col, n_pairs, corr).
+        See operators/acf.py for the exactness contract."""
+        from tempo_spark.operators.acf import pairwise_corr
+
+        return pairwise_corr(self, metric_cols)
+
     def pacf(self, value_col: str, lags: int = 10) -> DataFrame:
         """Per-series partial autocorrelation at lags 1..``lags``
         (Durbin-Levinson over :meth:`autocorr`'s exact ACF — AR-order

@@ -303,3 +303,76 @@ class TestStrategyParam:
         assert wc == ac
         with pytest.raises(ValueError, match="strategy"):
             t.autocorr("v", 3, strategy="hash")
+
+
+class TestPairwiseCorr:
+    def test_matches_per_pair_model_and_ccf_lag0(self, spark):
+        import random
+
+        rng = random.Random(13)
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for i in range(150):
+            a = rng.uniform(-2, 2)
+            rows.append(
+                ("s", base + dt.timedelta(seconds=i), a,
+                 2 * a + rng.uniform(-0.1, 0.1),          # strongly +corr
+                 None if i % 7 == 0 else rng.uniform(0, 1))  # noisy + nulls
+            )
+        df = spark.createDataFrame(
+            rows, "sym string, ts timestamp, a double, b double, c double"
+        )
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        got = {
+            (r.x_col, r.y_col): (r.n_pairs, r.corr)
+            for r in t.pairwiseCorr(["a", "b", "c"]).collect()
+        }
+        assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+        assert got[("a", "b")][0] == 150 and got[("a", "b")][1] > 0.99
+        assert got[("a", "c")][0] == 128  # nulls excluded pairwise
+        # module twin reference + pairwiseCorr(a, b) == crossCorr at lag 0
+        from tempo_spark.operators.acf import pairwise_corr
+
+        direct = {
+            (r.x_col, r.y_col): (r.n_pairs, r.corr)
+            for r in pairwise_corr(t, ["a", "b", "c"]).collect()
+        }
+        assert direct == got
+        cc0 = {
+            r.lag: (r.n_pairs, r.ccf)
+            for r in t.crossCorr("a", "b", max_lag=0).collect()
+        }[0]
+        assert got[("a", "b")] == cc0
+
+    def test_validations_and_null_series(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (sym, base + dt.timedelta(seconds=i), float(i), float(i * i))
+            for sym in ("x", None)
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(
+            rows, "sym string, ts timestamp, a double, b double"
+        )
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        got = {r.sym: r.corr for r in t.pairwiseCorr(["a", "b"]).collect()}
+        assert set(got) == {"x", None} and got["x"] == got[None]
+        with pytest.raises(ValueError, match="metric_cols"):
+            t.pairwiseCorr(["a"])
+        with pytest.raises(ValueError, match="duplicate"):
+            t.pairwiseCorr(["a", "a"])
+        with pytest.raises(ValueError, match="column"):
+            t.pairwiseCorr(["a", "zz"])
+        # constant leg -> NULL corr, never divide-by-zero
+        tc = TSDF(
+            df.withColumn("b", F_lit_onehalf()), ts_col="ts", series_ids=["sym"]
+        )
+        assert all(
+            r.corr is None for r in tc.pairwiseCorr(["a", "b"]).collect()
+        )
+
+
+def F_lit_onehalf():
+    import pyspark.sql.functions as F
+
+    return F.lit(0.5)
