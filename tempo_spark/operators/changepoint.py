@@ -1,55 +1,54 @@
-"""Single-changepoint detection per series (binary segmentation step).
+"""Changepoint detection per series (binary segmentation).
 
-The classic offline changepoint primitive (Scott & Knott / binary
-segmentation, the building block of PELT-style detectors): for every
-split position k the between-segment sum of squares
+The classic offline changepoint primitive (the building block of
+PELT-style detectors): for every split position k the between-segment
+sum of squares
 
     score(k) = k·(n−k)/n · (mean_left − mean_right)²
 
 is the likelihood-ratio statistic for a mean shift at k under fixed
-variance; the best split is its argmax. Recursing on the two halves
-gives multi-changepoint segmentation — this operator returns the one
-optimal split per series (the recursion step), which is also the usual
-"did this series shift, and where?" monitoring question.
+variance; the best split is its argmax. ``changepoint`` returns the one
+optimal split per series; ``changepoints`` recurses — PARALLEL binary
+segmentation: each round every current segment splits at its own best
+point when the split passes the ``min_size``/``min_score`` thresholds,
+so a series can gain up to 2^rounds − 1 splits (this is the standard
+distributed variant; strict one-split-at-a-time greedy differs only in
+which splits a ``max`` cap would drop — here depth is the cap).
 
-Spark shape: ONE shuffle on the series keys — exact decimal prefix sums
-over the 1e-6 value grid (order-independent, engine-replayable), n and
-the total from the same window pass, score as a FIXED IEEE expression
-over those sums, argmax by (score DESC, ts ASC). O(n) per series — no
-per-split re-aggregation.
+Spark shape: each round is ONE shuffle on (series, segment) — exact
+decimal prefix sums over the 1e-6 value grid (order-independent,
+engine-replayable), n and the total from the same window pass, score as
+a FIXED IEEE expression over those sums, argmax by (score DESC, ts ASC).
+O(n) per series per round; accepted splits broadcast back to re-segment.
+Rounds are driver-coordinated (one bounded count() per round) with
+per-round persists released as soon as the next round lands.
 
 Determinism contract (the ACF idiom): rows order by exact epoch micros
 (+ sequence col, + a value-grid content hash so ties are total over
-distinct rows); NULL values are EXCLUDED from the statistic (their rows
-can't anchor a split); a series with fewer than 2 usable rows emits
-nothing. ``score`` replays bit-for-bit on an external engine.
+distinct rows); NULL values are EXCLUDED from the statistic; a segment
+shorter than 2 usable rows emits nothing. Segment membership after a
+split is decided by timestamp alone (ties AT the split timestamp stay
+left), so re-segmentation is deterministic even under duplicate
+timestamps. ``score`` replays bit-for-bit on an external engine.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
-def changepoint(tsdf, value_col: str) -> DataFrame:
-    """(series…, split_ts, n_left, n, mean_left, mean_right, score) —
-    one row per series holding the best mean-shift split; ``split_ts``
-    is the LAST timestamp of the left segment. See module docstring."""
-    if value_col not in tsdf.df.columns:
-        raise ValueError(f"value_col {value_col!r} not in DataFrame")
-    clash = sorted(c for c in tsdf.df.columns if c.startswith("__cp_"))
-    if clash:
-        raise ValueError(f"reserved staging columns present: {clash}")
+def _grid(c):
+    return F.floor(F.col(c).cast("double") * 1e6 + F.lit(0.5)) / F.lit(1e6)
 
-    df = tsdf.df
-    keys = list(tsdf.series_ids)
-    if not keys:
-        df = df.withColumn("__cp_g", F.lit(0))
-        keys = ["__cp_g"]
-    series = [F.col(c) for c in keys]
-    yq = F.floor(F.col(value_col).cast("double") * 1e6 + F.lit(0.5)) / F.lit(1e6)
-    base = df.withColumn("__cp_y", yq).where(F.col("__cp_y").isNotNull())
 
+def _best_splits(tsdf, base: DataFrame, keys, part_cols) -> DataFrame:
+    """Best mean-shift split per ``part_cols`` group of ``base`` (which
+    carries a non-null ``__cp_y`` grid column): one row per group with
+    (part_cols…, split_ts, n_left, n, mean_left, mean_right, score)."""
+    series = [F.col(c) for c in part_cols]
     order = [tsdf._exact_micros_order()]
     if getattr(tsdf, "sequence_col", None):
         order.append(F.col(tsdf.sequence_col))
@@ -59,7 +58,7 @@ def changepoint(tsdf, value_col: str) -> DataFrame:
 
     ydec = F.col("__cp_y").cast("decimal(18,6)")
     staged = base.select(
-        *keys,
+        *part_cols,
         F.col(tsdf.ts_col),
         F.row_number().over(w).alias("__cp_k"),
         F.sum(ydec).over(
@@ -78,7 +77,7 @@ def changepoint(tsdf, value_col: str) -> DataFrame:
     d = ml - mr
     score = (k * nr / n) * (d * d)
     scored = staged.where(F.col("__cp_k") < F.col("__cp_n")).select(
-        *keys,
+        *part_cols,
         F.col(tsdf.ts_col).alias("split_ts"),
         F.col("__cp_k").alias("n_left"),
         F.col("__cp_n").alias("n"),
@@ -93,5 +92,126 @@ def changepoint(tsdf, value_col: str) -> DataFrame:
     return (
         scored.withColumn("__cp_r", F.row_number().over(pick))
         .where(F.col("__cp_r") == 1)
-        .drop("__cp_r", "__cp_g")
+        .drop("__cp_r")
     )
+
+
+def _prepared(tsdf, value_col: str):
+    if value_col not in tsdf.df.columns:
+        raise ValueError(f"value_col {value_col!r} not in DataFrame")
+    clash = sorted(c for c in tsdf.df.columns if c.startswith("__cp_"))
+    if clash:
+        raise ValueError(f"reserved staging columns present: {clash}")
+    df = tsdf.df
+    keys = list(tsdf.series_ids)
+    if not keys:
+        df = df.withColumn("__cp_g", F.lit(0))
+        keys = ["__cp_g"]
+    base = df.withColumn("__cp_y", _grid(value_col)).where(
+        F.col("__cp_y").isNotNull()
+    )
+    return base, keys
+
+
+def changepoint(tsdf, value_col: str) -> DataFrame:
+    """(series…, split_ts, n_left, n, mean_left, mean_right, score) —
+    one row per series holding the best mean-shift split; ``split_ts``
+    is the LAST timestamp of the left segment. See module docstring."""
+    base, keys = _prepared(tsdf, value_col)
+    return _best_splits(tsdf, base, keys, keys).drop("__cp_g")
+
+
+def changepoints(
+    tsdf,
+    value_col: str,
+    rounds: int = 3,
+    min_size: int = 2,
+    min_score: Optional[float] = None,
+) -> DataFrame:
+    """Parallel binary segmentation (see module docstring): every
+    accepted split across ``rounds`` recursion rounds, one row each —
+    (series…, round, segment_id, split_ts, n_left, n, mean_left,
+    mean_right, score). ``segment_id`` is the pre-split segment (root 0,
+    children 2·seg+1 left / 2·seg+2 right — a heap layout, so the
+    segmentation tree reconstructs from ids alone). A split is accepted
+    when both sides have ≥ ``min_size`` rows and (when set) score ≥
+    ``min_score``."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if min_size < 1:
+        raise ValueError(f"min_size must be >= 1, got {min_size}")
+    base, keys = _prepared(tsdf, value_col)
+    seg = base.withColumn("__cp_seg", F.lit(0))
+    part_cols = keys + ["__cp_seg"]
+    out_frames = []
+    persisted = []
+    try:
+        for rnd in range(rounds):
+            best = _best_splits(tsdf, seg, keys, part_cols)
+            accepted = best.where(
+                (F.col("n_left") >= min_size)
+                & ((F.col("n") - F.col("n_left")) >= min_size)
+                & F.col("score").isNotNull()
+            )
+            if min_score is not None:
+                accepted = accepted.where(F.col("score") >= min_score)
+            accepted = accepted.persist()
+            persisted.append(accepted)
+            n_acc = accepted.count()
+            if n_acc == 0:
+                break
+            out_frames.append(
+                accepted.select(
+                    *keys,
+                    F.lit(rnd).alias("round"),
+                    F.col("__cp_seg").alias("segment_id"),
+                    "split_ts", "n_left", "n",
+                    "mean_left", "mean_right", "score",
+                )
+            )
+            # re-segment: rows of an accepted segment move to the heap
+            # children by timestamp (ties at the split stay left)
+            splits = accepted.select(
+                *[F.col(c).alias(f"__cp_j{i}") for i, c in enumerate(part_cols)],
+                F.col("split_ts").alias("__cp_split"),
+            )
+            cond = [
+                F.col(c).eqNullSafe(F.col(f"__cp_j{i}"))
+                for i, c in enumerate(part_cols)
+            ]
+            seg = (
+                seg.join(F.broadcast(splits), cond, "left")
+                .withColumn(
+                    "__cp_seg",
+                    F.when(
+                        F.col("__cp_split").isNull(), F.col("__cp_seg")
+                    ).otherwise(
+                        F.col("__cp_seg") * 2
+                        + F.when(
+                            F.col(tsdf.ts_col) <= F.col("__cp_split"), 1
+                        ).otherwise(2)
+                    ),
+                )
+                .drop("__cp_split", *[f"__cp_j{i}" for i in range(len(part_cols))])
+            )
+            if rnd < rounds - 1:
+                seg = seg.persist()
+                persisted.append(seg)
+        if not out_frames:
+            schema_frame = _best_splits(tsdf, seg, keys, part_cols).select(
+                *keys,
+                F.lit(0).alias("round"),
+                F.col("__cp_seg").alias("segment_id"),
+                "split_ts", "n_left", "n", "mean_left", "mean_right", "score",
+            )
+            return schema_frame.where(F.lit(False)).drop("__cp_g")
+        from functools import reduce
+
+        result = reduce(lambda a, b: a.unionByName(b), out_frames)
+        # materialize before releasing the per-round persists: the union
+        # reads the accepted frames, which must survive until collected
+        result = result.localCheckpoint(eager=True)
+        return result.drop("__cp_g")
+    finally:
+        for f in persisted:
+            f.unpersist()

@@ -1671,6 +1671,17 @@ class TSDF:
 
         return changepoint(self, value_col)
 
+    def changepoints(
+        self, value_col: str, rounds: int = 3, min_size: int = 2,
+        min_score: Optional[float] = None,
+    ) -> DataFrame:
+        """Parallel binary segmentation: every accepted mean-shift split
+        across ``rounds`` recursion rounds (heap segment ids). See
+        operators/changepoint.py."""
+        from tempo_spark.operators.changepoint import changepoints
+
+        return changepoints(self, value_col, rounds, min_size, min_score)
+
     def withDrawdown(
         self, value_col: str, out: str = "drawdown",
         out_pct: str = "drawdown_pct",

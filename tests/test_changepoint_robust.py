@@ -145,3 +145,131 @@ class TestWinsorize:
         # no series ids: global percentiles
         tg = TSDF(df.drop("sym"), ts_col="ts", series_ids=[])
         assert tg.winsorize("v", 0.0, 0.5).df.count() == 10
+
+
+def _py_changepoints(vals, rounds, min_size=2, min_score=None):
+    """Parallel binary segmentation model mirroring the operator exactly
+    (exact decimal sums via integer micros + Fraction casts)."""
+    from fractions import Fraction
+
+    def best(seq):
+        yi = [math.floor(v * 1e6 + 0.5) for v in seq]
+        n = len(yi)
+        tot = sum(yi)
+        b = None
+        run = 0
+        for k in range(1, n):
+            run += yi[k - 1]
+            sl = float(Fraction(run, 10**6))
+            sr = float(Fraction(tot - run, 10**6))
+            ml, mr = sl / k, sr / (n - k)
+            d = ml - mr
+            score = (k * (n - k) / n) * (d * d)
+            if b is None or score > b[0]:
+                b = (score, k, ml, mr)
+        return b
+
+    segs = {0: [v for v in vals if v is not None]}
+    offsets = {0: 0}
+    out = []
+    for rnd in range(rounds):
+        nxt, nxtoff = {}, {}
+        any_acc = False
+        for sid in sorted(segs):
+            seq = segs[sid]
+            if len(seq) < 2:
+                continue
+            b = best(seq)
+            if b is None:
+                continue
+            score, k, ml, mr = b
+            ok = k >= min_size and (len(seq) - k) >= min_size
+            if min_score is not None:
+                ok = ok and score >= min_score
+            if not ok:
+                nxt[sid] = seq
+                nxtoff[sid] = offsets[sid]
+                continue
+            any_acc = True
+            out.append((rnd, sid, offsets[sid] + k - 1, k, len(seq), ml, mr, score))
+            nxt[2 * sid + 1] = seq[:k]
+            nxtoff[2 * sid + 1] = offsets[sid]
+            nxt[2 * sid + 2] = seq[k:]
+            nxtoff[2 * sid + 2] = offsets[sid] + k
+        segs, offsets = nxt, nxtoff
+        if not any_acc:
+            break
+    return out
+
+
+class TestChangepoints:
+    def test_two_planted_shifts_segment_exactly(self, spark):
+        vals = [1.0] * 10 + [5.0] * 10 + [9.0] * 10
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        rows = sorted(
+            t.changepoints("v", rounds=2).collect(),
+            key=lambda r: (r.round, r.segment_id),
+        )
+        model = _py_changepoints(vals, 2)
+        assert len(rows) == len(model)
+        base = dt.datetime(2024, 1, 1)
+        for r, (rnd, sid, pos, k, n, ml, mr, score) in zip(rows, model):
+            assert (r.round, r.segment_id, r.n_left, r.n) == (rnd, sid, k, n)
+            assert (r.mean_left, r.mean_right, r.score) == (ml, mr, score)
+            assert r.split_ts == base + dt.timedelta(seconds=pos)
+        # the two planted seams are both found
+        seams = {r.split_ts for r in rows if r.round <= 1}
+        assert base + dt.timedelta(seconds=9) in seams
+        assert base + dt.timedelta(seconds=19) in seams
+
+    def test_min_score_and_min_size_stop_recursion(self, spark):
+        import random
+
+        rng = random.Random(21)
+        vals = [rng.uniform(0, 0.2) for _ in range(20)] + [
+            5 + rng.uniform(0, 0.2) for _ in range(20)
+        ]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        # huge min_score: only the real seam passes, recursion dries up
+        rows = t.changepoints("v", rounds=4, min_score=50.0).collect()
+        assert len(rows) == 1 and rows[0].n_left == 20
+        # min_size larger than any segment half: nothing accepted
+        assert t.changepoints("v", rounds=2, min_size=30).count() == 0
+        model = _py_changepoints(vals, 4, min_score=50.0)
+        assert len(model) == 1 and model[0][3] == 20
+        with pytest.raises(ValueError, match="rounds"):
+            t.changepoints("v", rounds=0)
+        with pytest.raises(ValueError, match="min_size"):
+            t.changepoints("v", min_size=0)
+
+    def test_multiseries_and_model_parity_deep(self, spark):
+        import random
+
+        rng = random.Random(31)
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        series_vals = {}
+        for sym in ("a", "b"):
+            vals = []
+            for level in (0.0, 3.0, 1.0, 6.0):
+                vals += [level + rng.uniform(-0.2, 0.2) for _ in range(15)]
+            series_vals[sym] = vals
+            rows += [
+                (sym, base + dt.timedelta(seconds=i), v)
+                for i, v in enumerate(vals)
+            ]
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        got = {}
+        for r in t.changepoints("v", rounds=3, min_size=3).collect():
+            got.setdefault(r.sym, []).append(
+                (r.round, r.segment_id, r.n_left, r.n, r.score)
+            )
+        for sym in ("a", "b"):
+            model = [
+                (rnd, sid, k, n, score)
+                for rnd, sid, pos, k, n, ml, mr, score in _py_changepoints(
+                    series_vals[sym], 3, min_size=3
+                )
+            ]
+            assert sorted(got[sym]) == sorted(model)
