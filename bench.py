@@ -411,6 +411,31 @@ def _ts_analytics(spark, sf_dir):
     ).unionByName(ac)
 
 
+def _analytics2(spark, sf_dir):
+    # r11 analytics extras in one pass: 2-round changepoint segmentation,
+    # running drawdown, per-series winsorize, 3-pair correlation matrix.
+    # Self-baselined.
+    de = entry_mod._dedup_events(spark, sf_dir).select(
+        "user_id", "ts", "value", "cents"
+    )
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    cps = t.changepoints("value", rounds=2).select(
+        "user_id", F.col("score").alias("x")
+    )
+    dd = t.withDrawdown("value").df.select(
+        "user_id", F.col("drawdown").alias("x")
+    )
+    wz = t.winsorize("value").df.select(
+        "user_id", F.col("value_wz").alias("x")
+    )
+    pc = t.pairwiseCorr(["value", "cents"]).select(
+        "user_id", F.col("corr").alias("x")
+    )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), [cps, dd, wz, pc])
+
+
 def _bpe(spark, sf_dir):
     # learned BPE end-to-end (r10): vocab groupBy + 256-merge driver train,
     # then the Arrow count engine over the corpus (production config —
@@ -460,6 +485,7 @@ BENCH_QUERIES = {
     "b32_rollup": _rollup,
     "b33_bpe": _bpe,
     "b34_ts_analytics": _ts_analytics,
+    "b35_analytics2": _analytics2,
 }
 
 RUNS = 3
