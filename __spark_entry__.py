@@ -1559,7 +1559,12 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
       cumulative max minus value, exact integers, v = (peak−cents)/100;
     - ``wz`` (r11): per-series winsorize of cents at [0.1, 0.9] — Spark
       ``percentile`` == DuckDB ``quantile_cont`` over exact integers
-      (the grouped_stats idiom), v = clipped/100 hardened."""
+      (the grouped_stats idiom), v = clipped/100 hardened;
+    - ``fc_last``/``fc_drift``/``fc_seas`` (r11, operators/forecast.py):
+      naive / drift / seasonal-naive(4) baseline forecasts of cents at
+      horizon 5, stepping 1 minute from each series' last observation —
+      ts = the forecast timestamp, v = yhat/100 hardened (drift is the
+      one genuinely fractional method)."""
     de = _dedup_events(spark, sf_dir).select("user_id", "ts", "cents", "value")
     t = TSDF(de.select("user_id", "ts", "cents"), ts_col="ts", series_ids=["user_id"])
     out = t.EMA("cents", window=_EMA_WINDOW, exp_factor=_EMA_FACTOR).df
@@ -1588,6 +1593,19 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", _HR6(F.col("cents_wz") / 100).alias("ema_v"),
     )
     parts += [dd, wz]
+    for tag, kw in (
+        ("fc_last", dict(method="last")),
+        ("fc_drift", dict(method="drift")),
+        ("fc_seas", dict(method="seasonal", period=4)),
+    ):
+        fr = t.forecast_naive("cents", 5, "1 minute", **kw)
+        parts.append(
+            fr.select(
+                F.lit(tag).alias("tag"),
+                "user_id", "ts",
+                _HR6(F.col("yhat") / 100).alias("ema_v"),
+            )
+        )
     from functools import reduce as _reduce
 
     return _reduce(lambda a, b: a.unionByName(b), parts)
@@ -1680,6 +1698,40 @@ FROM (
          quantile_cont(cents, 0.1) OVER (PARTITION BY user_id) AS lo,
          quantile_cont(cents, 0.9) OVER (PARTITION BY user_id) AS hi
   FROM de)
+UNION ALL
+-- forecast replay (operators/forecast.py): naive/drift/seasonal-naive
+-- over exact cents; ts = last_us + h minutes
+SELECT tag, user_id, make_timestamp(last_us + h * 60000000) AS ts,
+       floor((yhat / 100) * 1000000 + 0.5) / 1000000 AS ema_v
+FROM (
+  WITH fcb AS (
+    SELECT user_id, epoch_us(ts) AS us, CAST(cents AS DOUBLE) AS yq,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rdesc,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM de),
+  fcends AS (
+    SELECT l.user_id, l.us AS last_us, l.yq AS last_y, l.n,
+           f.yq AS first_y
+    FROM (SELECT * FROM fcb WHERE rdesc = 1) l
+    JOIN (SELECT * FROM fcb WHERE rdesc = n) f ON f.user_id = l.user_id),
+  fch AS (SELECT unnest(generate_series(1, 5)) AS h)
+  SELECT 'fc_last' AS tag, user_id, last_us, h, last_y AS yhat
+  FROM fcends, fch
+  UNION ALL
+  SELECT 'fc_drift', user_id, last_us, h,
+         last_y + CAST(h AS DOUBLE)
+                  * (CASE WHEN n >= 2
+                          THEN (last_y - first_y) / CAST(n - 1 AS DOUBLE)
+                     END)
+  FROM fcends, fch
+  UNION ALL
+  -- seasonal-naive(4): h maps to the tail row rdesc = 4 - ((h-1) % 4)
+  SELECT 'fc_seas', e.user_id, e.last_us, fch.h,
+         CASE WHEN e.n >= 4 THEN tv.yq END
+  FROM fcends e
+  CROSS JOIN fch
+  LEFT JOIN fcb tv
+    ON tv.user_id = e.user_id AND tv.rdesc = 4 - ((fch.h - 1) % 4))
 """
 
 

@@ -1671,6 +1671,17 @@ class TSDF:
 
         return changepoint(self, value_col)
 
+    def forecast_naive(
+        self, value_col: str, horizon: int, freq: str,
+        method: str = "last", period: Optional[int] = None,
+    ) -> DataFrame:
+        """Baseline forecasts per series (naive / drift / seasonal-naive):
+        (series…, h, ts, yhat), ``horizon`` future rows stepping by
+        ``freq`` from the last observation. See operators/forecast.py."""
+        from tempo_spark.operators.forecast import forecast_naive
+
+        return forecast_naive(self, value_col, horizon, freq, method, period)
+
     def changepoints(
         self, value_col: str, rounds: int = 3, min_size: int = 2,
         min_score: Optional[float] = None,
