@@ -1230,7 +1230,9 @@ def rollup_probe(spark, n_rows: int, n_series: int, span_days: int = 1) -> dict:
     return out
 
 
-def analytics_probe(spark, n_rows: int, n_series: int) -> dict:
+def analytics_probe(
+    spark, n_rows: int, n_series: int, sweep: bool = True
+) -> dict:
     """r10 analytics ops at 100× shapes (round-11 VERDICT item):
 
     - ACF strategy crossover: window form (one lead per lag, explode)
@@ -1264,22 +1266,23 @@ def analytics_probe(spark, n_rows: int, n_series: int) -> dict:
             secs.append(round(time.monotonic() - t0, 2))
         return {"sec": min(secs), "reps": secs}
 
-    sweep: dict = {}
-    for lags in (8, 32, 64, 128):
-        win = timed2(lambda: t.autocorr("value", lags, strategy="window"))
-        join = timed2(lambda: t.autocorr("value", lags, strategy="join"))
-        sweep[lags] = {"window": win, "join": join}
-    out["acf_strategy_sweep"] = sweep
-    crossover = next(
-        (
-            lg
-            for lg in sorted(sweep)
-            if sweep[lg]["join"]["sec"] < sweep[lg]["window"]["sec"]
-        ),
-        None,
-    )
-    out["acf_join_wins_from_lags"] = crossover
-    out["lag_window_max_current"] = acf_mod.LAG_WINDOW_MAX
+    if sweep:
+        sw: dict = {}
+        for lags in (8, 32, 64, 128):
+            win = timed2(lambda: t.autocorr("value", lags, strategy="window"))
+            join = timed2(lambda: t.autocorr("value", lags, strategy="join"))
+            sw[lags] = {"window": win, "join": join}
+        out["acf_strategy_sweep"] = sw
+        crossover = next(
+            (
+                lg
+                for lg in sorted(sw)
+                if sw[lg]["join"]["sec"] < sw[lg]["window"]["sec"]
+            ),
+            None,
+        )
+        out["acf_join_wins_from_lags"] = crossover
+        out["lag_window_max_current"] = acf_mod.LAG_WINDOW_MAX
     out["seasonal_ma"] = timed2(lambda: t.seasonal_decompose("value", 24))
     out["seasonal_median"] = timed2(
         lambda: t.seasonal_decompose("value", 24, trend_method="median")
@@ -1287,6 +1290,24 @@ def analytics_probe(spark, n_rows: int, n_series: int) -> dict:
     out["fit_trend"] = timed2(lambda: t.fit_trend("value"))
     out["acf20"] = timed2(lambda: t.autocorr("value", 20))
     out["pacf20"] = timed2(lambda: t.pacf("value", 20))
+    # r11 additions: changepoint family, drawdown, winsorize, corr matrix
+    out["changepoint"] = timed2(lambda: t.changepoint("value"))
+    out["changepoints_r3"] = timed2(
+        lambda: t.changepoints("value", rounds=3)
+    )
+    out["drawdown"] = timed2(lambda: t.withDrawdown("value").df)
+    out["winsorize"] = timed2(lambda: t.winsorize("value").df)
+    out["pairwise_corr4"] = timed2(
+        lambda: TSDF(
+            t.df.withColumn("v2", F.pmod(F.xxhash64("value"), F.lit(997)) / 10.0)
+            .withColumn("v3", F.pmod(F.xxhash64("value", F.lit(1)), F.lit(97)) / 10.0)
+            .withColumn("v4", F.pmod(F.xxhash64("value", F.lit(2)), F.lit(11)) / 10.0),
+            ts_col="ts", series_ids=["user_id"],
+        ).pairwiseCorr(["value", "v2", "v3", "v4"])
+    )
+    out["forecast_drift"] = timed2(
+        lambda: t.forecast_naive("value", 24, "1 minute", method="drift")
+    )
     return out
 
 
@@ -1421,6 +1442,15 @@ def main():
         print(json.dumps(_stamp(rollup_probe(spark, 8_000_000, 100, 1))))
         # sparse regime (~0.2 rows per finest bucket): naive should win
         print(json.dumps(_stamp(rollup_probe(spark, 8_000_000, 10_000, 3))))
+        spark.stop()
+        return
+    if "--analytics2" in sys.argv:
+        # the r11 additions only (skips the expensive acf strategy sweep)
+        spark = _probe_session()
+        for n in (2_000_000, 8_000_000):
+            print(json.dumps(_stamp(
+                analytics_probe(spark, n, 10_000, sweep=False)
+            )))
         spark.stop()
         return
     if "--analytics" in sys.argv:
