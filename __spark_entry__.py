@@ -661,8 +661,8 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
       (cents%1000)/100, pmod(cents,7)) — the 3 unordered pairs in one
       pass, same exact-sum Pearson; bucket_ts encodes the pair as
       epoch + 30/31/32 seconds."""
-    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
-    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value", "cents")
+    t = TSDF(de.select("user_id", "ts", "value"), ts_col="ts", series_ids=["user_id"])
     out = t.twap("1 hour", "value").df
     tw = out.select(
         F.lit("twap").alias("tag"),
@@ -689,9 +689,8 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros((F.col("lag") + 20) * 1_000_000).alias("bucket_ts"),
         _HR6(F.col("pacf")).alias("twap_v"),
     )
-    decp = _dedup_events(spark, sf_dir).select("user_id", "ts", "value", "cents")
     tpc = TSDF(
-        decp.withColumn("y2", (F.col("cents") % 1000) / 100)
+        de.withColumn("y2", (F.col("cents") % 1000) / 100)
         .withColumn("y3", F.pmod(F.col("cents"), F.lit(7)).cast("double")),
         ts_col="ts", series_ids=["user_id"],
     )
@@ -735,9 +734,8 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ccf (r10): cross-correlation value vs the derived (cents%1000)/100
     # metric at lags -2..2 (bucket_ts encodes lag+10 so negatives fit);
     # same exact-sum machinery as acf
-    dec = _dedup_events(spark, sf_dir).select("user_id", "ts", "value", "cents")
     tcc = TSDF(
-        dec.withColumn("y2", (F.col("cents") % 1000) / 100),
+        de.withColumn("y2", (F.col("cents") % 1000) / 100),
         ts_col="ts", series_ids=["user_id"],
     )
     cc = tcc.crossCorr("value", "y2", max_lag=2)
@@ -1593,19 +1591,36 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", _HR6(F.col("cents_wz") / 100).alias("ema_v"),
     )
     parts += [dd, wz]
-    for tag, kw in (
-        ("fc_last", dict(method="last")),
-        ("fc_drift", dict(method="drift")),
-        ("fc_seas", dict(method="seasonal", period=4)),
-    ):
-        fr = t.forecast_naive("cents", 5, "1 minute", **kw)
-        parts.append(
-            fr.select(
-                F.lit(tag).alias("tag"),
-                "user_id", "ts",
-                _HR6(F.col("yhat") / 100).alias("ema_v"),
-            )
+
+    # literal tags (not a loop variable) so gen_gatemap's seam map sees
+    # them — the TAG_RE scans for F.lit("...") literals
+    def _fc_rows(tag_col, fr):
+        return fr.select(
+            tag_col,
+            "user_id", "ts",
+            _HR6(F.col("yhat") / 100).alias("ema_v"),
         )
+
+    parts.append(
+        _fc_rows(
+            F.lit("fc_last").alias("tag"),
+            t.forecast_naive("cents", 5, "1 minute"),
+        )
+    )
+    parts.append(
+        _fc_rows(
+            F.lit("fc_drift").alias("tag"),
+            t.forecast_naive("cents", 5, "1 minute", method="drift"),
+        )
+    )
+    parts.append(
+        _fc_rows(
+            F.lit("fc_seas").alias("tag"),
+            t.forecast_naive(
+                "cents", 5, "1 minute", method="seasonal", period=4
+            ),
+        )
+    )
     from functools import reduce as _reduce
 
     return _reduce(lambda a, b: a.unionByName(b), parts)
@@ -1689,10 +1704,13 @@ SELECT 'dd' AS tag, user_id, ts,
               - cents) / 100.0, 6) AS ema_v
 FROM de
 UNION ALL
--- winsorize replay: exact interpolated per-series percentiles
+-- winsorize replay: exact interpolated per-series percentiles; NULL
+-- cents stays NULL (DuckDB least/greatest would otherwise emit `lo`)
 SELECT 'wz' AS tag, user_id, ts,
-       floor((least(greatest(CAST(cents AS DOUBLE), lo), hi) / 100)
-             * 1000000 + 0.5) / 1000000 AS ema_v
+       CASE WHEN cents IS NULL THEN NULL
+            ELSE floor((least(greatest(CAST(cents AS DOUBLE), lo), hi) / 100)
+                       * 1000000 + 0.5) / 1000000
+       END AS ema_v
 FROM (
   SELECT user_id, ts, cents,
          quantile_cont(cents, 0.1) OVER (PARTITION BY user_id) AS lo,
@@ -1705,15 +1723,19 @@ SELECT tag, user_id, make_timestamp(last_us + h * 60000000) AS ts,
        floor((yhat / 100) * 1000000 + 0.5) / 1000000 AS ema_v
 FROM (
   WITH fcb AS (
+    -- NULL cents rows are EXCLUDED like the operator's grid filter
+    -- (testdata has none today — the r6/r9 mirror rule says the oracle
+    -- must not depend on that)
     SELECT user_id, epoch_us(ts) AS us, CAST(cents AS DOUBLE) AS yq,
            row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rdesc,
            count(*) OVER (PARTITION BY user_id) AS n
-    FROM de),
+    FROM de WHERE cents IS NOT NULL),
   fcends AS (
     SELECT l.user_id, l.us AS last_us, l.yq AS last_y, l.n,
            f.yq AS first_y
     FROM (SELECT * FROM fcb WHERE rdesc = 1) l
-    JOIN (SELECT * FROM fcb WHERE rdesc = n) f ON f.user_id = l.user_id),
+    JOIN (SELECT * FROM fcb WHERE rdesc = n) f
+      ON f.user_id IS NOT DISTINCT FROM l.user_id),
   fch AS (SELECT unnest(generate_series(1, 5)) AS h)
   SELECT 'fc_last' AS tag, user_id, last_us, h, last_y AS yhat
   FROM fcends, fch
@@ -1731,7 +1753,8 @@ FROM (
   FROM fcends e
   CROSS JOIN fch
   LEFT JOIN fcb tv
-    ON tv.user_id = e.user_id AND tv.rdesc = 4 - ((fch.h - 1) % 4))
+    ON tv.user_id IS NOT DISTINCT FROM e.user_id
+   AND tv.rdesc = 4 - ((fch.h - 1) % 4))
 """
 
 

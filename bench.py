@@ -152,12 +152,25 @@ def _pq_ann(spark, sf_dir):
     return ivf_pq_topk(idx, codec, queries, codes_df=codes, k=5, nprobe=4)
 
 
+def _force(df):
+    # count() lets Catalyst prune unreferenced computed columns — for a
+    # window-only frame the whole Window node vanishes and the "measured"
+    # query is just the scan (the r10 scale_probe lesson, found applying
+    # to bench in r11). Checksum-aggregate every column so the measured
+    # plan IS the operator's plan. Applied to SELF-BASELINED rows only:
+    # v0-comparable rows keep the historical .count() protocol, which was
+    # symmetric (the v0 capture pruned identically) — see BASELINE.md.
+    return df.agg(
+        F.sum(F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(1 << 30)))
+    )
+
+
 def _range_corr(spark, sf_dir):
     # production prefix strategy (O(n) sufficient-sum differences)
     de = entry_mod._dedup_events(spark, sf_dir).select("user_id", "ts", "cents")
     de = de.withColumn("y", F.expr("cents % 1000"))
     t = TSDF(de, ts_col="ts", series_ids=["user_id"])
-    return t.withRangeCorr("cents", "y", rangeBackWindowSecs=1000).df
+    return _force(t.withRangeCorr("cents", "y", rangeBackWindowSecs=1000).df)
 
 
 def _paragraph_dedup(spark, sf_dir):
@@ -405,10 +418,10 @@ def _ts_analytics(spark, sf_dir):
         "user_id", F.col("lag").cast("long").alias("lag_or_null"),
         F.col("acf").alias("x"),
     )
-    return sd.select(
+    return _force(sd.select(
         "user_id", F.lit(None).cast("long").alias("lag_or_null"),
         F.col("resid").alias("x"),
-    ).unionByName(ac)
+    ).unionByName(ac))
 
 
 def _analytics2(spark, sf_dir):
@@ -433,7 +446,7 @@ def _analytics2(spark, sf_dir):
     )
     from functools import reduce
 
-    return reduce(lambda a, b: a.unionByName(b), [cps, dd, wz, pc])
+    return _force(reduce(lambda a, b: a.unionByName(b), [cps, dd, wz, pc]))
 
 
 def _bpe(spark, sf_dir):

@@ -30,6 +30,8 @@ from typing import Sequence, Union
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from tempo_spark.functions.grid import grid6
+
 # Past this many lags the per-lag window form stops being the safe
 # default: each lag adds a window function (its own frame processor at
 # execution) + a struct to the explode array + plan-build latency (the
@@ -42,6 +44,41 @@ from pyspark.sql import DataFrame, Window
 # dominates). 32 keeps the bounded-plan default; pass strategy= to pin
 # either form when the shape is known.
 LAG_WINDOW_MAX = 32
+
+
+def _pearson_from_pairs(ex, group_cols, out_name: str) -> DataFrame:
+    """THE Pearson-from-sufficient-sums tail shared by every correlation
+    surface (_lagged_corr and pairwise_corr — r10 merged acf/ccf into
+    one kernel so the exactness-critical expression can't drift; this
+    keeps the r11 pairwise matrix on the same single definition).
+    ``ex`` holds (group_cols…, x, y) grid pairs; output is
+    (group_cols minus the no-keys sentinel…, n_pairs, out_name)."""
+    xd = F.col("x").cast("decimal(18,6)")
+    yd = F.col("y").cast("decimal(18,6)")
+    agg = ex.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(xd).alias("__sx"),
+        F.sum(yd).alias("__sy"),
+        F.sum(xd * yd).alias("__sxy"),
+        F.sum(xd * xd).alias("__sxx"),
+        F.sum(yd * yd).alias("__syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
+        (n * sxy - sx * sy) / F.sqrt(vx * vy),
+    )
+    return agg.select(
+        *[c for c in group_cols if c != "__ac_g"], "n_pairs",
+        corr.alias(out_name),
+    )
 
 
 def _lagged_corr(
@@ -64,8 +101,7 @@ def _lagged_corr(
     if not keys:
         df = df.withColumn("__ac_g", F.lit(0))
         keys = ["__ac_g"]
-    def _grid(c):
-        return F.floor(F.col(c).cast("double") * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    _grid = grid6
 
     order = [tsdf._exact_micros_order()]
     if getattr(tsdf, "sequence_col", None):
@@ -147,32 +183,7 @@ def _lagged_corr(
             .select(*keys, "lag", "x", "y")
             .where(F.col("x").isNotNull() & F.col("y").isNotNull())
         )
-    xd = F.col("x").cast("decimal(18,6)")
-    yd = F.col("y").cast("decimal(18,6)")
-    agg = ex.groupBy(*keys, "lag").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(xd).alias("__sx"),
-        F.sum(yd).alias("__sy"),
-        F.sum(xd * yd).alias("__sxy"),
-        F.sum(xd * xd).alias("__sxx"),
-        F.sum(yd * yd).alias("__syy"),
-    )
-    n = F.col("n_pairs").cast("double")
-    sx = F.col("__sx").cast("double")
-    sy = F.col("__sy").cast("double")
-    sxy = F.col("__sxy").cast("double")
-    sxx = F.col("__sxx").cast("double")
-    syy = F.col("__syy").cast("double")
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    corr = F.when(
-        (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
-        (n * sxy - sx * sy) / F.sqrt(vx * vy),
-    )
-    return agg.select(
-        *[c for c in keys if c != "__ac_g"], "lag", "n_pairs",
-        corr.alias(out_name),
-    )
+    return _pearson_from_pairs(ex, keys + ["lag"], out_name)
 
 
 def autocorr(
@@ -238,8 +249,7 @@ def pairwise_corr(tsdf, metric_cols) -> DataFrame:
         df = df.withColumn("__ac_g", F.lit(0))
         keys = ["__ac_g"]
 
-    def _grid(c):
-        return F.floor(F.col(c).cast("double") * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    _grid = grid6
 
     pairs = [
         (cols[i], cols[j])
@@ -262,32 +272,7 @@ def pairwise_corr(tsdf, metric_cols) -> DataFrame:
         .select(*keys, "p.x_col", "p.y_col", "p.x", "p.y")
         .where(F.col("x").isNotNull() & F.col("y").isNotNull())
     )
-    xd = F.col("x").cast("decimal(18,6)")
-    yd = F.col("y").cast("decimal(18,6)")
-    agg = ex.groupBy(*keys, "x_col", "y_col").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(xd).alias("__sx"),
-        F.sum(yd).alias("__sy"),
-        F.sum(xd * yd).alias("__sxy"),
-        F.sum(xd * xd).alias("__sxx"),
-        F.sum(yd * yd).alias("__syy"),
-    )
-    n = F.col("n_pairs").cast("double")
-    sx = F.col("__sx").cast("double")
-    sy = F.col("__sy").cast("double")
-    sxy = F.col("__sxy").cast("double")
-    sxx = F.col("__sxx").cast("double")
-    syy = F.col("__syy").cast("double")
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    corr = F.when(
-        (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
-        (n * sxy - sx * sy) / F.sqrt(vx * vy),
-    )
-    return agg.select(
-        *[c for c in keys if c != "__ac_g"], "x_col", "y_col", "n_pairs",
-        corr.alias("corr"),
-    )
+    return _pearson_from_pairs(ex, keys + ["x_col", "y_col"], "corr")
 
 
 def pacf(tsdf, value_col: str, lags: int = 10) -> DataFrame:

@@ -27,9 +27,10 @@ Determinism contract (the ACF idiom): rows order by exact epoch micros
 (+ sequence col, + a value-grid content hash so ties are total over
 distinct rows); NULL values are EXCLUDED from the statistic; a segment
 shorter than 2 usable rows emits nothing. Segment membership after a
-split is decided by timestamp alone (ties AT the split timestamp stay
-left), so re-segmentation is deterministic even under duplicate
-timestamps. ``score`` replays bit-for-bit on an external engine.
+split follows POSITION in that same total order (rows ≤ the reported
+n_left go left), so the realized children always match the reported
+n_left/means/score, including under duplicate timestamps. ``score``
+replays bit-for-bit on an external engine.
 """
 
 from __future__ import annotations
@@ -39,9 +40,7 @@ from typing import Optional
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-
-def _grid(c):
-    return F.floor(F.col(c).cast("double") * 1e6 + F.lit(0.5)) / F.lit(1e6)
+from tempo_spark.functions.grid import grid6
 
 
 def _best_splits(tsdf, base: DataFrame, keys, part_cols) -> DataFrame:
@@ -107,7 +106,7 @@ def _prepared(tsdf, value_col: str):
     if not keys:
         df = df.withColumn("__cp_g", F.lit(0))
         keys = ["__cp_g"]
-    base = df.withColumn("__cp_y", _grid(value_col)).where(
+    base = df.withColumn("__cp_y", grid6(value_col)).where(
         F.col("__cp_y").isNotNull()
     )
     return base, keys
@@ -169,30 +168,44 @@ def changepoints(
                     "mean_left", "mean_right", "score",
                 )
             )
-            # re-segment: rows of an accepted segment move to the heap
-            # children by timestamp (ties at the split stay left)
+            # re-segment by POSITION in the same (micros, seq, value-hash)
+            # order the split was SCORED on — a timestamp comparison would
+            # send tied-ts rows to the wrong child, making the realized
+            # segments disagree with the reported n_left/means/score
+            # (r11 review: dup-ts series mis-segmented)
             splits = accepted.select(
                 *[F.col(c).alias(f"__cp_j{i}") for i, c in enumerate(part_cols)],
-                F.col("split_ts").alias("__cp_split"),
+                F.col("n_left").alias("__cp_nl"),
             )
             cond = [
                 F.col(c).eqNullSafe(F.col(f"__cp_j{i}"))
                 for i, c in enumerate(part_cols)
             ]
+            order = [tsdf._exact_micros_order()]
+            if getattr(tsdf, "sequence_col", None):
+                order.append(F.col(tsdf.sequence_col))
+            order.append(F.xxhash64(F.col("__cp_y")))
+            wpos = Window.partitionBy(
+                *[F.col(c) for c in part_cols]
+            ).orderBy(*order)
             seg = (
-                seg.join(F.broadcast(splits), cond, "left")
+                seg.withColumn("__cp_pos", F.row_number().over(wpos))
+                .join(F.broadcast(splits), cond, "left")
                 .withColumn(
                     "__cp_seg",
                     F.when(
-                        F.col("__cp_split").isNull(), F.col("__cp_seg")
+                        F.col("__cp_nl").isNull(), F.col("__cp_seg")
                     ).otherwise(
                         F.col("__cp_seg") * 2
                         + F.when(
-                            F.col(tsdf.ts_col) <= F.col("__cp_split"), 1
+                            F.col("__cp_pos") <= F.col("__cp_nl"), 1
                         ).otherwise(2)
                     ),
                 )
-                .drop("__cp_split", *[f"__cp_j{i}" for i in range(len(part_cols))])
+                .drop(
+                    "__cp_nl", "__cp_pos",
+                    *[f"__cp_j{i}" for i in range(len(part_cols))],
+                )
             )
             if rnd < rounds - 1:
                 seg = seg.persist()

@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from tempo_spark.functions.freq import parse_freq
+from tempo_spark.functions.grid import grid6
 
 
 def forecast_naive(
@@ -54,6 +55,12 @@ def forecast_naive(
         raise ValueError(f"period only applies to method='seasonal'")
     if value_col not in tsdf.df.columns:
         raise ValueError(f"value_col {value_col!r} not in DataFrame")
+    clash = sorted(
+        c for c in tsdf.df.columns
+        if c in ("h", "yhat") or c.startswith("__fc_")
+    )
+    if clash:
+        raise ValueError(f"reserved output/staging columns present: {clash}")
     f = parse_freq(freq)
     # exact integer micros per step (f.seconds is a float — 1µs would
     # round-trip fine but integers keep the emitted grid exact)
@@ -72,7 +79,7 @@ def forecast_naive(
     if not keys:
         df = df.withColumn("__fc_g", F.lit(0))
         keys = ["__fc_g"]
-    yq = F.floor(F.col(value_col).cast("double") * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    yq = grid6(value_col)
     micros = tsdf._exact_micros_order()
     base = df.select(
         *keys, micros.alias("__fc_us"), yq.alias("__fc_y")
@@ -85,12 +92,21 @@ def forecast_naive(
         F.min(ord_struct).alias("__fc_first"),
     ]
     if method == "seasonal":
-        # last `period` values in series order (sorted struct slice)
+        # last `period` values only — a whole-series collect_list would
+        # put O(series length) in one agg buffer (r11 review); a
+        # descending row_number bounds the collected set to `period`
+        # rows, and the window shares the aggregation's clustering
+        from pyspark.sql import Window
+
+        wdesc = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(
+            F.col("__fc_us").desc()
+        )
+        base = base.withColumn("__fc_rd", F.row_number().over(wdesc))
         aggs.append(
-            F.slice(
-                F.array_sort(F.collect_list(ord_struct)),
-                -int(period),
-                int(period),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("__fc_rd") <= int(period), ord_struct)
+                )
             ).alias("__fc_tail")
         )
     per = base.groupBy(*keys).agg(*aggs)

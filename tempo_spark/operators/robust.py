@@ -19,9 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-
-def _grid(c):
-    return F.floor(F.col(c).cast("double") * 1e6 + F.lit(0.5)) / F.lit(1e6)
+from tempo_spark.functions.grid import grid6
 
 
 def with_drawdown(
@@ -48,7 +46,7 @@ def with_drawdown(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    yq = _grid(value_col)
+    yq = grid6(value_col)
     peak = F.max(yq).over(w)
     dd = peak - yq
     pct = F.when(peak != 0, dd / peak)
@@ -83,7 +81,12 @@ def winsorize(
         raise ValueError(f"reserved staging columns present: {clash}")
     df = tsdf.df
     keys = list(tsdf.series_ids)
-    v = F.col(value_col)
+    vd = F.col(value_col).cast("double")
+    # NaN behaves like NULL (the r9 "NaN > everything" class): excluded
+    # from the percentile fit (Spark sorts NaN above every real value, so
+    # one NaN would drag the upper bound to NaN and disable clipping) and
+    # NaN inputs emit NULL instead of a fabricated clipped value
+    v = F.when(vd.isNotNull() & ~F.isnan(vd), vd)
     if not keys:
         # global percentiles via a windowless aggregate broadcast back
         bounds = df.agg(
@@ -109,8 +112,6 @@ def winsorize(
         )
     clipped = F.when(
         v.isNotNull(),
-        F.least(
-            F.greatest(v.cast("double"), F.col("__wz_lo")), F.col("__wz_hi")
-        ),
+        F.least(F.greatest(v, F.col("__wz_lo")), F.col("__wz_hi")),
     )
     return joined.withColumn(out, clipped).drop("__wz_lo", "__wz_hi")

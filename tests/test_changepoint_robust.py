@@ -273,3 +273,95 @@ class TestChangepoints:
                 )
             ]
             assert sorted(got[sym]) == sorted(model)
+
+
+class TestReviewRegressionsR11:
+    def test_changepoints_dup_ts_realized_segments_match_reported(self, spark):
+        """Re-segmentation follows the SCORING order, so children stats
+        observed in the next round match the reported n_left/n even when
+        rows tie on timestamp (r11 review: ts-comparison sent both tied
+        rows left)."""
+        base = dt.datetime(2024, 1, 1)
+        offs = [0, 1, 2, 2, 3, 4]  # ties at offset 2 straddle the seam
+        vals = [100.0, 100.0, 100.0, 0.0, 0.0, 0.0]
+        df = spark.createDataFrame(
+            [("a", base + dt.timedelta(seconds=o), v)
+             for o, v in zip(offs, vals)],
+            "sym string, ts timestamp, v double",
+        )
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        rows = {
+            (r.round, r.segment_id): r
+            for r in t.changepoints("v", rounds=2, min_size=1).collect()
+        }
+        r0 = rows[(0, 0)]
+        assert (r0.n_left, r0.n) == (3, 6)
+        assert (r0.mean_left, r0.mean_right) == (100.0, 0.0)
+        # round-1 children must carry EXACTLY n_left / n - n_left rows
+        child_ns = {
+            sid: rows[(1, sid)].n for sid in (1, 2) if (1, sid) in rows
+        }
+        assert all(n == 3 for n in child_ns.values())
+        # and each child is internally constant -> its split is a tie
+        # between equal means (score 0) or filtered; either way no child
+        # may report a mixed segment (mean_left != mean_right with a
+        # non-trivial score)
+        for sid in child_ns:
+            r = rows[(1, sid)]
+            assert r.score == 0.0
+
+    def test_nan_values_behave_like_null(self, spark):
+        nan = float("nan")
+        vals = [10.0, nan, 5.0, 12.0]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        # drawdown: NaN row gets NULL dd, the peak is NOT poisoned
+        rows = t.withDrawdown("v").df.orderBy("ts").collect()
+        assert [r.peak for r in rows] == [10.0, 10.0, 10.0, 12.0]
+        assert rows[1].drawdown is None
+        assert rows[2].drawdown == 5.0
+        # winsorize: bounds fit on non-NaN values; NaN input -> NULL out
+        wz = t.winsorize("v", 0.0, 0.5).df.orderBy("ts").collect()
+        assert wz[1].v_wz is None
+        assert all(
+            r.v_wz is not None and r.v_wz <= 10.0
+            for i, r in enumerate(wz) if i != 1
+        )
+        # changepoint / pairwiseCorr: no ANSI cast crash, NaN excluded
+        cp = t.changepoint("v").collect()[0]
+        assert cp.n == 3  # NaN row excluded like a NULL
+        df2 = t.df.withColumn("v2", t.df.v * 2)
+        pc = TSDF(df2, ts_col="ts", series_ids=["sym"]).pairwiseCorr(
+            ["v", "v2"]
+        ).collect()[0]
+        assert pc.n_pairs == 3 and abs(pc.corr - 1.0) < 1e-9
+
+    def test_forecast_reserved_guards(self, spark):
+        import pyspark.sql.functions as F
+
+        t = TSDF(
+            _mk(spark, [1.0, 2.0]).withColumn("h", F.lit(1)),
+            ts_col="ts", series_ids=["sym"],
+        )
+        with pytest.raises(ValueError, match="reserved"):
+            t.forecast_naive("v", 2, "1 minute")
+        t2 = TSDF(
+            _mk(spark, [1.0, 2.0]).withColumn("yhat", F.lit(1.0)),
+            ts_col="ts", series_ids=["sym"],
+        )
+        with pytest.raises(ValueError, match="reserved"):
+            t2.forecast_naive("v", 2, "1 minute")
+
+    def test_grid6_quantization_and_nan(self, spark):
+        """functions.grid.grid6 — THE shared 1e-6 quantizer: hardened
+        floor on reals, NULL for NULL and NaN inputs."""
+        import pyspark.sql.functions as F
+
+        from tempo_spark.functions.grid import grid6
+
+        df = spark.createDataFrame(
+            [(1.2345678,), (float("nan"),), (None,), (-1.9999996,)],
+            "v double",
+        )
+        got = [r.g for r in df.select(grid6("v").alias("g")).collect()]
+        assert got == [1.234568, None, None, -2.0]  # floor(x*1e6+.5)/1e6
+        assert df.select(grid6(F.col("v") * 2).alias("g")).count() == 4
