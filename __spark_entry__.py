@@ -4345,7 +4345,14 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     list fused with a raw-dot-product list at rrf_k=60. The fused score is
     a FIXED-order sum of per-list reciprocals (not a float aggregate), so
     DuckDB replays score AND ranks bit-identically; ties break discretely
-    by (lists matched, per-list ranks, id)."""
+    by (lists matched, per-list ranks, id).
+
+    ``rmet`` (r11, search.retrieval_metrics): IR evaluation of the cos
+    top-5 against synthesized binary qrels ((doc·7 + query) % 23 == 0) —
+    per query, rows (metric_idx in vec_id): 0 recall@5, 1 MRR, 2 nDCG@5,
+    3 n_relevant, 4 hits. DCG/IDCG are exact integer sums over the
+    quantized log weights, so every metric is one IEEE division both
+    engines replay bit-for-bit."""
     from pyspark.sql import Window as _W
 
     from tempo_spark.pipeline.search import rrf_fuse
@@ -4408,6 +4415,40 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") < 50).select("vec_id", "embedding"),
         "embedding", out="__nv",
     )
+    # rmet (r11): retrieval metrics of the cos list vs synthesized qrels
+    from tempo_spark.pipeline.search import retrieval_metrics
+
+    qrels = (
+        emb.select("vec_id")
+        .crossJoin(F.broadcast(queries.select("query_id")))
+        .where(((F.col("vec_id") * 7 + F.col("query_id")) % 23) == 0)
+        .select("query_id", F.col("vec_id").alias("doc_id"))
+    )
+    rm = retrieval_metrics(
+        cos.select("query_id", F.col("vec_id").alias("doc_id"), "rank"),
+        qrels, k=5,
+    )
+    rmet_rows = rm.select(
+        F.lit("rmet").alias("tag"),
+        "query_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).cast("long").alias("vec_id"),
+                         F.col("recall_at_k").alias("cosine")),
+                F.struct(F.lit(1).cast("long").alias("vec_id"),
+                         F.col("mrr").alias("cosine")),
+                F.struct(F.lit(2).cast("long").alias("vec_id"),
+                         F.col("ndcg_at_k").alias("cosine")),
+                F.struct(F.lit(3).cast("long").alias("vec_id"),
+                         F.col("n_relevant").cast("double").alias("cosine")),
+                F.struct(F.lit(4).cast("long").alias("vec_id"),
+                         F.col("hits").cast("double").alias("cosine")),
+            )
+        ).alias("p"),
+    ).select(
+        "tag", "query_id", F.col("p.vec_id").alias("vec_id"),
+        F.col("p.cosine").alias("cosine"), F.lit(5).alias("rank"),
+    )
     norm_rows = nv.select(
         F.lit("norm").alias("tag"),
         F.col("vec_id").alias("query_id"),
@@ -4418,7 +4459,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _HR6(F.col("__c")).alias("cosine"),
         F.lit(1).cast("int").alias("rank"),
     )
-    return base.unionByName(rrf).unionByName(norm_rows)
+    return (
+        base.unionByName(rrf).unionByName(norm_rows).unionByName(rmet_rows)
+    )
 
 
 _ANN_ORACLE = """
@@ -4482,7 +4525,56 @@ UNION ALL
 SELECT 'norm' AS tag, vec_id AS query_id, pos AS vec_id,
        floor(comp * 1000000 + 0.5) / 1000000 AS cosine, 1 AS rank
 FROM nrm
+UNION ALL
+SELECT 'rmet' AS tag, query_id, m AS vec_id, v AS cosine, 5 AS rank
+FROM (
+  WITH rmqr AS (
+    SELECT qq.query_id, cc.vec_id AS doc_id
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) qq
+    CROSS JOIN (SELECT vec_id FROM embeddings) cc
+    WHERE (cc.vec_id * 7 + qq.query_id) % 23 = 0),
+  rmh AS (
+    SELECT r.query_id, res.rank
+    FROM rmqr r LEFT JOIN
+         (SELECT query_id, vec_id AS doc_id, rank FROM ranked WHERE rank <= 5) res
+      ON res.query_id = r.query_id AND res.doc_id = r.doc_id),
+  rmagg AS (
+    SELECT query_id, count(*) AS n_rel, count(rank) AS hits,
+           min(rank) AS frst,
+           sum(CASE WHEN rank IS NOT NULL THEN (__RMET_W__)[rank] END) AS dcg
+    FROM rmh GROUP BY query_id),
+  rmfin AS (
+    SELECT query_id, n_rel, hits, frst, dcg,
+           (__RMET_P__)[least(n_rel, 5)] AS idcg
+    FROM rmagg)
+  SELECT query_id, 0 AS m, CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE) AS v
+  FROM rmfin
+  UNION ALL
+  SELECT query_id, 1, CASE WHEN frst IS NOT NULL
+                           THEN 1.0 / CAST(frst AS DOUBLE) ELSE 0.0 END
+  FROM rmfin
+  UNION ALL
+  SELECT query_id, 2, CASE WHEN idcg > 0
+                           THEN CAST(coalesce(dcg, 0) AS DOUBLE)
+                                / CAST(idcg AS DOUBLE) END
+  FROM rmfin
+  UNION ALL
+  SELECT query_id, 3, CAST(n_rel AS DOUBLE) FROM rmfin
+  UNION ALL
+  SELECT query_id, 4, CAST(hits AS DOUBLE) FROM rmfin)
 """
+
+# nDCG weight/ideal-prefix literals — the SAME integers the operator
+# embeds (search._ndcg_weights), so DCG/IDCG replay as exact integer sums
+from tempo_spark.pipeline.search import _ndcg_weights as _rm_w
+
+_RMET_W = _rm_w(5)
+_ANN_ORACLE = _ANN_ORACLE.replace(
+    "__RMET_W__", "[" + ", ".join(str(x) for x in _RMET_W) + "]"
+).replace(
+    "__RMET_P__",
+    "[" + ", ".join(str(sum(_RMET_W[: i + 1])) for i in range(5)) + "]",
+)
 
 
 def _lsh_oracle(n_planes: int = 6, dim: int = None, seed: int = 42, k: int = 5) -> str:

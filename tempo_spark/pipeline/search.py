@@ -537,3 +537,140 @@ def rrf_fuse(
         .where(F.col("rank") <= k)
         .select(query_id, id_col, "rrf_score", "n_lists", "rank")
     )
+
+
+#: nDCG weight quantization: 1/log2(rank+1) is transcendental, and
+#: engines' log implementations (and float sum orders) differ in final
+#: ulps — quantizing each weight to an INTEGER (floor(scale/log2(r+1)),
+#: computed once in Python and embedded as literals) makes every DCG an
+#: exact integer sum and nDCG ONE IEEE division, bit-replayable anywhere.
+#: 1e12 keeps 12 significant digits of the true weight — the induced
+#: nDCG error is ~1e-12, far under any reporting precision.
+NDCG_WEIGHT_SCALE = 10**12
+
+
+def _ndcg_weights(k: int) -> list:
+    import math
+
+    return [int(NDCG_WEIGHT_SCALE // math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: Optional[str] = None,
+) -> DataFrame:
+    """Standard IR evaluation per judged query — one row per query of
+    ``qrels``: (query, n_relevant, n_retrieved, hits, recall_at_k, mrr,
+    ndcg_at_k).
+
+    - ``results``: ranked lists (query, doc, rank) — e.g. the output of
+      ``bm25_topk`` / ``brute_force_topk`` / ``ivf_pq_topk`` /
+      ``rrf_fuse``; rows past ``k`` are ignored.
+    - ``qrels``: judged relevant docs per query; ``rel_col=None`` =
+      binary relevance, else non-negative integer grades with the
+      standard exponential gain 2^rel − 1.
+    - ``mrr`` = 1/rank of the first relevant hit (0.0 when none) —
+      reciprocal rank at the ``k`` cutoff;
+    - ``ndcg_at_k`` uses integer-quantized log weights (see
+      :data:`NDCG_WEIGHT_SCALE`) so DCG/IDCG are exact integer sums and
+      the ratio replays bit-for-bit cross-engine; NULL when the ideal
+      gain is zero (no positive-gain judgments).
+
+    Shape: results filter + ONE join to qrels on (query, doc) + two
+    query-grain aggregations (metrics over hits, ideal over qrels) —
+    everything hash-partitions by query; queries without retrievals
+    still emit (the IR convention: evaluate over judged queries)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    for c, frame, nm in (
+        (query_col, results, "results"), (doc_col, results, "results"),
+        (rank_col, results, "results"),
+        (query_col, qrels, "qrels"), (doc_col, qrels, "qrels"),
+    ):
+        if c not in frame.columns:
+            raise ValueError(f"column {c!r} not in {nm}")
+    if rel_col is not None and rel_col not in qrels.columns:
+        raise ValueError(f"rel_col {rel_col!r} not in qrels")
+
+    w = _ndcg_weights(k)
+    w_arr = F.array(*[F.lit(x) for x in w])
+
+    # shiftleft's numBits is python-int-only in the Column API (the bloom
+    # lesson) — the graded gain 2^rel − 1 goes through a parsed expression
+    gain = (
+        F.lit(1).cast("long")
+        if rel_col is None
+        else F.expr(
+            f"cast(shiftleft(cast(1 as bigint), "
+            f"cast(`{rel_col}` as int)) - 1 as bigint)"
+        )
+    )
+    # zero-gain judgments (graded rel=0 = judged non-relevant) contribute
+    # nothing to ANY metric — dropping them up front makes n_relevant
+    # mean "positively judged" and recall/mrr consistent with nDCG; a
+    # query with no positive judgments emits nothing (unjudgeable)
+    qr = qrels.select(
+        F.col(query_col).alias("__rm_q"),
+        F.col(doc_col).alias("__rm_d"),
+        gain.alias("__rm_g"),
+    ).where(F.col("__rm_g") > 0)
+    res = results.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__rm_q"),
+        F.col(doc_col).alias("__rm_d"),
+        F.col(rank_col).cast("int").alias("__rm_r"),
+    )
+    hits = qr.join(res, ["__rm_q", "__rm_d"], "left").select(
+        "__rm_q", "__rm_g", "__rm_r",
+        F.when(
+            F.col("__rm_r").isNotNull(),
+            F.col("__rm_g") * F.element_at(w_arr, F.col("__rm_r")),
+        ).alias("__rm_dg"),
+    )
+    # ideal DCG: the query's gains sorted DESC, zipped with the weights
+    # (bounded: only the top-k gains matter)
+    per_q = hits.groupBy("__rm_q").agg(
+        F.count(F.lit(1)).alias("n_relevant"),
+        F.count("__rm_r").alias("hits"),
+        F.min("__rm_r").alias("__rm_first"),
+        F.sum("__rm_dg").alias("__rm_dcg"),
+        F.slice(
+            F.reverse(F.array_sort(F.collect_list("__rm_g"))), 1, k
+        ).alias("__rm_topg"),
+    )
+    idcg = F.aggregate(
+        F.zip_with(
+            F.col("__rm_topg"),
+            F.slice(w_arr, 1, k),
+            lambda g, wt: F.coalesce(g, F.lit(0)) * F.coalesce(wt, F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_ret = res.groupBy("__rm_q").agg(F.count(F.lit(1)).alias("n_retrieved"))
+    out = (
+        per_q.join(n_ret, "__rm_q", "left")
+        .withColumn("__rm_idcg", idcg)
+        .select(
+            F.col("__rm_q").alias(query_col),
+            "n_relevant",
+            F.coalesce(F.col("n_retrieved"), F.lit(0)).alias("n_retrieved"),
+            "hits",
+            (F.col("hits").cast("double") / F.col("n_relevant").cast("double"))
+            .alias("recall_at_k"),
+            F.when(
+                F.col("__rm_first").isNotNull(),
+                F.lit(1.0) / F.col("__rm_first").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("mrr"),
+            F.when(
+                F.col("__rm_idcg") > 0,
+                F.coalesce(F.col("__rm_dcg"), F.lit(0)).cast("double")
+                / F.col("__rm_idcg").cast("double"),
+            ).alias("ndcg_at_k"),
+        )
+    )
+    return out

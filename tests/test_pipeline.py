@@ -5473,3 +5473,62 @@ class TestSuggestCells:
         with pytest.warns(UserWarning, match="fit_sample_mod"):
             suggest_cells(10**9)
         assert 256 * suggest_cells(10**9) > MAX_FIT_ROWS
+
+
+class TestRetrievalMetrics:
+    def test_binary_and_graded_against_hand_model(self, spark):
+        import math
+
+        import pyspark.sql.functions as F
+
+        from tempo_spark.pipeline.search import (
+            NDCG_WEIGHT_SCALE,
+            _ndcg_weights,
+            retrieval_metrics,
+        )
+
+        res = spark.createDataFrame(
+            [(1, "a", 1), (1, "x", 2), (1, "y", 3), (1, "b", 4), (1, "z", 5),
+             (1, "c", 6),  # past k: ignored
+             (2, "p", 1), (3, "m", 1)],
+            "query_id long, doc_id string, rank long",
+        )
+        qrels = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (1, "c"), (2, "zz"), (4, "only")],
+            "query_id long, doc_id string",
+        )
+        out = {r.query_id: r for r in retrieval_metrics(res, qrels, k=5).collect()}
+        w = _ndcg_weights(5)
+        # weights mirror floor(scale / log2(r+1))
+        assert w[0] == NDCG_WEIGHT_SCALE
+        assert w[1] == int(NDCG_WEIGHT_SCALE // math.log2(3))
+        r1 = out[1]
+        assert (r1.n_relevant, r1.hits, r1.n_retrieved) == (3, 2, 5)
+        assert r1.recall_at_k == 2 / 3 and r1.mrr == 1.0
+        assert r1.ndcg_at_k == (w[0] + w[3]) / (w[0] + w[1] + w[2])
+        assert out[2].mrr == 0.0 and out[2].ndcg_at_k == 0.0
+        assert out[4].n_retrieved == 0 and 3 not in out  # judged-only
+        # graded: gain 2^rel - 1; rel=0 judged non-relevant
+        qg = spark.createDataFrame(
+            [(1, "a", 3), (1, "b", 1), (1, "c", 0)],
+            "query_id long, doc_id string, rel int",
+        )
+        rg = retrieval_metrics(res, qg, k=5, rel_col="rel").collect()[0]
+        assert rg.n_relevant == 2
+        assert rg.ndcg_at_k == (7 * w[0] + 1 * w[3]) / (7 * w[0] + 1 * w[1])
+        # perfect ranking -> ndcg 1.0 exactly
+        perfect = spark.createDataFrame(
+            [(1, "a", 1), (1, "b", 2)], "query_id long, doc_id string, rank long"
+        )
+        qp = spark.createDataFrame(
+            [(1, "a", 3), (1, "b", 1)], "query_id long, doc_id string, rel int"
+        )
+        assert retrieval_metrics(perfect, qp, k=5, rel_col="rel").collect()[0].ndcg_at_k == 1.0
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="k must"):
+            retrieval_metrics(res, qrels, k=0)
+        with _pt.raises(ValueError, match="rel_col"):
+            retrieval_metrics(res, qrels, rel_col="nope")
+        with _pt.raises(ValueError, match="column"):
+            retrieval_metrics(res.drop("rank"), qrels)
