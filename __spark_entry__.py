@@ -1558,6 +1558,16 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``wz`` (r11): per-series winsorize of cents at [0.1, 0.9] — Spark
       ``percentile`` == DuckDB ``quantile_cont`` over exact integers
       (the grouped_stats idiom), v = clipped/100 hardened;
+    - ``rsi`` (r11, operators/indicators.py): Cutler's 14-diff RSI of
+      cents — grid diffs are exact integers, window sums exact decimals,
+      RSI one fixed IEEE expression (raw value gated);
+    - ``bb_mid``/``bb_up``/``bb_dn`` (r11): 20-row Bollinger bands of
+      cents (sample σ from exact sums; fixed IEEE mean ± 2σ, /100,
+      hardened);
+    - ``fstr_t``/``fstr_s`` (r11): per-series STL-style trend/seasonal
+      strength over the period-24 decomposition — variances from exact
+      decimal sums of the grid-quantized components (which themselves
+      replay bit-exactly), one row per user at the epoch marker;
     - ``fc_last``/``fc_drift``/``fc_seas`` (r11, operators/forecast.py):
       naive / drift / seasonal-naive(4) baseline forecasts of cents at
       horizon 5, stepping 1 minute from each series' last observation —
@@ -1591,6 +1601,38 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", _HR6(F.col("cents_wz") / 100).alias("ema_v"),
     )
     parts += [dd, wz]
+    rsi = t.withRSI("cents", window=14).df.select(
+        F.lit("rsi").alias("tag"), "user_id", "ts",
+        F.col("rsi").alias("ema_v"),
+    )
+    bb = t.withBollinger("cents", window=20, k=2.0).df
+    bb_rows = bb.select(
+        "user_id", "ts",
+        F.explode(
+            F.array(
+                F.struct(F.lit("bb_mid").alias("tag"),
+                         _HR6(F.col("bb_mid") / 100).alias("v")),
+                F.struct(F.lit("bb_up").alias("tag"),
+                         _HR6(F.col("bb_up") / 100).alias("v")),
+                F.struct(F.lit("bb_dn").alias("tag"),
+                         _HR6(F.col("bb_dn") / 100).alias("v")),
+            )
+        ).alias("p"),
+    ).select("p.tag", "user_id", "ts", F.col("p.v").alias("ema_v"))
+    fstr = tv.seasonal_strength("value", 24)
+    fstr_rows = fstr.select(
+        "user_id",
+        F.timestamp_micros(F.lit(0)).alias("ts"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("fstr_t").alias("tag"),
+                         _HR6(F.col("trend_strength")).alias("v")),
+                F.struct(F.lit("fstr_s").alias("tag"),
+                         _HR6(F.col("seasonal_strength")).alias("v")),
+            )
+        ).alias("p"),
+    ).select("p.tag", "user_id", "ts", F.col("p.v").alias("ema_v"))
+    parts += [rsi, bb_rows, fstr_rows]
 
     # literal tags (not a loop variable) so gen_gatemap's seam map sees
     # them — the TAG_RE scans for F.lit("...") literals
@@ -1716,6 +1758,98 @@ FROM (
          quantile_cont(cents, 0.1) OVER (PARTITION BY user_id) AS lo,
          quantile_cont(cents, 0.9) OVER (PARTITION BY user_id) AS hi
   FROM de)
+UNION ALL
+-- RSI replay (Cutler): exact integer-cent diffs, 14-diff window sums as
+-- decimals, 100*g/(g+l) fixed IEEE; NULL until full window / on flat
+SELECT 'rsi' AS tag, user_id, ts,
+       CASE WHEN nd = 14 AND (g + l) > 0 THEN 100.0 * g / (g + l) END AS ema_v
+FROM (
+  SELECT user_id, ts, count(d) OVER wri AS nd,
+         CAST(sum(CASE WHEN d > 0 THEN CAST(d AS DECIMAL(18,6))
+                       ELSE CAST(0.0 AS DECIMAL(18,6)) END) OVER wri
+              AS DOUBLE) AS g,
+         CAST(sum(CASE WHEN d < 0 THEN CAST(-d AS DECIMAL(18,6))
+                       ELSE CAST(0.0 AS DECIMAL(18,6)) END) OVER wri
+              AS DOUBLE) AS l
+  FROM (
+    SELECT user_id, ts,
+           CAST(cents AS DOUBLE)
+             - lag(CAST(cents AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY ts) AS d
+    FROM de)
+  WINDOW wri AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+UNION ALL
+-- Bollinger replay: 20-row mean ± 2·sample-σ from exact decimal sums
+SELECT tag, user_id, ts,
+       floor((v / 100) * 1000000 + 0.5) / 1000000 AS ema_v
+FROM (
+  SELECT user_id, ts,
+         unnest(['bb_mid', 'bb_up', 'bb_dn']) AS tag,
+         unnest([CASE WHEN rin = 20 AND cnt = 20 THEN mean END,
+                 CASE WHEN rin = 20 AND cnt = 20 THEN mean + 2.0 * sd END,
+                 CASE WHEN rin = 20 AND cnt = 20 THEN mean - 2.0 * sd END]) AS v
+  FROM (
+    SELECT user_id, ts, rin, cnt, mean,
+           sqrt(greatest((20.0 * q - s * s) / (20.0 * (20.0 - 1.0)), 0.0)) AS sd
+    FROM (
+      SELECT user_id, ts,
+             count(*) OVER wbb AS rin, count(cents) OVER wbb AS cnt,
+             CAST(sum(CAST(CAST(cents AS DOUBLE) AS DECIMAL(18,6))) OVER wbb
+                  AS DOUBLE) AS s,
+             -- (19,6) operands force DuckDB's int128 multiply path (an
+             -- 18-wide decimal stays int64 physically: cents*1e6 squared
+             -- overflows it -- the r10 fit_trend lesson)
+             CAST(sum(CAST(CAST(cents AS DOUBLE) AS DECIMAL(19,6))
+                      * CAST(CAST(cents AS DOUBLE) AS DECIMAL(19,6))) OVER wbb
+                  AS DOUBLE) AS q,
+             CAST(sum(CAST(CAST(cents AS DOUBLE) AS DECIMAL(18,6))) OVER wbb
+                  AS DOUBLE) / 20.0 AS mean
+      FROM de
+      WINDOW wbb AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))))
+UNION ALL
+-- seasonal-strength replay: variances from exact decimal sums of the
+-- grid-quantized decomposition components (sdout replays them exactly)
+SELECT tag, user_id, make_timestamp(0) AS ts, v AS ema_v
+FROM (
+  SELECT user_id,
+         unnest(['fstr_t', 'fstr_s']) AS tag,
+         unnest([
+           -- HR6 both sides: the decomposition components replay at
+           -- the 1e-6 grid (not bit-exact), and the variance subtraction
+           -- amplifies component ulps to ~1e-13 relative here
+           CASE WHEN nc >= 2 AND (ncd * qt - st * st) > 0
+                THEN floor(greatest(0.0, 1.0 - (ncd * qr - sr * sr)
+                                              / (ncd * qt - st * st))
+                           * 1000000 + 0.5) / 1000000 END,
+           CASE WHEN nc >= 2 AND (ncd * qs - ss * ss) > 0
+                THEN floor(greatest(0.0, 1.0 - (ncd * qr - sr * sr)
+                                              / (ncd * qs - ss * ss))
+                           * 1000000 + 0.5) / 1000000 END]) AS v
+  FROM (
+    SELECT user_id, count(rq) AS nc, CAST(count(rq) AS DOUBLE) AS ncd,
+           CAST(sum(CAST(rq AS DECIMAL(18,6))) AS DOUBLE) AS sr,
+           CAST(sum(CAST(rq AS DECIMAL(18,6)) * CAST(rq AS DECIMAL(18,6)))
+                AS DOUBLE) AS qr,
+           CAST(sum(CAST(tq AS DECIMAL(18,6))) AS DOUBLE) AS st,
+           CAST(sum(CAST(tq AS DECIMAL(18,6)) * CAST(tq AS DECIMAL(18,6)))
+                AS DOUBLE) AS qt,
+           CAST(sum(CAST(sq AS DECIMAL(18,6))) AS DOUBLE) AS ss,
+           CAST(sum(CAST(sq AS DECIMAL(18,6)) * CAST(sq AS DECIMAL(18,6)))
+                AS DOUBLE) AS qs
+    FROM (
+      SELECT user_id,
+             CASE WHEN trend IS NOT NULL AND seasonal IS NOT NULL
+                       AND resid IS NOT NULL
+                  THEN floor(resid * 1000000 + 0.5) / 1000000 END AS rq,
+             CASE WHEN trend IS NOT NULL AND seasonal IS NOT NULL
+                       AND resid IS NOT NULL
+                  THEN floor((trend + resid) * 1000000 + 0.5) / 1000000 END AS tq,
+             CASE WHEN trend IS NOT NULL AND seasonal IS NOT NULL
+                       AND resid IS NOT NULL
+                  THEN floor((seasonal + resid) * 1000000 + 0.5) / 1000000 END AS sq
+      FROM sdout)
+    GROUP BY user_id))
 UNION ALL
 -- forecast replay (operators/forecast.py): naive/drift/seasonal-naive
 -- over exact cents; ts = last_us + h minutes

@@ -1,0 +1,143 @@
+"""Classic technical indicators over the exact value grid.
+
+Thin, well-defined compositions of the repo's gated kernels — the three
+indicators every charting/backtest stack expects:
+
+- **RSI** (Cutler's simple-moving-average variant — the SMA form is
+  order-exact and window-bounded, unlike Wilder's recursive smoothing):
+  ``RSI = 100·ΣG/(ΣG+ΣL)`` over the last ``window`` one-step diffs,
+  where G/L are the positive/negative diff parts. NULL until a full
+  window of diffs exists; NULL (not 50) on a flat window (ΣG+ΣL = 0).
+- **Bollinger bands**: rolling mean ± k·σ (sample σ, ddof=1 — the
+  pandas ``rolling().std()`` default) over the last ``window`` values;
+  NULL until the window fills.
+- **MACD**: fast EMA − slow EMA with a signal EMA of the MACD line and
+  the histogram — built on :meth:`TSDF.EMA`'s windowed approximation
+  (span parameterization α=2/(span+1); the truncation contract is
+  EMA's, documented there).
+
+Exactness (RSI/Bollinger): diffs/values quantize to the 1e-6 grid,
+window sums accumulate as exact decimals, each output is a fixed IEEE
+expression over those sums — engine-replayable. NaN values quantize to
+NULL (grid6); a NULL/NaN inside the window NULLs that row's indicator
+(the full-window count guard), never poisons neighbors.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from tempo_spark.functions.grid import grid6
+
+
+def _ordered_window(tsdf, part_extra=()):
+    keys = list(tsdf.series_ids)
+    series = [F.col(c) for c in keys] if keys else [F.lit(0)]
+    order = [tsdf._exact_micros_order()]
+    if getattr(tsdf, "sequence_col", None):
+        order.append(F.col(tsdf.sequence_col))
+    return Window.partitionBy(*series, *part_extra).orderBy(*order)
+
+
+def with_rsi(
+    tsdf, value_col: str, window: int = 14, out: str = "rsi"
+) -> DataFrame:
+    """df + ``out``: Cutler's RSI over the last ``window`` diffs."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if value_col not in tsdf.df.columns:
+        raise ValueError(f"value_col {value_col!r} not in DataFrame")
+    if out in tsdf.df.columns or any(
+        c.startswith("__ti_") for c in tsdf.df.columns
+    ):
+        raise ValueError(
+            f"output column {out!r} or __ti_* staging already present"
+        )
+    w = _ordered_window(tsdf)
+    yq = grid6(value_col)
+    diff = yq - F.lag(yq).over(w)  # grid subtraction: exact at 1e-6
+    frame = w.rowsBetween(-(window - 1), 0)
+    staged = tsdf.df.withColumn("__ti_d", diff)
+    gains = F.sum(
+        F.when(F.col("__ti_d") > 0, F.col("__ti_d"))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,6)")
+    ).over(frame)
+    losses = F.sum(
+        F.when(F.col("__ti_d") < 0, -F.col("__ti_d"))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,6)")
+    ).over(frame)
+    full = F.count("__ti_d").over(frame) == window
+    g = gains.cast("double")
+    l_ = losses.cast("double")
+    rsi = F.when(full & ((g + l_) > 0), F.lit(100.0) * g / (g + l_))
+    return staged.withColumn(out, rsi).drop("__ti_d")
+
+
+def with_bollinger(
+    tsdf, value_col: str, window: int = 20, k: float = 2.0,
+    prefix: str = "bb",
+) -> DataFrame:
+    """df + ``{prefix}_mid/up/dn``: rolling mean ± k·sample-σ."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if value_col not in tsdf.df.columns:
+        raise ValueError(f"value_col {value_col!r} not in DataFrame")
+    outs = [f"{prefix}_mid", f"{prefix}_up", f"{prefix}_dn"]
+    clash = sorted(c for c in tsdf.df.columns if c in outs)
+    if clash:
+        raise ValueError(f"reserved output columns present: {clash}")
+    w = _ordered_window(tsdf)
+    frame = w.rowsBetween(-(window - 1), 0)
+    yq = grid6(value_col)
+    ydec = yq.cast("decimal(18,6)")
+    s = F.sum(ydec).over(frame).cast("double")
+    q = F.sum(ydec * ydec).over(frame).cast("double")
+    cnt = F.count(yq).over(frame)
+    rows_in = F.count(F.lit(1)).over(frame)
+    full = (rows_in == window) & (cnt == window)
+    n = F.lit(float(window))
+    mean = s / n
+    # sample variance from exact sums: (n·q − s²)/(n·(n−1))
+    var = (n * q - s * s) / (n * (n - F.lit(1.0)))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))  # clamp −ulp cancellation
+    df = tsdf.df
+    mid = F.when(full, mean)
+    return (
+        df.withColumn(outs[0], mid)
+        .withColumn(outs[1], F.when(full, mean + F.lit(float(k)) * sd))
+        .withColumn(outs[2], F.when(full, mean - F.lit(float(k)) * sd))
+    )
+
+
+def with_macd(
+    tsdf, value_col: str, fast: int = 12, slow: int = 26, signal: int = 9,
+    prefix: str = "macd",
+) -> DataFrame:
+    """df + ``{prefix}/{prefix}_signal/{prefix}_hist`` via three chained
+    :meth:`TSDF.EMA` passes (span parameterization). ``fast < slow``."""
+    if not (0 < fast < slow):
+        raise ValueError(f"need 0 < fast < slow, got ({fast}, {slow})")
+    if signal < 1:
+        raise ValueError(f"signal must be >= 1, got {signal}")
+    outs = [prefix, f"{prefix}_signal", f"{prefix}_hist"]
+    clash = sorted(c for c in tsdf.df.columns if c in outs)
+    if clash:
+        raise ValueError(f"reserved output columns present: {clash}")
+    t1 = tsdf.EMA(value_col, span=float(fast))
+    t1 = t1._with_df(
+        t1.df.withColumnRenamed(f"ema_{value_col}", "__ti_fast")
+    )
+    t2 = t1.EMA(value_col, span=float(slow))
+    t2 = t2._with_df(
+        t2.df.withColumn(
+            prefix, F.col("__ti_fast") - F.col(f"ema_{value_col}")
+        ).drop("__ti_fast", f"ema_{value_col}")
+    )
+    t3 = t2.EMA(prefix, span=float(signal))
+    out = t3.df.withColumnRenamed(f"ema_{prefix}", outs[1]).withColumn(
+        outs[2], F.col(prefix) - F.col(outs[1])
+    )
+    return out

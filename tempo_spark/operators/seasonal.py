@@ -34,6 +34,75 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from tempo_spark.functions.grid import grid6
+
+
+def seasonal_strength(
+    tsdf, value_col: str, period: int, model: str = "additive",
+    trend_method: str = "ma",
+) -> DataFrame:
+    """Per-series STL-style strength features (Hyndman & Athanasopoulos,
+    "Measuring strength of trend and seasonality"):
+
+        F_T = max(0, 1 − Var(resid) / Var(trend + resid))
+        F_S = max(0, 1 − Var(resid) / Var(seasonal + resid))
+
+    over the rows where all three components exist. Returns
+    (series…, n_components, trend_strength, seasonal_strength) — values
+    in [0, 1]; NULL when fewer than 2 component rows or a zero
+    denominator variance.
+
+    Shape: one :func:`seasonal_decompose` pass + ONE aggregation on the
+    same series clustering. Exactness: each variance input re-quantizes
+    to the 1e-6 grid and sums as exact decimals; the strengths are fixed
+    IEEE expressions over those sums. NOTE the decomposition components
+    themselves replay cross-engine at the 1e-6 GRID (not bit-exact —
+    component ulps amplify to ~1e-13 relative through the variance
+    cancellation), so external comparisons should harden-round the
+    strengths (the gate applies _HR6 on both sides)."""
+    sd = seasonal_decompose(tsdf, value_col, period, model, trend_method)
+    keys = list(tsdf.series_ids)
+    ok = (
+        F.col("trend").isNotNull()
+        & F.col("seasonal").isNotNull()
+        & F.col("resid").isNotNull()
+    )
+    r = F.when(ok, grid6(F.col("resid")))
+    tr = F.when(ok, grid6(F.col("trend") + F.col("resid")))
+    sr = F.when(ok, grid6(F.col("seasonal") + F.col("resid")))
+
+    def _suf(c, nm):
+        d = c.cast("decimal(18,6)")
+        return [
+            F.sum(d).alias(f"__ss_s{nm}"),
+            F.sum(d * d).alias(f"__ss_q{nm}"),
+        ]
+
+    agg = (sd.groupBy(*keys) if keys else sd.groupBy()).agg(
+        F.count(r).alias("n_components"),
+        *_suf(r, "r"), *_suf(tr, "t"), *_suf(sr, "s"),
+    )
+    n = F.col("n_components").cast("double")
+
+    def _var(nm):
+        s = F.col(f"__ss_s{nm}").cast("double")
+        q = F.col(f"__ss_q{nm}").cast("double")
+        return n * q - s * s  # n²·Var — the ratio cancels the scale
+
+    def _strength(den_nm):
+        den = _var(den_nm)
+        return F.when(
+            (F.col("n_components") >= 2) & (den > 0),
+            F.greatest(F.lit(0.0), F.lit(1.0) - _var("r") / den),
+        )
+
+    return agg.select(
+        *keys,
+        "n_components",
+        _strength("t").alias("trend_strength"),
+        _strength("s").alias("seasonal_strength"),
+    )
+
 
 
 def seasonal_decompose(

@@ -1671,6 +1671,48 @@ class TSDF:
 
         return changepoint(self, value_col)
 
+    def seasonal_strength(
+        self, value_col: str, period: int, model: str = "additive",
+        trend_method: str = "ma",
+    ) -> DataFrame:
+        """STL-style per-series trend/seasonal strength in [0, 1]
+        (Hyndman features over :meth:`seasonal_decompose`'s components).
+        See operators/seasonal.py."""
+        from tempo_spark.operators.seasonal import seasonal_strength
+
+        return seasonal_strength(self, value_col, period, model, trend_method)
+
+    def withRSI(
+        self, value_col: str, window: int = 14, out: str = "rsi"
+    ) -> "TSDF":
+        """df + Cutler's RSI over the last ``window`` one-step diffs.
+        See operators/indicators.py."""
+        from tempo_spark.operators.indicators import with_rsi
+
+        return self._with_df(with_rsi(self, value_col, window, out))
+
+    def withBollinger(
+        self, value_col: str, window: int = 20, k: float = 2.0,
+        prefix: str = "bb",
+    ) -> "TSDF":
+        """df + rolling mean ± k·sample-σ bands. See
+        operators/indicators.py."""
+        from tempo_spark.operators.indicators import with_bollinger
+
+        return self._with_df(with_bollinger(self, value_col, window, k, prefix))
+
+    def withMACD(
+        self, value_col: str, fast: int = 12, slow: int = 26,
+        signal: int = 9, prefix: str = "macd",
+    ) -> "TSDF":
+        """df + MACD line / signal / histogram via three chained EMA
+        passes. See operators/indicators.py."""
+        from tempo_spark.operators.indicators import with_macd
+
+        return self._with_df(
+            with_macd(self, value_col, fast, slow, signal, prefix)
+        )
+
     def forecast_naive(
         self, value_col: str, horizon: int, freq: str,
         method: str = "last", period: Optional[int] = None,

@@ -1,0 +1,193 @@
+"""Technical indicators (operators/indicators.py) + seasonal strength."""
+
+import datetime as dt
+import math
+import statistics
+
+import pytest
+
+from tempo_spark import TSDF
+
+
+def _mk(spark, vals, sym="a"):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (sym, base + dt.timedelta(minutes=i), None if v is None else float(v))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+
+
+class TestRSI:
+    def test_matches_hand_model(self, spark):
+        import random
+
+        rng = random.Random(9)
+        vals = [50.0]
+        for _ in range(60):
+            vals.append(vals[-1] + rng.uniform(-2, 2))
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        got = [
+            r.rsi for r in t.withRSI("v", window=14).df.orderBy("ts").collect()
+        ]
+
+        def q(x):
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        yq = [q(v) for v in vals]
+        diffs = [None] + [
+            round((yq[i] - yq[i - 1]) * 1e6) / 1e6 for i in range(1, len(yq))
+        ]
+        for i, g in enumerate(got):
+            win = [d for d in diffs[max(0, i - 13): i + 1] if d is not None]
+            if i < 14:
+                assert g is None
+                continue
+            gains = sum(d for d in win if d > 0)
+            losses = sum(-d for d in win if d < 0)
+            want = 100.0 * gains / (gains + losses)
+            assert abs(g - want) < 1e-6
+
+    def test_flat_and_monotone(self, spark):
+        t = TSDF(_mk(spark, [5.0] * 20), ts_col="ts", series_ids=["sym"])
+        assert all(
+            r.rsi is None for r in t.withRSI("v", 5).df.collect()
+        )  # flat: sum G+L == 0
+        tu = TSDF(
+            _mk(spark, [float(i) for i in range(20)]),
+            ts_col="ts", series_ids=["sym"],
+        )
+        rows = tu.withRSI("v", 5).df.orderBy("ts").collect()
+        assert all(r.rsi == 100.0 for r in rows[5:])  # all gains
+        with pytest.raises(ValueError, match="window"):
+            tu.withRSI("v", 0)
+
+
+class TestBollinger:
+    def test_matches_hand_model_and_guards(self, spark):
+        import random
+
+        rng = random.Random(4)
+        vals = [10 + rng.uniform(-1, 1) for _ in range(40)]
+        vals[7] = None
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        rows = t.withBollinger("v", window=10, k=2.0).df.orderBy("ts").collect()
+
+        def q(x):
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        for i, r in enumerate(rows):
+            win = vals[max(0, i - 9): i + 1]
+            if i < 9 or any(v is None for v in win):
+                assert r.bb_mid is None and r.bb_up is None
+                continue
+            wq = [q(v) for v in win]
+            mean = sum(wq) / 10
+            sd = statistics.stdev(wq)
+            assert abs(r.bb_mid - mean) < 1e-9
+            assert abs(r.bb_up - (mean + 2 * sd)) < 1e-7
+            assert abs(r.bb_dn - (mean - 2 * sd)) < 1e-7
+        with pytest.raises(ValueError, match="reserved"):
+            t.withBollinger("v", 10).withBollinger("v", 10)
+
+
+class TestMACD:
+    def test_composition_of_ema(self, spark):
+        vals = [float(i % 7) * 3 + i * 0.1 for i in range(80)]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        out = t.withMACD("v", fast=4, slow=10, signal=3).df
+        got = out.orderBy("ts").collect()
+        assert all(r.macd_hist == r.macd - r.macd_signal for r in got)
+        # macd == ema(span=4) − ema(span=10), bit-for-bit
+        ef = {r.ts: r["ema_v"] for r in t.EMA("v", span=4.0).df.collect()}
+        es = {r.ts: r["ema_v"] for r in t.EMA("v", span=10.0).df.collect()}
+        for r in got:
+            assert r.macd == ef[r.ts] - es[r.ts]
+        with pytest.raises(ValueError, match="fast"):
+            t.withMACD("v", fast=10, slow=5)
+        with pytest.raises(ValueError, match="reserved"):
+            TSDF(out, ts_col="ts", series_ids=["sym"]).withMACD(
+                "v", fast=4, slow=10
+            )
+
+
+class TestSeasonalStrength:
+    def test_strong_signal_vs_noise(self, spark):
+        import random
+
+        rng = random.Random(17)
+        period = 6
+        strong = [
+            10 * math.sin(2 * math.pi * i / period) + 0.02 * i
+            + rng.uniform(-0.05, 0.05)
+            for i in range(120)
+        ]
+        noise = [rng.uniform(-5, 5) for _ in range(120)]
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("strong", base + dt.timedelta(minutes=i), v)
+            for i, v in enumerate(strong)
+        ] + [
+            ("noise", base + dt.timedelta(minutes=i), v)
+            for i, v in enumerate(noise)
+        ]
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        got = {r.sym: r for r in t.seasonal_strength("v", period).collect()}
+        assert got["strong"].seasonal_strength > 0.95
+        assert got["noise"].seasonal_strength < 0.5
+        assert 0.0 <= got["noise"].trend_strength <= 1.0
+        assert got["strong"].n_components > 100
+
+    def test_matches_hand_model(self, spark):
+        vals = [float((i % 4) * 2 + i * 0.05) for i in range(60)]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        sd = {r.ts: (r.trend, r.seasonal, r.resid)
+              for r in t.seasonal_decompose("v", 4).collect()}
+        comp = [
+            v for v in sd.values()
+            if all(x is not None for x in v)
+        ]
+
+        def q(x):
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        r = [q(c[2]) for c in comp]
+        tr = [q(c[0] + c[2]) for c in comp]
+        sr = [q(c[1] + c[2]) for c in comp]
+
+        def var(xs):
+            n = len(xs)
+            return n * sum(x * x for x in xs) - sum(xs) ** 2
+
+        want_t = max(0.0, 1.0 - var(r) / var(tr))
+        want_s = max(0.0, 1.0 - var(r) / var(sr))
+        got = t.seasonal_strength("v", 4).collect()[0]
+        assert abs(got.trend_strength - want_t) < 1e-9
+        assert abs(got.seasonal_strength - want_s) < 1e-9
+
+    def test_short_series_null(self, spark):
+        t = TSDF(_mk(spark, [1.0, 2.0, 3.0]), ts_col="ts", series_ids=["sym"])
+        r = t.seasonal_strength("v", 4).collect()[0]
+        assert r.n_components == 0
+        assert r.trend_strength is None and r.seasonal_strength is None
+
+
+class TestModuleTwins:
+    def test_module_functions_match_methods(self, spark):
+        from tempo_spark.operators.indicators import (
+            with_bollinger,
+            with_macd,
+            with_rsi,
+        )
+
+        vals = [float(i % 9) + i * 0.2 for i in range(40)]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        a = [r.rsi for r in with_rsi(t, "v", 5).orderBy("ts").collect()]
+        b = [r.rsi for r in t.withRSI("v", 5).df.orderBy("ts").collect()]
+        assert a == b
+        c = [r.bb_up for r in with_bollinger(t, "v", 5).orderBy("ts").collect()]
+        d = [r.bb_up for r in t.withBollinger("v", 5).df.orderBy("ts").collect()]
+        assert c == d
+        e = with_macd(t, "v", fast=3, slow=6, signal=2)
+        assert {"macd", "macd_signal", "macd_hist"} <= set(e.columns)
