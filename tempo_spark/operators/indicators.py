@@ -26,18 +26,9 @@ NULL (grid6); a NULL/NaN inside the window NULLs that row's indicator
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 from tempo_spark.functions.grid import grid6
-
-
-def _ordered_window(tsdf, part_extra=()):
-    keys = list(tsdf.series_ids)
-    series = [F.col(c) for c in keys] if keys else [F.lit(0)]
-    order = [tsdf._exact_micros_order()]
-    if getattr(tsdf, "sequence_col", None):
-        order.append(F.col(tsdf.sequence_col))
-    return Window.partitionBy(*series, *part_extra).orderBy(*order)
 
 
 def with_rsi(
@@ -54,7 +45,7 @@ def with_rsi(
         raise ValueError(
             f"output column {out!r} or __ti_* staging already present"
         )
-    w = _ordered_window(tsdf)
+    w = tsdf.base_window()  # ROWS frames only need the (ts[,seq]) order
     yq = grid6(value_col)
     diff = yq - F.lag(yq).over(w)  # grid subtraction: exact at 1e-6
     frame = w.rowsBetween(-(window - 1), 0)
@@ -89,7 +80,7 @@ def with_bollinger(
     clash = sorted(c for c in tsdf.df.columns if c in outs)
     if clash:
         raise ValueError(f"reserved output columns present: {clash}")
-    w = _ordered_window(tsdf)
+    w = tsdf.base_window()
     frame = w.rowsBetween(-(window - 1), 0)
     yq = grid6(value_col)
     ydec = yq.cast("decimal(18,6)")
@@ -114,29 +105,46 @@ def with_bollinger(
 
 def with_macd(
     tsdf, value_col: str, fast: int = 12, slow: int = 26, signal: int = 9,
-    prefix: str = "macd",
+    prefix: str = "macd", ema_window: int = None,
 ) -> DataFrame:
     """df + ``{prefix}/{prefix}_signal/{prefix}_hist`` via three chained
-    :meth:`TSDF.EMA` passes (span parameterization). ``fast < slow``."""
+    :meth:`TSDF.EMA` passes (span parameterization). ``fast < slow``.
+
+    ``ema_window`` is the EMA truncation depth forwarded to every pass
+    (default ``4·slow``: the untruncated tail mass (1−2/(slow+1))^(4·slow)
+    is <0.1% — EMA's own default of 30 would bias a span-26 line ~10%
+    toward recent values)."""
     if not (0 < fast < slow):
         raise ValueError(f"need 0 < fast < slow, got ({fast}, {slow})")
     if signal < 1:
         raise ValueError(f"signal must be >= 1, got {signal}")
+    if ema_window is None:
+        ema_window = 4 * slow
+    if ema_window < 1:
+        raise ValueError(f"ema_window must be >= 1, got {ema_window}")
     outs = [prefix, f"{prefix}_signal", f"{prefix}_hist"]
-    clash = sorted(c for c in tsdf.df.columns if c in outs)
+    # ema_{value_col}/ema_{prefix} are consumed-and-dropped staging here:
+    # pre-existing same-named user columns would be silently REPLACED by
+    # EMA's withColumn and destroyed (the r10 reserved-name class)
+    clash = sorted(
+        c for c in tsdf.df.columns
+        if c in outs
+        or c in (f"ema_{value_col}", f"ema_{prefix}")
+        or c.startswith("__ti_")
+    )
     if clash:
-        raise ValueError(f"reserved output columns present: {clash}")
-    t1 = tsdf.EMA(value_col, span=float(fast))
+        raise ValueError(f"reserved output/staging columns present: {clash}")
+    t1 = tsdf.EMA(value_col, window=ema_window, span=float(fast))
     t1 = t1._with_df(
         t1.df.withColumnRenamed(f"ema_{value_col}", "__ti_fast")
     )
-    t2 = t1.EMA(value_col, span=float(slow))
+    t2 = t1.EMA(value_col, window=ema_window, span=float(slow))
     t2 = t2._with_df(
         t2.df.withColumn(
             prefix, F.col("__ti_fast") - F.col(f"ema_{value_col}")
         ).drop("__ti_fast", f"ema_{value_col}")
     )
-    t3 = t2.EMA(prefix, span=float(signal))
+    t3 = t2.EMA(prefix, window=ema_window, span=float(signal))
     out = t3.df.withColumnRenamed(f"ema_{prefix}", outs[1]).withColumn(
         outs[2], F.col(prefix) - F.col(outs[1])
     )

@@ -47,7 +47,11 @@ def seasonal_strength(
         F_T = max(0, 1 − Var(resid) / Var(trend + resid))
         F_S = max(0, 1 − Var(resid) / Var(seasonal + resid))
 
-    over the rows where all three components exist. Returns
+    over the rows where all three components exist. ADDITIVE
+    decompositions only: the formula mixes component scales for a
+    multiplicative model (ratio-scale remainder vs unit-scale trend
+    would report trend_strength ≈ 1 for any wandering-level series) —
+    log-transform the series and decompose additively instead. Returns
     (series…, n_components, trend_strength, seasonal_strength) — values
     in [0, 1]; NULL when fewer than 2 component rows or a zero
     denominator variance.
@@ -60,6 +64,12 @@ def seasonal_strength(
     component ulps amplify to ~1e-13 relative through the variance
     cancellation), so external comparisons should harden-round the
     strengths (the gate applies _HR6 on both sides)."""
+    if model != "additive":
+        raise ValueError(
+            "seasonal_strength is defined on ADDITIVE decompositions "
+            "(Hyndman F_T/F_S); log-transform the series for a "
+            f"multiplicative analysis — got model={model!r}"
+        )
     sd = seasonal_decompose(tsdf, value_col, period, model, trend_method)
     keys = list(tsdf.series_ids)
     ok = (

@@ -598,16 +598,32 @@ def retrieval_metrics(
         raise ValueError(f"rel_col {rel_col!r} not in qrels")
 
     w = _ndcg_weights(k)
-    w_arr = F.array(*[F.lit(x) for x in w])
+    # ONE parsed array literal — k F.lit Columns in a loop is the
+    # plan-build py4j cost class (the simhash 64-Column lesson); k=100+
+    # is routine for recall@100/nDCG@100
+    w_arr = F.expr("array(" + ", ".join(f"{x}L" for x in w) + ")")
 
     # shiftleft's numBits is python-int-only in the Column API (the bloom
-    # lesson) — the graded gain 2^rel − 1 goes through a parsed expression
+    # lesson) — the graded gain 2^rel − 1 goes through a parsed
+    # expression. shiftleft WRAPS silently past 62 (bypassing the ANSI
+    # overflow net) and negative rel shifts by rel&63, so grades are
+    # lazily asserted into [0, 62] (assert_true rides INSIDE the used
+    # expression — the corpus_divergence lesson)
     gain = (
         F.lit(1).cast("long")
         if rel_col is None
-        else F.expr(
-            f"cast(shiftleft(cast(1 as bigint), "
-            f"cast(`{rel_col}` as int)) - 1 as bigint)"
+        else F.when(
+            F.assert_true(
+                (F.col(rel_col) >= 0) & (F.col(rel_col) <= 62),
+                F.lit(
+                    f"retrieval_metrics: {rel_col} must be in [0, 62] "
+                    "(2^rel-1 gains wrap past 62)"
+                ),
+            ).isNull(),
+            F.expr(
+                f"cast(shiftleft(cast(1 as bigint), "
+                f"cast(`{rel_col}` as int)) - 1 as bigint)"
+            ),
         )
     )
     # zero-gain judgments (graded rel=0 = judged non-relevant) contribute
@@ -619,10 +635,26 @@ def retrieval_metrics(
         F.col(doc_col).alias("__rm_d"),
         gain.alias("__rm_g"),
     ).where(F.col("__rm_g") > 0)
-    res = results.where(F.col(rank_col) <= k).select(
-        F.col(query_col).alias("__rm_q"),
-        F.col(doc_col).alias("__rm_d"),
-        F.col(rank_col).cast("int").alias("__rm_r"),
+    # ranks must be 1-based (0 would crash element_at, negatives would
+    # silently index the weight array from the END) — lazily asserted on
+    # every RETAINED row; duplicate (query, doc) rows (a concatenated
+    # multi-retriever list) keep their BEST rank, or the left join below
+    # would fan each qrel out and inflate n_relevant/hits/DCG
+    res = (
+        results.where(F.col(rank_col) <= k)
+        .select(
+            F.col(query_col).alias("__rm_q"),
+            F.col(doc_col).alias("__rm_d"),
+            F.when(
+                F.assert_true(
+                    F.col(rank_col) >= 1,
+                    F.lit("retrieval_metrics: ranks must be 1-based"),
+                ).isNull(),
+                F.col(rank_col).cast("int"),
+            ).alias("__rm_r"),
+        )
+        .groupBy("__rm_q", "__rm_d")
+        .agg(F.min("__rm_r").alias("__rm_r"))
     )
     hits = qr.join(res, ["__rm_q", "__rm_d"], "left").select(
         "__rm_q", "__rm_g", "__rm_r",
@@ -651,6 +683,7 @@ def retrieval_metrics(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # n_retrieved counts DISTINCT retrieved docs within k (post-dedup)
     n_ret = res.groupBy("__rm_q").agg(F.count(F.lit(1)).alias("n_retrieved"))
     out = (
         per_q.join(n_ret, "__rm_q", "left")

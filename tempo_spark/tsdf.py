@@ -1704,13 +1704,15 @@ class TSDF:
     def withMACD(
         self, value_col: str, fast: int = 12, slow: int = 26,
         signal: int = 9, prefix: str = "macd",
+        ema_window: Optional[int] = None,
     ) -> "TSDF":
         """df + MACD line / signal / histogram via three chained EMA
-        passes. See operators/indicators.py."""
+        passes (``ema_window`` = truncation depth, default 4·slow). See
+        operators/indicators.py."""
         from tempo_spark.operators.indicators import with_macd
 
         return self._with_df(
-            with_macd(self, value_col, fast, slow, signal, prefix)
+            with_macd(self, value_col, fast, slow, signal, prefix, ema_window)
         )
 
     def forecast_naive(

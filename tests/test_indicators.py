@@ -98,9 +98,12 @@ class TestMACD:
         out = t.withMACD("v", fast=4, slow=10, signal=3).df
         got = out.orderBy("ts").collect()
         assert all(r.macd_hist == r.macd - r.macd_signal for r in got)
-        # macd == ema(span=4) − ema(span=10), bit-for-bit
-        ef = {r.ts: r["ema_v"] for r in t.EMA("v", span=4.0).df.collect()}
-        es = {r.ts: r["ema_v"] for r in t.EMA("v", span=10.0).df.collect()}
+        # macd == ema(span=4) − ema(span=10) at the same truncation depth
+        # (default ema_window = 4·slow), bit-for-bit
+        ef = {r.ts: r["ema_v"]
+              for r in t.EMA("v", window=40, span=4.0).df.collect()}
+        es = {r.ts: r["ema_v"]
+              for r in t.EMA("v", window=40, span=10.0).df.collect()}
         for r in got:
             assert r.macd == ef[r.ts] - es[r.ts]
         with pytest.raises(ValueError, match="fast"):
@@ -191,3 +194,38 @@ class TestModuleTwins:
         assert c == d
         e = with_macd(t, "v", fast=3, slow=6, signal=2)
         assert {"macd", "macd_signal", "macd_hist"} <= set(e.columns)
+
+
+class TestReviewRegressionsR11b:
+    def test_macd_guards_and_window_param(self, spark):
+        import pyspark.sql.functions as F
+
+        vals = [float(i % 5) + i * 0.1 for i in range(50)]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        # a pre-existing ema_{value_col} user column must be REJECTED,
+        # not silently consumed as staging
+        with_user_ema = TSDF(
+            t.EMA("v").df, ts_col="ts", series_ids=["sym"]
+        )
+        with pytest.raises(ValueError, match="reserved"):
+            with_user_ema.withMACD("v")
+        with pytest.raises(ValueError, match="reserved"):
+            TSDF(
+                t.df.withColumn("__ti_fast", F.lit(1.0)),
+                ts_col="ts", series_ids=["sym"],
+            ).withMACD("v")
+        # deeper truncation moves the slow line: default 4*slow vs a
+        # shallow window=10 must differ (the ~10%-mass bias)
+        deep = {r.ts: r.macd for r in t.withMACD("v", fast=4, slow=10).df.collect()}
+        shallow = {
+            r.ts: r.macd
+            for r in t.withMACD("v", fast=4, slow=10, ema_window=10).df.collect()
+        }
+        assert any(deep[k] != shallow[k] for k in deep)
+        with pytest.raises(ValueError, match="ema_window"):
+            t.withMACD("v", ema_window=0)
+
+    def test_seasonal_strength_rejects_multiplicative(self, spark):
+        t = TSDF(_mk(spark, [1.0] * 30), ts_col="ts", series_ids=["sym"])
+        with pytest.raises(ValueError, match="ADDITIVE"):
+            t.seasonal_strength("v", 4, model="multiplicative")

@@ -5532,3 +5532,31 @@ class TestRetrievalMetrics:
             retrieval_metrics(res, qrels, rel_col="nope")
         with _pt.raises(ValueError, match="column"):
             retrieval_metrics(res.drop("rank"), qrels)
+
+    def test_duplicate_results_and_rank_validation(self, spark):
+        """r11 review: duplicate (query, doc) result rows keep their BEST
+        rank (no qrel fan-out), 0-based ranks raise, rel grades cap."""
+        import pytest as _pt
+
+        from tempo_spark.pipeline.search import retrieval_metrics
+
+        res = spark.createDataFrame(
+            [(1, "a", 1), (1, "a", 3), (1, "b", 2)],
+            "query_id long, doc_id string, rank long",
+        )
+        qrels = spark.createDataFrame(
+            [(1, "a"), (1, "c")], "query_id long, doc_id string"
+        )
+        r = retrieval_metrics(res, qrels, k=5).collect()[0]
+        assert (r.n_relevant, r.hits, r.n_retrieved) == (2, 1, 2)
+        assert r.recall_at_k == 0.5 and r.mrr == 1.0
+        zero_based = spark.createDataFrame(
+            [(1, "a", 0)], "query_id long, doc_id string, rank long"
+        )
+        with _pt.raises(Exception, match="1-based"):
+            retrieval_metrics(zero_based, qrels, k=5).collect()
+        qg = spark.createDataFrame(
+            [(1, "a", 63)], "query_id long, doc_id string, rel int"
+        )
+        with _pt.raises(Exception, match="0, 62"):
+            retrieval_metrics(res, qg, k=5, rel_col="rel").collect()
