@@ -1663,6 +1663,37 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # r12 (operators/forecast.py forecast_ets): exponential-smoothing
+    # forecasts over the last 16 observations — the ETS recursion is
+    # linear in the tail, so both engines evaluate the SAME literal
+    # weight vectors in the SAME left-associated sums (bit-exact)
+    parts.append(
+        _fc_rows(
+            F.lit("fc_ses").alias("tag"),
+            t.forecast_ets(
+                "cents", 5, "1 minute", method="ses", alpha=0.3,
+                fit_window=16,
+            ),
+        )
+    )
+    parts.append(
+        _fc_rows(
+            F.lit("fc_holt").alias("tag"),
+            t.forecast_ets(
+                "cents", 5, "1 minute", method="holt", alpha=0.5,
+                beta=0.2, fit_window=16,
+            ),
+        )
+    )
+    parts.append(
+        _fc_rows(
+            F.lit("fc_hw").alias("tag"),
+            t.forecast_ets(
+                "cents", 5, "1 minute", method="hw_add", alpha=0.3,
+                beta=0.1, gamma=0.2, period=4, fit_window=16,
+            ),
+        )
+    )
     from functools import reduce as _reduce
 
     return _reduce(lambda a, b: a.unionByName(b), parts)
@@ -1677,6 +1708,33 @@ def _ema_oracle() -> str:
             f"AS DOUBLE), 0.0) * {w!r}"
         )
     total = " + ".join(terms)
+
+    # ETS replay (r12, operators/forecast.py): the SAME ets_weights
+    # literals the Spark fold uses, in the SAME left-associated sum
+    # ((0.0 + w1*y1) + w2*y2) + ... over the last-16 tail — bit-exact
+    from tempo_spark.operators.forecast import ets_weights
+
+    _ETS_W = 16
+    ets_lags = ", ".join(
+        f"lag(yq, {_ETS_W - i}) OVER wo AS y{i}"
+        for i in range(1, _ETS_W + 1)
+    )
+
+    def _ws(weights):
+        s = "CAST(0.0 AS DOUBLE)"
+        for i, w in enumerate(weights, start=1):
+            s = f"({s} + CAST('{float(w)!r}' AS DOUBLE) * y{i})"
+        return s
+
+    w_ses = ets_weights("ses", _ETS_W, 0.3)
+    w_holt = ets_weights("holt", _ETS_W, 0.5, 0.2)
+    w_hw = ets_weights("hw_add", _ETS_W, 0.3, 0.1, 0.2, 4)
+    ets_sums = ",\n           ".join(
+        [f"{_ws(w_ses['l'])} AS l_ses"]
+        + [f"{_ws(w_holt['l'])} AS l_holt", f"{_ws(w_holt['b'])} AS b_holt"]
+        + [f"{_ws(w_hw['l'])} AS l_hw", f"{_ws(w_hw['b'])} AS b_hw"]
+        + [f"{_ws(ws)} AS s{j}" for j, ws in enumerate(w_hw["s"])]
+    )
     return f"""
 WITH {_DE_CTE},
 -- seasonal-decompose replay (r10, operators/seasonal.py): period 24
@@ -1889,6 +1947,41 @@ FROM (
   LEFT JOIN fcb tv
     ON tv.user_id IS NOT DISTINCT FROM e.user_id
    AND tv.rdesc = 4 - ((fch.h - 1) % 4))
+UNION ALL
+-- ETS replay (r12): SES / Holt / additive Holt-Winters as literal
+-- weighted sums over the last-16 non-null tail (generated above); a
+-- short tail NULLs a lag term and the whole sum with it — exactly the
+-- operator's size(tail) = W guard
+SELECT tag, user_id, make_timestamp(last_us + h * 60000000) AS ts,
+       floor((yhat / 100) * 1000000 + 0.5) / 1000000 AS ema_v
+FROM (
+  WITH eb2 AS (
+    SELECT user_id, epoch_us(ts) AS us, CAST(cents AS DOUBLE) AS yq
+    FROM de WHERE cents IS NOT NULL),
+  elag AS (
+    SELECT user_id, us,
+           row_number() OVER (PARTITION BY user_id ORDER BY us DESC) AS rdesc,
+           {ets_lags}
+    FROM eb2 WINDOW wo AS (PARTITION BY user_id ORDER BY us)),
+  esum AS (
+    SELECT user_id, us AS last_us,
+           {ets_sums}
+    FROM elag WHERE rdesc = 1),
+  fch2 AS (SELECT unnest(generate_series(1, 5)) AS h)
+  SELECT 'fc_ses' AS tag, user_id, last_us, h, l_ses AS yhat
+  FROM esum, fch2
+  UNION ALL
+  SELECT 'fc_holt', user_id, last_us, h,
+         l_holt + CAST(h AS DOUBLE) * b_holt
+  FROM esum, fch2
+  UNION ALL
+  -- seasonal slot = (16 + h - 1) % 4, matching the operator's pmod pick
+  SELECT 'fc_hw', user_id, last_us, h,
+         l_hw + CAST(h AS DOUBLE) * b_hw
+              + CASE ((16 + h - 1) % 4)
+                     WHEN 0 THEN s0 WHEN 1 THEN s1
+                     WHEN 2 THEN s2 ELSE s3 END
+  FROM esum, fch2)
 """
 
 

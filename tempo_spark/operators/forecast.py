@@ -31,6 +31,22 @@ from pyspark.sql import DataFrame
 from tempo_spark.functions.freq import parse_freq
 from tempo_spark.functions.grid import grid6
 
+# exact integer micros per step (Freq.seconds is a float — 1µs would
+# round-trip fine but integers keep the emitted grid exact)
+_UNIT_MICROS = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _step_micros(freq: str) -> int:
+    f = parse_freq(freq)
+    return f.period * _UNIT_MICROS[f.unit]
+
 
 def forecast_naive(
     tsdf,
@@ -61,18 +77,7 @@ def forecast_naive(
     )
     if clash:
         raise ValueError(f"reserved output/staging columns present: {clash}")
-    f = parse_freq(freq)
-    # exact integer micros per step (f.seconds is a float — 1µs would
-    # round-trip fine but integers keep the emitted grid exact)
-    unit_micros = {
-        "microsecond": 1,
-        "millisecond": 1_000,
-        "second": 1_000_000,
-        "minute": 60_000_000,
-        "hour": 3_600_000_000,
-        "day": 86_400_000_000,
-    }
-    step_micros = f.period * unit_micros[f.unit]
+    step_micros = _step_micros(freq)
 
     df = tsdf.df
     keys = list(tsdf.series_ids)
@@ -149,3 +154,245 @@ def forecast_naive(
         )
     )
     return out
+
+
+def ets_weights(
+    method: str,
+    fit_window: int,
+    alpha: float,
+    beta: Optional[float] = None,
+    gamma: Optional[float] = None,
+    period: Optional[int] = None,
+) -> dict:
+    """Exact observation weights for the truncated ETS recursion.
+
+    Exponential-smoothing state updates are LINEAR in the observations,
+    so over a fixed fit window of W values the final level / trend /
+    seasonal states are plain weighted sums ``state = Σ w_i · y_i``
+    (i = 1..W, oldest first). This runs the textbook recursion
+    symbolically on weight VECTORS (pure-python floats, computed once on
+    the driver) so both Spark and an external replay engine evaluate the
+    SAME literal weights in the SAME left-associated sum — bit-exact
+    cross-engine forecasts, no recursive SQL needed.
+
+    Initialization (the Hyndman-Athanasopoulos simple heuristics):
+
+    - ``ses``: l₁ = y₁; lₜ = α·yₜ + (1−α)·lₜ₋₁ for t = 2..W.
+    - ``holt``: l₁ = y₁, b₁ = y₂ − y₁; then for t = 2..W
+      lₜ = α·yₜ + (1−α)(lₜ₋₁ + bₜ₋₁), bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁.
+    - ``hw_add`` (period m, W ≥ 2m): l_m = mean(y₁..y_m),
+      b_m = Σᵢ(y_{m+i} − yᵢ)/m², sᵢ = yᵢ − l_m (i = 1..m); then for
+      t = m+1..W the standard additive triple update.
+
+    Returns ``{"l": [w..], "b": [w..]|None, "s": [[w..]×m]|None}``;
+    the h-step forecast is ``ŷ_h = L + h·B + S[(W+h−1) mod m]`` over the
+    evaluated sums."""
+    W = int(fit_window)
+
+    def _e(t):  # weight vector for the raw observation y_t (1-based)
+        v = [0.0] * W
+        v[t - 1] = 1.0
+        return v
+
+    def _ax(a, x):
+        return [a * xi for xi in x]
+
+    def _add(x, y):
+        return [xi + yi for xi, yi in zip(x, y)]
+
+    def _sub(x, y):
+        return [xi - yi for xi, yi in zip(x, y)]
+
+    if method == "ses":
+        l = _e(1)
+        for t in range(2, W + 1):
+            l = _add(_ax(alpha, _e(t)), _ax(1.0 - alpha, l))
+        return {"l": l, "b": None, "s": None}
+    if method == "holt":
+        l = _e(1)
+        b = _sub(_e(2), _e(1))
+        for t in range(2, W + 1):
+            l_new = _add(_ax(alpha, _e(t)), _ax(1.0 - alpha, _add(l, b)))
+            b = _add(_ax(beta, _sub(l_new, l)), _ax(1.0 - beta, b))
+            l = l_new
+        return {"l": l, "b": b, "s": None}
+    # hw_add
+    m = int(period)
+    l = [1.0 / m if i < m else 0.0 for i in range(W)]
+    b = [0.0] * W
+    for i in range(1, m + 1):
+        b = _add(b, _ax(1.0 / (m * m), _sub(_e(m + i), _e(i))))
+    s = [_sub(_e(i), l) for i in range(1, m + 1)]  # slot (i-1) % m
+    for t in range(m + 1, W + 1):
+        slot = (t - 1) % m
+        l_new = _add(
+            _ax(alpha, _sub(_e(t), s[slot])),
+            _ax(1.0 - alpha, _add(l, b)),
+        )
+        b_new = _add(_ax(beta, _sub(l_new, l)), _ax(1.0 - beta, b))
+        s[slot] = _add(
+            _ax(gamma, _sub(_sub(_e(t), l), b)),
+            _ax(1.0 - gamma, s[slot]),
+        )
+        l, b = l_new, b_new
+    return {"l": l, "b": b, "s": s}
+
+
+def ets_wsum_sql(weights, tail_col: str = "__fc_tail") -> str:
+    """The engine-side weighted sum for one state vector: a left-assoc
+    fold ``((0.0 + w₁·y₁) + w₂·y₂) + …`` over the size-W tail, NULL on a
+    short tail. One parsed expression (plan-build-latency discipline);
+    weight literals round-trip through CAST('repr' AS DOUBLE) so both
+    engines see bit-identical doubles."""
+    W = len(weights)
+    arr = "array(" + ",".join(
+        f"CAST('{float(w)!r}' AS DOUBLE)" for w in weights
+    ) + ")"
+    return (
+        f"CASE WHEN size({tail_col}) = {W} THEN "
+        f"aggregate(sequence(1, {W}), CAST(0.0 AS DOUBLE), "
+        f"(acc, i) -> acc + element_at({arr}, i) "
+        f"* element_at({tail_col}, i).y) END"
+    )
+
+
+def forecast_ets(
+    tsdf,
+    value_col: str,
+    horizon: int,
+    freq: str,
+    method: str = "ses",
+    alpha: float = 0.3,
+    beta: Optional[float] = None,
+    gamma: Optional[float] = None,
+    period: Optional[int] = None,
+    fit_window: Optional[int] = None,
+) -> DataFrame:
+    """Exponential-smoothing forecasts per series: simple (``ses``),
+    Holt's linear trend (``holt``), or additive Holt-Winters
+    (``hw_add``) — (series…, h, ts, yhat), ``horizon`` rows stepping by
+    ``freq`` from each series' last observation.
+
+    Determinism/truncation contract: the fit uses EXACTLY the last
+    ``fit_window`` non-null grid-quantized observations (default 32, or
+    4·period for ``hw_add``); a series with fewer usable rows emits its
+    spine with NULL ``yhat`` (the forecast_naive contract). Because the
+    ETS recursion is linear in the observations, the states reduce to
+    literal-weighted sums (:func:`ets_weights`) evaluated identically on
+    any engine — forecasts replay bit-exactly.
+
+    Spark shape: ONE aggregation per series (bounded W-row tail via the
+    descending row_number idiom — never a whole-series buffer), the
+    weighted sums as single parsed expressions over the tail array, then
+    an ``explode(sequence(1, horizon))`` fan-out. Zero Python at
+    execution time; the per-row fold is O(W·states), W a constant."""
+    if method not in ("ses", "holt", "hw_add"):
+        raise ValueError(
+            f"method must be 'ses', 'holt' or 'hw_add', got {method!r}"
+        )
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if method == "ses":
+        if beta is not None or gamma is not None or period is not None:
+            raise ValueError("ses takes only alpha")
+    else:
+        if beta is None or not (0.0 <= beta <= 1.0):
+            raise ValueError(f"{method} needs beta in [0, 1], got {beta}")
+        if method == "holt":
+            if gamma is not None or period is not None:
+                raise ValueError("holt takes alpha and beta only")
+        else:
+            if gamma is None or not (0.0 <= gamma <= 1.0):
+                raise ValueError(
+                    f"hw_add needs gamma in [0, 1], got {gamma}"
+                )
+            if period is None or period < 2:
+                raise ValueError("hw_add needs period >= 2")
+    if fit_window is None:
+        fit_window = 4 * period if method == "hw_add" else 32
+    W = int(fit_window)
+    min_w = {"ses": 1, "holt": 2}.get(method, 2 * (period or 0))
+    if W < min_w:
+        raise ValueError(
+            f"fit_window must be >= {min_w} for {method}, got {W}"
+        )
+    if value_col not in tsdf.df.columns:
+        raise ValueError(f"value_col {value_col!r} not in DataFrame")
+    clash = sorted(
+        c for c in tsdf.df.columns
+        if c in ("h", "yhat") or c.startswith("__fc_")
+    )
+    if clash:
+        raise ValueError(f"reserved output/staging columns present: {clash}")
+    step_micros = _step_micros(freq)
+    wts = ets_weights(method, W, alpha, beta, gamma, period)
+
+    df = tsdf.df
+    keys = list(tsdf.series_ids)
+    if not keys:
+        df = df.withColumn("__fc_g", F.lit(0))
+        keys = ["__fc_g"]
+    micros = tsdf._exact_micros_order()
+    base = df.select(
+        *keys, micros.alias("__fc_us"), grid6(value_col).alias("__fc_y")
+    ).where(F.col("__fc_y").isNotNull())
+
+    from pyspark.sql import Window
+
+    ord_struct = F.struct(
+        F.col("__fc_us").alias("us"), F.col("__fc_y").alias("y")
+    )
+    wdesc = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(
+        F.col("__fc_us").desc()
+    )
+    per = (
+        base.withColumn("__fc_rd", F.row_number().over(wdesc))
+        .groupBy(*keys)
+        .agg(
+            F.max(ord_struct).alias("__fc_last"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("__fc_rd") <= W, ord_struct))
+            ).alias("__fc_tail"),
+        )
+    )
+
+    staged = per.withColumn("__fc_L", F.expr(ets_wsum_sql(wts["l"])))
+    sum_cols = ["__fc_L"]
+    if wts["b"] is not None:
+        staged = staged.withColumn("__fc_B", F.expr(ets_wsum_sql(wts["b"])))
+        sum_cols.append("__fc_B")
+    if wts["s"] is not None:
+        for j, ws in enumerate(wts["s"]):
+            staged = staged.withColumn(
+                f"__fc_S{j}", F.expr(ets_wsum_sql(ws))
+            )
+            sum_cols.append(f"__fc_S{j}")
+
+    h = F.col("h")
+    yhat = F.col("__fc_L")
+    if method in ("holt", "hw_add"):
+        yhat = yhat + h.cast("double") * F.col("__fc_B")
+    if method == "hw_add":
+        m = int(period)
+        s_sel = F.element_at(
+            F.array(*[F.col(f"__fc_S{j}") for j in range(m)]),
+            (F.pmod(F.lit(W) + h - 1, F.lit(m)) + 1).cast("int"),
+        )
+        yhat = yhat + s_sel
+    return (
+        staged.select(
+            *keys, "__fc_last", *sum_cols,
+            F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("h"),
+        )
+        .select(
+            *[c for c in keys if c != "__fc_g"],
+            "h",
+            F.timestamp_micros(
+                F.col("__fc_last.us")
+                + h.cast("long") * F.lit(int(step_micros))
+            ).alias(tsdf.ts_col),
+            yhat.alias("yhat"),
+        )
+    )

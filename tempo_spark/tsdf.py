@@ -1726,6 +1726,22 @@ class TSDF:
 
         return forecast_naive(self, value_col, horizon, freq, method, period)
 
+    def forecast_ets(
+        self, value_col: str, horizon: int, freq: str,
+        method: str = "ses", alpha: float = 0.3,
+        beta: Optional[float] = None, gamma: Optional[float] = None,
+        period: Optional[int] = None, fit_window: Optional[int] = None,
+    ) -> DataFrame:
+        """Exponential-smoothing forecasts (simple / Holt / additive
+        Holt-Winters) over the last ``fit_window`` observations:
+        (series…, h, ts, yhat). See operators/forecast.py."""
+        from tempo_spark.operators.forecast import forecast_ets
+
+        return forecast_ets(
+            self, value_col, horizon, freq, method, alpha, beta, gamma,
+            period, fit_window,
+        )
+
     def changepoints(
         self, value_col: str, rounds: int = 3, min_size: int = 2,
         min_score: Optional[float] = None,
