@@ -1457,9 +1457,18 @@ FROM de
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-grain calc_bars ∪ multi-grain calc_bars_rollup (r9 cont.) —
     the rollup's min/max-of-struct partial combination is value-gated
-    against direct per-grain grouped argmin/argmax."""
-    de = _dedup_events(spark, sf_dir).select("user_id", "ts", "value")
-    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    against direct per-grain grouped argmin/argmax.
+
+    ``atr``/``stoch_k``/``stoch_d`` (r12, operators/indicators.py): ATR
+    (SMA variant, window 5) and the stochastic oscillator (%K 5, %D 3)
+    over HOURLY CENTS bars — exact integer OHLC, decimal window sums,
+    each output one fixed IEEE expression; the indicator rides in
+    ``close_v`` with the other bar columns NULL."""
+    de = _dedup_events(spark, sf_dir)
+    t = TSDF(
+        de.select("user_id", "ts", "value"), ts_col="ts",
+        series_ids=["user_id"],
+    )
     out = t.calc_bars("1 hour").df
 
     def bar_cols():
@@ -1482,7 +1491,38 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("bucket_ts"),
         *bar_cols(),
     )
-    return single.unionByName(roll)
+    # atr / stoch_k / stoch_d (r12): indicators over exact-cents bars
+    tc = TSDF(
+        de.select("user_id", "ts", "cents"), ts_col="ts",
+        series_ids=["user_id"],
+    )
+    cbars = tc.calc_bars("1 hour")
+    ind = (
+        TSDF(cbars.df, ts_col="ts", series_ids=["user_id"])
+        .withATR("high_cents", "low_cents", "close_cents", window=5)
+        .withStochastic("high_cents", "low_cents", "close_cents", 5, 3)
+        .df
+    )
+    nulld = F.lit(None).cast("double")
+    ind_rows = ind.select(
+        "user_id",
+        F.col("ts").alias("bucket_ts"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("atr").alias("grain"),
+                         _HR6(F.col("atr") / 100).alias("cv")),
+                F.struct(F.lit("stoch_k").alias("grain"),
+                         _HR6(F.col("stoch_k")).alias("cv")),
+                F.struct(F.lit("stoch_d").alias("grain"),
+                         _HR6(F.col("stoch_d")).alias("cv")),
+            )
+        ).alias("p"),
+    ).select(
+        F.col("p.grain").alias("grain"), "user_id", "bucket_ts",
+        nulld.alias("open_v"), nulld.alias("low_v"), nulld.alias("high_v"),
+        F.col("p.cv").alias("close_v"),
+    )
+    return single.unionByName(roll).unionByName(ind_rows)
 
 
 _OHLC_ORACLE = f"""
@@ -1507,6 +1547,71 @@ SELECT '1 hour' AS grain, user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_
        round(max(value), 6) AS high_v,
        round(arg_max(value, ts), 6) AS close_v
 FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+-- ATR / stochastic replay (r12, operators/indicators.py): hourly cents
+-- bars (exact integers), TR via greatest over the grid, SMA-of-TR as a
+-- decimal window sum; %K one IEEE division then 1e-6 floor, %D the
+-- decimal mean of quantized %Ks — each guard mirrors the operator's
+-- full-window counts
+SELECT grain, user_id, bucket_ts,
+       CAST(NULL AS DOUBLE) AS open_v, CAST(NULL AS DOUBLE) AS low_v,
+       CAST(NULL AS DOUBLE) AS high_v, v AS close_v
+FROM (
+  WITH cb AS (
+    SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bts,
+           CAST(max(cents) AS DOUBLE) AS h, CAST(min(cents) AS DOUBLE) AS l,
+           CAST(arg_max(cents, ts) AS DOUBLE) AS c
+    FROM de GROUP BY user_id, bts),
+  ctr AS (
+    SELECT user_id, bts, h, l, c,
+           CASE WHEN h IS NOT NULL AND l IS NOT NULL THEN
+             CASE WHEN lag(c) OVER wo IS NOT NULL
+                  THEN greatest(h - l, abs(h - lag(c) OVER wo),
+                                abs(l - lag(c) OVER wo))
+                  ELSE h - l END
+           END AS tr
+    FROM cb WINDOW wo AS (PARTITION BY user_id ORDER BY bts)),
+  catr AS (
+    SELECT user_id, bts,
+           CASE WHEN count(*) OVER fr5 = 5 AND count(tr) OVER fr5 = 5
+                THEN CAST(sum(CAST(tr AS DECIMAL(18,6))) OVER fr5 AS DOUBLE)
+                     / 5.0
+           END AS atr
+    FROM ctr
+    WINDOW fr5 AS (PARTITION BY user_id ORDER BY bts
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+  ck AS (
+    SELECT user_id, bts,
+           CASE WHEN count(*) OVER fr5 = 5 AND count(h) OVER fr5 = 5
+                     AND count(l) OVER fr5 = 5 AND c IS NOT NULL
+                     AND max(h) OVER fr5 > min(l) OVER fr5
+                THEN floor(((100.0 * (c - min(l) OVER fr5))
+                            / (max(h) OVER fr5 - min(l) OVER fr5))
+                           * 1000000 + 0.5) / 1000000
+           END AS kq
+    FROM cb
+    WINDOW fr5 AS (PARTITION BY user_id ORDER BY bts
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+  cd AS (
+    SELECT user_id, bts, kq,
+           CASE WHEN count(*) OVER fr3 = 3 AND count(kq) OVER fr3 = 3
+                THEN CAST(sum(CAST(kq AS DECIMAL(18,6))) OVER fr3 AS DOUBLE)
+                     / 3.0
+           END AS dv
+    FROM ck
+    WINDOW fr3 AS (PARTITION BY user_id ORDER BY bts
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+  SELECT 'atr' AS grain, user_id, bts AS bucket_ts,
+         floor((atr / 100) * 1000000 + 0.5) / 1000000 AS v
+  FROM catr
+  UNION ALL
+  SELECT 'stoch_k', user_id, bts,
+         floor(kq * 1000000 + 0.5) / 1000000
+  FROM ck
+  UNION ALL
+  SELECT 'stoch_d', user_id, bts,
+         floor(dv * 1000000 + 0.5) / 1000000
+  FROM cd)
 """
 
 

@@ -149,3 +149,110 @@ def with_macd(
         outs[2], F.col(prefix) - F.col(outs[1])
     )
     return out
+
+
+def _ohlc_guard(tsdf, cols, outs):
+    for c in cols:
+        if c not in tsdf.df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    clash = sorted(
+        c for c in tsdf.df.columns
+        if c in outs or c.startswith("__ti_")
+    )
+    if clash:
+        raise ValueError(f"reserved output/staging columns present: {clash}")
+
+
+def with_atr(
+    tsdf, high_col: str, low_col: str, close_col: str,
+    window: int = 14, out: str = "atr",
+) -> DataFrame:
+    """df + ``out``: Average True Range — the SMA of the true range over
+    the last ``window`` bars (the SMA variant, like Cutler's RSI: Wilder's
+    recursive smoothing is order-exact only as an infinite product; the
+    SMA form is window-bounded and engine-replayable).
+
+    ``TR = max(high − low, |high − prev_close|, |low − prev_close|)``;
+    on the first bar of a series — or after a NULL previous close — TR
+    falls back to ``high − low``. A bar with NULL high/low has NULL TR;
+    ATR is NULL until ``window`` consecutive non-NULL TRs exist (the
+    full-window count guard, so one bad bar never poisons neighbors
+    beyond its window). Inputs quantize to the 1e-6 grid; TR window sums
+    accumulate as exact decimals; ATR is one fixed IEEE division."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    _ohlc_guard(tsdf, (high_col, low_col, close_col), (out,))
+    w = tsdf.base_window()
+    frame = w.rowsBetween(-(window - 1), 0)
+    hq, lq, cq = grid6(high_col), grid6(low_col), grid6(close_col)
+    pc = F.lag(cq).over(w)
+    tr = F.when(
+        hq.isNotNull() & lq.isNotNull(),
+        F.when(
+            pc.isNotNull(),
+            F.greatest(hq - lq, F.abs(hq - pc), F.abs(lq - pc)),
+        ).otherwise(hq - lq),
+    )
+    staged = tsdf.df.withColumn("__ti_tr", tr)
+    full = (F.count(F.lit(1)).over(frame) == window) & (
+        F.count("__ti_tr").over(frame) == window
+    )
+    atr = F.when(
+        full,
+        F.sum(F.col("__ti_tr").cast("decimal(18,6)")).over(frame)
+        .cast("double") / F.lit(float(window)),
+    )
+    return staged.withColumn(out, atr).drop("__ti_tr")
+
+
+def with_stochastic(
+    tsdf, high_col: str, low_col: str, close_col: str,
+    k_window: int = 14, d_window: int = 3, prefix: str = "stoch",
+) -> DataFrame:
+    """df + ``{prefix}_k``/``{prefix}_d``: the stochastic oscillator.
+
+    ``%K = 100·(close − LL)/(HH − LL)`` with HH/LL the highest high /
+    lowest low of the last ``k_window`` bars; NULL until the window
+    fills, on a NULL close, or on a flat window (HH = LL — the ANSI
+    divide-by-zero guard). ``%K`` is emitted 1e-6-quantized, and ``%D``
+    averages the last ``d_window`` quantized %K values (exact decimal
+    sum, one IEEE division — the determinism contract: raw-double window
+    sums would accumulate in engine-specific order); NULL until
+    ``d_window`` non-NULL %Ks exist.
+    """
+    if k_window < 1:
+        raise ValueError(f"k_window must be >= 1, got {k_window}")
+    if d_window < 1:
+        raise ValueError(f"d_window must be >= 1, got {d_window}")
+    outs = (f"{prefix}_k", f"{prefix}_d")
+    _ohlc_guard(tsdf, (high_col, low_col, close_col), outs)
+    w = tsdf.base_window()
+    kframe = w.rowsBetween(-(k_window - 1), 0)
+    hq, lq, cq = grid6(high_col), grid6(low_col), grid6(close_col)
+    hh = F.max(hq).over(kframe)
+    ll = F.min(lq).over(kframe)
+    full_k = (
+        (F.count(F.lit(1)).over(kframe) == k_window)
+        & (F.count(hq).over(kframe) == k_window)
+        & (F.count(lq).over(kframe) == k_window)
+    )
+    k = F.when(
+        full_k & cq.isNotNull() & (hh > ll),
+        F.lit(100.0) * (cq - ll) / (hh - ll),
+    )
+    # quantized %K so the %D mean replays exactly (see docstring)
+    staged = tsdf.df.withColumn("__ti_kq", grid6(k))
+    dframe = tsdf.base_window().rowsBetween(-(d_window - 1), 0)
+    full_d = (F.count(F.lit(1)).over(dframe) == d_window) & (
+        F.count("__ti_kq").over(dframe) == d_window
+    )
+    d = F.when(
+        full_d,
+        F.sum(F.col("__ti_kq").cast("decimal(18,6)")).over(dframe)
+        .cast("double") / F.lit(float(d_window)),
+    )
+    return (
+        staged.withColumn(outs[0], F.col("__ti_kq"))
+        .withColumn(outs[1], d)
+        .drop("__ti_kq")
+    )

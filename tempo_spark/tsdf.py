@@ -1715,6 +1715,33 @@ class TSDF:
             with_macd(self, value_col, fast, slow, signal, prefix, ema_window)
         )
 
+    def withATR(
+        self, high_col: str, low_col: str, close_col: str,
+        window: int = 14, out: str = "atr",
+    ) -> "TSDF":
+        """df + Average True Range (SMA variant) over OHLC bar columns
+        (compose with :meth:`calc_bars`). See operators/indicators.py."""
+        from tempo_spark.operators.indicators import with_atr
+
+        return self._with_df(
+            with_atr(self, high_col, low_col, close_col, window, out)
+        )
+
+    def withStochastic(
+        self, high_col: str, low_col: str, close_col: str,
+        k_window: int = 14, d_window: int = 3, prefix: str = "stoch",
+    ) -> "TSDF":
+        """df + stochastic oscillator %K/%D over OHLC bar columns
+        (compose with :meth:`calc_bars`). See operators/indicators.py."""
+        from tempo_spark.operators.indicators import with_stochastic
+
+        return self._with_df(
+            with_stochastic(
+                self, high_col, low_col, close_col, k_window, d_window,
+                prefix,
+            )
+        )
+
     def forecast_naive(
         self, value_col: str, horizon: int, freq: str,
         method: str = "last", period: Optional[int] = None,

@@ -229,3 +229,151 @@ class TestReviewRegressionsR11b:
         t = TSDF(_mk(spark, [1.0] * 30), ts_col="ts", series_ids=["sym"])
         with pytest.raises(ValueError, match="ADDITIVE"):
             t.seasonal_strength("v", 4, model="multiplicative")
+
+
+def _mk_ohlc(spark, bars, sym="a"):
+    """bars = list of (h, l, c) tuples (None allowed per field)."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            sym, base + dt.timedelta(hours=i),
+            None if h is None else float(h),
+            None if l is None else float(l),
+            None if c is None else float(c),
+        )
+        for i, (h, l, c) in enumerate(bars)
+    ]
+    return spark.createDataFrame(
+        rows, "sym string, ts timestamp, h double, l double, c double"
+    )
+
+
+def _q(x):
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+class TestATR:
+    def test_matches_hand_model(self, spark):
+        import random
+
+        rng = random.Random(12)
+        bars, c = [], 100.0
+        for _ in range(40):
+            c += rng.uniform(-3, 3)
+            h = c + rng.uniform(0, 2)
+            l = c - rng.uniform(0, 2)
+            bars.append((h, l, c))
+        t = TSDF(_mk_ohlc(spark, bars), ts_col="ts", series_ids=["sym"])
+        got = [
+            r.atr
+            for r in t.withATR("h", "l", "c", window=5).df
+            .orderBy("ts").collect()
+        ]
+        trs = []
+        for i, (h, l, c_) in enumerate(bars):
+            hq, lq, cq = _q(h), _q(l), _q(c_)
+            if i == 0:
+                trs.append(hq - lq)
+            else:
+                pc = _q(bars[i - 1][2])
+                trs.append(max(hq - lq, abs(hq - pc), abs(lq - pc)))
+        for i, g in enumerate(got):
+            if i < 4:
+                assert g is None
+                continue
+            want = sum(trs[i - 4: i + 1]) / 5
+            assert g == pytest.approx(want, abs=1e-9)
+
+    def test_null_bar_and_null_prev_close(self, spark):
+        bars = [(10, 8, 9), (None, 7, 8), (11, 9, 10), (12, 10, 11),
+                (13, 11, None), (14, 12, 13)]
+        t = TSDF(_mk_ohlc(spark, bars), ts_col="ts", series_ids=["sym"])
+        rows = t.withATR("h", "l", "c", window=2).df.orderBy("ts").collect()
+        # bar 1 has NULL high -> NULL TR -> windows covering it are NULL
+        assert rows[1].atr is None and rows[2].atr is None
+        # bar 3: TR = max(12-10, |12-10|, |10-10|) = 2; bar 2's TR uses
+        # prev close 8 -> max(2, 3, 1) = 3 -> ATR = 2.5
+        assert rows[3].atr == pytest.approx(2.5)
+        # bar 5 follows a NULL close -> falls back to h - l = 2;
+        # bar 4 TR = max(2, |13-11|, |11-11|) = 2 -> ATR = 2.0
+        assert rows[5].atr == pytest.approx(2.0)
+        with pytest.raises(ValueError, match="window"):
+            t.withATR("h", "l", "c", window=0)
+        with pytest.raises(ValueError, match="column"):
+            t.withATR("zz", "l", "c")
+        with pytest.raises(ValueError, match="reserved"):
+            TSDF(
+                t.withATR("h", "l", "c").df, ts_col="ts", series_ids=["sym"]
+            ).withATR("h", "l", "c")
+
+
+class TestStochastic:
+    def test_matches_hand_model(self, spark):
+        import random
+
+        rng = random.Random(7)
+        bars, c = [], 50.0
+        for _ in range(30):
+            c += rng.uniform(-2, 2)
+            bars.append((c + rng.uniform(0, 1), c - rng.uniform(0, 1), c))
+        t = TSDF(_mk_ohlc(spark, bars), ts_col="ts", series_ids=["sym"])
+        rows = (
+            t.withStochastic("h", "l", "c", k_window=5, d_window=3).df
+            .orderBy("ts").collect()
+        )
+        ks = []
+        for i, (h, l, c_) in enumerate(bars):
+            if i < 4:
+                ks.append(None)
+                continue
+            win = bars[i - 4: i + 1]
+            hh = max(_q(b[0]) for b in win)
+            ll = min(_q(b[1]) for b in win)
+            ks.append(
+                _q((100.0 * (_q(c_) - ll)) / (hh - ll)) if hh > ll else None
+            )
+        for i, r in enumerate(rows):
+            if ks[i] is None:
+                assert r.stoch_k is None
+            else:
+                assert r.stoch_k == pytest.approx(ks[i], abs=1e-9)
+            dwin = ks[max(0, i - 2): i + 1]
+            if i < 2 or any(k is None for k in dwin):
+                assert r.stoch_d is None
+            else:
+                assert r.stoch_d == pytest.approx(sum(dwin) / 3, abs=1e-9)
+
+    def test_flat_window_and_guards(self, spark):
+        bars = [(5, 5, 5)] * 8
+        t = TSDF(_mk_ohlc(spark, bars), ts_col="ts", series_ids=["sym"])
+        rows = t.withStochastic("h", "l", "c", 3, 2).df.collect()
+        assert all(r.stoch_k is None and r.stoch_d is None for r in rows)
+        with pytest.raises(ValueError, match="k_window"):
+            t.withStochastic("h", "l", "c", k_window=0)
+        with pytest.raises(ValueError, match="d_window"):
+            t.withStochastic("h", "l", "c", d_window=0)
+        with pytest.raises(ValueError, match="reserved"):
+            TSDF(
+                t.withStochastic("h", "l", "c").df,
+                ts_col="ts", series_ids=["sym"],
+            ).withStochastic("h", "l", "c")
+
+    def test_composes_with_calc_bars(self, spark):
+        import random
+
+        rng = random.Random(3)
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("a", base + dt.timedelta(minutes=7 * i), 50 + rng.uniform(-9, 9))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+        bars = TSDF(df, ts_col="ts", series_ids=["sym"]).calc_bars("1 hour")
+        ind = TSDF(bars.df, ts_col="ts", series_ids=["sym"]).withATR(
+            "high_v", "low_v", "close_v", window=4
+        ).withStochastic("high_v", "low_v", "close_v", 4, 2)
+        out = ind.df.orderBy("ts").collect()
+        assert any(r.atr is not None for r in out)
+        assert any(r.stoch_d is not None for r in out)
+        ks = [r.stoch_k for r in out if r.stoch_k is not None]
+        assert all(0.0 <= k <= 100.0 for k in ks)
