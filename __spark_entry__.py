@@ -1738,6 +1738,22 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("p.tag", "user_id", "ts", F.col("p.v").alias("ema_v"))
     parts += [rsi, bb_rows, fstr_rows]
+    # sanom/sanom_z (r12, operators/seasonal.py seasonal_anomalies):
+    # STL-residual anomaly flags — the quantized residuals replay
+    # identically, so mean/σ/flag are the same bits on both engines
+    san = tv.seasonal_anomalies("value", 24, z=3.0)
+    san_rows = san.select(
+        "user_id", "ts",
+        F.explode(
+            F.array(
+                F.struct(F.lit("sanom").alias("tag"),
+                         F.col("is_anomaly").cast("double").alias("v")),
+                F.struct(F.lit("sanom_z").alias("tag"),
+                         _HR6(F.col("resid_z")).alias("v")),
+            )
+        ).alias("p"),
+    ).select("p.tag", "user_id", "ts", F.col("p.v").alias("ema_v"))
+    parts.append(san_rows)
 
     # literal tags (not a loop variable) so gen_gatemap's seam map sees
     # them — the TAG_RE scans for F.lit("...") literals
@@ -1901,6 +1917,37 @@ SELECT 'seas' AS tag, user_id, ts,
 UNION ALL
 SELECT 'resid' AS tag, user_id, ts,
        floor(resid * 1000000 + 0.5) / 1000000 AS ema_v FROM sdout
+UNION ALL
+-- seasonal-anomaly replay (r12): per-series mean/σ from exact decimal
+-- sums of the 1e-6-quantized residuals (which replay identically), flag
+-- and z-score as single IEEE expressions mirroring the operator
+SELECT tag, user_id, ts, v AS ema_v FROM (
+  SELECT user_id, ts,
+         unnest(['sanom', 'sanom_z']) AS tag,
+         unnest([
+           CASE WHEN rq IS NOT NULL AND cnt >= 2 THEN
+             CASE WHEN abs(rq - mean) > 3.0 * sd THEN 1.0 ELSE 0.0 END
+           END,
+           CASE WHEN rq IS NOT NULL AND cnt >= 2 AND sd > 0
+                THEN floor(((rq - mean) / sd) * 1000000 + 0.5) / 1000000
+           END
+         ]) AS v
+  FROM (
+    SELECT user_id, ts, rq, cnt,
+           s / cntd AS mean,
+           sqrt(greatest((cntd * q - s * s)
+                         / (cntd * (cntd - 1.0)), 0.0)) AS sd
+    FROM (
+      SELECT user_id, ts, rq,
+             count(rq) OVER pw AS cnt,
+             CAST(count(rq) OVER pw AS DOUBLE) AS cntd,
+             CAST(sum(CAST(rq AS DECIMAL(18,6))) OVER pw AS DOUBLE) AS s,
+             CAST(sum(CAST(rq AS DECIMAL(18,6))
+                      * CAST(rq AS DECIMAL(18,6))) OVER pw AS DOUBLE) AS q
+      FROM (SELECT user_id, ts,
+                   floor(resid * 1000000 + 0.5) / 1000000 AS rq
+            FROM sdout)
+      WINDOW pw AS (PARTITION BY user_id))))
 UNION ALL
 -- drawdown replay: cumulative max of exact cents minus cents
 SELECT 'dd' AS tag, user_id, ts,

@@ -308,3 +308,62 @@ def seasonal_decompose(
         )
     out = out.withColumn("resid", resid_val)
     return out.drop("__sd_y", "__sd_pos", "__sd_ph", "__sd_det", "__sd_g")
+
+
+def seasonal_anomalies(
+    tsdf, value_col: str, period: int, z: float = 3.0,
+    model: str = "additive", trend_method: str = "ma",
+    out_flag: str = "is_anomaly", out_z: str = "resid_z",
+) -> DataFrame:
+    """Seasonal-residual anomaly detection (the STL-residual ESD recipe):
+    decompose, then flag rows whose residual deviates more than ``z``
+    sample standard deviations from the series' own residual mean —
+    spikes that survive trend AND seasonality removal, so a regular
+    daily peak never flags while a genuine outlier tick does. Use
+    ``trend_method="median"`` when outliers are large enough to drag
+    the MA trend itself.
+
+    Adds to :func:`seasonal_decompose`'s output:
+
+    - ``out_z``: (resid − mean)/σ over the 1e-6-quantized residuals
+      (NULL where resid is NULL, n < 2, or σ = 0);
+    - ``out_flag``: |resid − mean| > z·σ (NULL where resid is NULL or
+      n < 2; on a FLAT residual — σ = 0 — any nonzero deviation flags).
+
+    Determinism: the residuals replay on the 1e-6 grid (module
+    contract), the per-series mean/σ come from exact decimal sums of
+    those quantized residuals, and the flag is one IEEE comparison —
+    both sides of the gate evaluate identical doubles. One extra
+    series-sized window over the decomposition's existing clustering —
+    no new shuffle."""
+    if z <= 0:
+        raise ValueError(f"z must be > 0, got {z}")
+    clash = sorted(
+        c for c in tsdf.df.columns
+        if c in (out_flag, out_z) or c.startswith("__sa_")
+    )
+    if clash:
+        raise ValueError(f"reserved output columns present: {clash}")
+    dec = seasonal_decompose(tsdf, value_col, period, model, trend_method)
+    keys = list(tsdf.series_ids)
+    wser = Window.partitionBy(*[F.col(c) for c in keys])
+    rq = grid6("resid")
+    staged = dec.withColumn("__sa_rq", rq)
+    rdec = F.col("__sa_rq").cast("decimal(18,6)")
+    cnt = F.count("__sa_rq").over(wser)
+    s = F.sum(rdec).over(wser).cast("double")
+    q = F.sum(rdec * rdec).over(wser).cast("double")
+    cntd = cnt.cast("double")
+    mean = s / cntd
+    var = (cntd * q - s * s) / (cntd * (cntd - F.lit(1.0)))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    ok = F.col("__sa_rq").isNotNull() & (cnt >= 2)
+    zscore = F.when(ok & (sd > 0), (F.col("__sa_rq") - mean) / sd)
+    flag = F.when(
+        ok, F.abs(F.col("__sa_rq") - mean) > F.lit(float(z)) * sd
+    )
+    return (
+        staged.withColumn(out_z, zscore)
+        .withColumn(out_flag, flag)
+        .drop("__sa_rq")
+    )

@@ -1617,6 +1617,22 @@ class TSDF:
 
         return seasonal_decompose(self, value_col, period, model, trend_method)
 
+    def seasonal_anomalies(
+        self, value_col: str, period: int, z: float = 3.0,
+        model: str = "additive", trend_method: str = "ma",
+        out_flag: str = "is_anomaly", out_z: str = "resid_z",
+    ) -> DataFrame:
+        """Seasonal-residual anomaly detection: decompose, then flag rows
+        whose residual deviates > ``z`` sample σ from the series' own
+        residual mean (regular seasonal peaks never flag; genuine spikes
+        do). See operators/seasonal.py."""
+        from tempo_spark.operators.seasonal import seasonal_anomalies
+
+        return seasonal_anomalies(
+            self, value_col, period, z, model, trend_method, out_flag,
+            out_z,
+        )
+
     def fit_trend(self, value_col: str) -> DataFrame:
         """Per-series OLS trend: (series…, n_obs, slope_per_sec,
         intercept, r2) — drift diagnostic / base forecast. See

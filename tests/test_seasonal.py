@@ -236,3 +236,82 @@ class TestSeasonalDecompose:
         rows = t.seasonal_decompose("v", 4).collect()
         assert len(rows) == 2
         assert all(r.trend is None and r.resid is None for r in rows)
+
+
+class TestSeasonalAnomalies:
+    def test_planted_spikes_flag_seasonal_peaks_dont(self, spark):
+        import random
+
+        rng = random.Random(5)
+        period = 6
+        vals = [
+            10.0 * math.sin(2 * math.pi * i / period) + 0.05 * i
+            + rng.uniform(-0.2, 0.2)
+            for i in range(120)
+        ]
+        vals[40] += 25.0  # planted spikes, well past 3 sigma of the noise
+        vals[77] -= 25.0
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        rows = (
+            t.seasonal_anomalies("v", period, z=3.0)
+            .orderBy("ts").collect()
+        )
+        flagged = {i for i, r in enumerate(rows) if r.is_anomaly}
+        assert 40 in flagged and 77 in flagged
+        # the regular seasonal peaks themselves must NOT flag
+        assert len(flagged) <= 6
+        # zscore sign matches spike direction
+        assert rows[40].resid_z > 3 and rows[77].resid_z < -3
+        # edge rows (NULL trend) have NULL flag
+        assert rows[0].is_anomaly is None
+
+    def test_matches_hand_model(self, spark):
+        vals = [float((i % 4) * 2 + i * 0.1) for i in range(40)]
+        vals[20] += 9.0
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        out = t.seasonal_anomalies("v", 4, z=2.5).orderBy("ts").collect()
+        dec = {r.ts: r.resid
+               for r in t.seasonal_decompose("v", 4).collect()}
+
+        def q(x):
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        rq = [q(v) for v in dec.values() if v is not None]
+        n = len(rq)
+        mean = sum(rq) / n
+        var = (n * sum(x * x for x in rq) - sum(rq) ** 2) / (n * (n - 1))
+        sd = math.sqrt(max(var, 0.0))
+        for r in out:
+            resid = dec[r.ts]
+            if resid is None:
+                assert r.is_anomaly is None and r.resid_z is None
+            else:
+                assert r.is_anomaly == (abs(q(resid) - mean) > 2.5 * sd)
+                assert r.resid_z == pytest.approx(
+                    (q(resid) - mean) / sd, rel=1e-6
+                )
+
+    def test_validations_and_reserved(self, spark):
+        t = TSDF(_mk(spark, [1.0] * 20), ts_col="ts", series_ids=["sym"])
+        with pytest.raises(ValueError, match="z must"):
+            t.seasonal_anomalies("v", 4, z=0.0)
+        out = t.seasonal_anomalies("v", 4)
+        with pytest.raises(ValueError, match="reserved"):
+            TSDF(out, ts_col="ts", series_ids=["sym"]).seasonal_anomalies(
+                "v", 4
+            )
+        # flat residual: sigma = 0, nothing deviates -> no flags
+        rows = out.collect()
+        assert all(r.is_anomaly is not True for r in rows)
+
+    def test_no_series_keys_global(self, spark):
+        vals = [float((i % 3)) for i in range(30)]
+        vals[15] += 50.0
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(base + dt.timedelta(hours=i), v) for i, v in enumerate(vals)],
+            "ts timestamp, v double",
+        )
+        t = TSDF(df, ts_col="ts", series_ids=[])
+        rows = t.seasonal_anomalies("v", 3, z=3.0).orderBy("ts").collect()
+        assert rows[15].is_anomaly is True
