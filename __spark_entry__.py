@@ -4731,7 +4731,11 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query, rows (metric_idx in vec_id): 0 recall@5, 1 MRR, 2 nDCG@5,
     3 n_relevant, 4 hits. DCG/IDCG are exact integer sums over the
     quantized log weights, so every metric is one IEEE division both
-    engines replay bit-for-bit."""
+    engines replay bit-for-bit.
+
+    ``arec`` (r12, similarity.ann_recall): per-query recall@5 of the
+    dot-product list against the cosine ground truth — hits in
+    ``vec_id``, n_exact in ``rank``, recall one exact division."""
     from pyspark.sql import Window as _W
 
     from tempo_spark.pipeline.search import rrf_fuse
@@ -4838,8 +4842,26 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _HR6(F.col("__c")).alias("cosine"),
         F.lit(1).cast("int").alias("rank"),
     )
+    # arec (r12, similarity.ann_recall): per-query recall of the raw
+    # dot-product top-5 against the cosine ground truth — the exact
+    # semi-join/denominator shape every ANN knob is tuned with; hits in
+    # vec_id, n_exact in rank, recall one IEEE division of small ints
+    from tempo_spark.pipeline.similarity import ann_recall
+
+    arec_rows = ann_recall(
+        dot.select("query_id", "vec_id", "rank"),
+        cos.select("query_id", "vec_id", "rank"),
+        k=5,
+    ).select(
+        F.lit("arec").alias("tag"),
+        "query_id",
+        F.col("n_hit").cast("long").alias("vec_id"),
+        F.col("recall").alias("cosine"),
+        F.col("n_exact").cast("int").alias("rank"),
+    )
     return (
-        base.unionByName(rrf).unionByName(norm_rows).unionByName(rmet_rows)
+        base.unionByName(rrf).unionByName(norm_rows)
+        .unionByName(rmet_rows).unionByName(arec_rows)
     )
 
 
@@ -4941,6 +4963,21 @@ FROM (
   SELECT query_id, 3, CAST(n_rel AS DOUBLE) FROM rmfin
   UNION ALL
   SELECT query_id, 4, CAST(hits AS DOUBLE) FROM rmfin)
+UNION ALL
+-- arec (r12, similarity.ann_recall): recall of the dot-product top-5
+-- vs the cosine top-5 ground truth — |approx ∩ exact| per query over
+-- the already-replayed lists; recall = one IEEE division of small ints
+SELECT 'arec' AS tag, query_id, CAST(n_hit AS BIGINT) AS vec_id,
+       CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS cosine,
+       CAST(n_exact AS INTEGER) AS rank
+FROM (
+  SELECT e.query_id,
+         count(*) AS n_exact,
+         sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM (SELECT query_id, vec_id FROM ranked WHERE rank <= 5) e
+  LEFT JOIN (SELECT query_id, vec_id FROM dotranked WHERE rank <= 5) d
+    ON d.query_id = e.query_id AND d.vec_id = e.vec_id
+  GROUP BY e.query_id)
 """
 
 # nDCG weight/ideal-prefix literals — the SAME integers the operator
