@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 from typing import Mapping, Optional
 
 import pyspark.sql.functions as F
@@ -38,11 +39,23 @@ MANIFEST_NAME = "_tempo_manifest.json"
 def _cfg_token(v) -> str:
     """Deterministic string token for one config value, used in the
     resume-manifest digest. Primitives and mappings serialize exactly;
-    DataFrames contribute schema + canonicalized-plan semanticHash (plan
-    identity, NOT data content — see the resume docstring); plain-attr
+    DataFrames contribute schema + an expression-id-normalized analyzed
+    plan + the input-file listing (RESTART-STABLE — see below); plain-attr
     objects (BPEModel, LinearTextModel) contribute their attr dict;
     anything else falls back to its class name (config changes inside
-    such objects are NOT detected — documented limitation)."""
+    such objects are NOT detected — documented limitation).
+
+    The r12 dress rehearsal found ``semanticHash()`` is SESSION-scoped
+    for file scans (the canonicalized relation hashes its FileIndex by
+    object identity), so a digest built on it never matched after a real
+    process restart and ``resume=True`` silently recomputed everything.
+    File-backed frames now token as (schema, ``#exprId``-stripped
+    analyzed-plan digest, sorted input-file digest) — stable across JVMs,
+    still invalidated by any rewrite (parquet part names are unique per
+    write) or plan change. Frames with NO input files (in-memory data)
+    keep the semanticHash component: their data cannot be re-verified
+    across a restart, so cross-session resume conservatively recomputes.
+    """
     if v is None or isinstance(v, (bool, int, float, str)):
         return repr(v)
     if isinstance(v, Mapping):
@@ -53,11 +66,23 @@ def _cfg_token(v) -> str:
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_cfg_token(x) for x in v) + "]"
     if isinstance(v, DataFrame):
+        schema = v.schema.simpleString()
+        try:
+            plan = v._jdf.queryExecution().analyzed().toString()
+            plan_d = hashlib.md5(
+                re.sub(r"#\d+", "#", plan).encode()
+            ).hexdigest()
+            files = sorted(v.inputFiles())
+        except Exception:
+            plan_d, files = "uncheckable", []
+        if files:
+            fd = hashlib.md5("\n".join(files).encode()).hexdigest()
+            return f"df:{schema}:plan:{plan_d}:files:{fd}"
         try:
             h = v.semanticHash()
         except Exception:
             h = "uncheckable"
-        return f"df:{v.schema.simpleString()}:{h}"
+        return f"df:{schema}:plan:{plan_d}:{h}"
     attrs = getattr(v, "__dict__", None)
     if attrs is not None:
         try:
@@ -280,11 +305,16 @@ def prepare_corpus(
     manifest and the stage recomputes. Invalidation: ANY config change
     (including a different input DataFrame plan, a different model's
     attributes, or a different decontamination frame) changes the digest
-    and invalidates EVERY stage — conservative by design. NOT detected:
-    data-content changes under an unchanged input path/plan, and config
-    hidden inside objects without plain attributes (see ``_cfg_token``);
-    delete the staging directory when in doubt. The manifest filename is
-    underscore-prefixed so parquet readers treat it as hidden.
+    and invalidates EVERY stage — conservative by design. The input
+    fingerprint is RESTART-STABLE for file-backed frames (normalized
+    plan + input-file listing; r12 — ``semanticHash`` alone is
+    session-scoped and never matched after a real process restart);
+    in-memory input frames still resume only within one session. NOT
+    detected: data-content changes under unchanged file names, and
+    config hidden inside objects without plain attributes (see
+    ``_cfg_token``); delete the staging directory when in doubt. The
+    manifest filename is underscore-prefixed so parquet readers treat
+    it as hidden.
     """
     from tempo_spark.pipeline import dedup as d
     from tempo_spark.pipeline.components import near_dedup

@@ -2756,6 +2756,65 @@ class TestPrepareCorpus:
         with pytest.raises(ValueError, match="resume"):
             prepare_corpus(df, resume=True, **kw)
 
+    def test_resume_across_process_restart(self, spark, tmp_path):
+        """r12 (dress rehearsal find): the resume digest must survive a
+        REAL process restart. ``semanticHash`` is session-scoped for file
+        scans (the canonicalized relation hashes its FileIndex by object
+        identity), so the r11 digest never matched across JVMs and
+        resume= silently recomputed everything; file-backed inputs now
+        token by normalized plan + input-file listing. Two fresh
+        subprocesses share one staging dir: the second must SKIP stage 0
+        (part files untouched), not rewrite it."""
+        import os
+        import subprocess
+        import sys
+        import textwrap
+        from pathlib import Path as _P
+
+        repo = str(_P(__file__).resolve().parents[1])
+        corpus = tmp_path / "corpus"
+        spark.createDataFrame(
+            [(i, f"document {i} body words {i % 7} more text here")
+             for i in range(50)],
+            "doc_id long, text string",
+        ).write.parquet(str(corpus))
+        sd = tmp_path / "staging"
+        prog = textwrap.dedent(
+            f"""
+            import sys; sys.path.insert(0, {repr(repo)})
+            from pyspark.sql import SparkSession
+            spark = (SparkSession.builder.master("local[2]")
+                     .config("spark.ui.enabled", "false")
+                     .config("spark.sql.shuffle.partitions", "2")
+                     .getOrCreate())
+            from tempo_spark.pipeline.prepare import prepare_corpus
+            docs = spark.read.parquet({repr(str(corpus))})
+            out = prepare_corpus(docs, normalize=True, exact_dedup=True,
+                                 staging_dir={repr(str(sd))}, resume=True)
+            print("ROWS", out.count())
+            """
+        )
+
+        def run():
+            r = subprocess.run(
+                [sys.executable, "-c", prog],
+                capture_output=True, text=True, timeout=600,
+            )
+            assert r.returncode == 0, r.stderr[-2000:]
+
+        run()
+        stage0 = sd / "00_cleaned"
+        parts1 = sorted(
+            f for f in os.listdir(stage0) if f.startswith("part-")
+        )
+        run()
+        parts2 = sorted(
+            f for f in os.listdir(stage0) if f.startswith("part-")
+        )
+        # a rewrite would mint fresh random part names — equality proves
+        # the second JVM recognized the first JVM's manifest
+        assert parts1 == parts2
+
     def test_token_model_drives_counts(self, spark):
         """r10: token_model= (a BPEModel) swaps the n_tokens signal to
         learned BPE piece counts — downstream packing keys off it."""
