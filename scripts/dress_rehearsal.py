@@ -246,15 +246,16 @@ def prepare(spark, workdir: str, resume: bool) -> dict:
                     sum(f.stat().st_size for f in d.rglob("*")) / 2**30, 2
                 ),
             }
-    # manifest mtimes -> per-stage wall (first stage measured from the
-    # run's wall-clock start; resumed-over stages keep old mtimes, so
-    # negative/ancient deltas read as "skipped")
+    # manifest mtimes -> per-stage wall; a manifest older than this run's
+    # start was inherited from the killed run = the stage was SKIPPED
     prev = start_wall
     for name in sorted(stages):
-        at = stages[name]["done_at"]
-        stages[name]["stage_sec"] = round(at - prev, 1)
-        prev = at
-        del stages[name]["done_at"]
+        at = stages[name].pop("done_at")
+        if at < start_wall:
+            stages[name]["skipped"] = True
+        else:
+            stages[name]["stage_sec"] = round(at - prev, 1)
+            prev = at
     return {
         "resume": resume,
         "wall_sec": round(wall, 1),
