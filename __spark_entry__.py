@@ -5364,6 +5364,80 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5, n_planes=6, dim=_embedding_dim(sf_dir))
 
 
+_OPQ_CACHE: dict = {}
+
+
+def _opq_artifacts():
+    """Deterministic OPQ gate fixture (r12): 64 8-dim vectors in 4
+    strongly-separated latent clusters, mixed across the m=2 subspace
+    boundary by a fixed Givens rotation — exactly the correlated shape
+    OPQ exists for. The codec trains via the SAME numpy fit
+    ``PQCodec.train`` uses (similarity._train_pq_arrays), with no Spark
+    session, so ``oracle_sql()`` can embed the trained rotation and
+    codebooks as literals and REPLAY rotate+encode in SQL.
+
+    Cross-engine exactness story: the Spark side encodes through the
+    production Arrow matmul kernel, whose float64 accumulation order
+    differs from the oracle's left-fold by ulps — but the emitted values
+    are integer CODES, and the fixture guarantees a wide argmin margin
+    (asserted below: best vs second-best distance per (row, subspace)
+    separated by ≥ 1e-6 relative), so no ulp can flip a code. Returns
+    (codebooks, rotation, X, margin)."""
+    if "art" in _OPQ_CACHE:
+        return _OPQ_CACHE["art"]
+    import math as _math
+
+    import numpy as _np
+
+    from tempo_spark.pipeline.similarity import _train_pq_arrays
+
+    n, dim, m, ksub = 64, 8, 2, 4
+    # latent clusters on a coarse grid + small deterministic noise
+    Z = _np.zeros((n, dim))
+    for i in range(n):
+        c = i % 4
+        for j in range(dim):
+            Z[i, j] = (
+                c * 10.0 + j + ((i * 37 + j * 11) % 13 - 6) * 0.05
+            )
+    # mix dims (j, j+4) across the subspace boundary: Givens rotations
+    Q = _np.eye(dim)
+    for j, th in enumerate((0.5, 0.9, 1.3, 0.3)):
+        G = _np.eye(dim)
+        G[j, j] = G[j + 4, j + 4] = _math.cos(th)
+        G[j, j + 4] = -_math.sin(th)
+        G[j + 4, j] = _math.sin(th)
+        Q = Q @ G
+    X = Z @ Q
+    books, rotation = _train_pq_arrays(
+        X, m, ksub, seed=42, max_iter=20, opq_iters=4
+    )
+    assert rotation is not None
+    # argmin-margin guard: a degenerate fixture (near-tied codewords)
+    # would make the integer codes ulp-sensitive — refuse to gate on it
+    Xr = X @ _np.asarray(rotation)
+    dsub = dim // m
+    margin = float("inf")
+    for j in range(m):
+        C = _np.asarray(books[j])
+        sub = Xr[:, j * dsub:(j + 1) * dsub]
+        d = (C * C).sum(axis=1)[None, :] - 2.0 * (sub @ C.T)
+        ds = _np.sort(d, axis=1)
+        margin = min(
+            margin,
+            float(
+                ((ds[:, 1] - ds[:, 0])
+                 / _np.maximum(1.0, _np.abs(ds[:, 0]))).min()
+            ),
+        )
+    if margin < 1e-6:
+        raise AssertionError(
+            f"opq fixture argmin margin {margin} too small to gate"
+        )
+    _OPQ_CACHE["art"] = (books, rotation, X, margin)
+    return _OPQ_CACHE["art"]
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF build → probe → top-k with the deterministic quantizer
     (``init="first"``: centroids are the 8 smallest-id vectors, no Lloyd
@@ -5450,9 +5524,33 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("int").alias("rank"),
         F.lit("add").alias("tag"),
     )
+    # opq (r12): TRAINED OPQ rotation gated end-to-end — the codec is
+    # fit spark-free on the deterministic fixture (_opq_artifacts), the
+    # Spark side encodes through the production Arrow matmul kernel
+    # (rotation= forces it), the oracle replays rotate+argmin from the
+    # exported rotation/codebook literals; codes are integers and the
+    # fixture's argmin margin makes them ulp-proof. A NaN-element row is
+    # appended: the kernel must emit NO code row for it (_vec_ok).
+    obooks, orot, ox, _ = _opq_artifacts()
+    ocodec = PQCodec(obooks, rotation=orot)
+    fx_rows = [
+        (i, [float(x) for x in row]) for i, row in enumerate(ox)
+    ] + [(len(ox), [float("nan")] + [0.0] * (len(ox[0]) - 1))]
+    fx = spark.createDataFrame(fx_rows, "fid long, embedding array<double>")
+    opq_rows = (
+        ocodec.encode(fx)
+        .select("fid", F.posexplode("pq_code").alias("j", "code"))
+        .select(
+            F.col("fid").alias("query_id"),
+            F.col("j").cast("long").alias("vec_id"),
+            F.lit(None).cast("double").alias("cosine"),
+            F.col("code").cast("int").alias("rank"),
+            F.lit("opq").alias("tag"),
+        )
+    )
     return (
         ivf.unionByName(pq).unionByName(rr).unionByName(rres)
-        .unionByName(add_rows)
+        .unionByName(add_rows).unionByName(opq_rows)
     )
 
 
@@ -5686,6 +5784,64 @@ UNION ALL
 SELECT vec_id AS query_id, CAST(cell AS BIGINT) AS vec_id,
        CAST(NULL AS DOUBLE) AS cosine, 1 AS rank, 'add' AS tag
 FROM addassign
+""" + _opq_oracle_block()
+
+
+def _opq_oracle_block() -> str:
+    """The 'opq' tag replay (r12): fixture vectors, the TRAINED rotation,
+    and the trained codebooks as literals; rotate = left-fold matrix
+    product per component, encode = first-minimum argmin of the
+    (-2·dot + ‖c‖²) surrogate — same shape as every other pq leg. Codes
+    are integers with an asserted argmin margin, so the Arrow kernel's
+    matmul accumulation order cannot flip them (see _opq_artifacts)."""
+    obooks, orot, ox, _ = _opq_artifacts()
+    dim = len(ox[0])
+    m = len(obooks)
+    dsub = dim // m
+
+    def dv(x):
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    fx_vals = ",\n    ".join(
+        f"({i}, [" + ", ".join(dv(x) for x in row) + "])"
+        for i, row in enumerate(ox)
+    )
+    rot_comps = []
+    for kk in range(dim):
+        s = "0.0"
+        for t in range(dim):
+            s = f"({s} + v[{t + 1}] * {dv(orot[t][kk])})"
+        rot_comps.append(s)
+    rv_list = "[" + ",\n        ".join(rot_comps) + "]"
+    js, cs, dists = [], [], []
+    for j in range(m):
+        for cidx, cw in enumerate(obooks[j]):
+            cn2 = 0.0
+            for x in cw:
+                cn2 = cn2 + x * x
+            dot = "0.0"
+            for t in range(dsub):
+                dot = f"({dot} + rv[{j * dsub + t + 1}] * {dv(cw[t])})"
+            js.append(str(j))
+            cs.append(str(cidx))
+            dists.append(f"((-2.0 * {dot}) + {dv(cn2)})")
+    dist_list = ",\n                  ".join(dists)
+    return f"""
+UNION ALL
+SELECT CAST(fid AS BIGINT) AS query_id, CAST(j AS BIGINT) AS vec_id,
+       CAST(NULL AS DOUBLE) AS cosine, CAST(c AS INTEGER) AS rank,
+       'opq' AS tag
+FROM (
+  SELECT fid, j, c,
+         row_number() OVER (PARTITION BY fid, j ORDER BY dist, c) AS rn
+  FROM (
+    SELECT fid,
+           unnest([{", ".join(js)}]) AS j,
+           unnest([{", ".join(cs)}]) AS c,
+           unnest([{dist_list}]) AS dist
+    FROM (SELECT fid, {rv_list} AS rv
+          FROM (VALUES {fx_vals}) AS ofx(fid, v))))
+WHERE rn = 1
 """
 
 

@@ -1136,6 +1136,72 @@ def _with_residual(
     ).drop("__cents")
 
 
+def _train_pq_arrays(X, m, ksub, seed, max_iter, opq_iters):
+    """Driver-side numpy PQ/OPQ fit over an (n, dim) float64 matrix —
+    returns ``(codebooks, rotation_or_None)``. Shared by
+    :meth:`PQCodec.train` (the Spark fit-sample path) and spark-free
+    callers (the r12 ``opq`` gate trains on a deterministic in-memory
+    fixture so oracle generation needs no session)."""
+    import numpy as np
+
+    dim = X.shape[1]
+    dsub = dim // m
+
+    def _fit_books(Y):
+        return [
+            _local_lloyd(
+                [list(r) for r in Y[:, j * dsub : (j + 1) * dsub]],
+                ksub, seed + j, max_iter,
+            )
+            for j in range(m)
+        ]
+
+    rotation = None
+    if opq_iters > 0:
+        import math as _math
+
+        # parametric init (the OPQ paper's eigenvalue allocation):
+        # eigendecompose the sample covariance and deal eigenvectors,
+        # largest eigenvalue first, into the subspace with the
+        # smallest log-variance product — starting from R = I the
+        # alternating refinement sits in a local optimum and never
+        # finds a cross-boundary rotation (measured: stuck at the
+        # plain-PQ error; with this init it reaches the noise floor)
+        Xc = X - X.mean(axis=0)
+        w, V = np.linalg.eigh(Xc.T @ Xc / max(X.shape[0], 1))
+        order = np.argsort(w)[::-1]
+        w, V = w[order], V[:, order]
+        buckets: list[list[int]] = [[] for _ in range(m)]
+        logprod = [0.0] * m
+        for i in range(len(w)):
+            b = min(
+                (bb for bb in range(m) if len(buckets[bb]) < dsub),
+                key=lambda bb: logprod[bb],
+            )
+            buckets[b].append(i)
+            logprod[b] += _math.log(max(float(w[i]), 1e-12))
+        R = V[:, [i for bucket in buckets for i in bucket]]
+        for _ in range(opq_iters):
+            Xr = X @ R
+            books = _fit_books(Xr)
+            Xhat = np.empty_like(Xr)
+            for j in range(m):
+                C = np.asarray(books[j], dtype=np.float64)
+                sub = Xr[:, j * dsub : (j + 1) * dsub]
+                codes = np.argmin(
+                    (C * C).sum(axis=1)[None, :] - 2.0 * (sub @ C.T),
+                    axis=1,
+                )
+                Xhat[:, j * dsub : (j + 1) * dsub] = C[codes]
+            # orthogonal Procrustes: R = argmin ‖XR − X̂‖_F over
+            # orthonormal R, via SVD of XᵀX̂
+            U, _, Vt = np.linalg.svd(X.T @ Xhat)
+            R = U @ Vt
+        X = X @ R
+        rotation = [[float(x) for x in row] for row in R]
+    return _fit_books(X), rotation
+
+
 class PQCodec:
     """Product quantizer (Jégou et al., "Product Quantization for Nearest
     Neighbor Search", TPAMI 2011 — the faiss ``IVFx,PQm`` storage recipe,
@@ -1320,60 +1386,9 @@ class PQCodec:
             )
         if init != "kmeans":
             raise ValueError(f"unknown init {init!r}; use 'kmeans' or 'first'")
-
-        def _fit_books(Y):
-            return [
-                _local_lloyd(
-                    [list(r) for r in Y[:, j * dsub : (j + 1) * dsub]],
-                    ksub, seed + j, max_iter,
-                )
-                for j in range(m)
-            ]
-
-        rotation = None
-        if opq_iters > 0:
-            import math as _math
-
-            # parametric init (the OPQ paper's eigenvalue allocation):
-            # eigendecompose the sample covariance and deal eigenvectors,
-            # largest eigenvalue first, into the subspace with the
-            # smallest log-variance product — starting from R = I the
-            # alternating refinement sits in a local optimum and never
-            # finds a cross-boundary rotation (measured: stuck at the
-            # plain-PQ error; with this init it reaches the noise floor)
-            Xc = X - X.mean(axis=0)
-            w, V = np.linalg.eigh(Xc.T @ Xc / max(X.shape[0], 1))
-            order = np.argsort(w)[::-1]
-            w, V = w[order], V[:, order]
-            buckets: list[list[int]] = [[] for _ in range(m)]
-            logprod = [0.0] * m
-            for i in range(len(w)):
-                b = min(
-                    (bb for bb in range(m) if len(buckets[bb]) < dsub),
-                    key=lambda bb: logprod[bb],
-                )
-                buckets[b].append(i)
-                logprod[b] += _math.log(max(float(w[i]), 1e-12))
-            R = V[:, [i for bucket in buckets for i in bucket]]
-            for _ in range(opq_iters):
-                Xr = X @ R
-                books = _fit_books(Xr)
-                Xhat = np.empty_like(Xr)
-                for j in range(m):
-                    C = np.asarray(books[j], dtype=np.float64)
-                    sub = Xr[:, j * dsub : (j + 1) * dsub]
-                    codes = np.argmin(
-                        (C * C).sum(axis=1)[None, :] - 2.0 * (sub @ C.T),
-                        axis=1,
-                    )
-                    Xhat[:, j * dsub : (j + 1) * dsub] = C[codes]
-                # orthogonal Procrustes: R = argmin ‖XR − X̂‖_F over
-                # orthonormal R, via SVD of XᵀX̂
-                U, _, Vt = np.linalg.svd(X.T @ Xhat)
-                R = U @ Vt
-            X = X @ R
-            rotation = [[float(x) for x in row] for row in R]
-        books = _fit_books(X)
+        books, rotation = _train_pq_arrays(
+            X, m, ksub, seed, max_iter, opq_iters
+        )
         return PQCodec(books, residual=index is not None, rotation=rotation)
 
     # ------------------------------------------------------------ encode
