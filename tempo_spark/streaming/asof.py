@@ -23,7 +23,7 @@ Three paths are provided:
 from __future__ import annotations
 
 import bisect
-from typing import Sequence
+from typing import Optional, Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -80,6 +80,7 @@ def streaming_asof(
     lookback_seconds: int = 3600,
     watermark: str = "10 minutes",
     right_prefix: str = "right",
+    observe: Optional[str] = None,
 ) -> DataFrame:
     """End-to-end streaming as-of in ONE query (no foreachBatch), append
     output: each left row emits exactly once — with the latest right row in
@@ -110,6 +111,13 @@ def streaming_asof(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+    if observe:
+        # arrival counter on the LEFT (event) stream — the side whose
+        # watermark-dropped rows silently shrink the output; read back
+        # via tempo_spark.streaming.metrics.late_row_stats
+        from tempo_spark.streaming.metrics import observe_input
+
+        left = observe_input(left, left_ts, observe)
     l_vals = [c for c in left.columns if c not in series_ids and c != left_ts]
     r_vals = [c for c in right.columns if c not in series_ids and c != right_ts]
     out_r_ts = f"{right_prefix}_{right_ts}"

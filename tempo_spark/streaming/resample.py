@@ -25,13 +25,21 @@ def streaming_resample(
     agg: str = "mean",
     metric_cols: Optional[Sequence[str]] = None,
     watermark: str = "10 minutes",
+    observe: Optional[str] = None,
 ) -> DataFrame:
     """Streaming tumbling-window downsample. Returns an unstarted streaming
     DataFrame: ``.writeStream`` it with any sink/trigger.
 
     Watermark bounds the state store: buckets older than ``watermark`` are
     finalized and evicted, which is what makes this run indefinitely on an
-    unbounded stream."""
+    unbounded stream. Rows behind the watermark are dropped SILENTLY by
+    design — pass ``observe=`` (an observation name) and read
+    :func:`tempo_spark.streaming.metrics.late_row_stats` off the running
+    query to count arrivals vs watermark drops."""
+    if observe:
+        from tempo_spark.streaming.metrics import observe_input
+
+        sdf = observe_input(sdf, ts_col, observe)
     f = parse_freq(freq)
     if metric_cols is None:
         from pyspark.sql.types import NumericType

@@ -21,7 +21,7 @@ O(open intervals), which the watermark bounds to
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence, Tuple
+from typing import Iterator, Optional, Sequence, Tuple
 
 import pandas as pd
 
@@ -36,6 +36,7 @@ def streaming_sessionize(
     series_ids: Sequence[str],
     gap_seconds: int = 1800,
     watermark: str = "1 hour",
+    observe: Optional[str] = None,
 ) -> DataFrame:
     """Returns a streaming DataFrame of closed sessions:
     ``(*series_ids, session_start, session_end, n_events)``.
@@ -43,10 +44,17 @@ def streaming_sessionize(
     A session is emitted when the watermark passes ``session_end + gap``
     (by a data batch or by event-time timeout) — never earlier, so late
     events allowed by the watermark can still extend a session backward
-    or forward, or merge two provisional sessions into one.
+    or forward, or merge two provisional sessions into one. Events behind
+    the watermark are dropped silently (by design); ``observe=`` attaches
+    the arrival counter read back via
+    :func:`tempo_spark.streaming.metrics.late_row_stats`.
     """
     if gap_seconds <= 0:
         raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
+    if observe:
+        from tempo_spark.streaming.metrics import observe_input
+
+        sdf = observe_input(sdf, ts_col, observe)
     key_fields = [sdf.schema[c] for c in series_ids]
     # the kernel works exclusively in unix_micros computed JVM-side and
     # the output timestamps are reconstructed JVM-side: event time crosses

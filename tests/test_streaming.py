@@ -137,3 +137,124 @@ class TestStreamingTSDFWrapper:
         batch = spark.range(3).withColumnRenamed("id", "v")
         with pytest.raises(ValueError):
             StreamingTSDF(batch, ts_col="v")
+
+
+class TestLateDataMetrics:
+    def test_observed_arrivals_and_watermark_drops(self, spark, tmp_path):
+        """r12 (VERDICT #9): late-data observability. Single-file
+        micro-batches: batch 1 advances the watermark past a straggler
+        delivered in batch 2. MEASURED Spark 4.1 semantics (pinned
+        here): the window aggregation ADMITS the late row — the stale
+        window materializes as a fresh append row (the watermark drives
+        state eviction/emission, not input dropping), and
+        numRowsDroppedByWatermark stays 0. A sink keyed on window-start
+        would silently take a late partial bar — late_row_stats'
+        late_batches/max_lateness_sec is the signal that says it
+        happened and how much watermark delay would have covered it."""
+        import os
+        import time as _t
+
+        from tempo_spark.streaming.metrics import late_row_stats
+        from tempo_spark.streaming.resample import streaming_resample
+
+        schema = "k string, event_ts timestamp, v double"
+        d = tmp_path / "late_src"
+        d.mkdir()
+        f1 = str(d / "b1.parquet")
+        f2 = str(d / "b2.parquet")
+        f3 = str(d / "b3.parquet")
+        spark.createDataFrame(
+            [("A", ts("2020-01-01 01:00:00"), 1.0),
+             ("A", ts("2020-01-01 01:00:30"), 3.0)],
+            schema,
+        ).coalesce(1).write.parquet(f1)
+        # one straggler far behind (01:00:00 − 5 min watermark = 00:55)
+        # and one fresh row that must survive
+        spark.createDataFrame(
+            [("A", ts("2020-01-01 00:30:00"), 99.0),
+             ("A", ts("2020-01-01 01:01:10"), 7.0)],
+            schema,
+        ).coalesce(1).write.parquet(f2)
+        # a late sentinel batch so the final watermark (01:15) closes the
+        # 01:00/01:01 windows in append mode
+        spark.createDataFrame(
+            [("A", ts("2020-01-01 01:20:00"), 5.0)], schema,
+        ).coalesce(1).write.parquet(f3)
+        # file source orders batches by modification time
+        now = _t.time()
+        for root, base in ((f1, now - 120), (f2, now - 60), (f3, now)):
+            for fn in os.listdir(root):
+                os.utime(os.path.join(root, fn), (base, base))
+
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(d) + "/*")
+        )
+        out = streaming_resample(
+            sdf, "event_ts", ["k"], "1 minute", "sum",
+            watermark="5 minutes", observe="late_test",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("late_metrics_stream")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            stats = late_row_stats(q, "late_test")
+        finally:
+            q.stop()
+        assert stats["input_rows"] == 5  # every arrival counted
+        assert stats["late_batches"] == 1  # the straggler's batch
+        # straggler 00:30:00 vs watermark 00:55:30 -> 1530 s late
+        assert stats["max_lateness_sec"] == pytest.approx(1530.0)
+        assert stats["batches"] >= 2
+        assert stats["watermark"] is not None
+        rows = {
+            str(r.event_ts): r.v
+            for r in spark.table("late_metrics_stream").collect()
+        }
+        assert rows.get("2020-01-01 01:00:00") == pytest.approx(4.0)
+        assert rows.get("2020-01-01 01:01:00") == pytest.approx(7.0)
+        # the measured hazard: the straggler's behind-the-watermark
+        # window DOES materialize (admitted, then immediately emitted) —
+        # exactly what late_batches flags
+        assert rows.get("2020-01-01 00:30:00") == pytest.approx(99.0)
+
+    def test_sessionize_and_asof_accept_observe(self, spark, tmp_path):
+        """observe= plumbs through the stateful kernels without changing
+        their plans' output schema."""
+        from tempo_spark.streaming.asof import streaming_asof
+        from tempo_spark.streaming.sessionize import streaming_sessionize
+
+        schema = "k string, ts timestamp, v double"
+        d = tmp_path / "obs_src"
+        spark.createDataFrame(
+            [("A", ts("2020-01-01 00:00:10"), 1.0),
+             ("A", ts("2020-01-01 02:00:00"), 2.0)],
+            schema,
+        ).write.parquet(str(d))
+        sdf = spark.readStream.schema(schema).parquet(str(d))
+        sess = streaming_sessionize(
+            sdf, "ts", ["k"], gap_seconds=60, observe="sess_obs"
+        )
+        q = (
+            sess.writeStream.format("memory").queryName("sess_obs_q")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        try:
+            q.awaitTermination(120)
+            from tempo_spark.streaming.metrics import late_row_stats
+
+            st = late_row_stats(q, "sess_obs")
+        finally:
+            q.stop()
+        assert st["input_rows"] == 2 and st["late_batches"] == 0
+        aso = streaming_asof(
+            sdf, spark.readStream.schema(schema).parquet(str(d))
+            .withColumnRenamed("v", "q"),
+            ["k"], observe="asof_obs",
+        )
+        assert aso.isStreaming  # plan builds with the observation attached
