@@ -1311,6 +1311,90 @@ def analytics_probe(
     return out
 
 
+def analytics3_probe(spark, n_rows: int, n_series: int) -> dict:
+    """r12 analytics at 100× shapes (VERDICT-r11 #6, the families the
+    --analytics/--analytics2 probes don't cover):
+
+    - technical indicators on the raw series (RSI-14, Bollinger-20,
+      MACD 12/26/9) and on calc_bars output (ATR-14, stochastic 14/3) —
+      all exact-decimal bounded-row window frames, expected linear;
+    - forecast horizon sweep: seasonal-naive and Holt-Winters at h=24 vs
+      h=336 (the fan-out explode is h·n_series rows — is the cost the
+      fit aggregation or the horizon?);
+    - seasonal_anomalies period 24 (decompose + residual ESD compose);
+    - retrieval_metrics at k=100 over n_series·100 ranked rows with 10
+      judged docs/query (the VERDICT shape: gate scale is k=5).
+
+    Checksum-forced (count() lets Catalyst prune computed columns)."""
+    from tempo_spark.pipeline.search import retrieval_metrics
+
+    ev = synth_events(spark, n_rows, n_series)
+    t = TSDF(ev, ts_col="ts", series_ids=["user_id"])
+    out: dict = {"n_rows": n_rows, "n_series": n_series}
+
+    def force(df):
+        return df.agg(
+            F.sum(F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(1 << 30)))
+        ).collect()
+
+    def timed2(build):
+        secs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            force(build())
+            secs.append(round(time.monotonic() - t0, 2))
+        return {"sec": min(secs), "reps": secs}
+
+    out["rsi14"] = timed2(lambda: t.withRSI("value").df)
+    out["bollinger20"] = timed2(lambda: t.withBollinger("value").df)
+    out["macd"] = timed2(lambda: t.withMACD("value").df)
+    bars = t.calc_bars("1 minute")
+    out["bars_atr14"] = timed2(
+        lambda: bars.withATR("high_value", "low_value", "close_value").df
+    )
+    out["bars_stoch"] = timed2(
+        lambda: bars.withStochastic(
+            "high_value", "low_value", "close_value"
+        ).df
+    )
+    for h in (24, 336):
+        out[f"fc_seasonal_h{h}"] = timed2(
+            lambda h=h: t.forecast_naive(
+                "value", h, "1 minute", method="seasonal", period=24
+            )
+        )
+        out[f"fc_hw_h{h}"] = timed2(
+            lambda h=h: t.forecast_ets(
+                "value", h, "1 minute", method="hw_add",
+                alpha=0.3, beta=0.1, gamma=0.1, period=24,
+            )
+        )
+    out["seasonal_anomalies24"] = timed2(
+        lambda: t.seasonal_anomalies("value", 24)
+    )
+
+    # IR eval at k=100: n_series queries × 100 ranked rows, 10 qrels each
+    n_q = n_series
+    results = spark.range(n_q * 100).select(
+        (F.col("id") % n_q).alias("query_id"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("doc_id"),
+        (F.col("id") / n_q + 1).cast("int").alias("rank"),
+    )
+    qrels = spark.range(n_q * 10).select(
+        (F.col("id") % n_q).alias("query_id"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1000)).alias("doc_id"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(3)) + 1).cast(
+            "int"
+        ).alias("rel"),
+    ).dropDuplicates(["query_id", "doc_id"])
+    out["retrieval_metrics_k100"] = timed2(
+        lambda: retrieval_metrics(
+            results, qrels, k=100, rel_col="rel"
+        )
+    )
+    return out
+
+
 def bm25_probe(spark, n_docs: int) -> dict:
     """BM25 at corpus scale: 10 three-term queries against n_docs 20-token
     docs over a 5k vocabulary (every query term is hot — worst case for
@@ -1442,6 +1526,12 @@ def main():
         print(json.dumps(_stamp(rollup_probe(spark, 8_000_000, 100, 1))))
         # sparse regime (~0.2 rows per finest bucket): naive should win
         print(json.dumps(_stamp(rollup_probe(spark, 8_000_000, 10_000, 3))))
+        spark.stop()
+        return
+    if "--analytics3" in sys.argv:
+        spark = _probe_session()
+        for n in (2_000_000, 8_000_000):
+            print(json.dumps(_stamp(analytics3_probe(spark, n, 10_000))))
         spark.stop()
         return
     if "--analytics2" in sys.argv:
