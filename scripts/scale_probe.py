@@ -1528,6 +1528,38 @@ def main():
         print(json.dumps(_stamp(rollup_probe(spark, 8_000_000, 10_000, 3))))
         spark.stop()
         return
+    if "--emaprefix" in sys.argv:
+        # sliding O(rows×window) vs prefix O(rows) EMA/MACD (r12)
+        spark = _probe_session()
+        for n in (2_000_000, 8_000_000):
+            t = TSDF(synth_events(spark, n, 10_000),
+                     ts_col="ts", series_ids=["user_id"])
+            out = {"n_rows": n}
+
+            def force(df):
+                return df.agg(F.sum(F.pmod(
+                    F.xxhash64(F.struct(*df.columns)), F.lit(1 << 30)
+                ))).collect()
+
+            for name, build in (
+                ("macd_sliding", lambda: t.withMACD("value").df),
+                ("macd_prefix",
+                 lambda: t.withMACD("value", ema_strategy="prefix").df),
+                ("ema104_sliding",
+                 lambda: t.EMA("value", window=104, span=26.0).df),
+                ("ema104_prefix",
+                 lambda: t.EMA("value", window=104, span=26.0,
+                               strategy="prefix").df),
+            ):
+                secs = []
+                for _ in range(2):
+                    t0 = time.monotonic()
+                    force(build())
+                    secs.append(round(time.monotonic() - t0, 2))
+                out[name] = {"sec": min(secs), "reps": secs}
+            print(json.dumps(_stamp(out)))
+        spark.stop()
+        return
     if "--analytics3" in sys.argv:
         spark = _probe_session()
         for n in (2_000_000, 8_000_000):

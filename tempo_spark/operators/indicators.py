@@ -106,6 +106,7 @@ def with_bollinger(
 def with_macd(
     tsdf, value_col: str, fast: int = 12, slow: int = 26, signal: int = 9,
     prefix: str = "macd", ema_window: int = None,
+    ema_strategy: str = "sliding",
 ) -> DataFrame:
     """df + ``{prefix}/{prefix}_signal/{prefix}_hist`` via three chained
     :meth:`TSDF.EMA` passes (span parameterization). ``fast < slow``.
@@ -113,7 +114,13 @@ def with_macd(
     ``ema_window`` is the EMA truncation depth forwarded to every pass
     (default ``4·slow``: the untruncated tail mass (1−2/(slow+1))^(4·slow)
     is <0.1% — EMA's own default of 30 would bias a span-26 line ~10%
-    toward recent values)."""
+    toward recent values).
+
+    ``ema_strategy="prefix"`` forwards the O(rows) prefix EMA to all
+    three passes — the scale form: the default sliding frames are
+    O(rows × 4·slow) and measured 32 s at 8M rows vs ~4 s prefix
+    (scale_probe --analytics3/--emaprefix; ~1e-12 relative agreement,
+    see :meth:`TSDF._ema_prefix`)."""
     if not (0 < fast < slow):
         raise ValueError(f"need 0 < fast < slow, got ({fast}, {slow})")
     if signal < 1:
@@ -134,17 +141,20 @@ def with_macd(
     )
     if clash:
         raise ValueError(f"reserved output/staging columns present: {clash}")
-    t1 = tsdf.EMA(value_col, window=ema_window, span=float(fast))
+    t1 = tsdf.EMA(value_col, window=ema_window, span=float(fast),
+                  strategy=ema_strategy)
     t1 = t1._with_df(
         t1.df.withColumnRenamed(f"ema_{value_col}", "__ti_fast")
     )
-    t2 = t1.EMA(value_col, window=ema_window, span=float(slow))
+    t2 = t1.EMA(value_col, window=ema_window, span=float(slow),
+                strategy=ema_strategy)
     t2 = t2._with_df(
         t2.df.withColumn(
             prefix, F.col("__ti_fast") - F.col(f"ema_{value_col}")
         ).drop("__ti_fast", f"ema_{value_col}")
     )
-    t3 = t2.EMA(prefix, window=ema_window, span=float(signal))
+    t3 = t2.EMA(prefix, window=ema_window, span=float(signal),
+                strategy=ema_strategy)
     out = t3.df.withColumnRenamed(f"ema_{prefix}", outs[1]).withColumn(
         outs[2], F.col(prefix) - F.col(outs[1])
     )

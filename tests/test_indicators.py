@@ -377,3 +377,85 @@ class TestStochastic:
         assert any(r.stoch_d is not None for r in out)
         ks = [r.stoch_k for r in out if r.stoch_k is not None]
         assert all(0.0 <= k <= 100.0 for k in ks)
+
+
+class TestEMAPrefixStrategy:
+    """r12: O(rows) prefix EMA (TSDF._ema_prefix) vs the sliding sum."""
+
+    def _parity(self, spark, vals, window, **ema_kw):
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        sl = {r.ts: r["ema_v"]
+              for r in t.EMA("v", window=window, **ema_kw).df.collect()}
+        pr = {
+            r.ts: r["ema_v"]
+            for r in t.EMA(
+                "v", window=window, strategy="prefix", **ema_kw
+            ).df.collect()
+        }
+        assert sl.keys() == pr.keys()
+        for k in sl:
+            a, b = sl[k], pr[k]
+            assert b == pytest.approx(a, rel=1e-9, abs=1e-9), (k, a, b)
+
+    def test_parity_deep_window_with_nulls(self, spark):
+        vals = [
+            None if i % 37 == 5 else math.sin(i / 3.0) * 40 + i * 0.01
+            for i in range(400)
+        ]
+        # deep MACD-class truncation, default alpha, and span param
+        self._parity(spark, vals, 104, span=26.0)
+        self._parity(spark, vals, 104, exp_factor=0.2)
+        self._parity(spark, vals, 30)
+
+    def test_parity_short_series_and_w1(self, spark):
+        self._parity(spark, [5.0, None, 7.0], 104, span=26.0)
+        self._parity(spark, [3.0, 1.0, 4.0, 1.0, 5.0], 1, exp_factor=0.5)
+
+    def test_multi_series_one_exchange(self, spark):
+        from tempo_spark.plans.inspect import count_exchanges
+
+        rows = []
+        base = dt.datetime(2024, 1, 1)
+        for sym in ("a", "b", "c"):
+            for i in range(150):
+                rows.append(
+                    (sym, base + dt.timedelta(minutes=i), float(i % 11))
+                )
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        out = t.EMA("v", window=104, span=26.0, strategy="prefix").df
+        # the phase-block windows cluster by (series, block) which the
+        # series hash partitioning already satisfies: ONE shuffle
+        assert count_exchanges(out) == 1
+        sl = t.EMA("v", window=104, span=26.0).df.collect()
+        pr = {(r.sym, r.ts): r["ema_v"] for r in out.collect()}
+        for r in sl:
+            assert pr[(r.sym, r.ts)] == pytest.approx(
+                r["ema_v"], rel=1e-9, abs=1e-9
+            )
+
+    def test_overflow_guard_and_bad_strategy(self, spark):
+        t = TSDF(_mk(spark, [1.0, 2.0]), ts_col="ts", series_ids=["sym"])
+        with pytest.raises(ValueError, match="overflow the double rescaling"):
+            t.EMA("v", window=5000, exp_factor=0.9, strategy="prefix")
+        with pytest.raises(ValueError, match="strategy"):
+            t.EMA("v", strategy="nope")
+        with pytest.raises(ValueError, match="__emp_"):
+            TSDF(
+                t.df.withColumn("__emp_t0", t.df.v),
+                ts_col="ts", series_ids=["sym"],
+            ).EMA("v", strategy="prefix")
+
+    def test_macd_prefix_matches_sliding(self, spark):
+        vals = [float(i % 7) * 3 + i * 0.1 for i in range(300)]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        sl = t.withMACD("v").df.collect()
+        pr = {
+            r.ts: r
+            for r in t.withMACD("v", ema_strategy="prefix").df.collect()
+        }
+        for r in sl:
+            for c in ("macd", "macd_signal", "macd_hist"):
+                assert pr[r.ts][c] == pytest.approx(
+                    r[c], rel=1e-9, abs=1e-9
+                )
