@@ -1497,10 +1497,18 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         series_ids=["user_id"],
     )
     cbars = tc.calc_bars("1 hour")
+    # r12 wr/obv: Williams %R (window 5) + OBV with a deterministic
+    # close-derived volume (((c % 97)+97)%97 + 1 — identical integer expr in
+    # both engines; bars carry no real volume column)
+    bars_vol = cbars.df.withColumn(
+        "vol_c", F.expr("((close_cents % 97) + 97) % 97 + 1")
+    )
     ind = (
-        TSDF(cbars.df, ts_col="ts", series_ids=["user_id"])
+        TSDF(bars_vol, ts_col="ts", series_ids=["user_id"])
         .withATR("high_cents", "low_cents", "close_cents", window=5)
         .withStochastic("high_cents", "low_cents", "close_cents", 5, 3)
+        .withWilliamsR("high_cents", "low_cents", "close_cents", window=5)
+        .withOBV("close_cents", "vol_c")
         .df
     )
     nulld = F.lit(None).cast("double")
@@ -1515,6 +1523,10 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
                          _HR6(F.col("stoch_k")).alias("cv")),
                 F.struct(F.lit("stoch_d").alias("grain"),
                          _HR6(F.col("stoch_d")).alias("cv")),
+                F.struct(F.lit("wr").alias("grain"),
+                         _HR6(F.col("williams_r")).alias("cv")),
+                F.struct(F.lit("obv").alias("grain"),
+                         _HR6(F.col("obv") / 100).alias("cv")),
             )
         ).alias("p"),
     ).select(
@@ -1611,7 +1623,34 @@ FROM (
   UNION ALL
   SELECT 'stoch_d', user_id, bts,
          floor(dv * 1000000 + 0.5) / 1000000
-  FROM cd)
+  FROM cd
+  UNION ALL
+  -- Williams %R (r12): -100*(HH - close)/(HH - LL), window 5
+  SELECT 'wr', user_id, bts,
+         floor((CASE WHEN count(*) OVER fr5 = 5 AND count(h) OVER fr5 = 5
+                          AND count(l) OVER fr5 = 5 AND c IS NOT NULL
+                          AND max(h) OVER fr5 > min(l) OVER fr5
+                     THEN (-100.0 * (max(h) OVER fr5 - c))
+                          / (max(h) OVER fr5 - min(l) OVER fr5)
+                END) * 1000000 + 0.5) / 1000000
+  FROM cb
+  WINDOW fr5 AS (PARTITION BY user_id ORDER BY bts
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+  UNION ALL
+  -- OBV (r12): growing sum of sign(close diff) * derived volume
+  SELECT 'obv', user_id, bts,
+         floor((CAST(sum(sv) OVER (PARTITION BY user_id ORDER BY bts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100) * 1000000 + 0.5) / 1000000
+  FROM (
+    SELECT user_id, bts,
+           CASE WHEN pc IS NULL THEN 0
+                WHEN c > pc THEN vol WHEN c < pc THEN -vol ELSE 0 END AS sv
+    FROM (
+      SELECT user_id, bts, c,
+             lag(c) OVER (PARTITION BY user_id ORDER BY bts) AS pc,
+             ((CAST(c AS BIGINT) % 97) + 97) % 97 + 1 AS vol
+      FROM cb) t1) t2)
 """
 
 
@@ -1815,6 +1854,17 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # r12: damped-trend Holt (phi=0.8) — same fitted l/b states, the
+    # trend combines via Python-precomputed phi power-sum literals
+    parts.append(
+        _fc_rows(
+            F.lit("fc_damp").alias("tag"),
+            t.forecast_ets(
+                "cents", 5, "1 minute", method="holt", alpha=0.5,
+                beta=0.2, fit_window=16, phi=0.8,
+            ),
+        )
+    )
     from functools import reduce as _reduce
 
     return _reduce(lambda a, b: a.unionByName(b), parts)
@@ -1850,6 +1900,15 @@ def _ema_oracle() -> str:
     w_ses = ets_weights("ses", _ETS_W, 0.3)
     w_holt = ets_weights("holt", _ETS_W, 0.5, 0.2)
     w_hw = ets_weights("hw_add", _ETS_W, 0.3, 0.1, 0.2, 4)
+    _damp, _acc, _p = [], 0.0, 1.0
+    for _ in range(5):
+        _p *= 0.8
+        _acc += _p
+        _damp.append(_acc)
+    ets_damp_case = " ".join(
+        f"WHEN {h} THEN CAST('{v!r}' AS DOUBLE)"
+        for h, v in enumerate(_damp, start=1)
+    )
     ets_sums = ",\n           ".join(
         [f"{_ws(w_ses['l'])} AS l_ses"]
         + [f"{_ws(w_holt['l'])} AS l_holt", f"{_ws(w_holt['b'])} AS b_holt"]
@@ -2133,6 +2192,11 @@ FROM (
               + CASE ((16 + h - 1) % 4)
                      WHEN 0 THEN s0 WHEN 1 THEN s1
                      WHEN 2 THEN s2 ELSE s3 END
+  FROM esum, fch2
+  UNION ALL
+  -- damped Holt (r12): same l/b, trend scaled by the phi power sums
+  SELECT 'fc_damp', user_id, last_us, h,
+         l_holt + (CASE h {ets_damp_case} END) * b_holt
   FROM esum, fch2)
 """
 
@@ -4826,6 +4890,10 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("n_relevant").cast("double").alias("cosine")),
                 F.struct(F.lit(4).cast("long").alias("vec_id"),
                          F.col("hits").cast("double").alias("cosine")),
+                F.struct(F.lit(5).cast("long").alias("vec_id"),
+                         F.col("precision_at_k").alias("cosine")),
+                F.struct(F.lit(6).cast("long").alias("vec_id"),
+                         F.col("ap_at_k").alias("cosine")),
             )
         ).alias("p"),
     ).select(
@@ -4944,10 +5012,21 @@ FROM (
            min(rank) AS frst,
            sum(CASE WHEN rank IS NOT NULL THEN (__RMET_W__)[rank] END) AS dcg
     FROM rmh GROUP BY query_id),
+  rmap AS (
+    SELECT query_id, sum(c_r * w) AS apsum
+    FROM (
+      SELECT query_id, rank,
+             count(*) OVER (PARTITION BY query_id ORDER BY rank
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS c_r,
+             (__RMET_AP__)[rank] AS w
+      FROM rmh WHERE rank IS NOT NULL) t
+    GROUP BY query_id),
   rmfin AS (
-    SELECT query_id, n_rel, hits, frst, dcg,
-           (__RMET_P__)[least(n_rel, 5)] AS idcg
-    FROM rmagg)
+    SELECT a.query_id, n_rel, hits, frst, dcg,
+           (__RMET_P__)[least(n_rel, 5)] AS idcg,
+           coalesce(p.apsum, 0) AS apsum
+    FROM rmagg a LEFT JOIN rmap p ON p.query_id = a.query_id)
   SELECT query_id, 0 AS m, CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE) AS v
   FROM rmfin
   UNION ALL
@@ -4962,7 +5041,13 @@ FROM (
   UNION ALL
   SELECT query_id, 3, CAST(n_rel AS DOUBLE) FROM rmfin
   UNION ALL
-  SELECT query_id, 4, CAST(hits AS DOUBLE) FROM rmfin)
+  SELECT query_id, 4, CAST(hits AS DOUBLE) FROM rmfin
+  UNION ALL
+  SELECT query_id, 5, CAST(hits AS DOUBLE) / 5.0 FROM rmfin
+  UNION ALL
+  SELECT query_id, 6,
+         (CAST(apsum AS DOUBLE) / CAST(n_rel AS DOUBLE)) / 1e12
+  FROM rmfin)
 UNION ALL
 -- arec (r12, similarity.ann_recall): recall of the dot-product top-5
 -- vs the cosine top-5 ground truth — |approx ∩ exact| per query over
@@ -4990,6 +5075,9 @@ _ANN_ORACLE = _ANN_ORACLE.replace(
 ).replace(
     "__RMET_P__",
     "[" + ", ".join(str(sum(_RMET_W[: i + 1])) for i in range(5)) + "]",
+).replace(
+    "__RMET_AP__",
+    "[" + ", ".join(str(10**12 // r) for r in range(1, 6)) + "]",
 )
 
 

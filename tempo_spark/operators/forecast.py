@@ -267,11 +267,20 @@ def forecast_ets(
     gamma: Optional[float] = None,
     period: Optional[int] = None,
     fit_window: Optional[int] = None,
+    phi: Optional[float] = None,
 ) -> DataFrame:
     """Exponential-smoothing forecasts per series: simple (``ses``),
     Holt's linear trend (``holt``), or additive Holt-Winters
     (``hw_add``) — (series…, h, ts, yhat), ``horizon`` rows stepping by
     ``freq`` from each series' last observation.
+
+    ``phi`` (``holt`` only) damps the trend: ``yhat_h = l + (φ + φ² +
+    … + φ^h)·b`` — the Gardner–McKenzie damped-trend forecast, the
+    long-horizon default in every forecasting package. The damping
+    affects only the FORECAST combination (the fitted l/b states are
+    the undamped recursion — the fixed-weights contract); the power
+    sums are Python-precomputed literals selected by h, so the damped
+    path replays bit-exactly too.
 
     Determinism/truncation contract: the fit uses EXACTLY the last
     ``fit_window`` non-null grid-quantized observations (default 32, or
@@ -294,6 +303,13 @@ def forecast_ets(
         raise ValueError(f"horizon must be >= 1, got {horizon}")
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if phi is not None:
+        if method != "holt":
+            raise ValueError(
+                "phi (damped trend) is only valid with method='holt'"
+            )
+        if not (0.0 < phi <= 1.0):
+            raise ValueError(f"phi must be in (0, 1], got {phi}")
     if method == "ses":
         if beta is not None or gamma is not None or period is not None:
             raise ValueError("ses takes only alpha")
@@ -373,7 +389,19 @@ def forecast_ets(
     h = F.col("h")
     yhat = F.col("__fc_L")
     if method in ("holt", "hw_add"):
-        yhat = yhat + h.cast("double") * F.col("__fc_B")
+        if phi is not None:
+            # left-fold partial sums, identical literals both engines
+            sums, acc, p = [], 0.0, 1.0
+            for _ in range(int(horizon)):
+                p *= phi
+                acc += p
+                sums.append(acc)
+            damp = F.element_at(
+                F.array(*[F.lit(v) for v in sums]), h.cast("int")
+            )
+            yhat = yhat + damp * F.col("__fc_B")
+        else:
+            yhat = yhat + h.cast("double") * F.col("__fc_B")
     if method == "hw_add":
         m = int(period)
         s_sel = F.element_at(

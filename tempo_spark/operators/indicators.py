@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
 
 from tempo_spark.functions.grid import grid6
 
@@ -266,3 +267,73 @@ def with_stochastic(
         .withColumn(outs[1], d)
         .drop("__ti_kq")
     )
+
+
+def with_williams_r(
+    tsdf, high_col: str, low_col: str, close_col: str,
+    window: int = 14, out: str = "williams_r",
+) -> DataFrame:
+    """df + ``out``: Williams %R = ``−100·(HH − close)/(HH − LL)`` with
+    HH/LL the highest high / lowest low of the last ``window`` bars
+    (algebraically ``%K − 100`` at the same window, but the convention
+    every charting stack labels separately). NULL until the window
+    fills, on a NULL close, or on a flat window (HH = LL). Inputs
+    quantize to the 1e-6 grid; the output is one fixed IEEE expression
+    over exact window extrema — engine-replayable."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    _ohlc_guard(tsdf, (high_col, low_col, close_col), (out,))
+    w = tsdf.base_window()
+    frame = w.rowsBetween(-(window - 1), 0)
+    hq, lq, cq = grid6(high_col), grid6(low_col), grid6(close_col)
+    hh = F.max(hq).over(frame)
+    ll = F.min(lq).over(frame)
+    full = (
+        (F.count(F.lit(1)).over(frame) == window)
+        & (F.count(hq).over(frame) == window)
+        & (F.count(lq).over(frame) == window)
+    )
+    r = F.when(
+        full & cq.isNotNull() & (hh > ll),
+        F.lit(-100.0) * (hh - cq) / (hh - ll),
+    )
+    return tsdf.df.withColumn(out, r)
+
+
+def with_obv(
+    tsdf, close_col: str, volume_col: str, out: str = "obv"
+) -> DataFrame:
+    """df + ``out``: On-Balance Volume — the running sum of
+    ``sign(close_t − close_{t−1}) · volume_t`` per series.
+
+    Start/NULL contract: the first bar of a series contributes 0 (the
+    common OBV-starts-at-zero convention); a bar with NULL close, NULL
+    previous close, or NULL volume contributes 0 and the running sum
+    carries through (one bad bar never breaks the cumulation; the sign
+    on the NEXT bar compares against the last non-NULL close would be a
+    different indicator — this one signs strictly consecutive closes,
+    NULL gaps contribute nothing, matching ``pandas`` diff semantics).
+
+    Exactness: closes quantize to the 1e-6 grid so the sign is exact;
+    volumes quantize to the grid and accumulate as decimal(28,6) over a
+    GROWING frame (incremental O(rows), order-independent exact sum) —
+    the output replays bit-for-bit cross-engine."""
+    _ohlc_guard(tsdf, (close_col, volume_col), (out,))
+    w = tsdf.base_window()
+    cq = grid6(close_col)
+    vq = grid6(volume_col)
+    prev = F.lag(cq).over(w)
+    signed = (
+        F.when(
+            cq.isNotNull() & prev.isNotNull() & vq.isNotNull(),
+            F.when(cq > prev, vq)
+            .when(cq < prev, -vq)
+            .otherwise(F.lit(0.0)),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(28,6)")
+    )
+    staged = tsdf.df.withColumn("__ti_sv", signed)
+    grow = tsdf.base_window().rowsBetween(Window.unboundedPreceding, 0)
+    obv = F.sum(F.col("__ti_sv")).over(grow).cast("double")
+    return staged.withColumn(out, obv).drop("__ti_sv")

@@ -566,7 +566,7 @@ def retrieval_metrics(
 ) -> DataFrame:
     """Standard IR evaluation per judged query — one row per query of
     ``qrels``: (query, n_relevant, n_retrieved, hits, recall_at_k, mrr,
-    ndcg_at_k).
+    ndcg_at_k, precision_at_k, ap_at_k).
 
     - ``results``: ranked lists (query, doc, rank) — e.g. the output of
       ``bm25_topk`` / ``brute_force_topk`` / ``ivf_pq_topk`` /
@@ -579,7 +579,11 @@ def retrieval_metrics(
     - ``ndcg_at_k`` uses integer-quantized log weights (see
       :data:`NDCG_WEIGHT_SCALE`) so DCG/IDCG are exact integer sums and
       the ratio replays bit-for-bit cross-engine; NULL when the ideal
-      gain is zero (no positive-gain judgments).
+      gain is zero (no positive-gain judgments);
+    - ``precision_at_k`` = hits/k; ``ap_at_k`` is binary average
+      precision with integer-quantized 1/r weights (floor(1e12/r) — the
+      nDCG idiom) and a FIXED two-division tail (S/R)/1e12, so it
+      replays bit-for-bit; 0.0 when no hits.
 
     Shape: results filter + ONE join to qrels on (query, doc) + two
     query-grain aggregations (metrics over hits, ideal over qrels) —
@@ -673,6 +677,20 @@ def retrieval_metrics(
         F.slice(
             F.reverse(F.array_sort(F.collect_list("__rm_g"))), 1, k
         ).alias("__rm_topg"),
+        F.collect_list("__rm_r").alias("__rm_hr"),
+    )
+    # quantized average precision (binary AP: each positively judged doc
+    # counts once regardless of grade — the TREC convention): per hit
+    # rank r, P@r = (#hit ranks <= r)/r; terms integer-quantize as
+    # count * floor(1e12/r) (exact integer sum, tie-safe — tied ranks
+    # all take the full <=-count), then AP = (S/R)/1e12 with the two
+    # IEEE divisions in this fixed order on every engine. O(hits^2)
+    # HOF per query, hits <= k — bounded, runs on the aggregated array
+    p_arr = "array(" + ", ".join(f"{10**12 // r}L" for r in range(1, k + 1)) + ")"
+    ap_sum = F.expr(
+        "aggregate(transform(__rm_hr, x -> "
+        f"size(filter(__rm_hr, y -> y <= x)) * element_at({p_arr}, x)), "
+        "cast(0 as bigint), (acc, t) -> acc + t)"
     )
     idcg = F.aggregate(
         F.zip_with(
@@ -688,6 +706,7 @@ def retrieval_metrics(
     out = (
         per_q.join(n_ret, "__rm_q", "left")
         .withColumn("__rm_idcg", idcg)
+        .withColumn("__rm_apsum", ap_sum)
         .select(
             F.col("__rm_q").alias(query_col),
             "n_relevant",
@@ -704,6 +723,13 @@ def retrieval_metrics(
                 F.coalesce(F.col("__rm_dcg"), F.lit(0)).cast("double")
                 / F.col("__rm_idcg").cast("double"),
             ).alias("ndcg_at_k"),
+            (F.col("hits").cast("double") / F.lit(float(k)))
+            .alias("precision_at_k"),
+            (
+                F.col("__rm_apsum").cast("double")
+                / F.col("n_relevant").cast("double")
+                / F.lit(1e12)
+            ).alias("ap_at_k"),
         )
     )
     return out

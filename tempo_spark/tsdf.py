@@ -1877,6 +1877,27 @@ class TSDF:
             )
         )
 
+    def withWilliamsR(
+        self, high_col: str, low_col: str, close_col: str,
+        window: int = 14, out: str = "williams_r",
+    ) -> "TSDF":
+        """df + Williams %R over OHLC bar columns (compose with
+        :meth:`calc_bars`). See operators/indicators.py."""
+        from tempo_spark.operators.indicators import with_williams_r
+
+        return self._with_df(
+            with_williams_r(self, high_col, low_col, close_col, window, out)
+        )
+
+    def withOBV(
+        self, close_col: str, volume_col: str, out: str = "obv"
+    ) -> "TSDF":
+        """df + On-Balance Volume (exact growing-frame signed-volume
+        sum). See operators/indicators.py."""
+        from tempo_spark.operators.indicators import with_obv
+
+        return self._with_df(with_obv(self, close_col, volume_col, out))
+
     def forecast_naive(
         self, value_col: str, horizon: int, freq: str,
         method: str = "last", period: Optional[int] = None,
@@ -1893,15 +1914,17 @@ class TSDF:
         method: str = "ses", alpha: float = 0.3,
         beta: Optional[float] = None, gamma: Optional[float] = None,
         period: Optional[int] = None, fit_window: Optional[int] = None,
+        phi: Optional[float] = None,
     ) -> DataFrame:
-        """Exponential-smoothing forecasts (simple / Holt / additive
-        Holt-Winters) over the last ``fit_window`` observations:
-        (series…, h, ts, yhat). See operators/forecast.py."""
+        """Exponential-smoothing forecasts (simple / Holt incl. damped
+        trend via ``phi`` / additive Holt-Winters) over the last
+        ``fit_window`` observations: (series…, h, ts, yhat). See
+        operators/forecast.py."""
         from tempo_spark.operators.forecast import forecast_ets
 
         return forecast_ets(
             self, value_col, horizon, freq, method, alpha, beta, gamma,
-            period, fit_window,
+            period, fit_window, phi,
         )
 
     def changepoints(

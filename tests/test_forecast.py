@@ -228,3 +228,43 @@ class TestForecastETS:
         tg = TSDF(df.drop("sym"), ts_col="ts", series_ids=[])
         out = tg.forecast_ets("v", 3, "1 minute", fit_window=4)
         assert out.count() == 3 and "sym" not in out.columns
+
+
+class TestDampedHolt:
+    def test_damped_vs_undamped_model(self, spark):
+        vals = [10.0 + 0.5 * i + (i % 3) for i in range(40)]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        und = {
+            r.h: r.yhat
+            for r in t.forecast_ets(
+                "v", 6, "1 minute", method="holt", alpha=0.4, beta=0.2
+            ).collect()
+        }
+        # recover the fitted states from the undamped line: yhat_h = L + h·B
+        B = und[2] - und[1]
+        L = und[1] - B
+        phi = 0.8
+        damped = {
+            r.h: r.yhat
+            for r in t.forecast_ets(
+                "v", 6, "1 minute", method="holt", alpha=0.4, beta=0.2,
+                phi=phi,
+            ).collect()
+        }
+        acc, p = 0.0, 1.0
+        for h in range(1, 7):
+            p *= phi
+            acc += p
+            assert damped[h] == pytest.approx(L + acc * B, rel=1e-12)
+        # damping shrinks the long-horizon trend contribution
+        assert abs(damped[6] - L) < abs(und[6] - L)
+
+    def test_phi_validation(self, spark):
+        t = TSDF(_mk(spark, [1.0, 2.0, 3.0]), ts_col="ts", series_ids=["sym"])
+        with pytest.raises(ValueError, match="phi.*holt"):
+            t.forecast_ets("v", 3, "1 minute", method="ses", phi=0.9)
+        with pytest.raises(ValueError, match="phi must be"):
+            t.forecast_ets(
+                "v", 3, "1 minute", method="holt", alpha=0.3, beta=0.1,
+                phi=1.5,
+            )

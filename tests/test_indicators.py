@@ -459,3 +459,80 @@ class TestEMAPrefixStrategy:
                 assert pr[r.ts][c] == pytest.approx(
                     r[c], rel=1e-9, abs=1e-9
                 )
+
+
+class TestWilliamsR:
+    def test_model_and_relation_to_stoch(self, spark):
+        import random
+
+        random.seed(3)
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for i in range(60):
+            c = random.uniform(10, 90)
+            rows.append(
+                ("a", base + dt.timedelta(hours=i),
+                 c + random.uniform(0, 5), c - random.uniform(0, 5), c)
+            )
+        df = spark.createDataFrame(
+            rows, "sym string, ts timestamp, hi double, lo double, cl double"
+        )
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        out = {
+            r.ts: r
+            for r in t.withWilliamsR("hi", "lo", "cl", window=5)
+            .withStochastic("hi", "lo", "cl", 5, 3).df.collect()
+        }
+        n_checked = 0
+        for r in out.values():
+            if r.williams_r is not None and r.stoch_k is not None:
+                # %R == %K − 100 at the same window (unquantized %R vs
+                # quantized %K: 1e-6 grid tolerance)
+                assert r.williams_r == pytest.approx(
+                    r.stoch_k - 100.0, abs=2e-6
+                )
+                assert -100.0 <= r.williams_r <= 0.0
+                n_checked += 1
+        assert n_checked > 40
+
+    def test_guards(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        rows = [("a", base + dt.timedelta(hours=i), 5.0, 5.0, 5.0)
+                for i in range(6)]
+        df = spark.createDataFrame(
+            rows, "sym string, ts timestamp, hi double, lo double, cl double"
+        )
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        got = t.withWilliamsR("hi", "lo", "cl", window=3).df.collect()
+        assert all(r.williams_r is None for r in got)  # flat window
+        with pytest.raises(ValueError, match="window"):
+            t.withWilliamsR("hi", "lo", "cl", window=0)
+
+
+class TestOBV:
+    def test_model_with_nulls(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        closes = [10.0, 12.0, 11.0, 11.0, None, 13.0, 9.0]
+        vols = [100.0, 50.0, 30.0, 20.0, 10.0, 40.0, None]
+        rows = [
+            ("a", base + dt.timedelta(hours=i), c, v)
+            for i, (c, v) in enumerate(zip(closes, vols))
+        ]
+        df = spark.createDataFrame(
+            rows, "sym string, ts timestamp, cl double, vol double"
+        )
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        got = [r.obv for r in t.withOBV("cl", "vol").df.orderBy("ts").collect()]
+        # contributions: 0 (first), +50 (12>10), -30 (11<12), 0 (flat),
+        # 0 (null close), 0 (prev null), 0 (null vol)
+        assert got == [0.0, 50.0, 20.0, 20.0, 20.0, 20.0, 20.0]
+
+    def test_reserved_guard(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("a", base, 1.0, 1.0, 2.0)],
+            "sym string, ts timestamp, cl double, vol double, obv double",
+        )
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        with pytest.raises(ValueError, match="reserved"):
+            t.withOBV("cl", "vol")

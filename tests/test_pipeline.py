@@ -5619,3 +5619,46 @@ class TestRetrievalMetrics:
         )
         with _pt.raises(Exception, match="0, 62"):
             retrieval_metrics(res, qg, k=5, rel_col="rel").collect()
+
+
+class TestPrecisionAndAP:
+    def test_precision_and_ap_hand_model(self, spark):
+        """r12: precision@k = hits/k; ap_at_k = binary quantized AP with
+        the fixed (S/R)/1e12 division order."""
+        from tempo_spark.pipeline.search import retrieval_metrics
+
+        res = spark.createDataFrame(
+            [(1, "a", 1), (1, "x", 2), (1, "b", 3), (1, "y", 4), (1, "c", 5),
+             (2, "p", 1)],
+            "query_id long, doc_id string, rank long",
+        )
+        qrels = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (1, "c"), (1, "d"), (2, "zz")],
+            "query_id long, doc_id string",
+        )
+        out = {
+            r.query_id: r
+            for r in retrieval_metrics(res, qrels, k=5).collect()
+        }
+        r1 = out[1]
+        assert r1.precision_at_k == 3 / 5
+        # hits at ranks 1,3,5: P@1=1, P@3=2/3, P@5=3/5; R=4
+        S = 1 * (10**12 // 1) + 2 * (10**12 // 3) + 3 * (10**12 // 5)
+        assert r1.ap_at_k == (S / 4) / 1e12
+        assert out[2].precision_at_k == 0.0 and out[2].ap_at_k == 0.0
+
+    def test_ap_tie_ranks(self, spark):
+        """tied ranks: each tied hit takes the full <=-count (no
+        position-order dependence)."""
+        from tempo_spark.pipeline.search import retrieval_metrics
+
+        res = spark.createDataFrame(
+            [(1, "a", 2), (1, "b", 2)],
+            "query_id long, doc_id string, rank long",
+        )
+        qrels = spark.createDataFrame(
+            [(1, "a"), (1, "b")], "query_id long, doc_id string"
+        )
+        r = retrieval_metrics(res, qrels, k=5).collect()[0]
+        S = 2 * (10**12 // 2) + 2 * (10**12 // 2)
+        assert r.ap_at_k == (S / 2) / 1e12

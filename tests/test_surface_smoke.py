@@ -328,3 +328,71 @@ class TestBpeStreamingSurfaces:
         pairs = st.lsh_dedup("doc_id", "text")
         assert pairs.isStreaming
         assert {"doc_id", "dup_of", "est_jaccard"} <= set(pairs.columns)
+
+
+class TestR12FunctionalTwins:
+    """no-orphan references for the r12 functional surfaces (methods are
+    tested elsewhere; these pin module function == TSDF method)."""
+
+    def test_ohlc_indicator_functions(self, spark):
+        from tempo_spark.operators.indicators import (
+            with_atr,
+            with_obv,
+            with_stochastic,
+            with_williams_r,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("a", base + dt.timedelta(hours=i),
+             10.0 + (i % 5), 8.0 - (i % 3), 9.0 + ((i * 3) % 4), float(i + 1))
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "sym string, ts timestamp, hi double, lo double, cl double, vol double",
+        )
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        a = [r.atr for r in
+             with_atr(t, "hi", "lo", "cl", 5).orderBy("ts").collect()]
+        b = [r.atr for r in
+             t.withATR("hi", "lo", "cl", 5).df.orderBy("ts").collect()]
+        assert a == b and any(x is not None for x in a)
+        k1 = [r.stoch_k for r in
+              with_stochastic(t, "hi", "lo", "cl", 5, 3).orderBy("ts").collect()]
+        k2 = [r.stoch_k for r in
+              t.withStochastic("hi", "lo", "cl", 5, 3).df.orderBy("ts").collect()]
+        assert k1 == k2
+        w1 = [r.williams_r for r in
+              with_williams_r(t, "hi", "lo", "cl", 5).orderBy("ts").collect()]
+        w2 = [r.williams_r for r in
+              t.withWilliamsR("hi", "lo", "cl", 5).df.orderBy("ts").collect()]
+        assert w1 == w2 and any(x is not None for x in w1)
+        o1 = [r.obv for r in with_obv(t, "cl", "vol").orderBy("ts").collect()]
+        o2 = [r.obv for r in t.withOBV("cl", "vol").df.orderBy("ts").collect()]
+        assert o1 == o2 and o1[-1] != 0.0
+
+    def test_ets_wsum_sql_shape(self, spark):
+        """ets_wsum_sql emits the left-associated literal sum the oracle
+        replays — pin the shape and a 2-weight evaluation."""
+        from tempo_spark.operators.forecast import ets_wsum_sql
+
+        sql = ets_wsum_sql([0.25, 0.5], tail_col="__fc_tail")
+        assert "0.25" in sql and "0.5" in sql
+        got = spark.sql(
+            "SELECT " + sql.replace(
+                "__fc_tail",
+                "array(named_struct('us', 1L, 'y', 2.0d), "
+                "named_struct('us', 2L, 'y', 4.0d))",
+            ) + " AS s"
+        ).collect()[0].s
+        assert got == 0.25 * 2.0 + 0.5 * 4.0
+
+    def test_observe_input_passthrough(self, spark):
+        """observe_input is a zero-cost passthrough on batch frames too
+        (the observation node is usable on any Dataset)."""
+        from tempo_spark.streaming.metrics import observe_input
+
+        df = _one_row(spark)
+        out = observe_input(df, "ts", "smoke_obs")
+        assert out.columns == df.columns and out.count() == 1
