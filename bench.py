@@ -449,6 +449,55 @@ def _analytics2(spark, sf_dir):
     return _force(reduce(lambda a, b: a.unionByName(b), [cps, dd, wz, pc]))
 
 
+def _analytics3(spark, sf_dir):
+    # r12 analytics extras in one pass: hourly-bar ATR + stochastic +
+    # Williams %R + OBV, MACD via the O(rows) prefix EMA, Holt-Winters +
+    # damped-Holt forecasts, seasonal-residual anomalies. Self-baselined.
+    de = entry_mod._dedup_events(spark, sf_dir).select(
+        "user_id", "ts", "value", "cents"
+    )
+    t = TSDF(de, ts_col="ts", series_ids=["user_id"])
+    bars = t.calc_bars("1 hour")
+    bv = TSDF(
+        bars.df.withColumn(
+            "vol_c", F.expr("((close_cents % 97) + 97) % 97 + 1")
+        ),
+        ts_col="ts", series_ids=["user_id"],
+    )
+    ind = (
+        bv.withATR("high_cents", "low_cents", "close_cents", window=5)
+        .withStochastic("high_cents", "low_cents", "close_cents", 5, 3)
+        .withWilliamsR("high_cents", "low_cents", "close_cents", window=5)
+        .withOBV("close_cents", "vol_c")
+        .df.select(
+            "user_id",
+            (F.coalesce(F.col("atr"), F.lit(0.0))
+             + F.coalesce(F.col("stoch_d"), F.lit(0.0))
+             + F.coalesce(F.col("williams_r"), F.lit(0.0))
+             + F.col("obv")).alias("x"),
+        )
+    )
+    macd = t.withMACD("value", ema_strategy="prefix").df.select(
+        "user_id", F.col("macd_hist").alias("x")
+    )
+    hw = t.forecast_ets(
+        "value", 12, "1 minute", method="hw_add", alpha=0.3, beta=0.1,
+        gamma=0.1, period=24,
+    ).select("user_id", F.col("yhat").alias("x"))
+    damp = t.forecast_ets(
+        "value", 12, "1 minute", method="holt", alpha=0.4, beta=0.2,
+        phi=0.9,
+    ).select("user_id", F.col("yhat").alias("x"))
+    san = t.seasonal_anomalies("value", 24).select(
+        "user_id", F.col("resid_z").alias("x")
+    )
+    from functools import reduce
+
+    return _force(
+        reduce(lambda a, b: a.unionByName(b), [ind, macd, hw, damp, san])
+    )
+
+
 def _bpe(spark, sf_dir):
     # learned BPE end-to-end (r10): vocab groupBy + 256-merge driver train,
     # then the Arrow count engine over the corpus (production config —
@@ -499,6 +548,7 @@ BENCH_QUERIES = {
     "b33_bpe": _bpe,
     "b34_ts_analytics": _ts_analytics,
     "b35_analytics2": _analytics2,
+    "b36_analytics3": _analytics3,
 }
 
 RUNS = 3
