@@ -1745,6 +1745,24 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", _HR6(F.col("cents_wz") / 100).alias("ema_v"),
     )
     parts += [dd, wz]
+    # r12 cs_*: two-sided CUSUM over cents, explicit exact parameters
+    # (target 5000, slack 50, threshold 10000 cents) — integer prefix
+    # sums + running min replay exactly; flag emitted as 0/1
+    cs = t.withCusum("cents", target=5000.0, k=50.0, h=10000.0).df
+    cs_rows = cs.select(
+        "user_id", "ts",
+        F.explode(
+            F.array(
+                F.struct(F.lit("cs_p").alias("tag"),
+                         _HR6(F.col("cusum_pos") / 100).alias("v")),
+                F.struct(F.lit("cs_n").alias("tag"),
+                         _HR6(F.col("cusum_neg") / 100).alias("v")),
+                F.struct(F.lit("cs_f").alias("tag"),
+                         F.col("cusum_flag").cast("double").alias("v")),
+            )
+        ).alias("p"),
+    ).select("p.tag", "user_id", "ts", F.col("p.v").alias("ema_v"))
+    parts.append(cs_rows)
     rsi = t.withRSI("cents", window=14).df.select(
         F.lit("rsi").alias("tag"), "user_id", "ts",
         F.col("rsi").alias("ema_v"),
@@ -2076,6 +2094,37 @@ FROM (
       FROM de
       WINDOW wbb AS (PARTITION BY user_id ORDER BY ts
                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))))
+UNION ALL
+-- CUSUM replay (r12): exact integer prefix sums + running min;
+-- C = S - least(0, min_j<=t S_j), charts/100 hardened, flag as 0/1
+SELECT tag, user_id, ts, ema_v FROM (
+  WITH csb AS (
+    SELECT user_id, ts,
+           sum(coalesce(cents - 5050, 0)) OVER csw AS sp,
+           sum(coalesce(4950 - cents, 0)) OVER csw AS sn
+    FROM de
+    WINDOW csw AS (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+  csc AS (
+    SELECT user_id, ts,
+           sp - least(0, min(sp) OVER csw) AS cp,
+           sn - least(0, min(sn) OVER csw) AS cn
+    FROM csb
+    WINDOW csw AS (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+  SELECT 'cs_p' AS tag, user_id, ts,
+         floor((CAST(cp AS DOUBLE) / 100) * 1000000 + 0.5) / 1000000 AS ema_v
+  FROM csc
+  UNION ALL
+  SELECT 'cs_n', user_id, ts,
+         floor((CAST(cn AS DOUBLE) / 100) * 1000000 + 0.5) / 1000000
+  FROM csc
+  UNION ALL
+  SELECT 'cs_f', user_id, ts,
+         CASE WHEN CAST(cp AS DOUBLE) > 10000.0
+                   OR CAST(cn AS DOUBLE) > 10000.0
+              THEN 1.0 ELSE 0.0 END
+  FROM csc)
 UNION ALL
 -- seasonal-strength replay: variances from exact decimal sums of the
 -- grid-quantized decomposition components (sdout replays them exactly)

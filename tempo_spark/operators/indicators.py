@@ -337,3 +337,76 @@ def with_obv(
     grow = tsdf.base_window().rowsBetween(Window.unboundedPreceding, 0)
     obv = F.sum(F.col("__ti_sv")).over(grow).cast("double")
     return staged.withColumn(out, obv).drop("__ti_sv")
+
+
+def with_cusum(
+    tsdf, value_col: str, target=None, k: float = 0.0, h=None,
+    prefix: str = "cusum",
+) -> DataFrame:
+    """df + ``{prefix}_pos``/``{prefix}_neg`` (+ ``{prefix}_flag`` when
+    ``h`` is given): the two-sided CUSUM control chart — the standard
+    sequential mean-shift detector.
+
+    The textbook recursion ``C⁺_t = max(0, C⁺_{t−1} + (x_t − target −
+    k))`` is not a window aggregate, but it unrolls exactly to
+    ``C⁺_t = S_t − min(0, min_{j≤t} S_j)`` with ``S`` the prefix sum of
+    the slack-adjusted deviations — two GROWING frames (incremental
+    O(rows), one shuffle). ``C⁻`` symmetrically on the negated
+    deviations.
+
+    Exactness: with an explicit ``target``, values quantize to the 1e-6
+    grid and every sum/min/comparison is exact decimal(28,6) arithmetic
+    — the chart replays bit-for-bit cross-engine (the outputs are exact
+    decimals cast to double). With ``target=None`` the per-series mean
+    of the non-null quantized values is used (one window aggregate; the
+    subtraction is then double-precision — fine for monitoring, not for
+    oracle replay). NULL/NaN values contribute 0 to the deviations (the
+    chart carries through; a gap never resets the chart).
+
+    ``k`` is the slack per observation (typically 0.5·σ of in-control
+    noise), ``h`` the decision threshold (typically 4-5·σ): rows with
+    ``C⁺ > h`` or ``C⁻ > h`` flag. Both are in VALUE units."""
+    outs = [f"{prefix}_pos", f"{prefix}_neg"] + (
+        [f"{prefix}_flag"] if h is not None else []
+    )
+    _ohlc_guard(tsdf, (value_col,), tuple(outs))
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if h is not None and h <= 0:
+        raise ValueError(f"h must be positive, got {h}")
+    w = tsdf.base_window()
+    grow = w.rowsBetween(Window.unboundedPreceding, 0)
+    yq = grid6(value_col)
+    if target is None:
+        full = w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        mu = F.avg(yq).over(full)
+    else:
+        mu = F.lit(float(target))
+    kq = F.lit(float(k))
+    dev_p = F.coalesce(yq - mu - kq, F.lit(0.0)).cast("decimal(28,6)")
+    dev_n = F.coalesce(mu - yq - kq, F.lit(0.0)).cast("decimal(28,6)")
+    staged = tsdf.df.withColumn("__ti_dp", dev_p).withColumn(
+        "__ti_dn", dev_n
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    sp = F.sum("__ti_dp").over(grow)
+    sn = F.sum("__ti_dn").over(grow)
+    staged = staged.withColumn("__ti_sp", sp).withColumn("__ti_sn", sn)
+    cp = (
+        F.col("__ti_sp")
+        - F.least(zero, F.min("__ti_sp").over(grow))
+    ).cast("double")
+    cn = (
+        F.col("__ti_sn")
+        - F.least(zero, F.min("__ti_sn").over(grow))
+    ).cast("double")
+    out = staged.withColumn(outs[0], cp).withColumn(outs[1], cn)
+    if h is not None:
+        out = out.withColumn(
+            outs[2],
+            (F.col(outs[0]) > F.lit(float(h)))
+            | (F.col(outs[1]) > F.lit(float(h))),
+        )
+    return out.drop("__ti_dp", "__ti_dn", "__ti_sp", "__ti_sn")

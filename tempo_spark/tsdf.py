@@ -1898,6 +1898,19 @@ class TSDF:
 
         return self._with_df(with_obv(self, close_col, volume_col, out))
 
+    def withCusum(
+        self, value_col: str, target=None, k: float = 0.0, h=None,
+        prefix: str = "cusum",
+    ) -> "TSDF":
+        """df + two-sided CUSUM control chart (sequential mean-shift
+        detection; exact prefix-sum/running-min form). See
+        operators/indicators.py."""
+        from tempo_spark.operators.indicators import with_cusum
+
+        return self._with_df(
+            with_cusum(self, value_col, target, k, h, prefix)
+        )
+
     def forecast_naive(
         self, value_col: str, horizon: int, freq: str,
         method: str = "last", period: Optional[int] = None,

@@ -536,3 +536,47 @@ class TestOBV:
         t = TSDF(df, ts_col="ts", series_ids=["sym"])
         with pytest.raises(ValueError, match="reserved"):
             t.withOBV("cl", "vol")
+
+
+class TestCusum:
+    def test_matches_recursion_model(self, spark):
+        import random
+
+        random.seed(11)
+        vals = [random.gauss(10.0, 1.0) for _ in range(80)]
+        vals[50:] = [v + 4.0 for v in vals[50:]]  # planted mean shift
+        vals[20] = None
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        got = (
+            t.withCusum("v", target=10.0, k=0.5, h=5.0)
+            .df.orderBy("ts").collect()
+        )
+
+        def q6(x):
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        cp = cn = 0.0
+        for i, r in enumerate(got):
+            d = 0.0 if vals[i] is None else q6(vals[i]) - 10.0 - 0.5
+            dn = 0.0 if vals[i] is None else 10.0 - q6(vals[i]) - 0.5
+            cp = max(0.0, cp + d)
+            cn = max(0.0, cn + dn)
+            assert r.cusum_pos == pytest.approx(cp, abs=1e-9)
+            assert r.cusum_neg == pytest.approx(cn, abs=1e-9)
+            assert r.cusum_flag == (cp > 5.0 or cn > 5.0)
+        # the planted +4 shift must flag well before the series ends
+        assert any(r.cusum_flag for r in got[52:60])
+        assert not any(r.cusum_flag for r in got[:20])
+
+    def test_derived_target_and_guards(self, spark):
+        vals = [5.0, 5.0, 5.0, 9.0, 9.0, 9.0]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        out = t.withCusum("v").df.orderBy("ts").collect()
+        # target = series mean (7.0): positive chart climbs on the tail
+        assert out[-1].cusum_pos == pytest.approx(6.0)
+        assert out[-1].cusum_neg == 0.0
+        assert "cusum_flag" not in out[0].asDict()
+        with pytest.raises(ValueError, match="k must"):
+            t.withCusum("v", k=-1)
+        with pytest.raises(ValueError, match="h must"):
+            t.withCusum("v", h=0)
