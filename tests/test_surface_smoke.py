@@ -396,3 +396,17 @@ class TestR12FunctionalTwins:
         df = _one_row(spark)
         out = observe_input(df, "ts", "smoke_obs")
         assert out.columns == df.columns and out.count() == 1
+
+    def test_with_cusum_function_twin(self, spark):
+        from tempo_spark.operators.indicators import with_cusum
+
+        df = spark.createDataFrame(
+            [("a", dt.datetime(2024, 1, 1, 0, m), 5.0 + m) for m in range(6)],
+            "sym string, ts timestamp, v double",
+        )
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        a = [r.cusum_pos for r in
+             with_cusum(t, "v", target=5.0).orderBy("ts").collect()]
+        b = [r.cusum_pos for r in
+             t.withCusum("v", target=5.0).df.orderBy("ts").collect()]
+        assert a == b and a[-1] == 15.0  # sum of 0..5
