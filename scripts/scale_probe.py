@@ -818,12 +818,16 @@ def dsir_probe(spark, n_raw: int, n_target: int = 20_000) -> dict:
     return out
 
 
-def disjoint_probe(spark, n_rows: int, n_series: int) -> dict:
+def disjoint_probe(
+    spark, n_rows: int, n_series: int, span_steps: int = 3
+) -> dict:
     """make_disjoint at scale with the round-7 reference-exact merge
     (per-metric (start asc, end desc) coalesce + junction-guarded
-    dissolve): staggered overlapping intervals (each [t, t+3 steps) so
-    every interval overlaps its two neighbors), plain per-series range
-    join vs pinned binning, checksummed equal."""
+    dissolve): staggered overlapping intervals (each [t, t+span_steps
+    steps) overlaps ~span_steps neighbors — span_steps IS the coverage
+    depth, and the merge cost model is wall ∝ rows × depth: every
+    boundary segment joins every covering raw interval), plain
+    per-series range join vs pinned binning, checksummed equal."""
     from tempo_spark.intervals import IntervalsDF
 
     step = 60.0
@@ -833,13 +837,13 @@ def disjoint_probe(spark, n_rows: int, n_series: int) -> dict:
             (F.col("id") / n_series).cast("long") * step
         ).alias("start_ts"),
         F.timestamp_seconds(
-            ((F.col("id") / n_series).cast("long") + 3) * step
+            ((F.col("id") / n_series).cast("long") + span_steps) * step
         ).alias("end_ts"),
         F.when(F.col("id") % 3 == 0, F.col("id") % 997).alias("m1"),
         F.when(F.col("id") % 3 == 1, F.col("id") % 991).alias("m2"),
     )
     out: dict = {"n_rows": n_rows, "n_series": n_series,
-                 "overlap_fanout": 3}
+                 "overlap_fanout": span_steps}
     idf = IntervalsDF(df, "start_ts", "end_ts", ["k"])
 
     def run(label, **kw):
@@ -1494,6 +1498,18 @@ def main():
         spark = _probe_session()
         for n in (2_000_000, 8_000_000):
             print(json.dumps(_stamp(disjoint_probe(spark, n, 10_000))))
+        spark.stop()
+        return
+    if "--disjointdense" in sys.argv:
+        # overlap-DENSE regime (the r12 rehearsal shape: 90-step spans
+        # over a shared clock): depth sweep at fixed rows, then rows
+        # sweep at depth 30 — pins wall ∝ rows × depth
+        spark = _probe_session()
+        for n, depth in ((2_000_000, 3), (2_000_000, 30), (2_000_000, 90),
+                         (8_000_000, 30)):
+            print(json.dumps(_stamp(
+                disjoint_probe(spark, n, 10_000, span_steps=depth)
+            )))
         spark.stop()
         return
     if "--chunk" in sys.argv:
