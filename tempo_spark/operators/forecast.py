@@ -31,21 +31,15 @@ from pyspark.sql import DataFrame
 from tempo_spark.functions.freq import parse_freq
 from tempo_spark.functions.grid import grid6
 
-# exact integer micros per step (Freq.seconds is a float — 1µs would
-# round-trip fine but integers keep the emitted grid exact)
-_UNIT_MICROS = {
-    "microsecond": 1,
-    "millisecond": 1_000,
-    "second": 1_000_000,
-    "minute": 60_000_000,
-    "hour": 3_600_000_000,
-    "day": 86_400_000_000,
-}
-
-
 def _step_micros(freq: str) -> int:
+    """Exact integer micros per step, derived from freq._UNITS (the one
+    canonical unit table — a second copy here drifted, r12 review).
+    Freq.seconds is a float; round-through-1e6 is exact for every unit
+    the grammar accepts (all are integral micros)."""
+    from tempo_spark.functions.freq import _UNITS
+
     f = parse_freq(freq)
-    return f.period * _UNIT_MICROS[f.unit]
+    return f.period * int(round(_UNITS[f.unit][0] * 1_000_000))
 
 
 def forecast_naive(

@@ -52,8 +52,12 @@ def _cfg_token(v) -> str:
     File-backed frames now token as (schema, ``#exprId``-stripped
     analyzed-plan digest, sorted input-file digest) — stable across JVMs,
     still invalidated by any rewrite (parquet part names are unique per
-    write) or plan change. Frames with NO input files (in-memory data)
-    keep the semanticHash component: their data cannot be re-verified
+    write) or plan change — rendered with maxToStringFields raised so a
+    wide projection's tail expressions can't elide out of the digest.
+    Frames with NO input files (in-memory data) keep the semanticHash
+    component, and so do file-backed plans CONTAINING an in-memory leaf
+    (LocalRelation prints schema, never data — a parquet ∪ patch union
+    could change invisibly otherwise): their data cannot be re-verified
     across a restart, so cross-session resume conservatively recomputes.
     """
     if v is None or isinstance(v, (bool, int, float, str)):
@@ -68,20 +72,44 @@ def _cfg_token(v) -> str:
     if isinstance(v, DataFrame):
         schema = v.schema.simpleString()
         try:
-            plan = v._jdf.queryExecution().analyzed().toString()
+            # the default spark.sql.debug.maxToStringFields (25) elides
+            # arguments past the 25th field of any node ("... N more
+            # fields") — a changed expression there would fingerprint
+            # identically and resume would serve stale stages (r12
+            # review). Raise it for the render, restore after.
+            conf = v.sparkSession.conf
+            prev = conf.get("spark.sql.debug.maxToStringFields", "25")
+            conf.set("spark.sql.debug.maxToStringFields", "1000000")
+            try:
+                plan = v._jdf.queryExecution().analyzed().toString()
+            finally:
+                conf.set("spark.sql.debug.maxToStringFields", prev)
             plan_d = hashlib.md5(
                 re.sub(r"#\d+", "#", plan).encode()
             ).hexdigest()
             files = sorted(v.inputFiles())
         except Exception:
-            plan_d, files = "uncheckable", []
-        if files:
+            plan, plan_d, files = "", "uncheckable", []
+        # in-memory leaves (LocalRelation / parallelized RDDs) print
+        # their schema, NOT their data — a file-backed plan that ALSO
+        # contains one (parquet ∪ createDataFrame patch) could change
+        # data invisibly, so those plans keep the session-scoped
+        # semanticHash too: cross-JVM resume conservatively recomputes
+        # rather than ever serving stale output (r12 review)
+        mem_leaf = any(
+            n in plan
+            for n in ("LocalRelation", "LogicalRDD", "ExternalRDD")
+        )
+        if files and not mem_leaf:
             fd = hashlib.md5("\n".join(files).encode()).hexdigest()
             return f"df:{schema}:plan:{plan_d}:files:{fd}"
         try:
             h = v.semanticHash()
         except Exception:
             h = "uncheckable"
+        if files:
+            fd = hashlib.md5("\n".join(files).encode()).hexdigest()
+            return f"df:{schema}:plan:{plan_d}:files:{fd}:{h}"
         return f"df:{schema}:plan:{plan_d}:{h}"
     attrs = getattr(v, "__dict__", None)
     if attrs is not None:

@@ -1,9 +1,12 @@
 """Late-data observability for the streaming operators.
 
-Every watermark-bounded operator in this package DROPS rows that arrive
-behind the watermark — by design (that is what bounds the state store),
-but silently: a production pipeline needs to SEE what the watermark is
-costing, or a mis-sized delay ships a quietly truncated dataset.
+The watermark bounds every stateful operator's state store, and what
+happens to a row that arrives BEHIND it is silent either way: the
+pandas-kernel ops (as-of/sessionize/interpolate) drop it at their own
+cutoff; the windowed aggregations admit it and emit a stale window (see
+below). A production pipeline needs to SEE what the watermark is
+costing, or a mis-sized delay ships a quietly truncated — or quietly
+stale-barred — dataset.
 
 Measured on Spark 4.1 (r12, pinned in tests/test_streaming.py): the
 hazard is worse than a silent drop. A windowed aggregation ADMITS a row
@@ -102,8 +105,11 @@ def late_row_stats(
       the :func:`observe_input` observation (``input_rows`` None if no
       batch carried an observation with that name);
     - ``late_batches``: batches whose oldest OBSERVED arrival was behind
-      the watermark in effect during that batch — each such batch lost
-      at least one row to the watermark;
+      the watermark in effect during that batch — for the pandas-kernel
+      ops (as-of/sessionize/interpolate, which enforce their own
+      cutoffs) that row was dropped; for the windowed aggregations it
+      was ADMITTED and emitted a stale window row (see module
+      docstring) — either way the batch needs attention;
     - ``max_lateness_sec``: the worst (watermark − arrival) gap seen —
       size the watermark delay up by this much to have kept that data;
     - ``dropped_by_watermark_metric``: Σ Spark's own counter (populated

@@ -32,10 +32,14 @@ def streaming_resample(
 
     Watermark bounds the state store: buckets older than ``watermark`` are
     finalized and evicted, which is what makes this run indefinitely on an
-    unbounded stream. Rows behind the watermark are dropped SILENTLY by
-    design — pass ``observe=`` (an observation name) and read
+    unbounded stream. Late-data hazard (MEASURED Spark 4.1, pinned in
+    tests/test_streaming.py): a row behind the watermark is NOT dropped —
+    the window aggregation ADMITS it and its already-closed bucket
+    materializes as a fresh stale row in append output (a sink keyed on
+    bucket start silently takes a late partial bar). Pass ``observe=`` (an
+    observation name) and read
     :func:`tempo_spark.streaming.metrics.late_row_stats` off the running
-    query to count arrivals vs watermark drops."""
+    query to detect exactly that (``late_batches``/``max_lateness_sec``)."""
     if observe:
         from tempo_spark.streaming.metrics import observe_input
 

@@ -1012,12 +1012,27 @@ class TSDF:
 
         Results agree with the sliding weighted sum to ~1e−12 relative
         (same terms, different association/rescale), NOT bit-identical —
-        the gate entry keeps the sliding default. Adds NO exchange: the
-        block windows cluster by (series, block), which hash(series)
-        already satisfies; Spark inserts local sorts only.
+        the gate entry keeps the sliding default. NaN values: frames
+        containing a NaN yield NaN exactly like the sliding form (prefix
+        sums exclude NaNs; a prefix-count difference overlays them) —
+        except the ``alpha == 1`` shortcut, which returns the current
+        value (zero-weight NaN lags don't poison it, unlike sliding's
+        NaN·0 artifact). Adds NO exchange: the block windows cluster by
+        (series, block), which hash(series) already satisfies; Spark
+        inserts local sorts only. All window orders share a materialized
+        content-hash tiebreak so duplicate timestamps cannot misalign
+        the offset columns against the prefix sums.
         """
         import math
 
+        if not (0.0 < alpha <= 1.0):
+            # the sliding form computes the alternating-sign sum for
+            # alpha > 1 (reference-permissive); the prefix algebra would
+            # silently compute a DIFFERENT function (r12 review)
+            raise ValueError(
+                f"strategy='prefix' requires exp_factor in (0, 1], got "
+                f"{alpha} — use strategy='sliding' for out-of-range decay"
+            )
         r = 1.0 - alpha
         out_col = f"ema_{colName}"
         if any(c.startswith("__emp_") for c in self.df.columns):
@@ -1042,14 +1057,37 @@ class TSDF:
                 f"shallower window)."
             )
         half = B // 2
-        w = self.base_window()
         series = [F.col(c) for c in self.series_ids]
+        # the block/offset columns come from row_number over one sort and
+        # the prefix sums from OTHER (series, block)-partitioned sorts —
+        # duplicate timestamps ordered differently across them would
+        # misalign off vs P by factors of r^±j (the r10 _lagged_corr tie
+        # class), so every order ends in a materialized content-hash
+        # tiebreak: one total order shared by all the window nodes
+        staged = self.df.withColumn(
+            "__emp_tb",
+            F.xxhash64(F.struct(*[F.col(c) for c in self.df.columns])),
+        )
         order = [F.col(self.ts_col)]
         if self.sequence_col:
             order.append(F.col(self.sequence_col))
-        staged = self.df.withColumn(
-            "__emp_t0", F.row_number().over(w) - F.lit(1)
+        order.append(F.col("__emp_tb"))
+        w = Window.partitionBy(*series).orderBy(*order)
+        grow = w.rowsBetween(Window.unboundedPreceding, 0)
+        yd = F.col(colName).cast("double")
+        staged = (
+            staged.withColumn("__emp_t0", F.row_number().over(w) - F.lit(1))
+            # NaN handling (the r6/r11 class): a NaN would ride the
+            # prefix sums and poison every later row in the phase BLOCK;
+            # the sliding form NaNs exactly the frames containing it.
+            # Match that: exclude NaN from the sums, overlay NaN where
+            # the trailing window contains one (prefix-count difference
+            # — same O(rows) constant-lag trick)
+            .withColumn(
+                "__emp_nan", F.when(F.isnan(yd), F.lit(1)).otherwise(F.lit(0))
+            )
         )
+        staged = staged.withColumn("__emp_nc", F.sum("__emp_nan").over(grow))
         for ph, shift in (("0", 0), ("1", half)):
             off = F.expr(f"(__emp_t0 + {shift}) % {B}")
             staged = (
@@ -1059,7 +1097,7 @@ class TSDF:
                 )
                 .withColumn(
                     f"__emp_z{ph}",
-                    F.coalesce(F.col(colName).cast("double"), F.lit(0.0))
+                    F.coalesce(F.nanvl(yd, F.lit(0.0)), F.lit(0.0))
                     * F.pow(F.lit(1.0 / r), F.col(f"__emp_off{ph}")),
                 )
             )
@@ -1081,8 +1119,14 @@ class TSDF:
             ).otherwise(F.lit(0.0))
             return F.pow(F.lit(r), off) * (p - sub) * F.lit(alpha)
 
-        ema = F.when(F.col("__emp_off0") >= window - 1, leg("0")).otherwise(
-            leg("1")
+        nan_in_frame = (
+            F.col("__emp_nc")
+            - F.coalesce(F.lag(F.col("__emp_nc"), window).over(w), F.lit(0))
+        ) > 0
+        ema = F.when(nan_in_frame, F.lit(float("nan"))).otherwise(
+            F.when(F.col("__emp_off0") >= window - 1, leg("0")).otherwise(
+                leg("1")
+            )
         )
         out = staged.withColumn(out_col, ema).drop(
             *[c for c in staged.columns if c.startswith("__emp_")]

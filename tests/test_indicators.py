@@ -580,3 +580,60 @@ class TestCusum:
             t.withCusum("v", k=-1)
         with pytest.raises(ValueError, match="h must"):
             t.withCusum("v", h=0)
+
+
+class TestEMAPrefixReviewRegressions:
+    """r12 review findings on _ema_prefix, pinned."""
+
+    def test_nan_frames_match_sliding(self, spark):
+        vals = [float(i % 7) + 1 for i in range(120)]
+        vals[40] = float("nan")
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        sl = {r.ts: r["ema_v"]
+              for r in t.EMA("v", window=10, span=5.0).df.collect()}
+        pr = {r.ts: r["ema_v"]
+              for r in t.EMA("v", window=10, span=5.0,
+                             strategy="prefix").df.collect()}
+        n_nan = 0
+        for k in sl:
+            a, b = sl[k], pr[k]
+            if math.isnan(a):
+                assert math.isnan(b), (k, a, b)  # NaN frames identical
+                n_nan += 1
+            else:
+                assert not math.isnan(b), (k, a, b)  # and ONLY those
+                assert b == pytest.approx(a, rel=1e-9, abs=1e-9)
+        assert n_nan == 10  # exactly the frames containing row 40
+
+    def test_duplicate_ts_no_amplification(self, spark):
+        # duplicate timestamps: both strategies tie-break arbitrarily,
+        # but prefix must stay internally consistent — weights sum < 1
+        # so |ema| <= max|y| always; the pre-fix misalignment amplified
+        # by r^-j (values far beyond max|y|)
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for i in range(300):
+            ts = base + dt.timedelta(minutes=i // 3)  # 3 rows per ts
+            rows.append(("a", ts, float((i * 37) % 100)))
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        got = t.EMA("v", window=104, span=26.0, strategy="prefix").df.collect()
+        assert all(abs(r["ema_v"]) <= 100.0 + 1e-6 for r in got)
+        # identical values on tied timestamps -> order-invariant: exact
+        # parity with sliding
+        rows2 = [("a", base + dt.timedelta(minutes=i // 3), float(i // 3))
+                 for i in range(300)]
+        df2 = spark.createDataFrame(rows2, "sym string, ts timestamp, v double")
+        t2 = TSDF(df2, ts_col="ts", series_ids=["sym"])
+        sl = sorted(r["ema_v"] for r in t2.EMA("v", window=50, span=12.0).df.collect())
+        pr = sorted(r["ema_v"] for r in t2.EMA(
+            "v", window=50, span=12.0, strategy="prefix").df.collect())
+        for a, b in zip(sl, pr):
+            assert b == pytest.approx(a, rel=1e-9, abs=1e-9)
+
+    def test_alpha_out_of_range_raises(self, spark):
+        t = TSDF(_mk(spark, [1.0, 2.0]), ts_col="ts", series_ids=["sym"])
+        with pytest.raises(ValueError, match="exp_factor in \\(0, 1\\]"):
+            t.EMA("v", window=10, exp_factor=1.5, strategy="prefix")
+        # sliding stays reference-permissive
+        t.EMA("v", window=10, exp_factor=1.5).df.collect()

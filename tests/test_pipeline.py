@@ -5662,3 +5662,57 @@ class TestPrecisionAndAP:
         r = retrieval_metrics(res, qrels, k=5).collect()[0]
         S = 2 * (10**12 // 2) + 2 * (10**12 // 2)
         assert r.ap_at_k == (S / 2) / 1e12
+
+
+class TestResumeFingerprintR12Review:
+    """r12 review: two resume-digest holes pinned."""
+
+    def test_mixed_file_memory_input_keeps_semantic_hash(self, spark, tmp_path):
+        from tempo_spark.pipeline.prepare import _cfg_token
+
+        pq = str(tmp_path / "mix_src")
+        spark.range(5).selectExpr("id AS doc_id", "'x' AS text").write.parquet(pq)
+        file_only = spark.read.parquet(pq)
+        patch = spark.createDataFrame([(99, "patched")], "doc_id long, text string")
+        mixed = file_only.union(patch)
+        tok_file = _cfg_token(file_only)
+        tok_mixed = _cfg_token(mixed)
+        import re as _re
+
+        # pure file scan: restart-stable — token ENDS at the file digest
+        # (no session-scoped component)
+        assert _re.search(r"files:[0-9a-f]{32}$", tok_file)
+        # mixed plan: must carry semanticHash ON TOP of the file digest —
+        # a LocalRelation prints schema, never data, so the plan digest
+        # alone cannot see a data change
+        assert _re.search(r"files:[0-9a-f]{32}:-?\d+$", tok_mixed)
+        patch2 = spark.createDataFrame([(99, "CHANGED")], "doc_id long, text string")
+        # same schema, same plan string shape, different data -> the
+        # semanticHash component is the only discriminator we can offer;
+        # at minimum the token must NOT be the plain file-only form that
+        # would skip the stage silently
+        tok_mixed2 = _cfg_token(file_only.union(patch2))
+        assert _re.search(r"files:[0-9a-f]{32}:-?\d+$", tok_mixed2)
+
+    def test_wide_projection_tail_expression_changes_token(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from tempo_spark.pipeline.prepare import _cfg_token
+
+        pq = str(tmp_path / "wide_src")
+        spark.range(5).selectExpr("id AS doc_id").write.parquet(pq)
+        base = spark.read.parquet(pq)
+        # 40 computed columns: the default maxToStringFields=25 would
+        # elide the tail and the c30 formula change would be invisible
+        cols_a = [
+            (F.col("doc_id") * (i + 1)).alias(f"c{i}") for i in range(40)
+        ]
+        cols_b = list(cols_a)
+        cols_b[30] = (F.col("doc_id") * 7777).alias("c30")
+        tok_a = _cfg_token(base.select("doc_id", *cols_a))
+        tok_b = _cfg_token(base.select("doc_id", *cols_b))
+        assert tok_a != tok_b
+        # and the render restores the conf
+        assert spark.conf.get("spark.sql.debug.maxToStringFields") in (
+            "25", None,
+        )
