@@ -1763,6 +1763,27 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("p.tag", "user_id", "ts", F.col("p.v").alias("ema_v"))
     parts.append(cs_rows)
+    # r12 rmed/hmp_*: exact rolling median (w=5, odd -> pure order
+    # statistic) + Hampel despike (w=7, k=3; textbook per-window MAD) —
+    # integer-cents order statistics replay as list extractions
+    rq = t.withRollingQuantile("cents", 5, out="rmed_c").df.select(
+        F.lit("rmed").alias("tag"), "user_id", "ts",
+        _HR6(F.col("rmed_c") / 100).alias("ema_v"),
+    )
+    parts.append(rq)
+    hp = t.withHampel("cents", window=7, k=3.0, out_filtered="hp_clean").df
+    hp_rows = hp.select(
+        "user_id", "ts",
+        F.explode(
+            F.array(
+                F.struct(F.lit("hmp_f").alias("tag"),
+                         F.col("is_outlier").cast("double").alias("v")),
+                F.struct(F.lit("hmp_v").alias("tag"),
+                         _HR6(F.col("hp_clean") / 100).alias("v")),
+            )
+        ).alias("p"),
+    ).select("p.tag", "user_id", "ts", F.col("p.v").alias("ema_v"))
+    parts.append(hp_rows)
     rsi = t.withRSI("cents", window=14).df.select(
         F.lit("rsi").alias("tag"), "user_id", "ts",
         F.col("rsi").alias("ema_v"),
@@ -2094,6 +2115,52 @@ FROM (
       FROM de
       WINDOW wbb AS (PARTITION BY user_id ORDER BY ts
                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))))
+UNION ALL
+-- rolling-median / Hampel replay (r12): per-row sorted window lists,
+-- order statistics by 1-based extraction; Hampel threshold literal is
+-- the SAME python-computed double the operator embeds
+SELECT tag, user_id, ts, ema_v FROM (
+  WITH rqb AS (
+    SELECT user_id, ts, cents,
+           CASE WHEN count(*) OVER fr5 = 5 AND count(cents) OVER fr5 = 5
+                THEN (list_sort(list(cents) OVER fr5))[3]
+           END AS rmed,
+           count(*) OVER fr7 AS n7, count(cents) OVER fr7 AS c7,
+           list_sort(list(cents) OVER fr7) AS l7
+    FROM de
+    WINDOW fr5 AS (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           fr7 AS (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+  hpb AS (
+    SELECT user_id, ts, cents,
+           CASE WHEN n7 = 7 AND c7 = 7 THEN CAST(l7[4] AS DOUBLE) END AS med7,
+           CASE WHEN n7 = 7 AND c7 = 7 THEN
+             (list_sort(list_transform(l7,
+                  x -> abs(CAST(x AS DOUBLE) - CAST(l7[4] AS DOUBLE)))))[4]
+           END AS mad7
+    FROM rqb)
+  SELECT 'rmed' AS tag, user_id, ts,
+         floor((CAST(rmed AS DOUBLE) / 100) * 1000000 + 0.5) / 1000000 AS ema_v
+  FROM rqb
+  UNION ALL
+  SELECT 'hmp_f', user_id, ts,
+         CASE WHEN cents IS NOT NULL AND med7 IS NOT NULL
+                   AND mad7 IS NOT NULL
+              THEN CASE WHEN abs(CAST(cents AS DOUBLE) - med7)
+                             > CAST('4.4478' AS DOUBLE) * mad7
+                        THEN 1.0 ELSE 0.0 END
+         END
+  FROM hpb
+  UNION ALL
+  SELECT 'hmp_v', user_id, ts,
+         floor((CASE WHEN (cents IS NOT NULL AND med7 IS NOT NULL
+                           AND mad7 IS NOT NULL)
+                          AND abs(CAST(cents AS DOUBLE) - med7)
+                              > CAST('4.4478' AS DOUBLE) * mad7
+                     THEN med7 ELSE CAST(cents AS DOUBLE) END / 100)
+               * 1000000 + 0.5) / 1000000
+  FROM hpb)
 UNION ALL
 -- CUSUM replay (r12): exact integer prefix sums + running min;
 -- C = S - least(0, min_j<=t S_j), charts/100 hardened, flag as 0/1

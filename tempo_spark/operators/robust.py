@@ -115,3 +115,156 @@ def winsorize(
         F.least(F.greatest(v, F.col("__wz_lo")), F.col("__wz_hi")),
     )
     return joined.withColumn(out, clipped).drop("__wz_lo", "__wz_hi")
+
+
+def with_rolling_quantile(
+    tsdf, value_col: str, window: int, q: float = 0.5,
+    out: str = None, min_periods: int = None,
+) -> DataFrame:
+    """df + ``out``: the exact q-quantile of the last ``window`` values
+    (linear interpolation between order statistics — the pandas
+    ``rolling().quantile()`` / numpy 'linear' convention). ``q=0.5`` is
+    the rolling median, the classic despiking filter.
+
+    Exactness: values quantize to the 1e-6 grid; the window's non-null
+    values materialize as ONE sorted array per row and the quantile is
+    ``a[lo] + frac·(a[hi] − a[lo])`` with (lo, hi, frac) Python-derived
+    from the COUNT — fixed IEEE arithmetic over exact grid values, so
+    outputs replay cross-engine. NULL until ``min_periods`` (default
+    ``window``) non-null values exist; NaN quantizes to NULL (grid6).
+
+    Cost: O(rows × window·log window) — the sliding sort is the price
+    of an exact small-window order statistic (rolling medians use
+    windows of 5-25; for percentile SUMMARIES of big windows use
+    withRangeStats percentiles= instead)."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if not (0.0 <= q <= 1.0):
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    if min_periods is None:
+        min_periods = window
+    if not (1 <= min_periods <= window):
+        raise ValueError(
+            f"min_periods must be in [1, {window}], got {min_periods}"
+        )
+    if out is None:
+        out = f"{value_col}_q{str(q).replace('.', '_')}"
+    if out in tsdf.df.columns or any(
+        c.startswith("__rq_") for c in tsdf.df.columns
+    ):
+        raise ValueError(
+            f"output column {out!r} or __rq_* staging already present"
+        )
+    w = tsdf.base_window()
+    frame = w.rowsBetween(-(window - 1), 0)
+    yq = grid6(value_col)
+    arr = F.array_sort(
+        F.filter(
+            F.collect_list(F.struct(yq.alias("v"))).over(frame),
+            lambda s: s["v"].isNotNull(),
+        )
+    )
+    staged = tsdf.df.withColumn("__rq_a", arr)
+    n = F.size(F.col("__rq_a"))
+    # flat CASE chain: each possible count gets its fixed Python-derived
+    # (lo, hi, frac) order-statistic literals — h = q*(n-1), the numpy
+    # 'linear' convention
+    qexpr = F.lit(None).cast("double")
+    for cnt in range(window, min_periods - 1, -1):
+        h = q * (cnt - 1)
+        lo, hi = int(h), min(int(h) + 1, cnt - 1)
+        frac = h - int(h)
+        v_lo = F.col("__rq_a")[lo]["v"]
+        v_hi = F.col("__rq_a")[hi]["v"]
+        term = v_lo if frac == 0.0 else v_lo + F.lit(frac) * (v_hi - v_lo)
+        qexpr = F.when(n == cnt, term).otherwise(qexpr)
+    return staged.withColumn(out, qexpr).drop("__rq_a")
+
+
+def _sorted_arr_quantile(arr_col, cnt, q: float):
+    """Quantile expression over a SORTED array column at a fixed count
+    (Python-derived order-statistic literals, numpy 'linear')."""
+    h = q * (cnt - 1)
+    lo, hi = int(h), min(int(h) + 1, cnt - 1)
+    frac = h - int(h)
+    v_lo = arr_col[lo]
+    v_hi = arr_col[hi]
+    return v_lo if frac == 0.0 else v_lo + F.lit(frac) * (v_hi - v_lo)
+
+
+def with_hampel(
+    tsdf, value_col: str, window: int = 7, k: float = 3.0,
+    out_flag: str = "is_outlier", out_filtered: str = None,
+) -> DataFrame:
+    """df + ``out_flag`` (+ ``out_filtered``): the Hampel filter — the
+    standard rolling-median despiker. A row is an outlier when
+    ``|x − med| > k · 1.4826 · MAD`` with ``med`` the median of the last
+    ``window`` values and ``MAD = median(|x_j − med|)`` over the SAME
+    window (the textbook per-window MAD, not the cheaper
+    deviation-series variant); 1.4826 scales MAD to σ under normality;
+    ``k=3`` is the classic default.
+
+    ``out_filtered`` (opt-in column name) emits x with outliers replaced
+    by the rolling median — the cleaning form. A zero-MAD window (≥ half
+    the window identical) flags any deviation from the median (the
+    degenerate-but-standard behavior); rows NULL/NaN themselves, or
+    whose window isn't full of non-null values, never flag and
+    NULL-carry into the filtered column.
+
+    Shape: ONE collect_list per row; median, per-element deviations, and
+    the deviation median all evaluate inside that array (sorted twice
+    per row, O(window·log window) interpreted HOF work on a 5-25-element
+    array). Exact grid order statistics + fixed IEEE comparison — flag
+    and filtered replay cross-engine. One shuffle."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    outs = [out_flag] + ([out_filtered] if out_filtered else [])
+    clash = sorted(
+        c for c in tsdf.df.columns
+        if c in outs or c.startswith("__hp_")
+    )
+    if clash:
+        raise ValueError(f"reserved output/staging columns present: {clash}")
+    w = tsdf.base_window()
+    frame = w.rowsBetween(-(window - 1), 0)
+    yq = grid6(value_col)
+    arr = F.array_sort(
+        F.filter(
+            F.collect_list(F.struct(yq.alias("v"))).over(frame),
+            lambda s: s["v"].isNotNull(),
+        )
+    )
+    staged = tsdf.df.withColumn(
+        "__hp_a", F.transform(arr, lambda s: s["v"])
+    )
+    a = F.col("__hp_a")
+    full = (F.size(a) == window) & (
+        F.count(F.lit(1)).over(frame) == window
+    )
+    med = _sorted_arr_quantile(a, window, 0.5)
+    staged = staged.withColumn("__hp_med", F.when(full, med))
+    devs = F.array_sort(
+        F.transform(a, lambda v: F.abs(v - F.col("__hp_med")))
+    )
+    staged = staged.withColumn(
+        "__hp_mad",
+        F.when(
+            F.col("__hp_med").isNotNull(),
+            _sorted_arr_quantile(devs, window, 0.5),
+        ),
+    )
+    dev = F.abs(yq - F.col("__hp_med"))
+    flag = F.when(
+        yq.isNotNull() & F.col("__hp_med").isNotNull()
+        & F.col("__hp_mad").isNotNull(),
+        dev > F.lit(float(k) * 1.4826) * F.col("__hp_mad"),
+    )
+    out = staged.withColumn(out_flag, flag)
+    if out_filtered:
+        out = out.withColumn(
+            out_filtered,
+            F.when(F.col(out_flag), F.col("__hp_med")).otherwise(yq),
+        )
+    return out.drop("__hp_a", "__hp_med", "__hp_mad")

@@ -2015,6 +2015,32 @@ class TSDF:
 
         return self._with_df(winsorize(self, value_col, lower, upper, out))
 
+    def withRollingQuantile(
+        self, value_col: str, window: int, q: float = 0.5,
+        out: Optional[str] = None, min_periods: Optional[int] = None,
+    ) -> "TSDF":
+        """df + exact rolling q-quantile of the last ``window`` values
+        (q=0.5 = rolling median). See operators/robust.py."""
+        from tempo_spark.operators.robust import with_rolling_quantile
+
+        return self._with_df(
+            with_rolling_quantile(
+                self, value_col, window, q, out, min_periods
+            )
+        )
+
+    def withHampel(
+        self, value_col: str, window: int = 7, k: float = 3.0,
+        out_flag: str = "is_outlier", out_filtered: Optional[str] = None,
+    ) -> "TSDF":
+        """df + Hampel rolling-median despike flag (and optionally the
+        median-filtered column). See operators/robust.py."""
+        from tempo_spark.operators.robust import with_hampel
+
+        return self._with_df(
+            with_hampel(self, value_col, window, k, out_flag, out_filtered)
+        )
+
     def downsample_minmax(self, n_buckets: int, value_col: str) -> DataFrame:
         """Min-max envelope downsampling: per equal-count bucket keep the
         rows holding the bucket min AND max of ``value_col`` (≤ 2·buckets

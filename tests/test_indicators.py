@@ -637,3 +637,96 @@ class TestEMAPrefixReviewRegressions:
             t.EMA("v", window=10, exp_factor=1.5, strategy="prefix")
         # sliding stays reference-permissive
         t.EMA("v", window=10, exp_factor=1.5).df.collect()
+
+
+class TestRollingQuantileHampel:
+    def test_rolling_median_matches_python(self, spark):
+        import random
+        import statistics
+
+        random.seed(5)
+        vals = [random.uniform(0, 100) for _ in range(60)]
+        vals[17] = None
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        got = [
+            r["v_q0_5"]
+            for r in t.withRollingQuantile("v", 5).df.orderBy("ts").collect()
+        ]
+
+        def q6(x):
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        for i, g in enumerate(got):
+            if i < 4:
+                assert g is None
+                continue
+            win = [q6(v) for v in vals[i - 4 : i + 1] if v is not None]
+            if len(win) < 5:
+                assert g is None  # min_periods defaults to window
+            else:
+                assert g == pytest.approx(statistics.median(win), abs=1e-9)
+
+    def test_quantile_interpolation_and_min_periods(self, spark):
+        vals = [10.0, 20.0, 30.0, 40.0]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        got = [
+            r.p25
+            for r in t.withRollingQuantile(
+                "v", 4, 0.25, out="p25", min_periods=2
+            ).df.orderBy("ts").collect()
+        ]
+        # numpy 'linear': n=2 -> 10+0.25*10; n=3 -> h=0.5 -> 15; n=4 ->
+        # h=0.75 -> 17.5
+        assert got[0] is None
+        assert got[1] == pytest.approx(12.5)
+        assert got[2] == pytest.approx(15.0)
+        assert got[3] == pytest.approx(17.5)
+        with pytest.raises(ValueError, match="q must"):
+            t.withRollingQuantile("v", 4, 1.5)
+        with pytest.raises(ValueError, match="min_periods"):
+            t.withRollingQuantile("v", 4, 0.5, min_periods=9)
+
+    def test_hampel_flags_planted_spikes(self, spark):
+        import random
+        import statistics
+
+        random.seed(9)
+        vals = [50.0 + random.uniform(-1, 1) for _ in range(80)]
+        vals[30] = 500.0  # spike
+        vals[55] = -400.0
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        got = (
+            t.withHampel("v", window=7, k=3.0, out_filtered="v_clean")
+            .df.orderBy("ts").collect()
+        )
+        assert got[30].is_outlier is True
+        assert got[55].is_outlier is True
+        flagged = [i for i, r in enumerate(got) if r.is_outlier]
+        assert len(flagged) <= 6  # spikes + at most a few boundary rows
+        # filtered column replaces the spike with the window median
+        win = sorted(
+            math.floor(v * 1e6 + 0.5) / 1e6 for v in vals[24:31]
+        )
+        assert got[30].v_clean == pytest.approx(statistics.median(win), abs=1e-9)
+        assert got[10].v_clean == pytest.approx(
+            math.floor(vals[10] * 1e6 + 0.5) / 1e6, abs=1e-9
+        )
+        # python-model parity of the flag rule on every full window
+        for i in range(6, 80):
+            w7 = [math.floor(v * 1e6 + 0.5) / 1e6 for v in vals[i - 6 : i + 1]]
+            med = statistics.median(sorted(w7))
+            mad = statistics.median(sorted(abs(x - med) for x in w7))
+            want = abs(w7[-1] - med) > 3.0 * 1.4826 * mad
+            assert got[i].is_outlier == want, i
+
+    def test_hampel_zero_mad_and_nulls(self, spark):
+        vals = [5.0] * 10 + [9.0] + [5.0] * 5
+        vals[3] = None
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        got = t.withHampel("v", window=5).df.orderBy("ts").collect()
+        # windows containing the NULL never flag
+        assert all(
+            r.is_outlier is None for r in got[:8]
+        )  # head: not full / null-contaminated
+        assert got[10].is_outlier is True  # 9.0 vs zero-MAD window of 5s
+        assert got[9].is_outlier is False

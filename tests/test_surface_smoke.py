@@ -410,3 +410,25 @@ class TestR12FunctionalTwins:
         b = [r.cusum_pos for r in
              t.withCusum("v", target=5.0).df.orderBy("ts").collect()]
         assert a == b and a[-1] == 15.0  # sum of 0..5
+
+    def test_rolling_quantile_hampel_function_twins(self, spark):
+        from tempo_spark.operators.robust import (
+            with_hampel,
+            with_rolling_quantile,
+        )
+
+        df = spark.createDataFrame(
+            [("a", dt.datetime(2024, 1, 1, 0, m), float(m % 4)) for m in range(12)],
+            "sym string, ts timestamp, v double",
+        )
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        a = [r["v_q0_5"] for r in
+             with_rolling_quantile(t, "v", 3).orderBy("ts").collect()]
+        b = [r["v_q0_5"] for r in
+             t.withRollingQuantile("v", 3).df.orderBy("ts").collect()]
+        assert a == b and a[-1] is not None
+        f1 = [r.is_outlier for r in
+              with_hampel(t, "v", 5).orderBy("ts").collect()]
+        f2 = [r.is_outlier for r in
+              t.withHampel("v", 5).df.orderBy("ts").collect()]
+        assert f1 == f2
