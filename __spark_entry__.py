@@ -6626,6 +6626,22 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
 
+    # r12 bars: streaming OHLC (the batch calc_bars single-agg plan +
+    # watermark); complete mode emits every bar == batch exactly. The
+    # struct pack tie-breaks duplicate (user, ts) rows by (ts, cents)
+    # lexicographically — mirrored in the oracle's row_number order.
+    from tempo_spark.streaming.resample import streaming_bars
+
+    bars_out = streaming_bars(ev, "ts", ["user_id"], "1 hour", ["cents"])
+    qn_bars = f"q_streaming_bars_{seq}"
+    q_bars = (
+        bars_out.writeStream.format("memory")
+        .queryName(qn_bars)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+
     # deterministic right side for the as-of: dedupe purchases batch-side
     # and replay the result as its own file stream
     rdir = tempfile.mkdtemp(prefix="tempo_stream_asof_right_")
@@ -6764,6 +6780,7 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q_rs.awaitTermination()
+        q_bars.awaitTermination()
         q_asof.awaitTermination()
         q_interp.awaitTermination()
         q_sess.awaitTermination()
@@ -6836,12 +6853,34 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_jaccard").alias("v"),
         F.lit(None).cast("boolean").alias("flag"),
     )
+    brs = spark.table(qn_bars).select(
+        "user_id", "ts",
+        F.explode(
+            F.array(
+                F.struct(F.lit("bar_o").alias("tag"),
+                         _HR6(F.col("open_cents") / 100).alias("v")),
+                F.struct(F.lit("bar_h").alias("tag"),
+                         _HR6(F.col("high_cents") / 100).alias("v")),
+                F.struct(F.lit("bar_l").alias("tag"),
+                         _HR6(F.col("low_cents") / 100).alias("v")),
+                F.struct(F.lit("bar_c").alias("tag"),
+                         _HR6(F.col("close_cents") / 100).alias("v")),
+            )
+        ).alias("p"),
+    ).select(
+        "p.tag", "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("rts"),
+        F.lit(None).cast("double").alias("lv"),
+        F.col("p.v").alias("v"),
+        F.lit(None).cast("boolean").alias("flag"),
+    )
     return (
         rs.unionByName(asf)
         .unionByName(itp)
         .unionByName(sess)
         .unionByName(ded)
         .unionByName(lsh)
+        .unionByName(brs)
     )
 
 
@@ -6929,6 +6968,43 @@ SELECT 'resample' AS tag, user_id,
        floor((avg(CAST(round(value * 100) AS BIGINT)) / 100) * 1000000 + 0.5) / 1000000 AS v,
        CAST(NULL AS BOOLEAN) AS flag
 FROM events GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
+UNION ALL
+-- bars (r12): streaming OHLC == batch calc_bars; open/close tie-break
+-- on duplicate (user, ts) is the struct's (ts, cents) lexicographic min/max
+SELECT tag, user_id, ts, CAST(NULL AS TIMESTAMP) AS rts,
+       CAST(NULL AS DOUBLE) AS lv, v, CAST(NULL AS BOOLEAN) AS flag
+FROM (
+  WITH bbr AS (
+    SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bts,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY user_id,
+                                           time_bucket(INTERVAL '1 hour', ts)
+                              ORDER BY ts ASC, round(value * 100) ASC) AS rn_a,
+           row_number() OVER (PARTITION BY user_id,
+                                           time_bucket(INTERVAL '1 hour', ts)
+                              ORDER BY ts DESC, round(value * 100) DESC) AS rn_d
+    FROM events),
+  bagg AS (
+    SELECT user_id, bts,
+           min(cents) AS lo, max(cents) AS hi,
+           max(CASE WHEN rn_a = 1 THEN cents END) AS op,
+           max(CASE WHEN rn_d = 1 THEN cents END) AS cl
+    FROM bbr GROUP BY user_id, bts)
+  SELECT 'bar_o' AS tag, user_id, bts AS ts,
+         floor((CAST(op AS DOUBLE) / 100) * 1000000 + 0.5) / 1000000 AS v
+  FROM bagg
+  UNION ALL
+  SELECT 'bar_h', user_id, bts,
+         floor((CAST(hi AS DOUBLE) / 100) * 1000000 + 0.5) / 1000000
+  FROM bagg
+  UNION ALL
+  SELECT 'bar_l', user_id, bts,
+         floor((CAST(lo AS DOUBLE) / 100) * 1000000 + 0.5) / 1000000
+  FROM bagg
+  UNION ALL
+  SELECT 'bar_c', user_id, bts,
+         floor((CAST(cl AS DOUBLE) / 100) * 1000000 + 0.5) / 1000000
+  FROM bagg)
 UNION ALL
 SELECT 'asof' AS tag, user_id, ts,
        CASE WHEN in_band THEN rts END AS rts, lv,
