@@ -6979,7 +6979,8 @@ FROM (
            CAST(round(value * 100) AS BIGINT) AS cents,
            row_number() OVER (PARTITION BY user_id,
                                            time_bucket(INTERVAL '1 hour', ts)
-                              ORDER BY ts ASC, round(value * 100) ASC) AS rn_a,
+                              ORDER BY ts ASC,
+                                       round(value * 100) ASC NULLS FIRST) AS rn_a,
            row_number() OVER (PARTITION BY user_id,
                                            time_bucket(INTERVAL '1 hour', ts)
                               ORDER BY ts DESC, round(value * 100) DESC) AS rn_d
@@ -6987,24 +6988,32 @@ FROM (
   bagg AS (
     SELECT user_id, bts,
            min(cents) AS lo, max(cents) AS hi,
-           max(CASE WHEN rn_a = 1 THEN cents END) AS op,
+           -- open may be a NULL-cents row (Spark's struct min sorts the
+           -- NULL field FIRST): carry an explicit null flag, max(CASE)
+           -- would silently skip it
+           bool_or(rn_a = 1 AND cents IS NULL) AS op_null,
+           max(CASE WHEN rn_a = 1 THEN cents END) AS op_val,
            max(CASE WHEN rn_d = 1 THEN cents END) AS cl
-    FROM bbr GROUP BY user_id, bts)
+    FROM bbr GROUP BY user_id, bts),
+  bagg2 AS (
+    SELECT user_id, bts, lo, hi,
+           CASE WHEN op_null THEN NULL ELSE op_val END AS op, cl
+    FROM bagg)
   SELECT 'bar_o' AS tag, user_id, bts AS ts,
          floor((CAST(op AS DOUBLE) / 100) * 1000000 + 0.5) / 1000000 AS v
-  FROM bagg
+  FROM bagg2
   UNION ALL
   SELECT 'bar_h', user_id, bts,
          floor((CAST(hi AS DOUBLE) / 100) * 1000000 + 0.5) / 1000000
-  FROM bagg
+  FROM bagg2
   UNION ALL
   SELECT 'bar_l', user_id, bts,
          floor((CAST(lo AS DOUBLE) / 100) * 1000000 + 0.5) / 1000000
-  FROM bagg
+  FROM bagg2
   UNION ALL
   SELECT 'bar_c', user_id, bts,
          floor((CAST(cl AS DOUBLE) / 100) * 1000000 + 0.5) / 1000000
-  FROM bagg)
+  FROM bagg2)
 UNION ALL
 SELECT 'asof' AS tag, user_id, ts,
        CASE WHEN in_band THEN rts END AS rts, lv,

@@ -117,6 +117,11 @@ def winsorize(
     return joined.withColumn(out, clipped).drop("__wz_lo", "__wz_hi")
 
 
+# plan-build budget for the per-count CASE chain (the round-4 >30-Columns
+# lesson); rolling quantiles are 5-25-row windows in practice
+QUANTILE_CASE_MAX = 64
+
+
 def with_rolling_quantile(
     tsdf, value_col: str, window: int, q: float = 0.5,
     out: str = None, min_periods: int = None,
@@ -139,6 +144,8 @@ def with_rolling_quantile(
     withRangeStats percentiles= instead)."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    if value_col not in tsdf.df.columns:
+        raise ValueError(f"value_col {value_col!r} not in DataFrame")
     if not (0.0 <= q <= 1.0):
         raise ValueError(f"q must be in [0, 1], got {q}")
     if min_periods is None:
@@ -146,6 +153,15 @@ def with_rolling_quantile(
     if not (1 <= min_periods <= window):
         raise ValueError(
             f"min_periods must be in [1, {window}], got {min_periods}"
+        )
+    if window - min_periods + 1 > QUANTILE_CASE_MAX:
+        # one CASE branch per possible count: past the budget this is
+        # the pinned plan-build-latency axis (>30 Columns in a loop)
+        raise ValueError(
+            f"window - min_periods + 1 = {window - min_periods + 1} CASE "
+            f"branches exceeds QUANTILE_CASE_MAX={QUANTILE_CASE_MAX} — "
+            "narrow the min_periods band, or use withRangeStats "
+            "percentiles= for large-window percentile summaries"
         )
     if out is None:
         out = f"{value_col}_q{str(q).replace('.', '_')}"
@@ -158,12 +174,8 @@ def with_rolling_quantile(
     w = tsdf.base_window()
     frame = w.rowsBetween(-(window - 1), 0)
     yq = grid6(value_col)
-    arr = F.array_sort(
-        F.filter(
-            F.collect_list(F.struct(yq.alias("v"))).over(frame),
-            lambda s: s["v"].isNotNull(),
-        )
-    )
+    # collect_list skips NULL inputs already — no struct wrap needed
+    arr = F.array_sort(F.collect_list(yq).over(frame))
     staged = tsdf.df.withColumn("__rq_a", arr)
     n = F.size(F.col("__rq_a"))
     # flat CASE chain: each possible count gets its fixed Python-derived
@@ -174,8 +186,8 @@ def with_rolling_quantile(
         h = q * (cnt - 1)
         lo, hi = int(h), min(int(h) + 1, cnt - 1)
         frac = h - int(h)
-        v_lo = F.col("__rq_a")[lo]["v"]
-        v_hi = F.col("__rq_a")[hi]["v"]
+        v_lo = F.col("__rq_a")[lo]
+        v_hi = F.col("__rq_a")[hi]
         term = v_lo if frac == 0.0 else v_lo + F.lit(frac) * (v_hi - v_lo)
         qexpr = F.when(n == cnt, term).otherwise(qexpr)
     return staged.withColumn(out, qexpr).drop("__rq_a")
@@ -218,8 +230,14 @@ def with_hampel(
     and filtered replay cross-engine. One shuffle."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    if value_col not in tsdf.df.columns:
+        raise ValueError(f"value_col {value_col!r} not in DataFrame")
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if out_filtered == out_flag:
+        raise ValueError(
+            f"out_flag and out_filtered must differ, both {out_flag!r}"
+        )
     outs = [out_flag] + ([out_filtered] if out_filtered else [])
     clash = sorted(
         c for c in tsdf.df.columns
@@ -230,19 +248,13 @@ def with_hampel(
     w = tsdf.base_window()
     frame = w.rowsBetween(-(window - 1), 0)
     yq = grid6(value_col)
-    arr = F.array_sort(
-        F.filter(
-            F.collect_list(F.struct(yq.alias("v"))).over(frame),
-            lambda s: s["v"].isNotNull(),
-        )
-    )
     staged = tsdf.df.withColumn(
-        "__hp_a", F.transform(arr, lambda s: s["v"])
+        "__hp_a", F.array_sort(F.collect_list(yq).over(frame))
     )
     a = F.col("__hp_a")
-    full = (F.size(a) == window) & (
-        F.count(F.lit(1)).over(frame) == window
-    )
+    # the frame holds at most `window` rows and collect_list skips NULLs,
+    # so a full non-null window is exactly size == window
+    full = F.size(a) == window
     med = _sorted_arr_quantile(a, window, 0.5)
     staged = staged.withColumn("__hp_med", F.when(full, med))
     devs = F.array_sort(

@@ -730,3 +730,16 @@ class TestRollingQuantileHampel:
         )  # head: not full / null-contaminated
         assert got[10].is_outlier is True  # 9.0 vs zero-MAD window of 5s
         assert got[9].is_outlier is False
+
+
+class TestRollingQuantileHampelReviewR12:
+    def test_guards(self, spark):
+        t = TSDF(_mk(spark, [1.0, 2.0, 3.0]), ts_col="ts", series_ids=["sym"])
+        with pytest.raises(ValueError, match="value_col"):
+            t.withRollingQuantile("nope", 3)
+        with pytest.raises(ValueError, match="value_col"):
+            t.withHampel("nope")
+        with pytest.raises(ValueError, match="must differ"):
+            t.withHampel("v", out_flag="x", out_filtered="x")
+        with pytest.raises(ValueError, match="QUANTILE_CASE_MAX"):
+            t.withRollingQuantile("v", 200, 0.5, min_periods=1)
