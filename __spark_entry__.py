@@ -1136,6 +1136,14 @@ def q_resample_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag(t_value.resample("1 hour", "min").df, "min", _R6(F.col("value"))),
         tag(t_value.resample("1 hour", "max").df, "max", _R6(F.col("value"))),
     ]
+    # r12 anchored: pandas-style origin/closed/label anchoring — grid
+    # phased at :30, right-closed boundaries, end-labeled buckets; the
+    # oracle replays the exact pmod epoch arithmetic
+    anc = t_cents.resample(
+        "1 hour", "mean", origin="2020-01-01 00:30:00",
+        closed="right", label="right",
+    ).df
+    parts.append(tag(anc, "anchored", _HR6(F.col("cents") / 100)))
     # per-column func MAPPING (pandas .agg idiom, one groupBy): sum(cents)
     # and count(value) in the same pass, emitted as two tag rows so each
     # mapped column is value-checked
@@ -1188,6 +1196,19 @@ UNION ALL
 SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts, 'sum' AS func,
        CAST(sum(cents) AS DOUBLE) AS v
 FROM de GROUP BY user_id, bucket_ts
+UNION ALL
+-- anchored (r12): origin 00:30, right-closed ((start, end] via the 1us
+-- pre-shift at the engine's microsecond grain), end-labeled
+SELECT user_id, make_timestamp(bus + 3600000000) AS bucket_ts,
+       'anchored' AS func,
+       floor((avg(cents) / 100) * 1000000 + 0.5) / 1000000 AS v
+FROM (
+  SELECT user_id, cents,
+         (epoch_us(ts) - 1)
+           - (((epoch_us(ts) - 1 - 1800000000) % 3600000000 + 3600000000)
+              % 3600000000) AS bus
+  FROM de) anc
+GROUP BY user_id, bus
 UNION ALL
 SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, 'median' AS func,
        floor((median(cents) / 100) * 1000000 + 0.5) / 1000000 AS v

@@ -35,6 +35,50 @@ def _bucket_start(ts_col: str, duration: str) -> Column:
     return F.window(F.col(ts_col), duration)["start"]
 
 
+def _origin_micros(origin) -> int:
+    """Epoch micros of an anchoring origin (datetime or ISO string,
+    naive = UTC — the session timezone contract)."""
+    import datetime as _dt
+
+    if isinstance(origin, str):
+        origin = _dt.datetime.fromisoformat(origin)
+    if not isinstance(origin, _dt.datetime):
+        raise ValueError(
+            f"origin must be a datetime or ISO string, got {type(origin).__name__}"
+        )
+    if origin.tzinfo is None:
+        origin = origin.replace(tzinfo=_dt.timezone.utc)
+    return int(origin.timestamp() * 1_000_000)
+
+
+def _anchored_bucket(
+    ts_col: str, f, origin, closed: str, label: str
+) -> Column:
+    """Pandas-style anchored bucket start: ``origin`` shifts the grid
+    phase (``F.window``'s startTime — the modulo offset), ``closed=
+    'right'`` makes buckets half-open on the left ((start, end]: a row
+    exactly ON a boundary belongs to the PRECEDING bucket — financial
+    bars' convention; implemented as a 1µs pre-shift, exact at the
+    engine's microsecond grain), ``label='right'`` emits the bucket END
+    as its timestamp."""
+    f_us = int(round(f.seconds * 1_000_000))
+    ts_expr = F.col(ts_col)
+    if closed == "right":
+        ts_expr = F.timestamp_micros(F.unix_micros(ts_expr) - 1)
+    if origin is not None:
+        o_us = _origin_micros(origin) % f_us
+        win = F.window(
+            ts_expr, f.window_duration, f.window_duration,
+            f"{o_us} microseconds",
+        )
+    else:
+        win = F.window(ts_expr, f.window_duration)
+    b = win["start"]
+    if label == "right":
+        b = F.timestamp_micros(F.unix_micros(b) + F.lit(f_us))
+    return b
+
+
 def _argmin_argmax_exprs(
     tsdf, metric_cols: Sequence[str], func: str, prefix: str
 ) -> list[Column]:
@@ -71,6 +115,9 @@ def resample(
     metric_cols: Optional[Sequence[str]] = None,
     prefix: Optional[str] = None,
     fill: Optional[bool] = None,
+    origin=None,
+    closed: str = "left",
+    label: str = "left",
 ):
     """``func`` is either one name from ``_FUNCS`` applied to every metric
     column (reference semantics), or a ``{column: func}`` mapping for
@@ -79,7 +126,13 @@ def resample(
     still one shuffle). Dict form supports the scalar aggregations only —
     ``floor``/``ceil`` select whole rows, which contradicts per-column
     choice — and ``metric_cols`` must be omitted (the dict's keys ARE the
-    metric columns)."""
+    metric columns).
+
+    ``origin``/``closed``/``label`` are the pandas ``.resample`` anchoring
+    knobs (see :func:`_anchored_bucket`): anchor the grid off the epoch
+    (e.g. 09:30 session opens), make boundaries right-closed, or label
+    buckets by their end. Defaults reproduce the reference's epoch-
+    anchored left-closed/left-labeled grid exactly."""
     from collections.abc import Mapping
 
     from tempo_spark.tsdf import ResampledTSDF
@@ -117,9 +170,15 @@ def resample(
         metric_cols = list(metric_cols or tsdf.metric_cols)
         if not metric_cols:
             raise ValueError("resample requires at least one metric column")
+    for nm, v in (("closed", closed), ("label", label)):
+        if v not in ("left", "right"):
+            raise ValueError(f"{nm} must be 'left' or 'right', got {v!r}")
     f = parse_freq(freq)
     pfx = f"{prefix}_" if prefix else ""
-    bucket = _bucket_start(ts, f.window_duration)
+    if origin is None and closed == "left" and label == "left":
+        bucket = _bucket_start(ts, f.window_duration)
+    else:
+        bucket = _anchored_bucket(ts, f, origin, closed, label)
 
     # NEGATIVE RESULT (round 7): an automatic leading repartition(series)
     # for fill=True halves the exchange count (the agg and the fill window

@@ -2060,10 +2060,16 @@ class TSDF:
         prefix: Optional[str] = None,
         fill: Optional[bool] = None,
         perform_checks: bool = False,  # reference-API compat; horizon check is explicit here
+        origin=None,
+        closed: str = "left",
+        label: str = "left",
     ) -> "TSDF":
         from tempo_spark.operators.resample import resample as _resample
 
-        return _resample(self, freq, func, metric_cols=metricCols, prefix=prefix, fill=fill)
+        return _resample(
+            self, freq, func, metric_cols=metricCols, prefix=prefix,
+            fill=fill, origin=origin, closed=closed, label=label,
+        )
 
     def resample_rollup(
         self,

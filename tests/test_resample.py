@@ -518,3 +518,73 @@ class TestCalcBarsRollup:
             t.calc_bars_rollup(["7 minutes", "10 minutes"])
         with pytest.raises(ValueError, match="output column"):
             t.calc_bars_rollup(["5 minutes", "10 minutes"], grain_col="open_px")
+
+
+class TestAnchoredResample:
+    """r12: pandas-style origin/closed/label anchoring."""
+
+    def _mk(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 9, 30)
+        rows = [
+            ("a", base + dt.timedelta(minutes=m), float(m)) for m in range(120)
+        ]
+        return spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+
+    def test_origin_anchors_session_grid(self, spark):
+        import datetime as dt
+
+        from tempo_spark import TSDF
+
+        t = TSDF(self._mk(spark), ts_col="ts", series_ids=["sym"])
+        out = t.resample(
+            "1 hour", "count", origin="2024-01-01 09:30:00"
+        ).df.orderBy("ts").collect()
+        # grid phases at :30 — two full 60-row buckets
+        assert [str(r.ts) for r in out] == [
+            "2024-01-01 09:30:00", "2024-01-01 10:30:00",
+        ]
+        assert [r.v for r in out] == [60, 60]
+        # default epoch anchor splits 09:30-11:30 across three :00 buckets
+        dflt = t.resample("1 hour", "count").df.orderBy("ts").collect()
+        assert [r.v for r in dflt] == [30, 60, 30]
+
+    def test_closed_right_and_label_right(self, spark):
+        import datetime as dt
+
+        from tempo_spark import TSDF
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [("a", base + dt.timedelta(minutes=m), 1.0) for m in (0, 30, 60)]
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        # left-closed: 00:00 and 00:30 in bucket 00:00; 01:00 in 01:00
+        lc = {str(r.ts): r.v for r in t.resample("1 hour", "count").df.collect()}
+        assert lc == {"2024-01-01 00:00:00": 2, "2024-01-01 01:00:00": 1}
+        # right-closed: 00:00 belongs to the PRECEDING bucket (23:00-00:00]
+        rc = {str(r.ts): r.v
+              for r in t.resample("1 hour", "count", closed="right").df.collect()}
+        assert rc == {
+            "2023-12-31 23:00:00": 1,  # the 00:00 row
+            "2024-01-01 00:00:00": 2,  # 00:30 and 01:00
+        }
+        # label=right shifts emitted ts to the bucket END
+        rl = {str(r.ts): r.v
+              for r in t.resample("1 hour", "count", closed="right",
+                                  label="right").df.collect()}
+        assert rl == {
+            "2024-01-01 00:00:00": 1,
+            "2024-01-01 01:00:00": 2,
+        }
+
+    def test_validation(self, spark):
+        from tempo_spark import TSDF
+
+        t = TSDF(self._mk(spark), ts_col="ts", series_ids=["sym"])
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="closed"):
+            t.resample("1 hour", "mean", closed="both")
+        with _pt.raises(ValueError, match="origin must be"):
+            t.resample("1 hour", "mean", origin=123)
