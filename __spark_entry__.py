@@ -781,12 +781,41 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         zero_ts.alias("bucket_ts"),
         F.col("p.v").alias("twap_v"),
     )
+    # r12 sax/sax_p: SAX symbolic representation over cents (8 equal-
+    # count segments, alphabet 6) — symbols exact (mirrored IEEE z-score
+    # over exact sums, breakpoint literals shared), paa hardened
+    tc_sax = TSDF(
+        de.select("user_id", "ts", "cents"), ts_col="ts",
+        series_ids=["user_id"],
+    )
+    sx = tc_sax.sax("cents", 8, alphabet=6)
+    sax_rows = sx.select(
+        "user_id",
+        F.timestamp_micros(
+            (F.lit(40) + F.col("segment")) * 1_000_000
+        ).alias("bucket_ts"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("sax").alias("tag"),
+                    (F.col("symbol") * 1000 + F.col("n_in_segment"))
+                    .cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit("sax_p").alias("tag"),
+                    _HR6(F.col("paa") / 100).alias("v"),
+                ),
+            )
+        ).alias("p"),
+    ).select(
+        "p.tag", "user_id", "bucket_ts", F.col("p.v").alias("twap_v")
+    )
     from functools import reduce as _reduce
 
     return _reduce(
         lambda a, b: a.unionByName(b),
         [tw, acf_rows, n_rows, pacf_rows, pcorr_rows, cpt_rows, ccf_rows,
-         trend_rows],
+         trend_rows, sax_rows],
     )
 
 
@@ -1066,6 +1095,44 @@ UNION ALL
 SELECT 'cpt_nl' AS tag, user_id, ts AS bucket_ts,
        CAST(k AS DOUBLE) AS twap_v
 FROM cpbest
+UNION ALL
+-- SAX replay (r12, operators/sax.py): equal-count segments via
+-- row_number, exact sums, mirrored IEEE z-score, shared breakpoint
+-- literals; 'sax' packs symbol*1000 + segment count
+SELECT tag, user_id, make_timestamp((40 + seg) * 1000000) AS bucket_ts,
+       twap_v
+FROM (
+  WITH sxb AS (
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n,
+           CAST(sum(cents) OVER (PARTITION BY user_id) AS DOUBLE) AS s,
+           CAST(sum(cents * cents) OVER (PARTITION BY user_id) AS DOUBLE) AS qq,
+           cents
+    FROM de WHERE cents IS NOT NULL),
+  sxs AS (
+    SELECT user_id, ((rn - 1) * 8) // n AS seg, n, s, qq,
+           count(*) AS cnt, sum(cents) AS ssum
+    FROM sxb GROUP BY user_id, seg, n, s, qq),
+  sxz AS (
+    SELECT user_id, seg, cnt,
+           CAST(ssum AS DOUBLE) / CAST(cnt AS DOUBLE) AS paa,
+           s / CAST(n AS DOUBLE) AS mean,
+           sqrt(greatest(
+             ((CAST(n AS DOUBLE) * qq) - (s * s))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0)) AS sd
+    FROM sxs),
+  sxsym AS (
+    SELECT user_id, seg, cnt, paa,
+           CASE WHEN sd > 0 THEN (paa - mean) / sd ELSE 0.0 END AS z
+    FROM sxz)
+  SELECT 'sax' AS tag, user_id, seg,
+         CAST(((CASE WHEN z >= CAST('-0.9674215661017014' AS DOUBLE) THEN 1 ELSE 0 END) + (CASE WHEN z >= CAST('-0.4307272992954576' AS DOUBLE) THEN 1 ELSE 0 END) + (CASE WHEN z >= CAST('0.0' AS DOUBLE) THEN 1 ELSE 0 END) + (CASE WHEN z >= CAST('0.4307272992954576' AS DOUBLE) THEN 1 ELSE 0 END) + (CASE WHEN z >= CAST('0.9674215661017014' AS DOUBLE) THEN 1 ELSE 0 END)) * 1000 + cnt AS DOUBLE) AS twap_v
+  FROM sxsym
+  UNION ALL
+  SELECT 'sax_p', user_id, seg,
+         floor((paa / 100) * 1000000 + 0.5) / 1000000
+  FROM sxsym)
 """
 
 

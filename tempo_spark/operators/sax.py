@@ -1,0 +1,175 @@
+"""SAX — Symbolic Aggregate approXimation (Lin, Keogh et al. 2003).
+
+The classic time-series-mining representation: z-normalize a series,
+average it into ``n_segments`` equal-COUNT segments (PAA — piecewise
+aggregate approximation), and map each segment mean to a letter by the
+standard-normal equiprobable breakpoints. The symbol strings feed motif
+discovery, novelty detection, and similarity search at a fraction of the
+raw-series cost — and the MINDIST lower bound makes SAX-space pruning
+admissible for exact search.
+
+Spark shape: ONE shuffle on series_ids. Per series: row_number → segment
+id (``(rn−1)·S div n`` — equal-count segments, remainder spread over the
+leading segments exactly like numpy array_split), exact decimal segment
+sums, one full-frame window for the series mean/std (the Bollinger
+sufficient-sums idiom), then fixed IEEE z-normalization and a constant
+CASE over the breakpoint literals. Everything replays cross-engine: the
+breakpoints are hard literals (the published Gaussian quantile table, the
+same numbers every SAX implementation embeds), and the z-score is a fixed
+expression over exact sums.
+
+Reference scope note: databrickslabs/tempo has no symbolic representation
+— this is beyond-reference breadth for the mining/retrieval pipelines
+this engine serves.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from tempo_spark.functions.grid import grid6
+
+# Equiprobable standard-normal breakpoints for alphabet sizes 2..10 —
+# the published SAX table (Φ⁻¹(i/a)); identical literals in the oracle.
+SAX_BREAKPOINTS = {
+    2: [0.0],
+    3: [-0.4307272992954576, 0.4307272992954576],
+    4: [-0.6744897501960817, 0.0, 0.6744897501960817],
+    5: [-0.8416212335729142, -0.2533471031357997, 0.2533471031357997,
+        0.8416212335729142],
+    6: [-0.9674215661017014, -0.4307272992954576, 0.0, 0.4307272992954576,
+        0.9674215661017014],
+    7: [-1.0675705238942672, -0.5659488219378828, -0.1800123695064978,
+        0.1800123695064978, 0.5659488219378828, 1.0675705238942672],
+    8: [-1.1503493803760079, -0.6744897501960817, -0.31863936396437514,
+        0.0, 0.31863936396437514, 0.6744897501960817, 1.1503493803760079],
+    9: [-1.2206403488186423, -0.7647096737863868, -0.4307272992954576,
+        -0.13971029614542816, 0.13971029614542816, 0.4307272992954576,
+        0.7647096737863868, 1.2206403488186423],
+    10: [-1.2815515655446004, -0.8416212335729142, -0.5244005127080407,
+         -0.2533471031357997, 0.0, 0.2533471031357997, 0.5244005127080407,
+         0.8416212335729142, 1.2815515655446004],
+}
+
+
+def sax_transform(
+    tsdf, value_col: str, n_segments: int, alphabet: int = 4,
+    znormalize: bool = True,
+) -> DataFrame:
+    """(series…, segment, n_in_segment, paa, symbol) — one row per PAA
+    segment per series, ``symbol`` the 0-based alphabet index.
+
+    - segments are equal-COUNT over each series' NON-NULL quantized
+      values in (ts [, sequence]) order; series shorter than
+      ``n_segments`` emit one segment per available row;
+    - ``paa`` = exact-decimal segment mean of the grid-quantized values
+      (one IEEE division per segment);
+    - ``znormalize=True`` (the SAX convention) z-scores the paa against
+      the SERIES mean/std (population ddof=0, the canonical SAX form)
+      before the breakpoint lookup; a zero-variance series maps every
+      segment to the middle symbol (z treated as 0 — the standard
+      degenerate-case choice);
+    - ``symbol`` = count of breakpoints ≤ z (ties go UP — the numpy
+      ``digitize(right=False)`` convention the published implementations
+      use; an exact 0.0 on an even alphabet's middle breakpoint maps to
+      the upper symbol).
+    """
+    if n_segments < 1:
+        raise ValueError(f"n_segments must be >= 1, got {n_segments}")
+    if alphabet not in SAX_BREAKPOINTS:
+        raise ValueError(
+            f"alphabet must be in {sorted(SAX_BREAKPOINTS)}, got {alphabet}"
+        )
+    if value_col not in tsdf.df.columns:
+        raise ValueError(f"value_col {value_col!r} not in DataFrame")
+    if any(c.startswith("__sx_") for c in tsdf.df.columns):
+        raise ValueError("reserved staging columns __sx_* present in input")
+    series = [F.col(c) for c in tsdf.series_ids]
+    order = [F.col(tsdf.ts_col)]
+    if tsdf.sequence_col:
+        order.append(F.col(tsdf.sequence_col))
+    yq = grid6(value_col)
+    base = tsdf.df.where(yq.isNotNull()).select(
+        *tsdf.series_ids, *(
+            [tsdf.ts_col] + ([tsdf.sequence_col] if tsdf.sequence_col else [])
+        ), yq.alias("__sx_y"),
+    )
+    w = Window.partitionBy(*series).orderBy(*order)
+    wfull = Window.partitionBy(*series).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ydec = F.col("__sx_y").cast("decimal(18,6)")
+    staged = (
+        base.withColumn("__sx_rn", F.row_number().over(w))
+        .withColumn("__sx_n", F.count(F.lit(1)).over(wfull))
+        .withColumn("__sx_s", F.sum(ydec).over(wfull).cast("double"))
+        .withColumn("__sx_q", F.sum(ydec * ydec).over(wfull).cast("double"))
+    )
+    seg = F.expr(f"(__sx_rn - 1) * {int(n_segments)} div __sx_n")
+    per_seg = (
+        staged.withColumn("__sx_seg", seg)
+        .groupBy(*tsdf.series_ids, "__sx_seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_segment"),
+            F.sum(ydec).alias("__sx_ssum"),
+            F.first("__sx_n").alias("__sx_n"),
+            F.first("__sx_s").alias("__sx_s"),
+            F.first("__sx_q").alias("__sx_q"),
+        )
+    )
+    paa = F.col("__sx_ssum").cast("double") / F.col("n_in_segment").cast(
+        "double"
+    )
+    per_seg = per_seg.withColumn("__sx_paa", paa)
+    if znormalize:
+        n = F.col("__sx_n").cast("double")
+        mean = F.col("__sx_s") / n
+        # population variance from exact sums: (n·q − s²)/n², clamped
+        var = (n * F.col("__sx_q") - F.col("__sx_s") * F.col("__sx_s")) / (
+            n * n
+        )
+        sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+        z = F.when(sd > 0, (F.col("__sx_paa") - mean) / sd).otherwise(
+            F.lit(0.0)
+        )
+    else:
+        z = F.col("__sx_paa")
+    bps = SAX_BREAKPOINTS[alphabet]
+    sym = F.lit(0)
+    for bp in bps:
+        sym = sym + F.when(z >= F.lit(bp), F.lit(1)).otherwise(F.lit(0))
+    return per_seg.select(
+        *tsdf.series_ids,
+        F.col("__sx_seg").cast("int").alias("segment"),
+        "n_in_segment",
+        F.col("__sx_paa").alias("paa"),
+        sym.cast("int").alias("symbol"),
+    )
+
+
+def sax_strings(
+    tsdf, value_col: str, n_segments: int, alphabet: int = 4,
+    znormalize: bool = True, out: str = "sax",
+) -> DataFrame:
+    """(series…, ``out``) — one row per series, the SAX word as a string
+    of letters 'a'+symbol in segment order (the motif-mining key)."""
+    segs = sax_transform(tsdf, value_col, n_segments, alphabet, znormalize)
+    letter = F.char(F.col("symbol") + F.lit(97))
+    return (
+        segs.withColumn("__sx_l", letter)
+        .groupBy(*tsdf.series_ids)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("segment"), F.col("__sx_l"))
+                        )
+                    ),
+                    lambda s: s["__sx_l"],
+                ),
+                "",
+            ).alias(out)
+        )
+    )

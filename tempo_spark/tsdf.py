@@ -1819,6 +1819,29 @@ class TSDF:
 
         return pairwise_corr(self, metric_cols)
 
+    def sax(
+        self, value_col: str, n_segments: int, alphabet: int = 4,
+        znormalize: bool = True,
+    ) -> DataFrame:
+        """(series…, segment, n_in_segment, paa, symbol) — SAX symbolic
+        representation (PAA + Gaussian-breakpoint letters). See
+        operators/sax.py."""
+        from tempo_spark.operators.sax import sax_transform
+
+        return sax_transform(self, value_col, n_segments, alphabet, znormalize)
+
+    def sax_words(
+        self, value_col: str, n_segments: int, alphabet: int = 4,
+        znormalize: bool = True, out: str = "sax",
+    ) -> DataFrame:
+        """(series…, ``out``) — the SAX word per series (motif key). See
+        operators/sax.py."""
+        from tempo_spark.operators.sax import sax_strings
+
+        return sax_strings(
+            self, value_col, n_segments, alphabet, znormalize, out
+        )
+
     def pacf(self, value_col: str, lags: int = 10) -> DataFrame:
         """Per-series partial autocorrelation at lags 1..``lags``
         (Durbin-Levinson over :meth:`autocorr`'s exact ACF — AR-order

@@ -1,0 +1,103 @@
+"""SAX symbolic representation (operators/sax.py)."""
+
+import datetime as dt
+import math
+
+import pytest
+
+from tempo_spark import TSDF
+
+
+def _mk(spark, vals, sym="a"):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (sym, base + dt.timedelta(minutes=i), None if v is None else float(v))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+
+
+def _py_sax(vals, n_segments, alphabet, znormalize=True):
+    from tempo_spark.operators.sax import SAX_BREAKPOINTS
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    ys = [q6(v) for v in vals if v is not None]
+    n = len(ys)
+    segs = {}
+    for i, y in enumerate(ys):
+        segs.setdefault(i * n_segments // n, []).append(y)
+    mean = sum(ys) / n
+    var = max(0.0, (n * sum(y * y for y in ys) - sum(ys) ** 2) / (n * n))
+    sd = math.sqrt(var)
+    out = {}
+    for s, chunk in segs.items():
+        paa = sum(chunk) / len(chunk)
+        z = (paa - mean) / sd if (znormalize and sd > 0) else (
+            0.0 if znormalize else paa
+        )
+        sym = sum(1 for bp in SAX_BREAKPOINTS[alphabet] if z >= bp)
+        out[s] = (len(chunk), paa, sym)
+    return out
+
+
+class TestSAX:
+    def test_matches_python_model(self, spark):
+        import random
+
+        random.seed(21)
+        vals = [random.gauss(50, 10) for _ in range(97)]  # non-divisible n
+        vals[5] = None
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        got = {
+            r.segment: (r.n_in_segment, r.paa, r.symbol)
+            for r in t.sax("v", 8, alphabet=6).collect()
+        }
+        want = _py_sax(vals, 8, 6)
+        assert set(got) == set(want) == set(range(8))
+        for s in want:
+            assert got[s][0] == want[s][0]
+            assert got[s][1] == pytest.approx(want[s][1], rel=1e-9)
+            assert got[s][2] == want[s][2], (s, got[s], want[s])
+
+    def test_sax_words_and_flat_series(self, spark):
+        # monotone ramp: letters must be non-decreasing a..<last>
+        vals = [float(i) for i in range(64)]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        w = t.sax_words("v", 8, alphabet=4).collect()[0].sax
+        assert len(w) == 8 and w == "".join(sorted(w))
+        assert w[0] == "a" and w[-1] == "d"
+        # zero-variance series: middle symbol everywhere
+        flat = TSDF(_mk(spark, [7.0] * 12), ts_col="ts", series_ids=["sym"])
+        wf = flat.sax_words("v", 4, alphabet=4).collect()[0].sax
+        assert wf == "cccc"  # z=0 ties go UP past the middle breakpoint
+
+    def test_validation_and_short_series(self, spark):
+        t = TSDF(_mk(spark, [1.0, 2.0]), ts_col="ts", series_ids=["sym"])
+        with pytest.raises(ValueError, match="alphabet"):
+            t.sax("v", 4, alphabet=26)
+        with pytest.raises(ValueError, match="n_segments"):
+            t.sax("v", 0)
+        with pytest.raises(ValueError, match="value_col"):
+            t.sax("nope", 4)
+        # 2 rows into 4 segments -> one segment per row (ids 0 and 2)
+        segs = sorted(r.segment for r in t.sax("v", 4).collect())
+        assert len(segs) == 2
+
+
+class TestSAXFunctionTwins:
+    def test_module_functions_match_methods(self, spark):
+        from tempo_spark.operators.sax import sax_strings, sax_transform
+
+        vals = [float((i * 13) % 50) for i in range(40)]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        a = sorted(
+            (r.segment, r.symbol) for r in sax_transform(t, "v", 5).collect()
+        )
+        b = sorted((r.segment, r.symbol) for r in t.sax("v", 5).collect())
+        assert a == b
+        assert (
+            sax_strings(t, "v", 5).collect()[0].sax
+            == t.sax_words("v", 5).collect()[0].sax
+        )
