@@ -86,37 +86,60 @@ def sax_transform(
     if any(c.startswith("__sx_") for c in tsdf.df.columns):
         raise ValueError("reserved staging columns __sx_* present in input")
     series = [F.col(c) for c in tsdf.series_ids]
-    order = [F.col(tsdf.ts_col)]
-    if tsdf.sequence_col:
-        order.append(F.col(tsdf.sequence_col))
     yq = grid6(value_col)
     base = tsdf.df.where(yq.isNotNull()).select(
         *tsdf.series_ids, *(
             [tsdf.ts_col] + ([tsdf.sequence_col] if tsdf.sequence_col else [])
         ), yq.alias("__sx_y"),
     )
+    # content-hash tiebreak: duplicate timestamps must order the same
+    # way every run or segment membership/PAA become nondeterministic
+    # (the r10 lagged-corr / r11 changepoints class)
+    base = base.withColumn(
+        "__sx_tb", F.xxhash64(F.struct(*[F.col(c) for c in base.columns]))
+    )
+    order = [F.col(tsdf.ts_col)]
+    if tsdf.sequence_col:
+        order.append(F.col(tsdf.sequence_col))
+    order.append(F.col("__sx_tb"))
     w = Window.partitionBy(*series).orderBy(*order)
-    wfull = Window.partitionBy(*series).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
     ydec = F.col("__sx_y").cast("decimal(18,6)")
-    staged = (
-        base.withColumn("__sx_rn", F.row_number().over(w))
-        .withColumn("__sx_n", F.count(F.lit(1)).over(wfull))
-        .withColumn("__sx_s", F.sum(ydec).over(wfull).cast("double"))
-        .withColumn("__sx_q", F.sum(ydec * ydec).over(wfull).cast("double"))
+    staged = base.withColumn("__sx_rn", F.row_number().over(w))
+    # rn is 32-bit: the product must go through bigint or ANSI aborts
+    # past 2^31/n_segments rows; __sx_n comes below from the segment
+    # sums (no O(rows) full-frame window pass)
+    cnt_w = Window.partitionBy(*series)
+    staged = staged.withColumn(
+        "__sx_n", F.count(F.lit(1)).over(
+            cnt_w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
     )
-    seg = F.expr(f"(__sx_rn - 1) * {int(n_segments)} div __sx_n")
+    seg = F.expr(
+        f"(cast(__sx_rn as bigint) - 1) * {int(n_segments)} div __sx_n"
+    )
     per_seg = (
         staged.withColumn("__sx_seg", seg)
         .groupBy(*tsdf.series_ids, "__sx_seg")
         .agg(
             F.count(F.lit(1)).alias("n_in_segment"),
             F.sum(ydec).alias("__sx_ssum"),
-            F.first("__sx_n").alias("__sx_n"),
-            F.first("__sx_s").alias("__sx_s"),
-            F.first("__sx_q").alias("__sx_q"),
+            F.sum(ydec * ydec).alias("__sx_sq"),
         )
+    )
+    # series totals from the <= n_segments per-series segment rows (the
+    # dsir_logratio idiom): one tiny window instead of carrying three
+    # O(rows) full-frame aggregates through the shuffle
+    wser = Window.partitionBy(*series).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per_seg = (
+        per_seg.withColumn(
+            "__sx_n", F.sum("n_in_segment").over(wser)
+        )
+        .withColumn("__sx_s", F.sum("__sx_ssum").over(wser).cast("double"))
+        .withColumn("__sx_q", F.sum("__sx_sq").over(wser).cast("double"))
     )
     paa = F.col("__sx_ssum").cast("double") / F.col("n_in_segment").cast(
         "double"

