@@ -810,12 +810,36 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "p.tag", "user_id", "bucket_ts", F.col("p.v").alias("twap_v")
     )
+    # r12 saxd: MINDIST top-5 of every non-null series vs the 3
+    # smallest non-null user ids' SAX words — exact integer cell-distance
+    # sums, one sqrt tail; bucket_ts encodes (query id, rank)
+    from tempo_spark.operators.sax import sax_mindist_topk
+
+    words = tc_sax.sax_words("cents", 8, alphabet=6).where(
+        F.col("user_id").isNotNull()
+    )
+    qids = words.select("user_id").orderBy("user_id").limit(3)
+    queries = words.join(
+        qids.withColumnRenamed("user_id", "qid"),
+        words["user_id"] == F.col("qid"),
+    ).select("qid", "sax")
+    saxd_rows = sax_mindist_topk(
+        words, queries, 8, alphabet=6, k=5,
+        id_col="user_id", query_id_col="qid",
+    ).select(
+        F.lit("saxd").alias("tag"),
+        "user_id",
+        F.timestamp_micros(
+            F.col("qid") * 1000 + F.col("rank")
+        ).alias("bucket_ts"),
+        F.col("mindist").alias("twap_v"),
+    )
     from functools import reduce as _reduce
 
     return _reduce(
         lambda a, b: a.unionByName(b),
         [tw, acf_rows, n_rows, pacf_rows, pcorr_rows, cpt_rows, ccf_rows,
-         trend_rows, sax_rows],
+         trend_rows, sax_rows, saxd_rows],
     )
 
 
@@ -1133,6 +1157,58 @@ FROM (
   SELECT 'sax_p', user_id, seg,
          floor((paa / 100) * 1000000 + 0.5) / 1000000
   FROM sxsym)
+UNION ALL
+-- SAX MINDIST replay (r12): symbols re-derived (same chain), integer
+-- cell-distance sums, mirrored sqrt tail; top-5 per query user
+SELECT 'saxd' AS tag, user_id,
+       make_timestamp(qid * 1000 + rank) AS bucket_ts, md AS twap_v
+FROM (
+  WITH dxb AS (
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n,
+           CAST(sum(cents) OVER (PARTITION BY user_id) AS DOUBLE) AS s,
+           CAST(sum(cents * cents) OVER (PARTITION BY user_id) AS DOUBLE) AS qq,
+           cents
+    FROM de WHERE cents IS NOT NULL AND user_id IS NOT NULL),
+  dxs AS (
+    SELECT user_id, ((rn - 1) * 8) // n AS seg, n, s, qq,
+           count(*) AS cnt, sum(cents) AS ssum
+    FROM dxb GROUP BY user_id, seg, n, s, qq),
+  dxz AS (
+    SELECT user_id, seg,
+           CAST(ssum AS DOUBLE) / CAST(cnt AS DOUBLE) AS paa,
+           s / CAST(n AS DOUBLE) AS mean,
+           sqrt(greatest(
+             ((CAST(n AS DOUBLE) * qq) - (s * s))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0)) AS sd
+    FROM dxs),
+  dxsym AS (
+    SELECT user_id, seg,
+           ((CASE WHEN z >= CAST('-0.9674215661017014' AS DOUBLE) THEN 1 ELSE 0 END) + (CASE WHEN z >= CAST('-0.4307272992954576' AS DOUBLE) THEN 1 ELSE 0 END) + (CASE WHEN z >= CAST('0.0' AS DOUBLE) THEN 1 ELSE 0 END) + (CASE WHEN z >= CAST('0.4307272992954576' AS DOUBLE) THEN 1 ELSE 0 END) + (CASE WHEN z >= CAST('0.9674215661017014' AS DOUBLE) THEN 1 ELSE 0 END)) AS sym
+    FROM (SELECT user_id, seg,
+                 CASE WHEN sd > 0 THEN (paa - mean) / sd
+                      ELSE 0.0 END AS z
+          FROM dxz) zz),
+  dq AS (
+    SELECT user_id AS qid, seg, sym FROM dxsym
+    WHERE user_id IN (SELECT DISTINCT user_id FROM dxsym
+                      ORDER BY user_id LIMIT 3)),
+  dpair AS (
+    SELECT q.qid, c.user_id, sum(([0, 0, 288040736023, 935904486559, 1954820249811, 3743617946235, 0, 0, 0, 185526006358, 742104025433, 1954820249811, 288040736023, 0, 0, 0, 185526006358, 935904486559, 935904486559, 185526006358, 0, 0, 0, 288040736023, 1954820249811, 742104025433, 185526006358, 0, 0, 0, 3743617946235, 1954820249811, 935904486559, 288040736023, 0, 0])[q.sym * 6 + c.sym + 1]) AS sd2
+    FROM dq q JOIN dxsym c ON c.seg = q.seg
+    GROUP BY q.qid, c.user_id),
+  dmd AS (
+    SELECT qid, user_id,
+           sqrt(CAST('1.0' AS DOUBLE)
+                * (CAST(sd2 AS DOUBLE) / 1000000000000.0)) AS md,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY sqrt(CAST('1.0' AS DOUBLE)
+                                  * (CAST(sd2 AS DOUBLE)
+                                     / 1000000000000.0)) ASC,
+                              user_id ASC) AS rank
+    FROM dpair)
+  SELECT qid, user_id, md, rank FROM dmd WHERE rank <= 5)
 """
 
 

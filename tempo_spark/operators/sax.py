@@ -196,3 +196,114 @@ def sax_strings(
             ).alias(out)
         )
     )
+
+
+def _mindist_table_int(alphabet: int, scale: int = 10**12) -> list:
+    """Flattened a×a integer-quantized squared-cell-distance table:
+    entry[r·a + c] = round(dist(r, c)² · scale) with the paper's cell
+    distance (0 when |r−c| ≤ 1, else β_{max−1} − β_{min}). Integer
+    entries make the per-pair sum ORDER-INDEPENDENT and exact — the
+    engines then agree bit-for-bit on the single sqrt tail."""
+    bps = SAX_BREAKPOINTS[alphabet]
+    out = []
+    for r in range(alphabet):
+        for c in range(alphabet):
+            if abs(r - c) <= 1:
+                out.append(0)
+            else:
+                d = bps[max(r, c) - 1] - bps[min(r, c)]
+                out.append(round(d * d * scale))
+    return out
+
+
+def sax_mindist_topk(
+    words: DataFrame,
+    query_words: DataFrame,
+    n_segments: int,
+    alphabet: int = 4,
+    k: int = 5,
+    n_raw: int = None,
+    id_col: str = None,
+    query_id_col: str = None,
+    word_col: str = "sax",
+) -> DataFrame:
+    """(query id, id, mindist, rank) — top-k corpus series per query by
+    the SAX MINDIST lower bound (Lin/Keogh): candidates for exact
+    refinement, never false dismissals at the PAA level.
+
+    ``MINDIST = sqrt(n/w · Σᵢ dist(q̂ᵢ, ĉᵢ)²)`` over the w letters;
+    ``n_raw`` is the nominal raw-series length behind the words (the
+    paper's scale factor — defaults to ``n_segments``, i.e. scale 1,
+    appropriate when series lengths vary). The squared cell distances
+    are integer-quantized literals (1e12 grid), so the pair sum is an
+    exact order-independent integer and the whole measure is ONE IEEE
+    multiply + divide + sqrt — engine-replayable.
+
+    Shape: broadcast the (small) query side, one pass over the corpus
+    words; ties rank by id. ``id_col``/``query_id_col`` default to the
+    first non-word column of each frame."""
+    if alphabet not in SAX_BREAKPOINTS:
+        raise ValueError(
+            f"alphabet must be in {sorted(SAX_BREAKPOINTS)}, got {alphabet}"
+        )
+    if n_segments < 1:
+        raise ValueError(f"n_segments must be >= 1, got {n_segments}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_raw is None:
+        n_raw = n_segments
+    if id_col is None:
+        id_col = next(c for c in words.columns if c != word_col)
+    if query_id_col is None:
+        query_id_col = next(c for c in query_words.columns if c != word_col)
+    for c, fr, nm in ((id_col, words, "words"),
+                      (word_col, words, "words"),
+                      (query_id_col, query_words, "query_words"),
+                      (word_col, query_words, "query_words")):
+        if c not in fr.columns:
+            raise ValueError(f"column {c!r} not in {nm}")
+    table = _mindist_table_int(alphabet)
+    arr = "array(" + ", ".join(f"{x}L" for x in table) + ")"
+    a = int(alphabet)
+    w = int(n_segments)
+    scale = float(n_raw) / float(n_segments)
+    c_side = words.select(
+        F.col(id_col).alias("__sm_id"), F.col(word_col).alias("__sm_cw")
+    )
+    q_side = query_words.select(
+        F.col(query_id_col).alias("__sm_qid"),
+        F.col(word_col).alias("__sm_qw"),
+    )
+    pairs = c_side.crossJoin(F.broadcast(q_side))
+    # exact integer fold over the letters (order-free: integer addition)
+    ssum = F.expr(
+        "aggregate(transform(sequence(1, "
+        f"{w}), i -> element_at({arr}, "
+        f"(ascii(substring(__sm_qw, i, 1)) - 97) * {a} "
+        "+ (ascii(substring(__sm_cw, i, 1)) - 97) + 1)), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    md = F.sqrt(
+        F.lit(scale) * (F.col("__sm_s").cast("double") / F.lit(1e12))
+    )
+    from pyspark.sql import Window as _W
+
+    ranked = (
+        pairs.withColumn("__sm_s", ssum)
+        .withColumn("__sm_d", md)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                _W.partitionBy("__sm_qid").orderBy(
+                    F.col("__sm_d").asc(), F.col("__sm_id").asc()
+                )
+            ),
+        )
+        .where(F.col("rank") <= k)
+    )
+    return ranked.select(
+        F.col("__sm_qid").alias(query_id_col),
+        F.col("__sm_id").alias(id_col),
+        F.col("__sm_d").alias("mindist"),
+        "rank",
+    )

@@ -141,3 +141,69 @@ class TestSAXPlanAndReviewR12:
             d2 = dt2.datetime(2030, 6, 15, 12, 30, 45, us)
             want = calendar.timegm(d2.timetuple()) * 1_000_000 + us
             assert _origin_micros(d2) == want
+
+
+class TestSAXMindist:
+    def test_matches_python_model_and_lower_bound(self, spark):
+        import random
+
+        from tempo_spark.operators.sax import (
+            SAX_BREAKPOINTS,
+            sax_mindist_topk,
+        )
+
+        random.seed(33)
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        series = {}
+        for sid in range(8):
+            drift = random.uniform(-1, 1)
+            vals = []
+            x = 50.0
+            for i in range(64):
+                x += drift + random.uniform(-2, 2)
+                vals.append(x)
+            series[f"s{sid}"] = vals
+            rows += [(f"s{sid}", base + dt.timedelta(minutes=i), v)
+                     for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        words = t.sax_words("v", 8, alphabet=4)
+        queries = words.where("sym = 's0'").withColumnRenamed("sym", "qid")
+        got = sax_mindist_topk(
+            words, queries, 8, alphabet=4, k=3,
+            id_col="sym", query_id_col="qid",
+        ).collect()
+        assert len(got) == 3
+        # python model
+        wmap = {r.sym: r.sax for r in words.collect()}
+        bps = SAX_BREAKPOINTS[4]
+
+        def cell2(r, c):
+            if abs(r - c) <= 1:
+                return 0
+            d = bps[max(r, c) - 1] - bps[min(r, c)]
+            return round(d * d * 10**12)
+
+        def md(qw, cw):
+            s = sum(cell2(ord(q) - 97, ord(c) - 97) for q, c in zip(qw, cw))
+            return ((1.0) * (s / 1e12)) ** 0.5
+
+        want = sorted(
+            ((md(wmap["s0"], w_), sid) for sid, w_ in wmap.items()),
+        )[:3]
+        got_sorted = sorted((r.mindist, r.sym) for r in got)
+        for (wd, wsid), (gd, gsid) in zip(want, got_sorted):
+            assert gd == pytest.approx(wd, rel=1e-12)
+        # self-match is rank 1 with mindist 0
+        self_row = [r for r in got if r.sym == "s0"][0]
+        assert self_row.rank == 1 and self_row.mindist == 0.0
+
+    def test_validation(self, spark):
+        from tempo_spark.operators.sax import sax_mindist_topk
+
+        df = spark.createDataFrame([("a", "abcd")], "sym string, sax string")
+        with pytest.raises(ValueError, match="alphabet"):
+            sax_mindist_topk(df, df, 4, alphabet=1)
+        with pytest.raises(ValueError, match="column"):
+            sax_mindist_topk(df.drop("sax"), df, 4)
