@@ -3233,16 +3233,42 @@ FROM (
 
 
 def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile split memberships ∪ (r12) per-fold TRAIN aggregates built by
+    the REAL chronological_folds function, both expanding (split_id
+    100+fold) and sliding max_train_splits=2 (200+fold) — the sklearn
+    TimeSeriesSplit(max_train_size=) rolling-origin form."""
     from pyspark.sql import Window
+
+    from tempo_spark.ml import chronological_folds
 
     de = _dedup_events(spark, sf_dir).select("user_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts")
     split = F.ntile(6).over(w)
-    return (
+    base = (
         de.withColumn("split_id", split)
         .groupBy("user_id", "split_id")
         .agg(F.count("*").alias("n"), F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
     )
+    parts = [base]
+    for tag_base, mts in ((100, None), (200, 2)):
+        for i, (train, _test) in enumerate(
+            chronological_folds(de, 5, "ts", ["user_id"],
+                                max_train_splits=mts)
+        ):
+            parts.append(
+                train.groupBy("user_id").agg(
+                    F.count("*").alias("n"),
+                    F.min("ts").alias("min_ts"),
+                    F.max("ts").alias("max_ts"),
+                ).select(
+                    "user_id",
+                    F.lit(tag_base + i).alias("split_id"),
+                    "n", "min_ts", "max_ts",
+                )
+            )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), parts)
 
 
 _CV_ORACLE = f"""
@@ -3252,6 +3278,20 @@ ranked AS (SELECT user_id, ts,
            FROM de)
 SELECT user_id, split_id, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts
 FROM ranked GROUP BY user_id, split_id
+UNION ALL
+-- expanding folds: fold f trains on splits 1..f+1
+SELECT user_id, 100 + f AS split_id, count(*) AS n,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM ranked, (SELECT unnest(generate_series(0, 4)) AS f) ff
+WHERE split_id <= f + 1
+GROUP BY user_id, f
+UNION ALL
+-- sliding max_train_splits=2: splits greatest(1, f)..f+1
+SELECT user_id, 200 + f AS split_id, count(*) AS n,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM ranked, (SELECT unnest(generate_series(0, 4)) AS f) ff
+WHERE split_id <= f + 1 AND split_id >= greatest(1, f)
+GROUP BY user_id, f
 """
 
 

@@ -33,15 +33,31 @@ def chronological_folds(
     ts_col: str,
     series_ids: list[str] | None = None,
     gap: int = 0,
+    max_train_splits: int | None = None,
 ) -> List[Tuple[DataFrame, DataFrame]]:
     """Expanding-window (train, test) fold pairs. Pure function usable
-    without pyspark.ml."""
+    without pyspark.ml.
+
+    ``max_train_splits`` bounds the training window to the last m
+    chronological splits (the sklearn ``TimeSeriesSplit(max_train_size=)``
+    rolling-origin form): fold i trains on splits
+    ``max(1, i+2−m)..i+1`` instead of ``1..i+1`` — the shape for models
+    that should forget stale regimes, and for bounding training cost on
+    long histories. ``None`` (default) keeps the expanding window (the
+    reference semantics)."""
+    if max_train_splits is not None and max_train_splits < 1:
+        raise ValueError(
+            f"max_train_splits must be >= 1, got {max_train_splits}"
+        )
     series_ids = series_ids or []
     w = Window.partitionBy(*series_ids).orderBy(F.col(ts_col))
     ranked = df.withColumn(_SPLIT, F.ntile(n_folds + 1).over(w))
     folds = []
     for i in range(n_folds):
-        train = ranked.where(F.col(_SPLIT) <= i + 1)
+        cond = F.col(_SPLIT) <= i + 1
+        if max_train_splits is not None:
+            cond = cond & (F.col(_SPLIT) >= max(1, i + 2 - max_train_splits))
+        train = ranked.where(cond)
         test = ranked.where(F.col(_SPLIT) == i + 2)
         if gap > 0:
             wd = Window.partitionBy(*series_ids).orderBy(F.col(ts_col).desc())
@@ -69,18 +85,28 @@ if _ML_AVAILABLE:
             Params._dummy(), "gap", "rows trimmed from train tail",
             typeConverter=TypeConverters.toInt,
         )
+        maxTrainSplits: Param = Param(
+            Params._dummy(), "maxTrainSplits",
+            "sliding-window size in splits (0 = expanding)",
+            typeConverter=TypeConverters.toInt,
+        )
 
         def __init__(
             self,
             timeSeriesCol: str = "event_ts",
             seriesIdCols: list[str] | None = None,
             gap: int = 0,
+            maxTrainSplits: int = 0,
             **other_kwargs,
         ) -> None:
             super().__init__(**other_kwargs)
-            self._setDefault(timeSeriesCol="event_ts", seriesIdCols=[], gap=0)
+            self._setDefault(
+                timeSeriesCol="event_ts", seriesIdCols=[], gap=0,
+                maxTrainSplits=0,
+            )
             self._set(
-                timeSeriesCol=timeSeriesCol, seriesIdCols=seriesIdCols or [], gap=gap
+                timeSeriesCol=timeSeriesCol, seriesIdCols=seriesIdCols or [],
+                gap=gap, maxTrainSplits=maxTrainSplits,
             )
 
         def getTimeSeriesCol(self) -> str:
@@ -101,11 +127,19 @@ if _ML_AVAILABLE:
         def setGap(self, value: int) -> "TimeSeriesCrossValidator":
             return self._set(gap=value)
 
+        def getMaxTrainSplits(self) -> int:
+            return self.getOrDefault(self.maxTrainSplits)
+
+        def setMaxTrainSplits(self, value: int) -> "TimeSeriesCrossValidator":
+            return self._set(maxTrainSplits=value)
+
         def _kFold(self, dataset: DataFrame) -> List[Tuple[DataFrame, DataFrame]]:
+            mts = self.getOrDefault(self.maxTrainSplits)
             return chronological_folds(
                 dataset,
                 self.getOrDefault(self.numFolds),
                 self.getTimeSeriesCol(),
                 self.getSeriesIdCols(),
                 self.getGap(),
+                max_train_splits=mts if mts > 0 else None,
             )
