@@ -6846,6 +6846,20 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
 
+    # r12 gs_*: streaming grouped stats — the exact-arithmetic subset
+    # (sum/count/min/max on integer cents; complete mode == batch)
+    from tempo_spark.streaming.resample import streaming_grouped_stats
+
+    gs_out = streaming_grouped_stats(ev, "ts", ["user_id"], "1 hour", ["cents"])
+    qn_gs = f"q_streaming_gstats_{seq}"
+    q_gs = (
+        gs_out.writeStream.format("memory")
+        .queryName(qn_gs)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+
     # deterministic right side for the as-of: dedupe purchases batch-side
     # and replay the result as its own file stream
     rdir = tempfile.mkdtemp(prefix="tempo_stream_asof_right_")
@@ -6985,6 +6999,7 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q_rs.awaitTermination()
         q_bars.awaitTermination()
+        q_gs.awaitTermination()
         q_asof.awaitTermination()
         q_interp.awaitTermination()
         q_sess.awaitTermination()
@@ -7078,6 +7093,27 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.v").alias("v"),
         F.lit(None).cast("boolean").alias("flag"),
     )
+    gss = spark.table(qn_gs).select(
+        "user_id", "ts",
+        F.explode(
+            F.array(
+                F.struct(F.lit("gs_sum").alias("tag"),
+                         (F.col("sum_cents") / 100).alias("v")),
+                F.struct(F.lit("gs_n").alias("tag"),
+                         F.col("count_cents").cast("double").alias("v")),
+                F.struct(F.lit("gs_min").alias("tag"),
+                         (F.col("min_cents") / 100).alias("v")),
+                F.struct(F.lit("gs_max").alias("tag"),
+                         (F.col("max_cents") / 100).alias("v")),
+            )
+        ).alias("p"),
+    ).select(
+        "p.tag", "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("rts"),
+        F.lit(None).cast("double").alias("lv"),
+        F.col("p.v").alias("v"),
+        F.lit(None).cast("boolean").alias("flag"),
+    )
     return (
         rs.unionByName(asf)
         .unionByName(itp)
@@ -7085,6 +7121,7 @@ def q_streaming_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ded)
         .unionByName(lsh)
         .unionByName(brs)
+        .unionByName(gss)
     )
 
 
@@ -7172,6 +7209,19 @@ SELECT 'resample' AS tag, user_id,
        floor((avg(CAST(round(value * 100) AS BIGINT)) / 100) * 1000000 + 0.5) / 1000000 AS v,
        CAST(NULL AS BOOLEAN) AS flag
 FROM events GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
+UNION ALL
+-- grouped stats (r12): exact-arithmetic subset, complete mode == batch
+SELECT tag, user_id, ts, CAST(NULL AS TIMESTAMP) AS rts,
+       CAST(NULL AS DOUBLE) AS lv, v, CAST(NULL AS BOOLEAN) AS flag
+FROM (
+  SELECT unnest(['gs_sum', 'gs_n', 'gs_min', 'gs_max']) AS tag,
+         user_id, time_bucket(INTERVAL '1 hour', ts) AS ts,
+         unnest([CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100,
+                 CAST(count(round(value * 100)) AS DOUBLE),
+                 CAST(min(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100,
+                 CAST(max(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100]) AS v
+  FROM events
+  GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)) gsq
 UNION ALL
 -- bars (r12): streaming OHLC == batch calc_bars; open/close tie-break
 -- on duplicate (user, ts) is the struct's (ts, cents) lexicographic min/max
