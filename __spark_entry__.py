@@ -816,13 +816,15 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tempo_spark.operators.sax import sax_mindist_topk
 
     words = tc_sax.sax_words("cents", 8, alphabet=6).where(
-        F.col("user_id").isNotNull()
+        F.col("user_id").isNotNull() & (F.length("sax") == 8)
     )
-    qids = words.select("user_id").orderBy("user_id").limit(3)
-    queries = words.join(
-        qids.withColumnRenamed("user_id", "qid"),
-        words["user_id"] == F.col("qid"),
-    ).select("qid", "sax")
+    # the 3 query words collect to the driver (3 rows — structural):
+    # rebuilding them as literals leaves ONE corpus execution of the
+    # word chain in the compared plan (the dsir re-execution class)
+    q_rows = words.orderBy("user_id").limit(3).collect()
+    queries = spark.createDataFrame(
+        [(r["user_id"], r["sax"]) for r in q_rows], "qid long, sax string"
+    )
     saxd_rows = sax_mindist_topk(
         words, queries, 8, alphabet=6, k=5,
         id_col="user_id", query_id_col="qid",
@@ -1190,13 +1192,18 @@ FROM (
                  CASE WHEN sd > 0 THEN (paa - mean) / sd
                       ELSE 0.0 END AS z
           FROM dxz) zz),
+  dfull AS (
+    SELECT user_id FROM dxsym GROUP BY user_id HAVING count(*) = 8),
   dq AS (
     SELECT user_id AS qid, seg, sym FROM dxsym
-    WHERE user_id IN (SELECT DISTINCT user_id FROM dxsym
+    WHERE user_id IN (SELECT user_id FROM dfull
                       ORDER BY user_id LIMIT 3)),
   dpair AS (
     SELECT q.qid, c.user_id, sum(([0, 0, 288040736023, 935904486559, 1954820249811, 3743617946235, 0, 0, 0, 185526006358, 742104025433, 1954820249811, 288040736023, 0, 0, 0, 185526006358, 935904486559, 935904486559, 185526006358, 0, 0, 0, 288040736023, 1954820249811, 742104025433, 185526006358, 0, 0, 0, 3743617946235, 1954820249811, 935904486559, 288040736023, 0, 0])[q.sym * 6 + c.sym + 1]) AS sd2
-    FROM dq q JOIN dxsym c ON c.seg = q.seg
+    FROM dq q
+    JOIN (SELECT x.* FROM dxsym x
+          JOIN dfull fl ON fl.user_id = x.user_id) c
+      ON c.seg = q.seg
     GROUP BY q.qid, c.user_id),
   dmd AS (
     SELECT qid, user_id,

@@ -104,6 +104,11 @@ if _ML_AVAILABLE:
                 timeSeriesCol="event_ts", seriesIdCols=[], gap=0,
                 maxTrainSplits=0,
             )
+            if maxTrainSplits < 0:
+                raise ValueError(
+                    "maxTrainSplits must be >= 0 (0 = expanding), got "
+                    f"{maxTrainSplits}"
+                )
             self._set(
                 timeSeriesCol=timeSeriesCol, seriesIdCols=seriesIdCols or [],
                 gap=gap, maxTrainSplits=maxTrainSplits,
@@ -131,6 +136,10 @@ if _ML_AVAILABLE:
             return self.getOrDefault(self.maxTrainSplits)
 
         def setMaxTrainSplits(self, value: int) -> "TimeSeriesCrossValidator":
+            if value < 0:
+                raise ValueError(
+                    f"maxTrainSplits must be >= 0 (0 = expanding), got {value}"
+                )
             return self._set(maxTrainSplits=value)
 
         def _kFold(self, dataset: DataFrame) -> List[Tuple[DataFrame, DataFrame]]:

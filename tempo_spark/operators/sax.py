@@ -253,56 +253,88 @@ def sax_mindist_topk(
     if n_raw is None:
         n_raw = n_segments
     if id_col is None:
-        id_col = next(c for c in words.columns if c != word_col)
+        rest = [c for c in words.columns if c != word_col]
+        if not rest:
+            raise ValueError(
+                f"words has no id column besides {word_col!r} — pass id_col"
+            )
+        id_col = rest[0]
     if query_id_col is None:
-        query_id_col = next(c for c in query_words.columns if c != word_col)
+        rest = [c for c in query_words.columns if c != word_col]
+        if not rest:
+            raise ValueError(
+                f"query_words has no id column besides {word_col!r} — "
+                "pass query_id_col"
+            )
+        query_id_col = rest[0]
     for c, fr, nm in ((id_col, words, "words"),
                       (word_col, words, "words"),
                       (query_id_col, query_words, "query_words"),
                       (word_col, query_words, "query_words")):
         if c not in fr.columns:
             raise ValueError(f"column {c!r} not in {nm}")
+    # identical id/query-id names would emit two same-named output
+    # columns (AMBIGUOUS_REFERENCE downstream) — disambiguate the query
+    out_qcol = (
+        f"query_{query_id_col}" if query_id_col == id_col else query_id_col
+    )
     table = _mindist_table_int(alphabet)
     arr = "array(" + ", ".join(f"{x}L" for x in table) + ")"
     a = int(alphabet)
     w = int(n_segments)
     scale = float(n_raw) / float(n_segments)
-    c_side = words.select(
+    # MINDIST is defined between equal-length words: short words (a
+    # series with fewer non-null rows than n_segments) and NULL words
+    # are EXCLUDED from both sides — indexing past a short word would
+    # ANSI-abort on the distance table (ascii('') = 0), and a NULL word
+    # would rank first as a NULL distance (the r9 null-query-LUT class)
+    full = F.length(F.col(word_col)) == w
+    c_side = words.where(full).select(
         F.col(id_col).alias("__sm_id"), F.col(word_col).alias("__sm_cw")
     )
-    q_side = query_words.select(
+    q_side = query_words.where(full).select(
         F.col(query_id_col).alias("__sm_qid"),
         F.col(word_col).alias("__sm_qw"),
     )
     pairs = c_side.crossJoin(F.broadcast(q_side))
-    # exact integer fold over the letters (order-free: integer addition)
-    ssum = F.expr(
-        "aggregate(transform(sequence(1, "
-        f"{w}), i -> element_at({arr}, "
-        f"(ascii(substring(__sm_qw, i, 1)) - 97) * {a} "
-        "+ (ascii(substring(__sm_cw, i, 1)) - 97) + 1)), "
-        "cast(0 as bigint), (acc, x) -> acc + x)"
+    # exact integer letter sum (order-free). w is a plan-time constant:
+    # an unrolled element_at chain stays in codegen (the ADC lesson —
+    # interpreted HOF folds measured ~2x slower); fold only past the
+    # literal budget
+    term = (
+        lambda i: f"element_at({arr}, "
+        f"(ascii(substring(__sm_qw, {i}, 1)) - 97) * {a} "
+        f"+ (ascii(substring(__sm_cw, {i}, 1)) - 97) + 1)"
     )
+    if w <= 128:
+        ssum = F.expr(" + ".join(term(i) for i in range(1, w + 1)))
+    else:
+        ssum = F.expr(
+            "aggregate(transform(sequence(1, "
+            f"{w}), i -> element_at({arr}, "
+            f"(ascii(substring(__sm_qw, i, 1)) - 97) * {a} "
+            "+ (ascii(substring(__sm_cw, i, 1)) - 97) + 1)), "
+            "cast(0 as bigint), (acc, x) -> acc + x)"
+        )
     md = F.sqrt(
         F.lit(scale) * (F.col("__sm_s").cast("double") / F.lit(1e12))
     )
-    from pyspark.sql import Window as _W
-
     ranked = (
         pairs.withColumn("__sm_s", ssum)
         .withColumn("__sm_d", md)
         .withColumn(
             "rank",
             F.row_number().over(
-                _W.partitionBy("__sm_qid").orderBy(
-                    F.col("__sm_d").asc(), F.col("__sm_id").asc()
+                Window.partitionBy("__sm_qid").orderBy(
+                    F.col("__sm_d").asc_nulls_last(),
+                    F.col("__sm_id").asc_nulls_last(),
                 )
             ),
         )
         .where(F.col("rank") <= k)
     )
     return ranked.select(
-        F.col("__sm_qid").alias(query_id_col),
+        F.col("__sm_qid").alias(out_qcol),
         F.col("__sm_id").alias(id_col),
         F.col("__sm_d").alias("mindist"),
         "rank",

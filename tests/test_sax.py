@@ -207,3 +207,45 @@ class TestSAXMindist:
             sax_mindist_topk(df, df, 4, alphabet=1)
         with pytest.raises(ValueError, match="column"):
             sax_mindist_topk(df.drop("sax"), df, 4)
+
+
+class TestSAXMindistReviewR12:
+    def test_short_and_null_words_excluded(self, spark):
+        from tempo_spark.operators.sax import sax_mindist_topk
+
+        words = spark.createDataFrame(
+            [("a", "abcd"), ("b", "ab"), ("c", None), ("d", "abdd")],
+            "sym string, sax string",
+        )
+        q = spark.createDataFrame([("q1", "abcd")], "qid string, sax string")
+        got = sax_mindist_topk(words, q, 4, alphabet=4, k=10).collect()
+        # short 'b' and NULL 'c' never appear (would ANSI-crash / rank
+        # first as NULL) — only full-length words compete
+        assert sorted(r.sym for r in got) == ["a", "d"]
+        assert all(r.mindist is not None for r in got)
+
+    def test_same_id_col_name_disambiguated(self, spark):
+        from tempo_spark.operators.sax import sax_mindist_topk
+
+        words = spark.createDataFrame(
+            [("a", "abcd"), ("b", "abdd")], "sym string, sax string"
+        )
+        out = sax_mindist_topk(words, words.limit(1), 4, alphabet=4, k=2)
+        assert out.columns == ["query_sym", "sym", "mindist", "rank"]
+        assert out.count() == 2
+
+    def test_word_only_frame_raises(self, spark):
+        from tempo_spark.operators.sax import sax_mindist_topk
+
+        df = spark.createDataFrame([("abcd",)], "sax string")
+        with pytest.raises(ValueError, match="id column"):
+            sax_mindist_topk(df, df, 4)
+
+    def test_negative_max_train_splits_rejected(self, spark):
+        from tempo_spark.ml import TimeSeriesCrossValidator
+
+        with pytest.raises(ValueError, match="maxTrainSplits"):
+            TimeSeriesCrossValidator(maxTrainSplits=-1)
+        cv = TimeSeriesCrossValidator()
+        with pytest.raises(ValueError, match="maxTrainSplits"):
+            cv.setMaxTrainSplits(-2)
