@@ -1754,6 +1754,20 @@ class TSDF:
 
         return fourier_transform(self, timestep, valueCol)
 
+    def spectral_filter(
+        self, value_col: str, timestep: float,
+        low_cutoff_hz: Optional[float] = None,
+        high_cutoff_hz: Optional[float] = None,
+        out: Optional[str] = None,
+    ) -> "TSDF":
+        """FFT band-pass denoising per series (zero out-of-band bins,
+        inverse transform). See operators/fourier.py."""
+        from tempo_spark.operators.fourier import spectral_filter
+
+        return spectral_filter(
+            self, value_col, timestep, low_cutoff_hz, high_cutoff_hz, out
+        )
+
     def downsample_lttb(self, n_out: int, value_col: str) -> DataFrame:
         """Visual downsampling to ≤ ``n_out`` points per series by LTTB
         (Largest-Triangle-Three-Buckets, Steinarsson 2013 — the parallel

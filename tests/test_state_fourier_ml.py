@@ -179,3 +179,67 @@ class TestWrite:
         cols = spark.table("trades_out").columns
         assert "event_dt" in cols and "event_time" in cols
         spark.sql("DROP TABLE trades_out")
+
+
+class TestSpectralFilter:
+    """r12: FFT band-pass denoiser (pytest-only by design — the
+    FFT->mask->iFFT round-trip has no exact-sum oracle formulation)."""
+
+    def test_lowpass_recovers_planted_sine(self, spark):
+        import datetime as dt
+        import math
+        import random
+
+        from tempo_spark import TSDF
+
+        random.seed(4)
+        base = dt.datetime(2024, 1, 1)
+        n = 256
+        rows = []
+        clean = []
+        for i in range(n):
+            s = 10.0 * math.sin(2 * math.pi * i / 64)  # 1/64 Hz at dt=1s
+            noise = 3.0 * math.sin(2 * math.pi * i * 0.3) + random.gauss(0, 0.3)
+            clean.append(s)
+            rows.append(("a", base + dt.timedelta(seconds=i), s + noise))
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        out = (
+            t.spectral_filter("v", timestep=1.0, high_cutoff_hz=0.05)
+            .df.orderBy("ts").collect()
+        )
+        got = [r.v_filtered for r in out]
+        # numpy reference
+        import numpy as np
+
+        y = np.array([r.v for r in out])
+        spec = np.fft.fft(y)
+        freqs = np.abs(np.fft.fftfreq(n, d=1.0))
+        spec[freqs > 0.05] = 0
+        want = np.fft.ifft(spec).real
+        assert got == pytest.approx(list(want), abs=1e-9)
+        # the denoised signal tracks the planted sine far better than raw
+        err_f = sum((g - c) ** 2 for g, c in zip(got, clean)) / n
+        err_r = sum((r.v - c) ** 2 for r, c in zip(out, clean)) / n
+        assert err_f < err_r / 5
+
+    def test_nulls_and_validation(self, spark):
+        import datetime as dt
+
+        from tempo_spark import TSDF
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [("a", base + dt.timedelta(seconds=i),
+                 None if i == 3 else float(i % 5)) for i in range(16)]
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        out = t.spectral_filter("v", 1.0, high_cutoff_hz=0.1).df.collect()
+        byts = sorted(out, key=lambda r: r.ts)
+        assert byts[3].v_filtered is None  # NULL restored, not smeared
+        assert all(r.v_filtered is not None for i, r in enumerate(byts) if i != 3)
+        with pytest.raises(ValueError, match="low_cutoff_hz and/or"):
+            t.spectral_filter("v", 1.0)
+        with pytest.raises(ValueError, match="timestep"):
+            t.spectral_filter("v", 0.0, high_cutoff_hz=0.1)
+        with pytest.raises(ValueError, match="already present"):
+            t.spectral_filter("v", 1.0, high_cutoff_hz=0.1, out="v")
