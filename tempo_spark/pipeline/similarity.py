@@ -207,9 +207,23 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return planes
 
 
-def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def hyperplane_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id: bit i set iff vec·plane_i > 0. Evaluated as a
-    native expression over literal plane arrays."""
+    native expression over literal plane arrays.
+
+    ``vec`` as a SQL fragment string builds the whole n_planes×dim literal
+    tree in ONE parsed expression (one py4j round trip instead of one per
+    element — the plan-build-latency discipline; same tree either way,
+    equality pinned in tests/test_similarity_sqlbuild.py)."""
+    if isinstance(vec, str):
+        terms = ["cast(0 as bigint)"]
+        for i, p in enumerate(planes):
+            bit = (
+                f"(case when {_dot_sql(vec, [float(x) for x in p])} > 0 "
+                f"then cast(1 as bigint) else cast(0 as bigint) end)"
+            )
+            terms.append(f"shiftleft({bit}, {i})")
+        return F.expr(" + ".join(terms))
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -246,11 +260,11 @@ def lsh_topk(
     c = corpus.select(
         F.col(corpus_id).alias("__cid"),
         _as_double(F.col(corpus_vec)).alias("__cvec"),
-    ).withColumn("__bucket", hyperplane_bucket(F.col("__cvec"), planes))
+    ).withColumn("__bucket", hyperplane_bucket("__cvec", planes))
     q = queries.select(
         F.col(query_id).alias("__qid"),
         _as_double(F.col(query_vec)).alias("__qvec"),
-    ).withColumn("__bucket", hyperplane_bucket(F.col("__qvec"), planes))
+    ).withColumn("__bucket", hyperplane_bucket("__qvec", planes))
     scored = c.join(F.broadcast(q), "__bucket").select(
         F.col("__qid").alias(query_id),
         F.col("__cid").alias(corpus_id),
@@ -264,23 +278,78 @@ def lsh_topk(
     )
 
 
-def _center_score_term(vec: Column, center: list[float]) -> Column:
+def _q(name: str) -> str:
+    """Backtick-quote a column name for embedding in a SQL fragment."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _fmt_d(x: float) -> str:
+    """Shortest-round-trip SQL double literal. ``repr(float)`` is the
+    shortest decimal that parses back to the identical double, and the
+    SQL parser's ``D`` suffix makes it a DoubleType literal — so the
+    parsed expression carries the exact same IEEE value as ``F.lit``."""
+    v = float(x)
+    if not math.isfinite(v):
+        raise ValueError(f"non-finite literal in centroid/plane: {v!r}")
+    return repr(v) + "D"
+
+
+def _dot_sql(vec_sql: str, center: list[float]) -> str:
+    """SQL text of :func:`dot` against a literal array — the identical
+    ``aggregate(zip_with(...))`` fold, parsed in ONE py4j round trip
+    instead of one per element. Plan-build latency is a real scale axis
+    (guide §7.3; the repo's parsed-SQL discipline): the per-element
+    ``F.lit`` form costs dim+1 driver round trips PER CENTROID, measured
+    as multi-second build time for k×dim near ASSIGN_LITERAL_MAX."""
+    arr = ",".join(_fmt_d(x) for x in center)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _center_term_sql(vec_sql: str, center: list[float]) -> str:
+    """SQL text of :func:`_center_score_term` — same tree, one parse."""
+    cn = _fmt_d(sum(x * x for x in center))
+    return f"-2.0D * {_dot_sql(vec_sql, center)} + {cn}"
+
+
+def _center_score_term(vec: Column | str, center: list[float]) -> Column:
     """THE literal-path distance surrogate to one centroid:
     ``−2·v·c + ‖c‖²`` (= ‖v−c‖² − ‖v‖²; the ‖v‖² term is rank-invariant).
     ``‖c‖²`` is folded left-to-right driver-side — the same IEEE op order
     as a SQL ``list_reduce`` — so an external engine replays it
     bit-exactly. Single definition shared by the IVF cell scores and the
-    PQ LUT so the cross-engine fold order cannot drift between them."""
+    PQ LUT so the cross-engine fold order cannot drift between them.
+
+    ``vec`` may be a Column or a SQL fragment string; the string form
+    parses the whole term in one py4j call (plan-build latency — see
+    :func:`_dot_sql`). Both build the same expression tree."""
+    if isinstance(vec, str):
+        return F.expr(_center_term_sql(vec, center))
     return F.lit(-2.0) * dot(vec, F.array(*[F.lit(x) for x in center])) + F.lit(
         sum(x * x for x in center)
     )
 
 
-def _cell_scores(vec: Column, centers: list[list[float]]) -> Column:
+def _cell_scores(vec: Column | str, centers: list[list[float]]) -> Column:
     """array<struct<d,cell>> of squared-distance surrogates to each centroid,
     as a native expression over literal centroid arrays (no shuffle, no UDF)
     — the ``d`` term is :func:`_center_score_term`.
-    """
+
+    With ``vec`` given as a SQL fragment string, the whole k×dim literal
+    tree is built as ONE parsed expression (one py4j round trip instead of
+    ~k·dim — measured 16×64 ≈ 2,100 round trips ≈ 1-2 s of driver time per
+    plan build on the bench). The parsed tree is node-for-node the same:
+    ``named_struct('d', <term>, 'cell', i)`` == ``F.struct(term.alias('d'),
+    F.lit(i).alias('cell'))``; equality is pinned by
+    ``tests/test_similarity_sqlbuild.py``."""
+    if isinstance(vec, str):
+        entries = ",".join(
+            f"named_struct('d', {_center_term_sql(vec, c)}, 'cell', {i})"
+            for i, c in enumerate(centers)
+        )
+        return F.expr(f"array({entries})")
     return F.array(
         *[
             F.struct(
@@ -518,10 +587,22 @@ def _local_lloyd(
         # argmin_c |x-c|^2 = argmin_c (|c|^2 - 2 x.c); |x|^2 is constant
         scores = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
         labels = scores.argmin(axis=1)
+        # centroid update via ONE stable sort + contiguous slice-means
+        # instead of k boolean masks: X[order][lo:hi] holds exactly the
+        # rows X[labels == j] in the same ascending-index order, so each
+        # slice's np.mean is the IDENTICAL pairwise summation — results
+        # are bit-equal to the masked form (pinned in
+        # tests/test_similarity_sqlbuild.py) while the per-iteration cost
+        # drops from k O(n) mask scans to one O(n log n) argsort (the
+        # masked form was ~0.44 s per 2k×64-cluster PQ subspace fit —
+        # ~0.8 s of every PQCodec.train on the bench)
+        order = np.argsort(labels, kind="stable")
+        Xs = X[order]
+        bounds = np.searchsorted(labels[order], np.arange(k + 1))
         for j in range(k):
-            members = X[labels == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
+            lo, hi = bounds[j], bounds[j + 1]
+            if hi > lo:
+                C[j] = Xs[lo:hi].mean(axis=0)
     return [list(map(float, c)) for c in C]
 
 
@@ -562,7 +643,7 @@ def _assign_cells(
     )
     if _literal_path_ok(centers):
         nearest = F.element_at(
-            F.array_sort(_cell_scores(F.col("__vec"), centers)), 1
+            F.array_sort(_cell_scores("__vec", centers)), 1
         ).getField("cell")
         return proj.withColumn("cell", F.when(valid, nearest))
     if len(centers) * dim <= ASSIGN_ARROW_MIN_OPS:
@@ -749,9 +830,10 @@ class IVFIndex:
         centers = [list(r.center) for r in sorted(rows, key=lambda r: r.cell)]
         return IVFIndex(assigned, centers, id_col, vec_col)
 
-    def _probe_cells(self, vec: Column, nprobe: int) -> Column:
+    def _probe_cells(self, vec: Column | str, nprobe: int) -> Column:
         """ids of the nprobe nearest centroids, as a native expression over
-        literal centroid arrays (no shuffle, no UDF)."""
+        literal centroid arrays (no shuffle, no UDF). ``vec`` as a SQL
+        fragment builds the literal tree in one parse (see _cell_scores)."""
         scored = _cell_scores(vec, self.centers)
         return F.slice(F.array_sort(scored), 1, nprobe).getField("cell")
 
@@ -764,7 +846,7 @@ class IVFIndex:
         :func:`_assign_cells`)."""
         if _literal_path_ok(self.centers):
             return frame.withColumn(
-                "cell", F.explode(self._probe_cells(F.col(vec_col_name), nprobe))
+                "cell", F.explode(self._probe_cells(_q(vec_col_name), nprobe))
             )
         joined = frame.crossJoin(
             F.broadcast(_centers_frame(frame.sparkSession, self.centers))
@@ -861,7 +943,7 @@ def embedding_near_dups(
     planes = random_hyperplanes(dim, n_planes, seed)
     v = (
         df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__vec"))
-        .withColumn("__bucket", hyperplane_bucket(F.col("__vec"), planes))
+        .withColumn("__bucket", hyperplane_bucket("__vec", planes))
         .withColumn("__n2", norm(F.col("__vec")))
     )
     from tempo_spark.pipeline.dedup import _bucket_capped_self_join
@@ -932,9 +1014,9 @@ def embedding_dedup_against_corpus(
                 "literals, so the width cannot be inferred lazily"
             )
         planes = random_hyperplanes(dim, n_planes, seed)
-        shard = shard.withColumn("__bucket", hyperplane_bucket(F.col("__va"), planes))
+        shard = shard.withColumn("__bucket", hyperplane_bucket("__va", planes))
         corpus = corpus.withColumn(
-            "__bucket", hyperplane_bucket(F.col("__vb"), planes)
+            "__bucket", hyperplane_bucket("__vb", planes)
         )
         joined = corpus.join(F.broadcast(shard), "__bucket")
     # materialize the O(dim) cosine fold once — inlined into both the
@@ -1447,8 +1529,9 @@ class PQCodec:
         valid = self._vec_ok(vec)
         if self._literal_ops() <= ASSIGN_LITERAL_MAX and self.rotation is None:
             codes = []
+            vec_sql = f"cast({_q(src)} as array<double>)"
             for j, book in enumerate(self.codebooks):
-                sub = F.slice(vec, j * self.dsub + 1, self.dsub)
+                sub = f"slice({vec_sql}, {j * self.dsub + 1}, {self.dsub})"
                 codes.append(
                     F.element_at(
                         F.array_sort(_cell_scores(sub, book)), 1
@@ -1524,8 +1607,13 @@ class PQCodec:
         code = F.col(code_col)
         parts = []
         for j, book in enumerate(self.codebooks):
-            book_arr = F.array(
-                *[F.array(*[F.lit(x) for x in c]) for c in book]
+            book_arr = F.expr(
+                "array("
+                + ",".join(
+                    "array(" + ",".join(_fmt_d(x) for x in c) + ")"
+                    for c in book
+                )
+                + ")"
             )
             parts.append(
                 F.element_at(book_arr, F.element_at(code, j + 1) + 1)
@@ -1536,16 +1624,18 @@ class PQCodec:
 
     # --------------------------------------------------------------- ADC
 
-    def _lut_expr(self, qvec: Column) -> Column:
+    def _lut_expr(self, qvec_sql: str) -> Column:
         """Flat array<double> of length m·ksub: LUT[j·ksub + i] =
         ‖c_ji‖² − 2·q_j·c_ji (the shared :func:`_center_score_term`),
-        literal-expression path."""
+        literal-expression path — built as ONE parsed expression (the
+        m·ksub·dsub literal tree would otherwise cost one py4j round trip
+        per element; the plan-build-latency discipline)."""
         entries = []
         for j, book in enumerate(self.codebooks):
-            sub = F.slice(qvec, j * self.dsub + 1, self.dsub)
+            sub = f"slice({qvec_sql}, {j * self.dsub + 1}, {self.dsub})"
             for c in book:
-                entries.append(_center_score_term(sub, c))
-        return F.array(*entries)
+                entries.append(_center_term_sql(sub, c))
+        return F.expr(f"array({','.join(entries)})")
 
     def _arrow_lut_udf(self):
         import numpy as np
@@ -1602,7 +1692,11 @@ class PQCodec:
             # matches (the Arrow path NaNs would sort last: the two paths
             # must agree by both EXCLUDING such queries)
             return queries.withColumn(
-                out, F.when(self._vec_ok(vec), self._lut_expr(vec))
+                out,
+                F.when(
+                    self._vec_ok(vec),
+                    self._lut_expr(f"cast({_q(query_vec)} as array<double>)"),
+                ),
             )
         return queries.withColumn(out, self._arrow_lut_udf()(vec))
 
