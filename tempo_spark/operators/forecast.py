@@ -368,17 +368,21 @@ def forecast_ets(
         )
     )
 
-    staged = per.withColumn("__fc_L", F.expr(ets_wsum_sql(wts["l"])))
-    sum_cols = ["__fc_L"]
+    # ONE select for every weighted-sum column: the per-column withColumn
+    # loop cost one py4j round trip per projection (period=24 hw_add → 24
+    # chained projections ≈ 0.5 s of driver time per call — the r12
+    # plan-build discipline); the sums are mutually independent, so one
+    # batched projection builds the identical plan
+    sum_exprs = {"__fc_L": ets_wsum_sql(wts["l"])}
     if wts["b"] is not None:
-        staged = staged.withColumn("__fc_B", F.expr(ets_wsum_sql(wts["b"])))
-        sum_cols.append("__fc_B")
+        sum_exprs["__fc_B"] = ets_wsum_sql(wts["b"])
     if wts["s"] is not None:
         for j, ws in enumerate(wts["s"]):
-            staged = staged.withColumn(
-                f"__fc_S{j}", F.expr(ets_wsum_sql(ws))
-            )
-            sum_cols.append(f"__fc_S{j}")
+            sum_exprs[f"__fc_S{j}"] = ets_wsum_sql(ws)
+    staged = per.selectExpr(
+        "*", *[f"{sql} AS {name}" for name, sql in sum_exprs.items()]
+    )
+    sum_cols = list(sum_exprs)
 
     h = F.col("h")
     yhat = F.col("__fc_L")
@@ -391,7 +395,10 @@ def forecast_ets(
                 acc += p
                 sums.append(acc)
             damp = F.element_at(
-                F.array(*[F.lit(v) for v in sums]), h.cast("int")
+                F.expr(
+                    "array(" + ",".join(repr(float(v)) + "D" for v in sums) + ")"
+                ),
+                h.cast("int"),
             )
             yhat = yhat + damp * F.col("__fc_B")
         else:
@@ -399,7 +406,7 @@ def forecast_ets(
     if method == "hw_add":
         m = int(period)
         s_sel = F.element_at(
-            F.array(*[F.col(f"__fc_S{j}") for j in range(m)]),
+            F.expr("array(" + ",".join(f"__fc_S{j}" for j in range(m)) + ")"),
             (F.pmod(F.lit(W) + h - 1, F.lit(m)) + 1).cast("int"),
         )
         yhat = yhat + s_sel

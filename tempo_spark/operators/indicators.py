@@ -32,6 +32,36 @@ from pyspark.sql.window import Window
 from tempo_spark.functions.grid import grid6
 
 
+
+def _qn(name: str) -> str:
+    """Backtick-quote a column name for embedding in a SQL fragment."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _ov_sql(tsdf) -> str:
+    """The base_window PARTITION BY/ORDER BY clause as SQL text — the
+    r12 plan-build discipline: indicators are built as one parsed
+    expression per output column instead of hundreds of py4j round trips
+    (bit-identical trees, pinned in tests/test_indicators.py)."""
+    part = ", ".join(_qn(c) for c in tsdf.series_ids)
+    order = [_qn(tsdf.ts_col)]
+    if getattr(tsdf, "sequence_col", None):
+        order.append(_qn(tsdf.sequence_col))
+    return (
+        ("PARTITION BY " + part + " " if part else "")
+        + "ORDER BY " + ", ".join(o + " ASC" for o in order)
+    )
+
+
+def _grid6_sql(name: str) -> str:
+    """SQL text of :func:`grid6` over a column name — same expression."""
+    d = f"cast({_qn(name)} as double)"
+    return (
+        f"(CASE WHEN {d} IS NOT NULL AND NOT isnan({d}) "
+        f"THEN floor({d} * 1000000.0D + 0.5D) / 1000000.0D END)"
+    )
+
+
 def with_rsi(
     tsdf, value_col: str, window: int = 14, out: str = "rsi"
 ) -> DataFrame:
@@ -193,27 +223,27 @@ def with_atr(
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     _ohlc_guard(tsdf, (high_col, low_col, close_col), (out,))
-    w = tsdf.base_window()
-    frame = w.rowsBetween(-(window - 1), 0)
-    hq, lq, cq = grid6(high_col), grid6(low_col), grid6(close_col)
-    pc = F.lag(cq).over(w)
-    tr = F.when(
-        hq.isNotNull() & lq.isNotNull(),
-        F.when(
-            pc.isNotNull(),
-            F.greatest(hq - lq, F.abs(hq - pc), F.abs(lq - pc)),
-        ).otherwise(hq - lq),
+    ov = _ov_sql(tsdf)
+    fr = f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW"
+    hq, lq, cq = _grid6_sql(high_col), _grid6_sql(low_col), _grid6_sql(close_col)
+    pc = f"lag({cq}) OVER ({ov})"
+    tr = (
+        f"(CASE WHEN {hq} IS NOT NULL AND {lq} IS NOT NULL THEN "
+        f"(CASE WHEN {pc} IS NOT NULL THEN "
+        f"greatest({hq} - {lq}, abs({hq} - {pc}), abs({lq} - {pc})) "
+        f"ELSE {hq} - {lq} END) END)"
     )
-    staged = tsdf.df.withColumn("__ti_tr", tr)
-    full = (F.count(F.lit(1)).over(frame) == window) & (
-        F.count("__ti_tr").over(frame) == window
+    staged = tsdf.df.selectExpr("*", f"{tr} AS __ti_tr")
+    full = (
+        f"(count(1) OVER ({ov} {fr}) = {window}) AND "
+        f"(count(__ti_tr) OVER ({ov} {fr}) = {window})"
     )
-    atr = F.when(
-        full,
-        F.sum(F.col("__ti_tr").cast("decimal(18,6)")).over(frame)
-        .cast("double") / F.lit(float(window)),
+    atr = (
+        f"(CASE WHEN {full} THEN "
+        f"cast(sum(cast(__ti_tr as decimal(18,6))) OVER ({ov} {fr}) "
+        f"as double) / {float(window)!r}D END)"
     )
-    return staged.withColumn(out, atr).drop("__ti_tr")
+    return staged.selectExpr("*", f"{atr} AS {_qn(out)}").drop("__ti_tr")
 
 
 def with_stochastic(
@@ -237,36 +267,41 @@ def with_stochastic(
         raise ValueError(f"d_window must be >= 1, got {d_window}")
     outs = (f"{prefix}_k", f"{prefix}_d")
     _ohlc_guard(tsdf, (high_col, low_col, close_col), outs)
-    w = tsdf.base_window()
-    kframe = w.rowsBetween(-(k_window - 1), 0)
-    hq, lq, cq = grid6(high_col), grid6(low_col), grid6(close_col)
-    hh = F.max(hq).over(kframe)
-    ll = F.min(lq).over(kframe)
+    ov = _ov_sql(tsdf)
+    kfr = f"ROWS BETWEEN {k_window - 1} PRECEDING AND CURRENT ROW"
+    hq, lq, cq = _grid6_sql(high_col), _grid6_sql(low_col), _grid6_sql(close_col)
+    hh = f"max({hq}) OVER ({ov} {kfr})"
+    ll = f"min({lq}) OVER ({ov} {kfr})"
     full_k = (
-        (F.count(F.lit(1)).over(kframe) == k_window)
-        & (F.count(hq).over(kframe) == k_window)
-        & (F.count(lq).over(kframe) == k_window)
+        f"(count(1) OVER ({ov} {kfr}) = {k_window}) AND "
+        f"(count({hq}) OVER ({ov} {kfr}) = {k_window}) AND "
+        f"(count({lq}) OVER ({ov} {kfr}) = {k_window})"
     )
-    k = F.when(
-        full_k & cq.isNotNull() & (hh > ll),
-        F.lit(100.0) * (cq - ll) / (hh - ll),
+    k = (
+        f"(CASE WHEN ({full_k}) AND {cq} IS NOT NULL AND ({hh} > {ll}) "
+        f"THEN 100.0D * ({cq} - {ll}) / ({hh} - {ll}) END)"
     )
-    # quantized %K so the %D mean replays exactly (see docstring)
-    staged = tsdf.df.withColumn("__ti_kq", grid6(k))
-    dframe = tsdf.base_window().rowsBetween(-(d_window - 1), 0)
-    full_d = (F.count(F.lit(1)).over(dframe) == d_window) & (
-        F.count("__ti_kq").over(dframe) == d_window
+    # quantized %K so the %D mean replays exactly (see docstring); grid6
+    # over the %K EXPRESSION (not a column name) — inline the same guard
+    kd = f"cast({k} as double)"
+    kq = (
+        f"(CASE WHEN {kd} IS NOT NULL AND NOT isnan({kd}) "
+        f"THEN floor({kd} * 1000000.0D + 0.5D) / 1000000.0D END)"
     )
-    d = F.when(
-        full_d,
-        F.sum(F.col("__ti_kq").cast("decimal(18,6)")).over(dframe)
-        .cast("double") / F.lit(float(d_window)),
+    staged = tsdf.df.selectExpr("*", f"{kq} AS __ti_kq")
+    dfr = f"ROWS BETWEEN {d_window - 1} PRECEDING AND CURRENT ROW"
+    full_d = (
+        f"(count(1) OVER ({ov} {dfr}) = {d_window}) AND "
+        f"(count(__ti_kq) OVER ({ov} {dfr}) = {d_window})"
     )
-    return (
-        staged.withColumn(outs[0], F.col("__ti_kq"))
-        .withColumn(outs[1], d)
-        .drop("__ti_kq")
+    d = (
+        f"(CASE WHEN {full_d} THEN "
+        f"cast(sum(cast(__ti_kq as decimal(18,6))) OVER ({ov} {dfr}) "
+        f"as double) / {float(d_window)!r}D END)"
     )
+    return staged.selectExpr(
+        "*", f"__ti_kq AS {_qn(outs[0])}", f"{d} AS {_qn(outs[1])}"
+    ).drop("__ti_kq")
 
 
 def with_williams_r(
@@ -283,21 +318,21 @@ def with_williams_r(
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     _ohlc_guard(tsdf, (high_col, low_col, close_col), (out,))
-    w = tsdf.base_window()
-    frame = w.rowsBetween(-(window - 1), 0)
-    hq, lq, cq = grid6(high_col), grid6(low_col), grid6(close_col)
-    hh = F.max(hq).over(frame)
-    ll = F.min(lq).over(frame)
+    ov = _ov_sql(tsdf)
+    fr = f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW"
+    hq, lq, cq = _grid6_sql(high_col), _grid6_sql(low_col), _grid6_sql(close_col)
+    hh = f"max({hq}) OVER ({ov} {fr})"
+    ll = f"min({lq}) OVER ({ov} {fr})"
     full = (
-        (F.count(F.lit(1)).over(frame) == window)
-        & (F.count(hq).over(frame) == window)
-        & (F.count(lq).over(frame) == window)
+        f"(count(1) OVER ({ov} {fr}) = {window}) AND "
+        f"(count({hq}) OVER ({ov} {fr}) = {window}) AND "
+        f"(count({lq}) OVER ({ov} {fr}) = {window})"
     )
-    r = F.when(
-        full & cq.isNotNull() & (hh > ll),
-        F.lit(-100.0) * (hh - cq) / (hh - ll),
+    r = (
+        f"(CASE WHEN ({full}) AND {cq} IS NOT NULL AND ({hh} > {ll}) "
+        f"THEN -100.0D * ({hh} - {cq}) / ({hh} - {ll}) END)"
     )
-    return tsdf.df.withColumn(out, r)
+    return tsdf.df.selectExpr("*", f"{r} AS {_qn(out)}")
 
 
 def with_obv(
@@ -319,24 +354,21 @@ def with_obv(
     GROWING frame (incremental O(rows), order-independent exact sum) —
     the output replays bit-for-bit cross-engine."""
     _ohlc_guard(tsdf, (close_col, volume_col), (out,))
-    w = tsdf.base_window()
-    cq = grid6(close_col)
-    vq = grid6(volume_col)
-    prev = F.lag(cq).over(w)
+    ov = _ov_sql(tsdf)
+    cq = _grid6_sql(close_col)
+    vq = _grid6_sql(volume_col)
+    prev = f"lag({cq}) OVER ({ov})"
     signed = (
-        F.when(
-            cq.isNotNull() & prev.isNotNull() & vq.isNotNull(),
-            F.when(cq > prev, vq)
-            .when(cq < prev, -vq)
-            .otherwise(F.lit(0.0)),
-        )
-        .otherwise(F.lit(0.0))
-        .cast("decimal(28,6)")
+        f"cast((CASE WHEN {cq} IS NOT NULL AND {prev} IS NOT NULL "
+        f"AND {vq} IS NOT NULL THEN "
+        f"(CASE WHEN {cq} > {prev} THEN {vq} "
+        f"WHEN {cq} < {prev} THEN -{vq} ELSE 0.0D END) "
+        f"ELSE 0.0D END) as decimal(28,6))"
     )
-    staged = tsdf.df.withColumn("__ti_sv", signed)
-    grow = tsdf.base_window().rowsBetween(Window.unboundedPreceding, 0)
-    obv = F.sum(F.col("__ti_sv")).over(grow).cast("double")
-    return staged.withColumn(out, obv).drop("__ti_sv")
+    staged = tsdf.df.selectExpr("*", f"{signed} AS __ti_sv")
+    grow = f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    obv = f"cast(sum(__ti_sv) OVER ({ov} {grow}) as double)"
+    return staged.selectExpr("*", f"{obv} AS {_qn(out)}").drop("__ti_sv")
 
 
 def with_cusum(

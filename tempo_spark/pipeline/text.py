@@ -34,6 +34,23 @@ def tokens_col(text: Column) -> Column:
     )
 
 
+def _qn(name: str) -> str:
+    """Backtick-quote a column name for embedding in a SQL fragment."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _tokens_sql(text_sql: str) -> str:
+    """SQL text of :func:`tokens_col` — the identical expression, parsed
+    in ONE py4j round trip (the r12 plan-build discipline: the Column
+    form costs ~10 driver round trips per REFERENCE, and the quality/
+    repetition signals reference the token array several times each)."""
+    return (
+        f"CASE WHEN trim({text_sql}) = '' THEN "
+        f"cast(array() as array<string>) "
+        f"ELSE split(trim({text_sql}), '\\\\s+') END"
+    )
+
+
 def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
     return df.withColumn(out, F.size(tokens_col(F.col(text_col))))
 
@@ -56,26 +73,40 @@ def with_bpe_ish_token_count(
 def with_quality_score(df: DataFrame, text_col: str = "text", out: str = "quality_score") -> DataFrame:
     """Composite quality heuristic in [0,1]: length band, punctuation ratio,
     English-stopword ratio, mean word length band. Deterministic arithmetic —
-    reproducible in ANSI SQL for the correctness oracle."""
-    text = F.col(text_col)
-    toks = tokens_col(text)
-    n_toks = F.size(toks)
-    n_chars = F.length(text)
-    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
-    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
-    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
-    sw_ratio = F.when(n_toks > 0, sw_hits / n_toks).otherwise(F.lit(0.0))
-    mean_word_len = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+    reproducible in ANSI SQL for the correctness oracle.
 
-    length_score = F.least(n_toks / F.lit(100.0), F.lit(1.0))
-    punct_score = F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))
-    sw_score = F.least(sw_ratio * 4, F.lit(1.0))
-    wordlen_score = F.when(
-        (mean_word_len >= 3) & (mean_word_len <= 10), F.lit(1.0)
-    ).otherwise(F.lit(0.5))
-    score = (length_score + punct_score + sw_score + wordlen_score) / 4
-    return df.withColumn(out, F.round(score, 6))
+    Built as ONE parsed expression (r12): the former Column chain cost
+    ~0.4 s of driver py4j per plan build; the parsed tree is the same
+    expressions (bit-identical outputs pinned against the Column form in
+    tests/test_pipeline.py::test_quality_score_sql_parity)."""
+    t = _qn(text_col)
+    toks = _tokens_sql(t)
+    n_toks = f"size({toks})"
+    n_chars = f"length({t})"
+    punct = f"length(regexp_replace({t}, '[^.,;:!?]', ''))"
+    punct_ratio = (
+        f"(CASE WHEN {n_chars} > 0 THEN {punct} / {n_chars} ELSE 0.0D END)"
+    )
+    sw = "array(" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + ")"
+    sw_hits = f"size(filter({toks}, t -> array_contains({sw}, lower(t))))"
+    sw_ratio = (
+        f"(CASE WHEN {n_toks} > 0 THEN {sw_hits} / {n_toks} ELSE 0.0D END)"
+    )
+    mean_word_len = (
+        f"(CASE WHEN {n_toks} > 0 THEN {n_chars} / {n_toks} ELSE 0.0D END)"
+    )
+    length_score = f"least({n_toks} / 100.0D, 1.0D)"
+    punct_score = f"(1.0D - least({punct_ratio} * 10, 1.0D))"
+    sw_score = f"least({sw_ratio} * 4, 1.0D)"
+    wordlen_score = (
+        f"(CASE WHEN ({mean_word_len} >= 3) AND ({mean_word_len} <= 10) "
+        f"THEN 1.0D ELSE 0.5D END)"
+    )
+    score = (
+        f"(({length_score} + {punct_score} + {sw_score} + {wordlen_score})"
+        f" / 4)"
+    )
+    return df.selectExpr("*", f"round({score}, 6) AS {_qn(out)}")
 
 
 def _lang_pred_expr(toks: Column) -> Column:
@@ -290,26 +321,31 @@ def with_repetition_metrics(
     toks_c, grams_c = f"__toks_{p}", f"__grams_{p}"
     out_total, out_distinct, out_frac = f"n_{p}s", f"n_{p}s_distinct", f"dup_{p}_frac"
 
-    def gram_at(i: Column) -> Column:  # factory: no default-arg lambda (arity introspection)
-        return F.concat_ws(" ", F.slice(F.col(toks_c), i, n))
-
-    stepped = df.withColumn(toks_c, tokens_col(F.col(text_col)))
-    n_toks = F.size(F.col(toks_c))
-    # guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not an empty array
-    grams = F.when(
-        n_toks >= n, F.transform(F.sequence(F.lit(1), n_toks - (n - 1)), gram_at)
-    ).otherwise(F.array().cast("array<string>"))
-    stepped = stepped.withColumn(grams_c, grams)
-    total = F.size(F.col(grams_c))
-    distinct = F.size(F.array_distinct(F.col(grams_c)))
-    frac = F.when(total > 0, F.lit(1.0) - distinct / total).otherwise(F.lit(0.0))
-    hardened = F.floor(frac * 1_000_000 + F.lit(0.5)) / 1_000_000
-    return (
-        stepped.withColumn(out_total, total)
-        .withColumn(out_distinct, distinct)
-        .withColumn(out_frac, hardened)
-        .drop(toks_c, grams_c)
+    # ONE parsed expression per staging/output column (r12 plan-build
+    # discipline — the Column chain cost ~0.4 s of driver py4j per call;
+    # bit-identical outputs pinned in tests/test_pipeline.py).
+    # guard: sequence(1, 0) yields a DESCENDING [1, 0], not an empty array
+    stepped = df.selectExpr("*", f"{_tokens_sql(_qn(text_col))} AS {toks_c}")
+    grams = (
+        f"(CASE WHEN size({toks_c}) >= {n} THEN "
+        f"transform(sequence(1, size({toks_c}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks_c}, i, {n}))) "
+        f"ELSE cast(array() as array<string>) END)"
     )
+    stepped = stepped.selectExpr("*", f"{grams} AS {grams_c}")
+    total = f"size({grams_c})"
+    distinct = f"size(array_distinct({grams_c}))"
+    frac = (
+        f"(CASE WHEN {total} > 0 THEN 1.0D - {distinct} / {total} "
+        f"ELSE 0.0D END)"
+    )
+    hardened = f"floor({frac} * 1000000 + 0.5D) / 1000000"
+    return stepped.selectExpr(
+        "*",
+        f"{total} AS {_qn(out_total)}",
+        f"{distinct} AS {_qn(out_distinct)}",
+        f"{hardened} AS {_qn(out_frac)}",
+    ).drop(toks_c, grams_c)
 
 
 def with_ngram_char_fracs(

@@ -1057,79 +1057,100 @@ class TSDF:
                 f"shallower window)."
             )
         half = B // 2
-        series = [F.col(c) for c in self.series_ids]
+
+        def _bq(name: str) -> str:
+            return "`" + name.replace("`", "``") + "`"
+
         # the block/offset columns come from row_number over one sort and
         # the prefix sums from OTHER (series, block)-partitioned sorts —
         # duplicate timestamps ordered differently across them would
         # misalign off vs P by factors of r^±j (the r10 _lagged_corr tie
         # class), so every order ends in a materialized content-hash
-        # tiebreak: one total order shared by all the window nodes
+        # tiebreak: one total order shared by all the window nodes.
+        #
+        # Construction is batched selectExpr with inline OVER clauses —
+        # the former per-column withColumn chain built ~1,500 py4j round
+        # trips (~0.5 s of driver time PER CALL; MACD makes three), the
+        # r12-optimization plan-build discipline. The parsed trees are
+        # the exact expressions the Column chain built (double literals
+        # formatted shortest-round-trip), pinned bit-identical in
+        # tests/test_indicators.py::TestEmaPrefixRewrite.
         staged = self.df.withColumn(
             "__emp_tb",
             F.xxhash64(F.struct(*[F.col(c) for c in self.df.columns])),
         )
-        order = [F.col(self.ts_col)]
+        order_sql = [f"{_bq(self.ts_col)} ASC"]
         if self.sequence_col:
-            order.append(F.col(self.sequence_col))
-        order.append(F.col("__emp_tb"))
-        w = Window.partitionBy(*series).orderBy(*order)
-        grow = w.rowsBetween(Window.unboundedPreceding, 0)
-        yd = F.col(colName).cast("double")
-        staged = (
-            staged.withColumn("__emp_t0", F.row_number().over(w) - F.lit(1))
-            # NaN handling (the r6/r11 class): a NaN would ride the
-            # prefix sums and poison every later row in the phase BLOCK;
-            # the sliding form NaNs exactly the frames containing it.
-            # Match that: exclude NaN from the sums, overlay NaN where
-            # the trailing window contains one (prefix-count difference
-            # — same O(rows) constant-lag trick)
-            .withColumn(
-                "__emp_nan", F.when(F.isnan(yd), F.lit(1)).otherwise(F.lit(0))
-            )
+            order_sql.append(f"{_bq(self.sequence_col)} ASC")
+        order_sql.append("__emp_tb ASC")
+        part = ", ".join(_bq(c) for c in self.series_ids)
+        ovw = (
+            ("PARTITION BY " + part + " " if part else "")
+            + "ORDER BY " + ", ".join(order_sql)
         )
-        staged = staged.withColumn("__emp_nc", F.sum("__emp_nan").over(grow))
+        rows_all = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        yd = f"cast({_bq(colName)} as double)"
+        # NaN handling (the r6/r11 class): a NaN would ride the prefix
+        # sums and poison every later row in the phase BLOCK; the sliding
+        # form NaNs exactly the frames containing it. Match that: exclude
+        # NaN from the sums, overlay NaN where the trailing window
+        # contains one (prefix-count difference — same O(rows)
+        # constant-lag trick)
+        staged = staged.selectExpr(
+            "*",
+            f"(row_number() OVER ({ovw})) - 1 AS __emp_t0",
+            f"(CASE WHEN isnan({yd}) THEN 1 ELSE 0 END) AS __emp_nan",
+        )
+        phase_cols = []
         for ph, shift in (("0", 0), ("1", half)):
-            off = F.expr(f"(__emp_t0 + {shift}) % {B}")
-            staged = (
-                staged.withColumn(f"__emp_off{ph}", off)
-                .withColumn(
-                    f"__emp_blk{ph}", F.expr(f"(__emp_t0 + {shift}) div {B}")
-                )
-                .withColumn(
-                    f"__emp_z{ph}",
-                    F.coalesce(F.nanvl(yd, F.lit(0.0)), F.lit(0.0))
-                    * F.pow(F.lit(1.0 / r), F.col(f"__emp_off{ph}")),
-                )
-            )
-            wp = (
-                Window.partitionBy(*series, F.col(f"__emp_blk{ph}"))
-                .orderBy(*order)
-                .rowsBetween(Window.unboundedPreceding, 0)
-            )
-            staged = staged.withColumn(
-                f"__emp_p{ph}", F.sum(F.col(f"__emp_z{ph}")).over(wp)
-            )
+            phase_cols += [
+                f"(__emp_t0 + {shift}) % {B} AS __emp_off{ph}",
+                f"(__emp_t0 + {shift}) div {B} AS __emp_blk{ph}",
+            ]
+        staged = staged.selectExpr(
+            "*",
+            f"sum(__emp_nan) OVER ({ovw} {rows_all}) AS __emp_nc",
+            *phase_cols,
+        )
+        z_cols = [
+            f"coalesce(nanvl({yd}, 0.0D), 0.0D)"
+            f" * pow({1.0 / r!r}D, __emp_off{ph}) AS __emp_z{ph}"
+            for ph in ("0", "1")
+        ]
+        staged = staged.selectExpr("*", *z_cols)
+        p_cols = [
+            f"sum(__emp_z{ph}) OVER (PARTITION BY "
+            + (part + ", " if part else "")
+            + f"__emp_blk{ph} ORDER BY "
+            + ", ".join(order_sql)
+            + f" {rows_all}) AS __emp_p{ph}"
+            for ph in ("0", "1")
+        ]
+        staged = staged.selectExpr("*", *p_cols)
 
-        def leg(ph: str) -> Column:
-            off = F.col(f"__emp_off{ph}")
-            p = F.col(f"__emp_p{ph}")
-            sub = F.when(
-                off >= window,
-                F.coalesce(F.lag(p, window).over(w), F.lit(0.0)),
-            ).otherwise(F.lit(0.0))
-            return F.pow(F.lit(r), off) * (p - sub) * F.lit(alpha)
+        def leg(ph: str) -> str:
+            sub = (
+                f"CASE WHEN __emp_off{ph} >= {window} THEN "
+                f"coalesce(lag(__emp_p{ph}, {window}) OVER ({ovw}), 0.0D) "
+                f"ELSE 0.0D END"
+            )
+            return (
+                f"pow({r!r}D, __emp_off{ph}) * (__emp_p{ph} - ({sub}))"
+                f" * {alpha!r}D"
+            )
 
         nan_in_frame = (
-            F.col("__emp_nc")
-            - F.coalesce(F.lag(F.col("__emp_nc"), window).over(w), F.lit(0))
-        ) > 0
-        ema = F.when(nan_in_frame, F.lit(float("nan"))).otherwise(
-            F.when(F.col("__emp_off0") >= window - 1, leg("0")).otherwise(
-                leg("1")
-            )
+            f"(__emp_nc - coalesce(lag(__emp_nc, {window}) "
+            f"OVER ({ovw}), 0)) > 0"
         )
-        out = staged.withColumn(out_col, ema).drop(
-            *[c for c in staged.columns if c.startswith("__emp_")]
+        ema = (
+            f"CASE WHEN {nan_in_frame} THEN cast('NaN' as double) "
+            f"WHEN __emp_off0 >= {window - 1} THEN {leg('0')} "
+            f"ELSE {leg('1')} END"
+        )
+        out = staged.selectExpr(
+            *[_bq(c) for c in self.df.columns],
+            f"{ema} AS {_bq(out_col)}",
         )
         return self._with_df(out)
 

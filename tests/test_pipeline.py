@@ -5716,3 +5716,131 @@ class TestResumeFingerprintR12Review:
         assert spark.conf.get("spark.sql.debug.maxToStringFields") in (
             "25", None,
         )
+
+
+class TestTextSignalsSqlParity:
+    """r12 optimization pins: the one-parse SQL forms of the text signals
+    build the same expressions as the per-element Column forms they
+    replaced — bit-identical outputs (the quality/token/repetition gate
+    oracles replay these formulas, so any drift is a correctness bug)."""
+
+    def test_quality_score_sql_parity(self, spark):
+        import struct
+
+        import pyspark.sql.functions as F
+
+        from tempo_spark.pipeline.text import (
+            STOPWORDS,
+            tokens_col,
+            with_quality_score,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "the quick brown fox, jumps; over the lazy dog!"),
+                (1, ""),
+                (2, "   "),
+                (3, "a" * 500),
+                (4, "der die das und nicht ist ein eine mit zu"),
+                (5, "x , . ; : ! ? y"),
+                (6, None),
+            ],
+            "doc_id long, text string",
+        )
+        # the former Column-chain implementation, verbatim
+        text = F.col("text")
+        toks = tokens_col(text)
+        n_toks = F.size(toks)
+        n_chars = F.length(text)
+        punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+        punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+        sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+        sw_hits = F.size(
+            F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))
+        )
+        sw_ratio = F.when(n_toks > 0, sw_hits / n_toks).otherwise(F.lit(0.0))
+        mean_word_len = F.when(n_toks > 0, n_chars / n_toks).otherwise(
+            F.lit(0.0)
+        )
+        length_score = F.least(n_toks / F.lit(100.0), F.lit(1.0))
+        punct_score = F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))
+        sw_score = F.least(sw_ratio * 4, F.lit(1.0))
+        wordlen_score = F.when(
+            (mean_word_len >= 3) & (mean_word_len <= 10), F.lit(1.0)
+        ).otherwise(F.lit(0.5))
+        score = (length_score + punct_score + sw_score + wordlen_score) / 4
+        ref = {
+            r.doc_id: r.q
+            for r in docs.withColumn("q", F.round(score, 6)).collect()
+        }
+        got = {
+            r.doc_id: r.quality_score
+            for r in with_quality_score(docs, "text").collect()
+        }
+        assert set(ref) == set(got)
+        for k in ref:
+            assert (ref[k] is None) == (got[k] is None)
+            if ref[k] is not None:
+                assert struct.pack("<d", ref[k]) == struct.pack("<d", got[k])
+
+    def test_repetition_metrics_sql_parity(self, spark):
+        import struct
+
+        import pyspark.sql.functions as F
+
+        from tempo_spark.pipeline.text import (
+            tokens_col,
+            with_repetition_metrics,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a b a b a b"),
+                (1, "one two three four"),
+                (2, "solo"),
+                (3, ""),
+                (4, None),
+                (5, "x x x x x x x x x x"),
+            ],
+            "doc_id long, text string",
+        )
+        # the former Column-chain implementation, verbatim (n=2)
+        n = 2
+        toks_c, grams_c = "__toks_ref", "__grams_ref"
+
+        def gram_at(i):
+            return F.concat_ws(" ", F.slice(F.col(toks_c), i, n))
+
+        stepped = docs.withColumn(toks_c, tokens_col(F.col("text")))
+        n_toks = F.size(F.col(toks_c))
+        grams = F.when(
+            n_toks >= n,
+            F.transform(F.sequence(F.lit(1), n_toks - (n - 1)), gram_at),
+        ).otherwise(F.array().cast("array<string>"))
+        stepped = stepped.withColumn(grams_c, grams)
+        total = F.size(F.col(grams_c))
+        distinct = F.size(F.array_distinct(F.col(grams_c)))
+        frac = F.when(total > 0, F.lit(1.0) - distinct / total).otherwise(
+            F.lit(0.0)
+        )
+        hardened = F.floor(frac * 1_000_000 + F.lit(0.5)) / 1_000_000
+        ref = {
+            r.doc_id: (r.t, r.d, r.f)
+            for r in stepped.select(
+                "doc_id",
+                total.alias("t"),
+                distinct.alias("d"),
+                hardened.alias("f"),
+            ).collect()
+        }
+        got = {
+            r.doc_id: (r.n_2grams, r.n_2grams_distinct, r.dup_2gram_frac)
+            for r in with_repetition_metrics(docs, "text", n=2).collect()
+        }
+        assert set(ref) == set(got)
+        for k in ref:
+            assert ref[k][:2] == got[k][:2]
+            a, b = ref[k][2], got[k][2]
+            assert (a is None) == (b is None)
+            if a is not None:
+                assert struct.pack("<d", a) == struct.pack("<d", b)
