@@ -156,8 +156,12 @@ def changepoints(
                 accepted = accepted.where(F.col("score") >= min_score)
             accepted = accepted.persist()
             persisted.append(accepted)
-            n_acc = accepted.count()
-            if n_acc == 0:
+            # early-exit probe: isEmpty() (a limit-1 job) instead of the
+            # former count() — the loop only needs EMPTINESS, and the full
+            # materialization the count used to provide happens anyway in
+            # this round's splits broadcast (r12: ~0.2 s/call at sf0.1,
+            # and strictly less work per round at scale)
+            if accepted.isEmpty():
                 break
             out_frames.append(
                 accepted.select(

@@ -424,24 +424,24 @@ def with_hashed_shingles(
             ),
         )
     toks_c, th_c = "__tempo_toks", "__tempo_tokh"
-    n = F.size(F.col(th_c))
-
-    def shingle_at_factory(k_: int):
-        # factory keeps the lambda single-parameter (pyspark introspects
-        # lambda arity; default-arg closures break)
-        return lambda i: F.xxhash64(
-            *[F.element_at(F.col(th_c), i + F.lit(j)) for j in range(1, k_ + 1)]
-        )
-
-    hashes = F.when(
-        n < k, F.array(F.xxhash64(F.concat_ws(" ", F.col(toks_c))))
-    ).otherwise(
-        F.transform(F.sequence(F.lit(0), n - F.lit(k)), shingle_at_factory(k))
+    # one parsed expression per staging column (r12 plan-build
+    # discipline; the Column/HOF form cost ~0.3 s of driver py4j per
+    # call and this builder runs 2-3× per dedup pipeline) — same tree,
+    # bit-identical signatures (minhash oracle entries re-verified)
+    tq = "`" + text_col.replace("`", "``") + "`"
+    shingle_at = "xxhash64(" + ", ".join(
+        f"element_at({th_c}, i + {j})" for j in range(1, k + 1)
+    ) + ")"
+    hashes = (
+        f"CASE WHEN size({th_c}) < {k} THEN "
+        f"array(xxhash64(concat_ws(' ', {toks_c}))) "
+        f"ELSE transform(sequence(0, size({th_c}) - {k}), i -> {shingle_at}) "
+        f"END"
     )
     return (
-        df.withColumn(toks_c, F.split(F.trim(F.col(text_col)), r"\s+"))
-        .withColumn(th_c, F.transform(F.col(toks_c), lambda t: F.xxhash64(t)))
-        .withColumn(out, F.array_distinct(hashes))
+        df.selectExpr("*", f"split(trim({tq}), '\\\\s+') AS {toks_c}")
+        .selectExpr("*", f"transform({toks_c}, t -> xxhash64(t)) AS {th_c}")
+        .selectExpr("*", "array_distinct(" + hashes + ") AS `" + out.replace("`", "``") + "`")
         .drop(toks_c, th_c)
     )
 
