@@ -31,10 +31,30 @@ rows are excluded from the phase means."""
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 from tempo_spark.functions.grid import grid6
+from tempo_spark.operators.indicators import _grid6_sql, _qn
+
+
+def _fmt_d(x: float) -> str:
+    """Shortest-round-trip SQL double literal (repr parses back to the
+    identical IEEE double; the ``D`` suffix pins DoubleType) — same
+    idiom as similarity/indicators (r12 plan-build discipline)."""
+    v = float(x)
+    if not math.isfinite(v):
+        raise ValueError(f"non-finite literal: {v!r}")
+    return repr(v) + "D"
+
+
+def _q6_sql(sql: str) -> str:
+    """``floor(x*1e6 + 0.5)/1e6`` over a SQL fragment — the RAW grid
+    quantize (no NaN guard; the guarded form is ``_grid6_sql``). Exactly
+    the Column tree ``F.floor(x * 1e6 + F.lit(0.5)) / F.lit(1e6)``."""
+    return f"floor(({sql}) * 1000000.0D + 0.5D) / 1000000.0D"
 
 
 def seasonal_strength(
@@ -154,65 +174,71 @@ def seasonal_decompose(
     if not keys:
         df = df.withColumn("__sd_g", F.lit(0))
         keys = ["__sd_g"]
-    series = [F.col(c) for c in keys]
-    order = [tsdf._exact_micros_order()]
-    if getattr(tsdf, "sequence_col", None):
-        order.append(F.col(tsdf.sequence_col))
-    w = Window.partitionBy(*series).orderBy(*order)
 
-    yq = F.floor(F.col(value_col).cast("double") * 1e6 + F.lit(0.5)) / F.lit(1e6)
-    ydec = F.col("__sd_y").cast("decimal(18,6)")
-    staged = df.withColumn("__sd_y", yq).withColumn(
-        "__sd_pos", F.row_number().over(w)
+    # r12 plan-build discipline: the window/detrend chain renders as a
+    # handful of parsed selectExpr batches instead of ~1,800 py4j round
+    # trips. Every fragment builds the SAME expression tree as the
+    # previous Column-API form (digest-pinned in tests/test_seasonal.py);
+    # the order expression is materialized once as `__sd_o` (the planner
+    # projected it as `_w0` below the Window anyway) and pruned after the
+    # window by Catalyst, then dropped from the output.
+    ov = (
+        "PARTITION BY " + ", ".join(_qn(k) for k in keys)
+        + " ORDER BY __sd_o ASC"
+    )
+    if getattr(tsdf, "sequence_col", None):
+        ov += ", " + _qn(tsdf.sequence_col) + " ASC"
+    staged = df.select(
+        "*",
+        tsdf._exact_micros_order().alias("__sd_o"),
+        F.expr(
+            _q6_sql(f"cast({_qn(value_col)} as double)") + " AS __sd_y"
+        ),
     )
 
     half = period // 2
+    ydec = "cast(__sd_y as decimal(18,6))"
+    wov = f"OVER ({ov})"
+    wfr = f"OVER ({ov} ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)"
     if trend_method == "median":
-        frame = w.rowsBetween(-half, half)
         need = period if period % 2 == 1 else period + 1
-        tcnt = F.count("__sd_y").over(frame)
-        rows_in = F.count(F.lit(1)).over(frame)
         # median/percentile are not frame-capable window aggregates in
         # Spark; `need` is always ODD and the guard pins exactly `need`
         # non-null values in frame, so the exact median is the middle
         # element of the sorted frame values (deterministic, replayable)
-        sorted_win = F.array_sort(F.collect_list("__sd_y").over(frame))
-        trend = F.when(
-            (rows_in == need) & (tcnt == need),
-            F.element_at(sorted_win, (need + 1) // 2),
+        trend_sql = (
+            f"CASE WHEN (count(1) {wfr}) = {need}"
+            f" AND (count(__sd_y) {wfr}) = {need}"
+            f" THEN element_at(array_sort(collect_list(__sd_y) {wfr}),"
+            f" {(need + 1) // 2}) END"
         )
     elif period % 2 == 1:
-        frame = w.rowsBetween(-half, half)
         need = period
         # NULL-poisoning: any null y in the frame nulls the trend (count
         # counts non-null rows, so a full-width frame with a null misses)
-        tsum = F.sum(ydec).over(frame)
-        tcnt = F.count("__sd_y").over(frame)
-        rows_in = F.count(F.lit(1)).over(frame)
-        trend = F.when(
-            (rows_in == need) & (tcnt == need),
-            tsum.cast("double") / F.lit(float(period)),
+        trend_sql = (
+            f"CASE WHEN (count(1) {wfr}) = {need}"
+            f" AND (count(__sd_y) {wfr}) = {need}"
+            f" THEN cast(sum({ydec}) {wfr} as double)"
+            f" / {_fmt_d(period)} END"
         )
     else:
         # 2×p MA: full window [-p/2, p/2], endpoints at half weight —
         # exact form: (sum − (first + last)/2) / p over p+1 rows
-        frame = w.rowsBetween(-half, half)
         need = period + 1
-        tsum = F.sum(ydec).over(frame)
-        tcnt = F.count("__sd_y").over(frame)
-        rows_in = F.count(F.lit(1)).over(frame)
-        lo = F.lag(ydec, half).over(w)
-        hi = F.lead(ydec, half).over(w)
-        trend = F.when(
-            (rows_in == need) & (tcnt == need),
-            (
-                (tsum - lo - hi).cast("double")
-                + (lo + hi).cast("double") / F.lit(2.0)
-            )
-            / F.lit(float(period)),
+        lo = f"lag({ydec}, {half}) {wov}"
+        hi = f"lead({ydec}, {half}) {wov}"
+        trend_sql = (
+            f"CASE WHEN (count(1) {wfr}) = {need}"
+            f" AND (count(__sd_y) {wfr}) = {need}"
+            f" THEN (cast(sum({ydec}) {wfr} - ({lo}) - ({hi}) as double)"
+            f" + cast(({lo}) + ({hi}) as double) / 2.0D)"
+            f" / {_fmt_d(period)} END"
         )
-    staged = staged.withColumn("trend", trend).withColumn(
-        "__sd_ph", F.pmod(F.col("__sd_pos") - 1, F.lit(period))
+    staged = staged.selectExpr(
+        "*",
+        f"row_number() {wov} AS __sd_pos",
+        trend_sql + " AS trend",
     )
     # detrended on the 1e-6 grid so the phase means are exact-decimal sums
     if mult:
@@ -223,29 +249,30 @@ def seasonal_decompose(
         # model is wrong for the series anyway; such rows yield NULL
         # components instead of exploding (|ratio| < 1e12 keeps every
         # downstream op in range).
-        ratio = F.col("__sd_y") / F.col("trend")
-        det_raw = F.when(
-            (F.col("trend") != 0) & (F.abs(ratio) < F.lit(1e12)), ratio
+        det_raw = (
+            "CASE WHEN (trend != 0)"
+            f" AND (abs(__sd_y / trend) < {_fmt_d(1e12)})"
+            " THEN __sd_y / trend END"
         )
     else:
-        det_raw = F.col("__sd_y") - F.col("trend")
-    det = F.floor(det_raw * 1e6 + F.lit(0.5)) / F.lit(1e6)
-    staged = staged.withColumn("__sd_det", det)
+        det_raw = "__sd_y - trend"
+    staged = staged.selectExpr(
+        "*",
+        f"pmod(__sd_pos - 1, {period}) AS __sd_ph",
+        _q6_sql(det_raw) + " AS __sd_det",
+    )
 
     pm = staged.groupBy(*keys, "__sd_ph").agg(
         F.sum(F.col("__sd_det").cast("decimal(18,6)")).alias("__sd_ds"),
         F.count("__sd_det").alias("__sd_dn"),
     )
     # phase mean on the grid (hardened), so the centering sum is exact too
-    pmq = F.when(
-        F.col("__sd_dn") > 0,
-        F.floor(
-            (F.col("__sd_ds").cast("double") / F.col("__sd_dn")) * 1e6
-            + F.lit(0.5)
-        )
-        / F.lit(1e6),
+    pm = pm.selectExpr(
+        "*",
+        "CASE WHEN __sd_dn > 0 THEN "
+        + _q6_sql("cast(__sd_ds as double) / __sd_dn")
+        + " END AS __sd_pm",
     )
-    pm = pm.withColumn("__sd_pm", pmq)
     # guard the division: a series too short for ANY trend has zero
     # non-null phase means (ANSI: count 0 would throw)
     center = pm.groupBy(*keys).agg(
@@ -292,22 +319,21 @@ def seasonal_decompose(
         "__sd_phr", *[f"__sd_k{i}" for i in range(len(keys))]
     )
     if mult:
-        resid_val = F.when(
-            F.col("__sd_y").isNotNull()
-            & F.col("trend").isNotNull()
-            & F.col("seasonal").isNotNull()
-            & (F.col("trend") * F.col("seasonal") != 0),
-            F.col("__sd_y") / (F.col("trend") * F.col("seasonal")),
+        resid_sql = (
+            "CASE WHEN __sd_y IS NOT NULL AND trend IS NOT NULL"
+            " AND seasonal IS NOT NULL AND (trend * seasonal != 0)"
+            " THEN __sd_y / (trend * seasonal) END"
         )
     else:
-        resid_val = F.when(
-            F.col("__sd_y").isNotNull()
-            & F.col("trend").isNotNull()
-            & F.col("seasonal").isNotNull(),
-            (F.col("__sd_y") - F.col("trend")) - F.col("seasonal"),
+        resid_sql = (
+            "CASE WHEN __sd_y IS NOT NULL AND trend IS NOT NULL"
+            " AND seasonal IS NOT NULL"
+            " THEN (__sd_y - trend) - seasonal END"
         )
-    out = out.withColumn("resid", resid_val)
-    return out.drop("__sd_y", "__sd_pos", "__sd_ph", "__sd_det", "__sd_g")
+    out = out.selectExpr("*", resid_sql + " AS resid")
+    return out.drop(
+        "__sd_y", "__sd_pos", "__sd_ph", "__sd_det", "__sd_g", "__sd_o"
+    )
 
 
 def seasonal_anomalies(
@@ -346,24 +372,32 @@ def seasonal_anomalies(
         raise ValueError(f"reserved output columns present: {clash}")
     dec = seasonal_decompose(tsdf, value_col, period, model, trend_method)
     keys = list(tsdf.series_ids)
-    wser = Window.partitionBy(*[F.col(c) for c in keys])
-    rq = grid6("resid")
-    staged = dec.withColumn("__sa_rq", rq)
-    rdec = F.col("__sa_rq").cast("decimal(18,6)")
-    cnt = F.count("__sa_rq").over(wser)
-    s = F.sum(rdec).over(wser).cast("double")
-    q = F.sum(rdec * rdec).over(wser).cast("double")
-    cntd = cnt.cast("double")
-    mean = s / cntd
-    var = (cntd * q - s * s) / (cntd * (cntd - F.lit(1.0)))
-    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
-    ok = F.col("__sa_rq").isNotNull() & (cnt >= 2)
-    zscore = F.when(ok & (sd > 0), (F.col("__sa_rq") - mean) / sd)
-    flag = F.when(
-        ok, F.abs(F.col("__sa_rq") - mean) > F.lit(float(z)) * sd
+    # r12: one parsed projection instead of the Column chain — identical
+    # expression tree (digest-pinned in tests/test_seasonal.py)
+    part = (
+        "PARTITION BY " + ", ".join(_qn(k) for k in keys) if keys else ""
     )
-    return (
-        staged.withColumn(out_z, zscore)
-        .withColumn(out_flag, flag)
-        .drop("__sa_rq")
+    wser = f"OVER ({part})"
+    staged = dec.selectExpr("*", _grid6_sql("resid") + " AS __sa_rq")
+    rdec = "cast(__sa_rq as decimal(18,6))"
+    cnt = f"count(__sa_rq) {wser}"
+    s = f"cast(sum({rdec}) {wser} as double)"
+    q = f"cast(sum({rdec} * {rdec}) {wser} as double)"
+    cntd = f"cast({cnt} as double)"
+    mean = f"{s} / {cntd}"
+    var = f"({cntd} * {q} - {s} * {s}) / ({cntd} * ({cntd} - 1.0D))"
+    sd = f"sqrt(greatest({var}, 0.0D))"
+    ok = f"__sa_rq IS NOT NULL AND ({cnt}) >= 2"
+    zscore = (
+        f"CASE WHEN ({ok}) AND ({sd} > 0)"
+        f" THEN (__sa_rq - ({mean})) / {sd} END"
     )
+    flag = (
+        f"CASE WHEN {ok}"
+        f" THEN abs(__sa_rq - ({mean})) > {_fmt_d(z)} * {sd} END"
+    )
+    return staged.selectExpr(
+        "*",
+        f"{zscore} AS {_qn(out_z)}",
+        f"{flag} AS {_qn(out_flag)}",
+    ).drop("__sa_rq")

@@ -315,3 +315,26 @@ class TestSeasonalAnomalies:
         t = TSDF(df, ts_col="ts", series_ids=[])
         rows = t.seasonal_anomalies("v", 3, z=3.0).orderBy("ts").collect()
         assert rows[15].is_anomaly is True
+
+    def test_sql_build_quoted_outputs_and_keys(self, spark):
+        # r12 one-parse plan build: output/series names with SQL
+        # metacharacters must round-trip through the quoted fragments
+        # and produce the same values as plain names.
+        vals = [float(i % 4) for i in range(24)]
+        vals[10] += 30.0
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                ("s", base + dt.timedelta(hours=i), v)
+                for i, v in enumerate(vals)
+            ],
+            "`key col` string, ts timestamp, v double",
+        )
+        t = TSDF(df, ts_col="ts", series_ids=["key col"])
+        odd = t.seasonal_anomalies(
+            "v", 4, out_flag="an`om", out_z="z score"
+        ).orderBy("ts").collect()
+        plain = t.seasonal_anomalies("v", 4).orderBy("ts").collect()
+        assert [r["an`om"] for r in odd] == [r.is_anomaly for r in plain]
+        assert [r["z score"] for r in odd] == [r.resid_z for r in plain]
+        assert plain[10].is_anomaly is True
