@@ -31,6 +31,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from tempo_spark.functions.grid import grid6
+from tempo_spark.operators.indicators import _grid6_sql, _qn
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal (C-style escapes, Spark's default literal
+    dialect) — used to carry metric-column NAMES as data in the
+    pairwise output."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 # Past this many lags the per-lag window form stops being the safe
 # default: each lag adds a window function (its own frame processor at
@@ -52,32 +60,37 @@ def _pearson_from_pairs(ex, group_cols, out_name: str) -> DataFrame:
     one kernel so the exactness-critical expression can't drift; this
     keeps the r11 pairwise matrix on the same single definition).
     ``ex`` holds (group_cols…, x, y) grid pairs; output is
-    (group_cols minus the no-keys sentinel…, n_pairs, out_name)."""
-    xd = F.col("x").cast("decimal(18,6)")
-    yd = F.col("y").cast("decimal(18,6)")
+    (group_cols minus the no-keys sentinel…, n_pairs, out_name).
+
+    r12 plan-build discipline: each fragment parses once and builds the
+    SAME expression tree as the former Column chain (~500 py4j round
+    trips) — values pinned by the acf/ccf/pairwise suites + the twap
+    gate tags."""
+    xd = "cast(x as decimal(18,6))"
+    yd = "cast(y as decimal(18,6))"
     agg = ex.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(xd).alias("__sx"),
-        F.sum(yd).alias("__sy"),
-        F.sum(xd * yd).alias("__sxy"),
-        F.sum(xd * xd).alias("__sxx"),
-        F.sum(yd * yd).alias("__syy"),
+        F.expr("count(1) AS n_pairs"),
+        F.expr(f"sum({xd}) AS __sx"),
+        F.expr(f"sum({yd}) AS __sy"),
+        F.expr(f"sum({xd} * {yd}) AS __sxy"),
+        F.expr(f"sum({xd} * {xd}) AS __sxx"),
+        F.expr(f"sum({yd} * {yd}) AS __syy"),
     )
-    n = F.col("n_pairs").cast("double")
-    sx = F.col("__sx").cast("double")
-    sy = F.col("__sy").cast("double")
-    sxy = F.col("__sxy").cast("double")
-    sxx = F.col("__sxx").cast("double")
-    syy = F.col("__syy").cast("double")
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    corr = F.when(
-        (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
-        (n * sxy - sx * sy) / F.sqrt(vx * vy),
+    n = "cast(n_pairs as double)"
+    sx = "cast(__sx as double)"
+    sy = "cast(__sy as double)"
+    sxy = "cast(__sxy as double)"
+    sxx = "cast(__sxx as double)"
+    syy = "cast(__syy as double)"
+    vx = f"({n} * {sxx} - {sx} * {sx})"
+    vy = f"({n} * {syy} - {sy} * {sy})"
+    corr = (
+        f"CASE WHEN n_pairs >= 2 AND {vx} > 0 AND {vy} > 0"
+        f" THEN ({n} * {sxy} - {sx} * {sy}) / sqrt({vx} * {vy}) END"
     )
-    return agg.select(
-        *[c for c in group_cols if c != "__ac_g"], "n_pairs",
-        corr.alias(out_name),
+    return agg.selectExpr(
+        *[_qn(c) for c in group_cols if c != "__ac_g"], "n_pairs",
+        f"{corr} AS {_qn(out_name)}",
     )
 
 
@@ -103,53 +116,74 @@ def _lagged_corr(
         keys = ["__ac_g"]
     _grid = grid6
 
-    order = [tsdf._exact_micros_order()]
-    if getattr(tsdf, "sequence_col", None):
-        order.append(F.col(tsdf.sequence_col))
-    # content-hash tiebreak: rows tied on (ts[, seq]) would otherwise get
-    # run-dependent positions — fatal for the join strategy, whose two
-    # scans re-evaluate row_number independently (tied rows could land at
-    # pos 5 in one scan and 6 in the other, misaligning every pair). A
-    # hash of the value grids makes the order total over DISTINCT rows;
-    # rows identical in (keys, ts, x, y) stay interchangeable, so any
-    # assignment yields the same pair multiset. Applied to BOTH strategies
-    # so they stay pinned equal under ties.
-    order.append(F.xxhash64(_grid(x_col), _grid(y_col)))
-    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(*order)
-
+    # content-hash tiebreak (both strategies): rows tied on (ts[, seq])
+    # would otherwise get run-dependent positions — fatal for the join
+    # strategy, whose two scans re-evaluate row_number independently
+    # (tied rows could land at pos 5 in one scan and 6 in the other,
+    # misaligning every pair). A hash of the value grids makes the order
+    # total over DISTINCT rows; rows identical in (keys, ts, x, y) stay
+    # interchangeable, so any assignment yields the same pair multiset.
     use_window = (
         strategy == "window"
         or (strategy == "auto" and len(lag_list) <= LAG_WINDOW_MAX)
     )
     if use_window:
-        yg = _grid(y_col)
-        # every shifted column in ONE select (single Project to analyze)
-        shifted = [
-            (
-                F.lead(yg, lag).over(w) if lag >= 0 else F.lag(yg, -lag).over(w)
-            ).alias(f"__ac_y_{'m' if lag < 0 else ''}{abs(lag)}")
-            for lag in lag_list
+        # r12 one-parse plan build (the seasonal.py idiom): the order
+        # expressions materialize once as __ac_o/__ac_h (Catalyst
+        # projects window order keys below the Window anyway and prunes
+        # them after), the y grid once as __ac_yg (the former form
+        # re-evaluated grid6(y) inside every lead/lag), and every
+        # shifted column parses in ONE selectExpr. Values are pinned by
+        # the acf/ccf suites + the twap gate tags.
+        ob = ["__ac_o ASC"]
+        if getattr(tsdf, "sequence_col", None):
+            ob.append(_qn(tsdf.sequence_col) + " ASC")
+        ob.append("__ac_h ASC")
+        ov = (
+            "OVER (PARTITION BY "
+            + ", ".join(_qn(k) for k in keys)
+            + " ORDER BY " + ", ".join(ob) + ")"
+        )
+        staged = df.select(
+            "*",
+            tsdf._exact_micros_order().alias("__ac_o"),
+            F.expr(
+                f"xxhash64({_grid6_sql(x_col)}, {_grid6_sql(y_col)})"
+                " AS __ac_h"
+            ),
+            F.expr(f"{_grid6_sql(y_col)} AS __ac_yg"),
+        )
+        names = [
+            f"__ac_y_{'m' if lag < 0 else ''}{abs(lag)}" for lag in lag_list
         ]
-        staged = df.select(*keys, _grid(x_col).alias("__ac_x"), *shifted)
-        pairs_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(lag).alias("lag"),
-                    F.col(
-                        f"__ac_y_{'m' if lag < 0 else ''}{abs(lag)}"
-                    ).alias("y"),
-                )
-                for lag in lag_list
-            ]
+        shifted = [
+            f"{'lead' if lag >= 0 else 'lag'}(__ac_yg, {abs(lag)}) {ov}"
+            f" AS {nm}"
+            for lag, nm in zip(lag_list, names)
+        ]
+        staged = staged.selectExpr(
+            *[_qn(k) for k in keys],
+            f"{_grid6_sql(x_col)} AS __ac_x",
+            *shifted,
+        )
+        structs = ", ".join(
+            f"struct({lag} AS lag, {nm} AS y)"
+            for lag, nm in zip(lag_list, names)
         )
         ex = (
             staged.select(*keys, F.col("__ac_x").alias("x"),
-                          F.explode(pairs_arr).alias("p"))
-            .select(*keys, F.col("p.lag").alias("lag"), "x",
-                    F.col("p.y").alias("y"))
-            .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+                          F.expr(f"explode(array({structs}))").alias("p"))
+            .selectExpr(
+                *[_qn(k) for k in keys], "p.lag AS lag", "x", "p.y AS y"
+            )
+            .where(F.expr("(x IS NOT NULL) AND (y IS NOT NULL)"))
         )
     else:
+        order = [tsdf._exact_micros_order()]
+        if getattr(tsdf, "sequence_col", None):
+            order.append(F.col(tsdf.sequence_col))
+        order.append(F.xxhash64(_grid(x_col), _grid(y_col)))
+        w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(*order)
         # wide lag sweep: pair rows by a position self-join — the lag
         # table broadcasts, the join is an equi-join on
         # (series, pos + lag), and the plan does not grow with the sweep
@@ -249,28 +283,23 @@ def pairwise_corr(tsdf, metric_cols) -> DataFrame:
         df = df.withColumn("__ac_g", F.lit(0))
         keys = ["__ac_g"]
 
-    _grid = grid6
-
     pairs = [
         (cols[i], cols[j])
         for i in range(len(cols))
         for j in range(i + 1, len(cols))
     ]
-    pairs_arr = F.array(
-        *[
-            F.struct(
-                F.lit(a).alias("x_col"),
-                F.lit(b).alias("y_col"),
-                _grid(a).alias("x"),
-                _grid(b).alias("y"),
-            )
-            for a, b in pairs
-        ]
+    # r12 one-parse plan build: P structs (each carrying the pair names
+    # as string literals + both value grids) parse as ONE expression
+    # instead of ~150 py4j round trips per pair
+    structs = ", ".join(
+        f"struct({_sql_str(a)} AS x_col, {_sql_str(b)} AS y_col,"
+        f" {_grid6_sql(a)} AS x, {_grid6_sql(b)} AS y)"
+        for a, b in pairs
     )
     ex = (
-        df.select(*keys, F.explode(pairs_arr).alias("p"))
+        df.select(*keys, F.expr(f"explode(array({structs}))").alias("p"))
         .select(*keys, "p.x_col", "p.y_col", "p.x", "p.y")
-        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .where(F.expr("(x IS NOT NULL) AND (y IS NOT NULL)"))
     )
     return _pearson_from_pairs(ex, keys + ["x_col", "y_col"], "corr")
 

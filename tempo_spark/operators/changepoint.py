@@ -41,56 +41,67 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from tempo_spark.functions.grid import grid6
+from tempo_spark.operators.indicators import _qn
 
 
 def _best_splits(tsdf, base: DataFrame, keys, part_cols) -> DataFrame:
     """Best mean-shift split per ``part_cols`` group of ``base`` (which
     carries a non-null ``__cp_y`` grid column): one row per group with
     (part_cols…, split_ts, n_left, n, mean_left, mean_right, score)."""
-    series = [F.col(c) for c in part_cols]
-    order = [tsdf._exact_micros_order()]
+    # r12 one-parse plan build (the seasonal/acf idiom): the order
+    # expressions materialize once as __cp_o/__cp_h (Catalyst projects
+    # window order keys below the Window anyway and prunes them after),
+    # and every window/score fragment parses in one batch instead of
+    # ~1,100 py4j round trips per round. Values pinned by the
+    # changepoint suite + the twap cpt/cpt_nl gate tags.
+    part = ", ".join(_qn(c) for c in part_cols)
+    ob = ["__cp_o ASC"]
     if getattr(tsdf, "sequence_col", None):
-        order.append(F.col(tsdf.sequence_col))
-    order.append(F.xxhash64(F.col("__cp_y")))
-    w = Window.partitionBy(*series).orderBy(*order)
-    wall = Window.partitionBy(*series)
-
-    ydec = F.col("__cp_y").cast("decimal(18,6)")
+        ob.append(_qn(tsdf.sequence_col) + " ASC")
+    ob.append("__cp_h ASC")
+    ov = f"PARTITION BY {part} ORDER BY {', '.join(ob)}"
+    wov = f"OVER ({ov})"
+    wfr = f"OVER ({ov} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    wall = f"OVER (PARTITION BY {part})"
     staged = base.select(
-        *part_cols,
-        F.col(tsdf.ts_col),
-        F.row_number().over(w).alias("__cp_k"),
-        F.sum(ydec).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("__cp_s"),
-        F.sum(ydec).over(wall).alias("__cp_tot"),
-        F.count(F.lit(1)).over(wall).alias("__cp_n"),
+        "*",
+        tsdf._exact_micros_order().alias("__cp_o"),
+        F.expr("xxhash64(__cp_y) AS __cp_h"),
     )
-    k = F.col("__cp_k").cast("double")
-    n = F.col("__cp_n").cast("double")
-    nr = (F.col("__cp_n") - F.col("__cp_k")).cast("double")
-    sl = F.col("__cp_s").cast("double")
-    sr = (F.col("__cp_tot") - F.col("__cp_s")).cast("double")
-    ml = sl / k
-    mr = sr / nr
-    d = ml - mr
-    score = (k * nr / n) * (d * d)
-    scored = staged.where(F.col("__cp_k") < F.col("__cp_n")).select(
-        *part_cols,
-        F.col(tsdf.ts_col).alias("split_ts"),
-        F.col("__cp_k").alias("n_left"),
-        F.col("__cp_n").alias("n"),
-        ml.alias("mean_left"),
-        mr.alias("mean_right"),
-        score.alias("score"),
+    ydec = "cast(__cp_y as decimal(18,6))"
+    staged = staged.selectExpr(
+        *[_qn(c) for c in part_cols],
+        _qn(tsdf.ts_col),
+        f"row_number() {wov} AS __cp_k",
+        f"sum({ydec}) {wfr} AS __cp_s",
+        f"sum({ydec}) {wall} AS __cp_tot",
+        f"count(1) {wall} AS __cp_n",
     )
-    pick = Window.partitionBy(*series).orderBy(
-        F.col("score").desc_nulls_last(), F.col("split_ts").asc(),
-        F.col("n_left").asc(),
+    k = "cast(__cp_k as double)"
+    n = "cast(__cp_n as double)"
+    nr = "cast(__cp_n - __cp_k as double)"
+    sl = "cast(__cp_s as double)"
+    sr = "cast(__cp_tot - __cp_s as double)"
+    ml = f"{sl} / {k}"
+    mr = f"{sr} / {nr}"
+    d = f"({ml} - {mr})"
+    score = f"({k} * {nr} / {n}) * ({d} * {d})"
+    scored = staged.where("__cp_k < __cp_n").selectExpr(
+        *[_qn(c) for c in part_cols],
+        f"{_qn(tsdf.ts_col)} AS split_ts",
+        "__cp_k AS n_left",
+        "__cp_n AS n",
+        f"{ml} AS mean_left",
+        f"{mr} AS mean_right",
+        f"{score} AS score",
+    )
+    pick = (
+        f"OVER (PARTITION BY {part} ORDER BY"
+        " score DESC NULLS LAST, split_ts ASC, n_left ASC)"
     )
     return (
-        scored.withColumn("__cp_r", F.row_number().over(pick))
-        .where(F.col("__cp_r") == 1)
+        scored.selectExpr("*", f"row_number() {pick} AS __cp_r")
+        .where("__cp_r = 1")
         .drop("__cp_r")
     )
 

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 
 from tempo_spark.functions.freq import parse_freq
 from tempo_spark.functions.grid import grid6
+from tempo_spark.operators.indicators import _grid6_sql, _qn
 
 def _step_micros(freq: str) -> int:
     """Exact integer micros per step, derived from freq._UNITS (the one
@@ -344,27 +345,34 @@ def forecast_ets(
     if not keys:
         df = df.withColumn("__fc_g", F.lit(0))
         keys = ["__fc_g"]
+    # r12 one-parse plan build (the seasonal/acf idiom): the scaffolding
+    # around the (already one-parse) weight sums cost ~700 py4j round
+    # trips per call; every fragment below builds the same tree as the
+    # former Column chain (values pinned by the forecast suite + the
+    # ema fc_* gate tags)
     micros = tsdf._exact_micros_order()
     base = df.select(
-        *keys, micros.alias("__fc_us"), grid6(value_col).alias("__fc_y")
-    ).where(F.col("__fc_y").isNotNull())
+        "*", micros.alias("__fc_us")
+    ).selectExpr(
+        *[_qn(k) for k in keys], "__fc_us",
+        f"{_grid6_sql(value_col)} AS __fc_y",
+    ).where("__fc_y IS NOT NULL")
 
-    from pyspark.sql import Window
-
-    ord_struct = F.struct(
-        F.col("__fc_us").alias("us"), F.col("__fc_y").alias("y")
-    )
-    wdesc = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(
-        F.col("__fc_us").desc()
-    )
+    qkeys = ", ".join(_qn(k) for k in keys)
+    ord_struct = "struct(__fc_us AS us, __fc_y AS y)"
     per = (
-        base.withColumn("__fc_rd", F.row_number().over(wdesc))
+        base.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY " + qkeys
+            + " ORDER BY __fc_us DESC) AS __fc_rd",
+        )
         .groupBy(*keys)
         .agg(
-            F.max(ord_struct).alias("__fc_last"),
-            F.array_sort(
-                F.collect_list(F.when(F.col("__fc_rd") <= W, ord_struct))
-            ).alias("__fc_tail"),
+            F.expr(f"max({ord_struct}) AS __fc_last"),
+            F.expr(
+                f"array_sort(collect_list(CASE WHEN __fc_rd <= {W}"
+                f" THEN {ord_struct} END)) AS __fc_tail"
+            ),
         )
     )
 
@@ -384,8 +392,7 @@ def forecast_ets(
     )
     sum_cols = list(sum_exprs)
 
-    h = F.col("h")
-    yhat = F.col("__fc_L")
+    yhat = "__fc_L"
     if method in ("holt", "hw_add"):
         if phi is not None:
             # left-fold partial sums, identical literals both engines
@@ -394,34 +401,33 @@ def forecast_ets(
                 p *= phi
                 acc += p
                 sums.append(acc)
-            damp = F.element_at(
-                F.expr(
-                    "array(" + ",".join(repr(float(v)) + "D" for v in sums) + ")"
-                ),
-                h.cast("int"),
+            damp = (
+                "element_at(array("
+                + ",".join(repr(float(v)) + "D" for v in sums)
+                + "), cast(h as int))"
             )
-            yhat = yhat + damp * F.col("__fc_B")
+            yhat = f"{yhat} + {damp} * __fc_B"
         else:
-            yhat = yhat + h.cast("double") * F.col("__fc_B")
+            yhat = f"{yhat} + cast(h as double) * __fc_B"
     if method == "hw_add":
         m = int(period)
-        s_sel = F.element_at(
-            F.expr("array(" + ",".join(f"__fc_S{j}" for j in range(m)) + ")"),
-            (F.pmod(F.lit(W) + h - 1, F.lit(m)) + 1).cast("int"),
+        s_sel = (
+            "element_at(array("
+            + ",".join(f"__fc_S{j}" for j in range(m))
+            + f"), cast(pmod({W} + h - 1, {m}) + 1 as int))"
         )
-        yhat = yhat + s_sel
+        yhat = f"{yhat} + {s_sel}"
     return (
         staged.select(
             *keys, "__fc_last", *sum_cols,
-            F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("h"),
+            F.expr(f"explode(sequence(1, {int(horizon)}))").alias("h"),
         )
-        .select(
-            *[c for c in keys if c != "__fc_g"],
+        .selectExpr(
+            *[_qn(c) for c in keys if c != "__fc_g"],
             "h",
-            F.timestamp_micros(
-                F.col("__fc_last.us")
-                + h.cast("long") * F.lit(int(step_micros))
-            ).alias(tsdf.ts_col),
-            yhat.alias("yhat"),
+            "timestamp_micros(__fc_last.us"
+            f" + cast(h as long) * {int(step_micros)})"
+            f" AS {_qn(tsdf.ts_col)}",
+            f"{yhat} AS yhat",
         )
     )

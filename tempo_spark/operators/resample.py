@@ -286,35 +286,47 @@ def calc_bars(
     series, ts = list(tsdf.series_ids), tsdf.ts_col
     bucket = _bucket_start(ts, f.window_duration)
 
-    order_cols = [F.col(ts).alias("__ts")]
+    # r12 one-parse plan build (the seasonal/acf idiom): the packed
+    # struct, the per-metric min/max aggregates and the unpack
+    # projection parse in single batches instead of ~1,000 py4j round
+    # trips (same trees as the former Column chain; values pinned by
+    # the resample suite + the ohlc_bars gate entry)
+    from tempo_spark.operators.indicators import _qn
+
+    order_cols = [f"{_qn(ts)} AS __ts"]
     if tsdf.sequence_col:
-        order_cols.append(F.col(tsdf.sequence_col).alias("__seq"))
-    packed = F.struct(*order_cols, *[F.col(c).alias(c) for c in metric_cols])
+        order_cols.append(f"{_qn(tsdf.sequence_col)} AS __seq")
+    packed = "struct(" + ", ".join(
+        order_cols + [f"{_qn(c)} AS {_qn(c)}" for c in metric_cols]
+    ) + ")"
 
     aggs: list[Column] = [
-        F.min(packed).alias("__first"),
-        F.max(packed).alias("__last"),
+        F.expr(f"min({packed}) AS __first"),
+        F.expr(f"max({packed}) AS __last"),
     ]
     for c in metric_cols:
-        aggs.append(F.min(F.col(c)).alias(f"low_{c}"))
-        aggs.append(F.max(F.col(c)).alias(f"high_{c}"))
+        aggs.append(F.expr(f"min({_qn(c)}) AS {_qn('low_' + c)}"))
+        aggs.append(F.expr(f"max({_qn(c)}) AS {_qn('high_' + c)}"))
 
     # no automatic fill repartition — see the negative-result note in
     # resample()
     agged = tsdf.df.groupBy(*series, bucket.alias(ts)).agg(*aggs)
-    sel = [*series, ts]
     out_cols = []
     for c in metric_cols:
         out_cols += [
-            F.col("__first").getField(c).alias(f"open_{c}"),
-            F.col(f"low_{c}"),
-            F.col(f"high_{c}"),
-            F.col("__last").getField(c).alias(f"close_{c}"),
+            f"__first.{_qn(c)} AS {_qn('open_' + c)}",
+            _qn(f"low_{c}"),
+            _qn(f"high_{c}"),
+            f"__last.{_qn(c)} AS {_qn('close_' + c)}",
         ]
-    out = agged.select(*sel, *out_cols)
+    out = agged.selectExpr(
+        *[_qn(s) for s in series], _qn(ts), *out_cols
+    )
     # deterministic column order: series, ts, then sorted bar columns
     bar_names = sorted([f"{p}_{c}" for c in metric_cols for p in ("open", "low", "high", "close")])
-    out = out.select(*series, ts, *bar_names)
+    out = out.selectExpr(
+        *[_qn(s) for s in series], _qn(ts), *[_qn(b) for b in bar_names]
+    )
 
     if fill:
         out = _upsample_fill(out, ts, series, f, bar_names)

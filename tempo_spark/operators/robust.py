@@ -20,6 +20,17 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from tempo_spark.functions.grid import grid6
+from tempo_spark.operators.indicators import _grid6_sql, _qn
+
+
+def _fmt_d(x: float) -> str:
+    """Shortest-round-trip SQL double literal (repr parses back to the
+    identical IEEE double; ``D`` pins DoubleType) — the seasonal.py
+    idiom."""
+    v = float(x)
+    if not (v == v and abs(v) != float("inf")):
+        raise ValueError(f"non-finite literal: {x!r}")
+    return repr(v) + "D"
 
 
 def with_drawdown(
@@ -37,24 +48,28 @@ def with_drawdown(
         raise ValueError(f"reserved output columns present: {clash}")
     df = tsdf.df
     keys = list(tsdf.series_ids)
-    series = [F.col(c) for c in keys] if keys else [F.lit(0)]
-    order = [tsdf._exact_micros_order()]
+    # r12 one-parse plan build (the seasonal/acf idiom): the order
+    # expression materializes once as __rb_o (projected below the Window
+    # by Catalyst anyway, pruned after), the three outputs parse in one
+    # batch. Values pinned by the drawdown suite + the ema dd gate tag.
+    part = ", ".join(_qn(c) for c in keys) if keys else "0"
+    ob = ["__rb_o ASC"]
     if getattr(tsdf, "sequence_col", None):
-        order.append(F.col(tsdf.sequence_col))
-    w = (
-        Window.partitionBy(*series)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ob.append(_qn(tsdf.sequence_col) + " ASC")
+    wfr = (
+        f"OVER (PARTITION BY {part} ORDER BY {', '.join(ob)}"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    yq = grid6(value_col)
-    peak = F.max(yq).over(w)
-    dd = peak - yq
-    pct = F.when(peak != 0, dd / peak)
-    return (
-        df.withColumn("peak", peak)
-        .withColumn(out, dd)
-        .withColumn(out_pct, pct)
-    )
+    yq = _grid6_sql(value_col)
+    peak = f"max({yq}) {wfr}"
+    staged = df.select("*", tsdf._exact_micros_order().alias("__rb_o"))
+    return staged.selectExpr(
+        "*",
+        f"{peak} AS peak",
+        f"{peak} - {yq} AS {_qn(out)}",
+        f"CASE WHEN {peak} != 0"
+        f" THEN ({peak} - {yq}) / ({peak}) END AS {_qn(out_pct)}",
+    ).drop("__rb_o")
 
 
 def winsorize(
@@ -81,24 +96,23 @@ def winsorize(
         raise ValueError(f"reserved staging columns present: {clash}")
     df = tsdf.df
     keys = list(tsdf.series_ids)
-    vd = F.col(value_col).cast("double")
     # NaN behaves like NULL (the r9 "NaN > everything" class): excluded
     # from the percentile fit (Spark sorts NaN above every real value, so
     # one NaN would drag the upper bound to NaN and disable clipping) and
-    # NaN inputs emit NULL instead of a fabricated clipped value
-    v = F.when(vd.isNotNull() & ~F.isnan(vd), vd)
+    # NaN inputs emit NULL instead of a fabricated clipped value.
+    # r12 one-parse plan build: the guard/percentile/clip fragments parse
+    # in single batches (same trees as the former Column chain; values
+    # pinned by the winsorize suite + the ema wz gate tag).
+    d = f"cast({_qn(value_col)} as double)"
+    v = f"(CASE WHEN {d} IS NOT NULL AND NOT isnan({d}) THEN {d} END)"
+    lo_agg = F.expr(f"percentile({v}, {_fmt_d(lower)}) AS __wz_lo")
+    hi_agg = F.expr(f"percentile({v}, {_fmt_d(upper)}) AS __wz_hi")
     if not keys:
         # global percentiles via a windowless aggregate broadcast back
-        bounds = df.agg(
-            F.percentile(v, F.lit(float(lower))).alias("__wz_lo"),
-            F.percentile(v, F.lit(float(upper))).alias("__wz_hi"),
-        )
+        bounds = df.agg(lo_agg, hi_agg)
         joined = df.crossJoin(F.broadcast(bounds))
     else:
-        bounds = df.groupBy(*keys).agg(
-            F.percentile(v, F.lit(float(lower))).alias("__wz_lo"),
-            F.percentile(v, F.lit(float(upper))).alias("__wz_hi"),
-        )
+        bounds = df.groupBy(*keys).agg(lo_agg, hi_agg)
         renamed = bounds.select(
             *[F.col(k).alias(f"__wz_k{i}") for i, k in enumerate(keys)],
             "__wz_lo", "__wz_hi",
@@ -110,11 +124,11 @@ def winsorize(
         joined = df.join(F.broadcast(renamed), cond, "left").drop(
             *[f"__wz_k{i}" for i in range(len(keys))]
         )
-    clipped = F.when(
-        v.isNotNull(),
-        F.least(F.greatest(v, F.col("__wz_lo")), F.col("__wz_hi")),
-    )
-    return joined.withColumn(out, clipped).drop("__wz_lo", "__wz_hi")
+    return joined.selectExpr(
+        "*",
+        f"CASE WHEN {v} IS NOT NULL"
+        f" THEN least(greatest({v}, __wz_lo), __wz_hi) END AS {_qn(out)}",
+    ).drop("__wz_lo", "__wz_hi")
 
 
 # plan-build budget for the per-count CASE chain (the round-4 >30-Columns

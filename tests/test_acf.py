@@ -376,3 +376,43 @@ def F_lit_onehalf():
     import pyspark.sql.functions as F
 
     return F.lit(0.5)
+
+
+class TestSqlBuildQuoting:
+    """r12 one-parse plan build: series/metric/output names with SQL
+    metacharacters must round-trip through the quoted fragments and
+    produce the same values as plain names (both _lagged_corr's window
+    path and pairwise_corr render SQL text now)."""
+
+    def test_quoted_names_match_plain(self, spark):
+        import pyspark.sql.functions as F
+
+        df = _mk(spark, [1, 4, 2, 8, 5, 7, None, 3, 6, 9])
+        df = df.withColumn("w", F.col("v") * 2 + 1)
+        t_plain = TSDF(df, ts_col="ts", series_ids=["sym"])
+        odd = (
+            df.withColumnRenamed("sym", "key col")
+            .withColumnRenamed("v", "va`l")
+            .withColumnRenamed("w", "w's")
+        )
+        t_odd = TSDF(odd, ts_col="ts", series_ids=["key col"])
+
+        a = t_plain.autocorr("v", 3).orderBy("lag").collect()
+        b = t_odd.autocorr("va`l", 3).orderBy("lag").collect()
+        assert [(r.lag, r.n_pairs, r.acf) for r in a] == [
+            (r.lag, r.n_pairs, r.acf) for r in b
+        ]
+
+        ca = t_plain.crossCorr("v", "w", 2).orderBy("lag").collect()
+        cb = t_odd.crossCorr("va`l", "w's", 2).orderBy("lag").collect()
+        assert [(r.lag, r.n_pairs, r.ccf) for r in ca] == [
+            (r.lag, r.n_pairs, r.ccf) for r in cb
+        ]
+
+        pa = t_plain.pairwiseCorr(["v", "w"]).collect()
+        pb = t_odd.pairwiseCorr(["va`l", "w's"]).collect()
+        assert [(r.n_pairs, r.corr) for r in pa] == [
+            (r.n_pairs, r.corr) for r in pb
+        ]
+        # the name-carrying literals survive quoting/escaping
+        assert (pb[0].x_col, pb[0].y_col) == ("va`l", "w's")

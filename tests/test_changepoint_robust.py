@@ -365,3 +365,34 @@ class TestReviewRegressionsR11:
         got = [r.g for r in df.select(grid6("v").alias("g")).collect()]
         assert got == [1.234568, None, None, -2.0]  # floor(x*1e6+.5)/1e6
         assert df.select(grid6(F.col("v") * 2).alias("g")).count() == 4
+
+
+class TestSqlBuildQuoting:
+    """r12 one-parse plan build: names with SQL metacharacters must
+    round-trip through the quoted fragments (changepoint/_best_splits,
+    with_drawdown, winsorize all render SQL text now)."""
+
+    def test_quoted_names_match_plain(self, spark):
+        vals = [1, 1, 2, 1, 9, 9, 8, 9, 1, 2, 1, 1]
+        df = _mk(spark, vals)
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        odd = df.withColumnRenamed("sym", "key col").withColumnRenamed(
+            "v", "va'l"
+        )
+        to = TSDF(odd, ts_col="ts", series_ids=["key col"])
+
+        a = t.changepoints("v", rounds=2).orderBy("segment_id").collect()
+        b = to.changepoints("va'l", rounds=2).orderBy("segment_id").collect()
+        key = lambda r: (r.round, r.segment_id, r.split_ts, r.n_left,
+                         r.n, r.mean_left, r.mean_right, r.score)
+        assert [key(r) for r in a] == [key(r) for r in b]
+
+        da = t.withDrawdown("v", out="dd x", out_pct="p`ct").df
+        db = to.withDrawdown("va'l").df
+        ra = [(r.peak, r["dd x"], r["p`ct"]) for r in da.orderBy("ts").collect()]
+        rb = [(r.peak, r.drawdown, r.drawdown_pct) for r in db.orderBy("ts").collect()]
+        assert ra == rb
+
+        wa = t.winsorize("v", 0.1, 0.9, out="w z").df.orderBy("ts").collect()
+        wb = to.winsorize("va'l", 0.1, 0.9).df.orderBy("ts").collect()
+        assert [r["w z"] for r in wa] == [r["va'l_wz"] for r in wb]
