@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame
 
 from tempo_spark.pipeline.dedup import md5_32
 from tempo_spark.pipeline.sampling import _key_hash
-from tempo_spark.pipeline.text import tokens_col
+from tempo_spark.pipeline.text import _qn, _tokens_sql, tokens_col
 
 
 def _gram_hash(gram: Column, hash_family: str) -> Column:
@@ -43,6 +43,19 @@ def _gram_hash(gram: Column, hash_family: str) -> Column:
         return md5_32(gram)
     if hash_family == "xxhash64":
         return F.xxhash64(gram)
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
+def _gram_hash_sql(gram_sql: str, hash_family: str) -> str:
+    """SQL text of :func:`_gram_hash` — the identical expression (r12
+    one-parse plan build; md5_32's tree is pinned by the dedup suite)."""
+    if hash_family == "md5_32":
+        return (
+            f"cast(conv(substring(md5(cast({gram_sql} as binary)), 1, 8),"
+            " 16, 10) as long)"
+        )
+    if hash_family == "xxhash64":
+        return f"xxhash64({gram_sql})"
     raise ValueError(f"unknown hash_family {hash_family!r}")
 
 
@@ -65,43 +78,48 @@ def _gram_rows(
     starts — gram strings identical to the old array build."""
     if not ngrams or any(n not in (1, 2) for n in ngrams):
         raise ValueError(f"ngrams must be a subset of (1, 2), got {ngrams!r}")
-    staged = df.select(
-        *keep_cols, tokens_col(F.lower(F.col(text_col))).alias("__dsir_t")
+    # r12 one-parse plan build: each fragment parses once and builds the
+    # SAME tree as the former Column chain (values pinned by the dsir
+    # suite + the quality_score dsir gate tag)
+    kq = [_qn(c) for c in keep_cols]
+    staged = df.selectExpr(
+        *kq, f"{_tokens_sql(f'lower({_qn(text_col)})')} AS __dsir_t"
     )
-    t = F.col("__dsir_t")
-    n_uni = F.size(t) if 1 in ngrams else F.lit(0)
+    n_uni = "size(__dsir_t)" if 1 in ngrams else "0"
     n_bi = (
-        F.greatest(F.size(t) - F.lit(1), F.lit(0)) if 2 in ngrams else F.lit(0)
+        "greatest(size(__dsir_t) - 1, 0)" if 2 in ngrams else "0"
     )
-    total = n_uni + n_bi
+    total = f"{n_uni} + {n_bi}"
     # explode_outer + post-Generate isNotNull (the pushdown trap — see
-    # ngram_contamination); the when() guard avoids sequence(1, 0)'s
+    # ngram_contamination); the CASE guard avoids sequence(1, 0)'s
     # DESCENDING [1, 0] on gram-less docs
     pos_rows = (
         staged.select(
             *keep_cols,
-            t,
-            F.explode_outer(
-                F.when(total >= 1, F.sequence(F.lit(1), total))
+            F.col("__dsir_t"),
+            F.expr(
+                f"explode_outer(CASE WHEN {total} >= 1"
+                f" THEN sequence(1, {total}) END)"
             ).alias("__dsir_pos"),
         )
-        .where(F.col("__dsir_pos").isNotNull())
+        .where("__dsir_pos IS NOT NULL")
     )
-    p = F.col("__dsir_pos")
     if 1 in ngrams and 2 in ngrams:
-        nu = F.size(t)
-        gram = F.when(p <= nu, F.element_at(t, p)).otherwise(
-            F.concat_ws(
-                " ", F.element_at(t, p - nu), F.element_at(t, p - nu + F.lit(1))
-            )
+        gram = (
+            "CASE WHEN __dsir_pos <= size(__dsir_t)"
+            " THEN element_at(__dsir_t, __dsir_pos)"
+            " ELSE concat_ws(' ',"
+            " element_at(__dsir_t, __dsir_pos - size(__dsir_t)),"
+            " element_at(__dsir_t, __dsir_pos - size(__dsir_t) + 1)) END"
         )
     elif 1 in ngrams:
-        gram = F.element_at(t, p)
+        gram = "element_at(__dsir_t, __dsir_pos)"
     else:
-        gram = F.concat_ws(
-            " ", F.element_at(t, p), F.element_at(t, p + F.lit(1))
+        gram = (
+            "concat_ws(' ', element_at(__dsir_t, __dsir_pos),"
+            " element_at(__dsir_t, __dsir_pos + 1))"
         )
-    return pos_rows.select(*keep_cols, gram.alias("__dsir_g"))
+    return pos_rows.selectExpr(*kq, f"{gram} AS __dsir_g")
 
 
 def _gram_bucket_rows(
@@ -115,11 +133,10 @@ def _gram_bucket_rows(
     """:func:`_gram_rows` bucketed by a literal modulus (fit side)."""
     if buckets <= 0:
         raise ValueError("buckets must be positive")
-    return _gram_rows(df, text_col, ngrams, keep_cols).select(
-        *keep_cols,
-        F.pmod(
-            _gram_hash(F.col("__dsir_g"), hash_family), F.lit(buckets)
-        ).alias("__b"),
+    return _gram_rows(df, text_col, ngrams, keep_cols).selectExpr(
+        *[_qn(c) for c in keep_cols],
+        f"pmod({_gram_hash_sql('__dsir_g', hash_family)}, {int(buckets)})"
+        " AS __b",
     )
 
 
@@ -170,37 +187,37 @@ def dsir_logratio(
     # ONE evaluation of each fit lineage (an agg + crossJoin would run
     # every fit twice: once for the totals, once for the join side). The
     # single-partition window is fine: the table is ≤ buckets rows.
-    w = Window.partitionBy()
-    tt = F.coalesce(F.sum("__ct").over(w), F.lit(0))
-    tr = F.coalesce(F.sum("__cr").over(w), F.lit(0))
-    mt = F.max("__mt").over(w)
-    mr = F.max("__mr").over(w)
-    staged = joined.select(
+    # r12 one-parse plan build: the empty-partition window totals, the
+    # assert_true fence and the smoothed log-ratio arithmetic parse in
+    # single batches (same trees as the former Column chain; values
+    # pinned by the dsir suite + the quality_score dsir gate tag)
+    staged = joined.selectExpr(
         "__b", "__ct", "__cr",
-        tt.alias("__tt"), tr.alias("__tr"),
-        mt.alias("__mt2"), mr.alias("__mr2"),
+        "coalesce(sum(__ct) OVER (), 0) AS __tt",
+        "coalesce(sum(__cr) OVER (), 0) AS __tr",
+        "max(__mt) OVER () AS __mt2",
+        "max(__mr) OVER () AS __mr2",
     ).where(
         # .where keeps the check un-prunable: assert_true yields NULL when
         # the condition holds (raises at execution otherwise), so the
         # filter passes every row but cannot be column-pruned away.
         # A row missing on one side has a NULL __m there — compare the
         # window maxima, which see both sides
-        F.assert_true(
-            F.col("__mt2").eqNullSafe(F.col("__mr2")),
-            F.lit("dsir_logratio: target/raw bucket counts differ"),
-        ).isNull()
+        "assert_true(__mt2 <=> __mr2,"
+        " 'dsir_logratio: target/raw bucket counts differ') IS NULL"
     )
-    a = F.lit(float(alpha))
-    m = F.col("__mt2")
-    denom_t = F.col("__tt") + a * m
-    denom_r = F.col("__tr") + a * m
+    a = repr(float(alpha)) + "D"
+    denom_t = f"(__tt + {a} * __mt2)"
+    denom_r = f"(__tr + {a} * __mt2)"  # __mt2 on BOTH sides (the
+    # assert fence pins __mt2 <=> __mr2; the former Column form used
+    # the target-side modulus for both denominators)
     lr = (
-        F.log((F.coalesce(F.col("__ct"), F.lit(0)) + a) / denom_t)
-        - F.log((F.coalesce(F.col("__cr"), F.lit(0)) + a) / denom_r)
+        f"ln((coalesce(__ct, 0) + {a}) / {denom_t})"
+        f" - ln((coalesce(__cr, 0) + {a}) / {denom_r})"
     )
-    lr0 = F.log(a / denom_t) - F.log(a / denom_r)
-    return staged.select(
-        "__b", lr.alias("__lr"), lr0.alias("__lr0"), m.alias("__m")
+    lr0 = f"ln({a} / {denom_t}) - ln({a} / {denom_r})"
+    return staged.selectExpr(
+        "__b", f"{lr} AS __lr", f"{lr0} AS __lr0", "__mt2 AS __m"
     )
 
 
@@ -248,22 +265,22 @@ def with_importance_weight(
     doc_rows = (
         _gram_rows(df, text_col, tuple(ngrams), [id_col])
         .crossJoin(F.broadcast(meta))
-        .select(
-            F.col(id_col),
-            F.pmod(_gram_hash(F.col("__dsir_g"), hash_family), F.col("__m")).alias(
-                "__b"
-            ),
+        .selectExpr(
+            _qn(id_col),
+            f"pmod({_gram_hash_sql('__dsir_g', hash_family)}, __m) AS __b",
             "__lr0d",
         )
     )
-    agg_fn = F.sum if agg == "sum" else F.avg
+    agg_sql = "sum" if agg == "sum" else "avg"
     per_doc = (
         doc_rows.join(
             F.broadcast(ratio_df.select("__b", "__lr")), "__b", "left"
         )
         .groupBy(id_col)
-        .agg(agg_fn(F.coalesce(F.col("__lr"), F.col("__lr0d"))).alias(out))
-        .select(F.col(id_col).alias("__dsir_id"), out)
+        .agg(F.expr(
+            f"{agg_sql}(coalesce(__lr, __lr0d)) AS {_qn(out)}"
+        ))
+        .selectExpr(f"{_qn(id_col)} AS __dsir_id", _qn(out))
     )
     return df.join(
         per_doc, F.col(id_col).eqNullSafe(F.col("__dsir_id")), "left"
@@ -297,13 +314,19 @@ def sample_by_importance(
         raise ValueError("temperature must be positive")
     h = _key_hash(F.col(id_col), salt, hash_family)
     m = 1 << 20
-    u = (F.pmod(h, F.lit(m)) + F.lit(0.5)) / F.lit(float(m))
-    gumbel = -F.log(-F.log(u))
-    key = F.col(weight_col).cast("double") / F.lit(float(temperature)) + gumbel
+    # r12 one-parse plan build: the hash materializes once as __dsir_h
+    # (it was an output column already) and the Gumbel-key arithmetic
+    # parses in one fragment — same tree as the former Column chain,
+    # with the hash expression evaluated via the carried column
+    staged = df.where(F.col(weight_col).isNotNull()).select(
+        "*", h.alias("__dsir_h")
+    )
+    key_sql = (
+        f"cast({_qn(weight_col)} as double) / {float(temperature)!r}D"
+        f" + -ln(-ln((pmod(__dsir_h, {m}) + 0.5D) / {float(m)!r}D))"
+    )
     out = (
-        df.where(F.col(weight_col).isNotNull())
-        .withColumn("__dsir_key", key)
-        .withColumn("__dsir_h", h)
+        staged.selectExpr("*", f"{key_sql} AS __dsir_key")
         .orderBy(
             F.col("__dsir_key").desc(), F.col("__dsir_h").asc(), F.col(id_col).asc()
         )

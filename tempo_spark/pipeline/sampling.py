@@ -34,6 +34,24 @@ from tempo_spark.pipeline.dedup import md5_32
 SPLIT_BUCKETS = 1_000_000
 
 
+def _group_lit_sql(k) -> str:
+    """SQL literal for a mixture-group key (r12 one-parse plan build).
+    Returns None for types without a safe literal rendering — the caller
+    falls back to the Column chain for those."""
+    if isinstance(k, bool):
+        return "TRUE" if k else "FALSE"
+    if isinstance(k, str):
+        return "'" + k.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(k, int):
+        return str(k) + ("L" if not (-(2**31) <= k < 2**31) else "")
+    if isinstance(k, float):
+        v = float(k)
+        if v != v or abs(v) == float("inf"):
+            return None
+        return repr(v) + "D"
+    return None
+
+
 def _key_hash(key: Column, salt: str, hash_family: str) -> Column:
     # null keys hash as a sentinel so BOTH families agree (xxhash64 of a
     # NULL concat degrades to the seed constant while md5_32 yields NULL,
@@ -157,30 +175,58 @@ def mix_rates(
     if total <= 0:
         raise ValueError("target_shares must sum to a positive value")
 
-    share = F.lit(None).cast("double")
+    # r12 one-parse plan build: the per-group CASE chain, the sizes agg
+    # and the waterfilling select parse in single batches (same trees as
+    # the former Column chain; values pinned by the mixture suite + the
+    # token_count mix gate tags). Keys without a safe SQL literal
+    # rendering fall back to the Column chain.
+    lits = {k: _group_lit_sql(k) for k in target_shares if k is not None}
+    one_parse = all(s is not None for s in lits.values())
+    share = None
+    share_sql = "cast(null as double)"
     for k, v in target_shares.items():
         if float(v) < 0:
             raise ValueError(f"negative share for group {k!r}")
-        cond = F.col("__mix_g").isNull() if k is None else F.col("__mix_g").eqNullSafe(F.lit(k))
-        share = F.when(cond, F.lit(float(v) / total)).otherwise(share)
+        if one_parse:
+            cond = (
+                "__mix_g IS NULL" if k is None
+                else f"__mix_g <=> {lits[k]}"
+            )
+            share_sql = (
+                f"CASE WHEN {cond} THEN {float(v) / total!r}D"
+                f" ELSE {share_sql} END"
+            )
+        else:
+            if share is None:
+                share = F.lit(None).cast("double")
+            cond = (
+                F.col("__mix_g").isNull() if k is None
+                else F.col("__mix_g").eqNullSafe(F.lit(k))
+            )
+            share = F.when(cond, F.lit(float(v) / total)).otherwise(share)
 
-    amount = F.col(token_col).cast("double") if token_col else F.lit(1.0)
+    from tempo_spark.pipeline.text import _qn
+
+    amount = f"cast({_qn(token_col)} as double)" if token_col else "1.0D"
     sizes = (
         df.groupBy(F.col(group_col).alias("__mix_g"))
-        .agg(F.sum(amount).alias("__avail"))
-        .withColumn("__share", share)
-        .where(F.col("__share").isNotNull() & (F.col("__share") > 0) & (F.col("__avail") > 0))
+        .agg(F.expr(f"sum({amount}) AS __avail"))
+    )
+    if one_parse:
+        sizes = sizes.selectExpr("*", f"{share_sql} AS __share")
+    else:
+        sizes = sizes.withColumn("__share", share)
+    sizes = sizes.where(
+        "__share IS NOT NULL AND __share > 0 AND __avail > 0"
     )
     # bottleneck ratio via a GLOBAL window over the group-cardinality sizes
     # frame (SinglePartition of a handful of rows) — a separate agg() +
     # cross join is not CSE'd with the sizes subtree and would re-scan the
     # corpus a third time
-    from pyspark.sql import Window
-
-    mr = F.min(F.col("__avail") / F.col("__share")).over(Window.partitionBy())
-    return sizes.select(
-        F.col("__mix_g").alias(group_col),
-        F.least(F.lit(1.0), F.col("__share") * mr / F.col("__avail")).alias("mix_rate"),
+    return sizes.selectExpr(
+        f"__mix_g AS {_qn(group_col)}",
+        "least(1.0D, __share * min(__avail / __share) OVER () / __avail)"
+        " AS mix_rate",
     )
 
 
@@ -203,24 +249,23 @@ def temperature_rates(
     ``mix_by_group(rates_df=...)`` for append-stable membership."""
     if not (temperature > 0):
         raise ValueError(f"temperature must be > 0, got {temperature}")
-    amount = F.col(token_col).cast("double") if token_col else F.lit(1.0)
-    sizes = (
-        df.groupBy(F.col(group_col).alias("__mix_g"))
-        .agg(F.sum(amount).alias("__avail"))
-        .where(F.col("__avail") > 0)
-        .withColumn("__pw", F.pow(F.col("__avail"), F.lit(float(temperature))))
-    )
-    from pyspark.sql import Window
+    from tempo_spark.pipeline.text import _qn
 
-    everything = Window.partitionBy()
-    share = F.col("__pw") / F.sum("__pw").over(everything)
-    sized = sizes.withColumn("__share", share)
-    mr = F.min(F.col("__avail") / F.col("__share")).over(everything)
-    return sized.select(
-        F.col("__mix_g").alias(group_col),
-        F.least(F.lit(1.0), F.col("__share") * mr / F.col("__avail")).alias(
-            "mix_rate"
-        ),
+    # r12 one-parse plan build (the mix_rates idiom)
+    amount = f"cast({_qn(token_col)} as double)" if token_col else "1.0D"
+    sized = (
+        df.groupBy(F.col(group_col).alias("__mix_g"))
+        .agg(F.expr(f"sum({amount}) AS __avail"))
+        .where("__avail > 0")
+        .selectExpr(
+            "*", f"pow(__avail, {float(temperature)!r}D) AS __pw"
+        )
+        .selectExpr("*", "__pw / sum(__pw) OVER () AS __share")
+    )
+    return sized.selectExpr(
+        f"__mix_g AS {_qn(group_col)}",
+        "least(1.0D, __share * min(__avail / __share) OVER () / __avail)"
+        " AS mix_rate",
     )
 
 
