@@ -229,6 +229,11 @@ def dedup_against_corpus(
         m, k = bloom_bits, bloom_hashes
         if m < 64 or k < 1:
             raise ValueError("bloom_bits must be >= 64 and bloom_hashes >= 1")
+        # r12 one-parse plan build: the parameter fence, the k position
+        # hashes and the hit test parse as single fragments (same trees
+        # as the former Column chain; values pinned by the bloom suite +
+        # the dedup_exact bloom_vs_corpus gate tag)
+        m_sql = f"{m}L" if m > 2**31 - 1 else str(m)
         if bloom_df is None:
             words = build_content_bloom(corpus_df, text_col, m, k).select(
                 "__w", "__bits"
@@ -243,29 +248,27 @@ def dedup_against_corpus(
             # probe join out to stale copies
             words = (
                 bloom_df.where(
-                    F.assert_true(
-                        (F.col("__m_bits") == m) & (F.col("__k") == k),
-                        F.lit(
-                            f"bloom_df was built with different bloom_bits/"
-                            f"bloom_hashes than the probe's ({m}, {k})"
-                        ),
-                    ).isNull()
+                    f"assert_true(__m_bits = {m_sql} AND __k = {k},"
+                    " 'bloom_df was built with different bloom_bits/"
+                    f"bloom_hashes than the probe ({m}, {k})') IS NULL"
                 )
                 .groupBy("__w")
-                .agg(F.bit_or("__bits").alias("__bits"))
+                .agg(F.expr("bit_or(__bits) AS __bits"))
             )
+        pos_sql = ", ".join(
+            f"pmod(xxhash64(__digest, {i}), {m_sql})" for i in range(k)
+        )
         probe = (
             nd.select("__digest")
             .distinct()
-            .select(
-                "__digest",
-                F.explode(_bloom_positions(F.col("__digest"), m, k)).alias("__p"),
+            .selectExpr(
+                "__digest", f"explode(array({pos_sql})) AS __p"
             )
             .selectExpr("__digest", *_BLOOM_WORD_MASK)
         )
-        hit = probe.join(F.broadcast(words), "__w", "left").withColumn(
-            "__hit",
-            F.coalesce(F.col("__bits").bitwiseAND(F.col("__m")) == F.col("__m"), F.lit(False)),
+        hit = probe.join(F.broadcast(words), "__w", "left").selectExpr(
+            "*",
+            "coalesce((__bits & __m) = __m, false) AS __hit",
         )
         candidates = (
             hit.groupBy("__digest")
