@@ -66,11 +66,13 @@ def connected_components(
     700-edge graph, pure scheduling. At or below this many (directed,
     deduped) edges the graph collects to the driver and a union-find labels
     it in one pass — same min-id labels, same null semantics. The ceiling
-    is set by the round-trip costs, not memory: ``collect()`` plus
+    is set by the round-trip costs, not memory: pulling rows plus
     re-creating the label frame as a local relation both run through
     row-at-a-time pickling (~100-200k rows/s), so past a few hundred
-    thousand edges the distributed loop wins again. The edge count is
-    already materialized for the cache, so the decision is free; 0 forces
+    thousand edges the distributed loop wins again. The decision and the
+    edge pull are ONE bounded ``take(threshold+1)``: a small graph's take
+    IS the union-find input, and a huge graph's take short-circuits after
+    about one reduce partition instead of counting every edge; 0 forces
     the distributed loop.
 
     The loop stops as soon as a round changes nothing. Each round
@@ -103,15 +105,23 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # ONE bounded take() decides the driver-vs-distributed branch AND, when
+    # the graph is small, already IS the edge list the union-find needs —
+    # the r12 form paid a full count() (probe) plus a collect() (data) for
+    # the same rows. take() runs executeTake: on a driver-sized graph it
+    # scans everything (exactly what collect did); on a huge graph it
+    # short-circuits after ~one reduce partition instead of aggregating
+    # billions of distinct edges only to learn "too big".
+    taken = edges.take(driver_threshold + 1)
+    if len(taken) <= driver_threshold:
+        try:
+            return _driver_components(spark, taken, edges.schema["src"].dataType)
+        finally:
+            edges.unpersist()
     # materialize the cache NOW in its own job: the first round's job
     # otherwise references edges through two branches (labels init + the
     # propagate join) and computes the still-unfilled cache in both
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        try:
-            return _driver_components(spark, edges)
-        finally:
-            edges.unpersist()
+    edges.count()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -181,14 +191,14 @@ def connected_components(
     return labels
 
 
-def _driver_components(spark, edges: DataFrame) -> DataFrame:
-    """Union-find over a collected edge list — the small-graph fast path.
-    ``edges`` carries BOTH directions of every pair, so the src column
-    alone enumerates every node. Null semantics mirror the distributed
-    loop's joins exactly: a null node never PROPAGATES (src = null joins
-    nothing) but still RECEIVES the min label of its non-null neighbors
-    (it is an ordinary groupBy key on the dst side); with no non-null
-    neighbor it labels itself null."""
+def _driver_components(spark, edge_rows, id_type) -> DataFrame:
+    """Union-find over an already-taken edge-row list — the small-graph
+    fast path. The rows carry BOTH directions of every pair, so the src
+    column alone enumerates every node. Null semantics mirror the
+    distributed loop's joins exactly: a null node never PROPAGATES
+    (src = null joins nothing) but still RECEIVES the min label of its
+    non-null neighbors (it is an ordinary groupBy key on the dst side);
+    with no non-null neighbor it labels itself null."""
     from pyspark.sql.types import StructField, StructType
 
     parent: dict = {}
@@ -210,7 +220,7 @@ def _driver_components(spark, edges: DataFrame) -> DataFrame:
 
     nodes = set()
     null_neighbors = set()  # non-null sources of edges INTO the null node
-    for r in edges.collect():
+    for r in edge_rows:
         s, d = r["src"], r["dst"]
         nodes.add(s)
         if s is None or d is None:
@@ -229,7 +239,6 @@ def _driver_components(spark, edges: DataFrame) -> DataFrame:
     if None in nodes:
         received = [comp_min[find(s)] for s in null_neighbors]
         rows.append((None, min(received) if received else None))
-    id_type = edges.schema["src"].dataType
     out_schema = StructType(
         [StructField("id", id_type), StructField("component", id_type)]
     )
