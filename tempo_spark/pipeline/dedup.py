@@ -531,11 +531,32 @@ def with_minhash(
 
 
 def band_key_array(
-    sig: Column, bands: int, hash_family: str = "xxhash64"
+    sig: Column | str, bands: int, hash_family: str = "xxhash64"
 ) -> Column:
     """Array of per-band bucket keys for a MinHash signature: band b's key
     is the hash (or, for md5_32, the raw comma-join — equality-equivalent
-    and replayable) of the signature slice belonging to that band."""
+    and replayable) of the signature slice belonging to that band.
+
+    Pass a column NAME for the parsed-SQL fast path (r13): the ``bands``
+    keys render as ONE ``F.expr`` parse with the band index UNROLLED into
+    an ``array(key_0, …)`` — bands is a small static constant, and the
+    transform-over-sequence form both costs ~150 driver py4j trips to
+    build and runs the slice arithmetic through the interpreted HOF
+    evaluator per row (the repo-wide unroll rule). Values are identical
+    per family (pytest-pinned against the Column form)."""
+    if isinstance(sig, str):
+        q = "`" + sig.replace("`", "``") + "`"
+        rpb = f"(size({q}) / {bands})"
+        items = []
+        for b in range(bands):
+            joined = (
+                f"concat_ws(',', slice({q}, "
+                f"cast(({b} * {rpb}) as int) + 1, cast({rpb} as int)))"
+            )
+            items.append(
+                joined if hash_family == "md5_32" else f"xxhash64({joined})"
+            )
+        return F.expr("array(" + ", ".join(items) + ")")
     rows_per_band = F.size(sig) / bands  # driver knows num_hashes divides bands
 
     def band_key(b):
@@ -678,7 +699,7 @@ def minhash_lsh_candidates(
     banded = df.select(
         F.col(id_col),
         F.posexplode_outer(
-            band_key_array(F.col(minhash_col), bands, hash_family)
+            band_key_array(minhash_col, bands, hash_family)
         ).alias("band_id", "band_hash"),
     ).where(F.col("band_hash").isNotNull())
     pairs = _bucket_capped_self_join(
@@ -786,8 +807,13 @@ def minhash_dedup(
     # shingles p times, so a pathologically duplicated corpus (every doc in
     # ~16 pairs) pays ~25% over the corpus-wide form — bounded by
     # bands × max_bucket_size, and the right fix there is the star cap.
-    melted = cands.select(
-        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias(id_col)
+    # parsed-SQL construction (r13): the same trees as the former Column
+    # chain (explode/min_by/max_by/size-ratio/floor-round), batched into a
+    # handful of parses — the Column form cost ~190 driver py4j trips per
+    # build and this verify tail rides in four bench rows
+    idq = "`" + id_col.replace("`", "``") + "`"
+    melted = cands.selectExpr(
+        "id_a", "id_b", f"explode(array(id_a, id_b)) AS {idq}"
     )
     pair_docs = with_hashed_shingles(
         melted.join(base, id_col),
@@ -797,18 +823,21 @@ def minhash_dedup(
         pair_docs
         .groupBy("id_a", "id_b")
         .agg(
-            F.min_by("__sh", F.col(id_col) == F.col("id_b")).alias("__sh_a"),
-            F.max_by("__sh", F.col(id_col) == F.col("id_b")).alias("__sh_b"),
+            F.expr(f"min_by(__sh, {idq} = id_b)").alias("__sh_a"),
+            F.expr(f"max_by(__sh, {idq} = id_b)").alias("__sh_b"),
         )
     )
     out = (
-        per_pair.withColumn(
-            "jaccard",
-            F.size(F.array_intersect("__sh_a", "__sh_b"))
-            / F.size(F.array_union("__sh_a", "__sh_b")),
+        per_pair.selectExpr(
+            "id_a", "id_b",
+            "(size(array_intersect(__sh_a, __sh_b)) / "
+            "size(array_union(__sh_a, __sh_b))) AS jaccard",
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", _hardened_round6(F.col("jaccard")).alias("jaccard"))
+        .selectExpr(
+            "id_a", "id_b",
+            "(floor(jaccard * 1000000 + 0.5) / 1000000) AS jaccard",
+        )
     )
     return out
 
@@ -870,7 +899,7 @@ def near_dedup_against_corpus(
     # (see minhash_lsh_candidates)
     shard_banded = shard_sig.select(
         "__new_id",
-        F.posexplode_outer(band_key_array(F.col("__mh"), bands, hash_family))
+        F.posexplode_outer(band_key_array("__mh", bands, hash_family))
         .alias("band_id", "band_hash"),
     ).where(F.col("band_hash").isNotNull())
     corpus_sig = with_minhash(
@@ -881,7 +910,7 @@ def near_dedup_against_corpus(
              F.col("__tempo_sh_hashed").alias("__sh_b"))
     corpus_banded = corpus_sig.select(
         "corpus_id", "__sh_b",
-        F.posexplode_outer(band_key_array(F.col("__mh"), bands, hash_family))
+        F.posexplode_outer(band_key_array("__mh", bands, hash_family))
         .alias("band_id", "band_hash"),
     ).where(F.col("band_hash").isNotNull())
     cand = (

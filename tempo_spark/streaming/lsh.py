@@ -109,7 +109,7 @@ def streaming_lsh_dedup(
         F.unix_micros(F.col(ts_col)).alias("__ts_us"),
         F.col("__sig"),
         F.posexplode_outer(
-            band_key_array(F.col("__sig"), bands, hash_family)
+            band_key_array("__sig", bands, hash_family)
         ).alias("band_id", "band_hash"),
     ).where(F.col("band_hash").isNotNull())
 

@@ -389,6 +389,50 @@ class TestMd5HashFamily:
             }
             assert a == b, fam
 
+    def test_band_key_sql_path_matches_column_path(self, docs):
+        """band_key_array's parsed-SQL fast path (name argument, r13)
+        unrolls the band index but must produce the SAME per-band keys as
+        the transform-over-sequence Column form for BOTH hash families
+        (the md5_32 one is oracle-replayed)."""
+        for fam in ("xxhash64", "md5_32"):
+            sigs = dedup.with_minhash(
+                docs.where("length(text) > 0"), "text", "minhash",
+                16, 3, True, hash_family=fam,
+            )
+            a = {
+                r.doc_id: r.bk
+                for r in sigs.select(
+                    "doc_id", dedup.band_key_array("minhash", 4, fam).alias("bk")
+                ).collect()
+            }
+            b = {
+                r.doc_id: r.bk
+                for r in sigs.select(
+                    "doc_id",
+                    dedup.band_key_array(F.col("minhash"), 4, fam).alias("bk"),
+                ).collect()
+            }
+            assert a == b, fam
+
+    def test_minhash_dedup_tail_identical_both_families(self, docs):
+        """minhash_dedup's verify tail went parsed-SQL (r13): full pair
+        output (ids + rounded jaccard) must be unchanged for both
+        families."""
+        for fam in ("xxhash64", "md5_32"):
+            pairs = sorted(
+                map(
+                    tuple,
+                    dedup.minhash_dedup(
+                        docs.where("length(text) > 0"), "doc_id",
+                        threshold=0.3, shingle_k=3, use_words=True,
+                        hash_family=fam,
+                    ).collect(),
+                )
+            )
+            assert (0, 1, 1.0) in [(a, b, j) for a, b, j in pairs], fam
+            for _, _, j in pairs:
+                assert 0.3 <= j <= 1.0, fam
+
     def test_simhash_md5_family_32bit(self, docs):
         hashed = dedup.with_simhash(
             docs.where("length(text) > 0"), id_col="doc_id",
