@@ -391,6 +391,50 @@ def prepare_corpus(
 
     stage_no = [0]
 
+    # Stage-overlap (guide §2.6): when the recipe is ALREADY eager (a
+    # near-dedup's connected-components collapses the driver-vs-lazy
+    # question anyway), each memory barrier's cache fill is submitted to a
+    # ONE-worker background thread the moment the barrier is created, so
+    # executors materialize the corpus-sized stage WHILE the driver builds
+    # the downstream plans (py4j/Catalyst — the serial fraction). One
+    # worker keeps the fills ordered (stage k+1's fill reads stage k's
+    # cache, never races it); a consumer arriving at a block mid-fill
+    # blocks on the in-flight computation (BlockManager per-block locking)
+    # instead of recomputing it. Fully-lazy compositions (no near-dedup)
+    # stay lazy — no background action is ever submitted for them.
+    fill_pool = None
+    if (
+        persist_intermediate
+        and staging_dir is None
+        and near_dedup_threshold is not None
+    ):
+        from concurrent.futures import ThreadPoolExecutor
+
+        fill_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="tempo-prepare-prefill"
+        )
+
+    def _prefill(frame: DataFrame, name: str) -> None:
+        if fill_pool is None:
+            return
+        sc = frame.sparkSession.sparkContext
+
+        def run() -> None:
+            try:
+                # job description is thread-local — label the fill so the
+                # overlap is visible in the UI/event log
+                sc.setJobDescription(f"prepare_corpus: prefill {name}")
+                try:
+                    frame.count()
+                finally:
+                    sc.setJobDescription(None)
+            except Exception:
+                # a failing fill is not this thread's error to raise: the
+                # main lineage re-executes the same plan and surfaces it
+                pass
+
+        fill_pool.submit(run)
+
     def _barrier(frame: DataFrame, name: str) -> DataFrame:
         if staging_dir is not None:
             # disk-backed barrier: parquet round-trip. A FileScan is just
@@ -420,6 +464,7 @@ def prepare_corpus(
         frame = frame.persist()
         if staging is not None:
             staging.frames.append(frame)
+        _prefill(frame, name)
         return frame
 
     out = df
@@ -556,4 +601,8 @@ def prepare_corpus(
             out, id_col, n_shards, salt=f"{salt}:shard",
             hash_family=hash_family,
         )
+    if fill_pool is not None:
+        # release the worker thread once the queued fills drain; never
+        # block the return on them (the overlap IS the point)
+        fill_pool.shutdown(wait=False)
     return out
