@@ -1073,8 +1073,10 @@ class TSDF:
         # trips (~0.5 s of driver time PER CALL; MACD makes three), the
         # r12-optimization plan-build discipline. The parsed trees are
         # the exact expressions the Column chain built (double literals
-        # formatted shortest-round-trip), pinned bit-identical in
-        # tests/test_indicators.py::TestEmaPrefixRewrite.
+        # formatted shortest-round-trip), pinned bit-identical against
+        # the verbatim old Column chain in
+        # tests/test_indicators.py::TestEmaPrefixRewrite (dup-ts / NaN /
+        # NULL / alpha-edge / sequence_col battery, r13).
         staged = self.df.withColumn(
             "__emp_tb",
             F.xxhash64(F.struct(*[F.col(c) for c in self.df.columns])),
@@ -1148,10 +1150,17 @@ class TSDF:
             f"WHEN __emp_off0 >= {window - 1} THEN {leg('0')} "
             f"ELSE {leg('1')} END"
         )
-        out = staged.selectExpr(
-            *[_bq(c) for c in self.df.columns],
-            f"{ema} AS {_bq(out_col)}",
-        )
+        # mirror withColumn's REPLACE semantics (the sliding strategy and
+        # the alpha==1 shortcut both go through withColumn): an existing
+        # ema_<col> is replaced IN PLACE, not duplicated at the end —
+        # a duplicate output name would fail the next resolution
+        out_sql = f"{ema} AS {_bq(out_col)}"
+        sel = [
+            out_sql if c == out_col else _bq(c) for c in self.df.columns
+        ]
+        if out_col not in self.df.columns:
+            sel.append(out_sql)
+        out = staged.selectExpr(*sel)
         return self._with_df(out)
 
     def EMA(

@@ -461,6 +461,154 @@ class TestEMAPrefixStrategy:
                 )
 
 
+def _ema_prefix_old(tsdf, colName, window, alpha):
+    """The pre-r12 Column-chain form of TSDF._ema_prefix, VERBATIM (from
+    commit 2541c5f~1) — the bit-identity reference for the parsed-SQL
+    rewrite. Kept in the test so a construction regression in the rewrite
+    is caught as a value diff, not a tolerance miss."""
+    import math
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    r = 1.0 - alpha
+    out_col = f"ema_{colName}"
+    if r <= 0.0:
+        return tsdf.df.withColumn(
+            out_col, F.coalesce(F.col(colName).cast("double"), F.lit(0.0))
+        )
+    cap = int(200.0 / -math.log10(r)) if r < 1.0 else 1 << 30
+    B = max(2 * window, 128)
+    B += B % 2
+    assert B <= cap
+    half = B // 2
+    series = [F.col(c) for c in tsdf.series_ids]
+    staged = tsdf.df.withColumn(
+        "__emp_tb", F.xxhash64(F.struct(*[F.col(c) for c in tsdf.df.columns]))
+    )
+    order = [F.col(tsdf.ts_col)]
+    if tsdf.sequence_col:
+        order.append(F.col(tsdf.sequence_col))
+    order.append(F.col("__emp_tb"))
+    w = Window.partitionBy(*series).orderBy(*order)
+    grow = w.rowsBetween(Window.unboundedPreceding, 0)
+    yd = F.col(colName).cast("double")
+    staged = staged.withColumn(
+        "__emp_t0", F.row_number().over(w) - F.lit(1)
+    ).withColumn(
+        "__emp_nan", F.when(F.isnan(yd), F.lit(1)).otherwise(F.lit(0))
+    )
+    staged = staged.withColumn("__emp_nc", F.sum("__emp_nan").over(grow))
+    for ph, shift in (("0", 0), ("1", half)):
+        staged = (
+            staged.withColumn(f"__emp_off{ph}", F.expr(f"(__emp_t0 + {shift}) % {B}"))
+            .withColumn(f"__emp_blk{ph}", F.expr(f"(__emp_t0 + {shift}) div {B}"))
+            .withColumn(
+                f"__emp_z{ph}",
+                F.coalesce(F.nanvl(yd, F.lit(0.0)), F.lit(0.0))
+                * F.pow(F.lit(1.0 / r), F.col(f"__emp_off{ph}")),
+            )
+        )
+        wp = (
+            Window.partitionBy(*series, F.col(f"__emp_blk{ph}"))
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        staged = staged.withColumn(
+            f"__emp_p{ph}", F.sum(F.col(f"__emp_z{ph}")).over(wp)
+        )
+
+    def leg(ph):
+        off = F.col(f"__emp_off{ph}")
+        p = F.col(f"__emp_p{ph}")
+        sub = F.when(
+            off >= window, F.coalesce(F.lag(p, window).over(w), F.lit(0.0))
+        ).otherwise(F.lit(0.0))
+        return F.pow(F.lit(r), off) * (p - sub) * F.lit(alpha)
+
+    nan_in_frame = (
+        F.col("__emp_nc")
+        - F.coalesce(F.lag(F.col("__emp_nc"), window).over(w), F.lit(0))
+    ) > 0
+    ema = F.when(nan_in_frame, F.lit(float("nan"))).otherwise(
+        F.when(F.col("__emp_off0") >= window - 1, leg("0")).otherwise(leg("1"))
+    )
+    return staged.withColumn(out_col, ema).drop(
+        *[c for c in staged.columns if c.startswith("__emp_")]
+    )
+
+
+class TestEmaPrefixRewrite:
+    """The parsed-SQL _ema_prefix (r12 rewrite) must be BIT-IDENTICAL to
+    the old Column-chain form on the delicate inputs: duplicate
+    timestamps, NaN, NULL, alpha edges, sequence_col, multi-series."""
+
+    @staticmethod
+    def _cells(df, value_col):
+        # bitwise-comparable rendering: NaN -> 'nan' marker, floats kept
+        # exact via repr (shortest round-trip)
+        out = []
+        for r in df.collect():
+            v = r[value_col]
+            # repr-render everything: NaN keys/values compare as 'nan'
+            # (tuple equality on raw floats would fail NaN == NaN), and
+            # repr of a float is its exact shortest round-trip
+            key = repr(tuple(r[c] for c in df.columns if c != value_col))
+            out.append((key, repr(v)))
+        return sorted(out)
+
+    def _pin(self, spark, tsdf, col, window, alpha):
+        new = tsdf._ema_prefix(col, window, alpha).df
+        old = _ema_prefix_old(tsdf, col, window, alpha)
+        assert new.columns == old.columns
+        assert self._cells(new, f"ema_{col}") == self._cells(old, f"ema_{col}")
+
+    def test_battery_bit_identical(self, spark):
+        import random
+
+        rng = random.Random(13)
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for sym in ("a", "b"):
+            seq = 0
+            for i in range(300):
+                v = rng.uniform(-50, 50)
+                if i % 23 == 7:
+                    v = None
+                elif i % 31 == 11:
+                    v = float("nan")
+                # duplicate timestamps every 5th row (two rows same ts)
+                ts = base + dt.timedelta(minutes=i - (i % 5 == 0))
+                rows.append((sym, ts, None if v is None else float(v)))
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+        t = TSDF(df, ts_col="ts", series_ids=["sym"])
+        for window, alpha in ((104, 2.0 / 27.0), (30, 0.2), (1, 0.5),
+                              (50, 0.9), (104, 1e-6)):
+            self._pin(spark, t, "v", window, alpha)
+
+    def test_alpha_one_shortcut_and_sequence_col(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("a", base, i, float(i) if i % 3 else None) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "sym string, ts timestamp, seq int, v double")
+        t = TSDF(df, ts_col="ts", series_ids=["sym"], sequence_col="seq")
+        self._pin(spark, t, "v", 10, 1.0)   # alpha == 1 shortcut
+        self._pin(spark, t, "v", 10, 0.3)   # all rows same ts: seq+tiebreak order
+
+    def test_existing_out_col_replaced_in_place(self, spark):
+        # calling twice: sliding's withColumn REPLACES ema_v; prefix must
+        # match (same name, same position, no duplicate-column failure)
+        t = TSDF(_mk(spark, [1.0, 2.0, 3.0, 4.0]), ts_col="ts", series_ids=["sym"])
+        once = t.EMA("v", window=2, exp_factor=0.5, strategy="prefix")
+        twice = once.EMA("v", window=3, exp_factor=0.25, strategy="prefix")
+        assert twice.df.columns == once.df.columns
+        direct = t.EMA("v", window=3, exp_factor=0.25, strategy="prefix").df
+        got = {r.ts: r["ema_v"] for r in twice.df.collect()}
+        want = {r.ts: r["ema_v"] for r in direct.collect()}
+        assert got == want
+
+
 class TestWilliamsR:
     def test_model_and_relation_to_stoch(self, spark):
         import random
