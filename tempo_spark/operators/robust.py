@@ -63,12 +63,18 @@ def with_drawdown(
     yq = _grid6_sql(value_col)
     peak = f"max({yq}) {wfr}"
     staged = df.select("*", tsdf._exact_micros_order().alias("__rb_o"))
+    # materialize the window fragment ONCE as `peak` and derive the two
+    # outputs from the column (the __sd_o/__ac_h idiom): Spark dedupes
+    # textually-identical window expressions into one frame processor,
+    # but repeating the fragment three times left that guarantee
+    # implicit — one perturbed copy would silently fork the outputs onto
+    # different windows (r12 ADVICE)
+    staged = staged.selectExpr("*", f"{peak} AS peak")
     return staged.selectExpr(
         "*",
-        f"{peak} AS peak",
-        f"{peak} - {yq} AS {_qn(out)}",
-        f"CASE WHEN {peak} != 0"
-        f" THEN ({peak} - {yq}) / ({peak}) END AS {_qn(out_pct)}",
+        f"peak - {yq} AS {_qn(out)}",
+        f"CASE WHEN peak != 0"
+        f" THEN (peak - {yq}) / peak END AS {_qn(out_pct)}",
     ).drop("__rb_o")
 
 

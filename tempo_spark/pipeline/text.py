@@ -87,7 +87,14 @@ def with_quality_score(df: DataFrame, text_col: str = "text", out: str = "qualit
     punct_ratio = (
         f"(CASE WHEN {n_chars} > 0 THEN {punct} / {n_chars} ELSE 0.0D END)"
     )
-    sw = "array(" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + ")"
+    # escape each word like every other name-carrying literal in this
+    # repo (acf._sql_str): today's list is plain ASCII, but a future
+    # stopword containing a quote/backslash must not break the parse or
+    # silently change the expression
+    sw = "array(" + ",".join(
+        "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        for w in STOPWORDS["en"]
+    ) + ")"
     sw_hits = f"size(filter({toks}, t -> array_contains({sw}, lower(t))))"
     sw_ratio = (
         f"(CASE WHEN {n_toks} > 0 THEN {sw_hits} / {n_toks} ELSE 0.0D END)"
