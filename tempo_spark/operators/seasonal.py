@@ -262,9 +262,14 @@ def seasonal_decompose(
         _q6_sql(det_raw) + " AS __sd_det",
     )
 
+    # r13: the phase-mean/centering/join-back tail parses as SQL
+    # fragments too (~400 of this builder's residual ~580 py4j trips
+    # lived here) — SAME trees as the former Column chain (sum/count
+    # casts, CASE-guarded divisions, `<=>` = eqNullSafe), digest-pinned
+    # by tests/test_seasonal.py.
     pm = staged.groupBy(*keys, "__sd_ph").agg(
-        F.sum(F.col("__sd_det").cast("decimal(18,6)")).alias("__sd_ds"),
-        F.count("__sd_det").alias("__sd_dn"),
+        F.expr("sum(cast(__sd_det as decimal(18,6)))").alias("__sd_ds"),
+        F.expr("count(__sd_det)").alias("__sd_dn"),
     )
     # phase mean on the grid (hardened), so the centering sum is exact too
     pm = pm.selectExpr(
@@ -276,45 +281,50 @@ def seasonal_decompose(
     # guard the division: a series too short for ANY trend has zero
     # non-null phase means (ANSI: count 0 would throw)
     center = pm.groupBy(*keys).agg(
-        F.when(
-            F.count("__sd_pm") > 0,
-            F.sum(F.col("__sd_pm").cast("decimal(18,6)")).cast("double")
-            / F.count("__sd_pm"),
+        F.expr(
+            "CASE WHEN count(__sd_pm) > 0 THEN "
+            "cast(sum(cast(__sd_pm as decimal(18,6))) as double)"
+            " / count(__sd_pm) END"
         ).alias("__sd_c")
     )
     if mult:
         # multiplicative indexes normalize to mean 1 (divide by the mean
         # of the phase means; a zero mean index cannot be normalized)
-        seas_val = F.when(
-            F.col("__sd_pm").isNotNull() & (F.col("__sd_c") != 0),
-            F.col("__sd_pm") / F.col("__sd_c"),
+        seas_sql = (
+            "CASE WHEN (__sd_pm IS NOT NULL) AND (__sd_c != 0)"
+            " THEN __sd_pm / __sd_c END"
         )
     else:
-        seas_val = F.when(
-            F.col("__sd_pm").isNotNull(),
-            F.col("__sd_pm") - F.col("__sd_c"),
+        seas_sql = (
+            "CASE WHEN __sd_pm IS NOT NULL"
+            " THEN __sd_pm - __sd_c END"
         )
     # eqNullSafe join-backs on renamed keys (the __qid idiom): plain
     # name-based equi-joins would drop NULL-keyed series — they get a
     # trend (windows treat NULL as a partition) but no seasonal/resid.
-    center_r = center.select(
-        *[F.col(k).alias(f"__sd_k{i}") for i, k in enumerate(keys)], "__sd_c"
+    center_r = center.selectExpr(
+        *[f"{_qn(k)} AS __sd_k{i}" for i, k in enumerate(keys)], "__sd_c"
     )
-    center_cond = [
-        F.col(k).eqNullSafe(F.col(f"__sd_k{i}")) for i, k in enumerate(keys)
-    ]
+    center_cond = F.expr(
+        " AND ".join(f"{_qn(k)} <=> __sd_k{i}" for i, k in enumerate(keys))
+    )
     seasonal = (
         pm.join(F.broadcast(center_r), center_cond)
-        .select(*keys, "__sd_ph", seas_val.alias("seasonal"))
+        .selectExpr(
+            *[_qn(k) for k in keys], "__sd_ph", seas_sql + " AS seasonal"
+        )
     )
-    seasonal_r = seasonal.select(
-        *[F.col(k).alias(f"__sd_k{i}") for i, k in enumerate(keys)],
-        F.col("__sd_ph").alias("__sd_phr"),
+    seasonal_r = seasonal.selectExpr(
+        *[f"{_qn(k)} AS __sd_k{i}" for i, k in enumerate(keys)],
+        "__sd_ph AS __sd_phr",
         "seasonal",
     )
-    seas_cond = [
-        F.col(k).eqNullSafe(F.col(f"__sd_k{i}")) for i, k in enumerate(keys)
-    ] + [F.col("__sd_ph") == F.col("__sd_phr")]
+    seas_cond = F.expr(
+        " AND ".join(
+            [f"{_qn(k)} <=> __sd_k{i}" for i, k in enumerate(keys)]
+            + ["__sd_ph = __sd_phr"]
+        )
+    )
     out = staged.join(seasonal_r, seas_cond, "left").drop(
         "__sd_phr", *[f"__sd_k{i}" for i in range(len(keys))]
     )
