@@ -134,36 +134,36 @@ def bm25_topk(
     # so the fan-out rows flow straight into the rank's partial
     # aggregation and are never collected. (r12: the former shape
     # broadcast tf⋈dfreq⋈qterms — matched × queries-per-term rows, 16×
-    # larger on whole-document query sets — b31 exec 2.34 → 1.78 s.)
+    # larger on whole-document query sets — b31 exec 2.34 → 1.78 s.
+    # r13: __idf/__contrib hoisted ABOVE the fan-out join — they are
+    # query-independent, so each (doc, term) pays the ln()/division
+    # chain once instead of once per matching query; see _with_contrib.)
     matched = tf.join(F.broadcast(dfreq), "term")
     if broadcast_matched:
         matched = F.broadcast(matched)
-    per_term = (
-        dl_df.join(matched, id_col)
-        .join(F.broadcast(qterms), "term")
-        .crossJoin(stats)
-    )
+    per_term = _with_contrib(
+        dl_df.join(matched, id_col).crossJoin(stats), k1, b
+    ).join(F.broadcast(qterms), "term")
     return _bm25_rank(
-        per_term, id_col, query_id_col, k, k1, b,
+        per_term, id_col, query_id_col, k,
         require_all_from=qterms if require_all_terms else None,
     )
 
 
-def _bm25_rank(
-    per_term: DataFrame,
-    id_col: str,
-    query_id_col: str,
-    k: int,
-    k1: float,
-    b: float,
-    require_all_from: Optional[DataFrame] = None,
-) -> DataFrame:
-    """Shared BM25 scorer: per-(query, doc, term) rows carrying
-    (``__qid``, id, ``tf``, ``df_t``, ``__dl``, ``__n_docs``,
-    ``__avgdl``) → scored, summed per (query, doc), ranked top-k. One
-    definition so the ad-hoc and indexed paths cannot drift (and the
-    cross-engine gate pins one formula)."""
-    scored_terms = per_term.withColumn(
+def _with_contrib(per_doc_term: DataFrame, k1: float, b: float) -> DataFrame:
+    """``__idf`` + ``__contrib`` over per-(doc, term) rows carrying
+    (``tf``, ``df_t``, ``__dl``, ``__n_docs``, ``__avgdl``).
+
+    Both are QUERY-independent, so both retrieval paths apply this BEFORE
+    the per-query fan-out join (guide §1.2 per-task work): each
+    (doc, term) pays the ln()/division chain once instead of once per
+    matching query — a whole-document query set fans every (doc, term)
+    out ~|queries| ways (b31's 20 whole-doc queries). The broadcast
+    fan-out join only COPIES the finished doubles and preserves
+    stream-side row order with consecutive build-side matches, so the
+    per-(query, doc) float sum order — and every output bit — is
+    unchanged (pinned old-vs-new in TestBM25ContribHoist)."""
+    return per_doc_term.withColumn(
         "__idf",
         F.log(
             F.lit(1.0)
@@ -183,7 +183,21 @@ def _bm25_rank(
             )
         ),
     )
-    agged = scored_terms.groupBy("__qid", id_col).agg(
+
+
+def _bm25_rank(
+    per_term: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    k: int,
+    require_all_from: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Shared BM25 scorer: per-(query, doc, term) rows carrying
+    (``__qid``, id, ``tf``, ``__contrib`` — precomputed by
+    :func:`_with_contrib` BEFORE the per-query fan-out) → summed per
+    (query, doc), ranked top-k. One definition so the ad-hoc and indexed
+    paths cannot drift (and the cross-engine gate pins one formula)."""
+    agged = per_term.groupBy("__qid", id_col).agg(
         F.sum("__contrib").alias("score"),
         F.count(F.lit(1)).alias("matched"),
         F.sum("tf").alias("tf_sum"),
@@ -368,11 +382,16 @@ class BM25Index:
             queries, query_id_col, query_text_col, self.lowercase
         )
         qvocab = qterms.select("term").distinct()
-        # restrict the (vocabulary-sized) dfreq BEFORE broadcasting
+        # restrict the (vocabulary-sized) dfreq BEFORE broadcasting; the
+        # broadcast qdf join is ALSO the query-vocabulary prune of the
+        # postings scan (dfreq covers every postings term by
+        # construction, so restricting it to the query vocabulary prunes
+        # exactly the rows the former qterms-first join pruned). The
+        # per-query fan-out join runs AFTER _with_contrib, so each
+        # (doc, term) scores once (r13 — see _with_contrib).
         qdf = self.dfreq.join(F.broadcast(qvocab), "term")
-        per_term = (
-            self.postings.join(F.broadcast(qterms), "term")
-            .withColumnRenamed("dl", "__dl")
+        per_doc_term = (
+            self.postings.withColumnRenamed("dl", "__dl")
             .join(F.broadcast(qdf), "term")
             .crossJoin(
                 F.broadcast(
@@ -387,8 +406,11 @@ class BM25Index:
                 )
             )
         )
+        per_term = _with_contrib(per_doc_term, k1, b).join(
+            F.broadcast(qterms), "term"
+        )
         return _bm25_rank(
-            per_term, self.id_col, query_id_col, k, k1, b,
+            per_term, self.id_col, query_id_col, k,
             require_all_from=qterms if require_all_terms else None,
         )
 

@@ -5484,6 +5484,141 @@ class TestBM25NullQueryId:
         assert anded[0].query_id is None
 
 
+class TestBM25ContribHoist:
+    """r13: ``__idf``/``__contrib`` are computed per (doc, term) BEFORE
+    the per-query fan-out join (``_with_contrib``), and the index path
+    prunes postings via the broadcast qdf join instead of a qterms-first
+    join. The PRE-hoist construction (contrib per (query, doc, term) row,
+    qterms joined before stats) is embedded verbatim below; outputs must
+    match BIT-exactly — ``repr`` of every float — on a whole-document
+    query workload (the b31 shape, maximal fan-out)."""
+
+    def _old_rank(self, per_term, id_col, query_id_col, k, k1, b):
+        # pre-r13 _bm25_rank, verbatim (OR semantics — the gate shape)
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        scored_terms = per_term.withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5))
+            ),
+        ).withColumn(
+            "__contrib",
+            F.col("__idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+                )
+            ),
+        )
+        agged = scored_terms.groupBy("__qid", id_col).agg(
+            F.sum("__contrib").alias("score"),
+            F.count(F.lit(1)).alias("matched"),
+            F.sum("tf").alias("tf_sum"),
+        )
+        score_q = F.floor(F.col("score") * 1_000_000 + F.lit(0.5))
+        w = Window.partitionBy("__qid").orderBy(
+            score_q.desc(),
+            F.col("matched").desc(),
+            F.col("tf_sum").desc(),
+            F.col(id_col).asc(),
+        )
+        return (
+            agged.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                F.col("__qid").alias(query_id_col),
+                F.col(id_col),
+                "score",
+                "matched",
+                "tf_sum",
+                "rank",
+            )
+        )
+
+    def _old_topk(self, corpus, queries, k=10, k1=1.2, b=0.75):
+        # pre-r13 bm25_topk tail, verbatim: per_term fans out through
+        # qterms BEFORE stats, contrib computed per fan-out row
+        import pyspark.sql.functions as F
+
+        from tempo_spark.pipeline.search import _query_terms
+        from tempo_spark.pipeline.text import tokens_col
+
+        toks = F.transform(tokens_col(F.col("text")), F.lower)
+        qterms = _query_terms(queries, "query_id", "text", True)
+        qvocab = qterms.select("term").distinct()
+        tf = (
+            corpus.select(F.col("doc_id"), F.explode_outer(toks).alias("term"))
+            .where(F.col("term").isNotNull())
+            .join(F.broadcast(qvocab), "term")
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dfreq = (
+            tf.where(F.col("tf") > 0)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df_t"))
+        )
+        dl_df = corpus.select(F.col("doc_id"), F.size(toks).alias("__dl"))
+        stats = F.broadcast(
+            dl_df.agg(
+                F.count(F.lit(1)).alias("__n_docs"),
+                F.avg("__dl").alias("__avgdl"),
+            )
+        )
+        matched = F.broadcast(tf.join(F.broadcast(dfreq), "term"))
+        per_term = (
+            dl_df.join(matched, "doc_id")
+            .join(F.broadcast(qterms), "term")
+            .crossJoin(stats)
+        )
+        return self._old_rank(per_term, "doc_id", "query_id", k, k1, b)
+
+    @staticmethod
+    def _key(rows):
+        return sorted(
+            ((r.query_id is None, r.query_id or 0), r.rank, r.doc_id,
+             repr(r.score), r.matched, r.tf_sum)
+            for r in rows
+        )
+
+    def test_adhoc_bit_identical(self, spark):
+        from tempo_spark.pipeline.search import bm25_topk
+
+        corpus = spark.createDataFrame(TestBM25._DOCS, "doc_id long, text string")
+        # whole documents as queries (the b31 worst case), incl. a NULL id
+        queries = corpus.where("doc_id < 4").select(
+            F.col("doc_id").alias("query_id"), "text"
+        ).unionByName(
+            spark.createDataFrame(
+                [(None, "quick fox bar")], "query_id long, text string"
+            )
+        )
+        new = bm25_topk(corpus, queries, k=10).collect()
+        old = self._old_topk(corpus, queries, k=10).collect()
+        assert self._key(new) == self._key(old)
+        assert len(new) > 0
+
+    def test_index_bit_identical(self, spark):
+        from tempo_spark.pipeline.search import BM25Index, bm25_topk
+
+        corpus = spark.createDataFrame(TestBM25._DOCS, "doc_id long, text string")
+        queries = corpus.where("doc_id < 4").select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        got = BM25Index.build(corpus).topk(queries, k=10).collect()
+        want = bm25_topk(corpus, queries, k=10).collect()
+        assert self._key(got) == self._key(want)
+        assert len(got) > 0
+
+
 class TestRrfFuse:
     def _lists(self, spark):
         a = spark.createDataFrame(
