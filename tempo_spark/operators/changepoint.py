@@ -165,6 +165,28 @@ def changepoints(
             )
             if min_score is not None:
                 accepted = accepted.where(F.col("score") >= min_score)
+            last_round = rnd == rounds - 1
+            if last_round:
+                # the loop ends here either way: the emptiness probe only
+                # gates a `break`, the re-segmentation below only feeds
+                # rounds that won't run, and the persist only pays off for
+                # the splits broadcast those rounds would read. Appending a
+                # possibly-empty frame to the union is row-identical (and
+                # the empty-result fallback below stays reachable only via
+                # an EARLIER round's break, where seg is still the frame it
+                # was scored on). Measured r13: skipping saves one full
+                # upstream job (the isEmpty ran the whole 2-round lineage,
+                # 0.15-0.9 s at sf0.1) + ~180 py4j trips of dead plan.
+                out_frames.append(
+                    accepted.select(
+                        *keys,
+                        F.lit(rnd).alias("round"),
+                        F.col("__cp_seg").alias("segment_id"),
+                        "split_ts", "n_left", "n",
+                        "mean_left", "mean_right", "score",
+                    )
+                )
+                break
             accepted = accepted.persist()
             persisted.append(accepted)
             # early-exit probe: isEmpty() (a limit-1 job) instead of the
