@@ -40,8 +40,7 @@ from typing import Optional
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from tempo_spark.functions.grid import grid6
-from tempo_spark.operators.indicators import _qn
+from tempo_spark.operators.indicators import _grid6_sql, _qn
 
 
 def _best_splits(tsdf, base: DataFrame, keys, part_cols) -> DataFrame:
@@ -117,7 +116,9 @@ def _prepared(tsdf, value_col: str):
     if not keys:
         df = df.withColumn("__cp_g", F.lit(0))
         keys = ["__cp_g"]
-    base = df.withColumn("__cp_y", grid6(value_col)).where(
+    # one-parse grid (r13): the Column-form grid6 costs ~107 py4j trips
+    # per call site; F.expr of its SQL twin builds the same tree in one
+    base = df.withColumn("__cp_y", F.expr(_grid6_sql(value_col))).where(
         F.col("__cp_y").isNotNull()
     )
     return base, keys

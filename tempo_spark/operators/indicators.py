@@ -29,7 +29,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
-from tempo_spark.functions.grid import grid6
 
 
 
@@ -77,7 +76,7 @@ def with_rsi(
             f"output column {out!r} or __ti_* staging already present"
         )
     w = tsdf.base_window()  # ROWS frames only need the (ts[,seq]) order
-    yq = grid6(value_col)
+    yq = F.expr(_grid6_sql(value_col))  # one-parse grid (r13)
     diff = yq - F.lag(yq).over(w)  # grid subtraction: exact at 1e-6
     frame = w.rowsBetween(-(window - 1), 0)
     staged = tsdf.df.withColumn("__ti_d", diff)
@@ -113,7 +112,7 @@ def with_bollinger(
         raise ValueError(f"reserved output columns present: {clash}")
     w = tsdf.base_window()
     frame = w.rowsBetween(-(window - 1), 0)
-    yq = grid6(value_col)
+    yq = F.expr(_grid6_sql(value_col))  # one-parse grid (r13)
     ydec = yq.cast("decimal(18,6)")
     s = F.sum(ydec).over(frame).cast("double")
     q = F.sum(ydec * ydec).over(frame).cast("double")
@@ -408,7 +407,7 @@ def with_cusum(
         raise ValueError(f"h must be positive, got {h}")
     w = tsdf.base_window()
     grow = w.rowsBetween(Window.unboundedPreceding, 0)
-    yq = grid6(value_col)
+    yq = F.expr(_grid6_sql(value_col))  # one-parse grid (r13)
     if target is None:
         full = w.rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing

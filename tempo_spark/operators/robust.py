@@ -19,7 +19,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from tempo_spark.functions.grid import grid6
 from tempo_spark.operators.indicators import _grid6_sql, _qn
 
 
@@ -193,7 +192,7 @@ def with_rolling_quantile(
         )
     w = tsdf.base_window()
     frame = w.rowsBetween(-(window - 1), 0)
-    yq = grid6(value_col)
+    yq = F.expr(_grid6_sql(value_col))  # one-parse grid (r13)
     # collect_list skips NULL inputs already — no struct wrap needed
     arr = F.array_sort(F.collect_list(yq).over(frame))
     staged = tsdf.df.withColumn("__rq_a", arr)
@@ -267,7 +266,7 @@ def with_hampel(
         raise ValueError(f"reserved output/staging columns present: {clash}")
     w = tsdf.base_window()
     frame = w.rowsBetween(-(window - 1), 0)
-    yq = grid6(value_col)
+    yq = F.expr(_grid6_sql(value_col))  # one-parse grid (r13)
     staged = tsdf.df.withColumn(
         "__hp_a", F.array_sort(F.collect_list(yq).over(frame))
     )

@@ -28,7 +28,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from tempo_spark.functions.grid import grid6
+from tempo_spark.operators.indicators import _grid6_sql
+
 
 # Equiprobable standard-normal breakpoints for alphabet sizes 2..10 —
 # the published SAX table (Φ⁻¹(i/a)); identical literals in the oracle.
@@ -86,7 +87,7 @@ def sax_transform(
     if any(c.startswith("__sx_") for c in tsdf.df.columns):
         raise ValueError("reserved staging columns __sx_* present in input")
     series = [F.col(c) for c in tsdf.series_ids]
-    yq = grid6(value_col)
+    yq = F.expr(_grid6_sql(value_col))  # one-parse grid (r13)
     base = tsdf.df.where(yq.isNotNull()).select(
         *tsdf.series_ids, *(
             [tsdf.ts_col] + ([tsdf.sequence_col] if tsdf.sequence_col else [])
