@@ -870,6 +870,62 @@ def disjoint_probe(
     return out
 
 
+def disjoint2l_probe(
+    spark, n_rows: int, n_series: int, span_steps: int, n_buckets: int
+) -> dict:
+    """Two-level vs single-level make_disjoint in the overlap-DENSE regime
+    (VERDICT r12 item 8): same staggered synthetic shape as disjoint_probe,
+    checksummed equal, plus the plain library path as the baseline."""
+    from tempo_spark.intervals import IntervalsDF
+
+    step = 60.0
+    df = spark.range(n_rows).select(
+        (F.col("id") % n_series).alias("k"),
+        F.timestamp_seconds(
+            (F.col("id") / n_series).cast("long") * step
+        ).alias("start_ts"),
+        F.timestamp_seconds(
+            ((F.col("id") / n_series).cast("long") + span_steps) * step
+        ).alias("end_ts"),
+        F.when(F.col("id") % 3 == 0, F.col("id") % 997).alias("m1"),
+        F.when(F.col("id") % 3 == 1, F.col("id") % 991).alias("m2"),
+    )
+    out: dict = {
+        "n_rows": n_rows,
+        "n_series": n_series,
+        "overlap_fanout": span_steps,
+        "n_buckets": n_buckets,
+    }
+
+    def checksum(frame, label):
+        t0 = time.monotonic()
+        agg = frame.agg(
+            F.count("*").alias("n"),
+            F.sum(F.unix_micros("start_ts") % 1_000_003).alias("c1"),
+            F.sum(
+                F.coalesce(F.col("m1"), F.lit(0))
+                + F.coalesce(F.col("m2"), F.lit(0))
+            ).alias("c2"),
+        ).collect()[0]
+        out[label] = {
+            "sec": round(time.monotonic() - t0, 1),
+            "rows": agg.n,
+            "checksum": [int(agg.c1), int(agg.c2)],
+        }
+
+    idf = IntervalsDF(df, "start_ts", "end_ts", ["k"])
+    checksum(idf.make_disjoint(bin_seconds=None).df, "plain")
+    checksum(
+        idf.make_disjoint(bin_seconds=None, merge_buckets=n_buckets).df,
+        "two_level",
+    )
+    out["paths_agree"] = (
+        out["plain"]["rows"] == out["two_level"]["rows"]
+        and out["plain"]["checksum"] == out["two_level"]["checksum"]
+    )
+    return out
+
+
 def chunk_probe(spark, n_sentences: int, n_docs: int = 64) -> dict:
     """Sentence-boundary chunking on pathological MANY-SENTENCE rows: the
     greedy fold is O(sentences²) per row, so past ``sentence_fallback``
@@ -1509,6 +1565,22 @@ def main():
                          (8_000_000, 30)):
             print(json.dumps(_stamp(
                 disjoint_probe(spark, n, 10_000, span_steps=depth)
+            )))
+        spark.stop()
+        return
+    if "--disjoint2l" in sys.argv:
+        # r13 VERDICT item 8: depth-bucketed two-level merge vs the
+        # single-level pairing in the overlap-dense regime. Sweep depth
+        # and bucket count; checksummed equal each point.
+        spark = _probe_session()
+        for n, depth, bks in (
+            (2_000_000, 30, 5),
+            (2_000_000, 90, 5),
+            (2_000_000, 90, 9),
+            (8_000_000, 30, 5),
+        ):
+            print(json.dumps(_stamp(
+                disjoint2l_probe(spark, n, 10_000, depth, bks)
             )))
         spark.stop()
         return

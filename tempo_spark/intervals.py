@@ -143,6 +143,166 @@ def _resolve_bin_seconds(
     return result
 
 
+def _two_level_merged(
+    df: DataFrame,
+    s: str,
+    e: str,
+    series: Sequence[str],
+    segments: DataFrame,
+    seg_series: Sequence[str],
+    seg_s: str,
+    seg_e: str,
+    payload: Sequence[str],
+    n_buckets: int,
+    _coalesce: str,
+) -> DataFrame:
+    """Depth-bucketed two-level replacement for make_disjoint's
+    segment↔interval pairing + merge aggregation (steps 2–3), guide §2.3.
+
+    Exactness: the per-series hash split PARTITIONS every segment's
+    covering-interval set, and every merge statistic is an associative
+    min/max —
+      - per-metric winner ``max(struct(-start, end, v))`` (the level-1
+        partial carries the whole STRUCT, not ``.v``, so the level-2 max
+        compares the same precedence key),
+      - ``__ext``'s ``max(interval end)``,
+      - ``__one_vec``'s ``min(vec)``/``max(vec)`` (both carried)
+    — so re-reducing the level-1 partials reproduces the single-level
+    aggregate bit-for-bit. Global segments refine bucket segments (bucket
+    boundaries are a subset of global boundaries), so a level-2 overlap
+    match is automatically a containment, every raw interval covering a
+    global segment contributes through exactly one bucket, and covered
+    bucket segments never leak coverage a raw interval didn't have.
+
+    Pair count: ~rows·depth/B at level 1 plus ~2·rows·B at level 2, vs
+    rows·depth single-level — the dense-regime (depth ≫ 1) lever.
+    """
+    from tempo_spark.functions.timestamps import ts_to_double
+
+    s_dtype = df.schema[s].dataType
+    e_dtype = df.schema[e].dataType
+    dfb = df.withColumn(
+        "__mb_bk",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_buckets)
+        ),
+    )
+
+    # level 1: bucket-local elementary segments (boundaries from the
+    # bucket's own intervals only) and the bucket-local partial merge
+    b_bounds = dfb.select(
+        *[F.col(c).alias(a) for c, a in zip(series, seg_series)],
+        F.col("__mb_bk").alias("__mb_bkk"),
+        F.explode(F.array(F.col(s), F.col(e))).alias("__mb_b"),
+    ).distinct()
+    wb1 = Window.partitionBy(*seg_series, "__mb_bkk").orderBy("__mb_b")
+    bseg = (
+        b_bounds.withColumn("__mb_be", F.lead(F.col("__mb_b")).over(wb1))
+        .where(F.col("__mb_be").isNotNull())
+        .withColumnRenamed("__mb_b", "__mb_bs")
+    )
+    overlap1 = (F.col("__mb_bs") < F.col(e)) & (F.col("__mb_be") > F.col(s))
+    series_eq = [F.col(a) == F.col(c) for a, c in zip(seg_series, series)]
+    cond1 = reduce(
+        lambda a, b: a & b,
+        series_eq + [F.col("__mb_bkk") == F.col("__mb_bk")],
+        overlap1,
+    )
+    paired1 = bseg.join(dfb, on=cond1, how="inner").select(
+        *seg_series,
+        "__mb_bkk",
+        "__mb_bs",
+        "__mb_be",
+        F.col(e).alias("__i_end"),
+        ts_to_double(F.col(s), s_dtype).alias("__i_start_d"),
+        ts_to_double(F.col(e), e_dtype).alias("__i_end_d"),
+        *payload,
+    )
+    winner_aggs = [
+        F.max(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(
+                    (-F.col("__i_start_d")).alias("ns"),
+                    F.col("__i_end_d").alias("e"),
+                    F.col(c).alias("v"),
+                ),
+            )
+        ).alias(f"__mb_w_{i}")
+        for i, c in enumerate(payload)
+    ]
+    vec = F.struct(*[F.col(c) for c in payload]) if payload else None
+    if _coalesce == "reference":
+        lvl1_stats = [F.max(F.col("__i_end")).alias("__mb_end")]
+        if payload:
+            lvl1_stats += [
+                F.min(vec).alias("__mb_vmin"),
+                F.max(vec).alias("__mb_vmax"),
+            ]
+    elif payload:
+        lvl1_stats = []
+    else:
+        lvl1_stats = [F.max(F.lit(1)).alias("__mb_one")]
+    lvl1 = paired1.groupBy(*seg_series, "__mb_bkk", "__mb_bs", "__mb_be").agg(
+        *winner_aggs, *lvl1_stats
+    )
+
+    # level 2: re-reduce the bucket partials over the GLOBAL segments
+    # (the `segments` frame step 1 already built); containment is implied
+    # by overlap because global boundaries are a superset of bucket ones.
+    g_series = [f"__mb_g_{i}" for i in range(len(series))]
+    fseg = segments.select(
+        *[F.col(a).alias(g) for a, g in zip(seg_series, g_series)],
+        seg_s,
+        seg_e,
+    )
+    overlap2 = (F.col(seg_s) < F.col("__mb_be")) & (
+        F.col(seg_e) > F.col("__mb_bs")
+    )
+    cond2 = reduce(
+        lambda a, b: a & b,
+        [F.col(g) == F.col(a) for g, a in zip(g_series, seg_series)],
+        overlap2,
+    )
+    paired2 = fseg.join(lvl1, on=cond2, how="inner")
+    merge_aggs = [
+        F.max(F.col(f"__mb_w_{i}")).getField("v").alias(c)
+        for i, c in enumerate(payload)
+    ]
+    if _coalesce == "reference":
+        stat_aggs = [
+            (F.max(F.col("__mb_end")) > F.col(seg_e)).alias("__ext"),
+            (
+                F.min(F.col("__mb_vmin")).eqNullSafe(
+                    F.max(F.col("__mb_vmax"))
+                )
+                if payload
+                else F.max(F.lit(True))
+            ).alias("__one_vec"),
+        ]
+    elif payload:
+        stat_aggs = []
+    else:
+        stat_aggs = [F.max(F.lit(1)).alias("__one")]
+    if _coalesce == "reference":
+        stat_names = ["__ext", "__one_vec"]
+    elif payload:
+        stat_names = []
+    else:
+        stat_names = ["__one"]
+    return (
+        paired2.groupBy(*g_series, seg_s, seg_e)
+        .agg(*merge_aggs, *stat_aggs)
+        .select(
+            *[F.col(g).alias(c) for g, c in zip(g_series, series)],
+            seg_s,
+            seg_e,
+            *payload,
+            *stat_names,
+        )
+    )
+
+
 def _normalize_series_ids(series_ids) -> list[str]:
     """Accept the reference constructor's series spellings (reference:
     python/tempo/intervals.py:60-78 and python/tests/intervals_tests.py
@@ -661,7 +821,10 @@ class IntervalsDF:
     # ------------------------------------------------------------ disjoint
 
     def make_disjoint(
-        self, bin_seconds: BinSeconds = "auto", _coalesce: str = "reference"
+        self,
+        bin_seconds: BinSeconds = "auto",
+        _coalesce: str = "reference",
+        merge_buckets: Optional[int] = None,
     ) -> "IntervalsDF":
         """Split/merge overlapping intervals into a disjoint set (native
         Spark; replaces the reference's O(n²)-per-series pandas kernel,
@@ -694,6 +857,32 @@ class IntervalsDF:
         :func:`_resolve_bin_seconds`). Pass ``None`` to force the plain
         per-series range join, or a number to pin the width.
 
+        ``merge_buckets`` (r13, guide §2.3 "shuffle fewer bytes"): the
+        overlap-DENSE regime's lever. The single-level pairing joins every
+        boundary segment to every covering raw interval, so its row count
+        is rows × coverage depth (the r12 cost model: ~20M pairs/s on
+        local[32]). With ``merge_buckets=B ≥ 2`` each series' intervals are
+        hash-split into B buckets, each bucket merges against its OWN
+        elementary segments first, and the bucket summaries re-merge
+        against the global segments — pair count ~rows·(depth/B + 2B),
+        minimized at B≈√depth. Exact by construction: the bucket split
+        PARTITIONS every segment's covering set and every merge statistic
+        is an associative min/max (per-metric winner struct, max end,
+        min/max payload vector), so re-reducing level-1 partials
+        reproduces the single-level aggregate bit-for-bit (pinned against
+        the default path and the reference kernel goldens in
+        tests/test_intervals_twolevel.py). Measured crossover
+        (scale_probe --disjoint2l + interleaved A/Bs, warm minima,
+        SCALE.md r13 section): depth 30 the single level WINS ~3× (its
+        boundary side broadcasts and the pairing is cheap), depth 90
+        two-level edges ahead (~1.2×), depth 270 two-level wins ~10× AND
+        holds a stable wall where the single-level boundary broadcast
+        flips to its slow shape — use for coverage depth ≳ 90, B≈√depth.
+        The DEFAULT (None) keeps the single-level plan unchanged.
+        Mutually exclusive with a numeric ``bin_seconds`` (binning bounds
+        the few-series regime; two-level bounds the dense-depth regime);
+        with ``merge_buckets`` set, the auto-bin probe is skipped.
+
         Intervals are half-open ``[start, end)``: a zero-length input
         interval (start == end) denotes the empty set and is dropped --
         represent instantaneous events as points in a TSDF, not as empty
@@ -702,6 +891,16 @@ class IntervalsDF:
             raise ValueError(
                 f"_coalesce must be 'reference' or 'blanket', got {_coalesce!r}"
             )
+        if merge_buckets is not None:
+            if not isinstance(merge_buckets, int) or merge_buckets < 2:
+                raise ValueError(
+                    f"merge_buckets must be an int >= 2, got {merge_buckets!r}"
+                )
+            if bin_seconds is not None and not isinstance(bin_seconds, str):
+                raise ValueError(
+                    "merge_buckets and a numeric bin_seconds are mutually "
+                    "exclusive (dense-depth vs few-series bounding)"
+                )
         df = self.df
         # The merge aggregate (and the auto-bin probe) order interval
         # boundaries via a double cast; string/other non-time-like
@@ -716,12 +915,22 @@ class IntervalsDF:
                     f"make_disjoint requires timestamp/date/numeric interval "
                     f"boundaries; column {bc!r} is {bdt.simpleString()}"
                 )
-        bin_seconds = _resolve_bin_seconds(
-            df, self.start_ts, self.end_ts, self.series_ids, bin_seconds
+        bin_seconds = (
+            None
+            if merge_buckets is not None
+            else _resolve_bin_seconds(
+                df, self.start_ts, self.end_ts, self.series_ids, bin_seconds
+            )
         )
         s, e = self.start_ts, self.end_ts
         series = self.series_ids
         payload = self.observational_columns
+        if merge_buckets is not None:
+            for c in df.columns:
+                if c.startswith("__mb_"):
+                    raise ValueError(
+                        f"reserved column name {c} present in input"
+                    )
         # NEGATIVE RESULT (round 7): a leading repartition(series) — the
         # collapse that wins for resample(fill=True)/interpolate — drops
         # this operator's exchange count from 4 to 2 but measured ~60%
@@ -754,10 +963,17 @@ class IntervalsDF:
         )
 
         # 2. pair each segment with its covering intervals (per-series range
-        # join; with bin_seconds the equi key gains a time-bin component)
+        # join; with bin_seconds the equi key gains a time-bin component;
+        # with merge_buckets the pairing+merge run depth-bucketed in two
+        # levels — see _two_level_merged)
         overlap = (F.col(seg_s) < F.col(e)) & (F.col(seg_e) > F.col(s))
         series_eq = [F.col(a) == F.col(c) for a, c in zip(seg_series, series)]
-        if bin_seconds is None:
+        if merge_buckets is not None:
+            merged = _two_level_merged(
+                df, s, e, series, segments, seg_series, seg_s, seg_e,
+                payload, merge_buckets, _coalesce,
+            )
+        elif bin_seconds is None:
             cond = reduce(lambda a, b: a & b, series_eq, overlap)
             paired_raw = segments.join(df, on=cond, how="inner")
         else:
@@ -784,75 +1000,76 @@ class IntervalsDF:
                 ),
                 how="inner",
             )
-        from tempo_spark.functions.timestamps import ts_to_double
+        if merge_buckets is None:
+            from tempo_spark.functions.timestamps import ts_to_double
 
-        s_dtype = df.schema[s].dataType
-        e_dtype = df.schema[e].dataType
-        paired = paired_raw.select(
-            *series,
-            seg_s,
-            seg_e,
-            F.col(s).alias("__i_start"),
-            F.col(e).alias("__i_end"),
-            ts_to_double(F.col(s), s_dtype).alias("__i_start_d"),
-            ts_to_double(F.col(e), e_dtype).alias("__i_end_d"),
-            *payload,
-        )
-
-        # 3. merge payloads per the reference kernel's precedence: each
-        # metric coalesces over the covering intervals ordered by
-        # (start ASC, end DESC) — the outer/earlier interval's non-null
-        # value wins, later intervals fill its nulls (reference:
-        # python/tempo/intervals.py:794-1065 — every resolve_overlap
-        # branch merges with the (start asc, end desc)-minimal interval
-        # as the overwriting child; pinned by
-        # tests/goldens/interval_kernel_tests.json). Exact (start, end)
-        # ties break on the LARGER value — deterministic, where the
-        # reference's pandas kernel takes whichever row sorted first
-        # (input file order; pinned by the multiple_series recorded case).
-        # Also aggregate the coalesce statistics for step 4:
-        #   __one_vec — all raw metric vectors covering the segment are
-        #               identical (min struct == max struct — same bit as
-        #               count_distinct==1 without the 4-phase
-        #               distinct-aggregate planning);
-        #   __ext     — some covering interval extends strictly past the
-        #               segment's end (it spans the junction to the next
-        #               segment).
-        merge_aggs = [
-            F.max(
-                F.when(
-                    F.col(c).isNotNull(),
-                    F.struct(
-                        (-F.col("__i_start_d")).alias("ns"),
-                        F.col("__i_end_d").alias("e"),
-                        F.col(c).alias("v"),
-                    ),
-                )
+            s_dtype = df.schema[s].dataType
+            e_dtype = df.schema[e].dataType
+            paired = paired_raw.select(
+                *series,
+                seg_s,
+                seg_e,
+                F.col(s).alias("__i_start"),
+                F.col(e).alias("__i_end"),
+                ts_to_double(F.col(s), s_dtype).alias("__i_start_d"),
+                ts_to_double(F.col(e), e_dtype).alias("__i_end_d"),
+                *payload,
             )
-            .getField("v")
-            .alias(c)
-            for c in payload
-        ]
-        vec = F.struct(*[F.col(c) for c in payload]) if payload else None
-        if _coalesce == "reference":
-            stat_aggs = [
-                (F.max(F.col("__i_end")) > F.col(seg_e)).alias("__ext"),
-                (
-                    F.min(vec).eqNullSafe(F.max(vec))
-                    if payload
-                    else F.max(F.lit(True))
-                ).alias("__one_vec"),
+
+            # 3. merge payloads per the reference kernel's precedence: each
+            # metric coalesces over the covering intervals ordered by
+            # (start ASC, end DESC) — the outer/earlier interval's non-null
+            # value wins, later intervals fill its nulls (reference:
+            # python/tempo/intervals.py:794-1065 — every resolve_overlap
+            # branch merges with the (start asc, end desc)-minimal interval
+            # as the overwriting child; pinned by
+            # tests/goldens/interval_kernel_tests.json). Exact (start, end)
+            # ties break on the LARGER value — deterministic, where the
+            # reference's pandas kernel takes whichever row sorted first
+            # (input file order; pinned by the multiple_series recorded case).
+            # Also aggregate the coalesce statistics for step 4:
+            #   __one_vec — all raw metric vectors covering the segment are
+            #               identical (min struct == max struct — same bit as
+            #               count_distinct==1 without the 4-phase
+            #               distinct-aggregate planning);
+            #   __ext     — some covering interval extends strictly past the
+            #               segment's end (it spans the junction to the next
+            #               segment).
+            merge_aggs = [
+                F.max(
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.struct(
+                            (-F.col("__i_start_d")).alias("ns"),
+                            F.col("__i_end_d").alias("e"),
+                            F.col(c).alias("v"),
+                        ),
+                    )
+                )
+                .getField("v")
+                .alias(c)
+                for c in payload
             ]
-        elif payload:
-            # blanket mode never reads the junction stats — skip the agg
-            # work entirely
-            stat_aggs = []
-        else:
-            # an empty agg() list is rejected by pyspark
-            stat_aggs = [F.max(F.lit(1)).alias("__one")]
-        merged = paired.groupBy(*series, seg_s, seg_e).agg(
-            *merge_aggs, *stat_aggs
-        )
+            vec = F.struct(*[F.col(c) for c in payload]) if payload else None
+            if _coalesce == "reference":
+                stat_aggs = [
+                    (F.max(F.col("__i_end")) > F.col(seg_e)).alias("__ext"),
+                    (
+                        F.min(vec).eqNullSafe(F.max(vec))
+                        if payload
+                        else F.max(F.lit(True))
+                    ).alias("__one_vec"),
+                ]
+            elif payload:
+                # blanket mode never reads the junction stats — skip the agg
+                # work entirely
+                stat_aggs = []
+            else:
+                # an empty agg() list is rejected by pyspark
+                stat_aggs = [F.max(F.lit(1)).alias("__one")]
+            merged = paired.groupBy(*series, seg_s, seg_e).agg(
+                *merge_aggs, *stat_aggs
+            )
 
         # 4. dissolve a junction between contiguous segments only when the
         # reference's equivalent-metrics branch would have merged the raw
